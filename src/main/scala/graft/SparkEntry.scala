@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY.md §2) to a
+  * DataFrame builder over a scale-factor directory; `oracleSql` carries
+  * the DuckDB-equivalent SQL for each hash-checked query (queries absent
+  * from `oracleSql` are approximate/hash-seeded/fixture ops → rows-only).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Fact scan + broadcast dimension chain + grouped agg (SURVEY §2B). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.Relational.q06RegionRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.TimeSeries.queries ++
+      text.TextAnalysis.queries ++
+      dedup.Dedup.queries ++
+      sim.Similarity.queries ++
+      multimodal.Multimodal.queries
+
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle ++
+      ops.TimeSeries.oracle ++
+      text.TextAnalysis.oracle ++
+      dedup.Dedup.oracle ++
+      sim.Similarity.oracle ++
+      multimodal.Multimodal.oracle
 }

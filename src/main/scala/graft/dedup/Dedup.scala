@@ -1,0 +1,182 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2B
+  * extensions): exact (hash-groupBy), exact n-gram Jaccard (shuffle on
+  * shingle — the verifiable baseline), MinHash+LSH (the 100 TB path:
+  * band-bucket join so only near-candidates ever meet), and SimHash.
+  *
+  * Scale notes: exact-Jaccard's shingle self-join is quadratic in the
+  * worst case (hot shingles) — it exists as the oracle-verified baseline
+  * and candidate-verifier. The production path is MinHash LSH: signature
+  * cost is O(K·|shingles|) per doc map-side, and the only shuffle is on
+  * (band, band_hash) buckets, which is how dedup stays feasible at 100 TB.
+  */
+object Dedup {
+
+  /** Word-level 3-gram shingle sets per document: (doc_id, shingles).
+    * Tokenization is [a-z0-9]+ over lowercased text, identical to the
+    * DuckDB oracle's regexp. Docs with <3 tokens have no shingles and are
+    * excluded (can't participate in 3-gram similarity). */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat(
+            element_at(col("ws"), i + 1), lit(" "),
+            element_at(col("ws"), i + 2), lit(" "),
+            element_at(col("ws"), i + 3)))).as("shingles"))
+
+  /** Exact dedup: canonical-fingerprint groupBy; keeper = min doc_id.
+    * One shuffle on the 64-bit fingerprint — the straight scalable plan. */
+  def q29ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprintColumn.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q29Sql: String =
+    "SELECT substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))),1,16) AS fp, " +
+      "min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM documents GROUP BY fp ORDER BY keep_id"
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): explode shingle
+    * sets, shuffle on shingle, count per-pair intersections, join back the
+    * set sizes. The jaccard division is a single double op on integral
+    * inputs so the >= threshold decides identically in both engines. */
+  def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jac", col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .where(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q30Sql: String =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
+      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh) " +
+      "SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard " +
+      "FROM pair JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5 ORDER BY id_a, id_b"
+
+  private val K = 64  // minhash signature length
+  private val B = 16  // LSH bands
+  private val R = 4   // rows per band (K = B*R)
+
+  /** MinHash signatures: K permutations simulated by seeded xxhash64; the
+    * signature is computed map-side in one pass (two nested higher-order
+    * functions, no UDF, no shuffle). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(col("doc_id"), col("shingles"),
+        transform(sequence(lit(0), lit(K - 1)),
+          i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+
+  /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
+    * (band, band_hash), then verify candidates with exact Jaccard. The
+    * candidate join touches only colliding docs — the property that makes
+    * this the 100 TB dedup path. No SQL oracle (hash-seed specific):
+    * the driver records rows-only; the ScalaTest spec asserts recall
+    * against q30's exact pairs. */
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val banded = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(B - 1)),
+          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * R + 1, lit(R))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sig.select(col("doc_id"), col("shingles"))
+    cands
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")).cast("double"))
+      .where(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val SimBits = 64
+
+  /** 64-bit SimHash per document over word tokens: explode tokens →
+    * xxhash64 → one groupBy(doc_id) with 64 builtin per-bit vote sums
+    * (partial aggregation makes this a single map-combine shuffle), then
+    * fold the bit votes into a long. No UDFs; the whole vote projection
+    * stays in codegen. Near-dup candidates use 4x16-bit band blocking +
+    * Hamming <= 6 verification (bit_count of xor). */
+  def simhashed(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteCols = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    // big-endian fold via shift+or (ANSI-safe: bit 63 would overflow `*2`)
+    val sim = (0 until SimBits).foldLeft(lit(0L)) { (acc, j) =>
+      shiftleft(acc, 1).bitwiseOR(when(col(s"v$j") > 0, 1L).otherwise(0L))
+    }
+    votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashed(spark, dir).cache()
+    // band value b: bits [16b, 16b+16) of the simhash
+    val withBands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bv").as("bv"))
+    val cands = withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_exact_dedup" -> q29ExactDedup _,
+    "q30_ngram_jaccard" -> q30NgramJaccard _,
+    "q31_minhash_lsh" -> q31MinhashLsh _,
+    "q32_simhash" -> q32Simhash _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q29_exact_dedup" -> q29Sql,
+    "q30_ngram_jaccard" -> q30Sql
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-log / time-series operators: as-of join, time bucketing,
+  * gap-based sessionization, JSON extraction (SURVEY.md §2B streaming row —
+  * these are the batch-equivalent semantics; the true streaming versions
+  * live in graft.streaming and are exercised by ScalaTest with
+  * MemoryStream, since a DuckDB oracle can't run a stream).
+  */
+object TimeSeries {
+
+  /** As-of join: for each event, the most recent order date of the same
+    * user at-or-before the event time.
+    *
+    * Implemented the scalable way — NOT a join+max (which re-scans the
+    * whole orders history per event): union both sides, one shuffle on
+    * user_id, then `last(_, ignoreNulls)` over an ordered running frame.
+    * Cost is one shuffle + one sort regardless of how many orders precede
+    * each event, which is the plan that survives 100 TB.
+    * Tiebreak: at equal timestamp the order row sorts before the event row
+    * (is_event 0 < 1) so the "<=" inclusive semantics hold. */
+  def q21AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("is_event"), lit(null).cast("timestamp_ntz").as("odate"))
+    val o = orders(spark, dir).select(
+      lit(null).cast("long").as("event_id"), col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ts"), lit(0).as("is_event"), col("o_orderdate").as("odate"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("last_order_date", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  val q21Sql: String =
+    "SELECT e.event_id, e.user_id, max(o.o_orderdate) AS last_order_date " +
+      "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+      "GROUP BY e.event_id, e.user_id ORDER BY e.event_id"
+
+  /** Tumbling-window aggregation (batch form): hour bucketing + grouped
+    * stats. One shuffle of tiny grouped state. */
+  def q22HourlyStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val q22Sql: String =
+    "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, " +
+      "round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"
+
+  /** Gap-based sessionization (30-min inactivity): lag → session-start
+    * flag → running sum = session id → per-session agg. Two window passes
+    * over one shuffle on user_id; the streaming twin is
+    * session_window/flatMapGroupsWithState. Gap comparison is done in
+    * integral microseconds so both engines decide sessions identically. */
+  def q23Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wrun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q23Sql: String =
+    "WITH g AS (SELECT user_id, event_id, ts, value, " +
+      "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+      "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
+      "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, " +
+      "max(ts) AS session_end, round(sum(value),2) AS session_value " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+
+  /** JSON path extraction (§2A-4 generalized): schema-on-read over the
+    * props column, pushed through a grouped aggregation. */
+  def q24JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  val q24Sql: String =
+    "SELECT event_type, count(*) AS n, " +
+      "round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k, " +
+      "CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_asof_join" -> q21AsofJoin _,
+    "q22_hourly_stats" -> q22HourlyStats _,
+    "q23_sessionize" -> q23Sessionize _,
+    "q24_json_extract" -> q24JsonExtract _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_asof_join" -> q21Sql,
+    "q22_hourly_stats" -> q22Sql,
+    "q23_sessionize" -> q23Sql,
+    "q24_json_extract" -> q24Sql
+  )
+}

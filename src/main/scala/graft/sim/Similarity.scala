@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the embeddings table (SURVEY.md §2B extensions):
+  * brute-force cosine (exact, oracle-verified) and a random-hyperplane-LSH
+  * bucketed variant (the approximate scale path).
+  *
+  * Cosine arithmetic is written as an explicit elementwise formula —
+  * products left-to-right, fold-summed from 0.0, dot/(sqrt(na)*sqrt(nb)) —
+  * and the DuckDB oracle mirrors the exact same op order, so the doubles
+  * are bit-identical in both engines and threshold/ordering comparisons
+  * are stable (no list_cosine_similarity, whose internal op order is
+  * unspecified).
+  */
+object Similarity {
+
+  /** (vec_id, v: array<double>, norm) — float→double upcast is exact. */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
+    dot(av, bv) / (an * bn)
+
+  // DuckDB mirror of the same op order (1-based list indexing).
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+
+  /** Exact top-k neighbors of a query vector (vec_id 0): the query row is
+    * broadcast so this is a single scan + TakeOrdered — the correct plan
+    * for "one query vs the corpus" at any scale. */
+  def q33CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("qv"), col("norm"), col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q33Sql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+      s"SELECT e.vec_id, round(${sqlDot("e.v", "qv")} / (${sqlNorm("e.v")} * ${sqlNorm("qv")}), 6) AS sim " +
+      "FROM e, q WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10"
+
+  /** Exact all-pairs near-duplicates by cosine >= 0.45 (embedding-space
+    * near-dup dedup). Brute force is O(n²) — correct-baseline only; the
+    * LSH variant below is the scale path. The threshold compares the raw
+    * (bit-identical) double, rounding only the reported value. */
+  def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")))
+      .where(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q34Sql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${sqlDot("a.v", "b.v")} / (${sqlNorm("a.v")} * ${sqlNorm("b.v")}), 6) AS sim " +
+      "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+      s"WHERE ${sqlDot("a.v", "b.v")} / (${sqlNorm("a.v")} * ${sqlNorm("b.v")}) >= 0.45 " +
+      "ORDER BY id_a, id_b"
+
+  private val NumPlanes = 4
+
+  /** Deterministic random hyperplanes (fixed seed; generated driver-side
+    * once, shipped as literals — no per-row RNG). */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(12345L)
+    Seq.fill(NumPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  def bucketOf(v: Column): Column =
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(dot(v, typedLit(p)) > 0.0, 1L).otherwise(0L)
+    }
+
+  /** ANN via sign-random-projection LSH: 2^4 buckets, search only the
+    * query's bucket. At 100 TB the bucket id becomes the shuffle /
+    * partition key so each query probes one partition instead of the
+    * corpus. Approximate by design → rows-only check; the ScalaTest spec
+    * bounds recall against q33's exact top-k. */
+  def q35AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir).withColumn("bucket", bucketOf(col("v")))
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qb"))
+    vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .where(col("bucket") === col("qb"))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("qv"), col("norm"), col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_cosine_topk" -> q33CosineTopk _,
+    "q34_embedding_neardup" -> q34EmbeddingNeardup _,
+    "q35_ann_lsh" -> q35AnnLsh _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_cosine_topk" -> q33Sql,
+    "q34_embedding_neardup" -> q34Sql
+  )
+}

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2B
+  * extensions row): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure codegen'd builtins (regexp/length/md5) — no
+  * UDFs — so each query is a single narrow scan-project pipeline that
+  * parallelizes embarrassingly at 100 TB (no shuffle except final aggs).
+  *
+  * Heuristics are deliberately expressible in ANSI SQL so every one of
+  * these operators is verified against the DuckDB oracle, not just
+  * rows-counted. Regex syntax is kept in the subset Java regex and RE2
+  * share (\b word boundaries, \x{...} unicode escapes, \S classes).
+  */
+object TextAnalysis {
+
+  // NB: functions.regexp_extract_all with lit() patterns, never expr("...")
+  // — Spark's SQL parser treats backslash as an escape inside string
+  // literals while DuckDB's does not, so going through the function API
+  // keeps one canonical pattern string valid for both engines.
+  private def hits(pat: String): Column =
+    size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+
+  private val zhPat = "[\\x{4e00}-\\x{9fff}]"
+  private val enPat = "\\b(the|and|of|a)\\b"
+  private val dePat = "\\b(der|die|und|das)\\b"
+  private val frPat = "\\b(le|la|et|les)\\b"
+  private val esPat = "\\b(el|los|y|las)\\b"
+
+  /** n-gram/stopword-count language ID: count stopword hits per language,
+    * argmax with fixed precedence (zh by script, then en>de>fr>es). */
+  def langIdColumn: Column = {
+    val (zh, en, de, fr, es) = (hits(zhPat), hits(enPat), hits(dePat), hits(frPat), hits(esPat))
+    when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  def q25LangId(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langIdColumn.as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val q25Sql: String = {
+    def h(p: String) = s"len(regexp_extract_all(text, '$p'))"
+    s"SELECT doc_id, lang, CASE WHEN ${h(zhPat)} > 0 THEN 'zh' " +
+      s"WHEN ${h(enPat)} >= ${h(dePat)} AND ${h(enPat)} >= ${h(frPat)} AND ${h(enPat)} >= ${h(esPat)} AND ${h(enPat)} > 0 THEN 'en' " +
+      s"WHEN ${h(dePat)} >= ${h(frPat)} AND ${h(dePat)} >= ${h(esPat)} AND ${h(dePat)} > 0 THEN 'de' " +
+      s"WHEN ${h(frPat)} >= ${h(esPat)} AND ${h(frPat)} > 0 THEN 'fr' " +
+      s"WHEN ${h(esPat)} > 0 THEN 'es' ELSE 'und' END AS pred_lang " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  /** Quality scoring: token count, average token length, stopword ratio,
+    * and a composite score — the usual cheap pre-filters before expensive
+    * dedup/embedding stages in a data pipeline. */
+  def q26Quality(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
+    val stopHits = hits(enPat)
+    val stopRatio = stopHits.cast("double") / nullif(nTokens, lit(0L)).cast("double")
+    documents(spark, dir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(nonSpace.cast("double") / nullif(nTokens, lit(0L)).cast("double"), 4).as("avg_token_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(least(nTokens.cast("double") / lit(200.0), lit(1.0)) * (lit(1.0) - stopRatio), 4)
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Sql: String = {
+    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    val nonSpace = "CAST(length(replace(text, ' ', '')) AS BIGINT)"
+    val stop = s"CAST(len(regexp_extract_all(text, '$enPat')) AS BIGINT)"
+    val stopRatio = s"CAST($stop AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE)"
+    s"SELECT doc_id, $nTok AS n_tokens, " +
+      s"round(CAST($nonSpace AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE), 4) AS avg_token_len, " +
+      s"round($stopRatio, 4) AS stopword_ratio, " +
+      s"round(least(CAST($nTok AS DOUBLE)/200.0, 1.0) * (1.0 - $stopRatio), 4) AS quality_score " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  /** Token statistics per language — whitespace tokenizer aggregated with
+    * map-side partial aggregation. */
+  def q27TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    documents(spark, dir)
+      .select(col("lang"), nTokens.as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val q27Sql: String = {
+    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    s"SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens, round(avg(n_tok),4) AS avg_tokens, " +
+      "max(n_tok) AS max_tokens, count(*) AS n_docs " +
+      s"FROM (SELECT lang, $nTok AS n_tok FROM documents) GROUP BY lang ORDER BY lang"
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, non-
+    * alphanumeric runs collapsed to single spaces), truncated to 64 bits of
+    * hex. This is the canonical-form key used by exact dedup at scale. */
+  def fingerprintColumn: Column =
+    substring(md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " "))), 1, 16)
+
+  def q28Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), fingerprintColumn.as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q28Sql: String =
+    "SELECT doc_id, substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))),1,16) AS fp " +
+      "FROM documents ORDER BY doc_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_lang_id" -> q25LangId _,
+    "q26_text_quality" -> q26Quality _,
+    "q27_token_stats" -> q27TokenStats _,
+    "q28_fingerprint" -> q28Fingerprint _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_lang_id" -> q25Sql,
+    "q26_text_quality" -> q26Sql,
+    "q27_token_stats" -> q27Sql,
+    "q28_fingerprint" -> q28Sql
+  )
+}
