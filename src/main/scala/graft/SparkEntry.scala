@@ -22,7 +22,12 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
-      multimodal.Multimodal.queries
+      multimodal.Multimodal.queries ++
+      // Reference-fidelity pipeline over deterministic fixtures (ignores
+      // sfDir — the reference's inputs are HTTP JSON documents, not the
+      // star schema). Golden-tested in CaicPipelineSpec; rows-only here.
+      Map("q37_caic_pipeline" -> ((s: SparkSession, _: String) =>
+        caic.CaicPipeline.run(s, caic.CaicFixtures.areasJson, caic.CaicFixtures.productsJson)))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
