@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Typed event row for streaming ops (mirrors the events table). */
+case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp, sum_value: Double)
+
+private case class SessionState(n: Long, start: Long, end: Long, sum: Double)
+
+/** Structured Streaming operator surface (SURVEY.md §2B streaming row).
+  *
+  * Every transform below is `DataFrame → DataFrame` so the identical logic
+  * runs over `readStream` (incremental, stateful) and `read` (batch) —
+  * StreamingParitySpec asserts the two agree on the events table, which is
+  * the property that matters when the same pipeline must serve both a
+  * backfill over 100 TB of parquet and a live micro-batch feed.
+  *
+  * Scale notes: all stateful ops key their state by the shuffle key
+  * (window/user_id), so state is partition-local and scales with keys, not
+  * events; watermarks bound state size by evicting closed windows.
+  */
+object Streaming {
+
+  /** Tumbling-window counts with a watermark: late rows beyond 1 hour are
+    * dropped and closed windows are evicted from the state store. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (1h length, 30m slide): each row lands in 2 windows. */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  /** Native session windows: 30-minute inactivity gap per user. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup on event_id bounded by the watermark — state
+    * holds only ids younger than the watermark (the scalable form of
+    * `dropDuplicates` on an unbounded stream). */
+  def dedupedWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: emits a
+    * SessionOut every time a 30-minute gap closes a session (the
+    * hand-rolled twin of `session_window`, for when per-session logic
+    * doesn't fit an agg — SURVEY.md §2B "custom state"). Event-time
+    * ordering within a micro-batch is handled by sorting the group's
+    * batch; cross-batch order relies on the watermark having dropped
+    * older-than-gap arrivals. */
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (evs.isEmpty) {
+            if (state.hasTimedOut && cur.isDefined) {
+              val s = cur.get
+              closed += SessionOut(uid, s.n, new Timestamp(s.start), new Timestamp(s.end), s.sum)
+              state.remove()
+            }
+          } else {
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.start, math.max(s.end, t), s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.n, new Timestamp(s.start), new Timestamp(s.end), s.sum)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
+            }
+            val s = cur.get
+            state.update(s)
+            // time out once the watermark passes session end + gap
+            state.setTimeoutTimestamp(s.end + gapMs)
+          }
+          closed.iterator
+      }
+  }
+
+  /** Scheduled micro-batch runner (§2A-19): one-shot `AvailableNow` batch
+    * of a streaming query into `foreachBatch` — the Spark equivalent of
+    * the reference's scheduled Lambda invocation. Returns when the
+    * available data is drained. */
+  def runAvailableNow(input: DataFrame, eachBatch: (DataFrame, Long) => Unit,
+      checkpoint: String): Unit = {
+    val q = input.writeStream
+      .foreachBatch(eachBatch)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+}

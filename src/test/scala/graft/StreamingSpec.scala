@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+import graft.streaming.{Ev, Streaming}
+
+/** MemoryStream-driven tests of the streaming operators plus a
+  * batch/stream parity check over the events table (the DuckDB oracle
+  * can't run a stream, so parity-vs-batch is the correctness argument;
+  * the batch side is itself oracle-checked via q22).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 10 + min * 60_000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling window + watermark (hourlyStats)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", ts(5), 1.0), Ev(2, 1, "view", ts(20), 2.0),
+      Ev(3, 2, "click", ts(70), 5.0))
+    runToMemory(Streaming.hourlyStats(mem.toDF()), "hourly", OutputMode.Complete)
+    val rows = spark.table("hourly").orderBy("hour_start", "event_type").collect()
+    assert(rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq ===
+      Seq(("view", 2L), ("click", 1L)))
+  }
+
+  test("session windows close at the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 0,10 (one session), then 60 (new session)
+    mem.addData(Ev(1, 1, "a", ts(0), 1.0), Ev(2, 1, "a", ts(10), 1.0), Ev(3, 1, "a", ts(60), 1.0))
+    // advance watermark far enough to close everything
+    mem.addData(Ev(99, 9, "a", ts(600), 0.0))
+    runToMemory(Streaming.sessionStats(mem.toDF()), "sessions")
+    val rows = spark.table("sessions").filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-watermark dup ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, 1, "a", ts(0), 1.0), Ev(1, 1, "a", ts(1), 1.0), Ev(2, 1, "a", ts(2), 1.0))
+    runToMemory(Streaming.dedupedWithinWatermark(mem.toDF()), "dedup")
+    assert(spark.table("dedup").select("event_id").distinct().count() === 2)
+    assert(spark.table("dedup").count() === 2)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // batch 1: two sessions' worth of data for user 1 (gap at 45min)
+    mem.addData(Ev(1, 1, "a", ts(0), 1.5), Ev(2, 1, "a", ts(10), 2.5), Ev(3, 1, "a", ts(60), 4.0))
+    val q = Streaming.sessionizeStateful(mem.toDS()).writeStream
+      .format("memory").queryName("smg").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // session 1 closed by the in-batch gap
+      val r1 = spark.table("smg").collect()
+      assert(r1.length === 1)
+      assert(r1(0).getAs[Long]("n_events") === 2L)
+      assert(r1(0).getAs[Double]("sum_value") === 4.0)
+      // batch 2: watermark jump times out the open session
+      mem.addData(Ev(9, 2, "a", ts(100 * 60), 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, 2, "a", ts(101 * 60), 0.0))
+      q.processAllAvailable()
+      val r2 = spark.table("smg").filter(col("user_id") === 1).orderBy("start").collect()
+      assert(r2.length === 2)
+      assert(r2(1).getAs[Long]("n_events") === 1L)
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: hourlyStats over the events table") {
+    val sf = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val expect = Streaming.hourlyStats(batchEvents)
+      .orderBy("hour_start", "event_type").collect().toSeq
+    // stream the same rows through a file stream (AvailableNow drain)
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    batchEvents.write.mode("overwrite").parquet(s"$tmp/in")
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(s"$tmp/in")
+    val q = Streaming.hourlyStats(streamIn).writeStream
+      .format("memory").queryName("parity").outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("parity").orderBy("hour_start", "event_type").collect().toSeq
+    assert(got === expect)
+  }
+}
