@@ -17,14 +17,24 @@ import graft.Tables._
   */
 object Similarity {
 
-  /** (vec_id, v: array<double>, norm) — float→double upcast is exact. */
-  def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, v: array<double>, norm) — float→double upcast is exact.
+    * norm = sqrt(v·v) via the native expression: x*x accumulated
+    * left-to-right from 0.0, the same op order as
+    * `aggregate(v, 0.0, (a,x) => a + x*x)`. */
+  def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
+  /** Native codegen'd dot product (graft.functions.DotProduct) —
+    * bit-identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but with no
+    * per-pair array allocation, which is what makes the O(n²) all-pairs
+    * query (q34) feasible. Requires VectorFunctions.register (done in
+    * `vectors`). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def cosine(av: Column, bv: Column, an: Column, bn: Column): Column =
     dot(av, bv) / (an * bn)
