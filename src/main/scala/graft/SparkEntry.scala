@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.TimeSeries.queries ++
+      ops.Advanced.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.TimeSeries.oracle ++
+      ops.Advanced.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

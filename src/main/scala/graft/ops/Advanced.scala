@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType, StructField, StructType}
+import graft.Tables._
+
+/** Second tranche of the relational surface (SURVEY.md §2B rows not yet
+  * exercised by Relational/TimeSeries): outer joins, the full window-rank
+  * family with a RANGE frame, collect_list/set, math scalar functions,
+  * array/map/JSON construction functions, exact percentiles, json+csv
+  * source roundtrips, a typed Aggregator UDAF, pivot and unpivot.
+  * Same oracle conventions as Relational (see its Scaladoc).
+  */
+object Advanced {
+
+  /** FULL OUTER join of two pre-aggregated sides. Both inputs are filtered
+    * so each side has nations the other lacks — the null-producing paths
+    * are really exercised. Aggregating BEFORE the join keeps the join
+    * inputs tiny (25 rows) — the shape that matters at scale. */
+  def q38FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier(spark, dir).filter(col("s_suppkey") < 50)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q38Sql: String =
+    "SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, " +
+      "coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp FROM " +
+      "(SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer WHERE c_nationkey < 20 GROUP BY 1) c " +
+      "FULL OUTER JOIN " +
+      "(SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier WHERE s_suppkey < 50 GROUP BY 1) s " +
+      "USING (nationkey) ORDER BY nationkey"
+
+  /** The full window-function family over one shuffle on o_custkey:
+    * rank/dense_rank (ties allowed), percent_rank, ntile (fully-ordered
+    * window so tile assignment is deterministic), first/last over an
+    * unbounded ROWS frame, and a 30-day trailing sum via a RANGE frame
+    * over a day-number ordering column. */
+  def q39WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val wTies = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    val wDet = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wAll = wDet.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val wRange = Window.partitionBy(col("o_custkey")).orderBy(dayNum)
+      .rangeBetween(-30, 0)
+    orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(wTies).cast("long").as("rnk"),
+      dense_rank().over(wTies).cast("long").as("drnk"),
+      round(percent_rank().over(wTies), 6).as("pr"),
+      ntile(4).over(wDet).cast("long").as("quartile"),
+      first(col("o_orderkey")).over(wAll).as("top_orderkey"),
+      last(col("o_orderkey")).over(wAll).as("bottom_orderkey"),
+      round(sum(col("o_totalprice")).over(wRange), 2).as("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q39Sql: String =
+    "SELECT o_custkey, o_orderkey, " +
+      "rank() OVER wt AS rnk, dense_rank() OVER wt AS drnk, " +
+      "round(percent_rank() OVER wt, 6) AS pr, " +
+      "CAST(ntile(4) OVER wd AS BIGINT) AS quartile, " +
+      "first_value(o_orderkey) OVER wa AS top_orderkey, " +
+      "last_value(o_orderkey) OVER wa AS bottom_orderkey, " +
+      "round(sum(o_totalprice) OVER wr, 2) AS spend_30d " +
+      "FROM orders WINDOW " +
+      "wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC), " +
+      "wd AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), " +
+      "wa AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), " +
+      "wr AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) " +
+      "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) " +
+      "ORDER BY o_custkey, o_orderkey"
+
+  /** collect_list / collect_set: grouped array construction, sorted for
+    * determinism (collection order is partition-dependent by design). */
+  def q40Collect(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        sort_array(collect_list(round(col("c_acctbal"), 0).cast("long"))).as("balances"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
+  val q40Sql: String =
+    "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments, " +
+      "list_sort(list(CAST(round(c_acctbal, 0) AS BIGINT))) AS balances, count(*) AS n " +
+      "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
+
+  /** Math scalar functions — all codegen'd builtins. Transcendentals are
+    * rounded to 6 decimals: Java Math and libm may differ in the last ulp,
+    * which is exactly the class of difference the rounding policy
+    * (SURVEY.md §7.4.10) absorbs. */
+  def q41MathFuncs(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      round(abs(col("l_discount") - 0.05), 6).as("abs_c"),
+      ceil(col("l_extendedprice")).cast("double").as("ceil_p"),
+      floor(col("l_extendedprice")).cast("double").as("floor_p"),
+      round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+      round(exp(col("l_discount")), 6).as("exp_d"),
+      round(log(col("l_extendedprice")), 6).as("ln_p"),
+      round(pow(col("l_quantity"), 2), 6).as("q_sq"),
+      pmod(col("l_orderkey"), lit(97L)).as("mod_k"),
+      signum(col("l_discount") - 0.05).as("sign_d"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q41Sql: String =
+    "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+      "round(abs(l_discount - 0.05), 6) AS abs_c, " +
+      "ceil(l_extendedprice) AS ceil_p, floor(l_extendedprice) AS floor_p, " +
+      "round(sqrt(l_quantity), 6) AS sqrt_q, round(exp(l_discount), 6) AS exp_d, " +
+      "round(ln(l_extendedprice), 6) AS ln_p, round(pow(l_quantity, 2), 6) AS q_sq, " +
+      "l_orderkey % 97 AS mod_k, sign(l_discount - 0.05) AS sign_d " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber"
+
+  /** Array / map / JSON construction functions (§2B scalar-fns row):
+    * split, transform, filter, sort_array, slice, array_position,
+    * array_contains, map_from_arrays + element_at, to_json(struct). */
+  def q42ArrayMap(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    part(spark, dir).select(
+      col("p_partkey"),
+      words.as("words"),
+      transform(words, w => upper(w)).as("words_u"),
+      filter(words, w => length(w) > 4).as("long_words"),
+      slice(sort_array(words), 1, 2).as("first2_sorted"),
+      array_position(words, "of").as("pos_of"),
+      array_contains(words, "red").as("has_red"),
+      element_at(
+        map_from_arrays(array(lit("brand"), lit("type")), array(col("p_brand"), col("p_type"))),
+        "brand").as("brand_val"),
+      to_json(struct(col("p_brand").as("b"))).as("js"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q42Sql: String =
+    "WITH t AS (SELECT p_partkey, p_brand, p_type, string_split(p_name, ' ') AS ws FROM part) " +
+      "SELECT p_partkey, ws AS words, " +
+      "list_transform(ws, w -> upper(w)) AS words_u, " +
+      "list_filter(ws, w -> length(w) > 4) AS long_words, " +
+      "list_sort(ws)[1:2] AS first2_sorted, " +
+      "CAST(coalesce(list_position(ws, 'of'), 0) AS BIGINT) AS pos_of, " +
+      "list_contains(ws, 'red') AS has_red, " +
+      // DuckDB map extraction yields a 1-element list; [1] unwraps it
+      "map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val, " +
+      "CAST(to_json(struct_pack(b := p_brand)) AS VARCHAR) AS js " +
+      "FROM t ORDER BY p_partkey"
+
+  /** Exact percentiles + median per group. Both engines define continuous
+    * quantiles by the same linear interpolation; results are rounded to 4
+    * decimals to absorb last-ulp interpolation differences. */
+  def q43Percentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        transform(percentile(col("l_quantity"), typedLit(Seq(0.25, 0.5, 0.75))),
+          x => round(x, 4)).as("qty_quartiles"),
+        round(median(col("l_extendedprice")), 4).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q43Sql: String =
+    "SELECT l_returnflag, " +
+      "list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS qty_quartiles, " +
+      "round(median(l_extendedprice), 4) AS median_price, count(*) AS n " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  /** json + csv SOURCE roundtrip (§2B scans/sources row): write nation out
+    * through both text formats, read each back with an explicit schema
+    * (schema-on-read), join the two reads. Result must equal the parquet
+    * original — which is exactly what the oracle checks. */
+  def q44SourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val n = nation(spark, dir)
+    n.write.mode("overwrite").json(s"$base/nation_json")
+    n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val fromJson = spark.read.schema(schema).json(s"$base/nation_json")
+      .select(col("n_nationkey"), col("n_name"))
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$base/nation_csv")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    fromJson.join(fromCsv, Seq("n_nationkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q44Sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** Typed Aggregator UDAF (graft.functions.GeoMean): geometric mean of
+    * extended price per return flag. */
+  def q45GeoMean(spark: SparkSession, dir: String): DataFrame = {
+    val geomean = udaf(graft.functions.GeoMean)
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(geomean(col("l_extendedprice")), 4).as("geomean_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q45Sql: String =
+    "SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price, " +
+      "count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  /** PIVOT: one row per return flag, one column per line status. Explicit
+    * value list so the plan is a single pass (no distinct-values pre-query)
+    * — the form that scales. */
+  def q46Pivot(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .na.fill(0.0, Seq("F", "O"))
+      .orderBy(col("l_returnflag"))
+
+  val q46Sql: String =
+    "SELECT l_returnflag, " +
+      "coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0) AS F, " +
+      "coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0) AS O " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
+  /** UNPIVOT (wide → long): two measure columns melted into (metric, val)
+    * rows — the inverse of q46, via the native unpivot operator (Expand,
+    * no shuffle). */
+  def q47Unpivot(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  val q47Sql: String =
+    "SELECT p_partkey, metric, val FROM (" +
+      "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part " +
+      "UNION ALL SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part) " +
+      "ORDER BY p_partkey, metric"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_full_outer" -> q38FullOuter _,
+    "q39_window_ranks" -> q39WindowRanks _,
+    "q40_collect" -> q40Collect _,
+    "q41_math_funcs" -> q41MathFuncs _,
+    "q42_array_map" -> q42ArrayMap _,
+    "q43_percentiles" -> q43Percentiles _,
+    "q44_source_roundtrip" -> q44SourceRoundtrip _,
+    "q45_geomean_udaf" -> q45GeoMean _,
+    "q46_pivot" -> q46Pivot _,
+    "q47_unpivot" -> q47Unpivot _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q38_full_outer" -> q38Sql,
+    "q39_window_ranks" -> q39Sql,
+    "q40_collect" -> q40Sql,
+    "q41_math_funcs" -> q41Sql,
+    "q42_array_map" -> q42Sql,
+    "q43_percentiles" -> q43Sql,
+    "q44_source_roundtrip" -> q44Sql,
+    "q45_geomean_udaf" -> q45Sql,
+    "q46_pivot" -> q46Sql,
+    "q47_unpivot" -> q47Sql
+  )
+}
