@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.TimeSeries.queries ++
       ops.Advanced.queries ++
+      sources.SourceQueries.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     ops.Relational.oracle ++
       ops.TimeSeries.oracle ++
       ops.Advanced.oracle ++
+      sources.SourceQueries.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.JavaConverters._
+
+/** Custom DataSource V2 batch source: JSON-lines documents fetched from an
+  * "endpoint" (a directory of response bodies), with **source-side filter
+  * pushdown** and **column pruning** — the Spark-native generalization of
+  * the reference's HTTP source scans whose predicates are encoded into the
+  * request (reference `task.ts:89,102`: `includeExpired=false`,
+  * `datetime=…`, `productType=avalancheforecast` in the URL; SURVEY.md
+  * §2A-1/2/3).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-jsondoc").schema(s).option("path", dir).load()
+  * }}}
+  *
+  * What is real here (and shows in `.explain`):
+  *  - `SupportsPushDownFilters`: Eq/Gt/Ge/Lt/Le/IsNotNull on top-level
+  *    fields are accepted, evaluated inside the partition reader before a
+  *    row is ever materialized to Spark, and reported via `pushedFilters`.
+  *  - `SupportsPushDownRequiredColumns`: only requested fields are parsed
+  *    into the output row.
+  *  - One `InputPartition` per response file → parallel scan.
+  *
+  * Scale note: file listing uses the local filesystem for this offline
+  * build; a production deployment would swap the listing/open calls for
+  * the Hadoop `FileSystem` API (S3/HDFS) or an HTTP pagination protocol —
+  * the planning/pushdown machinery is unchanged.
+  */
+class JsonDocSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsondoc"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-jsondoc requires an explicit schema: spark.read.format(\"graft-jsondoc\").schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new JsonDocTable(schema, properties.get("path"))
+}
+
+private[sources] class JsonDocTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  require(path != null, "graft-jsondoc requires option(\"path\", ...)")
+  override def name(): String = s"graft-jsondoc($path)"
+  override def schema(): StructType = schema0
+  private val schema0 = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonDocScanBuilder(schema0, path)
+}
+
+private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** Accept the filter shapes an HTTP endpoint could encode as query
+    * params; everything else stays in Spark (returned as residual). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case EqualTo(a, _) => fullSchema.fieldNames.contains(a)
+      case GreaterThan(a, _) => fullSchema.fieldNames.contains(a)
+      case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case LessThan(a, _) => fullSchema.fieldNames.contains(a)
+      case LessThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case IsNotNull(a) => fullSchema.fieldNames.contains(a)
+      case _ => false
+    }
+    pushed = ours
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new JsonDocScan(required, path, pushed)
+}
+
+private[sources] class JsonDocScan(readSchema0: StructType, path: String,
+    filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = readSchema0
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Array.empty
+    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonDocReaderFactory(readSchema0, filters)
+
+  override def description(): String =
+    s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}]"
+}
+
+private[sources] case class JsonDocPartition(file: String) extends InputPartition
+
+private[sources] class JsonDocReaderFactory(readSchema: StructType,
+    filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonDocReader(partition.asInstanceOf[JsonDocPartition].file, readSchema, filters)
+}
+
+/** Streams one response file line-by-line; applies pushed filters on the
+  * parsed JSON BEFORE building an InternalRow (source-side evaluation). */
+private[sources] class JsonDocReader(file: String, readSchema: StructType,
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(file, "UTF-8")
+  private val it = lines.getLines().filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  private def fieldValue(node: JsonNode, name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else readSchema.find(_.name == name).map(_.dataType) match {
+      case Some(LongType) => v.asLong()
+      case Some(IntegerType) => v.asInt()
+      case Some(DoubleType) => v.asDouble()
+      case Some(BooleanType) => v.asBoolean()
+      case _ => v.asText()
+    }
+  }
+
+  /** Raw (schema-independent) comparable value for filter columns — may
+    * not be in the pruned read schema. */
+  private def rawValue(node: JsonNode, name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else if (v.isIntegralNumber) v.asLong()
+    else if (v.isNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else v.asText()
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  private def passes(node: JsonNode): Boolean = filters.forall {
+    case EqualTo(a, v) => cmp(rawValue(node, a), v).contains(0)
+    case GreaterThan(a, v) => cmp(rawValue(node, a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(rawValue(node, a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ <= 0)
+    case IsNotNull(a) => rawValue(node, a) != null
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && it.hasNext) {
+      val node = mapper.readTree(it.next())
+      if (passes(node)) {
+        val values = readSchema.fields.map { f =>
+          fieldValue(node, f.name) match {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }
+        }
+        current = InternalRow.fromSeq(values.toSeq)
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
