@@ -44,7 +44,7 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   val q29Sql: String =
-    "SELECT substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))),1,16) AS fp, " +
+    "SELECT substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16) AS fp, " +
       "min(doc_id) AS keep_id, count(*) AS n_copies " +
       "FROM documents GROUP BY fp ORDER BY keep_id"
 

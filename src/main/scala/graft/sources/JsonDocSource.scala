@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,7 +60,7 @@ private[sources] class JsonDocTable(schema: StructType, path: String)
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path)
 }
@@ -110,8 +111,50 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocReaderFactory(readSchema0, filters)
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JsonDocMicroBatchStream(readSchema0, path, filters)
+
   override def description(): String =
     s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}]"
+}
+
+/** Streaming form of the same source (SURVEY.md §2B scans row:
+  * "TableProvider + MicroBatchStream"): the endpoint directory is an
+  * append-only log of response bodies — each poll that finds new files
+  * turns exactly those files into the next micro-batch. The offset is the
+  * count of files already consumed (files sort by name; writers append
+  * with later names), so restart-from-checkpoint replays any files past
+  * the committed count. Pushdown/pruning from the shared ScanBuilder
+  * applies to every micro-batch identically to the batch path. */
+private[sources] case class FileCountOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
+    path: String, filters: Array[Filter]) extends MicroBatchStream {
+
+  private def files(): Array[String] = {
+    val fs = new java.io.File(path).listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset = FileCountOffset(files().length)
+  override def deserializeOffset(json: String): Offset = FileCountOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    files().slice(s, e).map(f => JsonDocPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonDocReaderFactory(readSchema, filters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class JsonDocPartition(file: String) extends InputPartition

@@ -109,10 +109,12 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercase, non-
-    * alphanumeric runs collapsed to single spaces), truncated to 64 bits of
-    * hex. This is the canonical-form key used by exact dedup at scale. */
+    * alphanumeric runs collapsed to single spaces, outer whitespace
+    * trimmed so leading/trailing punctuation can't split duplicates),
+    * truncated to 64 bits of hex. This is the canonical-form key used by
+    * exact dedup at scale. */
   def fingerprintColumn: Column =
-    substring(md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " "))), 1, 16)
+    substring(md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")))), 1, 16)
 
   def q28Fingerprint(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
@@ -120,7 +122,7 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   val q28Sql: String =
-    "SELECT doc_id, substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))),1,16) AS fp " +
+    "SELECT doc_id, substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16) AS fp " +
       "FROM documents ORDER BY doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
