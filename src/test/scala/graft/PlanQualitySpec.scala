@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: at 100 TB the PLAN is the product —
+  * correctness with a bad plan (unpruned scan, shuffled dim join, global
+  * sort for a top-k) does not survive scale-up. These assertions pin the
+  * properties that make the headline queries scale:
+  * pushed filters reach the parquet reader, scans read only referenced
+  * columns, dimension joins broadcast, and top-k avoids a global sort.
+  */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case f: FileSourceScanExec => f }
+
+  private def pushed(s: FileSourceScanExec): String =
+    s.metadata.getOrElse("PushedFilters", "")
+
+  test("q01: shipdate predicate is pushed into the parquet scan; columns pruned") {
+    val ss = scans(plan("q01_pricing_summary"))
+    assert(ss.size == 1)
+    assert(pushed(ss.head).contains("LessThanOrEqual(l_shipdate"))
+    val readCols = ss.head.metadata("ReadSchema")
+    // 11-column table, 6 referenced — the scan must not read the rest
+    assert(!readCols.contains("l_partkey") && !readCols.contains("l_orderkey"))
+  }
+
+  test("q02: all three predicates reach the scan") {
+    val s = scans(plan("q02_revenue_filter")).head
+    val f = pushed(s)
+    assert(f.contains("GreaterThanOrEqual(l_shipdate") &&
+      f.contains("LessThanOrEqual(l_discount") && f.contains("LessThan(l_quantity"))
+  }
+
+  test("q03: both dimension joins are broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q03_top_revenue")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 2)
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    // the segment filter must be pushed into the customer scan
+    assert(scans(p).exists(s => pushed(s).contains("EqualTo(c_mktsegment,BUILDING)")))
+  }
+
+  test("q06: the whole dim chain broadcasts — zero fact-side shuffle joins") {
+    val p = plan("q06_region_revenue")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 3)
+    // lineitem scan reads only the 3 referenced columns
+    val li = scans(p).find(_.metadata("Location").contains("lineitem")).get
+    assert(li.metadata("ReadSchema")
+      == "struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>")
+  }
+
+  test("q09: global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q09_global_topk")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    assert(!p.toString.contains("SortExec"))
+  }
+
+  test("q48: DSv2 source scan carries its pushed filters in the plan") {
+    val df: DataFrame = SparkEntry.queries("q48_dsv2_source")(spark, dir)
+    val desc = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }
+    assert(desc.exists(d => d.contains("GreaterThan(n_chars,500)")))
+  }
+}
