@@ -3,13 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // environment contract: local[32], shuffle.partitions=32 (not 200)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
+    // the alphabetically-first timed query
+    try SparkEntry.queries("q09_global_topk")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink forces full materialization of every operator (count()
     // would let Catalyst prune the whole projection away).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
