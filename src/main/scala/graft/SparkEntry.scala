@@ -21,6 +21,7 @@ object SparkEntry {
       ops.TimeSeries.queries ++
       ops.Advanced.queries ++
       sources.SourceQueries.queries ++
+      ops.SkewJoin.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       ops.TimeSeries.oracle ++
       ops.Advanced.oracle ++
       sources.SourceQueries.oracle ++
+      ops.SkewJoin.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

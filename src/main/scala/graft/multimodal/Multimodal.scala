@@ -68,11 +68,43 @@ object Multimodal {
       "CAST(strlen(text) % 48 + 1 AS BIGINT) AS height " +
       "FROM documents ORDER BY doc_id"
 
+  /** Frame sampling over the binary payload: fixed 64-byte frames at a
+    * 128-byte stride (every other frame — the video-keyframe pattern),
+    * plus a content hash of the first frame. Partition-local like q36:
+    * this is the shape of a real decode (frames never leave the
+    * executor; only small per-frame features do). */
+  def q50FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameLen = 64
+    val stride = 128
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val n = r.media.length
+        val frames = if (n >= frameLen) ((n - frameLen) / stride) + 1L else 0L
+        val firstMd5 = if (frames > 0) {
+          md.reset()
+          md.digest(java.util.Arrays.copyOfRange(r.media, 0, frameLen))
+            .map("%02x".format(_)).mkString
+        } else null
+        (r.doc_id, frames, firstMd5)
+      }
+    }.toDF("doc_id", "n_frames", "first_frame_md5").orderBy(col("doc_id"))
+  }
+
+  val q50Sql: String =
+    "SELECT doc_id, " +
+      "CAST(CASE WHEN strlen(text) >= 64 THEN floor((strlen(text) - 64) / 128) + 1 ELSE 0 END AS BIGINT) AS n_frames, " +
+      "CASE WHEN strlen(text) >= 64 THEN md5(substr(text, 1, 64)) END AS first_frame_md5 " +
+      "FROM documents ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_media_features" -> q36MediaFeatures _
+    "q36_media_features" -> q36MediaFeatures _,
+    "q50_frame_sample" -> q50FrameSample _
   )
 
   val oracle: Map[String, String] = Map(
-    "q36_media_features" -> q36Sql
+    "q36_media_features" -> q36Sql,
+    "q50_frame_sample" -> q50Sql
   )
 }
