@@ -22,6 +22,7 @@ object SparkEntry {
       ops.Advanced.queries ++
       sources.SourceQueries.queries ++
       ops.SkewJoin.queries ++
+      ops.Subqueries.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       ops.Advanced.oracle ++
       sources.SourceQueries.oracle ++
       ops.SkewJoin.oracle ++
+      ops.Subqueries.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
