@@ -54,7 +54,12 @@ object Dedup {
     * inputs so the >= threshold decides identically in both engines. */
   def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
+    // join on xxhash64(shingle), not the shingle text: 8-byte shuffle keys
+    // instead of ~20-40-byte strings. array_distinct already deduped the
+    // shingle set, so per-doc hash multiplicity is 1 (modulo a 2^-64
+    // collision) and intersection counts are unchanged.
     val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

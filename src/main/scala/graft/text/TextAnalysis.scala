@@ -89,23 +89,35 @@ object TextAnalysis {
 
   /** Token statistics per language — whitespace tokenizer aggregated with
     * map-side partial aggregation. */
+  /** BPE-ish pre-tokenizer regex (kept in the Java/RE2 shared subset):
+    * letter runs, digit runs, and punctuation runs, each optionally
+    * preceded by one space — the GPT-2-style split that approximates
+    * subword-tokenizer input segmentation (actual merges are vocab-
+    * dependent; the count here is the pre-merge piece count). */
+  private val bpePat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
   def q27TokenStats(spark: SparkSession, dir: String): DataFrame = {
     val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val nBpe = size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("long")
     documents(spark, dir)
-      .select(col("lang"), nTokens.as("n_tok"))
+      .select(col("lang"), nTokens.as("n_tok"), nBpe.as("n_bpe"))
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("total_tokens"),
         round(avg(col("n_tok")), 4).as("avg_tokens"),
         max(col("n_tok")).as("max_tokens"),
+        sum(col("n_bpe")).as("total_bpe_pieces"),
+        round(avg(col("n_bpe") / col("n_tok")), 4).as("pieces_per_word"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
   }
 
   val q27Sql: String = {
     val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    val nBpe = s"CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS BIGINT)"
     s"SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens, round(avg(n_tok),4) AS avg_tokens, " +
-      "max(n_tok) AS max_tokens, count(*) AS n_docs " +
-      s"FROM (SELECT lang, $nTok AS n_tok FROM documents) GROUP BY lang ORDER BY lang"
+      "max(n_tok) AS max_tokens, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_pieces, " +
+      "round(avg(CAST(n_bpe AS DOUBLE)/n_tok),4) AS pieces_per_word, count(*) AS n_docs " +
+      s"FROM (SELECT lang, $nTok AS n_tok, $nBpe AS n_bpe FROM documents) GROUP BY lang ORDER BY lang"
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercase, non-
