@@ -108,6 +108,27 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each view joins the same user's clicks
+    * landing within 15 minutes after it. Both sides carry watermarks and
+    * the join predicate bounds event-time distance, so the state store
+    * holds only rows inside the watermark+interval horizon — the property
+    * that keeps an unbounded self-join feasible. `joinType` "inner" emits
+    * matches as they form; "leftOuter" additionally emits unmatched views
+    * (null click columns) once the watermark proves no match can arrive. */
+  def viewClickJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    views.join(clicks,
+      expr("v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 15 minutes"),
+      joinType)
+  }
+
   /** Scheduled micro-batch runner (§2A-19): one-shot `AvailableNow` batch
     * of a streaming query into `foreachBatch` — the Spark equivalent of
     * the reference's scheduled Lambda invocation. Returns when the

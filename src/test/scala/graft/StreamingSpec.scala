@@ -97,6 +97,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks within 15 minutes of a view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", ts(0), 0.0),   // view by user 1
+      Ev(2, 1, "click", ts(5), 0.0),  // within 15m → joins
+      Ev(3, 1, "click", ts(40), 0.0), // outside 15m → no join
+      Ev(4, 2, "click", ts(6), 0.0))  // other user → no join
+    runToMemory(Streaming.viewClickJoin(mem.toDF()), "ssjoin")
+    val rows = spark.table("ssjoin")
+      .select("view_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 2L)))
+  }
+
+  test("stream-stream left-outer join emits unmatched views after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", ts(0), 0.0),  // will match
+      Ev(2, 1, "click", ts(5), 0.0),
+      Ev(3, 2, "view", ts(1), 0.0))  // never matches
+    val q = Streaming.viewClickJoin(mem.toDF(), "leftOuter").writeStream
+      .format("memory").queryName("ssouter").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH branch watermarks (global watermark is their min)
+      // far past view+interval+delay to force the null-padded emission
+      mem.addData(Ev(9, 3, "view", ts(300), 0.0), Ev(10, 3, "click", ts(300), 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(11, 4, "view", ts(301), 0.0), Ev(12, 4, "click", ts(301), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssouter")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)))
+      assert(rows.contains((3L, -1L)), s"unmatched view not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("batch/stream parity: hourlyStats over the events table") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
