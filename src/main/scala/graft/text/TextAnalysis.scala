@@ -137,17 +137,55 @@ object TextAnalysis {
     "SELECT doc_id, substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16) AS fp " +
       "FROM documents ORDER BY doc_id"
 
+  /** TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+    * Plan shape: one shuffle on (doc_id, term) for tf, one on term for df,
+    * a join on term, and a per-doc window — each step partial-aggregated,
+    * nothing driver-side; N arrives via a broadcast 1-row crossJoin so the
+    * whole query is one declarative plan. Ranking uses the 6-decimal
+    * rounded score (ties→term asc) so libm-vs-Java last-ulp `ln`
+    * differences can't flip the order between engines. */
+  def q54Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+    val tokens = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tokens.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q54Sql: String =
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "scored AS (SELECT doc_id, term, round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf " +
+      "FROM tf JOIN df USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tfidf, rn FROM (" +
+      "SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored) " +
+      "WHERE rn <= 3 ORDER BY doc_id, rn"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
     "q27_token_stats" -> q27TokenStats _,
-    "q28_fingerprint" -> q28Fingerprint _
+    "q28_fingerprint" -> q28Fingerprint _,
+    "q54_tfidf" -> q54Tfidf _
   )
 
   val oracle: Map[String, String] = Map(
     "q25_lang_id" -> q25Sql,
     "q26_text_quality" -> q26Sql,
     "q27_token_stats" -> q27Sql,
-    "q28_fingerprint" -> q28Sql
+    "q28_fingerprint" -> q28Sql,
+    "q54_tfidf" -> q54Sql
   )
 }
