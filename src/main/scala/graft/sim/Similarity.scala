@@ -124,10 +124,47 @@ object Similarity {
       .limit(10)
   }
 
+  /** ANN via IVF (inverted-file) search: k-means partitions the corpus
+    * into K cells; a query scans only its nProbe nearest cells. Training
+    * is a driver-coordinated iterative fit (inherently so — that's what
+    * KMeans is); assignment and search stay fully distributed. At 100 TB
+    * the cell id becomes the storage partition key, queries read
+    * nProbe/K of the data, and the centroid table (K×dim doubles) is a
+    * broadcast. Approximate → rows-only driver check; DedupSimSpec bounds
+    * overlap vs q33's exact top-k. */
+  def q55AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 8
+    val nProbe = 2
+    val vs = vectors(spark, dir)
+      .withColumn("fv", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(vs)
+    val assigned = model.transform(vs)
+    val qRow = assigned.filter(col("vec_id") === 0)
+      .select(col("v"), col("norm")).head()
+    val qv = qRow.getSeq[Double](0).toArray
+    // nProbe nearest cells to the query, by euclidean distance to centroid
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosine(col("v"), typedLit(qv.toSeq), col("norm"),
+          lit(qRow.getDouble(1))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> q33CosineTopk _,
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
-    "q35_ann_lsh" -> q35AnnLsh _
+    "q35_ann_lsh" -> q35AnnLsh _,
+    "q55_ann_ivf" -> q55AnnIvf _
   )
 
   val oracle: Map[String, String] = Map(

@@ -51,6 +51,17 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.size <= 10)
   }
 
+  test("IVF ANN top-k overlaps the exact cosine top-k") {
+    val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = sim.Similarity.q55AnnIvf(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // probing 2 of 8 cells: most true neighbors share the query's cell
+    val overlap = (exact intersect ivf).size
+    assert(overlap >= 3, s"overlap $overlap of 10")
+    assert(ivf.size <= 10)
+  }
+
   test("approx_count_distinct is within its 2% configured error of exact") {
     val exact = ops.Relational.q10DistinctAgg(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap // n_part per flag
