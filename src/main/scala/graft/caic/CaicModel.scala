@@ -60,6 +60,25 @@ object CaicModel {
     StructField("type", StringType),        // task.ts:9 Literal
     StructField("features", ArrayType(featureType)))) // task.ts:10
 
+  /** Declared OUTPUT feature-metadata schema (task.ts:68-79) — the
+    * contract the reference serves on a schema introspection request
+    * (entry point 3, task.ts:59-83). `CaicPipeline.run`'s
+    * `properties.metadata` struct must conform; asserted in
+    * CaicPipelineSpec. */
+  val outputMetadataType: StructType = StructType(Seq(
+    StructField("forecaster", StringType),     // task.ts:70
+    StructField("issueDateTime", StringType),  // task.ts:71 (date-time)
+    StructField("expiryDateTime", StringType), // task.ts:72
+    StructField("isTranslated", BooleanType),  // task.ts:73
+    StructField("ratingAbove", StringType),    // task.ts:75
+    StructField("ratingNear", StringType),     // task.ts:76
+    StructField("ratingBelow", StringType)))   // task.ts:77
+
+  /** Schema introspection (entry point 3, task.ts:59-83): input config
+    * schema is the engine's job-config concern; output is the declared
+    * metadata contract above. */
+  def outputSchema: StructType = outputMetadataType
+
   /** Ordinal severity scale, task.ts:116 — position = rank, 0 worst. */
   val severity: Seq[String] =
     Seq("extreme", "high", "considerable", "moderate", "low", "noRating")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import com.fasterxml.jackson.databind.ObjectMapper
-import graft.caic.CaicPipeline
+import graft.caic.{CaicModel, CaicPipeline}
 
 /** Golden end-to-end test of the CAIC pipeline (SURVEY.md §5-1): hand-built
   * fixtures exercising every §7.4 semantic trap, compared field-by-field
@@ -136,6 +136,16 @@ class CaicPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p0 === p1) // byte-identical shared properties
     assert(p0.getAs[String]("callsign") === "Low")
     assert(p0.getAs[String]("fill") === "#4db748")
+  }
+
+  test("output metadata conforms to the declared schema contract (task.ts:68-79)") {
+    val out = CaicPipeline.run(spark, areasJson, productsJson)
+    val metaType = out.schema("properties").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("metadata").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // same field names, order, and types (nullability is parser-dependent)
+    assert(metaType.fields.map(f => (f.name, f.dataType)).toSeq ===
+      CaicModel.outputSchema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
   test("FeatureCollection assembly is valid JSON with all features") {
