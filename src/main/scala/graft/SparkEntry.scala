@@ -23,6 +23,7 @@ object SparkEntry {
       sources.SourceQueries.queries ++
       ops.SkewJoin.queries ++
       ops.Subqueries.queries ++
+      ops.DataPrep.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       sources.SourceQueries.oracle ++
       ops.SkewJoin.oracle ++
       ops.Subqueries.oracle ++
+      ops.DataPrep.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++

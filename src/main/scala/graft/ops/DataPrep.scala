@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data preparation operators: string-predicate scans, the
+  * deterministic hash shuffle/split every corpus pipeline needs
+  * (reproducible regardless of partitioning or cluster size — the
+  * property `rand()` does NOT have on re-runs over re-partitioned data),
+  * and seeded stratified sampling.
+  */
+object DataPrep {
+
+  /** LIKE / prefix / suffix predicates. All three push into the parquet
+    * scan as StringContains / StringStartsWith / StringEndsWith — at scan
+    * scale, predicate class determines bytes read. */
+  def q56LikePred(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .filter(col("p_type").like("%ECO%") &&
+        col("p_name").startsWith("b") &&
+        !col("p_brand").endsWith("5"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  val q56Sql: String =
+    "SELECT p_partkey, p_name, p_brand, p_type FROM part " +
+      "WHERE p_type LIKE '%ECO%' AND p_name LIKE 'b%' AND p_brand NOT LIKE '%5' " +
+      "ORDER BY p_partkey"
+
+  /** Deterministic shuffle + train/val/test split by content hash:
+    * md5(doc_id || salt) gives every row a stable pseudo-random rank, so
+    * the split is identical on any cluster, any partitioning, any rerun —
+    * and expressible in ANSI SQL, so the oracle checks the exact
+    * assignment. Ranges: train < 'c' (~75%), val < 'e' (~12.5%), rest
+    * test (md5 hex digits are uniform over 0-f). */
+  def q57HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|graft-split-1")))
+    documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("split",
+        when(substring(col("h"), 1, 1) < "c", "train")
+          .when(substring(col("h"), 1, 1) < "e", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String =
+    "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-1'),1,1) < 'c' THEN 'train' " +
+      "WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-1'),1,1) < 'e' THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+
+  /** Seeded stratified sample: per-language fractions via `sampleBy`.
+    * Sampling is engine-specific (Bernoulli over Spark's RNG stream) →
+    * rows-only driver check; DataPrepSpec bounds the per-stratum rates
+    * and asserts run-to-run determinism. */
+  def q58StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
+    documents(spark, dir)
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_like_pred" -> q56LikePred _,
+    "q57_hash_split" -> q57HashSplit _,
+    "q58_stratified_sample" -> q58StratifiedSample _)
+
+  val oracle: Map[String, String] = Map(
+    "q56_like_pred" -> q56Sql,
+    "q57_hash_split" -> q57Sql)
+}

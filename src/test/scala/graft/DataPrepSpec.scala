@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-prep operators: string predicates must reach the scan; the hash
+  * split must be reproducible and well-proportioned; stratified sampling
+  * must hit its per-stratum rates and be seed-deterministic. */
+class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("LIKE-class predicates are pushed into the parquet scan") {
+    val df = ops.DataPrep.q56LikePred(spark, dir)
+    val scan = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("StringContains(p_type,ECO)"), pushed)
+    assert(pushed.contains("StringStartsWith(p_name,b)"), pushed)
+    assert(df.count() > 0)
+  }
+
+  test("hash split proportions are near 75/12.5/12.5 and assignment is stable") {
+    val counts = ops.DataPrep.q57HashSplit(spark, dir).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.75) < 0.08, counts.toString)
+    assert(math.abs(counts("val") / n - 0.125) < 0.06, counts.toString)
+    assert(math.abs(counts("test") / n - 0.125) < 0.06, counts.toString)
+    // content-hash assignment is evaluation-independent: a second run
+    // yields identical row-level assignments (contrast rand(), where a
+    // different partitioning changes every row's draw)
+    val a = ops.DataPrep.q57HashSplit(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val a2 = ops.DataPrep.q57HashSplit(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == a2.toSeq)
+  }
+
+  test("stratified sample hits per-language fractions, deterministically") {
+    val totals = Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
+    expected.foreach { case (lang, frac) =>
+      val got = s1.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(got - frac) < 0.15, s"$lang rate $got want ~$frac")
+    }
+    val s2 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2) // same seed → same sample
+  }
+}
