@@ -24,6 +24,7 @@ object SparkEntry {
       ops.SkewJoin.queries ++
       ops.Subqueries.queries ++
       ops.DataPrep.queries ++
+      ops.Typed.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       sim.Similarity.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.SkewJoin.oracle ++
       ops.Subqueries.oracle ++
       ops.DataPrep.oracle ++
+      ops.Typed.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
