@@ -52,12 +52,17 @@ object TimeSeries {
       .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // avg derived from the ROUNDED sum with no outer rounding: the
+        // rounded sum is bit-agreed across engines and IEEE division by
+        // the integer count is deterministic, so the quotient is
+        // bit-identical too. (Raw avg() ulps — and even round(avg,4) —
+        // hit decimal knife-edges at some scale factors; observed sf0.1.)
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
   val q22Sql: String =
     "SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, " +
-      "round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value " +
+      "round(sum(value),2) AS sum_value, round(sum(value),2)/count(*) AS avg_value " +
       "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"
 
   /** Gap-based sessionization (30-min inactivity): lag → session-start
