@@ -70,7 +70,10 @@ object Dedup {
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .withColumn("jac", col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      // unrounded: integer/integer division is bit-identical in both
+      // engines, while round(.,4) can hit decimal ties on binary-exact
+      // quotients like 3/32 (see q22)
+      .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -82,7 +85,7 @@ object Dedup {
       "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
       "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh) " +
-      "SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard " +
+      "SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard " +
       "FROM pair JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5 ORDER BY id_a, id_b"
 
@@ -124,7 +127,7 @@ object Dedup {
       .withColumn("jac", col("inter") /
         (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

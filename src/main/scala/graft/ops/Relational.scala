@@ -35,9 +35,14 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // averages as bit-agreed-numerator / count, unrounded: integer-
+        // valued sums are order-independent-exact and 2-decimal sums
+        // bit-agree after round(.,2), so the quotient is bit-identical
+        // across engines — while round(avg,4) can land on a decimal tie
+        // where engine tie-rules differ (see q22)
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (round(sum(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+        (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -45,8 +50,8 @@ object Relational {
     "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
       "round(sum(l_extendedprice),2) AS sum_base_price, " +
       "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
-      "round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
-      "round(avg(l_discount),4) AS avg_disc, count(*) AS count_order " +
+      "sum(l_quantity)/count(*) AS avg_qty, round(sum(l_extendedprice),2)/count(*) AS avg_price, " +
+      "round(sum(l_discount),2)/count(*) AS avg_disc, count(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
 

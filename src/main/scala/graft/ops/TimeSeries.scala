@@ -105,14 +105,17 @@ object TimeSeries {
       .select(col("event_type"), k.as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("k")), 4).as("avg_k"),
+        // exact integer sum / non-null count, unrounded: bit-identical
+        // across engines (round(avg,4) can hit decimal ties — see q22)
+        (sum(col("k")) / count(col("k"))).as("avg_k"),
         sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
       .orderBy(col("event_type"))
   }
 
   val q24Sql: String =
     "SELECT event_type, count(*) AS n, " +
-      "round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k, " +
+      "CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS DOUBLE)" +
+      "/count(json_extract_string(props,'$.k')) AS avg_k, " +
       "CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 

@@ -65,12 +65,16 @@ object TextAnalysis {
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
     val stopHits = hits(enPat)
     val stopRatio = stopHits.cast("double") / nullif(nTokens, lit(0L)).cast("double")
+    // per-row integer divisions and products are bit-deterministic (same
+    // IEEE ops on the same exact inputs in both engines) → no rounding,
+    // which could otherwise hit decimal ties on binary-exact quotients
+    // like 1/32 (see q22)
     documents(spark, dir).select(
       col("doc_id"),
       nTokens.as("n_tokens"),
-      round(nonSpace.cast("double") / nullif(nTokens, lit(0L)).cast("double"), 4).as("avg_token_len"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(least(nTokens.cast("double") / lit(200.0), lit(1.0)) * (lit(1.0) - stopRatio), 4)
+      (nonSpace.cast("double") / nullif(nTokens, lit(0L)).cast("double")).as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      (least(nTokens.cast("double") / lit(200.0), lit(1.0)) * (lit(1.0) - stopRatio))
         .as("quality_score"))
       .orderBy(col("doc_id"))
   }
@@ -81,9 +85,9 @@ object TextAnalysis {
     val stop = s"CAST(len(regexp_extract_all(text, '$enPat')) AS BIGINT)"
     val stopRatio = s"CAST($stop AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE)"
     s"SELECT doc_id, $nTok AS n_tokens, " +
-      s"round(CAST($nonSpace AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE), 4) AS avg_token_len, " +
-      s"round($stopRatio, 4) AS stopword_ratio, " +
-      s"round(least(CAST($nTok AS DOUBLE)/200.0, 1.0) * (1.0 - $stopRatio), 4) AS quality_score " +
+      s"CAST($nonSpace AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE) AS avg_token_len, " +
+      s"$stopRatio AS stopword_ratio, " +
+      s"least(CAST($nTok AS DOUBLE)/200.0, 1.0) * (1.0 - $stopRatio) AS quality_score " +
       "FROM documents ORDER BY doc_id"
   }
 
@@ -103,10 +107,13 @@ object TextAnalysis {
       .select(col("lang"), nTokens.as("n_tok"), nBpe.as("n_bpe"))
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("total_tokens"),
-        round(avg(col("n_tok")), 4).as("avg_tokens"),
+        // exact-integer-sum / count, unrounded → bit-identical (see q22);
+        // pieces_per_word is ratio-of-sums (corpus-level rate), likewise
+        // exact, rather than an order-dependent mean-of-ratios
+        (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"),
         max(col("n_tok")).as("max_tokens"),
         sum(col("n_bpe")).as("total_bpe_pieces"),
-        round(avg(col("n_bpe") / col("n_tok")), 4).as("pieces_per_word"),
+        (sum(col("n_bpe")).cast("double") / sum(col("n_tok"))).as("pieces_per_word"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
   }
@@ -114,9 +121,10 @@ object TextAnalysis {
   val q27Sql: String = {
     val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
     val nBpe = s"CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS BIGINT)"
-    s"SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens, round(avg(n_tok),4) AS avg_tokens, " +
+    s"SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+      "CAST(sum(n_tok) AS DOUBLE)/count(*) AS avg_tokens, " +
       "max(n_tok) AS max_tokens, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_pieces, " +
-      "round(avg(CAST(n_bpe AS DOUBLE)/n_tok),4) AS pieces_per_word, count(*) AS n_docs " +
+      "CAST(sum(n_bpe) AS DOUBLE)/sum(n_tok) AS pieces_per_word, count(*) AS n_docs " +
       s"FROM (SELECT lang, $nTok AS n_tok, $nBpe AS n_bpe FROM documents) GROUP BY lang ORDER BY lang"
   }
 
