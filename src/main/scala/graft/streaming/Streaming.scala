@@ -108,6 +108,15 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment join: the streaming side joins a static
+    * dimension (re-read per micro-batch if the source supports it; no
+    * state store involved — the static side is just a batch plan). This
+    * is the standard "enrich events with reference data" shape; with a
+    * small dim Spark broadcasts it into every micro-batch. */
+  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), col("user_id") === col("dim_user_id"), "left")
+      .drop("dim_user_id")
+
   /** Stream-stream interval join: each view joins the same user's clicks
     * landing within 15 minutes after it. Both sides carry watermarks and
     * the join predicate bounds event-time distance, so the state store
