@@ -58,10 +58,14 @@ object Advanced {
       col("o_custkey"), col("o_orderkey"),
       rank().over(wTies).cast("long").as("rnk"),
       dense_rank().over(wTies).cast("long").as("drnk"),
-      round(percent_rank().over(wTies), 6).as("pr"),
+      // exact rationals (rank/n): bit-identical unrounded in both engines;
+      // rounding would only add decimal-tie risk (PERF.md policy)
+      percent_rank().over(wTies).as("pr"),
+      cume_dist().over(wTies).as("cd"),
       ntile(4).over(wDet).cast("long").as("quartile"),
       first(col("o_orderkey")).over(wAll).as("top_orderkey"),
       last(col("o_orderkey")).over(wAll).as("bottom_orderkey"),
+      nth_value(col("o_orderkey"), 2).over(wAll).as("second_orderkey"),
       round(sum(col("o_totalprice")).over(wRange), 2).as("spend_30d"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -69,10 +73,12 @@ object Advanced {
   val q39Sql: String =
     "SELECT o_custkey, o_orderkey, " +
       "rank() OVER wt AS rnk, dense_rank() OVER wt AS drnk, " +
-      "round(percent_rank() OVER wt, 6) AS pr, " +
+      "percent_rank() OVER wt AS pr, " +
+      "cume_dist() OVER wt AS cd, " +
       "CAST(ntile(4) OVER wd AS BIGINT) AS quartile, " +
       "first_value(o_orderkey) OVER wa AS top_orderkey, " +
       "last_value(o_orderkey) OVER wa AS bottom_orderkey, " +
+      "nth_value(o_orderkey, 2) OVER wa AS second_orderkey, " +
       "round(sum(o_totalprice) OVER wr, 2) AS spend_30d " +
       "FROM orders WINDOW " +
       "wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC), " +
