@@ -32,8 +32,14 @@ object SparkEntry {
       // Reference-fidelity pipeline over deterministic fixtures (ignores
       // sfDir — the reference's inputs are HTTP JSON documents, not the
       // star schema). Golden-tested in CaicPipelineSpec; rows-only here.
-      Map("q37_caic_pipeline" -> ((s: SparkSession, _: String) =>
-        caic.CaicPipeline.run(s, caic.CaicFixtures.areasJson, caic.CaicFixtures.productsJson)))
+      // `properties` is a struct; the driver's pandas harness can only
+      // sort/hash scalar cells, so serialize it. Golden tests keep the
+      // typed struct output covered.
+      Map("q37_caic_pipeline" -> ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.functions.{col, to_json}
+        caic.CaicPipeline.run(s, caic.CaicFixtures.areasJson, caic.CaicFixtures.productsJson)
+          .withColumn("properties", to_json(col("properties")))
+      }))
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++

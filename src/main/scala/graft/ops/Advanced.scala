@@ -90,19 +90,22 @@ object Advanced {
       "ORDER BY o_custkey, o_orderkey"
 
   /** collect_list / collect_set: grouped array construction, sorted for
-    * determinism (collection order is partition-dependent by design). */
+    * determinism (collection order is partition-dependent by design).
+    * Driver-facing columns are JSON-serialized: the driver's pandas
+    * harness cannot hash nested array cells, and Spark's and DuckDB's
+    * JSON renderings of string/long lists agree byte-for-byte. */
   def q40Collect(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir)
       .groupBy(col("c_nationkey"))
       .agg(
-        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
-        sort_array(collect_list(round(col("c_acctbal"), 0).cast("long"))).as("balances"),
+        to_json(sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        to_json(sort_array(collect_list(round(col("c_acctbal"), 0).cast("long")))).as("balances"),
         count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))
 
   val q40Sql: String =
-    "SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments, " +
-      "list_sort(list(CAST(round(c_acctbal, 0) AS BIGINT))) AS balances, count(*) AS n " +
+    "SELECT c_nationkey, CAST(to_json(list_sort(list_distinct(list(c_mktsegment)))) AS VARCHAR) AS segments, " +
+      "CAST(to_json(list_sort(list(CAST(round(c_acctbal, 0) AS BIGINT)))) AS VARCHAR) AS balances, count(*) AS n " +
       "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
 
   /** Math scalar functions — all codegen'd builtins. Transcendentals are
@@ -120,7 +123,9 @@ object Advanced {
       round(log(col("l_extendedprice")), 6).as("ln_p"),
       round(pow(col("l_quantity"), 2), 6).as("q_sq"),
       pmod(col("l_orderkey"), lit(97L)).as("mod_k"),
-      signum(col("l_discount") - 0.05).as("sign_d"))
+      // DuckDB sign() returns TINYINT while signum is DOUBLE — align on
+      // BIGINT per the Relational.scala integer-width convention
+      signum(col("l_discount") - 0.05).cast("long").as("sign_d"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   val q41Sql: String =
@@ -129,7 +134,7 @@ object Advanced {
       "ceil(l_extendedprice) AS ceil_p, floor(l_extendedprice) AS floor_p, " +
       "round(sqrt(l_quantity), 6) AS sqrt_q, round(exp(l_discount), 6) AS exp_d, " +
       "round(ln(l_extendedprice), 6) AS ln_p, round(pow(l_quantity, 2), 6) AS q_sq, " +
-      "l_orderkey % 97 AS mod_k, sign(l_discount - 0.05) AS sign_d " +
+      "l_orderkey % 97 AS mod_k, CAST(sign(l_discount - 0.05) AS BIGINT) AS sign_d " +
       "FROM lineitem ORDER BY l_orderkey, l_linenumber"
 
   /** Array / map / JSON construction functions (§2B scalar-fns row):
@@ -137,12 +142,14 @@ object Advanced {
     * array_contains, map_from_arrays + element_at, to_json(struct). */
   def q42ArrayMap(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("p_name"), " ")
+    // Array-valued results ride to the driver as JSON strings (pandas
+    // harness can't hash ndarray cells); the lambdas still run on arrays.
     part(spark, dir).select(
       col("p_partkey"),
-      words.as("words"),
-      transform(words, w => upper(w)).as("words_u"),
-      filter(words, w => length(w) > 4).as("long_words"),
-      slice(sort_array(words), 1, 2).as("first2_sorted"),
+      to_json(words).as("words"),
+      to_json(transform(words, w => upper(w))).as("words_u"),
+      to_json(filter(words, w => length(w) > 4)).as("long_words"),
+      to_json(slice(sort_array(words), 1, 2)).as("first2_sorted"),
       array_position(words, "of").as("pos_of"),
       array_contains(words, "red").as("has_red"),
       element_at(
@@ -154,10 +161,10 @@ object Advanced {
 
   val q42Sql: String =
     "WITH t AS (SELECT p_partkey, p_brand, p_type, string_split(p_name, ' ') AS ws FROM part) " +
-      "SELECT p_partkey, ws AS words, " +
-      "list_transform(ws, w -> upper(w)) AS words_u, " +
-      "list_filter(ws, w -> length(w) > 4) AS long_words, " +
-      "list_sort(ws)[1:2] AS first2_sorted, " +
+      "SELECT p_partkey, CAST(to_json(ws) AS VARCHAR) AS words, " +
+      "CAST(to_json(list_transform(ws, w -> upper(w))) AS VARCHAR) AS words_u, " +
+      "CAST(to_json(list_filter(ws, w -> length(w) > 4)) AS VARCHAR) AS long_words, " +
+      "CAST(to_json(list_sort(ws)[1:2]) AS VARCHAR) AS first2_sorted, " +
       "CAST(coalesce(list_position(ws, 'of'), 0) AS BIGINT) AS pos_of, " +
       "list_contains(ws, 'red') AS has_red, " +
       // DuckDB map extraction yields a 1-element list; [1] unwraps it
@@ -167,20 +174,28 @@ object Advanced {
 
   /** Exact percentiles + median per group. Both engines define continuous
     * quantiles by the same linear interpolation; results are rounded to 4
-    * decimals to absorb last-ulp interpolation differences. */
+    * decimals to absorb last-ulp interpolation differences. The array form
+    * (one sort, three quantiles) is computed once, then unpacked into
+    * scalar columns so the driver harness can hash them. */
   def q43Percentiles(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        transform(percentile(col("l_quantity"), typedLit(Seq(0.25, 0.5, 0.75))),
-          x => round(x, 4)).as("qty_quartiles"),
+        percentile(col("l_quantity"), typedLit(Seq(0.25, 0.5, 0.75))).as("qq"),
         round(median(col("l_extendedprice")), 4).as("median_price"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qq"), 1), 4).as("qty_p25"),
+        round(element_at(col("qq"), 2), 4).as("qty_p50"),
+        round(element_at(col("qq"), 3), 4).as("qty_p75"),
+        col("median_price"), col("n"))
       .orderBy(col("l_returnflag"))
 
   val q43Sql: String =
     "SELECT l_returnflag, " +
-      "list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS qty_quartiles, " +
+      "round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25, " +
+      "round(quantile_cont(l_quantity, 0.50), 4) AS qty_p50, " +
+      "round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75, " +
       "round(median(l_extendedprice), 4) AS median_price, count(*) AS n " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
