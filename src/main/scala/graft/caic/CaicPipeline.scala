@@ -71,9 +71,15 @@ object CaicPipeline {
 
   /** Worst-case rating index across the three elevation bands of day 0,
     * seeded with noRating (task.ts:143-146). Sequential `if <` chains are
-    * order-independent here: equivalent to the 4-way min. */
+    * order-independent here: equivalent to the 4-way min. A null/missing
+    * band (PERMISSIVE null-padding) must behave like JS
+    * `indexOf(undefined)` = -1 and WIN the min — but `least` skips nulls,
+    * so the null jsIndexOf result is pinned to -1 explicitly. */
   def severityIndex(btl: Column, tln: Column, alp: Column): Column =
-    least(lit(severity.indexOf("noRating")), jsIndexOf(btl), jsIndexOf(tln), jsIndexOf(alp))
+    least(lit(severity.indexOf("noRating")),
+      coalesce(jsIndexOf(btl), lit(-1)),
+      coalesce(jsIndexOf(tln), lit(-1)),
+      coalesce(jsIndexOf(alp), lit(-1)))
 
   /** `severity[severityIndex]` — JS yields `undefined` for index -1, and
     * `humanSeverity[undefined]`/`fills[undefined]` are `undefined` too
@@ -167,20 +173,20 @@ object CaicPipeline {
     * reference sink; the scaled path writes features line-delimited via
     * `df.write.json` instead. */
   def toFeatureCollection(features: DataFrame): String = {
+    // Serialize everything EXCEPT geometry, then append the raw geometry
+    // JSON before the closing brace — no needle search, so free-text
+    // fields containing the literal `"geometry":` can't misdirect the
+    // splice, and a null geometry degrades to an explicit `null` member
+    // (JSON.stringify semantics) instead of corrupting the document.
     val rows = features
       .select(to_json(struct(
         col("id"), col("type"),
-        col("properties"),
-        // geometry re-enters as parsed JSON, not a quoted string
-        col("geometry"))).as("j"), col("geometry"))
+        col("properties"))).as("j"), col("geometry"))
       .collect()
       .map { r =>
-        // splice raw geometry JSON over its string-encoded form
         val j = r.getString(0)
-        val g = r.getString(1)
-        val needle = "\"geometry\":"
-        val i = j.indexOf(needle)
-        j.substring(0, i + needle.length) + g + "}"
+        val g = if (r.isNullAt(1)) "null" else r.getString(1)
+        j.dropRight(1) + ",\"geometry\":" + g + "}"
       }
     s"""{"type":"FeatureCollection","features":[${rows.mkString(",")}]}"""
   }

@@ -82,10 +82,16 @@ object Multimodal {
       it.map { r =>
         val n = r.media.length
         val frames = if (n >= frameLen) ((n - frameLen) / stride) + 1L else 0L
+        // digest input is the lowercase-hex encoding of the frame bytes,
+        // not the raw bytes: DuckDB (the oracle) cannot slice or md5 a
+        // BLOB, but hex(encode(text)) makes the same byte content
+        // expressible there — and char-based substr(text,...) would
+        // diverge the moment a multibyte char straddles the boundary
         val firstMd5 = if (frames > 0) {
           md.reset()
-          md.digest(java.util.Arrays.copyOfRange(r.media, 0, frameLen))
+          val hexFrame = java.util.Arrays.copyOfRange(r.media, 0, frameLen)
             .map("%02x".format(_)).mkString
+          md.digest(hexFrame.getBytes("UTF-8")).map("%02x".format(_)).mkString
         } else null
         (r.doc_id, frames, firstMd5)
       }
@@ -95,7 +101,7 @@ object Multimodal {
   val q50Sql: String =
     "SELECT doc_id, " +
       "CAST(CASE WHEN strlen(text) >= 64 THEN floor((strlen(text) - 64) / 128) + 1 ELSE 0 END AS BIGINT) AS n_frames, " +
-      "CASE WHEN strlen(text) >= 64 THEN md5(substr(text, 1, 64)) END AS first_frame_md5 " +
+      "CASE WHEN strlen(text) >= 64 THEN md5(lower(substr(hex(encode(text)), 1, 128))) END AS first_frame_md5 " +
       "FROM documents ORDER BY doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

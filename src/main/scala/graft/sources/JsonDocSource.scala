@@ -49,8 +49,24 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       "graft-jsondoc requires an explicit schema: spark.read.format(\"graft-jsondoc\").schema(...)")
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // The reader parses only these primitive types and the pushdown
+    // comparator only evaluates them; any other declared type would
+    // silently corrupt rows (UTF8String in a non-string column) or drop
+    // all matches — reject at table creation instead.
+    val bad = schema.fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
+    require(bad.isEmpty,
+      "graft-jsondoc supports long/int/double/boolean/string fields only; unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     new JsonDocTable(schema, properties.get("path"))
+  }
+}
+
+private[sources] object JsonDocSource {
+  def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
 }
 
 private[sources] class JsonDocTable(schema: StructType, path: String)
@@ -72,15 +88,21 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
   private var required: StructType = fullSchema
 
   /** Accept the filter shapes an HTTP endpoint could encode as query
-    * params; everything else stays in Spark (returned as residual). */
+    * params; everything else stays in Spark (returned as residual). A
+    * filter is only ours when the field exists AND its declared type is
+    * one the reader's comparator evaluates — a pushed-but-unevaluable
+    * filter would silently drop every row, because Spark trusts the
+    * residual and never re-checks. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def evaluable(a: String): Boolean =
+      fullSchema.fields.exists(f => f.name == a && JsonDocSource.supportedType(f.dataType))
     val (ours, residual) = filters.partition {
-      case EqualTo(a, _) => fullSchema.fieldNames.contains(a)
-      case GreaterThan(a, _) => fullSchema.fieldNames.contains(a)
-      case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
-      case LessThan(a, _) => fullSchema.fieldNames.contains(a)
-      case LessThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
-      case IsNotNull(a) => fullSchema.fieldNames.contains(a)
+      case EqualTo(a, _) => evaluable(a)
+      case GreaterThan(a, _) => evaluable(a)
+      case GreaterThanOrEqual(a, _) => evaluable(a)
+      case LessThan(a, _) => evaluable(a)
+      case LessThanOrEqual(a, _) => evaluable(a)
+      case IsNotNull(a) => evaluable(a)
       case _ => false
     }
     pushed = ours
@@ -200,7 +222,18 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
-    case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+    // Integral JSON token vs integral constant: exact long compare.
+    // Fractional constant (e.g. x = 5.7 against token 5): longValue()
+    // would truncate 5.7 → 5 and wrongly match — compare as exact
+    // BigDecimals instead (also precision-safe for longs beyond 2^53).
+    case (x: Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: java.lang.Integer) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Long, y: java.lang.Short) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Long, y: java.lang.Byte) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Long, y: Number) =>
+      val yd = y.doubleValue()
+      if (yd.isNaN || yd.isInfinite) Some(java.lang.Double.compare(x.toDouble, yd))
+      else Some(java.math.BigDecimal.valueOf(x).compareTo(new java.math.BigDecimal(y.toString)))
     case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))

@@ -148,6 +148,40 @@ class CaicPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       CaicModel.outputSchema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("null/missing day-0 band wins the min like JS indexOf(undefined) = -1") {
+    // btl absent from day 0: PERMISSIVE parsing null-pads it; JS
+    // indexOf(undefined) = -1 must win the min and null the styling even
+    // though the other bands are known ratings.
+    val pj = "[" +
+      """{"type":"avalancheforecast","id":"f-nb","publicName":"NB","polygons":["101"],
+        |"areaId":"101","forecaster":"x","issueDateTime":"t","expiryDateTime":"t",
+        |"isTranslated":false,"weatherSummary":null,
+        |"avalancheSummary":{"days":[{"date":"d","content":"c"}]},
+        |"dangerRatings":{"days":[{"alp":"high","tln":"considerable"}]}}""".stripMargin + "]"
+    val rows = CaicPipeline.run(spark, areasJson, pj).collect()
+    assert(rows.length === 1)
+    val p = rows.head.getAs[org.apache.spark.sql.Row]("properties")
+    assert(p.getAs[String]("callsign") == null)
+    assert(p.getAs[String]("fill") == null)
+    assert(p.getAs[org.apache.spark.sql.Row]("metadata").getAs[String]("ratingAbove") === "high")
+  }
+
+  test("FeatureCollection splice survives adversarial remarks and null geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    val df = Seq(
+      ("f1", "Feature", "contains \"geometry\": literal", """{"type":"Point","coordinates":[1.0,2.0]}"""),
+      ("f2", "Feature", "plain", null: String))
+      .toDF("id", "type", "remarks", "geometry")
+      .select(col("id"), col("type"), struct(col("remarks")).as("properties"), col("geometry"))
+    val tree = mapper.readTree(CaicPipeline.toFeatureCollection(df))
+    val feats = (0 until tree.get("features").size())
+      .map(tree.get("features").get(_)).map(f => f.get("id").asText() -> f).toMap
+    assert(feats("f1").get("properties").get("remarks").asText().contains("\"geometry\":"))
+    assert(feats("f1").get("geometry").get("type").asText() === "Point")
+    assert(feats("f2").get("geometry").isNull)
+  }
+
   test("FeatureCollection assembly is valid JSON with all features") {
     val fc = CaicPipeline.toFeatureCollection(
       CaicPipeline.run(spark, areasJson, productsJson))

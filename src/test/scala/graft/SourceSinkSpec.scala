@@ -46,6 +46,33 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.head.inputRDD.getNumPartitions > 1)
   }
 
+  test("pushed filter with fractional constant doesn't truncate integral JSON tokens") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_frac").toString
+    // x is DoubleType but the first token is integral: compare must not
+    // truncate the 5.7 constant to 5 (which would wrongly match/pass)
+    Files.write(Paths.get(dir, "part-0.jsonl"),
+      "{\"id\":1,\"x\":5}\n{\"id\":2,\"x\":5.7}\n{\"id\":3,\"x\":6.0}\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType)))
+    def read = spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load()
+    assert(read.filter(col("x") === 5.7).select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(read.filter(col("x") >= 5.5).select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(read.filter(col("x") < 5.5).select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("schema with a type the reader can't materialize is rejected at the source") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val e = intercept[Exception] {
+      spark.read.format("graft-jsondoc").schema(schema)
+        .option("path", "/tmp/does-not-matter").load().collect()
+    }
+    assert(e.getMessage.contains("ts") || Option(e.getCause).exists(_.getMessage.contains("ts")))
+  }
+
   test("HTTP sink posts bounded batches from executors, covering all rows") {
     val posted = SinkProbe.reset()
     val df = Tables.nation(spark, sfDir).repartition(3)
