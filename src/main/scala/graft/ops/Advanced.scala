@@ -199,6 +199,28 @@ object Advanced {
       "round(median(l_extendedprice), 4) AS median_price, count(*) AS n " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
+  /** Approximate percentiles via the GK/KLL-style sketch behind
+    * `percentile_approx` — the path users actually run at 100 TB, where
+    * q43's exact per-group sort is the bottleneck: the sketch is a
+    * bounded-size partial aggregate (map-side combine, one small shuffle)
+    * instead of a full sort of every group. Sketch-specific results ⇒ no
+    * SQL oracle (driver records rows-only); ApproxPercentileSpec bounds
+    * the rank error against exact q43. Scalar output columns per the
+    * driver-harness contract. */
+  def q61ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), typedLit(Seq(0.25, 0.5, 0.75)),
+          lit(10000)).as("qq"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("qty_p25"),
+        element_at(col("qq"), 2).as("qty_p50"),
+        element_at(col("qq"), 3).as("qty_p75"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   /** json + csv SOURCE roundtrip (§2B scans/sources row): write nation out
     * through both text formats, read each back with an explicit schema
     * (schema-on-read), join the two reads. Result must equal the parquet
@@ -279,6 +301,7 @@ object Advanced {
     "q41_math_funcs" -> q41MathFuncs _,
     "q42_array_map" -> q42ArrayMap _,
     "q43_percentiles" -> q43Percentiles _,
+    "q61_approx_percentiles" -> q61ApproxPercentiles _,
     "q44_source_roundtrip" -> q44SourceRoundtrip _,
     "q45_geomean_udaf" -> q45GeoMean _,
     "q46_pivot" -> q46Pivot _,

@@ -255,6 +255,34 @@ object Relational {
     "SELECT c_custkey AS custkey FROM customer " +
       "EXCEPT SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995 ORDER BY custkey"
 
+  /** INTERSECT ALL: duplicate-preserving intersection (multiset min of
+    * per-side multiplicities). A customer with 3 orders in 1995 and 2 in
+    * 1996 appears exactly twice. Planned as a count-compare aggregate —
+    * one shuffle on the key, no join explosion. */
+  def q62IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+    y95.intersectAll(y96).orderBy(col("custkey"))
+  }
+
+  val q62Sql: String =
+    "SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995 " +
+      "INTERSECT ALL SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1996 ORDER BY custkey"
+
+  /** EXCEPT ALL: duplicate-preserving difference (multiplicity minus,
+    * floored at zero) — same count-compare plan shape as q62. */
+  def q63ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val y95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+    val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey").as("custkey"))
+    y95.exceptAll(y96).orderBy(col("custkey"))
+  }
+
+  val q63Sql: String =
+    "SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995 " +
+      "EXCEPT ALL SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1996 ORDER BY custkey"
+
   /** ROLLUP: hierarchical subtotals in one pass (Expand + single shuffle).
     * grouping_id disambiguates NULL-as-subtotal from NULL-as-value. */
   def q13Rollup(spark: SparkSession, dir: String): DataFrame =
@@ -422,7 +450,9 @@ object Relational {
     "q17_date_funcs" -> q17DateFuncs _,
     "q18_range_join" -> q18RangeJoin _,
     "q19_band_join" -> q19BandJoin _,
-    "q20_explode_union" -> q20ExplodeUnion _
+    "q20_explode_union" -> q20ExplodeUnion _,
+    "q62_intersect_all" -> q62IntersectAll _,
+    "q63_except_all" -> q63ExceptAll _
   )
 
   val oracle: Map[String, String] = Map(
@@ -445,6 +475,8 @@ object Relational {
     "q17_date_funcs" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q19_band_join" -> q19Sql,
-    "q20_explode_union" -> q20Sql
+    "q20_explode_union" -> q20Sql,
+    "q62_intersect_all" -> q62Sql,
+    "q63_except_all" -> q63Sql
   )
 }

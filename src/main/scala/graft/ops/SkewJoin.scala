@@ -47,9 +47,39 @@ object SkewJoin {
       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
       "GROUP BY s_nationkey ORDER BY s_nationkey"
 
+  /** Co-located join via bucketing, promoted to an oracle-checked query:
+    * both sides are written bucketed+sorted on the join key into the same
+    * bucket count, so the sort-merge join reads matching buckets directly
+    * — zero shuffle of either side (plan shape pinned in
+    * BucketedJoinSpec). At 100 TB this converts the dominant repeated-join
+    * shuffle into a one-time write-side layout cost. The oracle runs the
+    * PLAIN join — passing proves bucketing changes layout, not results. */
+  def q64BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    orders(spark, dir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_q64_orders")
+    lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_q64_lineitem")
+    spark.table("graft_q64_lineitem")
+      .join(spark.table("graft_q64_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q64Sql: String =
+    "SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q49_salted_join" -> q49SaltedJoin _)
+    "q49_salted_join" -> q49SaltedJoin _,
+    "q64_bucketed_join" -> q64BucketedJoin _)
 
   val oracle: Map[String, String] = Map(
-    "q49_salted_join" -> q49Sql)
+    "q49_salted_join" -> q49Sql,
+    "q64_bucketed_join" -> q64Sql)
 }
