@@ -13,6 +13,31 @@ import java.time.Instant
   * (`includeExpired=false`, `datetime=now`, `productType=avalancheforecast`
   * encoded into the URL, task.ts:89,102) lives in `urls()`.
   */
+/** Typed job configuration (SURVEY §2A-20). The reference declares an
+  * input schema of `DEBUG: boolean, default false` ("Print results in
+  * logs", task.ts:63-67) and receives `ETL_API` / `ETL_LAYER` from the
+  * deploy environment (reference README). Resolution order per key:
+  * `spark.graft.*` session conf, then process env, then default —
+  * malformed values fail fast like the reference's schema validation. */
+final case class GraftConfig(debug: Boolean, api: String, layer: String)
+
+object GraftConfig {
+  val DefaultApi = "http://localhost:5001"
+  val DefaultLayer = "0"
+
+  def resolve(spark: SparkSession, env: Map[String, String] = sys.env): GraftConfig = {
+    def opt(confKey: String, envKey: String): Option[String] =
+      spark.conf.getOption(confKey).orElse(env.get(envKey))
+    val dbg = opt("spark.graft.debug", "DEBUG")
+    require(dbg.forall(v => v == "true" || v == "false"),
+      s"DEBUG must be 'true' or 'false', got: ${dbg.get}")
+    GraftConfig(
+      debug = dbg.contains("true"),
+      api = opt("spark.graft.api", "ETL_API").getOrElse(DefaultApi),
+      layer = opt("spark.graft.layer", "ETL_LAYER").getOrElse(DefaultLayer))
+  }
+}
+
 object CaicJob {
 
   trait Fetcher { def fetch(url: String): String }
@@ -66,11 +91,17 @@ object CaicJob {
       s"$base%2Fproducts%2Fall%3Fdatetime%3D$enc%26includeExpired%3Dfalse")
   }
 
-  /** One batch run (≡ one scheduled Lambda invocation, task.ts:57). */
-  def runOnce(spark: SparkSession, fetcher: Fetcher, submitter: Submitter): DataFrame = {
+  /** One batch run (≡ one scheduled Lambda invocation, task.ts:57).
+    * `config.debug` mirrors the reference's DEBUG input: print the
+    * submitted document to the job log. */
+  def runOnce(spark: SparkSession, fetcher: Fetcher, submitter: Submitter,
+      config: GraftConfig = null): DataFrame = {
+    val cfg = Option(config).getOrElse(GraftConfig.resolve(spark))
     val (areasUrl, productsUrl) = urls()
     val out = CaicPipeline.run(spark, fetcher.fetch(areasUrl), fetcher.fetch(productsUrl))
-    submitter.submit(CaicPipeline.toFeatureCollection(out))
+    val doc = CaicPipeline.toFeatureCollection(out)
+    if (cfg.debug) println(s"[graft-caic] submitting to layer ${cfg.layer} at ${cfg.api}: $doc")
+    submitter.submit(doc)
     out
   }
 }
