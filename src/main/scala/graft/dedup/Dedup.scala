@@ -16,6 +16,23 @@ import graft.text.TextAnalysis
   * cost is O(K·|shingles|) per doc map-side, and the only shuffle is on
   * (band, band_hash) buckets, which is how dedup stays feasible at 100 TB.
   */
+/** Runtime guard for the intentionally-quadratic exact baselines: they
+  * exist to verify the bucketed production paths (LSH/ANN) on samples,
+  * and must never silently run all-pairs over a 100 TB corpus. The cap
+  * is conservative (1M rows ⇒ ≤10¹² candidate pairs pre-filter) and
+  * overridable for deliberate larger verification runs. */
+object Guards {
+  val CapConf = "spark.graft.exactBaseline.maxRows"
+  val DefaultCap = 1000000L
+
+  def exactBaseline(spark: SparkSession, n: Long, what: String, scalePath: String): Unit = {
+    val cap = spark.conf.getOption(CapConf).map(_.toLong).getOrElse(DefaultCap)
+    require(n <= cap,
+      s"$what is a quadratic verifier-only baseline: n=$n rows exceeds cap=$cap. " +
+        s"Run it on a sample, raise $CapConf deliberately, or use the scale path: $scalePath.")
+  }
+}
+
 object Dedup {
 
   /** Word-level 3-gram shingle sets per document: (doc_id, shingles).
@@ -54,6 +71,8 @@ object Dedup {
     * inputs so the >= threshold decides identically in both engines. */
   def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
+    Guards.exactBaseline(spark, sh.count(), "q30 exact-Jaccard shingle self-join",
+      scalePath = "q31 (MinHash LSH)")
     // join on xxhash64(shingle), not the shingle text: 8-byte shuffle keys
     // instead of ~20-40-byte strings. array_distinct already deduped the
     // shingle set, so per-doc hash multiplicity is 1 (modulo a 2^-64

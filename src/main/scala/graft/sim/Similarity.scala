@@ -72,6 +72,8 @@ object Similarity {
     * (bit-identical) double, rounding only the reported value. */
   def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val vs = vectors(spark, dir)
+    graft.dedup.Guards.exactBaseline(spark, vs.count(), "q34 all-pairs cosine",
+      scalePath = "q35 (SRP-LSH) / q55 (IVF)")
     vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")))
       .where(col("cos") >= 0.45)

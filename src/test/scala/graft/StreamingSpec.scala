@@ -138,6 +138,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("rate-micro-batch source drives a windowed aggregation (§2B scans row)") {
+    // rate-micro-batch is the deterministic form of the rate source: a
+    // fixed rowsPerBatch with timestamps advancing a fixed step per
+    // batch — the built-in generator for load tests and smoke streams.
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "10")
+      .option("numPartitions", "2")
+      .option("startTimestamp", "0")
+      .option("advanceMillisPerBatch", "60000")
+      .load()
+    val agg = rate
+      .withWatermark("timestamp", "0 seconds")
+      .groupBy(window(col("timestamp"), "1 minute"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    val q = agg.writeStream.format("memory").queryName("rate_agg")
+      .outputMode(OutputMode.Complete).trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val rows = spark.table("rate_agg").orderBy("w").collect()
+    assert(rows.nonEmpty)
+    // every complete 1-minute window holds exactly one 10-row batch with
+    // consecutive values, so counts and sums are fully deterministic
+    assert(rows.head.getAs[Long]("n") === 10L)
+    assert(rows.head.getAs[Long]("sum_v") === (0L until 10L).sum)
+  }
+
   test("batch/stream parity: hourlyStats over the events table") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
