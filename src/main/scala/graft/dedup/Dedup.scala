@@ -96,6 +96,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: dedup doesn't end at pairs —
+    * picking one canonical doc per duplicate *group* requires the
+    * connected components of the pair graph (a–b, b–c ⇒ {a,b,c} even when
+    * a–c alone misses the threshold). Computed by iterative min-label
+    * propagation: each round every vertex takes the min label among
+    * itself and its neighbors; converges in O(component diameter) rounds
+    * — dup clusters are shallow, so this is 2-4 rounds in practice. The
+    * driver coordinates only the loop/convergence test (one count per
+    * round), like the IVF k-means fit; all data work is joins/aggregates
+    * on (edge, label) tables. At extreme component sizes the same loop
+    * upgrades to the large-star/small-star contraction (O(log n) rounds)
+    * without changing the surrounding dataflow. Cluster id = min doc_id
+    * of the component — deterministic, so the DuckDB recursive-CTE
+    * oracle hash-matches exactly. */
+  def q65DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q30NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
+      val next = labels.join(prop, col("v") === col("src"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        // materialized per round: truncates the iterative lineage the same
+        // way checkpointing would on a cluster
+        .cache()
+      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q65Sql: String =
+    "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
+      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+      "dup AS (SELECT id_a, id_b FROM pair " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5), " +
+      "edges AS (SELECT id_a AS u, id_b AS v FROM dup UNION ALL SELECT id_b AS u, id_a AS v FROM dup), " +
+      "reach(u, v) AS (SELECT DISTINCT u, u AS v FROM edges " +
+      "UNION SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u) " +
+      "SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"
+
   val q30Sql: String =
     "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
@@ -198,12 +253,14 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> q29ExactDedup _,
     "q30_ngram_jaccard" -> q30NgramJaccard _,
+    "q65_dup_clusters" -> q65DupClusters _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _
   )
 
   val oracle: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Sql,
-    "q30_ngram_jaccard" -> q30Sql
+    "q30_ngram_jaccard" -> q30Sql,
+    "q65_dup_clusters" -> q65Sql
   )
 }

@@ -63,6 +63,7 @@ object Advanced {
       percent_rank().over(wTies).as("pr"),
       cume_dist().over(wTies).as("cd"),
       ntile(4).over(wDet).cast("long").as("quartile"),
+      lead(col("o_orderkey"), 1).over(wDet).as("next_orderkey"),
       first(col("o_orderkey")).over(wAll).as("top_orderkey"),
       last(col("o_orderkey")).over(wAll).as("bottom_orderkey"),
       nth_value(col("o_orderkey"), 2).over(wAll).as("second_orderkey"),
@@ -76,6 +77,7 @@ object Advanced {
       "percent_rank() OVER wt AS pr, " +
       "cume_dist() OVER wt AS cd, " +
       "CAST(ntile(4) OVER wd AS BIGINT) AS quartile, " +
+      "lead(o_orderkey, 1) OVER wd AS next_orderkey, " +
       "first_value(o_orderkey) OVER wa AS top_orderkey, " +
       "last_value(o_orderkey) OVER wa AS bottom_orderkey, " +
       "nth_value(o_orderkey, 2) OVER wa AS second_orderkey, " +

@@ -181,12 +181,71 @@ object TextAnalysis {
       "SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored) " +
       "WHERE rn <= 3 ORDER BY doc_id, rn"
 
+  // PII patterns, kept in the Java-regex ∩ RE2 subset like everything
+  // else in this file. Replacement order: email first (its local part
+  // may contain digits the narrower patterns would half-match), then IP,
+  // then phone.
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** Redact emails / IPv4s / phone numbers — the standard scrub pass a
+    * training corpus gets before anything else. Pure codegen'd
+    * regexp_replace chain: shuffle-free, embarrassingly parallel. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailPat), lit("[EMAIL]")),
+        lit(Ipv4Pat), lit("[IP]")),
+      lit(PhonePat), lit("[PHONE]"))
+
+  /** Whitespace-collapse + lowercase canonical form (the normalization
+    * half of a scrub-then-normalize ingest stage). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), lit("\\s+"), lit(" ")))
+
+  /** PII scrub + normalization, oracle-checked per row. The synthetic
+    * corpus contains no natural PII (verified: zero digits in any doc),
+    * so the query deterministically injects one email/IP/phone derived
+    * from doc_id on BOTH engines — every row then exercises every
+    * redaction pattern, and the md5 of the scrubbed+normalized text
+    * proves the two regex engines replaced exactly the same spans.
+    * PiiScrubSpec covers the adversarial cases (multiple hits,
+    * boundaries) on crafted strings. */
+  def q66PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val inj = concat(col("text"),
+      lit("  Contact: User"), col("doc_id").cast("string"),
+      lit("@Example.COM  via 10.0.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(" or +303 555 "), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(inj, lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(inj, lit(Ipv4Pat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(inj, lit(PhonePat), lit(0))).cast("long").as("n_phones"),
+        md5(normalize(scrubPii(inj))).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q66Sql: String = {
+    val inj = "text || '  Contact: User' || doc_id || '@Example.COM  via 10.0.0.' || " +
+      "(doc_id % 200) || ' or +303 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    val scrub = s"regexp_replace(regexp_replace(regexp_replace(t, '$EmailPat', '[EMAIL]', 'g'), " +
+      s"'$Ipv4Pat', '[IP]', 'g'), '$PhonePat', '[PHONE]', 'g')"
+    s"WITH inj AS (SELECT doc_id, $inj AS t FROM documents) " +
+      s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(t, '$Ipv4Pat')) AS BIGINT) AS n_ips, " +
+      s"CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones, " +
+      s"md5(trim(regexp_replace(lower($scrub), '\\s+', ' ', 'g'))) AS scrub_md5 " +
+      "FROM inj ORDER BY doc_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
     "q27_token_stats" -> q27TokenStats _,
     "q28_fingerprint" -> q28Fingerprint _,
-    "q54_tfidf" -> q54Tfidf _
+    "q54_tfidf" -> q54Tfidf _,
+    "q66_pii_scrub" -> q66PiiScrub _
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +253,7 @@ object TextAnalysis {
     "q26_text_quality" -> q26Sql,
     "q27_token_stats" -> q27Sql,
     "q28_fingerprint" -> q28Sql,
-    "q54_tfidf" -> q54Sql
+    "q54_tfidf" -> q54Sql,
+    "q66_pii_scrub" -> q66Sql
   )
 }

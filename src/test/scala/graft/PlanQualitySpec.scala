@@ -74,6 +74,39 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toString.contains("SortExec"))
   }
 
+  test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.functions.col
+    // the hint matters when both sides are too big to broadcast but one
+    // still fits a per-partition hash map — skips both sort passes of SMJ
+    val j = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+    val shj = j.queryExecution.sparkPlan.collect { case s: ShuffledHashJoinExec => s }
+    assert(shj.nonEmpty, s"expected ShuffledHashJoin:\n${j.queryExecution.sparkPlan}")
+  }
+
+  test("scalar udf() fallback matches the builtin it would replace") {
+    import org.apache.spark.sql.functions.{col, udf, levenshtein, lit}
+    // the escape hatch of the UDF surface (§2B): a Scala udf() is allowed
+    // where no builtin/Expression fits — equivalence with a builtin here
+    // proves the registration path, not a recommendation to use it
+    val lev = udf((a: String, b: String) => {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    })
+    val rows = Tables.nation(spark, dir)
+      .select(levenshtein(col("n_name"), lit("CANADA")).as("b"),
+        lev(col("n_name"), lit("CANADA")).as("u"))
+      .collect()
+    assert(rows.length == 25 && rows.forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("q48: DSv2 source scan carries its pushed filters in the plan") {
     val df: DataFrame = SparkEntry.queries("q48_dsv2_source")(spark, dir)
     val desc = df.queryExecution.sparkPlan.collect {
