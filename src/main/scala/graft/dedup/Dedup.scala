@@ -69,9 +69,11 @@ object Dedup {
     * sets, shuffle on shingle, count per-pair intersections, join back the
     * set sizes. The jaccard division is a single double op on integral
     * inputs so the >= threshold decides identically in both engines. */
-  def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted exact-Jaccard pairs ≥ 0.5 — shared by q30 (which adds the
+    * oracle-determinism sort) and q65 (which consumes the pair set). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    Guards.exactBaseline(spark, sh.count(), "q30 exact-Jaccard shingle self-join",
+    Guards.exactBaseline(spark, sh.count(), "exact-Jaccard shingle self-join",
       scalePath = "q31 (MinHash LSH)")
     // join on xxhash64(shingle), not the shingle text: 8-byte shuffle keys
     // instead of ~20-40-byte strings. array_distinct already deduped the
@@ -93,8 +95,10 @@ object Dedup {
       // engines, while round(.,4) can hit decimal ties on binary-exact
       // quotients like 3/32 (see q22)
       .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Duplicate CLUSTERS from near-dup pairs: dedup doesn't end at pairs —
     * picking one canonical doc per duplicate *group* requires the
@@ -111,7 +115,10 @@ object Dedup {
     * of the component — deterministic, so the DuckDB recursive-CTE
     * oracle hash-matches exactly. */
   def q65DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q30NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    // cache the PAIRS, not just the edges: both union branches and the
+    // initial label table read them, and the pair computation (the
+    // shingle self-join) is the expensive part
+    val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("v")).distinct()
@@ -120,13 +127,17 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
+      // change detection rides in the same projection — one job per round
+      // (materialize next + count improvements), not a second self-join
       val next = labels.join(prop, col("v") === col("src"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
+          (col("nbr_min") < col("lbl")).as("chg"))
+        .select(col("v"), col("new_lbl").as("lbl"), col("chg"))
         // materialized per round: truncates the iterative lineage the same
         // way checkpointing would on a cluster
         .cache()
-      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next
     }
