@@ -36,6 +36,19 @@ object Multimodal {
         width = (bytes.length % 64) + 1,
         height = (bytes.length % 48) + 1,
         channels = 3)
+
+    /** STUB resize: strided byte-sampling down to <= `target` bytes —
+      * stands in for an image downscale. Deterministic so the output
+      * payload itself is oracle-checkable (via its hex md5). */
+    def resize(bytes: Array[Byte], target: Int = 256): Array[Byte] = {
+      val n = bytes.length
+      if (n == 0) bytes
+      else {
+        val m = math.min(n, target)
+        val stride = math.max(1, n / target)
+        Array.tabulate(m)(i => bytes(i * stride))
+      }
+    }
   }
 
   /** documents.text re-encoded as a binary media column — the stand-in
@@ -104,13 +117,43 @@ object Multimodal {
       "CASE WHEN strlen(text) >= 64 THEN md5(lower(substr(hex(encode(text)), 1, 128))) END AS first_frame_md5 " +
       "FROM documents ORDER BY doc_id"
 
+  /** Resize over the binary column — the remaining multimodal verb
+    * (decode=q36, frame-sample=q50, resize=here). Same shape as a real
+    * image downscale stage: binary in, smaller binary out, only the
+    * payload's digest + size leave the executor for the check. The
+    * resized BYTES themselves are oracle-verified (DuckDB recomputes the
+    * strided sample from the hex encoding), not just their count. */
+  def q67MediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val out = FakeCodec.resize(r.media)
+        md.reset()
+        val hexOut = out.map("%02x".format(_)).mkString
+        (r.doc_id, out.length.toLong,
+          md.digest(hexOut.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+    }.toDF("doc_id", "out_len", "resize_md5").orderBy(col("doc_id"))
+  }
+
+  val q67Sql: String =
+    "WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents), " +
+      "par AS (SELECT doc_id, hx, n, greatest(1, n // 256) AS stride, least(n, 256) AS m FROM b), " +
+      "idx AS (SELECT doc_id, hx, stride, m, unnest(range(0, m)) AS i FROM par), " +
+      "samp AS (SELECT doc_id, string_agg(substr(hx, CAST(i*stride*2+1 AS BIGINT), 2), '' ORDER BY i) AS shx, " +
+      "any_value(m) AS m FROM idx GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(m AS BIGINT) AS out_len, md5(shx) AS resize_md5 FROM samp ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> q36MediaFeatures _,
-    "q50_frame_sample" -> q50FrameSample _
+    "q50_frame_sample" -> q50FrameSample _,
+    "q67_media_resize" -> q67MediaResize _
   )
 
   val oracle: Map[String, String] = Map(
     "q36_media_features" -> q36Sql,
-    "q50_frame_sample" -> q50Sql
+    "q50_frame_sample" -> q50Sql,
+    "q67_media_resize" -> q67Sql
   )
 }

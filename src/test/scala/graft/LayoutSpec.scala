@@ -48,6 +48,52 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedFiles < totalFiles, s"read $prunedFiles of $totalFiles files")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      // thresholds lowered so test-sized data exhibits the 100 TB shape:
+      // one hot key's partition exceeds the skew threshold and AQE
+      // splits it across tasks instead of letting one task carry it
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's QueryExecution (write/count would plan a
+      // new one), so the inspected adaptive plan is the final executed one
+      assert(j.collect().length === 180100)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew split in:\n$finalPlan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("sortWithinPartitions clusters rows without a global sort") {
+    import spark.implicits._
+    val parts = Tables.lineitem(spark, dir)
+      .repartition(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .select(col("l_orderkey")).as[Long]
+    // every partition is internally ordered — the write-side layout that
+    // makes parquet min/max rowgroup skipping effective at scale
+    val ordered = parts.mapPartitions { it =>
+      var ok = true; var prev = Long.MinValue
+      it.foreach { v => if (v < prev) ok = false; prev = v }
+      Iterator(ok)
+    }.collect()
+    assert(ordered.nonEmpty && ordered.forall(identity))
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
