@@ -239,13 +239,71 @@ object TextAnalysis {
       "FROM inj ORDER BY doc_id"
   }
 
+  /** Gopher-style repetition scoring: the fraction of duplicated word
+    * 2-grams per document — the classic filter for boilerplate/spammy
+    * text in a training corpus. Shuffle-free scan-project (the n-gram
+    * list never leaves its row); the ratio is integer/integer division,
+    * bit-identical across engines unrounded (PERF.md policy). */
+  def q68Repetition(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat(element_at(col("ws"), i + 1), lit(" "),
+            element_at(col("ws"), i + 2))).as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_2grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_2grams") - col("n_distinct")).cast("double") / col("n_2grams").cast("double"))
+      .orderBy(col("doc_id"))
+
+  val q68Sql: String =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "g AS (SELECT doc_id, list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS gs " +
+      "FROM w WHERE len(ws) >= 2) " +
+      "SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_2grams, " +
+      "CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct, " +
+      "CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) AS rep_ratio " +
+      "FROM g ORDER BY doc_id"
+
+  /** Benchmark decontamination: flag corpus documents sharing any 3-gram
+    * shingle with a (small) benchmark set — here the docs with
+    * doc_id % 100 = 0 stand in for the benchmark. The probe side is tiny
+    * by nature, so it broadcasts: the corpus scan stays shuffle-free up
+    * to the final per-doc count — exactly how test-set overlap checks
+    * run over a 100 TB corpus against a few MB of eval data. */
+  def q69Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(spark, dir)
+    val probe = sh.where(pmod(col("doc_id"), lit(100)) === 0)
+      .select(explode(col("shingles")).as("s")).distinct()
+    sh.where(pmod(col("doc_id"), lit(100)) =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(probe), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Sql: String =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
+      "probe AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 100 = 0), " +
+      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 100 <> 0) " +
+      "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+      "FROM e JOIN probe ON e.s = probe.s GROUP BY e.doc_id ORDER BY e.doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
     "q27_token_stats" -> q27TokenStats _,
     "q28_fingerprint" -> q28Fingerprint _,
     "q54_tfidf" -> q54Tfidf _,
-    "q66_pii_scrub" -> q66PiiScrub _
+    "q66_pii_scrub" -> q66PiiScrub _,
+    "q68_repetition" -> q68Repetition _,
+    "q69_decontaminate" -> q69Decontaminate _
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,6 +312,8 @@ object TextAnalysis {
     "q27_token_stats" -> q27Sql,
     "q28_fingerprint" -> q28Sql,
     "q54_tfidf" -> q54Sql,
-    "q66_pii_scrub" -> q66Sql
+    "q66_pii_scrub" -> q66Sql,
+    "q68_repetition" -> q68Sql,
+    "q69_decontaminate" -> q69Sql
   )
 }
