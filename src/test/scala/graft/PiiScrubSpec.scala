@@ -41,6 +41,17 @@ class PiiScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scrub("a@b.co 1.2.3.4 +111 222 3333") === "[EMAIL] [IP] [PHONE]")
   }
 
+  test("scrub is idempotent on randomized PII-laced inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "Beta9", "x.y", "a@b.io", "10.0.0.7", "+303 555 0142",
+      "v1.2.3", "foo@bar", "..", "@", "303 555 01429", "1.2.3.4.5")
+    val docs = Seq.fill(200)(Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    val df = docs.toDF("t").select(TextAnalysis.scrubPii(col("t")).as("once"))
+      .select(col("once"), TextAnalysis.scrubPii(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).count() === 0)
+  }
+
   test("normalize collapses whitespace and lowercases") {
     import spark.implicits._
     val got = Seq("  A\tB\n\nC  d  ").toDF("t")

@@ -62,6 +62,40 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.filter(col("x") < 5.5).select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("pushdown equivalence fuzz: source-evaluated filters match Spark-evaluated") {
+    import java.nio.file.{Files, Paths}
+    val rnd = new scala.util.Random(11)
+    val dir = Files.createTempDirectory("graft_fuzz").toString
+    // mix of integral-token doubles ("5"), fractional ("5.7"), nulls
+    val lines = (0 until 400).map { i =>
+      val x = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(10).toString            // integral token
+        case 1 => f"${rnd.nextDouble() * 10}%.3f"     // fractional token
+        case 2 => (rnd.nextInt(10) + 0.5).toString
+        case _ => "null"
+      }
+      s"""{"id":$i,"x":$x,"s":"w${rnd.nextInt(5)}"}"""
+    }
+    Files.write(Paths.get(dir, "d.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    def src = spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load()
+    // same rows, re-materialized so Spark itself evaluates the predicates
+    val all = src.collect()
+    val mirror = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(all: _*)), schema)
+    val preds = Seq(
+      col("x") === 5.5, col("x") === 5.0, col("x") >= 4.5, col("x") < 3.0,
+      col("x") >= 5.0 && col("s") === "w1", col("x").isNotNull, col("s") === "w3")
+    for (p <- preds) {
+      val got = src.filter(p).collect().map(_.toSeq).toSet
+      val want = mirror.filter(p).collect().map(_.toSeq).toSet
+      assert(got === want, s"pushdown diverged for predicate: $p")
+    }
+  }
+
   test("schema with a type the reader can't materialize is rejected at the source") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
