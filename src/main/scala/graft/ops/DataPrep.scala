@@ -64,12 +64,40 @@ object DataPrep {
       .orderBy(col("lang"))
   }
 
+  /** Weighted mixture sampling: each language (stand-in for a source
+    * domain) keeps a different deterministic fraction of its documents —
+    * how a training mix applies per-domain sampling rates. Same
+    * content-hash idiom as q57 (md5 hex prefix vs a per-domain cutoff),
+    * so membership is cluster- and partitioning-invariant, reproducible
+    * on both engines, and shuffle-free up to the oracle sort: en keeps
+    * ~90% ('e6'/256), de ~50%, fr ~25%, everything else ~12.5%. */
+  def q70Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|graft-mix-1")))
+    val cutoff = when(col("lang") === "en", "e6")
+      .when(col("lang") === "de", "80")
+      .when(col("lang") === "fr", "40")
+      .otherwise("20")
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .where(substring(col("h"), 1, 2) < cutoff)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    "SELECT doc_id, lang FROM documents " +
+      "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|graft-mix-1'), 1, 2) < " +
+      "CASE lang WHEN 'en' THEN 'e6' WHEN 'de' THEN '80' WHEN 'fr' THEN '40' ELSE '20' END " +
+      "ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
-    "q58_stratified_sample" -> q58StratifiedSample _)
+    "q58_stratified_sample" -> q58StratifiedSample _,
+    "q70_mixture_sample" -> q70Mixture _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
-    "q57_hash_split" -> q57Sql)
+    "q57_hash_split" -> q57Sql,
+    "q70_mixture_sample" -> q70Sql)
 }

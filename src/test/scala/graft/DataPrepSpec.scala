@@ -45,6 +45,25 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == a2.toSeq)
   }
 
+  test("mixture sampling keeps each domain near its configured rate") {
+    import org.apache.spark.sql.functions.col
+    val kept = ops.DataPrep.q70Mixture(spark, dir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, dir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> 230.0 / 256, "de" -> 128.0 / 256, "fr" -> 64.0 / 256)
+    for ((lang, rate) <- want if total.contains(lang)) {
+      val got = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(got - rate) < 0.12, s"$lang kept $got, want ~$rate")
+    }
+    // determinism: re-evaluation yields the identical membership set
+    val a = ops.DataPrep.q70Mixture(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = ops.DataPrep.q70Mixture(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
   test("stratified sample hits per-language fractions, deterministically") {
     val totals = Tables.documents(spark, dir).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

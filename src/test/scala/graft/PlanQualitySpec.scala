@@ -74,6 +74,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toString.contains("SortExec"))
   }
 
+  test("q69 decontamination broadcasts the probe side (corpus never shuffles)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = plan("q69_decontaminate")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"probe join not broadcast:\n$p")
+  }
+
+  test("q66/q68 text stages plan no exchange before the oracle sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (q <- Seq("q66_pii_scrub", "q68_repetition")) {
+      val exchanges = plan(q).collect { case s: ShuffleExchangeExec => s }
+      // the only allowed exchange implements the deterministic ORDER BY
+      assert(exchanges.size <= 1, s"$q shuffles mid-pipeline:\n${plan(q)}")
+    }
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
