@@ -162,15 +162,51 @@ object Similarity {
       .limit(10)
   }
 
+  /** Blocked fuzzy string matching (entity resolution): probe names —
+    * each a deterministic transposition of a sampled part name — are
+    * matched back against the catalog by edit distance. The scale
+    * pattern is block-then-verify: candidates must share a cheap
+    * blocking key (first char + length, both invariant under the
+    * perturbation), so levenshtein runs on block-mates only, never all
+    * n×m pairs; the tiny probe side broadcasts. Same shape at 100 TB
+    * with phonetic/q-gram blocking keys. */
+  def q71FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val probes = p.filter(pmod(col("p_partkey"), lit(97)) === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat(substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1),
+          substring(col("p_name"), 2, 1), substring(col("p_name"), 4, 1000)).as("q_name"))
+    def blk(c: Column): Column = concat(substring(c, 1, 1), length(c).cast("string"))
+    val bp = p.withColumn("blk", blk(col("p_name")))
+    val bq = probes.withColumn("blk", blk(col("q_name")))
+    broadcast(bq).join(bp, "blk")
+      .where(levenshtein(col("q_name"), col("p_name")) <= 2)
+      .select(col("probe_key"), col("p_partkey").as("match_key"),
+        levenshtein(col("q_name"), col("p_name")).cast("long").as("dist"))
+      .orderBy(col("probe_key"), col("match_key"))
+  }
+
+  val q71Sql: String =
+    "WITH probes AS (SELECT p_partkey AS probe_key, " +
+      "substr(p_name,1,1) || substr(p_name,3,1) || substr(p_name,2,1) || substr(p_name,4,1000) AS q_name " +
+      "FROM part WHERE p_partkey % 97 = 0), " +
+      "bp AS (SELECT p_partkey, p_name, substr(p_name,1,1) || CAST(length(p_name) AS VARCHAR) AS blk FROM part), " +
+      "bq AS (SELECT probe_key, q_name, substr(q_name,1,1) || CAST(length(q_name) AS VARCHAR) AS blk FROM probes) " +
+      "SELECT probe_key, p_partkey AS match_key, CAST(levenshtein(q_name, p_name) AS BIGINT) AS dist " +
+      "FROM bq JOIN bp USING (blk) WHERE levenshtein(q_name, p_name) <= 2 " +
+      "ORDER BY probe_key, match_key"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> q33CosineTopk _,
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,
-    "q55_ann_ivf" -> q55AnnIvf _
+    "q55_ann_ivf" -> q55AnnIvf _,
+    "q71_fuzzy_match" -> q71FuzzyMatch _
   )
 
   val oracle: Map[String, String] = Map(
     "q33_cosine_topk" -> q33Sql,
-    "q34_embedding_neardup" -> q34Sql
+    "q34_embedding_neardup" -> q34Sql,
+    "q71_fuzzy_match" -> q71Sql
   )
 }
