@@ -90,14 +90,47 @@ object DataPrep {
       "CASE lang WHEN 'en' THEN 'e6' WHEN 'de' THEN '80' WHEN 'fr' THEN '40' ELSE '20' END " +
       "ORDER BY doc_id"
 
+  /** Data-profiling gate: per-column row/null/distinct counts and
+    * min/max — the standard pre-ingest quality check. ONE scan computes
+    * every column's stats simultaneously (the profile row set is then
+    * just projections of that single aggregate), where the naive
+    * per-column form — which the DuckDB oracle uses — scans once per
+    * column; at 100 TB the single-pass shape is the difference between
+    * one pass and C passes. min/max ride as strings so heterogeneous
+    * column types stack into one result shape. */
+  def q72Profile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"dist_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val one = orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    cols.map(c => one.select(
+        lit(c).as("col"), col("n"),
+        (col("n") - col(s"cnt_$c")).as("n_null"),
+        col(s"dist_$c").as("n_distinct"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("col"))
+  }
+
+  val q72Sql: String = Seq("o_orderkey", "o_orderstatus", "o_totalprice").map { c =>
+    s"SELECT '$c' AS col, count(*) AS n, CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+      s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+      s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v FROM orders"
+  }.mkString("", " UNION ALL ", " ORDER BY col")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
-    "q70_mixture_sample" -> q70Mixture _)
+    "q70_mixture_sample" -> q70Mixture _,
+    "q72_profile" -> q72Profile _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
-    "q70_mixture_sample" -> q70Sql)
+    "q70_mixture_sample" -> q70Sql,
+    "q72_profile" -> q72Sql)
 }

@@ -78,6 +78,21 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mergeSchema read reconciles evolved parquet schemas") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath
+    // v1 files carry (id, x); later v2 files add a column — the normal
+    // life of a long-lived dataset directory
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x").write.parquet(s"$out/v=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "x", "y").write.parquet(s"$out/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet === Set("id", "x", "y", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length === 4)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("y"))) // old files null-pad
+    assert(rows(2).getAs[Long]("y") === 30L)
+  }
+
   test("sortWithinPartitions clusters rows without a global sort") {
     import spark.implicits._
     val parts = Tables.lineitem(spark, dir)

@@ -107,6 +107,21 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("ts") || Option(e.getCause).exists(_.getMessage.contains("ts")))
   }
 
+  test("corrupt response line fails the scan fast (§2A-21, no partial output)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Files.write(Paths.get(dir, "d.jsonl"),
+      "{\"id\":1}\nTHIS IS NOT JSON {{{\n{\"id\":2}\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load().collect()
+    }
+    // the underlying parse failure propagates — whole job aborts, like
+    // the reference's throw-on-invalid-body
+    assert(e.getMessage != null)
+  }
+
   test("HTTP sink posts bounded batches from executors, covering all rows") {
     val posted = SinkProbe.reset()
     val df = Tables.nation(spark, sfDir).repartition(3)
