@@ -138,6 +138,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer join null-pads BOTH unmatched sides") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", ts(0), 0.0),   // matches click 2
+      Ev(2, 1, "click", ts(5), 0.0),
+      Ev(3, 2, "view", ts(1), 0.0),   // unmatched view → (3, null)
+      Ev(4, 5, "click", ts(2), 0.0))  // unmatched click → (null, 4)
+    val q = Streaming.viewClickJoin(mem.toDF(), "fullOuter").writeStream
+      .format("memory").queryName("ssfull").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Ev(9, 3, "view", ts(300), 0.0), Ev(10, 3, "click", ts(300), 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(11, 4, "view", ts(301), 0.0), Ev(12, 4, "click", ts(301), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssfull")
+        .select("view_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 2L)))
+      assert(rows.contains((3L, -1L)), s"unmatched view not emitted: $rows")
+      assert(rows.contains((-1L, 4L)), s"unmatched click not emitted: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup parity: dropDuplicatesWithinWatermark equals batch exact dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // duplicate event_ids across micro-batches, all within the watermark
+    mem.addData(Ev(1, 1, "a", ts(0), 1.0), Ev(2, 1, "a", ts(1), 1.0), Ev(1, 1, "a", ts(2), 1.0))
+    mem.addData(Ev(2, 2, "a", ts(3), 1.0), Ev(3, 2, "a", ts(4), 1.0))
+    runToMemory(Streaming.dedupedWithinWatermark(mem.toDF()), "sdedup")
+    val streamIds = spark.table("sdedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(streamIds.toSeq === Seq(1L, 2L, 3L)) // one survivor per id, like batch dropDuplicates
+  }
+
   test("rate-micro-batch source drives a windowed aggregation (§2B scans row)") {
     // rate-micro-batch is the deterministic form of the rate source: a
     // fixed rowsPerBatch with timestamps advancing a fixed step per
