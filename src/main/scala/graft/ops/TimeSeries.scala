@@ -119,17 +119,40 @@ object TimeSeries {
       "CAST(sum(CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 
+  /** Sliding (overlapping) windows in batch — each event lands in TWO
+    * 1-hour windows at a 30-minute slide. Spark's `window()` generates
+    * the overlap with an Expand (no self-union, single shuffle on the
+    * window key); the oracle reconstructs the same two buckets per event
+    * explicitly. Both engines align 30-minute buckets identically
+    * (epoch-anchored), so window starts agree byte-for-byte. Same
+    * rounded-sum determinism policy as q22. */
+  def q73SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"))
+
+  val q73Sql: String =
+    "WITH w AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts), " +
+      "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w_start, value FROM events) " +
+      "SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_value " +
+      "FROM w GROUP BY 1 ORDER BY w_start"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
-    "q24_json_extract" -> q24JsonExtract _
+    "q24_json_extract" -> q24JsonExtract _,
+    "q73_sliding_window" -> q73SlidingWindow _
   )
 
   val oracle: Map[String, String] = Map(
     "q21_asof_join" -> q21Sql,
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
-    "q24_json_extract" -> q24Sql
+    "q24_json_extract" -> q24Sql,
+    "q73_sliding_window" -> q73Sql
   )
 }
