@@ -97,7 +97,10 @@ object DataPrep {
     * per-column form — which the DuckDB oracle uses — scans once per
     * column; at 100 TB the single-pass shape is the difference between
     * one pass and C passes. min/max ride as strings so heterogeneous
-    * column types stack into one result shape. */
+    * column types stack into one result shape. The exact countDistinct
+    * here is what makes the result oracle-checkable; the 100 TB profile
+    * swaps it for approx_count_distinct (HLL, q10b pattern), turning the
+    * multi-distinct Expand into plain partial aggregation. */
   def q72Profile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
     val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
