@@ -41,6 +41,29 @@ object Advanced {
       "(SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier WHERE s_suppkey < 50 GROUP BY 1) s " +
       "USING (nationkey) ORDER BY nationkey"
 
+  /** RIGHT OUTER: the mirror of q38's shape — the unfiltered supplier
+    * side survives whole, customers filtered to nationkey < 20 null-pad
+    * the missing nations. Pre-aggregated sides keep the join tiny. */
+  def q74RightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "right_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q74Sql: String =
+    "SELECT s.nationkey AS nationkey, coalesce(n_cust, 0) AS n_cust, n_supp FROM " +
+      "(SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer WHERE c_nationkey < 20 GROUP BY 1) c " +
+      "RIGHT OUTER JOIN " +
+      "(SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s " +
+      "USING (nationkey) ORDER BY nationkey"
+
   /** The full window-function family over one shuffle on o_custkey:
     * rank/dense_rank (ties allowed), percent_rank, ntile (fully-ordered
     * window so tile assignment is deterministic), first/last over an
@@ -298,6 +321,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_full_outer" -> q38FullOuter _,
+    "q74_right_outer" -> q74RightOuter _,
     "q39_window_ranks" -> q39WindowRanks _,
     "q40_collect" -> q40Collect _,
     "q41_math_funcs" -> q41MathFuncs _,
@@ -312,6 +336,7 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
+    "q74_right_outer" -> q74Sql,
     "q39_window_ranks" -> q39Sql,
     "q40_collect" -> q40Sql,
     "q41_math_funcs" -> q41Sql,

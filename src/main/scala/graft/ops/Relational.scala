@@ -283,6 +283,29 @@ object Relational {
     "SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1995 " +
       "EXCEPT ALL SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate)=1996 ORDER BY custkey"
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nation 10
+    * is mapped to NULL on both pre-aggregated sides, and the null-safe
+    * comparison matches the two null groups where a plain `=` would drop
+    * them. The null-keyed rows collapse into one group per side BEFORE
+    * the join, so no null-key blowup. */
+  def q76NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .groupBy(nullif(col("c_nationkey"), lit(10)).as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = supplier(spark, dir)
+      .groupBy(nullif(col("s_nationkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") <=> col("sk"))
+      .select(col("ck").as("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy(asc_nulls_first("nationkey"))
+  }
+
+  val q76Sql: String =
+    "SELECT ck AS nationkey, n_cust, n_supp FROM " +
+      "(SELECT nullif(c_nationkey, 10) AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c " +
+      "JOIN (SELECT nullif(s_nationkey, 10) AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s " +
+      "ON ck IS NOT DISTINCT FROM sk ORDER BY nationkey NULLS FIRST"
+
   /** ROLLUP: hierarchical subtotals in one pass (Expand + single shuffle).
     * grouping_id disambiguates NULL-as-subtotal from NULL-as-value. */
   def q13Rollup(spark: SparkSession, dir: String): DataFrame =
@@ -452,7 +475,8 @@ object Relational {
     "q19_band_join" -> q19BandJoin _,
     "q20_explode_union" -> q20ExplodeUnion _,
     "q62_intersect_all" -> q62IntersectAll _,
-    "q63_except_all" -> q63ExceptAll _
+    "q63_except_all" -> q63ExceptAll _,
+    "q76_nullsafe_join" -> q76NullSafeJoin _
   )
 
   val oracle: Map[String, String] = Map(
@@ -477,6 +501,7 @@ object Relational {
     "q19_band_join" -> q19Sql,
     "q20_explode_union" -> q20Sql,
     "q62_intersect_all" -> q62Sql,
-    "q63_except_all" -> q63Sql
+    "q63_except_all" -> q63Sql,
+    "q76_nullsafe_join" -> q76Sql
   )
 }

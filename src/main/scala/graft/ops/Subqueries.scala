@@ -54,13 +54,26 @@ object Subqueries {
   def q53CteScalar(spark: SparkSession, dir: String): DataFrame =
     sql2(spark, dir, q53Sql)
 
+  /** Positive correlated EXISTS (§2B subqueries row; Catalyst
+    * decorrelates to a left-semi join). Zero-translation SQL: the same
+    * text runs on both engines. */
+  val q75Sql: String =
+    "SELECT n_nationkey, n_name FROM nation n WHERE EXISTS (" +
+      "SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000) " +
+      "ORDER BY n_nationkey"
+
+  def q75Exists(spark: SparkSession, dir: String): DataFrame =
+    sql2(spark, dir, q75Sql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_correlated_scalar" -> q51CorrelatedScalar _,
     "q52_in_notin" -> q52InNotIn _,
-    "q53_cte_scalar" -> q53CteScalar _)
+    "q53_cte_scalar" -> q53CteScalar _,
+    "q75_exists" -> q75Exists _)
 
   val oracle: Map[String, String] = Map(
     "q51_correlated_scalar" -> q51Sql,
     "q52_in_notin" -> q52Sql,
-    "q53_cte_scalar" -> q53Sql)
+    "q53_cte_scalar" -> q53Sql,
+    "q75_exists" -> q75Sql)
 }
