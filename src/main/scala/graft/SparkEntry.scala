@@ -53,5 +53,10 @@ object SparkEntry {
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       sim.Similarity.oracle ++
-      multimodal.Multimodal.oracle
+      multimodal.Multimodal.oracle ++
+      // Golden-values oracle for the fidelity pipeline: its inputs are
+      // constant fixtures, so the expected output is a constant row set —
+      // independently hand-derived in CaicPipelineSpec and pinned here as
+      // a VALUES literal, upgrading q37 from rows-only to hash-checked.
+      Map("q37_caic_pipeline" -> """SELECT * FROM (VALUES ('caic-3', 'Feature', '{"callsign":"Low","fill":"#4db748","fill-opacity":0.5,"stroke":"#4db748","stroke-opacity":0.75,"remarks":"Isolated pockets.","metadata":{"forecaster":"ef","issueDateTime":"2026-02-01T14:00:00Z","expiryDateTime":"2026-02-02T14:00:00Z","isTranslated":true,"ratingAbove":"low","ratingNear":"low","ratingBelow":"low"}}', '{"type":"Polygon","coordinates":[[[-105.6,37.6],[-105.2,37.6],[-105.2,38.0],[-105.6,37.6]]]}'), ('caic-NC-01', 'Feature', '{"callsign":"Considerable","fill":"#f8931d","fill-opacity":0.5,"stroke":"#f8931d","stroke-opacity":0.75,"remarks":"Wind slabs on NE aspects.","metadata":{"forecaster":"ab","issueDateTime":"2026-02-01T14:00:00Z","expiryDateTime":"2026-02-02T14:00:00Z","isTranslated":false,"ratingAbove":"considerable","ratingNear":"moderate","ratingBelow":"low"}}', '{"type":"Polygon","coordinates":[[[-105.6,40.0],[-105.2,40.0],[-105.2,40.4],[-105.6,40.0]]]}'), ('caic-NC-02-0', 'Feature', '{"callsign":"High","fill":"#ee1d23","fill-opacity":0.5,"stroke":"#ee1d23","stroke-opacity":0.75,"remarks":"Storm slab cycle.","metadata":{"forecaster":"cd","issueDateTime":"2026-02-01T14:00:00Z","expiryDateTime":"2026-02-02T14:00:00Z","isTranslated":false,"ratingAbove":"high","ratingNear":"considerable","ratingBelow":"moderate"}}', '{"type":"Polygon","coordinates":[[[-106.5,39.5],[-106.1,39.5],[-106.1,39.9],[-106.5,39.5]]]}'), ('caic-NC-02-1', 'Feature', '{"callsign":"High","fill":"#ee1d23","fill-opacity":0.5,"stroke":"#ee1d23","stroke-opacity":0.75,"remarks":"Storm slab cycle.","metadata":{"forecaster":"cd","issueDateTime":"2026-02-01T14:00:00Z","expiryDateTime":"2026-02-02T14:00:00Z","isTranslated":false,"ratingAbove":"high","ratingNear":"considerable","ratingBelow":"moderate"}}', '{"type":"Polygon","coordinates":[[[-106.9,39.2],[-106.6,39.2],[-106.6,39.6],[-106.9,39.2]]]}')) AS t(id, type, properties, geometry) ORDER BY id""")
 }
