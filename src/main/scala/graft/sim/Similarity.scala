@@ -153,7 +153,7 @@ object Similarity {
         val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
-    assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    assigned.filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         round(cosine(col("v"), typedLit(qv.toSeq), col("norm"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Custom DataSource V2 batch source: JSON-lines documents fetched from an
   * "endpoint" (a directory of response bodies), with **source-side filter
