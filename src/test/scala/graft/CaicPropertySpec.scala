@@ -26,11 +26,14 @@ class CaicPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val scale = CaicModel.severity // ordered worst→best, noRating last
 
-  /** Known ratings plus unknown strings (the §7.4-1 indexOf→-1 trap). */
+  /** Known ratings, unknown strings (the §7.4-1 indexOf→-1 trap), and
+    * NULL (a PERMISSIVE-null-padded missing band — JS indexOf(undefined)
+    * is also -1, so the model's scale.indexOf(null) = -1 matches). */
   private val ratingGen: Gen[String] =
     Gen.frequency(
-      (6, Gen.oneOf(scale)),
-      (2, Gen.oneOf("bogus", "EXTREME", "", "mod", "no_rating")))
+      (5, Gen.oneOf(scale)),
+      (2, Gen.oneOf("bogus", "EXTREME", "", "mod", "no_rating")),
+      (1, Gen.const(null: String)))
 
   private def sample[A](g: Gen[A], n: Int): List[A] =
     Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
