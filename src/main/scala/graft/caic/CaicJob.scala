@@ -91,16 +91,19 @@ object CaicJob {
       s"$base%2Fproducts%2Fall%3Fdatetime%3D$enc%26includeExpired%3Dfalse")
   }
 
-  /** One batch run (≡ one scheduled Lambda invocation, task.ts:57).
-    * `config.debug` mirrors the reference's DEBUG input: print the
-    * submitted document to the job log. */
+  /** One batch run (≡ one scheduled Lambda invocation, task.ts:57),
+    * resolving config from the session/environment. */
+  def runOnce(spark: SparkSession, fetcher: Fetcher, submitter: Submitter): DataFrame =
+    runOnce(spark, fetcher, submitter, GraftConfig.resolve(spark))
+
+  /** One batch run with an explicit config. `config.debug` mirrors the
+    * reference's DEBUG input: print the submitted document to the log. */
   def runOnce(spark: SparkSession, fetcher: Fetcher, submitter: Submitter,
-      config: GraftConfig = null): DataFrame = {
-    val cfg = Option(config).getOrElse(GraftConfig.resolve(spark))
+      config: GraftConfig): DataFrame = {
     val (areasUrl, productsUrl) = urls()
     val out = CaicPipeline.run(spark, fetcher.fetch(areasUrl), fetcher.fetch(productsUrl))
     val doc = CaicPipeline.toFeatureCollection(out)
-    if (cfg.debug) println(s"[graft-caic] submitting to layer ${cfg.layer} at ${cfg.api}: $doc")
+    if (config.debug) println(s"[graft-caic] submitting to layer ${config.layer} at ${config.api}: $doc")
     submitter.submit(doc)
     out
   }

@@ -100,6 +100,18 @@ object Dedup {
   def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
+  /** The five shingle/pair/size CTEs shared verbatim by the q30 and q65
+    * oracles — one definition so the two can never silently diverge on
+    * what a duplicate pair is. */
+  private val jaccardCtes: String =
+    "w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
+      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh)"
+
   /** Duplicate CLUSTERS from near-dup pairs: dedup doesn't end at pairs —
     * picking one canonical doc per duplicate *group* requires the
     * connected components of the pair graph (a–b, b–c ⇒ {a,b,c} even when
@@ -141,19 +153,17 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    // everything below the converged label cache is no longer needed;
+    // the final labels cache itself stays (the returned plan reads it)
+    // and is small — one row per doc appearing in any dup pair
     edges.unpersist()
+    pairs.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
   val q65Sql: String =
-    "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
-      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
-      "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
-      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh), " +
+    s"WITH RECURSIVE $jaccardCtes, " +
       "dup AS (SELECT id_a, id_b FROM pair " +
       "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5), " +
@@ -163,13 +173,7 @@ object Dedup {
       "SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"
 
   val q30Sql: String =
-    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
-      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
-      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
-      "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
-      "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh) " +
+    s"WITH $jaccardCtes " +
       "SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard " +
       "FROM pair JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5 ORDER BY id_a, id_b"

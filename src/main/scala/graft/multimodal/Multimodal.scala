@@ -137,13 +137,18 @@ object Multimodal {
     }.toDF("doc_id", "out_len", "resize_md5").orderBy(col("doc_id"))
   }
 
+  // An empty payload must still yield a row (out_len 0, md5 of the empty
+  // string) to match the Spark side — unnest(range(0,0)) would otherwise
+  // drop the doc from samp, so b LEFT JOINs back and coalesces.
   val q67Sql: String =
     "WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents), " +
       "par AS (SELECT doc_id, hx, n, greatest(1, n // 256) AS stride, least(n, 256) AS m FROM b), " +
       "idx AS (SELECT doc_id, hx, stride, m, unnest(range(0, m)) AS i FROM par), " +
       "samp AS (SELECT doc_id, string_agg(substr(hx, CAST(i*stride*2+1 AS BIGINT), 2), '' ORDER BY i) AS shx, " +
       "any_value(m) AS m FROM idx GROUP BY doc_id) " +
-      "SELECT doc_id, CAST(m AS BIGINT) AS out_len, md5(shx) AS resize_md5 FROM samp ORDER BY doc_id"
+      "SELECT b.doc_id, CAST(coalesce(samp.m, 0) AS BIGINT) AS out_len, " +
+      "coalesce(md5(samp.shx), md5('')) AS resize_md5 " +
+      "FROM b LEFT JOIN samp ON b.doc_id = samp.doc_id ORDER BY b.doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> q36MediaFeatures _,

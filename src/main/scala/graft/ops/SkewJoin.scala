@@ -54,17 +54,24 @@ object SkewJoin {
     * BucketedJoinSpec). At 100 TB this converts the dominant repeated-join
     * shuffle into a one-time write-side layout cost. The oracle runs the
     * PLAIN join — passing proves bucketing changes layout, not results. */
+  /** Per-JVM tag: concurrent runs (e.g. Verify and Bench at once, or two
+    * scale factors) must not overwrite each other's bucketed layout or
+    * catalog entries; within one JVM re-runs reuse the same names via
+    * mode(overwrite). */
+  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+
   def q64BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$runTag"
+    val (tOrders, tLineitem) = (s"graft_q64_orders_$runTag", s"graft_q64_lineitem_$runTag")
     orders(spark, dir).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable("graft_q64_orders")
+      .option("path", s"$base/orders").saveAsTable(tOrders)
     lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable("graft_q64_lineitem")
-    spark.table("graft_q64_lineitem")
-      .join(spark.table("graft_q64_orders"), col("l_orderkey") === col("o_orderkey"))
+      .option("path", s"$base/lineitem").saveAsTable(tLineitem)
+    spark.table(tLineitem)
+      .join(spark.table(tOrders), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("o_orderpriority"))

@@ -28,20 +28,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * (ours or hand-written) is left untouched. */
 object LevenshteinPrefilter extends Rule[LogicalPlan] {
 
-  private def lengthGuard(e: Expression): Boolean = e.exists {
-    case Abs(Subtract(Length(_), Length(_), _), _) => true
-    case _ => false
-  }
+  /** Is there already a length-difference guard over THESE operands in
+    * the condition? Checked per comparison (not filter-wide), so one
+    * guarded levenshtein conjunct doesn't suppress the rewrite for a
+    * different, unguarded one in the same filter. */
+  private def hasGuardFor(cond: Expression, l: Expression, r: Expression): Boolean =
+    cond.exists {
+      case BinaryComparison(Abs(Subtract(Length(a), Length(b), _), _), _) =>
+        (a.semanticEquals(l) && b.semanticEquals(r)) ||
+          (a.semanticEquals(r) && b.semanticEquals(l))
+      case _ => false
+    }
 
   private def guarded(cmp: Expression, l: Expression, r: Expression): Expression =
     And(cmp.withNewChildren(Seq(Abs(Subtract(Length(l), Length(r))), cmp.children(1))), cmp)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child) if !lengthGuard(cond) =>
+    case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
-        case cmp @ LessThanOrEqual(Levenshtein(l, r, None), Literal(_, IntegerType)) =>
+        case cmp @ LessThanOrEqual(Levenshtein(l, r, None), Literal(_, IntegerType))
+            if !hasGuardFor(cond, l, r) =>
           guarded(cmp, l, r)
-        case cmp @ LessThan(Levenshtein(l, r, None), Literal(_, IntegerType)) =>
+        case cmp @ LessThan(Levenshtein(l, r, None), Literal(_, IntegerType))
+            if !hasGuardFor(cond, l, r) =>
           guarded(cmp, l, r)
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)

@@ -71,7 +71,9 @@ object Similarity {
     * LSH variant below is the scale path. The threshold compares the raw
     * (bit-identical) double, rounding only the reported value. */
   def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
+    // cached so the guard's count and both self-join branches share one
+    // materialization instead of three scans
+    val vs = vectors(spark, dir).cache()
     graft.dedup.Guards.exactBaseline(spark, vs.count(), "q34 all-pairs cosine",
       scalePath = "q35 (SRP-LSH) / q55 (IVF)")
     vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -276,7 +276,9 @@ object TextAnalysis {
     * to the final per-doc count — exactly how test-set overlap checks
     * run over a 100 TB corpus against a few MB of eval data. */
   def q69Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.dedup.Dedup.shingles(spark, dir)
+    // cached: both the probe branch and the corpus branch read it, and
+    // tokenize+shingle is the expensive part of the query
+    val sh = graft.dedup.Dedup.shingles(spark, dir).cache()
     val probe = sh.where(pmod(col("doc_id"), lit(100)) === 0)
       .select(explode(col("shingles")).as("s")).distinct()
     sh.where(pmod(col("doc_id"), lit(100)) =!= 0)

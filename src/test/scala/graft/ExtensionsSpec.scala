@@ -45,6 +45,15 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq("kitchen", "kitten", "mitten"))
   }
 
+  test("every levenshtein predicate in a multi-predicate filter gets its own guard") {
+    val df = Tables.part(spark, "/root/testdata/sf0.001")
+      .filter(levenshtein(col("p_name"), lit("small ring")) <= 2 &&
+        levenshtein(col("p_brand"), lit("BrandX")) <= 1)
+    val p = df.queryExecution.optimizedPlan.toString
+    val absCount = p.sliding("abs(".length).count(_ == "abs(")
+    assert(absCount >= 2, s"expected a guard per predicate, got $absCount:\n$p")
+  }
+
   test("rule is idempotent at the optimizer fixed point") {
     // a query whose condition already carries a length guard is untouched
     val df = Tables.part(spark, "/root/testdata/sf0.001")
