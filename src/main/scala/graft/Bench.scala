@@ -22,12 +22,21 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      // cache hygiene between queries: blocks cached by one query must not
+      // perturb the next query's memory or timing
+      Caches.drain()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline fields appear BOTH first (the documented contract order)
+    // and again LAST ("total"/"n_queries"): the driver captures a bounded
+    // TAIL of the output, so when the per-query map pushes the line past
+    // that bound, the tail must still carry the total on its own.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"total":${f(total)}}""")
     spark.stop()
   }
 }

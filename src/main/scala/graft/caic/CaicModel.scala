@@ -60,11 +60,10 @@ object CaicModel {
     StructField("type", StringType),        // task.ts:9 Literal
     StructField("features", ArrayType(featureType)))) // task.ts:10
 
-  /** Declared OUTPUT feature-metadata schema (task.ts:68-79) — the
-    * contract the reference serves on a schema introspection request
-    * (entry point 3, task.ts:59-83). `CaicPipeline.run`'s
-    * `properties.metadata` struct must conform; asserted in
-    * CaicPipelineSpec. */
+  /** EMITTED output feature-metadata schema: the fields `control()`
+    * actually writes (task.ts:158-166 populates ratingAbove/Near/Below,
+    * never a bare `rating`). `CaicPipeline.run`'s `properties.metadata`
+    * struct must conform; asserted in CaicPipelineSpec. */
   val outputMetadataType: StructType = StructType(Seq(
     StructField("forecaster", StringType),     // task.ts:70
     StructField("issueDateTime", StringType),  // task.ts:71 (date-time)
@@ -74,10 +73,28 @@ object CaicModel {
     StructField("ratingNear", StringType),     // task.ts:76
     StructField("ratingBelow", StringType)))   // task.ts:77
 
+  /** DECLARED output feature-metadata schema (task.ts:69-78) — the full
+    * contract the reference serves on a schema introspection request,
+    * including `rating` (task.ts:74), which the declaration advertises
+    * but `control()` never populates (task.ts:158-166 writes only the
+    * elevation-band ratings). The divergence is the reference's, mirrored
+    * faithfully: introspection (entry point 3) serves THIS schema; the
+    * emitted rows conform to `outputMetadataType` above. */
+  val declaredOutputMetadataType: StructType = StructType(Seq(
+    StructField("forecaster", StringType),     // task.ts:70
+    StructField("issueDateTime", StringType),  // task.ts:71 (date-time)
+    StructField("expiryDateTime", StringType), // task.ts:72
+    StructField("isTranslated", BooleanType),  // task.ts:73
+    StructField("rating", StringType),         // task.ts:74 (declared, never emitted)
+    StructField("ratingAbove", StringType),    // task.ts:75
+    StructField("ratingNear", StringType),     // task.ts:76
+    StructField("ratingBelow", StringType)))   // task.ts:77
+
   /** Schema introspection (entry point 3, task.ts:59-83): input config
-    * schema is the engine's job-config concern; output is the declared
-    * metadata contract above. */
-  def outputSchema: StructType = outputMetadataType
+    * schema is the engine's job-config concern; output is the DECLARED
+    * metadata contract — `rating` included, exactly as the reference
+    * advertises it. */
+  def outputSchema: StructType = declaredOutputMetadataType
 
   /** Ordinal severity scale, task.ts:116 — position = rank, 0 worst. */
   val severity: Seq[String] =

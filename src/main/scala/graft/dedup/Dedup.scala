@@ -25,6 +25,22 @@ object Guards {
   val CapConf = "spark.graft.exactBaseline.maxRows"
   val DefaultCap = 1000000L
 
+  /** Max docs a shingle may appear in before the exact-Jaccard verifier
+    * drops it (stop-shingle cap). The self-join's worst case is quadratic
+    * in per-shingle document frequency, so ONE ubiquitous shingle ("terms
+    * of service may change") yields df² candidate pairs; capping df keeps
+    * the verifier robust even when someone deliberately raises the row
+    * guard. Dropping is CONSISTENT — the shingle leaves both the
+    * intersection counts and the set sizes — so pair scores remain exact
+    * Jaccard over the capped shingle sets. At the default (10k) and any
+    * tested scale factor no shingle reaches the cap, so the result (and
+    * the SQL oracle) is byte-identical to the uncapped form. */
+  val ShingleDfConf = "spark.graft.jaccard.maxShingleDf"
+  val DefaultShingleDf = 10000L
+
+  def shingleDfCap(spark: SparkSession): Long =
+    spark.conf.getOption(ShingleDfConf).map(_.toLong).getOrElse(DefaultShingleDf)
+
   def exactBaseline(spark: SparkSession, n: Long, what: String, scalePath: String): Unit = {
     val cap = spark.conf.getOption(CapConf).map(_.toLong).getOrElse(DefaultCap)
     require(n <= cap,
@@ -72,16 +88,47 @@ object Dedup {
   /** Unsorted exact-Jaccard pairs ≥ 0.5 — shared by q30 (which adds the
     * oracle-determinism sort) and q65 (which consumes the pair set). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    Guards.exactBaseline(spark, sh.count(), "exact-Jaccard shingle self-join",
+    // cached: the guard's count, both explode branches, and the sizes
+    // projection all read it. Registered for harness-side unpersist
+    // (graft.Caches) — the returned plan still reads this cache, so the
+    // operator itself must not drop it.
+    val sh = graft.Caches.register(shingles(spark, dir).cache())
+    val nDocs = sh.count()
+    Guards.exactBaseline(spark, nDocs, "exact-Jaccard shingle self-join",
       scalePath = "q31 (MinHash LSH)")
     // join on xxhash64(shingle), not the shingle text: 8-byte shuffle keys
     // instead of ~20-40-byte strings. array_distinct already deduped the
     // shingle set, so per-doc hash multiplicity is 1 (modulo a 2^-64
     // collision) and intersection counts are unchanged.
-    val e = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val e0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    // hot-shingle cap (Guards.ShingleDfConf): shingles in > cap docs are
+    // dropped from BOTH intersections and sizes, so scores stay exact
+    // Jaccard over the capped sets; a df² blowup from one ubiquitous
+    // shingle is impossible. The hot set is tiny by construction (only
+    // shingles beyond the cap) → broadcast anti-join, no extra shuffle
+    // of the big side.
+    val cap = Guards.shingleDfCap(spark)
+    // df <= nDocs always, so when the corpus is smaller than the cap the
+    // filter is PROVABLY identity — skip its df aggregation entirely.
+    // The protection engages automatically once the corpus is large
+    // enough for any shingle to possibly exceed the cap.
+    val (e, sizes) = if (nDocs <= cap) {
+      (e0, sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n")))
+    } else {
+      val hot = e0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") > cap).select(col("s"))
+      val kept = e0.join(broadcast(hot), Seq("s"), "left_anti")
+      // capped set sizes WITHOUT re-shuffling the full explode: the total
+      // is map-side (array length); only the hot-matching subset — tiny
+      // by construction — shuffles to be subtracted per doc
+      val hotPerDoc = e0.join(broadcast(hot), Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+      (kept,
+        sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_all"))
+          .join(broadcast(hotPerDoc), Seq("doc_id"), "left")
+          .select(col("doc_id"), (col("n_all") - coalesce(col("n_hot"), lit(0L))).as("n")))
+    }
     val pairs = e.as("a").join(e.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -126,17 +173,41 @@ object Dedup {
     * without changing the surrounding dataflow. Cluster id = min doc_id
     * of the component — deterministic, so the DuckDB recursive-CTE
     * oracle hash-matches exactly. */
-  def q65DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def q65DupClusters(spark: SparkSession, dir: String): DataFrame =
+    minLabelClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .toDF("doc_id", "cluster_id")
+      .orderBy(col("doc_id"))
+
+  /** Connected components of an undirected pair graph by min-label
+    * propagation: (vertex, component-min-vertex) rows. `maxRounds` is a
+    * convergence insurance bound, not a tuning knob: rounds needed =
+    * component diameter, so 50 covers any graph a dedup pass plausibly
+    * produces (dup clusters are shallow) while a pathological or
+    * adversarial edge set fails loudly instead of looping. The final
+    * label table stays cached for the returned plan (one row per vertex
+    * — small) and is registered with graft.Caches, whose `drain()` the
+    * harness calls after materializing each query. */
+  def minLabelClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // cache the PAIRS, not just the edges: both union branches and the
     // initial label table read them, and the pair computation (the
     // shingle self-join) is the expensive part
-    val pairs = jaccardPairs(spark, dir).select(col("id_a"), col("id_b")).cache()
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+    val p = pairs.cache()
+    val edges = p.union(p.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      if (round >= maxRounds) {
+        Seq(labels, edges, p).foreach(_.unpersist())
+        throw new IllegalStateException(
+          s"minLabelClusters did not converge within maxRounds=$maxRounds " +
+            "rounds (component diameter exceeds the bound); raise maxRounds " +
+            "deliberately or switch to large-star/small-star contraction " +
+            "for graphs this deep")
+      }
+      round += 1
       val prop = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
       // change detection rides in the same projection — one job per round
@@ -153,13 +224,11 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
-    // everything below the converged label cache is no longer needed;
-    // the final labels cache itself stays (the returned plan reads it)
-    // and is small — one row per doc appearing in any dup pair
+    // everything below the converged label cache is no longer needed
     edges.unpersist()
-    pairs.unpersist()
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    p.unpersist()
+    graft.Caches.register(labels)
+    labels.select(col("v"), col("lbl"))
   }
 
   val q65Sql: String =
@@ -198,7 +267,7 @@ object Dedup {
     * the driver records rows-only; the ScalaTest spec asserts recall
     * against q30's exact pairs. */
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
+    val sig = graft.Caches.register(minhashSignatures(spark, dir).cache())
     val banded = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(B - 1)),
           b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * R + 1, lit(R))).as("bh")))).as("bb"))
@@ -245,7 +314,7 @@ object Dedup {
   }
 
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(spark, dir).cache()
+    val sh = graft.Caches.register(simhashed(spark, dir).cache())
     // band value b: bits [16b, 16b+16) of the simhash
     val withBands = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

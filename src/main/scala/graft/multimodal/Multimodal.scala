@@ -27,10 +27,20 @@ case class MediaFeature(doc_id: Long, n_bytes: Long, width: Long, height: Long)
   */
 object Multimodal {
 
-  /** STUB codec: stands in for an image decoder (???-equivalent). Emits
+  /** The codec seam: a real decoder (javax.imageio, ffmpeg bindings, …)
+    * drops in by implementing this trait and passing it to the query
+    * functions — no query code changes. Must be Serializable: instances
+    * ship inside the mapPartitions closures to executors. */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedMedia
+    def resize(bytes: Array[Byte], target: Int = 256): Array[Byte]
+  }
+
+  /** STUB codec (the default): stands in for an image decoder
+    * (???-equivalent — this container has no image libs). Emits
     * deterministic pseudo-dimensions derived from the payload length so
     * the pipeline around it is verifiable end-to-end. */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def decode(bytes: Array[Byte]): DecodedMedia =
       DecodedMedia(
         width = (bytes.length % 64) + 1,
@@ -40,7 +50,7 @@ object Multimodal {
     /** STUB resize: strided byte-sampling down to <= `target` bytes —
       * stands in for an image downscale. Deterministic so the output
       * payload itself is oracle-checkable (via its hex md5). */
-    def resize(bytes: Array[Byte], target: Int = 256): Array[Byte] = {
+    def resize(bytes: Array[Byte], target: Int): Array[Byte] = {
       val n = bytes.length
       if (n == 0) bytes
       else {
@@ -59,13 +69,14 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       lit("application/octet-stream").as("mime"))
 
-  /** Decode + feature-extract over the binary column, partition-local. */
-  def q36MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+  /** Decode + feature-extract over the binary column, partition-local.
+    * `codec` is the injection seam (default: the labeled stub). */
+  def q36MediaFeatures(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     val ds = mediaTable(spark, dir).as[MediaRecord]
     ds.mapPartitions { it =>
-      // one codec per partition — mirrors per-batch decoder init cost
-      val codec = FakeCodec
+      // one codec reference per partition — mirrors per-batch decoder init
       it.map { r =>
         val d = codec.decode(r.media)
         MediaFeature(r.doc_id, r.media.length.toLong, d.width.toLong, d.height.toLong)
@@ -123,12 +134,13 @@ object Multimodal {
     * payload's digest + size leave the executor for the check. The
     * resized BYTES themselves are oracle-verified (DuckDB recomputes the
     * strided sample from the hex encoding), not just their count. */
-  def q67MediaResize(spark: SparkSession, dir: String): DataFrame = {
+  def q67MediaResize(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val out = FakeCodec.resize(r.media)
+        val out = codec.resize(r.media, 256)
         md.reset()
         val hexOut = out.map("%02x".format(_)).mkString
         (r.doc_id, out.length.toLong,
@@ -151,9 +163,9 @@ object Multimodal {
       "FROM b LEFT JOIN samp ON b.doc_id = samp.doc_id ORDER BY b.doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_media_features" -> q36MediaFeatures _,
+    "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
-    "q67_media_resize" -> q67MediaResize _
+    "q67_media_resize" -> ((s, d) => q67MediaResize(s, d))
   )
 
   val oracle: Map[String, String] = Map(

@@ -250,8 +250,13 @@ object Advanced {
     * through both text formats, read each back with an explicit schema
     * (schema-on-read), join the two reads. Result must equal the parquet
     * original — which is exactly what the oracle checks. */
+  /** Scratch path is per-JVM (graft.RunTag) so concurrent Verify runs at
+    * different scale factors can never interleave write/read on a shared
+    * layout — see RunTag's Scaladoc. */
+  private[graft] def q44Base: String = graft.RunTag.scratch("roundtrip")
+
   def q44SourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val base = q44Base
     val n = nation(spark, dir)
     n.write.mode("overwrite").json(s"$base/nation_json")
     n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")

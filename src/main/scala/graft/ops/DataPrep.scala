@@ -103,12 +103,27 @@ object DataPrep {
     * multi-distinct Expand into plain partial aggregation. */
   def q72Profile(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val df = orders(spark, dir)
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    // min/max ride as text so heterogeneous column types stack — but a
+    // raw double→string cast renders >= 1e7 as "1.0E7" in Spark and
+    // "10000000.0" in DuckDB. Floating columns go through DECIMAL(38,6)
+    // (both engines round the exact binary value half-away-from-zero and
+    // print plain notation at any magnitude); exact zero is special-cased
+    // because BigDecimal(0, scale 6) prints "0E-6".
+    def asText(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+      types(name) match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          when(c === 0.0, lit("0.000000"))
+            .otherwise(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("string"))
+        case _ => c.cast("string")
+      }
     val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
       count(col(c)).as(s"cnt_$c"),
       countDistinct(col(c)).as(s"dist_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
-    val one = orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+      asText(min(col(c)), c).as(s"min_$c"),
+      asText(max(col(c)), c).as(s"max_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
     cols.map(c => one.select(
         lit(c).as("col"), col("n"),
         (col("n") - col(s"cnt_$c")).as("n_null"),
@@ -118,10 +133,15 @@ object DataPrep {
       .orderBy(col("col"))
   }
 
-  val q72Sql: String = Seq("o_orderkey", "o_orderstatus", "o_totalprice").map { c =>
+  val q72Sql: String = Seq(("o_orderkey", false), ("o_orderstatus", false),
+      ("o_totalprice", true)).map { case (c, isFloat) =>
+    // floating min/max mirror the Spark side's DECIMAL(38,6) text form
+    def txt(agg: String) =
+      if (isFloat) s"CAST(CAST($agg($c) AS DECIMAL(38,6)) AS VARCHAR)"
+      else s"CAST($agg($c) AS VARCHAR)"
     s"SELECT '$c' AS col, count(*) AS n, CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
       s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
-      s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v FROM orders"
+      s"${txt("min")} AS min_v, ${txt("max")} AS max_v FROM orders"
   }.mkString("", " UNION ALL ", " ORDER BY col")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

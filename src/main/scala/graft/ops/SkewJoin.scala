@@ -54,15 +54,18 @@ object SkewJoin {
     * BucketedJoinSpec). At 100 TB this converts the dominant repeated-join
     * shuffle into a one-time write-side layout cost. The oracle runs the
     * PLAIN join — passing proves bucketing changes layout, not results. */
-  /** Per-JVM tag: concurrent runs (e.g. Verify and Bench at once, or two
-    * scale factors) must not overwrite each other's bucketed layout or
-    * catalog entries; within one JVM re-runs reuse the same names via
-    * mode(overwrite). */
-  private lazy val runTag = java.util.UUID.randomUUID().toString.take(8)
+  /** Layout paths/table names carry graft.RunTag: concurrent JVMs (e.g.
+    * Verify and Bench at once, or two scale factors) must not overwrite
+    * each other's bucketed layout or catalog entries; within one JVM
+    * re-runs reuse the same names via mode(overwrite), and the layouts
+    * are deleted by RunTag's JVM-exit hook (catalog entries live in the
+    * in-memory session catalog and die with the JVM). */
+  private[graft] def q64Base: String = graft.RunTag.scratch("bucketed")
 
   def q64BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$runTag"
-    val (tOrders, tLineitem) = (s"graft_q64_orders_$runTag", s"graft_q64_lineitem_$runTag")
+    val base = q64Base
+    val (tOrders, tLineitem) =
+      (s"graft_q64_orders_${graft.RunTag.tag}", s"graft_q64_lineitem_${graft.RunTag.tag}")
     orders(spark, dir).write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$base/orders").saveAsTable(tOrders)

@@ -28,30 +28,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * (ours or hand-written) is left untouched. */
 object LevenshteinPrefilter extends Rule[LogicalPlan] {
 
-  /** Is there already a length-difference guard over THESE operands in
-    * the condition? Checked per comparison (not filter-wide), so one
-    * guarded levenshtein conjunct doesn't suppress the rewrite for a
-    * different, unguarded one in the same filter. */
-  private def hasGuardFor(cond: Expression, l: Expression, r: Expression): Boolean =
-    cond.exists {
-      case BinaryComparison(Abs(Subtract(Length(a), Length(b), _), _), _) =>
-        (a.semanticEquals(l) && b.semanticEquals(r)) ||
-          (a.semanticEquals(r) && b.semanticEquals(l))
-      case _ => false
+  /** `abs(length(a) - length(b))` over some operand pair. */
+  private object AbsLenDiff {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Abs(Subtract(Length(a), Length(b), _), _) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** A levenshtein comparison in either literal position, normalized to
+    * its effective inclusive bound: `lev <= k`/`k >= lev` → k,
+    * `lev < k`/`k > lev` → k-1. */
+  private object LevBound {
+    def unapply(e: Expression): Option[(Expression, Expression, Int)] = e match {
+      case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) => Some((l, r, k))
+      case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) => Some((l, r, k - 1))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) => Some((l, r, k))
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) => Some((l, r, k - 1))
+      case _ => None
+    }
+  }
+
+  /** Does the condition already carry a length-difference guard over
+    * THESE operands that is at least as tight as the levenshtein bound
+    * `k`? Checked per comparison (not filter-wide), so one guarded
+    * levenshtein conjunct doesn't suppress the rewrite for a different,
+    * unguarded one — and a WEAKER hand-written guard (e.g.
+    * `abs(...) <= 50` next to `lev <= 2`) doesn't suppress it either:
+    * only a guard whose inclusive bound is <= k makes ours redundant.
+    * A lower-bound form (`abs(...) >= g`) is not a guard at all. */
+  private def hasGuardFor(cond: Expression, l: Expression, r: Expression, k: Int): Boolean =
+    cond.exists { e =>
+      val bound = e match {
+        case LessThanOrEqual(AbsLenDiff(a, b), Literal(g: Int, IntegerType)) => Some((a, b, g))
+        case LessThan(AbsLenDiff(a, b), Literal(g: Int, IntegerType)) => Some((a, b, g - 1))
+        case GreaterThanOrEqual(Literal(g: Int, IntegerType), AbsLenDiff(a, b)) => Some((a, b, g))
+        case GreaterThan(Literal(g: Int, IntegerType), AbsLenDiff(a, b)) => Some((a, b, g - 1))
+        case _ => None
+      }
+      bound.exists { case (a, b, g) =>
+        g <= k &&
+          ((a.semanticEquals(l) && b.semanticEquals(r)) ||
+            (a.semanticEquals(r) && b.semanticEquals(l)))
+      }
     }
 
-  private def guarded(cmp: Expression, l: Expression, r: Expression): Expression =
-    And(cmp.withNewChildren(Seq(Abs(Subtract(Length(l), Length(r))), cmp.children(1))), cmp)
+  private def guarded(cmp: Expression, l: Expression, r: Expression, k: Int): Expression =
+    And(LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), Literal(k)), cmp)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
-        case cmp @ LessThanOrEqual(Levenshtein(l, r, None), Literal(_, IntegerType))
-            if !hasGuardFor(cond, l, r) =>
-          guarded(cmp, l, r)
-        case cmp @ LessThan(Levenshtein(l, r, None), Literal(_, IntegerType))
-            if !hasGuardFor(cond, l, r) =>
-          guarded(cmp, l, r)
+        case cmp @ LevBound(l, r, k) if !hasGuardFor(cond, l, r, k) =>
+          guarded(cmp, l, r, k)
       }
       if (rewritten fastEquals cond) f else Filter(rewritten, child)
   }

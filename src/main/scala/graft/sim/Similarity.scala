@@ -72,8 +72,9 @@ object Similarity {
     * (bit-identical) double, rounding only the reported value. */
   def q34EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     // cached so the guard's count and both self-join branches share one
-    // materialization instead of three scans
-    val vs = vectors(spark, dir).cache()
+    // materialization instead of three scans; registered for harness-side
+    // unpersist (graft.Caches) since the returned plan still reads it
+    val vs = graft.Caches.register(vectors(spark, dir).cache())
     graft.dedup.Guards.exactBaseline(spark, vs.count(), "q34 all-pairs cosine",
       scalePath = "q35 (SRP-LSH) / q55 (IVF)")
     vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -141,8 +142,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val k = 8
     val nProbe = 2
-    val vs = vectors(spark, dir)
-      .withColumn("fv", array_to_vector(col("v"))).cache()
+    val vs = graft.Caches.register(vectors(spark, dir)
+      .withColumn("fv", array_to_vector(col("v"))).cache())
     val model = new KMeans().setK(k).setSeed(42)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(vs)
     val assigned = model.transform(vs)

@@ -17,8 +17,13 @@ object SourceQueries {
     StructField("lang", StringType),
     StructField("n_chars", LongType)))
 
+  /** Scratch path is per-JVM (graft.RunTag) so concurrent Verify runs at
+    * different scale factors can never interleave write/read on a shared
+    * layout — see RunTag's Scaladoc. */
+  private[graft] def q48Base: String = graft.RunTag.scratch("jsondoc")
+
   def q48Dsv2Source(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_jsondoc"
+    val base = q48Base
     documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
       .repartition(4) // several response files → several InputPartitions
       .write.mode("overwrite").json(base)

@@ -277,8 +277,9 @@ object TextAnalysis {
     * run over a 100 TB corpus against a few MB of eval data. */
   def q69Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     // cached: both the probe branch and the corpus branch read it, and
-    // tokenize+shingle is the expensive part of the query
-    val sh = graft.dedup.Dedup.shingles(spark, dir).cache()
+    // tokenize+shingle is the expensive part of the query; registered for
+    // harness-side unpersist (graft.Caches)
+    val sh = graft.Caches.register(graft.dedup.Dedup.shingles(spark, dir).cache())
     val probe = sh.where(pmod(col("doc_id"), lit(100)) === 0)
       .select(explode(col("shingles")).as("s")).distinct()
     sh.where(pmod(col("doc_id"), lit(100)) =!= 0)

@@ -138,14 +138,33 @@ class CaicPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p0.getAs[String]("fill") === "#4db748")
   }
 
-  test("output metadata conforms to the declared schema contract (task.ts:68-79)") {
+  test("output metadata conforms to the emitted schema contract (task.ts:158-166)") {
     val out = CaicPipeline.run(spark, areasJson, productsJson)
     val metaType = out.schema("properties").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]("metadata").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     // same field names, order, and types (nullability is parser-dependent)
     assert(metaType.fields.map(f => (f.name, f.dataType)).toSeq ===
-      CaicModel.outputSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+      CaicModel.outputMetadataType.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("introspection serves the DECLARED contract, every task.ts:69-78 field incl. rating") {
+    import org.apache.spark.sql.types._
+    // the reference's schema() response declares these 8 fields in this
+    // order — including `rating` (task.ts:74), which control() never
+    // populates; the introspection contract must advertise it anyway
+    assert(CaicModel.outputSchema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("forecaster", StringType),      // task.ts:70
+      ("issueDateTime", StringType),   // task.ts:71
+      ("expiryDateTime", StringType),  // task.ts:72
+      ("isTranslated", BooleanType),   // task.ts:73
+      ("rating", StringType),          // task.ts:74
+      ("ratingAbove", StringType),     // task.ts:75
+      ("ratingNear", StringType),      // task.ts:76
+      ("ratingBelow", StringType)))    // task.ts:77
+    // declared = emitted + the never-populated `rating` — no other drift
+    assert(CaicModel.declaredOutputMetadataType.fields.filterNot(_.name == "rating").toSeq ===
+      CaicModel.outputMetadataType.fields.toSeq)
   }
 
   test("null/missing day-0 band wins the min like JS indexOf(undefined) = -1") {

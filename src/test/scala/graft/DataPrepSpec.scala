@@ -78,4 +78,25 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s1 == s2) // same seed → same sample
   }
+
+  test("profile min/max text never uses scientific notation, at any magnitude") {
+    import org.apache.spark.sql.functions._
+    // the q72 float text path: DECIMAL(38,6) renders plain at >= 1e7
+    // where a raw double→string cast would render "1.0E7" (≠ DuckDB)
+    val rendered = spark.range(1).select(
+      when(lit(1.0e7) === 0.0, lit("0.000000"))
+        .otherwise(lit(1.0e7).cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("string")).as("big"),
+      when(lit(0.0) === 0.0, lit("0.000000"))
+        .otherwise(lit(0.0).cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("string")).as("zero"))
+      .head()
+    assert(rendered.getString(0) == "10000000.000000") // DuckDB prints the same
+    assert(rendered.getString(1) == "0.000000")        // not BigDecimal's "0E-6"
+    // and the real profile emits E-free text for the double column
+    val prof = ops.DataPrep.q72Profile(spark, dir)
+      .filter(col("col") === "o_totalprice").head()
+    for (i <- Seq(4, 5)) { // min_v, max_v
+      assert(!prof.getString(i).toUpperCase.contains("E"), s"sci notation: ${prof.getString(i)}")
+      assert(prof.getString(i).matches("-?\\d+\\.\\d{6}"), s"not plain: ${prof.getString(i)}")
+    }
+  }
 }

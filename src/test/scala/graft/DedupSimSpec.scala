@@ -99,4 +99,25 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == again.toSeq)
   }
+
+  test("hot-shingle cap bounds the Jaccard verifier; default cap is a no-op here") {
+    import spark.implicits._
+    // doc 3's only shingle "w1 w2 w3" appears in all three docs (df=3):
+    // under the default cap the (1,3)/(2,3) pairs score exactly 0.5;
+    // with cap=2 the ubiquitous shingle leaves both intersections AND
+    // sizes, so no pair survives — consistent, not under-counted
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotshingle").toString
+    Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w5"), (3L, "w1 w2 w3"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    def pairs = dedup.Dedup.q30NgramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 3L, 0.5), (2L, 3L, 0.5)))
+    spark.conf.set(dedup.Guards.ShingleDfConf, "2")
+    try assert(pairs.isEmpty)
+    finally spark.conf.unset(dedup.Guards.ShingleDfConf)
+    // on the real corpus the default cap changes nothing: no shingle can
+    // reach df=10000 in a corpus of < 10000 docs (structural no-op)
+    assert(Tables.documents(spark, dir).count() < dedup.Guards.DefaultShingleDf)
+  }
 }

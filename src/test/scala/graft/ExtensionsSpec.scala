@@ -54,6 +54,31 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(absCount >= 2, s"expected a guard per predicate, got $absCount:\n$p")
   }
 
+  test("literal-on-LHS forms are rewritten too (k >= lev, k > lev)") {
+    val base = Tables.part(spark, "/root/testdata/sf0.001")
+    for (pred <- Seq(lit(2) >= levenshtein(col("p_name"), lit("small ring")),
+        lit(3) > levenshtein(col("p_name"), lit("small ring")))) {
+      val df = base.filter(pred)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("abs(") && p.indexOf("abs(") < p.indexOf("levenshtein"),
+        s"literal-on-LHS form not guarded:\n$p")
+      // both forms mean lev <= 2; results must match the canonical form
+      assert(df.count() ==
+        base.filter(levenshtein(col("p_name"), lit("small ring")) <= 2).count())
+    }
+  }
+
+  test("a WEAKER hand-written guard does not suppress the tight one") {
+    // abs(...) <= 50 is a no-op guard next to lev <= 2: the rule must
+    // still add the <= 2 prefilter (and then hold at the fixed point)
+    val df = Tables.part(spark, "/root/testdata/sf0.001")
+      .filter(abs(length(col("p_name")) - length(lit("small ring"))) <= 50 &&
+        levenshtein(col("p_name"), lit("small ring")) <= 2)
+    val p = df.queryExecution.optimizedPlan.toString
+    val absCount = p.sliding("abs(".length).count(_ == "abs(")
+    assert(absCount >= 2, s"tight guard missing beside the weak one ($absCount):\n$p")
+  }
+
   test("rule is idempotent at the optimizer fixed point") {
     // a query whose condition already carries a length guard is untouched
     val df = Tables.part(spark, "/root/testdata/sf0.001")

@@ -122,6 +122,43 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("retry survives transient connect-level IOExceptions (throws twice, then succeeds)") {
+    var calls = 0
+    sinks.HttpSink.withRetry(maxRetries = 3, backoffMs = 1L) { () =>
+      calls += 1
+      if (calls <= 2) throw new java.io.IOException("connection reset")
+    }
+    assert(calls == 3)
+    // non-2xx (RetriableFailure) gets the same bounded backoff
+    var calls2 = 0
+    sinks.HttpSink.withRetry(maxRetries = 3, backoffMs = 1L) { () =>
+      calls2 += 1
+      if (calls2 <= 2) throw new sinks.HttpSink.RetriableFailure("HTTP 503")
+    }
+    assert(calls2 == 3)
+  }
+
+  test("retry stays bounded: a persistent failure propagates after maxRetries") {
+    var calls = 0
+    val e = intercept[java.io.IOException] {
+      sinks.HttpSink.withRetry(maxRetries = 2, backoffMs = 1L) { () =>
+        calls += 1
+        throw new java.io.IOException("connection refused")
+      }
+    }
+    assert(calls == 3) // initial attempt + 2 retries
+    assert(e.getMessage == "connection refused")
+    // a non-retriable failure (e.g. a bug) is never swallowed or retried
+    var calls2 = 0
+    intercept[IllegalArgumentException] {
+      sinks.HttpSink.withRetry(maxRetries = 2, backoffMs = 1L) { () =>
+        calls2 += 1
+        throw new IllegalArgumentException("bad body")
+      }
+    }
+    assert(calls2 == 1)
+  }
+
   test("HTTP sink posts bounded batches from executors, covering all rows") {
     val posted = SinkProbe.reset()
     val df = Tables.nation(spark, sfDir).repartition(3)

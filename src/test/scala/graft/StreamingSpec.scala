@@ -34,6 +34,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q.processAllAvailable() finally q.stop()
   }
 
+  test("rate streaming source drives a graft transform (§2B scans row)") {
+    // the literal `rate` format: generated (timestamp, value) rows mapped
+    // into the event shape and run through the same windowed aggregate
+    // the file/memory sources use — completing the §2B source-scan row
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+    val evs = rate.select(
+      col("timestamp").as("ts"),
+      concat(lit("t"), pmod(col("value"), lit(3))).as("event_type"),
+      col("value").cast("double").as("value"))
+    val q = Streaming.hourlyStats(evs).writeStream.format("memory")
+      .queryName("ratehourly").outputMode(OutputMode.Complete).start()
+    try {
+      // rate is unbounded — poll until the first aggregate lands
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        q.awaitTermination(250)
+        n = spark.table("ratehourly").count()
+      }
+      assert(n > 0, "rate source produced no aggregated rows within 30s")
+      val r = spark.table("ratehourly").orderBy("hour_start", "event_type").head()
+      assert(r.getAs[String]("event_type").startsWith("t"))
+      assert(r.getAs[Long]("n") > 0)
+    } finally q.stop()
+  }
+
   test("tumbling window + watermark (hourlyStats)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
