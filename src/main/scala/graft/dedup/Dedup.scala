@@ -32,9 +32,13 @@ object Guards {
     * the verifier robust even when someone deliberately raises the row
     * guard. Dropping is CONSISTENT — the shingle leaves both the
     * intersection counts and the set sizes — so pair scores remain exact
-    * Jaccard over the capped shingle sets. At the default (10k) and any
-    * tested scale factor no shingle reaches the cap, so the result (and
-    * the SQL oracle) is byte-identical to the uncapped form. */
+    * Jaccard over the capped shingle sets. The SQL oracles mirror the cap
+    * (at its DEFAULT value — `jaccardCtes` filters shingles with
+    * df > DefaultShingleDf), so Spark and DuckDB agree BY CONSTRUCTION
+    * even on a corpus where the cap engages; overriding ShingleDfConf
+    * away from the default is for specs that pin capped semantics
+    * directly, not for oracle runs. At the default (10k) no tested scale
+    * factor has a hot shingle, so the filter is identity there. */
   val ShingleDfConf = "spark.graft.jaccard.maxShingleDf"
   val DefaultShingleDf = 10000L
 
@@ -105,9 +109,13 @@ object Dedup {
     // hot-shingle cap (Guards.ShingleDfConf): shingles in > cap docs are
     // dropped from BOTH intersections and sizes, so scores stay exact
     // Jaccard over the capped sets; a df² blowup from one ubiquitous
-    // shingle is impossible. The hot set is tiny by construction (only
-    // shingles beyond the cap) → broadcast anti-join, no extra shuffle
-    // of the big side.
+    // shingle is impossible. Engaging the cap is not free: it costs one
+    // extra aggregation over the exploded shingle set (the df counts —
+    // shuffle volume = the distinct-shingle set) plus a shuffled left
+    // join for the size subtraction; both are linear, which is the point
+    // — the cap trades bounded linear work for an unbounded quadratic
+    // term. Only `hot` itself (shingles beyond the cap — tiny by
+    // construction) is broadcast.
     val cap = Guards.shingleDfCap(spark)
     // df <= nDocs always, so when the corpus is smaller than the cap the
     // filter is PROVABLY identity — skip its df aggregation entirely.
@@ -120,13 +128,17 @@ object Dedup {
         .where(col("df") > cap).select(col("s"))
       val kept = e0.join(broadcast(hot), Seq("s"), "left_anti")
       // capped set sizes WITHOUT re-shuffling the full explode: the total
-      // is map-side (array length); only the hot-matching subset — tiny
-      // by construction — shuffles to be subtracted per doc
+      // is map-side (array length); only the hot-matching subset shuffles
+      // to be subtracted per doc. hotPerDoc is NOT broadcast: it has one
+      // row per document containing any hot shingle, which in the
+      // adversarial case the cap exists for (boilerplate in every doc)
+      // approaches corpus size — a plain shuffled left join on doc_id is
+      // bounded, and sizes shuffles on doc_id for the pair join anyway.
       val hotPerDoc = e0.join(broadcast(hot), Seq("s"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
       (kept,
         sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_all"))
-          .join(broadcast(hotPerDoc), Seq("doc_id"), "left")
+          .join(hotPerDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), (col("n_all") - coalesce(col("n_hot"), lit(0L))).as("n")))
     }
     val pairs = e.as("a").join(e.as("b"),
@@ -147,17 +159,41 @@ object Dedup {
   def q30NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
-  /** The five shingle/pair/size CTEs shared verbatim by the q30 and q65
-    * oracles — one definition so the two can never silently diverge on
-    * what a duplicate pair is. */
+  /** The shingle/pair/size CTEs shared verbatim by the q30/q65/q77
+    * oracles — one definition so they can never silently diverge on what
+    * a duplicate pair is. Mirrors the hot-shingle df cap at its DEFAULT
+    * value (`hot`/`e` below): Spark's capped branch and the oracle drop
+    * the same shingles by construction. When no shingle exceeds the cap
+    * (every tested scale factor) the filter is provably identity — df <=
+    * nDocs — exactly matching Spark's skip of the capped branch. Sizes
+    * count kept shingles per doc; a doc whose shingles are ALL hot drops
+    * from `sizes`, which is harmless: with no kept shingles it cannot
+    * appear in `pair` either. */
   private val jaccardCtes: String =
     "w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
-      "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      "e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      s"hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > ${Guards.DefaultShingleDf}), " +
+      "e AS (SELECT doc_id, s FROM e0 WHERE s NOT IN (SELECT s FROM hot)), " +
       "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
       "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh)"
+      "sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id)"
+
+  /** Duplicate-cluster CTEs shared by the q65 and q77 oracles: near-dup
+    * pairs → undirected edges → recursive reachability → component-min
+    * labels (`clus`: one row per clustered vertex). Declared directly
+    * after `jaccardCtes` — vals initialize in declaration order, and a
+    * forward reference would silently interpolate null into the SQL. */
+  private val clusterCtes: String =
+    s"$jaccardCtes, " +
+      "dup AS (SELECT id_a, id_b FROM pair " +
+      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
+      "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5), " +
+      "edges AS (SELECT id_a AS u, id_b AS v FROM dup UNION ALL SELECT id_b AS u, id_a AS v FROM dup), " +
+      "reach(u, v) AS (SELECT DISTINCT u, u AS v FROM edges " +
+      "UNION SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u), " +
+      "clus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)"
 
   /** Duplicate CLUSTERS from near-dup pairs: dedup doesn't end at pairs —
     * picking one canonical doc per duplicate *group* requires the
@@ -168,15 +204,30 @@ object Dedup {
     * — dup clusters are shallow, so this is 2-4 rounds in practice. The
     * driver coordinates only the loop/convergence test (one count per
     * round), like the IVF k-means fit; all data work is joins/aggregates
-    * on (edge, label) tables. At extreme component sizes the same loop
-    * upgrades to the large-star/small-star contraction (O(log n) rounds)
-    * without changing the surrounding dataflow. Cluster id = min doc_id
+    * on (edge, label) tables. At extreme component sizes the same
+    * pair-in/labels-out contract is served by `starContractClusters`
+    * (O(log n) rounds — wired into q78, property-tested equal to this
+    * loop). Cluster id = min doc_id
     * of the component — deterministic, so the DuckDB recursive-CTE
     * oracle hash-matches exactly. */
   def q65DupClusters(spark: SparkSession, dir: String): DataFrame =
     minLabelClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
       .toDF("doc_id", "cluster_id")
       .orderBy(col("doc_id"))
+
+  /** Logical-lineage truncation for iterative loops: view an
+    * already-cached round result as a fresh scan (RDD-backed), so the
+    * NEXT round's plan references a constant-size leaf instead of the
+    * whole history. Without this the logical plan multiplies every round
+    * (each round's dataflow references the previous result 3-8 times),
+    * and by round ~10 a single analyze/explain pass is exponential —
+    * caching alone truncates physical execution, not the logical tree.
+    * On a real cluster the same role is played by `checkpoint()` to
+    * reliable storage (survives executor loss); the RDD round-trip here
+    * is the local, zero-infrastructure equivalent. The input MUST be
+    * cached and stay cached while the view is in use. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** Connected components of an undirected pair graph by min-label
     * propagation: (vertex, component-min-vertex) rows. `maxRounds` is a
@@ -194,52 +245,196 @@ object Dedup {
     val p = pairs.cache()
     val edges = p.union(p.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("v")).distinct()
+    var labelsC = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
+    var labels = truncateLineage(labelsC)
     var changed = 1L
     var round = 0
     while (changed > 0) {
       if (round >= maxRounds) {
-        Seq(labels, edges, p).foreach(_.unpersist())
+        Seq(labelsC, edges, p).foreach(_.unpersist())
         throw new IllegalStateException(
           s"minLabelClusters did not converge within maxRounds=$maxRounds " +
             "rounds (component diameter exceeds the bound); raise maxRounds " +
-            "deliberately or switch to large-star/small-star contraction " +
-            "for graphs this deep")
+            "deliberately or switch to starContractClusters (large-star/" +
+            "small-star contraction) for graphs this deep")
       }
       round += 1
       val prop = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
       // change detection rides in the same projection — one job per round
       // (materialize next + count improvements), not a second self-join
-      val next = labels.join(prop, col("v") === col("src"), "left")
+      val nextC = labels.join(prop, col("v") === col("src"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
           (col("nbr_min") < col("lbl")).as("chg"))
         .select(col("v"), col("new_lbl").as("lbl"), col("chg"))
-        // materialized per round: truncates the iterative lineage the same
-        // way checkpointing would on a cluster
         .cache()
-      changed = next.filter(col("chg")).count()
-      labels.unpersist()
-      labels = next
+      changed = nextC.filter(col("chg")).count()
+      labelsC.unpersist()
+      labelsC = nextC
+      labels = truncateLineage(nextC)
     }
     // everything below the converged label cache is no longer needed
     edges.unpersist()
     p.unpersist()
-    graft.Caches.register(labels)
+    graft.Caches.register(labelsC)
     labels.select(col("v"), col("lbl"))
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction — the deep-graph upgrade path `minLabelClusters`
+    * promises, behind the same (pairs, maxRounds) → (v, lbl) contract.
+    * Public algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): each round every vertex attaches
+    * its larger neighbors (large-star) then its smaller neighbors plus
+    * itself (small-star) to the minimum of its closed neighborhood.
+    * Converges in O(log n) rounds regardless of component DIAMETER —
+    * min-label propagation needs O(diameter) rounds, so a path-shaped
+    * component of depth 1000 takes 1000 label rounds but ~10 contraction
+    * rounds. At the fixpoint every component is a star centered on its
+    * minimum vertex, so labels read directly off the edge set. All data
+    * work is joins/aggregates on the (shrinking) edge set; the driver
+    * holds only the per-round convergence counts. */
+  def starContractClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // cache the PAIRS: the vertex union reads them twice and the edge
+    // projection once, and upstream pair generation (LSH candidates +
+    // verification in the q78 chain) is the expensive part
+    val p = pairs.toDF("pa", "pb").where(col("pa") =!= col("pb")).cache()
+    val verts = p.select(col("pa").as("vid")).union(p.select(col("pb").as("vid")))
+      .distinct().cache()
+    // canonical undirected orientation: u = larger endpoint, v = smaller
+    var edgesC = p.select(greatest(col("pa"), col("pb")).as("u"),
+        least(col("pa"), col("pb")).as("v"))
+      .distinct().cache()
+    var edges = truncateLineage(edgesC)
+    var nEdges = edgesC.count()
+    // materialize verts while p is still cached — it is only read again
+    // by the final labels join, after p is gone
+    verts.count()
+    p.unpersist()
+
+    // large-star: attach every strictly-larger neighbor of each vertex to
+    // the min of its closed neighborhood. Output keeps the u > v
+    // orientation invariant (emitted (v', m) has v' > u >= m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      s.join(mins, col("u") === col("c"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: attach every smaller neighbor (and the vertex itself)
+    // to the min of the closed neighborhood. With the u > v orientation,
+    // the rows grouped by u ARE exactly the smaller neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn")) // mn < u
+      e.join(mins.select(col("u").as("c"), col("mn")), col("u") === col("c"))
+        .select(col("v").as("x"), col("mn").as("m"))
+        .union(mins.select(col("u").as("x"), col("mn").as("m")))
+        .where(col("x") =!= col("m"))
+        .select(greatest(col("x"), col("m")).as("u"), least(col("x"), col("m")).as("v"))
+        .distinct()
+    }
+
+    // converged ⟺ the edge set is a fixpoint of BOTH operations (then
+    // every component is a star centered at its min). Set equality =
+    // equal cardinality + empty difference (both sides are distinct).
+    // Per round only the COMPOSITION is tested (2 jobs); the individual
+    // large-star fixpoint — needed to rule out a composition that maps e
+    // back to itself through two non-trivial steps — is confirmed once,
+    // on the candidate final round. Every job is a cluster-wide barrier
+    // at scale, so rounds are kept at the minimum job count.
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds) {
+        Seq(edgesC, verts).foreach(_.unpersist())
+        throw new IllegalStateException(
+          s"starContractClusters did not converge within maxRounds=$maxRounds rounds")
+      }
+      round += 1
+      val lC = largeStar(edges).cache()
+      val l = truncateLineage(lC)
+      val nextC = smallStar(l).cache()
+      val next = truncateLineage(nextC)
+      val nNext = nextC.count() // materializes nextC (and lC en route)
+      val compFixed = nNext == nEdges && next.except(edges).isEmpty
+      converged = compFixed && lC.count() == nEdges && l.except(edges).isEmpty
+      lC.unpersist()
+      edgesC.unpersist()
+      edgesC = nextC
+      edges = next
+      nEdges = nNext
+    }
+    // star edges are (leaf, center); centers never appear on the u side
+    val labels = verts
+      .join(edges.select(col("u").as("lv"), col("v").as("lc")),
+        col("vid") === col("lv"), "left")
+      .select(col("vid").as("v"), coalesce(col("lc"), col("vid")).as("lbl"))
+    graft.Caches.register(edgesC)
+    graft.Caches.register(verts)
+    labels
+  }
+
+  /** Canonical keep-list — the end of the dedup chain a training-data
+    * pipeline actually runs (the reference analogue is the last-wins
+    * dedup ending in a kept row set, task.ts:97-100): cluster the
+    * near-dup pairs, keeper = cluster min doc_id, every unclustered doc
+    * keeps itself. One row per corpus document: (doc_id, keep_id);
+    * kept ⟺ doc_id = keep_id. The cluster table is one row per
+    * CLUSTERED vertex (usually a small fraction of the corpus), so the
+    * left join broadcasts or shuffles on doc_id as AQE sizes it. */
+  def keepList(docs: DataFrame, pairs: DataFrame,
+      clusterFn: DataFrame => DataFrame = minLabelClusters(_)): DataFrame = {
+    val clusters = clusterFn(pairs).toDF("cv", "cluster_id")
+    docs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("cv"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("keep_id"))
+  }
+
+  /** The deduped corpus itself: drop every clustered doc that is not its
+    * cluster's keeper. The corpus only anti-joins on doc_id (no wide
+    * shuffle); the drop-list side is the clustered subset. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame,
+      clusterFn: DataFrame => DataFrame = minLabelClusters(_)): DataFrame = {
+    val dropped = clusterFn(pairs).toDF("dv", "lbl")
+      .where(col("dv") =!= col("lbl")).select(col("dv").as("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact-pair-fed keep-list over the full corpus — oracle-checked
+    * against the recursive-CTE cluster oracle left-joined to documents. */
+  def q77KeepList(spark: SparkSession, dir: String): DataFrame =
+    keepList(documents(spark, dir),
+        jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("doc_id"))
+
+  val q77Sql: String =
+    s"WITH RECURSIVE $clusterCtes " +
+      "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS keep_id " +
+      "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
+
+  /** The production 100 TB chain end-to-end: MinHash-LSH candidate pairs
+    * (q31) → large-star/small-star clustering → anti-join the corpus.
+    * Hash-seed specific (LSH) → rows-only at the driver; DedupSimSpec
+    * bounds it against the exact-fed chain (dropped-set recall + subset)
+    * and pins star-contraction ≡ min-label on the same pairs. The fp
+    * column proves WHICH rows survived, not just how many. */
+  def q78DedupCorpusLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupedCorpus(documents(spark, dir),
+        q31MinhashLsh(spark, dir).select(col("id_a"), col("id_b")),
+        starContractClusters(_))
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+      .orderBy(col("doc_id"))
+
   val q65Sql: String =
-    s"WITH RECURSIVE $jaccardCtes, " +
-      "dup AS (SELECT id_a, id_b FROM pair " +
-      "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
-      "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5), " +
-      "edges AS (SELECT id_a AS u, id_b AS v FROM dup UNION ALL SELECT id_b AS u, id_a AS v FROM dup), " +
-      "reach(u, v) AS (SELECT DISTINCT u, u AS v FROM edges " +
-      "UNION SELECT e2.u, r.v FROM edges e2 JOIN reach r ON e2.v = r.u) " +
-      "SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"
+    s"WITH RECURSIVE $clusterCtes " +
+      "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"
 
   val q30Sql: String =
     s"WITH $jaccardCtes " +
@@ -339,12 +534,15 @@ object Dedup {
     "q30_ngram_jaccard" -> q30NgramJaccard _,
     "q65_dup_clusters" -> q65DupClusters _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
-    "q32_simhash" -> q32Simhash _
+    "q32_simhash" -> q32Simhash _,
+    "q77_dedup_keeplist" -> q77KeepList _,
+    "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _
   )
 
   val oracle: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
-    "q65_dup_clusters" -> q65Sql
+    "q65_dup_clusters" -> q65Sql,
+    "q77_dedup_keeplist" -> q77Sql
   )
 }

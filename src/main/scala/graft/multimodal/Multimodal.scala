@@ -19,11 +19,13 @@ case class MediaFeature(doc_id: Long, n_bytes: Long, width: Long, height: Long)
   * batch UDFs: one decoder instantiation per partition, rows streamed
   * through it).
   *
-  * The actual codec is a STUB — this container has no image/audio libs —
-  * but it is a *deterministic* stub, so the surrounding plumbing (schema,
-  * binary encoding, partitioning, batch shape) is real and oracle-checked:
+  * Two codecs sit behind the injection seam: [[Multimodal.ImageIOCodec]]
+  * is a REAL image decoder/resizer on the JDK's `javax.imageio` (spec'd
+  * on real PNG bytes), and [[Multimodal.FakeCodec]] is a *deterministic*
+  * stub that stays the driver-facing default so the surrounding plumbing
+  * (schema, binary encoding, partitioning, batch shape) is oracle-checked:
   * the DuckDB oracle recomputes the same deterministic features from the
-  * source column.
+  * source column (it cannot decode images).
   */
 object Multimodal {
 
@@ -36,10 +38,49 @@ object Multimodal {
     def resize(bytes: Array[Byte], target: Int = 256): Array[Byte]
   }
 
-  /** STUB codec (the default): stands in for an image decoder
-    * (???-equivalent — this container has no image libs). Emits
-    * deterministic pseudo-dimensions derived from the payload length so
-    * the pipeline around it is verifiable end-to-end. */
+  /** REAL image codec backed by `javax.imageio` (JDK java.desktop — zero
+    * extra dependencies): decodes PNG/BMP/GIF/JPEG bytes to true
+    * width/height/channels, and resizes by drawing onto a scaled
+    * canvas (longest side <= target, aspect preserved) re-encoded as
+    * PNG. Drop-in for any query taking a `MediaCodec`; `FakeCodec`
+    * stays the default so driver-facing outputs remain derivable by the
+    * DuckDB oracle (which cannot decode images). MultimodalSpec runs the
+    * q36 pipeline with this codec over real in-test PNG bytes. */
+  object ImageIOCodec extends MediaCodec {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+      img
+    }
+
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val img = read(bytes)
+      DecodedMedia(img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+
+    def resize(bytes: Array[Byte], target: Int): Array[Byte] = {
+      val img = read(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0, target.toDouble / math.max(w, h))
+      val (nw, nh) = (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
+      val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** STUB codec (the default): emits deterministic pseudo-dimensions
+    * derived from the payload length so the pipeline around it is
+    * verifiable end-to-end by the DuckDB oracle, which can recompute
+    * length-derived features but cannot decode an image. For real image
+    * payloads use [[ImageIOCodec]]. */
   object FakeCodec extends MediaCodec {
     def decode(bytes: Array[Byte]): DecodedMedia =
       DecodedMedia(
@@ -69,12 +110,13 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       lit("application/octet-stream").as("mime"))
 
-  /** Decode + feature-extract over the binary column, partition-local.
-    * `codec` is the injection seam (default: the labeled stub). */
-  def q36MediaFeatures(spark: SparkSession, dir: String,
-      codec: MediaCodec = FakeCodec): DataFrame = {
-    import spark.implicits._
-    val ds = mediaTable(spark, dir).as[MediaRecord]
+  /** Decode + feature-extract over any media Dataset, partition-local —
+    * the operator itself, independent of which table feeds it and which
+    * codec decodes it (q36 below binds the documents-derived table +
+    * default codec; MultimodalSpec binds real PNG bytes + ImageIOCodec). */
+  def mediaFeatures(ds: org.apache.spark.sql.Dataset[MediaRecord],
+      codec: MediaCodec): DataFrame = {
+    import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // one codec reference per partition — mirrors per-batch decoder init
       it.map { r =>
@@ -82,6 +124,14 @@ object Multimodal {
         MediaFeature(r.doc_id, r.media.length.toLong, d.width.toLong, d.height.toLong)
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Decode + feature-extract over the binary column, partition-local.
+    * `codec` is the injection seam (default: the labeled stub). */
+  def q36MediaFeatures(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    mediaFeatures(mediaTable(spark, dir).as[MediaRecord], codec)
   }
 
   // strlen() in DuckDB is byte length, matching Array[Byte].length on

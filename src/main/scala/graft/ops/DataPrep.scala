@@ -110,7 +110,11 @@ object DataPrep {
     // "10000000.0" in DuckDB. Floating columns go through DECIMAL(38,6)
     // (both engines round the exact binary value half-away-from-zero and
     // print plain notation at any magnitude); exact zero is special-cased
-    // because BigDecimal(0, scale 6) prints "0E-6".
+    // because BigDecimal(0, scale 6) prints "0E-6". Known edge: |v| >=
+    // 1e32 exceeds DECIMAL(38,6) — Spark (non-ANSI cast) yields NULL
+    // where DuckDB errors; none of the profiled columns can reach that
+    // magnitude, but profiling arbitrary doubles would need a magnitude
+    // guard or format_number-style rendering here.
     def asText(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
       types(name) match {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>

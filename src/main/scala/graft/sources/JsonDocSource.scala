@@ -143,33 +143,48 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
 /** Streaming form of the same source (SURVEY.md §2B scans row:
   * "TableProvider + MicroBatchStream"): the endpoint directory is an
   * append-only log of response bodies — each poll that finds new files
-  * turns exactly those files into the next micro-batch. The offset is the
-  * count of files already consumed (files sort by name; writers append
-  * with later names), so restart-from-checkpoint replays any files past
-  * the committed count. Pushdown/pruning from the shared ScanBuilder
-  * applies to every micro-batch identically to the batch path. */
-private[sources] case class FileCountOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+  * turns exactly those files into the next micro-batch. The offset is a
+  * HIGH-WATERMARK FILE NAME — the lexicographically greatest name already
+  * consumed ("" = nothing consumed); writers append with names sorting
+  * after earlier batches, and a batch is exactly the files with
+  * watermark < name <= end. Identifying consumed files by NAME (not by
+  * position in the current listing, as a file-count offset would) means
+  * deleting or renaming an already-consumed file can never shift which
+  * files replay after a restart: replay is driven by the committed name
+  * alone. Pushdown/pruning from the shared ScanBuilder applies to every
+  * micro-batch identically to the batch path. */
+private[sources] case class FileNameOffset(name: String) extends Offset {
+  override def json(): String = name
 }
 
 private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     path: String, filters: Array[Filter]) extends MicroBatchStream {
 
-  private def files(): Array[String] = {
+  private def files(): Array[java.io.File] = {
     val fs = new java.io.File(path).listFiles()
     if (fs == null) Array.empty
     else fs.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .map(_.getAbsolutePath).sorted
+      .sortBy(_.getName)
   }
 
-  override def initialOffset(): Offset = FileCountOffset(0)
-  override def latestOffset(): Offset = FileCountOffset(files().length)
-  override def deserializeOffset(json: String): Offset = FileCountOffset(json.trim.toInt)
+  /** The watermark must never regress: if the greatest-named file is
+    * deleted while earlier consumed files remain, a fresh listing's max
+    * would move backwards and re-admit those earlier names. */
+  private var hwm: String = ""
+
+  override def initialOffset(): Offset = FileNameOffset("")
+  override def latestOffset(): Offset = {
+    val fs = files()
+    if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
+    FileNameOffset(hwm)
+  }
+  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
-    files().slice(s, e).map(f => JsonDocPartition(f): InputPartition)
+    val s = start.asInstanceOf[FileNameOffset].name
+    val e = end.asInstanceOf[FileNameOffset].name
+    files().filter(f => f.getName > s && f.getName <= e)
+      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -17,9 +17,9 @@ private case class SessionState(n: Long, start: Long, end: Long, sum: Double)
   *
   * Every transform below is `DataFrame → DataFrame` so the identical logic
   * runs over `readStream` (incremental, stateful) and `read` (batch) —
-  * StreamingParitySpec asserts the two agree on the events table, which is
-  * the property that matters when the same pipeline must serve both a
-  * backfill over 100 TB of parquet and a live micro-batch feed.
+  * StreamingSpec's parity cases assert the two agree on the events table,
+  * which is the property that matters when the same pipeline must serve
+  * both a backfill over 100 TB of parquet and a live micro-batch feed.
   *
   * Scale notes: all stateful ops key their state by the shuffle key
   * (window/user_id), so state is partition-local and scales with keys, not

@@ -114,10 +114,96 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs == Set((1L, 3L, 0.5), (2L, 3L, 0.5)))
     spark.conf.set(dedup.Guards.ShingleDfConf, "2")
-    try assert(pairs.isEmpty)
-    finally spark.conf.unset(dedup.Guards.ShingleDfConf)
+    try {
+      assert(pairs.isEmpty)
+      // only `hot` itself (tiny by construction) may carry an explicit
+      // broadcast hint. hotPerDoc — one row per doc containing ANY hot
+      // shingle, corpus-sized in exactly the adversarial case the cap
+      // exists for — must join unhinted so it can shuffle. (The self-
+      // join duplicates hint subtrees in the analyzed tree, so assert on
+      // each hint's OUTPUT, not on a node count.)
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      val hints = dedup.Dedup.jaccardPairs(spark, tmp).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }
+      assert(hints.nonEmpty, "capped branch should hint-broadcast hot")
+      hints.foreach { h =>
+        val out = h.output.map(_.name)
+        assert(out == Seq("s"), s"unexpected broadcast hint over columns $out")
+      }
+    } finally {
+      spark.conf.unset(dedup.Guards.ShingleDfConf)
+      Caches.drain()
+    }
     // on the real corpus the default cap changes nothing: no shingle can
     // reach df=10000 in a corpus of < 10000 docs (structural no-op)
     assert(Tables.documents(spark, dir).count() < dedup.Guards.DefaultShingleDf)
+  }
+
+  test("keep-list keepers are exactly the deduped corpus (exact-fed chain)") {
+    import org.apache.spark.sql.functions.col
+    val keep = dedup.Dedup.q77KeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    Caches.drain()
+    val kept = keep.filter { case (d, k) => d == k }.map(_._1).toSet
+    val corpus = dedup.Dedup.dedupedCorpus(Tables.documents(spark, dir),
+        dedup.Dedup.jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Caches.drain()
+    // the two ends of the chain agree row-for-row
+    assert(kept == corpus)
+    // the chain really drops documents at this scale factor
+    assert(keep.length > kept.size, s"nothing dropped out of ${keep.length} docs")
+    // every dropped doc's keeper is itself kept and is the cluster min
+    keep.filter { case (d, k) => d != k }.foreach { case (d, k) =>
+      assert(kept.contains(k) && k < d, s"doc $d -> keeper $k")
+    }
+  }
+
+  test("LSH+star-contraction production chain tracks the exact-fed chain") {
+    val allDocs = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val exactDropped = dedup.Dedup.q77KeepList(spark, dir).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    Caches.drain()
+    val lshKept = dedup.Dedup.q78DedupCorpusLsh(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    Caches.drain()
+    val lshDropped = allDocs -- lshKept
+    // LSH pairs are a verified subset of the exact pairs, so LSH clusters
+    // refine exact clusters: anything the production chain drops, the
+    // exact chain drops too (no false drops — the safety property)
+    assert(lshDropped.subsetOf(exactDropped),
+      s"falsely dropped: ${lshDropped -- exactDropped}")
+    // and it finds nearly all of them (recall, from LSH pair recall >= 0.9)
+    assert(exactDropped.nonEmpty)
+    val recall = lshDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.9, s"dropped-set recall $recall (${lshDropped.size}/${exactDropped.size})")
+  }
+
+  test("star contraction equals min-label propagation; converges on deep paths") {
+    import spark.implicits._
+    // random graphs (fixed seed): identical component labelings
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val pairs = Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val viaLabels = dedup.Dedup.minLabelClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStars = dedup.Dedup.starContractClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaLabels == viaStars, s"trial $trial")
+      Caches.drain()
+    }
+    // a path graph of depth 119: min-label needs one round per hop and
+    // trips its round guard; contraction closes it in O(log n) rounds
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = dedup.Dedup.starContractClusters(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 120 && star.forall(_._2 == 0L))
+    Caches.drain()
+    intercept[IllegalStateException] {
+      dedup.Dedup.minLabelClusters(path, maxRounds = 10).collect()
+    }
+    Caches.drain()
   }
 }

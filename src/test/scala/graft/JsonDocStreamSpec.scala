@@ -54,4 +54,33 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(after2.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("deleting an already-consumed file does not shift later batches (name-watermark offsets)") {
+    val dir = Files.createTempDirectory("graft_stream_del").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_stream_del_ckpt").toFile.getAbsolutePath
+    writeFile(dir, "b0.json", Seq("""{"doc_id": 1, "lang": "en", "n_chars": 100}"""))
+
+    val stream = spark.readStream.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema)
+      .option("path", dir).load()
+
+    val q = stream.writeStream.format("memory")
+      .queryName("jsondoc_del_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsondoc_del_sink").collect().map(_.getLong(0)).toSet == Set(1L))
+
+      // a count-based offset (committed = 1 file) would now replay from
+      // position 1 of the shifted listing: b1 would be silently skipped
+      Files.delete(Paths.get(dir, "b0.json"))
+      writeFile(dir, "b1.json", Seq("""{"doc_id": 2, "lang": "de", "n_chars": 200}"""))
+      writeFile(dir, "b2.json", Seq("""{"doc_id": 3, "lang": "fr", "n_chars": 300}"""))
+      q.processAllAvailable()
+      // exactly the new files — nothing skipped, nothing replayed
+      assert(spark.table("jsondoc_del_sink").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }

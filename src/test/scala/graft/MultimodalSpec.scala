@@ -51,6 +51,42 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** PNG bytes of a w×h image, generated with the same JDK encoder any
+    * user could run — no fixture files, no external libs. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("ImageIOCodec decodes real PNG bytes through the q36 pipeline (true dimensions)") {
+    import spark.implicits._
+    val media = Seq(
+      graft.multimodal.MediaRecord(1L, pngBytes(20, 10), "image/png"),
+      graft.multimodal.MediaRecord(2L, pngBytes(3, 48), "image/png"))
+      .toDS().repartition(2)
+    val rows = Multimodal.mediaFeatures(media, Multimodal.ImageIOCodec).collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("width"), r.getAs[Long]("height"))).toSeq
+      == Seq((1L, 20L, 10L), (2L, 3L, 48L)))
+    // n_bytes is the encoded payload, not the pixel count
+    assert(rows.forall(r => r.getAs[Long]("n_bytes") > 0))
+  }
+
+  test("ImageIOCodec resize bounds the longest side and preserves aspect ratio") {
+    val in = pngBytes(64, 16)
+    val out = Multimodal.ImageIOCodec.resize(in, target = 32)
+    val d = Multimodal.ImageIOCodec.decode(out)
+    assert((d.width, d.height) == (32, 8)) // 64x16 scaled by 0.5
+    assert(d.channels == 3)
+    // an image already within bounds is not upscaled
+    val same = Multimodal.ImageIOCodec.decode(Multimodal.ImageIOCodec.resize(pngBytes(5, 4), 32))
+    assert((same.width, same.height) == (5, 4))
+    // undecodable payloads fail loudly, not silently
+    intercept[IllegalArgumentException](Multimodal.ImageIOCodec.decode(Array[Byte](1, 2, 3)))
+  }
+
   test("an injected codec flows through resize (q67) without query changes") {
     val rows = Multimodal.q67MediaResize(spark, dir, AltCodec)
       .filter(col("out_len") > 0).limit(10).collect()
