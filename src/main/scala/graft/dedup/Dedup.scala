@@ -245,8 +245,13 @@ object Dedup {
     val p = pairs.cache()
     val edges = p.union(p.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
-    var labelsC = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
+    // round 1 fused into initialization: with lbl(v)=v, the first
+    // propagation is just least(v, min neighbor) — one aggregation over
+    // the edge list, same shuffle the identity-label distinct() would
+    // cost, one fewer join round in the loop. (Every vertex appears as
+    // src: edges are symmetrized.)
+    var labelsC = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("v"), least(col("src"), col("mn")).as("lbl")).cache()
     var labels = truncateLineage(labelsC)
     var changed = 1L
     var round = 0

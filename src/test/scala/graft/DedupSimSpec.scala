@@ -180,6 +180,20 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"dropped-set recall $recall (${lshDropped.size}/${exactDropped.size})")
   }
 
+  test("empty pair set: keep-list is the identity, the corpus passes through") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val docs = Tables.documents(spark, dir)
+    val keep = dedup.Dedup.keepList(docs, noPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(keep.nonEmpty && keep.forall { case (d, k) => d == k })
+    assert(dedup.Dedup.dedupedCorpus(docs, noPairs).count() == docs.count())
+    // both cluster algorithms yield empty labelings on an empty graph
+    assert(dedup.Dedup.minLabelClusters(noPairs).isEmpty)
+    assert(dedup.Dedup.starContractClusters(noPairs).isEmpty)
+    Caches.drain()
+  }
+
   test("star contraction equals min-label propagation; converges on deep paths") {
     import spark.implicits._
     // random graphs (fixed seed): identical component labelings
