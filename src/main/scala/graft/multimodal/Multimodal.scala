@@ -48,7 +48,17 @@ object Multimodal {
     * q36 pipeline with this codec over real in-test PNG bytes. */
   object ImageIOCodec extends MediaCodec {
     private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // ImageIO's default stream cache spools to executor-local temp
+      // FILES per decode — pure churn when the payload is already an
+      // in-memory byte array. MemoryCacheImageInputStream keeps the
+      // whole decode off disk without touching the process-global
+      // ImageIO.setUseCache flag.
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read closes the stream itself; the guard only covers the
+      // no-registered-reader path (where it stays open)
+      val img = try javax.imageio.ImageIO.read(in)
+      finally try in.close() catch { case _: java.io.IOException => () }
       require(img != null, s"undecodable image payload (${bytes.length} bytes)")
       img
     }

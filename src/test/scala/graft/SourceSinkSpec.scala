@@ -96,6 +96,24 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ORC roundtrip preserves schema and values (columnar alternative to parquet)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").orc(s"$dir/nation.orc")
+    val back = spark.read.orc(s"$dir/nation.orc")
+    // ORC carries the schema (names + types) in the file footer
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    // predicate pushdown reaches the ORC scan like it does for parquet
+    val plan = back.filter(col("n_nationkey") < 5).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)]"),
+      s"no pushed filters in:\n$plan")
+  }
+
   test("schema with a type the reader can't materialize is rejected at the source") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
