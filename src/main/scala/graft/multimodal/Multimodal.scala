@@ -163,6 +163,10 @@ object Multimodal {
     val stride = 128
     mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // JDK HexFormat: bulk, allocation-light lowercase hex — a
+      // per-byte "%02x".format builds a Formatter PER BYTE, which is
+      // the kind of constant-factor waste that owns a 100 TB scan
+      val hex = java.util.HexFormat.of()
       it.map { r =>
         val n = r.media.length
         val frames = if (n >= frameLen) ((n - frameLen) / stride) + 1L else 0L
@@ -173,9 +177,8 @@ object Multimodal {
         // diverge the moment a multibyte char straddles the boundary
         val firstMd5 = if (frames > 0) {
           md.reset()
-          val hexFrame = java.util.Arrays.copyOfRange(r.media, 0, frameLen)
-            .map("%02x".format(_)).mkString
-          md.digest(hexFrame.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val hexFrame = hex.formatHex(r.media, 0, frameLen)
+          hex.formatHex(md.digest(hexFrame.getBytes("UTF-8")))
         } else null
         (r.doc_id, frames, firstMd5)
       }
@@ -199,12 +202,13 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = java.util.HexFormat.of() // see q50: bulk lowercase hex
       it.map { r =>
         val out = codec.resize(r.media, 256)
         md.reset()
-        val hexOut = out.map("%02x".format(_)).mkString
+        val hexOut = hex.formatHex(out)
         (r.doc_id, out.length.toLong,
-          md.digest(hexOut.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+          hex.formatHex(md.digest(hexOut.getBytes("UTF-8"))))
       }
     }.toDF("doc_id", "out_len", "resize_md5").orderBy(col("doc_id"))
   }
