@@ -255,30 +255,39 @@ object Dedup {
     var labels = truncateLineage(labelsC)
     var changed = 1L
     var round = 0
-    while (changed > 0) {
-      if (round >= maxRounds) {
-        Seq(labelsC, edges, p).foreach(_.unpersist())
-        throw new IllegalStateException(
-          s"minLabelClusters did not converge within maxRounds=$maxRounds " +
-            "rounds (component diameter exceeds the bound); raise maxRounds " +
-            "deliberately or switch to starContractClusters (large-star/" +
-            "small-star contraction) for graphs this deep")
+    // failure path (job error mid-round, maxRounds trip) drops every
+    // live cache before propagating — they are unregistered (round
+    // turnover), so the harness's Caches.drain() cannot reach a leak
+    try {
+      while (changed > 0) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"minLabelClusters did not converge within maxRounds=$maxRounds " +
+              "rounds (component diameter exceeds the bound); raise maxRounds " +
+              "deliberately or switch to starContractClusters (large-star/" +
+              "small-star contraction) for graphs this deep")
+        round += 1
+        val prop = edges.join(labels, col("dst") === col("v"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
+        // change detection rides in the same projection — one job per round
+        // (materialize next + count improvements), not a second self-join
+        val nextC = labels.join(prop, col("v") === col("src"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
+            (col("nbr_min") < col("lbl")).as("chg"))
+          .select(col("v"), col("new_lbl").as("lbl"), col("chg"))
+          .cache()
+        try changed = nextC.filter(col("chg")).count()
+        catch { case t: Throwable => nextC.unpersist(); throw t }
+        labelsC.unpersist()
+        labelsC = nextC
+        labels = truncateLineage(nextC)
       }
-      round += 1
-      val prop = edges.join(labels, col("dst") === col("v"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
-      // change detection rides in the same projection — one job per round
-      // (materialize next + count improvements), not a second self-join
-      val nextC = labels.join(prop, col("v") === col("src"), "left")
-        .select(col("v"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
-          (col("nbr_min") < col("lbl")).as("chg"))
-        .select(col("v"), col("new_lbl").as("lbl"), col("chg"))
-        .cache()
-      changed = nextC.filter(col("chg")).count()
-      labelsC.unpersist()
-      labelsC = nextC
-      labels = truncateLineage(nextC)
+    } catch {
+      case t: Throwable =>
+        Seq(labelsC, edges, p).foreach(d =>
+          try d.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+        throw t
     }
     // everything below the converged label cache is no longer needed
     edges.unpersist()
@@ -305,11 +314,15 @@ object Dedup {
     // cache the PAIRS: the vertex union reads them twice and the edge
     // projection once, and upstream pair generation (LSH candidates +
     // verification in the q78 chain) is the expensive part
-    val p = pairs.toDF("pa", "pb").where(col("pa") =!= col("pb")).cache()
+    val p = pairs.toDF("pa", "pb").cache()
+    // verts from the UNFILTERED pairs: a vertex appearing only in a
+    // self-pair still gets a (v, v) output row, matching
+    // minLabelClusters on the same feed (the shared contract)
     val verts = p.select(col("pa").as("vid")).union(p.select(col("pb").as("vid")))
       .distinct().cache()
     // canonical undirected orientation: u = larger endpoint, v = smaller
-    var edgesC = p.select(greatest(col("pa"), col("pb")).as("u"),
+    var edgesC = p.where(col("pa") =!= col("pb"))
+      .select(greatest(col("pa"), col("pb")).as("u"),
         least(col("pa"), col("pb")).as("v"))
       .distinct().cache()
     var edges = truncateLineage(edgesC)
@@ -320,8 +333,9 @@ object Dedup {
     p.unpersist()
 
     // large-star: attach every strictly-larger neighbor of each vertex to
-    // the min of its closed neighborhood. Output keeps the u > v
-    // orientation invariant (emitted (v', m) has v' > u >= m).
+    // the min of its closed neighborhood. The emitted pair (v', m) has
+    // v' > u >= m, so the u > v orientation invariant holds with no
+    // re-filtering (v' = m is impossible: v' > m strictly).
     def largeStar(e: DataFrame): DataFrame = {
       val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -329,20 +343,21 @@ object Dedup {
       s.join(mins, col("u") === col("c"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v"))
         .distinct()
     }
 
     // small-star: attach every smaller neighbor (and the vertex itself)
     // to the min of the closed neighborhood. With the u > v orientation,
-    // the rows grouped by u ARE exactly the smaller neighbors.
+    // the rows grouped by u ARE exactly the smaller neighbors, and every
+    // surviving (x, m) already satisfies x > m (m is the neighborhood
+    // min; x = m is filtered) — no re-orientation needed.
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn")) // mn < u
       e.join(mins.select(col("u").as("c"), col("mn")), col("u") === col("c"))
         .select(col("v").as("x"), col("mn").as("m"))
         .union(mins.select(col("u").as("x"), col("mn").as("m")))
         .where(col("x") =!= col("m"))
-        .select(greatest(col("x"), col("m")).as("u"), least(col("x"), col("m")).as("v"))
+        .select(col("x").as("u"), col("m").as("v"))
         .distinct()
     }
 
@@ -354,27 +369,39 @@ object Dedup {
     // back to itself through two non-trivial steps — is confirmed once,
     // on the candidate final round. Every job is a cluster-wide barrier
     // at scale, so rounds are kept at the minimum job count.
+    // on ANY failure (job error mid-round, maxRounds trip) every live
+    // cache is dropped before propagating — these are unregistered with
+    // graft.Caches (they turn over every round), so the harness's
+    // drain() could not reach a leaked round otherwise
     var round = 0
     var converged = false
-    while (!converged) {
-      if (round >= maxRounds) {
-        Seq(edgesC, verts).foreach(_.unpersist())
-        throw new IllegalStateException(
-          s"starContractClusters did not converge within maxRounds=$maxRounds rounds")
+    try {
+      while (!converged) {
+        if (round >= maxRounds)
+          throw new IllegalStateException(
+            s"starContractClusters did not converge within maxRounds=$maxRounds rounds")
+        round += 1
+        val lC = largeStar(edges).cache()
+        try {
+          val l = truncateLineage(lC)
+          val nextC = smallStar(l).cache()
+          try {
+            val next = truncateLineage(nextC)
+            val nNext = nextC.count() // materializes nextC (and lC en route)
+            val compFixed = nNext == nEdges && next.except(edges).isEmpty
+            converged = compFixed && lC.count() == nEdges && l.except(edges).isEmpty
+            edgesC.unpersist()
+            edgesC = nextC
+            edges = next
+            nEdges = nNext
+          } catch { case t: Throwable => nextC.unpersist(); throw t }
+        } finally lC.unpersist()
       }
-      round += 1
-      val lC = largeStar(edges).cache()
-      val l = truncateLineage(lC)
-      val nextC = smallStar(l).cache()
-      val next = truncateLineage(nextC)
-      val nNext = nextC.count() // materializes nextC (and lC en route)
-      val compFixed = nNext == nEdges && next.except(edges).isEmpty
-      converged = compFixed && lC.count() == nEdges && l.except(edges).isEmpty
-      lC.unpersist()
-      edgesC.unpersist()
-      edgesC = nextC
-      edges = next
-      nEdges = nNext
+    } catch {
+      case t: Throwable =>
+        Seq(edgesC, verts).foreach(d =>
+          try d.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+        throw t
     }
     // star edges are (leaf, center); centers never appear on the u side
     val labels = verts

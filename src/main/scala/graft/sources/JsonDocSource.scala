@@ -178,7 +178,14 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
     FileNameOffset(hwm)
   }
-  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
+  /** Recovery seeds the in-instance watermark: a fresh instance whose
+    * greatest-named consumed file was deleted would otherwise report a
+    * listing max BELOW the committed offset from `latestOffset`, and the
+    * regressed name would be committed back to the checkpoint. */
+  override def deserializeOffset(json: String): Offset = {
+    if (json > hwm) hwm = json
+    FileNameOffset(json)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileNameOffset].name

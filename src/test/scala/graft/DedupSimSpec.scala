@@ -196,11 +196,13 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("star contraction equals min-label propagation; converges on deep paths") {
     import spark.implicits._
-    // random graphs (fixed seed): identical component labelings
+    // random graphs (fixed seed): identical component labelings.
+    // Self-pairs stay IN (plus a vertex touched only by one): both
+    // algorithms must emit a (v, v) row for a self-paired vertex.
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { trial =>
-      val pairs = Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
-        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val pairs = (Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        :+ (99L, 99L)).toDF("id_a", "id_b")
       val viaLabels = dedup.Dedup.minLabelClusters(pairs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val viaStars = dedup.Dedup.starContractClusters(pairs).collect()
