@@ -459,7 +459,7 @@ object Dedup {
     * column proves WHICH rows survived, not just how many. */
   def q78DedupCorpusLsh(spark: SparkSession, dir: String): DataFrame =
     dedupedCorpus(documents(spark, dir),
-        q31MinhashLsh(spark, dir).select(col("id_a"), col("id_b")),
+        minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
         starContractClusters(_))
       .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
       .orderBy(col("doc_id"))
@@ -492,8 +492,13 @@ object Dedup {
     * candidate join touches only colliding docs — the property that makes
     * this the 100 TB dedup path. No SQL oracle (hash-seed specific):
     * the driver records rows-only; the ScalaTest spec asserts recall
-    * against q30's exact pairs. */
-  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * against q30's exact pairs.
+    *
+    * UNSORTED — shared by q31 (which adds the oracle-determinism sort)
+    * and the q78 cluster chain (where a global sort of the pair set
+    * would be a dead range-exchange: edges are immediately re-shuffled),
+    * mirroring the jaccardPairs/q30 split. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.Caches.register(minhashSignatures(spark, dir).cache())
     val banded = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(B - 1)),
@@ -513,8 +518,10 @@ object Dedup {
         (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   private val SimBits = 64
 

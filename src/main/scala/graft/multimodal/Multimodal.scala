@@ -73,7 +73,13 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val scale = math.min(1.0, target.toDouble / math.max(w, h))
       val (nw, nh) = (math.max(1, math.round(w * scale).toInt), math.max(1, math.round(h * scale).toInt))
-      val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      // keep the alpha channel when the source has one — drawing RGBA
+      // onto an opaque canvas would silently composite transparency
+      // onto black and drop the channel from the re-encoded PNG
+      val outType =
+        if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val out = new java.awt.image.BufferedImage(nw, nh, outType)
       val g = out.createGraphics()
       try {
         g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -172,9 +172,29 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * would move backwards and re-admit those earlier names. */
   private var hwm: String = ""
 
+  /** Names seen in any previous listing of THIS instance; null until the
+    * first listing (whose below-watermark files are presumed consumed —
+    * the normal restart picture — and seeded silently). A name that
+    * first APPEARS at or below the watermark on a later listing violates
+    * the append-in-name-order contract (slow concurrent writer,
+    * non-zero-padded numeric names like b10 < b9) and would otherwise be
+    * skipped with zero observability — the one failure the offset
+    * semantics can't make safe, so at least make it loud. */
+  private var known: Set[String] = null
+
   override def initialOffset(): Offset = FileNameOffset("")
   override def latestOffset(): Offset = {
     val fs = files()
+    val names = fs.map(_.getName)
+    if (known != null) {
+      val late = names.filter(n => !known.contains(n) && n <= hwm)
+      if (late.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(classOf[JsonDocMicroBatchStream]).warn(
+          s"graft-jsondoc: ${late.length} file(s) appeared at-or-below the committed " +
+            s"watermark '$hwm' and will NEVER be ingested (append-in-name-order " +
+            s"contract violated): ${late.take(5).mkString(", ")}")
+    }
+    known = (if (known == null) Set.empty[String] else known) ++ names
     if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
     FileNameOffset(hwm)
   }

@@ -87,6 +87,23 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Multimodal.ImageIOCodec.decode(Array[Byte](1, 2, 3)))
   }
 
+  test("ImageIOCodec resize preserves the alpha channel of RGBA sources") {
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    (0 until 16).foreach(x => (0 until 8).foreach { y =>
+      // left half transparent, right half opaque
+      img.setRGB(x, y, if (x < 8) 0x00000000 else 0xFF00FF00)
+    })
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val src = baos.toByteArray
+    assert(Multimodal.ImageIOCodec.decode(src).channels == 4)
+    val out = Multimodal.ImageIOCodec.resize(src, 8)
+    val d = Multimodal.ImageIOCodec.decode(out)
+    // transparency survives the downscale instead of compositing to black
+    assert(d.channels == 4, "alpha channel dropped by resize")
+    assert((d.width, d.height) == (8, 4))
+  }
+
   test("an injected codec flows through resize (q67) without query changes") {
     val rows = Multimodal.q67MediaResize(spark, dir, AltCodec)
       .filter(col("out_len") > 0).limit(10).collect()

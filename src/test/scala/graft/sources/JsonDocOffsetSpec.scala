@@ -34,6 +34,13 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     val parts = stream.planInputPartitions(FileNameOffset("b1.json"), FileNameOffset("b2.json"))
     assert(parts.toSeq.map(_.asInstanceOf[JsonDocPartition].file.split('/').last)
       == Seq("b2.json"))
+    // a file APPEARING below the watermark (append-contract violation)
+    // is flagged in the log but can never perturb offsets or batches
+    Files.write(Paths.get(dir, "a_late.json"),
+      """{"doc_id": 9}""".getBytes(StandardCharsets.UTF_8))
+    assert(stream.latestOffset().json() == "b2.json")
+    assert(stream.planInputPartitions(FileNameOffset("b1.json"), FileNameOffset("b2.json"))
+      .toSeq.map(_.asInstanceOf[JsonDocPartition].file.split('/').last) == Seq("b2.json"))
   }
 
   test("without recovery the watermark starts empty and tracks the listing max") {
