@@ -196,20 +196,37 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("star contraction equals min-label propagation; converges on deep paths") {
     import spark.implicits._
-    // random graphs (fixed seed): identical component labelings.
-    // Self-pairs stay IN (plus a vertex touched only by one): both
-    // algorithms must emit a (v, v) row for a self-paired vertex.
+    // graphs chosen to stress different shapes (fixed seed → printable
+    // repro): random sparse, random dense, two cliques + a bridge, a
+    // star from its max vertex, plus self-pairs and a vertex touched
+    // only by one — identical component labelings on every one
     val rnd = new scala.util.Random(42)
-    (1 to 3).foreach { trial =>
-      val pairs = (Seq.fill(70)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
-        :+ (99L, 99L)).toDF("id_a", "id_b")
+    def randomPairs(n: Int, m: Int): Seq[(Long, Long)] =
+      Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val cliquesAndBridge: Seq[(Long, Long)] =
+      (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+        (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (b, a)) :+ (4L, 10L)
+    val starFromMax: Seq[(Long, Long)] = (0L until 9L).map(i => (9L, i))
+    val graphs = Seq(
+      "sparse" -> (randomPairs(50, 70) :+ (99L, 99L)),
+      "dense" -> randomPairs(20, 120),
+      "cliques+bridge" -> cliquesAndBridge,
+      "star-from-max" -> starFromMax)
+    graphs.foreach { case (name, edges) =>
+      val pairs = edges.toDF("id_a", "id_b")
       val viaLabels = dedup.Dedup.minLabelClusters(pairs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val viaStars = dedup.Dedup.starContractClusters(pairs).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(viaLabels == viaStars, s"trial $trial")
+      assert(viaLabels == viaStars, s"graph $name")
       Caches.drain()
     }
+    // spot-check the semantics, not just agreement: the bridged cliques
+    // are ONE component labeled by the global min
+    val bridged = dedup.Dedup.minLabelClusters(cliquesAndBridge.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bridged.length == 10 && bridged.forall(_._2 == 0L))
+    Caches.drain()
     // a path graph of depth 119: min-label needs one round per hop and
     // trips its round guard; contraction closes it in O(log n) rounds
     val path = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
