@@ -68,6 +68,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       == "struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>")
   }
 
+  test("q77/q78: the corpus side of the dedup chain scans only needed columns") {
+    // the cluster-label side is an RDD-backed (lineage-truncated) cache,
+    // so the only parquet scan in the returned plan is the corpus itself
+    val s77 = scans(plan("q77_dedup_keeplist"))
+    assert(s77.size == 1 && s77.head.metadata("ReadSchema") == "struct<doc_id:bigint>")
+    Caches.drain()
+    val s78 = scans(plan("q78_dedup_corpus_lsh"))
+    assert(s78.size == 1 && s78.head.metadata("ReadSchema") == "struct<doc_id:bigint,text:string>")
+    Caches.drain()
+  }
+
   test("q09: global top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q09_global_topk")
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
