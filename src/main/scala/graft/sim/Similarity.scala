@@ -137,16 +137,28 @@ object Similarity {
     * nProbe/K of the data, and the centroid table (K×dim doubles) is a
     * broadcast. Approximate → rows-only driver check; DedupSimSpec bounds
     * overlap vs q33's exact top-k. */
-  def q55AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF/canopy preamble for q55/q79: the cached (vec_id, v,
+    * norm) table plus a k-means cell model. The ML `fv` Vector column
+    * is computed ON THE FLY for the one-time fit and never enters the
+    * cache — materializing it would store every embedding twice in the
+    * highest-traffic cache of both queries. One definition so the two
+    * cell-structured queries can never diverge on k/seed. */
+  private def fittedCells(spark: SparkSession, dir: String, k: Int)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val k = 8
-    val nProbe = 2
-    val vs = graft.Caches.register(vectors(spark, dir)
-      .withColumn("fv", array_to_vector(col("v"))).cache())
+    val vs = graft.Caches.register(vectors(spark, dir).cache())
     val model = new KMeans().setK(k).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(vs)
-    val assigned = model.transform(vs)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(vs.select(array_to_vector(col("v")).as("fv")))
+    (vs, model)
+  }
+
+  def q55AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val nProbe = 2
+    val (vs, model) = fittedCells(spark, dir, k = 8)
+    val assigned = model.transform(vs.withColumn("fv", array_to_vector(col("v"))))
     val qRow = assigned.filter(col("vec_id") === 0)
       .select(col("v"), col("norm")).head()
     val qv = qRow.getSeq[Double](0).toArray
@@ -186,17 +198,11 @@ object Similarity {
     * table (K×dim doubles) is a broadcast literal, and K grows with the
     * corpus. Fit-seeded (k-means) → rows-only at the driver. */
   def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 8
     // 3 of 8 cells per vector: measured pair recall vs q34 at sf0.1 is
     // 0.82 at nAssign=2 and 0.99 at 3 — boundary pairs in this corpus
     // need the third cell; candidate work stays ~(3/8)²·n²
     val nAssign = 3
-    val vs = graft.Caches.register(vectors(spark, dir)
-      .withColumn("fv", array_to_vector(col("v"))).cache())
-    val model = new KMeans().setK(k).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(vs)
+    val (vs, model) = fittedCells(spark, dir, k = 8)
     // rank cells by |v-c|² = |v|² - 2·v·c + |c|²; |v|² is row-constant,
     // so the ranking key needs only the broadcast centroid pieces
     val cellRank = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>

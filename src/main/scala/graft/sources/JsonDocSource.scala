@@ -182,17 +182,23 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * semantics can't make safe, so at least make it loud. */
   private var known: Set[String] = null
 
+  /** Names this instance actually handed to a batch. A file can land
+    * between latestOffset() and planInputPartitions() and still make the
+    * in-flight batch (planning re-lists the directory) — such a file is
+    * consumed, not lost, and must not be warned about. */
+  private var planned: Set[String] = Set.empty
+
   override def initialOffset(): Offset = FileNameOffset("")
   override def latestOffset(): Offset = {
     val fs = files()
     val names = fs.map(_.getName)
     if (known != null) {
-      val late = names.filter(n => !known.contains(n) && n <= hwm)
+      val late = names.filter(n => !known.contains(n) && !planned.contains(n) && n <= hwm)
       if (late.nonEmpty)
         org.slf4j.LoggerFactory.getLogger(classOf[JsonDocMicroBatchStream]).warn(
-          s"graft-jsondoc: ${late.length} file(s) appeared at-or-below the committed " +
-            s"watermark '$hwm' and will NEVER be ingested (append-in-name-order " +
-            s"contract violated): ${late.take(5).mkString(", ")}")
+          s"graft-jsondoc: ${late.length} file(s) appeared at-or-below the watermark " +
+            s"'$hwm' without being planned into any batch and will never be ingested " +
+            s"(append-in-name-order contract violated): ${late.take(5).mkString(", ")}")
     }
     known = (if (known == null) Set.empty[String] else known) ++ names
     if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
@@ -210,8 +216,9 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileNameOffset].name
     val e = end.asInstanceOf[FileNameOffset].name
-    files().filter(f => f.getName > s && f.getName <= e)
-      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    val chosen = files().filter(f => f.getName > s && f.getName <= e)
+    planned ++= chosen.map(_.getName)
+    chosen.map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
