@@ -196,6 +196,23 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"dropped-set recall $recall (${lshDropped.size}/${exactDropped.size})")
   }
 
+  test("the keep-list chain is modality-agnostic: embedding pairs drive it unchanged") {
+    import org.apache.spark.sql.functions.col
+    // same operators, different modality: canopy-blocked embedding
+    // near-dup pairs instead of text shingle pairs
+    val pairs = sim.Similarity.q79EmbedNeardupBlocked(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val corpus = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
+    val keep = dedup.Dedup.keepList(corpus, pairs, dedup.Dedup.starContractClusters(_))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Caches.drain()
+    assert(keep.length == corpus.count())
+    val dropped = keep.filter { case (d, k) => d != k }
+    assert(dropped.nonEmpty, "embedding near-dups exist at this SF, something must drop")
+    val kept = keep.filter { case (d, k) => d == k }.map(_._1).toSet
+    dropped.foreach { case (d, k) => assert(kept.contains(k) && k < d) }
+  }
+
   test("empty pair set: keep-list is the identity, the corpus passes through") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
