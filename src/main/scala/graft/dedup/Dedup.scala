@@ -480,12 +480,22 @@ object Dedup {
 
   /** MinHash signatures: K permutations simulated by seeded xxhash64; the
     * signature is computed map-side in one pass (two nested higher-order
-    * functions, no UDF, no shuffle). */
+    * functions, no UDF, no shuffle). Each shingle STRING is hashed once
+    * (variable-length input); the K per-permutation values re-hash that
+    * fixed 8-byte long — same uniformity, ~2× less hashing CPU in the
+    * inner loop. Measured NEUTRAL at sf0.1 (q31 is join/overhead-
+    * dominated there); the win is map-side CPU at scale, where the
+    * signature pass touches every shingle of every document. (The
+    * r1-benched alternative — affine a·h+b permutations — was slower
+    * through typedLit element_at and, without a mod, monotone ⇒ recall
+    * collapse; hash-of-hash has neither problem.) */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir)
       .select(col("doc_id"), col("shingles"),
+        transform(col("shingles"), s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), col("shingles"),
         transform(sequence(lit(0), lit(K - 1)),
-          i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+          i => array_min(transform(col("hs"), h => xxhash64(i, h)))).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band_hash), then verify candidates with exact Jaccard. The
