@@ -480,22 +480,22 @@ object Dedup {
 
   /** MinHash signatures: K permutations simulated by seeded xxhash64; the
     * signature is computed map-side in one pass (two nested higher-order
-    * functions, no UDF, no shuffle). Each shingle STRING is hashed once
-    * (variable-length input); the K per-permutation values re-hash that
-    * fixed 8-byte long — same uniformity, ~2× less hashing CPU in the
-    * inner loop. Measured NEUTRAL at sf0.1 (q31 is join/overhead-
-    * dominated there); the win is map-side CPU at scale, where the
-    * signature pass touches every shingle of every document. (The
-    * r1-benched alternative — affine a·h+b permutations — was slower
-    * through typedLit element_at and, without a mod, monotone ⇒ recall
-    * collapse; hash-of-hash has neither problem.) */
+    * functions, no UDF, no shuffle).
+    *
+    * Two "optimizations" are KNOWN PESSIMIZATIONS here — don't redo them:
+    * affine a·h+b permutations were slower through typedLit element_at
+    * and, without a mod, monotone ⇒ recall collapse (r1 measurement);
+    * and hashing each shingle string once into an `hs` array before the
+    * K-permutation loop does NOT materialize — Catalyst's
+    * CollapseProject inlines the single-referenced projection back
+    * inside the outer lambda (higher-order functions evaluate with no
+    * cross-iteration CSE), so the string hash still runs K times plus
+    * an extra long hash on top (verified in the optimized plan, r4). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir)
       .select(col("doc_id"), col("shingles"),
-        transform(col("shingles"), s => xxhash64(s)).as("hs"))
-      .select(col("doc_id"), col("shingles"),
         transform(sequence(lit(0), lit(K - 1)),
-          i => array_min(transform(col("hs"), h => xxhash64(i, h)))).as("sig"))
+          i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band_hash), then verify candidates with exact Jaccard. The

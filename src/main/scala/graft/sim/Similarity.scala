@@ -196,8 +196,13 @@ object Similarity {
     * candidate work is n²·nAssign²/K, cells are the storage partition
     * key at 100 TB (the candidate join is cell-local), the centroid
     * table (K×dim doubles) is a broadcast literal, and K grows with the
-    * corpus. Fit-seeded (k-means) → rows-only at the driver. */
-  def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame = {
+    * corpus. Fit-seeded (k-means) → rows-only at the driver.
+    *
+    * UNSORTED — shared by q79 (which adds the oracle-determinism sort)
+    * and any cluster chain over embedding pairs (where a global pair
+    * sort would be a dead range-exchange), mirroring the
+    * jaccardPairs/q30 and minhashLshPairs/q31 splits. */
+  def embedNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     // 3 of 8 cells per vector: measured pair recall vs q34 at sf0.1 is
     // 0.82 at nAssign=2 and 0.99 at 3 — boundary pairs in this corpus
     // need the third cell; candidate work stays ~(3/8)²·n²
@@ -223,8 +228,10 @@ object Similarity {
       .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .where(col("cos") >= 0.45)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame =
+    embedNeardupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Blocked fuzzy string matching (entity resolution): probe names —
     * each a deterministic transposition of a sampled part name — are

@@ -199,8 +199,9 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("the keep-list chain is modality-agnostic: embedding pairs drive it unchanged") {
     import org.apache.spark.sql.functions.col
     // same operators, different modality: canopy-blocked embedding
-    // near-dup pairs instead of text shingle pairs
-    val pairs = sim.Similarity.q79EmbedNeardupBlocked(spark, dir)
+    // near-dup pairs instead of text shingle pairs — the UNSORTED twin,
+    // since a chain re-shuffles the pairs anyway (the q78 pattern)
+    val pairs = sim.Similarity.embedNeardupPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val corpus = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
     val keep = dedup.Dedup.keepList(corpus, pairs, dedup.Dedup.starContractClusters(_))
