@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  private def fmt(v: Double, decimals: Int): String =
+    s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      key: String => String, decimals: Int, includeQueries: Boolean = true): String = {
+    val qs =
+      if (includeQueries)
+        results.sortBy(_._1)
+          .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, decimals) }
+          .mkString("{", ",", "}")
+      else "{}"
+    val total = results.map(_._2).sum
+    // "total" appears both in contract position ("value") and LAST, so a
+    // tail-truncated line still ends with the headline number.
+    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"total":${fmt(total, decimals)}}"""
+  }
+
+  /** Full-name line — for humans reading per-query timings. */
+  def fullLine(results: Seq[(String, Double)], sfDir: String): String =
+    jsonLine(results, sfDir, identity, decimals = 3)
+
+  /** Compact duplicate printed LAST. The driver captures only the final
+    * ~2000 chars of stdout, and at 80 queries the full-name line is
+    * ~2400 chars — its head (and leading '{') falls off the buffer, so
+    * the driver recorded parsed:null in r3 AND r4. This line uses short
+    * query keys (the "qNN"/"qNNx" prefix before the first underscore —
+    * unique, matching CORRECTNESS names up to the descriptive suffix)
+    * and 2-decimal seconds: ~12 bytes/query keeps the whole line inside
+    * the tail window (alongside sbt's trailing "[success]" line) well
+    * past 100 queries — and if the surface ever grows beyond even that,
+    * the per-query map is dropped entirely rather than risk a truncated
+    * (unparseable) line: the headline total always lands whole.
+    * BenchFormatSpec pins the budget. */
+  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val line = jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 2)
+    if (line.length <= 1700) line
+    else jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 2,
+      includeQueries = false)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // environment contract: local[32], shuffle.partitions=32 (not 200)
@@ -29,17 +71,9 @@ object Bench {
       // memory or timing
       Caches.drain()
       name -> dt
-    }.toMap
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // headline fields appear BOTH first (the documented contract order)
-    // and again LAST ("total"/"n_queries"): the driver captures a bounded
-    // TAIL of the output, so when the per-query map pushes the line past
-    // that bound, the tail must still carry the total on its own.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"total":${f(total)}}""")
+    }
+    println(fullLine(results, sfDir))
+    println(compactLine(results, sfDir))
     spark.stop()
   }
 }

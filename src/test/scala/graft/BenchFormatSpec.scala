@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The driver records only the final ~2000 chars of bench stdout, then
+  * parses a JSON line out of that tail. BENCH_r03 and BENCH_r04 both came
+  * back parsed:null because the full-name per-query map outgrew the
+  * window and lost its leading '{'. These tests pin the fix: the LAST
+  * printed line is compact enough to always sit whole inside the tail.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  /** Tail budget: 2000-char driver capture minus generous headroom for
+    * whatever sbt prints after our line ("[success] Total time: ..." is
+    * ~85 chars; allow 300 for safety). */
+  private val TailBudget = 1700
+
+  private def fakeTimes(names: Iterable[String]): Seq[(String, Double)] =
+    names.toSeq.map(n => n -> 123.456) // worst-ish per-entry width
+
+  test("compact line for the real query surface fits the driver tail window") {
+    val line = Bench.compactLine(fakeTimes(SparkEntry.queries.keys), "/root/testdata/sf0.1")
+    assert(line.length < TailBudget,
+      s"compact bench line is ${line.length} chars — exceeds the $TailBudget tail budget")
+  }
+
+  test("compact line stays inside the budget even at 200 queries (map-drop fallback)") {
+    val names = (1 to 200).map(i => f"q$i%03d_some_descriptive_operator_name")
+    val line = Bench.compactLine(fakeTimes(names), "/root/testdata/sf0.1")
+    assert(line.length <= TailBudget, s"${line.length} chars at 200 queries")
+    // the fallback must still carry the headline total, parseable
+    val j = JsonMethods.parse(line)
+    assert((j \ "n_queries") == JInt(200))
+    assert((j \ "total") != JNothing)
+  }
+
+  test("short keys remain unique across the real query surface") {
+    val names = SparkEntry.queries.keys.toSeq
+    val short = names.map(_.takeWhile(_ != '_'))
+    val dups = short.groupBy(identity).filter(_._2.size > 1).keys
+    assert(short.distinct.size == names.size,
+      s"short-key collision(s): ${dups.mkString(", ")} — rename the colliding queries")
+  }
+
+  test("both lines parse as JSON with matching totals and full per-query maps") {
+    val times = Seq("q01_alpha" -> 1.0, "q02_beta" -> 2.5, "q10b_gamma" -> 0.25)
+    val full = JsonMethods.parse(Bench.fullLine(times, "/sf"))
+    val compact = JsonMethods.parse(Bench.compactLine(times, "/sf"))
+    def d(j: JValue, k: String): Double =
+      (j \ k) match { case JDouble(x) => x; case JInt(x) => x.toDouble; case other => fail(s"$k: $other") }
+    assert(d(full, "total") == 3.75 && d(compact, "total") == 3.75)
+    assert(d(full, "value") == 3.75 && d(compact, "value") == 3.75)
+    assert((full \ "n_queries") == JInt(3) && (compact \ "n_queries") == JInt(3))
+    val JObject(fq) = (full \ "queries"): @unchecked
+    val JObject(cq) = (compact \ "queries"): @unchecked
+    assert(fq.map(_._1) == List("q01_alpha", "q02_beta", "q10b_gamma"))
+    assert(cq.map(_._1) == List("q01", "q02", "q10b"))
+    assert(d(compact \ "queries", "q02") == 2.5)
+  }
+}
