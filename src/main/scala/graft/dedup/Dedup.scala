@@ -326,49 +326,71 @@ object Dedup {
         least(col("pa"), col("pb")).as("v"))
       .distinct().cache()
     var edges = truncateLineage(edgesC)
-    var nEdges = edgesC.count()
+    // (count, order-independent content hash) of a distinct edge set —
+    // one aggregation job over the cached set. bit_xor (not sum): ANSI
+    // mode makes summing 64-bit hashes overflow, and xor of per-row
+    // hashes is the standard order-independent set digest (no duplicate
+    // cancellation concern — both operands of the equality are distinct
+    // edge sets).
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (nEdges, hEdges) = signature(edgesC)
     // materialize verts while p is still cached — it is only read again
     // by the final labels join, after p is gone
     verts.count()
     p.unpersist()
 
+    // Both stars need each vertex's closed-neighborhood min attached to
+    // every row of that vertex. A WINDOW aggregate (min over partition
+    // by u) does it with ONE exchange on u (plus in-partition sort); the
+    // groupBy + self-join formulation pays the aggregation exchange AND
+    // a join exchange — and every exchange in this loop is a cluster-
+    // wide barrier paid once per round. Skew profile is identical (a hot
+    // vertex lands in one task either way).
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy(col("u"))
+
     // large-star: attach every strictly-larger neighbor of each vertex to
     // the min of its closed neighborhood. The emitted pair (v', m) has
     // v' > u >= m, so the u > v orientation invariant holds with no
     // re-filtering (v' = m is impossible: v' > m strictly).
-    def largeStar(e: DataFrame): DataFrame = {
-      val s = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
-      s.join(mins, col("u") === col("c"))
+    def largeStar(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u"), col("v"), least(col("u"), min(col("v")).over(byU)).as("m"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
-    }
 
     // small-star: attach every smaller neighbor (and the vertex itself)
     // to the min of the closed neighborhood. With the u > v orientation,
-    // the rows grouped by u ARE exactly the smaller neighbors, and every
+    // the rows sharing a u ARE exactly its smaller neighbors (so the
+    // window min mn < u IS the closed-neighborhood min), and every
     // surviving (x, m) already satisfies x > m (m is the neighborhood
     // min; x = m is filtered) — no re-orientation needed.
     def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn")) // mn < u
-      e.join(mins.select(col("u").as("c"), col("mn")), col("u") === col("c"))
-        .select(col("v").as("x"), col("mn").as("m"))
-        .union(mins.select(col("u").as("x"), col("mn").as("m")))
+      val w = e.select(col("u"), col("v"), min(col("v")).over(byU).as("m"))
+      w.select(col("v").as("x"), col("m"))
+        .union(w.select(col("u").as("x"), col("m")))
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
         .distinct()
     }
 
     // converged ⟺ the edge set is a fixpoint of BOTH operations (then
-    // every component is a star centered at its min). Set equality =
-    // equal cardinality + empty difference (both sides are distinct).
-    // Per round only the COMPOSITION is tested (2 jobs); the individual
-    // large-star fixpoint — needed to rule out a composition that maps e
-    // back to itself through two non-trivial steps — is confirmed once,
-    // on the candidate final round. Every job is a cluster-wide barrier
-    // at scale, so rounds are kept at the minimum job count.
+    // every component is a star centered at its min). Per round the ONLY
+    // job is the aggregation that materializes the new edge set and
+    // returns its (count, xxhash64-sum) signature: equal sets always
+    // have equal signatures, so a signature change proves non-
+    // convergence with zero extra jobs — each job is a cluster-wide
+    // barrier AND a fresh whole-stage-codegen compile, so steady rounds
+    // must stay at one. Only when the signature matches (candidate
+    // fixpoint) is exact set equality confirmed: empty difference for
+    // the composition, plus the individual large-star fixpoint — needed
+    // to rule out a composition that maps e back to itself through two
+    // non-trivial steps. A colliding non-fixpoint (2^-64) just fails the
+    // confirmation and loops on; a fixpoint can never be missed.
     // on ANY failure (job error mid-round, maxRounds trip) every live
     // cache is dropped before propagating — these are unregistered with
     // graft.Caches (they turn over every round), so the harness's
@@ -381,19 +403,32 @@ object Dedup {
           throw new IllegalStateException(
             s"starContractClusters did not converge within maxRounds=$maxRounds rounds")
         round += 1
+        val tRound = System.nanoTime()
         val lC = largeStar(edges).cache()
         try {
           val l = truncateLineage(lC)
           val nextC = smallStar(l).cache()
           try {
             val next = truncateLineage(nextC)
-            val nNext = nextC.count() // materializes nextC (and lC en route)
-            val compFixed = nNext == nEdges && next.except(edges).isEmpty
-            converged = compFixed && lC.count() == nEdges && l.except(edges).isEmpty
+            // one job: materializes nextC (and lC en route) + signature
+            val (nNext, hNext) = signature(nextC)
+            // exact confirmation (candidate final round only), one job:
+            // |next| = |edges| is known from the signature, so one-way
+            // difference decides next = edges; l's cardinality is NOT
+            // known, so its check is the symmetric difference. All three
+            // differences union into a single isEmpty job.
+            converged = nNext == nEdges && hNext == hEdges &&
+              next.except(edges)
+                .union(l.except(edges))
+                .union(edges.except(l))
+                .isEmpty
             edgesC.unpersist()
             edgesC = nextC
             edges = next
             nEdges = nNext
+            hEdges = hNext
+            if (sys.env.contains("GRAFT_PROFILE_ROUNDS"))
+              System.err.println(f"[star] round $round n=$nNext conv=$converged ${(System.nanoTime() - tRound) / 1e9}%.2f s")
           } catch { case t: Throwable => nextC.unpersist(); throw t }
         } finally lC.unpersist()
       }
