@@ -509,6 +509,75 @@ object Dedup {
       "FROM pair JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b " +
       "WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5 ORDER BY id_a, id_b"
 
+  /** Chunk tokens per dedup unit (q80): 10-token windows approximate the
+    * line/passage granularity of public corpus pipelines (CCNet-style
+    * line dedup; Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, whose exact-substring pass this
+    * realizes at fixed-chunk granularity — suffix arrays don't
+    * distribute, fixed chunks shuffle once). */
+  private val ChunkW = 10
+
+  /** Sub-document (chunk-level) exact dedup: split each document's token
+    * stream into consecutive 10-token chunks, keep only the GLOBALLY
+    * first occurrence of every distinct chunk (ordered by doc_id, then
+    * chunk position), and reconstruct each document from its surviving
+    * chunks. This is the pass that removes boilerplate and quoted
+    * repetition WITHIN documents that whole-doc dedup (q29) can never
+    * touch. Scale shape: one exchange — the window aggregate that finds
+    * each chunk's first occurrence partitions by the 8-byte chunk hash
+    * (same 2^-64 collision policy as the shingle joins; the oracle
+    * partitions by chunk text, identical up to that collision) — then
+    * one aggregation back to documents; the reconstruction rides in the
+    * same aggregation as collect_list + array_sort (per-doc chunk counts
+    * are small by construction: tokens/10).
+    *
+    * The first-occurrence rank packs (doc_id, chunk_idx) into one long
+    * — valid while doc_id < ~9.2e13 (ANSI overflow fails loudly beyond,
+    * rather than silently mis-ranking). */
+  def q80ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = ChunkW
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val chunked = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("ws")) + (W - 1)) / W).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * W + 1, lit(W)), " "))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val ord = col("doc_id") * 100000L + col("chunk_idx")
+    val firstOcc = Window.partitionBy(xxhash64(col("chunk")))
+    val kept = chunked.withColumn("keep", ord === min(ord).over(firstOcc))
+    val grouped = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      count(when(col("keep"), 1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("chunk_idx"), col("chunk"))))),
+        x => x.getField("chunk")), " ").as("text_dedup"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80Sql: String =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0), " +
+      s"ci AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws)/$ChunkW.0) AS BIGINT))) AS chunk_idx FROM w), " +
+      s"c AS (SELECT doc_id, chunk_idx, array_to_string(ws[(chunk_idx*$ChunkW+1):((chunk_idx+1)*$ChunkW)], ' ') AS chunk FROM ci), " +
+      "k AS (SELECT doc_id, chunk_idx, chunk, " +
+      "doc_id*100000 + chunk_idx = min(doc_id*100000 + chunk_idx) OVER (PARTITION BY chunk) AS keep FROM c), " +
+      "g AS (SELECT doc_id, count(*) AS n_chunks, count(*) FILTER (keep) AS n_kept, " +
+      "coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (keep), '') AS text_dedup " +
+      "FROM k GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(g.n_chunks, 0) AS n_chunks, coalesce(g.n_kept, 0) AS n_kept, " +
+      "coalesce(g.text_dedup, '') AS text_dedup " +
+      "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"
+
   private val K = 64  // minhash signature length
   private val B = 16  // LSH bands
   private val R = 4   // rows per band (K = B*R)
@@ -620,13 +689,15 @@ object Dedup {
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _,
     "q77_dedup_keeplist" -> q77KeepList _,
-    "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _
+    "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
+    "q80_chunk_dedup" -> q80ChunkDedup _
   )
 
   val oracle: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
     "q65_dup_clusters" -> q65Sql,
-    "q77_dedup_keeplist" -> q77Sql
+    "q77_dedup_keeplist" -> q77Sql,
+    "q80_chunk_dedup" -> q80Sql
   )
 }

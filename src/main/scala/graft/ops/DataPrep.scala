@@ -148,16 +148,81 @@ object DataPrep {
       s"${txt("min")} AS min_v, ${txt("max")} AS max_v FROM orders"
   }.mkString("", " UNION ALL ", " ORDER BY col")
 
+  /** Tokens per packed context window (q81). */
+  private val Ctx = 128L
+  /** Documents per scan bucket for the distributed running sum (q81). */
+  private val ScanBucket = 1000L
+
+  /** Sequence packing: concatenate the corpus token stream in doc_id
+    * order and chop it into fixed 128-token context windows — the
+    * standard pretraining batch layout (documents cross window
+    * boundaries; a window holds segments of one or more documents).
+    * Output: one row per (window_id, document) segment with the
+    * segment's offset inside the document and its length.
+    *
+    * The global running token offset is the scale-critical piece: a
+    * naive `sum OVER (ORDER BY doc_id)` forces every row through ONE
+    * task (no partition key). This uses the standard two-level scan
+    * instead: per-bucket running sums partitioned by doc_id range
+    * (parallel), plus a bucket-offset cumsum over the tiny per-bucket
+    * totals table (one row per thousand docs — the only serial step,
+    * broadcast back). Bucketing by doc_id DIV 1000 preserves the global
+    * order because bucket boundaries align with id order; dense ids give
+    * balanced buckets (skewed ids would only skew bucket SIZE, never
+    * correctness). Window assignment is then arithmetic: a document
+    * spanning [st, st+n) contributes a segment to every window in
+    * [st DIV 128, (st+n-1) DIV 128], emitted via sequence + explode —
+    * no join, no second shuffle. All-integer arithmetic → the DuckDB
+    * oracle (which uses the naive single-task cumsum, fine at oracle
+    * scale) hash-matches exactly. */
+  def q81SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("bucket", expr(s"doc_id DIV $ScanBucket"))
+    val intra = counts.withColumn("run",
+      sum(col("n")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketOffsets = counts.groupBy(col("bucket")).agg(sum(col("n")).as("bn"))
+      .withColumn("boff",
+        sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bn"))
+      .select(col("bucket"), col("boff"))
+    val offsets = intra.join(broadcast(bucketOffsets), Seq("bucket"))
+      .select(col("doc_id"), col("n"), (col("boff") + col("run") - col("n")).as("st"))
+    offsets
+      .select(col("doc_id"), col("n"), col("st"),
+        explode(sequence(expr(s"st DIV $Ctx"), expr(s"(st + n - 1) DIV $Ctx"))).as("window_id"))
+      .select(col("window_id"), col("doc_id"),
+        (greatest(col("window_id") * Ctx, col("st")) - col("st")).as("seg_start"),
+        (least((col("window_id") + 1) * Ctx, col("st") + col("n")) -
+          greatest(col("window_id") * Ctx, col("st"))).as("seg_len"))
+      .orderBy(col("window_id"), col("doc_id"))
+  }
+
+  val q81Sql: String =
+    "WITH w AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents), " +
+      "o AS (SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS st FROM w WHERE n > 0), " +
+      s"s AS (SELECT doc_id, n, st, unnest(range(st // $Ctx, (st + n - 1) // $Ctx + 1)) AS window_id FROM o) " +
+      s"SELECT window_id, doc_id, greatest(window_id*$Ctx, st) - st AS seg_start, " +
+      s"least((window_id+1)*$Ctx, st + n) - greatest(window_id*$Ctx, st) AS seg_len " +
+      "FROM s ORDER BY window_id, doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
     "q70_mixture_sample" -> q70Mixture _,
-    "q72_profile" -> q72Profile _)
+    "q72_profile" -> q72Profile _,
+    "q81_seq_pack" -> q81SeqPack _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q70_mixture_sample" -> q70Sql,
-    "q72_profile" -> q72Sql)
+    "q72_profile" -> q72Sql,
+    "q81_seq_pack" -> q81Sql)
 }

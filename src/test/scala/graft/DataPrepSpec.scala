@@ -99,4 +99,35 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(prof.getString(i).matches("-?\\d+\\.\\d{6}"), s"not plain: ${prof.getString(i)}")
     }
   }
+
+  test("sequence packing fills every window to capacity and reassembles every document") {
+    import org.apache.spark.sql.functions.{col, lit, lower, regexp_extract_all, size}
+    val segs = ops.DataPrep.q81SeqPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(segs.nonEmpty)
+    // every window except the final one is exactly full; windows are dense
+    val byWin = segs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val maxWin = byWin.keys.max
+    byWin.foreach { case (w, tot) =>
+      if (w != maxWin) assert(tot == 128L, s"window $w holds $tot tokens")
+      else assert(tot > 0L && tot <= 128L, s"final window holds $tot")
+    }
+    assert(byWin.keySet == (0L to maxWin).toSet, "window ids must be dense")
+    // per document: segments are contiguous from offset 0 and their
+    // lengths sum to the document's token count — nothing lost or split
+    // incorrectly by the two-level distributed cumsum
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    segs.groupBy(_._2).foreach { case (d, ss) =>
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._3 == 0L, s"doc $d starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(n._3 == p._3 + p._4, s"doc $d gap at window ${n._1}")
+        case _ => ()
+      }
+      assert(sorted.map(_._4).sum == tokCounts(d), s"doc $d token count")
+    }
+  }
 }

@@ -273,4 +273,23 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     Caches.drain()
   }
+
+  test("chunk dedup keeps the globally-first occurrence and reconstructs documents") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunkdedup").toString
+    val a = (1 to 10).map(i => s"a$i").mkString(" ") // one full chunk
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val c = (1 to 5).map(i => s"c$i").mkString(" ")  // a short tail chunk
+    // doc 1 owns chunks A,B; doc 2 repeats A then adds C; doc 3 is ALL
+    // repetition (exactly chunk B) and must come back empty
+    Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, b))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val out = dedup.Dedup.q80ChunkDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, s"$a $b"),
+      (2L, 2L, 1L, c),
+      (3L, 1L, 0L, "")))
+  }
 }
