@@ -531,13 +531,16 @@ object Dedup {
     * same aggregation as collect_list + array_sort (per-doc chunk counts
     * are small by construction: tokens/10).
     *
-    * The first-occurrence rank packs (doc_id, chunk_idx) into one long
-    * — valid while doc_id < ~9.2e13 (ANSI overflow fails loudly beyond,
-    * rather than silently mis-ranking). */
-  def q80ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    * The first-occurrence rank is min(struct(doc_id, chunk_idx)) over the
+    * chunk window — struct min orders lexicographically with NO magnitude
+    * bound on either field. (A packed doc_id*C + chunk_idx rank would
+    * silently mis-order any document with >= C chunks: a >= 1M-token doc
+    * bleeds into the next doc_id's range, and an identically-packed
+    * oracle can never catch it. DedupSimSpec pins the >= C case.) */
+  def chunkDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = ChunkW
-    val toks = documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
       .where(size(col("ws")) > 0)
@@ -546,9 +549,9 @@ object Dedup {
           sequence(lit(0), ((size(col("ws")) + (W - 1)) / W).cast("int") - 1),
           i => array_join(slice(col("ws"), i * W + 1, lit(W)), " "))))
       .toDF("doc_id", "chunk_idx", "chunk")
-    val ord = col("doc_id") * 100000L + col("chunk_idx")
+    val occ = struct(col("doc_id"), col("chunk_idx"))
     val firstOcc = Window.partitionBy(xxhash64(col("chunk")))
-    val kept = chunked.withColumn("keep", ord === min(ord).over(firstOcc))
+    val kept = chunked.withColumn("keep", occ === min(occ).over(firstOcc))
     val grouped = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_chunks"),
       count(when(col("keep"), 1)).as("n_kept"),
@@ -556,7 +559,7 @@ object Dedup {
         array_sort(collect_list(when(col("keep"),
           struct(col("chunk_idx"), col("chunk"))))),
         x => x.getField("chunk")), " ").as("text_dedup"))
-    documents(spark, dir).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(grouped, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -565,12 +568,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  def q80ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(documents(spark, dir))
+
   val q80Sql: String =
     "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0), " +
       s"ci AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws)/$ChunkW.0) AS BIGINT))) AS chunk_idx FROM w), " +
       s"c AS (SELECT doc_id, chunk_idx, array_to_string(ws[(chunk_idx*$ChunkW+1):((chunk_idx+1)*$ChunkW)], ' ') AS chunk FROM ci), " +
       "k AS (SELECT doc_id, chunk_idx, chunk, " +
-      "doc_id*100000 + chunk_idx = min(doc_id*100000 + chunk_idx) OVER (PARTITION BY chunk) AS keep FROM c), " +
+      "row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep FROM c), " +
       "g AS (SELECT doc_id, count(*) AS n_chunks, count(*) FILTER (keep) AS n_kept, " +
       "coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (keep), '') AS text_dedup " +
       "FROM k GROUP BY doc_id) " +
