@@ -536,7 +536,9 @@ object Dedup {
     * bound on either field. (A packed doc_id*C + chunk_idx rank would
     * silently mis-order any document with >= C chunks: a >= 1M-token doc
     * bleeds into the next doc_id's range, and an identically-packed
-    * oracle can never catch it. DedupSimSpec pins the >= C case.) */
+    * oracle can never catch it. DedupSimSpec "chunk dedup first-occurrence
+    * rank is magnitude-unbounded" pins the >= C case with a 100_002-chunk
+    * document fed straight into `chunkDedup`.) */
   def chunkDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = ChunkW

@@ -292,4 +292,29 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 2L, 1L, c),
       (3L, 1L, 0L, "")))
   }
+
+  test("chunk dedup first-occurrence rank is magnitude-unbounded (chunk_idx beyond any pack constant)") {
+    import spark.implicits._
+    // doc 1 has C+2 = 100_002 chunks; its LAST chunk (idx 100_001) also
+    // opens doc 2. A rank packed as doc_id*100000 + chunk_idx would score
+    // doc 1's occurrence 200_001 > doc 2's 200_000 and hand the first
+    // occurrence to doc 2 (the silent >=1M-token mis-ranking the
+    // struct-min rank exists to prevent); min(struct(doc_id, chunk_idx))
+    // must keep doc 1 intact and empty doc 2.
+    val C = 100000
+    val shared = (0 until 10).map(j => s"sh$j").mkString(" ")
+    val sb = new StringBuilder
+    for (i <- 0 to C; j <- 0 until 10) { sb.append(s"a${i}b$j"); sb.append(' ') }
+    sb.append(shared)
+    val docs = Seq((1L, sb.toString), (2L, shared)).toDF("doc_id", "text")
+    val out = dedup.Dedup.chunkDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 2)
+    // doc 1 owns every first occurrence: all C+2 chunks survive, and the
+    // reconstruction is the original text (chunk order preserved)
+    assert(out(0)._1 == 1L && out(0)._2 == C + 2L && out(0)._3 == C + 2L)
+    assert(out(0)._4 == sb.toString)
+    // doc 2's only chunk repeats doc 1's final chunk -> fully deduped
+    assert(out(1) == ((2L, 1L, 0L, "")))
+  }
 }
