@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no "[info] " log prefix, and the
+// fork's stderr stays on stderr instead of being relogged to stdout as
+// "[error]" lines) — the driver machine-parses the final stdout line of
+// `runMain graft.Bench`, which must land byte-exact.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,7 +73,13 @@ object Bench {
       name -> dt
     }
     println(fullLine(results, sfDir))
-    println(compactLine(results, sfDir))
+    // the machine-parsed compact line is the FINAL stdout write of the
+    // process: printed AFTER spark.stop() so no executor-shutdown logging
+    // can land between it and EOF, via System.out directly (Console.out
+    // could be remapped by a test harness; the driver captures the real
+    // process stdout). Only sbt's own "[success]" epilogue follows.
     spark.stop()
+    System.out.println(compactLine(results, sfDir))
+    System.out.flush()
   }
 }

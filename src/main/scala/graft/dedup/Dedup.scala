@@ -631,13 +631,33 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sig.select(col("doc_id"), col("shingles"))
-    cands
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double"))
-      .withColumn("jac", col("inter") /
-        (size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter")).cast("double"))
+    // Candidate verification WITHOUT re-materializing shingle arrays per
+    // pair: the previous form joined the full shingle ARRAY onto both
+    // sides of every candidate and ran array_intersect per pair —
+    // O(|A|+|B|) array traffic and traversal per candidate, with each
+    // doc's array copied into every pair it appears in. Instead restrict
+    // the q30 exploded hash-join machinery to the candidate set: explode
+    // each doc's shingle hashes once (8-byte keys off the cached
+    // signatures), attach side A's hashes to its pairs (join keyed on
+    // doc_id), then the equi-join on (id_b, hash) keeps exactly the
+    // intersection rows — count per pair, join back the two set SIZES
+    // (one scalar per doc, never the arrays). Same exact Jaccard, same
+    // 2^-64 hash-collision policy as q30. Measured perf-neutral at
+    // sf0.1 (256 candidates — the chain is signature- and round-
+    // overhead-bound there, see PERF.md r7); the point is the scale
+    // term it removes, not a small-SF speedup.
+    val e = sig.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sizes = sig.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = cands.join(e.as("ea"), col("id_a") === col("ea.doc_id"))
+      .select(col("id_a"), col("id_b"), col("ea.s").as("s")).as("pa")
+      .join(e.as("eb"), col("pa.id_b") === col("eb.doc_id") && col("pa.s") === col("eb.s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
   }

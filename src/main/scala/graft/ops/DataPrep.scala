@@ -110,15 +110,19 @@ object DataPrep {
     // "10000000.0" in DuckDB. Floating columns go through DECIMAL(38,6)
     // (both engines round the exact binary value half-away-from-zero and
     // print plain notation at any magnitude); exact zero is special-cased
-    // because BigDecimal(0, scale 6) prints "0E-6". Known edge: |v| >=
-    // 1e32 exceeds DECIMAL(38,6) — Spark (non-ANSI cast) yields NULL
-    // where DuckDB errors; none of the profiled columns can reach that
-    // magnitude, but profiling arbitrary doubles would need a magnitude
-    // guard or format_number-style rendering here.
+    // because BigDecimal(0, scale 6) prints "0E-6". |v| >= 1e32 exceeds
+    // DECIMAL(38,6), where Spark's non-ANSI cast yields NULL while DuckDB
+    // errors — guarded with raise_error so an out-of-range profile FAILS
+    // LOUDLY on both engines instead of silently reporting a NULL
+    // min/max; profiling columns of that magnitude needs a
+    // format_number-style rendering instead.
     def asText(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
       types(name) match {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
           when(c === 0.0, lit("0.000000"))
+            .when(abs(c) >= 1e32, raise_error(concat(
+              lit(s"q72Profile: |$name| >= 1e32 exceeds DECIMAL(38,6) text rendering: "),
+              c.cast("string"))))
             .otherwise(c.cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("string"))
         case _ => c.cast("string")
       }
@@ -148,44 +152,55 @@ object DataPrep {
       s"${txt("min")} AS min_v, ${txt("max")} AS max_v FROM orders"
   }.mkString("", " UNION ALL ", " ORDER BY col")
 
-  /** Tokens per packed context window (q81). */
+  /** Tokens per packed context window (q81/q82). */
   private val Ctx = 128L
-  /** Documents per scan bucket for the distributed running sum (q81). */
+  /** Documents per scan bucket for the distributed running sum (q81/q82). */
   private val ScanBucket = 1000L
 
-  /** Sequence packing: concatenate the corpus token stream in doc_id
-    * order and chop it into fixed 128-token context windows — the
+  /** Sequence packing LAYOUT: concatenate the corpus token stream in
+    * doc_id order and chop it into fixed 128-token context windows — the
     * standard pretraining batch layout (documents cross window
     * boundaries; a window holds segments of one or more documents).
     * Output: one row per (window_id, document) segment with the
-    * segment's offset inside the document and its length.
+    * segment's offset inside the document and its length, UNSORTED —
+    * shared by q81 (which adds the oracle-determinism sort) and q82
+    * (which joins the token payload back and re-shuffles by window).
     *
     * The global running token offset is the scale-critical piece: a
     * naive `sum OVER (ORDER BY doc_id)` forces every row through ONE
     * task (no partition key). This uses the standard two-level scan
     * instead: per-bucket running sums partitioned by doc_id range
     * (parallel), plus a bucket-offset cumsum over the tiny per-bucket
-    * totals table (one row per thousand docs — the only serial step,
-    * broadcast back). Bucketing by doc_id DIV 1000 preserves the global
-    * order because bucket boundaries align with id order; dense ids give
-    * balanced buckets (skewed ids would only skew bucket SIZE, never
-    * correctness). Window assignment is then arithmetic: a document
+    * totals table (one row per `scanBucket` docs — the only serial step,
+    * broadcast back). Bucketing by doc_id DIV scanBucket preserves the
+    * global order because bucket boundaries align with id order; dense
+    * ids give balanced buckets (skewed ids would only skew bucket SIZE,
+    * never correctness). Window assignment is then arithmetic: a document
     * spanning [st, st+n) contributes a segment to every window in
     * [st DIV 128, (st+n-1) DIV 128], emitted via sequence + explode —
     * no join, no second shuffle. All-integer arithmetic → the DuckDB
     * oracle (which uses the naive single-task cumsum, fine at oracle
     * scale) hash-matches exactly. */
-  def q81SeqPack(spark: SparkSession, dir: String): DataFrame = {
+  def seqPackSegments(spark: SparkSession, dir: String,
+      scanBucket: Long = ScanBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = documents(spark, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
           .cast("long").as("n"))
       .where(col("n") > 0)
-      .withColumn("bucket", expr(s"doc_id DIV $ScanBucket"))
+      .withColumn("bucket", expr(s"doc_id DIV $scanBucket"))
     val intra = counts.withColumn("run",
       sum(col("n")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the bucket-offset cumsum is UNPARTITIONED by design: its input is
+    // one row per `scanBucket` documents, so the single task handles
+    // corpus/scanBucket rows (10^11 docs at the default bucket → 10^8
+    // tiny rows — still fine). ESCAPE HATCH if even that overflows one
+    // task: apply this same two-level split recursively to the bucket
+    // table (bucket the buckets by `bucket DIV scanBucket`) — depth 2
+    // covers scanBucket² ≈ 10^12 buckets; `scanBucket` is a parameter so
+    // callers can also just widen the buckets.
     val bucketOffsets = counts.groupBy(col("bucket")).agg(sum(col("n")).as("bn"))
       .withColumn("boff",
         sum(col("bn")).over(Window.orderBy(col("bucket"))
@@ -200,7 +215,46 @@ object DataPrep {
         (greatest(col("window_id") * Ctx, col("st")) - col("st")).as("seg_start"),
         (least((col("window_id") + 1) * Ctx, col("st") + col("n")) -
           greatest(col("window_id") * Ctx, col("st"))).as("seg_len"))
-      .orderBy(col("window_id"), col("doc_id"))
+  }
+
+  def q81SeqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackSegments(spark, dir).orderBy(col("window_id"), col("doc_id"))
+
+  /** Sequence packing PAYLOAD: materialize the actual token content of
+    * every 128-token context window — what a trainer consumes; q81's
+    * layout map is the pointer form of this. One row per window:
+    * (window_id, n_segs, n_tokens, window_text), window_text being the
+    * concatenated token stream of its segments in doc_id order.
+    *
+    * Scale shape: the layout comes from `seqPackSegments` (token COUNTS
+    * only — the payload never rides through the cumsum machinery); the
+    * token arrays then join in by doc_id and each segment slices out
+    * only its own [seg_start, seg_start+seg_len) token range, so the
+    * groupBy(window_id) shuffle carries each corpus token exactly once.
+    * Payload movement is 2 passes total (doc_id join + window shuffle) —
+    * the minimum for re-laying out a doc-ordered corpus into windows.
+    * Per-window state is bounded by construction: a window holds at most
+    * 128 tokens, so collect_list can never blow up a task. */
+  def q82SeqPackPayload(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+    seqPackSegments(spark, dir)
+      .join(toks, Seq("doc_id"))
+      .select(col("window_id"), col("doc_id"), col("seg_len"),
+        slice(col("ws"), (col("seg_start") + 1).cast("int"),
+          col("seg_len").cast("int")).as("seg"))
+      .groupBy(col("window_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("seg_len")).as("n_tokens"),
+        // a doc contributes at most one segment per window, so doc_id
+        // alone orders the struct sort; flatten stitches the segments
+        // into the window's token stream
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("seg")))),
+          x => x.getField("seg"))), " ").as("window_text"))
+      .orderBy(col("window_id"))
   }
 
   val q81Sql: String =
@@ -211,18 +265,34 @@ object DataPrep {
       s"least((window_id+1)*$Ctx, st + n) - greatest(window_id*$Ctx, st) AS seg_len " +
       "FROM s ORDER BY window_id, doc_id"
 
+  // q82: same CTE chain as q81 but carrying the token list, then slicing
+  // each segment's token range and string_agg-ing per window in doc_id
+  // order (DuckDB list slicing is 1-based inclusive on both ends).
+  val q82Sql: String =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "o AS (SELECT doc_id, ws, len(ws) AS n, CAST(sum(len(ws)) OVER (ORDER BY doc_id) - len(ws) AS BIGINT) AS st " +
+      "FROM w WHERE len(ws) > 0), " +
+      s"s AS (SELECT doc_id, ws, n, st, unnest(range(st // $Ctx, (st + n - 1) // $Ctx + 1)) AS window_id FROM o), " +
+      s"seg AS (SELECT window_id, doc_id, ws, greatest(window_id*$Ctx, st) - st AS a, " +
+      s"least((window_id+1)*$Ctx, st + n) - greatest(window_id*$Ctx, st) AS l FROM s) " +
+      "SELECT window_id, count(*) AS n_segs, CAST(sum(l) AS BIGINT) AS n_tokens, " +
+      "string_agg(array_to_string(ws[(a+1):(a+l)], ' '), ' ' ORDER BY doc_id) AS window_text " +
+      "FROM seg GROUP BY window_id ORDER BY window_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
     "q70_mixture_sample" -> q70Mixture _,
     "q72_profile" -> q72Profile _,
-    "q81_seq_pack" -> q81SeqPack _)
+    "q81_seq_pack" -> q81SeqPack _,
+    "q82_seq_pack_payload" -> q82SeqPackPayload _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q70_mixture_sample" -> q70Sql,
     "q72_profile" -> q72Sql,
-    "q81_seq_pack" -> q81Sql)
+    "q81_seq_pack" -> q81Sql,
+    "q82_seq_pack_payload" -> q82Sql)
 }

@@ -61,6 +61,24 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming exact CONTENT dedup — where the streaming surface meets
+    * the dedup chain: the q29 canonical content fingerprint (not an
+    * event id) keys a watermark-bounded dedup over an APPENDING document
+    * corpus, so each distinct document text is emitted exactly once as
+    * it first lands. Expects (doc_id, text, ingest_ts) rows; emits the
+    * first-arriving row per fingerprint with its `fp` attached (the
+    * same fp the batch pass groups on, so a backfilled batch q29 over
+    * the accumulated corpus agrees with what the stream let through —
+    * StreamingSpec pins that parity). State holds one 16-hex-char
+    * fingerprint per distinct recent document, never the text, and the
+    * watermark evicts fingerprints older than the horizon — the only
+    * state shape that survives an unbounded corpus. */
+  def dedupedDocsByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprintColumn)
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Custom stateful sessionization via flatMapGroupsWithState: emits a
     * SessionOut every time a 30-minute gap closes a session (the
     * hand-rolled twin of `session_window`, for when per-session logic

@@ -130,4 +130,35 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sorted.map(_._4).sum == tokCounts(d), s"doc $d token count")
     }
   }
+
+  test("sequence-pack payload reconstructs the exact corpus token stream; bucket size is semantics-free") {
+    import org.apache.spark.sql.functions.{col, lit, lower, regexp_extract_all}
+    val wins = ops.DataPrep.q82SeqPackPayload(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(wins.nonEmpty)
+    // every window except the final one carries exactly 128 tokens, and
+    // the text payload agrees with the declared token count
+    wins.dropRight(1).foreach { case (w, _, nt, _) =>
+      assert(nt == 128L, s"window $w holds $nt tokens")
+    }
+    wins.foreach { case (w, _, nt, txt) =>
+      assert(txt.split(" ").length.toLong == nt, s"window $w text/count mismatch")
+    }
+    // stitching every window in order reproduces the doc_id-ordered
+    // corpus token stream exactly — nothing lost, duplicated, reordered
+    val stream = wins.sortBy(_._1).map(_._4).mkString(" ")
+    val corpus = Tables.documents(spark, dir)
+      .orderBy(col("doc_id"))
+      .select(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      .collect().flatMap(_.getSeq[String](0)).mkString(" ")
+    assert(stream == corpus)
+    // scanBucket is a partitioning knob, not a semantics knob: a tiny
+    // bucket (many bucket-offset rows through the serial cumsum) yields
+    // the byte-identical layout
+    val a = ops.DataPrep.seqPackSegments(spark, dir)
+      .orderBy("window_id", "doc_id").collect().toSeq
+    val b = ops.DataPrep.seqPackSegments(spark, dir, scanBucket = 7L)
+      .orderBy("window_id", "doc_id").collect().toSeq
+    assert(a == b)
+  }
 }

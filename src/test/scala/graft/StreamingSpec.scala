@@ -98,6 +98,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("streaming content-fingerprint dedup matches batch q29 over the appended corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // an appending document corpus: micro-batch 2 re-delivers batch 1's
+    // first document with different punctuation/case (same canonical
+    // fingerprint) — the stream must pass only the first arrival, and a
+    // batch q29-style dedup over the ACCUMULATED corpus must agree.
+    // Duplicates are only placed across batches: within a batch,
+    // dropDuplicates keeps an arbitrary partition's row, across batches
+    // the state store makes first-batch-wins deterministic.
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val b1 = Seq(
+      (1L, "The quick brown fox", ts(0)),
+      (2L, "an entirely different document", ts(1)))
+    val b2 = Seq(
+      (3L, "the QUICK... brown,, fox!!", ts(2)), // canonical dup of doc 1
+      (4L, "fresh content arrives later", ts(3)))
+    mem.addData(b1)
+    val docs = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streaming.dedupedDocsByFingerprint(docs).writeStream
+      .format("memory").queryName("fpdedup").outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fpdedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed === Set(1L, 2L, 4L))
+    // parity: the batch chain's first pass (q29 fingerprint groupBy,
+    // keeper = min doc_id = first arrival; ingest order = id order here)
+    // keeps exactly the rows the stream let through
+    val batchKept = (b1 ++ b2).map(t => (t._1, t._2)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.fingerprintColumn.as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      .collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(batchKept === streamed)
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
