@@ -13,6 +13,9 @@ case class DecodedMedia(width: Int, height: Int, channels: Int)
 
 case class MediaFeature(doc_id: Long, n_bytes: Long, width: Long, height: Long)
 
+/** A document's 64-bit perceptual dHash, banded 4×16 bits for blocking. */
+case class MediaBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
 /** Multimodal-column plumbing (SURVEY.md §2B extensions): media as opaque
   * BinaryType columns, decode/feature-extract as partition-local typed
   * transforms (`Dataset.mapPartitions` — the Scala analogue of mapInPandas
@@ -36,6 +39,9 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(bytes: Array[Byte]): DecodedMedia
     def resize(bytes: Array[Byte], target: Int = 256): Array[Byte]
+    /** Row-major w×h grayscale (0-255) downsample of the decoded image —
+      * the input grid for perceptual hashing (q83 dHash). */
+    def grayGrid(bytes: Array[Byte], w: Int, h: Int): Array[Int]
   }
 
   /** REAL image codec backed by `javax.imageio` (JDK java.desktop — zero
@@ -90,6 +96,24 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", baos)
       baos.toByteArray
     }
+
+    /** True grayscale downsample: draw the decoded image onto a w×h
+      * TYPE_BYTE_GRAY canvas (the JDK's own RGB→luma conversion) and
+      * read the raster samples row-major. Bilinear interpolation keeps
+      * the grid stable under small pixel perturbations — the property
+      * perceptual hashing needs. */
+    def grayGrid(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val img = read(bytes)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+    }
   }
 
   /** STUB codec (the default): emits deterministic pseudo-dimensions
@@ -116,6 +140,18 @@ object Multimodal {
         Array.tabulate(m)(i => bytes(i * stride))
       }
     }
+
+    /** STUB grayscale grid: the first w·h payload bytes as unsigned
+      * samples, zero-padded — a deterministic, hex-arithmetic-
+      * expressible stand-in for a decoded thumbnail, which is what lets
+      * the DuckDB oracle recompute the entire q83 dHash chain. Prefix
+      * sampling (vs proportional striding) keeps byte ALIGNMENT between
+      * payloads that share a prefix — the form near-duplicate corpus
+      * payloads actually take — so the stub chain finds real pairs;
+      * payloads differing only beyond byte 72 alias to the same grid,
+      * which is stub semantics (the real path is ImageIOCodec). */
+    def grayGrid(bytes: Array[Byte], w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h)(i => if (i < bytes.length) bytes(i) & 0xFF else 0)
   }
 
   /** documents.text re-encoded as a binary media column — the stand-in
@@ -232,15 +268,120 @@ object Multimodal {
       "coalesce(md5(samp.shx), md5('')) AS resize_md5 " +
       "FROM b LEFT JOIN samp ON b.doc_id = samp.doc_id ORDER BY b.doc_id"
 
+  /** dHash grid geometry: 9 columns × 8 rows of grayscale samples → 64
+    * neighbor-compare bits (8 per row), banded 4×16 for LSH-style
+    * blocking — the standard difference-hash layout (Krawetz's dHash;
+    * row r, col c bit = grid[r·9+c] > grid[r·9+c+1]). */
+  private val GridW = 9
+  private val GridH = 8
+
+  /** Per-document perceptual hash, partition-local like every decode:
+    * grayscale-downsample via the codec seam, compare horizontal
+    * neighbors into 64 bits, pack as 4 × 16-bit band values. The bands
+    * are BOTH the blocking key (equal band ⇒ candidate; by pigeonhole,
+    * Hamming ≤ 3 GUARANTEES a shared band, while 4-6 differing bits can
+    * straddle all 4 bands — the same recall trade q32 SimHash makes,
+    * and the oracle mirrors the identical blocking so both engines
+    * agree exactly) AND the payload the verifier XOR-counts — the
+    * image bytes themselves never leave the executor. */
+  def dhashBands(ds: org.apache.spark.sql.Dataset[MediaRecord],
+      codec: MediaCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val g = codec.grayGrid(r.media, GridW, GridH)
+        val bands = new Array[Int](4)
+        var row = 0
+        while (row < GridH) {
+          var c = 0
+          while (c < GridW - 1) {
+            if (g(row * GridW + c) > g(row * GridW + c + 1))
+              bands(row / 2) |= 1 << ((row % 2) * 8 + c)
+            c += 1
+          }
+          row += 1
+        }
+        MediaBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF()
+  }
+
+  /** Near-duplicate media pairs from banded dHashes: explode the 4
+    * bands, bucket-join on (band, value) so only docs sharing a 16-bit
+    * band ever meet (the q32 SimHash blocking shape — no all-pairs
+    * term), then verify candidates with the full 64-bit Hamming
+    * distance via XOR bit counts. UNSORTED — q83 adds the oracle sort;
+    * a downstream keep-list chain re-shuffles the pairs anyway. */
+  def mediaNeardupPairs(bands: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val banded = bands.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 until 4).map(m =>
+          struct(lit(m).as("band"), col(s"b$m").as("bv"))): _*)).as("x"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("x.band").as("band"), col("x.bv").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (0 until 4).map(m =>
+          bit_count(col(s"a.b$m").bitwiseXOR(col(s"b.b$m"))).cast("long"))
+          .reduce(_ + _).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Media near-dup dedup pairs over the corpus (q83): the dHash twin of
+    * q32's text SimHash, completing dedup modality parity (text q29-31,
+    * embeddings q34/q79, media here). The default stub codec keeps the
+    * whole chain DuckDB-derivable (grid = proportional byte samples of
+    * the payload); MultimodalSpec runs the same chain over real PNG
+    * bytes with ImageIOCodec and feeds the pairs into the q77 keep-list,
+    * which is modality-agnostic. */
+  def q83MediaNeardup(spark: SparkSession, dir: String,
+      codec: MediaCodec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    mediaNeardupPairs(dhashBands(mediaTable(spark, dir).as[MediaRecord], codec))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // The oracle recomputes the stub-codec dHash chain in pure hex/bit
+  // arithmetic: byte gi of the payload = two hex chars of hex(encode())
+  // decoded via strpos('0123456789abcdef', ...) (zero beyond the
+  // payload), dHash bits compare grid neighbors within a row
+  // (gi % 9 <> 8), band values pack 16 bits, candidates share a band,
+  // Hamming = summed bit_count(xor(...)) over the 4 bands.
+  val q83Sql: String =
+    "WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents), " +
+      "i AS (SELECT doc_id, hx, n, unnest(range(0, 72)) AS gi FROM b), " +
+      "v AS (SELECT doc_id, gi, CASE WHEN gi >= n THEN 0 ELSE " +
+      "(strpos('0123456789abcdef', substr(hx, CAST(gi*2+1 AS BIGINT), 1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(hx, CAST(gi*2+2 AS BIGINT), 1))-1) END AS g FROM i), " +
+      "bits AS (SELECT a.doc_id, (a.gi//9)//2 AS band, ((a.gi//9)%2)*8 + (a.gi%9) AS pos, " +
+      "CASE WHEN a.g > c.g THEN 1 ELSE 0 END AS bit " +
+      "FROM v a JOIN v c ON a.doc_id = c.doc_id AND c.gi = a.gi + 1 AND a.gi % 9 <> 8), " +
+      "bands AS (SELECT doc_id, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS bv " +
+      "FROM bits GROUP BY doc_id, band), " +
+      "wide AS (SELECT doc_id, max(CASE WHEN band=0 THEN bv END) AS b0, " +
+      "max(CASE WHEN band=1 THEN bv END) AS b1, max(CASE WHEN band=2 THEN bv END) AS b2, " +
+      "max(CASE WHEN band=3 THEN bv END) AS b3 FROM bands GROUP BY doc_id), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
+      "FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id), " +
+      "h AS (SELECT id_a, id_b, CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) + " +
+      "bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming " +
+      "FROM cand JOIN wide wa ON id_a = wa.doc_id JOIN wide wb ON id_b = wb.doc_id) " +
+      "SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6 ORDER BY id_a, id_b"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
-    "q67_media_resize" -> ((s, d) => q67MediaResize(s, d))
+    "q67_media_resize" -> ((s, d) => q67MediaResize(s, d)),
+    "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d))
   )
 
   val oracle: Map[String, String] = Map(
     "q36_media_features" -> q36Sql,
     "q50_frame_sample" -> q50Sql,
-    "q67_media_resize" -> q67Sql
+    "q67_media_resize" -> q67Sql,
+    "q83_media_neardup" -> q83Sql
   )
 }

@@ -30,6 +30,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       DecodedMedia(width = 7, height = 9, channels = 1)
     def resize(bytes: Array[Byte], target: Int): Array[Byte] =
       bytes.take(math.min(3, target))
+    def grayGrid(bytes: Array[Byte], w: Int, h: Int): Array[Int] =
+      new Array[Int](w * h)
   }
 
   test("default codec is the stub — results match the oracle-checked shape") {
@@ -110,5 +112,65 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
     // AltCodec caps output at 3 bytes; the stub would emit up to 256
     rows.foreach(r => assert(r.getAs[Long]("out_len") <= 3L))
+  }
+
+  /** Grayscale PNG from a pixel-value function — perceptual-hash inputs
+    * whose similarity the test controls exactly. */
+  private def pngOf(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real-codec dHash: perturbed image pairs with its source, distinct image doesn't; pairs drive the keep-list") {
+    import spark.implicits._
+    import graft.multimodal.MediaRecord
+    // base: horizontal gradient + checkerboard; near: base + tiny
+    // deterministic pixel noise (what a re-encode/slight edit does);
+    // diff: an unrelated high-frequency pattern (NOT the mirrored
+    // gradient — this base's comparison pattern is mirror-symmetric, so
+    // a horizontal flip dHashes identically; measured ham(base,diff)=33)
+    def base(x: Int, y: Int): Int = x * 3 + (if ((x / 8 + y / 8) % 2 == 0) 48 else 0)
+    def near(x: Int, y: Int): Int = base(x, y) + (x * 31 + y * 17) % 3
+    def diff(x: Int, y: Int): Int = ((x * 13 + y * 29) % 7) * 36 + (if ((x / 4) % 2 == 0) 60 else 0)
+    val media = Seq(
+      MediaRecord(1L, pngOf(base), "image/png"),
+      MediaRecord(2L, pngOf(near), "image/png"),
+      MediaRecord(3L, pngOf(diff), "image/png")).toDS()
+    val bands = Multimodal.dhashBands(media, Multimodal.ImageIOCodec)
+    val bw = bands.collect().map(r => r.getLong(0) ->
+      Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: Long, b: Long): Int =
+      bw(a).zip(bw(b)).map { case (p, q) => Integer.bitCount(p ^ q) }.sum
+    assert(ham(1L, 2L) <= 6, s"near-dup hamming ${ham(1L, 2L)}")
+    assert(ham(1L, 3L) > 6, s"distinct hamming ${ham(1L, 3L)}")
+    assert(ham(2L, 3L) > 6, s"distinct hamming ${ham(2L, 3L)}")
+    val pairs = Multimodal.mediaNeardupPairs(bands)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L)))
+    // the pairs feed the SAME keep-list chain as text/embedding dedup:
+    // the perturbed copy is dropped, its keeper is the original
+    val keep = dedup.Dedup.keepList(
+        media.toDF().select(col("doc_id")),
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keep == Set((1L, 1L), (2L, 1L), (3L, 3L)))
+    Caches.drain()
+  }
+
+  test("stub-codec dHash chain is deterministic and self-consistent on the corpus") {
+    // the oracle checks q83's VALUES; this pins run-to-run determinism
+    // (seedless arithmetic only) and the pair contract (ordered, bounded)
+    val a = Multimodal.q83MediaNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Multimodal.q83MediaNeardup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    a.foreach { case (ia, ib, h) => assert(ia < ib && h >= 0 && h <= 6) }
   }
 }
