@@ -16,6 +16,11 @@ case class MediaFeature(doc_id: Long, n_bytes: Long, width: Long, height: Long)
 /** A document's 64-bit perceptual dHash, banded 4×16 bits for blocking. */
 case class MediaBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
+/** Per-frame audio features: all-integer so the stub-codec chain is
+  * recomputable exactly by the DuckDB oracle (no float summation order). */
+case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+    sum_sq: Long, n_zcross: Long, peak: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §2B extensions): media as opaque
   * BinaryType columns, decode/feature-extract as partition-local typed
   * transforms (`Dataset.mapPartitions` — the Scala analogue of mapInPandas
@@ -371,17 +376,128 @@ object Multimodal {
       "FROM cand JOIN wide wa ON id_a = wa.doc_id JOIN wide wb ON id_b = wb.doc_id) " +
       "SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6 ORDER BY id_a, id_b"
 
+  /** The audio half of the codec seam: anything that yields PCM samples
+    * (WAV parser, ffmpeg binding, …) drops in here. Samples are Int so
+    * 8/16/24-bit widths all fit without trait changes. */
+  trait AudioCodec extends Serializable {
+    def pcm(bytes: Array[Byte]): Array[Int]
+  }
+
+  /** REAL audio codec: parses a PCM WAV container (RIFF header walk —
+    * finds the `data` chunk, honors 8-bit unsigned / 16-bit signed LE
+    * sample widths, first channel only). Pure JDK byte arithmetic — no
+    * dependencies — and spec'd on generated WAV bytes in MultimodalSpec.
+    * Non-WAV payloads yield no samples (fail-soft: an empty frame set,
+    * not a poison-pill exception mid-partition). */
+  object WavCodec extends AudioCodec {
+    def pcm(bytes: Array[Byte]): Array[Int] = {
+      def u8(i: Int) = bytes(i) & 0xFF
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return Array.empty
+      var pos = 12
+      var bits = 0; var channels = 1
+      var out: Array[Int] = Array.empty
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos); val sz = le32(pos + 4)
+        if (id == "fmt ") { channels = le16(pos + 10); bits = le16(pos + 22) }
+        else if (id == "data" && bits > 0) {
+          val end = math.min(pos + 8 + sz, bytes.length)
+          val step = (bits / 8) * math.max(channels, 1)
+          out = bits match {
+            case 8 => Iterator.range(pos + 8, end, step).map(i => u8(i) - 128).toArray
+            case 16 => Iterator.range(pos + 8, end - 1, step).map(i => le16(i).toShort.toInt).toArray
+            case _ => Array.empty[Int]
+          }
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      out
+    }
+  }
+
+  /** STUB audio codec: payload bytes as centered 8-bit samples
+    * (unsigned byte − 97, pinning the corpus alphabet around zero so the
+    * sample stream has real sign structure and zero-crossing counts are
+    * non-trivial). Deterministic byte arithmetic → the DuckDB oracle
+    * recomputes the identical samples from the source column; the real
+    * path is [[WavCodec]]. */
+  object PcmStubCodec extends AudioCodec {
+    def pcm(bytes: Array[Byte]): Array[Int] =
+      bytes.map(b => (b & 0xFF) - 97)
+  }
+
+  /** Samples per analysis frame (q87). */
+  private val FrameLen = 64
+
+  /** Frame-level audio feature extraction over any media Dataset: decode
+    * to PCM behind the codec seam, window into fixed FrameLen-sample
+    * frames, emit per-frame energy (sum of squares), zero-crossing count,
+    * and peak amplitude — the standard first stage of audio dedup /
+    * silence trimming / quality gating. Partition-local like the image
+    * path: one codec per partition, samples never leave the executor,
+    * output is a few Longs per frame (a ~100× reduction BEFORE any
+    * shuffle — the frames table, not the waveform, is what downstream
+    * aggregations touch). All-integer features, so the stub chain is
+    * exact on both engines rather than float-summation-bounded. */
+  def audioFrames(ds: org.apache.spark.sql.Dataset[MediaRecord],
+      codec: AudioCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val s = codec.pcm(r.media)
+        s.grouped(FrameLen).zipWithIndex.map { case (fr, fi) =>
+          var ss = 0L; var zc = 0L; var pk = 0L; var i = 0
+          while (i < fr.length) {
+            val v = fr(i).toLong
+            ss += v * v
+            if (v.abs > pk) pk = v.abs
+            if (i > 0 && fr(i - 1).toLong * v < 0) zc += 1
+            i += 1
+          }
+          AudioFrame(r.doc_id, fi.toLong, fr.length.toLong, ss, zc, pk)
+        }
+      }
+    }.toDF()
+  }
+
+  def q87AudioFrames(spark: SparkSession, dir: String,
+      codec: AudioCodec = PcmStubCodec): DataFrame = {
+    import spark.implicits._
+    audioFrames(mediaTable(spark, dir).as[MediaRecord], codec)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // The oracle rebuilds the stub PCM stream in hex arithmetic (the q83
+  // byte-decode idiom), frames it by sample_idx DIV 64, and mirrors the
+  // integer features; zero crossings pair each sample with its
+  // within-frame successor via lead() — the same (i-1, i) pairs the
+  // executor loop counts.
+  val q87Sql: String =
+    "WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents), " +
+      "i AS (SELECT doc_id, hx, unnest(range(0, n)) AS si FROM b), " +
+      "v AS (SELECT doc_id, si, CAST(si // 64 AS BIGINT) AS f, " +
+      "(strpos('0123456789abcdef', substr(hx, CAST(si*2+1 AS BIGINT), 1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(hx, CAST(si*2+2 AS BIGINT), 1))-1) - 97 AS s FROM i), " +
+      "w AS (SELECT doc_id, f, si, s, lead(s) OVER (PARTITION BY doc_id, f ORDER BY si) AS nx FROM v) " +
+      "SELECT doc_id, f AS frame_idx, count(*) AS n_samples, CAST(sum(s*s) AS BIGINT) AS sum_sq, " +
+      "CAST(count(*) FILTER (WHERE s * nx < 0) AS BIGINT) AS n_zcross, CAST(max(abs(s)) AS BIGINT) AS peak " +
+      "FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_idx"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
     "q67_media_resize" -> ((s, d) => q67MediaResize(s, d)),
-    "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d))
+    "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d)),
+    "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d))
   )
 
   val oracle: Map[String, String] = Map(
     "q36_media_features" -> q36Sql,
     "q50_frame_sample" -> q50Sql,
     "q67_media_resize" -> q67Sql,
-    "q83_media_neardup" -> q83Sql
+    "q83_media_neardup" -> q83Sql,
+    "q87_audio_frames" -> q87Sql
   )
 }

@@ -279,6 +279,94 @@ object DataPrep {
       "string_agg(array_to_string(ws[(a+1):(a+l)], ' '), ' ' ORDER BY doc_id) AS window_text " +
       "FROM seg GROUP BY window_id ORDER BY window_id"
 
+  /** CDC MERGE / upsert apply: base table + a change set (inserts,
+    * updates, deletes) → the post-merge table, with provenance. The
+    * change set is synthesized deterministically from `orders` (keys
+    * ending 3 → price update, 7 → delete, 5 → an insert under a shifted
+    * key) so the oracle can rebuild the identical changes and check the
+    * exact merged rows.
+    *
+    * Scale shape: the change set is BROADCAST (a CDC batch is tiny next
+    * to the base table), so the base scan never shuffles — untouched rows
+    * stream through a broadcast anti-join, updated rows through a
+    * broadcast inner join, and inserts append. That is the whole MERGE at
+    * any base-table size: zero exchanges on the 100 TB side. (A change
+    * set too big to broadcast shuffle-joins on the same key instead —
+    * one exchange, same plan otherwise.) */
+  def q85MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    // round(x·1.1, 2): same IEEE product on both engines, and both round
+    // half-away-from-zero on doubles (Spark HALF_UP ≡ DuckDB round for
+    // any sign), so the updated price is bit-stable — and binary doubles
+    // can't represent exact .005 ties anyway.
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 2).as("new_price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7).select(col("o_orderkey"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit("ins").as("src"))
+    val touched = upd.select(col("o_orderkey")).union(del)
+    val untouched = base.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+      .withColumn("src", lit("base"))
+    val updated = base.join(broadcast(upd), "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("new_price").as("o_totalprice"), lit("upd").as("src"))
+    untouched.unionByName(updated).unionByName(ins).orderBy(col("o_orderkey"))
+  }
+
+  val q85Sql: String =
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+      "upd AS (SELECT o_orderkey, round(o_totalprice * CAST(1.1 AS DOUBLE), 2) AS new_price FROM base WHERE o_orderkey % 10 = 3), " +
+      "del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 10 = 7) " +
+      "SELECT * FROM (" +
+      "SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice, 'base' AS src FROM base b " +
+      "WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd) AND b.o_orderkey NOT IN (SELECT o_orderkey FROM del) " +
+      "UNION ALL " +
+      "SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, u.new_price, 'upd' FROM base b JOIN upd u USING (o_orderkey) " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice, 'ins' FROM base WHERE o_orderkey % 10 = 5" +
+      ") ORDER BY o_orderkey"
+
+  /** Number of shards in the epoch shuffle (q88). */
+  private val Shards = 8L
+
+  /** Deterministic epoch shuffle: the global pseudo-random re-ordering a
+    * training run applies to the corpus each epoch, sharded for parallel
+    * consumption. Shard assignment AND within-shard order both derive
+    * from md5(doc_id ‖ epoch salt) — change the salt, get an independent
+    * permutation; rerun the same salt anywhere, get the identical layout
+    * (the q57 content-hash idiom: no RNG stream, no partitioning
+    * dependence).
+    *
+    * Scale shape: the only ordering step is a row_number window
+    * PARTITIONED BY shard — each shard sorts independently in parallel,
+    * so there is no global single-task sort; 100 TB runs pick shards ≈
+    * executor count and every shard is a separate sort of corpus/shards
+    * rows. The hash prefix decides the shard, so shard sizes concentrate
+    * tightly around corpus/shards (binomial). */
+  def q88EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col("doc_id").cast("string"), lit("|graft-epoch-1")))
+    documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(conv(substring(col("h"), 1, 2), 16, 10).cast("long"), lit(Shards)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  // DuckDB has no conv(); the 2-hex-digit byte decodes via strpos
+  // arithmetic (the q83 idiom), which equals Spark's conv(...,16,10).
+  val q88Sql: String = {
+    val byte = "((strpos('0123456789abcdef', substr(h,1,1))-1)*16 + (strpos('0123456789abcdef', substr(h,2,1))-1))"
+    "WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|graft-epoch-1') AS h FROM documents), " +
+      s"sh AS (SELECT doc_id, h, $byte % $Shards AS shard FROM s) " +
+      "SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos, doc_id " +
+      "FROM sh ORDER BY shard, pos"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
@@ -286,7 +374,9 @@ object DataPrep {
     "q70_mixture_sample" -> q70Mixture _,
     "q72_profile" -> q72Profile _,
     "q81_seq_pack" -> q81SeqPack _,
-    "q82_seq_pack_payload" -> q82SeqPackPayload _)
+    "q82_seq_pack_payload" -> q82SeqPackPayload _,
+    "q85_merge_upsert" -> q85MergeUpsert _,
+    "q88_epoch_shuffle" -> q88EpochShuffle _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
@@ -294,5 +384,7 @@ object DataPrep {
     "q70_mixture_sample" -> q70Sql,
     "q72_profile" -> q72Sql,
     "q81_seq_pack" -> q81Sql,
-    "q82_seq_pack_payload" -> q82Sql)
+    "q82_seq_pack_payload" -> q82Sql,
+    "q85_merge_upsert" -> q85Sql,
+    "q88_epoch_shuffle" -> q88Sql)
 }

@@ -267,18 +267,72 @@ object Similarity {
       "FROM bq JOIN bp USING (blk) WHERE levenshtein(q_name, p_name) <= 2 " +
       "ORDER BY probe_key, match_key"
 
+  /** Int8-quantized similarity search: per-vector symmetric quantization
+    * (scale = 127/max|x|, round-to-nearest) and an all-INTEGER dot
+    * product, dequantized back to an approximate cosine only for the
+    * final ranking. This is the memory/bandwidth scale path for ANN at
+    * 100 TB: int8 vectors are 4× smaller than float32 (so 4× more corpus
+    * per executor-RAM byte), the hot inner loop is integer multiply-add,
+    * and the per-vector `amax` is the only float carried alongside.
+    * Composes with q35/q55: quantize WITHIN buckets/cells and the probe
+    * set shrinks 4× again.
+    *
+    * Everything here is oracle-EXACT, not just bounded: round-to-nearest
+    * on the same IEEE product agrees between engines (both round doubles
+    * half-away-from-zero), and the integer dot has no float path at all,
+    * so the driver hash-checks the quantized scores — the accuracy-vs-q33
+    * bound lives in DedupSimSpec on top. */
+  def q86QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+      // max over |x| is order-independent (no NaN in the corpus), so
+      // array_max is safe where a float SUM would not be. Zero vectors
+      // would make scale undefined — excluded up front on both engines
+      // (none exist in this corpus; the filter is the guard, not a fixup).
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .where(col("amax") > 0.0)
+      .withColumn("qv", transform(col("v"),
+        x => round(x * lit(127.0) / col("amax")).cast("int")))
+    val q = vs.filter(col("vec_id") === 0)
+      .select(col("qv").as("qq"), col("amax").as("qamax"), col("norm").as("qnorm"))
+    vs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("qdot", aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      // dequantize: qdot·(amax_a/127)·(amax_q/127), then /norms → approx
+      // cosine; multiplication order mirrored exactly in the oracle
+      .withColumn("sim_q", round(col("qdot").cast("double") * col("amax") * col("qamax") /
+        (lit(16129.0) * col("norm") * col("qnorm")), 6))
+      .select(col("vec_id"), col("qdot"), col("sim_q"))
+      .orderBy(col("sim_q").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q86Sql: String = {
+    val qvec = "list_transform(v, x -> CAST(round(x * 127.0 / amax) AS INTEGER))"
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e), " +
+      s"qz AS (SELECT vec_id, v, amax, $qvec AS qv FROM m WHERE amax > 0.0), " +
+      s"q AS (SELECT qv AS qq, amax AS qamax, ${sqlNorm("v")} AS qnorm FROM qz WHERE vec_id = 0) " +
+      "SELECT vec_id, CAST(list_reduce(list_transform(range(1, 65), i -> CAST(qv[i] AS BIGINT) * qq[i]), (x, y) -> x + y) AS BIGINT) AS qdot, " +
+      "round(CAST(list_reduce(list_transform(range(1, 65), i -> CAST(qv[i] AS BIGINT) * qq[i]), (x, y) -> x + y) AS DOUBLE) " +
+      s"* amax * qamax / (16129.0 * ${sqlNorm("v")} * qnorm), 6) AS sim_q " +
+      "FROM qz, q WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_cosine_topk" -> q33CosineTopk _,
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,
     "q55_ann_ivf" -> q55AnnIvf _,
     "q71_fuzzy_match" -> q71FuzzyMatch _,
-    "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _
+    "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _,
+    "q86_quantized_ann" -> q86QuantizedAnn _
   )
 
   val oracle: Map[String, String] = Map(
     "q33_cosine_topk" -> q33Sql,
     "q34_embedding_neardup" -> q34Sql,
-    "q71_fuzzy_match" -> q71Sql
+    "q71_fuzzy_match" -> q71Sql,
+    "q86_quantized_ann" -> q86Sql
   )
 }

@@ -298,6 +298,45 @@ object TextAnalysis {
       "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
       "FROM e JOIN probe ON e.s = probe.s GROUP BY e.doc_id ORDER BY e.doc_id"
 
+  /** Unigram-LM cross-entropy scoring (the KenLM-style perplexity filter
+    * every pretraining pipeline runs, reduced to its order-0 core): fit an
+    * add-one-smoothed unigram model on the corpus, score each document by
+    * its mean negative log-likelihood. Low = in-distribution text, high =
+    * noise/outliers — the standard cheap quality gate after dedup.
+    *
+    * Plan shape: one shuffle for per-doc term frequencies, one for corpus
+    * counts; the model (term → count) joins back by BROADCAST — a unigram
+    * vocab is MBs even on a 100 TB corpus (heavy-tailed, and a count
+    * floor would cap it further), so the corpus-side tf table never
+    * shuffles again. Scoring sums tf·ln p over a doc's DISTINCT terms
+    * (not one addend per token), keeping the float summand count small;
+    * the 6-decimal round absorbs summation-order and libm-vs-Java ln ulp
+    * differences (q54 policy). If the vocab ever outgrew broadcast, the
+    * join key is `term` — the same shuffle q54's df join already takes. */
+  def q84UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("vocab"))
+    tf.join(broadcast(cf), "term").crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf").cast("double") *
+            log((col("cf") + 1).cast("double") / (col("n_corpus") + col("vocab")).cast("double"))) /
+          sum(col("tf")), 6).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q84Sql: String =
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus, count(*) AS vocab FROM cf) " +
+      "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+      "round(-sum(tf * ln(CAST(cf + 1 AS DOUBLE) / (n_corpus + vocab))) / sum(tf), 6) AS cross_entropy " +
+      "FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
@@ -306,7 +345,8 @@ object TextAnalysis {
     "q54_tfidf" -> q54Tfidf _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q68_repetition" -> q68Repetition _,
-    "q69_decontaminate" -> q69Decontaminate _
+    "q69_decontaminate" -> q69Decontaminate _,
+    "q84_unigram_lm" -> q84UnigramLm _
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +357,7 @@ object TextAnalysis {
     "q54_tfidf" -> q54Sql,
     "q66_pii_scrub" -> q66Sql,
     "q68_repetition" -> q68Sql,
-    "q69_decontaminate" -> q69Sql
+    "q69_decontaminate" -> q69Sql,
+    "q84_unigram_lm" -> q84Sql
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -160,5 +161,57 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = ops.DataPrep.seqPackSegments(spark, dir, scanBucket = 7L)
       .orderBy("window_id", "doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("CDC merge applies updates, drops deletes, appends inserts, passes the rest through") {
+    val base = Tables.orders(spark, dir)
+    val nBase = base.count()
+    val byLastDigit = base.groupBy(pmod(col("o_orderkey"), lit(10)).as("d")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = ops.DataPrep.q85MergeUpsert(spark, dir)
+    val srcCounts = merged.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(srcCounts("upd") == byLastDigit(3L))
+    assert(srcCounts("ins") == byLastDigit(5L))
+    assert(srcCounts("base") == nBase - byLastDigit(3L) - byLastDigit(7L))
+    // no deleted key survives; every insert key is shifted out of the base range
+    assert(merged.filter(pmod(col("o_orderkey"), lit(10)) === 7 &&
+      col("o_orderkey") < 20000000L).count() == 0)
+    assert(merged.filter(col("src") === "ins" && col("o_orderkey") < 20000000L).count() == 0)
+    // an updated row carries the recomputed price, not the base price
+    val probe = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), col("o_totalprice")).first()
+    val got = merged.filter(col("o_orderkey") === probe.getLong(0)).first()
+    assert(got.getAs[String]("src") == "upd")
+    assert(got.getAs[Double]("o_totalprice") ==
+      BigDecimal(probe.getDouble(1) * 1.1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the base side never shuffles: the plan has no exchange on the base scan
+    // (both joins broadcast) — assert no SortMergeJoin/ShuffledHashJoin
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("epoch shuffle: shards are balanced, positions contiguous, layout salt-deterministic") {
+    val rows = ops.DataPrep.q88EpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(n == Tables.documents(spark, dir).count())
+    // every doc exactly once
+    assert(rows.map(_._3).distinct.length == n)
+    // positions are 1..size(shard) within each shard
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length.toLong), s"shard $shard")
+      // binomial balance: each shard within 3σ of n/8
+      val exp = n / 8.0
+      assert(math.abs(rs.length - exp) < 3 * math.sqrt(exp * 7.0 / 8), s"shard $shard size ${rs.length}")
+    }
+    // identical on rerun (content-hash layout, no RNG stream)
+    val again = ops.DataPrep.q88EpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+    // the permutation actually scrambles: the first shard's first few
+    // docs are not simply the lowest doc_ids
+    val firstShard = rows.filter(_._1 == 0L).sortBy(_._2).take(5).map(_._3)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq || firstShard.max > 10)
   }
 }

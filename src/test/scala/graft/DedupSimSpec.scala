@@ -62,6 +62,23 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= 10)
   }
 
+  test("int8-quantized top-k tracks the exact cosine top-k closely") {
+    val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val quant = sim.Similarity.q86QuantizedAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(quant.length == 10)
+    // int8 keeps ~7 bits of per-component precision: the quantized
+    // ranking should recover nearly the whole exact top-10 …
+    val overlap = (exact.keySet intersect quant.map(_._1).toSet).size
+    assert(overlap >= 8, s"overlap $overlap of 10")
+    // … and the dequantized score should sit within quantization error
+    // of the exact cosine for every common neighbor
+    quant.filter(q => exact.contains(q._1)).foreach { case (id, _, simQ) =>
+      assert(math.abs(simQ - exact(id)) < 0.02, s"vec $id: $simQ vs ${exact(id)}")
+    }
+  }
+
   test("canopy-blocked embedding near-dup: exact-verified subset of q34 with high recall") {
     val exact = sim.Similarity.q34EmbeddingNeardup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

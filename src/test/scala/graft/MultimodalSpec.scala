@@ -173,4 +173,66 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
     a.foreach { case (ia, ib, h) => assert(ia < ib && h >= 0 && h <= 6) }
   }
+
+  /** Build a minimal PCM WAV container around raw sample bytes. */
+  private def wav(bits: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = out.write(Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte))
+    def le16(v: Int) = out.write(Array(v, v >> 8).map(_.toByte))
+    out.write("RIFF".getBytes); le32(36 + data.length); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16); le16(1); le16(channels)
+    le32(8000); le32(8000 * channels * bits / 8); le16(channels * bits / 8); le16(bits)
+    out.write("data".getBytes); le32(data.length); out.write(data)
+    out.toByteArray
+  }
+
+  test("WavCodec parses 8-bit and 16-bit PCM WAV (first channel, centered)") {
+    // 8-bit unsigned: 128 → 0, 228 → 100, 28 → -100
+    val s8 = Multimodal.WavCodec.pcm(wav(8, 1, Array(128, 228, 28).map(_.toByte)))
+    assert(s8.toSeq == Seq(0, 100, -100))
+    // 16-bit signed LE stereo: takes channel 0 only
+    val s16data = Array[Byte](
+      0x39, 0x30, 0, 0, // L=12345, R=0
+      (0xC7 & 0xFF).toByte, (0xCF & 0xFF).toByte, 1, 0) // L=-12345, R=1
+    val s16 = Multimodal.WavCodec.pcm(wav(16, 2, s16data))
+    assert(s16.toSeq == Seq(12345, -12345))
+    // non-WAV payloads fail soft: no samples, no exception
+    assert(Multimodal.WavCodec.pcm("not a wav file at all".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.pcm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audio frame features: energy / zero crossings / peak per 64-sample frame") {
+    import spark.implicits._
+    // 130 samples → frames of 64, 64, 2; alternating signs inside frame 0
+    val samples = Array.tabulate(130)(i => if (i < 64) (if (i % 2 == 0) 3 else -3) else i % 5)
+    val bytes = samples.map(v => ((v + 97) & 0xFF).toByte) // stub codec inverts -97
+    val ds = Seq(graft.multimodal.MediaRecord(7L, bytes, "audio/pcm")).toDS()
+    val rows = Multimodal.audioFrames(ds, Multimodal.PcmStubCodec)
+      .orderBy(col("frame_idx")).collect()
+    assert(rows.length == 3)
+    val f0 = rows(0)
+    assert(f0.getAs[Long]("n_samples") == 64L)
+    assert(f0.getAs[Long]("sum_sq") == 64L * 9)   // all ±3
+    assert(f0.getAs[Long]("n_zcross") == 63L)     // every adjacent pair flips
+    assert(f0.getAs[Long]("peak") == 3L)
+    assert(rows(2).getAs[Long]("n_samples") == 2L)
+    // WAV payloads flow through the same operator via the real codec
+    val wavDs = Seq(graft.multimodal.MediaRecord(8L,
+      wav(8, 1, Array.tabulate(70)(i => ((if (i % 2 == 0) 138 else 118) & 0xFF).toByte)), "audio/wav")).toDS()
+    val wrows = Multimodal.audioFrames(wavDs, Multimodal.WavCodec)
+      .orderBy(col("frame_idx")).collect()
+    assert(wrows.length == 2 && wrows(0).getAs[Long]("n_zcross") == 63L)
+    assert(wrows(0).getAs[Long]("peak") == 10L) // 138-128 / 118-128
+  }
+
+  test("q87 stub chain over the corpus: frame count per doc matches ceil(bytes/64)") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = Multimodal.q87AudioFrames(spark, dir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames.keySet == docs.filter(_._2 > 0).keySet)
+    frames.foreach { case (id, nf) => assert(nf == (docs(id) + 63) / 64, s"doc $id") }
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM cross-entropy (q84): the DuckDB oracle pins the exact
+  * values at sf0.01; this spec pins the MODEL semantics against an
+  * independent driver-side reference implementation, plus the
+  * monotonicity property that makes the score a usable quality filter. */
+class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tokenize(s: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(s.toLowerCase).toSeq
+
+  test("cross-entropy matches a driver-side reference model exactly") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> tokenize(r.getString(1))).toMap
+    // reference: add-one-smoothed unigram model over the same corpus
+    val cf = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val nCorpus = cf.values.sum
+    val vocab = cf.size.toLong
+    def xent(toks: Seq[String]): Double = {
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val s = tf.map { case (t, n) =>
+        n * math.log((cf(t) + 1).toDouble / (nCorpus + vocab)) }.sum
+      -s / toks.size
+    }
+    val got = text.TextAnalysis.q84UnigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == docs.count(_._2.nonEmpty))
+    got.foreach { case (id, nt, x) =>
+      assert(nt == docs(id).size, s"doc $id token count")
+      assert(math.abs(x - xent(docs(id))) < 1e-6, s"doc $id: $x vs ${xent(docs(id))}")
+    }
+    // the filter property: a corpus of the most frequent token scores
+    // lower (more in-distribution) than one of the rarest token
+    val common = cf.maxBy(_._2)._1
+    val rare = cf.minBy(_._2)._1
+    assert(xent(Seq.fill(10)(common)) < xent(Seq.fill(10)(rare)))
+    // and every real doc sits between those two extremes
+    got.foreach { case (id, _, x) =>
+      assert(x >= xent(Seq.fill(10)(common)) - 1e-9 && x <= xent(Seq.fill(10)(rare)) + 1e-9,
+        s"doc $id out of band")
+    }
+  }
+}
