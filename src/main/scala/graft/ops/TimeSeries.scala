@@ -140,12 +140,86 @@ object TimeSeries {
       "SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_value " +
       "FROM w GROUP BY 1 ORDER BY w_start"
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build: collapse
+    * each user's event stream into validity intervals over the tracked
+    * attribute (`event_type` here) — one row per attribute RUN, with
+    * [valid_from, valid_to) and a version counter; valid_to is NULL on
+    * the open (current) interval. The standard change-data history
+    * pattern: a dimension snapshot joinable as-of any point in time.
+    *
+    * Scale shape: both window passes are PARTITIONED BY user_id — each
+    * entity's history sorts independently in parallel, so cost is one
+    * shuffle on user_id regardless of history depth. Ordering ties at
+    * equal ts break on event_id (the q23 idiom) so both engines pick
+    * identical run boundaries. */
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val starts = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    // lead/row_number over the FILTERED rows: the next run start closes
+    // this run's interval
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    starts
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q89Sql: String =
+    "WITH s AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "r AS (SELECT user_id, ts, event_id, event_type FROM s " +
+      "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+      "SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version, " +
+      "event_type, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to " +
+      "FROM r ORDER BY user_id, version"
+
+  /** Next-day retention: for each active day, how many users come back
+    * the following day. distinct (user, day) activity joined to itself
+    * shifted by one day — the cohort-analytics staple. The ratio stays
+    * unrounded integer/integer division (bit-identical, q22 policy).
+    *
+    * Scale shape: the distinct and the self-join both shuffle on
+    * (user_id, day) — two exchanges total, each over the COMPRESSED
+    * activity table (one row per user-day, not per event). */
+  def q90Retention(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .distinct()
+    d.as("a").join(d.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"), "left")
+      .groupBy(col("a.day"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("b.user_id")).as("n_retained"))
+      .withColumn("retention",
+        col("n_retained").cast("double") / col("n_active").cast("double"))
+      .orderBy(col("day"))
+  }
+
+  // DuckDB's date_trunc('day') yields DATE (unlike 'hour' → TIMESTAMP);
+  // cast back so the column type matches Spark's timestamp_ntz.
+  val q90Sql: String =
+    "WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events) " +
+      "SELECT a.day, count(*) AS n_active, count(b.user_id) AS n_retained, " +
+      "CAST(count(b.user_id) AS DOUBLE) / count(*) AS retention " +
+      "FROM d a LEFT JOIN d b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY " +
+      "GROUP BY a.day ORDER BY a.day"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
     "q24_json_extract" -> q24JsonExtract _,
-    "q73_sliding_window" -> q73SlidingWindow _
+    "q73_sliding_window" -> q73SlidingWindow _,
+    "q89_scd2" -> q89Scd2 _,
+    "q90_retention" -> q90Retention _
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +227,8 @@ object TimeSeries {
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
     "q24_json_extract" -> q24Sql,
-    "q73_sliding_window" -> q73Sql
+    "q73_sliding_window" -> q73Sql,
+    "q89_scd2" -> q89Sql,
+    "q90_retention" -> q90Sql
   )
 }

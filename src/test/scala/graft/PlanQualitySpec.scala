@@ -101,6 +101,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q84 LM scoring broadcasts the model back (no second corpus-side shuffle join)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("q84_unigram_lm")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"model join not broadcast:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"corpus side shuffle-joins the model:\n$p")
+  }
+
+  test("q86 quantized top-k plans TakeOrderedAndProject over a broadcast query row") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val p = plan("q86_quantized_ann")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty, p.toString)
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty, p.toString)
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col

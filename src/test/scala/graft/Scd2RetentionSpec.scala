@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCD2 history build (q89) and next-day retention (q90): the DuckDB
+  * oracle pins exact values; this spec pins the STRUCTURAL invariants —
+  * SCD2 intervals must tile each user's timeline without overlap, and
+  * retention counts must be bounded by activity. */
+class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("SCD2 intervals tile each user's history: versions dense, runs alternate, exactly one open row") {
+    val rows = ops.TimeSeries.q89Scd2(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[java.time.LocalDateTime]("valid_from"),
+        Option(r.getAs[java.time.LocalDateTime]("valid_to"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, h0) =>
+      val h = h0.sortBy(_._2)
+      // versions are 1..n dense
+      assert(h.map(_._2).toSeq == (1L to h.length.toLong), s"user $user versions")
+      // exactly the last interval is open; each closed interval ends
+      // where the next begins (no gap, no overlap)
+      assert(h.last._5.isEmpty, s"user $user open row")
+      h.init.zip(h.tail).foreach { case (cur, nxt) =>
+        assert(cur._5.contains(nxt._4), s"user $user v${cur._2} not contiguous")
+        // a run boundary means the attribute actually changed
+        assert(cur._3 != nxt._3, s"user $user v${cur._2} no change at boundary")
+      }
+    }
+    // interval count matches an independent run-length count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = Tables.events(spark, dir)
+      .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .agg(sum(col("chg"))).first().getLong(0)
+    assert(rows.length.toLong == expected)
+  }
+
+  test("retention is bounded, and a user active on consecutive days is counted") {
+    val rows = ops.TimeSeries.q90Retention(spark, dir).collect().map(r =>
+      (r.getAs[java.time.LocalDateTime]("day"), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, active, retained, rate) =>
+      assert(active > 0 && retained >= 0 && retained <= active, s"$day")
+      assert(rate == retained.toDouble / active, s"$day rate")
+    }
+    // cross-check one day against a direct computation
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val probe = rows.head
+    val users = d.filter(col("day") === probe._1).select("user_id")
+    val next = d.filter(col("day") === java.sql.Timestamp.valueOf(probe._1.plusDays(1)))
+      .select("user_id")
+    assert(users.count() == probe._2)
+    assert(users.intersect(next).count() == probe._3)
+  }
+}
