@@ -246,6 +246,37 @@ object Advanced {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-sketch distinct-count rollup via DataSketches HLL: one
+    * sketch of user_id per day, then ONE union-merge for the corpus
+    * total — the pattern that makes distinct counts composable at
+    * 100 TB. `approx_count_distinct` (q10b) answers one fixed question
+    * per pass; a STORED sketch column answers every future rollup
+    * (weekly, monthly, all-time, any day subset) by merging kilobyte
+    * sketches instead of re-scanning the fact table. The total row here
+    * is computed from the DAILY sketches, never from raw events —
+    * exactly the reuse a sketch store buys. lgK=12 ⇒ ~1.6% relative
+    * error, 4 KB per sketch. Sketch-specific bytes ⇒ no SQL oracle
+    * (rows-only driver check); SketchSpec bounds daily AND merged
+    * estimates against exact countDistinct and pins the lossless-merge
+    * property. */
+  def q91HllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("approx_users"), col("n_events"))
+    // union in strict mode (the boolean is allow-heterogeneous-lgK):
+    // every daily sketch was built at lgK=12, so a mismatch is a bug
+    // worth failing on, not coercing
+    val total = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
+      sum(col("n_events")).as("n_events"))
+      .select(lit(null).cast("timestamp_ntz").as("day"),
+        col("approx_users"), col("n_events"))
+    perDay.unionByName(total).orderBy(col("day").asc_nulls_last)
+  }
+
   /** json + csv SOURCE roundtrip (§2B scans/sources row): write nation out
     * through both text formats, read each back with an explicit schema
     * (schema-on-read), join the two reads. Result must equal the parquet
@@ -333,6 +364,7 @@ object Advanced {
     "q42_array_map" -> q42ArrayMap _,
     "q43_percentiles" -> q43Percentiles _,
     "q61_approx_percentiles" -> q61ApproxPercentiles _,
+    "q91_hll_rollup" -> q91HllRollup _,
     "q44_source_roundtrip" -> q44SourceRoundtrip _,
     "q45_geomean_udaf" -> q45GeoMean _,
     "q46_pivot" -> q46Pivot _,

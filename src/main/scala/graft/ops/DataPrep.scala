@@ -367,6 +367,43 @@ object DataPrep {
       "FROM sh ORDER BY shard, pos"
   }
 
+  /** Token-count histogram width (q92). */
+  private val HistWidth = 50L
+  /** Token-count histogram bucket count (q92; last bucket open-ended). */
+  private val HistBuckets = 10L
+
+  /** Document length histogram: equi-width buckets of per-doc token
+    * counts (width 50, last bucket open-ended), with per-bucket share of
+    * the corpus — the length profile batch planners and truncation
+    * policies read before packing (q81/q82 fix the context budget; this
+    * is how you pick it). One scan + one tiny shuffle of 10 grouped
+    * rows; the share divides by a window total over those same 10 rows
+    * (unpartitioned, but post-aggregation — bucket-count rows, never
+    * data rows). Integer/integer → double division, unrounded
+    * (bit-identical, q22 policy). */
+  def q92LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      .cast("long")
+    documents(spark, dir)
+      .select(least(n.divide(HistWidth).cast("long"), lit(HistBuckets - 1)).as("bucket"),
+        n.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("share", col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  val q92Sql: String =
+    s"WITH n AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), " +
+      s"b AS (SELECT least(n_tokens // $HistWidth, ${HistBuckets - 1}) AS bucket, n_tokens FROM n) " +
+      "SELECT bucket, count(*) AS n_docs, min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens, " +
+      "CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share " +
+      "FROM b GROUP BY bucket ORDER BY bucket"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
@@ -376,7 +413,8 @@ object DataPrep {
     "q81_seq_pack" -> q81SeqPack _,
     "q82_seq_pack_payload" -> q82SeqPackPayload _,
     "q85_merge_upsert" -> q85MergeUpsert _,
-    "q88_epoch_shuffle" -> q88EpochShuffle _)
+    "q88_epoch_shuffle" -> q88EpochShuffle _,
+    "q92_length_histogram" -> q92LengthHistogram _)
 
   val oracle: Map[String, String] = Map(
     "q56_like_pred" -> q56Sql,
@@ -386,5 +424,6 @@ object DataPrep {
     "q81_seq_pack" -> q81Sql,
     "q82_seq_pack_payload" -> q82Sql,
     "q85_merge_upsert" -> q85Sql,
-    "q88_epoch_shuffle" -> q88Sql)
+    "q88_epoch_shuffle" -> q88Sql,
+    "q92_length_histogram" -> q92Sql)
 }
