@@ -188,10 +188,13 @@ object TimeSeries {
     * (user_id, day) — two exchanges total, each over the COMPRESSED
     * activity table (one row per user-day, not per event). */
   def q90Retention(spark: SparkSession, dir: String): DataFrame = {
-    val d = events(spark, dir)
+    // cached: both sides of the self-join read the same compressed
+    // activity table — one events scan + one distinct, not two of each.
+    // Registered for harness-side unpersist (graft.Caches).
+    val d = graft.Caches.register(events(spark, dir)
       .select(col("user_id"),
         date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
-      .distinct()
+      .distinct().cache())
     d.as("a").join(d.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"), "left")

@@ -316,8 +316,13 @@ object TextAnalysis {
   def q84UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val toks = documents(spark, dir).select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    // cached: corpus counts derive FROM tf (cf = Σ tf per term), so the
+    // corpus tokenizes and shuffles raw tokens exactly once — cf's second
+    // shuffle moves already-grouped (term, tf) rows, ~tokens/doc smaller.
+    // Registered for harness-side unpersist (graft.Caches).
+    val tf = graft.Caches.register(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache())
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val totals = cf.agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("vocab"))
     tf.join(broadcast(cf), "term").crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
