@@ -152,12 +152,19 @@ object TimeSeries {
     * shuffle on user_id regardless of history depth. Ordering ties at
     * equal ts break on event_id (the q23 idiom) so both engines pick
     * identical run boundaries. */
-  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** Run starts of each user's event_type stream — the SCD2 interval
+    * openings (shared by q89, which closes the intervals, and q93, which
+    * as-of joins against them). */
+  private def scd2Starts(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val starts = events(spark, dir)
+    events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+  }
+
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val starts = scd2Starts(spark, dir)
     // lead/row_number over the FILTERED rows: the next run start closes
     // this run's interval
     val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -215,6 +222,54 @@ object TimeSeries {
       "FROM d a LEFT JOIN d b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY " +
       "GROUP BY a.day ORDER BY a.day"
 
+  /** Point-in-time (feature-store) join: each order picks up the SCD2
+    * attribute (q89's event_type history, keyed o_custkey = user_id)
+    * that was in effect AT the order date — never a later version (no
+    * leakage), never a stale earlier one. NULL where the order predates
+    * the user's first interval.
+    *
+    * Implemented the q21 way, not as an interval join: a per-row
+    * interval predicate plans a nested-loop re-scan of the history per
+    * fact row, while union + one shuffle on user_id + a running
+    * `last(attr ignoreNulls)` costs one exchange and one sort however
+    * deep the history — the PIT-join plan that survives 100 TB fact
+    * tables. Ties at an interval boundary go to the NEW version (run
+    * start sorts before the fact row at equal ts), matching the
+    * [valid_from, valid_to) convention. */
+  def q93PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = scd2Starts(spark, dir).select(
+      lit(null).cast("long").as("o_orderkey"), col("user_id"),
+      col("ts"), lit(0).as("is_fact"), col("event_type").as("attr"))
+    val o = orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ts"), lit(1).as("is_fact"),
+      lit(null).cast("string").as("attr"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_fact"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.unionByName(o)
+      .withColumn("as_of_type", last(col("attr"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1)
+      .select(col("o_orderkey"), col("user_id"), col("as_of_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // The oracle states the SAME semantics as the declarative interval
+  // join over the q89 interval table ([valid_from, valid_to), NULL-open
+  // tail) — a different algorithm arriving at identical rows.
+  val q93Sql: String =
+    "WITH s AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "r AS (SELECT user_id, ts, event_id, event_type FROM s " +
+      "WHERE prev_type IS NULL OR prev_type <> event_type), " +
+      "iv AS (SELECT user_id, event_type, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM r) " +
+      "SELECT o.o_orderkey, o.o_custkey AS user_id, iv.event_type AS as_of_type " +
+      "FROM orders o LEFT JOIN iv ON iv.user_id = o.o_custkey " +
+      "AND iv.valid_from <= o.o_orderdate " +
+      "AND (iv.valid_to IS NULL OR o.o_orderdate < iv.valid_to) " +
+      "ORDER BY o.o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
@@ -222,7 +277,8 @@ object TimeSeries {
     "q24_json_extract" -> q24JsonExtract _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
-    "q90_retention" -> q90Retention _
+    "q90_retention" -> q90Retention _,
+    "q93_pit_join" -> q93PitJoin _
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +288,7 @@ object TimeSeries {
     "q24_json_extract" -> q24Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
-    "q90_retention" -> q90Sql
+    "q90_retention" -> q90Sql,
+    "q93_pit_join" -> q93Sql
   )
 }
