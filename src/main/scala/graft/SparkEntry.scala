@@ -27,6 +27,7 @@ object SparkEntry {
       ops.Typed.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
+      dedup.Bloom.queries ++
       sim.Similarity.queries ++
       multimodal.Multimodal.queries ++
       // Reference-fidelity pipeline over deterministic fixtures (ignores
@@ -52,6 +53,7 @@ object SparkEntry {
       ops.Typed.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
+      dedup.Bloom.oracle ++
       sim.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
       // Golden-values oracle for the fidelity pipeline: its inputs are

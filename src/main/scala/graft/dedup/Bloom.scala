@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.text.TextAnalysis
+
+/** Bloom-filter membership as a DATAFRAME of 64-bit blocks — the
+  * incremental-dedup primitive for an appending corpus (reference scope:
+  * its ETL re-fetches and re-submits the world every run, task.ts:85-190;
+  * a 100 TB corpus can't — new batches must be deduped against billions
+  * of already-ingested fingerprints without re-shuffling the corpus).
+  *
+  * Representation: (block BIGINT, bits BIGINT) — block i holds bits
+  * [64i, 64i+64) of an m-bit Bloom filter. Building is one exploded
+  * projection (k probe positions per key, all map-side arithmetic:
+  * xxhash64 seeded by probe index) and ONE aggregation shuffling at most
+  * min(k·|keys|, m/64) tiny rows. Nothing ever lands on the driver, the
+  * table is trivially persistable, and merging two filters is
+  * `union + groupBy(block) + bit_or` — associative and commutative, so
+  * per-batch blooms roll up incrementally (BloomSpec pins build-once ≡
+  * merge-of-parts; streaming twin in streaming/Streaming.scala).
+  *
+  * Scale regimes: at the default m = 2^20 bits the block table is
+  * ≤ 16 Ki rows (128 KiB) — broadcast it to probe. Sized for billions of
+  * keys (m ≈ 10 bits/key ⇒ ~1.2 GiB for 10^9 keys) the same probe is a
+  * shuffled join on `block` instead of a broadcast: probes are
+  * k rows/key, blocks are m/64 rows, both sides hash-partition evenly by
+  * construction (positions are uniform hashes), so there is no skew path.
+  * Size m from `approx_count_distinct` of the key column; k ≈ 0.7·m/n.
+  */
+object Bloom {
+
+  /** Default filter geometry: m must be a multiple of 64 (whole blocks).
+    * 2^20 bits / k=5 holds ~10^5 keys under ~3% false-positive rate —
+    * comfortable for every tested scale factor; production sizes via the
+    * formulas above. */
+  val DefaultBits: Long = 1L << 20
+  val DefaultK: Int = 5
+
+  /** k probe positions for `key`: pmod(xxhash64(seed_i, key), m). The
+    * probe index rides as the xxhash64 seed column, so the k hash
+    * functions are independent without any driver-side state. */
+  private def probes(keyed: DataFrame, key: Column, mBits: Long, k: Int): DataFrame =
+    keyed.withColumn("_i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("_pos", pmod(xxhash64(col("_i"), key), lit(mBits)))
+      .withColumn("block", (col("_pos") / 64).cast("long"))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"))
+
+  /** Build the block table from a one-column key DataFrame. bit_or is
+    * idempotent, so duplicate keys cost nothing and no distinct() is
+    * needed upstream. */
+  def buildBlocks(keys: DataFrame, mBits: Long = DefaultBits, k: Int = DefaultK): DataFrame = {
+    require(mBits % 64 == 0, s"mBits=$mBits must be a multiple of 64")
+    probes(keys, keys.columns.headOption.map(col)
+        .getOrElse(throw new IllegalArgumentException("keys needs one column")),
+        mBits, k)
+      .groupBy(col("block")).agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Merge block tables (filters built with the SAME m and k): the
+    * incremental path — yesterday's bloom ∪ today's batch bloom. */
+  def mergeBlocks(filters: DataFrame*): DataFrame =
+    filters.reduce(_ union _).groupBy(col("block")).agg(bit_or(col("bits")).as("bits"))
+
+  /** Probe: annotate each row of `batch` with `bloom_hit` — true iff ALL
+    * k probe bits are set (classic Bloom semantics: false ⇒ definitely
+    * novel; true ⇒ maybe seen, confirm exactly). One exploded projection,
+    * a broadcast join against the block table, and a groupBy back to one
+    * row per input row. Absent blocks (never written) read as bits=0. */
+  def probe(batch: DataFrame, keyCol: String, blocks: DataFrame,
+      mBits: Long = DefaultBits, k: Int = DefaultK): DataFrame = {
+    val cols = batch.columns.map(col).toSeq
+    probes(batch, col(keyCol), mBits, k)
+      .join(broadcast(blocks), Seq("block"), "left")
+      .withColumn("_hit", coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
+      .groupBy(cols: _*)
+      .agg(min(col("_hit")).as("bloom_hit"))
+  }
+
+  /** q94: Bloom-prefiltered incremental exact dedup. Scenario: 80% of
+    * documents (doc_id % 5 != 4) are the already-ingested corpus, 20%
+    * (doc_id % 5 == 4) arrive as a new batch; emit the batch docs whose
+    * canonical fingerprint (q28) is NOT already in the corpus — the rows
+    * an ingest job would append.
+    *
+    * EXACT output, Bloom-shaped plan: bloom-negative rows are novel by
+    * the no-false-negative guarantee and never touch a join; only the
+    * bloom-POSITIVE sliver (true dups + the small false-positive rate)
+    * is confirmed with an anti-join against the corpus fingerprints. At
+    * 100 TB that anti-join's left side shrinks from |batch| to
+    * ~|dups| + fpp·|batch| — the filter does the work, the join only
+    * adjudicates maybes — while the output stays bit-identical to the
+    * plain anti-join (which is exactly what the DuckDB oracle runs).
+    * BloomSpec additionally pins: q94 ≡ plain anti-join, zero false
+    * negatives, the false-positive rate at geometry, and build-vs-merge
+    * equality. */
+  def q94BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprintColumn.as("fp"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 4)
+    val batch = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+    val blocks = buildBlocks(corpus.select(col("fp")))
+    val probed = probe(batch, "fp", blocks)
+    val novelFast = probed.where(!col("bloom_hit")).select(col("doc_id"), col("fp"))
+    val confirmed = probed.where(col("bloom_hit")).select(col("doc_id"), col("fp"))
+      .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    novelFast.union(confirmed).orderBy(col("doc_id"))
+  }
+
+  private val fpSql =
+    "substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16)"
+
+  /** Oracle = the plain anti-join q94 is provably equivalent to (fp is
+    * never NULL, so NOT IN is safe three-valued-logic-wise). */
+  val q94Sql: String =
+    s"WITH d AS (SELECT doc_id, $fpSql AS fp FROM documents) " +
+      "SELECT doc_id, fp FROM d WHERE doc_id % 5 = 4 " +
+      "AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 5 <> 4) ORDER BY doc_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_bloom_dedup" -> q94BloomDedup _)
+
+  val oracle: Map[String, String] = Map(
+    "q94_bloom_dedup" -> q94Sql)
+}

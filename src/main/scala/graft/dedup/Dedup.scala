@@ -169,11 +169,16 @@ object Dedup {
     * count kept shingles per doc; a doc whose shingles are ALL hot drops
     * from `sizes`, which is harmless: with no kept shingles it cannot
     * appear in `pair` either. */
-  private val jaccardCtes: String =
+  /** The shingle-generation CTEs alone (w → sh → e0) — shared by
+    * `jaccardCtes` and the q96 heavy-hitter oracle. */
+  private val shingleCtes: String =
     "w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +
-      "e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+      "e0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"
+
+  private val jaccardCtes: String =
+    s"$shingleCtes, " +
       s"hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > ${Guards.DefaultShingleDf}), " +
       "e AS (SELECT doc_id, s FROM e0 WHERE s NOT IN (SELECT s FROM hot)), " +
       "pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
@@ -503,6 +508,65 @@ object Dedup {
     s"WITH RECURSIVE $clusterCtes " +
       "SELECT doc_id, cluster_id FROM clus ORDER BY doc_id"
 
+  /** Leakage-safe train/val/test split: assignment is a pure function of
+    * the duplicate-CLUSTER id, not the document id, so near-duplicates
+    * can never straddle a split boundary. A plain per-doc hash split
+    * (q57) leaks: a train doc's near-copy lands in val with probability
+    * (1 - 1/|splits|) and the eval set silently overlaps training — the
+    * contamination q69 removes across corpora, re-introduced by the
+    * splitter itself. Plan shape: the q65/q77 cluster machinery (pair
+    * graph → components), a left join of the corpus against the (small)
+    * clustered subset, then the same content-hash range trick as q57 on
+    * coalesce(cluster_id, doc_id) — deterministic on any cluster, any
+    * partitioning, any rerun, and exactly reproducible in ANSI SQL.
+    * DedupSimSpec pins the invariant directly: every near-dup pair gets
+    * ONE split. */
+  def q95LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = keepList(documents(spark, dir),
+      jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .select(col("doc_id"), col("keep_id").as("cluster_id"))
+    val h = md5(concat(col("cluster_id").cast("string"), lit("|graft-leakfree-1")))
+    assigned
+      .withColumn("split",
+        when(substring(h, 1, 1) < "c", "train")
+          .when(substring(h, 1, 1) < "e", "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Sql: String =
+    s"WITH RECURSIVE $clusterCtes " +
+      "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, " +
+      "CASE WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) || '|graft-leakfree-1'),1,1) < 'c' THEN 'train' " +
+      "WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) || '|graft-leakfree-1'),1,1) < 'e' THEN 'val' " +
+      "ELSE 'test' END AS split " +
+      "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
+
+  /** Corpus-wide heavy-hitter shingles: the top-50 word 3-grams by
+    * document frequency — the boilerplate detector (cookie banners,
+    * license headers, navigation chrome) that feeds stop-shingle lists
+    * like the Jaccard df cap (Guards.ShingleDfConf) and Gopher-style
+    * repetition rules (q68). EXACT and scalable as-is: explode is
+    * map-side, the groupBy partial-aggregates before its one shuffle on
+    * the shingle, and the top-50 is a TakeOrdered (no global sort). The
+    * bounded-memory alternative at extreme cardinality is a count-min
+    * sketch + candidate re-check — not needed: partial aggregation
+    * already caps the shuffle at the distinct-shingle set, which parquet
+    * corpora fit comfortably. Ties broken by shingle text for a total
+    * deterministic order on both engines. */
+  def q96HeavyShingles(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s")).limit(50)
+
+  /** Oracle reuses the shared shingle CTEs (w → sh → e0) so "shingle"
+    * can't diverge between engines; df counts per-document presence
+    * because sh is already list_distinct per doc. */
+  val q96Sql: String =
+    s"WITH $shingleCtes " +
+      "SELECT s, count(*) AS df FROM e0 GROUP BY s ORDER BY df DESC, s LIMIT 50"
+
   val q30Sql: String =
     s"WITH $jaccardCtes " +
       "SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard " +
@@ -718,7 +782,9 @@ object Dedup {
     "q32_simhash" -> q32Simhash _,
     "q77_dedup_keeplist" -> q77KeepList _,
     "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
-    "q80_chunk_dedup" -> q80ChunkDedup _
+    "q80_chunk_dedup" -> q80ChunkDedup _,
+    "q95_leakage_split" -> q95LeakageSplit _,
+    "q96_heavy_shingles" -> q96HeavyShingles _
   )
 
   val oracle: Map[String, String] = Map(
@@ -726,6 +792,8 @@ object Dedup {
     "q30_ngram_jaccard" -> q30Sql,
     "q65_dup_clusters" -> q65Sql,
     "q77_dedup_keeplist" -> q77Sql,
-    "q80_chunk_dedup" -> q80Sql
+    "q80_chunk_dedup" -> q80Sql,
+    "q95_leakage_split" -> q95Sql,
+    "q96_heavy_shingles" -> q96Sql
   )
 }

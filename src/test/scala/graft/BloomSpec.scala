@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Bloom block-table primitive (dedup/Bloom.scala): classic filter
+  * guarantees (zero false negatives, bounded false positives at
+  * geometry), the mergeability that makes it incremental, and q94's
+  * equivalence to the plain anti-join it accelerates. */
+class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  import dedup.Bloom
+
+  test("zero false negatives: every inserted key probes as a hit") {
+    import spark.implicits._
+    val keys = (1L to 2000L).map(i => s"key-$i").toDF("k")
+    val blocks = Bloom.buildBlocks(keys)
+    val probed = Bloom.probe(keys, "k", blocks)
+    assert(probed.where(!col("bloom_hit")).count() == 0L)
+  }
+
+  test("false-positive rate is small at the default geometry") {
+    import spark.implicits._
+    val inserted = (1L to 2000L).map(i => s"key-$i").toDF("k")
+    val absent = (1L to 2000L).map(i => s"other-$i").toDF("k")
+    val blocks = Bloom.buildBlocks(inserted)
+    val fp = Bloom.probe(absent, "k", blocks).where(col("bloom_hit")).count()
+    // m=2^20, k=5, n=2000 → theoretical fpp ~ (1-e^{-kn/m})^k ≈ 1e-10;
+    // allow a wide margin — the assertion is "prefilter, not coin flip"
+    assert(fp <= 20L, s"false positives: $fp of 2000")
+  }
+
+  test("block table never exceeds m/64 rows and build is duplicate-insensitive") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => s"key-${i % 100}").toDF("k") // heavy dups
+    val blocks = Bloom.buildBlocks(keys).cache()
+    try {
+      assert(blocks.count() <= Bloom.DefaultBits / 64)
+      val once = Bloom.buildBlocks((0L until 100L).map(i => s"key-$i").toDF("k"))
+      // bit_or idempotence: inserting each key 5× sets exactly the bits
+      // inserting it once sets
+      assert(blocks.except(once).isEmpty && once.except(blocks).isEmpty)
+    } finally blocks.unpersist()
+  }
+
+  test("merge of per-batch blooms equals the bloom of the union (incremental contract)") {
+    import spark.implicits._
+    val a = (1L to 700L).map(i => s"key-$i").toDF("k")
+    val b = (500L to 1200L).map(i => s"key-$i").toDF("k")
+    val merged = Bloom.mergeBlocks(Bloom.buildBlocks(a), Bloom.buildBlocks(b))
+    val direct = Bloom.buildBlocks(a.union(b))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
+
+  test("q94 is bit-identical to the plain anti-join it accelerates") {
+    val q94 = Bloom.q94BloomDedup(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), text.TextAnalysis.fingerprintColumn.as("fp"))
+    val plain = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+      .join(docs.where(pmod(col("doc_id"), lit(5)) =!= 4).select(col("fp")),
+        Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    assert(q94.count() > 0)
+    assert(q94.except(plain).isEmpty && plain.except(q94).isEmpty)
+  }
+
+  test("probe preserves every input row exactly once") {
+    import spark.implicits._
+    val keys = (1L to 300L).map(i => (i, s"key-${i % 40}")).toDF("id", "k")
+    val blocks = Bloom.buildBlocks(keys.select(col("k")))
+    val probed = Bloom.probe(keys, "k", blocks).cache()
+    try {
+      assert(probed.count() == 300L)
+      assert(probed.select(col("id")).distinct().count() == 300L)
+    } finally probed.unpersist()
+  }
+}

@@ -334,4 +334,40 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 2's only chunk repeats doc 1's final chunk -> fully deduped
     assert(out(1) == ((2L, 1L, 0L, "")))
   }
+
+  test("leakage-safe split: near-dup pairs never straddle a split boundary") {
+    import org.apache.spark.sql.functions.col
+    val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()
+    try {
+      val pairs = dedup.Dedup.q30NgramJaccard(spark, dir)
+        .select(col("id_a"), col("id_b"))
+      assert(pairs.count() > 0)
+      // the invariant q57's per-doc split violates by construction
+      val straddling = pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .where(col("sa") =!= col("sb"))
+      assert(straddling.count() == 0L)
+      // and it is still a real split: every doc assigned, all three
+      // splits populated at this corpus size
+      assert(split.count() == Tables.documents(spark, dir).count())
+      assert(split.select(col("split")).distinct().count() == 3L)
+    } finally split.unpersist()
+  }
+
+  test("heavy-hitter shingles are the exact df top-50") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val top = dedup.Dedup.q96HeavyShingles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 50)
+    // descending by df with shingle-text tiebreak — a total order
+    assert(top.sliding(2).forall { case Array((sa, da), (sb, db)) =>
+      da > db || (da == db && sa < sb) })
+    // cross-check the top entry against an independent count
+    val (s0, df0) = top.head
+    val expected = dedup.Dedup.shingles(spark, dir)
+      .select(explode(col("shingles")).as("s"))
+      .where(col("s") === s0).count()
+    assert(df0 == expected)
+  }
 }
