@@ -24,6 +24,7 @@ object SparkEntry {
       ops.SkewJoin.queries ++
       ops.Subqueries.queries ++
       ops.DataPrep.queries ++
+      ops.Layout.queries ++
       ops.Typed.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       ops.SkewJoin.oracle ++
       ops.Subqueries.oracle ++
       ops.DataPrep.oracle ++
+      ops.Layout.oracle ++
       ops.Typed.oracle ++
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++

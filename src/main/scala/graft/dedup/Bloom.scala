@@ -119,6 +119,73 @@ object Bloom {
       "SELECT doc_id, fp FROM d WHERE doc_id % 5 = 4 " +
       "AND fp NOT IN (SELECT fp FROM d WHERE doc_id % 5 <> 4) ORDER BY doc_id"
 
+  /** One incremental-ingest step against a persistent dedup memory:
+    * `blocksPath` (the corpus Bloom block table) and `fpStorePath` (the
+    * exact fingerprint store) accumulate across calls; each call dedups
+    * `batch` (doc_id, text, ...) within itself and against everything
+    * ever ingested, lands the truly-novel rows under
+    * `novelPath/batch=<batchId>`, and appends their fingerprints to both
+    * stores. Output is EXACT (bloom positives are confirmed against the
+    * fp store — no false drops, no false keeps); the bloom's job is that
+    * the confirm anti-join's probe side is |dups| + fpp·|batch| instead
+    * of |batch|.
+    *
+    * Write ordering is load-bearing: the novel rows are written to their
+    * batch=<id> output partition FIRST (computed purely from the OLD
+    * store state) and read back for the store updates. Updating the
+    * stores before consuming the novel plan would be wrong even with a
+    * cache: Spark's overwrite invalidates caches by path
+    * (`recacheByPath`), silently recomputing "novel" against the
+    * already-updated stores — where every novel row now looks like a
+    * duplicate of itself. (BloomSpec's 3-batch parity case fails loudly
+    * under that ordering.)
+    *
+    * This is the streaming meeting point of the dedup chain
+    * (streaming/Streaming.scala wraps it in foreachBatch; StreamingSpec
+    * pins multi-run parity): unlike watermark-bounded
+    * `dropDuplicatesWithinWatermark` state, the bloom remembers the
+    * WHOLE corpus at ~10 bits/document forever. On a production cluster
+    * the two stores live in a transactional table format (or versioned
+    * paths) rather than plain overwrite-in-place. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      blocksPath: String, fpStorePath: String, novelPath: String,
+      mBits: Long = DefaultBits, k: Int = DefaultK): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def readOr(path: String, schema: StructType): DataFrame =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val blocks = readOr(blocksPath,
+      StructType(Seq(StructField("block", LongType), StructField("bits", LongType))))
+    val fpStore = readOr(fpStorePath, StructType(Seq(StructField("fp", StringType))))
+
+    // within-batch first-arrival dedup, then the bloom/confirm split
+    val keyed = batch.withColumn("fp", TextAnalysis.fingerprintColumn)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val firstPerFp = keyed.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val probed = probe(firstPerFp, "fp", blocks, mBits, k)
+    // unionByName: the USING-column join reorders fp to the front, and a
+    // positional union would silently cross-cast columns
+    val novel = probed.where(!col("bloom_hit")).drop("bloom_hit")
+      .unionByName(probed.where(col("bloom_hit")).drop("bloom_hit")
+        .join(fpStore, Seq("fp"), "left_anti"))
+
+    // 1. land this batch's novel rows (pure function of the old state);
+    //    batch=<id> is partition-discovery-compatible, so reading
+    //    novelPath yields the full deduped corpus with a batch column
+    val batchOut = s"$novelPath/batch=$batchId"
+    novel.write.mode("overwrite").parquet(batchOut)
+    // 2. update the stores from the LANDED rows — no dependency on the
+    //    paths being mutated
+    val landedFps = spark.read.parquet(batchOut).select(col("fp"))
+    landedFps.write.mode("append").parquet(fpStorePath)
+    val newBlocks = mergeBlocks(blocks, buildBlocks(landedFps, mBits, k)).cache()
+    newBlocks.count() // cut the read dependency on the files being replaced
+    newBlocks.write.mode("overwrite").parquet(blocksPath)
+    newBlocks.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bloom_dedup" -> q94BloomDedup _)
 

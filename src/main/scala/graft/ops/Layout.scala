@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering, the
+  * standard answer to "queries filter on BOTH x and y but files can only
+  * be sorted one way". Interleaving the bits of two sort keys gives a
+  * single clustering key whose ranges are 2-D tiles: range-partition +
+  * sort by it and every parquet file covers a NARROW slice of BOTH
+  * columns, so either predicate prunes files via min/max footer stats.
+  * A linear sort by x gives perfect x-pruning and ZERO y-pruning — at
+  * 100 TB that's the difference between reading one tile and scanning
+  * the whole table for every y-filtered query. (Public technique —
+  * Morton 1966; used by every lakehouse OPTIMIZE/CLUSTER BY
+  * implementation.)
+  *
+  * Everything is pure column arithmetic (shift/mask/or), codegen'd,
+  * shuffle-free until the one range-repartition that IS the layout job.
+  */
+object Layout {
+
+  /** Bit-interleave two non-negative ints confined to `bits` bits each:
+    * x's bit i lands at even position 2i, y's at odd 2i+1. Inputs are
+    * masked to `bits` first, so callers normalize (bucket/scale) into
+    * range; 16+16 → a 32-bit Morton code in a long. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val mask = lit((1L << bits) - 1)
+    val xm = x.cast("long").bitwiseAND(mask)
+    val ym = y.cast("long").bitwiseAND(mask)
+    (0 until bits).map { i =>
+      val xbit = shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+      val ybit = shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xbit.bitwiseOR(ybit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The layout operator: cluster `df` into `n` write tasks by the
+    * Z-value of (x, y). Both keys are first RANGE-NORMALIZED into the
+    * full 2^bits domain — raw interleave of unequal-width ranges puts
+    * all the high varying bits on the wider dimension and degenerates
+    * toward a linear sort on it (no locality for the narrow one). The
+    * bounds come from one cheap min/max aggregation broadcast back as a
+    * 1-row join (at production scale, read them from table stats
+    * instead). repartitionByRange's sampled boundaries then make each
+    * output file one contiguous Z-range ≈ one 2-D tile;
+    * sortWithinPartitions tightens per-row-group stats inside each file.
+    * LayoutSpec measures the effect directly on written parquet. */
+  def layoutZOrder(df: DataFrame, x: Column, y: Column, n: Int,
+      bits: Int = 16): DataFrame = {
+    val top = (1L << bits) - 1
+    val bounds = df.agg(min(x).cast("long").as("_xmin"), max(x).cast("long").as("_xmax"),
+      min(y).cast("long").as("_ymin"), max(y).cast("long").as("_ymax"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      (c.cast("long") - lo) * top / greatest(hi - lo, lit(1L))
+    val withZ = df.crossJoin(broadcast(bounds))
+      .withColumn("_z", zValue(
+        norm(x, col("_xmin"), col("_xmax")),
+        norm(y, col("_ymin"), col("_ymax")), bits))
+      .drop("_xmin", "_xmax", "_ymin", "_ymax")
+    withZ.repartitionByRange(n, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
+  /** q97: the Morton codes themselves over orders — x = customer key,
+    * y = order date as days since 1990-01-01 (same epoch expression as
+    * q39's oracle), both masked to 16 bits. Pure integer arithmetic →
+    * the DuckDB oracle replays the identical shifts and hash-matches
+    * bit-for-bit, pinning the interleave the layout operator sorts by. */
+  def q97ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayNum.cast("long").as("day_num"),
+        zValue(col("o_custkey"), dayNum, 16).as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q97Sql: String = {
+    val x = s"(o_custkey & 65535)"
+    val y = s"(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) & 65535)"
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }
+    "SELECT o_orderkey, o_custkey, " +
+      "date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num, " +
+      s"(${terms.mkString(" | ")}) AS zval " +
+      "FROM orders ORDER BY o_orderkey"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_zorder" -> q97ZOrder _)
+
+  val oracle: Map[String, String] = Map(
+    "q97_zorder" -> q97Sql)
+}

@@ -156,6 +156,25 @@ object Streaming {
       joinType)
   }
 
+  /** Streaming incremental corpus dedup with UNBOUNDED memory: every
+    * micro-batch runs one `Bloom.ingestBatch` step against the
+    * persistent block-table/fp-store pair, so a document seen ANY time
+    * in the corpus's history is dropped — not just within the watermark
+    * horizon that bounds `dedupedDocsByFingerprint`'s state store. The
+    * two are complementary regimes: watermark state for dedup-within-
+    * recency at exact-once semantics, the bloom pair for
+    * dedup-against-everything at ~10 bits/doc. Novel rows land under
+    * `novelPath/batch=<id>`; StreamingSpec pins multi-run parity. */
+  def bloomDedupIngest(docs: DataFrame, blocksPath: String,
+      fpStorePath: String, novelPath: String, checkpoint: String): Unit = {
+    // micro-batch ids restart at 0 per checkpoint-less query; namespace
+    // by a per-run nonce so successive runs never collide on batch=<id>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    runAvailableNow(docs, (batch, id) =>
+      graft.dedup.Bloom.ingestBatch(batch.sparkSession, batch, id,
+        blocksPath, fpStorePath, s"$novelPath/run=$run"), checkpoint)
+  }
+
   /** Scheduled micro-batch runner (§2A-19): one-shot `AvailableNow` batch
     * of a streaming query into `foreachBatch` — the Spark equivalent of
     * the reference's scheduled Lambda invocation. Returns when the

@@ -77,6 +77,33 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q94.except(plain).isEmpty && plain.except(q94).isEmpty)
   }
 
+  test("incremental ingest across 3 batches equals one-shot first-arrival dedup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_ingest")
+      .toFile.getAbsolutePath
+    val blocks = s"$root/blocks"; val fps = s"$root/fps"; val out = s"$root/novel"
+    // cross-batch dups (doc 11 dups 1, doc 21 dups 2), a within-batch dup
+    // (22 dups 20), and canonical-form dups (case/punctuation only)
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+    val b2 = Seq((11L, "ALPHA beta: gamma!"), (12L, "zeta eta"))
+    val b3 = Seq((20L, "theta iota"), (22L, "theta, iota"), (21L, "delta epsilon"))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      dedup.Bloom.ingestBatch(spark, b.toDF("doc_id", "text"), i, blocks, fps, out)
+    }
+    // one-shot expectation: first arrival per canonical fingerprint;
+    // arrival order here == batch order then doc_id order within batch
+    val novel = spark.read.parquet(out).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(novel == Set(1L, 2L, 12L, 20L))
+    // the persistent stores agree: fp store holds one fp per novel doc,
+    // blocks == a fresh bloom over exactly those fps
+    val storedFps = spark.read.parquet(fps)
+    assert(storedFps.count() == 4L && storedFps.distinct().count() == 4L)
+    val rebuilt = dedup.Bloom.buildBlocks(storedFps)
+    val persisted = spark.read.parquet(blocks)
+    assert(persisted.except(rebuilt).isEmpty && rebuilt.except(persisted).isEmpty)
+  }
+
   test("probe preserves every input row exactly once") {
     import spark.implicits._
     val keys = (1L to 300L).map(i => (i, s"key-${i % 40}")).toDF("id", "k")

@@ -109,6 +109,60 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ordered.nonEmpty && ordered.forall(identity))
   }
 
+  test("z-order layout: every file covers a narrow slice of BOTH dimensions") {
+    import ops.Layout
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").as("x"), dayNum.cast("long").as("y"))
+
+    def fileExtents(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+      val out = Files.createTempDirectory("graft_z").toFile.getAbsolutePath
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    }
+
+    val nFiles = 16
+    val zed = fileExtents(Layout.layoutZOrder(src, col("x"), col("y"), nFiles))
+    val linear = fileExtents(
+      src.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x")))
+    assert(zed.length == nFiles && linear.length == nFiles)
+    def avg(a: Array[Long]): Double = a.sum.toDouble / a.length
+    // linear x-sort: x-extents tiny, y-extents ~ the FULL y range per
+    // file (no y locality at all). Z-order: both extents must be a
+    // fraction of their full range — that's what lets min/max stats
+    // prune files for predicates on either column.
+    val (fullX, fullY) = {
+      val r = src.agg(max(col("x")) - min(col("x")),
+        max(col("y")) - min(col("y"))).head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val zDx = avg(zed.map(_._1));    val zDy = avg(zed.map(_._2))
+    val linDy = avg(linear.map(_._2))
+    assert(linDy > 0.9 * fullY, s"x-sorted layout should have no y locality (dy=$linDy of $fullY)")
+    assert(zDy < 0.5 * fullY, s"z-order should bound y extents (dy=$zDy of $fullY)")
+    assert(zDx < 0.5 * fullX, s"z-order should bound x extents (dx=$zDx of $fullX)")
+  }
+
+  test("zValue interleave is order-preserving on tiles and bijective on the grid") {
+    import ops.Layout
+    import spark.implicits._
+    // 256 grid points (16x16): all z-values distinct (bijection) and the
+    // top-left quadrant's codes all sort before the bottom-right's
+    // (tile-level clustering — the property pruning relies on)
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = grid.select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(z.values.toSet.size == 256)
+    val q00max = (for (x <- 0 until 8; y <- 0 until 8) yield z((x, y))).max
+    val q11min = (for (x <- 8 until 16; y <- 8 until 16) yield z((x, y))).min
+    assert(q00max < q11min)
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

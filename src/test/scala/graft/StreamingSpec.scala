@@ -137,6 +137,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchKept === streamed)
   }
 
+  test("streaming bloom-ingest dedups against the whole corpus history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sbloom")
+      .toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (11L, "ALPHA beta: gamma!"), (12L, "zeta eta"))
+    Streaming.bloomDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$root/blocks", s"$root/fps", s"$root/novel", s"$root/ckpt")
+    // a second AvailableNow run later: the bloom pair REMEMBERS batch 1
+    // across queries/restarts (no watermark horizon) — 21 is an
+    // all-time dup, only 22 is novel
+    mem.addData((21L, "delta... EPSILON"), (22L, "brand new text"))
+    Streaming.bloomDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$root/blocks", s"$root/fps", s"$root/novel", s"$root/ckpt")
+    // two runs → two run=<nonce> partitions; recursive discovery reads both
+    val novel = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/novel")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(novel == Set(1L, 2L, 12L, 22L))
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
