@@ -29,6 +29,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++
       dedup.Bloom.queries ++
+      sketch.CountMin.queries ++
       sim.Similarity.queries ++
       multimodal.Multimodal.queries ++
       // Reference-fidelity pipeline over deterministic fixtures (ignores

@@ -319,7 +319,29 @@ object Similarity {
       "FROM qz, q WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10"
   }
 
+  /** q98: SemDeDup-style semantic corpus prune (public method — Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): embeddings whose cosine
+    * clears the near-dup threshold are redundant training signal; keep
+    * one representative per semantic-duplicate GROUP. Composition of two
+    * proven pieces — the cell-blocked pair generator above (k-means
+    * cells = SemDeDup's clusters; pairs never cross cells except via
+    * multi-assignment, so candidate work is cell-local) and the
+    * modality-agnostic keep-list chain (dedup/Dedup.dedupedCorpus:
+    * components → min-id keeper → anti-join). Emits the SURVIVING
+    * embedding ids + their cluster keeper. Fit-seeded (k-means) →
+    * rows-only at the driver; DedupSimSpec bounds it against the
+    * exact-pair-fed twin. */
+  def q98SemanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.dedup.Dedup.dedupedCorpus(
+      vectors(spark, dir).select(col("vec_id").as("doc_id")),
+      embedNeardupPairs(spark, dir).select(col("id_a"), col("id_b")),
+      graft.dedup.Dedup.starContractClusters(_))
+    kept.select(col("doc_id").as("vec_id")).orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_semantic_prune" -> q98SemanticPrune _,
     "q33_cosine_topk" -> q33CosineTopk _,
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,

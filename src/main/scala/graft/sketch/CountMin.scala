@@ -1,0 +1,84 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a DATAFRAME of (d, c, cnt) cells — the third
+  * member of the mergeable-sketch family (HLL distinct rollup q91,
+  * Bloom membership q94): fixed-size frequency summaries that compose
+  * by simple aggregation, so per-partition/per-day sketches roll up
+  * without ever re-touching raw data.
+  *
+  * Representation: depth `d` independent hash rows × width `w` counters.
+  * Build is one exploded projection (d cells per item, xxhash64 seeded
+  * by row index) + ONE aggregation bounded by d·w cells regardless of
+  * input size; merge is union + groupBy + sum (cell-wise addition —
+  * CMS(A ⊎ B) = CMS(A) + CMS(B), exactly); estimate(key) = min over the
+  * d cells the key hashes to, which can only OVER-estimate (collisions
+  * add, never subtract): est ≥ true always, and est ≤ true + e/w·N with
+  * probability 1 - e^-d (Cormode & Muthukrishnan 2005). SketchSpec pins
+  * the one-sided guarantee, the error band, and lossless merge.
+  *
+  * Scale shape: the sketch is d·w rows (~256 Ki cells at defaults) —
+  * broadcast it to probe candidate sets; raw streams never shuffle more
+  * than the d·w cell table. This is how frequency questions ("is this
+  * n-gram boilerplate?") get answered over 100 TB without carrying the
+  * full distinct-key table through a shuffle — the exact twin (q96)
+  * stays the oracle-verified reference. */
+object CountMin {
+
+  /** ~256 Ki counters: w sized so e/w · N stays ≪ the frequencies that
+    * matter at tested scale (N ≈ 10^5 shingle occurrences at sf0.01 →
+    * additive error ~4); size w ∝ N/ε for a target ε at production. */
+  val DefaultW = 65536
+  val DefaultD = 4
+
+  private def cell(key: Column, d: Column, w: Int): Column =
+    pmod(xxhash64(d, key), lit(w))
+
+  /** Sketch a one-column item stream (multiset — duplicates COUNT). */
+  def build(items: DataFrame, w: Int = DefaultW, d: Int = DefaultD): DataFrame = {
+    val key = col(items.columns.head)
+    items.withColumn("_d", explode(sequence(lit(0), lit(d - 1))))
+      .select(col("_d").as("d"), cell(key, col("_d"), w).as("c"))
+      .groupBy(col("d"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise addition — the mergeable-summary contract. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ union _)
+      .groupBy(col("d"), col("c")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a candidate set: min over the d probed cells;
+    * an absent cell means nothing ever hashed there → 0. */
+  def estimate(cands: DataFrame, keyCol: String, sketch: DataFrame,
+      w: Int = DefaultW, d: Int = DefaultD): DataFrame = {
+    val cols = cands.columns.map(col).toSeq
+    cands.withColumn("_d", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("_c", cell(col(keyCol), col("_d"), w))
+      .join(broadcast(sketch), col("_d") === sketch("d") && col("_c") === sketch("c"), "left")
+      .groupBy(cols: _*)
+      .agg(min(coalesce(sketch("cnt"), lit(0L))).as("est"))
+  }
+
+  /** q99: CMS frequency estimates for the exact heavy-hitter shingles
+    * (q96's top-50) — the production probe pattern: the sketch
+    * summarizes the full shingle stream in d·w cells, candidates get
+    * their frequency WITHOUT a second pass over raw text. Hash-seeded
+    * counters → rows-only at the driver; SketchSpec pins est ≥ exact
+    * df (one-sided) with a tight additive band against oracle-green
+    * q96. */
+  def q99CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val stream = graft.dedup.Dedup.shingles(spark, dir)
+      .select(explode(col("shingles")).as("s"))
+    val sketch = build(stream)
+    val cands = graft.dedup.Dedup.q96HeavyShingles(spark, dir).select(col("s"))
+    estimate(cands, "s", sketch)
+      .orderBy(col("est").desc, col("s"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_cms_heavy_hitters" -> q99CmsHeavyHitters _)
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -335,6 +335,27 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ((2L, 1L, 0L, "")))
   }
 
+  test("semantic prune (q98) tracks the exact-pair-fed prune") {
+    import org.apache.spark.sql.functions.col
+    val pruned = sim.Similarity.q98SemanticPrune(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val exactKept = dedup.Dedup.dedupedCorpus(
+      sim.Similarity.vectors(spark, dir).select(col("vec_id").as("doc_id")),
+      sim.Similarity.q34EmbeddingNeardup(spark, dir)
+        .select(col("id_a"), col("id_b")))
+      .collect().map(_.getLong(0)).toSet
+    val all = sim.Similarity.vectors(spark, dir).count()
+    // a semantic dup was actually pruned, and pruning is conservative:
+    // a missed candidate pair keeps BOTH sides, so the blocked prune
+    // can only keep a superset of the exact prune
+    assert(exactKept.size < all)
+    assert(exactKept.subsetOf(pruned), s"over-pruned: ${exactKept -- pruned}")
+    // and it misses few: extra kept docs <= 20% of the true drop count
+    val extra = pruned.size - exactKept.size
+    assert(extra <= 0.2 * (all - exactKept.size),
+      s"$extra extra survivors of ${all - exactKept.size} true drops")
+  }
+
   test("leakage-safe split: near-dup pairs never straddle a split boundary") {
     import org.apache.spark.sql.functions.col
     val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()

@@ -59,4 +59,35 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getLong(0)
     assert(direct == merged, s"direct $direct vs merged $merged")
   }
+
+  test("CMS estimates: one-sided (est >= exact df) within a tight additive band") {
+    import sketch.CountMin
+    val est = CountMin.q99CmsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = dedup.Dedup.q96HeavyShingles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet && est.size == 50)
+    exact.foreach { case (s, df) =>
+      val e = est(s)
+      // CMS can never under-count, and at w=64Ki over ~10^5 occurrences
+      // the expected additive error is ~N/w < 2 per depth row; 16 is a
+      // generous determinized band for the min over 4 rows
+      assert(e >= df, s"under-estimate for '$s': $e < $df")
+      assert(e <= df + 16, s"over-estimate for '$s': $e vs $df")
+    }
+  }
+
+  test("merging split CMS sketches equals sketching the whole stream") {
+    import sketch.CountMin
+    val stream = dedup.Dedup.shingles(spark, dir)
+      .select(explode(col("shingles")).as("s"),
+        (col("doc_id") % 2).as("half"))
+    val whole = CountMin.build(stream.select(col("s"))).cache()
+    try {
+      val merged = CountMin.merge(
+        CountMin.build(stream.where(col("half") === 0).select(col("s"))),
+        CountMin.build(stream.where(col("half") === 1).select(col("s"))))
+      assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    } finally whole.unpersist()
+  }
 }
