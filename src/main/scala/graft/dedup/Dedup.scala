@@ -553,10 +553,25 @@ object Dedup {
     * sketch + candidate re-check — not needed: partial aggregation
     * already caps the shuffle at the distinct-shingle set, which parquet
     * corpora fit comfortably. Ties broken by shingle text for a total
-    * deterministic order on both engines. */
-  def q96HeavyShingles(spark: SparkSession, dir: String): DataFrame =
+    * deterministic order on both engines.
+    *
+    * explode_OUTER + isNotNull, not plain explode — measured 13× (0.8 s
+    * vs 10.3 s at sf0.1): for a non-outer Generate,
+    * InferFiltersFromGenerate adds `size(arr) > 0 AND isnotnull(arr)`
+    * and pushdown SUBSTITUTES the whole regexp+transform shingle
+    * expression into that Filter, re-evaluating the expensive regexp
+    * several times per document. The outer variant is exempt from the
+    * rule; the null row an empty array would emit is filtered on the
+    * generated ATTRIBUTE, which nothing can rewrite into a
+    * recomputation. (Same row counts: `shingles` pre-filters empty
+    * sets.) */
+  def explodedShingles(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir)
-      .select(explode(col("shingles")).as("s"))
+      .select(explode_outer(col("shingles")).as("s"))
+      .where(col("s").isNotNull)
+
+  def q96HeavyShingles(spark: SparkSession, dir: String): DataFrame =
+    explodedShingles(spark, dir)
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("s")).limit(50)
 

@@ -69,10 +69,15 @@ object CountMin {
     * df (one-sided) with a tight additive band against oracle-green
     * q96. */
   def q99CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val stream = graft.dedup.Dedup.shingles(spark, dir)
-      .select(explode(col("shingles")).as("s"))
+    // one cached materialization feeds both the sketch build and the
+    // candidate mining (q96's agg) — the corpus is tokenized once
+    val stream = graft.Caches.register(
+      graft.dedup.Dedup.explodedShingles(spark, dir).cache())
     val sketch = build(stream)
-    val cands = graft.dedup.Dedup.q96HeavyShingles(spark, dir).select(col("s"))
+    val cands = stream
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s")).limit(50)
+      .select(col("s"))
     estimate(cands, "s", sketch)
       .orderBy(col("est").desc, col("s"))
   }
