@@ -60,7 +60,12 @@ object Dedup {
     * DuckDB oracle's regexp. Docs with <3 tokens have no shingles and are
     * excluded (can't participate in 3-gram similarity). */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    shinglesOf(documents(spark, dir))
+
+  /** DataFrame-level twin of `shingles` — for incremental ingest and
+    * direct spec feeds (same pattern as `chunkDedup(docs)`). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
       .where(size(col("ws")) >= 3)
@@ -683,10 +688,22 @@ object Dedup {
     * cross-iteration CSE), so the string hash still runs K times plus
     * an extra long hash on top (verified in the optimized plan, r4). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"), col("shingles"),
-        transform(sequence(lit(0), lit(K - 1)),
-          i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+    minhashSignaturesOf(shingles(spark, dir))
+
+  /** Signatures from an existing (doc_id, shingles) frame. */
+  def minhashSignaturesOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("shingles"),
+      transform(sequence(lit(0), lit(K - 1)),
+        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+
+  /** Band rows (doc_id, band, bh) for a signature frame — the LSH
+    * bucket keys; B rows per doc, shared by the batch pair path and the
+    * incremental ingest's band store. */
+  def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(B - 1)),
+          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * R + 1, lit(R))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band_hash), then verify candidates with exact Jaccard. The
@@ -701,10 +718,7 @@ object Dedup {
     * mirroring the jaccardPairs/q30 split. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.Caches.register(minhashSignatures(spark, dir).cache())
-    val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(B - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * R + 1, lit(R))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = bandsOf(sig)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -787,6 +801,103 @@ object Dedup {
       .where(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Minimum fraction of agreeing MinHash components for the ingest's
+    * verification step. E[agreement] = true Jaccard, so 0.5 mirrors the
+    * batch chain's exact-Jaccard threshold; the estimator's ±1/√K noise
+    * is the price of verifying against STORED signatures (K longs/doc)
+    * instead of re-materializing historical shingle sets. */
+  val IngestEstThreshold = 0.5
+
+  /** One incremental NEAR-dup ingest step — the q78 chain made
+    * appendable, and the near-dup complement of `Bloom.ingestBatch`
+    * (which only catches canonical-exact copies). Persistent state per
+    * corpus: `sigStorePath` (doc_id, sig[K]) and `bandStorePath`
+    * (doc_id, band, bh — B rows/doc), both append-only.
+    *
+    * Per batch: signatures+bands for the batch (one pass); candidates =
+    * band-bucket join of batch bands against BOTH the band store and the
+    * batch itself — history never rescans, only colliding bucket rows
+    * meet, which is what keeps per-batch cost O(|batch| + collisions)
+    * while the corpus grows unbounded; verification = MinHash-estimate
+    * Jaccard from the stored signatures (zip_with equality fraction, no
+    * shingle re-materialization); then connected components over the
+    * verified pair graph (the shared min-label machinery): a component
+    * containing ANY historical doc keeps nothing (history already has
+    * its representative), a batch-only component keeps its min doc_id.
+    * Novel rows land under `novelPath/batch=<id>` FIRST; the stores are
+    * appended from the landed files (same recacheByPath discipline as
+    * Bloom.ingestBatch — state reads must never race state writes).
+    * DedupSimSpec pins multi-batch ≡ one-shot parity and the
+    * cross-batch drop. */
+  def lshIngestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      sigStorePath: String, bandStorePath: String, novelPath: String): Unit = {
+    import org.apache.spark.sql.types._
+    def readOr(path: String, schema: StructType): DataFrame =
+      if (new java.io.File(path).exists()) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val sigStore = readOr(sigStorePath, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType)))))
+    val bandStore = readOr(bandStorePath, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bh", LongType))))
+
+    val sigB = minhashSignaturesOf(shinglesOf(batch))
+      .select(col("doc_id"), col("sig")).cache()
+    sigB.count()
+    val bandB = bandsOf(sigB)
+
+    // candidate pairs: batch×history (bucket join against the store) and
+    // batch×batch (self bucket join, earlier id first)
+    val candHist = bandB.as("a").join(bandStore.as("h"),
+        col("a.band") === col("h.band") && col("a.bh") === col("h.bh"))
+      .select(col("a.doc_id").as("id_b"), col("h.doc_id").as("id_a")).distinct()
+    val candBatch = bandB.as("a").join(bandB.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+
+    // verification from signatures: agreement fraction >= threshold
+    def verified(cands: DataFrame, sigsA: DataFrame, sigsB: DataFrame): DataFrame =
+      cands
+        .join(sigsA.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+        .join(sigsB.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+        .withColumn("est", aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(K))
+        .where(col("est") >= IngestEstThreshold)
+        .select(col("id_a"), col("id_b"))
+    val pairs = verified(candHist, sigStore, sigB)
+      .unionByName(verified(candBatch, sigB, sigB))
+
+    // components over batch ∪ matched-history vertices; history members
+    // poison their component (it already has a kept representative)
+    val histIds = sigStore.select(col("doc_id")).distinct()
+    val labels = minLabelClusters(pairs).toDF("v", "lbl")
+    val poisoned = labels.join(histIds.withColumnRenamed("doc_id", "v"), Seq("v"))
+      .select(col("lbl")).distinct()
+    val dropped = labels.join(poisoned, Seq("lbl"))
+      .select(col("v").as("doc_id"))
+      .unionByName(labels.where(col("v") =!= col("lbl")).select(col("v").as("doc_id")))
+      .distinct()
+    val novel = batch.join(dropped, Seq("doc_id"), "left_anti")
+
+    val batchOut = s"$novelPath/batch=$batchId"
+    novel.write.mode("overwrite").parquet(batchOut)
+    // stores append from the LANDED rows (recompute novel-only sigs:
+    // one pass over the kept sliver, no dependency on mutated paths)
+    val landedSig = minhashSignaturesOf(shinglesOf(spark.read.parquet(batchOut)))
+      .select(col("doc_id"), col("sig")).cache()
+    landedSig.count()
+    landedSig.write.mode("append").parquet(sigStorePath)
+    bandsOf(landedSig).write.mode("append").parquet(bandStorePath)
+    landedSig.unpersist()
+    sigB.unpersist()
+    // the cluster loop registered its converged label cache; this ingest
+    // is its own harness (never run under Bench/Verify), so drain here
+    graft.Caches.drain()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

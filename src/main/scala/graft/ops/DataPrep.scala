@@ -404,7 +404,37 @@ object DataPrep {
       "CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share " +
       "FROM b GROUP BY bucket ORDER BY bucket"
 
+  /** q100: per-source quota cap — the anti-domination pass every
+    * web-scale mix applies (C4/RefinedWeb-style: no single domain may
+    * contribute more than N documents). Selection WITHIN a source is by
+    * content-hash priority (the q57 idiom), so which docs survive is a
+    * pure function of the data — identical on any cluster, any
+    * partitioning, any rerun, and exactly reproducible in the oracle —
+    * rather than an arbitrary "first N encountered". Plan shape: one
+    * window partitioned by source. Parallelism = |sources| (millions of
+    * domains at web scale — saturates any cluster); a single mega-source
+    * bounds its own partition at that source's doc count, and the cap
+    * output is ≤ N·|sources| rows. */
+  def q100SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Cap = 10
+    val pr = md5(concat(col("doc_id").cast("string"), lit("|graft-quota-1")))
+    val w = Window.partitionBy(col("source")).orderBy(pr.asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= Cap)
+      .orderBy(col("doc_id"))
+  }
+
+  val q100Sql: String =
+    "SELECT doc_id, source, rk FROM (" +
+      "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-quota-1'), doc_id) AS rk " +
+      "FROM documents) WHERE rk <= 10 ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_source_quota" -> q100SourceQuota _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -417,6 +447,7 @@ object DataPrep {
     "q92_length_histogram" -> q92LengthHistogram _)
 
   val oracle: Map[String, String] = Map(
+    "q100_source_quota" -> q100Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q70_mixture_sample" -> q70Sql,

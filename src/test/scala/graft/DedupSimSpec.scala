@@ -356,6 +356,55 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$extra extra survivors of ${all - exactKept.size} true drops")
   }
 
+  test("incremental LSH ingest: near-dups drop against the whole history, parity with one-shot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_ingest")
+      .toFile.getAbsolutePath
+    def mk(n: Int, seed: Int): String =
+      (0 until n).map(i => s"w${seed}x$i").mkString(" ")
+    val a = mk(40, 1); val b = mk(40, 2); val c = mk(40, 3)
+    // a near-copy: change 2 of 40 tokens -> shingle Jaccard ~0.85
+    def nearCopy(s: String): String = {
+      val ws = s.split(" "); ws(5) = "changed5"; ws(25) = "changed25"; ws.mkString(" ")
+    }
+    val b1 = Seq((1L, a), (2L, b))
+    val b2 = Seq((11L, nearCopy(a)), (12L, c)) // 11 near-dups history doc 1
+    val b3 = Seq((21L, nearCopy(c)), (22L, nearCopy(c) + " tail tokens here"), (23L, mk(40, 9)))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (docs, i) =>
+      dedup.Dedup.lshIngestBatch(spark, docs.toDF("doc_id", "text"), i,
+        s"$root/sigs", s"$root/bands", s"$root/novel")
+    }
+    val novel = spark.read.parquet(s"$root/novel").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // 11 drops (near-dup of historical 1); 21 drops (near-dup of
+    // historical 12=c); 22 is 21's near-dup but 21's component is
+    // poisoned by history -> 22 drops too; 23 is novel
+    assert(novel == Set(1L, 2L, 12L, 23L))
+    // parity: one-shot chain over the union (exact-verified pairs) keeps
+    // the same representatives here, where estimate and exact agree
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val sh = dedup.Dedup.shinglesOf(all).cache()
+    val e = sh.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(col("shingles")).as("s"))
+    val inter = e.as("x").join(e.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("shingles")).cast("long").as("n"))
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val oneShot = dedup.Dedup.dedupedCorpus(all, pairs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    sh.unpersist()
+    assert(oneShot == novel, s"one-shot $oneShot vs incremental $novel")
+  }
+
   test("leakage-safe split: near-dup pairs never straddle a split boundary") {
     import org.apache.spark.sql.functions.col
     val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()
