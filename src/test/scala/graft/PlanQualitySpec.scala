@@ -118,6 +118,50 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty, p.toString)
   }
 
+  test("q94 bloom dedup: the block table joins broadcast; corpus scans prune to (doc_id, text)") {
+    val p = plan("q94_bloom_dedup")
+    // both the probe's block join and the confirm anti-join keep the
+    // batch side shuffle-free on the join: blocks and corpus-fps are the
+    // small sides
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    assert(scans(p).forall(s =>
+      s.metadata("ReadSchema") == "struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q97 z-order codes: shuffle-free scan->project (one scan, no joins/aggregates)") {
+    val p = plan("q97_zorder")
+    assert(scans(p).size == 1)
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.isEmpty)
+    assert(p.collect { case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }.isEmpty)
+    // only the 3 referenced columns reach the scan
+    assert(scans(p).head.metadata("ReadSchema")
+      == "struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate:timestamp_ntz>")
+  }
+
+  // sparkPlan predates EnsureRequirements (no Exchange nodes yet), so
+  // exchange-count pins read the executed plan's tree (AQE's initial
+  // plan renders them)
+  private def exchangeCount(name: String): Int = {
+    val s = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    "Exchange (hash|range)partitioning".r.findAllIn(s).size
+  }
+
+  test("q100 source quota: scan prunes to (doc_id, source); one window exchange") {
+    val p = plan("q100_source_quota")
+    assert(scans(p).head.metadata("ReadSchema") == "struct<doc_id:bigint,source:string>")
+    // the window's partitionBy(source) hash exchange + the final
+    // ORDER BY's range exchange — nothing else
+    assert(exchangeCount("q100_source_quota") == 2)
+  }
+
+  test("q96 heavy shingles: partial-agg before one exchange, top-50 is TakeOrdered") {
+    val p = plan("q96_heavy_shingles")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+    // one hash exchange for the df aggregation; the top-50 is TakeOrdered
+    // (no range exchange)
+    assert(exchangeCount("q96_heavy_shingles") == 1)
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
