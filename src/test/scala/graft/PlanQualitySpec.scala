@@ -93,11 +93,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q66/q68 text stages plan no exchange before the oracle sort") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     for (q <- Seq("q66_pii_scrub", "q68_repetition")) {
-      val exchanges = plan(q).collect { case s: ShuffleExchangeExec => s }
       // the only allowed exchange implements the deterministic ORDER BY
-      assert(exchanges.size <= 1, s"$q shuffles mid-pipeline:\n${plan(q)}")
+      // (counted on the executed plan — sparkPlan has no exchanges yet)
+      assert(exchangeCount(q) <= 1, s"$q shuffles mid-pipeline:\n${plan(q)}")
     }
   }
 
