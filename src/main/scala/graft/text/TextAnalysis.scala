@@ -342,7 +342,60 @@ object TextAnalysis {
       "round(-sum(tf * ln(CAST(cf + 1 AS DOUBLE) / (n_corpus + vocab))) / sum(tf), 6) AS cross_entropy " +
       "FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
 
+  /** q101: BM25 top-k lexical retrieval (Robertson/Spärck Jones; the
+    * Okapi formula every search engine ships) — the missing lexical
+    * member of the retrieval family (exact cosine q33, SRP-LSH q35,
+    * IVF q55, int8 q86). Fixed 3-term query (the q33 fixed-vector
+    * idiom); k1 = 1.2, b = 0.75.
+    *
+    * Scale shape: tokens filter to the query terms BEFORE any shuffle
+    * (tf is |terms|·|matching docs| rows, not corpus tokens); doc
+    * lengths are one corpus-wide partial-agg pass; df and the corpus
+    * stats broadcast back. Determinism: ranking sorts the 6-decimal
+    * ROUNDED score (ties → doc_id), the q54 policy that absorbs
+    * libm-vs-Java ln ulp differences; avgdl = Σdl/N is an exact
+    * long-sum division, identical in both engines. */
+  def q101Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "vector")
+    val (k1, b) = (1.2, 0.75)
+    val toks = documents(spark, dir).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // literal shapes mirror the oracle SQL op-for-op (k1+1 = 2.2 and
+    // 1-b = 0.25 are bit-exact double constants on both sides)
+    val w = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val q101Sql: String =
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents), " +
+      "lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('hash','join','vector') GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens) " +
+      "SELECT doc_id, round(sum(" +
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))" +
+      "), 6) AS bm25 " +
+      "FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bm25_topk" -> q101Bm25Topk _,
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
     "q27_token_stats" -> q27TokenStats _,
@@ -363,6 +416,7 @@ object TextAnalysis {
     "q66_pii_scrub" -> q66Sql,
     "q68_repetition" -> q68Sql,
     "q69_decontaminate" -> q69Sql,
-    "q84_unigram_lm" -> q84Sql
+    "q84_unigram_lm" -> q84Sql,
+    "q101_bm25_topk" -> q101Sql
   )
 }
