@@ -175,6 +175,21 @@ object Streaming {
         blocksPath, fpStorePath, s"$novelPath/run=$run"), checkpoint)
   }
 
+  /** Streaming incremental NEAR-dup dedup — `Dedup.lshIngestBatch` per
+    * micro-batch against the persistent signature/band stores: each
+    * arriving document is checked for near-duplicates (MinHash-estimate
+    * Jaccard) against everything EVER ingested, at per-batch cost
+    * O(|batch| + bucket collisions). The near-dup complement of
+    * `bloomDedupIngest` (exact canonical copies); together they are the
+    * full q78 dedup chain running incrementally on a live feed. */
+  def lshDedupIngest(docs: DataFrame, sigStorePath: String,
+      bandStorePath: String, novelPath: String, checkpoint: String): Unit = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    runAvailableNow(docs, (batch, id) =>
+      graft.dedup.Dedup.lshIngestBatch(batch.sparkSession, batch, id,
+        sigStorePath, bandStorePath, s"$novelPath/run=$run"), checkpoint)
+  }
+
   /** Scheduled micro-batch runner (§2A-19): one-shot `AvailableNow` batch
     * of a streaming query into `foreachBatch` — the Spark equivalent of
     * the reference's scheduled Lambda invocation. Returns when the

@@ -160,6 +160,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(novel == Set(1L, 2L, 12L, 22L))
   }
 
+  test("streaming LSH-ingest drops near-dups of documents from earlier runs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_slsh")
+      .toFile.getAbsolutePath
+    def mk(n: Int, seed: Int): String =
+      (0 until n).map(i => s"s${seed}t$i").mkString(" ")
+    val a = mk(40, 1)
+    val aNear = { val w = a.split(" "); w(7) = "edited"; w.mkString(" ") }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, a), (2L, mk(40, 2)))
+    Streaming.lshDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$root/sigs", s"$root/bands", s"$root/novel", s"$root/ckpt")
+    // later run: 11 is a NEAR-copy (not canonical-exact — bloom/q29
+    // would keep it) of run-1's doc 1; 12 is novel
+    mem.addData((11L, aNear), (12L, mk(40, 3)))
+    Streaming.lshDedupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$root/sigs", s"$root/bands", s"$root/novel", s"$root/ckpt")
+    val novel = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/novel")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(novel == Set(1L, 2L, 12L))
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
