@@ -90,6 +90,26 @@ object Layout {
       "FROM orders ORDER BY o_orderkey"
   }
 
+  /** Small-file compaction — the other half of layout governance (a
+    * streaming/incremental writer leaves thousands of KB-scale files;
+    * at 100 TB the resulting open/footer/seek overhead dominates scan
+    * time and crushes the driver's file index). Sizes the rewrite from
+    * the ACTUAL on-disk bytes (compressed size ≈ rewritten size for the
+    * same codec), one round-robin repartition to ceil(bytes/target)
+    * writers. Returns the partition count used. LayoutSpec pins file
+    * count and row parity. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_zorder" -> q97ZOrder _)
 

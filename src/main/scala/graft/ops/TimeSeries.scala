@@ -270,7 +270,39 @@ object TimeSeries {
       "AND (iv.valid_to IS NULL OR o.o_orderdate < iv.valid_to) " +
       "ORDER BY o.o_orderkey"
 
+  /** q102: statistical anomaly flagging — events whose value sits more
+    * than 3 sample-standard-deviations from their event-type mean, the
+    * data-QC pass that catches broken instrumentation/poisoned feeds
+    * before they reach training. Plan shape: per-type stats are one
+    * partial-agg pass (|types| rows) broadcast back onto the scan —
+    * the fact table never shuffles. Cross-engine float note: avg/stddev
+    * over doubles are not order-independent-exact, so the emitted
+    * z-score is rounded to 6 decimals (q54 policy) and the 3σ cut uses
+    * the raw z — a flag flip would need |z−3| within accumulated-ulp
+    * distance (~1e-12), unobservable at any tested SF. */
+  def q102Anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val stats = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .where(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z_score"))
+      .orderBy(col("event_id"))
+  }
+
+  val q102Sql: String =
+    "WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd " +
+      "FROM events GROUP BY event_type) " +
+      "SELECT event_id, event_type, value, round((value - mu) / sd, 6) AS z_score " +
+      "FROM events JOIN stats USING (event_type) " +
+      "WHERE abs((value - mu) / sd) > 3.0 ORDER BY event_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_anomalies" -> q102Anomalies _,
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
@@ -282,6 +314,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q102_anomalies" -> q102Sql,
     "q21_asof_join" -> q21Sql,
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,

@@ -147,6 +147,24 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zDx < 0.5 * fullX, s"z-order should bound x extents (dx=$zDx of $fullX)")
   }
 
+  test("compaction rewrites a fragmented table into target-size files, rows intact") {
+    import ops.Layout
+    val frag = Files.createTempDirectory("graft_frag").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    Tables.documents(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length == 64)
+    val total = parquetFiles(frag).map(_.length).sum
+    val n = Layout.compact(spark, frag, out, targetBytes = total / 4)
+    // ceil(total / (total/4)) = 4 or 5 (integer-division remainder)
+    assert(n >= 4 && n <= 5, s"n=$n")
+    assert(parquetFiles(out).length == n)
+    assert(spark.read.parquet(out).count() ==
+      Tables.documents(spark, dir).count())
+  }
+
   test("zValue interleave is order-preserving on tiles and bijective on the grid") {
     import ops.Layout
     import spark.implicits._
