@@ -67,7 +67,11 @@ object Bloom {
     * k probe bits are set (classic Bloom semantics: false ⇒ definitely
     * novel; true ⇒ maybe seen, confirm exactly). One exploded projection,
     * a broadcast join against the block table, and a groupBy back to one
-    * row per input row. Absent blocks (never written) read as bits=0. */
+    * row per input row. Absent blocks (never written) read as bits=0.
+    * Contract: the groupBy is over the batch's full column set, so rows
+    * that are COMPLETE duplicates collapse to one output row — give rows
+    * an id column if that distinction matters (every caller here keys by
+    * doc_id). */
   def probe(batch: DataFrame, keyCol: String, blocks: DataFrame,
       mBits: Long = DefaultBits, k: Int = DefaultK): DataFrame = {
     val cols = batch.columns.map(col).toSeq

@@ -830,7 +830,14 @@ object Dedup {
     * appended from the landed files (same recacheByPath discipline as
     * Bloom.ingestBatch — state reads must never race state writes).
     * DedupSimSpec pins multi-batch ≡ one-shot parity and the
-    * cross-batch drop. */
+    * cross-batch drop.
+    *
+    * Contract notes: near-dup is only DEFINED for docs with ≥ 3 tokens
+    * (shorter docs have no 3-gram shingles — the batch chain has the
+    * same boundary), so sub-3-token docs always pass; run
+    * `Bloom.ingestBatch` alongside to catch their canonical-exact
+    * copies. The two ingests together are the incremental form of the
+    * full q29+q78 dedup pass. */
   def lshIngestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       sigStorePath: String, bandStorePath: String, novelPath: String): Unit = {
     import org.apache.spark.sql.types._
