@@ -5,6 +5,49 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.text.TextAnalysis
 
+/** Shared persistent-store plumbing for the incremental ingests
+  * (Bloom.ingestBatch / Dedup.lshIngestBatch). All path probes go
+  * through the Hadoop FileSystem of the PATH (not java.io.File, which
+  * silently answers false for hdfs:///s3a:// URIs and would make a
+  * remote-store ingest treat its whole history as empty). */
+private[dedup] object IngestStores {
+  def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  def readOr(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (exists(spark, path)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** At-least-once replay protocol for one ingest step. foreachBatch can
+    * replay a batchId at ANY point, so each step is three idempotent
+    * stages gated by on-disk markers:
+    *   1. land the novel rows (skipped when `batchOut/_SUCCESS` exists —
+    *      recomputing against post-update stores would make every landed
+    *      row look duplicate and OVERWRITE the partition with nothing);
+    *   2. (re-)apply the store updates FROM the landed rows — appends
+    *      may duplicate store rows across a retry, which both ingests
+    *      tolerate (anti-join / bit_or / distinct semantics);
+    *   3. write `batchOut/_GRAFT_COMMITTED`; its presence short-circuits
+    *      the whole step on any later replay.
+    * `compute` must be a pure function of the PRE-batch store state;
+    * `applyStores` reads only the landed batch partition. */
+  def replayedStep(spark: SparkSession, batchOut: String)
+      (compute: => DataFrame)(applyStores: DataFrame => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$batchOut/_GRAFT_COMMITTED")
+    val filesystem = fs(spark, batchOut)
+    if (filesystem.exists(marker)) return
+    if (!exists(spark, s"$batchOut/_SUCCESS"))
+      compute.write.mode("overwrite").parquet(batchOut)
+    applyStores(spark.read.parquet(batchOut))
+    filesystem.create(marker, true).close()
+  }
+}
+
 /** Bloom-filter membership as a DATAFRAME of 64-bit blocks — the
   * incremental-dedup primitive for an appending corpus (reference scope:
   * its ETL re-fetches and re-submits the world every run, task.ts:85-190;
@@ -75,8 +118,14 @@ object Bloom {
   def probe(batch: DataFrame, keyCol: String, blocks: DataFrame,
       mBits: Long = DefaultBits, k: Int = DefaultK): DataFrame = {
     val cols = batch.columns.map(col).toSeq
+    // broadcast only while the block table is broadcast-SIZED: above
+    // ~2^28 bits (4 MiB of blocks) fall back to a plain join — Catalyst
+    // shuffles both sides on `block`, the billion-key regime described
+    // in the module doc. The cutover is geometry-derived, not guessed
+    // from runtime stats, so the plan is deterministic.
+    val blockSide = if (mBits <= (1L << 28)) broadcast(blocks) else blocks
     probes(batch, col(keyCol), mBits, k)
-      .join(broadcast(blocks), Seq("block"), "left")
+      .join(blockSide, Seq("block"), "left")
       .withColumn("_hit", coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
       .groupBy(cols: _*)
       .agg(min(col("_hit")).as("bloom_hit"))
@@ -100,12 +149,17 @@ object Bloom {
     * negatives, the false-positive rate at geometry, and build-vs-merge
     * equality. */
   def q94BloomDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.fingerprintColumn.as("fp"))
+    // cached: the fingerprint projection feeds three subplans (corpus
+    // blocks, batch probe, confirm anti-join) and probed feeds both
+    // novel branches — without the caches each branch re-runs the md5
+    // scan and the whole probe pipeline. Registered for harness-side
+    // unpersist (graft.Caches).
+    val docs = graft.Caches.register(documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprintColumn.as("fp")).cache())
     val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 4)
     val batch = docs.where(pmod(col("doc_id"), lit(5)) === 4)
     val blocks = buildBlocks(corpus.select(col("fp")))
-    val probed = probe(batch, "fp", blocks)
+    val probed = graft.Caches.register(probe(batch, "fp", blocks).cache())
     val novelFast = probed.where(!col("bloom_hit")).select(col("doc_id"), col("fp"))
     val confirmed = probed.where(col("bloom_hit")).select(col("doc_id"), col("fp"))
       .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
@@ -142,7 +196,10 @@ object Bloom {
     * (`recacheByPath`), silently recomputing "novel" against the
     * already-updated stores — where every novel row now looks like a
     * duplicate of itself. (BloomSpec's 3-batch parity case fails loudly
-    * under that ordering.)
+    * under that ordering.) Replays are safe: the whole step runs under
+    * `IngestStores.replayedStep` (land → re-apply stores → commit
+    * marker), so foreachBatch's at-least-once delivery can re-run any
+    * stage without losing landed rows or corrupting the stores.
     *
     * This is the streaming meeting point of the dedup chain
     * (streaming/Streaming.scala wraps it in foreachBatch; StreamingSpec
@@ -155,39 +212,41 @@ object Bloom {
       blocksPath: String, fpStorePath: String, novelPath: String,
       mBits: Long = DefaultBits, k: Int = DefaultK): Unit = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    def readOr(path: String, schema: StructType): DataFrame =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val blocks = readOr(blocksPath,
-      StructType(Seq(StructField("block", LongType), StructField("bits", LongType))))
-    val fpStore = readOr(fpStorePath, StructType(Seq(StructField("fp", StringType))))
-
-    // within-batch first-arrival dedup, then the bloom/confirm split
+    val batchOut = s"$novelPath/batch=$batchId"
+    val blocksSchema =
+      StructType(Seq(StructField("block", LongType), StructField("bits", LongType)))
+    val blocks = IngestStores.readOr(spark, blocksPath, blocksSchema)
+    val fpStore = IngestStores.readOr(spark, fpStorePath,
+      StructType(Seq(StructField("fp", StringType))))
+    // within-batch first-arrival dedup, then the bloom/confirm split;
+    // probed is cached because both novel branches read it (plans are
+    // lazy — nothing materializes on the replay-skip path)
     val keyed = batch.withColumn("fp", TextAnalysis.fingerprintColumn)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
     val firstPerFp = keyed.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
-    val probed = probe(firstPerFp, "fp", blocks, mBits, k)
-    // unionByName: the USING-column join reorders fp to the front, and a
-    // positional union would silently cross-cast columns
-    val novel = probed.where(!col("bloom_hit")).drop("bloom_hit")
-      .unionByName(probed.where(col("bloom_hit")).drop("bloom_hit")
-        .join(fpStore, Seq("fp"), "left_anti"))
-
-    // 1. land this batch's novel rows (pure function of the old state);
-    //    batch=<id> is partition-discovery-compatible, so reading
-    //    novelPath yields the full deduped corpus with a batch column
-    val batchOut = s"$novelPath/batch=$batchId"
-    novel.write.mode("overwrite").parquet(batchOut)
-    // 2. update the stores from the LANDED rows — no dependency on the
-    //    paths being mutated
-    val landedFps = spark.read.parquet(batchOut).select(col("fp"))
-    landedFps.write.mode("append").parquet(fpStorePath)
-    val newBlocks = mergeBlocks(blocks, buildBlocks(landedFps, mBits, k)).cache()
-    newBlocks.count() // cut the read dependency on the files being replaced
-    newBlocks.write.mode("overwrite").parquet(blocksPath)
-    newBlocks.unpersist()
+    val probed = probe(firstPerFp, "fp", blocks, mBits, k).cache()
+    try {
+      IngestStores.replayedStep(spark, batchOut) {
+        // unionByName: the USING-column join reorders fp to the front,
+        // and a positional union would silently cross-cast columns.
+        // batch=<id> is partition-discovery-compatible, so reading
+        // novelPath yields the full deduped corpus with a batch column.
+        probed.where(!col("bloom_hit")).drop("bloom_hit")
+          .unionByName(probed.where(col("bloom_hit")).drop("bloom_hit")
+            .join(fpStore, Seq("fp"), "left_anti"))
+      } { landed =>
+        val landedFps = landed.select(col("fp"))
+        landedFps.write.mode("append").parquet(fpStorePath)
+        val newBlocks = mergeBlocks(
+          IngestStores.readOr(spark, blocksPath, blocksSchema),
+          buildBlocks(landedFps, mBits, k)).cache()
+        newBlocks.count() // cut the read dependency on the files being replaced
+        newBlocks.write.mode("overwrite").parquet(blocksPath)
+        newBlocks.unpersist()
+      }
+    } finally probed.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

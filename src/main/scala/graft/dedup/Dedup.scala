@@ -828,9 +828,21 @@ object Dedup {
     * its representative), a batch-only component keeps its min doc_id.
     * Novel rows land under `novelPath/batch=<id>` FIRST; the stores are
     * appended from the landed files (same recacheByPath discipline as
-    * Bloom.ingestBatch — state reads must never race state writes).
-    * DedupSimSpec pins multi-batch ≡ one-shot parity and the
-    * cross-batch drop.
+    * Bloom.ingestBatch), and the whole step runs under
+    * `IngestStores.replayedStep`, so foreachBatch's at-least-once
+    * delivery can replay any stage without data loss. DedupSimSpec pins
+    * multi-batch ≡ one-shot parity and the cross-batch drop.
+    *
+    * Parity semantics: exact set parity with the one-shot chain when
+    * ingestion order agrees with doc_id order and each dup group's
+    * members arrive connected (the common append-only case —
+    * DedupSimSpec's construction). In general the incremental keeper is
+    * the FIRST-ARRIVED member (one-shot keeps min doc_id), and a later
+    * doc that BRIDGES two previously-independent published groups is
+    * dropped while both groups' representatives remain — an incremental
+    * system cannot retract already-published rows. Both divergences are
+    * inherent to incrementality, not bugs: no near-dup pair ever
+    * survives together.
     *
     * Contract notes: near-dup is only DEFINED for docs with ≥ 3 tokens
     * (shorter docs have no 3-gram shingles — the batch chain has the
@@ -841,19 +853,17 @@ object Dedup {
   def lshIngestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       sigStorePath: String, bandStorePath: String, novelPath: String): Unit = {
     import org.apache.spark.sql.types._
-    def readOr(path: String, schema: StructType): DataFrame =
-      if (new java.io.File(path).exists()) spark.read.parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val sigStore = readOr(sigStorePath, StructType(Seq(
+    val batchOut = s"$novelPath/batch=$batchId"
+    val sigStore = IngestStores.readOr(spark, sigStorePath, StructType(Seq(
       StructField("doc_id", LongType),
       StructField("sig", ArrayType(LongType)))))
-    val bandStore = readOr(bandStorePath, StructType(Seq(
+    val bandStore = IngestStores.readOr(spark, bandStorePath, StructType(Seq(
       StructField("doc_id", LongType),
       StructField("band", IntegerType), StructField("bh", LongType))))
 
+    // lazy plans throughout — nothing materializes on the replay-skip path
     val sigB = minhashSignaturesOf(shinglesOf(batch))
       .select(col("doc_id"), col("sig")).cache()
-    sigB.count()
     val bandB = bandsOf(sigB)
 
     // candidate pairs: batch×history (bucket join against the store) and
@@ -879,32 +889,40 @@ object Dedup {
     val pairs = verified(candHist, sigStore, sigB)
       .unionByName(verified(candBatch, sigB, sigB))
 
-    // components over batch ∪ matched-history vertices; history members
-    // poison their component (it already has a kept representative)
-    val histIds = sigStore.select(col("doc_id")).distinct()
-    val labels = minLabelClusters(pairs).toDF("v", "lbl")
-    val poisoned = labels.join(histIds.withColumnRenamed("doc_id", "v"), Seq("v"))
-      .select(col("lbl")).distinct()
-    val dropped = labels.join(poisoned, Seq("lbl"))
-      .select(col("v").as("doc_id"))
-      .unionByName(labels.where(col("v") =!= col("lbl")).select(col("v").as("doc_id")))
-      .distinct()
-    val novel = batch.join(dropped, Seq("doc_id"), "left_anti")
-
-    val batchOut = s"$novelPath/batch=$batchId"
-    novel.write.mode("overwrite").parquet(batchOut)
-    // stores append from the LANDED rows (recompute novel-only sigs:
-    // one pass over the kept sliver, no dependency on mutated paths)
-    val landedSig = minhashSignaturesOf(shinglesOf(spark.read.parquet(batchOut)))
-      .select(col("doc_id"), col("sig")).cache()
-    landedSig.count()
-    landedSig.write.mode("append").parquet(sigStorePath)
-    bandsOf(landedSig).write.mode("append").parquet(bandStorePath)
-    landedSig.unpersist()
-    sigB.unpersist()
-    // the cluster loop registered its converged label cache; this ingest
-    // is its own harness (never run under Bench/Verify), so drain here
-    graft.Caches.drain()
+    try {
+      IngestStores.replayedStep(spark, batchOut) {
+        // components over batch ∪ matched-history vertices; history
+        // members poison their component (it already has a kept
+        // representative). The cluster loop is driver-coordinated, so it
+        // runs only inside the compute stage (a replay of a committed
+        // batch never pays it).
+        val histIds = sigStore.select(col("doc_id")).distinct()
+        val labels = minLabelClusters(pairs).toDF("v", "lbl")
+        val poisoned = labels.join(histIds.withColumnRenamed("doc_id", "v"), Seq("v"))
+          .select(col("lbl")).distinct()
+        val dropped = labels.join(poisoned, Seq("lbl"))
+          .select(col("v").as("doc_id"))
+          .unionByName(labels.where(col("v") =!= col("lbl")).select(col("v").as("doc_id")))
+          .distinct()
+        batch.join(dropped, Seq("doc_id"), "left_anti")
+      } { landed =>
+        // stores append from the LANDED rows (recompute novel-only sigs:
+        // one pass over the kept sliver, no dependency on mutated paths;
+        // a replayed append may duplicate store rows, which every
+        // consumer tolerates — distinct ids, dup-insensitive joins)
+        val landedSig = minhashSignaturesOf(shinglesOf(landed))
+          .select(col("doc_id"), col("sig")).cache()
+        landedSig.count()
+        landedSig.write.mode("append").parquet(sigStorePath)
+        bandsOf(landedSig).write.mode("append").parquet(bandStorePath)
+        landedSig.unpersist()
+      }
+    } finally {
+      sigB.unpersist()
+      // the cluster loop registered its converged label cache; this
+      // ingest is its own harness (never run under Bench/Verify)
+      graft.Caches.drain()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -296,12 +296,15 @@ object DataPrep {
   def q85MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-    // round(x·1.1, 2): same IEEE product on both engines, and both round
-    // half-away-from-zero on doubles (Spark HALF_UP ≡ DuckDB round for
-    // any sign), so the updated price is bit-stable — and binary doubles
-    // can't represent exact .005 ties anyway.
+    // The change-set arithmetic must be EXACT in IEEE, not rounded:
+    // round(x·1.1, 2) diverged at sf0.1 (orderkey 18603 → product with
+    // shortest-decimal repr ...915: Spark's Round goes through
+    // BigDecimal.valueOf — the shortest DECIMAL string — and HALF_UPs to
+    // .92, while DuckDB rounds the exact binary value ...91499… down to
+    // .91). x·2.0 is an exponent bump — exact for every finite double,
+    // no rounding step on either engine, bit-stable at any SF.
     val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
-      .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 2).as("new_price"))
+      .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("new_price"))
     val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7).select(col("o_orderkey"))
     val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
       .select((col("o_orderkey") + 20000000L).as("o_orderkey"), col("o_custkey"),
@@ -317,7 +320,7 @@ object DataPrep {
 
   val q85Sql: String =
     "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
-      "upd AS (SELECT o_orderkey, round(o_totalprice * CAST(1.1 AS DOUBLE), 2) AS new_price FROM base WHERE o_orderkey % 10 = 3), " +
+      "upd AS (SELECT o_orderkey, o_totalprice * CAST(2.0 AS DOUBLE) AS new_price FROM base WHERE o_orderkey % 10 = 3), " +
       "del AS (SELECT o_orderkey FROM base WHERE o_orderkey % 10 = 7) " +
       "SELECT * FROM (" +
       "SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice, 'base' AS src FROM base b " +

@@ -52,8 +52,16 @@ object Layout {
     val top = (1L << bits) - 1
     val bounds = df.agg(min(x).cast("long").as("_xmin"), max(x).cast("long").as("_xmax"),
       min(y).cast("long").as("_ymin"), max(y).cast("long").as("_ymax"))
+    // normalize through DOUBLE: the integer form ((c-lo)*top) overflows
+    // Long once the key range exceeds ~2^47 (epoch-micros over a few
+    // years would silently wrap and shred the layout). Double's 53-bit
+    // mantissa keeps the division exact ENOUGH for a layout key — the
+    // worst rounding error moves a row one tile at a 2^53-wide domain,
+    // and the layout contract is locality, not bit-exactness (q97's
+    // oracle-pinned zValue is separate and stays all-integer).
     def norm(c: Column, lo: Column, hi: Column): Column =
-      (c.cast("long") - lo) * top / greatest(hi - lo, lit(1L))
+      ((c.cast("long") - lo).cast("double") * top /
+        greatest(hi - lo, lit(1L)).cast("double")).cast("long")
     val withZ = df.crossJoin(broadcast(bounds))
       .withColumn("_z", zValue(
         norm(x, col("_xmin"), col("_xmax")),
@@ -102,8 +110,17 @@ object Layout {
       targetBytes: Long = 128L << 20): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // RECURSIVE listing: partitioned layouts (this library's own
+    // novel/batch=N ingest output, hive-style dirs) keep their data
+    // files in subdirectories — a top-level listing would see 0 bytes
+    // and "compact" any table into a single file
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    require(bytes > 0, s"compact: no parquet data files under $inPath")
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)

@@ -328,8 +328,9 @@ object Similarity {
     * cells = SemDeDup's clusters; pairs never cross cells except via
     * multi-assignment, so candidate work is cell-local) and the
     * modality-agnostic keep-list chain (dedup/Dedup.dedupedCorpus:
-    * components → min-id keeper → anti-join). Emits the SURVIVING
-    * embedding ids + their cluster keeper. Fit-seeded (k-means) →
+    * components → min-id keeper → anti-join). Emits the surviving
+    * embedding ids (one `vec_id` column — callers needing the keeper
+    * mapping use `keepList` directly). Fit-seeded (k-means) →
     * rows-only at the driver; DedupSimSpec bounds it against the
     * exact-pair-fed twin. */
   def q98SemanticPrune(spark: SparkSession, dir: String): DataFrame = {

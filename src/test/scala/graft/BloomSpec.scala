@@ -92,9 +92,14 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // one-shot expectation: first arrival per canonical fingerprint;
     // arrival order here == batch order then doc_id order within batch
-    val novel = spark.read.parquet(out).select(col("doc_id"))
+    def novelIds(): Set[Long] = spark.read.parquet(out).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
-    assert(novel == Set(1L, 2L, 12L, 20L))
+    assert(novelIds() == Set(1L, 2L, 12L, 20L))
+    // at-least-once replay of a COMMITTED batchId must be a no-op — in
+    // particular it must NOT recompute novelty against the updated
+    // stores and wipe the landed partition
+    dedup.Bloom.ingestBatch(spark, b1.toDF("doc_id", "text"), 0, blocks, fps, out)
+    assert(novelIds() == Set(1L, 2L, 12L, 20L))
     // the persistent stores agree: fp store holds one fp per novel doc,
     // blocks == a fresh bloom over exactly those fps
     val storedFps = spark.read.parquet(fps)

@@ -183,8 +183,8 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("o_orderkey"), col("o_totalprice")).first()
     val got = merged.filter(col("o_orderkey") === probe.getLong(0)).first()
     assert(got.getAs[String]("src") == "upd")
-    assert(got.getAs[Double]("o_totalprice") ==
-      BigDecimal(probe.getDouble(1) * 1.1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ×2.0 is exact in IEEE — no rounding model needed (see q85 scaladoc)
+    assert(got.getAs[Double]("o_totalprice") == probe.getDouble(1) * 2.0)
     // the base side never shuffles: the plan has no exchange on the base scan
     // (both joins broadcast) — assert no SortMergeJoin/ShuffledHashJoin
     val plan = merged.queryExecution.executedPlan.toString
