@@ -436,8 +436,40 @@ object DataPrep {
       "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-quota-1'), doc_id) AS rk " +
       "FROM documents) WHERE rk <= 10 ORDER BY doc_id"
 
+  /** q103: exact-size weighted sample without replacement — the
+    * Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 2006): each
+    * row gets key u^(1/w) for uniform u, the k largest keys ARE a
+    * weighted sample without replacement. The distributed-sampling
+    * workhorse: one scan, per-row arithmetic, TakeOrdered top-k — no
+    * global sort, no driver-side passes, composable with any weight
+    * column. Here w = document length in chars (longer docs
+    * proportionally likelier), k = 100.
+    *
+    * Determinism: u derives from the md5 content-hash idiom (q57) —
+    * the first 8 hex digits parsed as an integer (Spark `conv`,
+    * DuckDB `CAST('0x'||… AS BIGINT)`), +1 so u > 0 — so the sample is
+    * identical on any cluster, any partitioning, any rerun, and the
+    * oracle replays it exactly. Ranking maximizes u^(1/w) ⇔ ln(u)/w
+    * (monotone); the emitted key is 6-decimal rounded and the sort uses
+    * the rounded key with doc_id tiebreak (q101's ln-ulp policy). */
+  def q103WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || '|graft-aes-1'), 1, 8), 16, 10) AS BIGINT)") + 1L)
+      .cast("double") / lit(4294967296.0)
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("key", round(log(u) / greatest(col("n_chars"), lit(1L)).cast("double"), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q103Sql: String =
+    "SELECT doc_id, n_chars, round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-aes-1'), 1, 8) AS BIGINT) + 1) / 4294967296.0) " +
+      "/ CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS key " +
+      "FROM documents ORDER BY key DESC, doc_id LIMIT 100"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_source_quota" -> q100SourceQuota _,
+    "q103_weighted_sample" -> q103WeightedSample _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -451,6 +483,7 @@ object DataPrep {
 
   val oracle: Map[String, String] = Map(
     "q100_source_quota" -> q100Sql,
+    "q103_weighted_sample" -> q103Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q70_mixture_sample" -> q70Sql,

@@ -191,6 +191,22 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("weighted sample skews toward its weight: sampled docs are longer than the corpus mean") {
+    val sample = ops.DataPrep.q103WeightedSample(spark, dir)
+    assert(sample.count() == 100)
+    import org.apache.spark.sql.functions.{avg => sqlAvg}
+    val sampleAvg = sample.agg(sqlAvg(col("n_chars"))).head.getDouble(0)
+    val corpusAvg = Tables.documents(spark, dir).agg(sqlAvg(col("n_chars"))).head.getDouble(0)
+    // w = n_chars: A-ES inclusion probability rises with weight, so the
+    // 100-doc sample must average meaningfully longer than the corpus
+    assert(sampleAvg > corpusAvg,
+      s"sample avg $sampleAvg not above corpus avg $corpusAvg")
+    // determinism: a second evaluation is the identical sample
+    val a = sample.collect().map(_.getLong(0)).toSeq
+    val b = ops.DataPrep.q103WeightedSample(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("epoch shuffle: shards are balanced, positions contiguous, layout salt-deterministic") {
     val rows = ops.DataPrep.q88EpochShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
