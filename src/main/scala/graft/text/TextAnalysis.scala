@@ -358,8 +358,13 @@ object TextAnalysis {
   def q101Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("hash", "join", "vector")
     val (k1, b) = (1.2, 0.75)
-    val toks = documents(spark, dir).select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    // cached: the doc-length pass and the query-term tf pass both read
+    // the exploded token table — tokenize the corpus once, not twice
+    // (the q84 idiom). Registered for harness-side unpersist.
+    val toks = graft.Caches.register(
+      documents(spark, dir).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+        .cache())
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = toks.where(col("term").isin(qTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
