@@ -547,6 +547,26 @@ object Dedup {
       "ELSE 'test' END AS split " +
       "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
 
+  /** q104: duplicate-cluster size histogram — the dedup OBSERVABILITY
+    * query run before committing a keep-list: how many dup groups exist
+    * at each size (a sudden mass of large clusters means boilerplate or
+    * a crawler loop, not organic duplication). Two cheap aggregations on
+    * top of the cluster machinery; covers clustered docs only
+    * (singletons aren't "duplicate groups" — same universe as the q65
+    * oracle's `clus`). */
+  def q104ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    minLabelClusters(jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .toDF("doc_id", "cluster_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("size"))
+
+  val q104Sql: String =
+    s"WITH RECURSIVE $clusterCtes " +
+      "SELECT size, count(*) AS n_clusters FROM " +
+      "(SELECT cluster_id, count(*) AS size FROM clus GROUP BY cluster_id) " +
+      "GROUP BY size ORDER BY size"
+
   /** Corpus-wide heavy-hitter shingles: the top-50 word 3-grams by
     * document frequency — the boilerplate detector (cookie banners,
     * license headers, navigation chrome) that feeds stop-shingle lists
@@ -935,7 +955,8 @@ object Dedup {
     "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
     "q80_chunk_dedup" -> q80ChunkDedup _,
     "q95_leakage_split" -> q95LeakageSplit _,
-    "q96_heavy_shingles" -> q96HeavyShingles _
+    "q96_heavy_shingles" -> q96HeavyShingles _,
+    "q104_cluster_sizes" -> q104ClusterSizes _
   )
 
   val oracle: Map[String, String] = Map(
@@ -945,6 +966,7 @@ object Dedup {
     "q77_dedup_keeplist" -> q77Sql,
     "q80_chunk_dedup" -> q80Sql,
     "q95_leakage_split" -> q95Sql,
-    "q96_heavy_shingles" -> q96Sql
+    "q96_heavy_shingles" -> q96Sql,
+    "q104_cluster_sizes" -> q104Sql
   )
 }
