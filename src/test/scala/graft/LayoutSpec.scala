@@ -147,6 +147,36 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zDx < 0.5 * fullX, s"z-order should bound x extents (dx=$zDx of $fullX)")
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val out = Files.createTempDirectory("graft_dpo").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val before = spark.read.parquet(out).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // an incremental rerun rewrites ONE partition's data (here: en,
+    // truncated to 5 rows); dynamic mode must leave the others intact
+    // instead of static overwrite's whole-table wipe
+    val en5 = docs.where(col("lang") === "en").limit(5)
+    withDynamicOverwrite {
+      en5.write.mode("overwrite").partitionBy("lang").parquet(out)
+    }
+    val after = spark.read.parquet(out).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") == 5L)
+    (before.keySet - "en").foreach { l => assert(after(l) == before(l), l) }
+  }
+
+  private def withDynamicOverwrite(body: => Unit): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("compaction rewrites a fragmented table into target-size files, rows intact") {
     import ops.Layout
     val frag = Files.createTempDirectory("graft_frag").toFile.getAbsolutePath
