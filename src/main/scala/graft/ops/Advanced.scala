@@ -355,7 +355,34 @@ object Advanced {
       "UNION ALL SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part) " +
       "ORDER BY p_partkey, metric"
 
+  /** q105: grouped bivariate statistics — Pearson correlation and sample
+    * covariance of (quantity, extendedprice) per return flag, the
+    * feature-screening pass (is this column pair redundant?) and the
+    * last §2B aggregate family not yet on the board (corr/covar).
+    * One partial-aggregated shuffle of co-moment state (Spark merges
+    * per-partition co-moments; DuckDB accumulates serially — same
+    * algebraic value, last-ulp differences absorbed by the 6-decimal
+    * round, the q54/q102 float policy). */
+  def q105CorrProfile(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q105Sql: String =
+    "SELECT l_returnflag, " +
+      "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+      "round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price, " +
+      "round(corr(l_quantity, l_discount), 6) AS corr_qty_disc, " +
+      "count(*) AS n " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_corr_profile" -> q105CorrProfile _,
     "q38_full_outer" -> q38FullOuter _,
     "q74_right_outer" -> q74RightOuter _,
     "q39_window_ranks" -> q39WindowRanks _,
@@ -372,6 +399,7 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_corr_profile" -> q105Sql,
     "q38_full_outer" -> q38Sql,
     "q74_right_outer" -> q74Sql,
     "q39_window_ranks" -> q39Sql,
