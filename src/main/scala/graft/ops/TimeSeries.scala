@@ -301,8 +301,39 @@ object TimeSeries {
       "FROM events JOIN stats USING (event_type) " +
       "WHERE abs((value - mu) / sd) > 3.0 ORDER BY event_id"
 
+  /** q106: per-type linear trend — least-squares slope/intercept/R² of
+    * event value against the day number, the drift detector (is this
+    * metric degrading over time, and is the fit meaningful?) that
+    * complements q102's point anomalies. The regr_* family aggregates
+    * co-moment state exactly like corr (one partial-merged shuffle of
+    * |types| rows); 6-decimal rounding absorbs merge-order ulps (q105
+    * policy). Day epoch matches the q39/q89 oracle idiom. */
+  def q106Trend(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("ts").cast("date"), lit("1990-01-01").cast("date"))
+      .cast("double")
+    events(spark, dir)
+      .select(col("event_type"), col("value"), dayNum.as("x"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(regr_slope(col("value"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("value"), col("x")), 6).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q106Sql: String =
+    "SELECT event_type, " +
+      "round(regr_slope(value, x), 6) AS slope, " +
+      "round(regr_intercept(value, x), 6) AS intercept, " +
+      "round(regr_r2(value, x), 6) AS r2, count(*) AS n " +
+      "FROM (SELECT event_type, value, " +
+      "CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x FROM events) " +
+      "GROUP BY event_type ORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_anomalies" -> q102Anomalies _,
+    "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
@@ -315,6 +346,7 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "q102_anomalies" -> q102Sql,
+    "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
