@@ -467,9 +467,46 @@ object DataPrep {
       "/ CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS key " +
       "FROM documents ORDER BY key DESC, doc_id LIMIT 100"
 
+  /** q107: budgeted mixture fill — take documents per language, in
+    * deterministic content-hash priority order, until each language's
+    * CHARACTER budget is exhausted (en 200k chars, de 100k, everything
+    * else 50k). This is how a training mix is actually assembled: q70
+    * applies per-domain RATES, this hits per-domain absolute BUDGETS —
+    * the knob a token-budgeted pretraining run needs. A doc is kept iff
+    * the running total INCLUDING it still fits (first doc always
+    * considered; oversized later docs are skipped by the budget, not
+    * truncated). Plan: one window per language (cumsum over the hash
+    * order) + a filter — parallelism = |languages| at web scale, same
+    * posture as q100. */
+  def q107BudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = when(col("lang") === "en", 200000L)
+      .when(col("lang") === "de", 100000L)
+      .otherwise(50000L)
+    val pr = md5(concat(col("doc_id").cast("string"), lit("|graft-budget-1")))
+    val w = Window.partitionBy(col("lang")).orderBy(pr.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .where(col("cum_chars") <= budget)
+      .orderBy(col("doc_id"))
+  }
+
+  val q107Sql: String =
+    "SELECT doc_id, lang, n_chars, cum_chars FROM (" +
+      "SELECT doc_id, lang, n_chars, " +
+      "sum(n_chars) OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-budget-1'), doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars " +
+      "FROM documents) " +
+      "WHERE cum_chars <= CASE WHEN lang = 'en' THEN 200000 WHEN lang = 'de' THEN 100000 ELSE 50000 END " +
+      "ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_source_quota" -> q100SourceQuota _,
     "q103_weighted_sample" -> q103WeightedSample _,
+    "q107_budget_mix" -> q107BudgetMix _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -484,6 +521,7 @@ object DataPrep {
   val oracle: Map[String, String] = Map(
     "q100_source_quota" -> q100Sql,
     "q103_weighted_sample" -> q103Sql,
+    "q107_budget_mix" -> q107Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q70_mixture_sample" -> q70Sql,
