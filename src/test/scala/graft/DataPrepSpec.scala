@@ -207,6 +207,35 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("budget mix: every language fills to its budget maximally, never over") {
+    import org.apache.spark.sql.functions.{max => sqlMax}
+    def budgetOf(lang: String): Long =
+      if (lang == "en") 200000L else if (lang == "de") 100000L else 50000L
+    val kept = ops.DataPrep.q107BudgetMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val byLang = kept.groupBy(_._2)
+    // within budget, and MAXIMAL: the highest-priority skipped doc of
+    // each language would not have fit
+    import org.apache.spark.sql.functions.{md5 => sqlMd5, concat => sqlConcat}
+    val all = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sqlMd5(sqlConcat(col("doc_id").cast("string"), lit("|graft-budget-1"))).as("pr"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    byLang.foreach { case (lang, rows) =>
+      val used = rows.map(_._3).sum
+      assert(used <= budgetOf(lang), s"$lang over budget: $used")
+      assert(rows.map(_._4).max == used) // cum of the fill == total kept
+      val keptIds = rows.map(_._1).toSet
+      val firstSkipped = all.filter(d => d._2 == lang && !keptIds.contains(d._1))
+        .sortBy(d => (d._4, d._1)).headOption
+      firstSkipped.foreach { d =>
+        assert(used + d._3 > budgetOf(lang),
+          s"$lang: skipped doc ${d._1} (${d._3} chars) would still fit in ${budgetOf(lang) - used}")
+      }
+    }
+  }
+
   test("epoch shuffle: shards are balanced, positions contiguous, layout salt-deterministic") {
     val rows = ops.DataPrep.q88EpochShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
