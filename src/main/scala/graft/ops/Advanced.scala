@@ -381,8 +381,34 @@ object Advanced {
       "count(*) AS n " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
 
+  /** q108: EXACT distinct counts via bitmap blocks — the
+    * roaring-bitmap pattern (public: every bitmap-index engine), and
+    * the exact mergeable complement of the HLL rollup (q91): key k
+    * sets bit k%64 of block k/64, bit_or merges, bit_count sums. Two
+    * aggregations, the first shuffling at most |keyspace|/64 tiny rows
+    * per group — for dense integer keys this beats count(DISTINCT)'s
+    * per-key dedup shuffle AND stays mergeable across partitions/days
+    * (union + bit_or, like the Bloom block table q94 — but exact).
+    * The oracle is plain COUNT(DISTINCT): bit-level representation is
+    * an implementation detail the result can't leak. */
+  def q108BitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderstatus"),
+        (col("o_custkey") / 64).cast("long").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 64 AS INT))").as("mask"))
+      .groupBy(col("o_orderstatus"), col("block"))
+      .agg(bit_or(col("mask")).as("bits"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(bit_count(col("bits"))).cast("long").as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+
+  val q108Sql: String =
+    "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_corr_profile" -> q105CorrProfile _,
+    "q108_bitmap_distinct" -> q108BitmapDistinct _,
     "q38_full_outer" -> q38FullOuter _,
     "q74_right_outer" -> q74RightOuter _,
     "q39_window_ranks" -> q39WindowRanks _,
@@ -400,6 +426,7 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q105_corr_profile" -> q105Sql,
+    "q108_bitmap_distinct" -> q108Sql,
     "q38_full_outer" -> q38Sql,
     "q74_right_outer" -> q74Sql,
     "q39_window_ranks" -> q39Sql,
