@@ -25,26 +25,32 @@ private[dedup] object IngestStores {
 
   /** At-least-once replay protocol for one ingest step. foreachBatch can
     * replay a batchId at ANY point, so each step is three idempotent
-    * stages gated by on-disk markers:
-    *   1. land the novel rows (skipped when `batchOut/_SUCCESS` exists —
-    *      recomputing against post-update stores would make every landed
-    *      row look duplicate and OVERWRITE the partition with nothing);
+    * stages gated by on-disk markers — both PROTOCOL-OWNED (never the
+    * committer's `_SUCCESS`, which object-store deployments commonly
+    * disable via marksuccessfuljobs=false; gating on it there would
+    * recompute a landed batch against post-update stores and wipe it):
+    *   1. land the novel rows, then write `_GRAFT_LANDED` (a crash
+    *      between the two recomputes from the still-untouched stores —
+    *      same result; once landed, the recompute is SKIPPED because
+    *      the stores may already be partially updated);
     *   2. (re-)apply the store updates FROM the landed rows — appends
     *      may duplicate store rows across a retry, which both ingests
     *      tolerate (anti-join / bit_or / distinct semantics);
-    *   3. write `batchOut/_GRAFT_COMMITTED`; its presence short-circuits
-    *      the whole step on any later replay.
+    *   3. write `_GRAFT_COMMITTED`; its presence short-circuits the
+    *      whole step on any later replay.
     * `compute` must be a pure function of the PRE-batch store state;
     * `applyStores` reads only the landed batch partition. */
   def replayedStep(spark: SparkSession, batchOut: String)
       (compute: => DataFrame)(applyStores: DataFrame => Unit): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$batchOut/_GRAFT_COMMITTED")
     val filesystem = fs(spark, batchOut)
-    if (filesystem.exists(marker)) return
-    if (!exists(spark, s"$batchOut/_SUCCESS"))
+    def marker(name: String) = new org.apache.hadoop.fs.Path(s"$batchOut/$name")
+    if (filesystem.exists(marker("_GRAFT_COMMITTED"))) return
+    if (!filesystem.exists(marker("_GRAFT_LANDED"))) {
       compute.write.mode("overwrite").parquet(batchOut)
+      filesystem.create(marker("_GRAFT_LANDED"), true).close()
+    }
     applyStores(spark.read.parquet(batchOut))
-    filesystem.create(marker, true).close()
+    filesystem.create(marker("_GRAFT_COMMITTED"), true).close()
   }
 }
 
@@ -118,12 +124,14 @@ object Bloom {
   def probe(batch: DataFrame, keyCol: String, blocks: DataFrame,
       mBits: Long = DefaultBits, k: Int = DefaultK): DataFrame = {
     val cols = batch.columns.map(col).toSeq
-    // broadcast only while the block table is broadcast-SIZED: above
-    // ~2^28 bits (4 MiB of blocks) fall back to a plain join — Catalyst
-    // shuffles both sides on `block`, the billion-key regime described
-    // in the module doc. The cutover is geometry-derived, not guessed
-    // from runtime stats, so the plan is deterministic.
-    val blockSide = if (mBits <= (1L << 28)) broadcast(blocks) else blocks
+    // broadcast only while the block table is broadcast-SIZED: 2^24
+    // bits = 2^18 (block, bits) rows ≈ 4 MiB raw — comfortably inside
+    // Spark's 10 MB broadcast default. Above that, fall back to a plain
+    // join — Catalyst shuffles both sides on `block`, the billion-key
+    // regime described in the module doc. The cutover is
+    // geometry-derived (rows = mBits/64, ~16 B/row), not guessed from
+    // runtime stats, so the plan is deterministic.
+    val blockSide = if (mBits <= (1L << 24)) broadcast(blocks) else blocks
     probes(batch, col(keyCol), mBits, k)
       .join(blockSide, Seq("block"), "left")
       .withColumn("_hit", coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
@@ -215,9 +223,24 @@ object Bloom {
     val batchOut = s"$novelPath/batch=$batchId"
     val blocksSchema =
       StructType(Seq(StructField("block", LongType), StructField("bits", LongType)))
-    val blocks = IngestStores.readOr(spark, blocksPath, blocksSchema)
-    val fpStore = IngestStores.readOr(spark, fpStorePath,
-      StructType(Seq(StructField("fp", StringType))))
+    val fpSchema = StructType(Seq(StructField("fp", StringType)))
+    // SELF-HEALING block read: the block table is an overwritten
+    // DERIVED structure (plain parquet overwrite is not atomic — a
+    // crash mid-write leaves a missing or partial directory, and a
+    // replay that trusted it would permanently drop historical bits →
+    // silent bloom false negatives → duplicate rows published). The
+    // append-only fp store is ground truth, so blocks are only trusted
+    // when their write committed (_SUCCESS present) and are otherwise
+    // rebuilt from the fp store in one pass. Deployments that disable
+    // success markers rebuild every batch — correct, just slower.
+    def readBlocks(): DataFrame =
+      if (IngestStores.exists(spark, s"$blocksPath/_SUCCESS"))
+        spark.read.parquet(blocksPath)
+      else if (IngestStores.exists(spark, fpStorePath))
+        buildBlocks(spark.read.parquet(fpStorePath), mBits, k)
+      else IngestStores.readOr(spark, blocksPath, blocksSchema)
+    val blocks = readBlocks()
+    val fpStore = IngestStores.readOr(spark, fpStorePath, fpSchema)
     // within-batch first-arrival dedup, then the bloom/confirm split;
     // probed is cached because both novel branches read it (plans are
     // lazy — nothing materializes on the replay-skip path)
@@ -239,8 +262,7 @@ object Bloom {
       } { landed =>
         val landedFps = landed.select(col("fp"))
         landedFps.write.mode("append").parquet(fpStorePath)
-        val newBlocks = mergeBlocks(
-          IngestStores.readOr(spark, blocksPath, blocksSchema),
+        val newBlocks = mergeBlocks(readBlocks(),
           buildBlocks(landedFps, mBits, k)).cache()
         newBlocks.count() // cut the read dependency on the files being replaced
         newBlocks.write.mode("overwrite").parquet(blocksPath)

@@ -113,14 +113,18 @@ object Layout {
     // RECURSIVE listing: partitioned layouts (this library's own
     // novel/batch=N ingest output, hive-style dirs) keep their data
     // files in subdirectories — a top-level listing would see 0 bytes
-    // and "compact" any table into a single file
+    // and "compact" any table into a single file. Count every
+    // non-hidden data file, NOT just *.parquet: Hive/Impala-style
+    // writers emit suffix-less part files that spark.read.parquet
+    // reads fine, and a suffix filter would reject the whole table.
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
     }
-    require(bytes > 0, s"compact: no parquet data files under $inPath")
+    require(bytes > 0, s"compact: no data files under $inPath")
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)

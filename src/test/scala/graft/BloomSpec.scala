@@ -107,6 +107,15 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuilt = dedup.Bloom.buildBlocks(storedFps)
     val persisted = spark.read.parquet(blocks)
     assert(persisted.except(rebuilt).isEmpty && rebuilt.except(persisted).isEmpty)
+    // crash-window self-heal: a block-store overwrite that died mid-write
+    // (simulated: data gone, no _SUCCESS) must NOT yield bloom false
+    // negatives — the blocks are rebuilt from the append-only fp store,
+    // so a dup of batch 1 in a later batch is still dropped
+    new java.io.File(blocks).listFiles().foreach(_.delete())
+    dedup.Bloom.ingestBatch(spark,
+      Seq((30L, "alpha beta gamma"), (31L, "genuinely new text")).toDF("doc_id", "text"),
+      3, blocks, fps, out)
+    assert(novelIds() == Set(1L, 2L, 12L, 20L, 31L))
   }
 
   test("probe preserves every input row exactly once") {
