@@ -406,9 +406,37 @@ object Advanced {
     "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers " +
       "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
+  /** q109: DETERMINISTIC mode — the most frequent integer value bucket
+    * per event type. Built-in `mode()` returns an arbitrary element on
+    * ties in both engines (cross-engine hash-compare poison), so the
+    * mode is computed explicitly: bucket counts + a rank-1 window with
+    * a total tie-break (count desc, bucket asc). Buckets use floor()
+    * (exact on identical doubles), NOT round(value, 1): the synthetic
+    * values carry 2 decimals, so 1-decimal rounding hits x.x5
+    * half-ties systematically — the q85 divergence class. Plan: one
+    * partial-agg shuffle to |types|·|buckets| rows, then a tiny
+    * window. */
+  def q109ModeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("bucket").asc)
+    events(spark, dir)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy(col("event_type"))
+  }
+
+  val q109Sql: String =
+    "SELECT event_type, bucket, cnt FROM (" +
+      "SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, count(*) AS cnt, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY count(*) DESC, CAST(floor(value) AS BIGINT) ASC) AS rn " +
+      "FROM events GROUP BY 1, 2) WHERE rn = 1 ORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_corr_profile" -> q105CorrProfile _,
     "q108_bitmap_distinct" -> q108BitmapDistinct _,
+    "q109_mode_profile" -> q109ModeProfile _,
     "q38_full_outer" -> q38FullOuter _,
     "q74_right_outer" -> q74RightOuter _,
     "q39_window_ranks" -> q39WindowRanks _,
@@ -427,6 +455,7 @@ object Advanced {
   val oracle: Map[String, String] = Map(
     "q105_corr_profile" -> q105Sql,
     "q108_bitmap_distinct" -> q108Sql,
+    "q109_mode_profile" -> q109Sql,
     "q38_full_outer" -> q38Sql,
     "q74_right_outer" -> q74Sql,
     "q39_window_ranks" -> q39Sql,
