@@ -60,11 +60,12 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full materialization of every operator (count()
     // would let Catalyst prune the whole projection away).
-    // dev loop only: SPARK_GRAFT_ONLY=q78,q31 times a subset; the driver
-    // never sets it, so its boards are always the full surface
+    // dev loop only: SPARK_GRAFT_ONLY=q78,q31 times a subset (exact
+    // names; trailing * for prefix); the driver never sets it, so its
+    // boards are always the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => NameFilter.selected(only, n) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -15,6 +15,18 @@ import org.apache.spark.sql.Dataset
   * (catalog entries for tables saved at these paths live in the session's
   * in-memory catalog and die with the JVM by themselves).
   */
+/** Dev-loop query selector shared by Bench (SPARK_GRAFT_ONLY) and
+  * Verify (3rd arg): tokens match by EXACT name; a trailing `*` opts
+  * into prefix matching ("q1" selects only q1; "q1*" selects
+  * q10..q19/q100..). Bare-prefix matching surprised the dev loop —
+  * "q9" silently ran q90-q99. */
+object NameFilter {
+  def selected(tokens: Option[Seq[String]], name: String): Boolean =
+    tokens.forall(_.exists { t =>
+      if (t.endsWith("*")) name.startsWith(t.dropRight(1)) else name == t
+    })
+}
+
 object RunTag {
   val tag: String = java.util.UUID.randomUUID().toString.take(8)
 
@@ -52,10 +64,38 @@ object RunTag {
   */
 object Caches {
   private val pending = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+  private val scopeLocal =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
 
-  /** Register a cached Dataset for deferred unpersist; returns it. */
-  def register[T](ds: Dataset[T]): Dataset[T] =
-    synchronized { pending += ds; ds }
+  /** Register a cached Dataset for deferred unpersist; returns it. If the
+    * calling thread is inside `scoped`, the registration goes to that
+    * scope instead of the global registry. */
+  def register[T](ds: Dataset[T]): Dataset[T] = {
+    val sc = scopeLocal.get()
+    if (sc != null) sc.synchronized { sc += ds }
+    else synchronized { pending += ds }
+    ds
+  }
+
+  /** Run `body` with a thread-local cache scope: registrations made BY
+    * THIS THREAD inside it are unpersisted on exit, without touching the
+    * global registry. For operators that are their own harness (e.g. an
+    * ingest step inside foreachBatch): a global `drain()` there would
+    * also unpersist caches a CONCURRENT query registered mid-flight,
+    * silently forcing recomputation; a scope cannot. */
+  def scoped[A](body: => A): A = {
+    val buf = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+    val prev = scopeLocal.get()
+    scopeLocal.set(buf)
+    try body
+    finally {
+      scopeLocal.set(prev)
+      buf.foreach { ds =>
+        try ds.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
 
   /** Unpersist every registered cache (blocking=false) and clear. A
     * registration whose SparkSession has since been stopped (possible in

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke for the dedup/pack chains beyond the driver's
+  * sf0.1 board — run manually, results recorded in PERF.md:
+  *
+  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 /tmp/graft_scale10x"
+  *
+  * Every 100 TB posture claim on the board is extrapolated from sf0.1,
+  * where the protective machinery never actually fires (no shingle
+  * exceeds the df cap, no component is deep, no guard trips). This tool
+  * builds a DETERMINISTIC ~10× corpus (50k docs, no RNG anywhere —
+  * variants derive from doc_id/rep arithmetic) engineered so each
+  * protection engages on real data, then asserts:
+  *
+  *   (a) the hot-shingle df cap ENGAGES (a planted boilerplate tail puts
+  *       three shingles in ~25k docs, 2.5× the 10k cap) and the exact
+  *       chain STAYS LINEAR: verified pair output scales ~linearly in
+  *       corpus size (disjoint per-rep vocab spaces make the expected
+  *       ratio ~12×; the assert allows 25×), instead of the df² blowup
+  *       an uncapped ubiquitous shingle would cause;
+  *   (b) star contraction converges on a DEEP component (3000-edge
+  *       path) where min-label propagation needs diameter rounds and
+  *       trips its round budget loudly;
+  *   (c) `Guards.exactBaseline` fails loudly on q30/q34 when the corpus
+  *       exceeds the row cap — the quadratic baselines cannot be run at
+  *       scale by accident.
+  *
+  * Plus wall-clock timings for the headline chains (q31 LSH, q78 dedup
+  * corpus, q80 chunk dedup, q81 seq pack, q95 leakage split) at 1× and
+  * 10×, printed as one JSON line for PERF.md.
+  */
+object ScaleSmoke {
+
+  /** 10× corpus: each base doc yields 10 variants. rep 0 keeps the
+    * original text and rep 1 is its EXACT copy (one planted near-dup
+    * pair per base doc, jaccard 1.0 pre-boilerplate); reps 2..9 prefix
+    * every token with v<rep>, giving each rep a disjoint vocab/shingle
+    * space (novel docs, no cross-rep pairs — this is what keeps the
+    * TRUE pair structure linear so assert (a) can distinguish a df²
+    * regression from real growth). Even doc_ids then get a shared
+    * 5-token boilerplate tail: its three interior shingles land in
+    * ~25k docs — far beyond the 10k cap — while junction shingles stay
+    * rare. Deterministic: pure column arithmetic on (doc_id, rep). */
+  def corpus10x(base: DataFrame): DataFrame = {
+    val reps = base.sparkSession.range(0, 10).select(col("id").cast("int").as("rep"))
+    base.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") * 10 + col("rep")).as("doc_id"),
+        when(col("rep") <= 1, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
+            concat(lit("v"), col("rep").cast("string"), lit("$1")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(col("text"), lit(" legal boilerplate terms apply here")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  private def timed[A](what: String, out: StringBuilder)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    val s = (System.nanoTime() - t0) / 1e9
+    out.append(f""""$what":$s%.2f,""")
+    System.err.println(f"[scale-smoke] $what: $s%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale10x"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .appName("graft-scale-smoke")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = new StringBuilder("{")
+    try {
+      val dir10 = s"$outRoot/sf1x10"
+      corpus10x(spark.read.parquet(s"$baseDir/documents.parquet"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+      val docs10 = spark.read.parquet(s"$dir10/documents.parquet")
+      val n10 = docs10.count()
+      json.append(s""""n_docs_10x":$n10,""")
+
+      // ---- (a) the df cap engages on this corpus ----
+      val sh10 = dedup.Dedup.shinglesOf(docs10)
+      val cap = dedup.Guards.shingleDfCap(spark)
+      val hot = sh10.select(explode(col("shingles")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") > cap)
+      val hotShingles = hot.collect()
+      assert(hotShingles.length >= 3,
+        s"expected >=3 hot shingles beyond cap=$cap, got ${hotShingles.length}")
+      assert(hotShingles.forall(_.getLong(1) > 20000L),
+        "planted boilerplate shingles should each hit ~25k docs")
+      json.append(s""""hot_shingles":${hotShingles.length},""")
+
+      // ---- (a) the exact chain stays LINEAR with the cap engaged ----
+      // q30/q65/q95 all ride jaccardPairs; compare verified pair counts
+      // at 1× and 10×. Disjoint rep vocab spaces mean true pairs grow
+      // ~12× (4× within the doubled rep0/1 space + 1× in each of reps
+      // 2..9 + one planted pair per base doc); an uncapped boilerplate
+      // shingle would instead contribute ~(25k)²/2 candidate pairs.
+      val pairs1x = timed("q30_pairs_1x", json) {
+        dedup.Dedup.q30NgramJaccard(spark, baseDir).count()
+      }
+      val pairs10x = timed("q30_pairs_10x", json) {
+        dedup.Dedup.q30NgramJaccard(spark, dir10).count()
+      }
+      json.append(s""""pairs_1x":$pairs1x,"pairs_10x":$pairs10x,""")
+      val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+      assert(pairs10x >= nBase,
+        s"planted exact-copy pairs missing: $pairs10x pairs < $nBase base docs")
+      assert(pairs10x <= 25L * math.max(pairs1x, nBase),
+        s"pair blowup: $pairs10x pairs at 10x vs $pairs1x at 1x — df cap not containing the quadratic term")
+
+      // ---- headline chains at 10×, timed ----
+      def mat(df: DataFrame): Long = df.count()
+      timed("q31_lsh_10x", json) { mat(dedup.Dedup.q31MinhashLsh(spark, dir10)) }
+      timed("q78_dedup_corpus_10x", json) { mat(dedup.Dedup.q78DedupCorpusLsh(spark, dir10)) }
+      timed("q80_chunk_dedup_10x", json) { mat(dedup.Dedup.q80ChunkDedup(spark, dir10)) }
+      timed("q81_seq_pack_10x", json) { mat(ops.DataPrep.q81SeqPack(spark, dir10)) }
+      timed("q95_leakage_split_10x", json) { mat(dedup.Dedup.q95LeakageSplit(spark, dir10)) }
+      Caches.drain()
+
+      // ---- (b) deep component: star converges, min-label trips loudly ----
+      val path = spark.range(0, 3000)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val labelBudget = 20
+      val minLabelTripped =
+        try { dedup.Dedup.minLabelClusters(path, maxRounds = labelBudget).count(); false }
+        catch { case e: IllegalStateException =>
+          assert(e.getMessage.contains("starContractClusters"),
+            "min-label round-budget error should point at the star upgrade path")
+          true
+        }
+      assert(minLabelTripped,
+        s"min-label converged a 3000-deep path within $labelBudget rounds — diameter bound broken?")
+      val starLabels = timed("star_deep_path", json) {
+        dedup.Dedup.starContractClusters(path).cache()
+      }
+      try {
+        assert(starLabels.count() == 3001L)
+        assert(starLabels.where(col("lbl") =!= 0L).count() == 0L,
+          "star contraction mislabeled the deep path component")
+      } finally { starLabels.unpersist(); Caches.drain() }
+
+      // ---- (c) the quadratic baselines fail loudly past the row cap ----
+      spark.conf.set(dedup.Guards.CapConf, "10000")
+      def loudly(what: String)(body: => Any): Unit = {
+        val msg =
+          try { body; sys.error(s"$what guard did NOT fire") }
+          catch { case e: IllegalArgumentException => e.getMessage }
+        assert(msg.contains("quadratic") && msg.contains("scale path"),
+          s"$what guard message should name the scale path: $msg")
+      }
+      loudly("q30") { dedup.Dedup.q30NgramJaccard(spark, dir10) }
+      // q34 guards on the embeddings row count — cap below sf0.1's 5000
+      spark.conf.set(dedup.Guards.CapConf, "100")
+      loudly("q34") { sim.Similarity.q34EmbeddingNeardup(spark, baseDir) }
+      spark.conf.unset(dedup.Guards.CapConf)
+      Caches.drain()
+
+      json.setLength(json.length - 1) // trailing comma
+      json.append("}")
+      println(json.toString)
+      System.err.println("[scale-smoke] ALL ASSERTIONS PASSED")
+    } finally spark.stop()
+  }
+}

@@ -5,14 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query-name prefixes — dev-loop
-    // filter so one new oracle can be checked without a full board run.
+    // optional 3rd arg: comma-separated query names (trailing * for a
+    // prefix) — dev-loop filter so one new oracle can be checked without
+    // a full board run.
     // The driver passes exactly two args, so its runs are always full.
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+    def selected(name: String): Boolean = NameFilter.selected(only, name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -236,8 +236,23 @@ object Dedup {
     * reliable storage (survives executor loss); the RDD round-trip here
     * is the local, zero-infrastructure equivalent. The input MUST be
     * cached and stay cached while the view is in use. */
-  private def truncateLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+  private def truncateLineage(df: DataFrame): DataFrame = {
+    // localCheckpoint (lazy) truncates the PHYSICAL lineage too: the
+    // RDD-backed wrapper alone only cuts the logical plan, and its
+    // serialized object graph still chains every prior round's RDD —
+    // fine for shallow dup graphs, but ~18 rounds deep the task
+    // closure hits 1 MB and task DESERIALIZATION StackOverflows (found
+    // by ScaleSmoke's 3000-edge path, where the maxRounds insurance is
+    // supposed to fail loudly, not crash the executor). The checkpoint
+    // materializes during the round that first reads it (every round
+    // reads its predecessor), so steady-state serialized depth is O(1);
+    // partition data is dropped by the ContextCleaner once the round's
+    // references die. On a real cluster prefer reliable `checkpoint()`
+    // (survives executor loss) — same role, see the Scaladoc above.
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 
   /** Connected components of an undirected pair graph by min-label
     * propagation: (vertex, component-min-vertex) rows. `maxRounds` is a
@@ -871,7 +886,8 @@ object Dedup {
     * copies. The two ingests together are the incremental form of the
     * full q29+q78 dedup pass. */
   def lshIngestBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      sigStorePath: String, bandStorePath: String, novelPath: String): Unit = {
+      sigStorePath: String, bandStorePath: String,
+      novelPath: String): Unit = graft.Caches.scoped {
     import org.apache.spark.sql.types._
     val batchOut = s"$novelPath/batch=$batchId"
     val sigStore = IngestStores.readOr(spark, sigStorePath, StructType(Seq(
@@ -939,9 +955,9 @@ object Dedup {
       }
     } finally {
       sigB.unpersist()
-      // the cluster loop registered its converged label cache; this
-      // ingest is its own harness (never run under Bench/Verify)
-      graft.Caches.drain()
+      // the cluster loop's converged label cache was registered inside
+      // this call's Caches.scoped and is unpersisted on scope exit —
+      // caches registered by concurrent queries are untouched
     }
   }
 

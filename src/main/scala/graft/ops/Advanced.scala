@@ -257,8 +257,14 @@ object Advanced {
     * exactly the reuse a sketch store buys. lgK=12 ⇒ ~1.6% relative
     * error, 4 KB per sketch. Sketch-specific bytes ⇒ no SQL oracle
     * (rows-only driver check); SketchSpec bounds daily AND merged
-    * estimates against exact countDistinct and pins the lossless-merge
-    * property. */
+    * estimates against exact countDistinct (all three SFs) and pins the
+    * merge law a sketch store actually needs: any rollup assembled by
+    * merging stored sketches answers within the sketch's error bound of
+    * exact. (Exact merge-equality is NOT a property of this sketch:
+    * merged estimates vary ~1% with grouping and merge order — coupon→
+    * dense promotion points, HIP vs composite estimator — measured and
+    * documented in SketchSpec; Bloom/CMS/bitmap merges by contrast are
+    * cell-wise exact.) */
   def q91HllRollup(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))

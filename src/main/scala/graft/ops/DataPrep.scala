@@ -51,18 +51,36 @@ object DataPrep {
       "WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|graft-split-1'),1,1) < 'e' THEN 'val' " +
       "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
 
-  /** Seeded stratified sample: per-language fractions via `sampleBy`.
-    * Sampling is engine-specific (Bernoulli over Spark's RNG stream) →
-    * rows-only driver check; DataPrepSpec bounds the per-stratum rates
-    * and asserts run-to-run determinism. */
+  /** Deterministic stratified sample: per-language fractions via
+    * hash-derived-uniform thresholding (the q57/q103 content-hash idiom
+    * restricted per stratum). Each doc's uniform u = first 8 md5 hex
+    * digits / 2^32 — exact in double (integer < 2^32, power-of-two
+    * scale) — kept iff u < its language's fraction. Unlike
+    * `df.stat.sampleBy` (Bernoulli over the engine RNG stream, so
+    * membership depends on partitioning and engine), membership here is
+    * a pure function of doc_id: identical on any cluster, any
+    * partitioning, any rerun, and on DuckDB — so the driver hash-checks
+    * the exact sample, and a training pipeline gets rerun-stable data.
+    * No tie risk: both engines compare bit-identical doubles. */
   def q58StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
+    val u = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING) || '|graft-strat-1'), 1, 8), 16, 10) AS BIGINT)")
+      .cast("double") / lit(4294967296.0)
+    val frac = when(col("lang") === "en", 0.5)
+      .when(col("lang") === "de", 0.25)
+      .when(col("lang") === "fr", 0.25)
+      .when(col("lang") === "es", 0.25)
+      .otherwise(0.1)
     documents(spark, dir)
-      .stat.sampleBy("lang", fractions, seed = 42L)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_sampled"))
-      .orderBy(col("lang"))
+      .select(col("doc_id"), col("lang"))
+      .where(u < frac)
+      .orderBy(col("doc_id"))
   }
+
+  val q58Sql: String =
+    "SELECT doc_id, lang FROM documents " +
+      "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft-strat-1'), 1, 8) AS BIGINT) / 4294967296.0 " +
+      "< CASE WHEN lang = 'en' THEN 0.5 WHEN lang IN ('de','fr','es') THEN 0.25 ELSE 0.1 END " +
+      "ORDER BY doc_id"
 
   /** Weighted mixture sampling: each language (stand-in for a source
     * domain) keeps a different deterministic fraction of its documents —
@@ -496,9 +514,9 @@ object DataPrep {
   val q107Sql: String =
     "SELECT doc_id, lang, n_chars, cum_chars FROM (" +
       "SELECT doc_id, lang, n_chars, " +
-      "sum(n_chars) OVER (PARTITION BY lang " +
+      "CAST(sum(n_chars) OVER (PARTITION BY lang " +
       "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-budget-1'), doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars " +
       "FROM documents) " +
       "WHERE cum_chars <= CASE WHEN lang = 'en' THEN 200000 WHEN lang = 'de' THEN 100000 ELSE 50000 END " +
       "ORDER BY doc_id"
@@ -524,6 +542,7 @@ object DataPrep {
     "q107_budget_mix" -> q107Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
+    "q58_stratified_sample" -> q58Sql,
     "q70_mixture_sample" -> q70Sql,
     "q72_profile" -> q72Sql,
     "q81_seq_pack" -> q81Sql,

@@ -167,9 +167,12 @@ object Streaming {
     * `novelPath/batch=<id>`; StreamingSpec pins multi-run parity. */
   def bloomDedupIngest(docs: DataFrame, blocksPath: String,
       fpStorePath: String, novelPath: String, checkpoint: String): Unit = {
-    // micro-batch ids restart at 0 per checkpoint-less query; namespace
-    // by a per-run nonce so successive runs never collide on batch=<id>
-    val run = java.util.UUID.randomUUID().toString.take(8)
+    // micro-batch ids restart at 0 per checkpoint, so batch=<id> dirs
+    // from DIFFERENT queries would collide; namespace by the checkpoint
+    // identity (NOT a per-call nonce: a checkpoint-restart replays the
+    // same batchId, and the replay must land in the SAME marker-gated
+    // dir for the ingest's replayedStep protocol to engage)
+    val run = runIdFor(docs.sparkSession, checkpoint)
     runAvailableNow(docs, (batch, id) =>
       graft.dedup.Bloom.ingestBatch(batch.sparkSession, batch, id,
         blocksPath, fpStorePath, s"$novelPath/run=$run"), checkpoint)
@@ -184,10 +187,36 @@ object Streaming {
     * full q78 dedup chain running incrementally on a live feed. */
   def lshDedupIngest(docs: DataFrame, sigStorePath: String,
       bandStorePath: String, novelPath: String, checkpoint: String): Unit = {
-    val run = java.util.UUID.randomUUID().toString.take(8)
+    val run = runIdFor(docs.sparkSession, checkpoint)
     runAvailableNow(docs, (batch, id) =>
       graft.dedup.Dedup.lshIngestBatch(batch.sparkSession, batch, id,
         sigStorePath, bandStorePath, s"$novelPath/run=$run"), checkpoint)
+  }
+
+  /** Run namespace derived from CHECKPOINT IDENTITY: persisted as
+    * `<checkpoint>/graft-run-id` on first start and reused by every
+    * restart of the same checkpoint. foreachBatch's at-least-once
+    * contract replays a crashed batchId ONLY via a checkpoint restart —
+    * a per-invocation nonce would send that replay to a fresh
+    * `run=<nonce>/batch=<id>` dir where no `_GRAFT_*` markers exist,
+    * re-landing the same novel rows (duplicates) and orphaning the
+    * half-written partition. Uses the Hadoop FS of the checkpoint path,
+    * so it works wherever the checkpoint lives (HDFS/S3A/local);
+    * `create(overwrite=false)` makes concurrent first-starts fail loudly
+    * rather than fork the namespace. */
+  private[graft] def runIdFor(spark: SparkSession, checkpoint: String): String = {
+    val path = new org.apache.hadoop.fs.Path(checkpoint, "graft-run-id")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val out = fs.create(path, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
   }
 
   /** Scheduled micro-batch runner (§2A-19): one-shot `AvailableNow` batch

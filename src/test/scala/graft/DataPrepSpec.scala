@@ -68,16 +68,23 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("stratified sample hits per-language fractions, deterministically") {
     val totals = Tables.documents(spark, dir).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val s1 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows1 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val s1 = rows1.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val expected = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
     expected.foreach { case (lang, frac) =>
       val got = s1.getOrElse(lang, 0L).toDouble / totals(lang)
       assert(math.abs(got - frac) < 0.15, s"$lang rate $got want ~$frac")
     }
-    val s2 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(s1 == s2) // same seed → same sample
+    // determinism: membership is a pure function of doc_id — the rerun
+    // (and a repartitioned rerun) yields the identical membership set
+    val rows2 = ops.DataPrep.q58StratifiedSample(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows1 === rows2)
+    val repart = ops.DataPrep.q58StratifiedSample(spark, dir)
+    val rows3 = repart.repartition(7).orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(rows1 === rows3)
   }
 
   test("profile min/max text never uses scientific notation, at any magnitude") {

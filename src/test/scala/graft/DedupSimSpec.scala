@@ -405,6 +405,48 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneShot == novel, s"one-shot $oneShot vs incremental $novel")
   }
 
+  test("incremental LSH ingest: crash between _GRAFT_LANDED and _GRAFT_COMMITTED replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_replay")
+      .toFile.getAbsolutePath
+    def mk(n: Int, seed: Int): String =
+      (0 until n).map(i => s"r${seed}x$i").mkString(" ")
+    def nearCopy(s: String): String = {
+      val ws = s.split(" "); ws(5) = "changed5"; ws(25) = "changed25"; ws.mkString(" ")
+    }
+    val a = mk(40, 1); val b = mk(40, 2)
+    def ingest(docs: Seq[(Long, String)], id: Long): Unit =
+      dedup.Dedup.lshIngestBatch(spark, docs.toDF("doc_id", "text"), id,
+        s"$root/sigs", s"$root/bands", s"$root/novel")
+    def novelIds(): Set[Long] = spark.read.parquet(s"$root/novel")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    ingest(Seq((1L, a), (2L, b)), 0L)
+    ingest(Seq((11L, mk(40, 3))), 1L)
+    assert(novelIds() == Set(1L, 2L, 11L))
+    // simulate the crash window: batch 1 landed and (fully) applied its
+    // store appends, but died before _GRAFT_COMMITTED. foreachBatch then
+    // replays batchId 1 on restart.
+    val committed = new java.io.File(s"$root/novel/batch=1/_GRAFT_COMMITTED")
+    assert(committed.exists())
+    assert(committed.delete())
+    ingest(Seq((11L, mk(40, 3))), 1L)
+    // the replay must NOT recompute novelty (doc 11's sig is already in
+    // the store — a recompute would see it as a near-dup of itself and
+    // wipe the landed partition) and must re-reach COMMITTED
+    assert(novelIds() == Set(1L, 2L, 11L), "landed rows lost on replay")
+    assert(committed.exists(), "replay did not re-commit")
+    // store idempotence: the re-applied appends may duplicate rows, but
+    // per-doc content is unchanged and every consumer is dup-insensitive
+    val sigs = spark.read.parquet(s"$root/sigs")
+    assert(sigs.select(col("doc_id")).distinct().count() == 3L)
+    assert(sigs.select(col("doc_id"), col("sig")).distinct().count() == 3L,
+      "replay appended a conflicting signature for some doc")
+    // and the store still drops near-dups of the replayed batch's docs
+    ingest(Seq((21L, nearCopy(mk(40, 3))), (22L, mk(40, 4))), 2L)
+    assert(novelIds() == Set(1L, 2L, 11L, 22L))
+  }
+
   test("leakage-safe split: near-dup pairs never straddle a split boundary") {
     import org.apache.spark.sql.functions.col
     val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()

@@ -7,9 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Mergeable HLL sketch rollup (q91): sketch-specific bytes have no SQL
   * oracle, so this spec carries the correctness story — estimates bounded
-  * against exact distinct counts, and the property that justifies storing
-  * sketches at all: merging daily sketches equals sketching the raw
-  * events directly. */
+  * against exact distinct counts at all three SFs, and the property that
+  * justifies storing sketches at all: ANY rollup assembled by merging
+  * stored sketches (whole range, unanticipated day subsets, arbitrary
+  * regroupings) answers within the sketch's error bound of exact.
+  * Exact-equality merge laws are deliberately NOT asserted: measured at
+  * sf0.1, DataSketches HLL merged estimates vary ~1% with grouping and
+  * merge order (coupon→dense promotion points, HIP vs composite
+  * estimator) — unlike Bloom/CMS/bitmap, whose merges are cell-wise
+  * exact. */
 class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
@@ -23,41 +29,100 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("daily and merged HLL estimates stay within sketch error of exact distincts") {
-    val rows = ops.Advanced.q91HllRollup(spark, dir).collect()
-    val (days, totals) = rows.partition(r => !r.isNullAt(0))
-    assert(totals.length == 1 && days.nonEmpty)
-    val exactByDay = Tables.events(spark, dir)
-      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
-      .agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getAs[java.time.LocalDateTime]("day") -> r.getLong(1)).toMap
-    // lgK=12 → rse ≈ 1.04/sqrt(2^12) ≈ 1.6%; allow 5% (3σ) per day
-    days.foreach { r =>
-      val exact = exactByDay(r.getAs[java.time.LocalDateTime]("day"))
-      val est = r.getLong(1)
-      assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
-        s"day ${r.get(0)}: est $est vs exact $exact")
+  private val allSfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("daily and merged HLL estimates stay within sketch error of exact distincts, at all three SFs") {
+    allSfDirs.foreach { d =>
+      val rows = ops.Advanced.q91HllRollup(spark, d).collect()
+      val (days, totals) = rows.partition(r => !r.isNullAt(0))
+      assert(totals.length == 1 && days.nonEmpty)
+      val exactByDay = Tables.events(spark, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getAs[java.time.LocalDateTime]("day") -> r.getLong(1)).toMap
+      // lgK=12 → rse ≈ 1.04/sqrt(2^12) ≈ 1.6%; allow 5% (3σ) per day
+      days.foreach { r =>
+        val exact = exactByDay(r.getAs[java.time.LocalDateTime]("day"))
+        val est = r.getLong(1)
+        assert(math.abs(est - exact) <= math.max(1L, (exact * 0.05).toLong),
+          s"$d day ${r.get(0)}: est $est vs exact $exact")
+      }
+      val exactTotal = Tables.events(spark, d)
+        .agg(countDistinct(col("user_id"))).first().getLong(0)
+      val estTotal = totals.head.getLong(1)
+      assert(math.abs(estTotal - exactTotal) <= math.max(1L, (exactTotal * 0.05).toLong),
+        s"$d total: $estTotal vs $exactTotal")
+      // event counts are exact and must reconcile
+      assert(days.map(_.getLong(2)).sum == totals.head.getLong(2))
     }
-    val exactTotal = Tables.events(spark, dir)
-      .agg(countDistinct(col("user_id"))).first().getLong(0)
-    val estTotal = totals.head.getLong(1)
-    assert(math.abs(estTotal - exactTotal) <= math.max(1L, (exactTotal * 0.05).toLong),
-      s"total: $estTotal vs $exactTotal")
-    // event counts are exact and must reconcile
-    assert(days.map(_.getLong(2)).sum == totals.head.getLong(2))
   }
 
-  test("merging daily sketches equals sketching the raw stream (lossless union)") {
-    // same lgK on both paths → identical registers → identical estimate
-    val direct = Tables.events(spark, dir)
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
-      .first().getLong(0)
-    val merged = Tables.events(spark, dir)
-      .groupBy(date_trunc("day", col("ts")))
+  test("merged estimate stays within sketch error of exact under ANY grouping, at all three SFs") {
+    // Measured property of DataSketches HLL (probed at sf0.1, exact
+    // distinct = 1500): the merged estimate is NOT an exact function of
+    // the row set — it varies with grouping granularity AND merge order
+    // (1488-1500 across by-row/by-user/by-day groupings), because a
+    // union promotes exact coupon SETs to dense registers at
+    // data-dependent points, streamed sketches estimate via the
+    // order-dependent HIP accumulator while unions use the composite
+    // estimator, and partial-aggregation merge order shifts the
+    // promotion point. (The r7 form asserted merged == direct and
+    // passed only because sf0.01 cardinalities stay in sparse-exact
+    // mode.) The law worth pinning — and the one a sketch STORE
+    // actually needs — is: whatever the grouping, the merged estimate
+    // stays within the lgK=12 error bound of the exact answer. Contrast
+    // Bloom/CMS/bitmap (SketchSpec/ScalePrimitives): those merges ARE
+    // cell-wise exact.
+    allSfDirs.foreach { d =>
+      def mergedBy(key: org.apache.spark.sql.Column): Long =
+        Tables.events(spark, d)
+          .groupBy(key)
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+          .first().getLong(0)
+      val exact = Tables.events(spark, d)
+        .agg(countDistinct(col("user_id"))).first().getLong(0)
+      val ests = Seq(
+        "byDay" -> mergedBy(date_trunc("day", col("ts"))),
+        "byRowHash" -> mergedBy(pmod(xxhash64(col("event_id")), lit(64))),
+        "byUserHash" -> mergedBy(pmod(xxhash64(col("user_id")), lit(16))),
+        "direct" -> Tables.events(spark, d)
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+          .first().getLong(0))
+      ests.foreach { case (label, est) =>
+        assert(math.abs(est - exact) <= math.max(2L, (exact * 0.05).toLong),
+          s"$d $label: est $est vs exact $exact")
+      }
+    }
+  }
+
+  test("any day-range rollup from stored sketches answers within sketch error of exact") {
+    // the reuse a sketch STORE buys: answer a rollup nobody anticipated
+    // (here: first half of the date range) by merging the stored daily
+    // sketches — register-identical to scanning that range's raw events
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
-      .first().getLong(0)
-    assert(direct == merged, s"direct $direct vs merged $merged")
+      .cache()
+    try {
+      val cutoff = daily.agg(expr("percentile(CAST(day AS DOUBLE), 0.5)"))
+        .first().getDouble(0)
+      val fromStore = daily.where(col("day").cast("double") <= cutoff)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+        .first().getLong(0)
+      // the store answers the unanticipated range within sketch error
+      // of the exact answer over that range's raw rows (exact equality
+      // to a re-sketch is not a property of this sketch — see the
+      // grouping-invariance test)
+      val exactRange = Tables.events(spark, dir)
+        .where(date_trunc("day", col("ts")).cast("double") <= cutoff)
+        .agg(countDistinct(col("user_id"))).first().getLong(0)
+      assert(math.abs(fromStore - exactRange) <= math.max(2L, (exactRange * 0.05).toLong),
+        s"store $fromStore vs exact $exactRange")
+      // and the subset really is proper (not the degenerate whole range)
+      assert(daily.where(col("day").cast("double") <= cutoff).count() < daily.count())
+    } finally daily.unpersist()
   }
 
   test("CMS estimates: one-sided (est >= exact df) within a tight additive band") {

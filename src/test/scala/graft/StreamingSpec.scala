@@ -153,7 +153,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mem.addData((21L, "delta... EPSILON"), (22L, "brand new text"))
     Streaming.bloomDedupIngest(mem.toDF().toDF("doc_id", "text"),
       s"$root/blocks", s"$root/fps", s"$root/novel", s"$root/ckpt")
-    // two runs → two run=<nonce> partitions; recursive discovery reads both
+    // same checkpoint → same run=<id> namespace (checkpoint-derived, so
+    // a restart's replayed batchIds hit their own marker dirs); batch
+    // ids continue across runs, so the partitions never collide
     val novel = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$root/novel")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -182,6 +184,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"$root/novel")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(novel == Set(1L, 2L, 12L))
+  }
+
+  test("ingest run namespace is derived from checkpoint identity, not per call") {
+    val root = java.nio.file.Files.createTempDirectory("graft_runid")
+      .toFile.getAbsolutePath
+    val id1 = Streaming.runIdFor(spark, s"$root/ckptA")
+    // a restart of the same checkpoint reuses the persisted nonce — the
+    // property that lets a replayed batchId find its own marker dir
+    assert(Streaming.runIdFor(spark, s"$root/ckptA") == id1)
+    assert(new java.io.File(s"$root/ckptA/graft-run-id").exists())
+    // a fresh checkpoint (batch ids restart at 0) gets its own namespace
+    assert(Streaming.runIdFor(spark, s"$root/ckptB") != id1)
   }
 
   test("flatMapGroupsWithState sessionizer emits closed sessions") {

@@ -1,15 +1,30 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameFilter]
 
-Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
-oracle SQL from oracle_sql.json in DuckDB over the source tables in
-<sfDir>, sorts columns by name and rows by all columns, and compares
-values exactly. Dev tool only — not part of the shipped library.
+Two gates per query, BOTH must pass (the local gate must be a superset of
+the driver's):
+
+1. exact   — fetch both sides as Python values, sort columns by name and
+             rows by all columns, compare values exactly (NaN==NaN).
+2. pandas  — driver-faithful: fetch both sides as pandas DataFrames
+             (`fetchdf()`), sort columns by name and rows by stringified
+             values, then hash the per-value STRING RENDERINGS. This is
+             dtype-sensitive on purpose: DuckDB widens window/scalar sums
+             over BIGINT to HUGEINT, which pandas renders as float64
+             ("47935.0") while Spark's parquet int64 renders "47935" —
+             numerically equal, hash-divergent. The driver checks this
+             class; so must we (round-7 q107 regression).
+
+Dev tool only — not part of the shipped library.
 """
-import sys, os, json, math
+import sys, os, json, math, hashlib
 import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -29,47 +44,103 @@ def eq(a, b):
         return a == b
     return a == b
 
+def exact_check(con, name, res_dir, sql):
+    sp = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+    sp_cols = [d[0] for d in sp.description]
+    sp_rows = sp.fetchall()
+    du = con.execute(sql)
+    du_cols = [d[0] for d in du.description]
+    du_rows = du.fetchall()
+    a, ac = canon(sp_rows, sp_cols)
+    b, bc = canon(du_rows, du_cols)
+    if ac != bc:
+        return f"columns {ac} vs {bc}"
+    if len(a) != len(b):
+        return f"rows {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if not all(eq(x, y) for x, y in zip(ra, rb)):
+            return f"row {i}\n  spark={ra}\n  duck ={rb}"
+    return None
+
+def render_cell(v):
+    # Mirror a str()-rendering harness: dtype differences show up here
+    # (int64 47935 -> "47935", float64 -> "47935.0", HUGEINT-kept-object
+    # -> "47935"); bytes/lists normalized the way pandas str() shows them.
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<NULL>"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def pandas_canon_hash(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rendered = [tuple(render_cell(v) for v in row)
+                for row in df.itertuples(index=False, name=None)]
+    rendered.sort()
+    h = hashlib.sha256()
+    h.update(("|".join(df.columns) + "\n").encode())
+    for row in rendered:
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest(), rendered
+
+def pandas_check(con, name, res_dir, sql):
+    sp_df = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+    du_df = con.execute(sql).fetchdf()
+    ha, ra = pandas_canon_hash(sp_df)
+    hb, rb = pandas_canon_hash(du_df)
+    if ha == hb:
+        return None
+    # locate first diverging rendered row for the report
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        if x != y:
+            sp_k = {c: str(sp_df[c].dtype) for c in sorted(sp_df.columns)}
+            du_k = {c: str(du_df[c].dtype) for c in sorted(du_df.columns)}
+            return (f"pandas-hash row {i}\n  spark={x} dtypes={sp_k}"
+                    f"\n  duck ={y} dtypes={du_k}")
+    return (f"pandas-hash mismatch (rows {len(ra)} vs {len(rb)}; "
+            f"spark dtypes={ {c: str(sp_df[c].dtype) for c in sp_df.columns} }, "
+            f"duck dtypes={ {c: str(du_df[c].dtype) for c in du_df.columns} })")
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names_arg = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    def selected(name):
+        if not names_arg:
+            return True
+        for tok in names_arg.split(","):
+            if tok.endswith("*"):
+                if name.startswith(tok[:-1]):
+                    return True
+            elif name == tok:
+                return True
+        return False
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if not selected(name):
+            continue
         res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
         try:
-            sp = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-            sp_cols = [d[0] for d in sp.description]
-            sp_rows = sp.fetchall()
-            du = con.execute(oracle[name])
-            du_cols = [d[0] for d in du.description]
-            du_rows = du.fetchall()
+            err = exact_check(con, name, res_dir, oracle[name])
+            if err is None:
+                err = pandas_check(con, name, res_dir, oracle[name])
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        a, ac = canon(sp_rows, sp_cols)
-        b, bc = canon(du_rows, du_cols)
-        if ac != bc:
-            print(f"FAIL {name}: columns {ac} vs {bc}"); n_fail += 1; continue
-        if len(a) != len(b):
-            print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); n_fail += 1; continue
-        bad = None
-        for i, (ra, rb) in enumerate(zip(a, b)):
-            if not all(eq(x, y) for x, y in zip(ra, rb)):
-                bad = (i, ra, rb); break
-        if bad:
-            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
-            n_fail += 1
+            err = str(e)
+        if err:
+            print(f"FAIL {name}: {err}"); n_fail += 1
         else:
-            print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+            n = con.execute(f"SELECT count(*) FROM '{res_dir}/*.parquet'").fetchone()[0]
+            print(f"PASS {name} ({n} rows, exact+pandas-hash)"); n_pass += 1
     # rows-only queries (no oracle): just report row counts
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
-        if os.path.isdir(p) and d not in oracle:
+        if os.path.isdir(p) and d not in oracle and selected(d):
             try:
                 n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
                 print(f"ROWS {d}: {n}")
