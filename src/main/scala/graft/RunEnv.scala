@@ -21,10 +21,16 @@ import org.apache.spark.sql.Dataset
   * q10..q19/q100..). Bare-prefix matching surprised the dev loop —
   * "q9" silently ran q90-q99. */
 object NameFilter {
-  def selected(tokens: Option[Seq[String]], name: String): Boolean =
-    tokens.forall(_.exists { t =>
+  def selected(tokens: Option[Seq[String]], name: String): Boolean = {
+    // blank tokens are dropped, and an all-blank list means "no filter":
+    // `SPARK_GRAFT_ONLY= sbt ...` (set-but-empty, e.g. an unexpanded
+    // script variable) must run the full board, not silently zero
+    // queries
+    val ts = tokens.map(_.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+    ts.forall(_.exists { t =>
       if (t.endsWith("*")) name.startsWith(t.dropRight(1)) else name == t
     })
+  }
 }
 
 object RunTag {

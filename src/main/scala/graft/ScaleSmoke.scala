@@ -79,7 +79,9 @@ object ScaleSmoke {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // driver memory comes from the launching JVM (sbt -mem / SBT_OPTS)
+      // — setting spark.driver.memory here would be a silent no-op in
+      // local mode (the driver JVM is already running)
       .appName("graft-scale-smoke")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -94,12 +96,16 @@ object ScaleSmoke {
       json.append(s""""n_docs_10x":$n10,""")
 
       // ---- (a) the df cap engages on this corpus ----
-      val sh10 = dedup.Dedup.shinglesOf(docs10)
+      // cache before exploding: a non-outer explode over the uncached
+      // transform/array_distinct chain hits the InferFiltersFromGenerate
+      // re-evaluation trap documented in PERF.md (the q96 13x)
+      val sh10 = dedup.Dedup.shinglesOf(docs10).cache()
       val cap = dedup.Guards.shingleDfCap(spark)
       val hot = sh10.select(explode(col("shingles")).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
         .where(col("df") > cap)
       val hotShingles = hot.collect()
+      sh10.unpersist()
       assert(hotShingles.length >= 3,
         s"expected >=3 hot shingles beyond cap=$cap, got ${hotShingles.length}")
       assert(hotShingles.forall(_.getLong(1) > 20000L),

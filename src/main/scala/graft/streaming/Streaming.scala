@@ -201,21 +201,36 @@ object Streaming {
     * `run=<nonce>/batch=<id>` dir where no `_GRAFT_*` markers exist,
     * re-landing the same novel rows (duplicates) and orphaning the
     * half-written partition. Uses the Hadoop FS of the checkpoint path,
-    * so it works wherever the checkpoint lives (HDFS/S3A/local);
-    * `create(overwrite=false)` makes concurrent first-starts fail loudly
-    * rather than fork the namespace. */
+    * so it works wherever the checkpoint lives (HDFS/local). Publication
+    * is write-temp-then-rename — the file either exists fully written or
+    * not at all, so a reader can never observe a half-written id (a
+    * direct create-then-write would let a concurrent or crash-
+    * interrupted first start read an EMPTY id and fork the namespace).
+    * If the rename loses a race to another first start, the winner's id
+    * is re-read — both queries converge on one namespace. An empty or
+    * unreadable id file fails loudly rather than silently mapping every
+    * run to `run=`. */
   private[graft] def runIdFor(spark: SparkSession, checkpoint: String): String = {
     val path = new org.apache.hadoop.fs.Path(checkpoint, "graft-run-id")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) {
+    def read(): String = {
       val in = fs.open(path)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      val id = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    } else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      val out = fs.create(path, false)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
+      require(id.nonEmpty, s"empty run-id marker at $path — delete it " +
+        "(and the orphaned novelPath/run= partition, if any) to recover")
       id
+    }
+    if (fs.exists(path)) read()
+    else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint, s"graft-run-id.tmp.$id")
+      val out = fs.create(tmp, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      // rename(dst exists) returns false instead of clobbering: someone
+      // else won the race — use their id
+      if (fs.rename(tmp, path)) id
+      else { fs.delete(tmp, false); read() }
     }
   }
 

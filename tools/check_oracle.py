@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameFilter]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [names]
+
+`names` is comma-separated exact query names; a trailing `*` makes a
+token a prefix (mirrors graft.NameFilter).
 
 Two gates per query, BOTH must pass (the local gate must be a superset of
 the driver's):
@@ -17,11 +20,15 @@ the driver's):
              numerically equal, hash-divergent. The driver checks this
              class; so must we (round-7 q107 regression).
 
+Each side (the Spark result parquet and the oracle SQL) is materialized
+ONCE into a temp table; both gates read the materialization, so the
+expensive oracles (recursive CTEs, self-joins) execute once, not twice.
+
 Dev tool only — not part of the shipped library.
 """
 import sys, os, json, math, hashlib
 import duckdb
-import pandas as pd
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -44,32 +51,34 @@ def eq(a, b):
         return a == b
     return a == b
 
-def exact_check(con, name, res_dir, sql):
-    sp = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+def exact_check(con):
+    sp = con.execute("SELECT * FROM sp_res")
     sp_cols = [d[0] for d in sp.description]
     sp_rows = sp.fetchall()
-    du = con.execute(sql)
+    du = con.execute("SELECT * FROM du_res")
     du_cols = [d[0] for d in du.description]
     du_rows = du.fetchall()
     a, ac = canon(sp_rows, sp_cols)
     b, bc = canon(du_rows, du_cols)
     if ac != bc:
-        return f"columns {ac} vs {bc}"
+        return f"columns {ac} vs {bc}", len(a)
     if len(a) != len(b):
-        return f"rows {len(a)} vs {len(b)}"
+        return f"rows {len(a)} vs {len(b)}", len(a)
     for i, (ra, rb) in enumerate(zip(a, b)):
         if not all(eq(x, y) for x, y in zip(ra, rb)):
-            return f"row {i}\n  spark={ra}\n  duck ={rb}"
-    return None
+            return f"row {i}\n  spark={ra}\n  duck ={rb}", len(a)
+    return None, len(a)
 
 def render_cell(v):
     # Mirror a str()-rendering harness: dtype differences show up here
-    # (int64 47935 -> "47935", float64 -> "47935.0", HUGEINT-kept-object
-    # -> "47935"); bytes/lists normalized the way pandas str() shows them.
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    # (int64 47935 -> "47935", float64 -> "47935.0"). np.floating covers
+    # float32 (NOT a Python-float subclass: its NaN would render "nan",
+    # not "<NULL>") and keeps numpy-2 scalar reprs ("np.float64(...)")
+    # out of the hash.
+    if v is None:
         return "<NULL>"
-    if isinstance(v, float):
-        return repr(v)
+    if isinstance(v, (float, np.floating)):
+        return "<NULL>" if math.isnan(v) else repr(float(v))
     return str(v)
 
 def pandas_canon_hash(df):
@@ -83,9 +92,9 @@ def pandas_canon_hash(df):
         h.update(("\x1f".join(row) + "\x1e").encode())
     return h.hexdigest(), rendered
 
-def pandas_check(con, name, res_dir, sql):
-    sp_df = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
-    du_df = con.execute(sql).fetchdf()
+def pandas_check(con):
+    sp_df = con.execute("SELECT * FROM sp_res").fetchdf()
+    du_df = con.execute("SELECT * FROM du_res").fetchdf()
     ha, ra = pandas_canon_hash(sp_df)
     hb, rb = pandas_canon_hash(du_df)
     if ha == hb:
@@ -103,22 +112,19 @@ def pandas_check(con, name, res_dir, sql):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    names_arg = sys.argv[3] if len(sys.argv) > 3 else None
+    tokens = None
+    if len(sys.argv) > 3:
+        tokens = [t.strip() for t in sys.argv[3].split(",") if t.strip()] or None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     def selected(name):
-        if not names_arg:
+        if tokens is None:
             return True
-        for tok in names_arg.split(","):
-            if tok.endswith("*"):
-                if name.startswith(tok[:-1]):
-                    return True
-            elif name == tok:
-                return True
-        return False
+        return any(name.startswith(t[:-1]) if t.endswith("*") else name == t
+                   for t in tokens)
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if not selected(name):
@@ -127,16 +133,18 @@ def main():
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
         try:
-            err = exact_check(con, name, res_dir, oracle[name])
+            con.execute("CREATE OR REPLACE TEMP TABLE sp_res AS "
+                        f"SELECT * FROM '{res_dir}/*.parquet'")
+            con.execute(f"CREATE OR REPLACE TEMP TABLE du_res AS {oracle[name]}")
+            err, n_rows = exact_check(con)
             if err is None:
-                err = pandas_check(con, name, res_dir, oracle[name])
+                err = pandas_check(con)
         except Exception as e:
-            err = str(e)
+            err, n_rows = str(e), 0
         if err:
             print(f"FAIL {name}: {err}"); n_fail += 1
         else:
-            n = con.execute(f"SELECT count(*) FROM '{res_dir}/*.parquet'").fetchone()[0]
-            print(f"PASS {name} ({n} rows, exact+pandas-hash)"); n_pass += 1
+            print(f"PASS {name} ({n_rows} rows, exact+pandas-hash)"); n_pass += 1
     # rows-only queries (no oracle): just report row counts
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
