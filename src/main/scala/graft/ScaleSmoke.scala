@@ -140,6 +140,42 @@ object ScaleSmoke {
       timed("q95_leakage_split_10x", json) { mat(dedup.Dedup.q95LeakageSplit(spark, dir10)) }
       Caches.drain()
 
+      // ---- incremental LSH ingest: per-batch cost stays flat while ----
+      // ---- the store grows (the O(batch + collisions) claim)       ----
+      // batch b = rep b of every base doc (pmod(doc_id,10)): batch 0 =
+      // originals, batch 1 = their exact copies (all should drop as
+      // near-dups of the now-historical batch 0), batches 2..9 novel
+      val ingestRoot = s"$outRoot/ingest"
+      val fs = new org.apache.hadoop.fs.Path(ingestRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ingestRoot), true)
+      val batchTimes = (0 until 10).map { b =>
+        val batchDocs = docs10.where(pmod(col("doc_id"), lit(10)) === b)
+          .select(col("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        dedup.Dedup.lshIngestBatch(spark, batchDocs, b.toLong,
+          s"$ingestRoot/sigs", s"$ingestRoot/bands", s"$ingestRoot/novel")
+        (System.nanoTime() - t0) / 1e9
+      }
+      json.append(s""""lsh_ingest_batches":[${batchTimes.map(t => f"$t%.2f").mkString(",")}],""")
+      System.err.println(s"[scale-smoke] lsh ingest per-batch: ${batchTimes.map(t => f"$t%.2f").mkString(", ")} s")
+      // flatness: the last batch verifies against a 9x-larger store than
+      // batch 1 did; its cost must stay in the same band (collisions,
+      // not store size, drive the work). Median of the steady middle as
+      // the yardstick; 2.5x + fixed slack absorbs the environment band.
+      val mid = batchTimes.slice(2, 6).sorted.apply(1)
+      assert(batchTimes.last <= math.max(2.5 * mid, mid + 5.0),
+        f"last ingest batch ${batchTimes.last}%.2f s vs steady $mid%.2f s — per-batch cost is growing with store size")
+      // cross-batch drops actually happened: batch 1 (exact copies of
+      // batch 0) publishes almost nothing; batch 5 (disjoint vocab) is
+      // almost fully novel
+      def novelOf(b: Int): Long =
+        spark.read.parquet(s"$ingestRoot/novel/batch=$b").count()
+      assert(novelOf(1) < 500L,
+        s"batch 1 published ${novelOf(1)} of 5000 exact-copy docs — cross-batch near-dup drop not engaging")
+      assert(novelOf(5) > 4500L,
+        s"batch 5 published only ${novelOf(5)} of its 5000 novel docs")
+
       // ---- (b) deep component: star converges, min-label trips loudly ----
       val path = spark.range(0, 3000)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
