@@ -705,6 +705,102 @@ object Dedup {
       "coalesce(g.text_dedup, '') AS text_dedup " +
       "FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id"
 
+  /** Sliding-window length for unaligned repeated-substring detection. */
+  val SpanW = 10
+
+  /** Unaligned repeated-substring spans — the sub-document dedup pass of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022; suffix-array formulation there, independently
+    * re-expressed here as a sliding-window dataflow): every 10-token
+    * window at EVERY stride-1 offset is hashed; a window whose text
+    * occurs >= 2 times anywhere in the corpus — any document, any
+    * alignment, including within-document repeats — marks its 10 token
+    * positions as duplicated; per document, overlapping marked windows
+    * merge into maximal spans (classic island detection: a window
+    * starting past the running max end opens a new span). Output per doc
+    * (all integers, hash-exact cross-engine): token count, merged span
+    * count, total duplicated tokens — the strip map that whole-doc
+    * (q29/q78) and ALIGNED-chunk (q80) dedup structurally cannot see,
+    * because a copied passage rarely lands on a 10-token chunk boundary.
+    * Reference analogue: the last-wins dedup (task.ts:97-100) is the
+    * document-level ancestor of this sub-document pass.
+    *
+    * Scale shape: stride-1 windows are LINEAR in corpus tokens, and
+    * there is NO pair join anywhere — duplication is decided by a COUNT
+    * per window hash, so a boilerplate window shared by a million
+    * documents costs one aggregated row, not 10^12 pairs (contrast
+    * q30's guarded quadratic verifier). Two exchanges total: one on the
+    * 8-byte window hash (a COUNT window over the hash partition marks
+    * every duplicated instance in place — the q80 first-occurrence
+    * pattern; a groupBy + join-back would re-explode the windows and
+    * shuffle them twice, measured ~3x slower), and one per-doc window
+    * for the span merge. Spark partitions on xxhash64(window) while the
+    * oracle groups by window TEXT — identical up to a 2^-64 collision
+    * (the q30/q80 policy). */
+  def dupSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanW
+    // cached: read twice (window generation + final token-count join);
+    // posexplode_outer (not posexplode) keeps InferFiltersFromGenerate
+    // from pushing a size() filter that would re-evaluate the window
+    // array per row (the q96 trap)
+    val toks = graft.Caches.register(docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .cache())
+    val wins = toks
+      .select(col("doc_id"),
+        posexplode_outer(transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+      .where(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("c") >= 2)
+      .withColumn("pme", max(col("pos") + k).over(wPrev))
+      .withColumn("ns",
+        when(col("pme").isNull || col("pos") > col("pme"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q110DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOf(documents(spark, dir))
+
+  val q110Sql: String =
+    "WITH t2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
+      "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents " +
+      s"WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= $SpanW), " +
+      s"idx AS (SELECT doc_id, ws, n, unnest(generate_series(1, n - ${SpanW - 1})) AS i FROM t2), " +
+      s"wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+${SpanW - 1}], ' ') AS w FROM idx), " +
+      "dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2), " +
+      "m AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)), " +
+      s"sp AS (SELECT doc_id, pos, CASE WHEN max(pos + $SpanW) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+      s"OR pos > max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ns FROM m), " +
+      "sp2 AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM sp), " +
+      s"spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + $SpanW AS e FROM sp2 GROUP BY doc_id, sid), " +
+      "perdoc AS (SELECT doc_id, count(*) AS nds, sum(e - s) AS dt FROM spans GROUP BY doc_id) " +
+      "SELECT t2.doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(nds, 0) AS BIGINT) AS n_dup_spans, " +
+      "CAST(coalesce(dt, 0) AS BIGINT) AS dup_tokens " +
+      "FROM t2 LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"
+
   private val K = 64  // minhash signature length
   private val B = 16  // LSH bands
   private val R = 4   // rows per band (K = B*R)
@@ -970,6 +1066,7 @@ object Dedup {
     "q77_dedup_keeplist" -> q77KeepList _,
     "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
     "q80_chunk_dedup" -> q80ChunkDedup _,
+    "q110_dup_spans" -> q110DupSpans _,
     "q95_leakage_split" -> q95LeakageSplit _,
     "q96_heavy_shingles" -> q96HeavyShingles _,
     "q104_cluster_sizes" -> q104ClusterSizes _
@@ -981,6 +1078,7 @@ object Dedup {
     "q65_dup_clusters" -> q65Sql,
     "q77_dedup_keeplist" -> q77Sql,
     "q80_chunk_dedup" -> q80Sql,
+    "q110_dup_spans" -> q110Sql,
     "q95_leakage_split" -> q95Sql,
     "q96_heavy_shingles" -> q96Sql,
     "q104_cluster_sizes" -> q104Sql

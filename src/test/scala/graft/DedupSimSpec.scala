@@ -405,6 +405,36 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneShot == novel, s"one-shot $oneShot vs incremental $novel")
   }
 
+  test("dup spans: unaligned cross-doc copies and within-doc repeats, hand-computed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vocab engineered so every window is unique UNLESS planted
+    def tok(tag: String, n: Int): Seq[String] = (0 until n).map(i => s"$tag$i")
+    val a = tok("a", 40)                       // doc 1: source text
+    val junk = tok("j", 15)
+    val b = junk ++ a.slice(10, 30)            // doc 2: 20-token copy of A at offset 15 (unaligned)
+    val x = tok("x", 12)
+    val c = x ++ x                             // doc 3: whole-text within-doc repeat
+    val d = tok("d", 25)                       // doc 4: clean
+    val docs = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, c.mkString(" ")), (4L, d.mkString(" "))).toDF("doc_id", "text")
+    val r = dedup.Dedup.dupSpansOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: shared run = positions 10..29; windows fully inside start at
+    // 10..20 -> one merged span [10, 30) = 20 duplicated tokens
+    assert(r(1L) == ((40L, 1L, 20L)), s"doc1: ${r(1L)}")
+    // doc 2: same 20-token run at 15..34 -> span [15, 35)
+    assert(r(2L) == ((35L, 1L, 20L)), s"doc2: ${r(2L)}")
+    // doc 3: X++X, |X|=12: window at p equals window at p+12 for
+    // p = 0..2 (both fully inside) -> marked at 0,1,2,12,13,14; spans
+    // [0,12) and [12,24) touch -> ONE span covering all 24 tokens
+    assert(r(3L) == ((24L, 1L, 24L)), s"doc3: ${r(3L)}")
+    // doc 4: nothing repeats
+    assert(r(4L) == ((25L, 0L, 0L)), s"doc4: ${r(4L)}")
+    graft.Caches.drain()
+  }
+
   test("incremental LSH ingest: crash between _GRAFT_LANDED and _GRAFT_COMMITTED replays idempotently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
