@@ -143,8 +143,10 @@ object ScaleSmoke {
       // ---- incremental LSH ingest: per-batch cost stays flat while ----
       // ---- the store grows (the O(batch + collisions) claim)       ----
       // batch b = rep b of every base doc (pmod(doc_id,10)): batch 0 =
-      // originals, batch 1 = their exact copies (all should drop as
-      // near-dups of the now-historical batch 0), batches 2..9 novel
+      // originals, batch 1 = same base text but WITHOUT the boilerplate
+      // tail (rep-0 ids are even, rep-1 odd) — ~0.9-Jaccard near-dups of
+      // the now-historical batch 0, so they should drop; batches 2..9
+      // have disjoint vocab (novel)
       val ingestRoot = s"$outRoot/ingest"
       val fs = new org.apache.hadoop.fs.Path(ingestRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -161,18 +163,19 @@ object ScaleSmoke {
       System.err.println(s"[scale-smoke] lsh ingest per-batch: ${batchTimes.map(t => f"$t%.2f").mkString(", ")} s")
       // flatness: the last batch verifies against a 9x-larger store than
       // batch 1 did; its cost must stay in the same band (collisions,
-      // not store size, drive the work). Median of the steady middle as
-      // the yardstick; 2.5x + fixed slack absorbs the environment band.
-      val mid = batchTimes.slice(2, 6).sorted.apply(1)
+      // not store size, drive the work). Yardstick = median of ALL
+      // steady batches 2..8; 2.5x + fixed slack absorbs the environment
+      // band.
+      val mid = batchTimes.slice(2, 9).sorted.apply(3)
       assert(batchTimes.last <= math.max(2.5 * mid, mid + 5.0),
         f"last ingest batch ${batchTimes.last}%.2f s vs steady $mid%.2f s — per-batch cost is growing with store size")
-      // cross-batch drops actually happened: batch 1 (exact copies of
-      // batch 0) publishes almost nothing; batch 5 (disjoint vocab) is
-      // almost fully novel
+      // cross-batch drops actually happened: batch 1 (~0.9-Jaccard
+      // near-dups of batch 0) publishes almost nothing; batch 5
+      // (disjoint vocab) is almost fully novel
       def novelOf(b: Int): Long =
         spark.read.parquet(s"$ingestRoot/novel/batch=$b").count()
       assert(novelOf(1) < 500L,
-        s"batch 1 published ${novelOf(1)} of 5000 exact-copy docs — cross-batch near-dup drop not engaging")
+        s"batch 1 published ${novelOf(1)} of 5000 near-dup docs — cross-batch near-dup drop not engaging")
       assert(novelOf(5) > 4500L,
         s"batch 5 published only ${novelOf(5)} of its 5000 novel docs")
 

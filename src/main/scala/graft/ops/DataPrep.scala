@@ -511,6 +511,50 @@ object DataPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** q111: temperature mixture reweighting — the mT5/multilingual-Pile
+    * allocation step that sits UPSTREAM of q70 (rates) and q107
+    * (budgets): given the corpus's natural per-language character mass
+    * p_i, a temperature α < 1 flattens the sampling distribution toward
+    * the tail languages, q_i = p_i^α / Σ_j p_j^α (α = 0.3, the mT5
+    * setting). The total corpus mass cancels algebraically
+    * (q_i = chars_i^α / Σ chars_j^α), so the plan needs no second
+    * normalization pass: one partial-agg groupBy(lang) down to |langs|
+    * rows, then the 1-row Σ statistics attach by broadcast cross-join
+    * (the q72 idiom). `oversample = q/p` (rounded) is the epochs-of-
+    * its-natural-share factor a trainer applies per language.
+    *
+    * At 100 TB the groupBy is one map-side-combined shuffle emitting
+    * |langs| rows; everything after operates on broadcast scalars.
+    * Doubles: pow/ln values are irrational-ish, so round(.,6) renders
+    * identically cross-engine (the PERF.md round-tie policy — ties at
+    * the 6th decimal have measure ~0 for these, unlike prices). */
+  def q111TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val Alpha = 0.3
+    val byLang = documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val stats = byLang.agg(
+      sum(col("chars")).as("total_chars"),
+      sum(pow(col("chars").cast("double"), Alpha)).as("spow"))
+    byLang.crossJoin(broadcast(stats))
+      .select(
+        col("lang"), col("n_docs"), col("chars"),
+        round(col("chars").cast("double") / col("total_chars").cast("double"), 6).as("p"),
+        round(pow(col("chars").cast("double"), Alpha) / col("spow"), 6).as("q"),
+        round(pow(col("chars").cast("double"), Alpha) / col("spow") /
+          (col("chars").cast("double") / col("total_chars").cast("double")), 6).as("oversample"))
+      .orderBy(col("lang"))
+  }
+
+  val q111Sql: String =
+    "WITH by_lang AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang), " +
+      "stats AS (SELECT SUM(chars) AS total_chars, SUM(pow(CAST(chars AS DOUBLE), 0.3)) AS spow FROM by_lang) " +
+      "SELECT lang, n_docs, chars, " +
+      "round(CAST(chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 6) AS p, " +
+      "round(pow(CAST(chars AS DOUBLE), 0.3) / spow, 6) AS q, " +
+      "round(pow(CAST(chars AS DOUBLE), 0.3) / spow / (CAST(chars AS DOUBLE) / CAST(total_chars AS DOUBLE)), 6) AS oversample " +
+      "FROM by_lang CROSS JOIN stats ORDER BY lang"
+
   val q107Sql: String =
     "SELECT doc_id, lang, n_chars, cum_chars FROM (" +
       "SELECT doc_id, lang, n_chars, " +
@@ -525,6 +569,7 @@ object DataPrep {
     "q100_source_quota" -> q100SourceQuota _,
     "q103_weighted_sample" -> q103WeightedSample _,
     "q107_budget_mix" -> q107BudgetMix _,
+    "q111_temperature_mix" -> q111TemperatureMix _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -540,6 +585,7 @@ object DataPrep {
     "q100_source_quota" -> q100Sql,
     "q103_weighted_sample" -> q103Sql,
     "q107_budget_mix" -> q107Sql,
+    "q111_temperature_mix" -> q111Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,

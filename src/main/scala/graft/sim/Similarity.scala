@@ -341,8 +341,82 @@ object Similarity {
     kept.select(col("doc_id").as("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** q112: greedy farthest-point (k-center) diversity selection — the
+    * coreset-style curation op that picks the K most mutually-distant
+    * embeddings (Gonzalez 1985 2-approximation of the k-center
+    * objective; the "maximize coverage, minimize redundancy" subset a
+    * data-curation pass wants where SemDeDup only REMOVES redundancy).
+    * Deterministic: seed = min vec_id, then K-1 rounds of
+    * argmax-of-min-cosine-distance with (distance DESC, vec_id) total
+    * order; no RNG anywhere, so the DuckDB recursive-CTE oracle replays
+    * the exact selection.
+    *
+    * Scale shape: each round is ONE map-only pass — the selected
+    * centers ride into the plan as broadcast-sized array literals, the
+    * per-row work is `least()` over native codegen'd vec_dot terms, and
+    * the argmax is a TakeOrdered(1). K driver-coordinated rounds total
+    * (like any sequential greedy fit — the q98 k-means precedent), zero
+    * shuffles, O(K²·n) dot products. Distances round(.,6) per the
+    * round-tie policy so the argmax compares identical values on both
+    * engines (cosine values are irrational-ish; the fold order of
+    * vec_dot is mirrored by the oracle's list_reduce). */
+  def q112DiversityKCenter(spark: SparkSession, dir: String): DataFrame = {
+    val K = 16
+    val vs = vectors(spark, dir).cache()
+    try {
+      val seed = vs.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("norm")).head()
+      // (vec_id, vector literal, norm, radius-at-selection)
+      var centers = Vector[(Long, Seq[Double], Double, Option[Double])](
+        (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2), None))
+      while (centers.size < K) {
+        val mindist = centers
+          .map { case (_, cv, cn, _) =>
+            round(lit(1.0) - cosine(col("v"), typedLit(cv), col("norm"), lit(cn)), 6) }
+          .reduce(least(_, _))
+        val next = vs
+          .where(!col("vec_id").isInCollection(centers.map(_._1)))
+          .select(col("vec_id"), col("v"), col("norm"), mindist.as("md"))
+          .orderBy(col("md").desc, col("vec_id").asc)
+          .limit(1).head()
+        centers = centers :+
+          ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2), Some(next.getDouble(3))))
+      }
+      import org.apache.spark.sql.types._
+      val rows = centers.zipWithIndex.map { case ((id, _, _, r), i) =>
+        org.apache.spark.sql.Row(i + 1L, id, r.map(Double.box).orNull)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("rank", LongType, nullable = false),
+          StructField("vec_id", LongType, nullable = false),
+          StructField("radius", DoubleType, nullable = true))))
+        .orderBy(col("rank"))
+    } finally { vs.unpersist(); () }
+  }
+
+  val q112Sql: String = {
+    val dxc = sqlDot("x.v", "c.v")
+    "WITH RECURSIVE en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      s"${sqlNorm("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings), " +
+      "sel(rank, ids, radius) AS (" +
+      "SELECT 1, [(SELECT min(vec_id) FROM en)], CAST(NULL AS DOUBLE) " +
+      "UNION ALL " +
+      "SELECT sel.rank + 1, list_append(sel.ids, nxt.nv), nxt.nd " +
+      "FROM sel, LATERAL (" +
+      s"SELECT x.vec_id AS nv, min(round(1.0 - $dxc / (x.nrm * c.nrm), 6)) AS nd " +
+      "FROM en x, en c " +
+      "WHERE list_contains(sel.ids, c.vec_id) AND NOT list_contains(sel.ids, x.vec_id) " +
+      "GROUP BY x.vec_id ORDER BY nd DESC, x.vec_id LIMIT 1) nxt " +
+      "WHERE sel.rank < 16) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, ids[rank] AS vec_id, radius " +
+      "FROM sel ORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_semantic_prune" -> q98SemanticPrune _,
+    "q112_diversity_kcenter" -> q112DiversityKCenter _,
     "q33_cosine_topk" -> q33CosineTopk _,
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,
@@ -353,6 +427,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q112_diversity_kcenter" -> q112Sql,
     "q33_cosine_topk" -> q33Sql,
     "q34_embedding_neardup" -> q34Sql,
     "q71_fuzzy_match" -> q71Sql,

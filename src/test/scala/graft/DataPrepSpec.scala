@@ -243,6 +243,34 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("temperature mix: shares sum to 1, alpha<1 flattens toward tail languages, values match hand recompute") {
+    val rows = ops.DataPrep.q111TemperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length >= 2, "need at least two languages for the flattening property")
+    // both distributions are distributions (6-decimal rounding slack)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // alpha = 0.3 flattens: the head language is downweighted (q < p),
+    // the tail language upweighted (q > p) — the whole point of the op
+    val head = rows.maxBy(_._3)
+    val tail = rows.minBy(_._3)
+    assert(head._5 < head._4, s"head ${head._1}: q ${head._5} !< p ${head._4}")
+    assert(tail._5 > tail._4, s"tail ${tail._1}: q ${tail._5} !> p ${tail._4}")
+    assert(head._6 < 1.0 && tail._6 > 1.0)
+    // hand recompute from the raw masses
+    val total = rows.map(_._3).sum.toDouble
+    val spow = rows.map(r => math.pow(r._3.toDouble, 0.3)).sum
+    rows.foreach { r =>
+      assert(math.abs(r._4 - r._3 / total) < 1e-6, s"${r._1} p")
+      assert(math.abs(r._5 - math.pow(r._3.toDouble, 0.3) / spow) < 1e-6, s"${r._1} q")
+      assert(math.abs(r._6 - (math.pow(r._3.toDouble, 0.3) / spow) / (r._3 / total)) < 1e-6, s"${r._1} oversample")
+    }
+    // plan: the stats attach is a broadcast nested-loop (1-row build) —
+    // no shuffle beyond the two tiny partial aggs
+    val plan = ops.DataPrep.q111TemperatureMix(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("epoch shuffle: shards are balanced, positions contiguous, layout salt-deterministic") {
     val rows = ops.DataPrep.q88EpochShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

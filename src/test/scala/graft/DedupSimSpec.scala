@@ -512,4 +512,49 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("s") === s0).count()
     assert(df0 == expected)
   }
+
+  test("k-center diversity selection matches a local greedy recompute; radii are the non-increasing coverage bound") {
+    import org.apache.spark.sql.functions.col
+    val sel = sim.Similarity.q112DiversityKCenter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(sel.length == 16 && sel.map(_._2).distinct.length == 16)
+    assert(sel.head._3.isEmpty, "seed has no radius")
+    // radii non-increasing: each pick covers the then-farthest point
+    val radii = sel.flatMap(_._3)
+    assert(radii.sliding(2).forall { case Array(a, b) => b <= a case _ => true })
+    // exact local recompute of the greedy trajectory: same fold order as
+    // vec_dot (left-to-right from 0.0), same round-6 argmax comparisons
+    val vecs = sim.Similarity.vectors(spark, dir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val nrm = vecs.map { case (k, v) => k -> math.sqrt(dot(v, v)) }
+    def d(i: Long, j: Long): Double =
+      BigDecimal(1.0 - dot(vecs(i), vecs(j)) / (nrm(i) * nrm(j)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var centers = Vector(vecs.keys.min)
+    var expRadii = Vector.empty[Double]
+    while (centers.size < 16) {
+      val cands: Seq[(Double, Long)] = vecs.keys.toSeq
+        .filterNot(k => centers.contains(k))
+        .map(x => (centers.map(c => d(x, c)).min, x))
+      val best = cands.reduce { (a, b) =>
+        if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a }
+      centers = centers :+ best._2
+      expRadii = expRadii :+ best._1
+    }
+    assert(sel.map(_._2).toSeq == centers, s"selection diverged: ${sel.map(_._2).toSeq} vs $centers")
+    assert(radii.toSeq == expRadii, s"radii diverged")
+    // 2-approx coverage property: every unselected point lies within the
+    // final radius-sequence minimum of SOME center... the guarantee the
+    // NEXT pick's distance can't exceed the last recorded radius
+    val maxUncovered = vecs.keys.filterNot(centers.contains)
+      .map(x => centers.map(c => d(x, c)).min).max
+    assert(maxUncovered <= radii.last,
+      s"uncovered point at $maxUncovered beyond last radius ${radii.last}")
+  }
 }
