@@ -176,6 +176,60 @@ object TimeSeries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q89's run-compress + close over an arbitrary (user_id, ts, event_id,
+    * event_type) input — shared by the batch build and q113's
+    * incremental apply. Unordered output. */
+  private def scd2Of(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
+  /** q113: incremental SCD2 apply — merge a CDC delta (events at/after a
+    * cutoff) into an existing SCD2 history (built below the cutoff)
+    * WITHOUT touching closed rows: the open row of each entity becomes a
+    * seed row (its valid_from/type, version base carried alongside,
+    * event_id = -1 so it sorts before any real event at its timestamp),
+    * the run-compression windows rerun over seeds + delta ONLY, and the
+    * recomputed segment's versions continue each entity's counter via a
+    * partition-max of the carried base (same shuffle key as the runs
+    * window — no extra exchange). Run compression is associative, so the
+    * result equals the batch rebuild over ALL events EXACTLY — which is
+    * the oracle: q113's DuckDB SQL is q89's verbatim. This is the
+    * nightly-lakehouse maintenance shape: cost scales with
+    * |delta| + |active entities|, never with closed-history depth.
+    * (Here the "existing history" is itself derived from the same events
+    * table below the cutoff so the query is self-contained; a deployment
+    * would read it from storage.) */
+  def q113Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val hist = scd2Of(ev.filter(col("ts") < cutoff))
+    val closed = hist.filter(col("valid_to").isNotNull)
+    val seeds = hist.filter(col("valid_to").isNull)
+      .select(col("user_id"), col("valid_from").as("ts"),
+        lit(-1L).as("event_id"), col("event_type"),
+        (col("version") - 1L).as("vbase"))
+    val delta = ev.filter(col("ts") >= cutoff)
+      .withColumn("vbase", lit(null).cast("long"))
+    val wu = Window.partitionBy(col("user_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val reopened = seeds.unionByName(delta)
+      .withColumn("base", coalesce(max(col("vbase")).over(wu), lit(0L)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long") + col("base"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+    closed.unionByName(reopened).orderBy(col("user_id"), col("version"))
+  }
+
   val q89Sql: String =
     "WITH s AS (SELECT user_id, ts, event_id, event_type, " +
       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
@@ -341,7 +395,8 @@ object TimeSeries {
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
     "q90_retention" -> q90Retention _,
-    "q93_pit_join" -> q93PitJoin _
+    "q93_pit_join" -> q93PitJoin _,
+    "q113_scd2_apply" -> q113Scd2Apply _
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +409,9 @@ object TimeSeries {
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
     "q90_retention" -> q90Sql,
-    "q93_pit_join" -> q93Sql
+    "q93_pit_join" -> q93Sql,
+    // the incremental apply must equal the batch rebuild over ALL
+    // events — q89's SQL verbatim IS the oracle
+    "q113_scd2_apply" -> q89Sql
   )
 }
