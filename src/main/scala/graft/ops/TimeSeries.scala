@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -163,27 +163,25 @@ object TimeSeries {
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
   }
 
-  def q89Scd2(spark: SparkSession, dir: String): DataFrame = {
-    val starts = scd2Starts(spark, dir)
+  def q89Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      .orderBy(col("user_id"), col("version"))
+
+  /** The run-compress + close chain over a (user_id, ts, event_id,
+    * event_type [, extra]) input — THE single copy of the SCD2 boundary
+    * predicate and (ts, event_id) tie-break, shared by the batch build
+    * (q89), the incremental apply (q113), and kept in lockstep with
+    * q89Sql (which is also q113's oracle). `base` offsets each entity's
+    * version counter (q113 passes the carried open-row version base;
+    * the batch build starts at 0). Unordered output. */
+  private def scd2Of(ev: DataFrame, base: Column = lit(0L)): DataFrame = {
     // lead/row_number over the FILTERED rows: the next run start closes
     // this run's interval
-    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    starts
-      .withColumn("version", row_number().over(w2).cast("long"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
-      .select(col("user_id"), col("version"), col("event_type"),
-        col("ts").as("valid_from"), col("valid_to"))
-      .orderBy(col("user_id"), col("version"))
-  }
-
-  /** q89's run-compress + close over an arbitrary (user_id, ts, event_id,
-    * event_type) input — shared by the batch build and q113's
-    * incremental apply. Unordered output. */
-  private def scd2Of(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("version", row_number().over(w).cast("long") + base)
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("version"), col("event_type"),
         col("ts").as("valid_from"), col("valid_to"))
@@ -209,7 +207,10 @@ object TimeSeries {
     val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
     val ev = events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val hist = scd2Of(ev.filter(col("ts") < cutoff))
+    // cached: `closed` and `seeds` both read the pre-cutoff history —
+    // one run-compression pass, not two. Registered for harness-side
+    // unpersist (graft.Caches).
+    val hist = graft.Caches.register(scd2Of(ev.filter(col("ts") < cutoff)).cache())
     val closed = hist.filter(col("valid_to").isNotNull)
     val seeds = hist.filter(col("valid_to").isNull)
       .select(col("user_id"), col("valid_from").as("ts"),
@@ -217,16 +218,13 @@ object TimeSeries {
         (col("version") - 1L).as("vbase"))
     val delta = ev.filter(col("ts") >= cutoff)
       .withColumn("vbase", lit(null).cast("long"))
+    // version continuation: partition-max of the carried base rides the
+    // same user_id shuffle as scd2Of's windows — no extra exchange
     val wu = Window.partitionBy(col("user_id"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val reopened = seeds.unionByName(delta)
-      .withColumn("base", coalesce(max(col("vbase")).over(wu), lit(0L)))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      .withColumn("version", row_number().over(w).cast("long") + col("base"))
-      .withColumn("valid_to", lead(col("ts"), 1).over(w))
-      .select(col("user_id"), col("version"), col("event_type"),
-        col("ts").as("valid_from"), col("valid_to"))
+    val reopened = scd2Of(
+      seeds.unionByName(delta)
+        .withColumn("base", coalesce(max(col("vbase")).over(wu), lit(0L))),
+      base = col("base"))
     closed.unionByName(reopened).orderBy(col("user_id"), col("version"))
   }
 

@@ -369,7 +369,8 @@ object Similarity {
       // (vec_id, vector literal, norm, radius-at-selection)
       var centers = Vector[(Long, Seq[Double], Double, Option[Double])](
         (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2), None))
-      while (centers.size < K) {
+      var exhausted = false
+      while (centers.size < K && !exhausted) {
         val mindist = centers
           .map { case (_, cv, cn, _) =>
             round(lit(1.0) - cosine(col("v"), typedLit(cv), col("norm"), lit(cn)), 6) }
@@ -378,9 +379,15 @@ object Similarity {
           .where(!col("vec_id").isInCollection(centers.map(_._1)))
           .select(col("vec_id"), col("v"), col("norm"), mindist.as("md"))
           .orderBy(col("md").desc, col("vec_id").asc)
-          .limit(1).head()
-        centers = centers :+
-          ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2), Some(next.getDouble(3))))
+          .limit(1).collect()
+        // corpus smaller than K: stop with n picks, as the oracle's
+        // recursive CTE does when its LATERAL argmax finds no candidate
+        if (next.isEmpty) exhausted = true
+        else {
+          val n = next.head
+          centers = centers :+
+            ((n.getLong(0), n.getSeq[Double](1), n.getDouble(2), Some(n.getDouble(3))))
+        }
       }
       import org.apache.spark.sql.types._
       val rows = centers.zipWithIndex.map { case ((id, _, _, r), i) =>
