@@ -582,6 +582,55 @@ object Dedup {
       "(SELECT cluster_id, count(*) AS size FROM clus GROUP BY cluster_id) " +
       "GROUP BY size ORDER BY size"
 
+  /** q115: quality-aware keep-list — q77's contract with the keeper
+    * CHOSEN, not defaulted: per duplicate cluster keep the member with
+    * the highest q26 quality score (ties → min doc_id), so dedup
+    * preserves the best-written copy of each duplicated passage instead
+    * of whichever crawl happened to get the smallest id. The standard
+    * curation refinement once a quality model exists (same motivation
+    * as "keep the longest/cleanest version" rules in web-corpus
+    * pipelines); composes unchanged with q78's LSH feed or q114's
+    * classifier score in place of q26.
+    *
+    * Plan shape: the q65/q77 cluster machinery unchanged; quality is
+    * computed ONLY for clustered docs (the join prunes the corpus scan
+    * to doc_id+text before the score projection); the keeper argmax is
+    * a struct-max agg on the small cluster table; the corpus-wide
+    * output joins on doc_id/cluster_id against BROADCAST keeper rows.
+    * Determinism: the quality double is bit-identical cross-engine (per
+    * q26 — exact-input IEEE ops, no rounding), so the DESC ordering and
+    * the doc_id tiebreak replay exactly in the DuckDB oracle. */
+  def q115QualityKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val clusters = minLabelClusters(
+      jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .toDF("cv", "cluster_id")
+    val qual = docs.select(col("doc_id").as("qd"),
+      graft.text.TextAnalysis.qualityScoreCol.as("qs"))
+    // max(struct(qs, -doc_id)) = highest quality, then smallest doc_id
+    val keeper = clusters.join(qual, col("cv") === col("qd"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("qs"), (-col("cv")).as("nid"))).as("m"))
+      .select(col("cluster_id").as("kc"), (-col("m.nid")).as("keep_id"))
+    docs.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("cv"), "left")
+      .join(broadcast(keeper), col("cluster_id") === col("kc"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    s"WITH RECURSIVE $clusterCtes, " +
+      s"qual AS (SELECT doc_id, ${graft.text.TextAnalysis.qualityScoreSql} AS qs FROM documents), " +
+      "krank AS (SELECT c.cluster_id, c.doc_id, " +
+      "row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.qs DESC, c.doc_id) AS rn " +
+      "FROM clus c JOIN qual q USING (doc_id)), " +
+      "keeper AS (SELECT cluster_id, doc_id AS keep_id FROM krank WHERE rn = 1) " +
+      "SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id " +
+      "FROM documents d LEFT JOIN clus c USING (doc_id) " +
+      "LEFT JOIN keeper k ON c.cluster_id = k.cluster_id " +
+      "ORDER BY d.doc_id"
+
   /** Corpus-wide heavy-hitter shingles: the top-50 word 3-grams by
     * document frequency — the boilerplate detector (cookie banners,
     * license headers, navigation chrome) that feeds stop-shingle lists
@@ -1067,6 +1116,7 @@ object Dedup {
     "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
     "q80_chunk_dedup" -> q80ChunkDedup _,
     "q110_dup_spans" -> q110DupSpans _,
+    "q115_quality_keeplist" -> q115QualityKeepList _,
     "q95_leakage_split" -> q95LeakageSplit _,
     "q96_heavy_shingles" -> q96HeavyShingles _,
     "q104_cluster_sizes" -> q104ClusterSizes _
@@ -1079,6 +1129,7 @@ object Dedup {
     "q77_dedup_keeplist" -> q77Sql,
     "q80_chunk_dedup" -> q80Sql,
     "q110_dup_spans" -> q110Sql,
+    "q115_quality_keeplist" -> q115Sql,
     "q95_leakage_split" -> q95Sql,
     "q96_heavy_shingles" -> q96Sql,
     "q104_cluster_sizes" -> q104Sql

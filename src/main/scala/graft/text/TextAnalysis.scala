@@ -60,6 +60,26 @@ object TextAnalysis {
   /** Quality scoring: token count, average token length, stopword ratio,
     * and a composite score — the usual cheap pre-filters before expensive
     * dedup/embedding stages in a data pipeline. */
+  /** The q26 quality score as a reusable (Column, SQL) pair — shared by
+    * q26 and the q115 quality-aware keep-list so the two can never
+    * silently diverge on what "quality" means. Bit-deterministic
+    * cross-engine: per-row IEEE divisions/products on exact integer
+    * inputs, no rounding needed (see the q26 comment below). NULL only
+    * for zero-token docs (none exist in any fixture, and the q115
+    * cluster universe guarantees >= 3 tokens). */
+  private[graft] def qualityScoreCol: Column = {
+    val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val stopRatio = hits(enPat).cast("double") / nullif(nTokens, lit(0L)).cast("double")
+    least(nTokens.cast("double") / lit(200.0), lit(1.0)) * (lit(1.0) - stopRatio)
+  }
+
+  private[graft] val qualityScoreSql: String = {
+    val nTok = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    val stop = s"CAST(len(regexp_extract_all(text, '$enPat')) AS BIGINT)"
+    s"least(CAST($nTok AS DOUBLE)/200.0, 1.0) * " +
+      s"(1.0 - CAST($stop AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE))"
+  }
+
   def q26Quality(spark: SparkSession, dir: String): DataFrame = {
     val nTokens = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
     val nonSpace = length(regexp_replace(col("text"), " ", "")).cast("long")
@@ -74,8 +94,7 @@ object TextAnalysis {
       nTokens.as("n_tokens"),
       (nonSpace.cast("double") / nullif(nTokens, lit(0L)).cast("double")).as("avg_token_len"),
       stopRatio.as("stopword_ratio"),
-      (least(nTokens.cast("double") / lit(200.0), lit(1.0)) * (lit(1.0) - stopRatio))
-        .as("quality_score"))
+      qualityScoreCol.as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -87,7 +106,7 @@ object TextAnalysis {
     s"SELECT doc_id, $nTok AS n_tokens, " +
       s"CAST($nonSpace AS DOUBLE)/CAST(nullif($nTok, 0) AS DOUBLE) AS avg_token_len, " +
       s"$stopRatio AS stopword_ratio, " +
-      s"least(CAST($nTok AS DOUBLE)/200.0, 1.0) * (1.0 - $stopRatio) AS quality_score " +
+      s"$qualityScoreSql AS quality_score " +
       "FROM documents ORDER BY doc_id"
   }
 
@@ -399,8 +418,93 @@ object TextAnalysis {
       "FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
       "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
 
+  /** q114: naive-Bayes quality/domain classifier — train AND inference in
+    * one dataflow. The model-based filter every web-scale pipeline runs
+    * after the heuristic gates (GPT-3's LR-vs-WebText classifier, CCNet's
+    * fastText stage), reduced to its deterministic multinomial-NB core:
+    * fit per-term add-one-smoothed class log-odds on a labeled train
+    * split (positive = a fixed "curated" source allowlist, split = the
+    * q57 doc_id-hash idiom), then score EVERY document — held-out docs
+    * included, flagged so a caller can measure generalization — by
+    * prior + Σ tf·(ln p(t|pos) − ln p(t|neg)). Inference-time OOV terms
+    * drop via the inner join to the model, standard NB practice.
+    *
+    * Scale shape: the corpus tokenizes and shuffles raw tokens exactly
+    * ONCE into per-doc term frequencies (the q84 cached-tf idiom); the
+    * model is a second agg over already-grouped (term, tf) rows and
+    * comes back by BROADCAST (a unigram vocab is MBs at any corpus
+    * size); scoring is one more partial-agg shuffle of distinct
+    * (doc, term) rows. Class totals and doc priors are 1-row broadcast
+    * attaches (the q72 statistics idiom). Determinism: the 6-decimal
+    * round absorbs float summation order (q54/q84 policy), and the
+    * predicted label compares the ROUNDED score so both engines decide
+    * ties identically. */
+  def q114NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val curated = Seq("src0", "src1", "src2", "src3")
+    val base = documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      col("source").isin(curated: _*).cast("int").as("pos"),
+      (col("doc_id") % 10 < 8).cast("int").as("is_train"))
+    // cached: the model agg and the scoring agg both read the tf table —
+    // tokenize and shuffle the corpus once (q84 idiom). Registered for
+    // harness-side unpersist.
+    val tf = graft.Caches.register(base
+      .select(col("doc_id"), col("pos"), col("is_train"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("pos"), col("is_train"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache())
+    val model = tf.where(col("is_train") === 1)
+      .groupBy(col("term"))
+      .agg(sum(when(col("pos") === 1, col("tf")).otherwise(0L)).as("cpos"),
+        sum(when(col("pos") === 0, col("tf")).otherwise(0L)).as("cneg"))
+    val stats = model.agg(sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+      count(lit(1)).as("vocab"))
+    val priors = base.where(col("is_train") === 1)
+      .agg(sum(col("pos")).cast("long").as("dpos"),
+        (count(lit(1)) - sum(col("pos"))).cast("long").as("dneg"))
+    val w = col("tf").cast("double") *
+      (log((col("cpos") + 1).cast("double") / (col("npos") + col("vocab")).cast("double")) -
+        log((col("cneg") + 1).cast("double") / (col("nneg") + col("vocab")).cast("double")))
+    val logOdds = round(col("sw") +
+      log(col("dpos").cast("double") / col("dneg").cast("double")), 6)
+    tf.join(broadcast(model), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("pos"), col("is_train"))
+      .agg(sum(w).as("sw"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("pos").as("is_curated"), col("is_train"),
+        logOdds.as("nb_log_odds"),
+        (logOdds > 0).cast("int").as("pred_curated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Sql: String =
+    "WITH base AS (SELECT doc_id, text, " +
+      "CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END AS pos, " +
+      "CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS is_train FROM documents), " +
+      "tok AS (SELECT doc_id, pos, is_train, " +
+      "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM base), " +
+      "tf AS (SELECT doc_id, pos, is_train, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3, 4), " +
+      "model AS (SELECT term, " +
+      "CAST(sum(CASE WHEN pos = 1 THEN tf ELSE 0 END) AS BIGINT) AS cpos, " +
+      "CAST(sum(CASE WHEN pos = 0 THEN tf ELSE 0 END) AS BIGINT) AS cneg " +
+      "FROM tf WHERE is_train = 1 GROUP BY term), " +
+      "stats AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos, " +
+      "CAST(sum(cneg) AS BIGINT) AS nneg, count(*) AS vocab FROM model), " +
+      "pri AS (SELECT CAST(sum(pos) AS BIGINT) AS dpos, " +
+      "CAST(count(*) - sum(pos) AS BIGINT) AS dneg FROM base WHERE is_train = 1), " +
+      "scored AS (SELECT doc_id, pos, is_train, " +
+      "sum(tf * (ln(CAST(cpos + 1 AS DOUBLE) / (npos + vocab)) - " +
+      "ln(CAST(cneg + 1 AS DOUBLE) / (nneg + vocab)))) AS sw " +
+      "FROM tf JOIN model USING (term) CROSS JOIN stats GROUP BY 1, 2, 3) " +
+      "SELECT doc_id, pos AS is_curated, is_train, " +
+      "round(sw + ln(CAST(dpos AS DOUBLE) / dneg), 6) AS nb_log_odds, " +
+      "CASE WHEN round(sw + ln(CAST(dpos AS DOUBLE) / dneg), 6) > 0 THEN 1 ELSE 0 END AS pred_curated " +
+      "FROM scored CROSS JOIN pri ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25_topk" -> q101Bm25Topk _,
+    "q114_nb_classifier" -> q114NbClassifier _,
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
     "q27_token_stats" -> q27TokenStats _,
@@ -422,6 +526,7 @@ object TextAnalysis {
     "q68_repetition" -> q68Sql,
     "q69_decontaminate" -> q69Sql,
     "q84_unigram_lm" -> q84Sql,
-    "q101_bm25_topk" -> q101Sql
+    "q101_bm25_topk" -> q101Sql,
+    "q114_nb_classifier" -> q114Sql
   )
 }

@@ -477,6 +477,36 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(novelIds() == Set(1L, 2L, 11L, 22L))
   }
 
+  test("quality-aware keep-list picks the max-quality cluster member (q115)") {
+    import org.apache.spark.sql.functions.col
+    val clusters = dedup.Dedup.q65DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = text.TextAnalysis.q26Quality(spark, dir)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = dedup.Dedup.q115QualityKeepList(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == quality.size, "one row per corpus doc")
+    // reference keeper per cluster: argmax quality, ties -> min doc_id
+    val refKeeper = clusters.groupBy(_._2).map { case (cid, members) =>
+      cid -> members.keys.minBy(id => (-quality(id), id))
+    }
+    got.foreach { case (id, keep) =>
+      clusters.get(id) match {
+        case Some(cid) => assert(keep == refKeeper(cid), s"doc $id keeper")
+        case None => assert(keep == id, s"unclustered doc $id must keep itself")
+      }
+    }
+    // the refinement must actually bite somewhere at this SF: at least
+    // one cluster's quality keeper differs from the min-id keeper, and
+    // every keeper's quality is >= every member's
+    assert(refKeeper.exists { case (cid, k) => k != cid },
+      "fixture has no cluster where quality disagrees with min-id — test is vacuous")
+    clusters.foreach { case (id, cid) =>
+      assert(quality(refKeeper(cid)) >= quality(id) - 1e-12, s"cluster $cid keeper quality")
+    }
+  }
+
   test("leakage-safe split: near-dup pairs never straddle a split boundary") {
     import org.apache.spark.sql.functions.col
     val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()

@@ -57,4 +57,48 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc $id out of band")
     }
   }
+
+  test("naive-Bayes classifier matches a driver-side reference model (q114)") {
+    val curated = Set("src0", "src1", "src2", "src3")
+    val rows = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), tokenize(r.getString(1)), r.getString(2)))
+    // reference: multinomial NB with add-one smoothing, trained on the
+    // doc_id % 10 < 8 split, positive = curated source allowlist
+    val train = rows.filter(_._1 % 10 < 8)
+    def classCounts(pos: Boolean): Map[String, Long] =
+      train.filter(r => curated.contains(r._3) == pos)
+        .flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val (cpos, cneg) = (classCounts(true), classCounts(false))
+    val vocabSet = train.flatMap(_._2).toSet
+    val (vocab, npos, nneg) = (vocabSet.size.toLong, cpos.values.sum, cneg.values.sum)
+    val dpos = train.count(r => curated.contains(r._3)).toLong
+    val prior = math.log(dpos.toDouble / (train.length - dpos))
+    def score(toks: Seq[String]): Double = {
+      val inVocab = toks.filter(vocabSet)  // inference-time OOV drops
+      prior + inVocab.groupBy(identity).map { case (t, xs) =>
+        xs.size * (math.log((cpos.getOrElse(t, 0L) + 1).toDouble / (npos + vocab)) -
+          math.log((cneg.getOrElse(t, 0L) + 1).toDouble / (nneg + vocab)))
+      }.sum
+    }
+    val got = text.TextAnalysis.q114NbClassifier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    // one output row per doc with at least one in-vocab term
+    val expected = rows.filter(r => r._2.exists(vocabSet)).map(_._1).toSet
+    assert(got.map(_._1).toSet == expected)
+    got.foreach { case (id, isCur, isTrain, lo, pred) =>
+      val r = rows.find(_._1 == id).get
+      assert((isCur == 1) == curated.contains(r._3), s"doc $id label")
+      assert((isTrain == 1) == (id % 10 < 8), s"doc $id split")
+      assert(math.abs(lo - score(r._2)) < 1e-6, s"doc $id: $lo vs ${score(r._2)}")
+      assert(pred == (if (lo > 0) 1 else 0), s"doc $id pred/score consistency")
+    }
+    // the model must actually separate: a synthetic doc of the positive
+    // class's most indicative term scores above one of the negative's
+    val posTerm = vocabSet.maxBy(t => math.log((cpos.getOrElse(t, 0L) + 1).toDouble) -
+      math.log((cneg.getOrElse(t, 0L) + 1).toDouble))
+    val negTerm = vocabSet.minBy(t => math.log((cpos.getOrElse(t, 0L) + 1).toDouble) -
+      math.log((cneg.getOrElse(t, 0L) + 1).toDouble))
+    assert(score(Seq.fill(20)(posTerm)) > score(Seq.fill(20)(negTerm)))
+  }
 }
