@@ -21,6 +21,11 @@ case class MediaBands(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
     sum_sq: Long, n_zcross: Long, peak: Long)
 
+/** One sampled video frame's banded dHash (q116) — the per-frame twin of
+  * [[MediaBands]], keyed by (doc, frame index in sample order). */
+case class VideoFrameBands(doc_id: Long, frame_idx: Long,
+    b0: Int, b1: Int, b2: Int, b3: Int)
+
 /** Multimodal-column plumbing (SURVEY.md §2B extensions): media as opaque
   * BinaryType columns, decode/feature-extract as partition-local typed
   * transforms (`Dataset.mapPartitions` — the Scala analogue of mapInPandas
@@ -280,6 +285,25 @@ object Multimodal {
   private val GridW = 9
   private val GridH = 8
 
+  /** Pack one GridW×GridH grayscale grid into the 4×16-bit dHash bands
+    * (row r, col c bit = grid[r·9+c] > grid[r·9+c+1]) — shared by the
+    * per-image (q83) and per-video-frame (q116) hashers so the two
+    * modalities block on identical hash semantics. */
+  private def packDhashBands(g: Array[Int]): Array[Int] = {
+    val bands = new Array[Int](4)
+    var row = 0
+    while (row < GridH) {
+      var c = 0
+      while (c < GridW - 1) {
+        if (g(row * GridW + c) > g(row * GridW + c + 1))
+          bands(row / 2) |= 1 << ((row % 2) * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    bands
+  }
+
   /** Per-document perceptual hash, partition-local like every decode:
     * grayscale-downsample via the codec seam, compare horizontal
     * neighbors into 64 bits, pack as 4 × 16-bit band values. The bands
@@ -294,18 +318,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val g = codec.grayGrid(r.media, GridW, GridH)
-        val bands = new Array[Int](4)
-        var row = 0
-        while (row < GridH) {
-          var c = 0
-          while (c < GridW - 1) {
-            if (g(row * GridW + c) > g(row * GridW + c + 1))
-              bands(row / 2) |= 1 << ((row % 2) * 8 + c)
-            c += 1
-          }
-          row += 1
-        }
+        val bands = packDhashBands(codec.grayGrid(r.media, GridW, GridH))
         MediaBands(r.doc_id, bands(0), bands(1), bands(2), bands(3))
       }
     }.toDF()
@@ -375,6 +388,149 @@ object Multimodal {
       "bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming " +
       "FROM cand JOIN wide wa ON id_a = wa.doc_id JOIN wide wb ON id_b = wb.doc_id) " +
       "SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6 ORDER BY id_a, id_b"
+
+  /** The video half of the codec seam: anything that yields a stream of
+    * decoded frames already downsampled to the dHash grid (an ffmpeg
+    * binding sampling keyframes, an MJPEG splitter + ImageIOCodec per
+    * frame, …) drops in here. Frames are emitted lazily so a long video
+    * never materializes all frames at once inside the executor. */
+  trait VideoCodec extends Serializable {
+    def frameGrids(bytes: Array[Byte], w: Int, h: Int): Iterator[Array[Int]]
+  }
+
+  /** STUB video codec: 64-byte "frames" at a 32-byte stride, each
+    * frame's grid being its raw bytes as unsigned samples zero-padded
+    * to w·h, the same stub-grid semantics as [[FakeCodec.grayGrid]].
+    * Deterministic and hex-arithmetic-expressible, which lets the
+    * DuckDB oracle recompute the entire q116 per-frame-hash →
+    * scene-cut chain from the source column.
+    *
+    * Fidelity note: consecutive stub frames converge in Hamming space
+    * exactly when the content is locally repetitive with period
+    * dividing the stride (repeated boilerplate, padding runs) — the
+    * stub analogue of a STATIC SCENE, where real consecutive frames
+    * repeat each other. Byte overlap between windows does NOT make
+    * hashes similar by itself (shared bytes land at shifted grid
+    * positions, and dHash is shift-sensitive), so changing content
+    * cuts on every frame — the correct degenerate reading of content
+    * with no temporal continuity. MultimodalSpec pins both regimes on
+    * synthetic payloads: a periodic payload collapses to one scene, a
+    * non-repeating payload cuts everywhere. */
+  object FakeVideoCodec extends VideoCodec {
+    val FrameBytes = 64
+    val Stride = 32
+    def frameGrids(bytes: Array[Byte], w: Int, h: Int): Iterator[Array[Int]] = {
+      val nFrames =
+        if (bytes.length >= FrameBytes) (bytes.length - FrameBytes) / Stride + 1 else 0
+      Iterator.range(0, nFrames).map { f =>
+        Array.tabulate(w * h)(i =>
+          if (i < FrameBytes) bytes(f * Stride + i) & 0xFF else 0)
+      }
+    }
+  }
+
+  /** Per-frame banded dHashes via the video codec seam — partition-local
+    * like every decode: frames stream through the codec lazily, and only
+    * the 4×16-bit hash rows (a few dozen bytes per frame) ever leave the
+    * executor, never the frames themselves. */
+  def videoFrameBands(ds: org.apache.spark.sql.Dataset[MediaRecord],
+      codec: VideoCodec): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        codec.frameGrids(r.media, GridW, GridH).zipWithIndex.map { case (g, f) =>
+          val bands = packDhashBands(g)
+          VideoFrameBands(r.doc_id, f.toLong, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Scene-cut Hamming threshold: adjacent stub frames share half their
+    * grid samples, so within-content neighbors sit well under 16 of the
+    * 64 bits while content boundaries jump above it (¼ of the hash — the
+    * standard dHash "different image" band). */
+  private val SceneCutHamming = 16
+
+  /** q116: video scene segmentation — the temporal operator that
+    * completes modality parity (image q83 near-dup, audio q87 frame
+    * features, video here): sample frames through the codec seam, hash
+    * each frame (the q83 dHash, shared packing), then cut a new scene
+    * wherever the Hamming distance between consecutive frame hashes
+    * exceeds [[SceneCutHamming]]. Output is one row per (doc, scene):
+    * start frame, length, and the keyframe hash (first frame of the
+    * scene, as 16 hex chars) — the summary a downstream video-level
+    * near-dup or shot-retrieval index consumes.
+    *
+    * Scale shape: the decode is partition-local and lazy (only hash
+    * rows leave the executor); the cut/scene assignment is one window
+    * per doc (frames are per-doc sequential by construction); the scene
+    * rollup is a partial-aggregated groupBy on (doc, scene). Nothing in
+    * the plan depends on total corpus size — per-doc frame counts bound
+    * every window. Determinism: all-integer features end-to-end (bands,
+    * XOR bit counts, running cut sums), so both engines agree exactly. */
+  def q116VideoScenes(spark: SparkSession, dir: String,
+      codec: VideoCodec = FakeVideoCodec): DataFrame =
+    videoScenesOf(mediaTable(spark, dir).as[MediaRecord](
+      org.apache.spark.sql.Encoders.product[MediaRecord]), codec)
+
+  /** The q116 chain over any media Dataset — the spec drives it with
+    * synthetic payloads to pin both cut regimes. */
+  def videoScenesOf(ds: org.apache.spark.sql.Dataset[MediaRecord],
+      codec: VideoCodec = FakeVideoCodec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = videoFrameBands(ds, codec)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val hamming = (0 until 4).map(m =>
+      bit_count(col(s"b$m").bitwiseXOR(lag(col(s"b$m"), 1).over(w))).cast("long"))
+      .reduce(_ + _)
+    val khex = concat((0 until 4).map(m =>
+      lpad(lower(hex(col(s"b$m"))), 4, "0")): _*)
+    frames
+      .withColumn("cut",
+        when(hamming > SceneCutHamming, 1L).otherwise(0L))
+      .withColumn("scene_idx", sum(col("cut")).over(w))
+      .withColumn("khex", khex)
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("scene_frames"),
+        min(struct(col("frame_idx"), col("khex"))).getField("khex").as("keyframe_hash"))
+      .orderBy(col("doc_id"), col("scene_idx"))
+  }
+
+  // The oracle recomputes the stub-codec per-frame dHash chain in pure
+  // hex/bit arithmetic (the q83 idiom with a frame dimension): frame f
+  // covers payload bytes [f·32, f·32+64), grid sample gi = byte f·32+gi
+  // (zero for gi ≥ 64), dHash bits compare row neighbors, consecutive
+  // frames XOR into a Hamming distance, cuts over 16 bits open scenes.
+  val q116Sql: String =
+    "WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx, strlen(text) AS n FROM documents), " +
+      "fr AS (SELECT doc_id, hx, unnest(range(0, (n - 64) // 32 + 1)) AS f FROM b WHERE n >= 64), " +
+      "i AS (SELECT doc_id, f, hx, unnest(range(0, 72)) AS gi FROM fr), " +
+      "v AS (SELECT doc_id, f, gi, CASE WHEN gi >= 64 THEN 0 ELSE " +
+      "(strpos('0123456789abcdef', substr(hx, CAST((f*32+gi)*2+1 AS BIGINT), 1))-1)*16 + " +
+      "(strpos('0123456789abcdef', substr(hx, CAST((f*32+gi)*2+2 AS BIGINT), 1))-1) END AS g FROM i), " +
+      "bits AS (SELECT a.doc_id, a.f, (a.gi//9)//2 AS band, ((a.gi//9)%2)*8 + (a.gi%9) AS pos, " +
+      "CASE WHEN a.g > c.g THEN 1 ELSE 0 END AS bit " +
+      "FROM v a JOIN v c ON a.doc_id = c.doc_id AND a.f = c.f AND c.gi = a.gi + 1 AND a.gi % 9 <> 8), " +
+      "bands AS (SELECT doc_id, f, band, CAST(sum(bit * (1 << pos)) AS BIGINT) AS bv " +
+      "FROM bits GROUP BY doc_id, f, band), " +
+      "wide AS (SELECT doc_id, f, max(CASE WHEN band=0 THEN bv END) AS b0, " +
+      "max(CASE WHEN band=1 THEN bv END) AS b1, max(CASE WHEN band=2 THEN bv END) AS b2, " +
+      "max(CASE WHEN band=3 THEN bv END) AS b3 FROM bands GROUP BY doc_id, f), " +
+      "ham AS (SELECT *, lag(b0) OVER w AS p0, lag(b1) OVER w AS p1, " +
+      "lag(b2) OVER w AS p2, lag(b3) OVER w AS p3 FROM wide " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY f)), " +
+      "cut AS (SELECT doc_id, f, b0, b1, b2, b3, CASE WHEN p0 IS NULL THEN 0 " +
+      "WHEN bit_count(xor(b0,p0)) + bit_count(xor(b1,p1)) + bit_count(xor(b2,p2)) + " +
+      "bit_count(xor(b3,p3)) > 16 THEN 1 ELSE 0 END AS c FROM ham), " +
+      "sc AS (SELECT doc_id, f, b0, b1, b2, b3, " +
+      "sum(c) OVER (PARTITION BY doc_id ORDER BY f) AS scene_idx FROM cut), " +
+      "kh AS (SELECT doc_id, scene_idx, f, printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS khex FROM sc) " +
+      "SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx, " +
+      "CAST(min(f) AS BIGINT) AS start_frame, count(*) AS scene_frames, " +
+      "arg_min(khex, f) AS keyframe_hash " +
+      "FROM kh GROUP BY doc_id, scene_idx ORDER BY doc_id, scene_idx"
 
   /** The audio half of the codec seam: anything that yields PCM samples
     * (WAV parser, ffmpeg binding, …) drops in here. Samples are Int so
@@ -490,7 +646,8 @@ object Multimodal {
     "q50_frame_sample" -> q50FrameSample _,
     "q67_media_resize" -> ((s, d) => q67MediaResize(s, d)),
     "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d)),
-    "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d))
+    "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d)),
+    "q116_video_scenes" -> ((s, d) => q116VideoScenes(s, d))
   )
 
   val oracle: Map[String, String] = Map(
@@ -498,6 +655,7 @@ object Multimodal {
     "q50_frame_sample" -> q50Sql,
     "q67_media_resize" -> q67Sql,
     "q83_media_neardup" -> q83Sql,
-    "q87_audio_frames" -> q87Sql
+    "q87_audio_frames" -> q87Sql,
+    "q116_video_scenes" -> q116Sql
   )
 }

@@ -235,4 +235,71 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.keySet == docs.filter(_._2 > 0).keySet)
     frames.foreach { case (id, nf) => assert(nf == (docs(id) + 63) / 64, s"doc $id") }
   }
+
+  /** Driver-side replay of the q116 frame-hash → cut chain for one payload:
+    * frame hashes with the same stub grid + dHash packing, scenes opened
+    * where consecutive-frame Hamming exceeds 16. Returns per-scene
+    * (start_frame, n_frames). */
+  private def refScenes(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    def hash(f: Int): Long = {
+      def g(i: Int): Int = if (i < 64) bytes(f * 32 + i) & 0xFF else 0
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+      h
+    }
+    val n = if (bytes.length >= 64) (bytes.length - 64) / 32 + 1 else 0
+    val hs = (0 until n).map(hash)
+    val cuts = (0 until n).map(f =>
+      if (f == 0) 0 else if (java.lang.Long.bitCount(hs(f) ^ hs(f - 1)) > 16) 1 else 0)
+    val sid = cuts.scanLeft(0)(_ + _).tail
+    (0 until n).groupBy(sid).toSeq.sortBy(_._1)
+      .map { case (_, fs) => (fs.min.toLong, fs.size.toLong) }
+  }
+
+  test("video scenes (q116): corpus run matches a driver-side replay doc-for-doc") {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val got = Multimodal.q116VideoScenes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    val expectDocs = payloads.filter(_._2.length >= 64).keySet
+    assert(got.keySet == expectDocs, "one scene set per doc with >= 1 frame")
+    got.foreach { case (id, scenes) =>
+      val ref = refScenes(payloads(id))
+      val byIdx = scenes.sortBy(_._2)
+      assert(byIdx.map(s => (s._3, s._4)).toSeq == ref, s"doc $id scene layout")
+      // scene_idx is dense from 0; keyframe hash is 16 lowercase hex chars
+      assert(byIdx.map(_._2).toSeq == byIdx.indices.map(_.toLong), s"doc $id scene ids")
+      byIdx.foreach(s => assert(s._5.matches("[0-9a-f]{16}"), s"doc $id keyframe"))
+    }
+    // non-vacuous in both directions at this SF: some scene spans multiple
+    // frames (repetitive content held) and some doc has more than one scene
+    assert(got.values.exists(_.exists(_._4 > 1)), "no multi-frame scene anywhere")
+    assert(got.values.exists(_.size > 1), "no doc with a cut anywhere")
+  }
+
+  test("video scenes: periodic payload is one static scene, aperiodic payload cuts every frame") {
+    import spark.implicits._
+    val static = Array.tabulate(256)(i => (i % 32).toByte)      // period divides stride
+    // scrambled bytes (constant-gradient ramps hash alike — dHash is
+    // gradient-based — so "different content" needs real variation)
+    val moving = Array.tabulate(256) { i =>
+      val v = (i * 0x9E3779B9L) & 0xFFFFFFFFL
+      ((v ^ (v >>> 16)) & 0xFF).toByte
+    }
+    val ds = Seq(
+      graft.multimodal.MediaRecord(1L, static, "video/fake"),
+      graft.multimodal.MediaRecord(2L, moving, "video/fake")).toDS()
+    val scenes = Multimodal.videoScenesOf(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nFrames = (256 - 64) / 32 + 1
+    assert(scenes.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, nFrames.toLong)),
+      "periodic payload must collapse to a single scene spanning all frames")
+    val cuts = scenes.filter(_._1 == 2L).sortBy(_._2)
+    assert(cuts.length == nFrames, "aperiodic payload must cut on every frame")
+    assert(cuts.map(s => (s._3, s._4)).toSeq == (0 until nFrames).map(f => (f.toLong, 1L)),
+      "each aperiodic frame is its own scene")
+  }
 }
