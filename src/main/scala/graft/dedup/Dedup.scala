@@ -850,6 +850,105 @@ object Dedup {
       "CAST(coalesce(dt, 0) AS BIGINT) AS dup_tokens " +
       "FROM t2 LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"
 
+  /** q117: strip duplicated spans — q110's detection turned into the
+    * corpus TRANSFORMATION of Lee et al. 2022: a stride-1 10-token
+    * window occurrence is removable iff the same window text occurs
+    * anywhere EARLIER in the corpus ((doc_id, pos) lexicographic —
+    * "globally first occurrence wins", q80's rule at unaligned
+    * granularity); per doc the removable windows merge into maximal
+    * spans (the q110 island idiom) and the surviving tokens re-join
+    * into the cleaned text a training pipeline feeds the tokenizer.
+    * The first copy of every duplicated passage survives somewhere;
+    * boilerplate repeats everywhere else are cut mid-document. Output
+    * is over the normalized token stream (lowercase [a-z0-9]+, the
+    * q110 contract), one row per corpus doc.
+    *
+    * Scale shape: linear like q110 — no pair join; removability is a
+    * min-struct window over the hash partition (one exchange on the
+    * 8-byte window hash), the span merge is per-doc windows, and the
+    * cleaned text is a map-side array filter against the doc's own
+    * merged-span array (spans per doc are disjoint and bounded by
+    * n_tokens/1, in practice a handful — the per-token exists() scan
+    * is O(spans) each). Spark keys on xxhash64(window) while the
+    * oracle groups by window TEXT — identical up to a 2^-64 collision
+    * (the q30/q80 policy). */
+  def stripSpansOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SpanW
+    val toks = graft.Caches.register(docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .cache())
+    val wins = toks
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode_outer(transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+      .where(col("col").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("col")).as("h"))
+    // removable = not the lexicographically-first occurrence of its hash
+    // (count >= 2 is implied: a unique window IS its own minimum)
+    val rm = wins
+      .withColumn("mn",
+        min(struct(col("doc_id"), col("pos"))).over(Window.partitionBy(col("h"))))
+      .where(struct(col("doc_id"), col("pos")) =!= col("mn"))
+      .select(col("doc_id"), col("pos"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = rm
+      .withColumn("pme", max(col("pos") + k).over(wPrev))
+      .withColumn("ns",
+        when(col("pme").isNull || col("pos") > col("pme"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(wRun))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("spans"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        filter(col("ws"), (_, i) => !exists(col("spans"), sp =>
+          i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e")))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q117StripSpans(spark: SparkSession, dir: String): DataFrame =
+    stripSpansOf(documents(spark, dir))
+
+  val q117Sql: String =
+    "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
+      "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n FROM documents), " +
+      s"idx AS (SELECT doc_id, ws, n, unnest(generate_series(1, n - ${SpanW - 1})) AS i " +
+      s"FROM t WHERE n >= $SpanW), " +
+      s"wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+${SpanW - 1}], ' ') AS w FROM idx), " +
+      "rk AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn FROM wins), " +
+      "rm AS (SELECT doc_id, pos FROM rk WHERE rn > 1), " +
+      s"sp AS (SELECT doc_id, pos, CASE WHEN max(pos + $SpanW) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL " +
+      s"OR pos > max(pos + $SpanW) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ns FROM rm), " +
+      "sp2 AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM sp), " +
+      s"spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + $SpanW AS e FROM sp2 GROUP BY doc_id, sid), " +
+      "tok AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM t), " +
+      "kept AS (SELECT tok.doc_id, j FROM tok LEFT JOIN spans " +
+      "ON tok.doc_id = spans.doc_id AND j - 1 >= s AND j - 1 < e WHERE s IS NULL), " +
+      "agg AS (SELECT k.doc_id, count(*) AS kc, " +
+      "string_agg(t.ws[k.j], ' ' ORDER BY k.j) AS ctext " +
+      "FROM kept k JOIN t ON k.doc_id = t.doc_id GROUP BY k.doc_id) " +
+      "SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(kc, 0) AS BIGINT) AS kept_tokens, " +
+      "coalesce(ctext, '') AS cleaned_text " +
+      "FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id"
+
   private val K = 64  // minhash signature length
   private val B = 16  // LSH bands
   private val R = 4   // rows per band (K = B*R)
@@ -1116,6 +1215,7 @@ object Dedup {
     "q78_dedup_corpus_lsh" -> q78DedupCorpusLsh _,
     "q80_chunk_dedup" -> q80ChunkDedup _,
     "q110_dup_spans" -> q110DupSpans _,
+    "q117_strip_spans" -> q117StripSpans _,
     "q115_quality_keeplist" -> q115QualityKeepList _,
     "q95_leakage_split" -> q95LeakageSplit _,
     "q96_heavy_shingles" -> q96HeavyShingles _,
@@ -1129,6 +1229,7 @@ object Dedup {
     "q77_dedup_keeplist" -> q77Sql,
     "q80_chunk_dedup" -> q80Sql,
     "q110_dup_spans" -> q110Sql,
+    "q117_strip_spans" -> q117Sql,
     "q115_quality_keeplist" -> q115Sql,
     "q95_leakage_split" -> q95Sql,
     "q96_heavy_shingles" -> q96Sql,

@@ -507,6 +507,49 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("strip duplicated spans keeps exactly the globally-first occurrences (q117)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+      .toMap
+    // reference: removable window = not the (doc_id, pos)-lex-first
+    // occurrence of its 10-token content; removed positions = union of
+    // removable windows' [pos, pos+10)
+    val k = dedup.Dedup.SpanW
+    val occ = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, ws) <- docs.toSeq.sortBy(_._1); p <- 0 to ws.length - k)
+      occ.getOrElseUpdate(ws.slice(p, p + k).mkString(" "), (id, p))
+    def refCleaned(id: Long): Vector[String] = {
+      val ws = docs(id)
+      val cut = Array.fill(ws.length)(false)
+      for (p <- 0 to ws.length - k)
+        if (occ(ws.slice(p, p + k).mkString(" ")) != ((id, p)))
+          (p until p + k).foreach(cut(_) = true)
+      ws.indices.collect { case i if !cut(i) => ws(i) }.toVector
+    }
+    val got = dedup.Dedup.q117StripSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(_._1).toSet == docs.keySet, "one row per corpus doc")
+    got.foreach { case (id, n, kept, text) =>
+      val ref = refCleaned(id)
+      assert(n == docs(id).length, s"doc $id token count")
+      assert(kept == ref.length, s"doc $id kept count")
+      assert(text == ref.mkString(" "), s"doc $id cleaned text")
+    }
+    // non-vacuous and canonical: something was stripped, and for every
+    // duplicated window the first-occurrence doc retains the content
+    val strippedDocs = got.filter(r => r._3 < r._2).map(_._1).toSet
+    assert(strippedDocs.nonEmpty, "fixture has no stripped doc — test is vacuous")
+    // q117 cuts a subset of what q110 flags (q110 also counts the kept
+    // first occurrences), never more
+    val dupTok = dedup.Dedup.q110DupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, n, kept, _) =>
+      assert(n - kept <= dupTok.getOrElse(id, 0L), s"doc $id cut more than q110 flagged")
+    }
+  }
+
   test("leakage-safe split: near-dup pairs never straddle a split boundary") {
     import org.apache.spark.sql.functions.col
     val split = dedup.Dedup.q95LeakageSplit(spark, dir).cache()
