@@ -439,7 +439,90 @@ object Advanced {
       "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY count(*) DESC, CAST(floor(value) AS BIGINT) ASC) AS rn " +
       "FROM events GROUP BY 1, 2) WHERE rn = 1 ORDER BY event_type"
 
+  private val PrIters = 5
+
+  /** q119: PageRank over the customer → supplier purchase graph (edge =
+    * "customer bought from supplier", distinct pairs via orders ⋈
+    * lineitem; suppliers offset by 1e6 into a shared node id space) —
+    * the canonical iterative-dataflow operator (Page et al. 1999) and
+    * the graph-centrality complement of the dedup components (q65/q78
+    * propagate labels; this propagates MASS). Suppliers are pure sinks,
+    * so the implementation carries the standard dangling-mass
+    * redistribution: each round r' = 0.15/N + 0.85·(Σ_in r/outdeg +
+    * dangling/N), which conserves total mass 1 exactly.
+    *
+    * Scale shape: edges build with one distinct shuffle and stay
+    * cached; each of the 5 fixed rounds costs one groupBy(dst) shuffle
+    * of the EDGE contributions (bounded by |edges|), a 1-row dangling
+    * aggregate broadcast back, and a left join onto the cached node
+    * set — the classic Spark PageRank plan. Each round's rank frame is
+    * cached: the next round reads it twice (contributions + dangling),
+    * and without the cut the recompute tree doubles per round. Five
+    * rounds keeps lineage shallow (no truncation needed, cf. the q65
+    * loop). Determinism: per-round round(·, 9) absorbs cross-engine
+    * summation order before drift can compound, final 6-decimal policy
+    * round; decimal literals are written so both engines parse the
+    * IDENTICAL double (0.15, never 1 − 0.85, which is 0.15000000000000002
+    * in binary — the q85 divergence class); the oracle unrolls the same
+    * 5 rounds as chained CTEs. */
+  def q119PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.register(
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct().cache())
+    val nodes = graft.Caches.register(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().cache())
+    val n = nodes.count()
+    val outDeg = graft.Caches.register(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache())
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val dangling = rank.join(outDeg, rank("node") === outDeg("src"), "left")
+        .where(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      val contrib = edges
+        .join(rank, edges("src") === rank("node"))
+        .join(outDeg, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
+      val next = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit(0.15 / n) +
+            lit(0.85) * (coalesce(col("c"), lit(0.0)) + col("dm") / n), 9).as("r"))
+      rank = graft.Caches.register(next.cache())
+    }
+    rank.select(col("node"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("node"))
+  }
+
+  val q119Sql: String = {
+    val base =
+      "WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "od AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn), "
+    val rounds = (1 to PrIters).map { i =>
+      val p = s"r${i - 1}"
+      s"d$i AS (SELECT CAST(coalesce(sum(r), 0) AS DOUBLE) AS dm " +
+        s"FROM $p LEFT JOIN od ON node = src WHERE deg IS NULL), " +
+        s"c$i AS (SELECT dst, sum(r / deg) AS c FROM e JOIN $p ON src = node " +
+        "JOIN od USING (src) GROUP BY dst), " +
+        s"r$i AS (SELECT node, round(CAST(0.15 AS DOUBLE) / nn.n + " +
+        s"CAST(0.85 AS DOUBLE) * (coalesce(c, CAST(0 AS DOUBLE)) + dm / nn.n), 9) AS r " +
+        s"FROM nodes CROSS JOIN nn CROSS JOIN d$i LEFT JOIN c$i ON node = dst)"
+    }.mkString(", ")
+    base + rounds +
+      s" SELECT node, round(r, 6) AS pagerank FROM r$PrIters ORDER BY node"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_pagerank" -> q119PageRank _,
     "q105_corr_profile" -> q105CorrProfile _,
     "q108_bitmap_distinct" -> q108BitmapDistinct _,
     "q109_mode_profile" -> q109ModeProfile _,
@@ -459,6 +542,7 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_pagerank" -> q119Sql,
     "q105_corr_profile" -> q105Sql,
     "q108_bitmap_distinct" -> q108Sql,
     "q109_mode_profile" -> q109Sql,

@@ -383,7 +383,59 @@ object TimeSeries {
       "CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x FROM events) " +
       "GROUP BY event_type ORDER BY event_type"
 
+  /** q118: gap fill + forward fill — resample each user's event history
+    * onto a complete daily grid: per-user daily value sums, a generated
+    * [first_day, last_day] calendar per user, and last-observation-
+    * carried-forward for the silent days, flagged `is_observed = 0`.
+    * The resampling step every feature pipeline needs before windowed
+    * models (a lag feature over raw event days silently skips gaps),
+    * and the missing time-series op beside as-of (q21), SCD2 (q89/q113)
+    * and PIT (q93).
+    *
+    * Scale shape: one shuffle builds the per-(user, day) sums (cached —
+    * read for bounds and for the grid join); the calendar explodes
+    * map-side from ONE bounds row per user (never a cross join against
+    * a global calendar — a user's grid is bounded by their own span);
+    * the fill is a running `last(ignoreNulls)` window per user. Nothing
+    * scales with the corpus beyond per-user day spans. Determinism: the
+    * daily sum is rounded once at aggregation (6 decimals absorbs
+    * summation order, q105 policy) and the fill only MOVES those
+    * already-rounded values, so both engines carry identical doubles.
+    * First grid day is always observed (it IS the user's min day), so
+    * `value` is never null. */
+  def q118GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.register(events(spark, dir)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(round(sum(col("value")), 6).as("v"))
+      .cache())
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNotNull.cast("int").as("is_observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q118Sql: String =
+    "WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+      "round(sum(value), 6) AS v FROM events GROUP BY 1, 2), " +
+      "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b) " +
+      "SELECT g.user_id, g.day, " +
+      "last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, " +
+      "CASE WHEN d.v IS NULL THEN 0 ELSE 1 END AS is_observed " +
+      "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
+      "ORDER BY g.user_id, g.day"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_gap_fill" -> q118GapFill _,
     "q102_anomalies" -> q102Anomalies _,
     "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
@@ -398,6 +450,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q118_gap_fill" -> q118Sql,
     "q102_anomalies" -> q102Sql,
     "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,

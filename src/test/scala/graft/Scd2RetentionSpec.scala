@@ -89,4 +89,42 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(closedBefore.nonEmpty)
     assert(closedBefore.forall(incr.toSet.contains))
   }
+
+  test("gap fill (q118): complete daily grid per user, LOCF values, observed flags exact") {
+    val observed = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 6).as("v")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).toLocalDateTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        u -> xs.map(x => x._2 -> x._3).toMap
+      }
+    val got = ops.TimeSeries.q118GapFill(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("day"),
+        r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got.keySet == observed.keySet, "one grid per active user")
+    got.foreach { case (u, rows) =>
+      val byDay = rows.sortBy(_._2)
+      val obs = observed(u)
+      // grid is exactly [min observed day, max observed day], stride 1 day
+      assert(byDay.head._2 == obs.keys.min && byDay.last._2 == obs.keys.max, s"user $u bounds")
+      byDay.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2.plusDays(1), s"user $u grid gap at ${a._2}")
+        case _ => ()
+      }
+      // LOCF: value = last observed daily sum at or before the grid day
+      var lastV = Double.NaN
+      byDay.foreach { case (_, day, v, flag) =>
+        obs.get(day) match {
+          case Some(o) =>
+            assert(flag == 1 && v == o, s"user $u observed day $day")
+            lastV = o
+          case None =>
+            assert(flag == 0 && v == lastV, s"user $u filled day $day")
+        }
+      }
+    }
+    // non-vacuous: somebody has a gap at this SF
+    assert(got.values.exists(_.exists(_._4 == 0)), "no filled gap anywhere — vacuous")
+  }
 }
