@@ -434,8 +434,129 @@ object TimeSeries {
       "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
       "ORDER BY g.user_id, g.day"
 
+  /** q120: ordered conversion funnel — view → click → purchase, each
+    * step the FIRST qualifying event at most 7 days after the previous
+    * step's first qualifying event. The sequential-pattern operator
+    * (MATCH_RECOGNIZE's most common real use) the window family (q39)
+    * and sessionization (q23) don't cover: step k's qualifier depends
+    * on step k-1's resolved timestamp, not on any fixed predicate.
+    *
+    * Plan shape: ONE exchange + ONE sort per user — the three step
+    * resolutions are running conditional mins over the SAME window
+    * spec (partition user, order ts), which Catalyst collapses into a
+    * single Window sort; the per-user rollup rides the same
+    * partitioning, and the 3-row funnel summary is a broadcast 1-row
+    * stats attach (q72 idiom). Ordering ties broken by event_id so the
+    * running frame is identical cross-engine (ROWS frames over a
+    * non-total order are peer-dependent — the q109 tie lesson).
+    * Conversion rates are exact integer-count divisions, round-6. */
+  def q120Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val week = expr("INTERVAL 7 DAY")
+    val steps = events(spark, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        col("v_ts").isNotNull && col("ts") >= col("v_ts") &&
+        col("ts") <= col("v_ts") + week, col("ts"))).over(w))
+      .withColumn("p_ts", when(col("event_type") === "purchase" &&
+        col("c_ts").isNotNull && col("ts") >= col("c_ts") &&
+        col("ts") <= col("c_ts") + week, col("ts")))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_ts").isNotNull).as("r1"),
+        max(col("c_ts").isNotNull).as("r2"),
+        max(col("p_ts").isNotNull).as("r3"))
+      .agg(sum(col("r1").cast("long")).as("u1"),
+        sum(col("r2").cast("long")).as("u2"),
+        sum(col("r3").cast("long")).as("u3"))
+    Seq((1L, "view", "u1", "u1"), (2L, "click", "u2", "u1"), (3L, "purchase", "u3", "u2"))
+      .map { case (no, name, users, prev) =>
+        steps.select(lit(no).as("step_no"), lit(name).as("step"),
+          col(users).as("users"),
+          round(col(users).cast("double") / nullif(col(prev), lit(0L)).cast("double"), 6)
+            .as("conv_rate"))
+      }.reduce(_ union _)
+      .orderBy(col("step_no"))
+  }
+
+  val q120Sql: String =
+    "WITH e AS (SELECT user_id, event_id, ts, event_type FROM events " +
+      "WHERE event_type IN ('view', 'click', 'purchase')), " +
+      "s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) " +
+      "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ts FROM e), " +
+      "s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL " +
+      "AND ts >= v_ts AND ts <= v_ts + INTERVAL 7 DAY THEN ts END) " +
+      "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ts FROM s1), " +
+      "s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND c_ts IS NOT NULL " +
+      "AND ts >= c_ts AND ts <= c_ts + INTERVAL 7 DAY THEN ts END AS p_ts FROM s2), " +
+      "pu AS (SELECT user_id, max(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS r1, " +
+      "max(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS r2, " +
+      "max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS r3 FROM s3 GROUP BY user_id), " +
+      "agg AS (SELECT CAST(sum(r1) AS BIGINT) AS u1, CAST(sum(r2) AS BIGINT) AS u2, " +
+      "CAST(sum(r3) AS BIGINT) AS u3 FROM pu) " +
+      "SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, u1 AS users, " +
+      "round(CAST(u1 AS DOUBLE) / nullif(u1, 0), 6) AS conv_rate FROM agg " +
+      "UNION ALL SELECT 2, 'click', u2, round(CAST(u2 AS DOUBLE) / nullif(u1, 0), 6) FROM agg " +
+      "UNION ALL SELECT 3, 'purchase', u3, round(CAST(u3 AS DOUBLE) / nullif(u2, 0), 6) FROM agg " +
+      "ORDER BY step_no"
+
+  /** q121: distribution drift — symmetric KL divergence of each event
+    * type's value distribution between the first and second half of the
+    * observation window (split at the median day boundary 2024-01-16),
+    * add-one-smoothed over the union of value buckets. The monitoring
+    * operator behind "did this metric's SHAPE change", catching drift
+    * that q106's linear trend (mean movement) and q102's z-scores
+    * (point outliers) both miss. All counts integer; the only float
+    * work is the final per-type log sum over ≤ |buckets| terms,
+    * round-6 (q105 policy).
+    *
+    * Plan: one partial-agged shuffle to (type, bucket, half) counts,
+    * per-type totals broadcast back over the tiny bucket table, one
+    * |types|-row result. */
+  def q121KlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp_ntz")
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nbuckets"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("nbuckets")).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("nbuckets")).cast("double")
+    counts.join(tot, "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        (pa * log(pa / pb) + pb * log(pb / pa)).as("term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+        round(sum(col("term")), 6).as("kl_sym"))
+      .orderBy(col("event_type"))
+  }
+
+  val q121Sql: String =
+    "WITH c AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, " +
+      "sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS ca, " +
+      "sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS cb " +
+      "FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, " +
+      "CAST(sum(cb) AS BIGINT) AS nb, count(*) AS nbuckets FROM c GROUP BY 1), " +
+      "j AS (SELECT c.event_type, na, nb, " +
+      "CAST(ca + 1 AS DOUBLE) / (na + nbuckets) AS pa, " +
+      "CAST(cb + 1 AS DOUBLE) / (nb + nbuckets) AS pb " +
+      "FROM c JOIN t USING (event_type)) " +
+      "SELECT event_type, max(na) AS n_first, max(nb) AS n_second, " +
+      "round(sum(pa * ln(pa / pb) + pb * ln(pb / pa)), 6) AS kl_sym " +
+      "FROM j GROUP BY event_type ORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_gap_fill" -> q118GapFill _,
+    "q120_funnel" -> q120Funnel _,
+    "q121_kl_drift" -> q121KlDrift _,
     "q102_anomalies" -> q102Anomalies _,
     "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
@@ -451,6 +572,8 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "q118_gap_fill" -> q118Sql,
+    "q120_funnel" -> q120Sql,
+    "q121_kl_drift" -> q121Sql,
     "q102_anomalies" -> q102Sql,
     "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,

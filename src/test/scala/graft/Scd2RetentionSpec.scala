@@ -127,4 +127,67 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-vacuous: somebody has a gap at this SF
     assert(got.values.exists(_.exists(_._4 == 0)), "no filled gap anywhere — vacuous")
   }
+
+  test("funnel (q120) matches a per-user driver-side replay of the ordered steps") {
+    val week = java.time.Duration.ofDays(7)
+    val byUser = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+      .groupBy(_._1)
+    // per user: first view; first click in [first view, +7d]; first
+    // purchase in [that click, +7d]
+    var (u1, u2, u3) = (0, 0, 0)
+    byUser.foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val v = sorted.find(_._4 == "view").map(_._3)
+      val c = v.flatMap(vt => sorted.find(e => e._4 == "click" &&
+        !e._3.isBefore(vt) && !e._3.isAfter(vt.plus(week))).map(_._3))
+      val p = c.flatMap(ct => sorted.find(e => e._4 == "purchase" &&
+        !e._3.isBefore(ct) && !e._3.isAfter(ct.plus(week))).map(_._3))
+      if (v.isDefined) u1 += 1
+      if (c.isDefined) u2 += 1
+      if (p.isDefined) u3 += 1
+    }
+    val got = ops.TimeSeries.q120Funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, "view", u1.toLong), (2L, "click", u2.toLong), (3L, "purchase", u3.toLong)))
+    // funnel is monotone and the rates divide the step counts
+    assert(u1 >= u2 && u2 >= u3)
+    assert(math.abs(got(1)._4 - u2.toDouble / u1) < 1e-6)
+    assert(math.abs(got(2)._4 - u3.toDouble / u2) < 1e-6)
+    // the ordering constraint must bite: some user has all three types
+    // but no qualifying ordered chain (else this is just type counting)
+    val typeCounts = byUser.count { case (_, es) =>
+      Set("view", "click", "purchase").subsetOf(es.map(_._4).toSet)
+    }
+    assert(typeCounts > u3, "every 3-type user converts — ordering never bites, vacuous")
+  }
+
+  test("KL drift (q121) matches a driver-side recompute and is symmetric-positive") {
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("ts")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) / 50.0).toLong,
+        r.getAs[java.time.LocalDateTime](2).isBefore(java.time.LocalDateTime.parse("2024-01-16T00:00"))))
+    val got = ops.TimeSeries.q121KlDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val byType = rows.groupBy(_._1)
+    assert(got.map(_._1) == byType.keys.toSeq.sorted)
+    got.foreach { case (t, na, nb, kl) =>
+      val es = byType(t)
+      val buckets = es.map(_._2).distinct
+      val (a, b) = es.partition(_._3)
+      assert(na == a.size && nb == b.size, s"type $t half sizes")
+      val ca = a.groupBy(_._2).view.mapValues(_.size).toMap
+      val cb = b.groupBy(_._2).view.mapValues(_.size).toMap
+      val ref = buckets.map { bk =>
+        val pa = (ca.getOrElse(bk, 0) + 1).toDouble / (a.size + buckets.size)
+        val pb = (cb.getOrElse(bk, 0) + 1).toDouble / (b.size + buckets.size)
+        pa * math.log(pa / pb) + pb * math.log(pb / pa)
+      }.sum
+      assert(math.abs(kl - ref) < 1e-6, s"type $t: $kl vs $ref")
+      assert(kl >= 0, s"type $t symmetric KL must be non-negative")
+    }
+  }
 }
