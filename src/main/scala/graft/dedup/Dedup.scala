@@ -236,7 +236,7 @@ object Dedup {
     * reliable storage (survives executor loss); the RDD round-trip here
     * is the local, zero-infrastructure equivalent. The input MUST be
     * cached and stay cached while the view is in use. */
-  private def truncateLineage(df: DataFrame): DataFrame = {
+  private[graft] def truncateLineage(df: DataFrame): DataFrame = {
     // localCheckpoint (lazy) truncates the PHYSICAL lineage too: the
     // RDD-backed wrapper alone only cuts the logical plan, and its
     // serialized object graph still chains every prior round's RDD —

@@ -493,7 +493,11 @@ object Advanced {
         .select(col("node"),
           round(lit(0.15 / n) +
             lit(0.85) * (coalesce(col("c"), lit(0.0)) + col("dm") / n), 9).as("r"))
-      rank = graft.Caches.register(next.cache())
+      // cache stops recompute; the lineage cut keeps the PLAN flat —
+      // without it each round's tree embeds the previous round twice
+      // (dangling + contributions) and the physical plan grows ~3x per
+      // round (measured: 910 exchanges in the round-5 plan string)
+      rank = graft.dedup.Dedup.truncateLineage(graft.Caches.register(next.cache()))
     }
     rank.select(col("node"), round(col("r"), 6).as("pagerank"))
       .orderBy(col("node"))

@@ -472,13 +472,20 @@ object TimeSeries {
       .agg(sum(col("r1").cast("long")).as("u1"),
         sum(col("r2").cast("long")).as("u2"),
         sum(col("r3").cast("long")).as("u3"))
-    Seq((1L, "view", "u1", "u1"), (2L, "click", "u2", "u1"), (3L, "purchase", "u3", "u2"))
-      .map { case (no, name, users, prev) =>
-        steps.select(lit(no).as("step_no"), lit(name).as("step"),
-          col(users).as("users"),
-          round(col(users).cast("double") / nullif(col(prev), lit(0L)).cast("double"), 6)
-            .as("conv_rate"))
-      }.reduce(_ union _)
+    // one 1-row aggregate exploded into the 3 funnel rows — a union of
+    // three selects over `steps` would re-derive the whole aggregate
+    // (scan + window + rollup) once per branch
+    def row(no: Long, name: String, users: String, prev: String) =
+      struct(lit(no).as("step_no"), lit(name).as("step"),
+        col(users).as("users"),
+        round(col(users).cast("double") / nullif(col(prev), lit(0L)).cast("double"), 6)
+          .as("conv_rate"))
+    steps
+      .select(explode(array(
+        row(1L, "view", "u1", "u1"),
+        row(2L, "click", "u2", "u1"),
+        row(3L, "purchase", "u3", "u2"))).as("r"))
+      .select(col("r.step_no"), col("r.step"), col("r.users"), col("r.conv_rate"))
       .orderBy(col("step_no"))
   }
 

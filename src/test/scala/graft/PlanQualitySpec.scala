@@ -161,6 +161,53 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangeCount("q96_heavy_shingles") == 1)
   }
 
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q120 funnel: all three step resolutions ride ONE window exchange") {
+    // the 3 running conditional mins share a window spec (partition
+    // user, order ts+event_id): Catalyst chains them over a single
+    // exchange+sort, the per-user rollup and the 1-row summary reuse
+    // the partitioning, and 3 output rows never need a range exchange
+    assert(exchangeCount("q120_funnel") == 1, executed("q120_funnel"))
+  }
+
+  test("q116 video scenes: one per-doc window exchange + the oracle sort, nothing else") {
+    assert(exchangeCount("q116_video_scenes") == 2, executed("q116_video_scenes"))
+  }
+
+  test("q117 strip spans: window-hash + per-doc + join — three exchanges; token table cached once") {
+    val s = executed("q117_strip_spans")
+    assert(exchangeCount("q117_strip_spans") <= 3, s)
+    // the tokenized corpus is computed once and served from cache to
+    // both the window generation and the final cleaned-text join
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q118 gap fill: per-user calendar never cross-joins a global calendar") {
+    val s = executed("q118_gap_fill")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+    assert(exchangeCount("q118_gap_fill") <= 4, s)
+  }
+
+  test("q119 pagerank: per-round lineage cut keeps the final plan flat") {
+    // without the cache+localCheckpoint cut each round embeds the
+    // previous round's tree twice (dangling + contributions) — the
+    // round-5 plan measured 910 exchanges; with it the final plan is a
+    // checkpoint scan + round + one sort
+    assert(exchangeCount("q119_pagerank") <= 1, executed("q119_pagerank"))
+  }
+
+  test("q114 NB classifier: model joins broadcast, tf cached once, no sort-merge join") {
+    val s = executed("q114_nb_classifier")
+    assert(!s.contains("SortMergeJoin"), s)
+    // the two 1-row attaches (class totals, doc priors) are BNLJ
+    // broadcast crossJoins; the per-term model join is broadcast hash
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s).size == 2, s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 1, s)
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
