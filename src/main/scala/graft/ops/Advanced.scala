@@ -525,8 +525,58 @@ object Advanced {
       s" SELECT node, round(r, 6) AS pagerank FROM r$PrIters ORDER BY node"
   }
 
+  /** q124: chi-square independence test of the source × lang contingency
+    * table, plus Cramér's V effect size — the corpus-QA statistical test
+    * ("is language independent of crawl source?") that completes the
+    * statistics family beside q105 (correlation), q106 (trend), q121
+    * (divergence): those measure association of VALUES, this tests
+    * association of CATEGORIES. χ² = Σ (O − E)²/E over cells with
+    * E = row·col/N; V = sqrt(χ²/(N·min(r−1, c−1))).
+    *
+    * Plan: one partial-agged shuffle to the |sources|·|langs| cell
+    * table (cached — read by both marginals and the cell pass); row and
+    * column marginals and the 1-row total are broadcast back; the
+    * result is a single row. Cell terms are exact-integer-derived
+    * doubles summed once, round-6 (q105 policy); V is derived FROM the
+    * rounded χ² with the identical expression chain in both engines. */
+  def q124ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Caches.register(documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      .cache())
+    val rt = cells.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("source")).as("r"), countDistinct(col("lang")).as("c"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    val d = col("o").cast("double") - e
+    val chi2 = round(sum(d * d / e), 6)
+    cells
+      .join(broadcast(rt), "source").join(broadcast(ct), "lang")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(chi2.as("chi2"))
+      .select(col("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"), col("n"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  val q124Sql: String =
+    "WITH cells AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2), " +
+      "rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1), " +
+      "ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT source) AS r, " +
+      "count(DISTINCT lang) AS c FROM cells), " +
+      "agg AS (SELECT n, r, c, round(sum((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n) * " +
+      "(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n) / (CAST(rt * ct AS DOUBLE) / n)), 6) AS chi2 " +
+      "FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot GROUP BY n, r, c) " +
+      "SELECT chi2, (r - 1) * (c - 1) AS dof, n, " +
+      "round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v FROM agg"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_pagerank" -> q119PageRank _,
+    "q124_chi_square" -> q124ChiSquare _,
     "q105_corr_profile" -> q105CorrProfile _,
     "q108_bitmap_distinct" -> q108BitmapDistinct _,
     "q109_mode_profile" -> q109ModeProfile _,
@@ -547,6 +597,7 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q119_pagerank" -> q119Sql,
+    "q124_chi_square" -> q124Sql,
     "q105_corr_profile" -> q105Sql,
     "q108_bitmap_distinct" -> q108Sql,
     "q109_mode_profile" -> q109Sql,

@@ -560,10 +560,61 @@ object TimeSeries {
       "round(sum(pa * ln(pa / pb) + pb * ln(pb / pa)), 6) AS kl_sym " +
       "FROM j GROUP BY event_type ORDER BY event_type"
 
+  /** q123: robust outlier profile — per-type median, MAD (median
+    * absolute deviation), and the count of |x − median| > 3·1.4826·MAD
+    * outliers. The heavy-tail-safe twin of q102's z-scores: mean and
+    * stddev are themselves dragged by the outliers they're supposed to
+    * flag, median/MAD are not (breakdown point 50%). 1.4826 is the
+    * standard consistency constant (MAD → σ under normality).
+    *
+    * Plan: two passes by construction (the deviation median needs the
+    * location median first) — each pass one partial-agged shuffle to
+    * |types| rows, medians broadcast back over the cached deviation
+    * scan (q102's stats-attach idiom). Each median is rounded at the
+    * aggregate (see inline comment) so both engines thread identical
+    * doubles through the deviations and the outlier threshold. */
+  def q123MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    // median is rounded BEFORE the deviations: Spark interpolates even
+    // counts as a + 0.5·(b − a), DuckDB as (a + b)/2 — up to 1 ulp
+    // apart, which would leak into every downstream deviation; round-6
+    // re-synchronizes the engines at each median (half-ties measure-zero
+    // on interpolated data)
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(median(col("value")), 6).as("med"))
+    val dev = graft.Caches.register(ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      .cache())
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(median(col("ad")), 6).as("mad"), count(lit(1)).as("n"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("mad")).as("mad"), max(col("n")).as("n"),
+        sum(when(col("ad") > lit(1.4826) * col("mad") * lit(3.0), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"), col("mad"), col("n"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q123Sql: String =
+    "WITH med AS (SELECT event_type, round(median(value), 6) AS med FROM events GROUP BY 1), " +
+      "dev AS (SELECT e.event_type, abs(value - med) AS ad " +
+      "FROM events e JOIN med USING (event_type)), " +
+      "mad AS (SELECT event_type, round(median(ad), 6) AS mad, count(*) AS n " +
+      "FROM dev GROUP BY 1) " +
+      "SELECT d.event_type, max(med.med) AS med, max(mad.mad) AS mad, " +
+      "CAST(max(mad.n) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN ad > CAST(1.4826 AS DOUBLE) * mad.mad * CAST(3.0 AS DOUBLE) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+      "FROM dev d JOIN mad USING (event_type) JOIN med USING (event_type) " +
+      "GROUP BY d.event_type ORDER BY d.event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_gap_fill" -> q118GapFill _,
     "q120_funnel" -> q120Funnel _,
     "q121_kl_drift" -> q121KlDrift _,
+    "q123_mad_outliers" -> q123MadOutliers _,
     "q102_anomalies" -> q102Anomalies _,
     "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
@@ -581,6 +632,7 @@ object TimeSeries {
     "q118_gap_fill" -> q118Sql,
     "q120_funnel" -> q120Sql,
     "q121_kl_drift" -> q121Sql,
+    "q123_mad_outliers" -> q123Sql,
     "q102_anomalies" -> q102Sql,
     "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,

@@ -502,8 +502,69 @@ object TextAnalysis {
       "CASE WHEN round(sw + ln(CAST(dpos AS DOUBLE) / dneg), 6) > 0 THEN 1 ELSE 0 END AS pred_curated " +
       "FROM scored CROSS JOIN pri ORDER BY doc_id"
 
+  /** q122: collocation mining — top-50 adjacent-bigram PMI with minimum
+    * support 5 (Church & Hanks 1990; the word2phrase step that feeds
+    * multi-word entries into a tokenizer vocabulary). ADJACENT bigrams
+    * only, never within-window pairs, so the explode is LINEAR in
+    * corpus tokens (a window-pair variant is quadratic per window and
+    * buys little for phrase mining). PMI = ln(P(a,b) / (P(a)·P(b)))
+    * with bigram and unigram mass normalized separately.
+    *
+    * Scale shape: one cached token-array scan feeds the unigram count,
+    * the bigram count, and the bigram-total stat; both count tables are
+    * partial-agged; the unigram table joins back by BROADCAST (a
+    * unigram vocab is MBs at any corpus size — the q84/q114 model
+    * idiom); totals are 1-row broadcast attaches; the top-50 is
+    * TakeOrdered on the ROUNDED pmi (round-6 before the sort so both
+    * engines rank identically — the q112 policy), tie-broken (w1, w2). */
+  def q122Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Caches.register(documents(spark, dir)
+      .select(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .cache())
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .where(size(col("ws")) >= 2)
+      .select(posexplode_outer(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))))
+      .where(col("col").isNotNull)
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 5)
+    val nuDf = uni.agg(sum(col("c")).as("nu"))
+    val nbDf = toks.agg(sum(greatest(size(col("ws")) - 1, lit(0))).cast("long").as("nb"))
+    val pmi = round(log(
+      (col("cab").cast("double") / col("nb")) /
+        ((col("ca").cast("double") / col("nu")) * (col("cb").cast("double") / col("nu")))), 6)
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(nuDf)).crossJoin(broadcast(nbDf))
+      .select(col("w1"), col("w2"), col("cab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  val q122Sql: String =
+    "WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
+      "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w), " +
+      "nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni), " +
+      "nb AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS nb FROM t), " +
+      "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM " +
+      "(SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t WHERE len(ws) >= 2)), " +
+      "bi AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5) " +
+      "SELECT w1, w2, cab, " +
+      "round(ln((CAST(cab AS DOUBLE) / nb) / " +
+      "((CAST(ca AS DOUBLE) / nu) * (CAST(cb AS DOUBLE) / nu))), 6) AS pmi " +
+      "FROM bi JOIN (SELECT w AS w1, c AS ca FROM uni) USING (w1) " +
+      "JOIN (SELECT w AS w2, c AS cb FROM uni) USING (w2) " +
+      "CROSS JOIN nu CROSS JOIN nb " +
+      "ORDER BY pmi DESC, w1, w2 LIMIT 50"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25_topk" -> q101Bm25Topk _,
+    "q122_collocations" -> q122Collocations _,
     "q114_nb_classifier" -> q114NbClassifier _,
     "q25_lang_id" -> q25LangId _,
     "q26_text_quality" -> q26Quality _,
@@ -527,6 +588,7 @@ object TextAnalysis {
     "q69_decontaminate" -> q69Sql,
     "q84_unigram_lm" -> q84Sql,
     "q101_bm25_topk" -> q101Sql,
-    "q114_nb_classifier" -> q114Sql
+    "q114_nb_classifier" -> q114Sql,
+    "q122_collocations" -> q122Sql
   )
 }

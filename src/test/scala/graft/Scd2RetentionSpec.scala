@@ -190,4 +190,30 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(kl >= 0, s"type $t symmetric KL must be non-negative")
     }
   }
+
+  test("MAD outliers (q123): robust stats match a driver-side recompute; flags subset-consistent") {
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else s(n / 2 - 1) + 0.5 * (s(n / 2) - s(n / 2 - 1))
+    }
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    val got = ops.TimeSeries.q123MadOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == byType.keys.toSeq.sorted)
+    got.foreach { case (t, med, mad, n, out) =>
+      val vs = byType(t).map(_._2).toSeq
+      val m = round6(median(vs))
+      val ad = vs.map(v => math.abs(v - m))
+      val md = round6(median(ad))
+      assert(med == m, s"type $t median")
+      assert(mad == md, s"type $t mad")
+      assert(n == vs.size)
+      assert(out == ad.count(_ > 1.4826 * md * 3.0), s"type $t outlier count")
+      // robustness sanity: flags are a minority and MAD is positive
+      assert(out < n / 4 && md > 0)
+    }
+  }
 }

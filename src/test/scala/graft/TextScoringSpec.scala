@@ -101,4 +101,51 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.log((cneg.getOrElse(t, 0L) + 1).toDouble))
     assert(score(Seq.fill(20)(posTerm)) > score(Seq.fill(20)(negTerm)))
   }
+
+  test("collocations (q122): top-50 adjacent-bigram PMI matches a driver-side recompute") {
+    val docs = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(r => tokenize(r.getString(0)))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = docs.flatMap(ws => ws.zip(ws.drop(1)))
+    val bi = bigrams.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5).toMap
+    val nu = uni.values.sum.toDouble
+    val nb = bigrams.size.toDouble
+    def pmi(p: (String, String)): Double = {
+      val raw = math.log((bi(p) / nb) / ((uni(p._1) / nu) * (uni(p._2) / nu)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = bi.keys.toSeq
+      .sortBy(p => (-pmi(p), p._1, p._2)).take(50)
+      .map(p => (p._1, p._2, bi(p), pmi(p)))
+    val got = text.TextAnalysis.q122Collocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.size == 50 && got == expected,
+      s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // PMI must actually re-rank vs raw frequency: counts along the PMI
+    // order are not simply non-increasing (else the normalization is
+    // vacuous and this is just a count sort)
+    assert(got.map(_._3).sliding(2).exists { case Seq(a, b) => b > a; case _ => false })
+  }
+
+  test("chi-square (q124): matches a driver-side contingency recompute") {
+    val rows = Tables.documents(spark, dir)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.length.toLong
+    val chi2raw = cells.map { case ((s, l), o) =>
+      val e = (rt(s) * ct(l)).toDouble / n
+      (o - e) * (o - e) / e
+    }.sum
+    val chi2 = BigDecimal(chi2raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val Array(r) = ops.Advanced.q124ChiSquare(spark, dir).collect()
+    assert(math.abs(r.getDouble(0) - chi2) < 1e-5, s"${r.getDouble(0)} vs $chi2")
+    assert(r.getLong(1) == (rt.size - 1).toLong * (ct.size - 1))
+    assert(r.getLong(2) == n)
+    val v = math.sqrt(r.getDouble(0) / (n * math.min(rt.size - 1, ct.size - 1)))
+    assert(math.abs(r.getDouble(3) - v) < 1e-5)
+  }
 }
