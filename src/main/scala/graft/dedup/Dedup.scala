@@ -1037,6 +1037,70 @@ object Dedup {
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
+  /** q125: EXACT set-similarity self-join by prefix filtering (the
+    * PPJoin family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008;
+    * independently re-expressed as a dataflow): the third point in the
+    * near-dup design space. q30 is exact but all-pairs (guarded
+    * quadratic); q31 is scalable but approximate (LSH recall < 1);
+    * this is BOTH exact and bucketed — identical output to q30,
+    * including the Jaccard values, with no row-count guard and no
+    * hot-shingle cap, because the quadratic term is bounded
+    * algorithmically instead of policed.
+    *
+    * The bound: order every shingle by (global df ASC, hash) — rarest
+    * first — and take each doc's PREFIX of length n − ceil(t·n) + 1
+    * (t = 0.5 ⇒ ⌊n/2⌋ + 1). If J(A,B) ≥ t, the intersection has
+    * ≥ ceil(t·|A|) elements, too many to hide entirely inside A's
+    * suffix of length ceil(t·|A|) − 1 — so the prefixes of ANY
+    * qualifying pair must collide (prefix-filter lemma). Candidates =
+    * pairs colliding on a PREFIX token: the self-join runs on the
+    * rarest half of each set, where df is smallest by construction —
+    * boilerplate shingles that would explode q30's join sit at the END
+    * of the global order and never enter a prefix (the same skew the
+    * df cap handles by dropping, handled here with zero semantic
+    * change). The length filter (t·|B| ≤ |A|, symmetric) prunes
+    * mismatched sizes before the verify. Verification is the q78
+    * exploded hash-join, linear in candidate tokens.
+    *
+    * Scale shape: one df aggregation (linear), one per-doc rank window
+    * (linear), a prefix-token self-join (df²-bounded on rare tokens),
+    * exact verify on candidates only. Oracle: q30's SQL verbatim — the
+    * outputs are equal BY THEOREM, and the driver hash-checks that
+    * equality cross-engine. */
+  def q125PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.Caches.register(shingles(spark, dir).cache())
+    val e = graft.Caches.register(
+      sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s")).cache())
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val df = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pref = e.join(df, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(sizes, "doc_id")
+      .where(col("rk") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("s"), col("n"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J >= 0.5 forces |A| >= |B|/2 and |B| >= |A|/2
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = cands.join(e.as("ea"), col("id_a") === col("ea.doc_id"))
+      .select(col("id_a"), col("id_b"), col("ea.s").as("s")).as("pa")
+      .join(e.as("eb"), col("pa.id_b") === col("eb.doc_id") && col("pa.s") === col("eb.s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .where(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private val SimBits = 64
 
   /** 64-bit SimHash per document over word tokens: explode tokens →
@@ -1208,6 +1272,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup" -> q29ExactDedup _,
     "q30_ngram_jaccard" -> q30NgramJaccard _,
+    "q125_prefix_join" -> q125PrefixJoin _,
     "q65_dup_clusters" -> q65DupClusters _,
     "q31_minhash_lsh" -> q31MinhashLsh _,
     "q32_simhash" -> q32Simhash _,
@@ -1225,6 +1290,8 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q29_exact_dedup" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
+    // equal to q30 by the prefix-filter theorem; the driver hash-checks it
+    "q125_prefix_join" -> q30Sql,
     "q65_dup_clusters" -> q65Sql,
     "q77_dedup_keeplist" -> q77Sql,
     "q80_chunk_dedup" -> q80Sql,

@@ -507,6 +507,33 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("prefix-filter join (q125) equals the exact quadratic baseline; candidate set provably smaller") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = dedup.Dedup.q30NgramJaccard(spark, dir).collect().map(key).toSeq
+    val pp = dedup.Dedup.q125PrefixJoin(spark, dir).collect().map(key).toSeq
+    assert(pp == exact, s"prefix join diverges from the exact baseline: " +
+      s"${pp.toSet.diff(exact.toSet).take(3)} / ${exact.toSet.diff(pp.toSet).take(3)}")
+    assert(exact.nonEmpty, "no qualifying pairs at this SF — equality is vacuous")
+    // measure the filter: candidates from prefix collisions must be far
+    // fewer than all doc pairs (the reason no guard is needed)
+    val sets = dedup.Dedup.shingles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val dfc = sets.toSeq.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val prefixes = sets.map { case (id, ss) =>
+      val p = ss.size / 2 + 1
+      id -> ss.toSeq.sortBy(s => (dfc(s), s)).take(p).toSet
+    }
+    var cands = 0L
+    for (i <- prefixes.indices; j <- (i + 1) until prefixes.length)
+      if (prefixes(i)._2.exists(prefixes(j)._2)) cands += 1
+    val allPairs = sets.length.toLong * (sets.length - 1) / 2
+    assert(cands < allPairs / 4,
+      s"prefix filter barely filters: $cands candidates of $allPairs pairs")
+    // and it is genuinely a superset of the answer (lemma sanity)
+    assert(exact.size <= cands)
+  }
+
   test("strip duplicated spans keeps exactly the globally-first occurrences (q117)") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)
