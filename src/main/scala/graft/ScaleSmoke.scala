@@ -138,6 +138,33 @@ object ScaleSmoke {
       timed("q80_chunk_dedup_10x", json) { mat(dedup.Dedup.q80ChunkDedup(spark, dir10)) }
       timed("q81_seq_pack_10x", json) { mat(ops.DataPrep.q81SeqPack(spark, dir10)) }
       timed("q95_leakage_split_10x", json) { mat(dedup.Dedup.q95LeakageSplit(spark, dir10)) }
+      timed("q117_strip_spans_10x", json) {
+        val n = mat(dedup.Dedup.stripSpansOf(docs10))
+        assert(n == n10, s"strip spans emitted $n rows for $n10 docs")
+        n
+      }
+      Caches.drain()
+
+      // ---- q125 prefix join survives the boilerplate corpus UNCAPPED ----
+      // This corpus is the df cap's reason to exist: three shingles sit
+      // in ~25k docs, and q30 without the cap would generate ~(25k)²/2
+      // candidates from them alone. The prefix filter needs NO cap and
+      // NO semantic change: ubiquitous shingles sort LAST in the global
+      // df order and never enter any doc's rarest-half prefix, so the
+      // candidate join never sees them. Linearity shows as the same
+      // ~planted-pair output band q30 has (q125 keeps the hot shingles
+      // in the sets, so Jaccard values differ from capped-q30 — pair
+      // COUNTS are the comparable quantity).
+      val pp10 = timed("q125_prefix_join_10x", json) {
+        mat(dedup.Dedup.q125PrefixJoin(spark, dir10))
+      }
+      json.append(s""""q125_pairs_10x":$pp10,""")
+      // each base doc plants a rep0/rep1 near-dup pair (J ~ 0.9 with the
+      // boilerplate shingles kept) that must qualify at t = 0.5
+      assert(pp10 >= nBase,
+        s"planted near-dup pairs missing from prefix join: $pp10 pairs < $nBase base docs")
+      assert(pp10 <= 25L * math.max(pairs1x, nBase),
+        s"prefix-join blowup: $pp10 pairs at 10x — prefix filter not containing the hot shingles")
       Caches.drain()
 
       // ---- incremental LSH ingest: per-batch cost stays flat while ----

@@ -610,11 +610,80 @@ object TimeSeries {
       "FROM dev d JOIN mad USING (event_type) JOIN med USING (event_type) " +
       "GROUP BY d.event_type ORDER BY d.event_type"
 
+  /** q126: changepoint detection — per event type, the split day that
+    * maximizes the absolute mean shift |mean_before − mean_after| over
+    * the daily series (binary segmentation's scoring step, the
+    * drift-LOCALIZER where q106 only measures a global slope and q121
+    * only scores a fixed half split). Ties go to the earliest day.
+    *
+    * Determinism is the interesting part: windowed prefix sums of
+    * DOUBLES are engine-divergent (Spark accumulates sequentially,
+    * DuckDB's windowed aggregates use segment trees — different
+    * association order, different ulps), so the values are converted to
+    * EXACT INTEGER CENTS first (the fixture's 2-decimal values make
+    * round(value·100) lossless). Every prefix/total sum is then integer
+    * math, and the means/shift are a fixed chain of IEEE divisions on
+    * identical integers — bit-identical cross-engine with no rounding
+    * anywhere except the display columns.
+    *
+    * Plan: one partial-agged shuffle to (type, day) cents/counts, one
+    * prefix window per type, totals joined back by broadcast, rank-1
+    * window on (shift DESC, day ASC). Everything after the first
+    * shuffle operates on |types|·|days| rows. */
+  def q126Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("cents")).as("tc"), sum(col("cnt")).as("tn"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = daily
+      .withColumn("lc", sum(col("cents")).over(wPrev))
+      .withColumn("ln", sum(col("cnt")).over(wPrev))
+      .where(col("ln").isNotNull) // first day has no left segment
+      .join(broadcast(tot), "event_type")
+      .withColumn("mb", (col("lc").cast("double") / lit(100.0)) / col("ln"))
+      .withColumn("ma", ((col("tc") - col("lc")).cast("double") / lit(100.0)) /
+        (col("tn") - col("ln")))
+      .withColumn("shift", abs(col("mb") - col("ma")))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("shift").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cut_day"),
+        round(col("mb"), 6).as("mean_before"), round(col("ma"), 6).as("mean_after"),
+        round(col("shift"), 6).as("mean_shift"))
+      .orderBy(col("event_type"))
+  }
+
+  val q126Sql: String =
+    "WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+      "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, count(*) AS cnt " +
+      "FROM events GROUP BY 1, 2), " +
+      "tot AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS tc, " +
+      "CAST(sum(cnt) AS BIGINT) AS tn FROM daily GROUP BY 1), " +
+      "pre AS (SELECT *, CAST(sum(cents) OVER w AS BIGINT) AS lc, " +
+      "CAST(sum(cnt) OVER w AS BIGINT) AS ln FROM daily " +
+      "WINDOW w AS (PARTITION BY event_type ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "sc AS (SELECT pre.event_type, day, " +
+      "(CAST(lc AS DOUBLE) / 100.0) / ln AS mb, " +
+      "(CAST(tc - lc AS DOUBLE) / 100.0) / (tn - ln) AS ma " +
+      "FROM pre JOIN tot USING (event_type) WHERE ln IS NOT NULL), " +
+      "rk AS (SELECT event_type, day, mb, ma, abs(mb - ma) AS shift, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY abs(mb - ma) DESC, day) AS rn FROM sc) " +
+      "SELECT event_type, day AS cut_day, round(mb, 6) AS mean_before, " +
+      "round(ma, 6) AS mean_after, round(shift, 6) AS mean_shift " +
+      "FROM rk WHERE rn = 1 ORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_gap_fill" -> q118GapFill _,
     "q120_funnel" -> q120Funnel _,
     "q121_kl_drift" -> q121KlDrift _,
     "q123_mad_outliers" -> q123MadOutliers _,
+    "q126_changepoint" -> q126Changepoint _,
     "q102_anomalies" -> q102Anomalies _,
     "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
@@ -633,6 +702,7 @@ object TimeSeries {
     "q120_funnel" -> q120Sql,
     "q121_kl_drift" -> q121Sql,
     "q123_mad_outliers" -> q123Sql,
+    "q126_changepoint" -> q126Sql,
     "q102_anomalies" -> q102Sql,
     "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,

@@ -216,4 +216,36 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out < n / 4 && md > 0)
     }
   }
+
+  test("changepoint (q126): best mean-shift split matches an exhaustive driver-side scan") {
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        math.round(r.getDouble(2) * 100)))
+    val got = ops.TimeSeries.q126Changepoint(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val byType = rows.groupBy(_._1)
+    assert(got.map(_._1).toSeq == byType.keys.toSeq.sorted)
+    got.foreach { case (t, cutDay, mb, ma, shift) =>
+      val daily = byType(t).groupBy(_._2).view
+        .mapValues(es => (es.map(_._3).sum, es.size.toLong)).toMap
+      val days = daily.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDateTime) => d.toString))
+      // exhaustive scan over every candidate split (all but the first day)
+      val best = days.drop(1).map { d =>
+        val (l, r) = days.partition(_.isBefore(d))
+        def mean(ds: Seq[java.time.LocalDateTime]) = {
+          val (c, n) = ds.map(daily).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+          (c.toDouble / 100.0) / n
+        }
+        (d, mean(l), mean(r), math.abs(mean(l) - mean(r)))
+      }.maxBy { case (d, _, _, s) => (s, -days.indexOf(d)) } // max shift, earliest day wins ties
+      assert(cutDay == best._1, s"type $t cut day: $cutDay vs ${best._1}")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mb == r6(best._2) && ma == r6(best._3) && shift == r6(best._4), s"type $t stats")
+      // the cut must split the series properly (not an endpoint artifact)
+      assert(days.head.isBefore(cutDay) && !days.last.isBefore(cutDay))
+    }
+  }
 }
