@@ -13,6 +13,12 @@ case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Time
 
 private case class SessionState(n: Long, start: Long, end: Long, sum: Double)
 
+/** A daily grid row from the stateful gap-filler — the streaming twin of
+  * `TimeSeries.q118GapFill`'s output. */
+case class GapFillOut(user_id: Long, day: Timestamp, value: Double, is_observed: Int)
+
+private case class GapFillState(openDayMs: Long, openSum: Double, closed: Boolean)
+
 /** Structured Streaming operator surface (SURVEY.md §2B streaming row).
   *
   * Every transform below is `DataFrame → DataFrame` so the identical logic
@@ -123,6 +129,73 @@ object Streaming {
             state.setTimeoutTimestamp(s.end + gapMs)
           }
           closed.iterator
+      }
+  }
+
+  /** Stateful gap fill + LOCF — q118's streaming twin: per user, daily
+    * value sums with every silent day emitted as a filled row
+    * (`is_observed = 0`) carrying the last closed day's sum. A day
+    * closes when a later day's first event arrives for that user (the
+    * observed row and the gap rows up to the new day emit together), or
+    * when the event-time watermark passes the open day's end (timeout —
+    * the day closes with no successor, so once the watermark sweeps
+    * past the stream's tail the emitted set equals batch q118's grid
+    * exactly; StreamingSpec replays the events table and asserts set
+    * equality). After a timeout the state is KEPT (marked closed) so a
+    * much later event still fills the intervening gap days from the
+    * last closed sum. Late events for already-closed days are dropped —
+    * the watermark contract, same as every watermarked aggregate here.
+    *
+    * Scale: state is one small record per ACTIVE user (not per day —
+    * gaps materialize only at emission), keyed by the shuffle key. */
+  def gapFillStateful(events: Dataset[Ev]): Dataset[GapFillOut] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapFillState, GapFillOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[GapFillState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapFillOut]
+          var cur = state.getOption
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (evs.isEmpty) {
+            cur match {
+              case Some(s) if state.hasTimedOut && !s.closed =>
+                out += GapFillOut(uid, new Timestamp(s.openDayMs), round6(s.openSum), 1)
+                state.update(s.copy(closed = true))
+              case _ => ()
+            }
+          } else {
+            evs.foreach { e =>
+              val d = { val t = e.ts.getTime; t - java.lang.Math.floorMod(t, dayMs) }
+              cur match {
+                case None =>
+                  cur = Some(GapFillState(d, e.value, closed = false))
+                case Some(s) if d == s.openDayMs =>
+                  // closed ⇒ the watermark already sealed this day: late, drop
+                  if (!s.closed) cur = Some(s.copy(openSum = s.openSum + e.value))
+                case Some(s) if d > s.openDayMs =>
+                  if (!s.closed)
+                    out += GapFillOut(uid, new Timestamp(s.openDayMs), round6(s.openSum), 1)
+                  val fill = round6(s.openSum)
+                  var g = s.openDayMs + dayMs
+                  while (g < d) {
+                    out += GapFillOut(uid, new Timestamp(g), fill, 0)
+                    g += dayMs
+                  }
+                  cur = Some(GapFillState(d, e.value, closed = false))
+                case Some(_) => () // before the open day: late, drop
+              }
+            }
+            val s = cur.get
+            state.update(s)
+            state.setTimeoutTimestamp(s.openDayMs + dayMs)
+          }
+          out.iterator
       }
   }
 

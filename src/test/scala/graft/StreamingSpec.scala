@@ -331,6 +331,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getAs[Long]("sum_v") === (0L until 10L).sum)
   }
 
+  test("stateful gap fill matches batch q118 once the watermark closes every day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val expect = ops.TimeSeries.q118GapFill(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getDouble(2), r.getInt(3))).toSet
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.gapFillStateful(mem.toDS()).writeStream
+      .format("memory").queryName("gapfill").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past every
+      // open day, the second gives the engine a batch to fire timers in
+      val far = new Timestamp(evs.map(_.ts.getTime).max + 100L * 86400000L)
+      mem.addData(Ev(9000001, 9000001, "x", far, 0.0)); q.processAllAvailable()
+      mem.addData(Ev(9000002, 9000001, "x", new Timestamp(far.getTime + 1000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("gapfill").filter(col("user_id") < 9000000L).collect()
+        .map(r => (r.getLong(0), r.getAs[Timestamp](1).getTime, r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got === expect,
+        s"stream/batch diverge: ${got.diff(expect).take(3)} vs ${expect.diff(got).take(3)}")
+    } finally q.stop()
+  }
+
   test("batch/stream parity: hourlyStats over the events table") {
     val sf = "/root/testdata/sf0.001"
     val batchEvents = Tables.events(spark, sf)
