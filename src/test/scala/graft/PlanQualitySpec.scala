@@ -208,6 +208,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("InMemoryTableScan".r.findAllIn(s).size >= 1, s)
   }
 
+  test("q122 collocations: vocab joins broadcast, top-50 is TakeOrdered, no sort-merge join") {
+    val s = executed("q122_collocations")
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q123/q126: stats attach back by broadcast — the fact scan never shuffle-joins") {
+    for (q <- Seq("q123_mad_outliers", "q126_changepoint")) {
+      val s = executed(q)
+      assert(!s.contains("SortMergeJoin"), s"$q shuffle-joins its stats:\n$s")
+      assert(s.contains("BroadcastHashJoin"), s"$q lost its broadcast attach:\n$s")
+    }
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
