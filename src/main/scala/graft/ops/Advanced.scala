@@ -574,9 +574,64 @@ object Advanced {
       "SELECT chi2, (r - 1) * (c - 1) AS dof, n, " +
       "round(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v FROM agg"
 
+  /** q127: mergeable PERCENTILE-sketch rollup (DataSketches KLL, k=200 ⇒
+    * ~1.65% normalized rank error) — the quantile member of the sketch-
+    * store family: q91 rolls up DISTINCTS (HLL), q99 COUNTS (CMS), q94
+    * MEMBERSHIP (Bloom), q108 exact bitmaps; this rolls up quantiles.
+    * Per-day KLL sketches are the stored artifact; any ad-hoc date-range
+    * percentile then comes from MERGING the stored sketches — never from
+    * re-scanning raw data, which is what a sketch store buys at 100 TB.
+    * Output: per-day n/p50/p90/p99 plus the whole-range rollup row
+    * (day = NULL) computed by merging the daily sketches.
+    *
+    * Implementation: typed `groupByKey(day).mapGroups` builds ONE sketch
+    * per day partition-locally (each group's iterator streams through a
+    * single heap sketch — no per-row serialize/deserialize, which is the
+    * trap a naive Aggregator-with-binary-buffer hits); the merge pass
+    * re-heapifies the ~|days| byte arrays and merges them. One shuffle
+    * on day, one on the merge key. No SQL oracle: KLL compaction makes
+    * coin-flip decisions, so quantile ESTIMATES are not reproducible
+    * run-to-run — the driver records rows-only, and SketchSpec bounds
+    * every estimate's true rank against the exact distribution and pins
+    * the exact laws that DO hold (N is tracked exactly and merges
+    * preserve it; estimates are always observed values). */
+  def q127KllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val K = 200
+    val daily = graft.Caches.register(events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"), col("value"))
+      .as[(java.time.LocalDateTime, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (day, it) =>
+        val sk = KllDoublesSketch.newHeapInstance(K)
+        it.foreach(x => sk.update(x._2))
+        (day, sk.toByteArray)
+      }.cache())
+    def quants(b: Array[Byte]): (Long, Double, Double, Double) = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
+      (sk.getN, sk.getQuantile(0.5), sk.getQuantile(0.9), sk.getQuantile(0.99))
+    }
+    val perDay = daily.map { case (d, b) =>
+      val (n, p50, p90, p99) = quants(b); (Option(d), n, p50, p90, p99)
+    }
+    val merged = daily.groupByKey(_ => 0).mapGroups { (_, it) =>
+      val acc = KllDoublesSketch.newHeapInstance(K)
+      it.foreach { case (_, b) => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))) }
+      val n = acc.getN
+      (Option.empty[java.time.LocalDateTime], n,
+        acc.getQuantile(0.5), acc.getQuantile(0.9), acc.getQuantile(0.99))
+    }
+    perDay.union(merged)
+      .toDF("day", "n", "p50", "p90", "p99")
+      .orderBy(col("day").asc_nulls_last)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_pagerank" -> q119PageRank _,
     "q124_chi_square" -> q124ChiSquare _,
+    "q127_kll_rollup" -> q127KllRollup _,
     "q105_corr_profile" -> q105CorrProfile _,
     "q108_bitmap_distinct" -> q108BitmapDistinct _,
     "q109_mode_profile" -> q109ModeProfile _,

@@ -678,12 +678,61 @@ object TimeSeries {
       "round(ma, 6) AS mean_after, round(shift, 6) AS mean_shift " +
       "FROM rk WHERE rn = 1 ORDER BY event_type"
 
+  /** q128: journey mining — the top-10 3-step event-type sequences that
+    * occur WITHIN a session (q23's 30-minute-gap sessions), the "what do
+    * users actually do" sequence-frequency view that complements q120's
+    * fixed-funnel conversion (funnel asks "how many complete THIS
+    * path"; this asks "which paths happen"). Trigrams never cross a
+    * session boundary — that's the analytical point of sessionizing
+    * first.
+    *
+    * Plan: ONE exchange on user_id serves both window layers — the
+    * session-id running sum partitions by user, and the trigram leads
+    * partition by (user, session), which hash(user_id) already
+    * clusters, so Spark adds only a sort; the trigram counts
+    * partial-agg before their one shuffle and the top-10 is
+    * TakeOrdered with a (cnt DESC, journey) total order. */
+  def q128Journeys(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wrun))
+      .withColumn("t2", lead(col("event_type"), 1).over(wSess))
+      .withColumn("t3", lead(col("event_type"), 2).over(wSess))
+      .where(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("journey"))
+      .groupBy(col("journey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("journey"))
+      .limit(10)
+  }
+
+  val q128Sql: String =
+    "WITH g AS (SELECT user_id, event_id, ts, event_type, " +
+      "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
+      "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT user_id, event_id, ts, event_type, " +
+      "CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g), " +
+      "t AS (SELECT event_type AS t1, lead(event_type, 1) OVER w2 AS t2, " +
+      "lead(event_type, 2) OVER w2 AS t3 FROM s " +
+      "WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)) " +
+      "SELECT t1 || '>' || t2 || '>' || t3 AS journey, count(*) AS cnt " +
+      "FROM t WHERE t3 IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, journey LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_gap_fill" -> q118GapFill _,
     "q120_funnel" -> q120Funnel _,
     "q121_kl_drift" -> q121KlDrift _,
     "q123_mad_outliers" -> q123MadOutliers _,
     "q126_changepoint" -> q126Changepoint _,
+    "q128_journeys" -> q128Journeys _,
     "q102_anomalies" -> q102Anomalies _,
     "q106_trend" -> q106Trend _,
     "q21_asof_join" -> q21AsofJoin _,
@@ -703,6 +752,7 @@ object TimeSeries {
     "q121_kl_drift" -> q121Sql,
     "q123_mad_outliers" -> q123Sql,
     "q126_changepoint" -> q126Sql,
+    "q128_journeys" -> q128Sql,
     "q102_anomalies" -> q102Sql,
     "q106_trend" -> q106Sql,
     "q21_asof_join" -> q21Sql,

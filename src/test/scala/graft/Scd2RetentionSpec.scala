@@ -248,4 +248,36 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(days.head.isBefore(cutDay) && !days.last.isBefore(cutDay))
     }
   }
+
+  test("journey mining (q128): session-bounded trigram counts match a driver-side replay") {
+    val gapUs = 1800000000L
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    byUser.values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      // split into sessions at 30-minute gaps, then count trigrams within
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[String]]
+      var prevUs = Long.MinValue
+      sorted.foreach { e =>
+        if (sessions.isEmpty || e._3 - prevUs > gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer(e._4)
+        else sessions.last += e._4
+        prevUs = e._3
+      }
+      sessions.foreach(s => s.sliding(3).filter(_.size == 3)
+        .foreach(t => counts(t.mkString(">")) = counts.getOrElse(t.mkString(">"), 0L) + 1))
+    }
+    val expected = counts.toSeq.sortBy { case (j, c) => (-c, j) }.take(10)
+    val got = ops.TimeSeries.q128Journeys(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // session boundaries must bite: total trigrams is less than the
+    // unsessionized count (else sessionization is vacuous here)
+    val unsessionized = byUser.values.map(es => math.max(0, es.size - 2)).sum
+    assert(counts.values.sum < unsessionized, "no trigram was cut by a session boundary")
+  }
 }

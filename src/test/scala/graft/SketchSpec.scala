@@ -155,4 +155,36 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
     } finally whole.unpersist()
   }
+
+  test("KLL rollup (q127): every quantile estimate lands within rank error; N laws exact") {
+    // k=200 KLL has ~1.65% normalized rank error (two-sided, 99% conf);
+    // merged sketches degrade slightly — 4% absolute rank tolerance
+    // covers both with margin while still failing a broken sketch hard
+    val tol = 0.04
+    val vals = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"), col("value"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    val byDay = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val all = vals.map(_._2).sorted
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    val rows = ops.Advanced.q127KllRollup(spark, dir).collect().map(r =>
+      (Option(r.getAs[java.time.LocalDateTime](0)), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.count(_._1.isEmpty) == 1, "exactly one whole-range rollup row")
+    rows.foreach { case (day, n, p50, p90, p99) =>
+      val sorted = day.map(byDay).getOrElse(all)
+      assert(n == sorted.length, s"$day: KLL tracks N exactly, got $n for ${sorted.length}")
+      for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        // estimates must be OBSERVED values (KLL returns retained items)
+        assert(sorted.contains(est), s"$day q=$q estimate $est is not a data value")
+        val r = rankOf(sorted, est)
+        assert(math.abs(r - q) <= tol + 1.0 / sorted.length,
+          s"$day q=$q: estimate $est has true rank $r")
+      }
+    }
+    // merge preserves N exactly: the rollup row's N is the sum of days'
+    val (days, whole) = rows.partition(_._1.isDefined)
+    assert(whole.head._2 == days.map(_._2).sum)
+  }
 }
