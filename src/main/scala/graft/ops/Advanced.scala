@@ -628,7 +628,99 @@ object Advanced {
       .orderBy(col("day").asc_nulls_last)
   }
 
+  /** Orders with more than this many distinct parts are excluded from the
+    * q129 co-purchase graph. Per-order pair generation is quadratic in
+    * basket size, so one degenerate mega-basket (a crawler cart, a bulk
+    * import) would dominate the edge build; capping is standard in
+    * market-basket mining and the SQL oracle mirrors the constant, so
+    * both engines agree BY CONSTRUCTION even where the cap engages. At
+    * the tested SFs baskets are <= 7 items, so the filter is identity. */
+  private val BasketCap = 20L
+
+  /** q129: triangle counting + global clustering coefficient over the
+    * part co-purchase graph (edge = two parts appearing in the same
+    * order) — the graph-ANALYTICS member beside q119 (PageRank
+    * propagates mass) and q65/q78 (components propagate labels):
+    * triangles measure local cohesion, and transitivity = 3·triangles /
+    * wedges is the standard corpus-graph QA statistic.
+    *
+    * The count uses the degree-ordered orientation (Schank 2007; Suri &
+    * Vassilvitskii WWW'11): every edge is directed from its (deg, id)-
+    * smaller endpoint to the larger, each triangle survives as exactly
+    * one wedge u→v, u→w closed by v→w, and — the scale property — every
+    * node's out-degree is O(√m), so the wedge join fans out at most
+    * √m per edge instead of max-degree. Hub nodes (a part in every
+    * order) stop being quadratic generators because their edges all
+    * point INTO them.
+    *
+    * Scale shape: the edge build is one self-join co-partitioned on
+    * o_orderkey with per-order fan-out bounded by BasketCap, then one
+    * distinct shuffle on (u, v); degrees are one partial-agged shuffle;
+    * the wedge join and the closing join both shuffle on bounded-degree
+    * keys; the three result scalars are 1-row broadcast attaches. All
+    * counts are exact integers, so the oracle matches bit-for-bit
+    * (wedges uses shiftright(d·(d−1), 1) ≡ //2 — d·(d−1) is always
+    * even — because both engines' `/` on integers would widen to
+    * non-integer types). */
+  def q129Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= BasketCap).select(col("ok"))
+    val inCap = graft.Caches.register(items.join(small, "ok").cache())
+    val edges = graft.Caches.register(
+      inCap.select(col("ok"), col("pk").as("u"))
+        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct().cache())
+    val deg = graft.Caches.register(
+      edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")).cache())
+    val before = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Caches.register(edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(before, col("u")).otherwise(col("v")).as("src"),
+        when(before, col("v")).otherwise(col("u")).as("dst"),
+        when(before, col("dv")).otherwise(col("du")).as("dd")).cache())
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("ddv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("ddw")), Seq("src"))
+      .filter(col("ddv") < col("ddw") || (col("ddv") === col("ddw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(sum(shiftright(col("d") * (col("d") - 1), 1)).as("n_wedges"))
+    ne.crossJoin(broadcast(nw)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("transitivity"))
+  }
+
+  val q129Sql: String =
+    "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 20), " +
+      "it AS (SELECT items.ok, items.pk FROM items JOIN small USING (ok)), " +
+      "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk), " +
+      "deg AS (SELECT node, count(*) AS d FROM " +
+      "(SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1), " +
+      "o AS (SELECT CASE WHEN before THEN u ELSE v END AS src, " +
+      "CASE WHEN before THEN v ELSE u END AS dst, " +
+      "CASE WHEN before THEN dv ELSE du END AS dd FROM " +
+      "(SELECT u, v, d1.d AS du, d2.d AS dv, " +
+      "(d1.d < d2.d OR (d1.d = d2.d AND u < v)) AS before " +
+      "FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node)), " +
+      "w AS (SELECT e1.src, e1.dst AS v, e2.dst AS w FROM o e1 JOIN o e2 ON e1.src = e2.src " +
+      "WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)), " +
+      "tri AS (SELECT count(*) AS n_triangles FROM w JOIN o ON w.v = o.src AND w.w = o.dst), " +
+      "ne AS (SELECT count(*) AS n_edges FROM e), " +
+      "nw AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg) " +
+      "SELECT n_edges, n_wedges, n_triangles, " +
+      "round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) AS transitivity " +
+      "FROM ne CROSS JOIN nw CROSS JOIN tri"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_triangles" -> q129Triangles _,
     "q119_pagerank" -> q119PageRank _,
     "q124_chi_square" -> q124ChiSquare _,
     "q127_kll_rollup" -> q127KllRollup _,
@@ -651,6 +743,7 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q129_triangles" -> q129Sql,
     "q119_pagerank" -> q119Sql,
     "q124_chi_square" -> q124Sql,
     "q105_corr_profile" -> q105Sql,

@@ -562,7 +562,153 @@ object TextAnalysis {
       "CROSS JOIN nu CROSS JOIN nb " +
       "ORDER BY pmi DESC, w1, w2 LIMIT 50"
 
+  /** q131: per-document token-entropy quality signal — Shannon entropy
+    * of the document's unigram distribution, the information-density
+    * gate (Gopher/C4-class filtering) that catches what q26's surface
+    * ratios and q68's adjacent-repetition scan both miss: documents
+    * cycling a tiny vocabulary look length- and punctuation-normal and
+    * need not repeat ADJACENTLY, but their entropy collapses.
+    * H = log2(n) − (Σ c·log2 c)/n computed algebraically from the term
+    * frequencies (one pass, no per-token p·log p materialization);
+    * `repetitive` flags H below 3.5 bits (the sf0.01 5th percentile;
+    * uniform use of the corpus vocabulary would give ~log2(31) ≈ 4.95).
+    *
+    * Scale shape: one partial-agged shuffle to (doc, term) counts, one
+    * cheap rollup to per-doc scalars — the q27/q54 tf idiom; nothing is
+    * broadcast and nothing is quadratic. Determinism: the c·ln c sum is
+    * a per-doc double reduction over ≤ |vocab| terms with magnitudes
+    * ~1e2, so summation-order drift is ~1e-13 and the round-6 policy
+    * absorbs it; the flag compares the ROUNDED entropy so both engines
+    * flag identically. Docs with zero [a-z] tokens have no unigram
+    * distribution and drop out (none exist at any tested SF). */
+  def q131TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val n = col("n_tokens").cast("double")
+    val entropy = round(
+      (log(n) - col("slc") / n) / log(lit(2.0)), 6)
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        entropy.as("entropy"), (entropy < 3.5).cast("int").as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q131Sql: String =
+    "WITH tf AS (SELECT doc_id, w, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) " +
+      "GROUP BY 1, 2), " +
+      "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, " +
+      "sum(c * ln(c)) AS slc FROM tf GROUP BY 1) " +
+      "SELECT doc_id, n_tokens, n_distinct, " +
+      "round((ln(CAST(n_tokens AS DOUBLE)) - slc / n_tokens) / ln(2), 6) AS entropy, " +
+      "CAST(round((ln(CAST(n_tokens AS DOUBLE)) - slc / n_tokens) / ln(2), 6) < 3.5 AS INTEGER) AS repetitive " +
+      "FROM agg ORDER BY doc_id"
+
+  /** Number of BPE merge rules q132 learns. Fixed like q119's PrIters so
+    * the oracle can unroll the same rounds as chained CTEs. */
+  private val BpeMerges = 8
+  /** Symbol separator inside a segmentation string: U+001F unit
+    * separator, which cannot occur in [a-z]+ words or the '</w>' mark. */
+  private val BpeSep = "\u001f"
+
+  /** q132: BPE vocabulary learning (Sennrich et al. 2016) — the
+    * tokenizer-TRAINING operator, upstream of everything q27's BPE-ish
+    * token counter and q81/q82's packing assume: learn the top-K merge
+    * rules from the corpus itself. Output = the ranked merge table
+    * (rank, left/right symbol, merged symbol, the pair's corpus
+    * frequency at selection time).
+    *
+    * The training loop runs on the WORD HISTOGRAM, not the corpus: the
+    * one corpus-scale operation is the (word → count) aggregation (one
+    * partial-agged shuffle — at 100 TB this is a q27-class token scan),
+    * after which every round costs one pair-count shuffle and one
+    * map-side re-segmentation over |vocab| rows — exactly how
+    * production BPE trainers are structured, and why vocabulary
+    * learning is tractable at any corpus size. Each round is
+    * driver-coordinated like the q112/q98 fits: the argmax pair (count
+    * DESC, then (a, b) lexicographic — binary collation in both
+    * engines) is a 1-row TakeOrdered the driver reads, then broadcast
+    * back as literals in the re-segmentation lambda.
+    *
+    * Segmentations are U+001F-joined strings, and a merge round is a
+    * LEFT fold: acc ends-with the rule's left symbol as a COMPLETE
+    * trailing segment and x is the right symbol → append x WITHOUT a
+    * separator (the trailing segment becomes the merged symbol);
+    * otherwise append with separator. Left-to-right non-overlap
+    * ("aaa" + (a,a) → [aa, a]) falls out because the merged trailing
+    * segment no longer equals the rule's left symbol. The DuckDB oracle
+    * replays the identical fold with list_reduce and unrolls the
+    * rounds as chained CTEs (the q119 pattern), so the whole training
+    * run is hash-checked — argmaxes, tie-breaks, and segmentations.
+    * Each round's ~|vocab|-row frame is lineage-truncated (q119: plan
+    * flatness, not just recompute). */
+  def q132BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.Caches.register(documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .cache())
+    var seg = words.select(col("word"), col("c"),
+      concat_ws(BpeSep, concat(split(col("word"), ""), array(lit("</w>")))).as("seg"))
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val arr = split(col("seg"), BpeSep)
+      val best = seg
+        .filter(size(arr) >= 2)
+        .select(col("c"), explode(arrays_zip(
+          slice(arr, lit(1), size(arr) - 1).as("a"),
+          slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((r, a, b, a + b, cnt))
+      val fold = aggregate(
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        element_at(arr, 1),
+        (acc, x) => when(
+          (acc === a || acc.endsWith(lit(BpeSep + a))) && x === lit(b),
+          concat(acc, x)).otherwise(concat(acc, lit(BpeSep), x)))
+      seg = graft.dedup.Dedup.truncateLineage(graft.Caches.register(
+        seg.select(col("word"), col("c"), fold.as("seg")).cache()))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rules.result().toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  val q132Sql: String = {
+    val sep = "chr(31)"
+    val base =
+      "WITH words AS (SELECT w AS word, count(*) AS c FROM " +
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) " +
+        "GROUP BY 1), " +
+        s"seg0 AS (SELECT word, c, array_to_string(string_split(word, ''), $sep) || " +
+        s"$sep || '</w>' AS seg FROM words), "
+    val rounds = (1 to BpeMerges).map { r =>
+      val p = s"seg${r - 1}"
+      s"p$r AS (SELECT (pr).a AS a, (pr).b AS b, CAST(sum(c) AS BIGINT) AS cnt FROM " +
+        "(SELECT c, unnest(list_transform(range(1, length(l)), i -> {'a': l[i], 'b': l[i+1]})) AS pr " +
+        s"FROM (SELECT c, string_split(seg, $sep) AS l FROM $p)) GROUP BY 1, 2), " +
+        s"b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"seg$r AS (SELECT word, c, list_reduce(string_split(seg, $sep), (acc, x) -> " +
+        s"CASE WHEN (acc = b$r.a OR right(acc, length(b$r.a) + 1) = $sep || b$r.a) " +
+        s"AND x = b$r.b THEN acc || x ELSE acc || $sep || x END) AS seg " +
+        s"FROM $p, b$r)"
+    }.mkString(", ")
+    base + rounds + " " +
+      (1 to BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, " +
+          s"a || b AS merged, cnt AS pair_count FROM b$r").mkString(" UNION ALL ") +
+      " ORDER BY merge_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_token_entropy" -> q131TokenEntropy _,
+    "q132_bpe_vocab" -> q132BpeVocab _,
     "q101_bm25_topk" -> q101Bm25Topk _,
     "q122_collocations" -> q122Collocations _,
     "q114_nb_classifier" -> q114NbClassifier _,
@@ -578,6 +724,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q131_token_entropy" -> q131Sql,
+    "q132_bpe_vocab" -> q132Sql,
     "q25_lang_id" -> q25Sql,
     "q26_text_quality" -> q26Sql,
     "q27_token_stats" -> q27Sql,

@@ -61,4 +61,35 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(supp.values.sum / supp.size > cust.values.sum / cust.size,
       "suppliers should on average outrank customers in a bipartite sink graph")
   }
+
+  test("triangles (q129): counts match a brute-force driver-side enumeration") {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = items.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toVector).toMap
+      .filter(_._2.size <= 20)
+    val edges: Set[(Long, Long)] = baskets.values.toSeq.flatMap { ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute force: for each edge (u,v), common neighbors w > v close a
+    // triangle exactly once under the u < v < w canonical ordering
+    val nTri = edges.toSeq.map { case (u, v) =>
+      adj.getOrElse(u, Set.empty).count(w => w > v && edges.contains((v, w)))
+    }.sum.toLong
+    val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nWedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val row = ops.Advanced.q129Triangles(spark, dir).collect().head
+    assert(row.getLong(0) == edges.size.toLong, "n_edges")
+    assert(row.getLong(1) == nWedges, "n_wedges")
+    assert(row.getLong(2) == nTri, s"n_triangles: ${row.getLong(2)} vs $nTri")
+    val expT = BigDecimal(3.0 * nTri / nWedges)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) == expT, "transitivity")
+    // the graph must actually have non-trivial structure for the test
+    // to mean anything: triangles exist but the graph is not a clique
+    assert(nTri > 0 && nTri < nWedges / 3, s"degenerate graph: $nTri tri / $nWedges wedges")
+  }
 }

@@ -128,6 +128,64 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._3).sliding(2).exists { case Seq(a, b) => b > a; case _ => false })
   }
 
+  test("token entropy (q131): matches a driver-side Shannon recompute; flags the repetitive tail") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val got = text.TextAnalysis.q131TokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet, "doc universe")
+    docs.foreach { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toDouble
+      // reference computes entropy the textbook way (-Σ p·log2 p); the
+      // query's algebraic form must agree to the rounding boundary
+      val h = -tf.values.map(c => c / n * (math.log(c / n) / math.log(2.0))).sum
+      val hr = BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nTok, nDis, ent, rep) = got(id)
+      assert(nTok == toks.size.toLong && nDis == tf.size.toLong, s"doc $id counts")
+      assert(math.abs(ent - hr) <= 1e-6, s"doc $id: $ent vs $hr")
+      assert(rep == (if (ent < 3.5) 1 else 0), s"doc $id flag")
+    }
+    // the signal must separate: some docs flagged, most not
+    val flagged = got.values.count(_._4 == 1)
+    assert(flagged > 0 && flagged < got.size / 2, s"flagged $flagged of ${got.size}")
+  }
+
+  test("BPE vocab (q132): merge table matches a driver-side Sennrich trainer") {
+    val words = Tables.documents(spark, dir).select(col("text")).collect()
+      .flatMap(r => "[a-z]+".r.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (1 to 8).map { _ =>
+      val pairs = segs.toSeq.flatMap { case (s, c) =>
+        s.zip(s.drop(1)).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), cnt) = pairs.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      // left-to-right non-overlapping replace of the adjacent pair
+      def merge(s: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      segs = segs.toSeq.map { case (s, c) => merge(s) -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (a, b, a + b, cnt)
+    }
+    val got = text.TextAnalysis.q132BpeVocab(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(x => x._1 != x._2)}")
+    // training must get past single characters: later merges build on
+    // earlier merged symbols (a multi-char left side appears)
+    assert(expected.exists(_._1.length > 1), "no compound merge in 8 rounds")
+  }
+
   test("chi-square (q124): matches a driver-side contingency recompute") {
     val rows = Tables.documents(spark, dir)
       .select(col("source"), col("lang")).collect()
