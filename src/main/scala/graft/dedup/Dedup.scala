@@ -1269,7 +1269,114 @@ object Dedup {
     }
   }
 
+  /** q130 declares a match at fused score >= this. On the tested corpus
+    * it isolates the edit-distance-1 name pairs ("cold anvil"/"old
+    * anvil") from the merely-token-sharing ones (max non-match score
+    * 0.56); the full scored candidate table is emitted either way, so
+    * the threshold only sets the flag. */
+  private val ErMatchThreshold = 0.6
+
+  /** Tokens appearing in more than this many DISTINCT names are purged
+    * as block keys in q130 (standard block purging): a stop token
+    * ("inc", "the") blocks everything with everything and contributes
+    * df² candidate pairs while discriminating nothing. The cap bounds
+    * per-block cost at cap² and is mirrored at this default in the SQL
+    * oracle (the Guards.ShingleDfConf pattern); specs override via
+    * [[ErBlockDfConf]] to pin the purged semantics. No token reaches
+    * the default at any tested SF, so the filter is identity there. */
+  val ErBlockDfConf = "spark.graft.er.maxBlockDf"
+  val DefaultErBlockDf = 10000L
+
+  /** q130: blocked fuzzy entity resolution over the part-name catalog —
+    * the STRING-typo member of the near-dup family (q30/q125 match on
+    * token SETS, q31/q32 approximate them, q33/q79 match embeddings;
+    * none of them can pair "cold anvil" with "old anvil", which shares
+    * only a dented token). Classic record-linkage shape (Fellegi &
+    * Sunter 1969; token blocking per Papadakis et al.'s surveys):
+    * candidates from cheap blocking keys, scored by a fused similarity
+    * = 0.5·(1 − lev/maxlen) + 0.5·tokenJaccard, matched at a threshold.
+    *
+    * The scale design is the DICTIONARY trick production ER pipelines
+    * use: resolve DISTINCT names, not records. The one record-scale
+    * operation is the name → (name, record_count) aggregation (one
+    * partial-agged shuffle); everything fuzzy — tokenize, df, blocking,
+    * the self-join, levenshtein — runs on the distinct-name dictionary,
+    * whose size tracks the VOCABULARY, not the corpus (64 names over
+    * 2k records here; a 100 TB catalog's name dictionary is still tiny
+    * next to the fact data). Multiplicities are carried through so
+    * downstream merge steps know each side's record mass.
+    *
+    * Blocking: every (name, token) is a block assignment — NOT
+    * rarest-token-only, which would isolate exactly the typo'd names
+    * the operator exists to pair (a dented token has df 1 and becomes
+    * a singleton block; q125's prefix trick is sound for SET overlap
+    * but not for edit distance). Quadratic blowup is bounded from the
+    * other end: tokens with df > [[DefaultErBlockDf]] are PURGED as
+    * block keys (cap² bounds any block's pair count), and a pair
+    * colliding in several blocks is emitted once via distinct — the
+    * recall contract is "shares at least one non-stop token", the
+    * standard token-blocking guarantee. Determinism: lev and length
+    * are exact ints, jaccard and the fused score are single-rounded
+    * divisions of small ints (denominators 2·len·3 — no 6-decimal
+    * half-tie is representable, see the round-tie trap), so the oracle
+    * matches hash-for-hash. */
+  def q130FuzzyEr(spark: SparkSession, dir: String): DataFrame = {
+    val cap = spark.conf.getOption(ErBlockDfConf).map(_.toLong).getOrElse(DefaultErBlockDf)
+    val dict = graft.Caches.register(part(spark, dir)
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("recs"))
+      .cache())
+    val tok = dict.select(col("name"),
+      explode(array_distinct(split(col("name"), " "))).as("t"))
+    val df = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val blk = tok.join(df, "t").where(col("df") <= cap)
+      .select(col("name"), col("t").as("b"))
+    val side = blk.join(dict, "name")
+      .select(col("b"), col("name"), col("recs"),
+        array_distinct(split(col("name"), " ")).as("toks"))
+    val pairs = side.as("a").join(side.as("b"),
+        col("a.b") === col("b.b") && col("a.name") < col("b.name"))
+      .select(
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.recs").as("rec_a"), col("b.recs").as("rec_b"),
+        levenshtein(col("a.name"), col("b.name")).as("lev"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("s"),
+        (size(col("a.toks")) + size(col("b.toks"))).as("tot"),
+        greatest(length(col("a.name")), length(col("b.name"))).as("ml"))
+      .distinct()
+    val jac = col("s").cast("double") / (col("tot") - col("s")).cast("double")
+    val score = round(
+      lit(0.5) * (lit(1.0) - col("lev").cast("double") / col("ml").cast("double")) +
+        lit(0.5) * jac, 6)
+    pairs.select(col("name_a"), col("name_b"), col("rec_a"), col("rec_b"),
+        col("lev"), round(jac, 6).as("jaccard"), score.as("score"),
+        (score >= ErMatchThreshold).cast("int").as("matched"))
+      .orderBy(col("score").desc, col("name_a"), col("name_b"))
+  }
+
+  val q130Sql: String =
+    "WITH dict AS (SELECT p_name AS name, count(*) AS recs FROM part GROUP BY 1), " +
+      "tok AS (SELECT name, unnest(list_distinct(string_split(name, ' '))) AS t FROM dict), " +
+      "df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1), " +
+      "blk AS (SELECT name, t AS b FROM tok JOIN df USING (t) WHERE df <= 10000), " +
+      "side AS (SELECT blk.b, dict.name, dict.recs, " +
+      "list_distinct(string_split(dict.name, ' ')) AS toks FROM blk JOIN dict USING (name)), " +
+      "pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b, " +
+      "a.recs AS rec_a, b.recs AS rec_b, " +
+      "levenshtein(a.name, b.name) AS lev, " +
+      "len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS s, " +
+      "len(a.toks) + len(b.toks) AS tot, " +
+      "greatest(length(a.name), length(b.name)) AS ml " +
+      "FROM side a JOIN side b ON a.b = b.b AND a.name < b.name) " +
+      "SELECT name_a, name_b, rec_a, rec_b, lev, " +
+      "round(CAST(s AS DOUBLE) / (tot - s), 6) AS jaccard, " +
+      "round(CAST(0.5 AS DOUBLE) * (1 - CAST(lev AS DOUBLE) / ml) + " +
+      "CAST(0.5 AS DOUBLE) * (CAST(s AS DOUBLE) / (tot - s)), 6) AS score, " +
+      "CAST(round(CAST(0.5 AS DOUBLE) * (1 - CAST(lev AS DOUBLE) / ml) + " +
+      "CAST(0.5 AS DOUBLE) * (CAST(s AS DOUBLE) / (tot - s)), 6) >= 0.6 AS INTEGER) AS matched " +
+      "FROM pairs ORDER BY score DESC, name_a, name_b"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_fuzzy_er" -> q130FuzzyEr _,
     "q29_exact_dedup" -> q29ExactDedup _,
     "q30_ngram_jaccard" -> q30NgramJaccard _,
     "q125_prefix_join" -> q125PrefixJoin _,
@@ -1288,6 +1395,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q130_fuzzy_er" -> q130Sql,
     "q29_exact_dedup" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
     // equal to q30 by the prefix-filter theorem; the driver hash-checks it

@@ -657,4 +657,63 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxUncovered <= radii.last,
       s"uncovered point at $maxUncovered beyond last radius ${radii.last}")
   }
+
+  test("fuzzy ER (q130): block purging, score fusion, and multiplicities on a synthetic catalog") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_er").toString
+    // dict: "acme corp ltd" recs=3, "acme corp inc" recs=1,
+    // "zeta corp inc" recs=1; name-level dfs: acme=2, corp=3, ltd=1,
+    // inc=2, zeta=1
+    Seq((1L, "acme corp ltd"), (2L, "acme corp ltd"), (3L, "acme corp ltd"),
+        (4L, "acme corp inc"), (5L, "zeta corp inc"))
+      .toDF("p_partkey", "p_name").write.mode("overwrite")
+      .parquet(s"$tmp/part.parquet")
+    def run() = dedup.Dedup.q130FuzzyEr(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    spark.conf.set(dedup.Dedup.ErBlockDfConf, "2")
+    try {
+      // cap=2 purges "corp" as a block key: the ltd/zeta pair shares
+      // ONLY the stop token and is not a candidate (the declared
+      // recall contract); the acme- and inc-blocked pairs remain
+      val rows = run()
+      assert(rows.length == 2, s"expected 2 candidate pairs, got ${rows.mkString("; ")}")
+      val (na, nb, ra, rb, lev, jac, score, m) = rows.head
+      assert((na, nb) == ("acme corp inc", "acme corp ltd"))
+      assert((ra, rb) == (1L, 3L), "record multiplicities through the dictionary")
+      assert(lev == 3, "inc -> ltd")
+      // general jaccard arithmetic (not the 2-token corpus constant):
+      // |{acme,corp}| / |{acme,corp,inc,ltd}| = 0.5
+      assert(jac == 0.5)
+      val exp = BigDecimal(0.5 * (1 - 3.0 / 13) + 0.5 * 0.5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == exp, s"$score vs $exp")
+      assert(m == 1, "edit-distance-3 on 13 chars with half tokens shared is a match")
+      // second pair: 4 edits pushes the fused score under the threshold
+      val (_, nb2, _, _, lev2, jac2, _, m2) = rows(1)
+      assert(nb2 == "zeta corp inc" && lev2 == 4 && jac2 == 0.5 && m2 == 0)
+    } finally {
+      spark.conf.unset(dedup.Dedup.ErBlockDfConf)
+      Caches.drain()
+    }
+    // default cap: "corp" survives as a block key and the third
+    // (stop-token-only) pair appears, emitted once despite colliding
+    // in multiple blocks
+    val all = run()
+    assert(all.length == 3 && all.count(_._8 == 1) == 1, all.mkString("; "))
+    Caches.drain()
+  }
+
+  test("fuzzy ER (q130): real-corpus matches are exactly the lev-1 name pairs") {
+    val rows = dedup.Dedup.q130FuzzyEr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4), r.getInt(7)))
+    val matched = rows.filter(_._4 == 1)
+    assert(matched.nonEmpty && matched.forall(_._3 == 1),
+      s"matches should be the typo-class pairs: ${matched.mkString("; ")}")
+    assert(rows.filter(_._4 == 0).forall(_._3 >= 2), "non-matches all need >1 edit")
+    // candidate set is dictionary-bounded: far fewer than all name pairs
+    val nNames = Tables.part(spark, dir).select("p_name").distinct().count()
+    assert(rows.length < nNames * (nNames - 1) / 4,
+      s"${rows.length} candidates vs ${nNames} names — blocking should prune most pairs")
+  }
 }
