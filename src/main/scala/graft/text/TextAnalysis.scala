@@ -646,7 +646,13 @@ object TextAnalysis {
     * run is hash-checked — argmaxes, tie-breaks, and segmentations.
     * Each round's ~|vocab|-row frame is lineage-truncated (q119: plan
     * flatness, not just recompute). */
-  def q132BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+  /** Runs the q132 training loop: returns the learned merge rules
+    * (rank, left, right, merged, pair count) and the final per-word
+    * segmentation frame (word, c, seg) after all [[BpeMerges]] rounds —
+    * which IS the trained tokenizer's encoding of every corpus word, so
+    * q133 can encode the whole corpus with a dictionary join instead of
+    * re-running any per-document fold. */
+  private def bpeTrain(spark: SparkSession, dir: String): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val words = graft.Caches.register(documents(spark, dir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
@@ -674,13 +680,55 @@ object TextAnalysis {
       seg = graft.dedup.Dedup.truncateLineage(graft.Caches.register(
         seg.select(col("word"), col("c"), fold.as("seg")).cache()))
     }
+    (rules.result(), seg)
+  }
+
+  def q132BpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (rules, _) = bpeTrain(spark, dir)
     val spark2 = spark
     import spark2.implicits._
-    rules.result().toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+    rules.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy(col("merge_rank"))
   }
 
-  val q132Sql: String = {
+  /** q133: BPE corpus encoding — apply the q132-trained tokenizer to
+    * every document and emit the token-accounting row a training
+    * pipeline budgets with: word count, BPE token count, and the
+    * chars-per-token compression the learned vocabulary achieves.
+    * This is the REAL token counter that q27's regex heuristic
+    * approximates, and the unit q81/q82's packing budget is
+    * denominated in.
+    *
+    * Scale shape: training already produced the final segmentation of
+    * every DISTINCT word, so encoding is a dictionary join — explode
+    * the corpus to (doc, word) (the q27-class token scan), join the
+    * broadcast-sized (word → symbol count) dictionary, one partial-
+    * agged rollup per doc. No per-document fold ever runs: the
+    * tokenizer is applied to the vocabulary once, exactly how
+    * production pipelines amortize encoding. Determinism: counts are
+    * exact ints; compression is one rounded division of small ints. */
+  def q133BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = bpeTrain(spark, dir)
+    val sym = seg.select(col("word"),
+      size(split(col("seg"), BpeSep)).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chr"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .join(sym, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(col("n_chr")).as("n_alpha_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_alpha_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q132 training chain as DuckDB CTEs (words → seg0 → one
+    * (pair-count, argmax, refold) triple per round), shared by the
+    * q132 and q133 oracles so the two replay the identical trainer. */
+  private val BpeCtes: String = {
     val sep = "chr(31)"
     val base =
       "WITH words AS (SELECT w AS word, count(*) AS c FROM " +
@@ -699,16 +747,30 @@ object TextAnalysis {
         s"AND x = b$r.b THEN acc || x ELSE acc || $sep || x END) AS seg " +
         s"FROM $p, b$r)"
     }.mkString(", ")
-    base + rounds + " " +
+    base + rounds
+  }
+
+  val q132Sql: String =
+    BpeCtes + " " +
       (1 to BpeMerges).map(r =>
         s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, " +
           s"a || b AS merged, cnt AS pair_count FROM b$r").mkString(" UNION ALL ") +
       " ORDER BY merge_rank"
-  }
+
+  val q133Sql: String =
+    BpeCtes +
+      s", sym AS (SELECT word, len(string_split(seg, chr(31))) AS n_sym, " +
+      s"length(word) AS n_chr FROM seg$BpeMerges), " +
+      "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word " +
+      "FROM documents) " +
+      "SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens, " +
+      "round(CAST(sum(n_chr) AS DOUBLE) / sum(n_sym), 6) AS chars_per_token " +
+      "FROM tok JOIN sym USING (word) GROUP BY doc_id ORDER BY doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_token_entropy" -> q131TokenEntropy _,
     "q132_bpe_vocab" -> q132BpeVocab _,
+    "q133_bpe_encode" -> q133BpeEncode _,
     "q101_bm25_topk" -> q101Bm25Topk _,
     "q122_collocations" -> q122Collocations _,
     "q114_nb_classifier" -> q114NbClassifier _,
@@ -726,6 +788,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q131_token_entropy" -> q131Sql,
     "q132_bpe_vocab" -> q132Sql,
+    "q133_bpe_encode" -> q133Sql,
     "q25_lang_id" -> q25Sql,
     "q26_text_quality" -> q26Sql,
     "q27_token_stats" -> q27Sql,

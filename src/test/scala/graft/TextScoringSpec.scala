@@ -186,6 +186,52 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.exists(_._1.length > 1), "no compound merge in 8 rounds")
   }
 
+  test("BPE encode (q133): per-doc token accounting matches a driver-side trainer+encoder") {
+    // replay the trainer to the final segmentation of every word
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    var segs: Map[String, Vector[String]] = docs.flatMap(_._2).distinct
+      .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to 8) {
+      val pairs = segs.toSeq.flatMap { case (w, s) =>
+        s.zip(s.drop(1)).map(p => p -> counts(w))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), _) = pairs.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      segs = segs.view.mapValues { s =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+    }
+    val got = text.TextAnalysis.q133BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, toks) =>
+      val nTok = toks.map(w => segs(w).size.toLong).sum
+      val nChr = toks.map(_.length.toLong).sum
+      val exp = BigDecimal(nChr.toDouble / nTok)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nw, nb, cpt) = got(id)
+      assert(nw == toks.size.toLong && nb == nTok && cpt == exp,
+        s"doc $id: ($nw,$nb,$cpt) vs (${toks.size},$nTok,$exp)")
+      // the learned merges must compress vs character-level: strictly
+      // fewer symbols than chars + end-marks for any doc using the
+      // merged vocabulary, never fewer than one symbol per word
+      assert(nb >= nw && nb <= nChr + nw)
+    }
+    val totalBpe = got.values.map(_._2).sum
+    val totalCharLevel = docs.map { case (_, toks) =>
+      toks.map(_.length.toLong + 1).sum }.sum
+    assert(totalBpe < totalCharLevel,
+      s"8 merges must compress the corpus vs character level: $totalBpe vs $totalCharLevel")
+  }
+
   test("chi-square (q124): matches a driver-side contingency recompute") {
     val rows = Tables.documents(spark, dir)
       .select(col("source"), col("lang")).collect()
