@@ -767,7 +767,170 @@ object TextAnalysis {
       "round(CAST(sum(n_chr) AS DOUBLE) / sum(n_sym), 6) AS chars_per_token " +
       "FROM tok JOIN sym USING (word) GROUP BY doc_id ORDER BY doc_id"
 
+  /** Hashed-feature bucket count for q134. 256 buckets keeps the model
+    * table broadcast-trivial while leaving bucket collisions rare on the
+    * synthetic vocabulary; production DSIR uses 10k-100k buckets — the
+    * plan shape is identical, only this literal changes. */
+  private val DsirBuckets = 256
+  /** The "curated target" allowlist for q134 — the q114 idea (a fixed
+    * source allowlist standing in for "looks like Wikipedia") restricted
+    * to English, so the target distribution differs measurably from the
+    * raw corpus mix. */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** q134: DSIR importance weighting + selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — the
+    * distribution-MATCHING selector the heuristic gates can't express:
+    * score every document by how much more likely its hashed-unigram
+    * features are under a curated TARGET distribution than under the raw
+    * corpus, then keep the top-N. Complements q114 (a discriminative
+    * classifier needing labels) with the generative importance-ratio
+    * form, and q103/q58 (weight/strata given) by COMPUTING the weights.
+    *
+    * Both distributions are add-one-smoothed multinomials over
+    * [[DsirBuckets]] hashed unigram buckets (hashing is what makes the
+    * model size corpus-independent — the DSIR trick); the per-doc weight
+    * is sum_b f_b * (ln p_target(b) - ln p_raw(b)) over the doc's
+    * bucket counts. Selection is the top-100 by 6-decimal-rounded weight,
+    * ties by doc_id (q101 ranking policy; the <=256 addends per doc keep
+    * summation-order drift at ~1e-12, absorbed by the round).
+    *
+    * Scale shape: ONE corpus token scan + one partial-agged shuffle to
+    * (doc, bucket) counts (cached — target/raw bucket totals and the
+    * per-doc scoring all derive from it); the bucket model is <=256 rows
+    * regardless of corpus size, so it joins back by BROADCAST and the
+    * selection is a TakeOrdered — no second corpus shuffle anywhere.
+    * Bucket hash = md5-hex-prefix (the q57/q103 idiom) so DuckDB replays
+    * it bit-for-bit. */
+  def q134DsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(col("term"), lit("|graft-dsir-1"))), 1, 8), 16, 10)
+        .cast("long"), lit(DsirBuckets))
+    val fb = graft.Caches.register(documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("term"))
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+      .agg(count(lit(1)).as("f"))
+      .cache())
+    val corpus = fb.groupBy(col("b")).agg(sum(col("f")).as("cf"))
+    val target = fb
+      .where(col("lang") === "en" && col("source").isin(DsirTargetSources: _*))
+      .groupBy(col("b")).agg(sum(col("f")).as("tf"))
+    // corpus-side LEFT join: every observed bucket has cf > 0, but the
+    // target may never hit a bucket — smoothing still scores it
+    val model = corpus.join(target, Seq("b"), "left")
+      .select(col("b"), col("cf"), coalesce(col("tf"), lit(0L)).as("tf"))
+    val totals = model.agg(sum(col("cf")).as("ct"), sum(col("tf")).as("tt"))
+    val lr = log((col("tf") + 1).cast("double") / (col("tt") + DsirBuckets).cast("double")) -
+      log((col("cf") + 1).cast("double") / (col("ct") + DsirBuckets).cast("double"))
+    fb.join(broadcast(model.crossJoin(broadcast(totals)).select(col("b"), lr.as("lr"))), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_tokens"),
+        round(sum(col("f").cast("double") * col("lr")), 6).as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q134Sql: String = {
+    val srcs = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    "WITH tok AS (SELECT doc_id, lang, source, " +
+      "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents), " +
+      "fb AS (SELECT doc_id, lang, source, " +
+      s"CAST('0x' || substr(md5(term || '|graft-dsir-1'), 1, 8) AS BIGINT) % $DsirBuckets AS b, " +
+      "count(*) AS f FROM tok GROUP BY 1, 2, 3, 4), " +
+      "corpus AS (SELECT b, CAST(sum(f) AS BIGINT) AS cf FROM fb GROUP BY 1), " +
+      s"target AS (SELECT b, CAST(sum(f) AS BIGINT) AS tf FROM fb WHERE lang = 'en' AND source IN ($srcs) GROUP BY 1), " +
+      "model AS (SELECT b, cf, coalesce(tf, 0) AS tf FROM corpus LEFT JOIN target USING (b)), " +
+      "tot AS (SELECT CAST(sum(cf) AS BIGINT) AS ct, CAST(sum(tf) AS BIGINT) AS tt FROM model), " +
+      s"lr AS (SELECT b, ln(CAST(tf + 1 AS DOUBLE) / (tt + $DsirBuckets)) - " +
+      s"ln(CAST(cf + 1 AS DOUBLE) / (ct + $DsirBuckets)) AS lr FROM model CROSS JOIN tot) " +
+      "SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens, " +
+      "round(sum(f * lr), 6) AS dsir_weight " +
+      "FROM fb JOIN lr USING (b) GROUP BY doc_id " +
+      "ORDER BY dsir_weight DESC, doc_id LIMIT 100"
+  }
+
+  /** q135: Gopher-style rule-bitmap quality gate (Rae et al. 2021, the
+    * word-LEVEL document filters every pretraining pipeline runs;
+    * thresholds adapted to the synthetic corpus). Where q26 emits one
+    * blended score, this emits each named rule as its own flag PLUS the
+    * composite keep — the form a curation dashboard and an ablation
+    * study both need (which rule fired, not just "rejected").
+    *
+    * Rules (all from one per-doc word-frequency aggregation):
+    *   r_wordcount  — total words in [20, 200] (too short to learn from /
+    *                  suspicious runaway)
+    *   r_meanlen    — mean word length in [2, 8] (gibberish detector)
+    *   r_stopwords  — contains >=2 distinct function words (Gopher's
+    *                  "stop word containment"; the synthetic vocabulary
+    *                  carries 'the' and 'a')
+    *   r_ttr        — type/token ratio >= 0.2 (low = a cycler q68's
+    *                  adjacent-repetition test can miss)
+    *   r_dominance  — most frequent word <= 20% of the doc (single-token
+    *                  spam)
+    *
+    * Determinism: every ratio is ONE IEEE division of exact ints —
+    * correctly rounded, hence bit-identical cross-engine — compared to
+    * shared literals; display columns round for the q54 policy, flags
+    * compare the unrounded division. Scale shape: one partial-agged
+    * shuffle to (doc, word) counts, one to the per-doc profile; no
+    * model, no join — a pure map-reduce gate that runs at any corpus
+    * size. */
+  def q135GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val prof = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("max_c"),
+      sum(col("c") * length(col("w"))).as("sum_len"),
+      sum(when(col("w").isin("the", "a"), 1L).otherwise(0L)).as("n_stop"))
+    val nw = col("n_words").cast("double")
+    val mwl = col("sum_len").cast("double") / nw
+    val ttr = col("n_distinct").cast("double") / nw
+    val dom = col("max_c").cast("double") / nw
+    val rules = Seq(
+      (col("n_words") >= 20 && col("n_words") <= 200) -> "r_wordcount",
+      (mwl >= 2.0 && mwl <= 8.0) -> "r_meanlen",
+      (col("n_stop") >= 2) -> "r_stopwords",
+      (ttr >= 0.2) -> "r_ttr",
+      (dom <= 0.2) -> "r_dominance")
+    prof.select(
+      Seq(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(mwl, 6).as("mean_wlen")) ++
+        rules.map { case (c, n) => c.cast("int").as(n) } :+
+        rules.map(_._1).reduce(_ && _).cast("int").as("keep"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Sql: String =
+    "WITH tf AS (SELECT doc_id, w, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) " +
+      "GROUP BY 1, 2), " +
+      "prof AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct, " +
+      "CAST(max(c) AS BIGINT) AS max_c, CAST(sum(c * length(w)) AS BIGINT) AS sum_len, " +
+      "CAST(sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop " +
+      "FROM tf GROUP BY 1) " +
+      "SELECT doc_id, n_words, n_distinct, " +
+      "round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_wlen, " +
+      "CAST(n_words BETWEEN 20 AND 200 AS INTEGER) AS r_wordcount, " +
+      "CAST(CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0 AND 8.0 AS INTEGER) AS r_meanlen, " +
+      "CAST(n_stop >= 2 AS INTEGER) AS r_stopwords, " +
+      "CAST(CAST(n_distinct AS DOUBLE) / n_words >= 0.2 AS INTEGER) AS r_ttr, " +
+      "CAST(CAST(max_c AS DOUBLE) / n_words <= 0.2 AS INTEGER) AS r_dominance, " +
+      "CAST(n_words BETWEEN 20 AND 200 " +
+      "AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0 AND 8.0 " +
+      "AND n_stop >= 2 " +
+      "AND CAST(n_distinct AS DOUBLE) / n_words >= 0.2 " +
+      "AND CAST(max_c AS DOUBLE) / n_words <= 0.2 AS INTEGER) AS keep " +
+      "FROM prof ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_dsir_sample" -> q134DsirSample _,
+    "q135_gopher_rules" -> q135GopherRules _,
     "q131_token_entropy" -> q131TokenEntropy _,
     "q132_bpe_vocab" -> q132BpeVocab _,
     "q133_bpe_encode" -> q133BpeEncode _,
@@ -786,6 +949,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q134_dsir_sample" -> q134Sql,
+    "q135_gopher_rules" -> q135Sql,
     "q131_token_entropy" -> q131Sql,
     "q132_bpe_vocab" -> q132Sql,
     "q133_bpe_encode" -> q133Sql,

@@ -58,6 +58,74 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("DSIR (q134): importance weights match a driver-side hashed-LM recompute; target docs rank high") {
+    val B = 256
+    def bucket(term: String): Long =
+      java.lang.Long.parseLong(md5hex(term + "|graft-dsir-1").take(8), 16) % B
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        "[a-z]+".r.findAllIn(r.getString(3).toLowerCase).toSeq.map(bucket)))
+    val tgtSrc = Set("src0", "src1", "src2", "src3")
+    val corpusB = docs.flatMap(_._4).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val targetB = docs.filter(d => d._2 == "en" && tgtSrc(d._3))
+      .flatMap(_._4).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val (ct, tt) = (corpusB.values.sum, targetB.values.sum)
+    def weight(buckets: Seq[Long]): Double = buckets.groupBy(identity).map { case (b, xs) =>
+      xs.size * (math.log((targetB.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+        math.log((corpusB(b) + 1).toDouble / (ct + B)))
+    }.sum
+    val expected = docs.filter(_._4.nonEmpty)
+      .map(d => (d._1, d._4.size.toLong, BigDecimal(weight(d._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(d => (-d._3, d._1)).take(100)
+    val got = text.TextAnalysis.q134DsirSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == math.min(100, expected.length))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2, s"selection order: $g vs $e")
+      assert(math.abs(g._3 - e._3) < 2e-6, s"doc ${g._1} weight ${g._3} vs ${e._3}")
+    }
+    // the selection property DSIR exists for: target-set docs must be
+    // overrepresented among the selected relative to the corpus base rate
+    val selIds = got.map(_._1).toSet
+    val inTarget = docs.filter(d => d._2 == "en" && tgtSrc(d._3)).map(_._1).toSet
+    val selRate = selIds.count(inTarget).toDouble / selIds.size
+    val baseRate = inTarget.size.toDouble / docs.length
+    assert(selRate > baseRate,
+      s"selected target-rate $selRate should exceed base rate $baseRate")
+  }
+
+  test("Gopher rules (q135): flags match a driver-side recompute; keep is the conjunction") {
+    val rows = text.TextAnalysis.q135GopherRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9)))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq).toMap
+    assert(rows.length == docs.count(_._2.nonEmpty))
+    rows.foreach { case (id, nw, nd, mwl, rWc, rMl, rStop, rTtr, rDom, keep) =>
+      val toks = docs(id)
+      val tf = toks.groupBy(identity).map { case (w, xs) => w -> xs.size }
+      assert(nw == toks.size && nd == tf.size)
+      val emwl = toks.map(_.length).sum.toDouble / toks.size
+      assert(math.abs(mwl - emwl) < 1e-6)
+      assert(rWc == (if (toks.size >= 20 && toks.size <= 200) 1 else 0), s"doc $id r_wordcount")
+      assert(rMl == (if (emwl >= 2.0 && emwl <= 8.0) 1 else 0), s"doc $id r_meanlen")
+      assert(rStop == (if (Set("the", "a").count(tf.contains) >= 2) 1 else 0), s"doc $id r_stopwords")
+      assert(rTtr == (if (tf.size.toDouble / toks.size >= 0.2) 1 else 0), s"doc $id r_ttr")
+      assert(rDom == (if (tf.values.max.toDouble / toks.size <= 0.2) 1 else 0), s"doc $id r_dominance")
+      assert(keep == (rWc min rMl min rStop min rTtr min rDom), s"doc $id keep")
+    }
+    // the gate must discriminate at this SF: some docs keep, and the rule
+    // set is not vacuous in aggregate (at least one rule fires somewhere)
+    assert(rows.exists(_._10 == 1))
+  }
+
   test("naive-Bayes classifier matches a driver-side reference model (q114)") {
     val curated = Set("src0", "src1", "src2", "src3")
     val rows = Tables.documents(spark, dir)
