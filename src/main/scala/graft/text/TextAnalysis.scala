@@ -928,7 +928,77 @@ object TextAnalysis {
       "AND CAST(max_c AS DOUBLE) / n_words <= 0.2 AS INTEGER) AS keep " +
       "FROM prof ORDER BY doc_id"
 
+  /** q136: interpolated bigram-LM cross-entropy (Jelinek–Mercer
+    * smoothing, the order-1 upgrade of q84's unigram gate): score each
+    * document by its mean negative log-likelihood under
+    * P(w|v) = 0.7·P_bigram(w|v) + 0.3·P_unigram(w), both components
+    * add-one smoothed. Conditioning on context catches scrambled /
+    * machine-garbled text that unigram frequencies alone cannot (the
+    * tokens are fine, the ORDER is wrong) — the actual KenLM filter is
+    * an order-5 version of exactly this dataflow.
+    *
+    * Plan shape: the corpus tokenizes ONCE into a cached per-doc token
+    * array; bigrams explode MAP-SIDE from the array (the q132 pair
+    * idiom — slice+arrays_zip, no window, so there is no per-doc
+    * exchange before the count shuffle). One partial-agged shuffle to
+    * per-doc distinct-bigram multiplicities (cached — the corpus bigram
+    * model derives FROM it, so raw pairs shuffle exactly once); bigram /
+    * context / unigram models and totals all join back by BROADCAST (a
+    * text bigram vocabulary is heavy-tailed — production prunes by a
+    * count floor; if it ever outgrew broadcast the join key is (a,b),
+    * the same shuffle the count already took). Scoring sums m·ln P over
+    * DISTINCT bigrams (q84's distinct-terms trick); the 6-decimal round
+    * absorbs summation-order ulps (q54 policy). Docs with <2 alpha
+    * tokens have no bigram distribution and drop out (none at any
+    * tested SF). */
+  def q136BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val arr = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val docsArr = graft.Caches.register(
+      documents(spark, dir).select(col("doc_id"), arr.as("w")).cache())
+    val w = col("w")
+    val m = graft.Caches.register(docsArr
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(w, lit(1), size(w) - 1).as("a"),
+        slice(w, lit(2), size(w) - 1).as("b"))).as("p"))
+      .groupBy(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("m"))
+      .cache())
+    val c2 = m.groupBy(col("a"), col("b")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val uni = docsArr.select(explode(w).as("b")).groupBy(col("b")).agg(count(lit(1)).as("cf"))
+    val tot = uni.agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("vocab"))
+    val p2 = (col("c2") + 1).cast("double") / (col("c1") + col("vocab")).cast("double")
+    val p1 = (col("cf") + 1).cast("double") / (col("n_corpus") + col("vocab")).cast("double")
+    m.join(broadcast(c2), Seq("a", "b"))
+      .join(broadcast(c1), Seq("a"))
+      .join(broadcast(uni), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(-sum(col("m").cast("double") * log(lit(0.7) * p2 + lit(0.3) * p1)) /
+          sum(col("m")), 6).as("cross_entropy2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q136Sql: String =
+    "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents), " +
+      "big AS (SELECT doc_id, (pr).a AS a, (pr).b AS b FROM " +
+      "(SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> {'a': w[i], 'b': w[i+1]})) AS pr " +
+      "FROM d WHERE len(w) >= 2)), " +
+      "m AS (SELECT doc_id, a, b, count(*) AS m FROM big GROUP BY 1, 2, 3), " +
+      "c2 AS (SELECT a, b, CAST(sum(m) AS BIGINT) AS c2 FROM m GROUP BY 1, 2), " +
+      "c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1), " +
+      "uni AS (SELECT b, count(*) AS cf FROM (SELECT unnest(w) AS b FROM d) GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus, count(*) AS vocab FROM uni) " +
+      "SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams, " +
+      "round(-sum(m * ln(0.7 * (CAST(c2 + 1 AS DOUBLE) / (c1 + vocab)) + " +
+      "0.3 * (CAST(cf + 1 AS DOUBLE) / (n_corpus + vocab)))) / sum(m), 6) AS cross_entropy2 " +
+      "FROM m JOIN c2 USING (a, b) JOIN c1 USING (a) JOIN uni USING (b) CROSS JOIN tot " +
+      "GROUP BY doc_id ORDER BY doc_id"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_bigram_lm" -> q136BigramLm _,
     "q134_dsir_sample" -> q134DsirSample _,
     "q135_gopher_rules" -> q135GopherRules _,
     "q131_token_entropy" -> q131TokenEntropy _,
@@ -949,6 +1019,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,
     "q135_gopher_rules" -> q135Sql,
     "q131_token_entropy" -> q131Sql,

@@ -62,6 +62,40 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("bigram LM (q136): cross-entropy matches a driver-side Jelinek-Mercer reference; order-sensitive") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> "[a-z]+".r.findAllIn(r.getString(1).toLowerCase).toSeq).toMap
+    val bigrams = docs.values.toSeq.filter(_.size >= 2).flatMap(t => t.zip(t.tail))
+    val c2 = bigrams.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cf = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val (nCorpus, vocab) = (cf.values.sum, cf.size.toLong)
+    def xent2(toks: Seq[String]): Double = {
+      val pairs = toks.zip(toks.tail)
+      val s = pairs.groupBy(identity).map { case (p @ (a, b), xs) =>
+        val p2 = (c2.getOrElse(p, 0L) + 1).toDouble / (c1.getOrElse(a, 0L) + vocab)
+        val p1 = (cf(b) + 1).toDouble / (nCorpus + vocab)
+        xs.size * math.log(0.7 * p2 + 0.3 * p1)
+      }.sum
+      -s / pairs.size
+    }
+    val got = text.TextAnalysis.q136BigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == docs.count(_._2.size >= 2))
+    got.foreach { case (id, nb, x) =>
+      assert(nb == docs(id).size - 1, s"doc $id bigram count")
+      assert(math.abs(x - xent2(docs(id))) < 2e-6, s"doc $id: $x vs ${xent2(docs(id))}")
+    }
+    // the property the bigram order buys: scrambling a doc's tokens
+    // (sorting them — same unigram profile, destroyed transitions) must
+    // not DECREASE cross-entropy on average, and must increase it for
+    // most docs. A unigram model (q84) is blind to this by construction.
+    val deltas = docs.values.filter(_.size >= 2).toSeq.map(t => xent2(t.sorted) - xent2(t))
+    assert(deltas.sum / deltas.size > 0, "scrambling should raise mean cross-entropy")
+    assert(deltas.count(_ > 0) > deltas.size / 2, "scrambling should hurt most docs")
+  }
+
   test("DSIR (q134): importance weights match a driver-side hashed-LM recompute; target docs rank high") {
     val B = 256
     def bucket(term: String): Long =
