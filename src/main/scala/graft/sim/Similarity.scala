@@ -319,6 +319,84 @@ object Similarity {
       "FROM qz, q WHERE vec_id <> 0 ORDER BY sim_q DESC, vec_id LIMIT 10"
   }
 
+  private val PqM = 8         // subspaces
+  private val PqSubDim = 8    // dims per subspace (8 x 8 = 64)
+  private val PqK = 16        // centroids per subspace codebook
+  private val PqShortlist = 50 // ADC candidates kept for exact re-rank
+
+  /** q137: product-quantization ANN with exact re-rank (Jégou/Douze/
+    * Schmid 2011; the shortlist-then-refine shape production PQ indexes
+    * ship): split each L2-normalized embedding into [[PqM]] subvectors,
+    * vector-quantize each against a per-subspace [[PqK]]-centroid
+    * codebook, score the corpus by asymmetric distance computation (ADC
+    * — the query stays exact, a corpus vector is M table lookups),
+    * shortlist the top-[[PqShortlist]], then re-rank the shortlist with
+    * the exact cosine. Completes the ANN family's resource ladder: q35
+    * SRP-LSH prunes CANDIDATES, q55 IVF prunes PARTITIONS, q86 int8
+    * cuts bandwidth 4×, PQ cuts corpus memory 32× (8 byte-codes vs 256
+    * bytes of floats) — the regime where the index must fit in RAM at
+    * 100 TB; the full vectors are touched only for the 50-row
+    * shortlist.
+    *
+    * Plan shape: M driver-coordinated seeded k-means fits on the
+    * subspace slices (the q55/q98 fit precedent); encoding is MAP-SIDE
+    * — codebooks ride in as literals, argmin is array_min over a
+    * 16-struct ranking array (the q79 cellRank idiom; struct (d, c) min
+    * breaks distance ties toward the smaller code), no shuffle; ADC is
+    * element_at per subspace into the broadcast query's lookup arrays,
+    * again map-side; the shortlist is a TakeOrdered(50) whose result
+    * BROADCASTS back onto the cached vector table for the exact re-rank
+    * — so the full-precision data is read corpus-wide exactly once (to
+    * encode) and the refine join moves 50 rows. Fit-seeded → rows-only
+    * at the driver; DedupSimSpec bounds top-k overlap vs exact q33,
+    * pins that re-ranked scores equal the exact cosine, and pins rerun
+    * determinism. */
+  def q137AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vs = graft.Caches.register(vectors(spark, dir)
+      .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
+      .cache())
+    def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map { s =>
+      new KMeans().setK(PqK).setSeed(42 + s).setFeaturesCol("fv")
+        .fit(vs.select(array_to_vector(sub(col("u"), s)).as("fv")))
+        .clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    // encode: argmin_c |u_s - c|² ranks by (|c|² - 2·u_s·c) since |u_s|²
+    // is row-constant (the q79 cellRank trick)
+    def codeCol(s: Int): Column = {
+      val rank = array(codebooks(s).zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(sub(col("u"), s), typedLit(c))).as("d"),
+          lit(i).as("c"))
+      }: _*)
+      array_min(rank).getField("c")
+    }
+    val codes = vs.select(
+      col("vec_id") +: (0 until PqM).map(s => codeCol(s).as(s"c$s")): _*)
+    val q = vs.filter(col("vec_id") === 0).select(col("u").as("qu"))
+    // ADC: per subspace, the query-vs-codebook dot products form a
+    // 16-entry lookup array; a corpus vector's approximate cosine is the
+    // sum of its codes' entries
+    def lut(s: Int): Column = array(codebooks(s).map(c =>
+      dot(sub(col("qu"), s), typedLit(c))): _*)
+    val adc = (0 until PqM).map(s => element_at(lut(s), col(s"c$s") + 1)).reduce(_ + _)
+    val shortlist = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(adc, 6).as("sim_adc"))
+      .orderBy(col("sim_adc").desc, col("vec_id"))
+      .limit(PqShortlist)
+    // refine: exact cosine on the 50-row shortlist only (u are unit
+    // vectors, so the dot IS the cosine)
+    vs.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("sim_adc"),
+        round(dot(col("u"), col("qu")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** q98: SemDeDup-style semantic corpus prune (public method — Abbas et
     * al., "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): embeddings whose cosine
@@ -430,7 +508,8 @@ object Similarity {
     "q55_ann_ivf" -> q55AnnIvf _,
     "q71_fuzzy_match" -> q71FuzzyMatch _,
     "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _,
-    "q86_quantized_ann" -> q86QuantizedAnn _
+    "q86_quantized_ann" -> q86QuantizedAnn _,
+    "q137_ann_pq" -> q137AnnPq _
   )
 
   val oracle: Map[String, String] = Map(

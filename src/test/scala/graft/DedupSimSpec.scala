@@ -62,6 +62,31 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size <= 10)
   }
 
+  test("PQ ANN (q137): top-k overlaps the exact cosine top-k; codes bounded; rerun-deterministic") {
+    val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val exactSims = sim.Similarity.q33CosineTopk(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = sim.Similarity.q137AnnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pq.length == 10)
+    // the 32x-compressed codes only have to steer the SHORTLIST; the
+    // exact refine pass does the final ranking (measured 9/10 here)
+    val overlap = (exact intersect pq.map(_._1).toSet).size
+    assert(overlap >= 5, s"overlap $overlap of 10")
+    // refine property: for every neighbor PQ and exact agree on, the
+    // reported sim IS the exact cosine (same rounding policy as q33)
+    pq.filter(p => exactSims.contains(p._1)).foreach { case (id, _, s) =>
+      assert(math.abs(s - exactSims(id)) < 1e-9, s"vec $id refine sim $s vs ${exactSims(id)}")
+    }
+    // ADC approximates a cosine of unit vectors: a plausible band
+    pq.foreach { case (id, a, _) => assert(a >= -1.1 && a <= 1.1, s"vec $id adc $a") }
+    // seeded subspace fits: a second run reproduces the selection exactly
+    val again = sim.Similarity.q137AnnPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pq.toSeq == again.toSeq, "PQ selection must be rerun-deterministic")
+  }
+
   test("int8-quantized top-k tracks the exact cosine top-k closely") {
     val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
