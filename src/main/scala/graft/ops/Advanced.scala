@@ -283,10 +283,11 @@ object Advanced {
     perDay.unionByName(total).orderBy(col("day").asc_nulls_last)
   }
 
-  /** json + csv SOURCE roundtrip (§2B scans/sources row): write nation out
-    * through both text formats, read each back with an explicit schema
-    * (schema-on-read), join the two reads. Result must equal the parquet
-    * original — which is exactly what the oracle checks. */
+  /** json + csv + orc SOURCE roundtrip (§2B scans/sources row): write
+    * nation out through two text formats and one columnar format, read
+    * each back (explicit schema-on-read for the text ones; ORC carries
+    * its own schema), join the three reads. Result must equal the
+    * parquet original — which is exactly what the oracle checks. */
   /** Scratch path is per-JVM (graft.RunTag) so concurrent Verify runs at
     * different scale factors can never interleave write/read on a shared
     * layout — see RunTag's Scaladoc. */
@@ -297,6 +298,7 @@ object Advanced {
     val n = nation(spark, dir)
     n.write.mode("overwrite").json(s"$base/nation_json")
     n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
+    n.write.mode("overwrite").orc(s"$base/nation_orc")
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -305,7 +307,12 @@ object Advanced {
       .select(col("n_nationkey"), col("n_name"))
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$base/nation_csv")
       .select(col("n_nationkey"), col("n_regionkey"))
+    // ORC leg carries the key back out — the join proves all three
+    // formats agree row-for-row on it
+    val fromOrc = spark.read.orc(s"$base/nation_orc")
+      .select(col("n_nationkey"))
     fromJson.join(fromCsv, Seq("n_nationkey"))
+      .join(fromOrc, Seq("n_nationkey"))
       .orderBy(col("n_nationkey"))
   }
 

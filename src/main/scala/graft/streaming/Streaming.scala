@@ -17,6 +17,10 @@ private case class SessionState(n: Long, start: Long, end: Long, sum: Double)
   * `TimeSeries.q118GapFill`'s output. */
 case class GapFillOut(user_id: Long, day: Timestamp, value: Double, is_observed: Int)
 
+/** Input/output rows of the streaming per-source quota cap. */
+case class QuotaDoc(doc_id: Long, source: String)
+case class QuotaOut(doc_id: Long, source: String, rk: Long)
+
 private case class GapFillState(openDayMs: Long, openSum: Double, closed: Boolean)
 
 /** Structured Streaming operator surface (SURVEY.md §2B streaming row).
@@ -195,6 +199,41 @@ object Streaming {
             state.update(s)
             state.setTimeoutTimestamp(s.openDayMs + dayMs)
           }
+          out.iterator
+      }
+  }
+
+  /** Streaming per-source quota cap — q100's streaming twin (admission
+    * control on an unbounded document stream: at most `cap` docs ever
+    * admitted per source). Batch q100 can pick the best N by
+    * content-hash priority because it sees the whole corpus; a stream
+    * cannot, so the streaming semantics is FIRST-N in arrival order —
+    * the honest online form (what an ingest gate actually does), with
+    * the admitted rank carried so downstream can tell a source's 1st
+    * doc from its 10th. State is ONE long per source (the admitted
+    * count), keyed by the shuffle key, never per-doc: a source that
+    * reaches its cap costs 8 bytes forever, and groups whose state
+    * already hit the cap drop their docs without emitting. Within a
+    * micro-batch, arrival order is made deterministic by sorting the
+    * group's batch on doc_id (the sessionizeStateful policy);
+    * StreamingSpec replays the documents table in doc_id order and
+    * asserts equality with the batch first-N-by-doc_id window. */
+  def quotaCapStateful(docs: Dataset[QuotaDoc], cap: Long = 10L): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[QuotaOut]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (admitted < cap) {
+              admitted += 1
+              out += QuotaOut(d.doc_id, source, admitted)
+            }
+          }
+          state.update(admitted)
           out.iterator
       }
   }

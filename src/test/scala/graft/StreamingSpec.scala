@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import java.sql.Timestamp
-import graft.streaming.{Ev, Streaming}
+import graft.streaming.{Ev, QuotaDoc, QuotaOut, Streaming}
 
 /** MemoryStream-driven tests of the streaming operators plus a
   * batch/stream parity check over the events table (the DuckDB oracle
@@ -135,6 +135,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
       .collect().map(_.getAs[Long]("keep_id")).toSet
     assert(batchKept === streamed)
+  }
+
+  test("streaming quota cap admits first-N per source across micro-batches, matching the batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the sf0.001 documents table replayed in doc_id order over two
+    // micro-batches: per-source admitted counts must carry across the
+    // batch boundary (a source part-filled in batch 1 only gets the
+    // REMAINDER in batch 2), and the union must equal the batch
+    // first-N-per-source window over the same corpus.
+    val cap = 3L
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => QuotaDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[QuotaDoc]
+    val q = Streaming.quotaCapStateful(mem.toDS(), cap).writeStream
+      .format("memory").queryName("quota").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("quota").as[QuotaOut].collect()
+      .map(o => (o.doc_id, o.source, o.rk)).toSet
+    val batch = all.groupBy(_.source).values.flatMap(_.sortBy(_.doc_id).take(cap.toInt)
+      .zipWithIndex.map { case (d, i) => (d.doc_id, d.source, i + 1L) }).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // every source respects the cap
+    streamed.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.size <= cap, s"source $s over cap")
+    }
   }
 
   test("streaming bloom-ingest dedups against the whole corpus history") {
