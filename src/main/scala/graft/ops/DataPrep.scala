@@ -555,6 +555,57 @@ object DataPrep {
       "round(pow(CAST(chars AS DOUBLE), 0.3) / spow / (CAST(chars AS DOUBLE) / CAST(total_chars AS DOUBLE)), 6) AS oversample " +
       "FROM by_lang CROSS JOIN stats ORDER BY lang"
 
+  /** q139: class-balanced oversampling with replacement — the trainer-
+    * side rebalancing step that sits DOWNSTREAM of q111's allocation
+    * math: materialize an epoch in which every language contributes
+    * exactly `target = max_lang_count` examples by replicating each
+    * document a deterministic number of times. Replication counts are
+    * exact by construction: every doc of a language gets
+    * floor(target / n) copies, and the first (target mod n) docs in
+    * content-hash order (the q57/q100 priority idiom) get one more —
+    * so Σ copies = target per language, no RNG, identical on any
+    * cluster/rerun and replayable by the oracle. Emitting (doc_id,
+    * copy) pairs rather than duplicated payloads keeps the output a
+    * layout map (the q81 philosophy): the trainer joins text back by
+    * doc_id.
+    *
+    * Scale shape: one |langs|-row partial agg broadcast back onto the
+    * scan, one window per language for the priority rank (parallelism
+    * = |langs| — at web scale this keys on thousands of
+    * lang×source strata), then a map-side sequence() explode. No
+    * corpus-scale shuffle beyond the rank window. */
+  def q139BalancedOversample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val target = byLang.agg(max(col("n_lang")).as("target"))
+    val pr = md5(concat(col("doc_id").cast("string"), lit("|graft-balance-1")))
+    val w = Window.partitionBy(col("lang")).orderBy(pr.asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(target))
+      .withColumn("n_copies",
+        (col("target") / col("n_lang")).cast("long") +
+          when(col("rk") <= col("target") % col("n_lang"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  val q139Sql: String =
+    "WITH by_lang AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1), " +
+      "t AS (SELECT max(n_lang) AS target FROM by_lang), " +
+      "ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|graft-balance-1'), doc_id) AS rk " +
+      "FROM documents), " +
+      "reps AS (SELECT doc_id, lang, " +
+      "CAST(target // n_lang + CASE WHEN rk <= target % n_lang THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      "FROM ranked JOIN by_lang USING (lang) CROSS JOIN t) " +
+      "SELECT doc_id, lang, n_copies, unnest(generate_series(1, n_copies)) AS copy " +
+      "FROM reps ORDER BY doc_id, copy"
+
   val q107Sql: String =
     "SELECT doc_id, lang, n_chars, cum_chars FROM (" +
       "SELECT doc_id, lang, n_chars, " +
@@ -570,6 +621,7 @@ object DataPrep {
     "q103_weighted_sample" -> q103WeightedSample _,
     "q107_budget_mix" -> q107BudgetMix _,
     "q111_temperature_mix" -> q111TemperatureMix _,
+    "q139_balanced_oversample" -> q139BalancedOversample _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -586,6 +638,7 @@ object DataPrep {
     "q103_weighted_sample" -> q103Sql,
     "q107_budget_mix" -> q107Sql,
     "q111_temperature_mix" -> q111Sql,
+    "q139_balanced_oversample" -> q139Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,

@@ -499,7 +499,60 @@ object Similarity {
       "FROM sel ORDER BY rank"
   }
 
+  /** q138: hard-negative mining for contrastive/embedding training
+    * (Karpukhin et al. 2020 DPR-style): for each anchor in a query
+    * batch, the top-k most-similar corpus vectors that carry a
+    * DIFFERENT label — the near-misses a contrastive loss learns most
+    * from (random negatives are trivially separable; same-label hits
+    * are positives, not negatives). Anchors = vec_id 0-4, k = 5.
+    *
+    * Plan shape: the 5-anchor batch BROADCASTS (a real mining pass
+    * batches thousands of anchors — still a broadcast next to the
+    * corpus); the corpus side is ONE scan scoring each vector against
+    * every anchor map-side (BroadcastNestedLoopJoin + codegen'd
+    * vec_dot), the label-mismatch filter cuts before any shuffle, and
+    * per-anchor top-5 is one window partitioned by anchor (parallelism
+    * = |anchors|, exactly how a mining job scales out). Deterministic:
+    * ranking sorts the 6-decimal-rounded sim then vec_id (q101
+    * policy), so the DuckDB oracle replays the selection exactly. */
+  def q138HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one scan carrying the label along — joining a second embeddings
+    // read back by vec_id would shuffle the corpus for a column the
+    // scan already has
+    graft.functions.VectorFunctions.register(spark)
+    val vs = graft.Caches.register(embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .cache())
+    val anchors = vs.filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("norm").as("an"), col("label").as("alabel"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    vs.crossJoin(broadcast(anchors))
+      .where(col("label") =!= col("alabel"))
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        round(cosine(col("v"), col("av"), col("norm"), col("an")), 6).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
+  val q138Sql: String =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+      s"${sqlNorm("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings), " +
+      "a AS (SELECT vec_id AS anchor_id, label AS alabel, v AS av, nrm AS an " +
+      "FROM e WHERE vec_id <= 4), " +
+      "scored AS (SELECT anchor_id, e.vec_id, e.label, " +
+      s"round(${sqlDot("e.v", "av")} / (e.nrm * an), 6) AS sim " +
+      "FROM e CROSS JOIN a WHERE e.label <> alabel) " +
+      "SELECT anchor_id, vec_id, label, sim, rk FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk " +
+      "FROM scored) WHERE rk <= 5 ORDER BY anchor_id, rk"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_hard_negatives" -> q138HardNegatives _,
     "q98_semantic_prune" -> q98SemanticPrune _,
     "q112_diversity_kcenter" -> q112DiversityKCenter _,
     "q33_cosine_topk" -> q33CosineTopk _,
@@ -513,6 +566,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_hard_negatives" -> q138Sql,
     "q112_diversity_kcenter" -> q112Sql,
     "q33_cosine_topk" -> q33Sql,
     "q34_embedding_neardup" -> q34Sql,

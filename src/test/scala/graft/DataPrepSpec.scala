@@ -214,6 +214,31 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("balanced oversample (q139): every language lands exactly on target; copies deterministic") {
+    val rows = ops.DataPrep.q139BalancedOversample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val target = byLang.values.max
+    // exact balance: each language contributes exactly `target` rows
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.length.toLong == target, s"$lang: ${rs.length} != $target")
+    }
+    // every doc appears, with copies numbered 1..n_copies densely
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val n = rs.head._3
+      assert(rs.map(_._4).sorted.toSeq == (1L to n), s"doc $id copies not dense")
+    }
+    assert(rows.map(_._1).distinct.length == docs.length, "every doc present")
+    // deterministic: a language's copy counts differ by at most 1 and
+    // floor(target/n) is the base
+    byLang.foreach { case (lang, n) =>
+      val counts = rows.filter(_._2 == lang).groupBy(_._1).map(_._2.head._3).toSeq
+      assert(counts.toSet.subsetOf(Set(target / n, target / n + 1)), s"$lang counts $counts")
+    }
+  }
+
   test("budget mix: every language fills to its budget maximally, never over") {
     import org.apache.spark.sql.functions.{max => sqlMax}
     def budgetOf(lang: String): Long =

@@ -87,6 +87,39 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.toSeq == again.toSeq, "PQ selection must be rerun-deterministic")
   }
 
+  test("hard negatives (q138): per-anchor top-5 different-label neighbors match a driver-side replay") {
+    val rows = sim.Similarity.q138HardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    val all = Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val anchors = all.filter(_._1 <= 4)
+    assert(anchors.length == 5)
+    val expected = anchors.flatMap { case (aid, av, alabel) =>
+      all.filter(_._3 != alabel)
+        .map { case (vid, v, l) => (vid, l, r6(cos(v, av))) }
+        .sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((vid, l, s), i) => (aid, vid, l, s, i + 1L) }
+    }.sortBy(t => (t._1, t._5))
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._5 == e._5, s"selection: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"sim: $g vs $e")
+      assert(g._3 == e._3)
+    }
+    // the semantics that make them NEGATIVES: no selected row shares its
+    // anchor's label
+    val labelOf = all.map(t => t._1 -> t._3).toMap
+    rows.foreach { case (aid, vid, l, _, _) =>
+      assert(l != labelOf(aid), s"anchor $aid selected same-label $vid")
+    }
+  }
+
   test("int8-quantized top-k tracks the exact cosine top-k closely") {
     val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
