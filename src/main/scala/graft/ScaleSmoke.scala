@@ -143,6 +143,13 @@ object ScaleSmoke {
         assert(n == n10, s"strip spans emitted $n rows for $n10 docs")
         n
       }
+      // the r8 text/prep additions — all token-shuffle-bound and
+      // expected LINEAR in corpus size (DSIR's model stays 256 rows at
+      // any scale; the bigram model grows with VOCABULARY, not corpus;
+      // oversampling is a rank window + map-side explode)
+      timed("q134_dsir_10x", json) { mat(text.TextAnalysis.q134DsirSample(spark, dir10)) }
+      timed("q136_bigram_lm_10x", json) { mat(text.TextAnalysis.q136BigramLm(spark, dir10)) }
+      timed("q139_oversample_10x", json) { mat(ops.DataPrep.q139BalancedOversample(spark, dir10)) }
       Caches.drain()
 
       // ---- q125 prefix join survives the boilerplate corpus UNCAPPED ----

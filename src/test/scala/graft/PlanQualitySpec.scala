@@ -223,6 +223,40 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q134 DSIR: bucket model joins broadcast, selection is TakeOrdered, no sort-merge join") {
+    val s = executed("q134_dsir_sample")
+    assert(!s.contains("SortMergeJoin"), s)
+    // the <=256-row model (with its 1-row totals attach folded in)
+    // joins the cached doc-bucket table by broadcast hash
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 1, s)
+  }
+
+  test("q136 bigram LM: models broadcast back, corpus tokenizes once, no sort-merge join") {
+    val s = executed("q136_bigram_lm")
+    assert(!s.contains("SortMergeJoin"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3, s)
+    // per-doc token arrays + the distinct-bigram table both serve from
+    // cache — the raw corpus text is scanned exactly once
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("q138 hard negatives: anchors broadcast, one window exchange, label filter before it") {
+    val s = executed("q138_hard_negatives")
+    // the anchor batch rides a broadcast nested-loop (it scores every
+    // corpus row); no sort-merge join anywhere
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q139 oversample: lang counts broadcast; the explode is map-side after the rank window") {
+    val s = executed("q139_balanced_oversample")
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("Generate"), s) // sequence() explode, no join
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
