@@ -997,7 +997,40 @@ object TextAnalysis {
       "FROM m JOIN c2 USING (a, b) JOIN c1 USING (a) JOIN uni USING (b) CROSS JOIN tot " +
       "GROUP BY doc_id ORDER BY doc_id"
 
+  /** q140: grouped top-k WITHOUT a window sort — per language, the top-20
+    * documents by the shared q26 quality score, computed with the
+    * [[graft.functions.TopK]] bounded-buffer Aggregator. The point is the
+    * PLAN, not the answer: `row_number() OVER (PARTITION BY lang ...)`
+    * shuffles and sorts every row of every group, while the aggregator
+    * runs as a partial+final aggregate — each map task reduces to at
+    * most k survivors per group BEFORE the exchange, so the shuffle
+    * moves O(k·|langs|·partitions) bounded buffers instead of the corpus
+    * (TakeOrdered economics, per group). The oracle states the same
+    * top-k as the window form — proving the two agree row-for-row —
+    * and PlanQualitySpec pins that the aggregator plan contains no
+    * Window and no corpus Sort. Score is ROUNDED before aggregation so
+    * the ordering (score DESC, doc_id ASC) is cross-engine exact. */
+  def q140GroupedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(20))
+    documents(spark, dir)
+      .select(col("lang"), col("doc_id"), round(qualityScoreCol, 6).as("q"))
+      .groupBy(col("lang"))
+      .agg(topk(col("q"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").as("quality"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q140Sql: String =
+    s"SELECT lang, rk, doc_id, quality FROM (" +
+      "SELECT lang, doc_id, q AS quality, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk " +
+      s"FROM (SELECT lang, doc_id, round($qualityScoreSql, 6) AS q FROM documents)) " +
+      "WHERE rk <= 20 ORDER BY lang, rk"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_grouped_topk" -> q140GroupedTopk _,
     "q136_bigram_lm" -> q136BigramLm _,
     "q134_dsir_sample" -> q134DsirSample _,
     "q135_gopher_rules" -> q135GopherRules _,
@@ -1019,6 +1052,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q140_grouped_topk" -> q140Sql,
     "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,
     "q135_gopher_rules" -> q135Sql,

@@ -257,6 +257,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("Generate"), s) // sequence() explode, no join
   }
 
+  test("q140 grouped top-k: partial+final aggregate, no Window, no corpus sort") {
+    val s = executed("q140_grouped_topk")
+    // the whole point of the TopK aggregator: the per-group ranking must
+    // NOT plan as a window (full shuffle+sort of every row)
+    assert(!s.contains("Window"), s)
+    // typed-buffer UDAF aggregates plan as ObjectHashAggregate with a
+    // partial pass BEFORE the lang exchange — map tasks ship k-bounded
+    // buffers, not rows
+    assert(s.contains("partial_topk"), s)
+    assert(s.contains("ObjectHashAggregate"), s)
+    // exactly two exchanges: the lang hash exchange between the partial
+    // and final aggregate, and the 100-row oracle output sort
+    assert(exchangeCount("q140_grouped_topk") == 2, s)
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col

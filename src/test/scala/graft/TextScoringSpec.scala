@@ -58,6 +58,33 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouped top-k (q140): TopK aggregator equals the window form; buffers stay bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = text.TextAnalysis.q140GroupedTopk(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the window twin computed in-Spark over identical inputs
+    val w = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id").asc)
+    val viaWindow = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        round(text.TextAnalysis.qualityScoreCol, 6).as("q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"), col("q"))
+      .orderBy(col("lang"), col("rk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+    // direct Aggregator laws on a hand case: bounded, sorted, tie -> min id
+    val t = new functions.TopK(3)
+    val fed = Seq(functions.Scored(1.0, 5), functions.Scored(2.0, 9),
+      functions.Scored(2.0, 1), functions.Scored(0.5, 7), functions.Scored(3.0, 2))
+    val red = fed.foldLeft(t.zero)(t.reduce)
+    assert(red == Seq(functions.Scored(3.0, 2), functions.Scored(2.0, 1), functions.Scored(2.0, 9)))
+    // merge of two partials equals reduce over the union
+    val (l, r) = fed.splitAt(2)
+    val merged = t.merge(l.foldLeft(t.zero)(t.reduce), r.foldLeft(t.zero)(t.reduce))
+    assert(merged == red)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
