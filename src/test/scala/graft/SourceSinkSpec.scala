@@ -114,6 +114,32 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no pushed filters in:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unifies generations; late columns read NULL for old files") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: the original layout; generation 2 adds a column —
+    // the additive evolution every long-lived corpus undergoes. Written
+    // as two batches into one dataset directory.
+    val g1 = Tables.nation(spark, sfDir).limit(10)
+      .select(col("n_nationkey"), col("n_name"))
+    val g2 = Tables.nation(spark, sfDir)
+      .filter(col("n_nationkey") >= 10)
+      .select(col("n_nationkey"), col("n_name"),
+        lit("v2").as("ingest_version"))
+    g1.write.mode("overwrite").parquet(s"$dir/part=a")
+    g2.write.mode("overwrite").parquet(s"$dir/part=b")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    // the unified schema carries the union of columns
+    assert(merged.columns.toSet == Set("n_nationkey", "n_name", "ingest_version", "part"))
+    // old-generation rows surface NULL for the late column, new rows
+    // carry their value — no rewrite of generation-1 files needed
+    val byVer = merged.groupBy(col("ingest_version")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byVer(None) == 10L && byVer(Some("v2")) == 15L, byVer.toString)
+    // and the key column still reads consistently across generations
+    assert(merged.select(col("n_nationkey")).distinct().count() == 25L)
+  }
+
   test("schema with a type the reader can't materialize is rejected at the source") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
