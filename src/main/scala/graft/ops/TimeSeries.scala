@@ -87,15 +87,86 @@ object TimeSeries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  val q23Sql: String =
+  /** The q23 gap-sessionization as shared DuckDB CTEs (g → s), reused by
+    * q141 so the two can never diverge on what a "session" is. */
+  private val sessionCtes: String =
     "WITH g AS (SELECT user_id, event_id, ts, value, " +
       "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 " +
       "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
       "s AS (SELECT user_id, ts, value, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g)"
+
+  val q23Sql: String =
+    sessionCtes + " " +
       "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, " +
       "max(ts) AS session_end, round(sum(value),2) AS session_value " +
       "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"
+
+  /** q141: peak concurrent sessions per day — the sweep-line interval
+    * statistic (classic "max concurrent intervals") capacity planning
+    * asks of any session table: how many q23 sessions overlap at the
+    * busiest instant of each day. Each session contributes a +1 at its
+    * start and a −1 at its end (end-EXCLUSIVE: back-to-back sessions
+    * never overlap, a zero-length single-event session counts as empty
+    * — the −1 sorts before the +1 at an equal instant); concurrency at
+    * a point is the running sum of deltas over global time order, and
+    * the answer is the per-day max of that sum.
+    *
+    * Scale shape: the naive form is ONE global running-sum window (a
+    * single-partition sort — the q81 problem). Same fix as q81's
+    * two-level distributed cumsum: the running sum is computed WITHIN
+    * each day partition (parallelism = |days|), a |days|-row per-day
+    * delta-total table gets its own prefix sum (tiny — one window over
+    * |days| rows), and the day's carry-in joins back by BROADCAST.
+    * Sessions that span midnight are exactly why the carry term exists:
+    * their +1 lands in day d, their −1 in day d+1, so day d+1 starts
+    * at a positive carry. All integers end-to-end → bit-exact
+    * cross-engine. */
+  def q141ConcurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = q23Sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val pts = sessions
+      .select(col("session_start").as("ts"), lit(1L).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionByName(sessions
+        .select(col("session_end").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("session_id")))
+      .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+    val wday = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta"), col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinDay = pts.withColumn("run", sum(col("delta")).over(wday))
+    val wcarry = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // |days| rows: the global window here sorts ~31 rows, not the corpus
+    val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("dtot"))
+      .withColumn("carry", coalesce(sum(col("dtot")).over(wcarry), lit(0L)))
+      .select(col("day"), col("carry"))
+    withinDay.join(broadcast(carry), "day")
+      .groupBy(col("day"))
+      .agg(max(col("run") + col("carry")).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+      .orderBy(col("day"))
+  }
+
+  val q141Sql: String =
+    sessionCtes + ", " +
+      "sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM s GROUP BY 1, 2), " +
+      // DuckDB's date_trunc('day') yields DATE — cast to TIMESTAMP to
+      // match Spark's timestamp_ntz day column (the q90/q118 policy)
+      "pts AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, ts, delta, user_id, session_id FROM (" +
+      "SELECT st AS ts, 1 AS delta, user_id, session_id FROM sess " +
+      "UNION ALL SELECT en, -1, user_id, session_id FROM sess)), " +
+      "run AS (SELECT day, delta, CAST(sum(delta) OVER (PARTITION BY day " +
+      "ORDER BY ts, delta, user_id, session_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM pts), " +
+      "dt AS (SELECT day, CAST(sum(delta) AS BIGINT) AS dtot FROM pts GROUP BY 1), " +
+      "carry AS (SELECT day, CAST(coalesce(sum(dtot) OVER (ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry FROM dt) " +
+      "SELECT day, CAST(max(run + carry) AS BIGINT) AS peak_concurrency, " +
+      "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_started " +
+      "FROM run JOIN carry USING (day) GROUP BY day ORDER BY day"
 
   /** JSON path extraction (§2A-4 generalized): schema-on-read over the
     * props column, pushed through a grouped aggregation. */
@@ -738,6 +809,7 @@ object TimeSeries {
     "q21_asof_join" -> q21AsofJoin _,
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
+    "q141_concurrency_peak" -> q141ConcurrencyPeak _,
     "q24_json_extract" -> q24JsonExtract _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
@@ -758,6 +830,7 @@ object TimeSeries {
     "q21_asof_join" -> q21Sql,
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
+    "q141_concurrency_peak" -> q141Sql,
     "q24_json_extract" -> q24Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,

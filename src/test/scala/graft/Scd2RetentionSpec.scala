@@ -165,6 +165,39 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(typeCounts > u3, "every 3-type user converts — ordering never bites, vacuous")
   }
 
+  test("concurrency peak (q141): per-day maxima match a driver-side sweep over q23's sessions") {
+    val got = ops.TimeSeries.q141ConcurrencyPeak(spark, dir).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val sessions = ops.TimeSeries.q23Sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime]("session_start"),
+        r.getAs[java.time.LocalDateTime]("session_end")))
+    // reference: one global sweep, end-exclusive (-1 before +1 at ties)
+    def nanos(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano
+    val pts = sessions.flatMap { case (u, s, st, en) =>
+      Seq((st, 1, u, s), (en, -1, u, s))
+    }.sortBy { case (t, d, u, s) => (nanos(t), d, u, s) }
+    var run = 0L
+    val perDay = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
+    val started = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
+    pts.foreach { case (t, d, _, _) =>
+      run += d
+      val day = t.toLocalDate
+      perDay(day) = math.max(perDay.getOrElse(day, Long.MinValue), run)
+      if (d == 1) started(day) = started.getOrElse(day, 0L) + 1
+    }
+    assert(got.length == perDay.size)
+    got.foreach { case (day, peak, nStarted) =>
+      assert(peak == perDay(day), s"$day peak $peak vs ${perDay(day)}")
+      assert(nStarted == started.getOrElse(day, 0L), s"$day started")
+    }
+    // sanity: the sweep ends balanced (every +1 met its -1)
+    assert(run == 0L)
+    // peaks are positive and bounded by sessions started that day + carry
+    got.foreach { case (_, peak, _) => assert(peak >= 1L) }
+  }
+
   test("KL drift (q121) matches a driver-side recompute and is symmetric-positive") {
     val rows = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), col("ts")).collect()
