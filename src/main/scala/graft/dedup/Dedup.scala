@@ -671,6 +671,33 @@ object Dedup {
     s"WITH $shingleCtes " +
       "SELECT s, count(*) AS df FROM e0 GROUP BY s ORDER BY df DESC, s LIMIT 50"
 
+  /** q142: heavy shingles via a Misra–Gries bounded-memory Aggregator
+    * (graft.functions.MisraGries) — the DETERMINISTIC-guarantee
+    * heavy-hitter path beside q96 (exact, shuffles the distinct-shingle
+    * set) and q99 (CMS, randomized hashes): k=200 counters TOTAL,
+    * regardless of corpus size or shingle cardinality, with the
+    * guarantee that every shingle of frequency > n/200 is present and
+    * counts underestimate by at most n/200. The plan is a partial+final
+    * ObjectHashAggregate over a SINGLE group — map tasks summarize
+    * their partitions into k counters and the exchange moves
+    * #partitions·k counters, never the shingle stream; the PODS'12
+    * merge keeps the bound through the final combine. This is the
+    * operator you run when even the distinct-key set no longer fits a
+    * shuffle — the regime past q96.
+    *
+    * Counter values are arrival/merge-order dependent (only the bound
+    * is invariant) → rows-only at the driver; DedupSimSpec pins the
+    * guarantee against oracle-green q96: the exact top shingles all
+    * surface, every estimate within n/k below truth, never above. */
+  def q142MgHeavyShingles(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(200))
+    explodedShingles(spark, dir)
+      .agg(mg(col("s")).as("counters"))
+      .select(explode(col("counters")).as(Seq("s", "est_df")))
+      .orderBy(col("est_df").desc, col("s"))
+      .limit(50)
+  }
+
   val q30Sql: String =
     s"WITH $jaccardCtes " +
       "SELECT id_a, id_b, CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard " +
@@ -1391,6 +1418,7 @@ object Dedup {
     "q115_quality_keeplist" -> q115QualityKeepList _,
     "q95_leakage_split" -> q95LeakageSplit _,
     "q96_heavy_shingles" -> q96HeavyShingles _,
+    "q142_mg_heavy_shingles" -> q142MgHeavyShingles _,
     "q104_cluster_sizes" -> q104ClusterSizes _
   )
 

@@ -87,6 +87,41 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.toSeq == again.toSeq, "PQ selection must be rerun-deterministic")
   }
 
+  test("Misra-Gries heavy shingles (q142): deterministic guarantee holds vs exact counts") {
+    val k = 200
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // exact ground truth over the same shingle stream
+    val exact = dedup.Dedup.explodedShingles(spark, dir)
+      .groupBy(col("s")).agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / k
+    val mg = dedup.Dedup.q142MgHeavyShingles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // guarantee 1: every shingle with true frequency > n/k must surface
+    // among the counters (and the exact top shingles are well above it)
+    val must = exact.filter(_._2 > bound).keySet
+    val missing = must -- mg.keySet
+    assert(missing.isEmpty, s"guaranteed heavy hitters missing: $missing")
+    // guarantee 2: estimates never exceed truth, and undershoot <= n/k
+    mg.foreach { case (s, est) =>
+      val t = exact.getOrElse(s, 0L)
+      assert(est <= t, s"$s overestimated: $est > $t")
+      assert(t - est <= bound, s"$s undershoot ${t - est} > $bound")
+    }
+    // the aggregator laws directly: adversarial stream where the heavy
+    // key survives the decrement churn of k distinct light keys
+    val m = new functions.MisraGries(3)
+    val stream = Seq.fill(10)("hot") ++ (1 to 9).map(i => s"cold$i")
+    val red = stream.foldLeft(m.zero)(m.reduce)
+    assert(red.contains("hot") && red("hot") <= 10 && red("hot") >= 10 - (19 / 3))
+    // merge bound: merging partials keeps every count <= the summed truth
+    val (l, r) = stream.splitAt(7)
+    val merged = m.merge(l.foldLeft(m.zero)(m.reduce), r.foldLeft(m.zero)(m.reduce))
+    assert(merged.size <= 3)
+    merged.foreach { case (key, c) => assert(c <= stream.count(_ == key)) }
+  }
+
   test("hard negatives (q138): per-anchor top-5 different-label neighbors match a driver-side replay") {
     val rows = sim.Similarity.q138HardNegatives(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
