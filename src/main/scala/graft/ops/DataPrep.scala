@@ -555,6 +555,75 @@ object DataPrep {
       "round(pow(CAST(chars AS DOUBLE), 0.3) / spow / (CAST(chars AS DOUBLE) / CAST(total_chars AS DOUBLE)), 6) AS oversample " +
       "FROM by_lang CROSS JOIN stats ORDER BY lang"
 
+  /** q143: declarative data-quality expectations — the dbt-test /
+    * Great-Expectations-style constraint audit every pipeline runs
+    * before trusting a table: each named expectation compiles to a
+    * violation COUNT over the data, and the report is one row per
+    * check (name, n_violations, pass). Checks cover the four standard
+    * families over the star schema:
+    *   - not-null         (lineitem.l_orderkey)
+    *   - accepted range   (l_quantity in [1, 50]; l_discount in [0, 0.1])
+    *   - uniqueness       ((l_orderkey, l_linenumber) is a key)
+    *   - referential      (orders.o_custkey -> customer.c_custkey)
+    *
+    * Scale shape: every scan-family check partial-aggregates its
+    * violation count map-side in ONE pass over the table (a shared
+    * conditional-sum aggregate — adding a check adds a column, not a
+    * scan); uniqueness is one groupBy on the key with a HAVING-style
+    * filter aggregated to a count; the FK check is a broadcast-able
+    * anti-join count (dimension side small — at scale Spark picks
+    * SMJ/shuffle-hash on the same key). The report unions five 1-row
+    * frames — driver-sized. All counts exact integers → bit-exact
+    * cross-engine. */
+  def q143Expectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    // one pass, all scan-family checks as conditional sums
+    val scanChecks = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("qr"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("dr"))
+    val nnRow = scanChecks.select(lit("lineitem.l_orderkey not_null").as("check"),
+      col("nn").as("n_violations"))
+    val qrRow = scanChecks.select(lit("lineitem.l_quantity in [1,50]").as("check"),
+      col("qr").as("n_violations"))
+    val drRow = scanChecks.select(lit("lineitem.l_discount in [0,0.1]").as("check"),
+      col("dr").as("n_violations"))
+    val dupRow = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .select(lit("lineitem (l_orderkey,l_linenumber) unique").as("check"),
+        col("n_violations"))
+    val fkRow = orders(spark, dir).select(col("o_custkey"))
+      .join(customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders.o_custkey references customer").as("check"),
+        col("n_violations"))
+    nnRow.unionByName(qrRow).unionByName(drRow).unionByName(dupRow).unionByName(fkRow)
+      .select(col("check"), col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("pass"))
+      .orderBy(col("check"))
+  }
+
+  val q143Sql: String =
+    "WITH scan AS (SELECT " +
+      "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn, " +
+      "CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qr, " +
+      "CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS dr " +
+      "FROM lineitem), " +
+      "dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM " +
+      "(SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), " +
+      "fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders " +
+      "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)), " +
+      "rep AS (" +
+      "SELECT 'lineitem.l_orderkey not_null' AS check_name, nn AS n_violations FROM scan " +
+      "UNION ALL SELECT 'lineitem.l_quantity in [1,50]', qr FROM scan " +
+      "UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', dr FROM scan " +
+      "UNION ALL SELECT 'lineitem (l_orderkey,l_linenumber) unique', v FROM dup " +
+      "UNION ALL SELECT 'orders.o_custkey references customer', v FROM fk) " +
+      "SELECT check_name AS \"check\", n_violations, " +
+      "CAST(n_violations = 0 AS INTEGER) AS pass FROM rep ORDER BY \"check\""
+
   /** q139: class-balanced oversampling with replacement — the trainer-
     * side rebalancing step that sits DOWNSTREAM of q111's allocation
     * math: materialize an epoch in which every language contributes
@@ -622,6 +691,7 @@ object DataPrep {
     "q107_budget_mix" -> q107BudgetMix _,
     "q111_temperature_mix" -> q111TemperatureMix _,
     "q139_balanced_oversample" -> q139BalancedOversample _,
+    "q143_expectations" -> q143Expectations _,
     "q56_like_pred" -> q56LikePred _,
     "q57_hash_split" -> q57HashSplit _,
     "q58_stratified_sample" -> q58StratifiedSample _,
@@ -639,6 +709,7 @@ object DataPrep {
     "q107_budget_mix" -> q107Sql,
     "q111_temperature_mix" -> q111Sql,
     "q139_balanced_oversample" -> q139Sql,
+    "q143_expectations" -> q143Sql,
     "q56_like_pred" -> q56Sql,
     "q57_hash_split" -> q57Sql,
     "q58_stratified_sample" -> q58Sql,

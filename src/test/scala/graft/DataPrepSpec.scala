@@ -214,6 +214,26 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("expectations (q143): report shape exact; counts match driver-side recomputes") {
+    val rows = ops.DataPrep.q143Expectations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 5)
+    // pass is exactly the zero-violation indicator
+    rows.foreach { case (c, v, p) => assert(p == (if (v == 0) 1 else 0), c) }
+    // recompute two checks independently
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val qViol = li.count(r => { val q = r.getDouble(2); q < 1 || q > 50 })
+    assert(rows.find(_._1.contains("l_quantity")).get._2 == qViol)
+    val dupViol = li.groupBy(r => (r.getLong(0), r.getInt(1))).values
+      .map(g => g.size - 1).sum
+    assert(rows.find(_._1.contains("unique")).get._2 == dupViol)
+    val custKeys = Tables.customer(spark, dir).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val fkViol = Tables.orders(spark, dir).select("o_custkey").collect()
+      .count(r => !custKeys(r.getLong(0)))
+    assert(rows.find(_._1.contains("references")).get._2 == fkViol)
+  }
+
   test("balanced oversample (q139): every language lands exactly on target; copies deterministic") {
     val rows = ops.DataPrep.q139BalancedOversample(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
