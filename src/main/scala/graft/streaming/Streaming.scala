@@ -21,6 +21,10 @@ case class GapFillOut(user_id: Long, day: Timestamp, value: Double, is_observed:
 case class QuotaDoc(doc_id: Long, source: String)
 case class QuotaOut(doc_id: Long, source: String, rk: Long)
 
+/** Streaming anomaly flagging: per-type running moments + a flagged event. */
+private case class MomentState(n: Long, sum: Double, sumSq: Double)
+case class AnomalyOut(event_id: Long, event_type: String, value: Double, z_score: Double)
+
 private case class GapFillState(openDayMs: Long, openSum: Double, closed: Boolean)
 
 /** Structured Streaming operator surface (SURVEY.md §2B streaming row).
@@ -235,6 +239,53 @@ object Streaming {
           }
           state.update(admitted)
           out.iterator
+      }
+  }
+
+  /** Streaming anomaly flagging — q102's streaming twin (online data-QC
+    * on an unbounded event feed: flag values > 3σ from their type's
+    * mean AS THEY ARRIVE). Batch q102 can use whole-corpus statistics;
+    * a stream cannot, so the streaming semantics is the honest online
+    * one: per micro-batch, FIRST fold the batch's values into the
+    * type's running (n, Σx, Σx²) moment state, THEN flag the batch's
+    * events against the updated all-seen-so-far statistics — so a
+    * replay that delivers everything in ONE batch flags exactly the
+    * batch q102 set (the StreamingSpec parity case), while incremental
+    * delivery flags against prefix statistics (what an online monitor
+    * actually knows; early anomalies surface only once enough mass has
+    * arrived to define "normal", i.e. n >= 30 and sd > 0). State is
+    * THREE doubles + a count per event type, forever. Welford-free
+    * two-pass moments are fine here: Σx² of ~1e2-magnitude values is
+    * far from double overflow/cancellation at any realistic n. */
+  def anomaliesStateful(events: Dataset[Ev], minN: Long = 30L): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Ev], state: GroupState[MomentState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prior = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val s = evs.foldLeft(prior) { (acc, e) =>
+            MomentState(acc.n + 1, acc.sum + e.value, acc.sumSq + e.value * e.value)
+          }
+          state.update(s)
+          if (s.n < minN) Iterator.empty
+          else {
+            val mu = s.sum / s.n
+            val variance = (s.sumSq - s.n * mu * mu) / (s.n - 1)
+            if (variance <= 0.0) Iterator.empty
+            else {
+              val sd = math.sqrt(variance)
+              evs.iterator
+                .map(e => (e, (e.value - mu) / sd))
+                .filter { case (_, z) => math.abs(z) > 3.0 }
+                .map { case (e, z) =>
+                  AnomalyOut(e.event_id, etype, e.value,
+                    BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
+            }
+          }
       }
   }
 

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchKept === streamed)
   }
 
+  test("streaming anomaly flagging matches batch q102 on a single-batch replay; silent below min-n") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Ev].collect().toIndexedSeq
+    // one batch = the stream has seen everything the batch job sees →
+    // the flagged set must equal q102's (stats are all-seen-so-far)
+    val mem = MemoryStream[Ev]
+    val q = Streaming.anomaliesStateful(mem.toDS()).writeStream
+      .format("memory").queryName("anom").outputMode(OutputMode.Append).start()
+    try { mem.addData(all); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("anom").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val batch = ops.TimeSeries.q102Anomalies(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(streamed.keySet === batch.keySet)
+    assert(batch.nonEmpty)
+    streamed.foreach { case (id, z) =>
+      assert(math.abs(z - batch(id)) < 1e-6, s"event $id z $z vs ${batch(id)}")
+    }
+    // below min-n the monitor stays silent — no "anomalies" against a
+    // meaningless baseline
+    val mem2 = MemoryStream[Ev]
+    val q2 = Streaming.anomaliesStateful(mem2.toDS(), minN = 30L).writeStream
+      .format("memory").queryName("anom2").outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(all.filter(_.event_type == all.head.event_type).take(10))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("anom2").count() == 0L)
+  }
+
   test("streaming quota cap admits first-N per source across micro-batches, matching the batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
