@@ -590,7 +590,83 @@ object Similarity {
       "SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk " +
       "FROM scored) WHERE rk <= 5 ORDER BY anchor_id, rk"
 
+  /** q144: embedding-cluster QA profile — per label: size, centroid
+    * norm, mean cosine of members to their centroid (cohesion), and the
+    * nearest OTHER label's centroid with its cosine (separation margin).
+    * The cluster-structure audit a curation pipeline runs before
+    * trusting label- or cluster-keyed ops (q98 SemDeDup cells, q112
+    * coverage, q138 negatives): low cohesion or a high nearest-other
+    * cosine means the "clusters" won't carry the downstream assumption.
+    *
+    * Scale shape: centroids via DIMENSION-WISE aggregation — posexplode
+    * to (label, dim, value), one partial-agged groupBy(label, dim), and
+    * per-label reassembly by sort_array(collect_list) of 64 structs —
+    * the standard distributed mean-vector plan (never a driver-side
+    * vector sum); the |labels|-row centroid table then broadcasts back
+    * for the cohesion pass (one corpus scan) and self-cross-joins
+    * (|labels|² = 100 rows) for margins. Determinism: per-dim avg and
+    * the cohesion mean accumulate in engine-specific order → every
+    * emitted float rounds to 6 decimals and the margin argmax compares
+    * ROUNDED cosines with a label tiebreak (the q126 policy), so the
+    * DuckDB oracle replays it exactly. */
+  def q144LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val vs = graft.Caches.register(embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .cache())
+    val cent = vs
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val cnorm = sqrt(dot(col("cv"), col("cv")))
+    val cohesion = vs.join(broadcast(cent), "label")
+      .select(col("label"),
+        (dot(col("v"), col("cv")) / (sqrt(dot(col("v"), col("v"))) * cnorm)).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 6).as("mean_cos"))
+    val a = cent.select(col("label"), col("cv"))
+    val b = cent.select(col("label").as("olabel"), col("cv").as("ov"))
+    val ccos = round(dot(col("cv"), col("ov")) /
+      (cnorm * sqrt(dot(col("ov"), col("ov")))), 6)
+    val margins = a.crossJoin(broadcast(b))
+      .where(col("label") =!= col("olabel"))
+      .select(col("label"), col("olabel"), ccos.as("ccos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          .orderBy(col("ccos").desc, col("olabel").asc)))
+      .where(col("rk") === 1)
+      .select(col("label"), col("olabel").as("nearest_label"), col("ccos").as("nearest_cos"))
+    cohesion
+      .join(broadcast(cent.select(col("label"), round(cnorm, 6).as("centroid_norm"))), "label")
+      .join(broadcast(margins), "label")
+      .select(col("label"), col("n_vecs"), col("centroid_norm"),
+        col("mean_cos"), col("nearest_label"), col("nearest_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q144Sql: String =
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "d AS (SELECT label, (p).i AS i, (p).x AS x FROM " +
+      "(SELECT label, unnest(list_transform(range(1, 65), i -> {'i': i, 'x': v[i]})) AS p FROM e)), " +
+      "c AS (SELECT label, list(c ORDER BY i) AS cv FROM " +
+      "(SELECT label, i, avg(x) AS c FROM d GROUP BY 1, 2) GROUP BY label), " +
+      s"coh AS (SELECT e.label, count(*) AS n_vecs, round(avg(${sqlDot("e.v", "cv")} / " +
+      s"(${sqlNorm("e.v")} * ${sqlNorm("cv")})), 6) AS mean_cos " +
+      "FROM e JOIN c USING (label) GROUP BY e.label), " +
+      s"m AS (SELECT label, nearest_label, nearest_cos FROM (" +
+      "SELECT a.label, b.label AS nearest_label, " +
+      s"round(${sqlDot("a.cv", "b.cv")} / (${sqlNorm("a.cv")} * ${sqlNorm("b.cv")}), 6) AS nearest_cos, " +
+      s"ROW_NUMBER() OVER (PARTITION BY a.label ORDER BY round(${sqlDot("a.cv", "b.cv")} / " +
+      s"(${sqlNorm("a.cv")} * ${sqlNorm("b.cv")}), 6) DESC, b.label) AS rk " +
+      "FROM c a JOIN c b ON a.label <> b.label) WHERE rk = 1) " +
+      s"SELECT label, n_vecs, round(${sqlNorm("cv")}, 6) AS centroid_norm, mean_cos, " +
+      "nearest_label, nearest_cos " +
+      "FROM coh JOIN c USING (label) JOIN m USING (label) ORDER BY label"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_label_centroids" -> q144LabelCentroids _,
     "q138_hard_negatives" -> q138HardNegatives _,
     "q98_semantic_prune" -> q98SemanticPrune _,
     "q112_diversity_kcenter" -> q112DiversityKCenter _,
@@ -605,6 +681,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q144_label_centroids" -> q144Sql,
     "q138_hard_negatives" -> q138Sql,
     "q112_diversity_kcenter" -> q112Sql,
     "q33_cosine_topk" -> q33Sql,

@@ -87,6 +87,44 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.toSeq == again.toSeq, "PQ selection must be rerun-deterministic")
   }
 
+  test("label centroids (q144): profile matches a driver-side recompute; margins sane") {
+    val got = sim.Similarity.q144LabelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getDouble(5)))
+    val all = Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val byLabel = all.groupBy(_._1)
+    val centroids = byLabel.map { case (l, vs) =>
+      val c = new Array[Double](64)
+      vs.foreach { case (_, v) => for (i <- 0 until 64) c(i) += v(i) }
+      for (i <- 0 until 64) c(i) /= vs.length
+      l -> c
+    }
+    assert(got.length == byLabel.size)
+    got.foreach { case (l, n, cn, mc, nl, ncos) =>
+      assert(n == byLabel(l).length)
+      assert(math.abs(cn - r6(norm(centroids(l)))) < 2e-6, s"label $l centroid norm")
+      val cohesion = byLabel(l).map { case (_, v) =>
+        dot(v, centroids(l)) / (norm(v) * norm(centroids(l))) }.sum / n
+      assert(math.abs(mc - cohesion) < 2e-6, s"label $l cohesion $mc vs $cohesion")
+      val others = centroids.filter(_._1 != l).map { case (ol, oc) =>
+        (ol, r6(dot(centroids(l), oc) / (norm(centroids(l)) * norm(oc)))) }
+      val best = others.toSeq.sortBy(t => (-t._2, t._1)).head
+      assert((nl, ncos) == best, s"label $l nearest $nl/$ncos vs $best")
+      // members must at least point WITH their own centroid (the mean
+      // member-centroid cosine is positive by construction of the mean);
+      // note the audit's finding on this corpus: cohesion (~0.14) sits
+      // BELOW inter-centroid similarity (~0.22) — weak clusters, exactly
+      // the signal this profile exists to surface before cluster-keyed
+      // ops are trusted
+      assert(mc > 0.0, s"label $l members anti-aligned with own centroid")
+    }
+  }
+
   test("Misra-Gries heavy shingles (q142): deterministic guarantee holds vs exact counts") {
     val k = 200
     import org.apache.spark.sql.functions.{col, count, lit}
