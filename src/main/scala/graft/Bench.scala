@@ -37,10 +37,16 @@ object Bench {
     * (unparseable) line: the headline total always lands whole.
     * BenchFormatSpec pins the budget. */
   def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val line = jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 2)
-    if (line.length <= 1700) line
-    else jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 2,
-      includeQueries = false)
+    // gears: shed decimals before shedding the map — past ~130 queries
+    // the 2-decimal map outgrows the tail window, but per-query
+    // VISIBILITY (which queries ran, who is expensive) matters more to
+    // the driver's round-over-round deltas than centisecond precision.
+    // Only when even integer seconds can't fit does the map drop.
+    val gears = Seq(2, 1, 0).iterator
+      .map(d => jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = d))
+    gears.find(_.length <= 1700).getOrElse(
+      jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 1,
+        includeQueries = false))
   }
 
   def main(args: Array[String]): Unit = {

@@ -24,6 +24,12 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.compactLine(fakeTimes(SparkEntry.queries.keys), "/root/testdata/sf0.1")
     assert(line.length < TailBudget,
       s"compact bench line is ${line.length} chars — exceeds the $TailBudget tail budget")
+    // and at the current board size the per-query map must SURVIVE (the
+    // 1-decimal middle gear) — an empty map here means the driver loses
+    // per-query timings for every round until ~190 queries
+    val j = JsonMethods.parse(line)
+    assert((j \ "queries") != JObject(Nil),
+      s"per-query map dropped at ${SparkEntry.queries.size} queries — widen the budget gears")
   }
 
   test("compact line stays inside the budget even at 200 queries (map-drop fallback)") {
