@@ -123,16 +123,21 @@ object TimeSeries {
     * at a positive carry. All integers end-to-end → bit-exact
     * cross-engine. */
   def q141ConcurrencyPeak(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = q23Sessionize(spark, dir)
-      .select(col("user_id"), col("session_id"),
-        col("session_start"), col("session_end"))
-    val pts = sessions
-      .select(col("session_start").as("ts"), lit(1L).as("delta"),
-        col("user_id"), col("session_id"))
-      .unionByName(sessions
-        .select(col("session_end").as("ts"), lit(-1L).as("delta"),
-          col("user_id"), col("session_id")))
+    // endpoints via ONE map-side array explode (a union of two selects
+    // would evaluate the whole session window chain once per branch),
+    // and cached: the within-day running sum AND the carry table both
+    // read it, so the session computation runs exactly once. Registered
+    // for harness-side unpersist (graft.Caches).
+    val pts = graft.Caches.register(q23Sessionize(spark, dir)
+      .select(explode(array(
+        struct(col("session_start").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("session_id")),
+        struct(col("session_end").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("session_id")))).as("p"))
+      .select(col("p.ts").as("ts"), col("p.delta").as("delta"),
+        col("p.user_id").as("user_id"), col("p.session_id").as("session_id"))
       .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+      .cache())
     val wday = Window.partitionBy(col("day"))
       .orderBy(col("ts"), col("delta"), col("user_id"), col("session_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

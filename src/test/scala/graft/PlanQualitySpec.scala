@@ -272,6 +272,25 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangeCount("q140_grouped_topk") == 2, s)
   }
 
+  test("q141 concurrency sweep: the session chain computes once (cached endpoint table)") {
+    val s = executed("q141_concurrency_peak")
+    // both the within-day running sum and the carry table must read the
+    // cached endpoint table — a union-of-selects shape re-evaluates the
+    // whole q23 window chain per branch (4x, measured in the r8 audit)
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 2, s)
+    // the carry attach is a broadcast, never a shuffle join
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q143 expectations: scan-family checks share one aggregate; FK check is a broadcast anti-join") {
+    val s = executed("q143_expectations")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // the three scan checks unpivot from ONE aggregate: exactly one
+    // lineitem scan beyond the uniqueness groupBy's
+    assert("lineitem.parquet".r.findAllIn(s).size == 2, s)
+  }
+
   test("SHUFFLE_HASH hint plans a shuffled hash join (no sort of either side)") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     import org.apache.spark.sql.functions.col
