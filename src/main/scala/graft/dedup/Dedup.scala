@@ -562,6 +562,34 @@ object Dedup {
       "ELSE 'test' END AS split " +
       "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
 
+  /** q145: leakage-safe k-fold assignment — q95's cluster-hash idiom in
+    * the CROSS-VALIDATION form: every document is assigned a fold
+    * 0..k-1 derived from its duplicate-CLUSTER id, so near-duplicates
+    * can never straddle a fold boundary (train-on-fold-A /
+    * validate-on-fold-B with a near-dup pair across them is exactly the
+    * leak k-fold exists to measure away). Fold = first 8 md5 hex digits
+    * of the cluster id mod k (the q57/q103 hash idiom) — deterministic
+    * on any cluster, any rerun, and replayable by the oracle. Same
+    * recursive-CTE cluster universe as q95; singleton docs are their
+    * own cluster. One pair-chain + map-side arithmetic; no shuffle
+    * beyond the cluster machinery. */
+  def q145KfoldAssign(spark: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val assigned = keepList(documents(spark, dir),
+      jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
+      .select(col("doc_id"), col("keep_id").as("cluster_id"))
+    val fold = pmod(
+      conv(substring(md5(concat(col("cluster_id").cast("string"),
+        lit("|graft-kfold-1"))), 1, 8), 16, 10).cast("long"), lit(K))
+    assigned.withColumn("fold", fold).orderBy(col("doc_id"))
+  }
+
+  val q145Sql: String =
+    s"WITH RECURSIVE $clusterCtes " +
+      "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, " +
+      "CAST('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) || '|graft-kfold-1'), 1, 8) AS BIGINT) % 5 AS fold " +
+      "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
+
   /** q104: duplicate-cluster size histogram — the dedup OBSERVABILITY
     * query run before committing a keep-list: how many dup groups exist
     * at each size (a sudden mass of large clusters means boilerplate or
@@ -1417,6 +1445,7 @@ object Dedup {
     "q117_strip_spans" -> q117StripSpans _,
     "q115_quality_keeplist" -> q115QualityKeepList _,
     "q95_leakage_split" -> q95LeakageSplit _,
+    "q145_kfold_assign" -> q145KfoldAssign _,
     "q96_heavy_shingles" -> q96HeavyShingles _,
     "q142_mg_heavy_shingles" -> q142MgHeavyShingles _,
     "q104_cluster_sizes" -> q104ClusterSizes _
@@ -1435,6 +1464,7 @@ object Dedup {
     "q117_strip_spans" -> q117Sql,
     "q115_quality_keeplist" -> q115Sql,
     "q95_leakage_split" -> q95Sql,
+    "q145_kfold_assign" -> q145Sql,
     "q96_heavy_shingles" -> q96Sql,
     "q104_cluster_sizes" -> q104Sql
   )

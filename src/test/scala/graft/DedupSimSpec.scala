@@ -87,6 +87,30 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.toSeq == again.toSeq, "PQ selection must be rerun-deterministic")
   }
 
+  test("k-fold assignment (q145): near-dup clusters never straddle folds; folds populated") {
+    val rows = dedup.Dedup.q145KfoldAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc assigned exactly once, folds in range
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 5))
+    // THE invariant: all members of a cluster share one fold — a near-dup
+    // pair across folds is the leak this operator exists to prevent
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster $c straddles folds")
+    }
+    // and the verified near-dup pairs themselves agree fold-for-fold
+    val fold = rows.map(r => r._1 -> r._3).toMap
+    val pairs = dedup.Dedup.q30NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(fold(a) == fold(b), s"near-dup pair ($a,$b) split across folds")
+    }
+    // hash balance: every fold is non-trivially populated at this SF
+    val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.size == 5 && sizes.values.forall(_ > rows.length / 20), sizes.toString)
+  }
+
   test("label centroids (q144): profile matches a driver-side recompute; margins sane") {
     val got = sim.Similarity.q144LabelCentroids(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
