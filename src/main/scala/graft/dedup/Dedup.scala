@@ -573,8 +573,12 @@ object Dedup {
     * recursive-CTE cluster universe as q95; singleton docs are their
     * own cluster. One pair-chain + map-side arithmetic; no shuffle
     * beyond the cluster machinery. */
+  /** Shared fold count for q145 — interpolated into BOTH the Spark plan
+    * and q145Sql so an edit cannot desynchronize the oracle. */
+  val KfoldK: Int = 5
+
   def q145KfoldAssign(spark: SparkSession, dir: String): DataFrame = {
-    val K = 5
+    val K = KfoldK
     val assigned = keepList(documents(spark, dir),
       jaccardPairs(spark, dir).select(col("id_a"), col("id_b")))
       .select(col("doc_id"), col("keep_id").as("cluster_id"))
@@ -587,7 +591,7 @@ object Dedup {
   val q145Sql: String =
     s"WITH RECURSIVE $clusterCtes " +
       "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, " +
-      "CAST('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) || '|graft-kfold-1'), 1, 8) AS BIGINT) % 5 AS fold " +
+      s"CAST('0x' || substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) || '|graft-kfold-1'), 1, 8) AS BIGINT) % $KfoldK AS fold " +
       "FROM documents d LEFT JOIN clus c USING (doc_id) ORDER BY d.doc_id"
 
   /** q104: duplicate-cluster size histogram — the dedup OBSERVABILITY

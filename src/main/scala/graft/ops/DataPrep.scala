@@ -615,8 +615,11 @@ object DataPrep {
       "FROM lineitem), " +
       "dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS v FROM " +
       "(SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)), " +
+      // NOT EXISTS (not NOT IN): matches left_anti semantics even if a
+      // key column ever holds NULL — NOT IN's three-valued logic would
+      // silently diverge (one NULL c_custkey zeroes the whole count).
       "fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders " +
-      "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)), " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)), " +
       "rep AS (" +
       "SELECT 'lineitem.l_orderkey not_null' AS check_name, nn AS n_violations FROM scan " +
       "UNION ALL SELECT 'lineitem.l_quantity in [1,50]', qr FROM scan " +
@@ -658,7 +661,10 @@ object DataPrep {
       .join(broadcast(byLang), "lang")
       .crossJoin(broadcast(target))
       .withColumn("n_copies",
-        (col("target") / col("n_lang")).cast("long") +
+        // true integer floor (`div`), structurally identical to the
+        // oracle's `//` — Long/Long `/` would route through a Double
+        // and only matches while counts fit double's 53-bit mantissa
+        expr("target div n_lang") +
           when(col("rk") <= col("target") % col("n_lang"), 1L).otherwise(0L))
       .select(col("doc_id"), col("lang"), col("n_copies"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"))
