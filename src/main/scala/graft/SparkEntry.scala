@@ -32,6 +32,7 @@ object SparkEntry {
       sketch.CountMin.queries ++
       sim.Similarity.queries ++
       multimodal.Multimodal.queries ++
+      streaming.StreamingBoard.queries ++
       // Reference-fidelity pipeline over deterministic fixtures (ignores
       // sfDir — the reference's inputs are HTTP JSON documents, not the
       // star schema). Golden-tested in CaicPipelineSpec; rows-only here.
@@ -59,6 +60,7 @@ object SparkEntry {
       dedup.Bloom.oracle ++
       sim.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
+      streaming.StreamingBoard.oracle ++
       // Golden-values oracle for the fidelity pipeline: its inputs are
       // constant fixtures, so the expected output is a constant row set —
       // independently hand-derived in CaicPipelineSpec and pinned here as

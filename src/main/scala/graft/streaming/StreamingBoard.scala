@@ -1,0 +1,196 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, StandardCopyOption}
+
+/** Driver-visible correctness rows for the stateful streaming twins.
+  *
+  * The board hashes batch DataFrames, so a `flatMapGroupsWithState`
+  * operator is only driver-checkable if its streaming output is
+  * MATERIALIZED: each row below runs the real streaming query
+  * (file-stream source → stateful transform → `Trigger.AvailableNow`
+  * parquet sink), reads the sink back, and returns it as the row's
+  * DataFrame — turning the StreamingSpec parity claims (single-batch
+  * replay ≡ batch query; state carries across micro-batch boundaries)
+  * into hashes the DuckDB oracle verifies directly.
+  *
+  * File-delivery protocol: each input file is written as ONE parquet
+  * file with an explicit, strictly-increasing modification time and a
+  * lexicographically increasing name; with `maxFilesPerTrigger=1` the
+  * file source delivers exactly one file per micro-batch, oldest first,
+  * so batch boundaries (and therefore watermark advancement and timer
+  * firing) are deterministic. StreamingBoardSpec pins the ordering.
+  *
+  * Scale note: unlike a MemoryStream harness, nothing here collects the
+  * corpus to the driver — the stream reads the same parquet the batch
+  * twin reads, and the sink is a distributed parquet write. At 100 TB
+  * the identical topology runs against a real file/queue source; the
+  * only local-mode artifact is the temp-dir staging.
+  */
+object StreamingBoard {
+
+  /** Stage `df` as exactly one parquet data file at `inDir/name` with
+    * modification time `modMs` (the file source's delivery order). */
+  private def addFile(df: DataFrame, inDir: String, name: String, modMs: Long): Unit = {
+    val stage = Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head
+    val dst = new java.io.File(inDir, name)
+    Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    require(dst.setLastModified(modMs), s"cannot stamp mod time on $dst")
+  }
+
+  /** Drain a streaming Dataset into a parquet sink with AvailableNow and
+    * return the materialized result. */
+  private def drainToParquet(ds: org.apache.spark.sql.Dataset[_], root: String): DataFrame = {
+    val out = s"$root/out"
+    val q = ds.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ds.sparkSession.read.parquet(out)
+  }
+
+  /** q146: streaming per-source quota cap, materialized. The documents
+    * table is delivered in TWO micro-batches split at the doc_id range
+    * midpoint (batch 1 is a doc_id-prefix, i.e. in-arrival-order
+    * delivery), so the hash-checked output proves the 8-bytes-per-source
+    * admitted-count state carries across the batch boundary: a source
+    * part-filled in batch 1 admits only the remainder in batch 2, and
+    * the union equals the batch first-N-per-source window — which is
+    * exactly the oracle SQL. */
+  def q146QuotaCapStream(spark: SparkSession, dir: String): DataFrame =
+    q146Impl(spark, dir, Files.createTempDirectory("graft_q146").toString)
+
+  private[graft] def q146Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val base = System.currentTimeMillis()
+    addFile(docs.filter(col("doc_id") <= mid), in, "00-a.parquet", base - 240000)
+    addFile(docs.filter(col("doc_id") > mid), in, "01-b.parquet", base - 120000)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[QuotaDoc]
+    drainToParquet(Streaming.quotaCapStateful(stream), root)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-N-per-source in doc_id (arrival) order — the batch twin of the
+    * streaming admission gate. (Batch q100 picks the BEST N by content
+    * hash; a stream admits the FIRST N — this oracle states the online
+    * semantics declaratively.) */
+  val q146Sql: String =
+    "SELECT doc_id, source, rk FROM (" +
+      "SELECT doc_id, source, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk " +
+      "FROM documents) WHERE rk <= 10 ORDER BY doc_id"
+
+  /** q147: streaming anomaly flagging, materialized as a SINGLE-batch
+    * replay — the pinned parity case (fold the batch into the per-type
+    * moment state FIRST, then flag against the updated statistics), so
+    * the stream has seen exactly what a batch job sees and the flagged
+    * set is the all-corpus-statistics one. One input file ⇒ one
+    * micro-batch by file-source granularity.
+    *
+    * The oracle replays the stream's EXACT algebra rather than reusing
+    * q102's stddev_samp form: the state fold is a sequential sum in
+    * (ts, event_id) order per type, which DuckDB reproduces bit-for-bit
+    * via list_reduce over an ordered list (the q132 fold-replay idiom) —
+    * so mu, the (Σx² − n·µ²)/(n−1) variance, and the z-scores are
+    * IEEE-identical, not merely within-1e-6 (StreamingSpec's tolerance
+    * vs q102's numerically different stddev aggregate). */
+  def q147AnomaliesStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_q147").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    addFile(evs, in, "00-events.parquet", System.currentTimeMillis() - 120000)
+    val stream = spark.readStream.schema(evs.schema).parquet(in).as[Ev]
+    drainToParquet(Streaming.anomaliesStateful(stream), root)
+      .select(col("event_id"), col("event_type"), col("value"), col("z_score"))
+      .orderBy(col("event_id"))
+  }
+
+  val q147Sql: String =
+    "WITH lst AS (SELECT event_type, count(*) AS n, " +
+      "list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)), (a, x) -> a + x) AS s, " +
+      "list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)), (a, x) -> a + x * x) AS sq " +
+      "FROM events GROUP BY event_type), " +
+      "st AS (SELECT event_type, n, s / n AS mu, " +
+      "(sq - n * (s / n) * (s / n)) / (n - 1) AS vr FROM lst WHERE n >= 30), " +
+      "fl AS (SELECT e.event_id, e.event_type, e.value, " +
+      "(e.value - st.mu) / sqrt(st.vr) AS z " +
+      "FROM events e JOIN st USING (event_type) WHERE st.vr > 0) " +
+      "SELECT event_id, event_type, value, round(z, 6) AS z_score " +
+      "FROM fl WHERE abs(z) > 3.0 ORDER BY event_id"
+
+  /** q148: stateful gap fill + LOCF, materialized. Four micro-batches:
+    * the events table split at its event-time midpoint (in-event-time-
+    * order arrival, exactly how a live feed delivers), then two
+    * far-future sentinel batches — the first advances the watermark past
+    * every open day, the second gives the engine a batch in which those
+    * EventTimeTimeout timers fire, closing each user's final day (the
+    * StreamingSpec two-sentinel protocol, now driver-visible). Sentinel
+    * rows use a user_id above any real user and are filtered from the
+    * materialized output; with every day closed, the emitted set equals
+    * batch q118's grid exactly, so the oracle IS q118's SQL. */
+  def q148GapFillStream(spark: SparkSession, dir: String): DataFrame =
+    q148Impl(spark, dir, Files.createTempDirectory("graft_q148").toString)
+
+  private[graft] def q148Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val mm = evs.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
+    val far = t1 + 100L * 86400000L
+    val sentinelUser = 9000001L
+    def sentinel(id: Long, ms: Long): DataFrame =
+      Seq((id, sentinelUser, "x", new java.sql.Timestamp(ms), 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val base = System.currentTimeMillis()
+    addFile(evs.filter(col("ts") <= mid), in, "00-early.parquet", base - 480000)
+    addFile(evs.filter(col("ts") > mid), in, "01-late.parquet", base - 360000)
+    addFile(sentinel(9000001L, far), in, "02-sent1.parquet", base - 240000)
+    addFile(sentinel(9000002L, far + 1000L), in, "03-sent2.parquet", base - 120000)
+    val stream = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[Ev]
+    drainToParquet(Streaming.gapFillStateful(stream), root)
+      .filter(col("user_id") < sentinelUser)
+      // the sink writes TIMESTAMP (UTC-adjusted); the batch twin's day is
+      // TIMESTAMP_NTZ — same wall clock under the UTC session, re-typed so
+      // the oracle compares like with like
+      .select(col("user_id"), col("day").cast("timestamp_ntz").as("day"),
+        col("value"), col("is_observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Every day closed ⇒ the streamed set equals the batch grid, so the
+    * oracle is q118's SQL verbatim. */
+  val q148Sql: String = graft.ops.TimeSeries.q118Sql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_quota_cap_stream" -> q146QuotaCapStream _,
+    "q147_anomalies_stream" -> q147AnomaliesStream _,
+    "q148_gap_fill_stream" -> q148GapFillStream _)
+
+  val oracle: Map[String, String] = Map(
+    "q146_quota_cap_stream" -> q146Sql,
+    "q147_anomalies_stream" -> q147Sql,
+    "q148_gap_fill_stream" -> q148Sql)
+}
