@@ -95,6 +95,33 @@ object ScaleSmoke {
       val n10 = docs10.count()
       json.append(s""""n_docs_10x":$n10,""")
 
+      // ---- 10× relational tables for the graph family (q119/q129):
+      // ten DISJOINT ISOMORPHIC copies of the base purchase graph.
+      // Order keys shift decimally (`ok*10+rep`); customer, supplier and
+      // part key spaces shift by rep*OFF so no edge ever crosses copies.
+      // Disjoint-isomorphic is the instrument that makes linearity
+      // ASSERTABLE, not just plausible: true edges/wedges/triangles grow
+      // exactly 10×, and each copy's PageRank profile must be bit-equal
+      // to every other's — so a superlinear wall-time ratio can only be
+      // plan regression, never data structure.
+      val OFF = 10000000L
+      val reps10 = spark.range(0, 10).select(col("id").as("rep"))
+      spark.read.parquet(s"$baseDir/orders.parquet")
+        .crossJoin(broadcast(reps10))
+        .withColumn("o_orderkey", col("o_orderkey") * 10 + col("rep"))
+        .withColumn("o_custkey", col("o_custkey") + col("rep") * OFF)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/orders.parquet")
+      spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .crossJoin(broadcast(reps10))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("rep"))
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * OFF)
+        .withColumn("l_suppkey", col("l_suppkey") + col("rep") * OFF)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/lineitem.parquet")
+
       // ---- (a) the df cap engages on this corpus ----
       // cache before exploding: a non-outer explode over the uncached
       // transform/array_distinct chain hits the InferFiltersFromGenerate
@@ -172,6 +199,90 @@ object ScaleSmoke {
         s"planted near-dup pairs missing from prefix join: $pp10 pairs < $nBase base docs")
       assert(pp10 <= 25L * math.max(pairs1x, nBase),
         s"prefix-join blowup: $pp10 pairs at 10x — prefix filter not containing the hot shingles")
+      Caches.drain()
+
+      // ---- graph + training family at 10×: ~linear wall-time envelopes
+      // (r8 measured the dedup chains; these were argued from plan shape
+      // only). Envelope: t10 ≤ 25·t1 — a linear plan on 32 cores lands
+      // well under (the 1× run is part-latency-bound), a quadratic
+      // regression lands ~100×. Structure asserts make each timing a
+      // correctness-at-scale check too.
+      def linearEnvelope(what: String, t1: Double, t10: Double): Unit =
+        assert(t10 <= math.max(25.0 * t1, t1 + 60.0),
+          f"$what: $t10%.1f s at 10x vs $t1%.1f s at 1x — superlinear growth")
+
+      // q119 PageRank: cost per round ∝ |edges|; 10 disjoint copies ⇒
+      // 10× edges, 10× nodes. Copies are isomorphic and PageRank sees
+      // only (structure, global n), so corresponding nodes across all
+      // ten copies must carry the SAME rounded rank.
+      val t0p = System.nanoTime()
+      val nodes1x = ops.Advanced.q119PageRank(spark, baseDir).count()
+      val tPr1 = (System.nanoTime() - t0p) / 1e9
+      json.append(s""""q119_nodes_1x":$nodes1x,""")
+      json.append(f""""q119_pagerank_1x":$tPr1%.2f,""")
+      Caches.drain()
+      val t1p = System.nanoTime()
+      val pr10 = ops.Advanced.q119PageRank(spark, dir10).cache()
+      try {
+        val n = pr10.count()
+        val tPr10 = (System.nanoTime() - t1p) / 1e9
+        json.append(f""""q119_pagerank_10x":$tPr10%.2f,""")
+        assert(n == 10L * nodes1x,
+          s"q119: $n nodes at 10x != 10 * $nodes1x — copies not disjoint")
+        val mass = pr10.agg(sum(col("pagerank"))).head.getDouble(0)
+        assert(math.abs(mass - 1.0) < 0.05, // 6-decimal per-node rounding over ~26k nodes
+          f"q119: total rank mass $mass%.4f at 10x strayed from 1")
+        val maxDistinct = pr10
+          .groupBy(pmod(col("node"), lit(OFF)).as("b"))
+          .agg(countDistinct(col("pagerank")).as("k"))
+          .agg(max(col("k"))).head.getLong(0)
+        assert(maxDistinct == 1L,
+          "q119: corresponding nodes across the 10 isomorphic copies diverged in rank")
+        linearEnvelope("q119", tPr1, tPr10)
+      } finally { pr10.unpersist(); Caches.drain() }
+
+      // q129 triangles: degree-ordered orientation keeps wedge work
+      // bounded; 10 disjoint copies ⇒ edges/wedges/triangles all
+      // EXACTLY 10×, transitivity identical.
+      val t0t = System.nanoTime()
+      val tri1 = ops.Advanced.q129Triangles(spark, baseDir).head()
+      val tTri1 = (System.nanoTime() - t0t) / 1e9
+      json.append(f""""q129_triangles_1x":$tTri1%.2f,""")
+      Caches.drain()
+      val t1t = System.nanoTime()
+      val tri10 = ops.Advanced.q129Triangles(spark, dir10).head()
+      val tTri10 = (System.nanoTime() - t1t) / 1e9
+      json.append(f""""q129_triangles_10x":$tTri10%.2f,""")
+      Seq(("n_edges", 0), ("n_wedges", 1), ("n_triangles", 2)).foreach { case (c, i) =>
+        assert(tri10.getLong(i) == 10L * tri1.getLong(i),
+          s"q129 $c: ${tri10.getLong(i)} at 10x != 10 * ${tri1.getLong(i)} — disjoint copies must scale exactly")
+      }
+      assert(tri10.getDouble(3) == tri1.getDouble(3),
+        s"q129 transitivity drifted: ${tri10.getDouble(3)} vs ${tri1.getDouble(3)}")
+      json.append(s""""q129_tri_10x":${tri10.getLong(2)},""")
+      linearEnvelope("q129", tTri1, tTri10)
+      Caches.drain()
+
+      // q132 BPE training: corpus cost is ONE token aggregation; the 8
+      // merge rounds run on the vocabulary histogram. 10× corpus ⇒
+      // ~10× token scan, vocab grows far slower ⇒ wall time ≤ linear.
+      val t0b = System.nanoTime()
+      val bpe1 = text.TextAnalysis.q132BpeVocab(spark, baseDir).collect()
+      val tBpe1 = (System.nanoTime() - t0b) / 1e9
+      json.append(f""""q132_bpe_1x":$tBpe1%.2f,""")
+      Caches.drain()
+      val t1b = System.nanoTime()
+      val bpe10 = text.TextAnalysis.q132BpeVocab(spark, dir10).collect()
+      val tBpe10 = (System.nanoTime() - t1b) / 1e9
+      json.append(f""""q132_bpe_10x":$tBpe10%.2f,""")
+      assert(bpe1.length == 8 && bpe10.length == 8,
+        s"BPE must learn 8 rules at both scales (got ${bpe1.length}/${bpe10.length})")
+      // reps 0..9 each contribute every base word (the v<rep> prefix is
+      // digit-split by [a-z]+ tokenization), so the winning pair's count
+      // must grow with the corpus
+      assert(bpe10.head.getLong(4) >= 2L * bpe1.head.getLong(4),
+        s"10x top pair count ${bpe10.head.getLong(4)} should dominate 1x ${bpe1.head.getLong(4)}")
+      linearEnvelope("q132", tBpe1, tBpe10)
       Caches.drain()
 
       // ---- incremental LSH ingest: per-batch cost stays flat while ----

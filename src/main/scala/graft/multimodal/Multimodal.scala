@@ -429,6 +429,76 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec for MJPEG streams (concatenated JPEG frames — the
+    * format IP cameras and many capture pipelines emit), pure JVM: the
+    * byte stream is split into frames by a proper baseline-JPEG segment
+    * walker, and each frame decodes through [[ImageIOCodec]]'s
+    * grayscale-downsample path (JDK JPEG reader — zero dependencies).
+    * Mirrors [[WavCodec]]'s role on the audio seam: all three media
+    * modalities now have a real-container parser beside their stub.
+    *
+    * The walker is marker-exact, not a byte scan for FFD9: after SOS it
+    * honors entropy byte-stuffing (FF00) and restart markers (FFD0-D7),
+    * so FF bytes inside compressed data can never be mistaken for a
+    * frame boundary. (Known limit, documented: a frame whose metadata
+    * embeds a nested thumbnail JPEG — EXIF APPn — would need the APPn
+    * segment skipped by length, which the walker does do, so embedded
+    * thumbnails are safe too: they live inside a length-prefixed APP1.)
+    * Frames stream lazily — one decoded frame in memory at a time. */
+  object MjpegVideoCodec extends VideoCodec {
+    def frameGrids(bytes: Array[Byte], w: Int, h: Int): Iterator[Array[Int]] =
+      frameRanges(bytes).map { case (s, e) =>
+        ImageIOCodec.grayGrid(java.util.Arrays.copyOfRange(bytes, s, e), w, h)
+      }
+
+    /** [start, end) byte ranges of successive JPEG frames. */
+    private[graft] def frameRanges(b: Array[Byte]): Iterator[(Int, Int)] =
+      new Iterator[(Int, Int)] {
+        private var pos = 0
+        private var nextR: (Int, Int) = advance()
+        private def advance(): (Int, Int) = {
+          var i = pos
+          while (i + 2 < b.length &&
+            !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xD8 && (b(i + 2) & 0xFF) == 0xFF))
+            i += 1
+          if (i + 2 >= b.length) null
+          else { val e = eoiOf(b, i); pos = e; (i, e) }
+        }
+        def hasNext: Boolean = nextR != null
+        def next(): (Int, Int) = { val r = nextR; nextR = advance(); r }
+      }
+
+    /** Walk segments from the SOI at `soi` to just past the matching EOI.
+      * Truncated/corrupt frames fail loudly rather than resynchronizing
+      * on garbage (the WavCodec require() policy). */
+    private def eoiOf(b: Array[Byte], soi: Int): Int = {
+      def u8(i: Int): Int = { require(i < b.length, "truncated JPEG frame"); b(i) & 0xFF }
+      def segLen(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      var i = soi + 2
+      while (true) {
+        require(u8(i) == 0xFF, f"JPEG segment desync at byte $i (0x${u8(i)}%02x)")
+        u8(i + 1) match {
+          case 0xD9 => return i + 2 // EOI
+          case 0xD8 | 0x01 => i += 2 // SOI (spurious) / TEM: no payload
+          case m if m >= 0xD0 && m <= 0xD7 => i += 2 // RSTn: no payload
+          case 0xDA => // SOS: header, then entropy-coded data
+            i += 2 + segLen(i + 2)
+            var inEntropy = true
+            while (inEntropy) {
+              if (u8(i) != 0xFF) i += 1
+              else u8(i + 1) match {
+                case 0x00 => i += 2 // stuffed FF data byte
+                case m if m >= 0xD0 && m <= 0xD7 => i += 2 // restart marker
+                case _ => inEntropy = false // real marker: back to segment walk
+              }
+            }
+          case _ => i += 2 + segLen(i + 2) // length-prefixed segment (APPn/DQT/SOF/DHT/COM/...)
+        }
+      }
+      -1 // unreachable
+    }
+  }
+
   /** Per-frame banded dHashes via the video codec seam — partition-local
     * like every decode: frames stream through the codec lazily, and only
     * the 4×16-bit hash rows (a few dozen bytes per frame) ever leave the

@@ -302,4 +302,55 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cuts.map(s => (s._3, s._4)).toSeq == (0 until nFrames).map(f => (f.toLong, 1L)),
       "each aperiodic frame is its own scene")
   }
+
+  /** Real JPEG frame from a pixel-value function (JDK JPEG encoder). */
+  private def jpegOf(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  test("MjpegVideoCodec: marker-exact frame split + real decode; q116 cuts scenes at content changes") {
+    import spark.implicits._
+    import graft.multimodal.MediaRecord
+    // two held scenes (identical consecutive frames) + one noise frame;
+    // gradients are strong so JPEG artifacts can't flip dHash bits
+    def gradA(x: Int, y: Int): Int = math.min(255, x * 4)
+    def gradB(x: Int, y: Int): Int = 255 - math.min(255, x * 4)
+    def noise(x: Int, y: Int): Int = ((x * 31 + y * 57) % 16) * 17
+    val (fa, fb, fn) = (jpegOf(gradA), jpegOf(gradB), jpegOf(noise))
+    val mj = fa ++ fa ++ fb ++ fb ++ fn
+    // the walker finds exactly the five frame boundaries, each a full
+    // SOI..EOI span — FF bytes inside entropy data never desync it
+    val ranges = Multimodal.MjpegVideoCodec.frameRanges(mj).toSeq
+    assert(ranges.size == 5, s"got ${ranges.size} frames")
+    assert(ranges.head._1 == 0 && ranges.last._2 == mj.length)
+    assert(ranges == Seq(fa, fa, fb, fb, fn).scanLeft((0, 0)) {
+      case ((_, e), f) => (e, e + f.length) }.tail)
+    ranges.foreach { case (s, e) =>
+      assert((mj(s) & 0xFF) == 0xFF && (mj(s + 1) & 0xFF) == 0xD8)
+      assert((mj(e - 2) & 0xFF) == 0xFF && (mj(e - 1) & 0xFF) == 0xD9)
+    }
+    // frames decode through the real ImageIO grayscale path
+    val grids = Multimodal.MjpegVideoCodec.frameGrids(mj, 9, 8).toSeq
+    assert(grids.size == 5 && grids.forall(_.length == 72))
+    assert(grids(0).sameElements(grids(1)) && grids(2).sameElements(grids(3)),
+      "identical JPEG frames must decode to identical grids")
+    // the unchanged q116 chain over the REAL codec: held frames share a
+    // scene, content changes cut — and a single-frame clip is one scene
+    val media = Seq(
+      MediaRecord(1L, mj, "video/x-motion-jpeg"),
+      MediaRecord(2L, fa, "video/x-motion-jpeg")).toDS()
+    val scenes = Multimodal.videoScenesOf(media, Multimodal.MjpegVideoCodec).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(scenes.filter(_._1 == 1L).sortBy(_._2).toSeq ==
+      Seq((1L, 0L, 0L, 2L), (1L, 1L, 2L, 2L), (1L, 2L, 4L, 1L)),
+      s"scene layout: ${scenes.toSeq}")
+    assert(scenes.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 1L)))
+  }
 }
