@@ -322,7 +322,16 @@ object Similarity {
   private val PqM = 8         // subspaces
   private val PqSubDim = 8    // dims per subspace (8 x 8 = 64)
   private val PqK = 16        // centroids per subspace codebook
-  private val PqShortlist = 50 // ADC candidates kept for exact re-rank
+  // ADC candidates kept for exact re-rank. Sized by measurement, not
+  // guess (MeasurePqRecall): a FIXED 50-candidate shortlist held
+  // recall@10 at 8/10 on 500-5k vectors but collapsed to 3/10 at 50k —
+  // a growing corpus packs more quantization-noise impostors above the
+  // true neighbors, so the shortlist must grow to keep the impostor
+  // head covered. 256 measures 10/10 at 500 and 5k vectors and 9/10 at
+  // 50k (PERF.md "PQ recall"); the refine pass stays a broadcast of R
+  // rows either way, so the extra candidates cost nothing material next
+  // to the ADC scan.
+  private val PqShortlist = 256
 
   /** q137: product-quantization ANN with exact re-rank (Jégou/Douze/
     * Schmid 2011; the shortlist-then-refine shape production PQ indexes
@@ -335,7 +344,7 @@ object Similarity {
     * SRP-LSH prunes CANDIDATES, q55 IVF prunes PARTITIONS, q86 int8
     * cuts bandwidth 4×, PQ cuts corpus memory 32× (8 byte-codes vs 256
     * bytes of floats) — the regime where the index must fit in RAM at
-    * 100 TB; the full vectors are touched only for the 50-row
+    * 100 TB; the full vectors are touched only for the shortlist-row
     * shortlist.
     *
     * Plan shape: codebook TRAINING runs on a bounded deterministic
@@ -350,7 +359,7 @@ object Similarity {
     * 16-struct ranking array (the q79 cellRank idiom; struct (d, c) min
     * breaks distance ties toward the smaller code), no shuffle; ADC is
     * element_at per subspace into the broadcast query's lookup arrays,
-    * again map-side; the shortlist is a TakeOrdered(50) whose result
+    * again map-side; the shortlist is a TakeOrdered(PqShortlist) whose result
     * BROADCASTS back onto the cached vector table for the exact re-rank
     * — so the full-precision data is read corpus-wide exactly once (to
     * encode) and the refine join moves 50 rows. Fit-seeded → rows-only
@@ -426,7 +435,7 @@ object Similarity {
       .select(col("vec_id"), round(adc, 6).as("sim_adc"))
       .orderBy(col("sim_adc").desc, col("vec_id"))
       .limit(PqShortlist)
-    // refine: exact cosine on the 50-row shortlist only (u are unit
+    // refine: exact cosine on the shortlist rows only (u are unit
     // vectors, so the dot IS the cosine)
     vs.join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(q))

@@ -71,9 +71,11 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(pq.length == 10)
     // the 32x-compressed codes only have to steer the SHORTLIST; the
-    // exact refine pass does the final ranking (measured 9/10 here)
+    // exact refine pass does the final ranking. MeasurePqRecall:
+    // 10/10 here (sf0.01) and at sf0.001, 9/10 at sf0.1 with the
+    // 256-candidate shortlist (50 had collapsed to 3/10 at sf0.1)
     val overlap = (exact intersect pq.map(_._1).toSet).size
-    assert(overlap >= 5, s"overlap $overlap of 10")
+    assert(overlap >= 8, s"overlap $overlap of 10")
     // refine property: for every neighbor PQ and exact agree on, the
     // reported sim IS the exact cosine (same rounding policy as q33)
     pq.filter(p => exactSims.contains(p._1)).foreach { case (id, _, s) =>
