@@ -71,9 +71,7 @@ object Bench {
     // names; trailing * for prefix); the driver never sets it, so its
     // boards are always the full surface
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => NameFilter.selected(only, n) }
-      .map { case (name, fn) =>
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
@@ -83,7 +81,28 @@ object Bench {
       // blocks cached by one query must not perturb the next query's
       // memory or timing
       Caches.drain()
-      name -> dt
+      dt
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = only.map(_.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty) match {
+      case Some(tokens) =>
+        // dev loop: run in TOKEN order, repeats allowed — the PERF.md
+        // sentinel-pair protocol brackets a suspect query with known
+        // yardsticks before AND after. Repeated names get a #k suffix
+        // so the compact line's JSON keys stay unique.
+        val seen = scala.collection.mutable.Map[String, Int]()
+        tokens.flatMap(t => sorted.filter { case (n, _) =>
+          NameFilter.selected(Some(Seq(t)), n) })
+          .map { case (name, fn) =>
+            val k = seen.updateWith(name)(c => Some(c.getOrElse(0) + 1)).get
+            // suffix INSIDE the short prefix ("q16#2_like_pred") so the
+            // compact line's takeWhile('_') shortener keeps it unique
+            val label = if (k == 1) name
+              else name.takeWhile(_ != '_') + s"#$k" + name.dropWhile(_ != '_')
+            label -> timeOne(name, fn)
+          }
+      case None =>
+        sorted.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     println(fullLine(results, sfDir))
     // the machine-parsed compact line is the FINAL stdout write of the
