@@ -674,7 +674,101 @@ object Similarity {
       "nearest_label, nearest_cos " +
       "FROM coh JOIN c USING (label) JOIN m USING (label) ORDER BY label"
 
+  /** q149: MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking — the standard diversity pass a RAG/search
+    * stack runs AFTER retrieval: from the top-20 exact-cosine
+    * candidates of query vec 0, greedily pick 5 where pick k maximizes
+    * λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s) at λ = 0.5 (rank 1 is
+    * pure relevance). Completes the retrieval family: q33/q35/q55/q86/
+    * q137 rank by RELEVANCE alone and return near-duplicates of each
+    * other when the corpus has them; MMR is the query-time counterpart
+    * of the corpus-side SemDeDup/k-center passes (q98/q112).
+    *
+    * Plan shape: candidate generation is the q33 scan + TakeOrdered —
+    * distributed, corpus-scale; the greedy loop then runs DRIVER-SIDE
+    * on the retrieved shortlist, which is driver-sized BY CONSTRUCTION
+    * (a reranker's input is the retrieved page, the q137-codebook-fit
+    * precedent). Determinism: unit vectors and all dots use the
+    * project's bit-identical left-to-right fold, selection compares
+    * 6-decimal-rounded scores with a vec_id tie-break, so the DuckDB
+    * recursive-CTE oracle (the q112 idiom) replays every pick
+    * exactly. */
+  def q149MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val MmrLambda = 0.5
+    val vs = vectors(spark, dir)
+    val uq = vs.filter(col("vec_id") === 0)
+      .select(transform(col("v"), x => x / col("norm")).as("qu"))
+    val cands: Array[(Long, Array[Double], Double)] =
+      vs.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
+        .crossJoin(broadcast(uq))
+        .withColumn("simq", dot(col("u"), col("qu")))
+        .select(col("vec_id"), col("u"), col("simq"))
+        .orderBy(round(col("simq"), 6).desc, col("vec_id").asc)
+        .limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // driver-side mirrors of the engine arithmetic: fold-from-0.0 dot
+    // (sqlDot/vecDot op order) and HALF_UP 6-decimal rounding (round())
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val first = cands.minBy { case (id, _, simq) => (-r6(simq), id) }
+    var picked = Vector((first._1, first._2, r6(first._3), r6(first._3)))
+    for (_ <- 2 to 5) {
+      val ids = picked.map(_._1).toSet
+      val next = cands.filter(c => !ids.contains(c._1))
+        .map { case (id, u, simq) =>
+          val maxSim = picked.map(p => ddot(u, p._2)).max
+          (id, u, r6(simq), r6(MmrLambda * simq - (1.0 - MmrLambda) * maxSim))
+        }
+        .minBy { case (id, _, _, score) => (-score, id) }
+      picked :+= next
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, sim, score), i) => (i + 1L, id, sim, score) }
+      .toDF("rank", "vec_id", "sim", "score")
+      .orderBy(col("rank"))
+  }
+
+  val q149Sql: String = {
+    val dq = sqlDot("cu.uv", "qu")
+    // pairwise sims land in their own CTE: DuckDB lambdas (inside
+    // sqlDot) cannot capture columns correlated from an OUTER query, so
+    // the max-over-picked lookup must join a materialized pair table
+    // rather than compute the dot in a correlated subquery
+    val dab = sqlDot("a.uv", "b.uv")
+    "WITH RECURSIVE en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"un AS (SELECT vec_id, list_transform(v, el -> el / ${sqlNorm("v")}) AS uv FROM en), " +
+      "qv AS (SELECT uv AS qu FROM un WHERE vec_id = 0), " +
+      s"c AS (SELECT cu.vec_id, cu.uv, $dq AS simq FROM un cu, qv WHERE cu.vec_id <> 0 " +
+      s"ORDER BY round($dq, 6) DESC, cu.vec_id LIMIT 20), " +
+      s"p AS (SELECT a.vec_id AS ia, b.vec_id AS ib, $dab AS s " +
+      "FROM c a, c b WHERE a.vec_id <> b.vec_id), " +
+      "sel(rank, ids, vid, sim, score) AS (" +
+      "SELECT 1, [f.vec_id], f.vec_id, round(f.simq, 6), round(f.simq, 6) FROM " +
+      "(SELECT vec_id, simq FROM c ORDER BY round(simq, 6) DESC, vec_id LIMIT 1) f " +
+      "UNION ALL " +
+      "SELECT sel.rank + 1, list_append(sel.ids, nxt.nv), nxt.nv, nxt.s6, nxt.sc " +
+      "FROM sel, LATERAL (" +
+      "SELECT cx.vec_id AS nv, round(cx.simq, 6) AS s6, " +
+      "round(0.5 * cx.simq - 0.5 * (SELECT max(p.s) FROM p " +
+      "WHERE p.ia = cx.vec_id AND list_contains(sel.ids, p.ib)), 6) AS sc " +
+      "FROM c cx WHERE NOT list_contains(sel.ids, cx.vec_id) " +
+      "ORDER BY sc DESC, cx.vec_id LIMIT 1) nxt " +
+      "WHERE sel.rank < 5) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, vid AS vec_id, sim, score " +
+      "FROM sel ORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_mmr_rerank" -> q149MmrRerank _,
     "q144_label_centroids" -> q144LabelCentroids _,
     "q138_hard_negatives" -> q138HardNegatives _,
     "q98_semantic_prune" -> q98SemanticPrune _,
@@ -690,6 +784,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_mmr_rerank" -> q149Sql,
     "q144_label_centroids" -> q144Sql,
     "q138_hard_negatives" -> q138Sql,
     "q112_diversity_kcenter" -> q112Sql,

@@ -100,32 +100,43 @@ object Streaming {
     * ordering within a micro-batch is handled by sorting the group's
     * batch; cross-batch order relies on the watermark having dropped
     * older-than-gap arrivals. */
+  /** Timestamp ↔ epoch-micros, lossless: `Timestamp.getTime` alone is
+    * MILLIS and silently truncates the parquet micros (caught by q150's
+    * oracle — session bounds came back 575 µs short). */
+  private def microsOf(t: Timestamp): Long =
+    java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = 30L * 60 * 1000000
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
           var cur = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           if (evs.isEmpty) {
             if (state.hasTimedOut && cur.isDefined) {
               val s = cur.get
-              closed += SessionOut(uid, s.n, new Timestamp(s.start), new Timestamp(s.end), s.sum)
+              closed += SessionOut(uid, s.n, tsOfMicros(s.start), tsOfMicros(s.end), s.sum)
               state.remove()
             }
           } else {
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = microsOf(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   cur = Some(SessionState(s.n + 1, s.start, math.max(s.end, t), s.sum + e.value))
                 case Some(s) =>
-                  closed += SessionOut(uid, s.n, new Timestamp(s.start), new Timestamp(s.end), s.sum)
+                  closed += SessionOut(uid, s.n, tsOfMicros(s.start), tsOfMicros(s.end), s.sum)
                   cur = Some(SessionState(1, t, t, e.value))
                 case None =>
                   cur = Some(SessionState(1, t, t, e.value))
@@ -134,7 +145,8 @@ object Streaming {
             val s = cur.get
             state.update(s)
             // time out once the watermark passes session end + gap
-            state.setTimeoutTimestamp(s.end + gapMs)
+            // (the state clock is micros; the engine's timers are ms)
+            state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
           }
           closed.iterator
       }

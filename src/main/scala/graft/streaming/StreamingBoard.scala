@@ -184,13 +184,70 @@ object StreamingBoard {
     * oracle is q118's SQL verbatim. */
   val q148Sql: String = graft.ops.TimeSeries.q118Sql
 
+  /** q150: custom stateful sessionization, materialized — the fourth
+    * and last flatMapGroupsWithState twin becomes driver-checkable
+    * (q146 quota / q147 anomalies / q148 gap fill / q150 sessions).
+    * Same delivery protocol as q148: events split at the event-time
+    * midpoint arrive in order across two micro-batches (sessions
+    * spanning the boundary continue from state), then two far-future
+    * sentinel batches drive the watermark past every open session so
+    * each 30-minute-gap timer fires and the final sessions emit. The
+    * oracle is the classic gaps-and-islands form, with the session's
+    * value sum replayed as an ORDERED fold (the q147 idiom) so the
+    * doubles are IEEE-identical to the state fold, not merely close. */
+  def q150SessionizeStream(spark: SparkSession, dir: String): DataFrame =
+    q150Impl(spark, dir, Files.createTempDirectory("graft_q150").toString)
+
+  private[graft] def q150Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val mm = evs.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
+    val far = t1 + 100L * 86400000L
+    val sentinelUser = 9000001L
+    def sentinel(id: Long, ms: Long): DataFrame =
+      Seq((id, sentinelUser, "x", new java.sql.Timestamp(ms), 0.0))
+        .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val base = System.currentTimeMillis()
+    addFile(evs.filter(col("ts") <= mid), in, "00-early.parquet", base - 480000)
+    addFile(evs.filter(col("ts") > mid), in, "01-late.parquet", base - 360000)
+    addFile(sentinel(9000001L, far), in, "02-sent1.parquet", base - 240000)
+    addFile(sentinel(9000002L, far + 1000L), in, "03-sent2.parquet", base - 120000)
+    val stream = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[Ev]
+    drainToParquet(Streaming.sessionizeStateful(stream), root)
+      .filter(col("user_id") < sentinelUser)
+      .select(col("user_id"), col("n_events"),
+        col("start").cast("timestamp_ntz").as("start"),
+        col("end").cast("timestamp_ntz").as("end"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  val q150Sql: String =
+    "WITH m AS (SELECT event_id, user_id, ts, value, " +
+      "CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) " +
+      "SELECT user_id, count(*) AS n_events, min(ts) AS \"start\", max(ts) AS \"end\", " +
+      "list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)), (a, x) -> a + x) AS sum_value " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, \"start\""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_quota_cap_stream" -> q146QuotaCapStream _,
     "q147_anomalies_stream" -> q147AnomaliesStream _,
-    "q148_gap_fill_stream" -> q148GapFillStream _)
+    "q148_gap_fill_stream" -> q148GapFillStream _,
+    "q150_sessionize_stream" -> q150SessionizeStream _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
     "q147_anomalies_stream" -> q147Sql,
-    "q148_gap_fill_stream" -> q148Sql)
+    "q148_gap_fill_stream" -> q148Sql,
+    "q150_sessionize_stream" -> q150Sql)
 }

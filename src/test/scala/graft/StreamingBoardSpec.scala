@@ -65,4 +65,20 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch diverge: ${got.diff(expect).take(3)} vs ${expect.diff(got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
+    val got = StreamingBoard.q150Impl(spark, sf, root).collect()
+    assert(nBatches(root) >= 4, "two data + two sentinel batches expected")
+    assert(got.nonEmpty)
+    // micros survive the state round-trip: the events table has
+    // sub-millisecond timestamps, so some session bound must carry a
+    // non-zero micro remainder (the q150 oracle failed on exactly this)
+    val micros = got.map(_.getAs[java.time.LocalDateTime]("start").getNano / 1000 % 1000)
+    assert(micros.exists(_ != 0), "all session starts ms-aligned — micros truncated again?")
+    // every event lands in exactly one session
+    val nEvents = got.map(_.getAs[Long]("n_events")).sum
+    val expected = Tables.events(spark, sf).count()
+    assert(nEvents == expected, s"$nEvents session events vs $expected input events")
+  }
 }
