@@ -726,7 +726,75 @@ object Advanced {
       "round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) AS transitivity " +
       "FROM ne CROSS JOIN nw CROSS JOIN tri"
 
+  /** q151: association rules over order baskets (Agrawal-Srikant
+    * a-priori, the pair tier) — support, confidence and lift for every
+    * co-purchased part pair with support >= [[AssocMinSup]]. The
+    * data-MINING reading of the same co-purchase structure q129 reads
+    * as a graph: q129 asks "how clustered is the network", this asks
+    * "which item implies which" (the recommender/market-basket
+    * primitive). Emits both rule directions per qualifying pair (u→v
+    * and v→u have the same support/lift but different confidence).
+    *
+    * Scale shape: the pair build is the q129 edge build — one
+    * self-join co-partitioned on the basket key with per-basket
+    * fan-out bounded by [[BasketCap]] (hub baskets cannot go
+    * quadratic, cap oracle-mirrored) — then pair support is one
+    * partial-agged shuffle, per-item supports another (|items| rows),
+    * and the basket total is a 1-row broadcast attach. The min-support
+    * filter cuts before the stats joins, so the rule table stays
+    * heavy-hitter-sized. Determinism: all supports exact integers;
+    * confidence and lift are each ONE correctly-rounded IEEE division/
+    * multiply chain mirrored token-for-token in the oracle (q135
+    * policy). */
+  /** Shared min-support for q151 — interpolated into BOTH the Spark plan
+    * and q151Sql so an edit cannot desynchronize the oracle (the q145
+    * lesson). */
+  private val AssocMinSup = 3L
+
+  def q151AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= BasketCap).select(col("ok"))
+    val inCap = graft.Caches.register(items.join(small, "ok").cache())
+    val nBaskets = inCap.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = inCap.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val pairSup = inCap.select(col("ok"), col("pk").as("u"))
+      .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup_uv"))
+      .filter(col("sup_uv") >= AssocMinSup)
+    val rules = pairSup
+      .unionByName(pairSup.select(col("v").as("u"), col("u").as("v"), col("sup_uv")))
+      .join(supp.select(col("pk").as("u"), col("sup").as("sup_u")), "u")
+      .join(supp.select(col("pk").as("v"), col("sup").as("sup_v")), "v")
+      .crossJoin(broadcast(nBaskets))
+    rules.select(col("u"), col("v"), col("sup_uv"), col("sup_u"), col("sup_v"),
+      round(col("sup_uv").cast("double") / col("sup_u"), 6).as("confidence"),
+      round((col("sup_uv").cast("double") * col("n_baskets")) /
+        (col("sup_u") * col("sup_v")).cast("double"), 6).as("lift"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  val q151Sql: String =
+    "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      "small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 20), " +
+      "it AS (SELECT items.ok, items.pk FROM items JOIN small USING (ok)), " +
+      "nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM it), " +
+      "supp AS (SELECT pk, count(*) AS sup FROM it GROUP BY pk), " +
+      "ps AS (SELECT a.pk AS u, b.pk AS v, count(*) AS sup_uv " +
+      "FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk " +
+      s"GROUP BY 1, 2 HAVING count(*) >= $AssocMinSup), " +
+      "bi AS (SELECT u, v, sup_uv FROM ps UNION ALL SELECT v, u, sup_uv FROM ps) " +
+      "SELECT bi.u, bi.v, sup_uv, su.sup AS sup_u, sv.sup AS sup_v, " +
+      "round(CAST(sup_uv AS DOUBLE) / su.sup, 6) AS confidence, " +
+      "round((CAST(sup_uv AS DOUBLE) * n_baskets) / CAST(su.sup * sv.sup AS DOUBLE), 6) AS lift " +
+      "FROM bi JOIN supp su ON bi.u = su.pk JOIN supp sv ON bi.v = sv.pk " +
+      "CROSS JOIN nb ORDER BY bi.u, bi.v"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_assoc_rules" -> q151AssocRules _,
     "q129_triangles" -> q129Triangles _,
     "q119_pagerank" -> q119PageRank _,
     "q124_chi_square" -> q124ChiSquare _,
@@ -750,6 +818,7 @@ object Advanced {
   )
 
   val oracle: Map[String, String] = Map(
+    "q151_assoc_rules" -> q151Sql,
     "q129_triangles" -> q129Sql,
     "q119_pagerank" -> q119Sql,
     "q124_chi_square" -> q124Sql,
