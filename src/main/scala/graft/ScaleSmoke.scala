@@ -274,6 +274,54 @@ object ScaleSmoke {
       linearEnvelope("q129", tTri1, tTri10)
       Caches.drain()
 
+      // q151 association rules: the q129 edge-build idiom as mining.
+      // Ten disjoint copies multiply every support by exactly 10 while
+      // confidence = sup_uv/sup_u and lift = sup_uv·nB/(sup_u·sup_v)
+      // are RATIOS whose 10s cancel — so the 10x rule table must be
+      // the 1x table with supports ×10 and confidence/lift bit-equal.
+      val t0a = System.nanoTime()
+      val ar1 = ops.Advanced.q151AssocRules(spark, baseDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+      val tAr1 = (System.nanoTime() - t0a) / 1e9
+      json.append(f""""q151_assoc_1x":$tAr1%.2f,""")
+      System.err.println(f"[scale-smoke] q151_assoc_1x: $tAr1%.2f s (${ar1.size} rules)")
+      Caches.drain()
+      val t1a = System.nanoTime()
+      val ar10 = ops.Advanced.q151AssocRules(spark, dir10).collect()
+        .map(r => ((r.getLong(0) % OFF, r.getLong(1) % OFF), r.getLong(0) / OFF) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+      val tAr10 = (System.nanoTime() - t1a) / 1e9
+      json.append(f""""q151_assoc_10x":$tAr10%.2f,""")
+      System.err.println(f"[scale-smoke] q151_assoc_10x: $tAr10%.2f s (${ar10.size} rules)")
+      // Disjoint-copy algebra: each copy holds the 1x baskets once, so
+      // per-copy supports and CONFIDENCE (a within-copy ratio) equal
+      // the 1x values bit-for-bit and the rule count is exactly 10x;
+      // LIFT scales by 10 (its n_baskets term is the 10x-global basket
+      // count while the supports stay per-copy) — recomputed with the
+      // engine's exact op order rather than compared to 10*round(x).
+      assert(ar10.size == 10 * ar1.size,
+        s"q151: ${ar10.size} rules at 10x != 10 * ${ar1.size}")
+      val nB1 = {
+        val it1 = spark.read.parquet(s"$baseDir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        it1.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+          .filter(col("bs") <= 20).count()
+      }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ar10.foreach { case (((u, v), _), (suv, su, sv, conf, lft)) =>
+        val base = ar1.getOrElse((u, v),
+          sys.error(s"q151: 10x rule ($u,$v) missing at 1x"))
+        assert((suv, su, sv) == (base._1, base._2, base._3),
+          s"q151 ($u,$v): supports $suv/$su/$sv vs ${base._1}/${base._2}/${base._3}")
+        assert(conf == base._4, s"q151 ($u,$v): confidence drifted")
+        val expLift = r6(suv.toDouble * (10L * nB1) / (su * sv).toDouble)
+        assert(lft == expLift, s"q151 ($u,$v): lift $lft != expected $expLift")
+      }
+      linearEnvelope("q151", tAr1, tAr10)
+      Caches.drain()
+
       // q132 BPE training: corpus cost is ONE token aggregation; the 8
       // merge rounds run on the vocabulary histogram. 10× corpus ⇒
       // ~10× token scan, vocab grows far slower ⇒ wall time ≤ linear.

@@ -331,4 +331,13 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(desc.exists(d => d.contains("GreaterThan(n_chars,500)")))
   }
+
+  test("q151: basket-total attach broadcasts; support joins never cartesian") {
+    val p = plan("q151_assoc_rules").toString
+    // the 1-row n_baskets frame must attach as a broadcast nested-loop
+    // (a CartesianProduct here would shuffle the rule table against it)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"),
+      "q151 plan degraded to a CartesianProduct")
+  }
 }
