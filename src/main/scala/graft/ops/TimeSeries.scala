@@ -802,7 +802,68 @@ object TimeSeries {
       "SELECT t1 || '>' || t2 || '>' || t3 AS journey, count(*) AS cnt " +
       "FROM t WHERE t3 IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, journey LIMIT 10"
 
+  /** q152: exponential moving average (EMA, α = 0.3) over each event
+    * type's daily value series — the smoothing pass monitoring stacks
+    * run before thresholding (q102's flags on a noisy daily series fire
+    * on single spikes; the EMA trend is what drift/alerting compares
+    * against). The interesting part is the SHAPE: EMA is an
+    * order-dependent recurrence (ema_i = α·v_i + (1−α)·ema_{i−1}), so
+    * no plain window frame can express it — windows compose
+    * associative aggregates, a recurrence is a left fold. Re-expressed
+    * Spark-first: one shuffle to daily sums, one groupBy collecting
+    * each type's (day, v) series, then the fold runs MAP-SIDE as a
+    * Catalyst `aggregate` higher-order function building the EMA array
+    * (the q132 fold idiom — zero UDFs, codegen-friendly), posexploded
+    * back to rows.
+    *
+    * Scale shape: cost after the daily rollup is O(series length) per
+    * type, map-side; series length is bounded by the calendar (a year
+    * of days = 365 elements), never by event volume — exactly how a
+    * production metrics store materializes smoothed series. For
+    * multi-year series the q81 two-level carry applies (fold per
+    * chunk + broadcast chunk-boundary carry). Determinism: daily sums
+    * are rounded once at aggregation (q118 policy); the fold is
+    * exact-IEEE with literals 0.3/0.7 parsing to identical doubles in
+    * both engines and the oracle replaying the identical recurrence as
+    * a recursive CTE; only the REPORTED ema is rounded. */
+  def q152EmaSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(round(sum(col("value")), 6).as("v"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("s"))
+    val ema = aggregate(
+      slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+      array(struct(col("s")(0).getField("day").as("day"),
+        col("s")(0).getField("v").as("v"),
+        col("s")(0).getField("v").as("ema"))),
+      (acc, x) => concat(acc, array(struct(
+        x.getField("day").as("day"),
+        x.getField("v").as("v"),
+        (lit(0.3) * x.getField("v") +
+          lit(0.7) * element_at(acc, -1).getField("ema")).as("ema")))))
+    series
+      .select(col("event_type"), explode(ema).as("e"))
+      .select(col("event_type"), col("e.day").as("day"), col("e.v").as("v"),
+        round(col("e.ema"), 6).as("ema"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q152Sql: String =
+    "WITH RECURSIVE daily AS (SELECT event_type, " +
+      "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, round(sum(value), 6) AS v " +
+      "FROM events GROUP BY 1, 2), " +
+      "d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily), " +
+      "r AS (SELECT event_type, day, v, v AS ema, rn FROM d WHERE rn = 1 " +
+      "UNION ALL SELECT d.event_type, d.day, d.v, " +
+      "CAST(0.3 AS DOUBLE) * d.v + CAST(0.7 AS DOUBLE) * r.ema, d.rn " +
+      "FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1) " +
+      "SELECT event_type, day, v, round(ema, 6) AS ema " +
+      "FROM r ORDER BY event_type, day"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_ema_smoothing" -> q152EmaSmoothing _,
     "q118_gap_fill" -> q118GapFill _,
     "q120_funnel" -> q120Funnel _,
     "q121_kl_drift" -> q121KlDrift _,
@@ -824,6 +885,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q152_ema_smoothing" -> q152Sql,
     "q118_gap_fill" -> q118Sql,
     "q120_funnel" -> q120Sql,
     "q121_kl_drift" -> q121Sql,

@@ -313,4 +313,25 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val unsessionized = byUser.values.map(es => math.max(0, es.size - 2)).sum
     assert(counts.values.sum < unsessionized, "no trigram was cut by a session boundary")
   }
+
+  test("EMA smoothing (q152): recurrence laws — seed equals first value, convex hull respected") {
+    val rows = ops.TimeSeries.q152EmaSmoothing(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, series) =>
+      val ordered = series.sortBy(_._2.toString)
+      // seed: ema(day 1) = v(day 1)
+      assert(ordered.head._3 == ordered.head._4, s"$t seed")
+      // convexity: each ema lies between the running min and max of the
+      // values seen so far (alpha in (0,1) can never overshoot), within
+      // the 6-decimal reporting rounding
+      var (lo, hi) = (ordered.head._3, ordered.head._3)
+      ordered.foreach { case (_, _, v, ema) =>
+        lo = math.min(lo, v); hi = math.max(hi, v)
+        assert(ema >= lo - 1e-6 && ema <= hi + 1e-6,
+          s"$t ema $ema outside running hull [$lo, $hi]")
+      }
+    }
+  }
 }
