@@ -1058,7 +1058,51 @@ object TextAnalysis {
       s"FROM (SELECT lang, doc_id, round($qualityScoreSql, 6) AS q FROM documents)) " +
       "WHERE rk <= 20 ORDER BY lang, rk"
 
+  /** q153: Zipf profile — the corpus-statistics fingerprint (token
+    * count, vocabulary size, and the log-log slope + R² of the top-1000
+    * frequency spectrum). Natural text sits near slope −1 (Zipf's law);
+    * machine-generated/templated corpora flatten or step, so the slope
+    * is the cheapest whole-corpus "does this look like language" gate,
+    * complementing the per-document gates (q26/q131/q135) and the
+    * heavy-hitter views (q96/q142). Plan: the one corpus token shuffle
+    * every text op pays, a TakeOrdered(1000) spectrum head, a
+    * single-partition rank window over those 1000 rows (tiny by
+    * construction), and one co-moment aggregate; totals attach as a
+    * 1-row broadcast. ln over exact integer counts is the q84/q121
+    * cross-engine-stable class; the regression is round-6 (q106
+    * policy). */
+  def q153ZipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.Caches.register(documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .cache())
+    val totals = tf.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val top = tf.orderBy(col("c").desc, col("word").asc).limit(1000)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("word").asc)))
+    top
+      .agg(
+        round(regr_slope(log(col("c").cast("double")), log(col("rn").cast("double"))), 6).as("zipf_slope"),
+        round(regr_r2(log(col("c").cast("double")), log(col("rn").cast("double"))), 6).as("zipf_r2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_tokens"), col("n_vocab"), col("zipf_slope"), col("zipf_r2"))
+  }
+
+  val q153Sql: String =
+    "WITH tf AS (SELECT word, count(*) AS c FROM " +
+      "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) " +
+      "GROUP BY word), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_vocab FROM tf), " +
+      "top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rn " +
+      "FROM tf ORDER BY c DESC, word LIMIT 1000) " +
+      "SELECT n_tokens, n_vocab, " +
+      "round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS zipf_slope, " +
+      "round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS zipf_r2 " +
+      "FROM top CROSS JOIN tot GROUP BY n_tokens, n_vocab"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_zipf_profile" -> q153ZipfProfile _,
     "q140_grouped_topk" -> q140GroupedTopk _,
     "q136_bigram_lm" -> q136BigramLm _,
     "q134_dsir_sample" -> q134DsirSample _,
@@ -1085,6 +1129,7 @@ object TextAnalysis {
     "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,
     "q135_gopher_rules" -> q135Sql,
+    "q153_zipf_profile" -> q153Sql,
     "q131_token_entropy" -> q131Sql,
     "q132_bpe_vocab" -> q132Sql,
     "q133_bpe_encode" -> q133Sql,
