@@ -42,11 +42,15 @@ object Bench {
     // VISIBILITY (which queries ran, who is expensive) matters more to
     // the driver's round-over-round deltas than centisecond precision.
     // Only when even integer seconds can't fit does the map drop.
+    // Keys drop the uniform "q" prefix too (r9: the 154-query board at
+    // worst-case 3-digit seconds crossed the budget by 17 chars —
+    // caught by BenchFormatSpec — and the prefix is 1 byte x |board|
+    // of pure redundancy; "129" maps to q129 trivially).
+    val short = (n: String) => n.takeWhile(_ != '_').stripPrefix("q")
     val gears = Seq(2, 1, 0).iterator
-      .map(d => jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = d))
+      .map(d => jsonLine(results, sfDir, short, decimals = d))
     gears.find(_.length <= 1700).getOrElse(
-      jsonLine(results, sfDir, _.takeWhile(_ != '_'), decimals = 1,
-        includeQueries = false))
+      jsonLine(results, sfDir, short, decimals = 1, includeQueries = false))
   }
 
   def main(args: Array[String]): Unit = {

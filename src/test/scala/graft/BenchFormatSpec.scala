@@ -62,7 +62,9 @@ class BenchFormatSpec extends AnyFunSuite {
     val JObject(fq) = (full \ "queries"): @unchecked
     val JObject(cq) = (compact \ "queries"): @unchecked
     assert(fq.map(_._1) == List("q01_alpha", "q02_beta", "q10b_gamma"))
-    assert(cq.map(_._1) == List("q01", "q02", "q10b"))
-    assert(d(compact \ "queries", "q02") == 2.5)
+    // compact keys are the board numbers without the redundant "q"
+    // prefix (r9 budget fix) — "02" still maps to q02 unambiguously
+    assert(cq.map(_._1) == List("01", "02", "10b"))
+    assert(d(compact \ "queries", "02") == 2.5)
   }
 }
