@@ -1169,12 +1169,24 @@ object Dedup {
     * stays in codegen. Near-dup candidates use 4x16-bit band blocking +
     * Hamming <= 6 verification (bit_count of xor). */
   def simhashed(spark: SparkSession, dir: String): DataFrame = {
+    // token bits come from md5, split into two 32-bit halves (a single
+    // 64-bit conv would overflow BIGINT under ANSI for values >= 2^63):
+    // bit j < 32 reads half A (hex chars 1-8), bit j >= 32 half B
+    // (chars 9-16). md5 rather than xxhash64 (r9) so the ENTIRE chain —
+    // token bits, votes, fold, bands, Hamming — replays in the DuckDB
+    // oracle and q32 is hash-checked, not rows-only; the structure is
+    // hash-agnostic, so a deployment preferring raw scan speed swaps
+    // this one projection back to xxhash64 (the signature loses its
+    // cross-engine replayability, nothing else changes).
     val tok = documents(spark, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("hb"))
     val voteCols = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+      val src = if (j < 32) shiftright(col("ha"), j) else shiftright(col("hb"), j - 32)
+      sum(when(src.bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")
     }
     val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     // big-endian fold via shift+or (ANSI-safe: bit 63 would overflow `*2`)
@@ -1182,6 +1194,34 @@ object Dedup {
       shiftleft(acc, 1).bitwiseOR(when(col(s"v$j") > 0, 1L).otherwise(0L))
     }
     votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Oracle replay of the full q32 chain (r9 — possible since the token
+    * bits moved to md5): votes per bit from the same two 32-bit md5
+    * halves, band values reconstructed from vote positions (vote j sits
+    * at simhash position 63−j after the big-endian fold, so band =
+    * (63−j)/16 and in-band position = (63−j)%16 — all <= 2^16, no
+    * 64-bit value ever materializes), then the q83-style any-band-match
+    * candidate join and per-band XOR bit_count Hamming. */
+  val q32Sql: String = {
+    val wideCols = (0 until 4).map(b =>
+      s"max(CASE WHEN band = $b THEN bval END) AS b$b").mkString(", ")
+    val ham = (0 until 4).map(b => s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    val anyBand = (0 until 4).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS ha, " +
+      "CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hb FROM tok), " +
+      "jx AS (SELECT doc_id, ha, hb, unnest(range(0, 64)) AS j FROM h), " +
+      "v AS (SELECT doc_id, j, sum(CASE WHEN " +
+      "(CASE WHEN j < 32 THEN ha >> CAST(j AS INTEGER) ELSE hb >> CAST(j - 32 AS INTEGER) END) & 1 = 1 " +
+      "THEN 1 ELSE -1 END) AS v FROM jx GROUP BY 1, 2), " +
+      "bv AS (SELECT doc_id, (63 - j) // 16 AS band, " +
+      "CAST(sum(CASE WHEN v > 0 THEN (1 << CAST((63 - j) % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bval " +
+      "FROM v GROUP BY 1, 2), " +
+      s"wide AS (SELECT doc_id, $wideCols FROM bv GROUP BY doc_id) " +
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($ham AS BIGINT) AS hamming " +
+      s"FROM wide a JOIN wide b ON a.doc_id < b.doc_id AND ($anyBand) " +
+      s"WHERE $ham <= 6 ORDER BY id_a, id_b"
   }
 
   def q32Simhash(spark: SparkSession, dir: String): DataFrame = {
@@ -1456,6 +1496,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_simhash" -> q32Sql,
     "q130_fuzzy_er" -> q130Sql,
     "q29_exact_dedup" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
