@@ -1028,27 +1028,71 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(shingles(spark, dir))
 
-  /** Signatures from an existing (doc_id, shingles) frame. */
+  /** Per-permutation affine constants for the minhash family, fixed and
+    * interpolated into BOTH the Spark expressions and the q31/q78
+    * oracle SQL. Range [1, 2^20): products against 32-bit md5 halves
+    * stay ≤ 2^52, so the arithmetic can never overflow BIGINT in
+    * either engine. */
+  private val MinhashPerms: IndexedSeq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(987654321L)
+    def c() = 1L + rnd.nextInt((1 << 20) - 1)
+    IndexedSeq.fill(K)((c(), c(), c()))
+  }
+  private val MinhashMod = 2147483647L // 2^31 - 1
+
+  /** Signatures from an existing (doc_id, shingles) frame.
+    *
+    * The K hash family is md5-seeded affine permutations (r9; was
+    * per-(i,s) xxhash64): each shingle hashes ONCE to two 32-bit md5
+    * halves (ha, hb) and permutation i evaluates
+    * (Ai·ha + Bi·hb + Ci) mod 2^31−1 with fixed per-i constants. That
+    * makes the ENTIRE LSH chain (signatures → band keys → candidates →
+    * exact verify) replayable by the DuckDB oracle, promoting q31 from
+    * rows-only to hash-checked. The MODULUS is load-bearing, not
+    * hygiene: a first attempt used Kirsch-Mitzenmacher ha + i·hb
+    * (no mod) and ScaleSmoke's ingest assertions caught it — without
+    * the wrap, a shingle that minimizes BOTH halves wins EVERY
+    * permutation, so docs sharing one such shingle (planted boilerplate)
+    * agreed on most signature components and batch 5 dropped 64% of
+    * its novel docs as false near-dups. The mod scrambles the per-i
+    * order, restoring E[agreement] ≈ Jaccard (re-measured: the same
+    * assertion passes). The (ha, hb) pair array is projected once per
+    * row (CollapseProject keeps non-cheap multiply-referenced aliases
+    * materialized), so the md5 cost is one-per-shingle. */
   def minhashSignaturesOf(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("shingles"),
-      transform(sequence(lit(0), lit(K - 1)),
-        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+    sh.withColumn("hp", transform(col("shingles"), s => struct(
+        conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb"))))
+      .select(col("doc_id"), col("shingles"),
+        array((0 until K).map { i =>
+          val (a, b, c) = MinhashPerms(i)
+          array_min(transform(col("hp"),
+            p => pmod(p.getField("ha") * a + p.getField("hb") * b + c,
+              lit(MinhashMod))))
+        }: _*).as("sig"))
 
   /** Band rows (doc_id, band, bh) for a signature frame — the LSH
     * bucket keys; B rows per doc, shared by the batch pair path and the
-    * incremental ingest's band store. */
+    * incremental ingest's band store. bh is the md5 of the band's
+    * comma-joined signature values (equality ≡ slice equality modulo a
+    * 2^-60 collision, same policy as the q30 hash join) — replayable,
+    * unlike the xxhash64 it replaces. */
   def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(B - 1)),
-          b => struct(b.as("band"), xxhash64(b, slice(col("sig"), b * R + 1, lit(R))).as("bh")))).as("bb"))
+          b => struct(b.as("band"),
+            conv(substring(md5(concat_ws(",",
+              slice(col("sig"), b * R + 1, lit(R)).cast("array<string>"))), 1, 15), 16, 10)
+              .cast("long").as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band_hash), then verify candidates with exact Jaccard. The
     * candidate join touches only colliding docs — the property that makes
-    * this the 100 TB dedup path. No SQL oracle (hash-seed specific):
-    * the driver records rows-only; the ScalaTest spec asserts recall
-    * against q30's exact pairs.
+    * this the 100 TB dedup path. Hash-checked since r9: the md5-seeded
+    * signature family replays in DuckDB (q31Sql), so the oracle
+    * reproduces the exact candidate set and the exact verified pairs;
+    * the ScalaTest spec additionally asserts recall against q30.
     *
     * UNSORTED — shared by q31 (which adds the oracle-determinism sort)
     * and the q78 cluster chain (where a global sort of the pair set
@@ -1095,6 +1139,60 @@ object Dedup {
 
   def q31MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Full replay of the q31 chain (r9): per-shingle md5 halves → K
+    * double-hash minhash values → band keys (raw comma-joined strings —
+    * equality matches Spark's md5-of-the-same-string keys) → distinct
+    * candidates → UNCAPPED exact-Jaccard verification (q31 verifies
+    * against full shingle sets; the df cap is a q30-chain concern). */
+  /** q31's chain as reusable CTEs, ending in `ldup` (the verified LSH
+    * pair set) — shared by q31Sql and q78Sql so "what is an LSH-found
+    * duplicate pair" has one definition. */
+  private val lshPairCtes: String = {
+    val ha = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    val hb = "CAST('0x' || substr(md5(s), 9, 8) AS BIGINT)"
+    val permRows = MinhashPerms.zipWithIndex
+      .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
+    s"$shingleCtes, " +
+      s"perm(i, pa, pb, pc) AS (SELECT * FROM (VALUES $permRows) v(i, pa, pb, pc)), " +
+      s"mh AS (SELECT doc_id, perm.i, min((perm.pa * $ha + perm.pb * $hb + perm.pc) % $MinhashMod) AS mv " +
+      "FROM e0, perm GROUP BY doc_id, perm.i), " +
+      s"bk AS (SELECT doc_id, i // $R AS band, " +
+      "string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS bh " +
+      s"FROM mh GROUP BY doc_id, i // $R), " +
+      "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b " +
+      "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "iv AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c " +
+      "JOIN e0 a ON a.doc_id = c.id_a JOIN e0 b ON b.doc_id = c.id_b AND b.s = a.s " +
+      "GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, len(shingles) AS n FROM sh), " +
+      "ldup AS (SELECT iv.id_a, iv.id_b, " +
+      "CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard " +
+      "FROM iv JOIN sz sa ON sa.doc_id = iv.id_a JOIN sz sb ON sb.doc_id = iv.id_b " +
+      "WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5)"
+  }
+
+  val q31Sql: String =
+    s"WITH $lshPairCtes " +
+      "SELECT id_a, id_b, jaccard FROM ldup ORDER BY id_a, id_b"
+
+  /** q78 oracle (r9 — possible once q31's pair set became replayable):
+    * the LSH pairs feed the same recursive-reachability component
+    * closure as the q65/q77 oracles, the keeper is the component min,
+    * and the deduped corpus is everything not dropped. End-to-end the
+    * PRODUCTION dedup chain is now hash-checked, not just
+    * recall-bounded. */
+  val q78Sql: String =
+    s"WITH RECURSIVE $lshPairCtes, " +
+      "ledges AS (SELECT id_a AS u, id_b AS v FROM ldup " +
+      "UNION ALL SELECT id_b AS u, id_a AS v FROM ldup), " +
+      "lreach(u, v) AS (SELECT DISTINCT u, u AS v FROM ledges " +
+      "UNION SELECT e2.u, r.v FROM ledges e2 JOIN lreach r ON e2.v = r.u), " +
+      "lclus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM lreach GROUP BY u) " +
+      "SELECT d.doc_id, substr(md5(d.text), 1, 16) AS fp FROM documents d " +
+      "WHERE NOT EXISTS (SELECT 1 FROM lclus c " +
+      "WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id) " +
+      "ORDER BY d.doc_id"
 
   /** q125: EXACT set-similarity self-join by prefix filtering (the
     * PPJoin family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008;
@@ -1496,6 +1594,8 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q31_minhash_lsh" -> q31Sql,
+    "q78_dedup_corpus_lsh" -> q78Sql,
     "q32_simhash" -> q32Sql,
     "q130_fuzzy_er" -> q130Sql,
     "q29_exact_dedup" -> q29Sql,
