@@ -58,6 +58,7 @@ object SparkEntry {
       text.TextAnalysis.oracle ++
       dedup.Dedup.oracle ++
       dedup.Bloom.oracle ++
+      sketch.CountMin.oracle ++
       sim.Similarity.oracle ++
       multimodal.Multimodal.oracle ++
       streaming.StreamingBoard.oracle ++

@@ -176,7 +176,7 @@ object Dedup {
     * appear in `pair` either. */
   /** The shingle-generation CTEs alone (w → sh → e0) — shared by
     * `jaccardCtes` and the q96 heavy-hitter oracle. */
-  private val shingleCtes: String =
+  private[graft] val shingleCtes: String =
     "w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM w WHERE len(ws) >= 3), " +

@@ -129,6 +129,27 @@ object Similarity {
       .limit(10)
   }
 
+  /** q35 oracle (r9): the four hyperplanes are FIXED seeded doubles, so
+    * they interpolate into the SQL as literal lists (shortest-roundtrip
+    * decimal strings parse to the identical doubles under correctly-
+    * rounded strtod) and DuckDB replays the whole chain — sign buckets,
+    * the Hamming<=1 multi-probe, and the exact cosine ranking. Promotes
+    * q35 from rows-only to hash-checked. */
+  lazy val q35Sql: String = {
+    def planeList(p: Seq[Double]): String =
+      p.map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+    val bucket = (vcol: String) => planes.zipWithIndex.map { case (p, i) =>
+      val w = 1 << (NumPlanes - 1 - i)
+      s"(CASE WHEN ${sqlDot(vcol, planeList(p))} > 0.0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"bu AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM e), " +
+      "q AS (SELECT v AS qv, bucket AS qb FROM bu WHERE vec_id = 0) " +
+      s"SELECT vec_id, round(${sqlDot("bu.v", "qv")} / (${sqlNorm("bu.v")} * ${sqlNorm("qv")}), 6) AS sim " +
+      "FROM bu, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1 " +
+      "ORDER BY sim DESC, vec_id LIMIT 10"
+  }
+
   /** ANN via IVF (inverted-file) search: k-means partitions the corpus
     * into K cells; a query scans only its nProbe nearest cells. Training
     * is a driver-coordinated iterative fit (inherently so — that's what
@@ -784,6 +805,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q35_ann_lsh" -> q35Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q144_label_centroids" -> q144Sql,
     "q138_hard_negatives" -> q138Sql,

@@ -33,8 +33,14 @@ object CountMin {
   val DefaultW = 65536
   val DefaultD = 4
 
+  /** Row hash: md5 of "rowIndex|key" (r9; was xxhash64) — 60 md5 bits
+    * mod w. Replayable cross-engine, which is what lets the q99 oracle
+    * rebuild the identical cell table and estimates; the CMS guarantees
+    * only need the d rows to be independent-ish hashes, which seeded
+    * md5 prefixes are. */
   private def cell(key: Column, d: Column, w: Int): Column =
-    pmod(xxhash64(d, key), lit(w))
+    pmod(conv(substring(md5(concat(d.cast("string"), lit("|"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(w))
 
   /** Sketch a one-column item stream (multiset — duplicates COUNT). */
   def build(items: DataFrame, w: Int = DefaultW, d: Int = DefaultD): DataFrame = {
@@ -64,10 +70,11 @@ object CountMin {
   /** q99: CMS frequency estimates for the exact heavy-hitter shingles
     * (q96's top-50) — the production probe pattern: the sketch
     * summarizes the full shingle stream in d·w cells, candidates get
-    * their frequency WITHOUT a second pass over raw text. Hash-seeded
-    * counters → rows-only at the driver; SketchSpec pins est ≥ exact
-    * df (one-sided) with a tight additive band against oracle-green
-    * q96. */
+    * their frequency WITHOUT a second pass over raw text. Hash-checked
+    * since r9 (md5 cells replay in the oracle — build, merge-free
+    * probe, min-over-rows estimates all bit-equal); SketchSpec
+    * additionally pins est ≥ exact df (one-sided) with a tight
+    * additive band against oracle-green q96. */
   def q99CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     // one cached materialization feeds both the sketch build and the
     // candidate mining (q96's agg) — the corpus is tokenized once
@@ -82,8 +89,24 @@ object CountMin {
       .orderBy(col("est").desc, col("s"))
   }
 
+  /** Full replay of the q99 chain: the same shingle stream CTEs as the
+    * q96 oracle, the d x w cell build from the md5 row hashes, and the
+    * min-over-probed-cells estimate for the exact top-50. */
+  val q99Sql: String = {
+    val cell = s"CAST('0x' || substr(md5(CAST(t.d AS VARCHAR) || '|' || s), 1, 15) AS BIGINT) % $DefaultW"
+    s"WITH ${graft.dedup.Dedup.shingleCtes}, " +
+      s"ck AS (SELECT t.d AS d, $cell AS c FROM e0, range(0, $DefaultD) t(d)), " +
+      "cells AS (SELECT d, c, count(*) AS cnt FROM ck GROUP BY 1, 2), " +
+      "cands AS (SELECT s FROM e0 GROUP BY s ORDER BY count(*) DESC, s LIMIT 50), " +
+      s"probe AS (SELECT cands.s, t.d AS d, $cell AS c FROM cands, range(0, $DefaultD) t(d)) " +
+      "SELECT probe.s, min(coalesce(cells.cnt, 0)) AS est " +
+      "FROM probe LEFT JOIN cells ON probe.d = cells.d AND probe.c = cells.c " +
+      "GROUP BY probe.s ORDER BY est DESC, probe.s"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_cms_heavy_hitters" -> q99CmsHeavyHitters _)
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q99_cms_heavy_hitters" -> q99Sql)
 }
