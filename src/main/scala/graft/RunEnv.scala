@@ -51,6 +51,21 @@ object RunTag {
     p
   }
 
+  private val fresh = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Like `scratch`, but unique per CALL — for harnesses that must not
+    * reuse state across invocations (a streaming checkpoint dir reused
+    * within one JVM would mark the re-delivered input files as already
+    * processed and silently emit an empty sink). Registered for the same
+    * shutdown-hook recursive deletion, so repeated bench/verify runs
+    * leave nothing under tmpdir. */
+  def scratchFresh(name: String): String =
+    scratch(s"${name}_${fresh.incrementAndGet()}")
+
+  /** Recursively delete a path NOW (for per-call staging dirs whose
+    * contents are already moved out). */
+  def deleteNow(path: String): Unit = delete(new java.io.File(path))
+
   private def delete(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(delete))
     f.delete()

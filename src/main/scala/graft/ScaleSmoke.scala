@@ -306,7 +306,7 @@ object ScaleSmoke {
         val it1 = spark.read.parquet(s"$baseDir/lineitem.parquet")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
         it1.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-          .filter(col("bs") <= 20).count()
+          .filter(col("bs") <= graft.ops.Advanced.BasketCap).count()
       }
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

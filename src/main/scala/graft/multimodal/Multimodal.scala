@@ -477,6 +477,11 @@ object Multimodal {
       var i = soi + 2
       while (true) {
         require(u8(i) == 0xFF, f"JPEG segment desync at byte $i (0x${u8(i)}%02x)")
+        // the spec allows runs of 0xFF fill bytes before any marker —
+        // skip to the last FF so the dispatch below reads the marker
+        // byte, not another fill byte (which would otherwise fall into
+        // the length-prefixed branch and desync)
+        while (u8(i + 1) == 0xFF) i += 1
         u8(i + 1) match {
           case 0xD9 => return i + 2 // EOI
           case 0xD8 | 0x01 => i += 2 // SOI (spurious) / TEM: no payload

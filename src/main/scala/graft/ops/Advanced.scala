@@ -641,8 +641,11 @@ object Advanced {
     * import) would dominate the edge build; capping is standard in
     * market-basket mining and the SQL oracle mirrors the constant, so
     * both engines agree BY CONSTRUCTION even where the cap engages. At
-    * the tested SFs baskets are <= 7 items, so the filter is identity. */
-  private val BasketCap = 20L
+    * the tested SFs baskets are <= 7 items, so the filter is identity.
+    * Interpolated into q129Sql/q151Sql and read by ScaleSmoke's lift
+    * recomputation, so an edit cannot desynchronize the oracles (the
+    * q145 shared-constant lesson). */
+  private[graft] val BasketCap = 20L
 
   /** q129: triangle counting + global clustering coefficient over the
     * part co-purchase graph (edge = two parts appearing in the same
@@ -706,7 +709,7 @@ object Advanced {
 
   val q129Sql: String =
     "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-      "small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 20), " +
+      s"small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= $BasketCap), " +
       "it AS (SELECT items.ok, items.pk FROM items JOIN small USING (ok)), " +
       "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk), " +
       "deg AS (SELECT node, count(*) AS d FROM " +
@@ -779,7 +782,7 @@ object Advanced {
 
   val q151Sql: String =
     "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
-      "small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= 20), " +
+      s"small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= $BasketCap), " +
       "it AS (SELECT items.ok, items.pk FROM items JOIN small USING (ok)), " +
       "nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM it), " +
       "supp AS (SELECT pk, count(*) AS sup FROM it GROUP BY pk), " +

@@ -181,7 +181,7 @@ object Streaming {
         (uid: Long, batch: Iterator[Ev], state: GroupState[GapFillState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[GapFillOut]
           var cur = state.getOption
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
           if (evs.isEmpty) {
             cur match {
               case Some(s) if state.hasTimedOut && !s.closed =>
@@ -276,7 +276,9 @@ object Streaming {
       .flatMapGroupsWithState[MomentState, AnomalyOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype: String, batch: Iterator[Ev], state: GroupState[MomentState]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Full-microsecond order — getTime alone is millis-truncated and
+          // can reorder same-millisecond events vs the oracle's fold replay.
+          val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
           val prior = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
           val s = evs.foldLeft(prior) { (acc, e) =>
             MomentState(acc.n + 1, acc.sum + e.value, acc.sumSq + e.value * e.value)

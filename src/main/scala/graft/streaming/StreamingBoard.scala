@@ -35,13 +35,15 @@ object StreamingBoard {
     * modification time `modMs` (the file source's delivery order). */
   private def addFile(df: DataFrame, inDir: String, name: String, modMs: Long): Unit = {
     val stage = Files.createTempDirectory("graft_stage").toString
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-      .head
-    val dst = new java.io.File(inDir, name)
-    Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-    require(dst.setLastModified(modMs), s"cannot stamp mod time on $dst")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .head
+      val dst = new java.io.File(inDir, name)
+      Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+      require(dst.setLastModified(modMs), s"cannot stamp mod time on $dst")
+    } finally graft.RunTag.deleteNow(stage) // _SUCCESS + .crc leftovers
   }
 
   /** Drain a streaming Dataset into a parquet sink with AvailableNow and
@@ -67,7 +69,7 @@ object StreamingBoard {
     * the union equals the batch first-N-per-source window — which is
     * exactly the oracle SQL. */
   def q146QuotaCapStream(spark: SparkSession, dir: String): DataFrame =
-    q146Impl(spark, dir, Files.createTempDirectory("graft_q146").toString)
+    q146Impl(spark, dir, graft.RunTag.scratchFresh("q146"))
 
   private[graft] def q146Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
     import spark.implicits._
@@ -111,7 +113,7 @@ object StreamingBoard {
     * vs q102's numerically different stddev aggregate). */
   def q147AnomaliesStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft_q147").toString
+    val root = graft.RunTag.scratchFresh("q147")
     val in = s"$root/in"; new java.io.File(in).mkdirs()
     val evs = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -147,7 +149,7 @@ object StreamingBoard {
     * materialized output; with every day closed, the emitted set equals
     * batch q118's grid exactly, so the oracle IS q118's SQL. */
   def q148GapFillStream(spark: SparkSession, dir: String): DataFrame =
-    q148Impl(spark, dir, Files.createTempDirectory("graft_q148").toString)
+    q148Impl(spark, dir, graft.RunTag.scratchFresh("q148"))
 
   private[graft] def q148Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
     import spark.implicits._
@@ -180,9 +182,26 @@ object StreamingBoard {
       .orderBy(col("user_id"), col("day"))
   }
 
-  /** Every day closed ⇒ the streamed set equals the batch grid, so the
-    * oracle is q118's SQL verbatim. */
-  val q148Sql: String = graft.ops.TimeSeries.q118Sql
+  /** Every day closed ⇒ the streamed set equals the batch grid — but the
+    * stream's per-day sum is a SEQUENTIAL (ts, event_id)-ordered fold
+    * (gapFillStateful accumulates openSum event by event), while q118's
+    * `round(sum(value), 6)` sums in engine-arbitrary order. IEEE addition
+    * is not associative, so a 6th-decimal rounding boundary could break
+    * the hash even though both are "the day's sum". This oracle replays
+    * the fold order via list_reduce (the q147/q150 idiom) so the doubles
+    * are bit-identical, then applies the identical grid/LOCF algebra. */
+  val q148Sql: String =
+    "WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+      "round(list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)), (a, x) -> a + x), 6) AS v " +
+      "FROM events GROUP BY 1, 2), " +
+      "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b) " +
+      "SELECT g.user_id, g.day, " +
+      "last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, " +
+      "CASE WHEN d.v IS NULL THEN 0 ELSE 1 END AS is_observed " +
+      "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
+      "ORDER BY g.user_id, g.day"
 
   /** q150: custom stateful sessionization, materialized — the fourth
     * and last flatMapGroupsWithState twin becomes driver-checkable
@@ -196,7 +215,7 @@ object StreamingBoard {
     * value sum replayed as an ORDERED fold (the q147 idiom) so the
     * doubles are IEEE-identical to the state fold, not merely close. */
   def q150SessionizeStream(spark: SparkSession, dir: String): DataFrame =
-    q150Impl(spark, dir, Files.createTempDirectory("graft_q150").toString)
+    q150Impl(spark, dir, graft.RunTag.scratchFresh("q150"))
 
   private[graft] def q150Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
     import spark.implicits._
