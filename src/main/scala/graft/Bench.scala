@@ -61,6 +61,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // dev loop: SPARK_GRAFT_REPLAYABLE=false times the xxhash64
+      // production hash family (graft.HashFamilies) — the driver never
+      // sets it, so its boards always run the oracle-replayable default
+      .config("spark.graft.replayableHashes",
+        sys.env.getOrElse("SPARK_GRAFT_REPLAYABLE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -106,7 +111,26 @@ object Bench {
             label -> timeOne(name, fn)
           }
       case None =>
-        sorted.map { case (name, fn) => name -> timeOne(name, fn) }
+        val board = sorted.map { case (name, fn) => name -> timeOne(name, fn) }
+        // trailing sentinels (default on; SPARK_GRAFT_SENTINELS=0
+        // disables): re-time this run's five most expensive rows at the
+        // END of the board, keyed "qNN#2". A genuinely slow operator
+        // repeats slow; a row that was merely adjacent to a noisy
+        // neighbor lands back at its solo band — so every board
+        // self-carries the evidence that previously needed a separate
+        // sentinel-pair adjudication run. The repeats are extra rows on
+        // the board total; their cost is the five hottest queries once
+        // more (~15-20% of a full run), paid for not having to re-litigate
+        // driver noise round over round.
+        if (sys.env.getOrElse("SPARK_GRAFT_SENTINELS", "1") == "0") board
+        else {
+          val hot = board.sortBy(-_._2).take(5).map(_._1)
+          val byName = sorted.toMap
+          board ++ hot.map { name =>
+            val label = name.takeWhile(_ != '_') + "#2" + name.dropWhile(_ != '_')
+            label -> timeOne(name, byName(name))
+          }
+        }
     }
     println(fullLine(results, sfDir))
     // the machine-parsed compact line is the FINAL stdout write of the

@@ -73,6 +73,22 @@ object RunTag {
   }
 }
 
+/** Hash-family seam (the r9 verdict's config item): the MinHash, SimHash
+  * and count-min projections default to md5-derived bits, which is what
+  * lets the DuckDB oracle replay those chains bit-for-bit (q31/q32/q78/
+  * q99 hash-green) at a measured ~1.5-2x premium on those paths. A
+  * production deployment that does not need cross-engine replayability
+  * sets `spark.graft.replayableHashes=false` to swap the SAME
+  * projections to codegen'd xxhash64 — the chain structure (signatures,
+  * bands, votes, cells, exact verification) is hash-agnostic and
+  * unchanged, and DedupSimSpec pins that both families verify the
+  * identical near-dup pair set on the planted corpus. Oracle SQL always
+  * replays the md5 family, so hash-checked runs use the default. */
+object HashFamilies {
+  def replayable(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.replayableHashes", "true").toBoolean
+}
+
 /** Harness-level cache hygiene. Several queries `.cache()` an input that
   * both a driver-side guard/fit (count, k-means) and the RETURNED plan
   * read — so the operator itself cannot unpersist without recomputing its

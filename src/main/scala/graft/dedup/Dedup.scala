@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.text.TextAnalysis
@@ -1059,10 +1059,19 @@ object Dedup {
     * assertion passes). The (ha, hb) pair array is projected once per
     * row (CollapseProject keeps non-cheap multiply-referenced aliases
     * materialized), so the md5 cost is one-per-shingle. */
-  def minhashSignaturesOf(sh: DataFrame): DataFrame =
-    sh.withColumn("hp", transform(col("shingles"), s => struct(
-        conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
-        conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb"))))
+  def minhashSignaturesOf(sh: DataFrame): DataFrame = {
+    // hash-family seam (graft.HashFamilies): md5 halves (replayable,
+    // default) vs two seeded xxhash64 32-bit values (production speed)
+    val hp: Column => Column =
+      if (graft.HashFamilies.replayable(sh.sparkSession))
+        s => struct(
+          conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
+          conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb"))
+      else
+        s => struct(
+          pmod(xxhash64(s), lit(4294967296L)).as("ha"),
+          pmod(xxhash64(s, lit(1)), lit(4294967296L)).as("hb"))
+    sh.withColumn("hp", transform(col("shingles"), s => hp(s)))
       .select(col("doc_id"), col("shingles"),
         array((0 until K).map { i =>
           val (a, b, c) = MinhashPerms(i)
@@ -1070,6 +1079,7 @@ object Dedup {
             p => pmod(p.getField("ha") * a + p.getField("hb") * b + c,
               lit(MinhashMod))))
         }: _*).as("sig"))
+  }
 
   /** Band rows (doc_id, band, bh) for a signature frame — the LSH
     * bucket keys; B rows per doc, shared by the batch pair path and the
@@ -1077,14 +1087,22 @@ object Dedup {
     * comma-joined signature values (equality ≡ slice equality modulo a
     * 2^-60 collision, same policy as the q30 hash join) — replayable,
     * unlike the xxhash64 it replaces. */
-  def bandsOf(sig: DataFrame): DataFrame =
+  def bandsOf(sig: DataFrame): DataFrame = {
+    // hash-family seam: md5-of-joined-values (replayable, default) vs a
+    // structural xxhash64 of the band slice (production speed — skips
+    // the string join entirely)
+    val bh: Column => Column =
+      if (graft.HashFamilies.replayable(sig.sparkSession))
+        b => conv(substring(md5(concat_ws(",",
+          slice(col("sig"), b * R + 1, lit(R)).cast("array<string>"))), 1, 15), 16, 10)
+          .cast("long")
+      else
+        b => xxhash64(slice(col("sig"), b * R + 1, lit(R)))
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(B - 1)),
-          b => struct(b.as("band"),
-            conv(substring(md5(concat_ws(",",
-              slice(col("sig"), b * R + 1, lit(R)).cast("array<string>"))), 1, 15), 16, 10)
-              .cast("long").as("bh")))).as("bb"))
+          b => struct(b.as("band"), bh(b).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band_hash), then verify candidates with exact Jaccard. The
@@ -1266,7 +1284,12 @@ object Dedup {
     * fold the bit votes into a long. No UDFs; the whole vote projection
     * stays in codegen. Near-dup candidates use 4x16-bit band blocking +
     * Hamming <= 6 verification (bit_count of xor). */
-  def simhashed(spark: SparkSession, dir: String): DataFrame = {
+  def simhashed(spark: SparkSession, dir: String): DataFrame =
+    simhashedOf(documents(spark, dir))
+
+  /** SimHash from any (doc_id, text) frame — the planted-corpus seam the
+    * hash-family parity spec drives (the minhashSignaturesOf pattern). */
+  def simhashedOf(docs: DataFrame): DataFrame = {
     // token bits come from md5, split into two 32-bit halves (a single
     // 64-bit conv would overflow BIGINT under ANSI for values >= 2^63):
     // bit j < 32 reads half A (hex chars 1-8), bit j >= 32 half B
@@ -1276,12 +1299,17 @@ object Dedup {
     // hash-agnostic, so a deployment preferring raw scan speed swaps
     // this one projection back to xxhash64 (the signature loses its
     // cross-engine replayability, nothing else changes).
-    val tok = documents(spark, dir)
+    val (ha, hb) =
+      if (graft.HashFamilies.replayable(docs.sparkSession))
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+      else
+        (pmod(xxhash64(col("tok")), lit(4294967296L)),
+          pmod(xxhash64(col("tok"), lit(1)), lit(4294967296L)))
+    val tok = docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("ha"),
-        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("hb"))
+      .select(col("doc_id"), ha.as("ha"), hb.as("hb"))
     val voteCols = (0 until SimBits).map { j =>
       val src = if (j < 32) shiftright(col("ha"), j) else shiftright(col("hb"), j - 32)
       sum(when(src.bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$j")

@@ -150,52 +150,160 @@ object Similarity {
       "ORDER BY sim DESC, vec_id LIMIT 10"
   }
 
-  /** ANN via IVF (inverted-file) search: k-means partitions the corpus
-    * into K cells; a query scans only its nProbe nearest cells. Training
-    * is a driver-coordinated iterative fit (inherently so — that's what
-    * KMeans is); assignment and search stay fully distributed. At 100 TB
-    * the cell id becomes the storage partition key, queries read
-    * nProbe/K of the data, and the centroid table (K×dim doubles) is a
-    * broadcast. Approximate → rows-only driver check; DedupSimSpec bounds
-    * overlap vs q33's exact top-k. */
-  /** Shared IVF/canopy preamble for q55/q79: the cached (vec_id, v,
-    * norm) table plus a k-means cell model. The ML `fv` Vector column
-    * is computed ON THE FLY for the one-time fit and never enters the
-    * cache — materializing it would store every embedding twice in the
-    * highest-traffic cache of both queries. One definition so the two
-    * cell-structured queries can never diverge on k/seed. */
-  private def fittedCells(spark: SparkSession, dir: String, k: Int)
-      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vs = graft.Caches.register(vectors(spark, dir).cache())
-    val model = new KMeans().setK(k).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(vs.select(array_to_vector(col("v")).as("fv")))
-    (vs, model)
+  /** Shared IVF/canopy coarse quantizer for q55/q79/q98 — a PINNED
+    * k-means fit (the r9 verdict's q137-codebook recipe applied to the
+    * cell structure): the training sample is the first [[IvfFitSample]]
+    * vectors in content-hash-priority order (the q57/q100/q137 idiom —
+    * deterministic on any cluster, any partitioning, any rerun), the fit
+    * is [[IvfFitRounds]] FIXED rounds of driver-side Lloyd's seeded from
+    * the sample's first K points (sequential left-to-right accumulation
+    * in sample order — the centroids are a pure function of the data).
+    * Because the fit is pinned, the centroids interpolate into the DuckDB
+    * oracle as literal double lists (the q35 hyperplane idiom), which
+    * promotes all three cell-structured queries from rows-only to
+    * hash-checked: the oracle replays assignment, probing, pairing and
+    * ranking with IDENTICAL doubles (shortest-roundtrip decimal strings
+    * parse back to the same IEEE values under correctly-rounded strtod).
+    *
+    * At 100 TB the fit cost is unchanged from any production IVF index:
+    * one bounded TakeOrdered sample (Faiss trains coarse quantizers on
+    * min(n, 256·k) points regardless of corpus size), milliseconds of
+    * driver arithmetic, then assignment/search stay fully distributed
+    * with the centroid table a broadcast literal. Memoized per dir —
+    * the three queries share one fit, like one index serving many
+    * queries; q112/q137 fit per-call because nothing else shares them. */
+  private val IvfK = 8
+  private val IvfProbe = 3      // q55: cells scanned per query
+  private val IvfAssign = 3     // q79/q98: cells each vector joins
+  private val IvfFitSample = 2048
+  private val IvfFitRounds = 20
+  private val ivfFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  @volatile private var lastIvfFit: Option[Seq[Seq[Double]]] = None
+
+  private def ivfCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val fit = ivfFits.computeIfAbsent(dir, _ => {
+      val sample: Array[Array[Double]] = vectors(spark, dir)
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("|graft-ivf-1"))).asc,
+          col("vec_id").asc)
+        .limit(IvfFitSample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sample.length >= IvfK, s"corpus smaller than IvfK=$IvfK")
+      val dim = sample.head.length
+      // deterministic farthest-point init (Gonzalez): the first sample
+      // point seeds; each next centroid is the sample point maximizing
+      // its distance to the nearest chosen one (ties → first in sample
+      // order). Spreads the seeds like k-means++ without RNG — first-K
+      // init measured 2/10 q55 overlap vs exact; this init + 6 rounds
+      // restores the ML-fit-level cells.
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+        d
+      }
+      val C = new Array[Array[Double]](IvfK)
+      C(0) = sample(0).clone
+      val minD = sample.map(p => d2(p, C(0)))
+      for (j <- 1 until IvfK) {
+        var best = 0; var bd = -1.0; var i = 0
+        while (i < sample.length) {
+          if (minD(i) > bd) { bd = minD(i); best = i }
+          i += 1
+        }
+        C(j) = sample(best).clone
+        i = 0
+        while (i < sample.length) {
+          val d = d2(sample(i), C(j))
+          if (d < minD(i)) minD(i) = d
+          i += 1
+        }
+      }
+      for (_ <- 1 to IvfFitRounds) {
+        val sums = Array.fill(IvfK)(new Array[Double](dim))
+        val cnt = new Array[Long](IvfK)
+        sample.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var j = 0
+          while (j < IvfK) {
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = p(i) - C(j)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          cnt(best) += 1
+          val acc = sums(best); var i = 0
+          while (i < dim) { acc(i) += p(i); i += 1 }
+        }
+        var j = 0
+        while (j < IvfK) {
+          if (cnt(j) > 0) {
+            var i = 0
+            while (i < dim) { C(j)(i) = sums(j)(i) / cnt(j); i += 1 }
+          }
+          j += 1
+        }
+      }
+      C.map(_.toIndexedSeq).toIndexedSeq
+    })
+    lastIvfFit = Some(fit)
+    fit
   }
 
+  /** (d, c)-sorted centroid ranking array: |v−c|² ranks by c²−2·v·c since
+    * |v|² is row-constant (the q79/q137 cellRank trick). `[0].c` is the
+    * cell assignment; `slice(1, n)` the probe/multi-assign set. Ties in d
+    * break toward the smaller cell index on both engines (struct compare
+    * is field-order lexicographic in Spark AND DuckDB). */
+  private def cellRankCol(cents: Seq[Seq[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (ca, i) =>
+      val c2 = ca.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(ca))).as("d"),
+        lit(i).as("c"))
+    }: _*))
+
+  /** DuckDB mirror of [[cellRankCol]] over column `vcol`. */
+  private def sqlCellRank(cents: Seq[Seq[Double]], vcol: String): String =
+    cents.zipWithIndex.map { case (ca, i) =>
+      val c2 = ca.map(x => x * x).sum
+      val cl = ca.map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+      s"{'d': $c2 - 2.0 * ${sqlDot(vcol, cl)}, 'c': $i}"
+    }.mkString("list_sort([", ", ", "])")
+
+  /** ANN via IVF (inverted-file) search: the pinned k-means fit above
+    * partitions the corpus into [[IvfK]] cells; a query scans only its
+    * [[IvfProbe]] nearest cells. At 100 TB the cell id becomes the
+    * storage partition key, queries read nProbe/K of the data, and the
+    * centroid table (K×dim doubles) is a broadcast literal. Hash-checked:
+    * the oracle replays assignment + probing + ranking with the centroids
+    * as literal lists; DedupSimSpec additionally bounds overlap vs q33's
+    * exact top-k. */
   def q55AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val nProbe = 2
-    val (vs, model) = fittedCells(spark, dir, k = 8)
-    val assigned = model.transform(vs.withColumn("fv", array_to_vector(col("v"))))
-    val qRow = assigned.filter(col("vec_id") === 0)
-      .select(col("v"), col("norm")).head()
-    val qv = qRow.getSeq[Double](0).toArray
-    // nProbe nearest cells to the query, by euclidean distance to centroid
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-    assigned.filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
-      .filter(col("vec_id") =!= 0)
+    val cents = ivfCentroids(spark, dir)
+    val ranked = vectors(spark, dir).withColumn("rk", cellRankCol(cents))
+    val corpus = ranked.select(col("vec_id"), col("v"), col("norm"),
+      col("rk").getItem(0).getField("c").as("cell"))
+    val q = ranked.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"),
+        transform(slice(col("rk"), 1, IvfProbe), s => s.getField("c")).as("qcells"))
+    corpus.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .where(array_contains(col("qcells"), col("cell")))
       .select(col("vec_id"),
-        round(cosine(col("v"), typedLit(qv.toSeq), col("norm"),
-          lit(qRow.getDouble(1))), 6).as("sim"))
+        round(cosine(col("v"), col("qv"), col("norm"), col("qn")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  def q55Sql: String = lastIvfFit match {
+    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q55 oracle needs the fit: run q55_ann_ivf first"
+    case Some(cents) =>
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
+        "a AS (SELECT vec_id, v, rk[1].c AS cell FROM r), " +
+        s"q AS (SELECT v AS qv, list_transform(rk[1:$IvfProbe], s -> s.c) AS qcells " +
+        "FROM r WHERE vec_id = 0) " +
+        s"SELECT a.vec_id, round(${sqlDot("a.v", "qv")} / (${sqlNorm("a.v")} * ${sqlNorm("qv")}), 6) AS sim " +
+        "FROM a, q WHERE a.vec_id <> 0 AND list_contains(qcells, a.cell) " +
+        "ORDER BY sim DESC, a.vec_id LIMIT 10"
   }
 
   /** All-pairs embedding near-dup at SCALE — the bucketed replacement
@@ -217,26 +325,20 @@ object Similarity {
     * candidate work is n²·nAssign²/K, cells are the storage partition
     * key at 100 TB (the candidate join is cell-local), the centroid
     * table (K×dim doubles) is a broadcast literal, and K grows with the
-    * corpus. Fit-seeded (k-means) → rows-only at the driver.
+    * corpus. The pinned fit (see [[ivfCentroids]]) makes the whole chain
+    * oracle-replayable: q79 is hash-checked, not merely recall-bounded.
     *
     * UNSORTED — shared by q79 (which adds the oracle-determinism sort)
     * and any cluster chain over embedding pairs (where a global pair
     * sort would be a dead range-exchange), mirroring the
     * jaccardPairs/q30 and minhashLshPairs/q31 splits. */
   def embedNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // 3 of 8 cells per vector: measured pair recall vs q34 at sf0.1 is
-    // 0.82 at nAssign=2 and 0.99 at 3 — boundary pairs in this corpus
-    // need the third cell; candidate work stays ~(3/8)²·n²
-    val nAssign = 3
-    val (vs, model) = fittedCells(spark, dir, k = 8)
-    // rank cells by |v-c|² = |v|² - 2·v·c + |c|²; |v|² is row-constant,
-    // so the ranking key needs only the broadcast centroid pieces
-    val cellRank = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val ca = c.toArray.toSeq
-      val c2 = ca.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(col("v"), typedLit(ca))).as("d"), lit(i).as("c"))
-    }: _*)
-    val cellsOf = transform(slice(array_sort(cellRank), 1, nAssign), s => s.getField("c"))
+    // IvfAssign = 3 of 8 cells per vector: measured pair recall vs q34
+    // at sf0.1 is 0.82 at nAssign=2 and >= 0.99 at 3 — boundary pairs in
+    // this corpus need the third cell; candidate work stays ~(3/8)²·n²
+    val cents = ivfCentroids(spark, dir)
+    val vs = graft.Caches.register(vectors(spark, dir).cache())
+    val cellsOf = transform(slice(cellRankCol(cents), 1, IvfAssign), s => s.getField("c"))
     val e = vs.select(col("vec_id"), explode(cellsOf).as("cell"))
     val cands = e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -253,6 +355,46 @@ object Similarity {
 
   def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame =
     embedNeardupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Shared oracle CTE chain for q79/q98: multi-assign cells from the
+    * pinned centroids, candidate pairs inside shared cells, exact-cosine
+    * verification — the literal replay of [[embedNeardupPairs]]. Ends at
+    * `dup(id_a, id_b)`. */
+  private def sqlEmbedPairCtes(cents: Seq[Seq[Double]]): String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
+      s"asg AS (SELECT vec_id, unnest(list_transform(rk[1:$IvfAssign], s -> s.c)) AS cell FROM r), " +
+      "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b " +
+      "FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+      s"n AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e), " +
+      "scored AS (SELECT id_a, id_b, " +
+      s"${sqlDot("va.v", "vb.v")} / (va.nrm * vb.nrm) AS cos " +
+      "FROM cand JOIN n va ON cand.id_a = va.vec_id JOIN n vb ON cand.id_b = vb.vec_id), " +
+      "dup AS (SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45)"
+
+  def q79Sql: String = lastIvfFit match {
+    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q79 oracle needs the fit: run q79_embed_neardup_blocked first"
+    case Some(cents) =>
+      s"WITH ${sqlEmbedPairCtes(cents)} " +
+        "SELECT id_a, id_b, round(cos, 6) AS sim FROM dup ORDER BY id_a, id_b"
+  }
+
+  /** q98 oracle: the q79 pair chain feeding the q65-style recursive-CTE
+    * connected components (min-label canonicalization — identical to what
+    * starContractClusters converges to), then the anti-join survivor set. */
+  def q98Sql: String = lastIvfFit match {
+    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q98 oracle needs the fit: run q98_semantic_prune first"
+    case Some(cents) =>
+      s"WITH RECURSIVE ${sqlEmbedPairCtes(cents)}, " +
+        "edges AS (SELECT id_a AS u, id_b AS v FROM dup " +
+        "UNION ALL SELECT id_b AS u, id_a AS v FROM dup), " +
+        "reach(u, v) AS (SELECT DISTINCT u, u AS v FROM edges " +
+        "UNION SELECT e2.u, rr.v FROM edges e2 JOIN reach rr ON e2.v = rr.u), " +
+        "clus AS (SELECT u AS vid, min(v) AS cluster_id FROM reach GROUP BY u) " +
+        "SELECT em.vec_id FROM embeddings em WHERE NOT EXISTS " +
+        "(SELECT 1 FROM clus c WHERE c.vid = em.vec_id AND c.vid <> c.cluster_id) " +
+        "ORDER BY em.vec_id"
+  }
 
   /** Blocked fuzzy string matching (entity resolution): probe names —
     * each a deterministic transposition of a sampled part name — are
@@ -477,9 +619,10 @@ object Similarity {
     * modality-agnostic keep-list chain (dedup/Dedup.dedupedCorpus:
     * components → min-id keeper → anti-join). Emits the surviving
     * embedding ids (one `vec_id` column — callers needing the keeper
-    * mapping use `keepList` directly). Fit-seeded (k-means) →
-    * rows-only at the driver; DedupSimSpec bounds it against the
-    * exact-pair-fed twin. */
+    * mapping use `keepList` directly). The pinned fit makes the chain
+    * oracle-replayable end-to-end (pair CTEs + recursive-CTE components
+    * + NOT EXISTS anti-join); DedupSimSpec additionally bounds it
+    * against the exact-pair-fed twin. */
   def q98SemanticPrune(spark: SparkSession, dir: String): DataFrame = {
     val kept = graft.dedup.Dedup.dedupedCorpus(
       vectors(spark, dir).select(col("vec_id").as("doc_id")),
@@ -804,7 +947,15 @@ object Similarity {
     "q137_ann_pq" -> q137AnnPq _
   )
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the q55/q79/q98 oracles interpolate the
+    * pinned IVF centroids, which exist only after the corresponding
+    * query has run (Verify dumps oracle SQL after running the board, so
+    * the fit is always present by then; the unfitted fallback strings
+    * are never compared). */
+  def oracle: Map[String, String] = Map(
+    "q55_ann_ivf" -> q55Sql,
+    "q79_embed_neardup_blocked" -> q79Sql,
+    "q98_semantic_prune" -> q98Sql,
     "q35_ann_lsh" -> q35Sql,
     "q149_mmr_rerank" -> q149Sql,
     "q144_label_centroids" -> q144Sql,

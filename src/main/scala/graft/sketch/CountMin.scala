@@ -37,16 +37,23 @@ object CountMin {
     * mod w. Replayable cross-engine, which is what lets the q99 oracle
     * rebuild the identical cell table and estimates; the CMS guarantees
     * only need the d rows to be independent-ish hashes, which seeded
-    * md5 prefixes are. */
-  private def cell(key: Column, d: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(d.cast("string"), lit("|"), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(w))
+    * md5 prefixes are. With `spark.graft.replayableHashes=false`
+    * (graft.HashFamilies) the same cell map runs on codegen'd seeded
+    * xxhash64 — production speed, no oracle replay. The flag must match
+    * between build and estimate (both read the session conf, so it
+    * does within one session). */
+  private def cell(key: Column, d: Column, w: Int, replayable: Boolean): Column =
+    if (replayable)
+      pmod(conv(substring(md5(concat(d.cast("string"), lit("|"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(w))
+    else pmod(xxhash64(d, key), lit(w))
 
   /** Sketch a one-column item stream (multiset — duplicates COUNT). */
   def build(items: DataFrame, w: Int = DefaultW, d: Int = DefaultD): DataFrame = {
     val key = col(items.columns.head)
+    val rep = graft.HashFamilies.replayable(items.sparkSession)
     items.withColumn("_d", explode(sequence(lit(0), lit(d - 1))))
-      .select(col("_d").as("d"), cell(key, col("_d"), w).as("c"))
+      .select(col("_d").as("d"), cell(key, col("_d"), w, rep).as("c"))
       .groupBy(col("d"), col("c")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -60,8 +67,9 @@ object CountMin {
   def estimate(cands: DataFrame, keyCol: String, sketch: DataFrame,
       w: Int = DefaultW, d: Int = DefaultD): DataFrame = {
     val cols = cands.columns.map(col).toSeq
+    val rep = graft.HashFamilies.replayable(cands.sparkSession)
     cands.withColumn("_d", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("_c", cell(col(keyCol), col("_d"), w))
+      .withColumn("_c", cell(col(keyCol), col("_d"), w, rep))
       .join(broadcast(sketch), col("_d") === sketch("d") && col("_c") === sketch("c"), "left")
       .groupBy(cols: _*)
       .agg(min(coalesce(sketch("cnt"), lit(0L))).as("est"))

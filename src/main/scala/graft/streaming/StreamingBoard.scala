@@ -151,7 +151,13 @@ object StreamingBoard {
   def q148GapFillStream(spark: SparkSession, dir: String): DataFrame =
     q148Impl(spark, dir, graft.RunTag.scratchFresh("q148"))
 
-  private[graft] def q148Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+  private[graft] val SentinelUser = 9000001L
+
+  /** Stage q148's input files under `root/in`. `upTo` limits how many of
+    * the four files land (the crash-recovery spec stages 2, interrupts,
+    * then stages the rest); returns the stream schema. */
+  private[graft] def q148Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 4): org.apache.spark.sql.types.StructType = {
     import spark.implicits._
     val in = s"$root/in"; new java.io.File(in).mkdirs()
     val evs = graft.Tables.events(spark, dir)
@@ -161,25 +167,43 @@ object StreamingBoard {
     val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val mid = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
     val far = t1 + 100L * 86400000L
-    val sentinelUser = 9000001L
     def sentinel(id: Long, ms: Long): DataFrame =
-      Seq((id, sentinelUser, "x", new java.sql.Timestamp(ms), 0.0))
+      Seq((id, SentinelUser, "x", new java.sql.Timestamp(ms), 0.0))
         .toDF("event_id", "user_id", "event_type", "ts", "value")
     val base = System.currentTimeMillis()
-    addFile(evs.filter(col("ts") <= mid), in, "00-early.parquet", base - 480000)
-    addFile(evs.filter(col("ts") > mid), in, "01-late.parquet", base - 360000)
-    addFile(sentinel(9000001L, far), in, "02-sent1.parquet", base - 240000)
-    addFile(sentinel(9000002L, far + 1000L), in, "03-sent2.parquet", base - 120000)
-    val stream = spark.readStream.schema(evs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in).as[Ev]
-    drainToParquet(Streaming.gapFillStateful(stream), root)
-      .filter(col("user_id") < sentinelUser)
-      // the sink writes TIMESTAMP (UTC-adjusted); the batch twin's day is
-      // TIMESTAMP_NTZ — same wall clock under the UTC session, re-typed so
-      // the oracle compares like with like
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (evs.filter(col("ts") <= mid), "00-early.parquet", base - 480000),
+      (evs.filter(col("ts") > mid), "01-late.parquet", base - 360000),
+      (sentinel(9000001L, far), "02-sent1.parquet", base - 240000),
+      (sentinel(9000002L, far + 1000L), "03-sent2.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    evs.schema
+  }
+
+  /** The q148 stateful stream over `root/in` (file source, one file per
+    * micro-batch). */
+  private[graft] def q148Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.Dataset[GapFillOut] = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    Streaming.gapFillStateful(stream)
+  }
+
+  /** Sentinel filter + the oracle-facing projection of the materialized
+    * sink. The sink writes TIMESTAMP (UTC-adjusted); the batch twin's day
+    * is TIMESTAMP_NTZ — same wall clock under the UTC session, re-typed
+    * so the oracle compares like with like. */
+  private[graft] def q148Post(sink: DataFrame): DataFrame =
+    sink.filter(col("user_id") < SentinelUser)
       .select(col("user_id"), col("day").cast("timestamp_ntz").as("day"),
         col("value"), col("is_observed"))
       .orderBy(col("user_id"), col("day"))
+
+  private[graft] def q148Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q148Stage(spark, dir, root)
+    q148Post(drainToParquet(q148Query(spark, schema, root), root))
   }
 
   /** Every day closed ⇒ the streamed set equals the batch grid — but the

@@ -32,6 +32,19 @@ class BenchFormatSpec extends AnyFunSuite {
       s"per-query map dropped at ${SparkEntry.queries.size} queries — widen the budget gears")
   }
 
+  test("compact line fits the tail window WITH the five trailing sentinel repeats") {
+    // the default-on sentinel mode appends five "qNN#2" rows to the board
+    val names = SparkEntry.queries.keys.toSeq
+    val sentinels = names.take(5).map(n =>
+      n.takeWhile(_ != '_') + "#2" + n.dropWhile(_ != '_'))
+    val line = Bench.compactLine(fakeTimes(names ++ sentinels), "/root/testdata/sf0.1")
+    assert(line.length < TailBudget,
+      s"compact line with sentinels is ${line.length} chars — exceeds $TailBudget")
+    val j = JsonMethods.parse(line)
+    assert((j \ "queries") != JObject(Nil),
+      s"per-query map dropped at ${names.size + 5} rows — widen the budget gears")
+  }
+
   test("compact line stays inside the budget even at 200 queries (map-drop fallback)") {
     val names = (1 to 200).map(i => f"q$i%03d_some_descriptive_operator_name")
     val line = Bench.compactLine(fakeTimes(names), "/root/testdata/sf0.1")

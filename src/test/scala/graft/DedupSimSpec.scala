@@ -38,6 +38,60 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("hash-family seam: md5 and xxhash64 families verify identical near-dup pair sets") {
+    // spark.graft.replayableHashes=false swaps the MinHash/SimHash/CMS
+    // projections to codegen'd xxhash64 (production speed, no oracle
+    // replay). Candidate sets may differ between families, but exact
+    // verification must converge on the SAME pair set on this corpus —
+    // the seam changes the index, never the answer.
+    def lshPairs(): Set[(Long, Long)] =
+      dedup.Dedup.q31MinhashLsh(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted corpus for the SimHash leg: unambiguous near-copies (2 of
+    // 60 tokens changed) among unrelated docs — real-corpus borderline
+    // pairs (Hamming 4-6) legitimately shift with the bit family since
+    // SimHash has no exact-verification step, but planted signal must
+    // classify identically under both families.
+    import spark.implicits._
+    // 500 distinct tokens, ONE changed: SimHash bit votes have sigma
+    // ~sqrt(500) ~ 22, so a single +-2 vote shift flips ~2 of 64 bits in
+    // expectation — decisively under the <=6 band, while unrelated docs
+    // sit at ~32. (Shorter docs put near-copies at Hamming 8-16: the
+    // vote noise dominates — measured, not guessed.)
+    def mkDoc(n: Int, seed: Int): String =
+      (0 until n).map(i => s"w${seed}word$i").mkString(" ")
+    def nearCopy(s: String): String = {
+      val ws = s.split(" "); ws(111) = "alteredtoken"; ws.mkString(" ")
+    }
+    val base = (0 until 8).map(k => (k.toLong, mkDoc(500, k)))
+    val planted = base ++ Seq((100L, nearCopy(base(0)._2)), (101L, nearCopy(base(3)._2)))
+    val plantedDf = planted.toDF("doc_id", "text")
+    val plantedPairs = Set((0L, 100L), (3L, 101L))
+    def simhashOutcome(): Set[(Long, Long)] = {
+      val h = dedup.Dedup.simhashedOf(plantedDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (for {
+        a <- h.keys; b <- h.keys if a < b
+        if java.lang.Long.bitCount(h(a) ^ h(b)) <= 6
+      } yield (a, b)).toSet
+    }
+    val lshRep = lshPairs(); Caches.drain()
+    val simRep = simhashOutcome()
+    assert(spark.conf.get("spark.graft.replayableHashes", "true") == "true")
+    spark.conf.set("spark.graft.replayableHashes", "false")
+    try {
+      // the LSH chain ends in EXACT Jaccard verification, so the two
+      // families' verified pair sets must be identical outright — even
+      // on the full real corpus
+      val lshFast = lshPairs(); Caches.drain()
+      assert(lshFast == lshRep,
+        s"LSH families diverge: md5-only=${lshRep -- lshFast} xx-only=${lshFast -- lshRep}")
+      val simFast = simhashOutcome()
+      assert(simRep == plantedPairs, s"md5 family classified $simRep")
+      assert(simFast == plantedPairs, s"xxhash64 family classified $simFast")
+    } finally spark.conf.set("spark.graft.replayableHashes", "true")
+  }
+
   test("ANN LSH top-k overlaps the exact cosine top-k") {
     val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
       .map(_.getLong(0)).toSet

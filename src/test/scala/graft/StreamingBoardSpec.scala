@@ -66,6 +66,49 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("q148 crash-recovery: stop mid-stream, restart from the checkpoint, identical final sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    // uninterrupted reference run
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q148ref").toString
+    val want = StreamingBoard.q148Impl(spark, sf, refRoot).collect().map(_.toSeq).toSeq
+    // interrupted run: stage only the two DATA files, start, stop the
+    // query as soon as the first micro-batch commits (recentProgress-
+    // independent: the commits log is the engine's own record), then
+    // stage the sentinel files and RESTART from the same checkpoint —
+    // the recovery path a real deployment exercises weekly. The file
+    // sink's _spark_metadata log must make the interruption invisible.
+    val root = java.nio.file.Files.createTempDirectory("graft_q148recov").toString
+    val schema = StreamingBoard.q148Stage(spark, sf, root, upTo = 2)
+    def start() = StreamingBoard.q148Query(spark, schema, root).writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q1 = start()
+    val commits = new java.io.File(s"$root/ckpt/commits")
+    val deadline = System.currentTimeMillis() + 60000
+    while ((!commits.exists() ||
+        commits.listFiles().count(_.getName.forall(_.isDigit)) < 1) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q1.stop()
+    q1.awaitTermination()
+    val stoppedAt = nBatches(root)
+    assert(stoppedAt >= 1 && stoppedAt <= 2,
+      s"interruption landed after $stoppedAt batches — expected 1-2 (data files only)")
+    // deliver the rest and restart from the same checkpoint
+    StreamingBoard.q148Stage(spark, sf, root, upTo = 4)
+    val q2 = start()
+    q2.awaitTermination()
+    assert(nBatches(root) >= 4, "restart must process the remaining files + sentinels")
+    val got = StreamingBoard.q148Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.toSet === want.toSet,
+      s"recovered sink diverges: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
