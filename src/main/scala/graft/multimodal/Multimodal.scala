@@ -716,13 +716,120 @@ object Multimodal {
       "CAST(count(*) FILTER (WHERE s * nx < 0) AS BIGINT) AS n_zcross, CAST(max(abs(s)) AS BIGINT) AS peak " +
       "FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_idx"
 
+  /** Deterministic MJPEG fixture for q154 — the REAL-codec twin of the
+    * q116 board row (the r9 verdict's remaining observability gap: q116
+    * exercises the scene chain through the stub codec; this row drives
+    * the same chain through [[MjpegVideoCodec]]'s marker-exact walker +
+    * JDK JPEG decode). Three clips of real JPEG frames (JDK ImageIO
+    * encoder — deterministic: fixed quantization tables at the default
+    * quality, no RNG anywhere in baseline JPEG) concatenated into
+    * motion-JPEG streams:
+    *
+    *   - doc 1: three shots (4+3+4 frames) of strong distinct gradients,
+    *   - doc 2: two shots (3+3) — chevron, then reversed ramp,
+    *   - doc 3: a single-frame clip (the one-scene edge case).
+    *
+    * Each frame adds a small deterministic "sensor noise" term varying
+    * by frame index — the bilinear 9×8 downsample averages ~7×6 source
+    * pixels per grid cell, so amplitude-12 noise moves cell means by a
+    * couple of gray levels against gradient slopes of 20+ per cell step:
+    * within-shot frames perturb a few dHash bits (Hamming ≪ 16, no
+    * cut) while shot boundaries swap the whole gradient (Hamming ≫ 16,
+    * cut) — both regimes pinned in MultimodalSpec. The q37 idiom: the
+    * fixture is pure code (sfDir ignored), the oracle is the captured
+    * golden rows, and the spec regenerates end-to-end so any JDK codec
+    * drift would fail the build before it desynced the board. */
+  object MjpegFixture {
+    private val W = 64
+    private val H = 48
+
+    private def jpeg(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          val v = math.max(0, math.min(255, f(x, y)))
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+
+    private def shot(k: Int)(x: Int, y: Int, fr: Int): Int = {
+      // every pattern needs a strong HORIZONTAL gradient — dHash
+      // compares row neighbors, so a purely vertical ramp would leave
+      // the bits noise-dominated and cut on every frame (measured:
+      // within-shot Hamming 30+ for a vertical ramp vs 0-1 for these)
+      val base = k match {
+        case 0 => x * 4                    // left-to-right ramp
+        case 1 => 255 - x * 4              // right-to-left ramp
+        case 2 => (x + y) * 3              // diagonal ramp
+        case 3 => math.abs(x - 2 * y) * 4  // chevron
+        case _ => math.abs(2 * x - 60) * 4 // horizontal V
+      }
+      base + ((x * 7 + y * 13 + fr * 29) % 12)
+    }
+
+    /** doc_id → (shot pattern, frame count) runs. */
+    private val clips: Seq[(Long, Seq[(Int, Int)])] = Seq(
+      1L -> Seq(0 -> 4, 1 -> 3, 2 -> 4),
+      2L -> Seq(3 -> 3, 4 -> 3),
+      3L -> Seq(2 -> 1))
+
+    def records: Seq[MediaRecord] = clips.map { case (id, shots) =>
+      val bytes = shots.flatMap { case (k, n) =>
+        (0 until n).flatMap(fr => jpeg(shot(k)(_, _, fr)).toSeq)
+      }.toArray
+      MediaRecord(id, bytes, "video/x-motion-jpeg")
+    }
+  }
+
+  /** q154: the q116 scene chain through the REAL MJPEG codec over the
+    * deterministic fixture above. Plan shape is q116's (partition-local
+    * lazy decode, one per-doc window, partial-agged rollup) — only the
+    * codec behind the seam changes. */
+  def q154MjpegScenes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoScenesOf(spark.createDataset(MjpegFixture.records), MjpegVideoCodec)
+  }
+
+  /** Golden q154 rows, captured from a verified run of the chain (JDK
+    * JPEG encode+decode is deterministic, so these are stable; the
+    * MultimodalSpec golden test regenerates and compares). Single source
+    * of truth for both the oracle VALUES and the spec assert. */
+  val q154Golden: Seq[(Long, Long, Long, Long, String)] = Seq(
+    (1L, 0L, 0L, 4L, "0000000000000000"),
+    (1L, 1L, 4L, 3L, "ffffffffffffffff"),
+    (1L, 2L, 7L, 4L, "0000000000000000"),
+    (2L, 0L, 0L, 3L, "03001f0fff7ffafe"),
+    (2L, 1L, 3L, 3L, "0f0f0f0f0f0f0f0f"),
+    (3L, 0L, 0L, 1L, "0000000000000000"))
+
+  val q154Sql: String = {
+    val rows = q154Golden.map { case (d, s, f, n, k) =>
+      s"($d, $s, $f, $n, '$k')"
+    }.mkString(", ")
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(scene_idx AS BIGINT) AS scene_idx, " +
+      "CAST(start_frame AS BIGINT) AS start_frame, CAST(scene_frames AS BIGINT) AS scene_frames, " +
+      "keyframe_hash FROM (VALUES " + rows +
+      ") AS t(doc_id, scene_idx, start_frame, scene_frames, keyframe_hash) " +
+      "ORDER BY doc_id, scene_idx"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
     "q67_media_resize" -> ((s, d) => q67MediaResize(s, d)),
     "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d)),
     "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d)),
-    "q116_video_scenes" -> ((s, d) => q116VideoScenes(s, d))
+    "q116_video_scenes" -> ((s, d) => q116VideoScenes(s, d)),
+    "q154_mjpeg_scenes" -> q154MjpegScenes _
   )
 
   val oracle: Map[String, String] = Map(
@@ -731,6 +838,7 @@ object Multimodal {
     "q67_media_resize" -> q67Sql,
     "q83_media_neardup" -> q83Sql,
     "q87_audio_frames" -> q87Sql,
-    "q116_video_scenes" -> q116Sql
+    "q116_video_scenes" -> q116Sql,
+    "q154_mjpeg_scenes" -> q154Sql
   )
 }

@@ -496,6 +496,8 @@ object Similarity {
   // to the ADC scan.
   private val PqShortlist = 256
 
+  @volatile private var lastPqFit: Option[Seq[Seq[Seq[Double]]]] = None
+
   /** q137: product-quantization ANN with exact re-rank (Jégou/Douze/
     * Schmid 2011; the shortlist-then-refine shape production PQ indexes
     * ship): split each L2-normalized embedding into [[PqM]] subvectors,
@@ -525,10 +527,12 @@ object Similarity {
     * again map-side; the shortlist is a TakeOrdered(PqShortlist) whose result
     * BROADCASTS back onto the cached vector table for the exact re-rank
     * — so the full-precision data is read corpus-wide exactly once (to
-    * encode) and the refine join moves 50 rows. Fit-seeded → rows-only
-    * at the driver; DedupSimSpec bounds top-k overlap vs exact q33,
-    * pins that re-ranked scores equal the exact cosine, and pins rerun
-    * determinism. */
+    * encode) and the refine join moves [[PqShortlist]] rows. The pinned
+    * fit makes the chain oracle-replayable: [[q137Sql]] interpolates the
+    * codebooks as literals and replays encode + ADC + shortlist +
+    * re-rank, so the row is hash-checked; DedupSimSpec additionally
+    * bounds top-k overlap vs exact q33, pins that re-ranked scores
+    * equal the exact cosine, and pins rerun determinism. */
   def q137AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val vs = graft.Caches.register(vectors(spark, dir)
       .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
@@ -574,6 +578,7 @@ object Similarity {
       C.map(_.toIndexedSeq).toIndexedSeq
     }
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map(fitCodebook)
+    lastPqFit = Some(codebooks)
     // encode: argmin_c |u_s - c|² ranks by (|c|² - 2·u_s·c) since |u_s|²
     // is row-constant (the q79 cellRank trick)
     def codeCol(s: Int): Column = {
@@ -606,6 +611,45 @@ object Similarity {
         round(dot(col("u"), col("qu")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** DuckDB replay of the q137 PQ chain with the fitted codebooks as
+    * literal double lists (the q55 centroid idiom lifted to M codebooks):
+    * unit-normalize, encode each subvector by struct-sorted argmin
+    * against its literal codebook (the cellRank trick per subspace),
+    * ADC-score by LUT indexing, shortlist top-[[PqShortlist]] by
+    * (rounded ADC, vec_id), exact-cosine re-rank. Every fold order
+    * mirrors the Spark plan (range-indexed list_reduce = vec_dot's
+    * left-to-right accumulation; `+`-chained ADC = the left-assoc
+    * `reduce(_ + _)`), so both engines compare identical IEEE doubles. */
+  def q137Sql: String = lastPqFit match {
+    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q137 oracle needs the fit: run q137_ann_pq first"
+    case Some(cbs) =>
+      def dot8(a: String, b: String): String =
+        s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      def cl(c: Seq[Double]): String = c.map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+      val subDefs = (0 until PqM)
+        .map(s => s"u[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS s$s").mkString(", ")
+      def rank(s: Int): String = cbs(s).zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        s"{'d': $c2 - 2.0 * ${dot8(s"s$s", cl(c))}, 'c': $j}"
+      }.mkString("list_sort([", ", ", s"])[1].c AS c$s")
+      val codeDefs = (0 until PqM).map(rank).mkString(", ")
+      val lutDefs = (0 until PqM)
+        .map(s => cbs(s).map(c => dot8(s"s$s", cl(c))).mkString("[", ", ", s"] AS lut$s"))
+        .mkString(", ")
+      val adc = (0 until PqM).map(s => s"lut$s[c$s + 1]").mkString(" + ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"nn AS (SELECT vec_id, v, ${sqlNorm("v")} AS nrm FROM e), " +
+        "uu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM nn), " +
+        s"su AS (SELECT vec_id, u, $subDefs FROM uu), " +
+        s"co AS (SELECT vec_id, $codeDefs FROM su), " +
+        s"q AS (SELECT u AS qu, $lutDefs FROM su WHERE vec_id = 0), " +
+        s"sh AS (SELECT co.vec_id, round($adc, 6) AS sim_adc FROM co, q " +
+        s"WHERE co.vec_id <> 0 ORDER BY sim_adc DESC, co.vec_id LIMIT $PqShortlist) " +
+        s"SELECT sh.vec_id, sim_adc, round(${sqlDot("uu.u", "qu")}, 6) AS sim " +
+        "FROM sh JOIN uu ON uu.vec_id = sh.vec_id CROSS JOIN q " +
+        "ORDER BY sim DESC, sh.vec_id LIMIT 10"
   }
 
   /** q98: SemDeDup-style semantic corpus prune (public method — Abbas et
@@ -954,6 +998,7 @@ object Similarity {
     * are never compared). */
   def oracle: Map[String, String] = Map(
     "q55_ann_ivf" -> q55Sql,
+    "q137_ann_pq" -> q137Sql,
     "q79_embed_neardup_blocked" -> q79Sql,
     "q98_semantic_prune" -> q98Sql,
     "q35_ann_lsh" -> q35Sql,

@@ -353,4 +353,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scene layout: ${scenes.toSeq}")
     assert(scenes.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 1L)))
   }
+
+  test("q154: golden scene rows regenerate through the real MJPEG decode (board-row twin of the oracle VALUES)") {
+    // end-to-end regeneration: if the JDK JPEG encoder or decoder ever
+    // drifted, this fails BEFORE the driver board desyncs from the
+    // golden oracle
+    val got = Multimodal.q154MjpegScenes(spark, "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got == Multimodal.q154Golden, s"q154 drifted from golden: $got")
+    // the fixture exercises BOTH regimes: held shots (multi-frame
+    // scenes) and shot boundaries (multiple scenes per doc), plus the
+    // single-frame-clip edge
+    assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 2 &&
+      got.count(_._1 == 3L) == 1)
+    assert(got.filter(_._1 == 1L).map(_._4) == Seq(4L, 3L, 4L),
+      "doc 1 scene lengths must match its 4+3+4 shot structure")
+    // and the oracle carries the same rows as literal VALUES
+    Multimodal.q154Golden.foreach { case (_, _, _, _, k) =>
+      assert(Multimodal.q154Sql.contains(s"'$k'"))
+    }
+  }
 }
