@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-decade scale stress: the provably-LINEAR chains at 100×
+  * (500k docs), run manually, results recorded in PERF.md:
+  *
+  *   sbt "runMain graft.ScaleSmoke100 /root/testdata/sf0.1 /tmp/graft_scale100x"
+  *
+  * [[ScaleSmoke]] pushes one decade (10×) with the protective machinery
+  * engaged; one decade is where n·log n drifts HIDE — a log₂ factor
+  * grows only ~1.2× across it, indistinguishable from noise inside a
+  * 25× envelope. Two decades is where they show: a chain that is
+  * secretly n·√n costs 31.6× per decade and escapes any linear
+  * envelope by the second one. So this tool times the chains whose
+  * 100 TB posture rests on "provably linear, one token/window shuffle"
+  * — q80 chunk dedup, q110 dup spans, q117 strip spans, q135 Gopher
+  * gates, q139 balanced oversample — at BOTH 10× and 100× of the same
+  * padded corpus scheme, asserting the second decade's growth ratio
+  * stays inside the same generous envelope as the first, plus one LSH
+  * ingest sweep at 10× the batch size (50k docs/batch: per-batch cost
+  * must stay flat while the store grows to 500k docs).
+  *
+  * The corpus generalizes [[ScaleSmoke.corpus10x]] to n reps with a
+  * ZERO-PADDED rep prefix (`v07token`): fixed-width prefixes keep rep
+  * vocab spaces disjoint at any rep count (single-digit prefixes would
+  * alias rep 2 + digit-led tokens with rep 2x: "v2"+"3abc" = "v23"+
+  * "abc"). Structure: rep 0 originals, rep 1 exact copies (one planted
+  * near-dup pair per base doc), reps 2..n−1 disjoint-vocab novels;
+  * even doc_ids get the shared boilerplate tail, so the hot-shingle
+  * protections see ~n/2·5000 occurrences — 25× past the cap at 100×. */
+object ScaleSmoke100 {
+
+  def corpusNx(base: DataFrame, n: Int): DataFrame = {
+    val reps = base.sparkSession.range(0, n).select(col("id").cast("int").as("rep"))
+    base.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") * n + col("rep")).as("doc_id"),
+        when(col("rep") <= 1, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
+            concat(lit("v"), lpad(col("rep").cast("string"), 2, "0"), lit("$1")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(col("text"), lit(" legal boilerplate terms apply here")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale100x"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-smoke-100x")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = new StringBuilder("{")
+    try {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      val nBase = base.count()
+      // both decades from the SAME padded scheme so the 10×→100× ratio
+      // compares like with like (ScaleSmoke's single-digit 10× corpus
+      // has slightly different shingle statistics)
+      val dir10 = s"$outRoot/p10"
+      val dir100 = s"$outRoot/p100"
+      corpusNx(base, 10).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+      corpusNx(base, 100).repartition(64)
+        .write.mode("overwrite").parquet(s"$dir100/documents.parquet")
+      val n10 = spark.read.parquet(s"$dir10/documents.parquet").count()
+      val n100 = spark.read.parquet(s"$dir100/documents.parquet").count()
+      assert(n10 == 10 * nBase && n100 == 100 * nBase,
+        s"corpus build broken: $n10 / $n100 docs from $nBase base")
+      json.append(s""""n_docs_10x":$n10,"n_docs_100x":$n100,""")
+
+      // one decade of growth inside the same generous envelope the 10×
+      // tool uses: linear lands near 10×, n·√n at ~31.6×, n² at ~100×
+      def decadeEnvelope(what: String, t10: Double, t100: Double): Unit =
+        assert(t100 <= math.max(25.0 * t10, t10 + 120.0),
+          f"$what: $t100%.1f s at 100x vs $t10%.1f s at 10x — superlinear growth across the second decade")
+
+      def decade(what: String, q: (SparkSession, String) => DataFrame)
+          (structure: (Long, Long) => Unit): Unit = {
+        val t0a = System.nanoTime()
+        val c10 = q(spark, dir10).count()
+        val t10 = (System.nanoTime() - t0a) / 1e9
+        json.append(f""""${what}_10x":$t10%.2f,""")
+        System.err.println(f"[scale-100x] ${what}_10x: $t10%.2f s")
+        Caches.drain()
+        val t0 = System.nanoTime()
+        val c100 = q(spark, dir100).count()
+        val t100 = (System.nanoTime() - t0) / 1e9
+        json.append(f""""${what}_100x":$t100%.2f,""")
+        json.append(s""""${what}_rows_10x":$c10,"${what}_rows_100x":$c100,""")
+        System.err.println(f"[scale-100x] ${what}_100x: $t100%.2f s ($c10 -> $c100 rows)")
+        structure(c10, c100)
+        decadeEnvelope(what, t10, t100)
+        Caches.drain()
+      }
+
+      // q80 chunk dedup: one row per doc at any scale; the keep-list
+      // actually engages (rep-1 exact copies lose their chunks)
+      decade("q80_chunk_dedup", dedup.Dedup.q80ChunkDedup) { (c10, c100) =>
+        assert(c10 == n10 && c100 == n100,
+          s"q80 must emit one row per doc: $c10/$n10, $c100/$n100")
+      }
+      // q110 dup spans: rep0/rep1 planted duplicates guarantee spans at
+      // every scale; window-hash COUNT + interval merge keeps output
+      // linear in the planted structure (not candidate-pair quadratic)
+      decade("q110_dup_spans", dedup.Dedup.q110DupSpans) { (c10, c100) =>
+        assert(c100 >= nBase,
+          s"q110: planted rep0/rep1 duplicate spans missing at 100x ($c100 < $nBase)")
+        assert(c100 <= 25L * c10,
+          s"q110: span rows blew up $c10 -> $c100 across one decade")
+      }
+      // q117 strip spans: exactly one row per doc
+      decade("q117_strip_spans", dedup.Dedup.q117StripSpans) { (c10, c100) =>
+        assert(c10 == n10 && c100 == n100,
+          s"q117 must emit one row per doc: $c10/$n10, $c100/$n100")
+      }
+      // q135 Gopher gates: one profile row per doc with words
+      decade("q135_gopher_rules", text.TextAnalysis.q135GopherRules) { (c10, c100) =>
+        assert(c100 >= 99L * c10 / 10L && c100 <= 11L * c10,
+          s"q135: profile rows $c10 -> $c100 not ~10x across the decade")
+      }
+      // q139 balanced oversample: per-lang targets scale with the max
+      // class, so output rows scale ~linearly in corpus size
+      decade("q139_balanced_oversample", ops.DataPrep.q139BalancedOversample) { (c10, c100) =>
+        assert(c100 >= 5L * c10 && c100 <= 25L * c10,
+          s"q139: oversampled rows $c10 -> $c100 not ~10x across the decade")
+      }
+
+      // ---- LSH ingest at 10× the batch size: 10 batches of 50k docs;
+      // the last batch verifies against a 450k-doc store and must stay
+      // in the steady band (collisions, not store size, drive the work)
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+      val ingestRoot = s"$outRoot/ingest"
+      val fs = new org.apache.hadoop.fs.Path(ingestRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ingestRoot), true)
+      val batchTimes = (0 until 10).map { b =>
+        // batch b = reps [10b, 10b+10): 50k docs each; batch 0 holds
+        // the originals + exact copies, later batches are novel vocab
+        val batchDocs = docs100
+          .where(pmod(col("doc_id"), lit(100)).between(10 * b, 10 * b + 9))
+          .select(col("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        dedup.Dedup.lshIngestBatch(spark, batchDocs, b.toLong,
+          s"$ingestRoot/sigs", s"$ingestRoot/bands", s"$ingestRoot/novel")
+        (System.nanoTime() - t0) / 1e9
+      }
+      json.append(s""""lsh_ingest_batches_50k":[${batchTimes.map(t => f"$t%.2f").mkString(",")}],""")
+      System.err.println(s"[scale-100x] lsh ingest per-batch (50k docs): ${batchTimes.map(t => f"$t%.2f").mkString(", ")} s")
+      val mid = batchTimes.slice(2, 9).sorted.apply(3)
+      assert(batchTimes.last <= math.max(2.5 * mid, mid + 10.0),
+        f"last ingest batch ${batchTimes.last}%.2f s vs steady $mid%.2f s — per-batch cost grows with a 9x-larger store")
+      // batch 0 carries the rep-1 near-copies (~5k of its 50k: rep 1 =
+      // rep 0's text minus the boilerplate tail, J ≈ 0.9): the
+      // within-batch dedup must drop that sliver and no more; later
+      // novel-vocab batches publish nearly everything
+      def novelOf(b: Int): Long =
+        spark.read.parquet(s"$ingestRoot/novel/batch=$b").count()
+      val nv0 = novelOf(0)
+      assert(nv0 < 46500L,
+        s"batch 0 published $nv0 of 50000 — the ~5k rep-1 near-copies were not deduped within the batch")
+      assert(nv0 > 40000L,
+        s"batch 0 published only $nv0 of 50000 — over-dropping beyond the planted near-copies")
+      assert(novelOf(7) > 45000L,
+        s"batch 7 published only ${novelOf(7)} of its 50000 novel docs")
+
+      json.setLength(json.length - 1)
+      json.append("}")
+      println(json.toString)
+      System.err.println("[scale-100x] ALL ASSERTIONS PASSED")
+    } finally spark.stop()
+  }
+}

@@ -70,7 +70,15 @@ object TimeSeries {
     * over one shuffle on user_id; the streaming twin is
     * session_window/flatMapGroupsWithState. Gap comparison is done in
     * integral microseconds so both engines decide sessions identically. */
-  def q23Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q23Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionsOf(spark, dir).orderBy(col("user_id"), col("session_id"))
+
+  /** The q23 session table UNSORTED (user_id, session_id, n_events,
+    * session_start, session_end, session_value) — shared by q23 (which
+    * adds the board sort) and q155's interval join, mirroring the
+    * sessionCtes sharing on the oracle side so "session" can never
+    * diverge between them. */
+  def sessionsOf(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(spark, dir)
@@ -84,7 +92,6 @@ object TimeSeries {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         round(sum(col("value")), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** The q23 gap-sessionization as shared DuckDB CTEs (g → s), reused by
@@ -172,6 +179,74 @@ object TimeSeries {
       "SELECT day, CAST(max(run + carry) AS BIGINT) AS peak_concurrency, " +
       "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions_started " +
       "FROM run JOIN carry USING (day) GROUP BY day ORDER BY day"
+
+  private val OverlapBinUs = 3600000000L  // 1-hour time bins
+  private val IncidentHalfUs = 600000000L // incident window: ±10 min
+
+  /** Bin-bucketed interval-overlap join core — every overlapping
+    * (a, b) pair EXACTLY once, no distinct, no theta join. Inputs
+    * carry closed micro-second intervals as (s_a, e_a) / (s_b, e_b)
+    * columns (non-negative epochs — integral `div` binning floors
+    * toward zero); overlap means s_a <= e_b AND s_b <= e_a.
+    *
+    * The naive plan for a pure interval predicate is a quadratic
+    * BroadcastNestedLoop at ANY scale. The scale path discretizes time
+    * into `binUs` bins, explodes each interval to the bins it covers,
+    * equi-joins on the bin, and keeps a pair only in the bin containing
+    * greatest(s_a, s_b) — both intervals cover that bin whenever they
+    * overlap, and only one bin is the greatest-start bin, so the bin
+    * join emits each pair exactly once with no dedup shuffle. This is
+    * the LSH-bucket shape on the time axis: the bin is the partition
+    * key at 100 TB, candidate work is bin-local, and bin width tunes
+    * explode fan-out (len/binUs + 1 rows per interval) against bucket
+    * occupancy exactly like band width does for MinHash. */
+  def intervalOverlapPairs(a: DataFrame, b: DataFrame,
+      binUs: Long = OverlapBinUs): DataFrame = {
+    val aB = a.withColumn("bin",
+      explode(sequence(expr(s"s_a div $binUs"), expr(s"e_a div $binUs"))))
+    val bB = b.withColumn("bin",
+      explode(sequence(expr(s"s_b div $binUs"), expr(s"e_b div $binUs"))))
+    aB.join(bB, "bin")
+      .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        col("bin") === expr(s"greatest(s_a, s_b) div $binUs"))
+      .drop("bin")
+  }
+
+  /** q155: PURE interval-overlap join — no equi key anywhere: which
+    * q23 user sessions overlap which GLOBAL incident windows (±10 min
+    * around a deterministic 1-in-17 subset of error events). Rides
+    * [[intervalOverlapPairs]]; the oracle deliberately runs the
+    * straightforward quadratic theta join instead of replaying the
+    * bins, so the hash check proves the bucketed plan is SEMANTICALLY
+    * the theta join, not just self-consistent. Micros end-to-end. */
+  def q155IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionsOf(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start").cast("timestamp")).as("s_a"),
+        unix_micros(col("session_end").cast("timestamp")).as("e_a"))
+    val inc = events(spark, dir)
+      .where(col("event_type") === "error" && pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id").as("incident_id"),
+        (unix_micros(col("ts").cast("timestamp")) - IncidentHalfUs).as("s_b"),
+        (unix_micros(col("ts").cast("timestamp")) + IncidentHalfUs).as("e_b"))
+    intervalOverlapPairs(sess, inc)
+      .select(col("user_id"), col("session_id"), col("incident_id"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start_us"),
+        least(col("e_a"), col("e_b")).as("overlap_end_us"))
+      .orderBy(col("user_id"), col("session_id"), col("incident_id"))
+  }
+
+  val q155Sql: String =
+    sessionCtes + ", " +
+      "ss AS (SELECT user_id, session_id, epoch_us(min(ts)) AS s_a, epoch_us(max(ts)) AS e_a " +
+      "FROM s GROUP BY user_id, session_id), " +
+      s"inc AS (SELECT event_id AS incident_id, epoch_us(ts) - $IncidentHalfUs AS s_b, " +
+      s"epoch_us(ts) + $IncidentHalfUs AS e_b FROM events " +
+      "WHERE event_type = 'error' AND event_id % 17 = 0) " +
+      "SELECT user_id, session_id, incident_id, greatest(s_a, s_b) AS overlap_start_us, " +
+      "least(e_a, e_b) AS overlap_end_us " +
+      "FROM ss JOIN inc ON s_a <= e_b AND s_b <= e_a " +
+      "ORDER BY user_id, session_id, incident_id"
 
   /** JSON path extraction (§2A-4 generalized): schema-on-read over the
     * props column, pushed through a grouped aggregation. */
@@ -876,6 +951,7 @@ object TimeSeries {
     "q22_hourly_stats" -> q22HourlyStats _,
     "q23_sessionize" -> q23Sessionize _,
     "q141_concurrency_peak" -> q141ConcurrencyPeak _,
+    "q155_interval_join" -> q155IntervalJoin _,
     "q24_json_extract" -> q24JsonExtract _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
@@ -898,6 +974,7 @@ object TimeSeries {
     "q22_hourly_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
     "q141_concurrency_peak" -> q141Sql,
+    "q155_interval_join" -> q155Sql,
     "q24_json_extract" -> q24Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,

@@ -340,4 +340,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       "q151 plan degraded to a CartesianProduct")
   }
+
+  test("q155: interval-overlap join is an equi HASH join on bin, never a nested loop") {
+    val p = plan("q155_interval_join").toString
+    // the whole point of the bin bucketing is that the interval
+    // predicate rides an equi key — a BNLJ/CartesianProduct here means
+    // the theta join came back and the plan is quadratic at scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q155 degraded to a nested-loop/cartesian join: ${p.take(400)}")
+    assert(p.contains("HashJoin [bin") || p.contains("HashJoin[bin") ||
+      p.contains("SortMergeJoin [bin"),
+      s"q155 join does not key on bin: ${p.take(400)}")
+  }
 }

@@ -334,4 +334,51 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q155: bin-bucketed interval join == naive theta join on crafted edge cases and the real corpus") {
+    import spark.implicits._
+    // crafted: multi-bin spans, exact-touch boundaries (closed
+    // intervals: s_a == e_b IS an overlap), nesting, disjoint gaps,
+    // and an interval far longer than the bin width
+    val W = 100L
+    val a = Seq(
+      (1L, 0L, 99L),     // inside one bin
+      (2L, 95L, 105L),   // straddles a bin boundary
+      (3L, 0L, 1000L),   // spans 11 bins
+      (4L, 300L, 300L),  // zero-length
+      (5L, 500L, 520L)).toDF("a_id", "s_a", "e_a")
+    val b = Seq(
+      (10L, 99L, 99L),   // touches a1's end exactly
+      (11L, 100L, 200L), // overlaps a2 and a3, not a1 (closed: 99 < 100)
+      (12L, 250L, 350L), // covers a4, inside a3
+      (13L, 2000L, 2100L)).toDF("b_id", "s_b", "e_b") // disjoint
+    val got = ops.TimeSeries.intervalOverlapPairs(a, b, binUs = W)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val naive = a.crossJoin(b)
+      .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive, s"bin join diverged from theta join: $got vs $naive")
+    assert(got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (3L, 11L), (3L, 12L), (4L, 12L)),
+      s"crafted overlap set wrong: $got")
+    // each pair exactly once — the greatest-start-bin trick must not
+    // duplicate the 11-bin-span pairs
+    assert(got.distinct == got)
+
+    // real corpus: the board query equals its own quadratic twin
+    val board = ops.TimeSeries.q155IntervalJoin(spark, dir).collect()
+    assert(board.length > 0, "no session/incident overlaps at sf0.01")
+    val sess = ops.TimeSeries.sessionsOf(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start").cast("timestamp")).as("s_a"),
+        unix_micros(col("session_end").cast("timestamp")).as("e_a"))
+    val inc = graft.Tables.events(spark, dir)
+      .where(col("event_type") === "error" && pmod(col("event_id"), lit(17)) === 0)
+      .select(col("event_id").as("incident_id"),
+        (unix_micros(col("ts").cast("timestamp")) - 600000000L).as("s_b"),
+        (unix_micros(col("ts").cast("timestamp")) + 600000000L).as("e_b"))
+    val nNaive = sess.crossJoin(inc)
+      .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a")).count()
+    assert(board.length.toLong == nNaive,
+      s"board bin join found ${board.length} pairs, theta join $nNaive")
+  }
 }
