@@ -332,7 +332,14 @@ object TextAnalysis {
     * the 6-decimal round absorbs summation-order and libm-vs-Java ln ulp
     * differences (q54 policy). If the vocab ever outgrew broadcast, the
     * join key is `term` — the same shuffle q54's df join already takes. */
-  def q84UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def q84UnigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramScoresOf(spark, dir).orderBy(col("doc_id"))
+
+  /** The q84 score table UNSORTED (doc_id, n_tokens, cross_entropy) —
+    * shared by q84 (which adds the board sort) and q156's CCNet split,
+    * mirroring the oracle-side CTE sharing so "score" can never diverge
+    * between them. */
+  def unigramScoresOf(spark: SparkSession, dir: String): DataFrame = {
     val toks = documents(spark, dir).select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
     // cached: corpus counts derive FROM tf (cf = Σ tf per term), so the
@@ -349,17 +356,57 @@ object TextAnalysis {
         round(-sum(col("tf").cast("double") *
             log((col("cf") + 1).cast("double") / (col("n_corpus") + col("vocab")).cast("double"))) /
           sum(col("tf")), 6).as("cross_entropy"))
-      .orderBy(col("doc_id"))
   }
 
-  val q84Sql: String =
+  /** The q84 per-doc score as shared DuckDB CTEs (ends at `sc`), reused
+    * by q156 so the two can never diverge on what the score is. */
+  private val unigramScoreCtes: String =
     "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
       "cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1), " +
-      "tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus, count(*) AS vocab FROM cf) " +
-      "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+      "tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_corpus, count(*) AS vocab FROM cf), " +
+      "sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
       "round(-sum(tf * ln(CAST(cf + 1 AS DOUBLE) / (n_corpus + vocab))) / sum(tf), 6) AS cross_entropy " +
-      "FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"
+      "FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY doc_id)"
+
+  val q84Sql: String =
+    unigramScoreCtes + " SELECT doc_id, n_tokens, cross_entropy FROM sc ORDER BY doc_id"
+
+  /** q156: CCNet-style perplexity split (Wenzek et al. 2020 — the
+    * curation stage the public Common-Crawl pipelines ship): rank each
+    * document by its LM score WITHIN ITS LANGUAGE and cut every
+    * language's distribution into terciles — `head` (lowest cross
+    * entropy = most natural), `middle`, `tail`. Per-language ranking is
+    * the point: absolute LM scores are not comparable across languages
+    * (different vocab sizes and token statistics), so a global cut
+    * would keep only the dominant language's head.
+    *
+    * Scale shape: the score table is q84's single tf shuffle; the split
+    * adds ONE window per language (partition-bounded — |lang| keys) and
+    * a broadcast-sized join on doc_id. ntile is an exact integer rank
+    * function over a total order (round-6 score, doc_id tiebreak), so
+    * both engines assign identical buckets — no percentile
+    * interpolation anywhere (the q123 median-ulp trap never arises). */
+  def q156CcnetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = unigramScoresOf(spark, dir).select(col("doc_id"), col("cross_entropy"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cross_entropy"), col("doc_id"))
+    documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(sc, "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("cross_entropy"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q156Sql: String =
+    unigramScoreCtes + ", " +
+      "j AS (SELECT d.doc_id, d.lang, sc.cross_entropy FROM documents d JOIN sc ON d.doc_id = sc.doc_id) " +
+      "SELECT doc_id, lang, cross_entropy, " +
+      "CASE ntile(3) OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) " +
+      "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS split " +
+      "FROM j ORDER BY doc_id"
 
   /** q101: BM25 top-k lexical retrieval (Robertson/Spärck Jones; the
     * Okapi formula every search engine ships) — the missing lexical
@@ -1107,6 +1154,7 @@ object TextAnalysis {
     "q136_bigram_lm" -> q136BigramLm _,
     "q134_dsir_sample" -> q134DsirSample _,
     "q135_gopher_rules" -> q135GopherRules _,
+    "q156_ccnet_split" -> q156CcnetSplit _,
     "q131_token_entropy" -> q131TokenEntropy _,
     "q132_bpe_vocab" -> q132BpeVocab _,
     "q133_bpe_encode" -> q133BpeEncode _,
@@ -1129,6 +1177,7 @@ object TextAnalysis {
     "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,
     "q135_gopher_rules" -> q135Sql,
+    "q156_ccnet_split" -> q156Sql,
     "q153_zipf_profile" -> q153Sql,
     "q131_token_entropy" -> q131Sql,
     "q132_bpe_vocab" -> q132Sql,

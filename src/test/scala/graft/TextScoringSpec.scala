@@ -381,4 +381,26 @@ class TextScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v = math.sqrt(r.getDouble(0) / (n * math.min(rt.size - 1, ct.size - 1)))
     assert(math.abs(r.getDouble(3) - v) < 1e-5)
   }
+
+  test("q156 CCNet split: per-language terciles balanced, ordered, and covering every scored doc") {
+    val rows = text.TextAnalysis.q156CcnetSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // every scored doc (docs with >= 1 token) is assigned exactly once
+    val nScored = text.TextAnalysis.q84UnigramLm(spark, dir).count()
+    assert(rows.length.toLong == nScored, s"${rows.length} split rows vs $nScored scored docs")
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      // ntile balance: bucket sizes within a language differ by <= 1
+      val sizes = order.keys.map(s => rs.count(_._4 == s)).toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // the split respects the score order: every head score <= every
+      // middle score <= every tail score WITHIN the language (ties at
+      // a boundary keep the doc_id order, so <= not <)
+      val byBucket = rs.groupBy(r => order(r._4)).view.mapValues(_.map(_._3)).toMap
+      for (b <- 0 to 1 if byBucket.contains(b) && byBucket.contains(b + 1))
+        assert(byBucket(b).max <= byBucket(b + 1).min + 1e-12,
+          s"$lang bucket $b max ${byBucket(b).max} > bucket ${b + 1} min ${byBucket(b + 1).min}")
+    }
+  }
 }
