@@ -85,4 +85,32 @@ class ScalePrimitivesPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(est >= truth(k), s"under-estimate for '$k': $est < ${truth(k)}")
     }
   }
+
+  test("intervalOverlapPairs equals the naive theta join on random interval sets at random bin widths") {
+    import spark.implicits._
+    // closed intervals with adversarial shapes: zero-length points,
+    // spans many times the bin width, shared endpoints; bin widths from
+    // 1 (every pair via its own greatest-start bin) to far beyond the
+    // time range (everything in bin 0)
+    val iv = for {
+      s <- Gen.chooseNum(0L, 500L)
+      len <- Gen.frequency(3 -> Gen.const(0L), 5 -> Gen.chooseNum(1L, 40L), 2 -> Gen.chooseNum(41L, 400L))
+    } yield (s, s + len)
+    for ((binUs, seed) <- Seq(1L -> 1L, 7L -> 2L, 64L -> 3L, 100L -> 4L, 10000L -> 5L)) {
+      val as = Gen.listOfN(60, iv).apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val bs = Gen.listOfN(60, iv).apply(Gen.Parameters.default, Seed(seed + 100)).get
+        .zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+      val a = as.toDF("a_id", "s_a", "e_a")
+      val b = bs.toDF("b_id", "s_b", "e_b")
+      val got = ops.TimeSeries.intervalOverlapPairs(a, b, binUs)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      val naive = (for {
+        (ai, sa, ea) <- as; (bi, sb, eb) <- bs
+        if sa <= eb && sb <= ea
+      } yield (ai, bi)).sorted
+      assert(got == naive, s"binUs=$binUs: ${got.size} vs ${naive.size} pairs")
+      assert(got.distinct == got, s"binUs=$binUs produced duplicate pairs")
+    }
+  }
 }
