@@ -425,6 +425,43 @@ object TimeSeries {
       "FROM d a LEFT JOIN d b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY " +
       "GROUP BY a.day ORDER BY a.day"
 
+  /** q157: q90's retention computed by EXACT BITMAP SET ALGEBRA — the
+    * ClickHouse/Druid bitmap-cube pattern (q108's roaring-style blocks
+    * upgraded from counting to set operations): per (day, user-block)
+    * the active-user set is a 64-bit mask built by `bit_or`, day-over-
+    * day retained users are popcount(bits_d AND bits_d+1) summed over
+    * shared blocks. Output is bit-identical to q90 (same activity set,
+    * same left-join semantics via the null-absorbing AND, same
+    * count/count division), so q90's SQL is the oracle VERBATIM — the
+    * q125/q113 "same answer by theorem" precedent.
+    *
+    * Why it scales past q90's plan: the user-level distinct and the
+    * user-level self-join disappear — duplicate (user, day) events are
+    * absorbed by `bit_or` IN THE PARTIAL AGGREGATE (a|a = a, no
+    * distinct pre-shuffle), and the join moves |users|/64 block rows
+    * instead of |users| user rows. At 100 TB the block table is the
+    * materializable cube: any day-pair/range intersection or union is
+    * block-local set algebra over it, never a re-scan of events. */
+  def q157BitmapRetention(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = graft.Caches.register(events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        (col("user_id") / 64).cast("long").as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("mask"))
+      .groupBy(col("day"), col("block"))
+      .agg(bit_or(col("mask")).as("bits"))
+      .cache())
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") &&
+          col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"), "left")
+      .groupBy(col("a.day"))
+      .agg(sum(bit_count(col("a.bits"))).cast("long").as("n_active"),
+        sum(bit_count(coalesce(col("a.bits").bitwiseAND(col("b.bits")), lit(0L))))
+          .cast("long").as("n_retained"))
+      .withColumn("retention",
+        col("n_retained").cast("double") / col("n_active").cast("double"))
+      .orderBy(col("day"))
+  }
+
   /** Point-in-time (feature-store) join: each order picks up the SCD2
     * attribute (q89's event_type history, keyed o_custkey = user_id)
     * that was in effect AT the order date — never a later version (no
@@ -952,6 +989,7 @@ object TimeSeries {
     "q23_sessionize" -> q23Sessionize _,
     "q141_concurrency_peak" -> q141ConcurrencyPeak _,
     "q155_interval_join" -> q155IntervalJoin _,
+    "q157_bitmap_retention" -> q157BitmapRetention _,
     "q24_json_extract" -> q24JsonExtract _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
@@ -975,6 +1013,9 @@ object TimeSeries {
     "q23_sessionize" -> q23Sql,
     "q141_concurrency_peak" -> q141Sql,
     "q155_interval_join" -> q155Sql,
+    // bitmap set algebra reproduces q90's retention exactly (see the
+    // q157 scaladoc) — q90's SQL is the oracle verbatim
+    "q157_bitmap_retention" -> q90Sql,
     "q24_json_extract" -> q24Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,

@@ -381,4 +381,15 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(board.length.toLong == nNaive,
       s"board bin join found ${board.length} pairs, theta join $nNaive")
   }
+
+  test("q157: bitmap set-algebra retention equals q90's join-form row for row") {
+    val fmt = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val viaJoin = ops.TimeSeries.q90Retention(spark, dir).collect().map(fmt).toSeq
+    val viaBitmap = ops.TimeSeries.q157BitmapRetention(spark, dir).collect().map(fmt).toSeq
+    assert(viaBitmap == viaJoin,
+      s"bitmap retention diverged from the join form: ${viaBitmap.take(3)} vs ${viaJoin.take(3)}")
+    assert(viaBitmap.nonEmpty && viaBitmap.exists(_._3 > 0),
+      "corpus should retain at least one user somewhere")
+  }
 }
