@@ -442,13 +442,24 @@ object TimeSeries {
     * instead of |users| user rows. At 100 TB the block table is the
     * materializable cube: any day-pair/range intersection or union is
     * block-local set algebra over it, never a re-scan of events. */
-  def q157BitmapRetention(spark: SparkSession, dir: String): DataFrame = {
-    val blocks = graft.Caches.register(events(spark, dir)
-      .select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+  /** (day, block, mask) projection of an events frame — the map-side
+    * half of the bitmap cube, shared by q157, the incremental ingest
+    * and q158. */
+  def bitmapBlocksOf(ev: DataFrame): DataFrame =
+    ev.select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
         (col("user_id") / 64).cast("long").as("block"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("mask"))
       .groupBy(col("day"), col("block"))
       .agg(bit_or(col("mask")).as("bits"))
+
+  /** Retention from a (day, block, bits) cube — q157/q158's shared
+    * tail. Input may carry the same (day, block) more than once
+    * (append-only ingest segments): the leading bit_or merge folds
+    * them, and is a no-op on already-merged cubes. */
+  def retentionFromBlocks(cube: DataFrame): DataFrame = {
+    val blocks = graft.Caches.register(cube
+      .groupBy(col("day"), col("block"))
+      .agg(bit_or(col("bits")).as("bits"))
       .cache())
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") &&
@@ -460,6 +471,38 @@ object TimeSeries {
       .withColumn("retention",
         col("n_retained").cast("double") / col("n_active").cast("double"))
       .orderBy(col("day"))
+  }
+
+  def q157BitmapRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionFromBlocks(bitmapBlocksOf(events(spark, dir)))
+
+  /** Incremental bitmap-cube maintenance: append a batch's (day, block,
+    * bits) segment to an append-only store; readers merge segments with
+    * bit_or. Because OR is idempotent AND commutative (a|a = a), a
+    * replayed, duplicated or reordered segment can never corrupt the
+    * cube — the crash-safety property the Bloom/LSH ingests need
+    * `replayedStep` commit markers for falls out of the algebra here.
+    * Per-batch cost is one partial-agged shuffle of the BATCH only;
+    * the store is never read on the write path. */
+  def bitmapCubeIngest(batch: DataFrame, storePath: String): Unit =
+    bitmapBlocksOf(batch).write.mode("append").parquet(storePath)
+
+  def bitmapCubeRetention(spark: SparkSession, storePath: String): DataFrame =
+    retentionFromBlocks(
+      spark.read.parquet(storePath).select(col("day"), col("block"), col("bits")))
+
+  /** q158: the q157 cube maintained INCREMENTALLY — events arrive as
+    * three deterministic batches (pmod(event_id, 3)), each appended as
+    * its own segment, and retention is computed FROM THE STORE. The
+    * result must equal the full-corpus q90 (oracle = q90's SQL
+    * verbatim), proving segment-merge exactness end-to-end; the spec
+    * additionally pins batch-order invariance. */
+  def q158BitmapIngest(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.RunTag.scratchFresh("bitmap_cube")
+    val ev = events(spark, dir)
+    (0 until 3).foreach(b =>
+      bitmapCubeIngest(ev.where(pmod(col("event_id"), lit(3)) === b), store))
+    bitmapCubeRetention(spark, store)
   }
 
   /** Point-in-time (feature-store) join: each order picks up the SCD2
@@ -990,6 +1033,7 @@ object TimeSeries {
     "q141_concurrency_peak" -> q141ConcurrencyPeak _,
     "q155_interval_join" -> q155IntervalJoin _,
     "q157_bitmap_retention" -> q157BitmapRetention _,
+    "q158_bitmap_ingest" -> q158BitmapIngest _,
     "q24_json_extract" -> q24JsonExtract _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
@@ -1014,8 +1058,10 @@ object TimeSeries {
     "q141_concurrency_peak" -> q141Sql,
     "q155_interval_join" -> q155Sql,
     // bitmap set algebra reproduces q90's retention exactly (see the
-    // q157 scaladoc) — q90's SQL is the oracle verbatim
+    // q157 scaladoc) — q90's SQL is the oracle verbatim; q158 computes
+    // the same answer from the incrementally-ingested segment store
     "q157_bitmap_retention" -> q90Sql,
+    "q158_bitmap_ingest" -> q90Sql,
     "q24_json_extract" -> q24Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,

@@ -392,4 +392,23 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBitmap.nonEmpty && viaBitmap.exists(_._3 > 0),
       "corpus should retain at least one user somewhere")
   }
+
+  test("q158: incremental cube ingest is batch-order invariant and equals the one-shot cube") {
+    val fmt = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val oneShot = ops.TimeSeries.q157BitmapRetention(spark, dir).collect().map(fmt).toSeq
+    val ev = graft.Tables.events(spark, dir)
+    def ingested(order: Seq[Int]): Seq[(java.time.LocalDateTime, Long, Long, Double)] = {
+      val store = graft.RunTag.scratchFresh("bitmap_cube_spec")
+      order.foreach(b => ops.TimeSeries.bitmapCubeIngest(
+        ev.where(pmod(col("event_id"), lit(3)) === b), store))
+      ops.TimeSeries.bitmapCubeRetention(spark, store).collect().map(fmt).toSeq
+    }
+    assert(ingested(Seq(0, 1, 2)) == oneShot,
+      "segment-merged cube diverged from the one-shot cube")
+    // OR's commutativity makes the store order-invariant — including a
+    // duplicated (replayed) segment
+    assert(ingested(Seq(2, 0, 1, 0)) == oneShot,
+      "reordered/replayed segments changed the cube")
+  }
 }
