@@ -175,6 +175,41 @@ object ScaleSmoke100 {
       assert(novelOf(7) > 45000L,
         s"batch 7 published only ${novelOf(7)} of its 50000 novel docs")
 
+      // ---- bitmap cube at 10× users: ten disjoint user-space copies
+      // (user_id + rep·OFF) make exactness ASSERTABLE — per-day active
+      // and retained counts must be EXACTLY 10×, and the retention rate
+      // bit-equal (10·nr/10·na and nr/na are correctly-rounded
+      // divisions of the same rational). Block count grows with
+      // |users|/64, which is the cube's scale claim.
+      val UOFF = 1000000L
+      val ev1 = graft.Tables.events(spark, baseDir)
+      val evReps = spark.range(0, 10).select(col("id").as("rep"))
+      val ev10 = ev1.crossJoin(broadcast(evReps))
+        .withColumn("user_id", col("user_id") + col("rep") * UOFF)
+        .withColumn("event_id", col("event_id") * 10 + col("rep"))
+        .drop("rep")
+      def retMap(ev: DataFrame) = ops.TimeSeries
+        .retentionFromBlocks(ops.TimeSeries.bitmapBlocksOf(ev)).collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val t0r = System.nanoTime()
+      val r1 = retMap(ev1)
+      val tR1 = (System.nanoTime() - t0r) / 1e9
+      Caches.drain()
+      val t1r = System.nanoTime()
+      val r10 = retMap(ev10)
+      val tR10 = (System.nanoTime() - t1r) / 1e9
+      json.append(f""""bitmap_retention_1x":$tR1%.2f,"bitmap_retention_10x":$tR10%.2f,""")
+      System.err.println(f"[scale-100x] bitmap retention: $tR1%.2f s (1x) -> $tR10%.2f s (10x users)")
+      assert(r10.keySet == r1.keySet, "10x user copies changed the day set")
+      r1.foreach { case (day, (na, nr, rate)) =>
+        val (na10, nr10, rate10) = r10(day)
+        assert(na10 == 10 * na && nr10 == 10 * nr,
+          s"$day: bitmap counts $na10/$nr10 at 10x != 10 * $na/$nr — disjoint copies must scale exactly")
+        assert(rate10 == rate, s"$day: retention rate drifted $rate10 vs $rate")
+      }
+      decadeEnvelope("bitmap_retention", tR1, tR10)
+      Caches.drain()
+
       json.setLength(json.length - 1)
       json.append("}")
       println(json.toString)
