@@ -44,14 +44,32 @@ object ScaleSmoke {
     * 5-token boilerplate tail: its three interior shingles land in
     * ~25k docs — far beyond the 10k cap — while junction shingles stay
     * rare. Deterministic: pure column arithmetic on (doc_id, rep). */
-  def corpus10x(base: DataFrame): DataFrame = {
-    val reps = base.sparkSession.range(0, 10).select(col("id").cast("int").as("rep"))
+  def corpus10x(base: DataFrame): DataFrame = corpusNx(base, 10, padWidth = 1)
+
+  /** The variant-corpus builder generalized to n reps — ONE copy of the
+    * scheme shared by the 10× and 100× tools so their corpus statistics
+    * cannot drift apart. `padWidth` fixes the rep-prefix width
+    * (`lpad(rep, padWidth, "0")`): fixed-width prefixes keep rep vocab
+    * spaces disjoint at any rep count, and width 1 reproduces the
+    * original 10× corpus byte-for-byte (lpad of a single digit to width
+    * 1 is the identity). Preconditions are enforced, not assumed: reps
+    * must fit the prefix width (a truncated 3-digit rep would silently
+    * alias two vocab spaces), and n must be even (the boilerplate tail
+    * attaches by doc_id parity = rep parity, which is what plants the
+    * rep-0-with-tail / rep-1-without near-dup pair per base doc — odd n
+    * would break that structure for half the bases). */
+  def corpusNx(base: DataFrame, n: Int, padWidth: Int): DataFrame = {
+    require(n % 2 == 0, s"corpusNx needs even n (got $n): the planted " +
+      "rep0/rep1 near-dup structure relies on doc_id parity == rep parity")
+    require(n <= math.pow(10, padWidth).toInt,
+      s"corpusNx: $n reps do not fit a width-$padWidth prefix — vocab spaces would alias")
+    val reps = base.sparkSession.range(0, n).select(col("id").cast("int").as("rep"))
     base.crossJoin(broadcast(reps))
       .select(
-        (col("doc_id") * 10 + col("rep")).as("doc_id"),
+        (col("doc_id") * n + col("rep")).as("doc_id"),
         when(col("rep") <= 1, col("text"))
           .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
-            concat(lit("v"), col("rep").cast("string"), lit("$1")))).as("text"),
+            concat(lit("v"), lpad(col("rep").cast("string"), padWidth, "0"), lit("$1")))).as("text"),
         col("lang"), col("source"))
       .withColumn("text",
         when(pmod(col("doc_id"), lit(2)) === 0,

@@ -32,22 +32,10 @@ import org.apache.spark.sql.functions._
   * protections see ~n/2·5000 occurrences — 25× past the cap at 100×. */
 object ScaleSmoke100 {
 
-  def corpusNx(base: DataFrame, n: Int): DataFrame = {
-    val reps = base.sparkSession.range(0, n).select(col("id").cast("int").as("rep"))
-    base.crossJoin(broadcast(reps))
-      .select(
-        (col("doc_id") * n + col("rep")).as("doc_id"),
-        when(col("rep") <= 1, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("([a-z0-9]+)"),
-            concat(lit("v"), lpad(col("rep").cast("string"), 2, "0"), lit("$1")))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(col("text"), lit(" legal boilerplate terms apply here")))
-          .otherwise(col("text")))
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
-  }
+  /** Shared builder — see [[ScaleSmoke.corpusNx]] (one copy of the
+    * scheme; width-2 prefixes cover up to 100 reps). */
+  def corpusNx(base: DataFrame, n: Int): DataFrame =
+    ScaleSmoke.corpusNx(base, n, padWidth = 2)
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

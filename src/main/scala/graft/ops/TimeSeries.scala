@@ -219,16 +219,25 @@ object TimeSeries {
     * straightforward quadratic theta join instead of replaying the
     * bins, so the hash check proves the bucketed plan is SEMANTICALLY
     * the theta join, not just self-consistent. Micros end-to-end. */
-  def q155IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sess = sessionsOf(spark, dir)
+  /** q155's two interval sets — exposed so the spec's independent theta
+    * join consumes the SAME inputs (one tunable for the incident
+    * window, not a duplicated literal that could drift). */
+  def sessionIntervalsOf(spark: SparkSession, dir: String): DataFrame =
+    sessionsOf(spark, dir)
       .select(col("user_id"), col("session_id"),
         unix_micros(col("session_start").cast("timestamp")).as("s_a"),
         unix_micros(col("session_end").cast("timestamp")).as("e_a"))
-    val inc = events(spark, dir)
+
+  def incidentWindowsOf(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
       .where(col("event_type") === "error" && pmod(col("event_id"), lit(17)) === 0)
       .select(col("event_id").as("incident_id"),
         (unix_micros(col("ts").cast("timestamp")) - IncidentHalfUs).as("s_b"),
         (unix_micros(col("ts").cast("timestamp")) + IncidentHalfUs).as("e_b"))
+
+  def q155IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionIntervalsOf(spark, dir)
+    val inc = incidentWindowsOf(spark, dir)
     intervalOverlapPairs(sess, inc)
       .select(col("user_id"), col("session_id"), col("incident_id"),
         greatest(col("s_a"), col("s_b")).as("overlap_start_us"),
@@ -444,11 +453,16 @@ object TimeSeries {
     * block-local set algebra over it, never a re-scan of events. */
   /** (day, block, mask) projection of an events frame — the map-side
     * half of the bitmap cube, shared by q157, the incremental ingest
-    * and q158. */
+    * and q158. Arithmetic shift + pmod keep (block, bit) a bijection
+    * over ALL longs — truncating `/` or `div` with sign-following `%`
+    * would collide e.g. user −1 with user 63 on a signed/hashed id
+    * space and silently undercount (identical on the non-negative ids
+    * this corpus has, but the q90-equality theorem should not carry a
+    * hidden domain restriction). */
   def bitmapBlocksOf(ev: DataFrame): DataFrame =
     ev.select(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
-        (col("user_id") / 64).cast("long").as("block"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("mask"))
+        shiftright(col("user_id"), 6).as("block"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))").as("mask"))
       .groupBy(col("day"), col("block"))
       .agg(bit_or(col("mask")).as("bits"))
 

@@ -367,15 +367,10 @@ class Scd2RetentionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // real corpus: the board query equals its own quadratic twin
     val board = ops.TimeSeries.q155IntervalJoin(spark, dir).collect()
     assert(board.length > 0, "no session/incident overlaps at sf0.01")
-    val sess = ops.TimeSeries.sessionsOf(spark, dir)
-      .select(col("user_id"), col("session_id"),
-        unix_micros(col("session_start").cast("timestamp")).as("s_a"),
-        unix_micros(col("session_end").cast("timestamp")).as("e_a"))
-    val inc = graft.Tables.events(spark, dir)
-      .where(col("event_type") === "error" && pmod(col("event_id"), lit(17)) === 0)
-      .select(col("event_id").as("incident_id"),
-        (unix_micros(col("ts").cast("timestamp")) - 600000000L).as("s_b"),
-        (unix_micros(col("ts").cast("timestamp")) + 600000000L).as("e_b"))
+    // the SAME inputs the board query uses (shared builders — one
+    // tunable incident window), joined independently by brute force
+    val sess = ops.TimeSeries.sessionIntervalsOf(spark, dir)
+    val inc = ops.TimeSeries.incidentWindowsOf(spark, dir)
     val nNaive = sess.crossJoin(inc)
       .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a")).count()
     assert(board.length.toLong == nNaive,
