@@ -198,6 +198,35 @@ object ScaleSmoke100 {
       decadeEnvelope("bitmap_retention", tR1, tR10)
       Caches.drain()
 
+      // ---- q141 sweep-line at 10× users: the same disjoint copies
+      // live on the same timeline, so instantaneous concurrency — and
+      // with it every per-day peak — and sessions-started are EXACTLY
+      // 10×. Stresses the two-level distributed cumsum (per-day windows
+      // + broadcast carry) under 10× endpoint volume with the answer
+      // fully determined by the 1× run.
+      val ev10Dir = s"$outRoot/ev10"
+      ev10.repartition(32).write.mode("overwrite")
+        .parquet(s"$ev10Dir/events.parquet")
+      val t0q = System.nanoTime()
+      val peak1 = ops.TimeSeries.q141ConcurrencyPeak(spark, baseDir).collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      val tQ1 = (System.nanoTime() - t0q) / 1e9
+      Caches.drain()
+      val t1q = System.nanoTime()
+      val peak10 = ops.TimeSeries.q141ConcurrencyPeak(spark, ev10Dir).collect()
+        .map(r => r.get(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      val tQ10 = (System.nanoTime() - t1q) / 1e9
+      json.append(f""""q141_sweep_1x":$tQ1%.2f,"q141_sweep_10x":$tQ10%.2f,""")
+      System.err.println(f"[scale-100x] q141 sweep: $tQ1%.2f s (1x) -> $tQ10%.2f s (10x users)")
+      assert(peak10.keySet == peak1.keySet, "10x user copies changed the day set")
+      peak1.foreach { case (day, (pk, st)) =>
+        val (pk10, st10) = peak10(day)
+        assert(pk10 == 10 * pk && st10 == 10 * st,
+          s"$day: sweep $pk10/$st10 at 10x != 10 * $pk/$st — disjoint copies must scale exactly")
+      }
+      decadeEnvelope("q141_sweep", tQ1, tQ10)
+      Caches.drain()
+
       json.setLength(json.length - 1)
       json.append("}")
       println(json.toString)
