@@ -241,34 +241,33 @@ object StreamingBoard {
   def q150SessionizeStream(spark: SparkSession, dir: String): DataFrame =
     q150Impl(spark, dir, graft.RunTag.scratchFresh("q150"))
 
-  private[graft] def q150Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+  /** q150's staging — identical delivery protocol to [[q148Stage]]
+    * (shared `upTo` seam so the crash-recovery spec can interrupt
+    * between the data files and the sentinels). */
+  private[graft] def q150Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 4): org.apache.spark.sql.types.StructType =
+    q148Stage(spark, dir, root, upTo)
+
+  private[graft] def q150Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.Dataset[SessionOut] = {
     import spark.implicits._
-    val in = s"$root/in"; new java.io.File(in).mkdirs()
-    val evs = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("ts").cast("timestamp").as("ts"), col("value"))
-    val mm = evs.agg(min(col("ts")), max(col("ts"))).head
-    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
-    val mid = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
-    val far = t1 + 100L * 86400000L
-    val sentinelUser = 9000001L
-    def sentinel(id: Long, ms: Long): DataFrame =
-      Seq((id, sentinelUser, "x", new java.sql.Timestamp(ms), 0.0))
-        .toDF("event_id", "user_id", "event_type", "ts", "value")
-    val base = System.currentTimeMillis()
-    addFile(evs.filter(col("ts") <= mid), in, "00-early.parquet", base - 480000)
-    addFile(evs.filter(col("ts") > mid), in, "01-late.parquet", base - 360000)
-    addFile(sentinel(9000001L, far), in, "02-sent1.parquet", base - 240000)
-    addFile(sentinel(9000002L, far + 1000L), in, "03-sent2.parquet", base - 120000)
-    val stream = spark.readStream.schema(evs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in).as[Ev]
-    drainToParquet(Streaming.sessionizeStateful(stream), root)
-      .filter(col("user_id") < sentinelUser)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    Streaming.sessionizeStateful(stream)
+  }
+
+  private[graft] def q150Post(sink: DataFrame): DataFrame =
+    sink.filter(col("user_id") < SentinelUser)
       .select(col("user_id"), col("n_events"),
         col("start").cast("timestamp_ntz").as("start"),
         col("end").cast("timestamp_ntz").as("end"),
         col("sum_value"))
       .orderBy(col("user_id"), col("start"))
+
+  private[graft] def q150Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q150Stage(spark, dir, root)
+    q150Post(drainToParquet(q150Query(spark, schema, root), root))
   }
 
   val q150Sql: String =

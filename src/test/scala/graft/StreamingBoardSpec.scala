@@ -109,6 +109,55 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("q150 crash-recovery: open sessions survive a restart from the checkpointed state") {
+    import org.apache.spark.sql.streaming.Trigger
+    // reference run, uninterrupted
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q150ref").toString
+    val want = StreamingBoard.q150Impl(spark, sf, refRoot).collect().map(_.toSeq).toSeq
+    // interrupted run: the q148 protocol, but here the interruption is
+    // STRICTLY harder — sessions whose events straddle the early/late
+    // midpoint split are OPEN inside the state store when the query
+    // stops, and the restart must resume them from the checkpoint (not
+    // re-open fresh ones, which would split those sessions in two and
+    // change n_events/sum_value)
+    val root = java.nio.file.Files.createTempDirectory("graft_q150recov").toString
+    val schema = StreamingBoard.q150Stage(spark, sf, root, upTo = 2)
+    def start() = StreamingBoard.q150Query(spark, schema, root).writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q1 = start()
+    val commits = new java.io.File(s"$root/ckpt/commits")
+    val deadline = System.currentTimeMillis() + 60000
+    while ((!commits.exists() ||
+        commits.listFiles().count(_.getName.forall(_.isDigit)) < 1) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q1.stop()
+    q1.awaitTermination()
+    // the interruption left real work IN STATE: timers fire only after
+    // the sentinel batches, so the sink at this point must be missing
+    // sessions that only the restarted query (resuming the checkpointed
+    // state) can emit
+    val atInterruption =
+      try StreamingBoard.q150Post(spark.read.parquet(s"$root/out")).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    assert(atInterruption < want.size,
+      s"all ${want.size} sessions already emitted before the restart — nothing was open in state")
+    StreamingBoard.q150Stage(spark, sf, root, upTo = 4)
+    val q2 = start()
+    q2.awaitTermination()
+    assert(nBatches(root) >= 4, "restart must process the remaining files + sentinels")
+    val got = StreamingBoard.q150Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.toSet === want.toSet,
+      s"recovered sessions diverge: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    assert(got.size > atInterruption,
+      "the restarted query emitted nothing — open sessions were not recovered from state")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
