@@ -125,6 +125,56 @@ object ScaleSmoke100 {
           s"q139: oversampled rows $c10 -> $c100 not ~10x across the decade")
       }
 
+      // ---- optional THIRD decade (5M docs, ~1.5 GB text): pass
+      // "--decade3" as the 3rd arg. Three decades span 1000× — a chain
+      // that is secretly n^1.5 costs 31.6× per decade and cannot hide
+      // across all three. Only the provably-token-linear chains run
+      // (the LSH/ingest family's third decade is a compute budget, not
+      // a correctness question).
+      if (args.length > 2 && args(2) == "--decade3") {
+        val dir1000 = s"$outRoot/p1000"
+        ScaleSmoke.corpusNx(base, 1000, padWidth = 3).repartition(128)
+          .write.mode("overwrite").parquet(s"$dir1000/documents.parquet")
+        val n1000 = spark.read.parquet(s"$dir1000/documents.parquet").count()
+        assert(n1000 == 1000 * nBase, s"3rd-decade corpus broken: $n1000 docs")
+        json.append(s""""n_docs_1000x":$n1000,""")
+        def decade3(what: String, q: (SparkSession, String) => DataFrame)
+            (structure: (Long, Long) => Unit): Unit = {
+          val t0a = System.nanoTime()
+          val c100 = q(spark, dir100).count()
+          val tA = (System.nanoTime() - t0a) / 1e9
+          Caches.drain()
+          val t0b = System.nanoTime()
+          val c1000 = q(spark, dir1000).count()
+          val tB = (System.nanoTime() - t0b) / 1e9
+          json.append(f""""${what}_100x_d3":$tA%.2f,"${what}_1000x":$tB%.2f,""")
+          json.append(s""""${what}_rows_1000x":$c1000,""")
+          System.err.println(f"[scale-100x] ${what}_1000x: $tA%.2f s -> $tB%.2f s ($c100 -> $c1000 rows)")
+          structure(c100, c1000)
+          assert(tB <= math.max(25.0 * tA, tA + 240.0),
+            f"$what: $tB%.1f s at 1000x vs $tA%.1f s at 100x — superlinear growth in the third decade")
+          Caches.drain()
+        }
+        decade3("q80_chunk_dedup", dedup.Dedup.q80ChunkDedup) { (cA, cB) =>
+          assert(cB == n1000 && cA == n100, s"q80 must emit one row per doc: $cA/$cB")
+        }
+        decade3("q110_dup_spans", dedup.Dedup.q110DupSpans) { (cA, cB) =>
+          assert(cB >= nBase && cB <= 25L * cA,
+            s"q110: span rows $cA -> $cB across the third decade")
+        }
+        decade3("q117_strip_spans", dedup.Dedup.q117StripSpans) { (cA, cB) =>
+          assert(cB == n1000 && cA == n100, s"q117 must emit one row per doc: $cA/$cB")
+        }
+        decade3("q135_gopher_rules", text.TextAnalysis.q135GopherRules) { (cA, cB) =>
+          assert(cB >= 99L * cA / 10L && cB <= 11L * cA,
+            s"q135: profile rows $cA -> $cB not ~10x")
+        }
+        decade3("q139_balanced_oversample", ops.DataPrep.q139BalancedOversample) { (cA, cB) =>
+          assert(cB >= 5L * cA && cB <= 25L * cA,
+            s"q139: oversampled rows $cA -> $cB not ~10x")
+        }
+      }
+
       // ---- LSH ingest at 10× the batch size: 10 batches of 50k docs;
       // the last batch verifies against a 450k-doc store and must stay
       // in the steady band (collisions, not store size, drive the work)
