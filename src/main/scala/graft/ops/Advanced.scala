@@ -299,6 +299,9 @@ object Advanced {
     n.write.mode("overwrite").json(s"$base/nation_json")
     n.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
     n.write.mode("overwrite").orc(s"$base/nation_orc")
+    // XML is a first-class datasource in Spark 4 (the spark-xml donation)
+    n.write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(s"$base/nation_xml")
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -307,12 +310,16 @@ object Advanced {
       .select(col("n_nationkey"), col("n_name"))
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$base/nation_csv")
       .select(col("n_nationkey"), col("n_regionkey"))
-    // ORC leg carries the key back out — the join proves all three
-    // formats agree row-for-row on it
+    // ORC and XML legs carry the key back out — the join proves all
+    // four formats agree row-for-row on it
     val fromOrc = spark.read.orc(s"$base/nation_orc")
+      .select(col("n_nationkey"))
+    val fromXml = spark.read.schema(schema).option("rowTag", "nation")
+      .format("xml").load(s"$base/nation_xml")
       .select(col("n_nationkey"))
     fromJson.join(fromCsv, Seq("n_nationkey"))
       .join(fromOrc, Seq("n_nationkey"))
+      .join(fromXml, Seq("n_nationkey"))
       .orderBy(col("n_nationkey"))
   }
 
