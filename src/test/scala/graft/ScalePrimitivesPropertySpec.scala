@@ -86,6 +86,26 @@ class ScalePrimitivesPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bitmap cube (block, bit) stays a bijection over signed user ids — retention equals the set model") {
+    import spark.implicits._
+    // adversarial id space: negatives, zero, block boundaries (±63,
+    // ±64, ±65), and random signed ids — truncating division with
+    // sign-following modulo would collide e.g. -1 with 63
+    val ids = (Seq(-130L, -65L, -64L, -63L, -1L, 0L, 1L, 63L, 64L, 65L, 130L) ++
+      sample(Gen.chooseNum(-5000L, 5000L), 200)).distinct
+    val d0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val d1 = java.sql.Timestamp.valueOf("2024-03-02 10:00:00")
+    // day 1: all ids; day 2: every third id (deterministic subset)
+    val rows = ids.map(u => (u, d0)) ++ ids.filter(_ % 3 == 0).map(u => (u, d1))
+    val got = ops.TimeSeries.retentionFromBlocks(
+        ops.TimeSeries.bitmapBlocksOf(rows.toDF("user_id", "ts")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val retained = ids.count(_ % 3 == 0).toLong
+    assert(got == Seq((ids.size.toLong, retained), (retained, 0L)),
+      s"bitmap retention over signed ids diverged from the set model: $got " +
+        s"(expected active ${ids.size} retaining $retained, then $retained retaining 0)")
+  }
+
   test("intervalOverlapPairs equals the naive theta join on random interval sets at random bin widths") {
     import spark.implicits._
     // closed intervals with adversarial shapes: zero-length points,
