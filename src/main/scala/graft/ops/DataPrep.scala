@@ -238,6 +238,55 @@ object DataPrep {
   def q81SeqPack(spark: SparkSession, dir: String): DataFrame =
     seqPackSegments(spark, dir).orderBy(col("window_id"), col("doc_id"))
 
+  private val RagChunkToks = 32
+  private val RagStride = 24 // 8-token (25%) overlap between neighbors
+
+  /** q159: overlapping RAG chunking — the retrieval-ingestion chunker
+    * (fixed token windows with stride overlap, so a sentence near a
+    * boundary is whole in at least one chunk). The packing family's
+    * complement: q81/q82 tile the corpus EXACTLY for training (no
+    * overlap, document-agnostic windows); a retrieval index needs
+    * per-document chunks WITH overlap. One row per chunk: (doc_id,
+    * chunk_idx, start_tok, n_toks, chunk_text).
+    *
+    * Chunk starts step by [[RagStride]]; a tail start whose content is
+    * fully inside the previous chunk (start ≥ n − overlap, start ≠ 0)
+    * is dropped — every chunk contributes ≥ 1 new token, every token
+    * is in ≥ 1 chunk. Entirely MAP-SIDE: tokenize, posexplode the
+    * start sequence, slice — no shuffle anywhere (the board sort is
+    * presentation). At 100 TB this is the shape that matters: chunking
+    * is embarrassingly parallel and must never pay a join or window. */
+  def q159RagChunks(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = RagChunkToks - RagStride
+    documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1, lit(RagStride.toLong))))
+      .where(col("col") === 0 || col("col") < col("n") - overlap)
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(RagChunkToks.toLong), col("n") - col("col")).as("n_toks"),
+        array_join(slice(col("ws"), (col("col") + 1).cast("int"), lit(RagChunkToks)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q159Sql: String = {
+    val overlap = RagChunkToks - RagStride
+    "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n FROM documents " +
+      "WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0), " +
+      s"s AS (SELECT doc_id, ws, n, unnest(range(0, n, $RagStride)) AS start FROM t), " +
+      s"f AS (SELECT doc_id, ws, n, start, CAST(start // $RagStride AS BIGINT) AS chunk_idx " +
+      s"FROM s WHERE start = 0 OR start < n - $overlap) " +
+      s"SELECT doc_id, chunk_idx, start AS start_tok, least($RagChunkToks, n - start) AS n_toks, " +
+      s"array_to_string(ws[CAST(start + 1 AS BIGINT):CAST(start + $RagChunkToks AS BIGINT)], ' ') AS chunk_text " +
+      "FROM f ORDER BY doc_id, chunk_idx"
+  }
+
   /** Sequence packing PAYLOAD: materialize the actual token content of
     * every 128-token context window — what a trainer consumes; q81's
     * layout map is the pointer form of this. One row per window:
@@ -706,6 +755,7 @@ object DataPrep {
     "q70_mixture_sample" -> q70Mixture _,
     "q72_profile" -> q72Profile _,
     "q81_seq_pack" -> q81SeqPack _,
+    "q159_rag_chunks" -> q159RagChunks _,
     "q82_seq_pack_payload" -> q82SeqPackPayload _,
     "q85_merge_upsert" -> q85MergeUpsert _,
     "q88_epoch_shuffle" -> q88EpochShuffle _,
@@ -724,6 +774,7 @@ object DataPrep {
     "q70_mixture_sample" -> q70Sql,
     "q72_profile" -> q72Sql,
     "q81_seq_pack" -> q81Sql,
+    "q159_rag_chunks" -> q159Sql,
     "q82_seq_pack_payload" -> q82Sql,
     "q85_merge_upsert" -> q85Sql,
     "q88_epoch_shuffle" -> q88Sql,

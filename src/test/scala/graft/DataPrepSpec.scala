@@ -339,4 +339,44 @@ class DataPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     val firstShard = rows.filter(_._1 == 0L).sortBy(_._2).take(5).map(_._3)
     assert(firstShard.toSeq != firstShard.sorted.toSeq || firstShard.max > 10)
   }
+
+  test("q159 RAG chunks: full coverage, 25% neighbor overlap, every chunk contributes new tokens") {
+    val chunks = ops.DataPrep.q159RagChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(chunks.nonEmpty)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.regexp_extract_all(
+          org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.lit("[a-z0-9]+"),
+          org.apache.spark.sql.functions.lit(0)).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val ws = toks(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk_idx contiguous from 0; starts step by the stride
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, start, nToks, textChunk) =>
+        assert(start == idx * 24, s"doc $doc chunk $idx starts at $start")
+        // the text IS the token slice
+        assert(textChunk == ws.slice(start.toInt, start.toInt + 32).mkString(" "))
+        assert(nToks == math.min(32L, ws.size - start))
+        assert(nToks > 0)
+      }
+      // coverage: last chunk reaches the final token
+      val last = sorted.last
+      assert(last._3 + last._4 == ws.size.toLong,
+        s"doc $doc: chunks end at ${last._3 + last._4} of ${ws.size} tokens")
+      // every non-first chunk contributes >= 1 token beyond the previous
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 + b._4 > a._3 + a._4, s"doc $doc chunk ${b._2} adds no new tokens")
+          // and overlaps its neighbor by the full 8 tokens when interior
+          if (b._4 == 32L) assert(a._3 + a._4 - b._3 >= 8L)
+        case _ => ()
+      }
+    }
+    // every tokenized doc got chunks
+    assert(chunks.map(_._1).distinct.length == toks.count(_._2.nonEmpty))
+  }
 }
