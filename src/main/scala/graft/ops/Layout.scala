@@ -98,6 +98,94 @@ object Layout {
       "FROM orders ORDER BY o_orderkey"
   }
 
+  /** Hilbert index of a non-negative (x, y) point masked to `bits` bits
+    * per dimension — the space-filling curve with STRICTLY better
+    * locality than Morton: consecutive Hilbert indices are always grid
+    * neighbors (unit steps — LayoutSpec proves it exhaustively), while
+    * the Z curve takes a long diagonal jump at every power-of-two
+    * boundary. At 100 TB that shows up as tighter per-file min/max
+    * envelopes for the SAME file count, i.e. strictly more pruning.
+    *
+    * The standard xy2d walk (public algorithm — Hilbert 1891; the
+    * bit-level formulation every lakehouse/geo index uses) folds state
+    * (x, y, d) through the bit levels with a CONDITIONAL ROTATION — so
+    * unlike [[zValue]] it cannot be unrolled into flat column
+    * arithmetic (each level's x/y feed the next through CASE branches:
+    * inlined, the expression tree grows ~4× per level and 4^16 kills
+    * the optimizer). It runs as a Catalyst `aggregate` higher-order
+    * fold instead (the q152 recurrence idiom — linear-size plan, zero
+    * UDFs); the DuckDB oracle replays the identical walk with the 16
+    * levels unrolled as chained CTE stages. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val mask = lit((1L << bits) - 1)
+    val levels = (0 until bits).reverse.map(i => 1L << i)
+    aggregate(
+      typedLit(levels),
+      struct(x.cast("long").bitwiseAND(mask).as("x"),
+        y.cast("long").bitwiseAND(mask).as("y"), lit(0L).as("d")),
+      (acc, s) => {
+        val (ax, ay, ad) = (acc.getField("x"), acc.getField("y"), acc.getField("d"))
+        val rx = when(ax.bitwiseAND(s) =!= 0, lit(1L)).otherwise(lit(0L))
+        val ry = when(ay.bitwiseAND(s) =!= 0, lit(1L)).otherwise(lit(0L))
+        val nd = ad + s * s * (lit(3L) * rx).bitwiseXOR(ry)
+        val nx = when(ry === 0, when(rx === 1, s - 1 - ay).otherwise(ay)).otherwise(ax)
+        val ny = when(ry === 0, when(rx === 1, s - 1 - ax).otherwise(ax)).otherwise(ay)
+        struct(nx.as("x"), ny.as("y"), nd.as("d"))
+      },
+      acc => acc.getField("d"))
+  }
+
+  /** The Hilbert twin of [[layoutZOrder]] — same range normalization,
+    * same one range-repartition, only the clustering key changes. */
+  def layoutHilbert(df: DataFrame, x: Column, y: Column, n: Int,
+      bits: Int = 16): DataFrame = {
+    val top = (1L << bits) - 1
+    val bounds = df.agg(min(x).cast("long").as("_xmin"), max(x).cast("long").as("_xmax"),
+      min(y).cast("long").as("_ymin"), max(y).cast("long").as("_ymax"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      ((c.cast("long") - lo).cast("double") * top /
+        greatest(hi - lo, lit(1L)).cast("double")).cast("long")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_h", hilbertValue(
+        norm(x, col("_xmin"), col("_xmax")),
+        norm(y, col("_ymin"), col("_ymax")), bits))
+      .drop("_xmin", "_xmax", "_ymin", "_ymax")
+      .repartitionByRange(n, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
+  /** q160: the Hilbert indices over orders — q97's twin with the better
+    * curve, same keys (customer × order-day), hash-checked against the
+    * unrolled-CTE walk. */
+  def q160HilbertOrder(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayNum.cast("long").as("day_num"),
+        hilbertValue(col("o_custkey"), dayNum, 16).as("hval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q160Sql: String = {
+    val init = "h16 AS (SELECT o_orderkey, o_custkey, " +
+      "date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num, " +
+      "CAST(o_custkey & 65535 AS BIGINT) AS hx, " +
+      "CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) & 65535 AS BIGINT) AS hy, " +
+      "CAST(0 AS BIGINT) AS hd FROM orders)"
+    val stages = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      s"h$i AS (SELECT o_orderkey, o_custkey, day_num, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy, " +
+        s"hd + ${s * s} * xor(3 * rx, ry) AS hd FROM (" +
+        s"SELECT *, CASE WHEN hx & $s != 0 THEN 1 ELSE 0 END AS rx, " +
+        s"CASE WHEN hy & $s != 0 THEN 1 ELSE 0 END AS ry FROM h${i + 1}))"
+    }
+    s"WITH $init, ${stages.mkString(", ")} " +
+      "SELECT o_orderkey, o_custkey, day_num, hd AS hval FROM h0 ORDER BY o_orderkey"
+  }
+
   /** Small-file compaction — the other half of layout governance (a
     * streaming/incremental writer leaves thousands of KB-scale files;
     * at 100 TB the resulting open/footer/seek overhead dominates scan
@@ -132,8 +220,10 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q97_zorder" -> q97ZOrder _)
+    "q97_zorder" -> q97ZOrder _,
+    "q160_hilbert" -> q160HilbertOrder _)
 
   val oracle: Map[String, String] = Map(
-    "q97_zorder" -> q97Sql)
+    "q97_zorder" -> q97Sql,
+    "q160_hilbert" -> q160Sql)
 }

@@ -211,6 +211,49 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q00max < q11min)
   }
 
+  test("hilbertValue: bijective, UNIT-STEP continuous (the property Morton lacks), and better neighbor locality") {
+    import ops.Layout
+    import spark.implicits._
+    // exhaustive 16x16 grid at bits=4: every cell visited exactly once
+    // (bijection onto 0..255) and consecutive indices are always grid
+    // NEIGHBORS — the defining Hilbert property; any bug in the
+    // rotation/fold breaks it somewhere in 256 steps
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val h = grid.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 4).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(h.values.toSet == (0L until 256L).toSet, "not a bijection onto 0..255")
+    val byD = h.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (x0, y0) = byD(d); val (x1, y1) = byD(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"step $d -> ${d + 1} jumps from ($x0,$y0) to ($x1,$y1)")
+    }
+    // locality vs Morton, measured the way pruning feels it: cut the
+    // curve into consecutive "files" of 13 cells (13 ∤ 2^k, so file
+    // boundaries are MISALIGNED with quadrant boundaries — the general
+    // case; power-of-two-aligned Z ranges are exact tiles and the only
+    // case Z handles well) and compare the mean bounding-box area per
+    // file — literally the min/max footer envelope a scan prunes on.
+    // Hilbert's unit-step continuity keeps every contiguous range
+    // CONNECTED, so its files stay compact wherever they start.
+    val z = grid.select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), bits = 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def meanFileBBox(m: Map[(Long, Long), Long]): Double = {
+      val files = m.toSeq.sortBy(_._2).map(_._1).grouped(13).toSeq
+      val areas = files.map { cells =>
+        val (xs, ys) = (cells.map(_._1), cells.map(_._2))
+        ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+      }
+      areas.sum / areas.size
+    }
+    val (hBox, zBox) = (meanFileBBox(h), meanFileBBox(z))
+    assert(hBox < zBox,
+      f"Hilbert mean file bbox $hBox%.1f should beat Morton's $zBox%.1f")
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
