@@ -147,6 +147,40 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zDx < 0.5 * fullX, s"z-order should bound x extents (dx=$zDx of $fullX)")
   }
 
+  test("hilbert layout: bounds both dimensions on written parquet, at least as tight as z-order on average") {
+    import ops.Layout
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").as("x"), dayNum.cast("long").as("y"))
+    def fileAreas(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+      val out = Files.createTempDirectory("graft_h").toFile.getAbsolutePath
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"))
+        .collect().map(r => (r.getLong(1) + 1).toDouble * (r.getLong(2) + 1))
+    }
+    val nFiles = 16
+    val hil = fileAreas(Layout.layoutHilbert(src, col("x"), col("y"), nFiles))
+    val zed = fileAreas(Layout.layoutZOrder(src, col("x"), col("y"), nFiles))
+    assert(hil.length == nFiles && zed.length == nFiles)
+    val (fullX, fullY) = {
+      val r = src.agg(max(col("x")) - min(col("x")),
+        max(col("y")) - min(col("y"))).head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    def mean(a: Array[Double]): Double = a.sum / a.length
+    // both-dimension pruning holds (the z-order property), and the mean
+    // min/max ENVELOPE AREA — what a 2-D predicate prunes against — is
+    // no worse than Morton's on real keys with sampled (misaligned)
+    // file boundaries. 1.15 slack: repartitionByRange samples.
+    assert(mean(hil) < 0.3 * (fullX + 1) * (fullY + 1),
+      s"hilbert files should cover small 2-D envelopes (${mean(hil)})")
+    assert(mean(hil) <= 1.15 * mean(zed),
+      s"hilbert mean envelope ${mean(hil)} should not lose to z-order's ${mean(zed)}")
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     val out = Files.createTempDirectory("graft_dpo").toFile.getAbsolutePath
     val docs = Tables.documents(spark, dir)
