@@ -85,11 +85,59 @@ object SkewJoin {
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority"
 
+  /** Two-phase SALTED HOLISTIC aggregation — the skew answer for the
+    * aggregations partial-agg can't save. Algebraic aggs (sum/count/
+    * min/…) never skew: map-side combine reduces each task to one row
+    * per key before the exchange. HOLISTIC aggs (collect_list, exact
+    * media via collected values, array_agg) ship EVERY value of a key
+    * to one reducer — a hot key becomes one giant task that AQE cannot
+    * split (it's one group, not one partition). The fix mirrors q49's
+    * salt: phase 1 groups by (key, salt) and collects per-salt slices
+    * (each bounded at |key|/S values), phase 2 groups by key and
+    * flattens the ≤S slices. The hot key's VALUE TRAFFIC now spreads
+    * across S tasks and the second exchange moves S array rows per
+    * key, not the value stream again.
+    *
+    * Determinism: the salt is content-derived (pmod of the row id, not
+    * rand), and the result is canonicalized by sort_array AFTER the
+    * flatten — collect order inside and across slices is engine
+    * whimsy; the sorted array is the value MULTISET, which is what a
+    * holistic consumer means. */
+  def saltedCollect(rows: DataFrame, key: Column, saltSrc: Column,
+      value: Column, salt: Int = 8): DataFrame =
+    rows.select(key.as("k"), pmod(saltSrc, lit(salt)).as("__salt"), value.as("v"))
+      .groupBy(col("k"), col("__salt"))
+      .agg(collect_list(col("v")).as("slice"))
+      .groupBy(col("k"))
+      .agg(sort_array(flatten(collect_list(col("slice")))).as("vals"))
+
+  /** q161: per-event-type exact value multiset via the salted two-phase
+    * collect, fingerprinted (md5 of the comma-joined sorted cents) so
+    * the board row stays small while the oracle checks EVERY collected
+    * value. Values go through exact integer cents (the q126 policy) so
+    * both engines sort and join identical strings. */
+  def q161SaltedCollect(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    saltedCollect(events(spark, dir), col("event_type"), col("event_id"), cents)
+      .select(col("k").as("event_type"),
+        size(col("vals")).cast("long").as("n_values"),
+        md5(array_join(col("vals"), ",")).as("values_md5"))
+      .orderBy(col("event_type"))
+  }
+
+  val q161Sql: String =
+    "SELECT event_type, count(*) AS n_values, " +
+      "md5(string_agg(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ',' " +
+      "ORDER BY CAST(round(value * 100) AS BIGINT))) AS values_md5 " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_salted_join" -> q49SaltedJoin _,
-    "q64_bucketed_join" -> q64BucketedJoin _)
+    "q64_bucketed_join" -> q64BucketedJoin _,
+    "q161_salted_collect" -> q161SaltedCollect _)
 
   val oracle: Map[String, String] = Map(
     "q49_salted_join" -> q49Sql,
-    "q64_bucketed_join" -> q64Sql)
+    "q64_bucketed_join" -> q64Sql,
+    "q161_salted_collect" -> q161Sql)
 }

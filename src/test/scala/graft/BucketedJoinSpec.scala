@@ -66,4 +66,24 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_suppkey"), col("s_suppkey"), salt = 8).count()
     assert(salted == plain)
   }
+
+  test("salted collect equals the single-phase collect (multiset identity), slices bounded on a hot key") {
+    import spark.implicits._
+    // skewed frame: key "hot" holds 900 of 1000 values
+    val rows = ((0 until 900).map(i => ("hot", i.toLong, (i * 7 % 101).toLong)) ++
+      (0 until 100).map(i => ("cold" + (i % 5), (900 + i).toLong, i.toLong)))
+      .toDF("k", "id", "v")
+    val salted = ops.SkewJoin.saltedCollect(rows, col("k"), col("id"), col("v"), salt = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = rows.groupBy(col("k"))
+      .agg(sort_array(collect_list(col("v")))).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(salted == direct, "two-phase collect changed the value multiset")
+    // the phase-1 slices actually spread the hot key: every (key, salt)
+    // slice is far below the hot key's 900 values
+    val slices = rows.select(col("k"), pmod(col("id"), lit(8)).as("s"), col("v"))
+      .groupBy(col("k"), col("s")).count().collect().map(_.getLong(2))
+    assert(slices.max <= 900 / 8 + 8,
+      s"phase-1 slice of ${slices.max} values — salt not spreading the hot key")
+  }
 }
