@@ -341,6 +341,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "q151 plan degraded to a CartesianProduct")
   }
 
+  test("q159: chunking is map-side — no join, no aggregate, no shuffle beyond the presentation sort") {
+    val p = plan("q159_rag_chunks").toString
+    assert(!p.contains("Join"), s"q159 grew a join: ${p.take(300)}")
+    assert(!p.contains("HashAggregate"), s"q159 grew an aggregate: ${p.take(300)}")
+    // the only exchange is the orderBy's rangepartitioning — chunking
+    // itself (tokenize → posexplode → slice) must stay in the map
+    assert(!p.contains("hashpartitioning"),
+      s"q159 shuffles on a hash key: ${p.take(400)}")
+  }
+
+  test("q160: the Hilbert fold is a scan-side projection — no shuffle beyond the presentation sort") {
+    val p = plan("q160_hilbert").toString
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"q160 should be scan + project + sort: ${p.take(400)}")
+  }
+
+  test("q161: two-phase salted collect plans two aggregate layers, no window, no join") {
+    val p = plan("q161_salted_collect").toString
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(300))
+    // phase 1 on (k, salt), phase 2 on k — both present as distinct
+    // aggregate keying (ObjectHashAggregate carries collect_list)
+    assert(p.contains("ObjectHashAggregate"), s"collect should plan ObjectHashAggregate: ${p.take(300)}")
+    assert("keys=\\[k[^,]*, __salt".r.findFirstIn(p).isDefined,
+      s"phase-1 (k, salt) grouping missing: ${p.take(400)}")
+  }
+
   test("q155: interval-overlap join is an equi HASH join on bin, never a nested loop") {
     val p = plan("q155_interval_join").toString
     // the whole point of the bin bucketing is that the interval
