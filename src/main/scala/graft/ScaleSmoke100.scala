@@ -124,6 +124,14 @@ object ScaleSmoke100 {
         assert(c100 >= 5L * c10 && c100 <= 25L * c10,
           s"q139: oversampled rows $c10 -> $c100 not ~10x across the decade")
       }
+      // q159 RAG chunking: map-side only — chunk rows track the token
+      // volume exactly (~10x per decade, >= 1 chunk per doc)
+      decade("q159_rag_chunks", ops.DataPrep.q159RagChunks) { (c10, c100) =>
+        assert(c10 >= n10 && c100 >= n100,
+          s"q159: fewer chunks than docs ($c10/$n10, $c100/$n100)")
+        assert(c100 >= 5L * c10 && c100 <= 25L * c10,
+          s"q159: chunk rows $c10 -> $c100 not ~10x across the decade")
+      }
 
       // ---- optional THIRD decade (5M docs, ~1.5 GB text): pass
       // "--decade3" as the 3rd arg. Three decades span 1000× — a chain
@@ -172,6 +180,10 @@ object ScaleSmoke100 {
         decade3("q139_balanced_oversample", ops.DataPrep.q139BalancedOversample) { (cA, cB) =>
           assert(cB >= 5L * cA && cB <= 25L * cA,
             s"q139: oversampled rows $cA -> $cB not ~10x")
+        }
+        decade3("q159_rag_chunks", ops.DataPrep.q159RagChunks) { (cA, cB) =>
+          assert(cB >= n1000 && cB >= 5L * cA && cB <= 25L * cA,
+            s"q159: chunk rows $cA -> $cB across the third decade")
         }
       }
 
