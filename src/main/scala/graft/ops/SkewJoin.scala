@@ -126,7 +126,10 @@ object SkewJoin {
   }
 
   val q161Sql: String =
-    "SELECT event_type, count(*) AS n_values, " +
+    // count(value), not count(*): collect_list and string_agg both skip
+    // NULLs, so the row count must too or a NULL value row would desync
+    // n_values between engines (r10 advice)
+    "SELECT event_type, count(value) AS n_values, " +
       "md5(string_agg(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ',' " +
       "ORDER BY CAST(round(value * 100) AS BIGINT))) AS values_md5 " +
       "FROM events GROUP BY event_type ORDER BY event_type"

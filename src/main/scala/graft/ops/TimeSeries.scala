@@ -186,8 +186,10 @@ object TimeSeries {
   /** Bin-bucketed interval-overlap join core — every overlapping
     * (a, b) pair EXACTLY once, no distinct, no theta join. Inputs
     * carry closed micro-second intervals as (s_a, e_a) / (s_b, e_b)
-    * columns (non-negative epochs — integral `div` binning floors
-    * toward zero); overlap means s_a <= e_b AND s_b <= e_a.
+    * columns (ANY sign — binning is true floor division, so pre-1970
+    * timestamps bin correctly; `div` alone truncates toward zero and
+    * would split a bin straddling 0); overlap means
+    * s_a <= e_b AND s_b <= e_a.
     *
     * The naive plan for a pure interval predicate is a quadratic
     * BroadcastNestedLoop at ANY scale. The scale path discretizes time
@@ -202,13 +204,19 @@ object TimeSeries {
     * occupancy exactly like band width does for MinHash. */
   def intervalOverlapPairs(a: DataFrame, b: DataFrame,
       binUs: Long = OverlapBinUs): DataFrame = {
+    // exact integer floor division: subtract the non-negative pmod
+    // remainder first, then `div` is exact (numerator is a multiple of
+    // binUs). All-integer — no double round-trip that could misplace a
+    // bin near 2^53.
+    def fdiv(c: String): String =
+      s"(($c - pmod($c, $binUs)) div $binUs)"
     val aB = a.withColumn("bin",
-      explode(sequence(expr(s"s_a div $binUs"), expr(s"e_a div $binUs"))))
+      explode(sequence(expr(fdiv("s_a")), expr(fdiv("e_a")))))
     val bB = b.withColumn("bin",
-      explode(sequence(expr(s"s_b div $binUs"), expr(s"e_b div $binUs"))))
+      explode(sequence(expr(fdiv("s_b")), expr(fdiv("e_b")))))
     aB.join(bB, "bin")
       .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
-        col("bin") === expr(s"greatest(s_a, s_b) div $binUs"))
+        col("bin") === expr(fdiv("greatest(s_a, s_b)")))
       .drop("bin")
   }
 

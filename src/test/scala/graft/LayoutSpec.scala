@@ -164,7 +164,11 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nFiles = 16
     val hil = fileAreas(Layout.layoutHilbert(src, col("x"), col("y"), nFiles))
     val zed = fileAreas(Layout.layoutZOrder(src, col("x"), col("y"), nFiles))
-    assert(hil.length == nFiles && zed.length == nFiles)
+    // <= not ==: repartitionByRange's sampled boundaries can in principle
+    // leave a partition empty (fewer files) — that's sampling, not a
+    // layout bug (r10 advice)
+    assert(hil.length <= nFiles && hil.nonEmpty, s"hilbert files=${hil.length}")
+    assert(zed.length <= nFiles && zed.nonEmpty, s"zorder files=${zed.length}")
     val (fullX, fullY) = {
       val r = src.agg(max(col("x")) - min(col("x")),
         max(col("y")) - min(col("y"))).head

@@ -112,8 +112,11 @@ class ScalePrimitivesPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // spans many times the bin width, shared endpoints; bin widths from
     // 1 (every pair via its own greatest-start bin) to far beyond the
     // time range (everything in bin 0)
+    // starts straddle 0: pre-1970 epochs exercise the floor-division
+    // binning (truncate-toward-zero `div` would split the bin at 0 and
+    // drop or duplicate pairs there)
     val iv = for {
-      s <- Gen.chooseNum(0L, 500L)
+      s <- Gen.chooseNum(-250L, 250L)
       len <- Gen.frequency(3 -> Gen.const(0L), 5 -> Gen.chooseNum(1L, 40L), 2 -> Gen.chooseNum(41L, 400L))
     } yield (s, s + len)
     for ((binUs, seed) <- Seq(1L -> 1L, 7L -> 2L, 64L -> 3L, 100L -> 4L, 10000L -> 5L)) {
