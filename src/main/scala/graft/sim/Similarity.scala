@@ -179,7 +179,25 @@ object Similarity {
   private val IvfFitRounds = 20
   private val ivfFits =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  @volatile private var lastIvfFit: Option[Seq[Seq[Double]]] = None
+
+  /** Fit-interpolated oracle SQL, captured AT QUERY-BUILD TIME keyed by
+    * query NAME: when q55 builds over dir D it computes D's fit and
+    * immediately binds q55's oracle string to D's centroids. Each
+    * query's oracle therefore always describes that query's own LAST
+    * build — exactly the result Verify dumped — with no shared
+    * last-fit-wins global: interleaving q55(sfA), q98(sfB) can no
+    * longer cross-wire q55's oracle to B's fit (the r10 advice/verdict
+    * residual). Unbuilt queries yield a deliberately INVALID sentinel
+    * (see [[fitOracle]]) so a missing fit fails the driver's DuckDB
+    * parse loudly instead of passing as a vacuous 0-row comparison. */
+  private val fitOracles =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fitOracle(name: String): String =
+    Option(fitOracles.get(name)).getOrElse(
+      s"GRAFT_UNFITTED_ORACLE $name -- the fit-interpolated oracle exists " +
+        "only after the query builds in this process; emitting a parse " +
+        "error, not a vacuous 0-row query")
 
   private def ivfCentroids(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
     val fit = ivfFits.computeIfAbsent(dir, _ => {
@@ -244,7 +262,6 @@ object Similarity {
       }
       C.map(_.toIndexedSeq).toIndexedSeq
     })
-    lastIvfFit = Some(fit)
     fit
   }
 
@@ -278,6 +295,7 @@ object Similarity {
     * exact top-k. */
   def q55AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val cents = ivfCentroids(spark, dir)
+    fitOracles.put("q55_ann_ivf", q55SqlOf(cents))
     val ranked = vectors(spark, dir).withColumn("rk", cellRankCol(cents))
     val corpus = ranked.select(col("vec_id"), col("v"), col("norm"),
       col("rk").getItem(0).getField("c").as("cell"))
@@ -293,9 +311,9 @@ object Similarity {
       .limit(10)
   }
 
-  def q55Sql: String = lastIvfFit match {
-    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q55 oracle needs the fit: run q55_ann_ivf first"
-    case Some(cents) =>
+  def q55Sql: String = fitOracle("q55_ann_ivf")
+
+  private def q55SqlOf(cents: Seq[Seq[Double]]): String =
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
         "a AS (SELECT vec_id, v, rk[1].c AS cell FROM r), " +
@@ -304,7 +322,6 @@ object Similarity {
         s"SELECT a.vec_id, round(${sqlDot("a.v", "qv")} / (${sqlNorm("a.v")} * ${sqlNorm("qv")}), 6) AS sim " +
         "FROM a, q WHERE a.vec_id <> 0 AND list_contains(qcells, a.cell) " +
         "ORDER BY sim DESC, a.vec_id LIMIT 10"
-  }
 
   /** All-pairs embedding near-dup at SCALE — the bucketed replacement
     * for q34's guarded O(n²) self-join, the same role q31 plays for
@@ -353,8 +370,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }
 
-  def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame =
+  def q79EmbedNeardupBlocked(spark: SparkSession, dir: String): DataFrame = {
+    // re-resolving the memoized per-dir fit here (free) binds q79's
+    // oracle to ITS OWN dir at build time — see [[fitOracles]]
+    fitOracles.put("q79_embed_neardup_blocked", q79SqlOf(ivfCentroids(spark, dir)))
     embedNeardupPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Shared oracle CTE chain for q79/q98: multi-assign cells from the
     * pinned centroids, candidate pairs inside shared cells, exact-cosine
@@ -372,19 +393,18 @@ object Similarity {
       "FROM cand JOIN n va ON cand.id_a = va.vec_id JOIN n vb ON cand.id_b = vb.vec_id), " +
       "dup AS (SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45)"
 
-  def q79Sql: String = lastIvfFit match {
-    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q79 oracle needs the fit: run q79_embed_neardup_blocked first"
-    case Some(cents) =>
-      s"WITH ${sqlEmbedPairCtes(cents)} " +
-        "SELECT id_a, id_b, round(cos, 6) AS sim FROM dup ORDER BY id_a, id_b"
-  }
+  def q79Sql: String = fitOracle("q79_embed_neardup_blocked")
+
+  private def q79SqlOf(cents: Seq[Seq[Double]]): String =
+    s"WITH ${sqlEmbedPairCtes(cents)} " +
+      "SELECT id_a, id_b, round(cos, 6) AS sim FROM dup ORDER BY id_a, id_b"
 
   /** q98 oracle: the q79 pair chain feeding the q65-style recursive-CTE
     * connected components (min-label canonicalization — identical to what
     * starContractClusters converges to), then the anti-join survivor set. */
-  def q98Sql: String = lastIvfFit match {
-    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q98 oracle needs the fit: run q98_semantic_prune first"
-    case Some(cents) =>
+  def q98Sql: String = fitOracle("q98_semantic_prune")
+
+  private def q98SqlOf(cents: Seq[Seq[Double]]): String =
       s"WITH RECURSIVE ${sqlEmbedPairCtes(cents)}, " +
         "edges AS (SELECT id_a AS u, id_b AS v FROM dup " +
         "UNION ALL SELECT id_b AS u, id_a AS v FROM dup), " +
@@ -394,7 +414,6 @@ object Similarity {
         "SELECT em.vec_id FROM embeddings em WHERE NOT EXISTS " +
         "(SELECT 1 FROM clus c WHERE c.vid = em.vec_id AND c.vid <> c.cluster_id) " +
         "ORDER BY em.vec_id"
-  }
 
   /** Blocked fuzzy string matching (entity resolution): probe names —
     * each a deterministic transposition of a sampled part name — are
@@ -496,8 +515,6 @@ object Similarity {
   // to the ADC scan.
   private val PqShortlist = 256
 
-  @volatile private var lastPqFit: Option[Seq[Seq[Seq[Double]]]] = None
-
   /** q137: product-quantization ANN with exact re-rank (Jégou/Douze/
     * Schmid 2011; the shortlist-then-refine shape production PQ indexes
     * ship): split each L2-normalized embedding into [[PqM]] subvectors,
@@ -578,7 +595,7 @@ object Similarity {
       C.map(_.toIndexedSeq).toIndexedSeq
     }
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map(fitCodebook)
-    lastPqFit = Some(codebooks)
+    fitOracles.put("q137_ann_pq", q137SqlOf(codebooks))
     // encode: argmin_c |u_s - c|² ranks by (|c|² - 2·u_s·c) since |u_s|²
     // is row-constant (the q79 cellRank trick)
     def codeCol(s: Int): Column = {
@@ -622,9 +639,9 @@ object Similarity {
     * mirrors the Spark plan (range-indexed list_reduce = vec_dot's
     * left-to-right accumulation; `+`-chained ADC = the left-assoc
     * `reduce(_ + _)`), so both engines compare identical IEEE doubles. */
-  def q137Sql: String = lastPqFit match {
-    case None => "SELECT 1 AS unfitted WHERE 1 = 0 -- q137 oracle needs the fit: run q137_ann_pq first"
-    case Some(cbs) =>
+  def q137Sql: String = fitOracle("q137_ann_pq")
+
+  private def q137SqlOf(cbs: Seq[Seq[Seq[Double]]]): String = {
       def dot8(a: String, b: String): String =
         s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
       def cl(c: Seq[Double]): String = c.map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
@@ -668,6 +685,7 @@ object Similarity {
     * + NOT EXISTS anti-join); DedupSimSpec additionally bounds it
     * against the exact-pair-fed twin. */
   def q98SemanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    fitOracles.put("q98_semantic_prune", q98SqlOf(ivfCentroids(spark, dir)))
     val kept = graft.dedup.Dedup.dedupedCorpus(
       vectors(spark, dir).select(col("vec_id").as("doc_id")),
       embedNeardupPairs(spark, dir).select(col("id_a"), col("id_b")),
@@ -991,11 +1009,14 @@ object Similarity {
     "q137_ann_pq" -> q137AnnPq _
   )
 
-  /** A `def`, not a `val`: the q55/q79/q98 oracles interpolate the
-    * pinned IVF centroids, which exist only after the corresponding
-    * query has run (Verify dumps oracle SQL after running the board, so
-    * the fit is always present by then; the unfitted fallback strings
-    * are never compared). */
+  /** A `def`, not a `val`: the q55/q79/q98/q137 oracles interpolate the
+    * pinned fits, which exist only after the corresponding query has
+    * BUILT (Verify dumps oracle SQL after running the board, so they're
+    * always bound by then). Each entry reads the [[fitOracles]]
+    * per-name capture — the oracle always matches that query's own
+    * last build, independent of what other fit queries ran since; an
+    * unbuilt query emits a parse-error sentinel, never a vacuous
+    * 0-row query. */
   def oracle: Map[String, String] = Map(
     "q55_ann_ivf" -> q55Sql,
     "q137_ann_pq" -> q137Sql,

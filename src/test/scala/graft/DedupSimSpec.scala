@@ -927,4 +927,38 @@ class DedupSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length < nNames * (nNames - 1) / 4,
       s"${rows.length} candidates vs ${nNames} names — blocking should prune most pairs")
   }
+
+  test("fit-interpolated oracles bind per query name at build time, independent of interleaving") {
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = dir // sf0.01 — a different corpus, hence a different fit
+    def oracle(name: String): String = sim.Similarity.oracle(name)
+    // q55 on A then B: the dumped oracle must describe B (the last
+    // build — exactly the parquet Verify would have overwritten with)
+    sim.Similarity.q55AnnIvf(spark, dirA).collect()
+    val a55 = oracle("q55_ann_ivf")
+    sim.Similarity.q55AnnIvf(spark, dirB).collect()
+    val b55 = oracle("q55_ann_ivf")
+    assert(a55 != b55, "different corpora must pin different centroids")
+    // the r10 failure mode: ANOTHER fit query running on a different
+    // dir must NOT cross-wire q55's oracle (the old shared last-fit
+    // global did exactly that)
+    sim.Similarity.q79EmbedNeardupBlocked(spark, dirA).collect()
+    val a79 = oracle("q79_embed_neardup_blocked")
+    assert(oracle("q55_ann_ivf") == b55,
+      "q79(dirA) must not rebind q55's oracle away from its own last build")
+    sim.Similarity.q79EmbedNeardupBlocked(spark, dirB).collect()
+    assert(oracle("q79_embed_neardup_blocked") != a79,
+      "q79's own rebuild on another dir rebinds q79's oracle (and only q79's)")
+    assert(oracle("q55_ann_ivf") == b55)
+    // the old 0-row fallback is gone for good: a fit oracle is either a
+    // real WITH query or the loud GRAFT_UNFITTED_ORACLE parse-error
+    // sentinel — never syntactically valid emptiness
+    Seq("q55_ann_ivf", "q79_embed_neardup_blocked", "q98_semantic_prune",
+      "q137_ann_pq").foreach { n =>
+      val s = oracle(n)
+      assert(!s.contains("WHERE 1 = 0"), s"$n: vacuous fallback resurfaced")
+      assert(s.startsWith("WITH") || s.startsWith("GRAFT_UNFITTED_ORACLE"), n)
+    }
+    Caches.drain()
+  }
 }
