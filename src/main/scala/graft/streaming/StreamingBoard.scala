@@ -71,20 +71,50 @@ object StreamingBoard {
   def q146QuotaCapStream(spark: SparkSession, dir: String): DataFrame =
     q146Impl(spark, dir, graft.RunTag.scratchFresh("q146"))
 
-  private[graft] def q146Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
-    import spark.implicits._
+  /** q146's staging — the two doc_id-halves, `upTo`-gated like
+    * [[q148Stage]] so the crash-recovery spec can deliver the first
+    * half, interrupt, and deliver the second against the restarted
+    * checkpoint. */
+  private[graft] def q146Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2, loCount: Option[Int] = None): org.apache.spark.sql.types.StructType = {
     val in = s"$root/in"; new java.io.File(in).mkdirs()
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
-    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    // default split: the doc_id-range midpoint (the board delivery).
+    // loCount=Some(n) cuts after the n smallest doc_ids instead — the
+    // crash-recovery spec uses a cut small enough that every source is
+    // PART-filled at the boundary, so the restart must resume admission
+    // counters mid-count rather than merely hold a saturated cap.
+    val cut = loCount match {
+      case Some(n) => docs.orderBy(col("doc_id")).limit(n)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      case None =>
+        val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+        mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    }
     val base = System.currentTimeMillis()
-    addFile(docs.filter(col("doc_id") <= mid), in, "00-a.parquet", base - 240000)
-    addFile(docs.filter(col("doc_id") > mid), in, "01-b.parquet", base - 120000)
-    val stream = spark.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in).as[QuotaDoc]
-    drainToParquet(Streaming.quotaCapStateful(stream), root)
-      .select(col("doc_id"), col("source"), col("rk"))
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (docs.filter(col("doc_id") <= cut), "00-a.parquet", base - 240000),
+      (docs.filter(col("doc_id") > cut), "01-b.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    docs.schema
+  }
+
+  private[graft] def q146Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.Dataset[QuotaOut] = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[QuotaDoc]
+    Streaming.quotaCapStateful(stream)
+  }
+
+  private[graft] def q146Post(sink: DataFrame): DataFrame =
+    sink.select(col("doc_id"), col("source"), col("rk"))
       .orderBy(col("doc_id"))
+
+  private[graft] def q146Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q146Stage(spark, dir, root)
+    q146Post(drainToParquet(q146Query(spark, schema, root), root))
   }
 
   /** First-N-per-source in doc_id (arrival) order — the batch twin of the
@@ -137,6 +167,45 @@ object StreamingBoard {
       "FROM events e JOIN st USING (event_type) WHERE st.vr > 0) " +
       "SELECT event_id, event_type, value, round(z, 6) AS z_score " +
       "FROM fl WHERE abs(z) > 3.0 ORDER BY event_id"
+
+  /** q147's 2-file staging — FOR THE CRASH-RECOVERY SPEC ONLY: the
+    * events table split at its event-time midpoint (the q148 delivery
+    * shape, minus sentinels — NoTimeout moment state needs no watermark
+    * push to emit). The BOARD row above stays the pinned single-batch
+    * replay (its batch-parity oracle depends on the fold-then-flag
+    * algebra seeing the whole corpus at once); this seam exists so the
+    * spec can prove the per-type (n, Σx, Σx²) state survives a restart
+    * — batch 2's z-scores must be computed against moments that INCLUDE
+    * batch 1's contribution reloaded from the checkpoint. */
+  private[graft] def q147Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2): org.apache.spark.sql.types.StructType = {
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val mm = evs.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val mid = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
+    val base = System.currentTimeMillis()
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (evs.filter(col("ts") <= mid), "00-early.parquet", base - 240000),
+      (evs.filter(col("ts") > mid), "01-late.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    evs.schema
+  }
+
+  private[graft] def q147Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.Dataset[AnomalyOut] = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    Streaming.anomaliesStateful(stream)
+  }
+
+  private[graft] def q147Post(sink: DataFrame): DataFrame =
+    sink.select(col("event_id"), col("event_type"), col("value"), col("z_score"))
+      .orderBy(col("event_id"))
 
   /** q148: stateful gap fill + LOCF, materialized. Four micro-batches:
     * the events table split at its event-time midpoint (in-event-time-

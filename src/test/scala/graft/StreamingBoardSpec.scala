@@ -158,6 +158,108 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the restarted query emitted nothing — open sessions were not recovered from state")
   }
 
+  test("q146 crash-recovery: part-filled admission counters resume from the checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    // cut after the 97 smallest doc_ids: every source sits PART-WAY
+    // through its quota at the file boundary (~5 of 10 admitted), so a
+    // restart that reset the counters would re-admit cap more rows per
+    // source with duplicate ranks — the strictest admission scenario
+    val cut = 97
+    // uninterrupted reference over the SAME split
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q146ref").toString
+    val refSchema = StreamingBoard.q146Stage(spark, sf, refRoot, upTo = 2, loCount = Some(cut))
+    def run(root: String, schema: org.apache.spark.sql.types.StructType) = {
+      val q = StreamingBoard.q146Query(spark, schema, root).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(refRoot, refSchema)
+    val want = StreamingBoard.q146Post(spark.read.parquet(s"$refRoot/out"))
+      .collect().map(_.toSeq).toSet
+    // interrupted run: deliver ONLY the first file, drain to a
+    // deterministic stop (AvailableNow ends with every counter mid-way),
+    // then deliver the second file and restart from the checkpoint
+    val root = java.nio.file.Files.createTempDirectory("graft_q146recov").toString
+    val schema = StreamingBoard.q146Stage(spark, sf, root, upTo = 1, loCount = Some(cut))
+    run(root, schema)
+    assert(nBatches(root) == 1, "one delivered file = one batch before the interruption")
+    val mid = spark.read.parquet(s"$root/out")
+    val partFilled = mid.groupBy(col("source")).agg(max(col("rk")).as("m"))
+      .filter(col("m") < 10).count()
+    assert(partFilled > 0,
+      "no source was part-filled at the interruption — the resume case went untested")
+    StreamingBoard.q146Stage(spark, sf, root, upTo = 2, loCount = Some(cut))
+    run(root, schema)
+    assert(nBatches(root) >= 2, "restart must process the second file")
+    val got = StreamingBoard.q146Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      s"recovered admissions diverge: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // counter reset would also surface as duplicate (source, rk) pairs
+    val dups = spark.read.parquet(s"$root/out")
+      .groupBy(col("source"), col("rk")).count().filter(col("count") > 1).count()
+    assert(dups == 0, "duplicate ranks — admission counters restarted from zero")
+    // and the online semantics still equal the batch first-N window
+    val batchWin = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap(_.sortBy(_._1).take(10).zipWithIndex
+        .map { case ((id, s), i) => Seq(id, s, i + 1L) }).toSet
+    assert(got === batchWin)
+  }
+
+  test("q147 crash-recovery: per-type moment state (NoTimeout) survives a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two-file delivery (event-time halves). The recovery contract: a
+    // query stopped after batch 1 and restarted from its checkpoint
+    // flags batch 2 against moments that INCLUDE batch 1's (n, Σx, Σx²)
+    // — identical to the uninterrupted two-batch run. (The board row
+    // stays the single-batch replay; this pins the state round-trip.)
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q147ref").toString
+    val refSchema = StreamingBoard.q147Stage(spark, sf, refRoot, upTo = 2)
+    def start(root: String, schema: org.apache.spark.sql.types.StructType) =
+      StreamingBoard.q147Query(spark, schema, root).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    val qr = start(refRoot, refSchema); qr.awaitTermination()
+    assert(nBatches(refRoot) >= 2, "reference must span micro-batches")
+    val want = StreamingBoard.q147Post(spark.read.parquet(s"$refRoot/out"))
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "no anomalies at all — the parity check would be vacuous")
+    // interrupted run: stage file 1 only, drain (deterministic stop with
+    // all moment state mid-corpus), stage file 2, restart
+    val root = java.nio.file.Files.createTempDirectory("graft_q147recov").toString
+    val schema = StreamingBoard.q147Stage(spark, sf, root, upTo = 1)
+    val q1 = start(root, schema); q1.awaitTermination()
+    assert(nBatches(root) == 1)
+    StreamingBoard.q147Stage(spark, sf, root, upTo = 2)
+    val q2 = start(root, schema); q2.awaitTermination()
+    assert(nBatches(root) >= 2, "restart must process the second file")
+    val got = StreamingBoard.q147Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.toSet === want.toSet,
+      s"recovered flags diverge: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    // non-vacuity: batch 2 contributed flags, and every event type
+    // straddles the split — so those flags' moments necessarily fold the
+    // RELOADED batch-1 state, not a fresh zero
+    val evs = Tables.events(spark, sf).select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val mm = evs.agg(min(col("ts")), max(col("ts"))).head
+    val midTs = new java.sql.Timestamp(
+      mm.getTimestamp(0).getTime + (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 2)
+    val straddle = evs.groupBy(col("event_type"))
+      .agg(sum(when(col("ts") <= midTs, 1).otherwise(0)).as("lo"),
+        sum(when(col("ts") > midTs, 1).otherwise(0)).as("hi"))
+      .filter(col("lo") === 0 || col("hi") === 0).count()
+    assert(straddle == 0, "every event type must have events in both halves")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
