@@ -202,14 +202,18 @@ object TimeSeries {
     * key at 100 TB, candidate work is bin-local, and bin width tunes
     * explode fan-out (len/binUs + 1 rows per interval) against bucket
     * occupancy exactly like band width does for MinHash. */
+  /** Exact integer floor division of expression `c` by `binUs`:
+    * subtract the non-negative pmod remainder first, then `div` is
+    * exact (numerator is a multiple of binUs). All-integer — no double
+    * round-trip that could misplace a bin near 2^53. Shared with the
+    * interval-skew stress tool so its Σ(bins-per-interval) fan-out law
+    * uses the operator's own binning, not a re-derivation. */
+  private[graft] def binFdiv(c: String, binUs: Long): String =
+    s"(($c - pmod($c, $binUs)) div $binUs)"
+
   def intervalOverlapPairs(a: DataFrame, b: DataFrame,
       binUs: Long = OverlapBinUs): DataFrame = {
-    // exact integer floor division: subtract the non-negative pmod
-    // remainder first, then `div` is exact (numerator is a multiple of
-    // binUs). All-integer — no double round-trip that could misplace a
-    // bin near 2^53.
-    def fdiv(c: String): String =
-      s"(($c - pmod($c, $binUs)) div $binUs)"
+    def fdiv(c: String): String = binFdiv(c, binUs)
     val aB = a.withColumn("bin",
       explode(sequence(expr(fdiv("s_a")), expr(fdiv("e_a")))))
     val bB = b.withColumn("bin",

@@ -136,4 +136,37 @@ class ScalePrimitivesPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.distinct == got, s"binUs=$binUs produced duplicate pairs")
     }
   }
+
+  test("intervalOverlapPairs on the adversarial shape: heavy-tailed lengths + a hot bin, two widths") {
+    import spark.implicits._
+    // the IntervalSkewStress corpus at sbt-test scale: 1% of intervals
+    // span 100-300 bins (heavy tail), 15% of probe starts collapse
+    // into bin 0 (the storm). Deterministic (content-hash), so this is
+    // the same shape the manual stress tool measures at 500k.
+    val binUs = 1000L
+    val a = IntervalSkewStress.intervals(spark, 3000L, binUs, 50, "a", 0.0, 11)
+    val b = IntervalSkewStress.intervals(spark, 300L, binUs, 50, "b", 0.15, 77)
+    val as = a.as[(Long, Long, Long)].collect()
+    val bs = b.as[(Long, Long, Long)].collect()
+    val naive = (for {
+      (ai, sa, ea) <- as; (bi, sb, eb) <- bs
+      if sa <= eb && sb <= ea
+    } yield (ai, bi)).sorted.toSeq
+    assert(naive.size > 1000, s"adversarial corpus too sparse (${naive.size} pairs)")
+    for (w <- Seq(binUs / 4, binUs, binUs * 4)) {
+      val got = ops.TimeSeries.intervalOverlapPairs(a, b, w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"w=$w: ${got.size} vs ${naive.size} pairs")
+      // the fan-out law on the heavy tail: explode rows == Σ(bins per
+      // interval), with the operator's own floor-division binning
+      def law(df: org.apache.spark.sql.DataFrame, s: String, e: String): Long =
+        df.agg(sum(expr(ops.TimeSeries.binFdiv(e, w)) -
+          expr(ops.TimeSeries.binFdiv(s, w)) + lit(1L))).head.getLong(0)
+      def exploded(df: org.apache.spark.sql.DataFrame, s: String, e: String): Long =
+        df.withColumn("bin", explode(sequence(
+          expr(ops.TimeSeries.binFdiv(s, w)), expr(ops.TimeSeries.binFdiv(e, w))))).count()
+      assert(exploded(a, "s_a", "e_a") == law(a, "s_a", "e_a"), s"w=$w side a")
+      assert(exploded(b, "s_b", "e_b") == law(b, "s_b", "e_b"), s"w=$w side b")
+    }
+  }
 }
