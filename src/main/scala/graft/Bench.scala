@@ -53,6 +53,57 @@ object Bench {
       jsonLine(results, sfDir, short, decimals = 1, includeQueries = false))
   }
 
+  /** Per-query seconds from the newest committed `BENCH_r*.json` under
+    * `dir` — the previous round's board, read back so THIS round can
+    * append a `#2` repeat for any query that drifted against it (r10
+    * verdict: q41/q43/q120-q122 drifted with no self-adjudication
+    * because the fixed hot-5 sentinel set didn't cover them). Keys are
+    * compactLine's short form. Best-effort telemetry: any read/parse
+    * failure → empty map, never a bench abort. */
+  private[graft] def previousBench(dir: String = "."): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val re = raw"BENCH_r(\d+)\.json".r
+      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match { case re(n) => Some(n.toInt -> f); case _ => None })
+      if (fs.isEmpty) return Map.empty
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(fs.maxBy(_._1)._2.toPath), "UTF-8")
+      val tail = JsonMethods.parse(txt) \ "tail" match {
+        case JString(s) => s; case _ => return Map.empty
+      }
+      // the LAST "{"metric":...}" line in the tail is the compact line
+      // (the full-name line precedes it and may be head-truncated)
+      val i = tail.lastIndexOf("{\"metric\":")
+      if (i < 0) return Map.empty
+      JsonMethods.parse(tail.substring(i).takeWhile(_ != '\n').trim) \ "queries" match {
+        case JObject(kv) => kv.collect {
+          case (k, JDouble(v)) if !k.contains("#") => k -> v
+          case (k, JInt(v)) if !k.contains("#") => k -> v.toDouble
+          case (k, JDecimal(v)) if !k.contains("#") => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Queries whose time regressed past BOTH a 1.5× ratio and +0.8 s vs
+    * the previous round (the sub-second noise band never trips both),
+    * worst ratio first, capped at `cap`. These get their own trailing
+    * `#2` repeats so every round-over-round regression arrives
+    * pre-adjudicated — a real slowdown repeats slow, driver noise lands
+    * back at band (the r10 q119 sentinel, generalized). */
+  private[graft] def drifted(board: Seq[(String, Double)],
+      prev: Map[String, Double], exclude: Set[String], cap: Int = 8): Seq[String] = {
+    val shortOf = (n: String) => n.takeWhile(_ != '_').stripPrefix("q")
+    if (prev.isEmpty) Seq.empty
+    else board.filter { case (n, t) =>
+      !exclude.contains(n) &&
+        prev.get(shortOf(n)).exists(p => t > 1.5 * p && t > p + 0.8)
+    }.sortBy { case (n, t) => -(t / prev(shortOf(n))) }.take(cap).map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // environment contract: local[32], shuffle.partitions=32 (not 200)
@@ -125,8 +176,13 @@ object Bench {
         if (sys.env.getOrElse("SPARK_GRAFT_SENTINELS", "1") == "0") board
         else {
           val hot = board.sortBy(-_._2).take(5).map(_._1)
+          // drift repeats: queries that regressed vs the committed
+          // previous-round BENCH file also re-time, so the board carries
+          // its own adjudication for EVERY regression, not just the five
+          // hottest rows
+          val drift = drifted(board, previousBench(), hot.toSet)
           val byName = sorted.toMap
-          board ++ hot.map { name =>
+          board ++ (hot ++ drift).map { name =>
             val label = name.takeWhile(_ != '_') + "#2" + name.dropWhile(_ != '_')
             label -> timeOne(name, byName(name))
           }

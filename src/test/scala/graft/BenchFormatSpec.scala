@@ -55,6 +55,57 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((j \ "total") != JNothing)
   }
 
+  test("compact line fits the tail window with hot-5 AND the full drift-repeat cap") {
+    val names = SparkEntry.queries.keys.toSeq
+    val repeats = names.take(13).map(n => // 5 hot + up to 8 drifted
+      n.takeWhile(_ != '_') + "#2" + n.dropWhile(_ != '_'))
+    // 2-digit seconds here, not the 3-digit worst case the hot-5 test
+    // uses: at 175 rows a board of uniformly >100-second queries MAY
+    // shed the map (the total always survives — asserted below), but
+    // the realistic bound (slowest board rows ~11 s; any query past
+    // 99 s is a regression the total screams about anyway) must keep
+    // per-query visibility
+    val line = Bench.compactLine((names ++ repeats).map(_ -> 45.678), "/root/testdata/sf0.1")
+    assert(line.length < TailBudget,
+      s"compact line with 13 repeats is ${line.length} chars — exceeds $TailBudget")
+    val j = JsonMethods.parse(line)
+    assert((j \ "queries") != JObject(Nil),
+      s"per-query map dropped at ${names.size + 13} rows — widen the budget gears")
+    // and even at the 3-digit worst case the line parses with its total
+    val worst = JsonMethods.parse(
+      Bench.compactLine(fakeTimes(names ++ repeats), "/root/testdata/sf0.1"))
+    assert((worst \ "total") != JNothing && (worst \ "n_queries") == JInt(names.size + 13))
+  }
+
+  test("previousBench reads the newest committed round's compact line; drift rule fires correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prevbench").toFile
+    def write(n: Int, tail: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(dir, s"BENCH_r$n.json").toPath,
+        s"""{"n":$n,"rc":0,"tail":${org.json4s.jackson.JsonMethods.compact(org.json4s.JString(tail))}}""")
+    // older round should be ignored; newest wins
+    write(3, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":9.0},\"total\":9}\n")
+    write(7, "noise head {\"metric\":\"total\",\"value\":1,\"queries\":" +
+      "{\"01\":2.0,\"41\":1.9,\"119#2\":6.2,\"10b\":1},\"total\":1}\n[success]")
+    val prev = Bench.previousBench(dir.getAbsolutePath)
+    assert(prev == Map("01" -> 2.0, "41" -> 1.9, "10b" -> 1.0),
+      s"sentinel keys excluded, newest round read: $prev")
+    // drift: needs BOTH 1.5x and +0.8s — the sub-second noise band
+    // (0.2 -> 0.5) trips the ratio but not the floor; q41's real r10
+    // drift (1.9 -> 3.2) trips both
+    val board = Seq("q41_string_funcs" -> 3.2, "q01_pricing" -> 2.3,
+      "q10b_hll" -> 0.5, "q99_new_query" -> 50.0)
+    val d = Bench.drifted(board, prev, exclude = Set.empty)
+    assert(d == Seq("q41_string_funcs"),
+      s"expected exactly the q41-style drift (got $d): q01 +0.3 under floor, " +
+        "q10b shrank, q99 has no previous entry")
+    // hot-set exclusion: a query already repeating as a hot sentinel
+    // must not repeat twice
+    assert(Bench.drifted(board, prev, exclude = Set("q41_string_funcs")).isEmpty)
+    // absent history -> no repeats, never an abort
+    assert(Bench.drifted(board, Map.empty, Set.empty).isEmpty)
+    assert(Bench.previousBench(java.nio.file.Files.createTempDirectory("graft_nope").toString).isEmpty)
+  }
+
   test("short keys remain unique across the real query surface") {
     val names = SparkEntry.queries.keys.toSeq
     val short = names.map(_.takeWhile(_ != '_'))
