@@ -186,6 +186,174 @@ object Layout {
       "SELECT o_orderkey, o_custkey, day_num, hd AS hval FROM h0 ORDER BY o_orderkey"
   }
 
+  /** d-dimensional Z-value: bit-interleave `xs` (each masked to `bits`)
+    * with dim 0 most significant within each level group — the 2-arg
+    * [[zValue]] generalized to the real lakehouse case of 3–4
+    * clustering columns. Flat shift/mask/or arithmetic, codegen'd.
+    * Requires d·bits <= 63 (the code must fit one signed long). */
+  def zValueD(xs: Seq[Column], bits: Int): Column = {
+    val n = xs.size
+    require(n >= 2 && n * bits <= 63, s"zValueD: d=$n bits=$bits out of range")
+    val mask = lit((1L << bits) - 1)
+    (for { k <- 0 until bits; i <- 0 until n } yield {
+      val xm = xs(i).cast("long").bitwiseAND(mask)
+      shiftleft(shiftright(xm, k).bitwiseAND(lit(1L)), k * n + (n - 1 - i))
+    }).reduce(_.bitwiseOR(_))
+  }
+
+  /** d-dimensional Hilbert index of non-negative coords `xs`, each
+    * masked to `bits` bits — [[hilbertValue]] generalized past 2-D via
+    * the transpose formulation of Butz's algorithm (Butz 1971; the
+    * compact bit-twiddling form is Skilling, "Programming the Hilbert
+    * curve", AIP Conf. Proc. 707, 2004 — both public). Same reason to
+    * exist as 2-D: strictly better range locality than Morton for the
+    * same file count; real tables cluster on 3–4 columns.
+    *
+    * Shape: the per-level inverse-undo walk is state-carrying (each
+    * level's invert-or-exchange feeds the next), so like the 2-D walk
+    * it runs as ONE Catalyst `aggregate` fold over the bit levels —
+    * linear-size plan, zero UDFs. Everything after the fold (Gray
+    * encode, the twist constant t, the final bit interleave into a
+    * long) references the fold's accumulator ONLY through the finish
+    * lambda's variable, so the d·bits interleave terms are variable
+    * reads, not re-evaluations of the fold. The transposed-index bit
+    * layout (X[i] bit k → index bit k·n + (n−1−i)) follows the paper's
+    * convention. Requires d·bits <= 63. */
+  def hilbertValueD(xs: Seq[Column], bits: Int): Column = {
+    val n = xs.size
+    require(n >= 2 && n * bits <= 63, s"hilbertValueD: d=$n bits=$bits out of range")
+    val mask = lit((1L << bits) - 1)
+    // inverse-undo levels: Q = 2^(bits-1) down to 2
+    val levels = (1 until bits).reverse.map(i => 1L << i)
+    def names(c: Column): IndexedSeq[Column] =
+      (0 until n).map(i => c.getField(s"x$i"))
+    aggregate(
+      typedLit(levels),
+      struct(xs.zipWithIndex.map { case (c, i) =>
+        c.cast("long").bitwiseAND(mask).as(s"x$i") }: _*),
+      (acc, q) => {
+        val p = q - 1
+        var x = names(acc)
+        // sequential over dims: X[0] mutates at every step, so each
+        // step's condition reads the CURRENT values (depth O(d) per
+        // level — the fold materializes the struct between levels)
+        for (i <- 0 until n) {
+          val cond = x(i).bitwiseAND(q) =!= 0
+          if (i == 0) {
+            x = x.updated(0, when(cond, x(0).bitwiseXOR(p)).otherwise(x(0)))
+          } else {
+            val t = x(0).bitwiseXOR(x(i)).bitwiseAND(p)
+            val nx0 = when(cond, x(0).bitwiseXOR(p)).otherwise(x(0).bitwiseXOR(t))
+            val nxi = when(cond, x(i)).otherwise(x(i).bitwiseXOR(t))
+            x = x.updated(0, nx0).updated(i, nxi)
+          }
+        }
+        struct(x.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
+      },
+      acc => {
+        // Gray encode: X[i] ^= X[i-1], sequential over dims
+        var x = names(acc)
+        for (i <- 1 until n) x = x.updated(i, x(i).bitwiseXOR(x(i - 1)))
+        // twist constant: t ^= Q-1 for every set bit Q>1 of X[n-1]
+        val t = (1 until bits).map { k =>
+          val q = 1L << k
+          when(x(n - 1).bitwiseAND(lit(q)) =!= 0, lit(q - 1)).otherwise(lit(0L))
+        }.reduce(_.bitwiseXOR(_))
+        val xf = x.map(_.bitwiseXOR(t))
+        // transposed-form interleave into the single index long
+        (for { k <- 0 until bits; i <- 0 until n } yield
+          shiftleft(shiftright(xf(i), k).bitwiseAND(lit(1L)), k * n + (n - 1 - i))
+        ).reduce(_.bitwiseOR(_))
+      })
+  }
+
+  /** The d-dimensional layout operator — [[layoutHilbert]] for 3–4
+    * clustering columns: range-normalize every key into the 2^bits
+    * domain (one broadcast 1-row bounds join), cluster by the d-dim
+    * Hilbert index, one range-repartition, sort within files. */
+  def layoutHilbertD(df: DataFrame, keys: Seq[Column], n: Int,
+      bits: Int = 12): DataFrame = {
+    val top = (1L << bits) - 1
+    val bexprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
+      min(k).cast("long").as(s"_lo$i"), max(k).cast("long").as(s"_hi$i")) }
+    val bounds = df.agg(bexprs.head, bexprs.tail: _*)
+    def norm(c: Column, i: Int): Column =
+      ((c.cast("long") - col(s"_lo$i")).cast("double") * top /
+        greatest(col(s"_hi$i") - col(s"_lo$i"), lit(1L)).cast("double")).cast("long")
+    val dropCols = keys.indices.flatMap(i => Seq(s"_lo$i", s"_hi$i"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_h", hilbertValueD(keys.zipWithIndex.map {
+        case (k, i) => norm(k, i) }, bits))
+      .drop(dropCols: _*)
+      .repartitionByRange(n, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
+  /** q162: the 3-D Hilbert indices over orders — (customer, order-day,
+    * price-cents) masked to 8 bits each, the q160 policy lifted to the
+    * multi-column clustering case. Hash-checked: the DuckDB oracle
+    * replays the identical Skilling walk with the 7 inverse-undo levels
+    * × 3 per-dim steps unrolled as chained CTE stages, then the Gray /
+    * twist / interleave algebra. */
+  def q162Hilbert3d(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayNum.cast("long").as("day_num"), cents.as("price_cents"),
+        hilbertValueD(Seq(col("o_custkey"), dayNum, cents), 8).as("hval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q162Sql: String = {
+    val bits = 8; val n = 3
+    val keys = "o_orderkey, o_custkey, day_num, price_cents"
+    val init = "s0 AS (SELECT o_orderkey, o_custkey, " +
+      "date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, " +
+      "CAST(o_custkey & 255 AS BIGINT) AS x0, " +
+      "CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) & 255 AS BIGINT) AS x1, " +
+      "CAST(CAST(round(o_totalprice * 100) AS BIGINT) & 255 AS BIGINT) AS x2 FROM orders)"
+    // inverse-undo: levels Q = 128..2, each level = 3 sequential steps
+    var stage = 0
+    val undo = (1 until bits).reverse.flatMap { k =>
+      val q = 1L << k; val p = q - 1
+      (0 until n).map { i =>
+        val prev = s"s$stage"; stage += 1
+        val body =
+          if (i == 0)
+            s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2"
+          else {
+            val others = (1 until n).filter(_ != i).map(j => s"x$j").mkString(", ")
+            s"CASE WHEN (x$i & $q) != 0 THEN xor(x0, $p) " +
+              s"ELSE xor(x0, xor(x0, x$i) & $p) END AS x0, " +
+              s"CASE WHEN (x$i & $q) != 0 THEN x$i " +
+              s"ELSE xor(x$i, xor(x0, x$i) & $p) END AS x$i" +
+              (if (others.nonEmpty) s", $others" else "")
+          }
+        s"s$stage AS (SELECT $keys, $body FROM $prev)"
+      }
+    }
+    val gray = { val prev = s"s$stage"; stage += 1
+      // sequential Gray: x1 ^= x0 then x2 ^= (new) x1 — one stage each
+      Seq(s"s$stage AS (SELECT $keys, x0, xor(x1, x0) AS x1, x2 FROM $prev)",
+        { val p2 = s"s$stage"; stage += 1
+          s"s$stage AS (SELECT $keys, x0, x1, xor(x2, x1) AS x2 FROM $p2)" })
+    }
+    val tExpr = (1 until bits).map { k => val q = 1L << k
+      s"(CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+    }.reduce((a, b) => s"xor($a, $b)")
+    val twist = { val prev = s"s$stage"; stage += 1
+      s"s$stage AS (SELECT $keys, xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2 " +
+        s"FROM (SELECT *, $tExpr AS t FROM $prev))"
+    }
+    val interleave = (for { k <- 0 until bits; i <- 0 until n } yield
+      s"(((x$i >> $k) & 1) << ${k * n + (n - 1 - i)})").mkString(" | ")
+    s"WITH $init, ${(undo ++ gray :+ twist).mkString(", ")} " +
+      s"SELECT $keys, ($interleave) AS hval FROM s$stage ORDER BY o_orderkey"
+  }
+
   /** Small-file compaction — the other half of layout governance (a
     * streaming/incremental writer leaves thousands of KB-scale files;
     * at 100 TB the resulting open/footer/seek overhead dominates scan
@@ -221,9 +389,11 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_zorder" -> q97ZOrder _,
-    "q160_hilbert" -> q160HilbertOrder _)
+    "q160_hilbert" -> q160HilbertOrder _,
+    "q162_hilbert3d" -> q162Hilbert3d _)
 
   val oracle: Map[String, String] = Map(
     "q97_zorder" -> q97Sql,
-    "q160_hilbert" -> q160Sql)
+    "q160_hilbert" -> q160Sql,
+    "q162_hilbert3d" -> q162Sql)
 }

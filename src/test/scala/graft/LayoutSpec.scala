@@ -292,6 +292,90 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"Hilbert mean file bbox $hBox%.1f should beat Morton's $zBox%.1f")
   }
 
+  test("hilbertValueD: bijective and unit-step in 3-D and 4-D (exhaustive grids)") {
+    import ops.Layout
+    import spark.implicits._
+    // d=3, bits=3: all 512 cells — bijection onto 0..511 and every
+    // consecutive index pair at Manhattan distance EXACTLY 1 (the
+    // defining Hilbert property; any bug in the transpose walk's
+    // invert/exchange or the twist constant breaks it within 512 steps)
+    val g3 = (for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val h3 = g3.select(col("x"), col("y"), col("z"),
+        Layout.hilbertValueD(Seq(col("x"), col("y"), col("z")), bits = 3).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(h3.values.toSet == (0L until 512L).toSet, "3-D: not a bijection onto 0..511")
+    val by3 = h3.map(_.swap)
+    (0L until 511L).foreach { d =>
+      val (a, b) = (by3(d), by3(d + 1))
+      val dist = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) + math.abs(a._3 - b._3)
+      assert(dist == 1, s"3-D step $d -> ${d + 1}: $a to $b (dist $dist)")
+    }
+    // d=4, bits=2: all 256 cells, same two properties
+    val g4 = (for (x <- 0 until 4; y <- 0 until 4; z <- 0 until 4; w <- 0 until 4)
+      yield (x.toLong, y.toLong, z.toLong, w.toLong)).toDF("x", "y", "z", "w")
+    val h4 = g4.select(col("x"), col("y"), col("z"), col("w"),
+        Layout.hilbertValueD(Seq(col("x"), col("y"), col("z"), col("w")), bits = 2).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)), r.getLong(4))).toMap
+    assert(h4.values.toSet == (0L until 256L).toSet, "4-D: not a bijection onto 0..255")
+    val by4 = h4.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (a, b) = (by4(d), by4(d + 1))
+      val dist = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs(a._3 - b._3) + math.abs(a._4 - b._4)
+      assert(dist == 1, s"4-D step $d -> ${d + 1}: $a to $b (dist $dist)")
+    }
+    // zValueD: bijective on the 3-D grid (flat interleave), and the
+    // first-octant codes all sort before the opposite octant's
+    val z3 = g3.select(col("x"), col("y"), col("z"),
+        Layout.zValueD(Seq(col("x"), col("y"), col("z")), bits = 3).as("zv"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(z3.values.toSet.size == 512, "3-D Morton: not a bijection")
+    val o0max = (for (x <- 0 until 4; y <- 0 until 4; z <- 0 until 4)
+      yield z3((x.toLong, y.toLong, z.toLong))).max
+    val o1min = (for (x <- 4 until 8; y <- 4 until 8; z <- 4 until 8)
+      yield z3((x.toLong, y.toLong, z.toLong))).min
+    assert(o0max < o1min)
+  }
+
+  test("3-D hilbert layout bounds ALL THREE dimensions; 2-D leaves the third unbounded") {
+    import ops.Layout
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val src = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").as("x"), dayNum.cast("long").as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("p"))
+    def fileExtents(df: org.apache.spark.sql.DataFrame): Array[(Double, Double, Double)] = {
+      val out = Files.createTempDirectory("graft_h3").toFile.getAbsolutePath
+      df.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"),
+          (max(col("p")) - min(col("p"))).as("dp"))
+        .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble))
+    }
+    val nFiles = 27 // 3^3: at least one full octant split per dimension
+    val d3 = fileExtents(Layout.layoutHilbertD(src,
+      Seq(col("x"), col("y"), col("p")), nFiles))
+    val d2 = fileExtents(Layout.layoutHilbert(src, col("x"), col("y"), nFiles))
+    val full = src.agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
+      max(col("p")) - min(col("p"))).head
+    val (fx, fy, fp) = (full.getLong(0).toDouble, full.getLong(1).toDouble, full.getLong(2).toDouble)
+    def mean(a: Array[Double]): Double = a.sum / a.length
+    // 3-D clustering: every dimension's mean extent strictly bounded —
+    // a price predicate prunes files, which the 2-D layout cannot do
+    assert(mean(d3.map(_._1)) < 0.8 * fx, s"3-D x extent ${mean(d3.map(_._1))} of $fx")
+    assert(mean(d3.map(_._2)) < 0.8 * fy, s"3-D y extent ${mean(d3.map(_._2))} of $fy")
+    assert(mean(d3.map(_._3)) < 0.8 * fp, s"3-D p extent ${mean(d3.map(_._3))} of $fp")
+    // the 2-D layout never saw p: its files cover ~the whole p range
+    assert(mean(d2.map(_._3)) > 0.9 * fp,
+      s"2-D files should span p (${mean(d2.map(_._3))} of $fp)")
+    // and adding the third dimension costs SOME 2-D tightness but not
+    // the clustering property itself
+    assert(mean(d3.map(_._1)) < 0.9 * mean(d2.map(_._1)) * 8 + fx * 0.8,
+      "sanity: 3-D x extent in a sane band")
+  }
+
   test("stream-static broadcast enrichment join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
