@@ -350,15 +350,68 @@ object StreamingBoard {
       "list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)), (a, x) -> a + x) AS sum_value " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, \"start\""
 
+  /** q163: the STREAMING twin of q155's pure interval-overlap join —
+    * live session intervals against a static incident-window table,
+    * joined on the time BIN (the q155 bucketing riding a stream-static
+    * equi join). The bin key is what makes the interval predicate
+    * streamable at all: a pure theta stream-static join would evaluate
+    * every arriving interval against every incident; the bin explode
+    * turns it into a stateless equi join a 100 TB stream topology
+    * co-partitions on, and the greatest-start-bin filter keeps
+    * exactly-once output REGARDLESS of how sessions split across
+    * micro-batches (each session row arrives once, and its pair set is
+    * decided row-locally). Delivery: the session-interval table split
+    * at its start-time midpoint across two micro-batches. Batch parity
+    * is structural — the oracle IS q155's SQL verbatim. */
+  def q163IntervalJoinStream(spark: SparkSession, dir: String): DataFrame =
+    q163Impl(spark, dir, graft.RunTag.scratchFresh("q163"))
+
+  private[graft] def q163Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2): org.apache.spark.sql.types.StructType = {
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val sess = graft.ops.TimeSeries.sessionIntervalsOf(spark, dir)
+    val mm = sess.agg(min(col("s_a")), max(col("s_a"))).head
+    val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val base = System.currentTimeMillis()
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (sess.filter(col("s_a") <= mid), "00-early.parquet", base - 240000),
+      (sess.filter(col("s_a") > mid), "01-late.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    sess.schema
+  }
+
+  private[graft] def q163Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      dir: String, root: String): DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val incidents = graft.ops.TimeSeries.incidentWindowsOf(spark, dir)
+    graft.ops.TimeSeries.intervalOverlapPairs(stream, incidents)
+      .select(col("user_id"), col("session_id"), col("incident_id"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start_us"),
+        least(col("e_a"), col("e_b")).as("overlap_end_us"))
+  }
+
+  private[graft] def q163Post(sink: DataFrame): DataFrame =
+    sink.orderBy(col("user_id"), col("session_id"), col("incident_id"))
+
+  private[graft] def q163Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q163Stage(spark, dir, root)
+    q163Post(drainToParquet(q163Query(spark, schema, dir, root), root))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_quota_cap_stream" -> q146QuotaCapStream _,
     "q147_anomalies_stream" -> q147AnomaliesStream _,
     "q148_gap_fill_stream" -> q148GapFillStream _,
-    "q150_sessionize_stream" -> q150SessionizeStream _)
+    "q150_sessionize_stream" -> q150SessionizeStream _,
+    "q163_interval_join_stream" -> q163IntervalJoinStream _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
     "q147_anomalies_stream" -> q147Sql,
     "q148_gap_fill_stream" -> q148Sql,
-    "q150_sessionize_stream" -> q150Sql)
+    "q150_sessionize_stream" -> q150Sql,
+    // batch parity is the whole claim: the oracle is q155's SQL verbatim
+    "q163_interval_join_stream" -> graft.ops.TimeSeries.q155Sql)
 }

@@ -260,6 +260,19 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(straddle == 0, "every event type must have events in both halves")
   }
 
+  test("q163 interval-join stream spans >=2 micro-batches and equals batch q155 exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q163spec").toString
+    val got = StreamingBoard.q163Impl(spark, sf, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(nBatches(root) >= 2, "session intervals must arrive across micro-batches")
+    val want = ops.TimeSeries.q155IntervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got.toSet === want.toSet,
+      s"stream/batch diverge: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    // exactly-once survives the batch split: no pair appears twice
+    assert(got.distinct.size == got.size, "duplicate pairs across micro-batches")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
