@@ -76,6 +76,11 @@ object ScaleSmoke100 {
 
       def decade(what: String, q: (SparkSession, String) => DataFrame)
           (structure: (Long, Long) => Unit): Unit = {
+        // run the 10x leg once untimed first: JIT/codegen/footer-cache
+        // costs land on the warmup, so the ratio columns compare
+        // steady-state to steady-state (r10 tables occasionally showed
+        // 100x FASTER than 10x purely from warmup order)
+        q(spark, dir10).count(); Caches.drain()
         val t0a = System.nanoTime()
         val c10 = q(spark, dir10).count()
         val t10 = (System.nanoTime() - t0a) / 1e9
@@ -148,6 +153,9 @@ object ScaleSmoke100 {
         json.append(s""""n_docs_1000x":$n1000,""")
         def decade3(what: String, q: (SparkSession, String) => DataFrame)
             (structure: (Long, Long) => Unit): Unit = {
+          // same warmup policy as `decade`: the timed 100x baseline runs
+          // second so the 1000x ratio is steady-state over steady-state
+          q(spark, dir100).count(); Caches.drain()
           val t0a = System.nanoTime()
           val c100 = q(spark, dir100).count()
           val tA = (System.nanoTime() - t0a) / 1e9
