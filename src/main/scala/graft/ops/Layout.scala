@@ -115,8 +115,15 @@ object Layout {
     * the optimizer). It runs as a Catalyst `aggregate` higher-order
     * fold instead (the q152 recurrence idiom — linear-size plan, zero
     * UDFs); the DuckDB oracle replays the identical walk with the 16
-    * levels unrolled as chained CTE stages. */
-  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column = {
+    * levels unrolled as chained CTE stages.
+    *
+    * This fold is the DECLARATIVE REFERENCE implementation — it needs
+    * no function registration and its plan is pure Catalyst algebra.
+    * The hot path ([[hilbertValue]], used by q160/layoutHilbert) is the
+    * native codegen'd twin `hilbert_xy` (r11: the interpreted HOF cost
+    * ~4 s at sf0.1 vs ~0.5 native, same bits out); LayoutSpec pins the
+    * two bit-identical on the exhaustive grid. */
+  def hilbertValueFold(x: Column, y: Column, bits: Int = 16): Column = {
     val mask = lit((1L << bits) - 1)
     val levels = (0 until bits).reverse.map(i => 1L << i)
     aggregate(
@@ -135,10 +142,19 @@ object Layout {
       acc => acc.getField("d"))
   }
 
+  /** 2-D Hilbert index, hot path: the native codegen'd `hilbert_xy`
+    * walk — bit-identical to [[hilbertValueFold]] (spec-pinned), ~8×
+    * faster under the interpreter-free loop. Caller must have run
+    * `HilbertFunctions.register(spark)` — q160 and [[layoutHilbert]]
+    * do. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.functions.HilbertFunctions.hilbertXY(x, y, bits)
+
   /** The Hilbert twin of [[layoutZOrder]] — same range normalization,
     * same one range-repartition, only the clustering key changes. */
   def layoutHilbert(df: DataFrame, x: Column, y: Column, n: Int,
       bits: Int = 16): DataFrame = {
+    graft.functions.HilbertFunctions.register(df.sparkSession)
     val top = (1L << bits) - 1
     val bounds = df.agg(min(x).cast("long").as("_xmin"), max(x).cast("long").as("_xmax"),
       min(y).cast("long").as("_ymin"), max(y).cast("long").as("_ymax"))
@@ -159,6 +175,7 @@ object Layout {
     * curve, same keys (customer × order-day), hash-checked against the
     * unrolled-CTE walk. */
   def q160HilbertOrder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HilbertFunctions.register(spark)
     val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
     orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -209,62 +226,20 @@ object Layout {
     * exist as 2-D: strictly better range locality than Morton for the
     * same file count; real tables cluster on 3–4 columns.
     *
-    * Shape: the per-level inverse-undo walk is state-carrying (each
-    * level's invert-or-exchange feeds the next), so like the 2-D walk
-    * it runs as ONE Catalyst `aggregate` fold over the bit levels —
-    * linear-size plan, zero UDFs. Everything after the fold (Gray
-    * encode, the twist constant t, the final bit interleave into a
-    * long) references the fold's accumulator ONLY through the finish
-    * lambda's variable, so the d·bits interleave terms are variable
-    * reads, not re-evaluations of the fold. The transposed-index bit
-    * layout (X[i] bit k → index bit k·n + (n−1−i)) follows the paper's
-    * convention. Requires d·bits <= 63. */
+    * Unlike the 2-D walk (16 levels, no within-level state), the d-dim
+    * inverse-undo updates X[0] after EVERY dim inside a level, which
+    * makes the `aggregate`-fold idiom pay either ~4× interpreted
+    * expression growth per dim step (measured 14.8 s for q162 at
+    * sf0.1) or a struct allocation per (level, dim) step (11.5 s) —
+    * so this one is a native codegen'd Expression instead, the
+    * [[graft.functions.HilbertIndex]] tight-loop walk (the vec_dot
+    * precedent; ~1 s for the identical q162, bit-identical output).
+    * Caller must have run `HilbertFunctions.register(spark)` —
+    * [[layoutHilbertD]] and q162 do. Requires d·bits <= 63. */
   def hilbertValueD(xs: Seq[Column], bits: Int): Column = {
-    val n = xs.size
-    require(n >= 2 && n * bits <= 63, s"hilbertValueD: d=$n bits=$bits out of range")
-    val mask = lit((1L << bits) - 1)
-    // inverse-undo levels: Q = 2^(bits-1) down to 2
-    val levels = (1 until bits).reverse.map(i => 1L << i)
-    def names(c: Column): IndexedSeq[Column] =
-      (0 until n).map(i => c.getField(s"x$i"))
-    aggregate(
-      typedLit(levels),
-      struct(xs.zipWithIndex.map { case (c, i) =>
-        c.cast("long").bitwiseAND(mask).as(s"x$i") }: _*),
-      (acc, q) => {
-        val p = q - 1
-        var x = names(acc)
-        // sequential over dims: X[0] mutates at every step, so each
-        // step's condition reads the CURRENT values (depth O(d) per
-        // level — the fold materializes the struct between levels)
-        for (i <- 0 until n) {
-          val cond = x(i).bitwiseAND(q) =!= 0
-          if (i == 0) {
-            x = x.updated(0, when(cond, x(0).bitwiseXOR(p)).otherwise(x(0)))
-          } else {
-            val t = x(0).bitwiseXOR(x(i)).bitwiseAND(p)
-            val nx0 = when(cond, x(0).bitwiseXOR(p)).otherwise(x(0).bitwiseXOR(t))
-            val nxi = when(cond, x(i)).otherwise(x(i).bitwiseXOR(t))
-            x = x.updated(0, nx0).updated(i, nxi)
-          }
-        }
-        struct(x.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
-      },
-      acc => {
-        // Gray encode: X[i] ^= X[i-1], sequential over dims
-        var x = names(acc)
-        for (i <- 1 until n) x = x.updated(i, x(i).bitwiseXOR(x(i - 1)))
-        // twist constant: t ^= Q-1 for every set bit Q>1 of X[n-1]
-        val t = (1 until bits).map { k =>
-          val q = 1L << k
-          when(x(n - 1).bitwiseAND(lit(q)) =!= 0, lit(q - 1)).otherwise(lit(0L))
-        }.reduce(_.bitwiseXOR(_))
-        val xf = x.map(_.bitwiseXOR(t))
-        // transposed-form interleave into the single index long
-        (for { k <- 0 until bits; i <- 0 until n } yield
-          shiftleft(shiftright(xf(i), k).bitwiseAND(lit(1L)), k * n + (n - 1 - i))
-        ).reduce(_.bitwiseOR(_))
-      })
+    require(xs.size >= 2 && xs.size * bits <= 63,
+      s"hilbertValueD: d=${xs.size} bits=$bits out of range")
+    graft.functions.HilbertFunctions.hilbertIndex(xs, bits)
   }
 
   /** The d-dimensional layout operator — [[layoutHilbert]] for 3–4
@@ -273,6 +248,7 @@ object Layout {
     * Hilbert index, one range-repartition, sort within files. */
   def layoutHilbertD(df: DataFrame, keys: Seq[Column], n: Int,
       bits: Int = 12): DataFrame = {
+    graft.functions.HilbertFunctions.register(df.sparkSession)
     val top = (1L << bits) - 1
     val bexprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
       min(k).cast("long").as(s"_lo$i"), max(k).cast("long").as(s"_hi$i")) }
@@ -297,6 +273,7 @@ object Layout {
     * × 3 per-dim steps unrolled as chained CTE stages, then the Gray /
     * twist / interleave algebra. */
   def q162Hilbert3d(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HilbertFunctions.register(spark)
     val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
     val cents = round(col("o_totalprice") * 100).cast("long")
     orders(spark, dir)

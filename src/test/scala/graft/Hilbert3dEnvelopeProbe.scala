@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (PERF.md "d-dim layout"): per-file min/max extents of the
+  * 3-D Hilbert layout vs the 2-D layout that never saw the third key —
+  * the measured pruning surface a (custkey, day, price) predicate sees.
+  *
+  *   sbt "Test/runMain graft.Hilbert3dEnvelopeProbe"
+  */
+object Hilbert3dEnvelopeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+      val src = Tables.orders(spark, "/root/testdata/sf0.1")
+        .select(col("o_custkey").as("x"), dayNum.cast("long").as("y"),
+          round(col("o_totalprice") * 100).cast("long").as("p"))
+      def extents(df: org.apache.spark.sql.DataFrame): (Double, Double, Double, Int) = {
+        val out = Files.createTempDirectory("graft_h3p").toFile.getAbsolutePath
+        df.write.mode("overwrite").parquet(out)
+        val rows = spark.read.parquet(out).groupBy(input_file_name())
+          .agg((max(col("x")) - min(col("x"))).as("dx"),
+            (max(col("y")) - min(col("y"))).as("dy"),
+            (max(col("p")) - min(col("p"))).as("dp"))
+          .collect()
+        def mean(i: Int) = rows.map(_.getLong(i).toDouble).sum / rows.length
+        (mean(1), mean(2), mean(3), rows.length)
+      }
+      val full = src.agg(max(col("x")) - min(col("x")),
+        max(col("y")) - min(col("y")), max(col("p")) - min(col("p"))).head
+      val n = 27
+      val d3 = extents(ops.Layout.layoutHilbertD(src, Seq(col("x"), col("y"), col("p")), n))
+      val d2 = extents(ops.Layout.layoutHilbert(src, col("x"), col("y"), n))
+      println(f"full ranges: x=${full.getLong(0)} y=${full.getLong(1)} p=${full.getLong(2)}")
+      println(f"3-D hilbert (${d3._4} files): mean dx=${d3._1}%.0f dy=${d3._2}%.0f dp=${d3._3}%.0f")
+      println(f"2-D hilbert (${d2._4} files): mean dx=${d2._1}%.0f dy=${d2._2}%.0f dp=${d2._3}%.0f")
+    } finally spark.stop()
+  }
+}

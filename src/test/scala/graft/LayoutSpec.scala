@@ -252,6 +252,17 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("hilbertValue: bijective, UNIT-STEP continuous (the property Morton lacks), and better neighbor locality") {
     import ops.Layout
     import spark.implicits._
+    functions.HilbertFunctions.register(spark)
+    // the native hot path and the declarative fold are the SAME curve:
+    // bit-identical on the exhaustive grid (so the q160 oracle replaying
+    // the fold's algebra pins the native walk too)
+    val g16 = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val diff = g16.select(
+        Layout.hilbertValue(col("x"), col("y"), bits = 4).as("fast"),
+        Layout.hilbertValueFold(col("x"), col("y"), bits = 4).as("fold"))
+      .where(col("fast") =!= col("fold")).count()
+    assert(diff == 0, s"native hilbert_xy diverges from the fold on $diff grid cells")
     // exhaustive 16x16 grid at bits=4: every cell visited exactly once
     // (bijection onto 0..255) and consecutive indices are always grid
     // NEIGHBORS — the defining Hilbert property; any bug in the
@@ -295,6 +306,7 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("hilbertValueD: bijective and unit-step in 3-D and 4-D (exhaustive grids)") {
     import ops.Layout
     import spark.implicits._
+    functions.HilbertFunctions.register(spark)
     // d=3, bits=3: all 512 cells — bijection onto 0..511 and every
     // consecutive index pair at Manhattan distance EXACTLY 1 (the
     // defining Hilbert property; any bug in the transpose walk's
