@@ -331,6 +331,36 @@ object Layout {
       s"SELECT $keys, ($interleave) AS hval FROM s$stage ORDER BY o_orderkey"
   }
 
+  /** q164: the 3-D Morton codes over orders — q97's twin on q162's
+    * keys (customer × order-day × price-cents, 16 bits each → a 48-bit
+    * code). Pure flat interleave, so the DuckDB oracle replays the
+    * identical 48 shift/mask terms bit-for-bit; q162-vs-q164 is the
+    * d-dim rerun of the q160-vs-q97 curve comparison. */
+  def q164Zorder3d(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayNum.cast("long").as("day_num"), cents.as("price_cents"),
+        zValueD(Seq(col("o_custkey"), dayNum, cents), 16).as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q164Sql: String = {
+    val n = 3
+    val dims = Seq(
+      "(o_custkey & 65535)",
+      "(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) & 65535)",
+      "(CAST(round(o_totalprice * 100) AS BIGINT) & 65535)")
+    val terms = for { k <- 0 until 16; i <- 0 until n }
+      yield s"(((${dims(i)} >> $k) & 1) << ${k * n + (n - 1 - i)})"
+    "SELECT o_orderkey, o_custkey, " +
+      "date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, " +
+      s"(${terms.mkString(" | ")}) AS zval " +
+      "FROM orders ORDER BY o_orderkey"
+  }
+
   /** Small-file compaction — the other half of layout governance (a
     * streaming/incremental writer leaves thousands of KB-scale files;
     * at 100 TB the resulting open/footer/seek overhead dominates scan
@@ -367,10 +397,12 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_zorder" -> q97ZOrder _,
     "q160_hilbert" -> q160HilbertOrder _,
-    "q162_hilbert3d" -> q162Hilbert3d _)
+    "q162_hilbert3d" -> q162Hilbert3d _,
+    "q164_zorder3d" -> q164Zorder3d _)
 
   val oracle: Map[String, String] = Map(
     "q97_zorder" -> q97Sql,
     "q160_hilbert" -> q160Sql,
-    "q162_hilbert3d" -> q162Sql)
+    "q162_hilbert3d" -> q162Sql,
+    "q164_zorder3d" -> q164Sql)
 }
