@@ -242,13 +242,11 @@ object Layout {
     graft.functions.HilbertFunctions.hilbertIndex(xs, bits)
   }
 
-  /** The d-dimensional layout operator — [[layoutHilbert]] for 3–4
-    * clustering columns: range-normalize every key into the 2^bits
-    * domain (one broadcast 1-row bounds join), cluster by the d-dim
-    * Hilbert index, one range-repartition, sort within files. */
-  def layoutHilbertD(df: DataFrame, keys: Seq[Column], n: Int,
-      bits: Int = 12): DataFrame = {
-    graft.functions.HilbertFunctions.register(df.sparkSession)
+  /** Shared d-dim layout shell: range-normalize every key into the
+    * 2^bits domain (one broadcast 1-row bounds join), cluster by
+    * `key(normalizedKeys)`, one range-repartition, sort within files. */
+  private def layoutD(df: DataFrame, keys: Seq[Column], n: Int, bits: Int)
+      (key: Seq[Column] => Column): DataFrame = {
     val top = (1L << bits) - 1
     val bexprs = keys.zipWithIndex.flatMap { case (k, i) => Seq(
       min(k).cast("long").as(s"_lo$i"), max(k).cast("long").as(s"_hi$i")) }
@@ -258,13 +256,28 @@ object Layout {
         greatest(col(s"_hi$i") - col(s"_lo$i"), lit(1L)).cast("double")).cast("long")
     val dropCols = keys.indices.flatMap(i => Seq(s"_lo$i", s"_hi$i"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("_h", hilbertValueD(keys.zipWithIndex.map {
-        case (k, i) => norm(k, i) }, bits))
+      .withColumn("_h", key(keys.zipWithIndex.map { case (k, i) => norm(k, i) }))
       .drop(dropCols: _*)
       .repartitionByRange(n, col("_h"))
       .sortWithinPartitions(col("_h"))
       .drop("_h")
   }
+
+  /** The d-dimensional layout operator — [[layoutHilbert]] for 3–4
+    * clustering columns. */
+  def layoutHilbertD(df: DataFrame, keys: Seq[Column], n: Int,
+      bits: Int = 12): DataFrame = {
+    graft.functions.HilbertFunctions.register(df.sparkSession)
+    layoutD(df, keys, n, bits)(hilbertValueD(_, bits))
+  }
+
+  /** The d-dimensional Morton layout — [[layoutZOrder]]'s d-dim twin,
+    * same shell as [[layoutHilbertD]] with the flat interleave key
+    * (LayoutSpec measures Hilbert's envelope advantage over it in 3-D
+    * exactly as the 2-D tests do). */
+  def layoutZOrderD(df: DataFrame, keys: Seq[Column], n: Int,
+      bits: Int = 12): DataFrame =
+    layoutD(df, keys, n, bits)(zValueD(_, bits))
 
   /** q162: the 3-D Hilbert indices over orders — (customer, order-day,
     * price-cents) masked to 8 bits each, the q160 policy lifted to the

@@ -263,6 +263,16 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
         Layout.hilbertValueFold(col("x"), col("y"), bits = 4).as("fold"))
       .where(col("fast") =!= col("fold")).count()
     assert(diff == 0, s"native hilbert_xy diverges from the fold on $diff grid cells")
+    // and at the production width (bits=16, the q160 configuration) on
+    // content-hash-scattered points across the full 2^16 domain
+    val pts = spark.range(512).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(65536L)).as("x"),
+      pmod(xxhash64(col("id"), lit(2)), lit(65536L)).as("y"))
+    val diff16 = pts.select(
+        Layout.hilbertValue(col("x"), col("y"), bits = 16).as("fast"),
+        Layout.hilbertValueFold(col("x"), col("y"), bits = 16).as("fold"))
+      .where(col("fast") =!= col("fold")).count()
+    assert(diff16 == 0, s"bits=16 divergence on $diff16 of 512 scattered points")
     // exhaustive 16x16 grid at bits=4: every cell visited exactly once
     // (bijection onto 0..255) and consecutive indices are always grid
     // NEIGHBORS — the defining Hilbert property; any bug in the
@@ -369,6 +379,8 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nFiles = 27 // 3^3: at least one full octant split per dimension
     val d3 = fileExtents(Layout.layoutHilbertD(src,
       Seq(col("x"), col("y"), col("p")), nFiles))
+    val z3 = fileExtents(Layout.layoutZOrderD(src,
+      Seq(col("x"), col("y"), col("p")), nFiles))
     val d2 = fileExtents(Layout.layoutHilbert(src, col("x"), col("y"), nFiles))
     val full = src.agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
       max(col("p")) - min(col("p"))).head
@@ -382,6 +394,13 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 2-D layout never saw p: its files cover ~the whole p range
     assert(mean(d2.map(_._3)) > 0.9 * fp,
       s"2-D files should span p (${mean(d2.map(_._3))} of $fp)")
+    // 3-D Morton also bounds all three dims, and Hilbert's mean
+    // ENVELOPE VOLUME does not lose to it (the 2-D 1.15-slack policy)
+    assert(mean(z3.map(_._3)) < 0.8 * fp, s"3-D Morton p extent ${mean(z3.map(_._3))}")
+    def vol(a: Array[(Double, Double, Double)]): Double =
+      mean(a.map(t => (t._1 + 1) * (t._2 + 1) * (t._3 + 1)))
+    assert(vol(d3) <= 1.15 * vol(z3),
+      s"3-D hilbert volume ${vol(d3)} should not lose to Morton's ${vol(z3)}")
     // and adding the third dimension costs SOME 2-D tightness but not
     // the clustering property itself
     assert(mean(d3.map(_._1)) < 0.9 * mean(d2.map(_._1)) * 8 + fx * 0.8,
