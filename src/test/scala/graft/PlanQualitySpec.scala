@@ -363,6 +363,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q162 should be scan + project + sort: ${p.take(400)}")
   }
 
+  test("q164: the 3-D Morton interleave is a scan-side projection — no shuffle beyond the presentation sort") {
+    val p = plan("q164_zorder3d").toString
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"q164 should be scan + project + sort: ${p.take(400)}")
+  }
+
   test("q161: two-phase salted collect plans two aggregate layers, no window, no join") {
     val p = plan("q161_salted_collect").toString
     assert(!p.contains("Join") && !p.contains("Window"), p.take(300))

@@ -273,6 +273,41 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.distinct.size == got.size, "duplicate pairs across micro-batches")
   }
 
+  test("q163 restart: the stateless interval join neither loses nor duplicates pairs across a checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    // stateless recovery is carried by the SOURCE's seen-file log and
+    // the SINK's _spark_metadata commit log, not a state store — this
+    // pins that the exactly-once contract survives the same
+    // deliver-1 / drain / deliver-2 / restart protocol the stateful
+    // matrix uses
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q163ref").toString
+    val want = StreamingBoard.q163Impl(spark, sf, refRoot).collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_q163recov").toString
+    val schema = StreamingBoard.q163Stage(spark, sf, root, upTo = 1)
+    def run(): Unit = {
+      val q = StreamingBoard.q163Query(spark, schema, sf, root).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(nBatches(root) == 1)
+    val atInterruption = spark.read.parquet(s"$root/out").count()
+    StreamingBoard.q163Stage(spark, sf, root, upTo = 2)
+    run()
+    assert(nBatches(root) >= 2, "restart must process the second file")
+    val got = StreamingBoard.q163Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq)
+    assert(got.toSet === want, s"restart changed the pair set: " +
+      s"${got.toSet.diff(want).take(3)} vs ${want.diff(got.toSet).take(3)}")
+    assert(got.distinct.size == got.size, "restart duplicated pairs")
+    assert(got.size > atInterruption,
+      "second file contributed nothing — the restart leg went untested")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
