@@ -60,7 +60,10 @@ object StreamingBoard {
     * 8, while the stateless q163 — no state stores, just a narrower
     * join — regressed, so it keeps the session width) and restores the
     * session conf (results are partitioning-invariant — the
-    * crash-recovery and parity specs run at other widths). */
+    * crash-recovery and parity specs run at other widths). The
+    * set/restore is NOT concurrency-safe — board queries run serially
+    * by contract (Bench/Verify), and the session conf is only read at
+    * query start. */
   private def drainToParquet(ds: org.apache.spark.sql.Dataset[_], root: String,
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     val out = s"$root/out"
