@@ -35,6 +35,20 @@ class HilbertExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want, "distributed evaluation diverged from the driver walk")
   }
 
+  test("the d-dim Skilling walk restricted to d=2 IS the classic xy2d curve (exhaustive)") {
+    // transitively pins the d-dim implementation against the q160
+    // oracle: hilbert_xy is spec-pinned bit-identical to the 2-D
+    // aggregate fold, whose 16-level algebra the DuckDB oracle replays
+    // as CTE stages — and the d-dim transpose walk collapses to that
+    // exact curve at d=2, same axis order, all 256 cells at bits=4 and
+    // 4096 at bits=6
+    for (bits <- Seq(4, 6); lim = 1 << bits; x <- 0 until lim; y <- 0 until lim) {
+      val d = graft.functions.HilbertIndex.walk(bits, Array(x.toLong, y.toLong))
+      val xy = graft.functions.HilbertIndexXY.walk(bits, x.toLong, y.toLong)
+      assert(d == xy, s"bits=$bits ($x,$y): d-dim $d vs xy2d $xy")
+    }
+  }
+
   test("hilbert_index and hilbert_xy: null in, null out") {
     graft.functions.HilbertFunctions.register(spark)
     import spark.implicits._
