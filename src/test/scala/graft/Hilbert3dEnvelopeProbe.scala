@@ -38,9 +38,11 @@ object Hilbert3dEnvelopeProbe {
         max(col("y")) - min(col("y")), max(col("p")) - min(col("p"))).head
       val n = 27
       val d3 = extents(ops.Layout.layoutHilbertD(src, Seq(col("x"), col("y"), col("p")), n))
+      val z3 = extents(ops.Layout.layoutZOrderD(src, Seq(col("x"), col("y"), col("p")), n))
       val d2 = extents(ops.Layout.layoutHilbert(src, col("x"), col("y"), n))
       println(f"full ranges: x=${full.getLong(0)} y=${full.getLong(1)} p=${full.getLong(2)}")
       println(f"3-D hilbert (${d3._4} files): mean dx=${d3._1}%.0f dy=${d3._2}%.0f dp=${d3._3}%.0f")
+      println(f"3-D morton  (${z3._4} files): mean dx=${z3._1}%.0f dy=${z3._2}%.0f dp=${z3._3}%.0f")
       println(f"2-D hilbert (${d2._4} files): mean dx=${d2._1}%.0f dy=${d2._2}%.0f dp=${d2._3}%.0f")
     } finally spark.stop()
   }
