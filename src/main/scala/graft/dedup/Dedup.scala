@@ -1071,15 +1071,29 @@ object Dedup {
         s => struct(
           pmod(xxhash64(s), lit(4294967296L)).as("ha"),
           pmod(xxhash64(s, lit(1)), lit(4294967296L)).as("hb"))
+    // the K affine minima run as ONE native fused pass (r11 — the
+    // array((0..K).map(array_min(transform(...)))) form evaluated K
+    // interpreted lambdas per row, 3.2 s of q31's 5.7 at sf0.1 and the
+    // dominant term of every ingest batch; bit-identical arithmetic,
+    // MinhashExpressionsSpec pins equality against the HOF formula)
+    graft.functions.MinhashFunctions.register(sh.sparkSession,
+      MinhashPerms.map(_._1).toArray, MinhashPerms.map(_._2).toArray,
+      MinhashPerms.map(_._3).toArray, MinhashMod)
     sh.withColumn("hp", transform(col("shingles"), s => hp(s)))
       .select(col("doc_id"), col("shingles"),
-        array((0 until K).map { i =>
-          val (a, b, c) = MinhashPerms(i)
-          array_min(transform(col("hp"),
-            p => pmod(p.getField("ha") * a + p.getField("hb") * b + c,
-              lit(MinhashMod))))
-        }: _*).as("sig"))
+        graft.functions.MinhashFunctions.minhashSig(col("hp")).as("sig"))
   }
+
+  /** The pre-r11 HOF formula for the signatures — kept as the
+    * DECLARATIVE REFERENCE the spec pins [[minhashSignaturesOf]]'s
+    * native fused pass against (the hilbertValueFold pattern). */
+  private[graft] def minhashSigHofReference: Column =
+    array((0 until K).map { i =>
+      val (a, b, c) = MinhashPerms(i)
+      array_min(transform(col("hp"),
+        p => pmod(p.getField("ha") * a + p.getField("hb") * b + c,
+          lit(MinhashMod))))
+    }: _*)
 
   /** Band rows (doc_id, band, bh) for a signature frame — the LSH
     * bucket keys; B rows per doc, shared by the batch pair path and the

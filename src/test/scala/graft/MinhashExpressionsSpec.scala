@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native fused minhash pass must be BIT-IDENTICAL to the K-lambda
+  * HOF formula it replaced — the q31/q78/ingest oracles replay the
+  * affine family value for value, so any arithmetic drift here breaks
+  * the whole LSH chain's hash checks. */
+class MinhashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native minhash_sig equals the HOF reference on the real corpus, incl. degenerate docs") {
+    val sh = dedup.Dedup.shingles(spark, "/root/testdata/sf0.001")
+    // minhashSignaturesOf registers the function and computes the native
+    // sig; recompute the reference from the same hp projection
+    val native = dedup.Dedup.minhashSignaturesOf(sh)
+      .select(col("doc_id"), col("sig"))
+    val hp = transform(col("shingles"), s => struct(
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
+      conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb")))
+    val ref = sh.withColumn("hp", hp)
+      .select(col("doc_id"), dedup.Dedup.minhashSigHofReference.as("ref_sig"))
+    val diff = native.join(ref, "doc_id")
+      .where(!(col("sig") <=> col("ref_sig"))).count()
+    assert(diff == 0, s"native signatures diverge from the HOF reference on $diff docs")
+    // empty shingle array -> K nulls, exactly like array_min over empty
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[String])).toDF("doc_id", "shingles")
+    val sig = dedup.Dedup.minhashSignaturesOf(empty).select(col("sig")).head.getSeq[Any](0)
+    assert(sig.size == 64 && sig.forall(_ == null), "empty doc must yield K nulls")
+  }
+
+  test("minhash_sig participates in whole-stage codegen") {
+    val sh = dedup.Dedup.shingles(spark, "/root/testdata/sf0.001").limit(10)
+    val df = dedup.Dedup.minhashSignaturesOf(sh)
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty,
+      s"expected a WholeStageCodegen stage in:\n${df.queryExecution.executedPlan}")
+    assert(df.count() == 10)
+  }
+}
