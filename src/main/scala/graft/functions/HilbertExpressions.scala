@@ -40,6 +40,12 @@ case class HilbertIndex(children: Seq[Expression], bits: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.size < 2)
       TypeCheckResult.TypeCheckFailure("hilbert_index needs >= 2 coordinates")
+    else if (bits < 1)
+      // without this, bits=0 would reach walk()'s 1L << (bits-1) with a
+      // negative shift and silently return garbage instead of failing
+      // analysis (hilbert_xy pins the same bound)
+      TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index requires bits >= 1, got $bits")
     else if (children.size * bits > 63)
       TypeCheckResult.TypeCheckFailure(
         s"hilbert_index: d=${children.size} x bits=$bits exceeds one long")
@@ -192,6 +198,10 @@ object HilbertFunctions {
     FunctionIdentifier("hilbert_index"),
     new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
     (args: Seq[Expression]) => {
+      // >= 2 coords + the bits literal; checked here so an empty or
+      // 1-arg call fails with a message instead of NoSuchElementException
+      if (args.size < 3) throw new IllegalArgumentException(
+        s"hilbert_index takes (x1, ..., xd, bits) with d >= 2, got ${args.size} arguments")
       val bits = args.last match {
         case Literal(b: Int, IntegerType) => b
         case other => throw new IllegalArgumentException(
@@ -204,6 +214,11 @@ object HilbertFunctions {
     FunctionIdentifier("hilbert_xy"),
     new ExpressionInfo(classOf[HilbertIndexXY].getName, "hilbert_xy"),
     (args: Seq[Expression]) => {
+      // exact arity, checked before indexing: hilbert_xy(x, 16) must fail
+      // analysis with a message, not a raw IndexOutOfBoundsException, and
+      // extra arguments must be rejected, not silently ignored
+      if (args.size != 3) throw new IllegalArgumentException(
+        s"hilbert_xy takes exactly (x, y, bits), got ${args.size} arguments")
       val bits = args.last match {
         case Literal(b: Int, IntegerType) => b
         case other => throw new IllegalArgumentException(

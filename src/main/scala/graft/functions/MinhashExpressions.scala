@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions.call_function
   * (MinhashExpressionsSpec pins equality against the HOF formula).
   *
   * Empty shingle array → K nulls (array_min of an empty array is null
-  * — the degenerate-doc behavior downstream banding relies on). The
+  * — the degenerate-doc behavior downstream banding relies on). A NULL
+  * input array → NULL signature (UnaryExpression null propagation) —
+  * this is the CONTRACT, and it deliberately differs from the pre-r11
+  * HOF reference formula, which mapped NULL to an array of K NULLs:
+  * graft's shingle arrays are never NULL (regexp_extract_all returns []
+  * on no match), and null-in/null-out is the Catalyst-native behavior
+  * every other scalar expression here follows
+  * (MinhashExpressionsSpec pins both edge cases). The
   * permutation constants are embedded at construction; inputs are
   * non-negative 32-bit halves and constants < 2^20, so products stay
   * ≤ 2^52 and `%` equals the non-negative pmod both engines replay. */
@@ -99,11 +106,32 @@ object MinhashFunctions {
     new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
     (args: Seq[Expression]) => MinhashSignature(args.head, a, b, c, mod))
 
-  /** Idempotently register `minhash_sig` bound to these constants. */
+  /** Per-session record of the constants `minhash_sig` was registered
+    * with. The name is session-global, and the constants live in the
+    * builder closure — a silent re-registration with a DIFFERENT family
+    * would redefine the function for every subsequent plan build and
+    * hand earlier callers wrong signatures with no error. Weak keys: a
+    * stopped session's entry must not pin the session. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Seq[Long], Seq[Long], Seq[Long], Long)]())
+
+  /** Idempotently register `minhash_sig` bound to these constants.
+    * Re-registering the SAME family is a no-op; a different family under
+    * the same session fails loudly (register a differently-NAMED variant
+    * for a second family instead of silently redefining this one). */
   def register(spark: SparkSession, a: Array[Long], b: Array[Long],
-      c: Array[Long], mod: Long): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("minhash_sig", info(a, b, c, mod)._3, "scala_udf")
+      c: Array[Long], mod: Long): Unit = {
+    val fam = (a.toSeq, b.toSeq, c.toSeq, mod)
+    val prev = registered.putIfAbsent(spark, fam)
+    if (prev != null && prev != fam)
+      throw new IllegalStateException(
+        "minhash_sig is already registered on this session with a different " +
+          "permutation family; use a distinctly named variant for a second family")
+    if (prev == null)
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction("minhash_sig", info(a, b, c, mod)._3, "scala_udf")
+  }
 
   /** `minhash_sig(hp)` as a Column; caller must have run `register`. */
   def minhashSig(hp: Column): Column = call_function("minhash_sig", hp)

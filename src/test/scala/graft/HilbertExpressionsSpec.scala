@@ -49,6 +49,32 @@ class HilbertExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("malformed calls fail analysis with a message, not garbage or a raw index error") {
+    graft.functions.HilbertFunctions.register(spark)
+    // bits=0 must be an analysis failure: walk()'s 1L << (bits-1) would
+    // otherwise hit a negative shift and silently return a wrong index
+    val e0 = intercept[Exception] {
+      spark.range(1).select(graft.functions.HilbertFunctions.hilbertIndex(
+        Seq(col("id"), col("id")), bits = 0)).collect()
+    }
+    assert(e0.getMessage.contains("bits"), s"unexpected: ${e0.getMessage}")
+    // wrong arity at hilbert_xy must be a descriptive rejection — both
+    // too few (x, bits) and too many (extra args silently ignored before)
+    val e1 = intercept[Exception] {
+      spark.range(1).selectExpr("hilbert_xy(id, 16)").collect()
+    }
+    assert(e1.getMessage.contains("exactly"), s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.range(1).selectExpr("hilbert_xy(id, id, id, 16)").collect()
+    }
+    assert(e2.getMessage.contains("exactly"), s"unexpected: ${e2.getMessage}")
+    // hilbert_index with one coordinate: descriptive, not NoSuchElement
+    val e3 = intercept[Exception] {
+      spark.range(1).selectExpr("hilbert_index(id, 8)").collect()
+    }
+    assert(e3.getMessage.contains("d >= 2"), s"unexpected: ${e3.getMessage}")
+  }
+
   test("hilbert_index and hilbert_xy: null in, null out") {
     graft.functions.HilbertFunctions.register(spark)
     import spark.implicits._

@@ -41,6 +41,40 @@ class MinhashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig.size == 64 && sig.forall(_ == null), "empty doc must yield K nulls")
   }
 
+  test("NULL input array yields NULL signature (the documented contract)") {
+    // null-in/null-out IS the contract — deliberately unlike the HOF
+    // reference formula (array of K nulls): corpus shingle arrays are
+    // never NULL, and the native expression follows Catalyst's standard
+    // unary null propagation. Pinned so the divergence stays documented
+    // behavior, not silent drift.
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Seq[String]]), (2L, Some(Seq("a b c"))))
+      .toDF("doc_id", "shingles")
+    val sigs = dedup.Dedup.minhashSignaturesOf(df)
+      .orderBy(col("doc_id")).select(col("sig")).collect()
+    assert(sigs(0).isNullAt(0), "NULL shingle array must yield a NULL signature")
+    assert(!sigs(1).isNullAt(0) && sigs(1).getSeq[Any](0).forall(_ != null),
+      "a real shingle array must yield a fully non-null signature")
+  }
+
+  test("re-registering minhash_sig with a different constant family fails loudly") {
+    val k = 4
+    val a = Array.tabulate(k)(i => 3L + i)
+    val b = Array.tabulate(k)(i => 5L + i)
+    val c = Array.tabulate(k)(i => 7L + i)
+    // a fresh session: the corpus tests above already bound the Dedup
+    // family on `spark`, and this test must not disturb it
+    val s2 = spark.newSession()
+    functions.MinhashFunctions.register(s2, a, b, c, 97L)
+    // same family again: idempotent no-op
+    functions.MinhashFunctions.register(s2, a.clone(), b.clone(), c.clone(), 97L)
+    // different family under the same name: must throw, not redefine
+    val e = intercept[IllegalStateException] {
+      functions.MinhashFunctions.register(s2, a.map(_ + 1), b, c, 97L)
+    }
+    assert(e.getMessage.contains("different"))
+  }
+
   test("minhash_sig participates in whole-stage codegen") {
     val sh = dedup.Dedup.shingles(spark, "/root/testdata/sf0.001").limit(10)
     val df = dedup.Dedup.minhashSignaturesOf(sh)
