@@ -113,6 +113,58 @@ object IntervalSkewStress {
         System.err.println(s"[iv-stress] $line")
         Caches.drain()
       }
+      // ---- hot-bin salting (r12): the 4x-width configuration is the
+      // measured worst case (storm-bin candidate product 14.4 M). The
+      // salted variant must (a) cut the max per-reducer product by ~S on
+      // the hot bins, (b) emit the identical pair set. The reducer
+      // metric is the max candidate product per JOIN KEY — (bin) before,
+      // (bin, salt) after — which is exactly the work AQE cannot split.
+      {
+        val w = binUs * 4
+        val S = 8
+        val hp = 1000000L // production-style threshold: only storm-scale bins salt
+        val a = intervals(spark, nA, binUs, nBins, "a", 0.0, 11)
+        val b = intervals(spark, nB, binUs, nBins, "b", 0.15, 77)
+        def ex(df: DataFrame, s: String, e: String): DataFrame =
+          df.withColumn("bin", explode(sequence(
+            expr(ops.TimeSeries.binFdiv(s, w)), expr(ops.TimeSeries.binFdiv(e, w)))))
+        val hot = ex(a, "s_a", "e_a").groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+          .join(ex(b, "s_b", "e_b").groupBy(col("bin"))
+            .agg(count(lit(1)).as("cb")), "bin")
+          .filter(col("ca") * col("cb") > lit(hp)).cache()
+        val nHot = hot.count()
+        val maxBefore = hot.agg(max(col("ca") * col("cb"))).head.getLong(0)
+        // per-(bin, salt) products after salting: the probe side splits
+        // ~uniformly across S salts, the build side is replicated whole,
+        // so each reducer's product is ~(ca/S)·cb
+        val aS = ex(a, "s_a", "e_a").join(hot.select(col("bin")), Seq("bin"))
+          .withColumn("slt", pmod(xxhash64(col("s_a"), col("e_a"), col("bin")), lit(S)))
+          .groupBy(col("bin"), col("slt")).agg(count(lit(1)).as("ca"))
+        val maxAfter = aS.join(ex(b, "s_b", "e_b").groupBy(col("bin"))
+            .agg(count(lit(1)).as("cb")), "bin")
+          .agg(max(col("ca") * col("cb"))).head.getLong(0)
+        hot.unpersist()
+        val t0 = System.nanoTime()
+        val nSalted = ops.TimeSeries.intervalOverlapPairsSalted(a, b, w, S, hp).count()
+        val saltedSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nPlain = ops.TimeSeries.intervalOverlapPairs(a, b, w).count()
+        val plainSecs = (System.nanoTime() - t1) / 1e9
+        assert(nSalted == nPlain,
+          s"salted pair count diverged: $nSalted vs $nPlain")
+        val diff = ops.TimeSeries.intervalOverlapPairsSalted(a, b, w, S, hp)
+          .select(col("a_id"), col("b_id"))
+          .exceptAll(ops.TimeSeries.intervalOverlapPairs(a, b, w)
+            .select(col("a_id"), col("b_id"))).count()
+        assert(diff == 0, s"salted emitted $diff pairs the unsalted form did not")
+        val line = f""""salted_4x":{"hotBins":$nHot,"maxReducerProductBefore":$maxBefore,""" +
+          f""""maxReducerProductAfter":$maxAfter,""" +
+          f""""reduction":${maxBefore.toDouble / maxAfter}%.1f,"pairs":$nSalted,""" +
+          f""""saltedSecs":$saltedSecs%.2f,"plainSecs":$plainSecs%.2f},"""
+        json.append(line)
+        System.err.println(s"[iv-stress] $line")
+        Caches.drain()
+      }
       // adversarial-shape semantic equality vs the quadratic theta twin,
       // at a size where the theta join is feasible (20k × 2k = 4e7
       // predicate evaluations)

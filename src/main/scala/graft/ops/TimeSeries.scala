@@ -224,6 +224,63 @@ object TimeSeries {
       .drop("bin")
   }
 
+  /** HOT-BIN SALTED variant of [[intervalOverlapPairs]] — the fix for
+    * the one measured 100 TB hazard of the bin-bucketed plan
+    * (IntervalSkewStress: an incident storm concentrating 15% of one
+    * side into a single bin grows that bin's candidate product 12×
+    * across the width sweep while total candidates FALL — a hot bin is
+    * a hot reducer, the q49 hot-join-key pathology in bin clothing, and
+    * AQE cannot split it because it is one key, not one partition).
+    *
+    * The q49 salt recipe applied to the bin key: a cheap bin census
+    * (two partial-agged counts on the bin key — |bins| rows, broadcast
+    * back) finds bins whose candidate product `ca·cb` exceeds
+    * `hotProduct`; in those bins the probe (a) side takes a
+    * content-hash salt in [0, S) and the build (b) side is replicated
+    * across ALL S salts, so the hot reducer's work spreads over S
+    * tasks at the cost of S× replicating only the hot bins' b-rows.
+    * Cold bins pay nothing (salt 0 both sides, no replication). Every
+    * overlapping pair still meets EXACTLY once — an a-row has one salt
+    * per bin and the b-row is present at every salt, so the
+    * greatest-start-bin filter's exactly-once argument is untouched —
+    * and the result is row-identical to the unsalted form
+    * (Scd2RetentionSpec pins set equality on the adversarial storm
+    * shape; q166 hash-checks it against q155's oracle on real data).
+    *
+    * The explode runs twice (census + join) — at scale that trade is
+    * right: the census reads are map-side partial aggregations, while
+    * caching a 100 TB explode would cost more than the re-scan. */
+  def intervalOverlapPairsSalted(a: DataFrame, b: DataFrame,
+      binUs: Long = OverlapBinUs, salt: Int = 8,
+      hotProduct: Long = 1000000L): DataFrame = {
+    def fdiv(c: String): String = binFdiv(c, binUs)
+    val aB = a.withColumn("bin",
+      explode(sequence(expr(fdiv("s_a")), expr(fdiv("e_a")))))
+    val bB = b.withColumn("bin",
+      explode(sequence(expr(fdiv("s_b")), expr(fdiv("e_b")))))
+    val hot = aB.groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+      .join(bB.groupBy(col("bin")).agg(count(lit(1)).as("cb")), "bin")
+      .filter(col("ca") * col("cb") > hotProduct)
+      .select(col("bin"), lit(true).as("__hot"))
+    // probe side: ONE content-derived salt per row in hot bins (s/e are
+    // the row's content here — distribution, not identity, is all the
+    // salt decides), 0 in cold bins
+    val aS = aB.join(broadcast(hot), Seq("bin"), "left")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(xxhash64(col("s_a"), col("e_a"), col("bin")), lit(salt)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("__hot")
+    // build side: replicated across all S salts in hot bins only
+    val bS = bB.join(broadcast(hot), Seq("bin"), "left")
+      .withColumn("__salt", explode(when(col("__hot"),
+        array((0 until salt).map(lit): _*)).otherwise(array(lit(0)))))
+      .drop("__hot")
+    aS.join(bS, Seq("bin", "__salt"))
+      .where(col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        col("bin") === expr(fdiv("greatest(s_a, s_b)")))
+      .drop("bin", "__salt")
+  }
+
   /** q155: PURE interval-overlap join — no equi key anywhere: which
     * q23 user sessions overlap which GLOBAL incident windows (±10 min
     * around a deterministic 1-in-17 subset of error events). Rides
@@ -268,6 +325,26 @@ object TimeSeries {
       "least(e_a, e_b) AS overlap_end_us " +
       "FROM ss JOIN inc ON s_a <= e_b AND s_b <= e_a " +
       "ORDER BY user_id, session_id, incident_id"
+
+  /** q166: q155 through [[intervalOverlapPairsSalted]] — the hot-bin
+    * salted plan hash-checked against the SAME oracle as the unsalted
+    * row (salting changes routing, never results — the q49/q64 claim
+    * pattern, now for the bin key). hotProduct=20 is a DEMONSTRATION
+    * threshold: at sf0.01 the census products span 6–40, so the board
+    * run exercises hot AND cold bins in one query (the production
+    * default of 10^6 would leave every test-SF bin cold and the salted
+    * path unproven); salting every co-occupied bin at sf0.1 (all
+    * products >= 102) is equally fine — replication cost is bounded by
+    * S× the hot bins' build rows either way. */
+  def q166IntervalJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionIntervalsOf(spark, dir)
+    val inc = incidentWindowsOf(spark, dir)
+    intervalOverlapPairsSalted(sess, inc, hotProduct = 20L)
+      .select(col("user_id"), col("session_id"), col("incident_id"),
+        greatest(col("s_a"), col("s_b")).as("overlap_start_us"),
+        least(col("e_a"), col("e_b")).as("overlap_end_us"))
+      .orderBy(col("user_id"), col("session_id"), col("incident_id"))
+  }
 
   /** JSON path extraction (§2A-4 generalized): schema-on-read over the
     * props column, pushed through a grouped aggregation. */
@@ -1058,6 +1135,7 @@ object TimeSeries {
     "q23_sessionize" -> q23Sessionize _,
     "q141_concurrency_peak" -> q141ConcurrencyPeak _,
     "q155_interval_join" -> q155IntervalJoin _,
+    "q166_interval_join_salted" -> q166IntervalJoinSalted _,
     "q157_bitmap_retention" -> q157BitmapRetention _,
     "q158_bitmap_ingest" -> q158BitmapIngest _,
     "q24_json_extract" -> q24JsonExtract _,
@@ -1083,6 +1161,9 @@ object TimeSeries {
     "q23_sessionize" -> q23Sql,
     "q141_concurrency_peak" -> q141Sql,
     "q155_interval_join" -> q155Sql,
+    // salting changes routing, never results: the salted plan answers
+    // to the identical oracle as the unsalted row
+    "q166_interval_join_salted" -> q155Sql,
     // bitmap set algebra reproduces q90's retention exactly (see the
     // q157 scaladoc) — q90's SQL is the oracle verbatim; q158 computes
     // the same answer from the incrementally-ingested segment store

@@ -425,12 +425,87 @@ object StreamingBoard {
       statePartitions = None))
   }
 
+  /** q165: streaming CONTENT dedup, materialized — the last streaming
+    * operator in the family to get a hash-green board row (r11 verdict
+    * item 2). The q29 canonical fingerprint keys a watermark-bounded
+    * `dropDuplicatesWithinWatermark` over an appending corpus
+    * (streaming/Streaming.dedupedDocsByFingerprint); the board delivery
+    * makes it NON-vacuous at every SF: batch 2 carries, besides the
+    * upper doc_id half, an AT-LEAST-ONCE REDELIVERY of every 7th
+    * batch-1 document (identical text, later ingest_ts) — the upstream
+    * pathology content dedup exists for — so the hash check proves the
+    * fingerprint state carried across the micro-batch boundary and
+    * suppressed every redelivery.
+    *
+    * The row emits the FINGERPRINT SET only: which physical row of a
+    * duplicate class arrives "first" within a micro-batch is engine
+    * scheduling, not semantics (state-store insertion order across
+    * tasks), so doc_id would be nondeterministic precisely on duplicate
+    * classes — while the set of admitted fingerprints, one row per
+    * class, is exact. Emitting WITHOUT a distinct on the read-back, so
+    * any duplicate emission breaks the row count and the hash. Oracle:
+    * DISTINCT q29 fingerprints over the batch corpus. */
+  def q165ContentDedupStream(spark: SparkSession, dir: String): DataFrame =
+    q165Impl(spark, dir, graft.RunTag.scratchFresh("q165"))
+
+  private[graft] def q165Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2): org.apache.spark.sql.types.StructType = {
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    // deterministic ingest_ts: fixed epoch base + (doc_id mod 600)
+    // seconds — a 10-minute event-time spread against the 1-hour
+    // watermark horizon, so no row (original or redelivered) can ever
+    // be late-dropped and the admitted set is exactly "first arrival
+    // per fingerprint"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (lit(1700000000L) + pmod(col("doc_id"), lit(600L)))
+          .cast("timestamp").as("ingest_ts"))
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val redelivered = docs
+      .filter(col("doc_id") <= cut && pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("ingest_ts", (col("ingest_ts").cast("long") + 60L).cast("timestamp"))
+    val base = System.currentTimeMillis()
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (docs.filter(col("doc_id") <= cut), "00-a.parquet", base - 240000),
+      (docs.filter(col("doc_id") > cut).unionByName(redelivered),
+        "01-b.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    docs.schema
+  }
+
+  private[graft] def q165Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    // doc_id stays in the SINK for the spec's class-membership check;
+    // the board projection below drops it (nondeterministic on
+    // duplicate classes — see the q165 scaladoc)
+    Streaming.dedupedDocsByFingerprint(stream).select(col("doc_id"), col("fp"))
+  }
+
+  private[graft] def q165Post(sink: DataFrame): DataFrame =
+    sink.select(col("fp")).orderBy(col("fp"))
+
+  private[graft] def q165Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q165Stage(spark, dir, root)
+    q165Post(drainToParquet(q165Query(spark, schema, root), root))
+  }
+
+  /** The batch q29 keep set, projected to its fingerprints — one row
+    * per distinct canonical document content. */
+  val q165Sql: String =
+    "SELECT DISTINCT substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16) AS fp " +
+      "FROM documents ORDER BY fp"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_quota_cap_stream" -> q146QuotaCapStream _,
     "q147_anomalies_stream" -> q147AnomaliesStream _,
     "q148_gap_fill_stream" -> q148GapFillStream _,
     "q150_sessionize_stream" -> q150SessionizeStream _,
-    "q163_interval_join_stream" -> q163IntervalJoinStream _)
+    "q163_interval_join_stream" -> q163IntervalJoinStream _,
+    "q165_content_dedup_stream" -> q165ContentDedupStream _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -438,5 +513,6 @@ object StreamingBoard {
     "q148_gap_fill_stream" -> q148Sql,
     "q150_sessionize_stream" -> q150Sql,
     // batch parity is the whole claim: the oracle is q155's SQL verbatim
-    "q163_interval_join_stream" -> graft.ops.TimeSeries.q155Sql)
+    "q163_interval_join_stream" -> graft.ops.TimeSeries.q155Sql,
+    "q165_content_dedup_stream" -> q165Sql)
 }

@@ -169,4 +169,41 @@ class ScalePrimitivesPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(exploded(b, "s_b", "e_b") == law(b, "s_b", "e_b"), s"w=$w side b")
     }
   }
+
+  test("intervalOverlapPairsSalted is pair-set-identical to the unsalted form on the storm shape") {
+    import spark.implicits._
+    // the same adversarial corpus: heavy-tailed lengths, 15% of probe
+    // starts collapsed into bin 0 — the configuration whose hot-bin
+    // candidate product IntervalSkewStress measured growing 12× across
+    // the width sweep. Salting must change ROUTING only.
+    val binUs = 1000L
+    val a = IntervalSkewStress.intervals(spark, 3000L, binUs, 50, "a", 0.0, 11)
+    val b = IntervalSkewStress.intervals(spark, 300L, binUs, 50, "b", 0.15, 77)
+    val want = ops.TimeSeries.intervalOverlapPairs(a, b, binUs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(want.size > 1000, s"storm corpus too sparse (${want.size} pairs)")
+    // non-vacuity: at threshold 500 the storm bin (and only bins like
+    // it) must actually be hot, so the salted path is genuinely
+    // exercised — an empty hot set would make this test prove nothing
+    def census(w: Long, hp: Long): Long = {
+      def ex(df: org.apache.spark.sql.DataFrame, s: String, e: String) =
+        df.withColumn("bin", explode(sequence(
+          expr(ops.TimeSeries.binFdiv(s, w)), expr(ops.TimeSeries.binFdiv(e, w)))))
+      ex(a, "s_a", "e_a").groupBy(col("bin")).agg(count(lit(1)).as("ca"))
+        .join(ex(b, "s_b", "e_b").groupBy(col("bin")).agg(count(lit(1)).as("cb")), "bin")
+        .filter(col("ca") * col("cb") > hp).count()
+    }
+    val nHot = census(binUs, 500L)
+    assert(nHot >= 1, "threshold 500 must make at least the storm bin hot")
+    val nAll = census(binUs, -1L)
+    assert(nHot < nAll, "threshold 500 must also leave some bins cold (mixed-path coverage)")
+    for ((hp, label) <- Seq(500L -> "mixed hot/cold", -1L -> "all bins hot",
+        Long.MaxValue -> "no bin hot")) {
+      val got = ops.TimeSeries.intervalOverlapPairsSalted(a, b, binUs,
+          salt = 8, hotProduct = hp)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"$label (hotProduct=$hp): ${got.size} vs ${want.size} pairs")
+      assert(got.distinct == got, s"$label produced duplicate pairs")
+    }
+  }
 }
