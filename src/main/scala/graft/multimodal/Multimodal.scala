@@ -822,6 +822,107 @@ object Multimodal {
       "ORDER BY doc_id, scene_idx"
   }
 
+  /** Deterministic PNG fixture for q167 — the REAL-codec twin of the
+    * q83 dHash board row, completing the real-codec matrix (video got
+    * q154 in r10; this is the image half, which until r12 was spec-only
+    * — the r11 verdict's item 3). Eight 64×48 grayscale PNGs (JDK
+    * ImageIO encode — PNG is lossless and filter/compression choices
+    * cannot change DECODED pixels, so the dHash grid is deterministic
+    * by construction, even more robustly than q154's fixed-table JPEG):
+    *
+    *   - docs 1-3: the same left-to-right ramp under per-doc sensor
+    *     noise → a 3-clique of near-dup pairs (Hamming ≪ 6),
+    *   - docs 4-5: a chevron pair under the same noise model,
+    *   - docs 6-8: diagonal ramp, horizontal V, REVERSED ramp — three
+    *     singletons (the reversed ramp flips every dHash comparison
+    *     against docs 1-3: banded blocking must not even candidate it).
+    *
+    * The q154/q37 idiom: fixture is pure code (sfDir ignored), oracle =
+    * captured golden rows, and MultimodalSpec regenerates end-to-end so
+    * JDK codec drift fails the build before it desyncs the board. */
+  object PngFixture {
+    private val W = 64
+    private val H = 48
+
+    private def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          val v = math.max(0, math.min(255, f(x, y)))
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** doc_id → base pattern id; the q154 noise model (amplitude 12,
+      * varying by doc instead of frame) perturbs a few bits within a
+      * pattern group without crossing the Hamming-6 verify threshold. */
+    private val docs: Seq[(Long, Int)] = Seq(
+      1L -> 0, 2L -> 0, 3L -> 0,   // ramp clique
+      4L -> 3, 5L -> 3,            // chevron pair
+      6L -> 2, 7L -> 4, 8L -> 1)   // three singletons
+
+    private def pattern(k: Int)(x: Int, y: Int): Int = k match {
+      case 0 => x * 4                     // left-to-right ramp
+      case 1 => 255 - x * 4               // right-to-left ramp
+      case 2 => ((x / 8) % 2) * 180 + 30  // vertical bars — NON-monotone
+      // (a monotone diagonal here would dHash identically to the ramp:
+      // row-neighbor comparisons see only the sign of the x-slope)
+      case 3 => math.abs(x - 2 * y) * 4   // chevron
+      case _ => math.abs(2 * x - 60) * 4  // horizontal V
+    }
+
+    /** Per-doc low-frequency perturbation — a bright blotch whose
+      * position depends on the doc id. High-frequency noise averages
+      * out in the bilinear 9×8 downsample (cell means move < 1 gray
+      * level), so near-dup variation must live AT cell scale: the
+      * blotch covers ~2 grid cells and flips a couple of dHash bits
+      * differently per doc, keeping within-group Hamming in the
+      * 1–6 verify band without ever crossing it. */
+    private def blotch(id: Long)(x: Int, y: Int): Int = {
+      val x0 = ((id * 23) % 48).toInt
+      val y0 = ((id * 31) % 36).toInt
+      if (x >= x0 && x < x0 + 10 && y >= y0 && y < y0 + 8) 70 else 0
+    }
+
+    def records: Seq[MediaRecord] = docs.map { case (id, k) =>
+      MediaRecord(id,
+        png((x, y) => pattern(k)(x, y) + blotch(id)(x, y)),
+        "image/png")
+    }
+  }
+
+  /** q167: the q83 near-dup chain through the REAL image codec over the
+    * deterministic PNG fixture — identical plan shape (partition-local
+    * decode+hash, banded bucket join, full-Hamming verify), only the
+    * codec behind the seam changes. */
+  def q167PngNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaNeardupPairs(dhashBands(spark.createDataset(PngFixture.records), ImageIOCodec))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Golden q167 rows from a verified run (JDK PNG decode is exact;
+    * the bilinear 9×8 downsample is fixed JDK raster arithmetic).
+    * Single source of truth for the oracle VALUES and the spec. */
+  val q167Golden: Seq[(Long, Long, Long)] = Seq(
+    (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L), (4L, 5L, 2L))
+
+  val q167Sql: String = {
+    val rows = q167Golden.map { case (a, b, h) => s"($a, $b, $h)" }.mkString(", ")
+    "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+      "CAST(hamming AS BIGINT) AS hamming FROM (VALUES " + rows +
+      ") AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
@@ -829,7 +930,8 @@ object Multimodal {
     "q83_media_neardup" -> ((s, d) => q83MediaNeardup(s, d)),
     "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d)),
     "q116_video_scenes" -> ((s, d) => q116VideoScenes(s, d)),
-    "q154_mjpeg_scenes" -> q154MjpegScenes _
+    "q154_mjpeg_scenes" -> q154MjpegScenes _,
+    "q167_png_neardup" -> q167PngNeardup _
   )
 
   val oracle: Map[String, String] = Map(
@@ -839,6 +941,7 @@ object Multimodal {
     "q83_media_neardup" -> q83Sql,
     "q87_audio_frames" -> q87Sql,
     "q116_video_scenes" -> q116Sql,
-    "q154_mjpeg_scenes" -> q154Sql
+    "q154_mjpeg_scenes" -> q154Sql,
+    "q167_png_neardup" -> q167Sql
   )
 }

@@ -374,4 +374,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Multimodal.q154Sql.contains(s"'$k'"))
     }
   }
+
+  test("q167: golden near-dup pairs regenerate through the real PNG decode (board-row twin of the oracle VALUES)") {
+    // the image half of the real-codec matrix (q154 is the video half):
+    // the q83 banded dHash chain through ImageIOCodec over the
+    // deterministic PNG fixture. PNG is lossless, so decoded pixels —
+    // and therefore the bilinear 9×8 grid — cannot drift with encoder
+    // filter/compression choices; a JDK raster change WOULD fail here
+    // before the board desynced from the golden oracle.
+    val got = Multimodal.q167PngNeardup(spark, "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Multimodal.q167Golden, s"q167 drifted from golden: $got")
+    // structure, not just values: the ramp clique pairs all three ways,
+    // the chevron pair verifies at nonzero Hamming (a REAL perturbation
+    // survived the threshold — not byte-identical images), and no
+    // singleton (bars / V / reversed ramp) pairs with anything
+    assert(got.count { case (a, b, _) => a <= 3 && b <= 3 } == 3)
+    assert(got.contains((4L, 5L, 2L)))
+    assert(got.forall { case (a, b, _) => b <= 5 },
+      s"a singleton doc paired: $got")
+    assert(got.exists(_._3 > 0), "all pairs at Hamming 0 — the near-dup band went unexercised")
+    // and the full-matrix separation the blocking relies on: every
+    // cross-group Hamming is far ABOVE the verify threshold (the
+    // reversed ramp flips all 60+ comparisons against the ramp clique)
+    val bands = Multimodal.dhashBands(
+      spark.createDataset(Multimodal.PngFixture.records)(
+        org.apache.spark.sql.Encoders.product[graft.multimodal.MediaRecord]),
+      Multimodal.ImageIOCodec).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val group = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 2, 7L -> 3, 8L -> 4)
+    for (a <- bands.keys; b <- bands.keys if a < b && group(a) != group(b)) {
+      val h = bands(a).zip(bands(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      assert(h > 6, s"cross-group pair ($a,$b) at Hamming $h — fixture separation broken")
+    }
+    Multimodal.q167Golden.foreach { case (a, b, h) =>
+      assert(Multimodal.q167Sql.contains(s"($a, $b, $h)"))
+    }
+  }
 }
