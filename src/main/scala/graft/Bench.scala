@@ -53,23 +53,13 @@ object Bench {
       jsonLine(results, sfDir, short, decimals = 1, includeQueries = false))
   }
 
-  /** Per-query seconds from the newest committed `BENCH_r*.json` under
-    * `dir` — the previous round's board, read back so THIS round can
-    * append a `#2` repeat for any query that drifted against it (r10
-    * verdict: q41/q43/q120-q122 drifted with no self-adjudication
-    * because the fixed hot-5 sentinel set didn't cover them). Keys are
-    * compactLine's short form. Best-effort telemetry: any read/parse
-    * failure → empty map, never a bench abort. */
-  private[graft] def previousBench(dir: String = "."): Map[String, Double] = {
+  /** Per-query seconds from ONE committed `BENCH_r*.json`. Best-effort:
+    * any read/parse failure → empty map, never a bench abort. */
+  private def benchFileQueries(f: java.io.File): Map[String, Double] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     try {
-      val re = raw"BENCH_r(\d+)\.json".r
-      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName match { case re(n) => Some(n.toInt -> f); case _ => None })
-      if (fs.isEmpty) return Map.empty
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(fs.maxBy(_._1)._2.toPath), "UTF-8")
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val tail = JsonMethods.parse(txt) \ "tail" match {
         case JString(s) => s; case _ => return Map.empty
       }
@@ -88,8 +78,33 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Per-query BASELINE seconds: the MINIMUM over the last `k` committed
+    * `BENCH_r*.json` rounds under `dir` (r11 verdict item 5 — comparing
+    * only to the immediately previous round let ~1.3×/round creep
+    * compound to 2.2× over three rounds without ever tripping the
+    * >1.5×∧+0.8 s rule; against the rolling minimum, slow creep trips as
+    * soon as the CUMULATIVE regression crosses the band, while a
+    * one-round environment spike still self-adjudicates via its repeat).
+    * Keys are compactLine's short form; a query appearing in only some
+    * rounds baselines against the rounds it has. Best-effort telemetry:
+    * any failure → empty map, never a bench abort. */
+  private[graft] def previousBench(dir: String = ".", k: Int = 4): Map[String, Double] = {
+    try {
+      val re = raw"BENCH_r(\d+)\.json".r
+      val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match { case re(n) => Some(n.toInt -> f); case _ => None })
+        .sortBy(-_._1).take(k)
+      fs.map(f => benchFileQueries(f._2))
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (q, t)) =>
+            a.updated(q, a.get(q).fold(t)(math.min(_, t)))
+          }
+        }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** Queries whose time regressed past BOTH a 1.5× ratio and +0.8 s vs
-    * the previous round (the sub-second noise band never trips both),
+    * the rolling per-query baseline (the sub-second noise band never trips both),
     * worst ratio first, capped at `cap`. These get their own trailing
     * `#2` repeats so every round-over-round regression arrives
     * pre-adjudicated — a real slowdown repeats slow, driver noise lands
@@ -120,11 +135,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
-    // the alphabetically-first timed query
-    try SparkEntry.queries("q09_global_topk")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // untimed warmup (the ScaleSmoke100 warmed-leg policy applied to the
+    // committed board artifact — r11 verdict item 6): JIT/codegen/
+    // parquet-footer costs land here, not on the alphabetically-first
+    // timed query; the streaming row additionally front-loads the
+    // streaming engine's one-time costs (MicroBatchExecution classes,
+    // state-store provider init, file-source/sink log machinery) that
+    // otherwise land entirely on the first timed q14x row; the LSH row
+    // warms the native-expression + codegen'd dedup path. ~6 s of
+    // warmup against a ~230 s board buys a steady-state first leg.
+    for (w <- Seq("q09_global_topk", "q31_minhash_lsh", "q146_quota_cap_stream"))
+      try {
+        SparkEntry.queries(w)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Caches.drain()
+      } catch { case _: Throwable => () }
     // noop sink forces full materialization of every operator (count()
     // would let Catalyst prune the whole projection away).
     // dev loop only: SPARK_GRAFT_ONLY=q78,q31 times a subset (exact

@@ -704,7 +704,45 @@ object Advanced {
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("ddv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("ddw")), Seq("src"))
       .filter(col("ddv") < col("ddw") || (col("ddv") === col("ddw") && col("v") < col("w")))
-    val tri = wedges
+    // OPTIONAL wedge prefilter before the closing join, behind
+    // spark.graft.triangleCloseBloom (default off — the replayableHashes
+    // conf-seam pattern): a driver-built dense Bloom bitset over the
+    // oriented edge set, probed map-side per wedge. Measured at local[32]
+    // sf0.1 (TriangleProfileProbe, PERF.md r11): cuts 94% of the 41 M
+    // wedge rows before the shuffle but is NET-NEUTRAL on wall there —
+    // 2x xxhash64 per wedge ≈ the local shuffle it saves — so it stays
+    // OFF for the board; on a real cluster the closing join's shuffle is
+    // network-bound and the same 94% cut is the win, so a deployment
+    // flips the conf, not code. Correctness is mode-independent: the
+    // bitset is built EXACTLY over the closing join's build side, and a
+    // Bloom filter has no false negatives, so false positives are merely
+    // re-checked by the join itself (PlanQualitySpec pins count identity
+    // both ways). Driver memory is bounded: 2^24 bits = 2 MB, collected
+    // as <= 256 Ki (block, bits) rows and shipped as one plan literal.
+    val wedgesIn =
+      if (!spark.conf.get("spark.graft.triangleCloseBloom", "false").toBoolean) wedges
+      else {
+        val mBits = 1L << 24
+        val kHashes = 2
+        val rows = oriented.select(xxhash64(col("src"), col("dst")).as("h"))
+          .withColumn("_i", explode(sequence(lit(0), lit(kHashes - 1))))
+          .withColumn("_pos", pmod(xxhash64(col("_i"), col("h")), lit(mBits)))
+          .groupBy((col("_pos") / 64).cast("long").as("block"))
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))")).as("bits"))
+          .collect()
+        val dense = new Array[Long]((mBits / 64).toInt)
+        rows.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+        val bloomLit = typedLit(dense.toSeq)
+        val wh = xxhash64(col("v"), col("w"))
+        val hit = (0 until kHashes).map { i =>
+          val pos = pmod(xxhash64(lit(i), wh), lit(mBits))
+          call_function("shiftright",
+            element_at(bloomLit, (pos / 64).cast("int") + 1),
+            pmod(pos, lit(64)).cast("int")).bitwiseAND(lit(1L)) =!= 0
+        }.reduce(_ && _)
+        wedges.filter(hit)
+      }
+    val tri = wedgesIn
       .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))

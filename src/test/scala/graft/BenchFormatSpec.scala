@@ -85,18 +85,31 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((worst \ "total") != JNothing && (worst \ "n_queries") == JInt(names.size + 13))
   }
 
-  test("previousBench reads the newest committed round's compact line; drift rule fires correctly") {
+  test("previousBench takes the per-query minimum over the last K rounds; drift rule fires correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prevbench").toFile
     def write(n: Int, tail: String): Unit =
       java.nio.file.Files.writeString(new java.io.File(dir, s"BENCH_r$n.json").toPath,
         s"""{"n":$n,"rc":0,"tail":${org.json4s.jackson.JsonMethods.compact(org.json4s.JString(tail))}}""")
-    // older round should be ignored; newest wins
-    write(3, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":9.0},\"total\":9}\n")
+    // round 3 is OUTSIDE the default K=4 window (rounds 4-7 exist) —
+    // its 9.0 for "01" must not leak in; within the window the minimum
+    // wins ("01" is 2.0 in r7 but 1.5 in r5)
+    write(3, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":9.0,\"77\":0.1},\"total\":9}\n")
+    write(4, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":3.0},\"total\":9}\n")
+    write(5, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":1.5},\"total\":9}\n")
+    write(6, "{\"metric\":\"total\",\"value\":9,\"queries\":{\"01\":1.8},\"total\":9}\n")
     write(7, "noise head {\"metric\":\"total\",\"value\":1,\"queries\":" +
       "{\"01\":2.0,\"41\":1.9,\"119#2\":6.2,\"10b\":1},\"total\":1}\n[success]")
     val prev = Bench.previousBench(dir.getAbsolutePath)
-    assert(prev == Map("01" -> 2.0, "41" -> 1.9, "10b" -> 1.0),
-      s"sentinel keys excluded, newest round read: $prev")
+    assert(prev == Map("01" -> 1.5, "41" -> 1.9, "10b" -> 1.0),
+      s"per-query min over rounds 4-7, sentinel keys excluded, r3 outside the window: $prev")
+    // the anti-creep property this exists for (r11 verdict item 5): a
+    // ~1.3x/round creep never trips against the immediately previous
+    // round but compounds past the band against the rolling minimum
+    val creep = Seq("q01_pricing_creep" -> 2.4) // 1.2x vs r7's 2.0 — but 1.6x and +0.9 vs the min 1.5
+    assert(Bench.drifted(creep, Map("01" -> 2.0), Set.empty).isEmpty,
+      "vs the last round alone the creep is invisible (the old rule)")
+    assert(Bench.drifted(creep, prev, Set.empty) == Seq("q01_pricing_creep"),
+      "vs the rolling minimum the compounded creep must trip a repeat")
     // drift: needs BOTH 1.5x and +0.8s — the sub-second noise band
     // (0.2 -> 0.5) trips the ratio but not the floor; q41's real r10
     // drift (1.9 -> 3.2) trips both

@@ -44,6 +44,40 @@ object Hilbert3dEnvelopeProbe {
       println(f"3-D hilbert (${d3._4} files): mean dx=${d3._1}%.0f dy=${d3._2}%.0f dp=${d3._3}%.0f")
       println(f"3-D morton  (${z3._4} files): mean dx=${z3._1}%.0f dy=${z3._2}%.0f dp=${z3._3}%.0f")
       println(f"2-D hilbert (${d2._4} files): mean dx=${d2._1}%.0f dy=${d2._2}%.0f dp=${d2._3}%.0f")
+
+      // ---- 4-D (r12 — verdict item 7): the envelope comparison on 4
+      // REAL clustering columns, (suppkey, ship-day, price, partkey)
+      // over lineitem, so the "3-4 column" claim is measured in both
+      // arities, not just bijection-tested. Metric: mean per-file
+      // normalized envelope VOLUME Π(extent_i/range_i) — the fraction
+      // of the 4-cube a file's min/max box covers, which is what a
+      // 4-predicate range scan prunes against.
+      val day4 = datediff(col("l_shipdate"), lit("1990-01-01").cast("date"))
+      val src4 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_suppkey").as("k0"), day4.cast("long").as("k1"),
+          round(col("l_extendedprice") * 100).cast("long").as("k2"),
+          col("l_partkey").as("k3"))
+      val keys4 = (0 until 4).map(i => col(s"k$i"))
+      val f4 = src4.agg(
+        (max(col("k0")) - min(col("k0"))).as("r0"), (max(col("k1")) - min(col("k1"))).as("r1"),
+        (max(col("k2")) - min(col("k2"))).as("r2"), (max(col("k3")) - min(col("k3"))).as("r3")).head
+      val ranges4 = (0 until 4).map(i => f4.getLong(i).toDouble)
+      def vol4(df: org.apache.spark.sql.DataFrame): (Double, Int) = {
+        val out = Files.createTempDirectory("graft_h4p").toFile.getAbsolutePath
+        df.write.mode("overwrite").parquet(out)
+        val rows = spark.read.parquet(out).groupBy(input_file_name())
+          .agg(
+            (max(col("k0")) - min(col("k0"))).as("d0"), (max(col("k1")) - min(col("k1"))).as("d1"),
+            (max(col("k2")) - min(col("k2"))).as("d2"), (max(col("k3")) - min(col("k3"))).as("d3"))
+          .collect()
+        val vols = rows.map(r => (0 until 4).map(i => r.getLong(i + 1) / ranges4(i)).product)
+        (vols.sum / vols.length, rows.length)
+      }
+      val h4 = vol4(ops.Layout.layoutHilbertD(src4, keys4, n))
+      val m4 = vol4(ops.Layout.layoutZOrderD(src4, keys4, n))
+      println(f"4-D hilbert (${h4._2} files): mean envelope volume ${h4._1}%.6f")
+      println(f"4-D morton  (${m4._2} files): mean envelope volume ${m4._1}%.6f")
+      println(f"4-D volume ratio hilbert/morton: ${h4._1 / m4._1}%.2f")
     } finally spark.stop()
   }
 }

@@ -390,4 +390,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("SortMergeJoin [bin"),
       s"q155 join does not key on bin: ${p.take(400)}")
   }
+
+  test("q129: the triangleCloseBloom conf changes routing, never the counts") {
+    // the cluster recipe behind a switch: the wedge Bloom prefilter is
+    // net-neutral at local[32] (2x xxhash64 per wedge ≈ the local
+    // shuffle it saves — PERF.md r11's honest rejection) but wins when
+    // the closing join's shuffle is network-bound, so a deployment
+    // flips spark.graft.triangleCloseBloom instead of editing code.
+    // Bloom filters never false-negative and the closing join re-checks
+    // every candidate, so the result row must be IDENTICAL both ways.
+    def run(): Seq[Any] =
+      SparkEntry.queries("q129_triangles")(spark, dir).collect().head.toSeq
+    val off = run()
+    spark.conf.set("spark.graft.triangleCloseBloom", "true")
+    val on = try run()
+    finally spark.conf.unset("spark.graft.triangleCloseBloom")
+    assert(on == off, s"bloom prefilter changed the triangle counts: $on vs $off")
+    assert(off.head.asInstanceOf[Long] > 0L, "degenerate graph — the pin is vacuous")
+  }
 }
