@@ -64,17 +64,31 @@ object Dedup {
 
   /** DataFrame-level twin of `shingles` — for incremental ingest and
     * direct spec feeds (same pattern as `chunkDedup(docs)`). */
-  def shinglesOf(docs: DataFrame): DataFrame =
+  /** 3-gram construction runs as ONE native fused pass (r12 — the
+    * declarative `array_distinct(transform(sequence(...), concat(...)))`
+    * form evaluated |tokens| interpreted lambda trees per doc, the
+    * largest chain term after the r11 signature fusion: 3.5 s of the
+    * sf0.1 LSH chain; value- and order-identical, spec-pinned against
+    * [[shinglesHofReference]]). */
+  def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.ShingleFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
-          i => concat(
-            element_at(col("ws"), i + 1), lit(" "),
-            element_at(col("ws"), i + 2), lit(" "),
-            element_at(col("ws"), i + 3)))).as("shingles"))
+        graft.functions.ShingleFunctions.shingle3(col("ws")).as("shingles"))
+  }
+
+  /** The pre-r12 declarative 3-gram formula over a `ws` token column —
+    * kept as the REFERENCE the spec pins [[shinglesOf]]'s native fused
+    * pass against (the minhashSigHofReference pattern). */
+  private[graft] def shinglesHofReference: Column =
+    array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+      i => concat(
+        element_at(col("ws"), i + 1), lit(" "),
+        element_at(col("ws"), i + 2), lit(" "),
+        element_at(col("ws"), i + 3))))
 
   /** Exact dedup: canonical-fingerprint groupBy; keeper = min doc_id.
     * One shuffle on the 64-bit fingerprint — the straight scalable plan. */
@@ -1060,28 +1074,49 @@ object Dedup {
     * row (CollapseProject keeps non-cheap multiply-referenced aliases
     * materialized), so the md5 cost is one-per-shingle. */
   def minhashSignaturesOf(sh: DataFrame): DataFrame = {
-    // hash-family seam (graft.HashFamilies): md5 halves (replayable,
-    // default) vs two seeded xxhash64 32-bit values (production speed)
-    val hp: Column => Column =
-      if (graft.HashFamilies.replayable(sh.sparkSession))
-        s => struct(
-          conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
-          conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb"))
-      else
-        s => struct(
-          pmod(xxhash64(s), lit(4294967296L)).as("ha"),
-          pmod(xxhash64(s, lit(1)), lit(4294967296L)).as("hb"))
-    // the K affine minima run as ONE native fused pass (r11 — the
-    // array((0..K).map(array_min(transform(...)))) form evaluated K
-    // interpreted lambdas per row, 3.2 s of q31's 5.7 at sf0.1 and the
-    // dominant term of every ingest batch; bit-identical arithmetic,
-    // MinhashExpressionsSpec pins equality against the HOF formula)
-    graft.functions.MinhashFunctions.register(sh.sparkSession,
+    // FULLY fused since r12: shingle strings → (md5|xxhash64) halves →
+    // K affine minima, one native pass per row. The r11 fusion removed
+    // the K per-permutation lambdas (3.2 s of q31's 5.7 at sf0.1) but
+    // still paid an interpreted `transform` hash projection per shingle
+    // plus a materialized struct array; this removes both. The hash-
+    // family seam (graft.HashFamilies) picks the variant name at plan
+    // build: md5 halves (replayable, default — the DuckDB oracle
+    // replays them) vs seeded xxhash64 (production). Bit-identical to
+    // the two-step route for BOTH families; MinhashExpressionsSpec pins
+    // the full ladder (fused-text ≡ struct-input native ≡ the K-lambda
+    // HOF reference). */
+    graft.functions.MinhashFunctions.registerText(sh.sparkSession,
       MinhashPerms.map(_._1).toArray, MinhashPerms.map(_._2).toArray,
       MinhashPerms.map(_._3).toArray, MinhashMod)
-    sh.withColumn("hp", transform(col("shingles"), s => hp(s)))
-      .select(col("doc_id"), col("shingles"),
-        graft.functions.MinhashFunctions.minhashSig(col("hp")).as("sig"))
+    val fn =
+      if (graft.HashFamilies.replayable(sh.sparkSession)) "minhash_sig_text_md5"
+      else "minhash_sig_text_xxh"
+    sh.select(col("doc_id"), col("shingles"),
+      call_function(fn, col("shingles")).as("sig"))
+  }
+
+  /** The pre-r12 per-shingle hash projection for `family` ("md5" |
+    * "xxh") — kept as the REFERENCE the spec pins the fused text pass
+    * against, and the input builder for [[minhashSigHofReference]]. */
+  private[graft] def minhashHpReference(replayable: Boolean): Column => Column =
+    if (replayable)
+      s => struct(
+        conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("hb"))
+    else
+      s => struct(
+        pmod(xxhash64(s), lit(4294967296L)).as("ha"),
+        pmod(xxhash64(s, lit(1)), lit(4294967296L)).as("hb"))
+
+  /** The r11 struct-input route (an `hp` (ha, hb) column through the
+    * native `minhash_sig`) — kept as the MIDDLE RUNG of the spec ladder
+    * (fused-text ≡ struct-input ≡ K-lambda HOF reference). */
+  private[graft] def minhashSignaturesStructRouteForSpec(shWithHp: DataFrame): DataFrame = {
+    graft.functions.MinhashFunctions.register(shWithHp.sparkSession,
+      MinhashPerms.map(_._1).toArray, MinhashPerms.map(_._2).toArray,
+      MinhashPerms.map(_._3).toArray, MinhashMod)
+    shWithHp.select(col("doc_id"),
+      graft.functions.MinhashFunctions.minhashSig(col("hp")).as("sig"))
   }
 
   /** The pre-r11 HOF formula for the signatures — kept as the

@@ -41,6 +41,28 @@ class MinhashExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig.size == 64 && sig.forall(_ == null), "empty doc must yield K nulls")
   }
 
+  test("fused text signature equals the struct route for BOTH hash families (the full ladder)") {
+    // ladder: fused-text native (r12) ≡ struct-input native (r11) ≡ the
+    // K-lambda HOF reference (pinned in the first test). Both named
+    // variants are registered; the md5 leg is additionally covered
+    // corpus-wide by the first test (minhashSignaturesOf now IS the
+    // fused text path), so this pins the xxh leg and the md5 leg on the
+    // same frame, value for value.
+    val sh = dedup.Dedup.shingles(spark, "/root/testdata/sf0.001")
+    dedup.Dedup.minhashSignaturesOf(sh) // registers the text variants
+    for (replayable <- Seq(true, false)) {
+      val hp = transform(col("shingles"),
+        s => dedup.Dedup.minhashHpReference(replayable)(s))
+      val structRoute = dedup.Dedup
+        .minhashSignaturesStructRouteForSpec(sh.withColumn("hp", hp))
+      val fn = if (replayable) "minhash_sig_text_md5" else "minhash_sig_text_xxh"
+      val diff = sh.select(col("doc_id"), call_function(fn, col("shingles")).as("sig"))
+        .join(structRoute.select(col("doc_id"), col("sig").as("ref_sig")), "doc_id")
+        .where(!(col("sig") <=> col("ref_sig"))).count()
+      assert(diff == 0, s"family=$fn: fused text diverges from the struct route on $diff docs")
+    }
+  }
+
   test("NULL input array yields NULL signature (the documented contract)") {
     // null-in/null-out IS the contract — deliberately unlike the HOF
     // reference formula (array of K nulls): corpus shingle arrays are
