@@ -1054,6 +1054,15 @@ object Dedup {
   }
   private val MinhashMod = 2147483647L // 2^31 - 1
 
+  /** The production minhash permutation family `(a, b, c, mod)` —
+    * exposed (read-only copies) so [[graft.plans.GraftExtensions]] can
+    * inject the `minhash_sig*` SQL functions bound to the SAME family
+    * the dedup chain and the q31/q78 oracles use. Deterministic: the
+    * perms derive from a fixed seed. */
+  def minhashFamily: (Array[Long], Array[Long], Array[Long], Long) =
+    (MinhashPerms.map(_._1).toArray, MinhashPerms.map(_._2).toArray,
+      MinhashPerms.map(_._3).toArray, MinhashMod)
+
   /** Signatures from an existing (doc_id, shingles) frame.
     *
     * The K hash family is md5-seeded affine permutations (r9; was

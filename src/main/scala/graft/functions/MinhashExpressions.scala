@@ -222,7 +222,25 @@ object MinhashFunctions {
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash_sig"),
     new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
-    (args: Seq[Expression]) => MinhashSignature(args.head, a, b, c, mod))
+    (args: Seq[Expression]) => {
+      if (args.size != 1) throw new IllegalArgumentException(
+        s"minhash_sig takes exactly (hash_pairs), got ${args.size} arguments")
+      MinhashSignature(args.head, a, b, c, mod)
+    })
+
+  /** Info triple for a fused text-input variant (`minhash_sig_text_md5`
+    * or `minhash_sig_text_xxh`), for registration or extension
+    * injection — one name per hash family. */
+  def textInfo(name: String, a: Array[Long], b: Array[Long], c: Array[Long],
+      mod: Long, replayable: Boolean):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(classOf[MinhashSignatureText].getName, name),
+    (args: Seq[Expression]) => {
+      if (args.size != 1) throw new IllegalArgumentException(
+        s"$name takes exactly (shingles), got ${args.size} arguments")
+      MinhashSignatureText(args.head, a, b, c, mod, replayable)
+    })
 
   /** Per-session record of the constants each minhash function NAME was
     * registered with. Names are session-global, and the constants live
@@ -273,9 +291,9 @@ object MinhashFunctions {
   def registerText(spark: SparkSession, a: Array[Long], b: Array[Long],
       c: Array[Long], mod: Long): Unit = {
     guardedRegister(spark, "minhash_sig_text_md5", a, b, c, mod)(
-      args => MinhashSignatureText(args.head, a, b, c, mod, replayable = true))
+      textInfo("minhash_sig_text_md5", a, b, c, mod, replayable = true)._3)
     guardedRegister(spark, "minhash_sig_text_xxh", a, b, c, mod)(
-      args => MinhashSignatureText(args.head, a, b, c, mod, replayable = false))
+      textInfo("minhash_sig_text_xxh", a, b, c, mod, replayable = false)._3)
   }
 
   /** `minhash_sig(hp)` as a Column; caller must have run `register`. */

@@ -9,10 +9,35 @@ import org.apache.spark.sql.types.IntegerType
 /** Session extensions (SURVEY §2B custom tier (c): `Rule[LogicalPlan]`
   * via `SparkSessionExtensions`): install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Besides the optimizer rule, this injects graft's whole native-
+  * expression surface as SQL functions, so a pure-SQL deployment
+  * (spark-sql / Thrift server / `spark.sql(...)` with the conf above)
+  * can call `vec_dot`, `hilbert_index`, `hilbert_xy`, `shingle3` and
+  * the `minhash_sig*` family without any Scala-side `register()` call.
+  * The minhash functions are bound to the PRODUCTION permutation family
+  * (the one the dedup chain and the q31/q78 oracles use — deterministic,
+  * seed-fixed, see `Dedup.minhashFamily`); a second constant family
+  * still goes through `MinhashFunctions.guardedRegister` under a
+  * distinct name, exactly as before. Each `injectFunction` is
+  * per-session-build (the extension point re-applies for every new
+  * session), so unlike the temp-function path there is no cross-session
+  * registry to guard. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectFunction(graft.functions.VectorFunctions.dotInfo)
+    ext.injectFunction(graft.functions.HilbertFunctions.info)
+    ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)
+    ext.injectFunction(graft.functions.ShingleFunctions.info)
+    val (a, b, c, mod) = graft.dedup.Dedup.minhashFamily
+    ext.injectFunction(graft.functions.MinhashFunctions.info(a, b, c, mod))
+    ext.injectFunction(graft.functions.MinhashFunctions.textInfo(
+      "minhash_sig_text_md5", a, b, c, mod, replayable = true))
+    ext.injectFunction(graft.functions.MinhashFunctions.textInfo(
+      "minhash_sig_text_xxh", a, b, c, mod, replayable = false))
+  }
 }
 
 /** Optimizer rule: a filter `levenshtein(a, b) <= k` gains the conjunct

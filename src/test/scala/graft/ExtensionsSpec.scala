@@ -79,6 +79,56 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(absCount >= 2, s"tight guard missing beside the weak one ($absCount):\n$p")
   }
 
+  test("injected SQL surface: vec_dot / shingle3 resolve with no register() call") {
+    // the whole point of the injection: a pure-SQL deployment
+    // (spark.sql.extensions=graft.plans.GraftExtensions) gets the native
+    // surface with zero Scala-side register() calls
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS v")
+      .head.getDouble(0)
+    assert(d == 32.0)
+    val sh = spark.sql(
+      "SELECT shingle3(array('a','b','c','d','b','c','d')) AS s")
+      .head.getSeq[String](0)
+    // distinct 3-grams in first-occurrence order
+    assert(sh == Seq("a b c", "b c d", "c d b", "d b c"))
+  }
+
+  test("injected SQL surface: hilbert_index at d=2 equals hilbert_xy, both from SQL") {
+    // orientation-free cross-pin of the two injected Hilbert functions
+    // (the exhaustive d=2 ≡ xy2d law from LayoutSpec, restated in SQL)
+    val bad = spark.sql(
+      """SELECT count(*) AS n
+         FROM (SELECT id % 16 AS x, CAST(id / 16 AS BIGINT) AS y FROM range(256))
+         WHERE hilbert_index(x, y, 4) != hilbert_xy(x, y, 4)""").head.getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("injected SQL surface: the minhash family, production-bound, both hash variants") {
+    val row = spark.sql(
+      """SELECT minhash_sig_text_xxh(shingle3(array('a','b','c','d'))) AS sx,
+                minhash_sig_text_md5(shingle3(array('a','b','c','d'))) AS sm,
+                minhash_sig_text_xxh(shingle3(array('a','b'))) AS se""").head
+    val sx = row.getSeq[Any](0); val sm = row.getSeq[Any](1); val se = row.getSeq[Any](2)
+    assert(sx.size == 64 && sx.forall(_ != null), "real doc must fill all K minima")
+    assert(sm.size == 64 && sm.forall(_ != null))
+    assert(sx != sm, "md5 and xxh families must hash differently")
+    assert(se.size == 64 && se.forall(_ == null), "sub-3-token doc (no shingles) -> K nulls")
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(struct(1L, 2L), struct(3L, 4L))) AS s")
+      .head.getSeq[Any](0)
+    assert(sig.size == 64 && sig.forall(_ != null))
+  }
+
+  test("injected builders reject malformed arity from SQL, by name") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle3(array('a','b','c'), 2)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("shingle3")), s"unhelpful error: $e")
+  }
+
   test("rule is idempotent at the optimizer fixed point") {
     // a query whose condition already carries a length guard is untouched
     val df = Tables.part(spark, "/root/testdata/sf0.001")
