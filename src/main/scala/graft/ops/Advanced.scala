@@ -664,43 +664,66 @@ object Advanced {
     * The count uses the degree-ordered orientation (Schank 2007; Suri &
     * Vassilvitskii WWW'11): every edge is directed from its (deg, id)-
     * smaller endpoint to the larger, each triangle survives as exactly
-    * one wedge u→v, u→w closed by v→w, and — the scale property — every
-    * node's out-degree is O(√m), so the wedge join fans out at most
-    * √m per edge instead of max-degree. Hub nodes (a part in every
+    * one ordered pattern u→v, u→w, v→w, and — the scale property —
+    * every node's out-degree is O(√m). Hub nodes (a part in every
     * order) stop being quadratic generators because their edges all
     * point INTO them.
+    *
+    * Counting strategy (r12): the EDGE-ITERATOR form — each node's
+    * sorted out-adjacency array, then per oriented edge (u→v) a native
+    * codegen'd merge walk counts |N⁺(u) ∩ N⁺(v)| (`sorted_intersect_
+    * count`), and the triangle total is one map-side-partial sum. The
+    * r11 wedge+closing-join form ([[q129TrianglesWedge]]) computes the
+    * identical integers but SHUFFLES every wedge through the closing
+    * join — 41 M rows / 6.3 s of the row's 8.8 at sf0.1 (PERF.md r11
+    * profile); here the same Σ deg⁺(u)+deg⁺(v) element-steps run as
+    * in-memory array walks and the only new shuffle is the |E|-row
+    * adjacency groupBy. PlanQualitySpec pins the two plans equal
+    * scalar-for-scalar.
     *
     * Scale shape: the edge build is one self-join co-partitioned on
     * o_orderkey with per-order fan-out bounded by BasketCap, then one
     * distinct shuffle on (u, v); degrees are one partial-agged shuffle;
-    * the wedge join and the closing join both shuffle on bounded-degree
-    * keys; the three result scalars are 1-row broadcast attaches. All
-    * counts are exact integers, so the oracle matches bit-for-bit
-    * (wedges uses shiftright(d·(d−1), 1) ≡ //2 — d·(d−1) is always
-    * even — because both engines' `/` on integers would widen to
-    * non-integer types). */
+    * adjacency is one |E|-row shuffle into O(√m)-bounded arrays; the
+    * per-edge walks are map-side; the three result scalars are 1-row
+    * broadcast attaches. All counts are exact integers, so the oracle
+    * matches bit-for-bit (wedges uses shiftright(d·(d−1), 1) ≡ //2 —
+    * d·(d−1) is always even — because both engines' `/` on integers
+    * would widen to non-integer types). */
   def q129Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= BasketCap).select(col("ok"))
-    val inCap = graft.Caches.register(items.join(small, "ok").cache())
-    val edges = graft.Caches.register(
-      inCap.select(col("ok"), col("pk").as("u"))
-        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct().cache())
-    val deg = graft.Caches.register(
-      edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d")).cache())
-    val before = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = graft.Caches.register(edges
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
-      .select(
-        when(before, col("u")).otherwise(col("v")).as("src"),
-        when(before, col("v")).otherwise(col("u")).as("dst"),
-        when(before, col("dv")).otherwise(col("du")).as("dd")).cache())
+    val (edges, deg, oriented) = trianglesGraph(spark, dir)
+    graft.functions.IntersectFunctions.register(spark)
+    // Oriented out-adjacency, sorted: one |E|-row shuffle producing |V|
+    // rows whose arrays the orientation bounds at O(√m) — the SAME
+    // bound that caps the wedge fan-out, now capping an array length.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // Per oriented edge (u→v): |N⁺(u) ∩ N⁺(v)| triangles close over it,
+    // each triangle exactly once (w ∈ both ⇒ u→w, v→w; any other edge
+    // of that triangle fails the membership test — the edge-iterator
+    // identity of the same Schank 2007 orientation). The second join is
+    // inner: a dst with no out-neighbors intersects nothing.
+    val tri = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+      .agg(coalesce(sum(graft.functions.IntersectFunctions
+        .sortedIntersectCount(col("na"), col("nb"))), lit(0L)).as("n_triangles"))
+    trianglesResult(edges, deg, tri)
+  }
+
+  /** The r11 wedge+closing-join triangle plan, kept VERBATIM as the
+    * spec-pinned reference for [[q129Triangles]] (the
+    * hilbertValueFold / shinglesHofReference pattern): same graph
+    * build, wedge self-join on src, closing join on (v, w) — exact by
+    * the same orientation argument, but the closing join shuffles every
+    * wedge (41 M rows at sf0.1, 6.3 s of the row's 8.8 — PERF.md r11
+    * profile), where the adjacency plan shuffles |E| rows once and
+    * walks arrays map-side. PlanQualitySpec pins scalar-for-scalar
+    * equality of the two plans; the optional Bloom wedge prefilter
+    * (spark.graft.triangleCloseBloom) lives here with its original
+    * semantics. */
+  def q129TrianglesWedge(spark: SparkSession, dir: String): DataFrame = {
+    val (edges, deg, oriented) = trianglesGraph(spark, dir)
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("ddv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("ddw")), Seq("src"))
       .filter(col("ddv") < col("ddw") || (col("ddv") === col("ddw") && col("v") < col("w")))
@@ -745,6 +768,42 @@ object Advanced {
     val tri = wedgesIn
       .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
+    trianglesResult(edges, deg, tri)
+  }
+
+  /** Shared q129 graph build: capped co-purchase edge set, degrees, and
+    * the degree-ordered orientation — all cached, identical for the
+    * adjacency and wedge plans so the spec's equality pin compares only
+    * the COUNTING strategy. */
+  private def trianglesGraph(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val items = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= BasketCap).select(col("ok"))
+    val inCap = graft.Caches.register(items.join(small, "ok").cache())
+    val edges = graft.Caches.register(
+      inCap.select(col("ok"), col("pk").as("u"))
+        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct().cache())
+    val deg = graft.Caches.register(
+      edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")).cache())
+    val before = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Caches.register(edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(before, col("u")).otherwise(col("v")).as("src"),
+        when(before, col("v")).otherwise(col("u")).as("dst"),
+        when(before, col("dv")).otherwise(col("du")).as("dd")).cache())
+    (edges, deg, oriented)
+  }
+
+  /** Shared q129 finale: attach the three 1-row scalars. */
+  private def trianglesResult(edges: DataFrame, deg: DataFrame,
+      tri: DataFrame): DataFrame = {
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(sum(shiftright(col("d") * (col("d") - 1), 1)).as("n_wedges"))
     ne.crossJoin(broadcast(nw)).crossJoin(broadcast(tri))

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.IntegerType
   * Besides the optimizer rule, this injects graft's whole native-
   * expression surface as SQL functions, so a pure-SQL deployment
   * (spark-sql / Thrift server / `spark.sql(...)` with the conf above)
-  * can call `vec_dot`, `hilbert_index`, `hilbert_xy`, `shingle3` and
-  * the `minhash_sig*` family without any Scala-side `register()` call.
+  * can call `vec_dot`, `hilbert_index`, `hilbert_xy`, `shingle3`,
+  * `sorted_intersect_count` and the `minhash_sig*` family without any
+  * Scala-side `register()` call.
   * The minhash functions are bound to the PRODUCTION permutation family
   * (the one the dedup chain and the q31/q78 oracles use — deterministic,
   * seed-fixed, see `Dedup.minhashFamily`); a second constant family
@@ -31,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.HilbertFunctions.info)
     ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)
     ext.injectFunction(graft.functions.ShingleFunctions.info)
+    ext.injectFunction(graft.functions.IntersectFunctions.info)
     val (a, b, c, mod) = graft.dedup.Dedup.minhashFamily
     ext.injectFunction(graft.functions.MinhashFunctions.info(a, b, c, mod))
     ext.injectFunction(graft.functions.MinhashFunctions.textInfo(

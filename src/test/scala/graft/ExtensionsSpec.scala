@@ -92,6 +92,10 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getSeq[String](0)
     // distinct 3-grams in first-occurrence order
     assert(sh == Seq("a b c", "b c d", "c d b", "d b c"))
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L,7L), array(3L,4L,5L)) AS n")
+      .head.getLong(0)
+    assert(ic == 2L)
   }
 
   test("injected SQL surface: hilbert_index at d=2 equals hilbert_xy, both from SQL") {

@@ -399,13 +399,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // flips spark.graft.triangleCloseBloom instead of editing code.
     // Bloom filters never false-negative and the closing join re-checks
     // every candidate, so the result row must be IDENTICAL both ways.
+    // (The conf lives on the WEDGE plan — the r12 adjacency board plan
+    // has no closing join to prefilter.)
     def run(): Seq[Any] =
-      SparkEntry.queries("q129_triangles")(spark, dir).collect().head.toSeq
+      ops.Advanced.q129TrianglesWedge(spark, dir).collect().head.toSeq
     val off = run()
     spark.conf.set("spark.graft.triangleCloseBloom", "true")
     val on = try run()
     finally spark.conf.unset("spark.graft.triangleCloseBloom")
     assert(on == off, s"bloom prefilter changed the triangle counts: $on vs $off")
     assert(off.head.asInstanceOf[Long] > 0L, "degenerate graph — the pin is vacuous")
+  }
+
+  test("q129: the adjacency edge-iterator plan equals the wedge reference, scalar for scalar") {
+    // the r12 counting-strategy swap (native sorted_intersect_count
+    // merge walks instead of shuffling every wedge through the closing
+    // join) must change ROUTING only: same edges, same wedges, same
+    // triangle count, same transitivity — the minhash_sig/shingle3
+    // bit-identity protocol applied to a whole plan.
+    val adjRow = SparkEntry.queries("q129_triangles")(spark, dir).collect().head.toSeq
+    val wedgeRow = ops.Advanced.q129TrianglesWedge(spark, dir).collect().head.toSeq
+    assert(adjRow == wedgeRow, s"counting strategies disagree: $adjRow vs $wedgeRow")
+    assert(adjRow(2).asInstanceOf[Long] > 0L, "degenerate graph — the pin is vacuous")
   }
 }
