@@ -1292,8 +1292,10 @@ object Dedup {
     * of the global order and never enter a prefix (the same skew the
     * df cap handles by dropping, handled here with zero semantic
     * change). The length filter (t·|B| ≤ |A|, symmetric) prunes
-    * mismatched sizes before the verify. Verification is the q78
-    * exploded hash-join, linear in candidate tokens.
+    * mismatched sizes before the verify. Verification is per-doc sorted
+    * hash arrays + the native sorted_intersect_count merge walk (r12 —
+    * measured 2× over the exploded hash-join at this query's candidate
+    * volume; see the inline note).
     *
     * Scale shape: one df aggregation (linear), one per-doc rank window
     * (linear), a prefix-token self-join (df²-bounded on rare tokens),
@@ -1320,15 +1322,29 @@ object Dedup {
           col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = cands.join(e.as("ea"), col("id_a") === col("ea.doc_id"))
-      .select(col("id_a"), col("id_b"), col("ea.s").as("s")).as("pa")
-      .join(e.as("eb"), col("pa.id_b") === col("eb.doc_id") && col("pa.s") === col("eb.s"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    // Verification (r12): per-doc SORTED hash arrays + the native
+    // sorted_intersect_count merge walk (the q129 edge-iterator kernel),
+    // instead of the exploded hash-join q31 uses. The two verifies make
+    // opposite calls ON MEASUREMENT, not taste: q31's candidate set is
+    // tiny (256 at sf0.1) and chain-overhead-bound, so exploding wins
+    // there (r7); q125's prefix join yields ~310k candidates at the
+    // same SF, where the exploded form pays two joins plus a groupBy
+    // over Σ|A| rows — the array walk verify measured 2.20 → 1.04 s
+    // (PrefixJoinProfileProbe, PERF.md r12). |toks| == |shingles|
+    // (collect_list keeps all hashes), so the sizes come free as
+    // size(ta)/size(tb) and the two size-attach joins disappear too.
+    // Hash-collision policy unchanged from q30/q31 (2^-64 per pair,
+    // and the DuckDB oracle would catch one materializing).
+    val adj = e.groupBy(col("doc_id")).agg(sort_array(collect_list(col("s"))).as("toks"))
+    graft.functions.IntersectFunctions.register(spark)
+    cands
+      .join(adj.select(col("doc_id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(adj.select(col("doc_id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.IntersectFunctions.sortedIntersectCount(col("ta"), col("tb")).as("inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("tot"))
       .withColumn("jac", col("inter").cast("double") /
-        (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+        (col("tot") - col("inter")).cast("double"))
       .where(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jac").as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
