@@ -7,17 +7,29 @@ object Bench {
     s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
 
   private def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      key: String => String, decimals: Int, includeQueries: Boolean = true): String = {
+      key: String => String, decimals: Int, includeQueries: Boolean = true,
+      lean: Boolean = false): String = {
+    // lean (the last map-bearing gear): shed every redundant byte before
+    // shedding the map itself — "unit" (derivable), the sf PATH
+    // (basename identifies the SF), and the "#2" sentinel entries
+    // (derivative repeats of rows already present; their adjudication
+    // stays visible in the full-name line above). "n_queries" stays —
+    // it still counts ALL results incl. shed sentinels, the one signal
+    // that the map is the lean subset.
+    val rows =
+      if (lean) results.filterNot(_._1.contains("#")) else results
     val qs =
       if (includeQueries)
-        results.sortBy(_._1)
+        rows.sortBy(_._1)
           .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, decimals) }
           .mkString("{", ",", "}")
       else "{}"
     val total = results.map(_._2).sum
+    val sf = if (lean) sfDir.split('/').last else sfDir
+    val mid = if (lean) "" else "\"unit\":\"sec\","
     // "total" appears both in contract position ("value") and LAST, so a
     // tail-truncated line still ends with the headline number.
-    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","sf":"$sfDir","queries":$qs,"n_queries":${results.size},"total":${fmt(total, decimals)}}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},$mid"sf":"$sf","queries":$qs,"n_queries":${results.size},"total":${fmt(total, decimals)}}"""
   }
 
   /** Full-name line — for humans reading per-query timings. */
@@ -48,7 +60,11 @@ object Bench {
     // of pure redundancy; "129" maps to q129 trivially).
     val short = (n: String) => n.takeWhile(_ != '_').stripPrefix("q")
     val gears = Seq(2, 1, 0).iterator
-      .map(d => jsonLine(results, sfDir, short, decimals = d))
+      .map(d => jsonLine(results, sfDir, short, decimals = d)) ++
+      // r12 gear (the 169-query board at worst-case 3-digit seconds
+      // overran by 14 chars): strip redundant fields and sentinel
+      // entries before surrendering the map
+      Iterator(jsonLine(results, sfDir, short, decimals = 0, lean = true))
     gears.find(_.length <= 1700).getOrElse(
       jsonLine(results, sfDir, short, decimals = 1, includeQueries = false))
   }

@@ -5,6 +5,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
@@ -32,6 +33,18 @@ import scala.jdk.CollectionConverters._
   *    row is ever materialized to Spark, and reported via `pushedFilters`.
   *  - `SupportsPushDownRequiredColumns`: only requested fields are parsed
   *    into the output row.
+  *  - `SupportsPushDownAggregates` (r12, partial mode): global
+  *    COUNT(*)/COUNT(col)/MIN/MAX fold scan-side into ONE row per
+  *    response file, merged by Spark's final aggregate — the
+  *    count-the-matches call an HTTP endpoint would answer without
+  *    shipping bodies. Group-bys and order-dependent aggregates are
+  *    refused (stay in Spark).
+  *  - `SupportsPushDownLimit` (r12, partial): `limit(n)` stops each
+  *    file's reader after n surviving rows — later lines never parse.
+  *  - `SupportsReportStatistics` (r12): the scan reports its on-disk
+  *    bytes, so a small response directory broadcast-joins like a small
+  *    parquet dimension instead of defaulting to "unknown = never
+  *    broadcast".
   *  - One `InputPartition` per response file → parallel scan.
   *
   * Scale note: file listing uses the local filesystem for this offline
@@ -81,11 +94,45 @@ private[sources] class JsonDocTable(schema: StructType, path: String)
     new JsonDocScanBuilder(schema0, path)
 }
 
+/** The aggregate shapes the source computes scan-side (SURVEY §2B
+  * scans/sources row, r12 extension): one partial row per response
+  * file, merged by Spark's final aggregate — COUNT(*)/COUNT(col) as
+  * partial counts (finalized by SUM), MIN/MAX carried as the column's
+  * declared type. Order-independent functions only, so partial-per-file
+  * merge is exact; AVG/SUM-over-double are left to Spark (fold order
+  * would change bits). */
+private[sources] sealed trait JsonAggSpec { def name: String }
+private[sources] case object JsonCountStar extends JsonAggSpec { def name = "COUNT(*)" }
+private[sources] final case class JsonCountCol(col: String, dt: DataType) extends JsonAggSpec {
+  def name = s"COUNT($col)"
+}
+private[sources] final case class JsonMinCol(col: String, dt: DataType) extends JsonAggSpec {
+  def name = s"MIN($col)"
+}
+private[sources] final case class JsonMaxCol(col: String, dt: DataType) extends JsonAggSpec {
+  def name = s"MAX($col)"
+}
+
 private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggSpecs: Seq[JsonAggSpec] = Nil
+  private var aggSchema: StructType = _
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true): each
+    * partition reader stops parsing its file after `n` rows survive the
+    * pushed filters — Spark keeps the global LIMIT on top, so
+    * `df.limit(10)` reads at most 10 lines per response file instead of
+    * every line of every file. Never co-planned with a pushed aggregate
+    * (a LIMIT above an Aggregate does not reach the scan). */
+  override def pushLimit(n: Int): Boolean = {
+    if (n >= 0) limit = Some(n)
+    limit.isDefined
+  }
 
   /** Accept the filter shapes an HTTP endpoint could encode as query
     * params; everything else stays in Spark (returned as residual). A
@@ -114,12 +161,96 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new JsonDocScan(required, path, pushed)
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays false):
+    * accept only global (no GROUP BY) combinations of COUNT(*) /
+    * COUNT(col) / MIN(col) / MAX(col) over declared supported-type
+    * top-level fields. Spark guarantees it only attempts this when every
+    * filter was pushed (a residual filter could not run over partial
+    * rows), and merges one partial row per InputPartition with a final
+    * aggregate — counts are summed, so per-file partials are exact. */
+  override def pushAggregation(aggregation: aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          fullSchema.fields.find(f => f.name == nr.fieldNames.head &&
+            JsonDocSource.supportedType(f.dataType))
+        case _ => None
+      }
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(JsonCountStar)
+      case c: aggregate.Count if !c.isDistinct =>
+        topField(c.column).map(f => JsonCountCol(f.name, f.dataType))
+      case m: aggregate.Min => topField(m.column).map(f => JsonMinCol(f.name, f.dataType))
+      case m: aggregate.Max => topField(m.column).map(f => JsonMaxCol(f.name, f.dataType))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    aggSpecs = specs.flatten
+    aggSchema = StructType(aggSpecs.zipWithIndex.map {
+      case (JsonCountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (JsonCountCol(_, _), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (JsonMinCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+      case (JsonMaxCol(_, dt), i) => StructField(s"agg_$i", dt, nullable = true)
+    })
+    true
+  }
+
+  override def build(): Scan =
+    if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs)
+    else new JsonDocScan(required, path, pushed, limit)
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter], limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = readSchema0
+  override def toBatch: Batch = this
+
+  private def listFiles(): Array[java.io.File] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Array.empty
+    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    listFiles().map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonDocReaderFactory(readSchema0, filters, limit)
+
+  /** Source-reported size (`SupportsReportStatistics`): the bytes on
+    * disk. Without this a DSv2 scan defaults to "unknown = huge" and a
+    * join against it can never broadcast — with it, a small response
+    * directory joins as the build side of a BroadcastHashJoin exactly
+    * like a small parquet dimension would (SourceSinkSpec pins the plan
+    * shape). numRows stays empty: lines are not counted without
+    * reading, and a wrong row estimate is worse than none. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = listFiles().map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JsonDocMicroBatchStream(readSchema0, path, filters)
+
+  override def description(): String =
+    s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}]" +
+      limit.map(n => s" PushedLimit=$n").getOrElse("")
+}
+
+/** Scan-side aggregation: same file partitions, but each reader emits
+  * exactly ONE partial row (counts + typed min/max) computed while
+  * streaming the file — the rows themselves are never materialized to
+  * Spark. Pushed filters still apply line-by-line first, so
+  * `SELECT count(*) ... WHERE lang = 'en'` ships two longs per file
+  * instead of every matching row. */
+private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
+    filters: Array[Filter], specs: Seq[JsonAggSpec]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -131,13 +262,91 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocReaderFactory(readSchema0, filters)
+    new JsonDocAggReaderFactory(aggSchema, filters, specs)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JsonDocMicroBatchStream(readSchema0, path, filters)
+    throw new IllegalStateException(
+      "graft-jsondoc: aggregate pushdown is a batch-only plan shape (Spark does not " +
+        "push aggregates into streaming scans); this call indicates a planner bug")
 
   override def description(): String =
-    s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}]"
+    s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}] " +
+      s"PushedAggregates=[${specs.map(_.name).mkString(", ")}]"
+}
+
+private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
+    filters: Array[Filter], specs: Seq[JsonAggSpec]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonDocAggReader(partition.asInstanceOf[JsonDocPartition].file,
+      aggSchema, filters, specs)
+}
+
+/** Folds one response file into a single partial-aggregate row. Min/max
+  * accumulate in Spark's INTERNAL representation (UTF8String for
+  * strings) and compare with the same ordering Spark's final min/max
+  * uses, so partial-then-final equals whole-set aggregation exactly;
+  * an empty (or fully filtered) file contributes count 0 and null
+  * min/max, which the final aggregate ignores. */
+private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
+    filters: Array[Filter], specs: Seq[JsonAggSpec])
+    extends PartitionReader[InternalRow] {
+
+  // every column any spec touches, once, with its declared type
+  private val readSchema: StructType = StructType(
+    specs.collect {
+      case JsonCountCol(c, dt) => (c, dt)
+      case JsonMinCol(c, dt) => (c, dt)
+      case JsonMaxCol(c, dt) => (c, dt)
+    }.distinctBy(_._1).map { case (c, dt) => StructField(c, dt) })
+
+  private val rowReader = new JsonDocReader(file, readSchema, filters)
+
+  private var done = false
+  private var result: InternalRow = _
+
+  private def cmpInternal(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => throw new IllegalStateException(s"unorderable agg values: $a / $b")
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    val colIdx = readSchema.fieldNames.zipWithIndex.toMap
+    val counts = new Array[Long](specs.size)
+    val minmax = new Array[Any](specs.size)
+    while (rowReader.next()) {
+      val row = rowReader.get()
+      var i = 0
+      while (i < specs.size) {
+        specs(i) match {
+          case JsonCountStar => counts(i) += 1L
+          case JsonCountCol(c, _) =>
+            if (!row.isNullAt(colIdx(c))) counts(i) += 1L
+          case JsonMinCol(c, dt) =>
+            val v = if (row.isNullAt(colIdx(c))) null else row.get(colIdx(c), dt)
+            if (v != null && (minmax(i) == null || cmpInternal(v, minmax(i)) < 0)) minmax(i) = v
+          case JsonMaxCol(c, dt) =>
+            val v = if (row.isNullAt(colIdx(c))) null else row.get(colIdx(c), dt)
+            if (v != null && (minmax(i) == null || cmpInternal(v, minmax(i)) > 0)) minmax(i) = v
+        }
+        i += 1
+      }
+    }
+    result = InternalRow.fromSeq(specs.zipWithIndex.map {
+      case (JsonCountStar, i) => counts(i)
+      case (JsonCountCol(_, _), i) => counts(i)
+      case (_, i) => minmax(i)
+    })
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = rowReader.close()
 }
 
 /** Streaming form of the same source (SURVEY.md §2B scans row:
@@ -231,20 +440,25 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
 private[sources] case class JsonDocPartition(file: String) extends InputPartition
 
 private[sources] class JsonDocReaderFactory(readSchema: StructType,
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter], limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonDocReader(partition.asInstanceOf[JsonDocPartition].file, readSchema, filters)
+    new JsonDocReader(partition.asInstanceOf[JsonDocPartition].file, readSchema,
+      filters, limit)
 }
 
 /** Streams one response file line-by-line; applies pushed filters on the
-  * parsed JSON BEFORE building an InternalRow (source-side evaluation). */
+  * parsed JSON BEFORE building an InternalRow (source-side evaluation).
+  * A pushed partial limit stops the scan after that many rows SURVIVE
+  * the filters — later lines are never parsed. */
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
-    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+    filters: Array[Filter], limit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val lines = scala.io.Source.fromFile(file, "UTF-8")
   private val it = lines.getLines().filter(_.nonEmpty)
   private var current: InternalRow = _
+  private var emitted = 0
 
   private def fieldValue(node: JsonNode, name: String): Any = {
     val v = node.get(name)
@@ -301,6 +515,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
 
   override def next(): Boolean = {
     current = null
+    if (limit.exists(emitted >= _)) return false
     while (current == null && it.hasNext) {
       val node = mapper.readTree(it.next())
       if (passes(node)) {
@@ -311,6 +526,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
           }
         }
         current = InternalRow.fromSeq(values.toSeq)
+        emitted += 1
       }
     }
     current != null

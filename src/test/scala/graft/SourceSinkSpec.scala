@@ -151,6 +151,102 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("ts") || Option(e.getCause).exists(_.getMessage.contains("ts")))
   }
 
+  test("q168: aggregates are pushed into the source and match the parquet computation") {
+    val df = sources.SourceQueries.q168Dsv2AggPushdown(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedAggregates=[COUNT(*), COUNT(lang), MIN(n_chars), " +
+      "MAX(n_chars), MIN(lang), MAX(doc_id)]"), s"aggregates not pushed: $desc")
+    // the scan's output is the partial-agg row, not document rows
+    assert(scans.head.scan.readSchema().length == 6)
+    val got = df.collect().head.toSeq
+    val want = Tables.documents(spark, sfDir)
+      .filter(col("n_chars") > 500)
+      .agg(count(lit(1)), count(col("lang")), min(col("n_chars")), max(col("n_chars")),
+        min(col("lang")), max(col("doc_id"))).collect().head.toSeq
+    assert(got == want, s"$got vs $want")
+    assert(got.head.asInstanceOf[Long] > 0L, "degenerate fixture — the pin is vacuous")
+  }
+
+  test("group-by aggregation is refused by the source and stays correct in Spark") {
+    val base = sources.SourceQueries.q48Base
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4).write.mode("overwrite").json(base)
+    val df = spark.read.format("graft-jsondoc").schema(sources.SourceQueries.docSchema)
+      .option("path", base).load()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && !scans.head.scan.description().contains("PushedAggregates"),
+      "grouped aggregate must NOT push (the source only does global partials)")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.documents(spark, sfDir).groupBy(col("lang"))
+      .agg(count(lit(1))).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("aggregate partials honor nulls, filtered rows, and empty files") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_aggpush").toString
+    Files.write(Paths.get(dir, "a.jsonl"),
+      "{\"id\":1,\"x\":5,\"s\":\"b\"}\n{\"id\":2,\"s\":\"a\"}\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "b.jsonl"),
+      "{\"id\":3,\"x\":9,\"s\":null}\n{\"id\":4,\"x\":100,\"s\":\"z\"}\n".getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "c.jsonl"), Array.empty[Byte]) // empty partition
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val df = spark.read.format("graft-jsondoc").schema(schema)
+      .option("path", dir).load()
+      .filter(col("id") <= 3) // pushed; drops id=4 source-side
+      .agg(count(lit(1)).as("n"), count(col("x")).as("nx"), count(col("s")).as("ns"),
+        min(col("x")).as("minx"), max(col("x")).as("maxx"),
+        min(col("s")).as("mins"), max(col("s")).as("maxs"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.head.scan.description().contains("PushedAggregates"),
+      "fixture aggregate must push for the edge pins to mean anything")
+    val r = df.collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 5L && r.getLong(4) == 9L)
+    assert(r.getString(5) == "a" && r.getString(6) == "b")
+  }
+
+  test("limit is pushed into the source (partial, per partition) and results are exact") {
+    val base = sources.SourceQueries.q48Base
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4).write.mode("overwrite").json(base)
+    val df = spark.read.format("graft-jsondoc").schema(sources.SourceQueries.docSchema)
+      .option("path", base).load()
+      .filter(col("n_chars") > 500)
+      .limit(7)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("PushedLimit=7"),
+      s"limit not pushed: ${scans.head.scan.description()}")
+    val rows = df.collect()
+    assert(rows.length == 7, s"global limit must still hold: ${rows.length}")
+    // every returned row satisfies the pushed filter (limit applies AFTER it)
+    assert(rows.forall(_.getLong(2) > 500))
+  }
+
+  test("reported statistics let a small response dir broadcast-join") {
+    val base = sources.SourceQueries.q48Base
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4).write.mode("overwrite").json(base)
+    val src = spark.read.format("graft-jsondoc").schema(sources.SourceQueries.docSchema)
+      .option("path", base).load()
+    val joined = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(src, "doc_id")
+    val bhj = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      "a few-KB response dir must plan as the broadcast side (SupportsReportStatistics):\n" +
+        joined.queryExecution.sparkPlan)
+    assert(joined.count() > 0)
+  }
+
   test("corrupt response line fails the scan fast (§2A-21, no partial output)") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_corrupt").toString
