@@ -923,6 +923,98 @@ object Multimodal {
       ") AS t(id_a, id_b, hamming) ORDER BY id_a, id_b"
   }
 
+  /** Deterministic WAV fixture for q169 — the REAL-codec twin of the
+    * q87 audio-frames board row, completing the real-codec matrix
+    * across all three modalities (video q154 in r10, image q167 and
+    * audio THIS row in r12; until now [[WavCodec]] was spec-only).
+    * Pure-integer waveforms rendered into genuine RIFF/WAVE containers
+    * by [[wav]] (byte-exact by construction — no encoder in the loop at
+    * all, unlike JPEG/PNG):
+    *
+    *   - doc 1: 16-bit mono, 160 samples of a sign-alternating
+    *     pseudo-waveform → frames of 64/64/32 with non-trivial
+    *     zero-crossing counts,
+    *   - doc 2: 8-bit unsigned mono ramp, 100 samples → the u8−128
+    *     decode path and a 64/36 tail frame,
+    *   - doc 3: 16-bit STEREO with channel 2 pinned to a CONSTANT 1000
+    *     (not −ch1, whose global negation would leave sum_sq, peak and
+    *     the sign-product crossing count all invariant): reading the
+    *     wrong channel, averaging, or mis-striding the interleave each
+    *     produce different golden rows (first-channel selection pinned),
+    *   - doc 4: a non-WAV payload → zero frames (fail-soft decode).
+    */
+  object WavFixture {
+    /** Minimal PCM WAV container: RIFF + fmt + data, little-endian. */
+    private def wav(bits: Int, channels: Int, frames: Array[Array[Int]]): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val blockAlign = bytesPerSample * channels
+      val dataLen = frames.length * blockAlign
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+      ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(channels)
+      le32(8000); le32(8000 * blockAlign); le16(blockAlign); le16(bits)
+      ascii("data"); le32(dataLen)
+      frames.foreach(_.foreach { s =>
+        if (bits == 8) out.write(s & 0xFF) else le16(s & 0xFFFF)
+      })
+      out.toByteArray
+    }
+
+    def records: Seq[MediaRecord] = {
+      // decoded sample = ((i*37 mod 41) − 20) * 400: deterministic,
+      // sign-alternating, |s| ≤ 8000
+      val mono16 = Array.tabulate(160)(i => Array((((i * 37) % 41) - 20) * 400))
+      // stored byte (i*13 mod 256); decoder subtracts 128
+      val mono8 = Array.tabulate(100)(i => Array((i * 13) % 256))
+      val stereo16 = Array.tabulate(80) { i =>
+        Array((((i % 16) - 8) * 500), 1000)
+      }
+      Seq(
+        MediaRecord(1L, wav(16, 1, mono16), "audio/wav"),
+        MediaRecord(2L, wav(8, 1, mono8), "audio/wav"),
+        MediaRecord(3L, wav(16, 2, stereo16), "audio/wav"),
+        MediaRecord(4L, "this is not a RIFF container".getBytes("UTF-8"), "audio/wav"))
+    }
+  }
+
+  /** q169: the q87 frame-feature chain through the REAL WAV codec over
+    * the deterministic fixture — identical plan shape (partition-local
+    * decode, fixed-length framing, integer features), only the codec
+    * behind the seam changes. */
+  def q169WavFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioFrames(spark.createDataset(WavFixture.records), WavCodec)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Golden q169 rows from a verified run (pure byte arithmetic on both
+    * sides — the container is hand-assembled and the RIFF walk is
+    * dependency-free, so these are stable by construction). Single
+    * source of truth for the oracle VALUES and the regeneration spec. */
+  val q169Golden: Seq[(Long, Long, Long, Long, Long, Long)] = Seq(
+    (1L, 0L, 64L, 1500160000L, 12L, 8000L),
+    (1L, 1L, 64L, 1409280000L, 10L, 8000L),
+    (1L, 2L, 32L, 687360000L, 6L, 8000L),
+    (2L, 0L, 64L, 375904L, 6L, 128L),
+    (2L, 1L, 36L, 185326L, 4L, 125L),
+    (3L, 0L, 64L, 344000000L, 3L, 4000L),
+    (3L, 1L, 16L, 86000000L, 0L, 4000L))
+
+  val q169Sql: String = {
+    val rows = q169Golden.map { case (d, f, n, ss, zc, pk) =>
+      s"($d, $f, $n, $ss, $zc, $pk)"
+    }.mkString(", ")
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, " +
+      "CAST(n_samples AS BIGINT) AS n_samples, CAST(sum_sq AS BIGINT) AS sum_sq, " +
+      "CAST(n_zcross AS BIGINT) AS n_zcross, CAST(peak AS BIGINT) AS peak " +
+      "FROM (VALUES " + rows +
+      ") AS t(doc_id, frame_idx, n_samples, sum_sq, n_zcross, peak) " +
+      "ORDER BY doc_id, frame_idx"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_media_features" -> ((s, d) => q36MediaFeatures(s, d)),
     "q50_frame_sample" -> q50FrameSample _,
@@ -931,7 +1023,8 @@ object Multimodal {
     "q87_audio_frames" -> ((s, d) => q87AudioFrames(s, d)),
     "q116_video_scenes" -> ((s, d) => q116VideoScenes(s, d)),
     "q154_mjpeg_scenes" -> q154MjpegScenes _,
-    "q167_png_neardup" -> q167PngNeardup _
+    "q167_png_neardup" -> q167PngNeardup _,
+    "q169_wav_frames" -> q169WavFrames _
   )
 
   val oracle: Map[String, String] = Map(
@@ -942,6 +1035,7 @@ object Multimodal {
     "q87_audio_frames" -> q87Sql,
     "q116_video_scenes" -> q116Sql,
     "q154_mjpeg_scenes" -> q154Sql,
-    "q167_png_neardup" -> q167Sql
+    "q167_png_neardup" -> q167Sql,
+    "q169_wav_frames" -> q169Sql
   )
 }

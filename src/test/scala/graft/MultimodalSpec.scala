@@ -411,4 +411,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Multimodal.q167Sql.contains(s"($a, $b, $h)"))
     }
   }
+
+  test("q169: golden audio frames regenerate through the real WAV decode (board-row twin of the oracle VALUES)") {
+    // the audio third of the real-codec matrix (q154 video, q167 image):
+    // the q87 frame-feature chain through WavCodec over hand-assembled
+    // RIFF containers — byte-exact on BOTH sides (no encoder in the
+    // loop), so any RIFF-walk regression fails here before the board
+    // desyncs from the golden oracle.
+    val got = Multimodal.q169WavFrames(spark, "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Multimodal.q169Golden, s"q169 drifted from golden: $got")
+    // structure, not just values:
+    // - the non-WAV payload (doc 4) decodes to ZERO frames, fail-soft
+    assert(!got.exists(_._1 == 4L), "garbage payload produced frames")
+    // - every declared sample width ran: 16-bit mono (doc 1), 8-bit
+    //   unsigned (doc 2: peak 128 is the u8-128 floor, impossible for a
+    //   zero-centered source), 16-bit stereo (doc 3)
+    assert(Set(1L, 2L, 3L).subsetOf(got.map(_._1).toSet))
+    assert(got.find(r => r._1 == 2L && r._2 == 0L).exists(_._6 == 128L))
+    // - first-channel selection on the stereo doc: channel 2 is a
+    //   CONSTANT 1000 — had the codec read it (or averaged, or
+    //   mis-strided), frame 1 could not report 0 crossings with peak
+    //   4000 and sum_sq 86_000_000 = 16 x sum over one 500-step cycle
+    assert(got.find(r => r._1 == 3L && r._2 == 1L)
+      .exists(r => r._4 == 86000000L && r._5 == 0L && r._6 == 4000L))
+    // - zero crossings are non-trivial where the waveform alternates
+    assert(got.filter(_._1 == 1L).forall(_._5 > 0))
+    Multimodal.q169Golden.foreach { case (d, f, n, ss, zc, pk) =>
+      assert(Multimodal.q169Sql.contains(s"($d, $f, $n, $ss, $zc, $pk)"))
+    }
+  }
 }
