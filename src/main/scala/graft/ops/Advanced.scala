@@ -283,11 +283,14 @@ object Advanced {
     perDay.unionByName(total).orderBy(col("day").asc_nulls_last)
   }
 
-  /** json + csv + orc SOURCE roundtrip (§2B scans/sources row): write
-    * nation out through two text formats and one columnar format, read
-    * each back (explicit schema-on-read for the text ones; ORC carries
-    * its own schema), join the three reads. Result must equal the
-    * parquet original — which is exactly what the oracle checks. */
+  /** json + csv + orc + xml + DSv2-writer SOURCE roundtrip (§2B
+    * scans/sources row): write nation out through two text formats, one
+    * columnar format, XML, and the graft-jsondoc V2 writer (two-phase
+    * commit — r12), read each back (explicit schema-on-read for the text
+    * ones; ORC carries its own schema; the V2 leg exercises schema
+    * INFERENCE on its own output), join the five reads. Result must
+    * equal the parquet original — which is exactly what the oracle
+    * checks. */
   /** Scratch path is per-JVM (graft.RunTag) so concurrent Verify runs at
     * different scale factors can never interleave write/read on a shared
     * layout — see RunTag's Scaladoc. */
@@ -302,6 +305,9 @@ object Advanced {
     // XML is a first-class datasource in Spark 4 (the spark-xml donation)
     n.write.mode("overwrite").option("rowTag", "nation")
       .format("xml").save(s"$base/nation_xml")
+    // the graft-jsondoc DSv2 writer: task-temp + driver-commit rename
+    n.write.mode("overwrite").format("graft-jsondoc")
+      .option("path", s"$base/nation_v2").save()
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -317,9 +323,15 @@ object Advanced {
     val fromXml = spark.read.schema(schema).option("rowTag", "nation")
       .format("xml").load(s"$base/nation_xml")
       .select(col("n_nationkey"))
+    // no .schema(): inference on the writer's own output (long tokens →
+    // LongType; cast back to the join key's int)
+    val fromV2 = spark.read.format("graft-jsondoc")
+      .option("path", s"$base/nation_v2").load()
+      .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"))
     fromJson.join(fromCsv, Seq("n_nationkey"))
       .join(fromOrc, Seq("n_nationkey"))
       .join(fromXml, Seq("n_nationkey"))
+      .join(fromV2, Seq("n_nationkey"))
       .orderBy(col("n_nationkey"))
   }
 

@@ -4,10 +4,13 @@ import java.util
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,6 +49,12 @@ import scala.jdk.CollectionConverters._
   *    parquet dimension instead of defaulting to "unknown = never
   *    broadcast".
   *  - One `InputPartition` per response file → parallel scan.
+  *  - `SupportsWrite` (r12): batch V2 writer with two-phase visibility
+  *    (dot-prefixed temps, driver-commit rename, truncate for
+  *    overwrite) — see [[JsonDocWriteBuilder]]. Schema inference from
+  *    existing files replaces the old "schema required" throw, so
+  *    `df.write.format("graft-jsondoc").save()` and schema-less reads
+  *    of written dirs both work.
   *
   * Scale note: file listing uses the local filesystem for this offline
   * build; a production deployment would swap the listing/open calls for
@@ -57,9 +66,19 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** Schema inference (r12 — was a hard "schema required" throw): sample
+    * the first response file's leading lines and type each top-level
+    * field from its JSON tokens (integral → long, fractional → double,
+    * boolean, else string; a field that is integral in one line and
+    * fractional in another widens to double). An empty or missing
+    * directory infers an EMPTY schema — which is what the WRITE path
+    * needs: `df.write.format("graft-jsondoc").save()` resolves the table
+    * through this method before any file exists, and the
+    * ACCEPT_ANY_SCHEMA capability lets the append carry the query's own
+    * schema. Reads of real data may still pass an explicit schema (the
+    * recommended, self-documenting form the whole test surface uses). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "graft-jsondoc requires an explicit schema: spark.read.format(\"graft-jsondoc\").schema(...)")
+    JsonDocSource.infer(options.get("path"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -80,18 +99,240 @@ private[sources] object JsonDocSource {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     case _ => false
   }
+
+  /** Infer a flat schema from the first response file's first lines
+    * (up to 100). Field order = first-seen order. */
+  def infer(path: String): StructType = {
+    if (path == null) return new StructType()
+    val files = new java.io.File(path).listFiles()
+    val first = if (files == null) None
+    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName).headOption
+    first match {
+      case None => new StructType()
+      case Some(f) =>
+        val mapper = new ObjectMapper()
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try {
+          val fields = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+          src.getLines().filter(_.nonEmpty).take(100).foreach { line =>
+            val node = mapper.readTree(line)
+            node.fields().asScala.foreach { e =>
+              val v = e.getValue
+              val t: Option[DataType] =
+                if (v.isNull) None
+                else if (v.isIntegralNumber) Some(LongType)
+                else if (v.isNumber) Some(DoubleType)
+                else if (v.isBoolean) Some(BooleanType)
+                else Some(StringType)
+              (fields.get(e.getKey), t) match {
+                case (_, None) => fields.getOrElseUpdate(e.getKey, StringType)
+                case (None, Some(dt)) => fields.update(e.getKey, dt)
+                case (Some(LongType), Some(DoubleType)) => fields.update(e.getKey, DoubleType)
+                case (Some(old), Some(dt)) if old != dt && !(old == DoubleType && dt == LongType) =>
+                  fields.update(e.getKey, StringType)
+                case _ => ()
+              }
+            }
+          }
+          StructType(fields.map { case (n, dt) => StructField(n, dt) }.toSeq)
+        } finally src.close()
+    }
+  }
 }
 
 private[sources] class JsonDocTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
   override def name(): String = s"graft-jsondoc($path)"
   override def schema(): StructType = schema0
   private val schema0 = schema
+  // ACCEPT_ANY_SCHEMA: the write carries the QUERY's schema (validated
+  // in newWriteBuilder), so appends into a fresh directory — where the
+  // inferred table schema is empty — resolve; TRUNCATE backs
+  // mode("overwrite").
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonDocWriteBuilder(path, info, truncateFirst = false)
+}
+
+/** DSv2 batch WRITER (r12 — the sink half of the source, generalizing
+  * the reference's collect+submit §2A-17 into the V2 commit protocol):
+  * JSON-lines response files with two-phase visibility. Each task
+  * writes a DOT-PREFIXED temp file (invisible to every reader — the
+  * listings skip '.'/'_' names), task commit only REPORTS the temp; the
+  * DRIVER's job commit renames all temps to visible `part-*.jsonl` in
+  * one pass, after deleting prior visible files if truncating. A failed
+  * task aborts by deleting its temp; a failed JOB aborts by deleting
+  * every reported temp — in both cases no reader ever observes partial
+  * output (the same no-partial-output contract the fail-fast scan test
+  * pins, now on the write side). Local-FS rename is atomic per file; a
+  * cloud deployment swaps the rename for its store's commit primitive,
+  * the protocol shape is unchanged. */
+private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
+    truncateFirst: Boolean) extends WriteBuilder with SupportsTruncate {
+  {
+    val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
+    require(bad.isEmpty,
+      "graft-jsondoc writes long/int/double/boolean/string fields only; unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+  }
+  override def truncate(): WriteBuilder =
+    new JsonDocWriteBuilder(path, info, truncateFirst = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst)
+    override def toStreaming: StreamingWrite = {
+      require(!truncateFirst,
+        "graft-jsondoc streaming write supports append output mode only")
+      new JsonDocStreamingWrite(path, info.schema(), info.queryId())
+    }
+  }
+}
+
+private[sources] case class JsonDocCommitMessage(tmpName: String, finalName: String)
+    extends WriterCommitMessage
+
+private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
+    queryId: String, truncateFirst: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonDocWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncateFirst) {
+      val existing = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      existing.foreach { f =>
+        if (!f.delete()) throw new java.io.IOException(s"truncate failed to delete $f")
+      }
+    }
+    messages.foreach { case JsonDocCommitMessage(tmp, fin) =>
+      val src = new java.io.File(dir, tmp)
+      if (!src.renameTo(new java.io.File(dir, fin)))
+        throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, _) =>
+      val f = new java.io.File(new java.io.File(path), tmp)
+      if (f.exists()) f.delete()
+    }
+}
+
+private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
+    queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // taskId in the TEMP name keeps speculative attempts from colliding;
+    // the FINAL name is per-partition, so whichever attempt the commit
+    // coordinator lets commit owns it
+    new JsonDocDataWriter(path, schema,
+      s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
+      f"part-$queryId-p$partitionId%05d.jsonl")
+}
+
+/** STREAMING write (r12): the same two-phase task-temp/driver-rename
+  * protocol per EPOCH. Exactly-once comes from IDEMPOTENT epoch
+  * commits: the final name embeds (queryId, epochId, partitionId), so
+  * when a restarted query replays an epoch whose rename already
+  * happened, the re-commit replaces the file with identical content
+  * (deterministic replay) instead of appending a duplicate — and a
+  * replayed commit whose temp is gone but whose final exists is
+  * recognized as already-committed and skipped. Append output mode
+  * only (streaming truncate-per-epoch = complete mode is refused in
+  * `toStreaming`). */
+private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new JsonDocStreamingWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, fin) =>
+      val src = new java.io.File(dir, tmp)
+      val dst = new java.io.File(dir, fin)
+      if (src.exists()) {
+        // replace-on-rename: a replayed epoch overwrites its own file
+        if (dst.exists() && !dst.delete())
+          throw new java.io.IOException(s"epoch $epochId replay: cannot replace $fin")
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $fin")
+      } else if (!dst.exists()) {
+        throw new java.io.IOException(
+          s"epoch $epochId commit: neither temp $tmp nor final $fin exists")
+      } // else: already committed by a prior attempt of this epoch — idempotent skip
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, _) =>
+      val f = new java.io.File(new java.io.File(path), tmp)
+      if (f.exists()) f.delete()
+    }
+}
+
+private[sources] class JsonDocStreamingWriterFactory(path: String, schema: StructType,
+    queryId: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // (epochId, partitionId) is the exactly-once key, so the FINAL name
+    // deliberately omits queryId: the streaming queryId is the RUN id,
+    // which changes when a checkpointed query restarts — a replayed
+    // epoch must land on the SAME final name to replace rather than
+    // duplicate. (One streaming query per directory, the same
+    // single-writer contract as Spark's own file sink.) The temp keeps
+    // queryId+taskId so attempts never collide.
+    new JsonDocDataWriter(path, schema,
+      s".part-$queryId-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
+      f"part-e$epochId%05d-p$partitionId%05d.jsonl")
+}
+
+private[sources] class JsonDocDataWriter(path: String, schema: StructType,
+    tmpName: String, finalName: String)
+    extends DataWriter[InternalRow] {
+
+  private val dir = new java.io.File(path)
+  dir.mkdirs()
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(new java.io.File(dir, tmpName)), "UTF-8"))
+  private val mapper = new ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case _ => node.put(f.name, row.getUTF8String(i).toString)
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    JsonDocCommitMessage(tmpName, finalName)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    val f = new java.io.File(dir, tmpName)
+    if (f.exists()) f.delete()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** The aggregate shapes the source computes scan-side (SURVEY §2B
@@ -204,9 +445,39 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     filters: Array[Filter], limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filtering — the LAST pushdown negotiation Spark
+    * offers a batch DSv2 scan, and the one that only resolves at
+    * EXECUTION time: when this scan is the probe side of a join whose
+    * build side is small and selectively filtered, Spark executes the
+    * build side first, collects the distinct join keys, and hands them
+    * here as an `In` filter BEFORE `createReaderFactory` is called
+    * (BatchScanExec evaluates filteredPartitions first). The readers
+    * then drop non-joining lines at parse time — at 100 TB the probe
+    * side ships only rows that can actually join, the row-level analogue
+    * of partition pruning (this source has no partitions to prune, so
+    * file-level skipping is impossible without per-file stats; row-level
+    * is the honest variant). Unevaluable runtime-filter shapes are
+    * simply ignored — runtime filters are an optimization, the join
+    * re-checks keys anyway, so keeping extra rows is safe and dropping
+    * on a misevaluated filter would not be. */
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema0.fieldNames.map(Expressions.column)
+
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filter(runtime: Array[Filter]): Unit = {
+    def evaluable(a: String): Boolean = readSchema0.fieldNames.contains(a)
+    runtimeFilters = runtime.filter {
+      case In(a, _) => evaluable(a)
+      case EqualTo(a, _) => evaluable(a)
+      case IsNotNull(a) => evaluable(a)
+      case _ => false
+    }
+  }
 
   private def listFiles(): Array[java.io.File] = {
     val files = new java.io.File(path).listFiles()
@@ -219,7 +490,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     listFiles().map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocReaderFactory(readSchema0, filters, limit)
+    new JsonDocReaderFactory(readSchema0, filters ++ runtimeFilters, limit)
 
   /** Source-reported size (`SupportsReportStatistics`): the bytes on
     * disk. Without this a DSv2 scan defaults to "unknown = huge" and a
@@ -510,6 +781,11 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     case LessThan(a, v) => cmp(rawValue(node, a), v).exists(_ < 0)
     case LessThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ <= 0)
     case IsNotNull(a) => rawValue(node, a) != null
+    // runtime (join-derived) filters arrive as In over the build side's
+    // distinct keys; a null/missing field can never match (cmp -> None)
+    case In(a, vs) =>
+      val raw = rawValue(node, a)
+      vs.exists(v => cmp(raw, v).contains(0))
     case _ => true
   }
 

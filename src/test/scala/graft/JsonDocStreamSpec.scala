@@ -116,4 +116,52 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 3L))
   }
+
+  test("streaming WRITE: epoch files through the V2 sink, exactly-once across restart") {
+    // the full custom-table loop: graft-jsondoc SOURCE -> graft-jsondoc
+    // SINK. Each micro-batch commits as per-epoch final files via the
+    // task-temp/driver-rename protocol; a checkpointed restart must add
+    // only the NEW micro-batch (epoch+partition in the final name is the
+    // idempotency key).
+    val dir = Files.createTempDirectory("graft_swrite_src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_swrite_ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_swrite_out").toFile.getAbsolutePath
+    writeFile(dir, "b0.json", Seq(
+      """{"doc_id": 1, "lang": "en", "n_chars": 100}""",
+      """{"doc_id": 2, "lang": "de", "n_chars": 50}"""))
+
+    def start() = spark.readStream.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema)
+      .option("path", dir).load()
+      .writeStream.format("graft-jsondoc")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      writeFile(dir, "b1.json", Seq(
+        """{"doc_id": 3, "lang": "fr", "n_chars": 300}"""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val visible = new java.io.File(out).listFiles().filter(_.isFile)
+    assert(visible.forall(f => !f.getName.startsWith(".")), "temps leaked past commit")
+    // two micro-batches -> (at least) two distinct epoch prefixes
+    assert(visible.map(_.getName.split("-p").head).distinct.length >= 2, visible.map(_.getName).toSeq)
+
+    def readBack = spark.read.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema).option("path", out).load()
+    assert(readBack.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // restart from the same checkpoint with a new input file: docs 1-3
+    // must NOT duplicate even though the new run has a new queryId
+    writeFile(dir, "b2.json", Seq(
+      """{"doc_id": 4, "lang": "en", "n_chars": 400}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "restart duplicated or lost committed epochs")
+  }
 }

@@ -247,6 +247,47 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() > 0)
   }
 
+  test("runtime filtering: a selective broadcast join plants a DPP filter on the scan") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_runtime").toString
+    // three response files, 300 docs
+    (0 until 3).foreach { f =>
+      val lines = (1 to 100).map(i => s"""{"doc_id":${f * 100 + i},"lang":"en"}""")
+      Files.write(Paths.get(dir, s"r$f.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    val src = spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load()
+    // the dim must be a REAL relation (a LocalRelation folds its filter
+    // away at optimization time and DPP then sees no selective predicate)
+    val dimPath = Files.createTempDirectory("graft_runtime_dim").toString
+    (1L to 300L).map(i => (i, if (i % 100 == 0) "keep" else "drop"))
+      .toDF("doc_id", "cat").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = src.join(dim.filter(col("cat") === "keep"), "doc_id")
+    // execution through the runtime-filtered reader stays exact
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 200L, 300L))
+    // the jsondoc side carries the planted DynamicPruning runtime filter
+    // (AQE resolves the broadcast-reuse decision, so inspect the FINAL
+    // executed plan, not the pre-adaptive sparkPlan)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(s.plan)
+        case b: BatchScanExec => Seq(b)
+        case _ => Nil
+      }
+    val scans = scansOf(joined.queryExecution.executedPlan)
+      .filter(_.scan.description().contains("graft-jsondoc"))
+    assert(scans.nonEmpty, s"no jsondoc scan found:\n${joined.queryExecution.executedPlan}")
+    assert(scans.head.runtimeFilters.nonEmpty,
+      s"no runtime filter planted:\n${joined.queryExecution.executedPlan}\n--- optimized:\n${joined.queryExecution.optimizedPlan}")
+  }
+
   test("corrupt response line fails the scan fast (§2A-21, no partial output)") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_corrupt").toString
@@ -297,6 +338,103 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     assert(calls2 == 1)
+  }
+
+  test("DSv2 writer roundtrip: save() then read back, explicit AND inferred schema") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_write").toString
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .limit(50)
+    src.repartition(3).write.format("graft-jsondoc")
+      .option("path", dir).mode("append").save()
+    // visible output only — no dot-prefixed temps survive the commit
+    val leftover = new java.io.File(dir).listFiles().filter(_.getName.startsWith("."))
+    assert(leftover.isEmpty, s"uncommitted temps visible: ${leftover.toSeq}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val explicit = spark.read.format("graft-jsondoc").schema(schema)
+      .option("path", dir).load()
+    assert(explicit.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      src.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // schema inference on the written dir: same columns, long/string types
+    val inferred = spark.read.format("graft-jsondoc").option("path", dir).load()
+    assert(inferred.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)), inferred.schema.treeString)
+    assert(inferred.count() == 50L)
+  }
+
+  test("DSv2 writer: overwrite truncates prior generations; append accumulates") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_write_modes").toString
+    import spark.implicits._
+    def gen(tag: String, n: Int) =
+      (1 to n).map(i => (i.toLong, tag)).toDF("id", "tag")
+    gen("a", 10).write.format("graft-jsondoc").option("path", dir).mode("append").save()
+    gen("b", 5).write.format("graft-jsondoc").option("path", dir).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType)))
+    def read = spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load()
+    assert(read.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 10L, "b" -> 5L))
+    gen("c", 3).write.format("graft-jsondoc").option("path", dir).mode("overwrite").save()
+    assert(read.groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("c" -> 3L),
+      "overwrite must truncate every prior visible file")
+  }
+
+  test("DSv2 writer rejects unsupported column types before any task runs") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_write_badtype").toString
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    val e = intercept[Exception] {
+      df.write.format("graft-jsondoc").option("path", dir).mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ts")), s"wrong error: $e")
+    // analysis-time failure — nothing was written, not even temps
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    assert(files.isEmpty, s"rejected write left files: ${files.toSeq}")
+  }
+
+  test("DSv2 writer: a failing task aborts the job with NO visible partial output") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_write_abort").toString
+    import spark.implicits._
+    val bomb = udf { (id: Long) =>
+      if (id == 7L) throw new RuntimeException("poison row") else id
+    }
+    val df = (1L to 10L).toDF("id").repartition(4).select(bomb(col("id")).as("id"))
+    intercept[Exception] {
+      df.write.format("graft-jsondoc").option("path", dir).mode("append").save()
+    }
+    // two-phase visibility: only dot-prefixed temps ever existed, and the
+    // job abort deleted the reported ones — a reader sees an empty table
+    val visible = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(visible.isEmpty, s"aborted job leaked visible output: ${visible.toSeq}")
+  }
+
+  test("schema inference types fields from tokens and widens across lines") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_infer").toString
+    Files.write(Paths.get(dir, "a.jsonl"),
+      ("{\"i\":1,\"d\":2,\"b\":true,\"s\":\"x\",\"n\":null}\n" +
+        "{\"i\":2,\"d\":2.5,\"b\":false,\"s\":\"y\",\"n\":null}\n").getBytes("UTF-8"))
+    val st = spark.read.format("graft-jsondoc").option("path", dir).load().schema
+    import org.apache.spark.sql.types._
+    assert(st.map(f => (f.name, f.dataType)) == Seq(
+      "i" -> LongType,   // integral on every line
+      "d" -> DoubleType, // integral then fractional → widened
+      "b" -> BooleanType,
+      "s" -> StringType,
+      "n" -> StringType)) // all-null falls back to string
   }
 
   test("HTTP sink posts bounded batches from executors, covering all rows") {

@@ -52,4 +52,66 @@ class JsonDocOffsetSpec extends AnyFunSuite {
       """{"doc_id": 1}""".getBytes(StandardCharsets.UTF_8))
     assert(stream.latestOffset().json() == "a.json")
   }
+
+  test("streaming epoch commit is idempotent: retry and cross-run replay never duplicate") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = Files.createTempDirectory("graft_epoch").toFile.getAbsolutePath
+    def row(v: Long) = new GenericInternalRow(Array[Any](v))
+    def visible = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).sorted.toSeq
+
+    val w1 = new JsonDocStreamingWrite(dir, schema, "runA")
+    val dw = w1.createStreamingWriterFactory(null).createWriter(0, 100L, 3L)
+    dw.write(row(1L))
+    val msg = dw.commit()
+    w1.commit(3L, Array(msg))
+    val afterFirst = visible
+    assert(afterFirst.length == 1 && afterFirst.head.contains("e00003"))
+
+    // driver retries the SAME commit (temp already renamed): recognized
+    // as already-committed, no throw, no second file
+    w1.commit(3L, Array(msg))
+    assert(visible == afterFirst)
+
+    // restarted run (new queryId, new taskId) REPLAYS epoch 3: the final
+    // name is run-independent, so the replay replaces the file in place
+    val w2 = new JsonDocStreamingWrite(dir, schema, "runB")
+    val dw2 = w2.createStreamingWriterFactory(null).createWriter(0, 200L, 3L)
+    dw2.write(row(1L))
+    w2.commit(3L, Array(dw2.commit()))
+    assert(visible == afterFirst, "cross-run replay duplicated the epoch")
+    val content = new String(Files.readAllBytes(
+      Paths.get(dir, afterFirst.head)), StandardCharsets.UTF_8)
+    assert(content.trim == """{"doc_id":1}""")
+
+    // a commit where NEITHER temp nor final exists is a hard error, not
+    // a silent data hole
+    intercept[java.io.IOException] {
+      w1.commit(9L, Array(JsonDocCommitMessage(".nope.tmp", "part-e00009-p00000.jsonl")))
+    }
+  }
+
+  test("runtime In filter drops non-joining lines at the reader (row-level DPP)") {
+    val dir = Files.createTempDirectory("graft_rtf").toFile.getAbsolutePath
+    Files.write(Paths.get(dir, "r0.jsonl"),
+      (1L to 10L).map(i => s"""{"doc_id":$i}""").mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val scan = new JsonDocScan(schema, dir, Array.empty)
+    // Spark delivers the build side's distinct keys before readers open
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array(3L, 7L, 99L))))
+    val reader = scan.createReaderFactory()
+      .createReader(scan.planInputPartitions().head)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (reader.next()) got += reader.get().getLong(0)
+    assert(got.toSeq == Seq(3L, 7L), "reader must emit only the joining keys")
+    // an unevaluable runtime shape is ignored, never misapplied
+    val scan2 = new JsonDocScan(schema, dir, Array.empty)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.StringContains("doc_id", "x")))
+    val r2 = scan2.createReaderFactory().createReader(scan2.planInputPartitions().head)
+    var n = 0
+    while (r2.next()) n += 1
+    assert(n == 10, "ignored runtime filter must not drop rows")
+  }
 }
