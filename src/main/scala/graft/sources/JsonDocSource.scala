@@ -195,8 +195,173 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
   }
 }
 
-private[sources] case class JsonDocCommitMessage(tmpName: String, finalName: String)
-    extends WriterCommitMessage
+private[sources] case class JsonDocCommitMessage(tmpName: String, finalName: String,
+    statsJson: String = "") extends WriterCommitMessage
+
+/** Per-file statistics sidecar (`_stats.json` — underscore-prefixed, so
+  * every reader listing already skips it as data). Written by the
+  * DRIVER at job/epoch commit from per-task accumulated min/max, merged
+  * with the existing sidecar on append (keyed by final file name, so
+  * streaming epoch replays overwrite their own entry — the same
+  * idempotency key as the data files), cleared on truncate, and
+  * replaced atomically (dot-temp + rename). The scan prunes whole files
+  * whose [min,max] cannot satisfy the effective filters — including
+  * RUNTIME In filters, which arrive before partition planning — the
+  * file-skipping this source otherwise cannot do (no parquet footers).
+  * Every decision is conservative: missing sidecar, missing file entry,
+  * missing column range, or an incomparable value type all KEEP the
+  * file; only a range that provably excludes every filter value skips
+  * it. Rows where the filtered column is null are safe to skip on
+  * because EqualTo/</>/In never match null (IsNotNull never prunes). */
+private[sources] object JsonDocStats {
+  val SidecarName = "_stats.json"
+
+  /** One column's closed range over the file's NON-NULL values.
+    * min/max are Long, Double, or String (the three shapes the writer
+    * accumulates; booleans aren't worth pruning on). */
+  final case class ColRange(min: Any, max: Any)
+  final case class FileStats(rows: Long, cols: Map[String, ColRange])
+
+  private def writeVal(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      key: String, v: Any): Unit = v match {
+    case l: Long => node.put(key, l)
+    case d: Double => node.put(key, d)
+    case s: String => node.put(key, s)
+    case _ => ()
+  }
+
+  private def readVal(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else n.asText()
+
+  def toJson(s: FileStats): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("rows", s.rows)
+    val cols = root.putObject("cols")
+    s.cols.foreach { case (name, r) =>
+      val c = cols.putObject(name)
+      writeVal(c, "min", r.min)
+      writeVal(c, "max", r.max)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseFile(n: JsonNode): FileStats = {
+    val cols = Option(n.get("cols")).map { c =>
+      c.fields().asScala.map { e =>
+        e.getKey -> ColRange(readVal(e.getValue.get("min")), readVal(e.getValue.get("max")))
+      }.toMap
+    }.getOrElse(Map.empty)
+    FileStats(Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), cols)
+  }
+
+  /** Load the sidecar; any parse problem degrades to "no stats". */
+  def load(path: String): Map[String, FileStats] = {
+    val f = new java.io.File(path, SidecarName)
+    if (!f.isFile) return Map.empty
+    try {
+      val root = new ObjectMapper().readTree(f)
+      Option(root.get("files")).map { files =>
+        files.fields().asScala.map(e => e.getKey -> parseFile(e.getValue)).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Merge new per-file entries into the sidecar and replace it
+    * atomically. Driver-side only, under the commit's single-writer
+    * contract. `keepExisting=false` drops prior entries (truncate). */
+  def mergeAndWrite(path: String, entries: Seq[(String, String)],
+      keepExisting: Boolean): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val files = root.putObject("files")
+    if (keepExisting) {
+      val f = new java.io.File(path, SidecarName)
+      if (f.isFile) {
+        try {
+          Option(mapper.readTree(f).get("files")).foreach { old =>
+            old.fields().asScala.foreach(e => files.set(e.getKey, e.getValue))
+          }
+        } catch { case _: Exception => () }
+      }
+    }
+    entries.foreach { case (name, json) =>
+      if (json.nonEmpty) { files.set(name, mapper.readTree(json)); () }
+    }
+    val tmp = new java.io.File(path, s".$SidecarName.tmp")
+    val w = new java.io.FileWriter(tmp)
+    try w.write(mapper.writeValueAsString(root)) finally w.close()
+    val dst = new java.io.File(path, SidecarName)
+    if (dst.exists()) dst.delete()
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"stats sidecar rename failed in $path")
+  }
+
+  /** Conservative ordering: compares only within a broad type family
+    * (numbers with numbers via BigDecimal — exact for long/double mixes
+    * — strings with strings); anything else is incomparable → None →
+    * the caller keeps the file. */
+  def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Number, b: Number) =>
+      val (ad, bd) = (a.doubleValue(), b.doubleValue())
+      if (ad.isNaN || bd.isNaN || ad.isInfinite || bd.isInfinite)
+        Some(java.lang.Double.compare(ad, bd))
+      else Some(new java.math.BigDecimal(a.toString).compareTo(new java.math.BigDecimal(b.toString)))
+    case _ => None
+  }
+
+  /** Compile the filters into a per-file predicate ONCE (a runtime In
+    * can carry the build side's full distinct key set — its min/max are
+    * hoisted here so the per-file check is O(1), at the cost of the
+    * overlap test being a SUPERSET: a file whose range straddles the
+    * keys without containing one is kept, never the reverse). Every gap
+    * — missing range, incomparable type — keeps the file. */
+  def pruner(filters: Seq[Filter]): FileStats => Boolean = {
+    val checks: Seq[FileStats => Boolean] = filters.map {
+      case EqualTo(a, v) => (s: FileStats) => s.cols.get(a).forall(r =>
+        cmp(r.min, v).forall(_ <= 0) && cmp(r.max, v).forall(_ >= 0))
+      case GreaterThan(a, v) => (s: FileStats) =>
+        s.cols.get(a).forall(r => cmp(r.max, v).forall(_ > 0))
+      case GreaterThanOrEqual(a, v) => (s: FileStats) =>
+        s.cols.get(a).forall(r => cmp(r.max, v).forall(_ >= 0))
+      case LessThan(a, v) => (s: FileStats) =>
+        s.cols.get(a).forall(r => cmp(r.min, v).forall(_ < 0))
+      case LessThanOrEqual(a, v) => (s: FileStats) =>
+        s.cols.get(a).forall(r => cmp(r.min, v).forall(_ <= 0))
+      case In(a, vs) =>
+        // hoisted key-set bounds; [vmin,vmax] ∩ [min,max] ≠ ∅ keeps.
+        // Bounds only exist within a homogeneous type family — cmp is a
+        // PARTIAL order and min/max over a mixed set would be garbage
+        // (and could falsely drop); mixed or exotic key sets keep all.
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.isEmpty) {
+          // In() over only-null (or zero) keys matches no row: a file
+          // with a recorded range for the column is provably skippable;
+          // the gaps-keep rule still applies where stats are missing
+          (s: FileStats) => s.cols.get(a).isEmpty
+        } else if (nonNull.forall(_.isInstanceOf[Number]) ||
+            nonNull.forall(_.isInstanceOf[String])) {
+          var vmin = nonNull.head
+          var vmax = nonNull.head
+          nonNull.foreach { v =>
+            if (cmp(v, vmin).exists(_ < 0)) vmin = v
+            if (cmp(v, vmax).exists(_ > 0)) vmax = v
+          }
+          (s: FileStats) => s.cols.get(a).forall(r =>
+            cmp(r.min, vmax).forall(_ <= 0) && cmp(r.max, vmin).forall(_ >= 0))
+        } else (_: FileStats) => true
+      case _ => (_: FileStats) => true
+    }
+    s => checks.forall(_(s))
+  }
+
+  /** Can any row of a file with these stats satisfy every filter? */
+  def canMatch(stats: FileStats, filters: Seq[Filter]): Boolean =
+    pruner(filters)(stats)
+}
 
 private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     queryId: String, truncateFirst: Boolean) extends BatchWrite {
@@ -213,16 +378,21 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         if (!f.delete()) throw new java.io.IOException(s"truncate failed to delete $f")
       }
     }
-    messages.foreach { case JsonDocCommitMessage(tmp, fin) =>
-      val src = new java.io.File(dir, tmp)
-      if (!src.renameTo(new java.io.File(dir, fin)))
-        throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+    val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
+    msgs.foreach { m =>
+      val src = new java.io.File(dir, m.tmpName)
+      if (!src.renameTo(new java.io.File(dir, m.finalName)))
+        throw new java.io.IOException(s"commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
+    // sidecar AFTER the renames: a crash in between leaves valid data
+    // files with missing stats entries — readers just don't prune them
+    JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
+      keepExisting = !truncateFirst)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, _) =>
-      val f = new java.io.File(new java.io.File(path), tmp)
+    messages.filter(_ != null).foreach { case m: JsonDocCommitMessage =>
+      val f = new java.io.File(new java.io.File(path), m.tmpName)
       if (f.exists()) f.delete()
     }
 }
@@ -256,25 +426,31 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, fin) =>
-      val src = new java.io.File(dir, tmp)
-      val dst = new java.io.File(dir, fin)
+    val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
+    msgs.foreach { m =>
+      val src = new java.io.File(dir, m.tmpName)
+      val dst = new java.io.File(dir, m.finalName)
       if (src.exists()) {
         // replace-on-rename: a replayed epoch overwrites its own file
         if (dst.exists() && !dst.delete())
-          throw new java.io.IOException(s"epoch $epochId replay: cannot replace $fin")
+          throw new java.io.IOException(s"epoch $epochId replay: cannot replace ${m.finalName}")
         if (!src.renameTo(dst))
-          throw new java.io.IOException(s"epoch $epochId commit rename failed: $tmp -> $fin")
+          throw new java.io.IOException(
+            s"epoch $epochId commit rename failed: ${m.tmpName} -> ${m.finalName}")
       } else if (!dst.exists()) {
         throw new java.io.IOException(
-          s"epoch $epochId commit: neither temp $tmp nor final $fin exists")
+          s"epoch $epochId commit: neither temp ${m.tmpName} nor final ${m.finalName} exists")
       } // else: already committed by a prior attempt of this epoch — idempotent skip
     }
+    // entries are keyed by final name, so a replayed epoch overwrites its
+    // own stats — the sidecar stays idempotent alongside the data
+    JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
+      keepExisting = true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.filter(_ != null).foreach { case JsonDocCommitMessage(tmp, _) =>
-      val f = new java.io.File(new java.io.File(path), tmp)
+    messages.filter(_ != null).foreach { case m: JsonDocCommitMessage =>
+      val f = new java.io.File(new java.io.File(path), m.tmpName)
       if (f.exists()) f.delete()
     }
 }
@@ -305,25 +481,50 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
     new java.io.FileOutputStream(new java.io.File(dir, tmpName)), "UTF-8"))
   private val mapper = new ObjectMapper()
 
+  // per-column min/max over non-null values (Long for integral columns,
+  // Double, String; booleans skipped) — streamed into the commit
+  // message, folded into the _stats.json sidecar by the driver
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+  private var rows = 0L
+
+  private def acc(i: Int, v: Any): Unit = {
+    if (mins(i) == null) { mins(i) = v; maxs(i) = v }
+    else {
+      if (JsonDocStats.cmp(v, mins(i)).exists(_ < 0)) mins(i) = v
+      if (JsonDocStats.cmp(v, maxs(i)).exists(_ > 0)) maxs(i) = v
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(f.name)
       else f.dataType match {
-        case LongType => node.put(f.name, row.getLong(i))
-        case IntegerType => node.put(f.name, row.getInt(i))
-        case DoubleType => node.put(f.name, row.getDouble(i))
+        case LongType =>
+          val v = row.getLong(i); node.put(f.name, v); acc(i, v)
+        case IntegerType =>
+          val v = row.getInt(i); node.put(f.name, v); acc(i, v.toLong)
+        case DoubleType =>
+          val v = row.getDouble(i); node.put(f.name, v); acc(i, v)
         case BooleanType => node.put(f.name, row.getBoolean(i))
-        case _ => node.put(f.name, row.getUTF8String(i).toString)
+        case _ =>
+          val v = row.getUTF8String(i).toString; node.put(f.name, v); acc(i, v)
       }
     }
     out.write(mapper.writeValueAsString(node))
     out.write("\n")
+    rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    JsonDocCommitMessage(tmpName, finalName)
+    val cols = schema.fields.zipWithIndex.collect {
+      case (f, i) if mins(i) != null =>
+        f.name -> JsonDocStats.ColRange(mins(i), maxs(i))
+    }.toMap
+    JsonDocCommitMessage(tmpName, finalName,
+      JsonDocStats.toJson(JsonDocStats.FileStats(rows, cols)))
   }
 
   override def abort(): Unit = {
@@ -486,8 +687,18 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       .sortBy(_.getName)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    listFiles().map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+  /** Partition planning with FILE SKIPPING: files whose `_stats.json`
+    * ranges provably exclude every effective filter — static pushed AND
+    * runtime In filters (BatchScanExec re-plans partitions after
+    * delivering runtime filters) — never become partitions, so their
+    * bytes are never read. Files without stats entries always scan. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = JsonDocStats.load(path)
+    val keep = JsonDocStats.pruner((filters ++ runtimeFilters).toSeq) // compiled once
+    listFiles()
+      .filter(f => stats.get(f.getName).forall(keep))
+      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocReaderFactory(readSchema0, filters ++ runtimeFilters, limit)
@@ -500,9 +711,20 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * shape). numRows stays empty: lines are not counted without
     * reading, and a wrong row estimate is worse than none. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = listFiles().map(_.length()).sum
+    private val files = listFiles()
+    private val bytes = files.map(_.length()).sum
+    // exact row count when the stats sidecar covers EVERY file (i.e.
+    // the dir was written by the V2 writer); empty otherwise — a wrong
+    // row estimate is worse than none
+    private val rows: java.util.OptionalLong = {
+      val stats = JsonDocStats.load(path)
+      val per = files.map(f => stats.get(f.getName).map(_.rows).filter(_ >= 0))
+      if (files.nonEmpty && per.forall(_.isDefined))
+        java.util.OptionalLong.of(per.flatten.sum)
+      else java.util.OptionalLong.empty()
+    }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -526,8 +748,14 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = new java.io.File(path).listFiles()
+    // the same stats-based file skipping as the row scan: Spark only
+    // pushes aggregates when EVERY filter pushed, so a file whose range
+    // excludes the filters contributes nothing to any partial
+    val stats = JsonDocStats.load(path)
+    val keep = JsonDocStats.pruner(filters.toSeq)
     if (files == null) Array.empty
     else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filter(f => stats.get(f.getName).forall(keep))
       .sortBy(_.getName)
       .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
@@ -731,6 +959,27 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   private var current: InternalRow = _
   private var emitted = 0
 
+  /** Runtime `In` filters carry the build side's distinct join keys —
+    * thousands of values — so membership must be O(1) per line, not a
+    * linear scan of the value array. Each numeric value is stored under
+    * BOTH its long (when whole) and double boxing, matching the two
+    * numeric shapes `rawValue` produces; lookup is then one `contains`
+    * on the raw token value. Cross-type double collisions can only ADD
+    * rows (the join re-checks keys), never drop them. */
+  private val inSets: Map[String, java.util.HashSet[Any]] =
+    filters.collect { case In(a, vs) =>
+      val set = new java.util.HashSet[Any](vs.length * 2)
+      vs.foreach {
+        case n: Number =>
+          val d = n.doubleValue()
+          set.add(d)
+          if (d == Math.rint(d) && !d.isInfinite) set.add(n.longValue())
+        case x if x != null => set.add(x)
+        case _ => ()
+      }
+      a -> set
+    }.toMap
+
   private def fieldValue(node: JsonNode, name: String): Any = {
     val v = node.get(name)
     if (v == null || v.isNull) null
@@ -782,10 +1031,11 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     case LessThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ <= 0)
     case IsNotNull(a) => rawValue(node, a) != null
     // runtime (join-derived) filters arrive as In over the build side's
-    // distinct keys; a null/missing field can never match (cmp -> None)
-    case In(a, vs) =>
+    // distinct keys; a null/missing field can never match. O(1) hash
+    // lookup against the precomputed dual-boxed set (see inSets).
+    case In(a, _) =>
       val raw = rawValue(node, a)
-      vs.exists(v => cmp(raw, v).contains(0))
+      raw != null && inSets(a).contains(raw)
     case _ => true
   }
 

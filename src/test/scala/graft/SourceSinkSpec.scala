@@ -421,6 +421,30 @@ class SourceSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(visible.isEmpty, s"aborted job leaked visible output: ${visible.toSeq}")
   }
 
+  test("V2-written dirs prune files by stats: a range filter plans fewer partitions") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stats_e2e").toString
+    import spark.implicits._
+    // range-partitioned write -> disjoint per-file doc_id ranges in the
+    // sidecar, the layout a sorted ingest naturally produces
+    (1L to 300L).toDF("doc_id")
+      .repartitionByRange(3, col("doc_id"))
+      .write.format("graft-jsondoc").option("path", dir).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+    def read = spark.read.format("graft-jsondoc").schema(schema).option("path", dir).load()
+    val all = read
+    val allScan = all.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.head
+    assert(allScan.inputRDD.getNumPartitions == 3)
+    // the filter reaches planInputPartitions through the pushed filters,
+    // so files whose range excludes it never become partitions
+    val hi = read.filter(col("doc_id") > 295)
+    val hiScan = hi.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }.head
+    assert(hiScan.inputRDD.getNumPartitions < 3,
+      s"stats pruning did not drop low-range files: ${hiScan.inputRDD.getNumPartitions}")
+    assert(hi.collect().map(_.getLong(0)).sorted.toSeq == (296L to 300L))
+  }
+
   test("schema inference types fields from tokens and widens across lines") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_infer").toString

@@ -58,7 +58,8 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_epoch").toFile.getAbsolutePath
     def row(v: Long) = new GenericInternalRow(Array[Any](v))
     def visible = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).sorted.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getName).sorted.toSeq
 
     val w1 = new JsonDocStreamingWrite(dir, schema, "runA")
     val dw = w1.createStreamingWriterFactory(null).createWriter(0, 100L, 3L)
@@ -89,6 +90,78 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     intercept[java.io.IOException] {
       w1.commit(9L, Array(JsonDocCommitMessage(".nope.tmp", "part-e00009-p00000.jsonl")))
     }
+  }
+
+  test("file stats prune partitions: static ranges and runtime In skip whole files") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources.{Filter, GreaterThan, In}
+    val dir = Files.createTempDirectory("graft_stats").toFile.getAbsolutePath
+    // three files with disjoint doc_id ranges (1-10, 101-110, 201-210),
+    // written through the V2 batch writer so the sidecar is real
+    val bw = new JsonDocBatchWrite(dir, schema, "q1", truncateFirst = false)
+    val fac = bw.createBatchWriterFactory(null)
+    val msgs = (0 until 3).map { p =>
+      val w = fac.createWriter(p, p * 10L)
+      (1L to 10L).foreach(i => w.write(new GenericInternalRow(Array[Any](p * 100L + i))))
+      w.commit()
+    }
+    bw.commit(msgs.toArray)
+    assert(new java.io.File(dir, "_stats.json").isFile)
+
+    // exact row count reported while every file carries stats
+    val s0 = new JsonDocScan(schema, dir, Array.empty)
+    assert(s0.estimateStatistics().numRows().getAsLong == 30L)
+
+    // static range filter: only the file covering 201-210 can match
+    val s1 = new JsonDocScan(schema, dir,
+      Array[Filter](GreaterThan("doc_id", 205L)))
+    assert(s1.planInputPartitions().length == 1)
+
+    // runtime In inside one file's range: the re-plan after filter()
+    // skips the other two files entirely
+    val s2 = new JsonDocScan(schema, dir, Array.empty)
+    assert(s2.planInputPartitions().length == 3)
+    s2.filter(Array[Filter](In("doc_id", Array(105L, 107L))))
+    val surviving = s2.planInputPartitions()
+    assert(surviving.length == 1, "runtime In must skip non-overlapping files")
+    val reader = s2.createReaderFactory().createReader(surviving.head)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (reader.next()) got += reader.get().getLong(0)
+    assert(got.toSeq == Seq(105L, 107L))
+
+    // the In prune is a SUPERSET test on hoisted key bounds: keys 50 and
+    // 150 straddle the middle file (101-110) without containing a match,
+    // so that file is KEPT (bounds overlap) while the outer files skip —
+    // and the row-level In then correctly emits nothing
+    val s2b = new JsonDocScan(schema, dir, Array.empty)
+    s2b.filter(Array[Filter](In("doc_id", Array(50L, 150L))))
+    val straddle = s2b.planInputPartitions()
+    assert(straddle.length == 1)
+    val rb = s2b.createReaderFactory().createReader(straddle.head)
+    assert(!rb.next(), "no row matches In(50,150); the reader must emit nothing")
+
+    // a hand-dropped file with NO sidecar entry is always kept, and its
+    // presence withdraws the exact row count (a wrong estimate is worse
+    // than none)
+    Files.write(Paths.get(dir, "zz_manual.jsonl"),
+      """{"doc_id":9999}""".getBytes(StandardCharsets.UTF_8))
+    assert(s1.planInputPartitions().length == 2)
+    assert(!s0.estimateStatistics().numRows().isPresent)
+
+    // an In no stats range can satisfy leaves only the stats-less file
+    val s3 = new JsonDocScan(schema, dir, Array.empty)
+    s3.filter(Array[Filter](In("doc_id", Array(5000L))))
+    assert(s3.planInputPartitions()
+      .map(_.asInstanceOf[JsonDocPartition].file.split('/').last).toSeq == Seq("zz_manual.jsonl"))
+
+    // truncate-overwrite resets the sidecar with the new generation
+    val bw2 = new JsonDocBatchWrite(dir, schema, "q2", truncateFirst = true)
+    val w2 = bw2.createBatchWriterFactory(null).createWriter(0, 0L)
+    w2.write(new GenericInternalRow(Array[Any](7L)))
+    bw2.commit(Array(w2.commit()))
+    val stats2 = JsonDocStats.load(dir)
+    assert(stats2.size == 1 && stats2.values.head.rows == 1L,
+      s"stale sidecar entries survived truncate: $stats2")
   }
 
   test("runtime In filter drops non-joining lines at the reader (row-level DPP)") {
