@@ -925,8 +925,16 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     val s = start.asInstanceOf[FileNameOffset].name
     val e = end.asInstanceOf[FileNameOffset].name
     val chosen = files().filter(f => f.getName > s && f.getName <= e)
+    // every name in the range counts as PLANNED (offsets are name-range
+    // based, so a stats-skipped file is still consumed by its batch) —
+    // skipping only removes the read, exactly like the batch scan, and
+    // only against the STATIC pushed filters (deterministic on replay:
+    // a file whose range excludes them can never contribute rows)
     planned ++= chosen.map(_.getName)
-    chosen.map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    val stats = JsonDocStats.load(path)
+    val keep = JsonDocStats.pruner(filters.toSeq)
+    chosen.filter(f => stats.get(f.getName).forall(keep))
+      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

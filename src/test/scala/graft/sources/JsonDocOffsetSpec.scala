@@ -164,6 +164,28 @@ class JsonDocOffsetSpec extends AnyFunSuite {
       s"stale sidecar entries survived truncate: $stats2")
   }
 
+  test("micro-batch planning skips stats-excluded files but still consumes their names") {
+    import org.apache.spark.sql.sources.{Filter, GreaterThan}
+    val dir = Files.createTempDirectory("graft_mb_stats").toFile.getAbsolutePath
+    Files.write(Paths.get(dir, "b0.jsonl"),
+      """{"doc_id":5}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "b1.jsonl"),
+      """{"doc_id":500}""".getBytes(StandardCharsets.UTF_8))
+    JsonDocStats.mergeAndWrite(dir, Seq(
+      "b0.jsonl" -> JsonDocStats.toJson(JsonDocStats.FileStats(1,
+        Map("doc_id" -> JsonDocStats.ColRange(1L, 10L)))),
+      "b1.jsonl" -> JsonDocStats.toJson(JsonDocStats.FileStats(1,
+        Map("doc_id" -> JsonDocStats.ColRange(100L, 900L))))), keepExisting = false)
+    val stream = new JsonDocMicroBatchStream(schema, dir,
+      Array[Filter](GreaterThan("doc_id", 100L)))
+    val parts = stream.planInputPartitions(FileNameOffset(""), FileNameOffset("b1.jsonl"))
+    assert(parts.toSeq.map(_.asInstanceOf[JsonDocPartition].file.split('/').last)
+      == Seq("b1.jsonl"), "b0 is range-excluded and must not be read")
+    // the skipped name was still consumed by the batch: it can never be
+    // flagged late, and a later batch never re-admits it
+    assert(stream.planInputPartitions(FileNameOffset("b1.jsonl"), FileNameOffset("b1.jsonl")).isEmpty)
+  }
+
   test("runtime In filter drops non-joining lines at the reader (row-level DPP)") {
     val dir = Files.createTempDirectory("graft_rtf").toFile.getAbsolutePath
     Files.write(Paths.get(dir, "r0.jsonl"),
