@@ -75,6 +75,74 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM–STREAM equi + time-range join, board-materializable form —
+    * the DuckDB-checkable twin of [[viewClickJoin]] (which pins the
+    * semantics on MemoryStream in StreamingSpec but never reaches the
+    * driver board). Differences that matter: the two sides are
+    * INDEPENDENT streaming sources (not substreams of one input), the
+    * output is projected to a stable oracle-friendly shape, and the
+    * range/delay are explicit so the q171 oracle can state the outer
+    * emission gate numerically. BOTH sides are unbounded, so Spark
+    * plans a StreamingSymmetricHashJoin that buffers each side's rows
+    * in a keyed state store and probes the opposite store as rows
+    * arrive.
+    * What makes that viable at 100 TB/day is the TIME-RANGE predicate:
+    * `error_ts ∈ [click_ts, click_ts + range]` plus a watermark on both
+    * event-time columns lets Spark derive a state-eviction bound per
+    * side (a buffered click can be dropped once the global watermark
+    * passes `click_ts + range` — no future error can reach back to it),
+    * so state is O(rows within the range horizon), not O(stream).
+    * Without the range condition the buffers grow forever — which is
+    * why this builder bakes the range in rather than taking a free-form
+    * predicate.
+    *
+    * Join type:
+    *  - `inner`: emits each matching (click, error) pair exactly once,
+    *    in whichever micro-batch completes the pair — output set equals
+    *    the batch join regardless of how rows split across batches
+    *    (watermark eviction only ever drops rows whose matches have all
+    *    already been emitted, provided delivery is watermark-respecting;
+    *    late data beyond the 30-minute delay is dropped, same as every
+    *    watermarked op).
+    *  - `left_outer`: matched pairs as above; an UNMATCHED click emits
+    *    its null-padded row only when the watermark proves no match can
+    *    still arrive (global watermark > click_ts + range). Clicks whose
+    *    horizon is still open when the stream pauses stay buffered —
+    *    the price of correct null semantics on unbounded input; q171
+    *    states that emission gate in its oracle instead of pretending
+    *    the batch left join is reachable online.
+    *  - `full_outer`: both gates at once, and they are ASYMMETRIC
+    *    because the range is one-sided: a click waits out its whole
+    *    forward horizon (null row once watermark > click_ts + range),
+    *    but an error's potential matches all have click_ts <= error_ts,
+    *    so its null row emits as soon as the watermark passes error_ts
+    *    itself — the error side's state is cheaper by exactly the range
+    *    width. q172 states both gates numerically in its oracle.
+    *
+    * Inputs carry (user_id, event_id, ts); sides are renamed before the
+    * join because both watermark columns survive into the condition. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      joinType: String = "inner", rangeMinutes: Int = 60,
+      delayMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$delayMinutes minutes")
+    val e = errors
+      .select(col("user_id").as("e_uid"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", s"$delayMinutes minutes")
+    c.join(e,
+        col("c_uid") === col("e_uid") &&
+          col("error_ts") >= col("click_ts") &&
+          col("error_ts") <= col("click_ts") + expr(s"interval $rangeMinutes minutes"),
+        joinType)
+      // coalesce: under full_outer an unmatched-error row has no c_uid
+      // (no-op for inner/left, where c_uid is never null)
+      .select(coalesce(col("c_uid"), col("e_uid")).as("user_id"),
+        col("click_id"), col("error_id"), col("click_ts"), col("error_ts"))
+  }
+
   /** Streaming exact CONTENT dedup — where the streaming surface meets
     * the dedup chain: the q29 canonical content fingerprint (not an
     * event id) keys a watermark-bounded dedup over an APPENDING document

@@ -493,6 +493,174 @@ object StreamingBoard {
     q165Post(drainToParquet(q165Query(spark, schema, root), root))
   }
 
+  /** q170: STREAM–STREAM inner join, materialized — the one Structured
+    * Streaming join class with no hash-green board row until now
+    * (q163's interval join is stream–static; q146–q165 are
+    * single-stream stateful; Streaming.viewClickJoin pins the same
+    * class spec-only on MemoryStream). Both
+    * sides are live file streams over the same staged event feed — the
+    * click substream joins the error substream on user_id with a
+    * 60-minute time-range bound (Streaming.clickErrorJoin), planned by
+    * Spark as a StreamingSymmetricHashJoin with watermark-derived state
+    * eviction on both buffers. Delivery splits the feed at its ts
+    * midpoint across two micro-batches, so pairs that STRADDLE the
+    * boundary (click lands in batch 1, its error in batch 2) only reach
+    * the sink if the click's buffered state survived the batch
+    * boundary — which is exactly what the hash check proves. Output is
+    * pair-complete: eviction only ever drops a click whose match horizon
+    * the watermark has closed, and ordered delivery means those matches
+    * already arrived, so the emitted set equals the batch join — the
+    * oracle is the plain batch SQL, no emission gate needed (contrast
+    * q171). */
+  def q170StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    q170Impl(spark, dir, graft.RunTag.scratchFresh("q170"), "inner")
+
+  /** Stages the click/error feed as two event-time-ordered files. The
+    * cut is NOT the plain ts midpoint: at small SFs matched pairs are
+    * sparse enough that a midpoint cut can put every pair wholly inside
+    * one file, making the cross-batch buffered-state claim vacuous. So
+    * the cut is the click_ts of the matched pair (error strictly later
+    * than its click) nearest the midpoint — that click lands in batch 1
+    * and its error in batch 2, guaranteeing >=1 straddling pair at
+    * every SF (midpoint fallback if no such pair exists). Deterministic
+    * either way: ties broken by click_id. */
+  private[graft] def q170Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2): (org.apache.spark.sql.types.StructType, java.sql.Timestamp) = {
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    // ts → TIMESTAMP under the UTC session (the q147/q148 staging
+    // policy: withWatermark rejects TIMESTAMP_NTZ)
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val midMs = t0 + (t1 - t0) / 2
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_uid"), col("ts").as("error_ts"))
+    val cut = c.join(e, col("user_id") === col("e_uid") &&
+        col("error_ts") > col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr("interval 60 minutes"))
+      .select(col("click_ts"), col("click_id"))
+      .withColumn("d", abs(unix_micros(col("click_ts")) - lit(midMs * 1000L)))
+      .orderBy(col("d"), col("click_id")).limit(1)
+      .collect().headOption.map(_.getTimestamp(0))
+      .getOrElse(new java.sql.Timestamp(midMs))
+    val base = System.currentTimeMillis()
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (ev.filter(col("ts") <= cut), "00-early.parquet", base - 240000),
+      (ev.filter(col("ts") > cut), "01-late.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    (ev.schema, cut)
+  }
+
+  private[graft] def q170Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String, joinType: String): DataFrame = {
+    // TWO independent streaming sources over the same staged feed (each
+    // tails the full directory and narrows to its substream) — the join
+    // is genuinely stream×stream, not a self-join of one source
+    def side(tpe: String): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .filter(col("event_type") === tpe)
+    Streaming.clickErrorJoin(side("click"), side("error"), joinType)
+  }
+
+  private[graft] def q170Post(sink: DataFrame): DataFrame =
+    // tz → ntz under the UTC session (the q148/q150 output policy: the
+    // oracle's event timestamps are naive micros)
+    sink.select(col("user_id"), col("click_id"), col("error_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("error_ts").cast("timestamp_ntz").as("error_ts"))
+      .orderBy(col("user_id"), coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("error_id"), lit(-1L)))
+
+  private[graft] def q170Impl(spark: SparkSession, dir: String, root: String,
+      joinType: String): DataFrame = {
+    val (schema, _) = q170Stage(spark, dir, root)
+    q170Post(drainToParquet(q170Query(spark, schema, root, joinType), root))
+  }
+
+  val q170Sql: String =
+    "SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id, " +
+      "a.ts AS click_ts, b.ts AS error_ts " +
+      "FROM events a JOIN events b ON a.user_id = b.user_id " +
+      "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE " +
+      "WHERE a.event_type = 'click' AND b.event_type = 'error' " +
+      "ORDER BY 1, 2, 3"
+
+  /** q171: the LEFT-OUTER stream–stream join — same plan as q170 plus
+    * watermark-GATED null emission: an unmatched click may only emit its
+    * null-padded row once the global watermark proves no matching error
+    * can still arrive (watermark > click_ts + range), and clicks whose
+    * horizon is still open when the feed pauses stay buffered, emitting
+    * nothing. The oracle therefore is NOT the batch left join — it is
+    * the batch left join FILTERED by the emission gate, stated in SQL:
+    * keep matched pairs, plus unmatched clicks with
+    * `click_ts + 60 min < least(max(click_ts), max(error_ts)) − 30 min`
+    * (the final watermark both event-time trackers agree on under
+    * AvailableNow's closing no-data batch). That gate is the honest
+    * semantics of outer joins on unbounded input; pinning it in the
+    * oracle turns a usually-hand-waved behavior into a hash check. */
+  def q171StreamStreamOuter(spark: SparkSession, dir: String): DataFrame =
+    q171Impl(spark, dir, graft.RunTag.scratchFresh("q171"))
+
+  private[graft] def q171Impl(spark: SparkSession, dir: String, root: String): DataFrame =
+    q170Impl(spark, dir, root, "left_outer")
+
+  val q171Sql: String =
+    "WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "e AS (SELECT user_id, event_id AS error_id, ts AS error_ts " +
+      "FROM events WHERE event_type = 'error'), " +
+      "w AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(error_ts) FROM e)) " +
+      "- INTERVAL 30 MINUTE AS wm), " +
+      "j AS (SELECT c.user_id, c.click_id, e.error_id, c.click_ts, e.error_ts " +
+      "FROM c LEFT JOIN e ON c.user_id = e.user_id " +
+      "AND e.error_ts >= c.click_ts AND e.error_ts <= c.click_ts + INTERVAL 60 MINUTE) " +
+      "SELECT * FROM j WHERE error_id IS NOT NULL " +
+      "OR click_ts + INTERVAL 60 MINUTE < (SELECT wm FROM w) " +
+      "ORDER BY user_id, click_id, coalesce(error_id, -1)"
+
+  /** q172: the FULL-OUTER stream–stream join — both null paths live,
+    * with ASYMMETRIC emission gates because the 60-minute range is
+    * one-sided. An unmatched CLICK must wait out its forward horizon
+    * (null row once watermark > click_ts + 60 min — q171's gate); an
+    * unmatched ERROR's potential matches all satisfy
+    * `click_ts ∈ [error_ts − 60 min, error_ts]`, every one of them
+    * ≤ error_ts, so its null row emits as soon as the watermark passes
+    * error_ts itself. The oracle is the batch full join filtered by the
+    * union of the three emission classes: matched pairs, expired
+    * clicks, expired errors — both gates stated numerically against the
+    * same final watermark `least(max click_ts, max error_ts) − 30 min`.
+    * Completing the type family matters beyond symmetry: the asymmetric
+    * gate pair is the observable proof that Spark derives PER-SIDE
+    * state bounds from the range predicate's direction, which is the
+    * whole 100 TB state story of stream–stream joins. */
+  def q172StreamStreamFull(spark: SparkSession, dir: String): DataFrame =
+    q172Impl(spark, dir, graft.RunTag.scratchFresh("q172"))
+
+  private[graft] def q172Impl(spark: SparkSession, dir: String, root: String): DataFrame =
+    q170Impl(spark, dir, root, "full_outer")
+
+  val q172Sql: String =
+    "WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts " +
+      "FROM events WHERE event_type = 'click'), " +
+      "e AS (SELECT user_id, event_id AS error_id, ts AS error_ts " +
+      "FROM events WHERE event_type = 'error'), " +
+      "w AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(error_ts) FROM e)) " +
+      "- INTERVAL 30 MINUTE AS wm), " +
+      "j AS (SELECT coalesce(c.user_id, e.user_id) AS user_id, " +
+      "c.click_id, e.error_id, c.click_ts, e.error_ts " +
+      "FROM c FULL JOIN e ON c.user_id = e.user_id " +
+      "AND e.error_ts >= c.click_ts AND e.error_ts <= c.click_ts + INTERVAL 60 MINUTE) " +
+      "SELECT * FROM j WHERE (click_id IS NOT NULL AND error_id IS NOT NULL) " +
+      "OR (error_id IS NULL AND click_ts + INTERVAL 60 MINUTE < (SELECT wm FROM w)) " +
+      "OR (click_id IS NULL AND error_ts < (SELECT wm FROM w)) " +
+      "ORDER BY user_id, coalesce(click_id, -1), coalesce(error_id, -1)"
+
   /** The batch q29 keep set, projected to its fingerprints — one row
     * per distinct canonical document content. */
   val q165Sql: String =
@@ -505,7 +673,10 @@ object StreamingBoard {
     "q148_gap_fill_stream" -> q148GapFillStream _,
     "q150_sessionize_stream" -> q150SessionizeStream _,
     "q163_interval_join_stream" -> q163IntervalJoinStream _,
-    "q165_content_dedup_stream" -> q165ContentDedupStream _)
+    "q165_content_dedup_stream" -> q165ContentDedupStream _,
+    "q170_stream_stream_join" -> q170StreamStreamJoin _,
+    "q171_stream_stream_outer" -> q171StreamStreamOuter _,
+    "q172_stream_stream_full" -> q172StreamStreamFull _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -514,5 +685,8 @@ object StreamingBoard {
     "q150_sessionize_stream" -> q150Sql,
     // batch parity is the whole claim: the oracle is q155's SQL verbatim
     "q163_interval_join_stream" -> graft.ops.TimeSeries.q155Sql,
-    "q165_content_dedup_stream" -> q165Sql)
+    "q165_content_dedup_stream" -> q165Sql,
+    "q170_stream_stream_join" -> q170Sql,
+    "q171_stream_stream_outer" -> q171Sql,
+    "q172_stream_stream_full" -> q172Sql)
 }

@@ -374,6 +374,156 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a redelivered fingerprint was re-admitted after the restart — state was lost")
   }
 
+  /** Batch reference pairs for the q170/q171 family: (user_id,
+    * click_id, error_id, click_ts, error_ts) under the 60-minute
+    * forward range. */
+  private def ssjPairs(): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_uid"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    c.join(e, col("user_id") === col("e_uid") &&
+      col("error_ts") >= col("click_ts") &&
+      col("error_ts") <= col("click_ts") + expr("interval 60 minutes"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        col("click_ts"), col("error_ts"))
+  }
+
+  test("q170 stream-stream inner join spans >=2 micro-batches, equals the batch join, and completes a straddling pair") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q170spec").toString
+    val got = StreamingBoard.q170Impl(spark, sf, root, "inner").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nBatches(root) >= 2, "the feed must arrive across micro-batches")
+    val want = ssjPairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"stream/batch diverge: " +
+      s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.nonEmpty)
+    // non-vacuity: >=1 emitted pair STRADDLES the file boundary (click
+    // buffered in batch 1, error arriving in batch 2) — the staged cut
+    // guarantees this by construction; re-assert it from the actual
+    // staged files so the guarantee is tested, not trusted
+    val early = spark.read.parquet(s"$root/in/00-early.parquet")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val late = spark.read.parquet(s"$root/in/01-late.parquet")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val straddling = want.count { case (_, cid, eid) =>
+      early.contains(cid) && late.contains(eid) }
+    assert(straddling > 0,
+      "no emitted pair straddles the micro-batch boundary — state carry is untested")
+  }
+
+  test("q170 restart: symmetric-hash-join buffers survive a checkpoint restart (straddling pairs still complete)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the last uncovered state-store type in the crash matrix: the
+    // stream-stream join's per-side keyed row buffers. Deliver file 1,
+    // drain (clicks near the cut are now buffered state), deliver file
+    // 2, RESTART from the checkpoint: if the buffers were lost, every
+    // straddling pair would be lost with them.
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_q170ref").toString
+    val want = StreamingBoard.q170Impl(spark, sf, refRoot, "inner")
+      .collect().map(_.toSeq).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_q170recov").toString
+    val (schema, _) = StreamingBoard.q170Stage(spark, sf, root, upTo = 1)
+    def run(): Unit = {
+      val q = StreamingBoard.q170Query(spark, schema, root, "inner").writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val batchesAtStop = nBatches(root)
+    assert(batchesAtStop >= 1)
+    val atInterruption = spark.read.parquet(s"$root/out").count()
+    StreamingBoard.q170Stage(spark, sf, root, upTo = 2)
+    run()
+    assert(nBatches(root) > batchesAtStop, "restart must process the second file")
+    val got = StreamingBoard.q170Post(spark.read.parquet(s"$root/out"))
+      .collect().map(_.toSeq)
+    assert(got.toSet === want, s"restart changed the pair set: " +
+      s"${got.toSet.diff(want).take(3)} vs ${want.diff(got.toSet).take(3)}")
+    assert(got.distinct.size == got.size, "restart duplicated pairs")
+    assert(got.size > atInterruption,
+      "the restarted leg emitted nothing new — the straddle went untested")
+  }
+
+  test("q171 left-outer stream-stream join: matched pairs plus exactly the watermark-expired null emissions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q171spec").toString
+    val got = StreamingBoard.q171Impl(spark, sf, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(nBatches(root) >= 2)
+    // the emission gate, computed independently: global watermark =
+    // least(max click_ts, max error_ts) - 30 min delay; an unmatched
+    // click emits iff click_ts + 60 min range < watermark
+    val ev = Tables.events(spark, sf)
+    def maxTs(tpe: String): java.time.LocalDateTime =
+      ev.filter(col("event_type") === tpe).agg(max(col("ts"))).head
+        .getAs[java.time.LocalDateTime](0)
+    val wm = Seq(maxTs("click"), maxTs("error")).min(
+      Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      .minusMinutes(30)
+    val matched = ssjPairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val matchedClicks = matched.map(_._2)
+    val unmatchedEmitted = ev.filter(col("event_type") === "click")
+      .filter(col("ts") + expr("interval 60 minutes") < lit(wm))
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), -1L))
+      .filterNot(t => matchedClicks.contains(t._2)).toSet
+    val want = matched ++ unmatchedEmitted
+    assert(got === want, s"emitted set diverges: " +
+      s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.exists(_._3 == -1L), "no null-padded emission — the outer path is untested")
+    assert(got.exists(_._3 != -1L), "no matched emission")
+  }
+
+  test("q172 full-outer stream-stream join: asymmetric gates — clicks wait out the range, errors expire at their own ts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q172spec").toString
+    // key rows as (user_id, click_id|-1, error_id|-1)
+    val got = StreamingBoard.q172Impl(spark, sf, root).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(nBatches(root) >= 2)
+    val ev = Tables.events(spark, sf)
+    def maxTs(tpe: String): java.time.LocalDateTime =
+      ev.filter(col("event_type") === tpe).agg(max(col("ts"))).head
+        .getAs[java.time.LocalDateTime](0)
+    val wm = Seq(maxTs("click"), maxTs("error")).min(
+      Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+      .minusMinutes(30)
+    val matched = ssjPairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val matchedClicks = matched.map(_._2)
+    val matchedErrors = matched.map(_._3)
+    // left gate (q171's): unmatched click emits iff its whole forward
+    // range horizon is behind the watermark
+    val expiredClicks = ev.filter(col("event_type") === "click")
+      .filter(col("ts") + expr("interval 60 minutes") < lit(wm))
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), -1L))
+      .filterNot(t => matchedClicks.contains(t._2)).toSet
+    // right gate: an error's candidate clicks all have click_ts <=
+    // error_ts, so it expires the moment the watermark passes error_ts
+    val expiredErrors = ev.filter(col("event_type") === "error")
+      .filter(col("ts") < lit(wm))
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), -1L, r.getLong(1)))
+      .filterNot(t => matchedErrors.contains(t._3)).toSet
+    val want = matched ++ expiredClicks ++ expiredErrors
+    assert(got === want, s"emitted set diverges: " +
+      s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // non-vacuity: all three emission classes must be live
+    assert(got.exists(t => t._2 != -1L && t._3 != -1L), "no matched emission")
+    assert(got.exists(_._3 == -1L), "no null-error emission — the left-outer path is untested")
+    assert(got.exists(_._2 == -1L), "no null-click emission — the right-outer path is untested")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
