@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** The 30-minute-gap sessionizer re-expressed on Spark 4's
+  * `transformWithState` (State API v2) — same semantics as
+  * [[Streaming.sessionizeStateful]], different engine surface:
+  *
+  *  - state is a NAMED, TYPED `ValueState[SessionState]` obtained from
+  *    the processor handle (the v2 model composes several named states
+  *    per key — value/list/map — where `flatMapGroupsWithState` carries
+  *    exactly one);
+  *  - timers are FIRST-CLASS: `registerTimer`/`deleteTimer` on the
+  *    handle, many per key, with expiry delivered to a dedicated
+  *    `handleExpiredTimer` callback — v1 folds its single timeout into
+  *    the same function behind `state.hasTimedOut`;
+  *  - the operator REQUIRES the RocksDB state-store provider, so the
+  *    board row doubles as coverage of the second store engine (the
+  *    rest of the matrix runs the default HDFS-backed store).
+  *
+  * Semantics parity is the whole point: q173's oracle is q150's SQL
+  * VERBATIM (the q163/q157 same-answer precedent), so the new API +
+  * new store engine are proven bit-identical to the v1 operator, ordered
+  * value fold and micro precision included.
+  *
+  * Timer discipline: a session's close timer sits at
+  * `(end + gap) / 1000` ms. When a new event extends the session, the
+  * old timer is DELETED before the new one is registered (v2 timers
+  * don't overwrite — a stale timer would otherwise fire early against
+  * an open session). `handleExpiredTimer` double-checks the firing
+  * timer against the live session's own deadline and ignores stale
+  * ones, so correctness never rests on the delete alone.
+  *
+  * Scale: identical to the v1 sessionizer — one small state record +
+  * one registered timer per ACTIVE user, keyed by the shuffle key;
+  * RocksDB moves the per-key store off-heap, which is the 100 TB
+  * answer to state exceeding executor heap (changelog checkpointing
+  * and snapshot upload amortize across micro-batches).
+  */
+class SessionProcessorV2 extends StatefulProcessor[Long, Ev, SessionOut] {
+  import Streaming.{microsOf, tsOfMicros}
+  private val gapUs = 30L * 60 * 1000000
+
+  @transient private var session: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  /** The close deadline of a session, in the engine's timer clock (ms). */
+  private def deadlineMs(s: SessionState): Long = (s.end + gapUs) / 1000L
+
+  override def handleInputRows(uid: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[SessionOut] = {
+    val evs = rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+    var cur = if (session.exists()) Some(session.get()) else None
+    val prevDeadline = cur.map(deadlineMs)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    evs.foreach { e =>
+      val t = microsOf(e.ts)
+      cur match {
+        case Some(s) if t - s.end <= gapUs =>
+          cur = Some(SessionState(s.n + 1, s.start, math.max(s.end, t), s.sum + e.value))
+        case Some(s) =>
+          closed += SessionOut(uid, s.n, tsOfMicros(s.start), tsOfMicros(s.end), s.sum)
+          cur = Some(SessionState(1, t, t, e.value))
+        case None =>
+          cur = Some(SessionState(1, t, t, e.value))
+      }
+    }
+    cur.foreach { s =>
+      session.update(s)
+      val d = deadlineMs(s)
+      if (!prevDeadline.contains(d)) {
+        prevDeadline.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(d)
+      }
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionOut] =
+    if (session.exists()) {
+      val s = session.get()
+      // a stale timer (session since extended) fires before the live
+      // deadline: ignore it, the real one is still registered
+      if (info.getExpiryTimeInMs >= deadlineMs(s)) {
+        session.clear()
+        Iterator.single(SessionOut(uid, s.n, tsOfMicros(s.start), tsOfMicros(s.end), s.sum))
+      } else Iterator.empty
+    } else Iterator.empty
+}
+
+object StateV2 {
+  /** q150's dataflow on the v2 API: watermarked events, grouped by
+    * user, sessionized by [[SessionProcessorV2]] with event-time
+    * timers closing idle sessions. */
+  def sessionizeTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -171,9 +171,9 @@ object Streaming {
   /** Timestamp ↔ epoch-micros, lossless: `Timestamp.getTime` alone is
     * MILLIS and silently truncates the parquet micros (caught by q150's
     * oracle — session bounds came back 575 µs short). */
-  private def microsOf(t: Timestamp): Long =
+  private[streaming] def microsOf(t: Timestamp): Long =
     java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-  private def tsOfMicros(us: Long): Timestamp = {
+  private[streaming] def tsOfMicros(us: Long): Timestamp = {
     val t = new Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
     t

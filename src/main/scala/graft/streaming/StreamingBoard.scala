@@ -65,12 +65,19 @@ object StreamingBoard {
     * by contract (Bench/Verify), and the session conf is only read at
     * query start. */
   private def drainToParquet(ds: org.apache.spark.sql.Dataset[_], root: String,
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
+      statePartitions: Option[Int] = Some(8),
+      rocksdb: Boolean = false): DataFrame = {
     val out = s"$root/out"
     val spark = ds.sparkSession
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.get(providerKey)
     statePartitions.foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString))
+    // transformWithState requires the RocksDB provider (same set/restore
+    // caveat as the partition bound: board queries serial by contract)
+    if (rocksdb) spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = ds.writeStream
         .format("parquet")
@@ -79,7 +86,10 @@ object StreamingBoard {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (rocksdb) spark.conf.set(providerKey, prevProvider)
+    }
     ds.sparkSession.read.parquet(out)
   }
 
@@ -624,6 +634,32 @@ object StreamingBoard {
       "OR click_ts + INTERVAL 60 MINUTE < (SELECT wm FROM w) " +
       "ORDER BY user_id, click_id, coalesce(error_id, -1)"
 
+  /** q173: the sessionizer on Spark 4's `transformWithState` (State API
+    * v2) over the ROCKSDB state-store provider — the same staged
+    * delivery, sentinel timer-driving, and post-projection as q150, and
+    * the same oracle SQL VERBATIM, so the hash proves the v2 operator
+    * (named typed ValueState, first-class event-time timers, RocksDB
+    * off-heap state) computes bit-identical sessions to the v1
+    * flatMapGroupsWithState twin — ordered value fold, micro precision
+    * and all. See [[SessionProcessorV2]] for what's genuinely different
+    * under the hood. */
+  def q173SessionizeTws(spark: SparkSession, dir: String): DataFrame =
+    q173Impl(spark, dir, graft.RunTag.scratchFresh("q173"))
+
+  private[graft] def q173Query(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    StateV2.sessionizeTws(stream)
+  }
+
+  private[graft] def q173Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val schema = q150Stage(spark, dir, root)
+    q150Post(drainToParquet(q173Query(spark, schema, root), root, rocksdb = true))
+  }
+
   /** q172: the FULL-OUTER stream–stream join — both null paths live,
     * with ASYMMETRIC emission gates because the 60-minute range is
     * one-sided. An unmatched CLICK must wait out its forward horizon
@@ -676,7 +712,8 @@ object StreamingBoard {
     "q165_content_dedup_stream" -> q165ContentDedupStream _,
     "q170_stream_stream_join" -> q170StreamStreamJoin _,
     "q171_stream_stream_outer" -> q171StreamStreamOuter _,
-    "q172_stream_stream_full" -> q172StreamStreamFull _)
+    "q172_stream_stream_full" -> q172StreamStreamFull _,
+    "q173_sessionize_tws" -> q173SessionizeTws _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -688,5 +725,7 @@ object StreamingBoard {
     "q165_content_dedup_stream" -> q165Sql,
     "q170_stream_stream_join" -> q170Sql,
     "q171_stream_stream_outer" -> q171Sql,
-    "q172_stream_stream_full" -> q172Sql)
+    "q172_stream_stream_full" -> q172Sql,
+    // batch parity with the v1 sessionizer is the claim: q150's SQL verbatim
+    "q173_sessionize_tws" -> q150Sql)
 }

@@ -524,6 +524,71 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._2 == -1L), "no null-click emission — the right-outer path is untested")
   }
 
+  test("q173 transformWithState sessionizer equals the v1 flatMapGroupsWithState twin row-for-row (RocksDB store)") {
+    val rootV2 = java.nio.file.Files.createTempDirectory("graft_q173spec").toString
+    val gotV2 = StreamingBoard.q173Impl(spark, sf, rootV2).collect().map(_.toSeq).toSeq
+    assert(nBatches(rootV2) >= 4,
+      "the v2 run must see both data files and both sentinel batches")
+    // the board run must actually have used RocksDB (the conf is
+    // restored afterwards — read the checkpoint's recorded offsets conf)
+    val offsets = new java.io.File(s"$rootV2/ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val conf = scala.io.Source.fromFile(offsets.head).getLines().mkString("\n")
+    assert(conf.contains("RocksDBStateStoreProvider"),
+      "q173 did not run on the RocksDB state store provider")
+    val rootV1 = java.nio.file.Files.createTempDirectory("graft_q173v1").toString
+    val gotV1 = StreamingBoard.q150Impl(spark, sf, rootV1).collect().map(_.toSeq).toSeq
+    assert(gotV2.toSet === gotV1.toSet, s"v2/v1 sessionizers diverge: " +
+      s"${gotV2.toSet.diff(gotV1.toSet).take(3)} vs ${gotV1.toSet.diff(gotV2.toSet).take(3)}")
+    assert(gotV2.size == gotV1.size && gotV2.nonEmpty)
+  }
+
+  test("q173 crash-recovery: RocksDB ValueState + registered timers survive a checkpoint restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val refRoot = java.nio.file.Files.createTempDirectory("graft_q173ref").toString
+      val want = StreamingBoard.q173Impl(spark, sf, refRoot).collect().map(_.toSeq).toSeq
+      val root = java.nio.file.Files.createTempDirectory("graft_q173recov").toString
+      val schema = StreamingBoard.q150Stage(spark, sf, root, upTo = 2)
+      def start() = StreamingBoard.q173Query(spark, schema, root).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val q1 = start()
+      val commits = new java.io.File(s"$root/ckpt/commits")
+      val deadline = System.currentTimeMillis() + 60000
+      while ((!commits.exists() ||
+          commits.listFiles().count(_.getName.forall(_.isDigit)) < 1) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      q1.stop()
+      q1.awaitTermination()
+      // sessions straddling the midpoint (and every timer) are still in
+      // the RocksDB store when the query stops — the sink must be short
+      val atInterruption =
+        try StreamingBoard.q150Post(spark.read.parquet(s"$root/out")).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+      assert(atInterruption < want.size,
+        s"all ${want.size} sessions already emitted before the restart — nothing was open in state")
+      StreamingBoard.q150Stage(spark, sf, root, upTo = 4)
+      val q2 = start()
+      q2.awaitTermination()
+      assert(nBatches(root) >= 4, "restart must process the remaining files + sentinels")
+      val got = StreamingBoard.q150Post(spark.read.parquet(s"$root/out"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.toSet === want.toSet,
+        s"recovered v2 sessions diverge: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+      assert(got.size > atInterruption,
+        "the restarted leg emitted nothing new — no open state was recovered")
+    } finally spark.conf.set(providerKey, prevProvider)
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
