@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The 30-minute-gap sessionizer re-expressed on Spark 4's
   * `transformWithState` (State API v2) — same semantics as
@@ -39,18 +39,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * answer to state exceeding executor heap (changelog checkpointing
   * and snapshot upload amortize across micro-batches).
   */
-class SessionProcessorV2 extends StatefulProcessor[Long, Ev, SessionOut] {
+private[streaming] trait SessionCoreV2 { this: StatefulProcessor[Long, Ev, SessionOut] =>
   import Streaming.{microsOf, tsOfMicros}
   private val gapUs = 30L * 60 * 1000000
 
-  @transient private var session: ValueState[SessionState] = _
+  @transient protected var session: ValueState[SessionState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     session = getHandle.getValueState[SessionState]("session",
       Encoders.product[SessionState], TTLConfig.NONE)
 
   /** The close deadline of a session, in the engine's timer clock (ms). */
-  private def deadlineMs(s: SessionState): Long = (s.end + gapUs) / 1000L
+  protected def deadlineMs(s: SessionState): Long = (s.end + gapUs) / 1000L
 
   override def handleInputRows(uid: Long, rows: Iterator[Ev],
       timerValues: TimerValues): Iterator[SessionOut] = {
@@ -94,6 +94,32 @@ class SessionProcessorV2 extends StatefulProcessor[Long, Ev, SessionOut] {
     } else Iterator.empty
 }
 
+class SessionProcessorV2 extends StatefulProcessor[Long, Ev, SessionOut]
+  with SessionCoreV2
+
+/** WARM-START variant: the same sessionizer seeded from an INITIAL
+  * STATE dataset — the production bootstrap pattern where a batch
+  * backfill computed sessions up to a cutoff and the streaming job
+  * takes over mid-session without re-reading history. Each user's open
+  * session arrives as a [[SessionState]] through `handleInitialState`
+  * (called once per key before any input row), which loads the state
+  * AND registers its close timer — an open session that never sees
+  * another event must still close by watermark, exactly as if the
+  * state had been built by the stream itself. StateV2Spec proves the
+  * handoff is seamless: batch-closed ∪ warm-started-streaming equals
+  * the full replay, sessions straddling the cutoff stitched across the
+  * batch/stream boundary. */
+class SessionProcessorWarmStart
+  extends StatefulProcessorWithInitialState[Long, Ev, SessionOut, SessionState]
+  with SessionCoreV2 {
+
+  override def handleInitialState(uid: Long, initial: SessionState,
+      timerValues: TimerValues): Unit = {
+    session.update(initial)
+    getHandle.registerTimer(deadlineMs(initial))
+  }
+}
+
 object StateV2 {
   /** q150's dataflow on the v2 API: watermarked events, grouped by
     * user, sessionized by [[SessionProcessorV2]] with event-time
@@ -105,5 +131,19 @@ object StateV2 {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessorV2,
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[sessionizeTws]] seeded from a batch-computed open-session
+    * snapshot (keyed by user) — see [[SessionProcessorWarmStart]]. */
+  def sessionizeTwsWarmStart(events: Dataset[Ev],
+      openSessions: KeyValueGroupedDataset[Long, SessionState]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorWarmStart,
+        TimeMode.EventTime(), OutputMode.Append(), openSessions,
+        implicitly[org.apache.spark.sql.Encoder[SessionOut]],
+        implicitly[org.apache.spark.sql.Encoder[SessionState]])
   }
 }

@@ -11,7 +11,11 @@ case class Ev(event_id: Long, user_id: Long, event_type: String, ts: Timestamp, 
 /** A closed user session emitted by the stateful sessionizer. */
 case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp, sum_value: Double)
 
-private case class SessionState(n: Long, start: Long, end: Long, sum: Double)
+/** Live (open) session state: event count, start/end in epoch micros,
+  * running value sum. Public because the warm-start API
+  * ([[StateV2.sessionizeTwsWarmStart]]) takes a user-supplied snapshot
+  * of these. */
+case class SessionState(n: Long, start: Long, end: Long, sum: Double)
 
 /** A daily grid row from the stateful gap-filler — the streaming twin of
   * `TimeSeries.q118GapFill`'s output. */

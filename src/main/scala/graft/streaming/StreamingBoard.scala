@@ -33,7 +33,7 @@ object StreamingBoard {
 
   /** Stage `df` as exactly one parquet data file at `inDir/name` with
     * modification time `modMs` (the file source's delivery order). */
-  private def addFile(df: DataFrame, inDir: String, name: String, modMs: Long): Unit = {
+  private[graft] def addFile(df: DataFrame, inDir: String, name: String, modMs: Long): Unit = {
     val stage = Files.createTempDirectory("graft_stage").toString
     try {
       df.coalesce(1).write.mode("overwrite").parquet(stage)
