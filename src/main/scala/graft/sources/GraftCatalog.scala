@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A PATH-ADDRESSED `TableCatalog` over jsondoc directories — the piece
+  * that puts the DSv2 table behind real SQL DDL/DML, most importantly
+  * the row-level commands (`MERGE INTO` / `UPDATE` / `DELETE`) that only
+  * resolve through a catalog, never through `spark.read.format(...)`.
+  *
+  * Register once per session:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+  *   spark.sql("CREATE TABLE graftcat.`/data/docs` (doc_id BIGINT, ...) USING graft-jsondoc")
+  *   spark.sql("MERGE INTO graftcat.`/data/docs` t USING changes c ON ...")
+  * }}}
+  *
+  * The table NAME is the directory path (one name part, backticked in
+  * SQL). That choice is deliberate: Spark caches catalog instances per
+  * session by catalog name, so a root-directory option would freeze the
+  * first root ever used — path-as-identifier keeps the catalog
+  * stateless and every table addressable without reconfiguration.
+  *
+  * Schema durability: `CREATE TABLE` writes the declared schema to a
+  * `_table_schema.json` sidecar (underscore-prefixed — every data
+  * listing already skips it); `loadTable` prefers the sidecar and falls
+  * back to sampling-based inference for directories created by the bare
+  * writer path, so both flavors of table resolve. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): java.io.File = {
+    require(ident.namespace().isEmpty,
+      s"graft catalog is path-addressed (no namespaces): ${ident.toString}")
+    new java.io.File(ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: there is no enumerable namespace
+
+  override def tableExists(ident: Identifier): Boolean = dirOf(ident).isDirectory
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    val schema = GraftCatalog.readSchema(dir)
+      .getOrElse(JsonDocSource.infer(dir.getPath))
+    new JsonDocTable(schema, dir.getPath)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    val bad = schema.fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
+    require(bad.isEmpty,
+      "graft-jsondoc supports long/int/double/boolean/string fields only; unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    val dir = dirOf(ident)
+    if (GraftCatalog.schemaFile(dir).exists()) throw new TableAlreadyExistsException(ident)
+    if (!dir.isDirectory && !dir.mkdirs())
+      throw new java.io.IOException(s"cannot create table directory $dir")
+    GraftCatalog.writeSchema(dir, schema)
+    new JsonDocTable(schema, dir.getPath)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory) false
+    else {
+      Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog: RENAME TABLE is not supported")
+}
+
+private[sources] object GraftCatalog {
+  def schemaFile(dir: java.io.File): java.io.File =
+    new java.io.File(dir, "_table_schema.json")
+
+  def writeSchema(dir: java.io.File, schema: StructType): Unit =
+    java.nio.file.Files.writeString(schemaFile(dir).toPath, schema.json)
+
+  def readSchema(dir: java.io.File): Option[StructType] = {
+    val f = schemaFile(dir)
+    if (!f.isFile) None
+    else Some(DataType.fromJson(
+      java.nio.file.Files.readString(f.toPath)).asInstanceOf[StructType])
+  }
+}

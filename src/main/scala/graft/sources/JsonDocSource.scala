@@ -3,13 +3,13 @@ package graft.sources
 import java.util
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -95,6 +95,17 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object JsonDocSource {
+  /** Name of the `_file` METADATA column (SupportsMetadataColumns): the
+    * response-file name a row came from. Doubly load-bearing: (a) the
+    * user-visible provenance column (`SELECT _file, ...` through the
+    * catalog), and (b) the metadata attribute the row-level rewrite
+    * requires — with a metadata projection present, ReplaceDataExec
+    * routes rows through the metadata-aware writing task, which strips
+    * the engine-internal `__row_operation` column and hands the writer
+    * rows in the declared write schema (the plain no-metadata task
+    * passes raw MergeRows output straight through). */
+  val FileMetaCol = "_file"
+
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     case _ => false
@@ -142,7 +153,8 @@ private[sources] object JsonDocSource {
 }
 
 private[sources] class JsonDocTable(schema: StructType, path: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
   override def name(): String = s"graft-jsondoc($path)"
   override def schema(): StructType = schema0
@@ -150,15 +162,72 @@ private[sources] class JsonDocTable(schema: StructType, path: String)
   // ACCEPT_ANY_SCHEMA: the write carries the QUERY's schema (validated
   // in newWriteBuilder), so appends into a fresh directory — where the
   // inferred table schema is empty — resolve; TRUNCATE backs
-  // mode("overwrite").
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  // mode("overwrite"). The capability is granted ONLY while the schema
+  // is unknown (empty): on a known-schema table it would do real harm —
+  // the analyzer deliberately refuses to resolve MERGE/UPDATE column
+  // references against an accept-any-schema target (the names carry no
+  // meaning there), which would break the row-level SQL surface, and
+  // normal write-side column alignment is skipped too.
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE)
+    (if (schema0.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonDocWriteBuilder(path, info, truncateFirst = false)
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new JsonDocRowLevelOperation(schema0, path, info.command())
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = JsonDocSource.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "response file this row was read from"
+    })
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation backing SQL
+  * `MERGE INTO` / `UPDATE` / `DELETE` against a catalog-resolved
+  * jsondoc table (see [[GraftCatalog]]). Spark's rewrite rules
+  * (RewriteMergeIntoTable and friends) turn the command into
+  * `ReplaceData(newScanBuilder → rows → merge logic → newWriteBuilder)`:
+  * the scan reads the affected groups, the plan computes each row's
+  * fate, and the write REPLACES what was read. This table's group is
+  * the WHOLE directory (`requiredMetadataAttributes` stays empty, so no
+  * runtime group filtering narrows the scan), which makes the correct
+  * write a truncate-and-rewrite — the same two-phase commit the batch
+  * writer already has, with `truncateFirst = true`: temps written
+  * invisibly, driver commit deletes the old files and renames, so a
+  * crash mid-operation leaves the ORIGINAL table intact (copy-on-write's
+  * whole point). The rewrite scan runs with `acceptPushdown = false` —
+  * see [[JsonDocScanBuilder]] for why a pushed or runtime filter under a
+  * whole-group rewrite would silently delete rows.
+  *
+  * Scale note: whole-table copy-on-write is the honest semantics for a
+  * single-directory table; a partitioned deployment shrinks the group to
+  * a file/partition by exposing a metadata attribute and letting
+  * Spark's runtime group filtering prune the scan — the commit protocol
+  * is unchanged, only the truncate scope narrows. */
+private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonDocScanBuilder(schema, path, acceptPushdown = false)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonDocWriteBuilder(path, info, truncateFirst = true)
+  /** `_file` is required for a correctness reason beyond provenance: a
+    * row-level write WITHOUT a metadata projection takes the plain
+    * writing task, which hands the writer MergeRows' raw output — the
+    * `__row_operation` int still prepended — silently corrupting every
+    * written row (measured during bring-up: longs reread as denormal
+    * doubles). With it, the engine projects data and metadata apart and
+    * the writer sees exactly the declared write schema. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(JsonDocSource.FileMetaCol))
 }
 
 /** DSv2 batch WRITER (r12 — the sink half of the source, generalizing
@@ -555,7 +624,15 @@ private[sources] final case class JsonMaxCol(col: String, dt: DataType) extends 
   def name = s"MAX($col)"
 }
 
-private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
+/** `acceptPushdown = false` is the ROW-LEVEL-REWRITE mode: a group-based
+  * MERGE/UPDATE/DELETE rewrite reads the table in order to write back
+  * the complete post-operation contents, so the scan must return every
+  * row — a pushed filter, pushed aggregate, pushed limit, or runtime
+  * join filter would silently DELETE whatever it excluded (the write
+  * replaces what was read). Column pruning stays on: Spark asks for
+  * every column it writes back, so pruning can never lose data. */
+private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
+    acceptPushdown: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -572,6 +649,7 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
     * every line of every file. Never co-planned with a pushed aggregate
     * (a LIMIT above an Aggregate does not reach the scan). */
   override def pushLimit(n: Int): Boolean = {
+    if (!acceptPushdown) return false
     if (n >= 0) limit = Some(n)
     limit.isDefined
   }
@@ -583,6 +661,7 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
     * filter would silently drop every row, because Spark trusts the
     * residual and never re-checks. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!acceptPushdown) return filters
     def evaluable(a: String): Boolean =
       fullSchema.fields.exists(f => f.name == a && JsonDocSource.supportedType(f.dataType))
     val (ours, residual) = filters.partition {
@@ -612,6 +691,7 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
     * aggregate — counts are summed, so per-file partials are exact. */
   override def pushAggregation(aggregation: aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
+    if (!acceptPushdown) return false
     if (aggregation.groupByExpressions.nonEmpty) return false
     def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
@@ -641,11 +721,13 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs)
-    else new JsonDocScan(required, path, pushed, limit)
+    else new JsonDocScan(required, path, pushed, limit,
+      runtimeFilterable = acceptPushdown)
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
-    filters: Array[Filter], limit: Option[Int] = None)
+    filters: Array[Filter], limit: Option[Int] = None,
+    runtimeFilterable: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema0
@@ -667,7 +749,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * re-checks keys anyway, so keeping extra rows is safe and dropping
     * on a misevaluated filter would not be. */
   override def filterAttributes(): Array[NamedReference] =
-    readSchema0.fieldNames.map(Expressions.column)
+    if (runtimeFilterable) readSchema0.fieldNames.map(Expressions.column)
+    else Array.empty
 
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filter(runtime: Array[Filter]): Unit = {
@@ -989,6 +1072,10 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     }.toMap
 
   private def fieldValue(node: JsonNode, name: String): Any = {
+    // the `_file` metadata column never lives in the JSON — it is the
+    // reader's own provenance
+    if (name == JsonDocSource.FileMetaCol)
+      return new java.io.File(file).getName
     val v = node.get(name)
     if (v == null || v.isNull) null
     else readSchema.find(_.name == name).map(_.dataType) match {

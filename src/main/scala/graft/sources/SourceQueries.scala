@@ -68,11 +68,59 @@ object SourceQueries {
       "min(lang) AS min_lang, max(doc_id) AS max_doc " +
       "FROM documents WHERE n_chars > 500"
 
+  /** q174: SQL `MERGE INTO` against the catalog-resolved DSv2 table —
+    * the END-USER surface of the q85 CDC apply, executed by Spark's
+    * row-level-operation machinery instead of hand-built joins. The
+    * table is created through [[GraftCatalog]] (CREATE TABLE → schema
+    * sidecar), seeded via the V2 append, then a single MERGE statement
+    * applies the exact q85 change set (updates ×2.0 on keys ending 3,
+    * deletes on 7, inserts under shifted keys on 5) in one atomic
+    * copy-on-write commit — Spark plans ReplaceData over
+    * [[JsonDocRowLevelOperation]]'s pushdown-refusing rewrite scan and
+    * the truncating two-phase writer, so a crash mid-merge leaves the
+    * pre-merge table intact. The oracle is q85's SQL VERBATIM: the
+    * declarative broadcast-CDC dataflow and the SQL MERGE surface are
+    * provably the same operation, down to the doubled-price bits
+    * surviving the JSON round trip. */
+  def q174SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q174")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append()
+    // the q85 change set, tagged by op (×2.0 is exact in IEEE — see q85)
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2.0).as("price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
+        col("o_custkey"), col("o_totalprice").as("price"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q174_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING q174_changes c ON t.o_orderkey = c.o_orderkey
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
+         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin)
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
-    "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _)
+    "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
+    "q174_sql_merge" -> q174SqlMerge _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
-    "q168_dsv2_agg_pushdown" -> q168Sql)
+    "q168_dsv2_agg_pushdown" -> q168Sql,
+    // the claim: SQL MERGE == the q85 CDC dataflow, bit for bit
+    "q174_sql_merge" -> graft.ops.DataPrep.q85Sql)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL row-level DML against the catalog-resolved DSv2 table: MERGE
+  * INTO / UPDATE / DELETE planned through SupportsRowLevelOperations as
+  * group-based (copy-on-write) ReplaceData. Pins the semantics on a
+  * hand-built table (every row's fate asserted), the `_file` metadata
+  * column (provenance + the metadata projection the write path needs),
+  * and the plan shape (ReplaceData + MergeRows, rewrite scan with
+  * nothing pushed). q174 carries the corpus-scale oracle check. */
+class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("row-level-ops-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(): String = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlspec").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"))
+      .toDF("k", "v", "src").writeTo(tbl).append()
+    tbl
+  }
+
+  private def rowsOf(tbl: String): Seq[(Long, Double, String)] =
+    spark.sql(s"SELECT * FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+
+  test("MERGE INTO applies delete/update/insert clauses; untouched rows survive the rewrite") {
+    val tbl = freshTable()
+    import spark.implicits._
+    Seq((2L, "upd", 99.0), (3L, "del", 0.0), (7L, "ins", 70.0))
+      .toDF("k", "op", "nv").createOrReplaceTempView("rl_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rl_changes c ON t.k = c.k
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET v = c.nv, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN INSERT (k, v, src) VALUES (c.k, c.nv, 'ins')""".stripMargin)
+    assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (2L, 99.0, "upd"), (7L, 70.0, "ins")))
+  }
+
+  test("UPDATE and DELETE rewrite the table in place") {
+    val tbl = freshTable()
+    spark.sql(s"UPDATE $tbl SET v = v * 2.0 WHERE k >= 2")
+    assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (2L, 40.0, "base"), (3L, 60.0, "base")))
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2")
+    assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (3L, 60.0, "base")))
+  }
+
+  test("the _file metadata column reports real per-row provenance") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlmeta").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    // two single-file appends → two distinct response files
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append()
+    Seq((9L, 90.0, "base")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    val got = spark.sql(s"SELECT k, _file FROM $tbl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet === Set(1L, 2L, 9L))
+    assert(got.values.forall(_.endsWith(".jsonl")))
+    assert(got(1L) === got(2L), "rows from one single-file append share a file")
+    assert(got(9L) !== got(1L), "rows from different appends must carry different files")
+  }
+
+  test("the merge plans as group-based ReplaceData over a pushdown-free rewrite scan") {
+    val tbl = freshTable()
+    import spark.implicits._
+    Seq((2L, 99.0)).toDF("k", "nv").createOrReplaceTempView("rl_upd")
+    val plan = spark.sql(
+      s"""EXPLAIN FORMATTED MERGE INTO $tbl t USING rl_upd c ON t.k = c.k
+         |WHEN MATCHED THEN UPDATE SET v = c.nv""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("ReplaceData"), "row-level command must plan as ReplaceData")
+    assert(plan.contains("MergeRows"), "merge semantics must plan as MergeRows")
+    // the rewrite scan must read EVERYTHING: a pushed or runtime filter
+    // under a whole-group rewrite would silently delete rows
+    assert(plan.contains("pushed=[]"),
+      "the rewrite scan accepted a pushdown — data loss under copy-on-write")
+    // and the merge must still be correct after planning it
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rl_upd c ON t.k = c.k
+         |WHEN MATCHED THEN UPDATE SET v = c.nv""".stripMargin)
+    assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (2L, 99.0, "base"), (3L, 30.0, "base")))
+  }
+
+  test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlddl").toString
+    val tbl = s"graftcat.`$root/t2`"
+    spark.sql(s"CREATE TABLE $tbl (a BIGINT, b STRING) USING `graft-jsondoc`")
+    // schema resolves from the sidecar even with zero data files
+    assert(spark.sql(s"SELECT a, b FROM $tbl").collect().isEmpty)
+    val e = intercept[Exception](
+      spark.sql(s"CREATE TABLE $tbl (a BIGINT) USING `graft-jsondoc`"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    spark.sql(s"DROP TABLE $tbl")
+    assert(!new java.io.File(s"$root/t2").exists())
+  }
+}
