@@ -196,29 +196,43 @@ private[sources] class JsonDocTable(schema: StructType, path: String)
   * (RewriteMergeIntoTable and friends) turn the command into
   * `ReplaceData(newScanBuilder → rows → merge logic → newWriteBuilder)`:
   * the scan reads the affected groups, the plan computes each row's
-  * fate, and the write REPLACES what was read. This table's group is
-  * the WHOLE directory (`requiredMetadataAttributes` stays empty, so no
-  * runtime group filtering narrows the scan), which makes the correct
-  * write a truncate-and-rewrite — the same two-phase commit the batch
-  * writer already has, with `truncateFirst = true`: temps written
-  * invisibly, driver commit deletes the old files and renames, so a
-  * crash mid-operation leaves the ORIGINAL table intact (copy-on-write's
-  * whole point). The rewrite scan runs with `acceptPushdown = false` —
-  * see [[JsonDocScanBuilder]] for why a pushed or runtime filter under a
-  * whole-group rewrite would silently delete rows.
+  * fate, and the write REPLACES what was read. The GROUP here is the
+  * FILE: `_file` is a required metadata attribute, so Spark's
+  * RowLevelOperationRuntimeGroupFiltering pre-scans the table
+  * semi-joined with the source on the command's condition and delivers
+  * the matching file names to the rewrite scan as a runtime
+  * `In(_file, ...)` — only files containing affected rows are read,
+  * and the commit deletes exactly the files the scan PLANNED (the
+  * `replaceScope` seam) before renaming the temps, so pruned files are
+  * neither read nor rewritten. Same two-phase visibility as every
+  * other write: temps invisible, driver commit deletes+renames, a
+  * crash mid-operation leaves the ORIGINAL table intact
+  * (copy-on-write's whole point). The rewrite scan runs with
+  * `acceptPushdown = false` — see [[JsonDocScanBuilder]] for why a
+  * pushed or runtime DATA filter under a group rewrite would silently
+  * delete rows; the `_file` runtime filter is the one safe exception
+  * because it excludes whole groups (see the filterAttributes note on
+  * [[JsonDocScan]]).
   *
-  * Scale note: whole-table copy-on-write is the honest semantics for a
-  * single-directory table; a partitioned deployment shrinks the group to
-  * a file/partition by exposing a metadata attribute and letting
-  * Spark's runtime group filtering prune the scan — the commit protocol
-  * is unchanged, only the truncate scope narrows. */
+  * Scale note: this is the Iceberg/Delta copy-on-write shape — at
+  * 100 TB a MERGE touching 0.1% of keys rewrites the files holding
+  * those keys, not the table; the group-filter pre-scan is one
+  * semi-join over the (pushdown-capable) normal read path. */
 private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** The rewrite scan's final planned file set — written by
+    * planInputPartitions (last call wins; runtime group filters only
+    * ever narrow it) and read by the commit to scope the replace. */
+  private val planned =
+    new java.util.concurrent.atomic.AtomicReference[Array[String]](null)
+
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonDocScanBuilder(schema, path, acceptPushdown = false)
+    new JsonDocScanBuilder(schema, path, acceptPushdown = false,
+      plannedSink = Some(planned.set))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonDocWriteBuilder(path, info, truncateFirst = true)
+    new JsonDocWriteBuilder(path, info, truncateFirst = false,
+      replaceScope = Some(() => Option(planned.get).map(_.toSet)))
   /** `_file` is required for a correctness reason beyond provenance: a
     * row-level write WITHOUT a metadata projection takes the plain
     * writing task, which hands the writer MergeRows' raw output — the
@@ -244,7 +258,9 @@ private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String
   * cloud deployment swaps the rename for its store's commit primitive,
   * the protocol shape is unchanged. */
 private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
-    truncateFirst: Boolean) extends WriteBuilder with SupportsTruncate {
+    truncateFirst: Boolean,
+    replaceScope: Option[() => Option[Set[String]]] = None)
+    extends WriteBuilder with SupportsTruncate {
   {
     val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
     require(bad.isEmpty,
@@ -252,10 +268,11 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
   }
   override def truncate(): WriteBuilder =
-    new JsonDocWriteBuilder(path, info, truncateFirst = true)
+    new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst)
+      new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
+        replaceScope)
     override def toStreaming: StreamingWrite = {
       require(!truncateFirst,
         "graft-jsondoc streaming write supports append output mode only")
@@ -342,7 +359,7 @@ private[sources] object JsonDocStats {
     * atomically. Driver-side only, under the commit's single-writer
     * contract. `keepExisting=false` drops prior entries (truncate). */
   def mergeAndWrite(path: String, entries: Seq[(String, String)],
-      keepExisting: Boolean): Unit = {
+      keepExisting: Boolean, dropNames: Set[String] = Set.empty): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val files = root.putObject("files")
@@ -351,7 +368,9 @@ private[sources] object JsonDocStats {
       if (f.isFile) {
         try {
           Option(mapper.readTree(f).get("files")).foreach { old =>
-            old.fields().asScala.foreach(e => files.set(e.getKey, e.getValue))
+            old.fields().asScala
+              .filterNot(e => dropNames.contains(e.getKey))
+              .foreach(e => files.set(e.getKey, e.getValue))
           }
         } catch { case _: Exception => () }
       }
@@ -432,20 +451,34 @@ private[sources] object JsonDocStats {
     pruner(filters)(stats)
 }
 
+/** `replaceScope` is the FILE-GRANULAR copy-on-write contract: when
+  * present (row-level operations only), commit deletes exactly the
+  * files the rewrite scan PLANNED — the groups whose rows were read and
+  * rewritten — and leaves every pruned file untouched. `None` from the
+  * scope (scan never planned — e.g. AQE emptied the rewrite side)
+  * deletes nothing: no rows were read, so nothing may be replaced. */
 private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
-    queryId: String, truncateFirst: Boolean) extends BatchWrite {
+    queryId: String, truncateFirst: Boolean,
+    replaceScope: Option[() => Option[Set[String]]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    if (truncateFirst) {
-      val existing = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      existing.foreach { f =>
-        if (!f.delete()) throw new java.io.IOException(s"truncate failed to delete $f")
+    val visible = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val toDelete: Array[java.io.File] =
+      if (truncateFirst) visible
+      else replaceScope match {
+        case Some(get) => get() match {
+          case Some(names) => visible.filter(f => names.contains(f.getName))
+          case None => Array.empty
+        }
+        case None => Array.empty
       }
+    toDelete.foreach { f =>
+      if (!f.delete()) throw new java.io.IOException(s"commit failed to delete $f")
     }
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
     msgs.foreach { m =>
@@ -456,7 +489,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // sidecar AFTER the renames: a crash in between leaves valid data
     // files with missing stats entries — readers just don't prune them
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
-      keepExisting = !truncateFirst)
+      keepExisting = !truncateFirst, dropNames = toDelete.map(_.getName).toSet)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -632,7 +665,8 @@ private[sources] final case class JsonMaxCol(col: String, dt: DataType) extends 
   * replaces what was read). Column pruning stays on: Spark asks for
   * every column it writes back, so pruning can never lose data. */
 private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
-    acceptPushdown: Boolean = true)
+    acceptPushdown: Boolean = true,
+    plannedSink: Option[Array[String] => Unit] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -722,12 +756,13 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
   override def build(): Scan =
     if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs)
     else new JsonDocScan(required, path, pushed, limit,
-      runtimeFilterable = acceptPushdown)
+      runtimeFilterable = acceptPushdown, plannedSink = plannedSink)
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     filters: Array[Filter], limit: Option[Int] = None,
-    runtimeFilterable: Boolean = true)
+    runtimeFilterable: Boolean = true,
+    plannedSink: Option[Array[String] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema0
@@ -748,9 +783,20 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * simply ignored — runtime filters are an optimization, the join
     * re-checks keys anyway, so keeping extra rows is safe and dropping
     * on a misevaluated filter would not be. */
+  /** Rewrite scans (`runtimeFilterable = false`) accept runtime filters
+    * ONLY on `_file` — that is GROUP filtering (Spark's
+    * RowLevelOperationRuntimeGroupFiltering semi-joins the table with
+    * the source on the command's condition and delivers the matching
+    * file names), and it is safe under copy-on-write precisely because
+    * it excludes whole groups: a pruned file is never read AND never
+    * replaced, so its rows survive untouched on disk. A runtime filter
+    * on a DATA column would drop rows from files that still get
+    * rewritten — the data-loss shape the rewrite scan otherwise
+    * refuses. */
   override def filterAttributes(): Array[NamedReference] =
     if (runtimeFilterable) readSchema0.fieldNames.map(Expressions.column)
-    else Array.empty
+    else readSchema0.fieldNames.filter(_ == JsonDocSource.FileMetaCol)
+      .map(Expressions.column)
 
   private var runtimeFilters: Array[Filter] = Array.empty
   override def filter(runtime: Array[Filter]): Unit = {
@@ -776,11 +822,26 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * delivering runtime filters) — never become partitions, so their
     * bytes are never read. Files without stats entries always scan. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val effective = (filters ++ runtimeFilters).toSeq
     val stats = JsonDocStats.load(path)
-    val keep = JsonDocStats.pruner((filters ++ runtimeFilters).toSeq) // compiled once
-    listFiles()
+    val keep = JsonDocStats.pruner(effective) // compiled once
+    // `_file` constraints (runtime GROUP filters, or a user filter on
+    // the metadata column) skip by NAME — no stats entry needed
+    val nameSets = effective.collect {
+      case In(a, vs) if a == JsonDocSource.FileMetaCol =>
+        vs.filter(_ != null).map(String.valueOf(_)).toSet
+      case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
+        Set(String.valueOf(v))
+    }
+    val kept = listFiles()
+      .filter(f => nameSets.forall(_.contains(f.getName)))
       .filter(f => stats.get(f.getName).forall(keep))
-      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    // report the FINAL planned group set to the row-level operation (the
+    // copy-on-write commit replaces exactly these files). Calls after a
+    // runtime filter lands re-report; the filter state is set-once, so
+    // the last report is always the narrowest.
+    plannedSink.foreach(_(kept.map(_.getName)))
+    kept.map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1090,6 +1151,11 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   /** Raw (schema-independent) comparable value for filter columns — may
     * not be in the pruned read schema. */
   private def rawValue(node: JsonNode, name: String): Any = {
+    // keep row-level evaluation of `_file` consistent with the
+    // name-based planning skip (a group filter that passed planning
+    // must pass per-row too)
+    if (name == JsonDocSource.FileMetaCol)
+      return new java.io.File(file).getName
     val v = node.get(name)
     if (v == null || v.isNull) null
     else if (v.isIntegralNumber) v.asLong()

@@ -100,6 +100,52 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (2L, 99.0, "base"), (3L, 30.0, "base")))
   }
 
+  test("file-granular copy-on-write: a merge touching one file leaves the other file physically untouched") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlgroup").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    // two single-file appends → two groups
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append()
+    Seq((100L, 1.0, "base"), (101L, 2.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append()
+    def dataFiles(): Map[String, Long] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles()
+    assert(before.size == 2)
+    val untouchedFile = spark.sql(s"SELECT _file FROM $tbl WHERE k = 100").head.getString(0)
+    val touchedFile = spark.sql(s"SELECT _file FROM $tbl WHERE k = 1").head.getString(0)
+    assert(untouchedFile != touchedFile)
+    // merge touches only keys living in touchedFile
+    Seq((1L, 99.0)).toDF("k", "nv").createOrReplaceTempView("rl_group_upd")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING rl_group_upd c ON t.k = c.k
+         |WHEN MATCHED THEN UPDATE SET v = c.nv, src = 'upd'""".stripMargin)
+    val after = dataFiles()
+    // the untouched group survives AS THE SAME FILE (never read, never
+    // rewritten — runtime group filtering pruned it from the rewrite
+    // scan and the scoped commit left it alone)
+    assert(after.contains(untouchedFile),
+      s"untouched group $untouchedFile was rewritten: before=$before after=$after")
+    assert(after(untouchedFile) == before(untouchedFile),
+      "untouched group was modified in place")
+    assert(!after.contains(touchedFile), "the touched group must be replaced")
+    // and the table contents are exactly right
+    assert(rowsOf(tbl) === Seq((1L, 99.0, "upd"), (2L, 20.0, "base"),
+      (100L, 1.0, "base"), (101L, 2.0, "base")))
+    // stats sidecar: the untouched file keeps its entry, the touched
+    // file's entry was dropped and replaced by the new file's
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$root/t/_stats.json"))
+    assert(stats.contains(untouchedFile))
+    assert(!stats.contains(touchedFile))
+  }
+
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
