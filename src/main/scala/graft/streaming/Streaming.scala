@@ -122,6 +122,11 @@ object Streaming {
     *    so its null row emits as soon as the watermark passes error_ts
     *    itself — the error side's state is cheaper by exactly the range
     *    width. q172 states both gates numerically in its oracle.
+    *  - `left_semi`: each click emits AT MOST ONCE, when its first
+    *    match arrives — existence, not pairs, so no gate is needed in
+    *    the oracle (the batch semi join is reached exactly) and the
+    *    click can leave state the moment it matches. Output is the
+    *    click side only.
     *
     * Inputs carry (user_id, event_id, ts); sides are renamed before the
     * join because both watermark columns survive into the condition. */
@@ -136,11 +141,14 @@ object Streaming {
       .select(col("user_id").as("e_uid"), col("event_id").as("error_id"),
         col("ts").as("error_ts"))
       .withWatermark("error_ts", s"$delayMinutes minutes")
-    c.join(e,
-        col("c_uid") === col("e_uid") &&
-          col("error_ts") >= col("click_ts") &&
-          col("error_ts") <= col("click_ts") + expr(s"interval $rangeMinutes minutes"),
-        joinType)
+    val joined = c.join(e,
+      col("c_uid") === col("e_uid") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") <= col("click_ts") + expr(s"interval $rangeMinutes minutes"),
+      joinType)
+    if (joinType == "left_semi")
+      joined.select(col("c_uid").as("user_id"), col("click_id"), col("click_ts"))
+    else joined
       // coalesce: under full_outer an unmatched-error row has no c_uid
       // (no-op for inner/left, where c_uid is never null)
       .select(coalesce(col("c_uid"), col("e_uid")).as("user_id"),

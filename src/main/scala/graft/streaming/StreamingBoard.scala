@@ -697,6 +697,37 @@ object StreamingBoard {
       "OR (click_id IS NULL AND error_ts < (SELECT wm FROM w)) " +
       "ORDER BY user_id, coalesce(click_id, -1), coalesce(error_id, -1)"
 
+  /** q175: LEFT-SEMI stream–stream join — the fourth and last
+    * stream–stream join type (inner q170 / left-outer q171 / full-outer
+    * q172), and the one with the SIMPLEST online semantics: a click
+    * emits at most once, when its first matching error arrives, so the
+    * batch semi join is reached exactly with no watermark gate in the
+    * oracle — existence needs no horizon to close. State-wise it is
+    * also the cheapest: a matched click can leave the buffer
+    * immediately (nothing else can re-emit it), making semi the join
+    * type of choice for "keep events that had an error soon after" at
+    * 100 TB. Same staged cut as q170, so at least one click's ONLY
+    * error arrives a micro-batch later — its presence in the sink
+    * proves the buffered click matched across the boundary. */
+  def q175StreamStreamSemi(spark: SparkSession, dir: String): DataFrame =
+    q175Impl(spark, dir, graft.RunTag.scratchFresh("q175"))
+
+  private[graft] def q175Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    val (schema, _) = q170Stage(spark, dir, root)
+    val sink = drainToParquet(q170Query(spark, schema, root, "left_semi"), root)
+    sink.select(col("user_id"), col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val q175Sql: String =
+    "SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts " +
+      "FROM events c WHERE c.event_type = 'click' AND EXISTS (" +
+      "SELECT 1 FROM events e WHERE e.event_type = 'error' " +
+      "AND e.user_id = c.user_id AND e.ts >= c.ts " +
+      "AND e.ts <= c.ts + INTERVAL 60 MINUTE) " +
+      "ORDER BY 1, 2"
+
   /** The batch q29 keep set, projected to its fingerprints — one row
     * per distinct canonical document content. */
   val q165Sql: String =
@@ -713,7 +744,8 @@ object StreamingBoard {
     "q170_stream_stream_join" -> q170StreamStreamJoin _,
     "q171_stream_stream_outer" -> q171StreamStreamOuter _,
     "q172_stream_stream_full" -> q172StreamStreamFull _,
-    "q173_sessionize_tws" -> q173SessionizeTws _)
+    "q173_sessionize_tws" -> q173SessionizeTws _,
+    "q175_stream_stream_semi" -> q175StreamStreamSemi _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -727,5 +759,6 @@ object StreamingBoard {
     "q171_stream_stream_outer" -> q171Sql,
     "q172_stream_stream_full" -> q172Sql,
     // batch parity with the v1 sessionizer is the claim: q150's SQL verbatim
-    "q173_sessionize_tws" -> q150Sql)
+    "q173_sessionize_tws" -> q150Sql,
+    "q175_stream_stream_semi" -> q175Sql)
 }

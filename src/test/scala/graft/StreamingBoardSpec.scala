@@ -482,6 +482,33 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._3 != -1L), "no matched emission")
   }
 
+  test("q175 left-semi stream-stream join: at-most-once emission equals the batch semi join; a buffered click matches across the boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q175spec").toString
+    val gotRows = StreamingBoard.q175Impl(spark, sf, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nBatches(root) >= 2)
+    // at-most-once: semi may never emit a click twice even though
+    // multiple errors match it
+    assert(gotRows.distinct.length == gotRows.length, "semi join emitted a click twice")
+    val got = gotRows.toSet
+    val want = ssjPairs().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, s"semi diverges from batch existence: " +
+      s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.nonEmpty)
+    // non-vacuity: >=1 emitted click sat in batch 1 with ALL its
+    // matching errors in batch 2 — it can only be in the sink if the
+    // buffered click state survived the boundary
+    val early = spark.read.parquet(s"$root/in/00-early.parquet")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val matchesOf = ssjPairs().collect()
+      .map(r => (r.getLong(1), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val straddling = got.count { case (_, cid) =>
+      early.contains(cid) && matchesOf(cid).forall(e => !early.contains(e)) }
+    assert(straddling > 0,
+      "no emitted click matched purely across the boundary — buffered-state carry untested")
+  }
+
   test("q172 full-outer stream-stream join: asymmetric gates — clicks wait out the range, errors expire at their own ts") {
     val root = java.nio.file.Files.createTempDirectory("graft_q172spec").toString
     // key rows as (user_id, click_id|-1, error_id|-1)
