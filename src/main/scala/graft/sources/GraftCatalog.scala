@@ -56,6 +56,34 @@ class GraftCatalog extends TableCatalog {
     new JsonDocTable(schema, dir.getPath)
   }
 
+  /** `VERSION AS OF n` — a READ-ONLY table pinned to manifest n
+    * (snapshot versioning, [[JsonDocVersions]]); a vacuumed or unknown
+    * version fails loudly at scan planning, never silently partial. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF takes an integer snapshot version, got '$version'"))
+    val schema = GraftCatalog.readSchema(dir)
+      .getOrElse(JsonDocSource.infer(dir.getPath))
+    new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — resolves to the greatest version whose
+    * manifest was committed at or before t (micros since epoch, the
+    * TableCatalog contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory) throw new NoSuchTableException(ident)
+    val v = JsonDocVersions.resolveAt(dir.getPath,
+        java.lang.Math.floorDiv(timestampMicros, 1000L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: no snapshot of ${dir.getPath} existed at timestamp $timestampMicros"))
+    val schema = GraftCatalog.readSchema(dir)
+      .getOrElse(JsonDocSource.infer(dir.getPath))
+    new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createTable(ident,
@@ -93,14 +121,39 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft catalog: RENAME TABLE is not supported")
 }
 
-private[sources] object GraftCatalog {
-  def schemaFile(dir: java.io.File): java.io.File =
+object GraftCatalog {
+  /** Reclaim disk from retired snapshots: keep the last `keepLast`
+    * manifests, delete every older manifest and every data file no kept
+    * manifest references. Returns the deleted data-file names. Reading
+    * a vacuumed version afterwards fails loudly
+    * ([[JsonDocVersions.liveSet]]'s strict pinned path). Legacy
+    * manifest-less directories are untouched. */
+  def vacuum(path: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val all = JsonDocVersions.manifests(path)
+    if (all.isEmpty) return Seq.empty
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
+    val referenced: Set[String] =
+      keep.flatMap { case (v, _) => JsonDocVersions.read(path, v).getOrElse(Set.empty) }.toSet
+    val deletable = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .filterNot(f => referenced.contains(f.getName))
+    deletable.foreach { f =>
+      if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
+    }
+    drop.foreach { case (_, mf) =>
+      if (!mf.delete()) throw new java.io.IOException(s"vacuum failed to delete $mf")
+    }
+    deletable.map(_.getName).toSeq.sorted
+  }
+
+  private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
 
-  def writeSchema(dir: java.io.File, schema: StructType): Unit =
+  private[sources] def writeSchema(dir: java.io.File, schema: StructType): Unit =
     java.nio.file.Files.writeString(schemaFile(dir).toPath, schema.json)
 
-  def readSchema(dir: java.io.File): Option[StructType] = {
+  private[sources] def readSchema(dir: java.io.File): Option[StructType] = {
     val f = schemaFile(dir)
     if (!f.isFile) None
     else Some(DataType.fromJson(

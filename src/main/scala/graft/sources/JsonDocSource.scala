@@ -111,15 +111,24 @@ private[sources] object JsonDocSource {
     case _ => false
   }
 
+  /** The ONE data-file listing every read path goes through: visible
+    * files filtered by manifest liveness ([[JsonDocVersions.liveSet]]) —
+    * retired generations stay on disk for time travel but never plan;
+    * legacy (manifest-less) directories list every visible file. */
+  def listDataFiles(path: String, pinned: Option[Int] = None): Array[java.io.File] = {
+    val all = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    JsonDocVersions.liveSet(path, pinned) match {
+      case Some(live) => all.filter(f => live.contains(f.getName)).sortBy(_.getName)
+      case None => all.sortBy(_.getName)
+    }
+  }
+
   /** Infer a flat schema from the first response file's first lines
     * (up to 100). Field order = first-seen order. */
   def infer(path: String): StructType = {
     if (path == null) return new StructType()
-    val files = new java.io.File(path).listFiles()
-    val first = if (files == null) None
-    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName).headOption
-    first match {
+    listDataFiles(path).headOption match {
       case None => new StructType()
       case Some(f) =>
         val mapper = new ObjectMapper()
@@ -152,11 +161,13 @@ private[sources] object JsonDocSource {
   }
 }
 
-private[sources] class JsonDocTable(schema: StructType, path: String)
+private[sources] class JsonDocTable(schema: StructType, path: String,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
-  override def name(): String = s"graft-jsondoc($path)"
+  override def name(): String =
+    s"graft-jsondoc($path${pinnedVersion.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = schema0
   private val schema0 = schema
   // ACCEPT_ANY_SCHEMA: the write carries the QUERY's schema (validated
@@ -175,12 +186,18 @@ private[sources] class JsonDocTable(schema: StructType, path: String)
     (if (schema0.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonDocScanBuilder(schema0, path)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonDocScanBuilder(schema0, path, pinned = pinnedVersion)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"graft-jsondoc: cannot write to pinned version ${pinnedVersion.get} (time-travel reads are read-only)")
     new JsonDocWriteBuilder(path, info, truncateFirst = false)
+  }
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      "graft-jsondoc: row-level operations on a pinned version are not allowed")
     () => new JsonDocRowLevelOperation(schema0, path, info.command())
+  }
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = JsonDocSource.FileMetaCol
@@ -452,11 +469,20 @@ private[sources] object JsonDocStats {
 }
 
 /** `replaceScope` is the FILE-GRANULAR copy-on-write contract: when
-  * present (row-level operations only), commit deletes exactly the
+  * present (row-level operations only), commit RETIRES exactly the
   * files the rewrite scan PLANNED — the groups whose rows were read and
-  * rewritten — and leaves every pruned file untouched. `None` from the
+  * rewritten — and leaves every pruned file live. `None` from the
   * scope (scan never planned — e.g. AQE emptied the rewrite side)
-  * deletes nothing: no rows were read, so nothing may be replaced. */
+  * retires nothing: no rows were read, so nothing may be replaced.
+  *
+  * Retirement is LOGICAL (snapshot versioning, r12): the commit's
+  * atomic point is the `_manifest_v<N+1>.json` rename naming the new
+  * live set; retired and truncated generations stay on disk, readable
+  * via `VERSION AS OF` and reclaimed only by [[GraftCatalog.vacuum]].
+  * Data-file renames happen BEFORE the manifest commit, so a manifest
+  * never references a missing file and a crash between the two leaves
+  * version N fully intact — the new files are orphans the next
+  * successful commit simply doesn't reference (vacuum sweeps them). */
 private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     queryId: String, truncateFirst: Boolean,
     replaceScope: Option[() => Option[Set[String]]] = None) extends BatchWrite {
@@ -466,30 +492,32 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    val visible = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-    val toDelete: Array[java.io.File] =
-      if (truncateFirst) visible
+    // live set of the version this commit supersedes (bootstrapped from
+    // the visible files for a legacy manifest-less directory)
+    val live0: Set[String] = JsonDocVersions.latest(path).map(_._2).getOrElse(
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getName).toSet)
+    val retired: Set[String] =
+      if (truncateFirst) live0
       else replaceScope match {
-        case Some(get) => get() match {
-          case Some(names) => visible.filter(f => names.contains(f.getName))
-          case None => Array.empty
-        }
-        case None => Array.empty
+        case Some(get) => get().map(_.intersect(live0)).getOrElse(Set.empty)
+        case None => Set.empty
       }
-    toDelete.foreach { f =>
-      if (!f.delete()) throw new java.io.IOException(s"commit failed to delete $f")
-    }
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
     msgs.foreach { m =>
       val src = new java.io.File(dir, m.tmpName)
       if (!src.renameTo(new java.io.File(dir, m.finalName)))
         throw new java.io.IOException(s"commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
-    // sidecar AFTER the renames: a crash in between leaves valid data
-    // files with missing stats entries — readers just don't prune them
+    val newLive = (live0 -- retired) ++ msgs.map(_.finalName)
+    JsonDocVersions.commit(path, newLive)
+    // sidecar AFTER the manifest: entries accumulate across versions
+    // (retired files keep theirs so time-travel reads still prune); a
+    // crash in between leaves valid data files with missing stats
+    // entries — readers just don't prune them
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
-      keepExisting = !truncateFirst, dropNames = toDelete.map(_.getName).toSet)
+      keepExisting = true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -543,6 +571,20 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
         throw new java.io.IOException(
           s"epoch $epochId commit: neither temp ${m.tmpName} nor final ${m.finalName} exists")
       } // else: already committed by a prior attempt of this epoch — idempotent skip
+    }
+    // manifest append (snapshot versioning): a replayed epoch's names
+    // are already live, so the unchanged-set guard keeps replays from
+    // minting empty versions — the manifest history stays one version
+    // per real epoch
+    JsonDocVersions.latest(path) match {
+      case Some((_, live0)) =>
+        val newLive = live0 ++ msgs.map(_.finalName)
+        if (newLive != live0) JsonDocVersions.commit(path, newLive)
+      case None =>
+        val visible = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(_.getName).toSet
+        JsonDocVersions.commit(path, visible)
     }
     // entries are keyed by final name, so a replayed epoch overwrites its
     // own stats — the sidecar stays idempotent alongside the data
@@ -666,7 +708,8 @@ private[sources] final case class JsonMaxCol(col: String, dt: DataType) extends 
   * every column it writes back, so pruning can never lose data. */
 private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     acceptPushdown: Boolean = true,
-    plannedSink: Option[Array[String] => Unit] = None)
+    plannedSink: Option[Array[String] => Unit] = None,
+    pinned: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -754,15 +797,17 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
   }
 
   override def build(): Scan =
-    if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs)
+    if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs, pinned)
     else new JsonDocScan(required, path, pushed, limit,
-      runtimeFilterable = acceptPushdown, plannedSink = plannedSink)
+      runtimeFilterable = acceptPushdown, plannedSink = plannedSink,
+      pinned = pinned)
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     filters: Array[Filter], limit: Option[Int] = None,
     runtimeFilterable: Boolean = true,
-    plannedSink: Option[Array[String] => Unit] = None)
+    plannedSink: Option[Array[String] => Unit] = None,
+    pinned: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchema0
@@ -809,12 +854,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     }
   }
 
-  private def listFiles(): Array[java.io.File] = {
-    val files = new java.io.File(path).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
-  }
+  private def listFiles(): Array[java.io.File] =
+    JsonDocSource.listDataFiles(path, pinned)
 
   /** Partition planning with FILE SKIPPING: files whose `_stats.json`
     * ranges provably exclude every effective filter — static pushed AND
@@ -886,21 +927,19 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   * `SELECT count(*) ... WHERE lang = 'en'` ships two longs per file
   * instead of every matching row. */
 private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
-    filters: Array[Filter], specs: Seq[JsonAggSpec]) extends Scan with Batch {
+    filters: Array[Filter], specs: Seq[JsonAggSpec],
+    pinned: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = aggSchema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = new java.io.File(path).listFiles()
+    val files = JsonDocSource.listDataFiles(path, pinned)
     // the same stats-based file skipping as the row scan: Spark only
     // pushes aggregates when EVERY filter pushed, so a file whose range
     // excludes the filters contributes nothing to any partial
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    if (files == null) Array.empty
-    else files.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .filter(f => stats.get(f.getName).forall(keep))
-      .sortBy(_.getName)
+    files.filter(f => stats.get(f.getName).forall(keep))
       .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
   }
 
@@ -1012,12 +1051,8 @@ private[sources] case class FileNameOffset(name: String) extends Offset {
 private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     path: String, filters: Array[Filter]) extends MicroBatchStream {
 
-  private def files(): Array[java.io.File] = {
-    val fs = new java.io.File(path).listFiles()
-    if (fs == null) Array.empty
-    else fs.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
-  }
+  private def files(): Array[java.io.File] =
+    JsonDocSource.listDataFiles(path)
 
   /** The watermark must never regress: if the greatest-named file is
     * deleted while earlier consumed files remain, a fresh listing's max

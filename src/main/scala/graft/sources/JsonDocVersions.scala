@@ -1,0 +1,95 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** SNAPSHOT VERSIONING for jsondoc directories — the manifest layer that
+  * turns the table into a small MVCC store (the Iceberg/Delta commit
+  * model re-expressed at file granularity):
+  *
+  *  - every V2 commit writes `_manifest_v<N>.json` naming the LIVE data
+  *    files of version N; the manifest rename is the atomic commit
+  *    point (data-file renames happen first, so a manifest only ever
+  *    references files that exist);
+  *  - data files are IMMUTABLE once committed — truncate and
+  *    copy-on-write replacement RETIRE files from the next manifest
+  *    instead of deleting them, so a concurrent reader planned against
+  *    version N keeps reading N's files mid-query while a writer
+  *    commits N+1 (snapshot isolation), and any past version stays
+  *    queryable (`VERSION AS OF` / `TIMESTAMP AS OF`);
+  *  - disk is reclaimed explicitly by [[GraftCatalog.vacuum]], which
+  *    drops manifests older than the kept window and deletes data files
+  *    no kept manifest references.
+  *
+  * Directories never written by the V2 writer have no manifests and
+  * keep the legacy rule (every visible file is live) — hand-staged
+  * fixture dirs and foreign writers are unaffected. */
+private[sources] object JsonDocVersions {
+  private val Prefix = "_manifest_v"
+  private val Suffix = ".json"
+
+  def manifestName(v: Int): String = f"$Prefix$v%06d$Suffix"
+
+  /** All manifests in the directory, version-ascending. */
+  def manifests(path: String): Array[(Int, java.io.File)] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isFile && n.startsWith(Prefix) && n.endsWith(Suffix))
+          n.stripPrefix(Prefix).stripSuffix(Suffix).toIntOption.map(_ -> f)
+        else None
+      }
+      .sortBy(_._1)
+
+  def read(path: String, v: Int): Option[Set[String]] = {
+    val f = new java.io.File(path, manifestName(v))
+    if (!f.isFile) None
+    else {
+      val node = new ObjectMapper().readTree(f)
+      Option(node.get("files")).map(_.elements().asScala.map(_.asText()).toSet)
+    }
+  }
+
+  def latest(path: String): Option[(Int, Set[String])] =
+    manifests(path).lastOption.flatMap { case (v, _) => read(path, v).map(v -> _) }
+
+  /** Greatest version whose manifest was committed at or before
+    * `tsMillis` (TIMESTAMP AS OF resolution via manifest mtimes). */
+  def resolveAt(path: String, tsMillis: Long): Option[Int] =
+    manifests(path).filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
+
+  /** Write version latest+1 naming `newLive`; atomic tmp+rename.
+    * Returns the committed version. Callers skip the call when the live
+    * set is unchanged (idempotent streaming replays). */
+  def commit(path: String, newLive: Set[String]): Int = {
+    val v = manifests(path).lastOption.map(_._1).getOrElse(0) + 1
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    val arr = root.putArray("files")
+    newLive.toSeq.sorted.foreach(arr.add)
+    val tmp = new java.io.File(path, s".${manifestName(v)}.tmp")
+    val w = new java.io.FileWriter(tmp)
+    try w.write(mapper.writeValueAsString(root)) finally w.close()
+    val dst = new java.io.File(path, manifestName(v))
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"manifest commit rename failed in $path")
+    v
+  }
+
+  /** The live-file set to read: pinned version (STRICT — a vacuumed or
+    * unknown version throws rather than silently returning partial
+    * data), else the latest manifest, else None = legacy directory. */
+  def liveSet(path: String, pinned: Option[Int]): Option[Set[String]] =
+    pinned match {
+      case Some(v) =>
+        val files = read(path, v).getOrElse(throw new IllegalArgumentException(
+          s"graft-jsondoc: version $v of $path does not exist (never committed, or vacuumed)"))
+        files.find(n => !new java.io.File(path, n).isFile).foreach { missing =>
+          throw new IllegalStateException(
+            s"graft-jsondoc: version $v of $path is no longer readable — $missing was vacuumed")
+        }
+        Some(files)
+      case None => latest(path).map(_._2)
+    }
+}

@@ -113,14 +113,46 @@ object SourceQueries {
     spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
   }
 
+  /** q176: TIME TRAVEL through the snapshot layer — the read half of
+    * the r12 versioning model ([[JsonDocVersions]]). The flow DELETEs a
+    * tenth of the table (a group-based copy-on-write commit that
+    * RETIRES files into history rather than deleting them), then reads
+    * `VERSION AS OF 1` — the pre-delete snapshot — AFTER the delete
+    * committed. The oracle is the plain base projection: hash-green
+    * here means the retired generation is still bit-perfectly readable
+    * while the live table has moved on, which is the audit/reproduce/
+    * rollback contract a lakehouse table owes its users. (The current
+    * version's correctness is q174's job; the vacuum failure mode is
+    * RowLevelOpsSpec's.) */
+  def q176TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q176")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+      .writeTo(tbl).append() // snapshot v1
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // snapshot v2
+    spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1 ORDER BY o_orderkey")
+  }
+
+  val q176Sql: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
+      "FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
-    "q174_sql_merge" -> q174SqlMerge _)
+    "q174_sql_merge" -> q174SqlMerge _,
+    "q176_time_travel" -> q176TimeTravel _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
     "q168_dsv2_agg_pushdown" -> q168Sql,
     // the claim: SQL MERGE == the q85 CDC dataflow, bit for bit
-    "q174_sql_merge" -> graft.ops.DataPrep.q85Sql)
+    "q174_sql_merge" -> graft.ops.DataPrep.q85Sql,
+    // the pre-delete snapshot, read after the delete committed
+    "q176_time_travel" -> q176Sql)
 }

@@ -134,16 +134,60 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"untouched group $untouchedFile was rewritten: before=$before after=$after")
     assert(after(untouchedFile) == before(untouchedFile),
       "untouched group was modified in place")
-    assert(!after.contains(touchedFile), "the touched group must be replaced")
+    // snapshot versioning: the touched group is RETIRED, not deleted —
+    // it stays on disk for time travel but leaves the live set
+    assert(after.contains(touchedFile),
+      "the touched group must stay on disk (retired, not deleted)")
+    val liveFiles = spark.sql(s"SELECT DISTINCT _file FROM $tbl").collect()
+      .map(_.getString(0)).toSet
+    assert(!liveFiles.contains(touchedFile), "the touched group must leave the live set")
+    assert(liveFiles.contains(untouchedFile))
     // and the table contents are exactly right
     assert(rowsOf(tbl) === Seq((1L, 99.0, "upd"), (2L, 20.0, "base"),
       (100L, 1.0, "base"), (101L, 2.0, "base")))
-    // stats sidecar: the untouched file keeps its entry, the touched
-    // file's entry was dropped and replaced by the new file's
-    val stats = java.nio.file.Files.readString(
-      java.nio.file.Path.of(s"$root/t/_stats.json"))
-    assert(stats.contains(untouchedFile))
-    assert(!stats.contains(touchedFile))
+    // time travel: version 2 (the append before the merge) still reads
+    // the PRE-merge table, through the retired file
+    val v2 = spark.sql(s"SELECT k, v, src FROM $tbl VERSION AS OF 2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(v2 === Seq((1L, 10.0, "base"), (2L, 20.0, "base"),
+      (100L, 1.0, "base"), (101L, 2.0, "base")))
+    // vacuum: keep only the latest snapshot — the retired file goes,
+    // the live table is unchanged, and reading v2 now fails LOUDLY
+    val deleted = graft.sources.GraftCatalog.vacuum(s"$root/t", keepLast = 1)
+    assert(deleted.contains(touchedFile))
+    assert(dataFiles().contains(untouchedFile))
+    assert(!dataFiles().contains(touchedFile))
+    assert(rowsOf(tbl) === Seq((1L, 99.0, "upd"), (2L, 20.0, "base"),
+      (100L, 1.0, "base"), (101L, 2.0, "base")))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("vacuum") || m.contains("does not exist")),
+      s"vacuumed version must fail loudly, got: $e")
+  }
+
+  test("TIMESTAMP AS OF resolves to the snapshot committed at or before the instant") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rltt").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10.0, "base")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    // stamp v1's manifest into the past so the boundary is unambiguous
+    val m1 = new java.io.File(s"$root/t", "_manifest_v000001.json")
+    assert(m1.isFile)
+    assert(m1.setLastModified(System.currentTimeMillis() - 600000))
+    Seq((2L, 20.0, "base")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    val betweenMs = System.currentTimeMillis() - 300000
+    // session timezone is UTC — format the literal in UTC explicitly
+    val lit = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(betweenMs))
+    val old = spark.sql(s"SELECT k FROM $tbl TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSet
+    assert(old === Set(1L), s"timestamp travel read $old")
+    assert(spark.sql(s"SELECT k FROM $tbl").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
