@@ -147,6 +147,66 @@ object GraftCatalog {
     deletable.map(_.getName).toSeq.sorted
   }
 
+  /** Small-files OPTIMIZE: bin-pack the live files into ~`targetBytes`
+    * outputs and commit the result as a NEW SNAPSHOT — the jsondoc form
+    * of Delta OPTIMIZE / Iceberg rewrite_data_files, and the natural
+    * companion of a streaming sink whose epochs each land one small
+    * file. JSON-lines concatenate byte-for-byte, so groups merge with a
+    * straight stream copy — no parse, no Spark job, no row ever
+    * re-encoded (the rewrite cannot corrupt what it cannot interpret).
+    * Files already at or above half the target, and singleton bins,
+    * keep their original file untouched. The commit is the usual
+    * manifest rename: readers mid-query keep their snapshot, the prior
+    * version stays time-travelable, vacuum reclaims the small originals.
+    * Stats entries for a merged output are the field-wise union of the
+    * inputs' entries (rows summed, ranges widened) when every input has
+    * the column — else the column (or whole entry) is omitted and
+    * readers simply don't prune it, the sidecar's standing
+    * conservatism. Returns the new version, or None when nothing needed
+    * compacting. */
+  def optimize(path: String, targetBytes: Long = 8L * 1024 * 1024): Option[Int] = {
+    require(targetBytes > 0)
+    val dir = new java.io.File(path)
+    val live: Seq[String] = JsonDocVersions.latest(path).map(_._2.toSeq.sorted).getOrElse(
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getName).sorted.toSeq)
+    val files = live.map(n => new java.io.File(dir, n)).filter(_.isFile)
+    // greedy consecutive bin-packing over the name order (the read order)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
+    var cur = Vector.empty[java.io.File]; var curBytes = 0L
+    files.foreach { f =>
+      val len = f.length()
+      if (cur.nonEmpty && curBytes + len > targetBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
+      if (len >= targetBytes / 2) bins += Vector(f) // big enough already
+      else { cur = cur :+ f; curBytes += len }
+    }
+    if (cur.nonEmpty) bins += cur
+    if (!bins.exists(_.length > 1)) return None
+    val v = JsonDocVersions.manifests(path).lastOption.map(_._1).getOrElse(0) + 1
+    val stats = JsonDocStats.load(path)
+    val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val newLive = bins.zipWithIndex.flatMap {
+      case (bin, _) if bin.length == 1 => bin.map(_.getName)
+      case (bin, i) =>
+        val name = f"compact-v$v%06d-$i%04d.jsonl"
+        val tmp = new java.io.File(dir, s".$name.tmp")
+        val out = new java.io.FileOutputStream(tmp)
+        try bin.foreach { f =>
+          java.nio.file.Files.copy(f.toPath, out)
+          out.write('\n') // files end without one; keep lines separate
+        } finally out.close()
+        if (!tmp.renameTo(new java.io.File(dir, name)))
+          throw new java.io.IOException(s"optimize rename failed for $name")
+        JsonDocStats.union(bin.map(f => stats.get(f.getName)))
+          .foreach(merged => newEntries += (name -> JsonDocStats.toJson(merged)))
+        Seq(name)
+    }.toSet
+    JsonDocVersions.commit(path, newLive)
+    JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
+    Some(v)
+  }
+
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
 

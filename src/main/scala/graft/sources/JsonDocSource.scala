@@ -338,6 +338,32 @@ private[sources] object JsonDocStats {
     else if (n.isNumber) n.asDouble()
     else n.asText()
 
+  /** Merge the stats of files being concatenated (OPTIMIZE): rows sum,
+    * per-column ranges widen. A column missing from some input stays —
+    * missing means that file's values were all NULL, and nulls never
+    * extend a range nor match a pruning predicate. Incomparable range
+    * endpoints drop the column (conservative: the merged file just
+    * isn't pruned on it); any input with NO stats entry at all drops
+    * the whole merged entry (rows would be a lie). */
+  def union(entries: Seq[Option[FileStats]]): Option[FileStats] = {
+    if (entries.isEmpty || entries.exists(_.isEmpty)) return None
+    val ss = entries.flatten
+    val cols = scala.collection.mutable.Map.empty[String, ColRange]
+    val dropped = scala.collection.mutable.Set.empty[String]
+    ss.foreach(_.cols.foreach { case (c, r) =>
+      if (!dropped(c)) cols.get(c) match {
+        case None => cols(c) = r
+        case Some(prev) => (cmp(r.min, prev.min), cmp(r.max, prev.max)) match {
+          case (Some(a), Some(b)) =>
+            cols(c) = ColRange(if (a < 0) r.min else prev.min,
+              if (b > 0) r.max else prev.max)
+          case _ => cols.remove(c); dropped += c
+        }
+      }
+    })
+    Some(FileStats(ss.map(_.rows).sum, cols.toMap))
+  }
+
   def toJson(s: FileStats): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()

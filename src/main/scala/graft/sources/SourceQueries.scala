@@ -142,11 +142,58 @@ object SourceQueries {
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
       "FROM orders ORDER BY o_orderkey"
 
+  /** q177: SNAPSHOT DIFF — change-data capture BETWEEN versions,
+    * derived entirely from time travel (no change log needed): after a
+    * DELETE (v2) and an UPDATE (v3), the difference v1 → v3 is two
+    * bag differences over pinned reads — removed = v1 EXCEPT ALL v3
+    * (deleted rows + updated rows' OLD images), added = v3 EXCEPT ALL
+    * v1 (updated rows' NEW images). This is the audit query the
+    * versioning layer exists to answer ("what changed between Monday's
+    * snapshot and now?"), and it composes from pieces the engine
+    * already proves separately: pinned manifests (q176), EXCEPT ALL
+    * (q63), and the row-level commands themselves (q174). The oracle
+    * reconstructs both images directly from the change predicates. */
+  def q177SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q177")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // v2
+    // ×2.0 is exact in IEEE (the q85 constant-choice note)
+    spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice * 2.0 " +
+      s"WHERE o_orderkey % 10 = 3") // v3
+    spark.sql(
+      s"""WITH v_old AS (SELECT * FROM $tbl VERSION AS OF 1),
+         |     v_new AS (SELECT * FROM $tbl VERSION AS OF 3)
+         |SELECT 'removed' AS change, * FROM
+         |  (SELECT * FROM v_old EXCEPT ALL SELECT * FROM v_new)
+         |UNION ALL
+         |SELECT 'added' AS change, * FROM
+         |  (SELECT * FROM v_new EXCEPT ALL SELECT * FROM v_old)
+         |ORDER BY change, o_orderkey""".stripMargin)
+  }
+
+  val q177Sql: String =
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "'base' AS src FROM orders) " +
+      "SELECT 'removed' AS change, * FROM base WHERE o_orderkey % 10 IN (3, 7) " +
+      "UNION ALL " +
+      "SELECT 'added' AS change, o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice * CAST(2.0 AS DOUBLE) AS o_totalprice, src " +
+      "FROM base WHERE o_orderkey % 10 = 3 " +
+      "ORDER BY change, o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
-    "q176_time_travel" -> q176TimeTravel _)
+    "q176_time_travel" -> q176TimeTravel _,
+    "q177_snapshot_diff" -> q177SnapshotDiff _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -154,5 +201,7 @@ object SourceQueries {
     // the claim: SQL MERGE == the q85 CDC dataflow, bit for bit
     "q174_sql_merge" -> graft.ops.DataPrep.q85Sql,
     // the pre-delete snapshot, read after the delete committed
-    "q176_time_travel" -> q176Sql)
+    "q176_time_travel" -> q176Sql,
+    // both change images reconstructed from the change predicates
+    "q177_snapshot_diff" -> q177Sql)
 }

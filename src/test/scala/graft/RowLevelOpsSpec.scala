@@ -190,6 +190,43 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT k FROM $tbl").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("OPTIMIZE bin-packs small live files into a new snapshot; contents, stats pruning, and history survive") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlopt").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    // six tiny single-file appends = six live files (the streaming-sink
+    // small-files shape)
+    (0 until 6).foreach { i =>
+      Seq((i * 10L, i * 1.0, s"gen$i"), (i * 10L + 1, i * 1.0 + 0.5, s"gen$i"))
+        .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    }
+    val before = spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet
+    def liveFiles(): Set[String] = spark.sql(s"SELECT DISTINCT _file FROM $tbl")
+      .collect().map(_.getString(0)).toSet
+    val filesBefore = liveFiles()
+    assert(filesBefore.size == 6)
+    val v = graft.sources.GraftCatalog.optimize(s"$root/t")
+    assert(v.isDefined, "six tiny files must need compaction")
+    val filesAfter = liveFiles()
+    assert(filesAfter.size == 1, s"expected one compacted file, got $filesAfter")
+    assert(filesAfter.head.startsWith("compact-"))
+    // contents identical, row for row
+    assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
+    // merged stats still prune: a k-range filter outside [0, 51] plans 0 partitions
+    val none = spark.sql(s"SELECT * FROM $tbl WHERE k > 1000").collect()
+    assert(none.isEmpty)
+    // the pre-optimize version still reads through the small originals
+    val old = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 6").collect().map(_.toSeq).toSet
+    assert(old === before, "pre-optimize snapshot must read identically")
+    // vacuum reclaims the six originals; the live table is unchanged
+    val deleted = graft.sources.GraftCatalog.vacuum(s"$root/t", keepLast = 1)
+    assert(deleted.size == 6, s"expected 6 reclaimed originals, got $deleted")
+    assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
+  }
+
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
