@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
-  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode,
+  TimerValues, ValueState}
+import java.sql.Timestamp
 
 /** The 30-minute-gap sessionizer re-expressed on Spark 4's
   * `transformWithState` (State API v2) — same semantics as
@@ -120,6 +122,96 @@ class SessionProcessorWarmStart
   }
 }
 
+/** One event-type's count within a closed session — the per-session
+  * histogram row [[SessionHistogramProcessor]] emits. */
+case class SessionTypeCount(user_id: Long, start: Timestamp, end: Timestamp,
+  event_type: String, n_events: Long)
+
+/** COMPOSITE state on the v2 API: the sessionizer extended with a
+  * per-session event-type histogram — `ValueState[SessionState]` for
+  * the bounds/fold plus a named `MapState[String, Long]` for the
+  * counts. This is the state shape `flatMapGroupsWithState` cannot
+  * express without packing everything into one blob: v2's named states
+  * live in SEPARATE state-store column families, so the hot path
+  * (bounds check, gap test) never deserializes the histogram, and the
+  * histogram updates touch one map entry, not the whole session record.
+  * At 100 TB state that separation is the difference between O(1) and
+  * O(|session vocabulary|) per event.
+  *
+  * Emission: when a session closes (gap exceeded in-batch, or the
+  * event-time timer fires), one row PER EVENT TYPE seen in that
+  * session, then the map resets for the next session. Event-time order
+  * inside a batch follows the (ts, event_id) sort, so counts land in
+  * the session that owns them even when a batch spans a session
+  * boundary. */
+class SessionHistogramProcessor
+    extends StatefulProcessor[Long, Ev, SessionTypeCount] {
+  import Streaming.{microsOf, tsOfMicros}
+  private val gapUs = 30L * 60 * 1000000
+
+  @transient private var session: ValueState[SessionState] = _
+  @transient private var hist: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    session = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+    hist = getHandle.getMapState[String, Long]("hist",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def deadlineMs(s: SessionState): Long = (s.end + gapUs) / 1000L
+
+  private def closeRows(uid: Long, s: SessionState): Iterator[SessionTypeCount] = {
+    val rows = hist.iterator().map { case (tpe, n) =>
+      SessionTypeCount(uid, tsOfMicros(s.start), tsOfMicros(s.end), tpe, n)
+    }.toVector // materialize BEFORE clear invalidates the iterator
+    hist.clear()
+    rows.iterator
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[SessionTypeCount] = {
+    val evs = rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+    var cur = if (session.exists()) Some(session.get()) else None
+    val prevDeadline = cur.map(deadlineMs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionTypeCount]
+    def bump(tpe: String): Unit =
+      hist.updateValue(tpe, (if (hist.containsKey(tpe)) hist.getValue(tpe) else 0L) + 1L)
+    evs.foreach { e =>
+      val t = microsOf(e.ts)
+      cur match {
+        case Some(s) if t - s.end <= gapUs =>
+          cur = Some(SessionState(s.n + 1, s.start, math.max(s.end, t), s.sum + e.value))
+        case Some(s) =>
+          out ++= closeRows(uid, s)
+          cur = Some(SessionState(1, t, t, e.value))
+        case None =>
+          cur = Some(SessionState(1, t, t, e.value))
+      }
+      bump(e.event_type)
+    }
+    cur.foreach { s =>
+      session.update(s)
+      val d = deadlineMs(s)
+      if (!prevDeadline.contains(d)) {
+        prevDeadline.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(d)
+      }
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionTypeCount] =
+    if (session.exists()) {
+      val s = session.get()
+      if (info.getExpiryTimeInMs >= deadlineMs(s)) {
+        session.clear()
+        closeRows(uid, s)
+      } else Iterator.empty
+    } else Iterator.empty
+}
+
 object StateV2 {
   /** q150's dataflow on the v2 API: watermarked events, grouped by
     * user, sessionized by [[SessionProcessorV2]] with event-time
@@ -130,6 +222,17 @@ object StateV2 {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessorV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-session event-type histograms via composite v2 state — see
+    * [[SessionHistogramProcessor]]. */
+  def sessionHistogramTws(events: Dataset[Ev]): Dataset[SessionTypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionHistogramProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -660,6 +660,45 @@ object StreamingBoard {
     q150Post(drainToParquet(q173Query(spark, schema, root), root, rocksdb = true))
   }
 
+  /** q178: per-session EVENT-TYPE HISTOGRAMS on composite v2 state
+    * (ValueState bounds + a named MapState of counts per key — the
+    * state shape that buys O(1) hot-path updates because the histogram
+    * lives in its own state-store column family; see
+    * [[SessionHistogramProcessor]]). Same staging/sentinel protocol as
+    * q150/q173; the oracle extends the gaps-and-islands sessions with a
+    * per-(session, event_type) rollup, so every count in every closed
+    * session is hash-checked. */
+  def q178SessionHistogram(spark: SparkSession, dir: String): DataFrame =
+    q178Impl(spark, dir, graft.RunTag.scratchFresh("q178"))
+
+  private[graft] def q178Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val schema = q150Stage(spark, dir, root)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    val sink = drainToParquet(StateV2.sessionHistogramTws(stream), root, rocksdb = true)
+    sink.filter(col("user_id") < SentinelUser)
+      .select(col("user_id"),
+        col("start").cast("timestamp_ntz").as("start"),
+        col("end").cast("timestamp_ntz").as("end"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("user_id"), col("start"), col("event_type"))
+  }
+
+  val q178Sql: String =
+    "WITH m AS (SELECT event_id, user_id, event_type, ts, " +
+      "CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), " +
+      "b AS (SELECT user_id, sid, min(ts) AS \"start\", max(ts) AS \"end\" " +
+      "FROM s GROUP BY user_id, sid) " +
+      "SELECT s.user_id, b.\"start\", b.\"end\", s.event_type, count(*) AS n_events " +
+      "FROM s JOIN b ON s.user_id = b.user_id AND s.sid = b.sid " +
+      "GROUP BY s.user_id, b.\"start\", b.\"end\", s.event_type " +
+      "ORDER BY s.user_id, b.\"start\", s.event_type"
+
   /** q172: the FULL-OUTER stream–stream join — both null paths live,
     * with ASYMMETRIC emission gates because the 60-minute range is
     * one-sided. An unmatched CLICK must wait out its forward horizon
@@ -745,7 +784,8 @@ object StreamingBoard {
     "q171_stream_stream_outer" -> q171StreamStreamOuter _,
     "q172_stream_stream_full" -> q172StreamStreamFull _,
     "q173_sessionize_tws" -> q173SessionizeTws _,
-    "q175_stream_stream_semi" -> q175StreamStreamSemi _)
+    "q175_stream_stream_semi" -> q175StreamStreamSemi _,
+    "q178_session_histogram" -> q178SessionHistogram _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -760,5 +800,6 @@ object StreamingBoard {
     "q172_stream_stream_full" -> q172Sql,
     // batch parity with the v1 sessionizer is the claim: q150's SQL verbatim
     "q173_sessionize_tws" -> q150Sql,
-    "q175_stream_stream_semi" -> q175Sql)
+    "q175_stream_stream_semi" -> q175Sql,
+    "q178_session_histogram" -> q178Sql)
 }

@@ -616,6 +616,29 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(providerKey, prevProvider)
   }
 
+  test("q178 composite-state histograms reconcile exactly with the v1 sessionizer's sessions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q178spec").toString
+    val hist = StreamingBoard.q178Impl(spark, sf, root).collect()
+      .map(r => ((r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2)), r.getString(3), r.getLong(4)))
+    assert(nBatches(root) >= 4, "data files + both sentinel batches must deliver")
+    assert(hist.nonEmpty)
+    // the histogram's per-session totals must equal the v1 sessionizer's
+    // n_events session for session — two independent state models (one
+    // packed record vs ValueState+MapState column families) agreeing on
+    // every (user, session, type) count
+    val rootV1 = java.nio.file.Files.createTempDirectory("graft_q178v1").toString
+    val sessions = StreamingBoard.q150Impl(spark, sf, rootV1).collect()
+      .map(r => ((r.getLong(0), r.getAs[java.time.LocalDateTime](2),
+        r.getAs[java.time.LocalDateTime](3)), r.getLong(1))).toMap
+    val totals = hist.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals === sessions, s"histogram totals diverge from sessions: " +
+      s"${totals.toSet.diff(sessions.toSet).take(3)} vs ${sessions.toSet.diff(totals.toSet).take(3)}")
+    // and at least one session genuinely has >1 event type (the map did work)
+    assert(hist.groupBy(_._1).exists(_._2.map(_._2).distinct.size > 1),
+      "no multi-type session — the MapState never held more than one key")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()

@@ -140,11 +140,16 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     val rb = s2b.createReaderFactory().createReader(straddle.head)
     assert(!rb.next(), "no row matches In(50,150); the reader must emit nothing")
 
-    // a hand-dropped file with NO sidecar entry is always kept, and its
-    // presence withdraws the exact row count (a wrong estimate is worse
-    // than none)
+    // a hand-dropped file is INVISIBLE in a manifest-managed directory
+    // until a manifest names it (snapshot liveness, r12) — then, with NO
+    // sidecar entry, it is always kept by pruning and its presence
+    // withdraws the exact row count (a wrong estimate is worse than none)
     Files.write(Paths.get(dir, "zz_manual.jsonl"),
       """{"doc_id":9999}""".getBytes(StandardCharsets.UTF_8))
+    assert(s1.planInputPartitions().length == 1,
+      "an uncommitted foreign file must stay invisible")
+    val live0 = JsonDocVersions.latest(dir).get._2
+    JsonDocVersions.commit(dir, live0 + "zz_manual.jsonl")
     assert(s1.planInputPartitions().length == 2)
     assert(!s0.estimateStatistics().numRows().isPresent)
 
@@ -154,14 +159,23 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     assert(s3.planInputPartitions()
       .map(_.asInstanceOf[JsonDocPartition].file.split('/').last).toSeq == Seq("zz_manual.jsonl"))
 
-    // truncate-overwrite resets the sidecar with the new generation
+    // truncate-overwrite RETIRES the old generation (snapshot
+    // versioning): only the new file is live — and the sidecar keeps
+    // the retired entries so time-travel reads still prune
     val bw2 = new JsonDocBatchWrite(dir, schema, "q2", truncateFirst = true)
     val w2 = bw2.createBatchWriterFactory(null).createWriter(0, 0L)
     w2.write(new GenericInternalRow(Array[Any](7L)))
     bw2.commit(Array(w2.commit()))
+    val post = new JsonDocScan(schema, dir, Array.empty)
+    val liveNames = post.planInputPartitions()
+      .map(_.asInstanceOf[JsonDocPartition].file.split('/').last).toSeq
+    assert(liveNames.length == 1 && liveNames.head.contains("q2"),
+      s"truncate must leave only the new generation live: $liveNames")
     val stats2 = JsonDocStats.load(dir)
-    assert(stats2.size == 1 && stats2.values.head.rows == 1L,
-      s"stale sidecar entries survived truncate: $stats2")
+    assert(stats2.get(liveNames.head).exists(_.rows == 1L),
+      s"new generation missing from the sidecar: $stats2")
+    assert(stats2.size > 1,
+      "retired generations' sidecar entries must survive for time-travel pruning")
   }
 
   test("micro-batch planning skips stats-excluded files but still consumes their names") {
