@@ -212,6 +212,54 @@ class SessionHistogramProcessor
     } else Iterator.empty
 }
 
+/** A buffered event reference in the pattern detector's ListState. */
+case class EvRef(ts: Long, event_id: Long, event_type: String)
+
+/** A detected view→click→purchase triple. */
+case class PatternHit(user_id: Long, view_id: Long, click_id: Long,
+  purchase_id: Long, purchase_ts: Timestamp)
+
+/** STREAMING PATTERN DETECTION on `ListState` — the third v2 state type
+  * (q173 ValueState / q178 MapState / here a bounded recent-history
+  * list): emit a hit whenever a user's three CONSECUTIVE events (event
+  * time, ties by event_id) are view → click → purchase. The state is
+  * the last two events per user — `ListState.put` replaces the window
+  * each batch, so a user costs two small rows forever regardless of
+  * stream length, and emission is immediate on the closing purchase (no
+  * timers, no watermark horizon: a pattern over consecutive events is
+  * decided the moment its last element arrives). Cross-batch hits work
+  * because the buffer is state: view+click in one micro-batch, the
+  * purchase a batch later, the triple still fires — which is exactly
+  * what the q179 staging cut proves. Within a batch events fold in
+  * (ts, event_id) order; across batches the file-stream delivery is
+  * event-time ordered, matching the batch oracle's total order. */
+class PatternProcessor extends StatefulProcessor[Long, Ev, PatternHit] {
+  import Streaming.{microsOf, tsOfMicros}
+
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[EvRef] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[EvRef]("recent",
+      Encoders.product[EvRef], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[PatternHit] = {
+    val evs = rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+      .map(e => EvRef(microsOf(e.ts), e.event_id, e.event_type))
+    var buf = if (recent.exists()) recent.get().toVector else Vector.empty[EvRef]
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternHit]
+    evs.foreach { e =>
+      if (buf.length == 2 && buf(0).event_type == "view" &&
+          buf(1).event_type == "click" && e.event_type == "purchase")
+        out += PatternHit(uid, buf(0).event_id, buf(1).event_id,
+          e.event_id, tsOfMicros(e.ts))
+      buf = (buf :+ e).takeRight(2)
+    }
+    recent.put(buf.toArray)
+    out.iterator
+  }
+}
+
 object StateV2 {
   /** q150's dataflow on the v2 API: watermarked events, grouped by
     * user, sessionized by [[SessionProcessorV2]] with event-time
@@ -222,6 +270,17 @@ object StateV2 {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessorV2,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Consecutive view→click→purchase detection via [[PatternProcessor]]
+    * (bounded ListState, immediate emission). */
+  def patternTws(events: Dataset[Ev]): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -699,6 +699,70 @@ object StreamingBoard {
       "GROUP BY s.user_id, b.\"start\", b.\"end\", s.event_type " +
       "ORDER BY s.user_id, b.\"start\", s.event_type"
 
+  /** q179: streaming view→click→purchase PATTERN DETECTION on v2
+    * ListState ([[PatternProcessor]] — the last-two-events buffer, the
+    * third and last v2 state type on the board). Delivery cuts the feed
+    * AT A TRIPLE'S CLICK (the q170 staging lesson — at small SFs no
+    * triple need straddle the plain midpoint): view+click land in batch
+    * 1, the purchase in batch 2, so the hit only reaches the sink if
+    * the ListState buffer carried across the boundary. The oracle is
+    * the batch lag-window form over the same (ts, event_id) total
+    * order. */
+  def q179PatternStream(spark: SparkSession, dir: String): DataFrame =
+    q179Impl(spark, dir, graft.RunTag.scratchFresh("q179"))
+
+  private[graft] def q179Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 2): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.expressions.Window
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val midMs = t0 + (t1 - t0) / 2
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // cut at the click of the triple nearest the midpoint whose purchase
+    // is strictly later than its click (so the cut separates them)
+    val cut = ev
+      .withColumn("t2", lag(col("event_type"), 2).over(w))
+      .withColumn("t1", lag(col("event_type"), 1).over(w))
+      .withColumn("click_ts", lag(col("ts"), 1).over(w))
+      .filter(col("t2") === "view" && col("t1") === "click" &&
+        col("event_type") === "purchase" && col("ts") > col("click_ts"))
+      .withColumn("d", abs(unix_micros(col("click_ts")) - lit(midMs * 1000L)))
+      .orderBy(col("d"), col("event_id")).limit(1)
+      .select(col("click_ts")).collect().headOption.map(_.getTimestamp(0))
+      .getOrElse(new java.sql.Timestamp(midMs))
+    val base = System.currentTimeMillis()
+    val files: Seq[(DataFrame, String, Long)] = Seq(
+      (ev.filter(col("ts") <= cut), "00-early.parquet", base - 240000),
+      (ev.filter(col("ts") > cut), "01-late.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    ev.schema
+  }
+
+  private[graft] def q179Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    import spark.implicits._
+    val schema = q179Stage(spark, dir, root)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in").as[Ev]
+    val sink = drainToParquet(StateV2.patternTws(stream), root, rocksdb = true)
+    sink.select(col("user_id"), col("view_id"), col("click_id"), col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  val q179Sql: String =
+    "WITH o AS (SELECT user_id, event_id, event_type, ts, " +
+      "lag(event_type, 2) OVER w AS t2, lag(event_type, 1) OVER w AS t1, " +
+      "lag(event_id, 2) OVER w AS id2, lag(event_id, 1) OVER w AS id1 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, id2 AS view_id, id1 AS click_id, event_id AS purchase_id, " +
+      "ts AS purchase_ts FROM o " +
+      "WHERE t2 = 'view' AND t1 = 'click' AND event_type = 'purchase' " +
+      "ORDER BY user_id, purchase_id"
+
   /** q172: the FULL-OUTER stream–stream join — both null paths live,
     * with ASYMMETRIC emission gates because the 60-minute range is
     * one-sided. An unmatched CLICK must wait out its forward horizon
@@ -785,7 +849,8 @@ object StreamingBoard {
     "q172_stream_stream_full" -> q172StreamStreamFull _,
     "q173_sessionize_tws" -> q173SessionizeTws _,
     "q175_stream_stream_semi" -> q175StreamStreamSemi _,
-    "q178_session_histogram" -> q178SessionHistogram _)
+    "q178_session_histogram" -> q178SessionHistogram _,
+    "q179_pattern_stream" -> q179PatternStream _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -801,5 +866,6 @@ object StreamingBoard {
     // batch parity with the v1 sessionizer is the claim: q150's SQL verbatim
     "q173_sessionize_tws" -> q150Sql,
     "q175_stream_stream_semi" -> q175Sql,
-    "q178_session_histogram" -> q178Sql)
+    "q178_session_histogram" -> q178Sql,
+    "q179_pattern_stream" -> q179Sql)
 }
