@@ -163,7 +163,16 @@ object GraftCatalog {
     * the column — else the column (or whole entry) is omitted and
     * readers simply don't prune it, the sidecar's standing
     * conservatism. Returns the new version, or None when nothing needed
-    * compacting. */
+    * compacting.
+    *
+    * CONTRACT: do not OPTIMIZE a directory a streaming query is
+    * currently consuming as a SOURCE. The micro-batch source tracks a
+    * name high-watermark over the live listing; compaction retires
+    * consumed names and introduces a merged file whose rows were partly
+    * delivered already — no file-granular offset can represent "half
+    * this file is consumed". Batch-read tables (the catalog's domain)
+    * and the SINK side of streaming (epochs append, OPTIMIZE between
+    * runs) are the supported shapes. */
   def optimize(path: String, targetBytes: Long = 8L * 1024 * 1024): Option[Int] = {
     require(targetBytes > 0)
     val dir = new java.io.File(path)
