@@ -49,6 +49,16 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean = dirOf(ident).isDirectory
 
   override def loadTable(ident: Identifier): Table = {
+    // `path#history` is the snapshot-inspection METADATA table
+    // (Iceberg's t.history idiom, path-addressed): one row per
+    // committed version with its live-file count and exact row count
+    // when the stats sidecar covers every file of that version (NULL
+    // otherwise — a wrong historical count is worse than none).
+    if (ident.namespace().isEmpty && ident.name().endsWith("#history")) {
+      val dir = new java.io.File(ident.name().stripSuffix("#history"))
+      if (!dir.isDirectory) throw new NoSuchTableException(ident)
+      return new JsonDocHistoryTable(dir.getPath)
+    }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
+  PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** The `path#history` metadata table ([[GraftCatalog.loadTable]]): one
+  * row per committed snapshot —
+  *
+  *   `(version BIGINT, n_files BIGINT, n_rows BIGINT NULLABLE)`
+  *
+  * `n_rows` is EXACT, summed from the stats sidecar, whenever every
+  * file of that version has a sidecar entry (always true for
+  * V2-written versions; retired files keep their entries precisely so
+  * history stays computable) and NULL otherwise — the numRows-statistic
+  * conservatism applied to history. Rows are computed at scan time on
+  * the driver (the history of a table is manifest-count-sized, never
+  * data-sized) and shipped in the single input partition. */
+private[sources] class JsonDocHistoryTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsondoc($path#history)"
+  override def schema(): StructType = JsonDocHistoryTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new JsonDocHistoryScan(path)
+}
+
+private[sources] object JsonDocHistoryTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+}
+
+private[sources] case class JsonDocHistoryPartition(
+  rows: Seq[(Long, Long, Option[Long])]) extends InputPartition
+
+private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = JsonDocHistoryTable.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = JsonDocStats.load(path)
+    val rows = JsonDocVersions.manifests(path).toSeq.map { case (v, _) =>
+      val files = JsonDocVersions.read(path, v).getOrElse(Set.empty)
+      val per = files.toSeq.map(n => stats.get(n).map(_.rows))
+      val nRows = if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+        else if (files.isEmpty) Some(0L)
+        else None
+      (v.toLong, files.size.toLong, nRows)
+    }
+    Array(JsonDocHistoryPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[JsonDocHistoryPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (v, nf, nr) = it.next()
+        cur = InternalRow(v, nf, nr.map(Long.box).orNull)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+
+  override def description(): String = s"graft-jsondoc history path=$path"
+}

@@ -188,12 +188,44 @@ object SourceQueries {
       "FROM base WHERE o_orderkey % 10 = 3 " +
       "ORDER BY change, o_orderkey"
 
+  /** q180: the `#history` METADATA table — snapshot inspection through
+    * plain SQL ([[JsonDocHistoryTable]]): after an append (v1) and a
+    * row-level DELETE (v2), `SELECT version, n_rows FROM
+    * graftcat.\`path#history\`` reports each snapshot's EXACT row count
+    * from the stats sidecar (retired files keep their entries precisely
+    * so history stays computable). The oracle recomputes both counts
+    * from the base table and the delete predicate — hash-green means
+    * the manifest chain, the sidecar bookkeeping across a copy-on-write
+    * rewrite, and the metadata-table plumbing all agree with the truth.
+    * (`n_files` exists in the table but is partitioning-dependent, so
+    * the oracle-checked projection omits it.) */
+  def q180History(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q180")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // v2
+    spark.sql(s"SELECT version, n_rows FROM graftcat.`$root/t#history` ORDER BY version")
+  }
+
+  val q180Sql: String =
+    "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows FROM orders " +
+      "UNION ALL " +
+      "SELECT CAST(2 AS BIGINT), count(*) FROM orders WHERE o_orderkey % 10 <> 7 " +
+      "ORDER BY version"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
     "q176_time_travel" -> q176TimeTravel _,
-    "q177_snapshot_diff" -> q177SnapshotDiff _)
+    "q177_snapshot_diff" -> q177SnapshotDiff _,
+    "q180_history" -> q180History _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -203,5 +235,7 @@ object SourceQueries {
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates
-    "q177_snapshot_diff" -> q177Sql)
+    "q177_snapshot_diff" -> q177Sql,
+    // per-snapshot exact row counts recomputed from the predicates
+    "q180_history" -> q180Sql)
 }

@@ -223,4 +223,39 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     while (r2.next()) n += 1
     assert(n == 10, "ignored runtime filter must not drop rows")
   }
+
+  test("#history rows carry per-version file counts and exact rows; a stats-less file withdraws the count") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = Files.createTempDirectory("graft_history").toFile.getAbsolutePath
+    // v1: one file of 2 rows; v2: + one file of 3 rows (both via the V2
+    // writer, so stats are real)
+    def append(queryId: String, vals: Seq[Long]): Unit = {
+      val bw = new JsonDocBatchWrite(dir, schema, queryId, truncateFirst = false)
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+      vals.foreach(v => w.write(new GenericInternalRow(Array[Any](v))))
+      bw.commit(Array(w.commit()))
+    }
+    append("h1", Seq(1L, 2L))
+    append("h2", Seq(3L, 4L, 5L))
+    def history(): Seq[(Long, Long, Option[Long])] = {
+      val scan = new JsonDocHistoryScan(dir)
+      val reader = scan.createReaderFactory().createReader(scan.planInputPartitions().head)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+      while (reader.next()) {
+        val r = reader.get()
+        out += ((r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      }
+      out.toSeq
+    }
+    assert(history() === Seq((1L, 1L, Some(2L)), (2L, 2L, Some(5L))))
+    // v3 includes a hand-dropped file with NO stats entry: its file
+    // counts, its rows honestly don't — n_rows withdraws to NULL for
+    // exactly that version
+    Files.write(Paths.get(dir, "zz_foreign.jsonl"),
+      """{"doc_id":99}""".getBytes(StandardCharsets.UTF_8))
+    JsonDocVersions.commit(dir, JsonDocVersions.latest(dir).get._2 + "zz_foreign.jsonl")
+    assert(history() === Seq((1L, 1L, Some(2L)), (2L, 2L, Some(5L)),
+      (3L, 3L, None)))
+  }
 }
