@@ -30,12 +30,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * listing already skips it); `loadTable` prefers the sidecar and falls
   * back to sampling-based inference for directories created by the bare
   * writer path, so both flavors of table resolve. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  /** SQL maintenance: `CALL graftcat.vacuum(path, keep_last)` and
+    * `CALL graftcat.optimize(path, target_bytes)` — see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty,
+      s"graft catalog procedures take no namespace: ${ident.toString}")
+    ident.name() match {
+      case "vacuum" => GraftProcedures.VacuumProcedure
+      case "optimize" => GraftProcedures.OptimizeProcedure
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog has no procedure '$other' (available: vacuum, optimize)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,

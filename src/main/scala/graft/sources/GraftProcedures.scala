@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** SQL stored procedures for table maintenance (`ProcedureCatalog` on
+  * [[GraftCatalog]] — the DSv2 procedure API Spark 4 added so
+  * maintenance is a SQL statement, not a Scala import):
+  *
+  * {{{
+  *   CALL graftcat.vacuum('/data/docs', 2)   -- keep last 2 snapshots
+  *   CALL graftcat.optimize('/data/docs', 8388608)
+  * }}}
+  *
+  * Both return their effect as rows (the files vacuum reclaimed; the
+  * snapshot version optimize committed, −1 for a no-op), via
+  * `LocalScan` — driver-sized results for driver-sized operations. The
+  * procedures simply CALL the public Scala API, so SQL and Scala
+  * deployments cannot drift. */
+private[sources] object GraftProcedures {
+
+  private def scanOf(schema: StructType, result: Seq[InternalRow]): Scan =
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = result.toArray
+    }
+
+  object VacuumProcedure extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "reclaim data files only retired snapshots reference; keep the last `keep_last` versions"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String = VacuumProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("keep_last", LongType).build())
+      override def isDeterministic: Boolean = false // filesystem effect
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val deleted = GraftCatalog.vacuum(
+          input.getUTF8String(0).toString, input.getLong(1).toInt)
+        val schema = new StructType().add("deleted_file", StringType, nullable = false)
+        Iterator(scanOf(schema,
+          deleted.map(n => InternalRow(UTF8String.fromString(n))))).asJava
+      }
+    }
+  }
+
+  object OptimizeProcedure extends UnboundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "bin-pack small live files into ~target_bytes outputs as a new snapshot"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "optimize"
+      override def description(): String = OptimizeProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.optimize(
+          input.getUTF8String(0).toString, input.getLong(1))
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema,
+          Seq(InternalRow(v.map(_.toLong).getOrElse(-1L))))).asJava
+      }
+    }
+  }
+}

@@ -227,6 +227,36 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
   }
 
+  test("CALL graftcat.optimize/vacuum: SQL maintenance procedures drive the same code as the Scala API") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlproc").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, i * 1.0, s"gen$i")).toDF("k", "v", "src")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    val before = spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet
+    // CALL optimize: four tiny files -> one compacted file, new version reported
+    val opt = spark.sql(s"CALL graftcat.optimize('$root/t', ${8L * 1024 * 1024})")
+      .collect()
+    assert(opt.length == 1 && opt.head.getLong(0) == 5L,
+      s"optimize after 4 appends must commit version 5, got ${opt.toSeq}")
+    assert(spark.sql(s"SELECT DISTINCT _file FROM $tbl").count() == 1)
+    // CALL vacuum: reports exactly the four reclaimed originals
+    val vac = spark.sql(s"CALL graftcat.vacuum('$root/t', 1)")
+      .collect().map(_.getString(0)).toSet
+    assert(vac.size == 4, s"expected 4 reclaimed files, got $vac")
+    assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
+    // an unknown procedure fails loudly (Spark wraps the catalog's
+    // error in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception](spark.sql(s"CALL graftcat.nonsense('x')"))
+    assert(e.getMessage.contains("Failed to load routine") ||
+      e.getMessage.contains("no procedure"), s"wrong error: $e")
+  }
+
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
