@@ -133,8 +133,49 @@ class GraftCatalog extends TableCatalog
     new JsonDocTable(schema, dir.getPath)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE is not supported")
+  /** SCHEMA EVOLUTION without rewriting a byte of data (r12): the
+    * declared schema lives in the `_table_schema.json` sidecar, and the
+    * reader nulls fields a JSON line doesn't carry — so ADD COLUMN is a
+    * sidecar update (old files read NULL for the new column, exactly
+    * parquet-mergeSchema's contract) and DROP COLUMN likewise (the
+    * column simply stops being projected; bytes in old files are inert,
+    * the same lazy deletion every lakehouse format uses). Only
+    * top-level adds/drops of supported types are accepted; anything
+    * else — renames, type changes, nested paths — is refused loudly
+    * rather than half-done. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!GraftCatalog.schemaFile(dir).isFile)
+      throw new NoSuchTableException(ident)
+    var schema = GraftCatalog.readSchema(dir).get
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames().head
+        require(JsonDocSource.supportedType(add.dataType()),
+          s"graft-jsondoc supports long/int/double/boolean/string fields only: " +
+            s"$name: ${add.dataType().simpleString}")
+        require(!schema.fieldNames.contains(name),
+          s"graft catalog: column $name already exists")
+        require(add.isNullable,
+          s"graft catalog: a column added to existing data must be nullable: $name")
+        schema = schema.add(StructField(name, add.dataType(), nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames().head
+        if (!schema.fieldNames.contains(name)) {
+          if (del.ifExists() == java.lang.Boolean.TRUE) ()
+          else throw new IllegalArgumentException(
+            s"graft catalog: no such column to drop: $name")
+        } else schema = StructType(schema.fields.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change: $other")
+    }
+    GraftCatalog.writeSchema(dir, schema)
+    new JsonDocTable(schema, dir.getPath)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

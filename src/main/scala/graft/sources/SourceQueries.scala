@@ -219,13 +219,44 @@ object SourceQueries {
       "SELECT CAST(2 AS BIGINT), count(*) FROM orders WHERE o_orderkey % 10 <> 7 " +
       "ORDER BY version"
 
+  /** q181: SCHEMA EVOLUTION through SQL DDL — `ALTER TABLE ... ADD
+    * COLUMNS` updates the schema sidecar without rewriting a byte of
+    * data: rows appended before the ALTER read NULL for the new column
+    * (the reader nulls fields a JSON line doesn't carry — parquet
+    * mergeSchema's contract on the jsondoc table), rows appended after
+    * it carry real values. The oracle unions both generations with the
+    * NULL cast stated explicitly, so the hash checks the old files'
+    * null-padding AND the new files' values through one evolved
+    * schema. */
+  def q181SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q181")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT) USING `graft-jsondoc`")
+    orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .writeTo(tbl).append() // generation 1: two columns
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (o_totalprice DOUBLE)")
+    orders(spark, dir).filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      .writeTo(tbl).append() // generation 2: three columns
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q181Sql: String =
+    "SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice FROM orders " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 30000000, o_custkey, o_totalprice FROM orders " +
+      "WHERE o_orderkey % 10 = 5 ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
     "q176_time_travel" -> q176TimeTravel _,
     "q177_snapshot_diff" -> q177SnapshotDiff _,
-    "q180_history" -> q180History _)
+    "q180_history" -> q180History _,
+    "q181_schema_evolution" -> q181SchemaEvolution _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -237,5 +268,7 @@ object SourceQueries {
     // both change images reconstructed from the change predicates
     "q177_snapshot_diff" -> q177Sql,
     // per-snapshot exact row counts recomputed from the predicates
-    "q180_history" -> q180Sql)
+    "q180_history" -> q180Sql,
+    // old generation null-padded, new generation carrying values
+    "q181_schema_evolution" -> q181Sql)
 }

@@ -257,6 +257,48 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("no procedure"), s"wrong error: $e")
   }
 
+  test("ALTER TABLE: DROP COLUMN stops projecting without touching data; bad changes are refused") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlalter").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append()
+    def dataFilesNow(): Map[String, Long] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val dataBefore = dataFilesNow()
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN src")
+    // projection shrank; data untouched (lazy deletion)
+    assert(spark.sql(s"SELECT * FROM $tbl").schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM $tbl ORDER BY k").collect().map(_.toSeq).toSeq
+      === Seq(Seq(1L, 10.0), Seq(2L, 20.0)))
+    assert(dataFilesNow() === dataBefore,
+      "DROP COLUMN must not rewrite data files")
+    // re-adding the name resurfaces old values (the bytes were inert,
+    // not erased — the documented lazy-delete trade)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (src STRING)")
+    assert(spark.sql(s"SELECT src FROM $tbl ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    // refused shapes: unsupported type, duplicate add, unknown drop, rename
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (ts TIMESTAMP)"))
+    assert(msgs(e1).exists(_.contains("string fields only")), s"wrong error: $e1")
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (k BIGINT)"))
+    assert(msgs(e2).exists(m => m.contains("already exists") || m.contains("ALREADY_EXISTS")),
+      s"wrong error: $e2")
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO kk"))
+    assert(msgs(e3).exists(m => m.contains("unsupported ALTER") || m.contains("RenameColumn")),
+      s"wrong error: $e3")
+  }
+
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
