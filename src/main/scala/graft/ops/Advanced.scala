@@ -845,6 +845,159 @@ object Advanced {
       "round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) AS transitivity " +
       "FROM ne CROSS JOIN nw CROSS JOIN tri"
 
+  /** k-core threshold for q182: the core is the maximal subgraph of
+    * minimum degree >= KCoreK. Shared with the oracle generator (the
+    * BasketCap lesson: one constant, interpolated into both dialects). */
+  private[graft] val KCoreK = 5
+
+  /** q182 edge budget: the graph keeps the top `KCoreEdgeFactor * |V|`
+    * co-purchase edges by (support DESC, u, v). The raw co-purchase
+    * graph's density is the wrong shape for coreness at every SF — near-
+    * complete at sf0.001 (every part is in someone's 5-core trivially)
+    * while a fixed min-support threshold empties it at sf0.1 (repeat
+    * pairs thin as the part space grows). A RANK-based cap pins average
+    * degree at 2·KCoreEdgeFactor by construction at every SF, so the
+    * peeling loop does real multi-round work at all tested scales
+    * (measured: 2/9/3 shrink rounds at sf0.001/0.01/0.1, final cores
+    * 120/1017/8127 nodes). */
+  private[graft] val KCoreEdgeFactor = 4L
+
+  /** Peel-round insurance cap, shared Spark-loop/oracle (both compute
+    * "the alive set after at most KCorePeelRounds peels", which equals
+    * the true k-core whenever the loop converges first — measured max 9
+    * shrink rounds at the tested SFs, so 24 is insurance, and the two
+    * engines agree BY CONSTRUCTION even if a scale ever exhausts it). */
+  private[graft] val KCorePeelRounds = 24
+
+  /** q182: k-core decomposition (k = [[KCoreK]]) of the support-ranked
+    * part co-purchase graph — the graph-STRUCTURE member beside q119
+    * (PageRank propagates mass), q129 (triangles measure local cohesion)
+    * and q65/q78 (components propagate labels): the k-core is the
+    * standard density backbone used to prune low-signal nodes before
+    * expensive graph analytics, and coreness is the classic
+    * "influential spreader" statistic (Seidman 1983; Batagelj-Zaversnik
+    * 2003 peeling).
+    *
+    * Peeling is the textbook fixpoint: drop every node whose degree in
+    * the SURVIVING subgraph is < k, recompute, repeat. Each round is one
+    * pair of left-semi joins (edges whose endpoints both survive — at
+    * scale these become broadcast semis once the alive set shrinks) and
+    * one partial-agged degree shuffle over |E| rows; the driver
+    * coordinates only the loop/fixpoint test (one count per round, the
+    * q65 min-label precedent) with [[graft.dedup.Dedup.truncateLineage]]
+    * cutting the per-round logical-plan growth.
+    *
+    * The edge build ranks pairs by (support DESC, u, v) and keeps the
+    * top `KCoreEdgeFactor·|V|` — computed WITHOUT a global row_number
+    * (a single-partition sort at 100 TB): one support-histogram
+    * aggregation (|distinct support values| rows — a bounded driver
+    * read) locates the boundary support s*, everything above s* is kept
+    * wholesale, and only the s*-stratum is window-ranked on (u, v) to
+    * split the tie — the ranked set is one support stratum, not the
+    * pair table. The oracle states the same selection as the plain
+    * global row_number, so the hash proves the threshold+stratum
+    * decomposition equals the naive rank. Output: (node, core_deg) for
+    * every surviving node, core_deg its degree INSIDE the core. */
+  def q182KCore(spark: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val smallOk = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= BasketCap).select(col("ok"))
+    val inCap = items.join(smallOk, "ok")
+    val ps = graft.Caches.register(
+      inCap.select(col("ok"), col("pk").as("u"))
+        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup")).cache())
+    val budget = KCoreEdgeFactor * inCap.select(col("pk")).distinct().count()
+    // Support histogram, highest first — one partial-agged shuffle to
+    // |distinct sup| rows (supports are small integers bounded by the
+    // basket-collision count, so this is a bounded driver read).
+    val hist = ps.groupBy(col("sup")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("sup").desc).collect()
+    var cum = 0L; var sStar = -1L; var nAbove = 0L
+    hist.foreach { r =>
+      if (sStar < 0) {
+        if (cum + r.getLong(1) >= budget) { sStar = r.getLong(0); nAbove = cum }
+        else cum += r.getLong(1)
+      }
+    }
+    val edges = graft.Caches.register((
+      if (sStar < 0) ps.select(col("u"), col("v")) // budget >= |pairs|: keep all
+      else {
+        val above = ps.filter(col("sup") > sStar).select(col("u"), col("v"))
+        // rank ONLY the boundary stratum — the window's input is one
+        // support value's pairs, not the pair table
+        val boundary = ps.filter(col("sup") === sStar)
+          .withColumn("rk", row_number().over(Window.orderBy(col("u"), col("v"))))
+          .filter(col("rk") <= budget - nAbove).select(col("u"), col("v"))
+        above.unionByName(boundary)
+      }).cache())
+    kCore(edges, KCoreK, KCorePeelRounds)
+  }
+
+  /** Batagelj-Zaversnik peeling over an undirected (u, v) edge table:
+    * (node, core_deg) rows of the k-core (or of the alive set after
+    * `maxRounds` peels if the fixpoint is further — callers pair the cap
+    * with an oracle stating the identical bounded iteration). The edge
+    * input MUST be cached by the caller (every round and the final
+    * degree pass re-scan it). */
+  private[graft] def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    def coreDegrees(alive: DataFrame): DataFrame = {
+      val sub = edges
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      sub.select(col("u").as("node")).unionByName(sub.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    }
+    val deg0 = edges.select(col("u").as("node")).unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    var alive = graft.Caches.register(
+      deg0.filter(col("d") >= k).select(col("node")).cache())
+    var n = alive.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = graft.Caches.register(
+        coreDegrees(alive).filter(col("d") >= k).select(col("node")).cache())
+      val m = next.count()
+      converged = m == n // next ⊆ alive, so equal counts ⇒ equal sets
+      alive = graft.dedup.Dedup.truncateLineage(next)
+      n = m
+      r += 1
+    }
+    coreDegrees(alive).select(col("node"), col("d").as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  val q182Sql: String = {
+    val peel = (1 to KCorePeelRounds).map { i =>
+      val p = s"a${i - 1}"
+      s"a$i AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS d FROM (" +
+        s"SELECT e.u AS node FROM e JOIN $p x ON e.u = x.node JOIN $p y ON e.v = y.node " +
+        s"UNION ALL SELECT e.v AS node FROM e JOIN $p x ON e.u = x.node JOIN $p y ON e.v = y.node" +
+        s") GROUP BY 1) WHERE d >= $KCoreK)"
+    }.mkString(", ")
+    val aN = s"a$KCorePeelRounds"
+    // MATERIALIZED is load-bearing: DuckDB inlines multiply-referenced
+    // CTEs by default, and each peel round references its predecessor
+    // four times — inlined, round 24 would expand 4^24 scans.
+    "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+      s"small AS (SELECT ok FROM items GROUP BY ok HAVING count(*) <= $BasketCap), " +
+      "it AS MATERIALIZED (SELECT items.ok, items.pk FROM items JOIN small USING (ok)), " +
+      "nv AS (SELECT count(DISTINCT pk) AS n FROM it), " +
+      "ps AS (SELECT a.pk AS u, b.pk AS v, count(*) AS sup FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2), " +
+      "e AS MATERIALIZED (SELECT u, v FROM (SELECT u, v, row_number() OVER (ORDER BY sup DESC, u, v) AS rk FROM ps) CROSS JOIN nv " +
+      s"WHERE rk <= $KCoreEdgeFactor * n), " +
+      "deg AS (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1), " +
+      s"a0 AS MATERIALIZED (SELECT node FROM deg WHERE d >= $KCoreK), " +
+      peel + " " +
+      "SELECT node, count(*) AS core_deg FROM (" +
+      s"SELECT e.u AS node FROM e JOIN $aN x ON e.u = x.node JOIN $aN y ON e.v = y.node " +
+      s"UNION ALL SELECT e.v AS node FROM e JOIN $aN x ON e.u = x.node JOIN $aN y ON e.v = y.node" +
+      ") GROUP BY 1 ORDER BY 1"
+  }
+
   /** q151: association rules over order baskets (Agrawal-Srikant
     * a-priori, the pair tier) — support, confidence and lift for every
     * co-purchased part pair with support >= [[AssocMinSup]]. The
@@ -914,6 +1067,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_assoc_rules" -> q151AssocRules _,
+    "q182_kcore" -> q182KCore _,
     "q129_triangles" -> q129Triangles _,
     "q119_pagerank" -> q119PageRank _,
     "q124_chi_square" -> q124ChiSquare _,
@@ -938,6 +1092,7 @@ object Advanced {
 
   val oracle: Map[String, String] = Map(
     "q151_assoc_rules" -> q151Sql,
+    "q182_kcore" -> q182Sql,
     "q129_triangles" -> q129Sql,
     "q119_pagerank" -> q119Sql,
     "q124_chi_square" -> q124Sql,
