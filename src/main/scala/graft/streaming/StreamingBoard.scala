@@ -848,6 +848,124 @@ object StreamingBoard {
     "SELECT DISTINCT substr(md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))),1,16) AS fp " +
       "FROM documents ORDER BY fp"
 
+  /** q183: INCREMENTAL MATERIALIZED-VIEW maintenance — the pattern that
+    * ties the round's two surfaces together: a streaming `foreachBatch`
+    * computes each micro-batch's PARTIAL aggregate (count / min / max
+    * per user — deliberately all exact, merge-associative statistics, so
+    * the incrementally-folded view is bit-identical to the one-shot
+    * batch aggregate regardless of batch count or order; a float SUM
+    * would not be) and folds it into a [[graft.sources.GraftCatalog]]
+    * DSv2 table with one SQL `MERGE INTO` per epoch (matched → combine,
+    * not-matched → insert). The oracle is the plain batch `GROUP BY`
+    * over the whole feed, so hash-green proves the maintained view
+    * equals recomputation — the defining MV invariant.
+    *
+    * Exactly-once: the MERGE's "+=" fold is NOT naturally idempotent,
+    * and foreachBatch replays an epoch when a crash lands between the
+    * MERGE commit and the checkpoint's epoch commit. [[q183Apply]]
+    * guards it with an applied-epoch ledger keyed by `batchId` (the
+    * Delta `txnAppId`/`txnVersion` recipe): a replayed epoch is
+    * detected and skipped, pinned by StreamingBoardSpec's double-apply
+    * case. The ledger marker is written after the MERGE, so the
+    * residual window is a crash between the two writes — closing it
+    * needs the ledger INSIDE the table commit (what lakehouse formats'
+    * transactional metadata provides); documented, not hidden.
+    *
+    * 100 TB: each epoch shuffles only the micro-batch (partial agg to
+    * |keys-in-batch| rows) and the MERGE rewrites only files holding
+    * matched keys. With a uniform key mix every file matches —
+    * copy-on-write amplification — so at scale the view is laid out
+    * key-clustered ([[graft.ops.Layout]]) to bound the rewrite set, or
+    * maintained merge-on-read. The fold itself never re-reads the feed:
+    * maintenance cost is O(delta), not O(view), which is the entire
+    * point of an incremental MV. */
+  def q183IncrementalMv(spark: SparkSession, dir: String): DataFrame =
+    q183Impl(spark, dir, graft.RunTag.scratchFresh("q183"))
+
+  /** Stage the event feed as three micro-batch files split by
+    * `event_id % 3` — every user lands in (almost) every batch, so the
+    * MERGE exercises insert on epoch 0 and combine on epochs 1–2 (a
+    * user-keyed split would never fire the MATCHED branch). Delivery
+    * order is irrelevant to the folded result (the statistics commute);
+    * the split just has to be deterministic. */
+  private[graft] def q183Stage(spark: SparkSession, dir: String, root: String,
+      upTo: Int = 3): org.apache.spark.sql.types.StructType = {
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    def slice(r: Int) = ev.filter(pmod(col("event_id"), lit(3)) === r).drop("event_id")
+    val base = System.currentTimeMillis()
+    val files = Seq((slice(0), "00-a.parquet", base - 360000),
+      (slice(1), "01-b.parquet", base - 240000),
+      (slice(2), "02-c.parquet", base - 120000))
+    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    slice(0).schema
+  }
+
+  /** One epoch's fold: partial-aggregate the batch, MERGE into the view,
+    * record the epoch in the ledger. Skips (without touching the table)
+    * any `batchId` the ledger already holds — the replay guard. */
+  private[graft] def q183Apply(tbl: String, ledger: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    val marker = new java.io.File(ledger, s"epoch-$batchId")
+    if (marker.exists()) return // replayed epoch: the fold already committed
+    // foreachBatch hands a DataFrame bound to a CLONED micro-batch
+    // session — the temp view and the MERGE must both run there
+    val spark = batch.sparkSession
+    val delta = batch.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      // ts is NTZ; the UTC session makes unix_micros the naive micros
+      // DuckDB's epoch_us reads (the q147 staging policy, inverted)
+      min(unix_micros(col("ts").cast("timestamp"))).as("first_us"),
+      max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+      max(col("value")).as("max_value"))
+    val view = s"q183_delta_$batchId"
+    delta.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""MERGE INTO $tbl t USING $view d ON t.user_id = d.user_id
+         |WHEN MATCHED THEN UPDATE SET
+         |  n_events = t.n_events + d.n_events,
+         |  first_us = least(t.first_us, d.first_us),
+         |  last_us = greatest(t.last_us, d.last_us),
+         |  max_value = greatest(t.max_value, d.max_value)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+    require(marker.createNewFile(), s"cannot record applied epoch $batchId")
+  }
+
+  /** Run the maintenance stream over whatever files are staged under
+    * `root/in`, resuming from `root/ckpt` — factored out so the spec's
+    * restart case can stage a new file and re-drain the same view. */
+  private[graft] def q183Drain(spark: SparkSession, root: String, tbl: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val ledger = s"$root/applied"; new java.io.File(ledger).mkdirs()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = stream.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => q183Apply(tbl, ledger, id, b))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[graft] def q183Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+    val schema = q183Stage(spark, dir, root)
+    q183Drain(spark, root, tbl, schema)
+    spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
+      s"FROM $tbl ORDER BY user_id")
+  }
+
+  val q183Sql: String =
+    "SELECT user_id, count(*) AS n_events, min(epoch_us(ts)) AS first_us, " +
+      "max(epoch_us(ts)) AS last_us, max(value) AS max_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_quota_cap_stream" -> q146QuotaCapStream _,
     "q147_anomalies_stream" -> q147AnomaliesStream _,
@@ -861,7 +979,8 @@ object StreamingBoard {
     "q173_sessionize_tws" -> q173SessionizeTws _,
     "q175_stream_stream_semi" -> q175StreamStreamSemi _,
     "q178_session_histogram" -> q178SessionHistogram _,
-    "q179_pattern_stream" -> q179PatternStream _)
+    "q179_pattern_stream" -> q179PatternStream _,
+    "q183_incremental_mv" -> q183IncrementalMv _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -878,5 +997,7 @@ object StreamingBoard {
     "q173_sessionize_tws" -> q150Sql,
     "q175_stream_stream_semi" -> q175Sql,
     "q178_session_histogram" -> q178Sql,
-    "q179_pattern_stream" -> q179Sql)
+    "q179_pattern_stream" -> q179Sql,
+    // the MV invariant: maintained view == one-shot recomputation
+    "q183_incremental_mv" -> q183Sql)
 }

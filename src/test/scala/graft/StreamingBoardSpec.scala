@@ -696,6 +696,76 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(providerKey, prevProvider)
   }
 
+  test("q183 maintains the MV across >=3 micro-batch MERGEs and equals batch recomputation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q183spec").toString
+    val got = StreamingBoard.q183Impl(spark, sf, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(nBatches(root) >= 3, "the MV must be folded across >=3 epochs")
+    val want = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), min(unix_micros(col("ts").cast("timestamp"))).as("f"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("l"), max(col("value")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === want, s"MV diverges from recomputation: " +
+      s"${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("q183 replayed epoch is skipped: double-applying a batch id leaves the MV unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q183replay").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+    val ledger = s"$root/applied"; new java.io.File(ledger).mkdirs()
+    import spark.implicits._
+    val batch = Seq((1L, "2024-01-01 00:00:00.000001", 2.5),
+        (1L, "2024-01-01 01:00:00", 7.25), (2L, "2024-01-02 12:00:00", -3.0))
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"), col("value"))
+    StreamingBoard.q183Apply(tbl, ledger, 0L, batch)
+    val once = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
+    // the crash-replay shape: same epoch id, same data, applied again
+    StreamingBoard.q183Apply(tbl, ledger, 0L, batch)
+    val twice = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
+    assert(once == twice, "replayed epoch was folded twice — the ledger guard failed")
+    assert(once.map(_.getLong(1)).sum == 3L, "first apply must have folded all rows")
+    // a NEW epoch with the same content must fold (the guard is per-id)
+    StreamingBoard.q183Apply(tbl, ledger, 1L, batch)
+    val next = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
+    assert(next.map(_.getLong(1)).sum == 6L, "a fresh epoch id must be applied")
+  }
+
+  test("q183 restart: a late file folds into the existing MV without reprocessing consumed epochs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q183restart").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+    // leg 1: two of the three files
+    val schema = StreamingBoard.q183Stage(spark, sf, root, upTo = 2)
+    StreamingBoard.q183Drain(spark, root, tbl, schema)
+    val partial = spark.sql(s"SELECT sum(n_events) FROM $tbl").head.getLong(0)
+    val epochsAtStop = nBatches(root)
+    // leg 2: the third file lands; the SAME checkpoint + ledger resume
+    StreamingBoard.q183Stage(spark, sf, root, upTo = 3)
+    StreamingBoard.q183Drain(spark, root, tbl, schema)
+    assert(nBatches(root) > epochsAtStop, "restart must process the new file")
+    val got = spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
+        s"FROM $tbl ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val want = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), min(unix_micros(col("ts").cast("timestamp"))).as("f"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("l"), max(col("value")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === want, "restarted MV diverges from recomputation")
+    assert(got.map(_._2).sum > partial,
+      "the third file contributed nothing — the restart leg went untested")
+  }
+
   test("q150 closes every session via timers (4 delivered files) and keeps micro precision") {
     val root = java.nio.file.Files.createTempDirectory("graft_q150spec").toString
     val got = StreamingBoard.q150Impl(spark, sf, root).collect()
