@@ -892,10 +892,12 @@ object Advanced {
     * (a single-partition sort at 100 TB): one support-histogram
     * aggregation (|distinct support values| rows — a bounded driver
     * read) locates the boundary support s*, everything above s* is kept
-    * wholesale, and only the s*-stratum is window-ranked on (u, v) to
-    * split the tie — the ranked set is one support stratum, not the
-    * pair table. The oracle states the same selection as the plain
-    * global row_number, so the hash proves the threshold+stratum
+    * wholesale, and only the s*-stratum contributes its (budget−above)
+    * smallest (u, v) pairs via orderBy+limit — a distributed top-K, not
+    * a single-partition window (the stratum can be nearly the whole
+    * pair table when the boundary support is 1, the common case at
+    * every tested SF). The oracle states the same selection as the
+    * plain global row_number, so the hash proves the threshold+stratum
     * decomposition equals the naive rank. Output: (node, core_deg) for
     * every surviving node, core_deg its degree INSIDE the core. */
   def q182KCore(spark: SparkSession, dir: String): DataFrame = {
@@ -903,7 +905,10 @@ object Advanced {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val smallOk = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= BasketCap).select(col("ok"))
-    val inCap = items.join(smallOk, "ok")
+    // cached: scanned three times (both self-join sides + the budget
+    // count) — without it each scan re-runs lineitem distinct + the
+    // basket-cap semi (measured 3× the one-pass cost at sf0.1)
+    val inCap = graft.Caches.register(items.join(smallOk, "ok").cache())
     val ps = graft.Caches.register(
       inCap.select(col("ok"), col("pk").as("u"))
         .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
@@ -926,15 +931,32 @@ object Advanced {
       if (sStar < 0) ps.select(col("u"), col("v")) // budget >= |pairs|: keep all
       else {
         val above = ps.filter(col("sup") > sStar).select(col("u"), col("v"))
-        // rank ONLY the boundary stratum — the window's input is one
-        // support value's pairs, not the pair table
+        // the (budget − nAbove) smallest (u, v) pairs of the boundary
+        // stratum — same set as a row_number ≤ K over the stratum, but
+        // orderBy+limit plans as TakeOrdered (per-partition top-K, then
+        // a K-row merge) instead of a SINGLE-PARTITION window sort: at
+        // sf0.1 the sup=1 stratum is 99.7% of the pair table, so the
+        // window funnels ~1.2 M rows through one task (measured 2–3×
+        // the TakeOrdered wall; at 100 TB it would be the whole job)
         val boundary = ps.filter(col("sup") === sStar)
-          .withColumn("rk", row_number().over(Window.orderBy(col("u"), col("v"))))
-          .filter(col("rk") <= budget - nAbove).select(col("u"), col("v"))
+          .orderBy(col("u"), col("v")).limit((budget - nAbove).toInt)
+          .select(col("u"), col("v"))
         above.unionByName(boundary)
-      }).cache())
+      }).coalesce(edgeParts(budget)).cache())
     kCore(edges, KCoreK, KCorePeelRounds)
   }
+
+  /** Partition count for the cached k-core edge table: its exact size
+    * (`budget` rows of two longs) is known at the driver, so size the
+    * cache to ~2 M rows/partition instead of inheriting the upstream
+    * shuffle width — the peel fixpoint re-scans it every round, and at
+    * test SFs a 32-way scan of an 80 K-row table is 32 tasks of
+    * scheduling overhead per round for no parallelism. At 100 TB
+    * (|V|=1e9 → budget=4e9) this yields ~2000 partitions — real
+    * parallelism where there is real data. Capped so a misestimated
+    * budget can never plan a million tasks. */
+  private[graft] def edgeParts(budget: Long): Int =
+    math.max(1L, math.min(4096L, budget / 2000000L + 1L)).toInt
 
   /** Batagelj-Zaversnik peeling over an undirected (u, v) edge table:
     * (node, core_deg) rows of the k-core (or of the alive set after
