@@ -65,7 +65,7 @@ object StreamingBoard {
     * by contract (Bench/Verify), and the session conf is only read at
     * query start. */
   private def drainToParquet(ds: org.apache.spark.sql.Dataset[_], root: String,
-      statePartitions: Option[Int] = Some(8),
+      statePartitions: Option[Int] = Some(4),
       rocksdb: Boolean = false): DataFrame = {
     val out = s"$root/out"
     val spark = ds.sparkSession
@@ -75,9 +75,20 @@ object StreamingBoard {
     statePartitions.foreach(p =>
       spark.conf.set("spark.sql.shuffle.partitions", p.toString))
     // transformWithState requires the RocksDB provider (same set/restore
-    // caveat as the partition bound: board queries serial by contract)
-    if (rocksdb) spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // caveat as the partition bound: board queries serial by contract).
+    // Changelog checkpointing makes each commit upload the batch's DELTA
+    // instead of a full RocksDB snapshot — the per-commit cost follows
+    // the update volume, not the store size (the point of an
+    // incremental state backend; snapshots still happen, async, for
+    // bounded replay). Restart correctness is covered by the RocksDB
+    // restart case in StreamingBoardSpec.
+    if (rocksdb) {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     try {
       val q = ds.writeStream
         .format("parquet")
