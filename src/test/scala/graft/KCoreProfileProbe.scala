@@ -92,6 +92,52 @@ object KCoreProfileProbe {
         n = m; r += 1
       }
       t("final coreDegrees")(println("  out=" + coreDegrees(alive).count()))
+
+      // 10x stress: ten pk/ok-shifted disjoint copies of the sf0.1
+      // input run through the SAME q182 dataflow end-to-end. The graph
+      // is the disjoint union (10x nodes, 10x pairs, same density), so
+      // the peel does the same per-copy work at 10x width; the boundary
+      // top-K is global (lowest-pk copies win the tie stratum), so the
+      // core is not literally 10 replicas — the assertions are
+      // structural: nonempty, converged, >= one copy's core size.
+      val t10 = System.nanoTime()
+      val base = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val rep = (0 until 10).map { c =>
+        base.select((col("ok") + lit(c * 100000000L)).as("ok"),
+          (col("pk") + lit(c * 10000000L)).as("pk"))
+      }.reduce(_ unionByName _).distinct()
+      val small10 = rep.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= Advanced.BasketCap).select(col("ok"))
+      val inCap10 = rep.join(small10, "ok").cache()
+      val ps10 = inCap10.select(col("ok"), col("pk").as("u"))
+        .join(inCap10.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup")).cache()
+      val budget10 = Advanced.KCoreEdgeFactor *
+        inCap10.select(col("pk")).distinct().count()
+      val hist10 = ps10.groupBy(col("sup")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("sup").desc).collect()
+      var cum10 = 0L; var s10 = -1L; var nAb10 = 0L
+      hist10.foreach { r =>
+        if (s10 < 0) {
+          if (cum10 + r.getLong(1) >= budget10) { s10 = r.getLong(0); nAb10 = cum10 }
+          else cum10 += r.getLong(1)
+        }
+      }
+      val edges10 = (if (s10 < 0) ps10.select(col("u"), col("v"))
+        else ps10.filter(col("sup") > s10).select(col("u"), col("v"))
+          .unionByName(ps10.filter(col("sup") === s10)
+            .orderBy(col("u"), col("v")).limit((budget10 - nAb10).toInt)
+            .select(col("u"), col("v"))))
+        .coalesce(Advanced.edgeParts(budget10)).cache()
+      println("  10x edges=" + edges10.count() + " budget=" + budget10)
+      val core10 = Advanced.kCore(edges10, Advanced.KCoreK,
+        Advanced.KCorePeelRounds).count()
+      val dt10 = (System.nanoTime() - t10) / 1e9
+      println(f"[kcore] 10x stress end-to-end: $dt10%.2f s  core=$core10")
+      require(core10 >= 8127, "10x core smaller than one copy's core")
+      inCap10.unpersist(); ps10.unpersist(); edges10.unpersist()
     } finally spark.stop()
   }
 }
