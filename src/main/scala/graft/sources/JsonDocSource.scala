@@ -413,13 +413,21 @@ private[sources] object JsonDocStats {
           Option(mapper.readTree(f).get("files")).foreach { old =>
             old.fields().asScala
               .filterNot(e => dropNames.contains(e.getKey))
-              .foreach(e => files.set(e.getKey, e.getValue))
+              // set[JsonNode]: ObjectNode.set is <T extends JsonNode> T —
+              // left unpinned, scalac infers T = Nothing and emits a
+              // checkcast on the (discarded!) return value that throws
+              // ClassCastException AFTER the first entry lands, silently
+              // dropping every later entry into the defensive catch (a
+              // multi-file table lost all but its first stats entry on
+              // every subsequent commit; found via the q183 MV probe's
+              // NULL #history rows)
+              .foreach(e => { files.set[JsonNode](e.getKey, e.getValue); () })
           }
         } catch { case _: Exception => () }
       }
     }
     entries.foreach { case (name, json) =>
-      if (json.nonEmpty) { files.set(name, mapper.readTree(json)); () }
+      if (json.nonEmpty) { files.set[JsonNode](name, mapper.readTree(json)); () }
     }
     val tmp = new java.io.File(path, s".$SidecarName.tmp")
     val w = new java.io.FileWriter(tmp)

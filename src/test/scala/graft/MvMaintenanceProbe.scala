@@ -42,6 +42,21 @@ object MvMaintenanceProbe {
           .filter(pmod(col("user_id"), lit(quarters)) === q)
           .filter(pmod(col("event_id"), lit(epochs / quarters)) === i / quarters)
           .drop("event_id")
+        def sidecarKeys(): Seq[String] = {
+          val sc = new java.io.File(path, "_stats.json")
+          if (!sc.isFile) Seq("<absent>") else
+            "\"([^\"]+\\.jsonl)\"".r.findAllMatchIn(
+              java.nio.file.Files.readString(sc.toPath)).map(_.group(1)).toSeq.sorted
+        }
+        if (sys.env.contains("MV_PROBE_DUMP")) {
+          println(s"    pre-apply stats keys: " + sidecarKeys().mkString(", "))
+          val sc = new java.io.File(path, "_stats.json")
+          if (sc.isFile) {
+            val raw = java.nio.file.Files.readString(sc.toPath)
+            println(s"    pre-apply raw len=${raw.length} braces=${raw.count(_ == '{')}/" +
+              s"${raw.count(_ == '}')} startsWith=${raw.take(20)} endsWith=${raw.takeRight(20)}")
+          }
+        }
         val t0 = System.nanoTime()
         graft.streaming.StreamingBoard.q183Apply(tbl, ledger, i.toLong, slice)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -51,6 +66,19 @@ object MvMaintenanceProbe {
         val nRows = if (h.isNullAt(2)) "?" else h.getLong(2).toString
         println(f"[mv] epoch $i%2d (quarter $q): $dt%5.2f s  " +
           f"view: v${h.getLong(0)} files=${h.getLong(1)} rows=$nRows")
+        if (i <= 4 && sys.env.contains("MV_PROBE_DUMP")) {
+          val live = new java.io.File(path).listFiles()
+            .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            .map(_.getName).sorted
+          println("    files on disk: " + live.mkString(", "))
+          val sc = new java.io.File(path, "_stats.json")
+          val keys = if (!sc.isFile) Seq("<absent>") else
+            "\"([^\"]+\\.jsonl)\"".r.findAllMatchIn(
+              java.nio.file.Files.readString(sc.toPath)).map(_.group(1)).toSeq.sorted
+          println("    stats keys:    " + keys.mkString(", "))
+          println("    live missing stats: " +
+            live.filterNot(keys.contains(_)).mkString(", "))
+        }
       }
       // the maintained view must equal the one-shot recomputation
       val got = spark.sql(s"SELECT * FROM $tbl").count()

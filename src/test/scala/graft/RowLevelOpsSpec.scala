@@ -227,6 +227,36 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
   }
 
+  test("stats sidecar survives repeated commits: every #history version stays exactly counted") {
+    // Regression: ObjectNode.set is <T extends JsonNode> T — the
+    // sidecar merge's un-ascribed call made scalac infer T = Nothing
+    // and checkcast the DISCARDED return value, throwing after the
+    // FIRST existing entry was copied; the defensive catch then dropped
+    // every later entry, so any table with >= 2 sidecar entries lost
+    // all but its first on each subsequent commit. Three sequential
+    // single-file appends make the third commit merge over two existing
+    // entries — pre-fix v3's n_rows (and every later version's) read
+    // NULL here.
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlstats").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    (0 until 4).foreach { i =>
+      Seq((i * 10L, i * 1.0, s"gen$i"), (i * 10L + 1, i + 0.5, s"gen$i"))
+        .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    }
+    val hist = spark.sql(
+      s"SELECT version, n_files, n_rows FROM graftcat.`$root/t#history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(hist.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(hist.map(_._2) === Seq(1L, 2L, 3L, 4L))
+    assert(hist.map(_._3) === Seq(Some(2L), Some(4L), Some(6L), Some(8L)),
+      s"every version must stay exactly counted, got $hist")
+  }
+
   test("CALL graftcat.optimize/vacuum: SQL maintenance procedures drive the same code as the Scala API") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
