@@ -215,9 +215,14 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filesAfter.head.startsWith("compact-"))
     // contents identical, row for row
     assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
-    // merged stats still prune: a k-range filter outside [0, 51] plans 0 partitions
-    val none = spark.sql(s"SELECT * FROM $tbl WHERE k > 1000").collect()
-    assert(none.isEmpty)
+    // merged stats still prune: a k-range filter outside [0, 51] plans 0
+    // partitions — STRUCTURAL, not just empty-result: pre-sidecar-fix the
+    // compacted file's union-merged entry was lost (its inputs' entries
+    // had been dropped by earlier commits), so the file always scanned
+    val pruned = spark.sql(s"SELECT * FROM $tbl WHERE k > 1000")
+    assert(pruned.rdd.getNumPartitions == 0,
+      "out-of-range filter must plan zero partitions off the merged stats")
+    assert(pruned.collect().isEmpty)
     // the pre-optimize version still reads through the small originals
     val old = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 6").collect().map(_.toSeq).toSet
     assert(old === before, "pre-optimize snapshot must read identically")
