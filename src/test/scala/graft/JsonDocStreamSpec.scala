@@ -163,5 +163,17 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q2.processAllAvailable() finally q2.stop()
     assert(readBack.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
       "restart duplicated or lost committed epochs")
+
+    // every epoch's commit must KEEP the earlier epochs' stats entries
+    // (the sidecar-merge regression dropped all but the first on any
+    // multi-entry merge): all three #history versions exactly counted
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val hist = spark.sql(
+      s"SELECT version, n_rows FROM graftcat.`$out#history` ORDER BY version")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(hist.map(_._2) === Seq(Some(2L), Some(3L), Some(4L)),
+      s"streaming epochs must stay exactly counted, got $hist")
   }
 }
