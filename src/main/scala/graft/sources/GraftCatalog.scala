@@ -77,6 +77,14 @@ class GraftCatalog extends TableCatalog
       if (!dir.isDirectory) throw new NoSuchTableException(ident)
       return new JsonDocHistoryTable(dir.getPath)
     }
+    // `path#files` — the live-file inventory (Iceberg t.files idiom):
+    // the user-visible window onto the per-file stats that file
+    // skipping and the exact-numRows statistic run on
+    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
+      val dir = new java.io.File(ident.name().stripSuffix("#files"))
+      if (!dir.isDirectory) throw new NoSuchTableException(ident)
+      return new JsonDocFilesTable(dir.getPath)
+    }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)

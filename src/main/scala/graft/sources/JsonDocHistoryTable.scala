@@ -74,3 +74,84 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
 
   override def description(): String = s"graft-jsondoc history path=$path"
 }
+
+/** The `path#files` metadata table ([[GraftCatalog.loadTable]]) —
+  * Iceberg's `t.files` idiom, path-addressed: one row per LIVE data
+  * file of the current snapshot —
+  *
+  *   `(file STRING, n_bytes BIGINT, n_rows BIGINT NULLABLE,
+  *     bounds MAP<STRING, STRING> NULLABLE)`
+  *
+  * `n_rows` and `bounds` come from the stats sidecar (`bounds` keys are
+  * `<col>.min` / `<col>.max`, values rendered as strings so one map
+  * carries every supported type); both are NULL for a file without an
+  * entry — the same conservatism as `#history.n_rows`. Like history,
+  * the listing is computed driver-side at scan planning: a table's
+  * live-file inventory is manifest-sized, never data-sized. This is
+  * the user-visible window onto exactly the metadata that file
+  * skipping and the exact-numRows statistic run on, so a query over it
+  * (q184) pins sidecar integrity across multi-commit sequences. */
+private[sources] class JsonDocFilesTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsondoc($path#files)"
+  override def schema(): StructType = JsonDocFilesTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new JsonDocFilesScan(path)
+}
+
+private[sources] object JsonDocFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("bounds", org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType), nullable = true)))
+}
+
+private[sources] case class JsonDocFilesPartition(
+  rows: Seq[(String, Long, Option[Long], Option[Map[String, String]])])
+  extends InputPartition
+
+private[sources] class JsonDocFilesScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = JsonDocFilesTable.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = JsonDocStats.load(path)
+    val rows = JsonDocSource.listDataFiles(path).toSeq.map { f =>
+      val entry = stats.get(f.getName)
+      val bounds = entry.map(_.cols.flatMap { case (c, r) =>
+        Seq(s"$c.min" -> String.valueOf(r.min), s"$c.max" -> String.valueOf(r.max))
+      })
+      (f.getName, f.length(), entry.map(_.rows), bounds)
+    }
+    Array(JsonDocFilesPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[JsonDocFilesPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (name, bytes, nr, bounds) = it.next()
+        val mapData = bounds.map { m =>
+          val ks = m.keys.toArray.sorted
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            ks.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any),
+            ks.map(k => org.apache.spark.unsafe.types.UTF8String.fromString(m(k)): Any))
+        }.orNull
+        cur = InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(name),
+          bytes, nr.map(Long.box).orNull, mapData)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+
+  override def description(): String = s"graft-jsondoc files path=$path"
+}

@@ -249,8 +249,40 @@ object SourceQueries {
       "SELECT o_orderkey + 30000000, o_custkey, o_totalprice FROM orders " +
       "WHERE o_orderkey % 10 = 5 ORDER BY o_orderkey"
 
+  /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
+    * `t.files` idiom) queried through plain SQL. Three single-file
+    * appends split by `o_orderkey % 3` give three live files with
+    * driver-known contents; the query projects each file's exact row
+    * count and its `o_orderkey` bounds out of the per-file stats map —
+    * the very metadata file skipping and the exact-numRows statistic
+    * run on. Hash-green therefore pins sidecar integrity across a
+    * MULTI-COMMIT sequence end-to-end (each append's commit must merge
+    * the earlier appends' entries forward — the exact path the r12
+    * sidecar-merge fix repaired; file names are write-id-randomized, so
+    * the output orders by the content-determined min bound instead). */
+  def q184FilesInventory(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q184")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc`")
+    (0 until 3).foreach { r =>
+      orders(spark, dir).filter(pmod(col("o_orderkey"), lit(3)) === r)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .coalesce(1).writeTo(tbl).append()
+    }
+    spark.sql(s"SELECT n_rows, CAST(bounds['o_orderkey.min'] AS BIGINT) AS min_k, " +
+      s"CAST(bounds['o_orderkey.max'] AS BIGINT) AS max_k " +
+      s"FROM graftcat.`$root/t#files` ORDER BY min_k")
+  }
+
+  val q184Sql: String =
+    "SELECT count(*) AS n_rows, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k " +
+      "FROM orders GROUP BY o_orderkey % 3 ORDER BY min_k"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
+    "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
     "q176_time_travel" -> q176TimeTravel _,
@@ -270,5 +302,7 @@ object SourceQueries {
     // per-snapshot exact row counts recomputed from the predicates
     "q180_history" -> q180Sql,
     // old generation null-padded, new generation carrying values
-    "q181_schema_evolution" -> q181Sql)
+    "q181_schema_evolution" -> q181Sql,
+    // per-file exact rows + o_orderkey bounds across a 3-commit table
+    "q184_files_inventory" -> q184Sql)
 }

@@ -262,6 +262,33 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every version must stay exactly counted, got $hist")
   }
 
+  test("#files inventory: per-file rows/bytes/bounds; a stats-less legacy file reads NULL") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlfiles").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((5L, 1.5, "a"), (9L, 2.5, "a")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append()
+    Seq((20L, 3.5, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append()
+    val inv = spark.sql(s"SELECT file, n_bytes, n_rows, " +
+        s"bounds['k.min'] AS kmin, bounds['k.max'] AS kmax " +
+        s"FROM graftcat.`$root/t#files` ORDER BY CAST(kmin AS BIGINT)").collect()
+    assert(inv.length == 2)
+    assert(inv.forall(_.getLong(1) > 0L), "n_bytes must be the on-disk size")
+    assert(inv.map(r => (r.getLong(2), r.getString(3), r.getString(4))).toSeq ===
+      Seq((2L, "5", "9"), (1L, "20", "20")))
+    // a raw legacy file dropped into the dir (no sidecar entry, no
+    // manifest): invisible while a manifest names the live set — the
+    // inventory lists LIVE files only, same rule as every read path
+    val legacy = new java.io.File(s"$root/t", "legacy.jsonl")
+    java.nio.file.Files.writeString(legacy.toPath,
+      "{\"k\": 99, \"v\": 9.9, \"src\": \"x\"}")
+    val after = spark.sql(s"SELECT file FROM graftcat.`$root/t#files`").collect()
+    assert(after.length == 2, "an unmanifested file must not appear in #files")
+  }
+
   test("CALL graftcat.optimize/vacuum: SQL maintenance procedures drive the same code as the Scala API") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
