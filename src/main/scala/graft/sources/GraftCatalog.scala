@@ -96,10 +96,21 @@ class GraftCatalog extends TableCatalog
     * (snapshot versioning, [[JsonDocVersions]]); a vacuumed or unknown
     * version fails loudly at scan planning, never silently partial. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    val v0 = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF takes an integer snapshot version, got '$version'"))
+    // `path#files VERSION AS OF v` — the inventory of snapshot v
+    // (retired files keep their sidecar entries so this stays exact)
+    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
+      val dir = new java.io.File(ident.name().stripSuffix("#files"))
+      if (!dir.isDirectory) throw new NoSuchTableException(ident)
+      if (JsonDocVersions.read(dir.getPath, v0).isEmpty)
+        throw new IllegalArgumentException(
+          s"graft catalog: snapshot v$v0 of ${dir.getPath} does not exist (vacuumed?)")
+      return new JsonDocFilesTable(dir.getPath, pinned = Some(v0))
+    }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"graft catalog: VERSION AS OF takes an integer snapshot version, got '$version'"))
+    val v = v0
     val schema = GraftCatalog.readSchema(dir)
       .getOrElse(JsonDocSource.infer(dir.getPath))
     new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))

@@ -90,15 +90,19 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
   * live-file inventory is manifest-sized, never data-sized. This is
   * the user-visible window onto exactly the metadata that file
   * skipping and the exact-numRows statistic run on, so a query over it
-  * (q184) pins sidecar integrity across multi-commit sequences. */
-private[sources] class JsonDocFilesTable(path: String)
+  * (q184) pins sidecar integrity across multi-commit sequences.
+  * `VERSION AS OF v` pins the inventory to snapshot v — retired files
+  * keep their sidecar entries precisely so this stays computable. */
+private[sources] class JsonDocFilesTable(path: String,
+    pinned: Option[Int] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-jsondoc($path#files)"
+  override def name(): String =
+    s"graft-jsondoc($path${pinned.map(v => s"@v$v").getOrElse("")}#files)"
   override def schema(): StructType = JsonDocFilesTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JsonDocFilesScan(path)
+    () => new JsonDocFilesScan(path, pinned)
 }
 
 private[sources] object JsonDocFilesTable {
@@ -115,13 +119,14 @@ private[sources] case class JsonDocFilesPartition(
   rows: Seq[(String, Long, Option[Long], Option[Map[String, String]])])
   extends InputPartition
 
-private[sources] class JsonDocFilesScan(path: String) extends Scan with Batch {
+private[sources] class JsonDocFilesScan(path: String,
+    pinned: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = JsonDocFilesTable.Schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stats = JsonDocStats.load(path)
-    val rows = JsonDocSource.listDataFiles(path).toSeq.map { f =>
+    val rows = JsonDocSource.listDataFiles(path, pinned).toSeq.map { f =>
       val entry = stats.get(f.getName)
       val bounds = entry.map(_.cols.flatMap { case (c, r) =>
         Seq(s"$c.min" -> String.valueOf(r.min), s"$c.max" -> String.valueOf(r.max))

@@ -287,6 +287,15 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{\"k\": 99, \"v\": 9.9, \"src\": \"x\"}")
     val after = spark.sql(s"SELECT file FROM graftcat.`$root/t#files`").collect()
     assert(after.length == 2, "an unmanifested file must not appear in #files")
+    // the inventory time-travels: snapshot v1 holds only the first file
+    val v1 = spark.sql(
+      s"SELECT n_rows, bounds['k.max'] AS kmax FROM graftcat.`$root/t#files` " +
+        "VERSION AS OF 1").collect()
+    assert(v1.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "9")),
+      "VERSION AS OF must pin the inventory to the snapshot's live set")
+    val bad = intercept[Exception](spark.sql(
+      s"SELECT * FROM graftcat.`$root/t#files` VERSION AS OF 99").collect())
+    assert(bad.getMessage.contains("does not exist"))
   }
 
   test("CALL graftcat.optimize/vacuum: SQL maintenance procedures drive the same code as the Scala API") {
