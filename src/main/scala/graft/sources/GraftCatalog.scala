@@ -120,6 +120,16 @@ class GraftCatalog extends TableCatalog
     * manifest was committed at or before t (micros since epoch, the
     * TableCatalog contract). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    // `path#files TIMESTAMP AS OF t` — same resolution as the data table
+    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
+      val fdir = new java.io.File(ident.name().stripSuffix("#files"))
+      if (!fdir.isDirectory) throw new NoSuchTableException(ident)
+      val fv = JsonDocVersions.resolveAt(fdir.getPath,
+          java.lang.Math.floorDiv(timestampMicros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: no snapshot of ${fdir.getPath} existed at timestamp $timestampMicros"))
+      return new JsonDocFilesTable(fdir.getPath, pinned = Some(fv))
+    }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val v = JsonDocVersions.resolveAt(dir.getPath,

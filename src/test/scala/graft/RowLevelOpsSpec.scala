@@ -188,6 +188,11 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(old === Set(1L), s"timestamp travel read $old")
     assert(spark.sql(s"SELECT k FROM $tbl").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the #files inventory resolves the same instant to the same snapshot
+    val invOld = spark.sql(
+      s"SELECT n_rows FROM graftcat.`$root/t#files` TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(invOld === Seq(1L), s"inventory timestamp travel read $invOld")
   }
 
   test("OPTIMIZE bin-packs small live files into a new snapshot; contents, stats pruning, and history survive") {
