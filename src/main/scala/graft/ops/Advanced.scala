@@ -938,11 +938,30 @@ object Advanced {
         // sf0.1 the sup=1 stratum is 99.7% of the pair table, so the
         // window funnels ~1.2 M rows through one task (measured 2–3×
         // the TakeOrdered wall; at 100 TB it would be the whole job)
+        val k = budget - nAbove
+        // limit() takes an Int — and so would the row_number this
+        // replaced (Spark's row_number is IntegerType), so >2^31 kept
+        // boundary pairs were never computable by either form. Refuse
+        // loudly instead of wrapping negative: at that scale the right
+        // move is a finer support histogram (fractional-support tie
+        // keys), not a 2-billion-row ranked tie-break.
+        require(k <= Int.MaxValue,
+          s"k-core boundary tie-break of $k pairs exceeds Int range; " +
+            "refine the edge-budget tie key before ranking")
         val boundary = ps.filter(col("sup") === sStar)
-          .orderBy(col("u"), col("v")).limit((budget - nAbove).toInt)
+          .orderBy(col("u"), col("v")).limit(k.toInt)
           .select(col("u"), col("v"))
         above.unionByName(boundary)
-      }).coalesce(edgeParts(budget)).cache())
+      }).transform { df =>
+        // coalesce can only SHRINK — right when the table is tiny (the
+        // test-SF case: 32-way -> 1, no shuffle). To GROW past the
+        // inherited shuffle width (the 100 TB case) a real repartition
+        // is required; one extra shuffle of `budget` rows buys every
+        // peel round its parallelism.
+        val p = edgeParts(budget)
+        val cur = spark.sessionState.conf.numShufflePartitions
+        if (p <= cur) df.coalesce(p) else df.repartition(p)
+      }.cache())
     kCore(edges, KCoreK, KCorePeelRounds)
   }
 

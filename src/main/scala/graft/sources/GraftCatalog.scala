@@ -66,25 +66,25 @@ class GraftCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean = dirOf(ident).isDirectory
 
+  /** Resolve `path#<suffix>` metadata-table identifiers: returns the
+    * table directory when `ident` names a metadata view, None when it
+    * is a plain data-table identifier. One resolution for every
+    * metadata table and every loadTable overload — keep the
+    * suffix/namespace/existence rules in exactly one place. */
+  private def metaDirOf(ident: Identifier, suffix: String): Option[java.io.File] =
+    if (ident.namespace().isEmpty && ident.name().endsWith(suffix)) {
+      val dir = new java.io.File(ident.name().stripSuffix(suffix))
+      if (!dir.isDirectory) throw new NoSuchTableException(ident)
+      Some(dir)
+    } else None
+
   override def loadTable(ident: Identifier): Table = {
-    // `path#history` is the snapshot-inspection METADATA table
-    // (Iceberg's t.history idiom, path-addressed): one row per
-    // committed version with its live-file count and exact row count
-    // when the stats sidecar covers every file of that version (NULL
-    // otherwise — a wrong historical count is worse than none).
-    if (ident.namespace().isEmpty && ident.name().endsWith("#history")) {
-      val dir = new java.io.File(ident.name().stripSuffix("#history"))
-      if (!dir.isDirectory) throw new NoSuchTableException(ident)
-      return new JsonDocHistoryTable(dir.getPath)
-    }
-    // `path#files` — the live-file inventory (Iceberg t.files idiom):
-    // the user-visible window onto the per-file stats that file
-    // skipping and the exact-numRows statistic run on
-    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
-      val dir = new java.io.File(ident.name().stripSuffix("#files"))
-      if (!dir.isDirectory) throw new NoSuchTableException(ident)
-      return new JsonDocFilesTable(dir.getPath)
-    }
+    // `path#history` (Iceberg's t.history idiom): one row per committed
+    // version; `path#files` (t.files): the live-file inventory — the
+    // user-visible window onto the per-file stats that file skipping
+    // and the exact-numRows statistic run on
+    metaDirOf(ident, "#history").foreach(d => return new JsonDocHistoryTable(d.getPath))
+    metaDirOf(ident, "#files").foreach(d => return new JsonDocFilesTable(d.getPath))
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)
@@ -100,13 +100,11 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: VERSION AS OF takes an integer snapshot version, got '$version'"))
     // `path#files VERSION AS OF v` — the inventory of snapshot v
     // (retired files keep their sidecar entries so this stays exact)
-    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
-      val dir = new java.io.File(ident.name().stripSuffix("#files"))
-      if (!dir.isDirectory) throw new NoSuchTableException(ident)
-      if (JsonDocVersions.read(dir.getPath, v0).isEmpty)
+    metaDirOf(ident, "#files").foreach { d =>
+      if (JsonDocVersions.read(d.getPath, v0).isEmpty)
         throw new IllegalArgumentException(
-          s"graft catalog: snapshot v$v0 of ${dir.getPath} does not exist (vacuumed?)")
-      return new JsonDocFilesTable(dir.getPath, pinned = Some(v0))
+          s"graft catalog: snapshot v$v0 of ${d.getPath} does not exist (vacuumed?)")
+      return new JsonDocFilesTable(d.getPath, pinned = Some(v0))
     }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
@@ -121,14 +119,12 @@ class GraftCatalog extends TableCatalog
     * TableCatalog contract). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     // `path#files TIMESTAMP AS OF t` — same resolution as the data table
-    if (ident.namespace().isEmpty && ident.name().endsWith("#files")) {
-      val fdir = new java.io.File(ident.name().stripSuffix("#files"))
-      if (!fdir.isDirectory) throw new NoSuchTableException(ident)
-      val fv = JsonDocVersions.resolveAt(fdir.getPath,
+    metaDirOf(ident, "#files").foreach { d =>
+      val fv = JsonDocVersions.resolveAt(d.getPath,
           java.lang.Math.floorDiv(timestampMicros, 1000L))
         .getOrElse(throw new IllegalArgumentException(
-          s"graft catalog: no snapshot of ${fdir.getPath} existed at timestamp $timestampMicros"))
-      return new JsonDocFilesTable(fdir.getPath, pinned = Some(fv))
+          s"graft catalog: no snapshot of ${d.getPath} existed at timestamp $timestampMicros"))
+      return new JsonDocFilesTable(d.getPath, pinned = Some(fv))
     }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)

@@ -49,7 +49,9 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
     val stats = JsonDocStats.load(path)
     val rows = JsonDocVersions.manifests(path).toSeq.map { case (v, _) =>
       val files = JsonDocVersions.read(path, v).getOrElse(Set.empty)
-      val per = files.toSeq.map(n => stats.get(n).map(_.rows))
+      // rows = -1 is parseFile's missing-field sentinel — same NULL
+      // conservatism as a missing entry (estimateStatistics' guard)
+      val per = files.toSeq.map(n => stats.get(n).map(_.rows).filter(_ >= 0))
       val nRows = if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
         else if (files.isEmpty) Some(0L)
         else None
@@ -131,7 +133,9 @@ private[sources] class JsonDocFilesScan(path: String,
       val bounds = entry.map(_.cols.flatMap { case (c, r) =>
         Seq(s"$c.min" -> String.valueOf(r.min), s"$c.max" -> String.valueOf(r.max))
       })
-      (f.getName, f.length(), entry.map(_.rows), bounds)
+      // rows = -1 (parseFile's missing-field sentinel) reads NULL, the
+      // documented conservatism — never a negative "exact" count
+      (f.getName, f.length(), entry.map(_.rows).filter(_ >= 0), bounds)
     }
     Array(JsonDocFilesPartition(rows))
   }

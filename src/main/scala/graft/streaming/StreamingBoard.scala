@@ -82,12 +82,13 @@ object StreamingBoard {
     // incremental state backend; snapshots still happen, async, for
     // bounded replay). Restart correctness is covered by the RocksDB
     // restart case in StreamingBoardSpec.
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = spark.conf.getOption(changelogKey)
     if (rocksdb) {
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+      spark.conf.set(changelogKey, "true")
     }
     try {
       val q = ds.writeStream
@@ -99,7 +100,15 @@ object StreamingBoard {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
-      if (rocksdb) spark.conf.set(providerKey, prevProvider)
+      if (rocksdb) {
+        spark.conf.set(providerKey, prevProvider)
+        // restore like the two siblings — a leaked 'true' would make
+        // later RocksDB queries' checkpoint format order-dependent
+        prevChangelog match {
+          case Some(v) => spark.conf.set(changelogKey, v)
+          case None => spark.conf.unset(changelogKey)
+        }
+      }
     }
     ds.sparkSession.read.parquet(out)
   }
@@ -909,7 +918,13 @@ object StreamingBoard {
     val files = Seq((slice(0), "00-a.parquet", base - 360000),
       (slice(1), "01-b.parquet", base - 240000),
       (slice(2), "02-c.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    // skip files already staged: the restart spec re-calls with a higher
+    // upTo against a live checkpoint, and rewriting a consumed file is
+    // wasted work that would double-fold the MV if the source ever keyed
+    // its seen-set on mtime instead of path
+    files.take(upTo).foreach { case (df, name, ms) =>
+      if (!new java.io.File(in, name).exists()) addFile(df, in, name, ms)
+    }
     slice(0).schema
   }
 
