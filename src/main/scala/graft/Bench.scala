@@ -131,7 +131,12 @@ object Bench {
     if (prev.isEmpty) Seq.empty
     else board.filter { case (n, t) =>
       !exclude.contains(n) &&
-        prev.get(shortOf(n)).exists(p => t > 1.5 * p && t > p + 0.8)
+        // p >= 0.5: a decimals=0 compact line rounds sub-0.5 s queries
+        // to "0", and a zero baseline would flag every steady ~1 s
+        // query forever (t > 1.5*0 && t > 0.8) with an Infinity ratio —
+        // below the coarsest rounding quantum there is no baseline
+        // signal, so such rows can't drift-trip
+        prev.get(shortOf(n)).exists(p => p >= 0.5 && t > 1.5 * p && t > p + 0.8)
     }.sortBy { case (n, t) => -(t / prev(shortOf(n))) }.take(cap).map(_._1)
   }
 

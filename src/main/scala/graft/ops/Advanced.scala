@@ -998,17 +998,25 @@ object Advanced {
     var n = alive.count()
     var converged = false
     var r = 0
+    // the converged round's degree frame IS the answer: when next ==
+    // alive the subgraph is stable, so deg's >= k rows carry the final
+    // core degrees — returning them saves one full extra degree pass
+    var lastDeg: DataFrame = null
     while (!converged && r < maxRounds) {
+      val deg = graft.Caches.register(coreDegrees(alive).cache())
       val next = graft.Caches.register(
-        coreDegrees(alive).filter(col("d") >= k).select(col("node")).cache())
+        deg.filter(col("d") >= k).select(col("node")).cache())
       val m = next.count()
       converged = m == n // next ⊆ alive, so equal counts ⇒ equal sets
       alive = graft.dedup.Dedup.truncateLineage(next)
+      lastDeg = deg
       n = m
       r += 1
     }
-    coreDegrees(alive).select(col("node"), col("d").as("core_deg"))
-      .orderBy(col("node"))
+    val out =
+      if (converged && lastDeg != null) lastDeg.filter(col("d") >= k)
+      else coreDegrees(alive) // maxRounds exhausted: degrees of the cap set
+    out.select(col("node"), col("d").as("core_deg")).orderBy(col("node"))
   }
 
   val q182Sql: String = {

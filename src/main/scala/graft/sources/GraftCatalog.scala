@@ -171,8 +171,11 @@ class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!GraftCatalog.schemaFile(dir).isFile)
-      throw new NoSuchTableException(ident)
-    var schema = GraftCatalog.readSchema(dir).get
+      throw new UnsupportedOperationException(
+        s"graft catalog: ALTER TABLE requires a catalog-created table " +
+          s"(no schema sidecar in $dir — bare-writer directories resolve " +
+          "for reads but cannot be altered)")
+    var (schema, dropped) = GraftCatalog.readSchemaAndDropped(dir).get
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -183,6 +186,10 @@ class GraftCatalog extends TableCatalog
             s"$name: ${add.dataType().simpleString}")
         require(!schema.fieldNames.contains(name),
           s"graft catalog: column $name already exists")
+        require(!dropped.contains(name),
+          s"graft catalog: column $name was previously dropped; its bytes " +
+            "are inert in old files and re-adding the name would silently " +
+            "resurface pre-drop values — use a new name")
         require(add.isNullable,
           s"graft catalog: a column added to existing data must be nullable: $name")
         schema = schema.add(StructField(name, add.dataType(), nullable = true))
@@ -194,11 +201,14 @@ class GraftCatalog extends TableCatalog
           if (del.ifExists() == java.lang.Boolean.TRUE) ()
           else throw new IllegalArgumentException(
             s"graft catalog: no such column to drop: $name")
-        } else schema = StructType(schema.fields.filterNot(_.name == name))
+        } else {
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          dropped += name
+        }
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
-    GraftCatalog.writeSchema(dir, schema)
+    GraftCatalog.writeSchema(dir, schema, dropped)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -206,7 +216,15 @@ class GraftCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (!dir.isDirectory) false
     else {
-      Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile).foreach(_.delete())
+      // refuse BEFORE deleting anything: a subdirectory means this is
+      // not a plain jsondoc table dir (stray checkpoint, or a mistaken
+      // parent path) — deleting the files first and then failing the
+      // rmdir would destroy data while reporting the drop failed
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      require(entries.forall(_.isFile),
+        s"graft catalog: refusing to drop $dir — it contains " +
+          s"subdirectories (${entries.filterNot(_.isFile).map(_.getName).mkString(", ")})")
+      entries.foreach(_.delete())
       dir.delete()
     }
   }
@@ -238,6 +256,12 @@ object GraftCatalog {
     drop.foreach { case (_, mf) =>
       if (!mf.delete()) throw new java.io.IOException(s"vacuum failed to delete $mf")
     }
+    // prune the reclaimed files' stats entries: the files are unreadable
+    // at EVERY remaining version, so their entries are dead weight the
+    // sidecar would otherwise carry (and reparse at each scan) forever
+    if (deletable.nonEmpty)
+      JsonDocStats.mergeAndWrite(path, Seq.empty, keepExisting = true,
+        dropNames = deletable.map(_.getName).toSet)
     deletable.map(_.getName).toSeq.sorted
   }
 
@@ -313,13 +337,44 @@ object GraftCatalog {
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
 
-  private[sources] def writeSchema(dir: java.io.File, schema: StructType): Unit =
-    java.nio.file.Files.writeString(schemaFile(dir).toPath, schema.json)
-
-  private[sources] def readSchema(dir: java.io.File): Option[StructType] = {
-    val f = schemaFile(dir)
-    if (!f.isFile) None
-    else Some(DataType.fromJson(
-      java.nio.file.Files.readString(f.toPath)).asInstanceOf[StructType])
+  /** Sidecar format: `{"schema": <StructType.json>, "dropped": [names]}`.
+    * `dropped` is the column TOMBSTONE list — names ever removed by
+    * ALTER TABLE DROP COLUMN. Their bytes are inert in old files (lazy
+    * deletion), so re-ADDing such a name would silently resurface
+    * pre-drop values; the tombstone lets alterTable refuse that loudly
+    * (the field-id problem Iceberg/Delta solve, solved by name here).
+    * Legacy sidecars holding a bare schema JSON still parse
+    * (dropped = none). */
+  private[sources] def writeSchema(dir: java.io.File, schema: StructType,
+      dropped: Set[String] = Set.empty): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      "schema", mapper.readTree(schema.json))
+    val arr = root.putArray("dropped")
+    dropped.toSeq.sorted.foreach(arr.add)
+    java.nio.file.Files.writeString(schemaFile(dir).toPath,
+      mapper.writeValueAsString(root))
   }
+
+  private[sources] def readSchemaAndDropped(
+      dir: java.io.File): Option[(StructType, Set[String])] = {
+    val f = schemaFile(dir)
+    if (!f.isFile) return None
+    val raw = java.nio.file.Files.readString(f.toPath)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(raw)
+    Option(root.get("schema")) match {
+      case Some(sch) =>
+        import scala.jdk.CollectionConverters._
+        val dropped = Option(root.get("dropped"))
+          .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+        Some((DataType.fromJson(sch.toString).asInstanceOf[StructType], dropped))
+      case None => // legacy: the file IS the schema JSON
+        Some((DataType.fromJson(raw).asInstanceOf[StructType], Set.empty))
+    }
+  }
+
+  private[sources] def readSchema(dir: java.io.File): Option[StructType] =
+    readSchemaAndDropped(dir).map(_._1)
 }

@@ -1121,7 +1121,16 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
             s"'$hwm' without being planned into any batch and will never be ingested " +
             s"(append-in-name-order contract violated): ${late.take(5).mkString(", ")}")
     }
-    known = (if (known == null) Set.empty[String] else known) ++ names
+    // bound both tracking sets to the LIVE listing: an indefinitely
+    // running query over an append-then-vacuum directory would
+    // otherwise leak driver memory linearly in total files ever seen.
+    // Dropping a consumed-then-deleted name is safe — if that name ever
+    // REAPPEARS at/below the watermark it will never be re-ingested,
+    // which is exactly what the loud warning above exists to say.
+    val nameSet = names.toSet
+    known = ((if (known == null) Set.empty[String] else known) ++ names)
+      .intersect(nameSet)
+    planned = planned.intersect(nameSet)
     if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
     FileNameOffset(hwm)
   }

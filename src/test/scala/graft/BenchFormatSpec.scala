@@ -129,6 +129,13 @@ class BenchFormatSpec extends AnyFunSuite {
     // hot-set exclusion: a query already repeating as a hot sentinel
     // must not repeat twice
     assert(Bench.drifted(board, prev, exclude = Set("q41_string_funcs")).isEmpty)
+    // a decimals=0 compact line rounds sub-0.5 s queries to baseline
+    // 0.0 — that is no baseline, not a 0-second one: a steady ~1 s
+    // query must NOT drift-trip against it (pre-fix: t > 1.5*0 &&
+    // t > 0.8 flagged it every round at ratio Infinity)
+    assert(Bench.drifted(Seq("q07_rank_windows" -> 1.0),
+      Map("07" -> 0.0), Set.empty).isEmpty,
+      "a zero (rounded-away) baseline must never trip the drift rule")
     // absent history -> no repeats, never an abort
     assert(Bench.drifted(board, Map.empty, Set.empty).isEmpty)
     assert(Bench.previousBench(java.nio.file.Files.createTempDirectory("graft_nope").toString).isEmpty)

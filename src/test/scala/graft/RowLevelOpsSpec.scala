@@ -234,6 +234,13 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vacuum reclaims the six originals; the live table is unchanged
     val deleted = graft.sources.GraftCatalog.vacuum(s"$root/t", keepLast = 1)
     assert(deleted.size == 6, s"expected 6 reclaimed originals, got $deleted")
+    // vacuum also prunes the reclaimed files' stats entries — the files
+    // are unreadable at every remaining version, so their entries would
+    // be dead weight reparsed at each scan forever
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/t", "_stats.json"))
+    assert(deleted.forall(n => !sidecar.contains(n)),
+      "vacuumed files' stats entries must be pruned from the sidecar")
     assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
   }
 
@@ -354,11 +361,18 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Seq(Seq(1L, 10.0), Seq(2L, 20.0)))
     assert(dataFilesNow() === dataBefore,
       "DROP COLUMN must not rewrite data files")
-    // re-adding the name resurfaces old values (the bytes were inert,
-    // not erased — the documented lazy-delete trade)
-    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (src STRING)")
-    assert(spark.sql(s"SELECT src FROM $tbl ORDER BY k").collect()
-      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    // re-adding a dropped name is REFUSED: the bytes are inert, not
+    // erased, so resolving the name again would silently resurface
+    // pre-drop values — the tombstone list makes that loud (the
+    // field-id problem Iceberg/Delta solve, solved by name here)
+    val eRe = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (src STRING)"))
+    assert((Option(eRe.getMessage).toSeq ++
+        Option(eRe.getCause).flatMap(c => Option(c.getMessage)).toSeq)
+      .exists(_.contains("previously dropped")), s"wrong error: $eRe")
+    // a FRESH name is fine, and old files read NULL for it
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (src2 STRING)")
+    assert(spark.sql(s"SELECT src2 FROM $tbl").collect().forall(_.isNullAt(0)))
     // refused shapes: unsupported type, duplicate add, unknown drop, rename
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
@@ -388,5 +402,20 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("already exists"))
     spark.sql(s"DROP TABLE $tbl")
     assert(!new java.io.File(s"$root/t2").exists())
+    // DROP refuses — BEFORE deleting anything — when the directory
+    // holds a subdirectory (stray checkpoint, or a mistaken parent
+    // path): non-atomic delete-then-fail would destroy data while
+    // reporting the drop failed
+    val tbl3 = s"graftcat.`$root/t3`"
+    spark.sql(s"CREATE TABLE $tbl3 (a BIGINT) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq(1L).toDF("a").coalesce(1).writeTo(tbl3).append()
+    assert(new java.io.File(s"$root/t3/sub").mkdir())
+    val eDrop = intercept[Exception](spark.sql(s"DROP TABLE $tbl3"))
+    assert((Option(eDrop.getMessage).toSeq ++
+        Option(eDrop.getCause).flatMap(c => Option(c.getMessage)).toSeq)
+      .exists(_.contains("refusing to drop")), s"wrong error: $eDrop")
+    assert(spark.sql(s"SELECT a FROM $tbl3").collect().map(_.getLong(0)).toSeq
+      === Seq(1L), "a refused drop must leave the table fully intact")
   }
 }
