@@ -305,8 +305,14 @@ object GraftCatalog {
     files.foreach { f =>
       val len = f.length()
       if (cur.nonEmpty && curBytes + len > targetBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
-      if (len >= targetBytes / 2) bins += Vector(f) // big enough already
-      else { cur = cur :+ f; curBytes += len }
+      if (len >= targetBytes / 2) {
+        // flush the open bin FIRST (advice r12): without this a big file
+        // becomes a singleton bin while the open bin stays open and later
+        // merges files that STRADDLE it — a merged output whose inputs
+        // are not consecutive in name (read) order
+        if (cur.nonEmpty) { bins += cur; cur = Vector.empty; curBytes = 0L }
+        bins += Vector(f) // big enough already
+      } else { cur = cur :+ f; curBytes += len }
     }
     if (cur.nonEmpty) bins += cur
     if (!bins.exists(_.length > 1)) return None

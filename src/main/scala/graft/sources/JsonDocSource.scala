@@ -430,8 +430,10 @@ private[sources] object JsonDocStats {
       if (json.nonEmpty) { files.set[JsonNode](name, mapper.readTree(json)); () }
     }
     val tmp = new java.io.File(path, s".$SidecarName.tmp")
-    val w = new java.io.FileWriter(tmp)
-    try w.write(mapper.writeValueAsString(root)) finally w.close()
+    // explicit UTF-8 (advice r12): a platform-default charset would
+    // corrupt non-ASCII string min/max bounds on a non-UTF-8 locale and
+    // the pruner could then wrongly SKIP a file containing matches
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new java.io.File(path, SidecarName)
     if (dst.exists()) dst.delete()
     if (!tmp.renameTo(dst))
@@ -946,8 +948,16 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     override def numRows(): java.util.OptionalLong = rows
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new JsonDocMicroBatchStream(readSchema0, path, filters)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // a time-travel-pinned table must never resolve as a streaming
+    // source: the micro-batch stream tails the LIVE listing, so a
+    // pinned read would silently ignore the pin (advice r12) — and a
+    // frozen snapshot has no append semantics to stream anyway
+    require(pinned.isEmpty,
+      s"graft-jsondoc: version-pinned table (VERSION/TIMESTAMP AS OF ${pinned.get}) " +
+        "cannot be a streaming source — snapshots are immutable; stream the live table")
+    new JsonDocMicroBatchStream(readSchema0, path, filters, checkpointLocation)
+  }
 
   override def description(): String =
     s"graft-jsondoc path=$path pushed=[${filters.mkString(", ")}]" +
@@ -1083,7 +1093,8 @@ private[sources] case class FileNameOffset(name: String) extends Offset {
 }
 
 private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
-    path: String, filters: Array[Filter]) extends MicroBatchStream {
+    path: String, filters: Array[Filter],
+    checkpointLocation: String = "") extends MicroBatchStream {
 
   private def files(): Array[java.io.File] =
     JsonDocSource.listDataFiles(path)

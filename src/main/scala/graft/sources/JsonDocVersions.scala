@@ -69,8 +69,10 @@ private[sources] object JsonDocVersions {
     val arr = root.putArray("files")
     newLive.toSeq.sorted.foreach(arr.add)
     val tmp = new java.io.File(path, s".${manifestName(v)}.tmp")
-    val w = new java.io.FileWriter(tmp)
-    try w.write(mapper.writeValueAsString(root)) finally w.close()
+    // explicit UTF-8: FileWriter would use the platform charset while
+    // every reader parses UTF-8 — a non-UTF-8 locale would mangle
+    // non-ASCII names/bounds into '?' (advice r12)
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     val dst = new java.io.File(path, manifestName(v))
     if (!tmp.renameTo(dst))
       throw new java.io.IOException(s"manifest commit rename failed in $path")
