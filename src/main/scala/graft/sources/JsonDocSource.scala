@@ -547,7 +547,13 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         throw new java.io.IOException(s"commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
     val newLive = (live0 -- retired) ++ msgs.map(_.finalName)
-    JsonDocVersions.commit(path, newLive)
+    // consume any pending transaction id (GraftTxn) INTO the manifest:
+    // the rename below is then simultaneously the data commit and the
+    // applied-epoch ledger entry — an idempotent applier that crashes
+    // anywhere re-checks lastTxn and either sees nothing (MERGE never
+    // committed → re-apply) or sees the epoch (committed → skip); there
+    // is no state in which the fold landed but the ledger didn't
+    JsonDocVersions.commit(path, newLive, GraftTxn.take(path))
     // sidecar AFTER the manifest: entries accumulate across versions
     // (retired files keep theirs so time-travel reads still prune); a
     // crash in between leaves valid data files with missing stats

@@ -883,13 +883,18 @@ object StreamingBoard {
     * Exactly-once: the MERGE's "+=" fold is NOT naturally idempotent,
     * and foreachBatch replays an epoch when a crash lands between the
     * MERGE commit and the checkpoint's epoch commit. [[q183Apply]]
-    * guards it with an applied-epoch ledger keyed by `batchId` (the
-    * Delta `txnAppId`/`txnVersion` recipe): a replayed epoch is
-    * detected and skipped, pinned by StreamingBoardSpec's double-apply
-    * case. The ledger marker is written after the MERGE, so the
-    * residual window is a crash between the two writes — closing it
-    * needs the ledger INSIDE the table commit (what lakehouse formats'
-    * transactional metadata provides); documented, not hidden.
+    * guards it with the applied-epoch TRANSACTION map carried in the
+    * table's own manifest (the Delta `txnAppId`/`txnVersion` recipe
+    * done atomically, r13): the applier declares `(appId, batchId)`
+    * via [[graft.sources.GraftTxn]] before the MERGE, the batch
+    * commit folds it into the `_manifest_v<N+1>.json` rename — the
+    * SAME atomic point that makes the fold visible — and a replayed
+    * epoch is skipped iff `lastTxn >= batchId`. There is no external
+    * marker and therefore no crash window between the data commit and
+    * the ledger write: a crash anywhere leaves either (no fold, no
+    * txn → re-apply) or (fold, txn → skip), never a double fold.
+    * StreamingBoardSpec pins both the replay skip and the
+    * crash-between-writes case the r12 marker design could not close.
     *
     * 100 TB: each epoch shuffles only the micro-batch (partial agg to
     * |keys-in-batch| rows) and the MERGE rewrites only files holding
@@ -928,13 +933,22 @@ object StreamingBoard {
     slice(0).schema
   }
 
-  /** One epoch's fold: partial-aggregate the batch, MERGE into the view,
-    * record the epoch in the ledger. Skips (without touching the table)
-    * any `batchId` the ledger already holds — the replay guard. */
-  private[graft] def q183Apply(tbl: String, ledger: String,
+  /** The MV maintainer's transaction app id — one logical applier per
+    * view; a second maintenance pipeline on the same table would use
+    * its own id and the ledgers stay independent. */
+  private[graft] val q183AppId = "graft-mv-q183"
+
+  /** One epoch's fold: partial-aggregate the batch, MERGE into the view
+    * with `(appId, batchId)` riding the table's own manifest commit.
+    * Skips (without touching the table) any `batchId` at or below the
+    * last manifest-recorded transaction — the replay guard, with NO
+    * external marker and therefore no commit/marker crash window. */
+  private[graft] def q183Apply(tbl: String, tablePath: String,
       batchId: Long, batch: DataFrame): Unit = {
-    val marker = new java.io.File(ledger, s"epoch-$batchId")
-    if (marker.exists()) return // replayed epoch: the fold already committed
+    import graft.sources.{GraftTxn, JsonDocVersions}
+    // >= not ==: a replay can only re-deliver an already-applied epoch,
+    // and later epochs only exist because earlier ones committed
+    if (JsonDocVersions.lastTxn(tablePath, q183AppId).exists(_ >= batchId)) return
     // foreachBatch hands a DataFrame bound to a CLONED micro-batch
     // session — the temp view and the MERGE must both run there
     val spark = batch.sparkSession
@@ -947,6 +961,7 @@ object StreamingBoard {
       max(col("value")).as("max_value"))
     val view = s"q183_delta_$batchId"
     delta.createOrReplaceTempView(view)
+    GraftTxn.begin(tablePath, q183AppId, batchId)
     try spark.sql(
       s"""MERGE INTO $tbl t USING $view d ON t.user_id = d.user_id
          |WHEN MATCHED THEN UPDATE SET
@@ -955,8 +970,13 @@ object StreamingBoard {
          |  last_us = greatest(t.last_us, d.last_us),
          |  max_value = greatest(t.max_value, d.max_value)
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    finally spark.catalog.dropTempView(view)
-    require(marker.createNewFile(), s"cannot record applied epoch $batchId")
+    finally {
+      // the commit CONSUMED the pending entry on success; this only
+      // fires when the MERGE failed before its commit — the manifest
+      // then records nothing and the epoch legitimately re-applies
+      GraftTxn.clear(tablePath)
+      spark.catalog.dropTempView(view)
+    }
   }
 
   /** Run the maintenance stream over whatever files are staged under
@@ -964,11 +984,10 @@ object StreamingBoard {
     * restart case can stage a new file and re-drain the same view. */
   private[graft] def q183Drain(spark: SparkSession, root: String, tbl: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    val ledger = s"$root/applied"; new java.io.File(ledger).mkdirs()
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
     val q = stream.writeStream
-      .foreachBatch((b: DataFrame, id: Long) => q183Apply(tbl, ledger, id, b))
+      .foreachBatch((b: DataFrame, id: Long) => q183Apply(tbl, s"$root/mv", id, b))
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()

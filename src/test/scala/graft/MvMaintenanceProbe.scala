@@ -30,7 +30,6 @@ object MvMaintenanceProbe {
       val tbl = s"graftcat.`$path`"
       spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
         "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
-      val ledger = s"$root/applied"; new java.io.File(ledger).mkdirs()
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .cache()
@@ -58,7 +57,7 @@ object MvMaintenanceProbe {
           }
         }
         val t0 = System.nanoTime()
-        graft.streaming.StreamingBoard.q183Apply(tbl, ledger, i.toLong, slice)
+        graft.streaming.StreamingBoard.q183Apply(tbl, path, i.toLong, slice)
         val dt = (System.nanoTime() - t0) / 1e9
         val h = spark.sql(
           s"SELECT version, n_files, n_rows FROM graftcat.`$path#history` " +

@@ -718,23 +718,62 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tbl = s"graftcat.`$root/mv`"
     spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
       "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
-    val ledger = s"$root/applied"; new java.io.File(ledger).mkdirs()
+    val tablePath = s"$root/mv"
     import spark.implicits._
     val batch = Seq((1L, "2024-01-01 00:00:00.000001", 2.5),
         (1L, "2024-01-01 01:00:00", 7.25), (2L, "2024-01-02 12:00:00", -3.0))
       .toDF("user_id", "s", "value")
       .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"), col("value"))
-    StreamingBoard.q183Apply(tbl, ledger, 0L, batch)
+    StreamingBoard.q183Apply(tbl, tablePath, 0L, batch)
     val once = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
-    // the crash-replay shape: same epoch id, same data, applied again
-    StreamingBoard.q183Apply(tbl, ledger, 0L, batch)
+    // the epoch id must be IN the manifest the MERGE committed — the
+    // atomic-ledger claim itself, not just its observable consequence
+    assert(graft.sources.JsonDocVersions.lastTxn(tablePath, StreamingBoard.q183AppId)
+      .contains(0L), "the MERGE's manifest commit did not record the applied epoch")
+    assert(!graft.sources.GraftTxn.isPending(tablePath),
+      "the commit must CONSUME the pending transaction entry")
+    // the crash-replay shape: same epoch id, same data, applied again.
+    // Under the r12 marker design this was only safe if the marker write
+    // (AFTER the merge) had happened; with the ledger inside the table
+    // commit there is no state in which the fold landed unrecorded.
+    StreamingBoard.q183Apply(tbl, tablePath, 0L, batch)
     val twice = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
     assert(once == twice, "replayed epoch was folded twice — the ledger guard failed")
     assert(once.map(_.getLong(1)).sum == 3L, "first apply must have folded all rows")
     // a NEW epoch with the same content must fold (the guard is per-id)
-    StreamingBoard.q183Apply(tbl, ledger, 1L, batch)
+    StreamingBoard.q183Apply(tbl, tablePath, 1L, batch)
     val next = spark.sql(s"SELECT * FROM $tbl ORDER BY user_id").collect().toSeq
     assert(next.map(_.getLong(1)).sum == 6L, "a fresh epoch id must be applied")
+  }
+
+  test("q183 a failed MERGE records no transaction and leaves the epoch re-appliable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q183fail").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+    val tablePath = s"$root/mv"
+    import spark.implicits._
+    val bad = Seq((1L, "not-a-timestamp", 1.0)).toDF("user_id", "s", "value")
+      // a column the MERGE references but the batch lacks → analysis error
+      .select(col("user_id"), col("s").as("wrong_name"), col("value"))
+    intercept[Exception] {
+      StreamingBoard.q183Apply(tbl, tablePath, 0L, bad)
+    }
+    // failure path: nothing recorded, nothing pending, table untouched
+    assert(graft.sources.JsonDocVersions.lastTxn(tablePath, StreamingBoard.q183AppId).isEmpty,
+      "a failed MERGE must not record its epoch")
+    assert(!graft.sources.GraftTxn.isPending(tablePath),
+      "a failed MERGE must clear its pending transaction entry")
+    // the epoch now applies cleanly — the crash shape 'MERGE died before
+    // its commit' re-delivers and the fold happens exactly once
+    val good = Seq((1L, "2024-01-01 00:00:00", 1.0)).toDF("user_id", "s", "value")
+      .select(col("user_id"), col("s").cast("timestamp_ntz").as("ts"), col("value"))
+    StreamingBoard.q183Apply(tbl, tablePath, 0L, good)
+    assert(spark.sql(s"SELECT sum(n_events) FROM $tbl").head.getLong(0) == 1L)
+    assert(graft.sources.JsonDocVersions.lastTxn(tablePath, StreamingBoard.q183AppId)
+      .contains(0L))
   }
 
   test("q183 restart: a late file folds into the existing MV without reprocessing consumed epochs") {
