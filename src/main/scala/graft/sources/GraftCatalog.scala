@@ -47,13 +47,15 @@ class GraftCatalog extends TableCatalog
     ident.name() match {
       case "vacuum" => GraftProcedures.VacuumProcedure
       case "optimize" => GraftProcedures.OptimizeProcedure
+      case "expire_snapshots" => GraftProcedures.ExpireSnapshotsProcedure
       case other => throw new UnsupportedOperationException(
-        s"graft catalog has no procedure '$other' (available: vacuum, optimize)")
+        s"graft catalog has no procedure '$other' (available: vacuum, optimize, expire_snapshots)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"))
+    Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"),
+      Identifier.of(Array.empty, "expire_snapshots"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -245,6 +247,33 @@ object GraftCatalog {
     val all = JsonDocVersions.manifests(path)
     if (all.isEmpty) return Seq.empty
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
+    reclaim(path, drop, keep)
+  }
+
+  /** TIME-BASED retention (r13, the real-world form of [[vacuum]]):
+    * expire every snapshot whose manifest was committed BEFORE
+    * `olderThanMillis`, always keeping the current version (and
+    * everything newer than the cutoff). The count-based `keep_last` is
+    * a dev convenience; retention policies are stated in time ("keep
+    * 7 days"), and the two share one reclaim path so their guarantees
+    * cannot drift: reading an expired version afterwards fails loudly
+    * (`VERSION AS OF` hits [[JsonDocVersions.liveSet]]'s strict pinned
+    * path), newer snapshots stay fully time-travelable. */
+  def expireSnapshots(path: String, olderThanMillis: Long): Seq[String] = {
+    val all = JsonDocVersions.manifests(path)
+    if (all.isEmpty) return Seq.empty
+    // the latest manifest is never expirable, whatever its age
+    val (history, current) = all.splitAt(all.length - 1)
+    val (drop, keepOld) = history.partition(_._2.lastModified() < olderThanMillis)
+    reclaim(path, drop, keepOld ++ current)
+  }
+
+  /** Shared reclaim: delete every data file no kept manifest references,
+    * then the dropped manifests, then prune the reclaimed files' stats
+    * entries. Returns the deleted data-file names. */
+  private def reclaim(path: String,
+      drop: Array[(Int, java.io.File)],
+      keep: Array[(Int, java.io.File)]): Seq[String] = {
     val referenced: Set[String] =
       keep.flatMap { case (v, _) => JsonDocVersions.read(path, v).getOrElse(Set.empty) }.toSet
     val deletable = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)

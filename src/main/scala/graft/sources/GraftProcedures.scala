@@ -50,6 +50,27 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object ExpireSnapshotsProcedure extends UnboundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "expire snapshots committed before `older_than_ms` (epoch millis); the current version always survives"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String = ExpireSnapshotsProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType).build())
+      override def isDeterministic: Boolean = false // filesystem effect
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val deleted = GraftCatalog.expireSnapshots(
+          input.getUTF8String(0).toString, input.getLong(1))
+        val schema = new StructType().add("deleted_file", StringType, nullable = false)
+        Iterator(scanOf(schema,
+          deleted.map(n => InternalRow(UTF8String.fromString(n))))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

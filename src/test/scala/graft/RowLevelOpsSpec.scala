@@ -340,6 +340,49 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("no procedure"), s"wrong error: $e")
   }
 
+  test("expire_snapshots: time-based retention expires old versions, keeps the current and newer-than-cutoff") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlexpire").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc`")
+    import spark.implicits._
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, i * 1.0, s"gen$i")).toDF("k", "v", "src")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    spark.sql(s"DELETE FROM $tbl WHERE k = 0") // v4: retires gen0's file
+    // age the first two manifests a week back; v3/v4 stay "recent"
+    val now = System.currentTimeMillis()
+    Seq(1, 2).foreach { v =>
+      assert(new java.io.File(s"$root/t", f"_manifest_v$v%06d.json")
+        .setLastModified(now - 7L * 24 * 3600 * 1000))
+    }
+    val cutoff = now - 24L * 3600 * 1000 // "expire older than 1 day"
+    val deleted = spark.sql(s"CALL graftcat.expire_snapshots('$root/t', $cutoff)")
+      .collect().map(_.getString(0)).toSet
+    // v1/v2 expired; v3 still references every pre-delete file (incl.
+    // gen0's, retired only at v4), so nothing is reclaimable yet
+    assert(deleted.isEmpty, s"v3 still references all files, got $deleted")
+    val vers = spark.sql(s"SELECT version FROM graftcat.`$root/t#history` ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vers === Seq(3L, 4L), s"v1/v2 must be expired, got $vers")
+    // expired versions fail loudly; kept ones stay time-travelable
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("does not exist"), s"wrong error: $e")
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 3").count() == 3L)
+    // age v3 too: now gen0's file is referenced by NO kept manifest
+    assert(new java.io.File(s"$root/t", f"_manifest_v${3}%06d.json")
+      .setLastModified(now - 7L * 24 * 3600 * 1000))
+    val deleted2 = graft.sources.GraftCatalog.expireSnapshots(s"$root/t", cutoff)
+    assert(deleted2.size == 1, s"gen0's retired file must be reclaimed, got $deleted2")
+    // the current version ALWAYS survives, even when older than cutoff
+    val all = graft.sources.GraftCatalog.expireSnapshots(s"$root/t", now + 1000000)
+    assert(spark.sql(s"SELECT * FROM $tbl").count() == 2L,
+      s"current version must survive an all-expiring cutoff (reclaimed $all)")
+  }
+
   test("ALTER TABLE: DROP COLUMN stops projecting without touching data; bad changes are refused") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
