@@ -207,6 +207,33 @@ class GraftCatalog extends TableCatalog
           schema = StructType(schema.fields.filterNot(_.name == name))
           dropped += name
         }
+      case upd: TableChange.UpdateColumnType =>
+        // SAFE WIDENING only (r13, Iceberg's promotion rule restricted
+        // to this source's types): int -> long is exact for every value
+        // any old file can hold, so the sidecar records the wider type
+        // and old files' narrower JSON tokens read correctly with zero
+        // rewrite (the reader parses by DECLARED type; the stats
+        // accumulator already stored int mins/maxes as longs, so
+        // pruning ranges stay valid too). Everything else — narrowing,
+        // cross-family, anything lossy — is refused loudly.
+        require(upd.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames().head
+        val idx = schema.fieldNames.indexOf(name)
+        require(idx >= 0, s"graft catalog: no such column to alter: $name")
+        val from = schema.fields(idx).dataType
+        val to = upd.newDataType()
+        val widening = (from, to) match {
+          case (a, b) if a == b => true // idempotent DDL replay
+          case (org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.LongType) => true
+          case _ => false
+        }
+        require(widening,
+          s"graft catalog: only safe type widening is supported (int -> bigint); " +
+            s"refusing $name: ${from.simpleString} -> ${to.simpleString}")
+        schema = StructType(schema.fields.updated(idx,
+          schema.fields(idx).copy(dataType = to)))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }

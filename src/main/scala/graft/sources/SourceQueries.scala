@@ -249,6 +249,42 @@ object SourceQueries {
       "SELECT o_orderkey + 30000000, o_custkey, o_totalprice FROM orders " +
       "WHERE o_orderkey % 10 = 5 ORDER BY o_orderkey"
 
+  /** q185: SAFE TYPE WIDENING through SQL DDL — `ALTER TABLE ... ALTER
+    * COLUMN c TYPE BIGINT` on an INT column updates the schema sidecar
+    * without rewriting a byte of data (Iceberg's type-promotion rule,
+    * restricted to the promotions this source can honor exactly).
+    * Generation 1 is written while the column is INT; generation 2,
+    * after the ALTER, carries values beyond Int.MaxValue — so a
+    * hash-green result proves (a) old files' narrower JSON tokens read
+    * correctly through the widened declared type, (b) new files hold
+    * genuinely 64-bit values, and (c) the pushed `o_qty > 100` filter
+    * prunes/filters correctly against stats written under BOTH widths
+    * (the writer always accumulates integral mins/maxes as longs, and
+    * the pruner compares via BigDecimal, so ranges stay exact across
+    * the promotion). Narrowing and cross-family changes are refused
+    * loudly — SourceSinkSpec pins the refusal paths. */
+  def q185TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q185")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_qty INT) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_qty"))
+      .writeTo(tbl).append() // generation 1: 32-bit column
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN o_qty TYPE BIGINT")
+    orders(spark, dir).filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+        (col("o_custkey") + 3000000000L).as("o_qty"))
+      .writeTo(tbl).append() // generation 2: values that need 64 bits
+    spark.sql(s"SELECT o_orderkey, o_qty FROM $tbl WHERE o_qty > 100 ORDER BY o_orderkey")
+  }
+
+  val q185Sql: String =
+    "SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_qty FROM orders WHERE o_custkey > 100 " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 30000000, o_custkey + 3000000000 FROM orders " +
+      "WHERE o_orderkey % 10 = 5 ORDER BY o_orderkey"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -288,7 +324,8 @@ object SourceQueries {
     "q176_time_travel" -> q176TimeTravel _,
     "q177_snapshot_diff" -> q177SnapshotDiff _,
     "q180_history" -> q180History _,
-    "q181_schema_evolution" -> q181SchemaEvolution _)
+    "q181_schema_evolution" -> q181SchemaEvolution _,
+    "q185_type_widening" -> q185TypeWidening _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -304,5 +341,7 @@ object SourceQueries {
     // old generation null-padded, new generation carrying values
     "q181_schema_evolution" -> q181Sql,
     // per-file exact rows + o_orderkey bounds across a 3-commit table
-    "q184_files_inventory" -> q184Sql)
+    "q184_files_inventory" -> q184Sql,
+    // int generation + post-ALTER long generation through one widened schema
+    "q185_type_widening" -> q185Sql)
 }

@@ -432,6 +432,52 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wrong error: $e3")
   }
 
+  test("ALTER COLUMN TYPE: int->bigint widens in place; narrowing and cross-family are refused") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlwiden").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, q INT) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10), (2L, 20)).toDF("k", "q").coalesce(1).writeTo(tbl).append()
+    def dataFilesNow(): Map[String, Long] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val dataBefore = dataFilesNow()
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN q TYPE BIGINT")
+    // zero rewrite; declared type widened; old int tokens read as long
+    assert(dataFilesNow() === dataBefore, "widening must not rewrite data files")
+    assert(spark.sql(s"SELECT q FROM $tbl").schema.head.dataType
+      === org.apache.spark.sql.types.LongType)
+    // a post-widen append can hold values an INT never could
+    Seq((3L, 3000000000L)).toDF("k", "q").coalesce(1).writeTo(tbl).append()
+    assert(spark.sql(s"SELECT k, q FROM $tbl ORDER BY k").collect().map(_.toSeq).toSeq
+      === Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 3000000000L)))
+    // a pushed filter crosses both generations' stats correctly: gen1's
+    // file (q in [10,20]) is skippable for q > 100, gen2's is not
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE q > 100").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // narrowing is refused — Spark's own analyzer rejects a non-up-cast
+    // before the catalog is even consulted (defense in depth; the
+    // catalog's require would catch a programmatic TableChange too)
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN q TYPE INT"))
+    assert(msgs(e1).exists(m => m.contains("safe type widening") ||
+      m.contains("NOT_SUPPORTED_CHANGE_COLUMN")), s"wrong error: $e1")
+    // long->double is analyzer-PERMITTED (numeric precedence) but loses
+    // 64-bit exactness and changes the JSON token shape — OUR refusal
+    // path must catch it
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE DOUBLE"))
+    assert(msgs(e2).exists(_.contains("safe type widening")), s"wrong error: $e2")
+    // idempotent replay of the same declared type is accepted
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN q TYPE BIGINT")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 3L)
+  }
+
   test("CREATE TABLE persists the declared schema; duplicate CREATE fails; DROP removes it") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
