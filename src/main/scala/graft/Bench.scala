@@ -135,9 +135,18 @@ object Bench {
         // to "0", and a zero baseline would flag every steady ~1 s
         // query forever (t > 1.5*0 && t > 0.8) with an Infinity ratio —
         // below the coarsest rounding quantum there is no baseline
-        // signal, so such rows can't drift-trip
-        prev.get(shortOf(n)).exists(p => p >= 0.5 && t > 1.5 * p && t > p + 0.8)
-    }.sortBy { case (n, t) => -(t / prev(shortOf(n))) }.take(cap).map(_._1)
+        // signal for a RATIO. But "no ratio" must not mean "no guard"
+        // (r12 advice): a genuinely sub-0.5 s query that regresses to
+        // tens of seconds would otherwise be permanently invisible once
+        // a lean-gear line becomes the baseline — so sub-quantum
+        // baselines fall back to an absolute 5 s trip wire instead of
+        // being exempt.
+        prev.get(shortOf(n)).exists(p =>
+          if (p >= 0.5) t > 1.5 * p && t > p + 0.8 else t > 5.0)
+    }.sortBy { case (n, t) =>
+      val p = prev(shortOf(n))
+      -(if (p >= 0.5) t / p else t) // sub-quantum rows rank by raw time
+    }.take(cap).map(_._1)
   }
 
   def main(args: Array[String]): Unit = {

@@ -136,6 +136,15 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.drifted(Seq("q07_rank_windows" -> 1.0),
       Map("07" -> 0.0), Set.empty).isEmpty,
       "a zero (rounded-away) baseline must never trip the drift rule")
+    // ... but a rounded-away baseline must not blind the guard either
+    // (r12 advice): a sub-quantum query regressing past the absolute
+    // 5 s wire still trips, ranked by raw time
+    assert(Bench.drifted(Seq("q07_rank_windows" -> 30.0),
+      Map("07" -> 0.0), Set.empty) == Seq("q07_rank_windows"),
+      "a 0.4s -> 30s regression must trip the absolute fallback wire")
+    assert(Bench.drifted(Seq("q07_rank_windows" -> 4.9),
+      Map("07" -> 0.0), Set.empty).isEmpty,
+      "below the absolute wire a sub-quantum row stays quiet")
     // absent history -> no repeats, never an abort
     assert(Bench.drifted(board, Map.empty, Set.empty).isEmpty)
     assert(Bench.previousBench(java.nio.file.Files.createTempDirectory("graft_nope").toString).isEmpty)
