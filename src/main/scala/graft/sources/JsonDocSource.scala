@@ -598,6 +598,16 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
+    // Single-streaming-query-per-directory, ENFORCED (r12 advice): final
+    // names are keyed (epochId, partitionId) — run-independent so a
+    // checkpointed RESTART replaces its own replayed epoch — which means
+    // a SECOND query (fresh checkpoint, epochs restarting at 0) would
+    // silently overwrite the first run's committed files. The first
+    // commit persists the query id (stable across restarts of the same
+    // checkpoint; Spark hands the checkpoint-resident id to the write
+    // builder) in a marker; a commit from a different query id is
+    // refused loudly instead of replacing data.
+    JsonDocStreamingWrite.ensureSoleWriter(dir, queryId)
     val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
     msgs.foreach { m =>
       val src = new java.io.File(dir, m.tmpName)
@@ -639,6 +649,39 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
       val f = new java.io.File(new java.io.File(path), m.tmpName)
       if (f.exists()) f.delete()
     }
+}
+
+private[sources] object JsonDocStreamingWrite {
+  val MarkerName = "_sink_query.json"
+
+  /** Record the first committing query's id (atomic tmp+rename); refuse
+    * commits from any other id. Underscore-prefixed, so data listings
+    * and the micro-batch source never see it. */
+  def ensureSoleWriter(dir: java.io.File, queryId: String): Unit = {
+    val marker = new java.io.File(dir, MarkerName)
+    if (!marker.exists()) {
+      dir.mkdirs()
+      val tmp = new java.io.File(dir, s".$MarkerName.$queryId.tmp")
+      java.nio.file.Files.writeString(tmp.toPath,
+        s"""{"queryId":"$queryId"}""", java.nio.charset.StandardCharsets.UTF_8)
+      // losing the rename race to a concurrent first commit is fine —
+      // the recorded id is re-checked below either way
+      if (!tmp.renameTo(marker)) tmp.delete()
+    }
+    val recorded = try {
+      new ObjectMapper().readTree(
+        java.nio.file.Files.readString(marker.toPath,
+          java.nio.charset.StandardCharsets.UTF_8)).get("queryId").asText()
+    } catch { case _: Exception => queryId } // unreadable marker: don't brick the sink
+    if (recorded != queryId)
+      throw new IllegalStateException(
+        s"graft-jsondoc streaming sink on $dir: this directory belongs to " +
+          s"streaming query $recorded (one streaming query per directory — " +
+          s"final names are keyed by epoch, so a different query's epochs " +
+          s"would silently replace committed files). Refusing commits from " +
+          s"query $queryId; write to a fresh directory, or delete " +
+          s"$MarkerName if the original query is permanently retired.")
+  }
 }
 
 private[sources] class JsonDocStreamingWriterFactory(path: String, schema: StructType,
@@ -1094,8 +1137,25 @@ private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
   * files replay after a restart: replay is driven by the committed name
   * alone. Pushdown/pruning from the shared ScanBuilder applies to every
   * micro-batch identically to the batch path. */
-private[sources] case class FileNameOffset(name: String) extends Offset {
-  override def json(): String = name
+private[sources] case class FileNameOffset(name: String,
+    version: Option[Int] = None) extends Offset {
+  // legacy shape (plain name) for manifest-less directories, so old
+  // checkpoints keep deserializing; manifest-versioned directories carry
+  // the snapshot version alongside — the consumed window's basis, which
+  // lets a restart PROVE the directory stayed append-only while down
+  override def json(): String = version match {
+    case Some(v) => s"""{"n":${com.fasterxml.jackson.databind.node.TextNode.valueOf(name).toString},"v":$v}"""
+    case None => name
+  }
+}
+
+private[sources] object FileNameOffset {
+  def parse(json: String): FileNameOffset =
+    if (json.startsWith("{")) {
+      val node = new ObjectMapper().readTree(json)
+      FileNameOffset(node.get("n").asText(),
+        Option(node.get("v")).map(_.asInt()))
+    } else FileNameOffset(json)
 }
 
 private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
@@ -1126,8 +1186,66 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * consumed, not lost, and must not be warned about. */
   private var planned: Set[String] = Set.empty
 
+  /** Manifest basis of the consumed window: the snapshot version (and
+    * its cached live set) this consumer has already validated up to.
+    * Seeded from the checkpointed offset on restart (set is reloaded
+    * from the manifest then); None on a manifest-less directory or a
+    * legacy plain-name checkpoint. */
+  private var seenVersion: Option[Int] = None
+  private var seenLive: Option[Set[String]] = None
+
+  /** A streaming-consumed directory must stay APPEND-ONLY in live-set
+    * terms (r12 verdict item 4): OPTIMIZE, copy-on-write MERGE/UPDATE/
+    * DELETE, and truncate all REPLACE live names, and a name-watermark
+    * offset cannot split a rewritten file at the watermark — delivering
+    * it duplicates consumed rows, skipping it loses unconsumed ones
+    * (and a rewrite's output can even sort below the watermark, where
+    * it would be skipped with zero observability). So every trigger —
+    * and, via the version carried in the checkpointed offset, every
+    * RESTART — diffs the manifest live set against the validated basis
+    * and aborts loudly on any removal, or on any addition at-or-below
+    * the watermark. Pure appends (new names above the watermark)
+    * advance the basis silently. Manifest-less directories keep the
+    * name-order contract alone (nothing can compact or rewrite them). */
+  private def validateAppendOnly(): Unit =
+    JsonDocVersions.latest(path).foreach { case (v, live) =>
+      seenVersion match {
+        case Some(v0) if v != v0 =>
+          if (v < v0)
+            throw new IllegalStateException(
+              s"graft-jsondoc streaming source on $path: manifest chain went " +
+                s"backwards (v$v0 -> v$v) under a checkpointed consumer — " +
+                "the directory was replaced or restored; re-ingest from a " +
+                "fresh checkpoint.")
+          val base = seenLive.orElse(JsonDocVersions.read(path, v0)).getOrElse(
+            throw new IllegalStateException(
+              s"graft-jsondoc streaming source on $path: snapshot v$v0 — the " +
+                s"basis of this checkpoint — has been expired/vacuumed, so the " +
+                s"consumed window (v$v0 -> v$v) cannot be proven append-only. " +
+                "Keep snapshots at least as long as checkpointed consumers, " +
+                "or re-ingest from a fresh checkpoint."))
+          val removed = base -- live
+          val addedBelow = (live -- base).filter(n => hwm.nonEmpty && n <= hwm)
+          if (removed.nonEmpty || addedBelow.nonEmpty)
+            throw new IllegalStateException(
+              s"graft-jsondoc streaming source on $path: OPTIMIZE ran under a checkpointed consumer, " +
+                s"or a row-level rewrite/truncate did (v$v0 -> v$v removed " +
+                s"${removed.size} live file(s) [${removed.take(3).mkString(", ")}]" +
+                (if (addedBelow.nonEmpty) s" and added ${addedBelow.size} at-or-below " +
+                  s"the watermark '$hwm' [${addedBelow.take(3).mkString(", ")}]" else "") +
+                "). A rewritten file cannot be split at the name watermark — rows " +
+                "would be duplicated or lost. Only append to streaming-consumed " +
+                "directories; compact/rewrite them when no checkpointed stream is " +
+                "reading, then re-ingest from a fresh checkpoint.")
+          seenVersion = Some(v); seenLive = Some(live)
+        case Some(_) => () // unchanged version: nothing to validate
+        case None => seenVersion = Some(v); seenLive = Some(live)
+      }
+    }
+
   override def initialOffset(): Offset = FileNameOffset("")
   override def latestOffset(): Offset = {
+    validateAppendOnly()
     val fs = files()
     val names = fs.map(_.getName)
     if (known != null) {
@@ -1149,18 +1267,35 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
       .intersect(nameSet)
     planned = planned.intersect(nameSet)
     if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
-    FileNameOffset(hwm)
+    FileNameOffset(hwm, seenVersion)
   }
   /** Recovery seeds the in-instance watermark: a fresh instance whose
     * greatest-named consumed file was deleted would otherwise report a
     * listing max BELOW the committed offset from `latestOffset`, and the
-    * regressed name would be committed back to the checkpoint. */
+    * regressed name would be committed back to the checkpoint. The
+    * manifest version rides along (None on legacy plain-name offsets),
+    * seeding the append-only validation basis across restarts. */
   override def deserializeOffset(json: String): Offset = {
-    if (json > hwm) hwm = json
-    FileNameOffset(json)
+    val off = FileNameOffset.parse(json)
+    if (off.name > hwm) hwm = off.name
+    off.version.foreach { v =>
+      // the CHECKPOINTED basis wins even when older: on restart Spark
+      // calls latestOffset() before any deserializeOffset, so the fresh
+      // instance has self-seeded at the CURRENT version — validating
+      // nothing. Resetting to the older checkpointed version re-opens
+      // the downtime window, and the next validateAppendOnly() (plan or
+      // trigger) proves it append-only or aborts.
+      if (seenVersion.forall(_ != v)) { seenVersion = Some(v); seenLive = None }
+    }
+    off
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // a REPLAYED batch after a restart reaches here before any
+    // latestOffset call — validate the downtime window first, or the
+    // replay would re-read a rewritten directory as if it were the one
+    // the offsets were committed against
+    validateAppendOnly()
     val s = start.asInstanceOf[FileNameOffset].name
     val e = end.asInstanceOf[FileNameOffset].name
     val chosen = files().filter(f => f.getName > s && f.getName <= e)

@@ -156,7 +156,10 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readBack.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
 
     // restart from the same checkpoint with a new input file: docs 1-3
-    // must NOT duplicate even though the new run has a new queryId
+    // must NOT duplicate. (The restart carries the SAME queryId — Spark
+    // hands the checkpoint-resident id, not the per-run runId, to the
+    // write builder — which is also what lets the sink's _sink_query
+    // marker admit restarts while refusing a second query.)
     writeFile(dir, "b2.json", Seq(
       """{"doc_id": 4, "lang": "en", "n_chars": 400}"""))
     val q2 = start()
@@ -175,5 +178,108 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
     assert(hist.map(_._2) === Seq(Some(2L), Some(3L), Some(4L)),
       s"streaming epochs must stay exactly counted, got $hist")
+  }
+
+  test("a SECOND streaming query into the same sink directory is refused loudly") {
+    // final names are keyed (epoch, partition) so a restarted query
+    // replaces its own replayed epochs — which means a DIFFERENT query
+    // (fresh checkpoint, epochs restarting at 0) would silently
+    // overwrite the first run's committed files. The _sink_query marker
+    // makes that a loud refusal instead of silent data replacement.
+    val dir = Files.createTempDirectory("graft_swrite2_src").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_swrite2_out").toFile.getAbsolutePath
+    writeFile(dir, "b0.json", Seq("""{"doc_id": 1, "lang": "en", "n_chars": 100}"""))
+
+    def start(ckpt: String) = spark.readStream.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema)
+      .option("path", dir).load()
+      .writeStream.format("graft-jsondoc")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val ckpt1 = Files.createTempDirectory("graft_swrite2_ck1").toFile.getAbsolutePath
+    val q1 = start(ckpt1)
+    try q1.processAllAvailable() finally q1.stop()
+    val committed = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.length()).toMap
+    assert(committed.nonEmpty)
+
+    // same data, FRESH checkpoint: its epoch 0 collides with q1's
+    val ckpt2 = Files.createTempDirectory("graft_swrite2_ck2").toFile.getAbsolutePath
+    val q2 = start(ckpt2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable() // throws: the query died on the refused commit
+    }
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("one streaming query per directory")),
+      s"wrong error: $e")
+    // the first run's committed files are physically untouched
+    val after = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.length()).toMap
+    assert(after === committed, "second query must not touch committed files")
+  }
+
+  test("OPTIMIZE under a checkpointed streaming source fails loudly, not silently") {
+    // a compacted file merges rows from names on both sides of the
+    // consumer's watermark — delivering it duplicates, skipping it
+    // loses. The source must refuse to continue.
+    val root = Files.createTempDirectory("graft_sopt").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, "en", 100L)).toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).writeTo(tbl).append()
+
+    val ckpt = Files.createTempDirectory("graft_sopt_ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_sopt_out").toFile.getAbsolutePath
+    def start() = spark.readStream.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema)
+      .option("path", s"$root/t").load()
+      .writeStream.format("parquet") // checkpoint-recoverable sink
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 1L)
+
+    // while the consumer is down: append + OPTIMIZE (merges consumed and
+    // unconsumed names into one compact file)
+    Seq((2L, "de", 200L)).toDF("doc_id", "lang", "n_chars")
+      .coalesce(1).writeTo(tbl).append()
+    graft.sources.GraftCatalog.optimize(s"$root/t", targetBytes = 1L << 20)
+
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable() // throws: the source refused the rewritten window
+    }
+    q2.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("OPTIMIZE ran under a checkpointed consumer")),
+      s"wrong error: $e")
+
+    // a stream STARTED FRESH on an already-compacted directory is fine:
+    // nothing is consumed yet, so compact files are ordinary input
+    val ckptFresh = Files.createTempDirectory("graft_sopt_ckptf").toFile.getAbsolutePath
+    val q3 = spark.readStream.format("graft-jsondoc")
+      .schema(sources.SourceQueries.docSchema)
+      .option("path", s"$root/t").load()
+      .writeStream.format("memory")
+      .queryName("jsondoc_opt_fresh")
+      .option("checkpointLocation", ckptFresh)
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.table("jsondoc_opt_fresh").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
   }
 }

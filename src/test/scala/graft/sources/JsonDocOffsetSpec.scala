@@ -74,9 +74,11 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     w1.commit(3L, Array(msg))
     assert(visible == afterFirst)
 
-    // restarted run (new queryId, new taskId) REPLAYS epoch 3: the final
-    // name is run-independent, so the replay replaces the file in place
-    val w2 = new JsonDocStreamingWrite(dir, schema, "runB")
+    // restarted run REPLAYS epoch 3 (same queryId — Spark hands the
+    // checkpoint-resident id, not the per-run runId, to the write
+    // builder — but fresh attempt/task ids): the final name is
+    // attempt-independent, so the replay replaces the file in place
+    val w2 = new JsonDocStreamingWrite(dir, schema, "runA")
     val dw2 = w2.createStreamingWriterFactory(null).createWriter(0, 200L, 3L)
     dw2.write(row(1L))
     w2.commit(3L, Array(dw2.commit()))
@@ -84,6 +86,18 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     val content = new String(Files.readAllBytes(
       Paths.get(dir, afterFirst.head)), StandardCharsets.UTF_8)
     assert(content.trim == """{"doc_id":1}""")
+
+    // a DIFFERENT query (fresh checkpoint, its own id) is refused
+    // loudly — its epoch numbering restarts at 0, so letting it commit
+    // would silently replace this query's files (r12 advice)
+    val wOther = new JsonDocStreamingWrite(dir, schema, "runB")
+    val dwO = wOther.createStreamingWriterFactory(null).createWriter(0, 300L, 0L)
+    dwO.write(row(2L))
+    val eOther = intercept[IllegalStateException] {
+      wOther.commit(0L, Array(dwO.commit()))
+    }
+    assert(eOther.getMessage.contains("one streaming query per directory"))
+    assert(visible == afterFirst, "refused commit must not touch files")
 
     // a commit where NEITHER temp nor final exists is a hard error, not
     // a silent data hole
