@@ -374,23 +374,69 @@ object GraftCatalog {
     if (!bins.exists(_.length > 1)) return None
     val v = JsonDocVersions.manifests(path).lastOption.map(_._1).getOrElse(0) + 1
     val stats = JsonDocStats.load(path)
+
+    // Build each merged file in an EXECUTOR task (r12 verdict item 3):
+    // the bins are independent byte concatenations, and compaction of a
+    // large table cannot stream through one process — the driver's only
+    // O(data) role here would be a scale-killer. Each task writes an
+    // attempt-suffixed temp (speculative/retried attempts never
+    // collide); the driver renames winners to their final names, merges
+    // stats (metadata-only), and commits the manifest — the same
+    // task-temp/driver-rename two-phase protocol as the V2 writer. The
+    // output is byte-identical to the serial path: same bins, same
+    // in-bin name order, same separator. Serial fallback when no
+    // SparkSession is active (bare library use).
+    val multi: Seq[(Int, Vector[String])] = bins.zipWithIndex.collect {
+      case (bin, i) if bin.length > 1 => (i, bin.map(_.getName))
+    }.toSeq
+    def concatInto(tmp: java.io.File, names: Seq[String]): Unit = {
+      val out = new java.io.FileOutputStream(tmp)
+      try names.foreach { n =>
+        java.nio.file.Files.copy(new java.io.File(dir, n).toPath, out)
+        out.write('\n') // files end without one; keep lines separate
+      } finally out.close()
+    }
+    val tmpOf: Map[Int, String] =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(spark) =>
+          val pathStr = path
+          spark.sparkContext.parallelize(multi, multi.size).map { case (i, names) =>
+            val d = new java.io.File(pathStr)
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val tmpName = s".compact-bin$i-t$attempt.jsonl.tmp"
+            val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
+            try names.foreach { n =>
+              java.nio.file.Files.copy(new java.io.File(d, n).toPath, out)
+              out.write('\n')
+            } finally out.close()
+            (i, tmpName)
+          }.collect().toMap
+        case None =>
+          multi.map { case (i, names) =>
+            val tmpName = s".compact-bin$i-t0.jsonl.tmp"
+            concatInto(new java.io.File(dir, tmpName), names)
+            (i, tmpName)
+          }.toMap
+      }
     val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val newLive = bins.zipWithIndex.flatMap {
       case (bin, _) if bin.length == 1 => bin.map(_.getName)
       case (bin, i) =>
         val name = f"compact-v$v%06d-$i%04d.jsonl"
-        val tmp = new java.io.File(dir, s".$name.tmp")
-        val out = new java.io.FileOutputStream(tmp)
-        try bin.foreach { f =>
-          java.nio.file.Files.copy(f.toPath, out)
-          out.write('\n') // files end without one; keep lines separate
-        } finally out.close()
+        val tmp = new java.io.File(dir, tmpOf(i))
         if (!tmp.renameTo(new java.io.File(dir, name)))
           throw new java.io.IOException(s"optimize rename failed for $name")
         JsonDocStats.union(bin.map(f => stats.get(f.getName)))
           .foreach(merged => newEntries += (name -> JsonDocStats.toJson(merged)))
         Seq(name)
     }.toSet
+    // losing speculative attempts leave dot-temps invisible to readers;
+    // sweep them before committing
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".compact-bin") &&
+        f.getName.endsWith(".jsonl.tmp"))
+      .foreach(_.delete())
     JsonDocVersions.commit(path, newLive)
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(v)
