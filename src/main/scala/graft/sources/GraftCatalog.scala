@@ -147,7 +147,30 @@ class GraftCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    // PARTITIONED BY (col, ...) — IDENTITY transforms only (r13):
+    // Hive-style `col=value` directory layout, pruned at plan time
+    // before any stats I/O. Bucket/temporal transforms stay refused
+    // loudly rather than silently identity-ized.
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      // identity transforms arrive as name "identity" over one
+      // single-part column reference (the private IdentityTransform
+      // class is not part of the public API surface)
+      val refs = t.references()
+      if (t.name() == "identity" && t.arguments().length == 1 &&
+        refs.length == 1 && refs.head.fieldNames().length == 1)
+        refs.head.fieldNames().head
+      else throw new UnsupportedOperationException(
+        s"graft catalog: only identity partition transforms are supported, got $t")
+    }
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"graft catalog: partition column $c is not in the schema"))
+      require(f.dataType != org.apache.spark.sql.types.DoubleType,
+        s"graft catalog: partitioning on a floating-point column is refused ($c: double) — " +
+          "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
+    }
+    require(partCols.distinct.length == partCols.length,
+      s"graft catalog: duplicate partition columns: ${partCols.mkString(", ")}")
     val bad = schema.fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
     require(bad.isEmpty,
       "graft-jsondoc supports long/int/double/boolean/string fields only; unsupported: " +
@@ -156,7 +179,7 @@ class GraftCatalog extends TableCatalog
     if (GraftCatalog.schemaFile(dir).exists()) throw new TableAlreadyExistsException(ident)
     if (!dir.isDirectory && !dir.mkdirs())
       throw new java.io.IOException(s"cannot create table directory $dir")
-    GraftCatalog.writeSchema(dir, schema)
+    GraftCatalog.writeSchema(dir, schema, partitions = partCols)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -178,6 +201,11 @@ class GraftCatalog extends TableCatalog
           s"(no schema sidecar in $dir — bare-writer directories resolve " +
           "for reads but cannot be altered)")
     var (schema, dropped) = GraftCatalog.readSchemaAndDropped(dir).get
+    val partCols = GraftCatalog.partitionColsOf(dir.getPath).map(_.name)
+    def requireNotPartition(name: String, what: String): Unit =
+      require(!partCols.contains(name),
+        s"graft catalog: cannot $what partition column $name — the value is " +
+          "baked into every directory name; rewrite the table into a new layout instead")
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -199,6 +227,7 @@ class GraftCatalog extends TableCatalog
         require(del.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported: ${del.fieldNames().mkString(".")}")
         val name = del.fieldNames().head
+        requireNotPartition(name, "drop")
         if (!schema.fieldNames.contains(name)) {
           if (del.ifExists() == java.lang.Boolean.TRUE) ()
           else throw new IllegalArgumentException(
@@ -219,6 +248,7 @@ class GraftCatalog extends TableCatalog
         require(upd.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported: ${upd.fieldNames().mkString(".")}")
         val name = upd.fieldNames().head
+        requireNotPartition(name, "retype")
         val idx = schema.fieldNames.indexOf(name)
         require(idx >= 0, s"graft catalog: no such column to alter: $name")
         val from = schema.fields(idx).dataType
@@ -237,7 +267,7 @@ class GraftCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
-    GraftCatalog.writeSchema(dir, schema, dropped)
+    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partCols)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -245,16 +275,29 @@ class GraftCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (!dir.isDirectory) false
     else {
-      // refuse BEFORE deleting anything: a subdirectory means this is
-      // not a plain jsondoc table dir (stray checkpoint, or a mistaken
-      // parent path) — deleting the files first and then failing the
-      // rmdir would destroy data while reporting the drop failed
-      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
-      require(entries.forall(_.isFile),
-        s"graft catalog: refusing to drop $dir — it contains " +
-          s"subdirectories (${entries.filterNot(_.isFile).map(_.getName).mkString(", ")})")
-      entries.foreach(_.delete())
-      dir.delete()
+      // refuse BEFORE deleting anything: an unexpected subdirectory
+      // means this is not a plain jsondoc table dir (stray checkpoint,
+      // or a mistaken parent path) — deleting the files first and then
+      // failing the rmdir would destroy data while reporting the drop
+      // failed. `col=value` directories are the table's OWN partition
+      // layout (r13) and are checked recursively by the same rule.
+      def check(d: java.io.File): Unit = {
+        val entries = Option(d.listFiles()).getOrElse(Array.empty)
+        val badDirs = entries.filter(e => e.isDirectory && !e.getName.contains('='))
+        require(badDirs.isEmpty,
+          s"graft catalog: refusing to drop $dir — it contains " +
+            s"non-partition subdirectories (${badDirs.map(_.getName).mkString(", ")})")
+        entries.filter(_.isDirectory).foreach(check)
+      }
+      check(dir)
+      def purge(d: java.io.File): Unit = {
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { e =>
+          if (e.isDirectory) purge(e) else e.delete()
+        }
+        d.delete()
+      }
+      purge(dir)
+      true
     }
   }
 
@@ -303,10 +346,10 @@ object GraftCatalog {
       keep: Array[(Int, java.io.File)]): Seq[String] = {
     val referenced: Set[String] =
       keep.flatMap { case (v, _) => JsonDocVersions.read(path, v).getOrElse(Set.empty) }.toSet
-    val deletable = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .filterNot(f => referenced.contains(f.getName))
-    deletable.foreach { f =>
+    val deletable = JsonDocSource.walkDataFiles(path)
+      .map(f => (f, JsonDocSource.relName(path, f)))
+      .filterNot { case (_, rel) => referenced.contains(rel) }
+    deletable.foreach { case (f, _) =>
       if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
     }
     drop.foreach { case (_, mf) =>
@@ -317,8 +360,8 @@ object GraftCatalog {
     // sidecar would otherwise carry (and reparse at each scan) forever
     if (deletable.nonEmpty)
       JsonDocStats.mergeAndWrite(path, Seq.empty, keepExisting = true,
-        dropNames = deletable.map(_.getName).toSet)
-    deletable.map(_.getName).toSeq.sorted
+        dropNames = deletable.map(_._2).toSet)
+    deletable.map(_._2).toSeq.sorted
   }
 
   /** Small-files OPTIMIZE: bin-pack the live files into ~`targetBytes`
@@ -351,26 +394,32 @@ object GraftCatalog {
     require(targetBytes > 0)
     val dir = new java.io.File(path)
     val live: Seq[String] = JsonDocVersions.latest(path).map(_._2.toSeq.sorted).getOrElse(
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(_.getName).sorted.toSeq)
-    val files = live.map(n => new java.io.File(dir, n)).filter(_.isFile)
-    // greedy consecutive bin-packing over the name order (the read order)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[java.io.File]]
-    var cur = Vector.empty[java.io.File]; var curBytes = 0L
-    files.foreach { f =>
-      val len = f.length()
-      if (cur.nonEmpty && curBytes + len > targetBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
-      if (len >= targetBytes / 2) {
-        // flush the open bin FIRST (advice r12): without this a big file
-        // becomes a singleton bin while the open bin stays open and later
-        // merges files that STRADDLE it — a merged output whose inputs
-        // are not consecutive in name (read) order
-        if (cur.nonEmpty) { bins += cur; cur = Vector.empty; curBytes = 0L }
-        bins += Vector(f) // big enough already
-      } else { cur = cur :+ f; curBytes += len }
-    }
-    if (cur.nonEmpty) bins += cur
+      JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSeq)
+    val files: Seq[(String, java.io.File)] =
+      live.map(n => (n, new java.io.File(dir, n))).filter(_._2.isFile)
+    // greedy consecutive bin-packing over the name order (the read
+    // order) — PER PARTITION DIRECTORY (r13): a merged file must live in
+    // exactly one `col=value` directory or it would change the rows'
+    // partition, so bins never straddle a directory boundary (the flat
+    // layout is the single "" group and packs exactly as before)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, java.io.File)]]
+    files.groupBy { case (n, _) => n.substring(0, n.lastIndexOf('/') + 1) }
+      .toSeq.sortBy(_._1).foreach { case (_, group) =>
+        var cur = Vector.empty[(String, java.io.File)]; var curBytes = 0L
+        group.foreach { case (n, f) =>
+          val len = f.length()
+          if (cur.nonEmpty && curBytes + len > targetBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
+          if (len >= targetBytes / 2) {
+            // flush the open bin FIRST (advice r12): without this a big file
+            // becomes a singleton bin while the open bin stays open and later
+            // merges files that STRADDLE it — a merged output whose inputs
+            // are not consecutive in name (read) order
+            if (cur.nonEmpty) { bins += cur; cur = Vector.empty; curBytes = 0L }
+            bins += Vector((n, f)) // big enough already
+          } else { cur = cur :+ ((n, f)); curBytes += len }
+        }
+        if (cur.nonEmpty) bins += cur
+      }
     if (!bins.exists(_.length > 1)) return None
     val v = JsonDocVersions.manifests(path).lastOption.map(_._1).getOrElse(0) + 1
     val stats = JsonDocStats.load(path)
@@ -387,7 +436,7 @@ object GraftCatalog {
     // in-bin name order, same separator. Serial fallback when no
     // SparkSession is active (bare library use).
     val multi: Seq[(Int, Vector[String])] = bins.zipWithIndex.collect {
-      case (bin, i) if bin.length > 1 => (i, bin.map(_.getName))
+      case (bin, i) if bin.length > 1 => (i, bin.map(_._1))
     }.toSeq
     def concatInto(tmp: java.io.File, names: Seq[String]): Unit = {
       val out = new java.io.FileOutputStream(tmp)
@@ -404,7 +453,9 @@ object GraftCatalog {
             val d = new java.io.File(pathStr)
             val attempt = Option(org.apache.spark.TaskContext.get())
               .map(_.taskAttemptId()).getOrElse(0L)
-            val tmpName = s".compact-bin$i-t$attempt.jsonl.tmp"
+            // the temp lives IN the bin's directory (same-dir rename)
+            val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
+            val tmpName = s"$prefix.compact-bin$i-t$attempt.jsonl.tmp"
             val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
             try names.foreach { n =>
               java.nio.file.Files.copy(new java.io.File(d, n).toPath, out)
@@ -414,29 +465,34 @@ object GraftCatalog {
           }.collect().toMap
         case None =>
           multi.map { case (i, names) =>
-            val tmpName = s".compact-bin$i-t0.jsonl.tmp"
+            val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
+            val tmpName = s"$prefix.compact-bin$i-t0.jsonl.tmp"
             concatInto(new java.io.File(dir, tmpName), names)
             (i, tmpName)
           }.toMap
       }
     val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val newLive = bins.zipWithIndex.flatMap {
-      case (bin, _) if bin.length == 1 => bin.map(_.getName)
+      case (bin, _) if bin.length == 1 => bin.map(_._1)
       case (bin, i) =>
-        val name = f"compact-v$v%06d-$i%04d.jsonl"
+        val prefix = bin.head._1.substring(0, bin.head._1.lastIndexOf('/') + 1)
+        val name = f"${prefix}compact-v$v%06d-$i%04d.jsonl"
         val tmp = new java.io.File(dir, tmpOf(i))
         if (!tmp.renameTo(new java.io.File(dir, name)))
           throw new java.io.IOException(s"optimize rename failed for $name")
-        JsonDocStats.union(bin.map(f => stats.get(f.getName)))
+        JsonDocStats.union(bin.map { case (n, _) => stats.get(n) })
           .foreach(merged => newEntries += (name -> JsonDocStats.toJson(merged)))
         Seq(name)
     }.toSet
     // losing speculative attempts leave dot-temps invisible to readers;
-    // sweep them before committing
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(".compact-bin") &&
-        f.getName.endsWith(".jsonl.tmp"))
-      .foreach(_.delete())
+    // sweep them (at every partition depth) before committing
+    def sweep(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isFile && f.getName.startsWith(".compact-bin") &&
+          f.getName.endsWith(".jsonl.tmp")) f.delete()
+        else if (f.isDirectory && f.getName.contains('=')) sweep(f)
+      }
+    sweep(dir)
     JsonDocVersions.commit(path, newLive)
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(v)
@@ -454,15 +510,39 @@ object GraftCatalog {
     * Legacy sidecars holding a bare schema JSON still parse
     * (dropped = none). */
   private[sources] def writeSchema(dir: java.io.File, schema: StructType,
-      dropped: Set[String] = Set.empty): Unit = {
+      dropped: Set[String] = Set.empty,
+      partitions: Seq[String] = Seq.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.set[com.fasterxml.jackson.databind.JsonNode](
       "schema", mapper.readTree(schema.json))
     val arr = root.putArray("dropped")
     dropped.toSeq.sorted.foreach(arr.add)
+    if (partitions.nonEmpty) {
+      val parr = root.putArray("partitions")
+      partitions.foreach(parr.add) // declaration order = directory depth order
+    }
     java.nio.file.Files.writeString(schemaFile(dir).toPath,
       mapper.writeValueAsString(root))
+  }
+
+  /** The table's identity-partition columns in layout order (empty for
+    * unpartitioned tables, bare-writer directories, and legacy
+    * sidecars). Resolved to their declared fields so callers decode
+    * `col=value` components by type. */
+  private[sources] def partitionColsOf(path: String): Seq[StructField] = {
+    val dir = new java.io.File(path)
+    readSchemaAndDropped(dir) match {
+      case Some((schema, _)) =>
+        val f = schemaFile(dir)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(f.toPath))
+        Option(root.get("partitions")).toSeq.flatMap { arr =>
+          (0 until arr.size()).flatMap(i =>
+            schema.fields.find(_.name == arr.get(i).asText()))
+        }
+      case None => Seq.empty
+    }
   }
 
   private[sources] def readSchemaAndDropped(

@@ -129,13 +129,14 @@ private[sources] class JsonDocFilesScan(path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val stats = JsonDocStats.load(path)
     val rows = JsonDocSource.listDataFiles(path, pinned).toSeq.map { f =>
-      val entry = stats.get(f.getName)
+      val rel = JsonDocSource.relName(path, f)
+      val entry = stats.get(rel)
       val bounds = entry.map(_.cols.flatMap { case (c, r) =>
         Seq(s"$c.min" -> String.valueOf(r.min), s"$c.max" -> String.valueOf(r.max))
       })
       // rows = -1 (parseFile's missing-field sentinel) reads NULL, the
       // documented conservatism — never a negative "exact" count
-      (f.getName, f.length(), entry.map(_.rows).filter(_ >= 0), bounds)
+      (rel, f.length(), entry.map(_.rows).filter(_ >= 0), bounds)
     }
     Array(JsonDocFilesPartition(rows))
   }

@@ -115,13 +115,59 @@ private[sources] object JsonDocSource {
     * files filtered by manifest liveness ([[JsonDocVersions.liveSet]]) —
     * retired generations stay on disk for time travel but never plan;
     * legacy (manifest-less) directories list every visible file. */
+  /** Data files under `path`, recursing into Hive-style `col=value`
+    * partition directories (r13 — any other subdirectory is NOT data:
+    * checkpoints, user clutter). Keys everywhere — manifests, the stats
+    * sidecar, offsets, `_file` — are the RELATIVE path ('/'-separated),
+    * which for an unpartitioned table is just the file name, so nothing
+    * legacy changes shape. */
   def listDataFiles(path: String, pinned: Option[Int] = None): Array[java.io.File] = {
-    val all = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val all = walkDataFiles(path)
     JsonDocVersions.liveSet(path, pinned) match {
-      case Some(live) => all.filter(f => live.contains(f.getName)).sortBy(_.getName)
-      case None => all.sortBy(_.getName)
+      case Some(live) => all.filter(f => live.contains(relName(path, f)))
+        .sortBy(f => relName(path, f))
+      case None => all.sortBy(f => relName(path, f))
     }
+  }
+
+  /** RAW recursive walk — every on-disk data file, live or retired
+    * (vacuum's view; readers use [[listDataFiles]], which applies the
+    * manifest live set). */
+  def walkDataFiles(path: String): Array[java.io.File] = {
+    def walk(dir: java.io.File): Array[java.io.File] = {
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      entries.filter(_.isFile) ++
+        entries.filter(f => f.isDirectory && f.getName.contains('=')).flatMap(walk)
+    }
+    walk(new java.io.File(path))
+  }
+
+  /** The listing/manifest/stats key of a data file: its path relative to
+    * the table root, '/'-separated. Equals the bare file name for
+    * unpartitioned layouts. */
+  def relName(root: String, f: java.io.File): String = {
+    val r = new java.io.File(root).toPath.toAbsolutePath.normalize
+    r.relativize(f.toPath.toAbsolutePath.normalize).toString.replace('\\', '/')
+  }
+
+  /** Hive-style partition-value encoding for directory names: URL-encode
+    * so '/', '=', '%' and friends can never corrupt the layout. */
+  def encPartValue(v: Any): String =
+    java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+
+  /** Decode one `col=value` path component's value by the column's
+    * declared type; None when the text doesn't parse as that type
+    * (callers treat that as "no partition information" — conservative). */
+  def decPartValue(raw: String, dt: DataType): Option[Any] = {
+    val s = java.net.URLDecoder.decode(raw, "UTF-8")
+    try dt match {
+      case LongType => Some(s.toLong)
+      case IntegerType => Some(s.toInt.toLong) // stats ranges hold longs
+      case BooleanType => Some(s.toBoolean)
+      case StringType => Some(s)
+      case _ => None
+    } catch { case _: IllegalArgumentException => None }
   }
 
   /** Infer a flat schema from the first response file's first lines
@@ -185,6 +231,11 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
       TableCapability.TRUNCATE)
     (if (schema0.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
+  // identity-partitioned layout (r13): declared so SHOW CREATE/catalog
+  // surfaces report it, and so EXPLAIN shows the table as partitioned
+  private lazy val partCols0: Seq[StructField] = GraftCatalog.partitionColsOf(path)
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCols0.map(f => Expressions.identity(f.name)).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path, pinned = pinnedVersion)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -293,6 +344,11 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     override def toStreaming: StreamingWrite = {
       require(!truncateFirst,
         "graft-jsondoc streaming write supports append output mode only")
+      require(GraftCatalog.partitionColsOf(path).isEmpty,
+        "graft-jsondoc streaming write into a PARTITIONED table is not supported " +
+          "(epoch-replay idempotency is keyed per final file; partition routing " +
+          "would fan one epoch across directories) — stream into an unpartitioned " +
+          "table, or batch-append")
       new JsonDocStreamingWrite(path, info.schema(), info.queryId())
     }
   }
@@ -300,6 +356,19 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
 
 private[sources] case class JsonDocCommitMessage(tmpName: String, finalName: String,
     statsJson: String = "") extends WriterCommitMessage
+
+/** A partition-routing task touches several directories in one task —
+  * one commit message carrying each directory's file (r13). */
+private[sources] case class JsonDocMultiCommitMessage(
+    parts: Seq[JsonDocCommitMessage]) extends WriterCommitMessage
+
+private[sources] object JsonDocCommitMessage {
+  /** Normalize single- and multi-file commit messages. */
+  def entriesOf(m: WriterCommitMessage): Seq[JsonDocCommitMessage] = m match {
+    case s: JsonDocCommitMessage => Seq(s)
+    case mm: JsonDocMultiCommitMessage => mm.parts
+  }
+}
 
 /** Per-file statistics sidecar (`_stats.json` — underscore-prefixed, so
   * every reader listing already skips it as data). Written by the
@@ -491,8 +560,18 @@ private[sources] object JsonDocStats {
             if (cmp(v, vmin).exists(_ < 0)) vmin = v
             if (cmp(v, vmax).exists(_ > 0)) vmax = v
           }
-          (s: FileStats) => s.cols.get(a).forall(r =>
-            cmp(r.min, vmax).forall(_ <= 0) && cmp(r.max, vmin).forall(_ >= 0))
+          (s: FileStats) => s.cols.get(a).forall { r =>
+            val overlaps =
+              cmp(r.min, vmax).forall(_ <= 0) && cmp(r.max, vmin).forall(_ >= 0)
+            // a POINT range (single-valued file, or a partition
+            // directory's col=value component — r13) upgrades the
+            // superset overlap test to exact membership: [en,en] vs
+            // IN (de, fr) overlaps the hoisted [de,fr] but contains
+            // neither key, and is provably skippable
+            if (overlaps && cmp(r.min, r.max).contains(0))
+              nonNull.exists(v => cmp(r.min, v).contains(0))
+            else overlaps
+          }
         } else (_: FileStats) => true
       case _ => (_: FileStats) => true
     }
@@ -524,26 +603,27 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     replaceScope: Option[() => Option[Set[String]]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonDocWriterFactory(path, schema, queryId)
+    new JsonDocWriterFactory(path, schema, queryId,
+      GraftCatalog.partitionColsOf(path).map(_.name))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     // live set of the version this commit supersedes (bootstrapped from
     // the visible files for a legacy manifest-less directory)
     val live0: Set[String] = JsonDocVersions.latest(path).map(_._2).getOrElse(
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(_.getName).toSet)
+      JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSet)
     val retired: Set[String] =
       if (truncateFirst) live0
       else replaceScope match {
         case Some(get) => get().map(_.intersect(live0)).getOrElse(Set.empty)
         case None => Set.empty
       }
-    val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
+    val msgs = messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf)
     msgs.foreach { m =>
       val src = new java.io.File(dir, m.tmpName)
-      if (!src.renameTo(new java.io.File(dir, m.finalName)))
+      val dst = new java.io.File(dir, m.finalName)
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      if (!src.renameTo(dst))
         throw new java.io.IOException(s"commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
     val newLive = (live0 -- retired) ++ msgs.map(_.finalName)
@@ -563,21 +643,73 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.filter(_ != null).foreach { case m: JsonDocCommitMessage =>
+    messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf).foreach { m =>
       val f = new java.io.File(new java.io.File(path), m.tmpName)
       if (f.exists()) f.delete()
     }
 }
 
 private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
-    queryId: String) extends DataWriterFactory {
+    queryId: String, partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId in the TEMP name keeps speculative attempts from colliding;
     // the FINAL name is per-partition, so whichever attempt the commit
     // coordinator lets commit owns it
-    new JsonDocDataWriter(path, schema,
-      s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-      f"part-$queryId-p$partitionId%05d.jsonl")
+    if (partCols.isEmpty)
+      new JsonDocDataWriter(path, schema,
+        s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
+        f"part-$queryId-p$partitionId%05d.jsonl")
+    else
+      new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
+        partitionId, taskId)
+}
+
+/** Routes each row to its Hive-style `col=value/` directory (r13),
+  * keeping one open [[JsonDocDataWriter]] per partition value this task
+  * sees. Rows keep their partition columns IN the JSON lines — the
+  * layout is a pruning structure, not an encoding: every reader,
+  * row-level rewrite, and schema-evolution path works on a partitioned
+  * file exactly as on a flat one. NULL partition values are refused
+  * loudly (a `col=null` directory cannot round-trip typed equality).
+  * Commit reports one message per touched partition directory. */
+private[sources] class JsonDocPartitionedDataWriter(path: String,
+    schema: StructType, partCols: Seq[String], queryId: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val partIdx: Seq[(String, Int)] = partCols.map { c =>
+    val i = schema.fieldNames.indexOf(c)
+    require(i >= 0, s"graft-jsondoc: partition column $c missing from write schema " +
+      s"[${schema.fieldNames.mkString(", ")}]")
+    (c, i)
+  }
+  private val children = scala.collection.mutable.LinkedHashMap.empty[String, JsonDocDataWriter]
+
+  private def dirPrefix(row: InternalRow): String =
+    partIdx.map { case (c, i) =>
+      require(!row.isNullAt(i),
+        s"graft-jsondoc: NULL value for partition column $c — partition values must be non-null")
+      val v: Any = schema.fields(i).dataType match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case BooleanType => row.getBoolean(i)
+        case _ => row.getUTF8String(i).toString
+      }
+      s"$c=${JsonDocSource.encPartValue(v)}"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val prefix = dirPrefix(row)
+    children.getOrElseUpdate(prefix, new JsonDocDataWriter(path, schema,
+      s"$prefix/.part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
+      f"$prefix/part-$queryId-p$partitionId%05d.jsonl")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    JsonDocMultiCommitMessage(children.values.map(
+      _.commit().asInstanceOf[JsonDocCommitMessage]).toSeq)
+
+  override def abort(): Unit = children.values.foreach(_.abort())
+  override def close(): Unit = ()
 }
 
 /** STREAMING write (r12): the same two-phase task-temp/driver-rename
@@ -706,8 +838,11 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
 
   private val dir = new java.io.File(path)
   dir.mkdirs()
+  // a partition-routed temp like `col=v/.part-...tmp` needs its dir
+  private val tmpFile = new java.io.File(dir, tmpName)
+  Option(tmpFile.getParentFile).foreach(_.mkdirs())
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    new java.io.FileOutputStream(new java.io.File(dir, tmpName)), "UTF-8"))
+    new java.io.FileOutputStream(tmpFile), "UTF-8"))
   private val mapper = new ObjectMapper()
 
   // per-column min/max over non-null values (Long for integral columns,
@@ -833,6 +968,11 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
       case LessThan(a, _) => evaluable(a)
       case LessThanOrEqual(a, _) => evaluable(a)
       case IsNotNull(a) => evaluable(a)
+      // static IN pushes through the same machinery the runtime
+      // (join-derived) In already uses: O(1) per-line membership in the
+      // reader, hoisted key-set bounds in the stats pruner, point-range
+      // equality in partition pruning (r13)
+      case In(a, _) => evaluable(a)
       case _ => false
     }
     pushed = ours
@@ -949,8 +1089,30 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * bytes are never read. Files without stats entries always scan. */
   override def planInputPartitions(): Array[InputPartition] = {
     val effective = (filters ++ runtimeFilters).toSeq
-    val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(effective) // compiled once
+    // PARTITION PRUNING first (r13) — a Hive-style `col=value` path
+    // component is a point range for that column, so the SAME compiled
+    // pruner evaluates it (EqualTo/range/In all work); files in
+    // non-matching directories are dropped on the NAME alone, before
+    // the stats sidecar is even consulted. Undecodable components keep
+    // the file (conservative, the sidecar's standing rule).
+    val partCols = GraftCatalog.partitionColsOf(path)
+    def partPruned(rel: String): Boolean = {
+      if (partCols.isEmpty) return false
+      val comps = rel.split('/').dropRight(1)
+      val cols = comps.flatMap { c =>
+        val eq = c.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val name = c.substring(0, eq)
+          partCols.find(_.name == name).flatMap(f =>
+            JsonDocSource.decPartValue(c.substring(eq + 1), f.dataType)
+              .map(v => name -> JsonDocStats.ColRange(v, v)))
+        }
+      }.toMap
+      cols.nonEmpty && !keep(JsonDocStats.FileStats(-1L, cols))
+    }
+    val stats = JsonDocStats.load(path)
     // `_file` constraints (runtime GROUP filters, or a user filter on
     // the metadata column) skip by NAME — no stats entry needed
     val nameSets = effective.collect {
@@ -960,14 +1122,16 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
         Set(String.valueOf(v))
     }
     val kept = listFiles()
-      .filter(f => nameSets.forall(_.contains(f.getName)))
-      .filter(f => stats.get(f.getName).forall(keep))
+      .map(f => (f, JsonDocSource.relName(path, f)))
+      .filter { case (_, rel) => !partPruned(rel) }
+      .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
+      .filter { case (_, rel) => stats.get(rel).forall(keep) }
     // report the FINAL planned group set to the row-level operation (the
     // copy-on-write commit replaces exactly these files). Calls after a
     // runtime filter lands re-report; the filter state is set-once, so
     // the last report is always the narrowest.
-    plannedSink.foreach(_(kept.map(_.getName)))
-    kept.map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    plannedSink.foreach(_(kept.map(_._2)))
+    kept.map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -988,7 +1152,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     // row estimate is worse than none
     private val rows: java.util.OptionalLong = {
       val stats = JsonDocStats.load(path)
-      val per = files.map(f => stats.get(f.getName).map(_.rows).filter(_ >= 0))
+      val per = files.map(f =>
+        stats.get(JsonDocSource.relName(path, f)).map(_.rows).filter(_ >= 0))
       if (files.nonEmpty && per.forall(_.isDefined))
         java.util.OptionalLong.of(per.flatten.sum)
       else java.util.OptionalLong.empty()
@@ -1032,8 +1197,9 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
     // excludes the filters contributes nothing to any partial
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    files.filter(f => stats.get(f.getName).forall(keep))
-      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    files.map(f => (f, JsonDocSource.relName(path, f)))
+      .filter { case (_, rel) => stats.get(rel).forall(keep) }
+      .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1247,7 +1413,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   override def latestOffset(): Offset = {
     validateAppendOnly()
     val fs = files()
-    val names = fs.map(_.getName)
+    val names = fs.map(f => JsonDocSource.relName(path, f))
     if (known != null) {
       val late = names.filter(n => !known.contains(n) && !planned.contains(n) && n <= hwm)
       if (late.nonEmpty)
@@ -1266,7 +1432,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     known = ((if (known == null) Set.empty[String] else known) ++ names)
       .intersect(nameSet)
     planned = planned.intersect(nameSet)
-    if (fs.nonEmpty && fs.last.getName > hwm) hwm = fs.last.getName
+    if (names.nonEmpty && names.last > hwm) hwm = names.last
     FileNameOffset(hwm, seenVersion)
   }
   /** Recovery seeds the in-instance watermark: a fresh instance whose
@@ -1298,17 +1464,18 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     validateAppendOnly()
     val s = start.asInstanceOf[FileNameOffset].name
     val e = end.asInstanceOf[FileNameOffset].name
-    val chosen = files().filter(f => f.getName > s && f.getName <= e)
+    val chosen = files().map(f => (f, JsonDocSource.relName(path, f)))
+      .filter { case (_, rel) => rel > s && rel <= e }
     // every name in the range counts as PLANNED (offsets are name-range
     // based, so a stats-skipped file is still consumed by its batch) —
     // skipping only removes the read, exactly like the batch scan, and
     // only against the STATIC pushed filters (deterministic on replay:
     // a file whose range excludes them can never contribute rows)
-    planned ++= chosen.map(_.getName)
+    planned ++= chosen.map(_._2)
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    chosen.filter(f => stats.get(f.getName).forall(keep))
-      .map(f => JsonDocPartition(f.getAbsolutePath): InputPartition)
+    chosen.filter { case (_, rel) => stats.get(rel).forall(keep) }
+      .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1318,13 +1485,22 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   override def stop(): Unit = ()
 }
 
-private[sources] case class JsonDocPartition(file: String) extends InputPartition
+/** `rel` is the table-root-relative listing key (equal to the bare file
+  * name on flat layouts); it is what `_file` reports and what planned
+  * sets/manifests/stats use, so group filtering round-trips on
+  * partitioned layouts too. Empty only for hand-built legacy values. */
+private[sources] case class JsonDocPartition(file: String, rel: String = "")
+    extends InputPartition {
+  def relOrName: String =
+    if (rel.nonEmpty) rel else new java.io.File(file).getName
+}
 
 private[sources] class JsonDocReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonDocReader(partition.asInstanceOf[JsonDocPartition].file, readSchema,
-      filters, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonDocPartition]
+    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName)
+  }
 }
 
 /** Streams one response file line-by-line; applies pushed filters on the
@@ -1332,8 +1508,13 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
   * A pushed partial limit stops the scan after that many rows SURVIVE
   * the filters — later lines are never parsed. */
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
-    filters: Array[Filter], limit: Option[Int] = None)
+    filters: Array[Filter], limit: Option[Int] = None, rel: String = "")
     extends PartitionReader[InternalRow] {
+
+  // the `_file` value: the table-relative listing key (bare name on
+  // flat layouts — `rel` defaults from the basename for direct callers)
+  private val fileKey: String =
+    if (rel.nonEmpty) rel else new java.io.File(file).getName
 
   private val mapper = new ObjectMapper()
   private val lines = scala.io.Source.fromFile(file, "UTF-8")
@@ -1366,7 +1547,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     // the `_file` metadata column never lives in the JSON — it is the
     // reader's own provenance
     if (name == JsonDocSource.FileMetaCol)
-      return new java.io.File(file).getName
+      return fileKey
     val v = node.get(name)
     if (v == null || v.isNull) null
     else readSchema.find(_.name == name).map(_.dataType) match {
@@ -1385,7 +1566,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     // name-based planning skip (a group filter that passed planning
     // must pass per-row too)
     if (name == JsonDocSource.FileMetaCol)
-      return new java.io.File(file).getName
+      return fileKey
     val v = node.get(name)
     if (v == null || v.isNull) null
     else if (v.isIntegralNumber) v.asLong()

@@ -285,6 +285,33 @@ object SourceQueries {
       "SELECT o_orderkey + 30000000, o_custkey + 3000000000 FROM orders " +
       "WHERE o_orderkey % 10 = 5 ORDER BY o_orderkey"
 
+  /** q186: IDENTITY-PARTITIONED catalog table (r13) — `PARTITIONED BY
+    * (o_orderstatus)` lays rows out in Hive-style
+    * `o_orderstatus=<v>/part-*.jsonl` directories, and the partition
+    * filter prunes whole directories at plan time, BEFORE the stats
+    * sidecar is consulted (PartitionedTableSpec pins that the planned
+    * file set lists only matching directories — here the hash proves
+    * the surviving rows are exactly right: the `IN` keeps two of the
+    * three status partitions, drops one, and every row carries its
+    * partition column because the layout is a pruning structure, not an
+    * encoding). */
+  def q186PartitionedTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q186")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (o_orderstatus)")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .writeTo(tbl).append()
+    spark.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $tbl " +
+      "WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey")
+  }
+
+  val q186Sql: String =
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+      "WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -325,7 +352,8 @@ object SourceQueries {
     "q177_snapshot_diff" -> q177SnapshotDiff _,
     "q180_history" -> q180History _,
     "q181_schema_evolution" -> q181SchemaEvolution _,
-    "q185_type_widening" -> q185TypeWidening _)
+    "q185_type_widening" -> q185TypeWidening _,
+    "q186_partitioned_table" -> q186PartitionedTable _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -343,5 +371,7 @@ object SourceQueries {
     // per-file exact rows + o_orderkey bounds across a 3-commit table
     "q184_files_inventory" -> q184Sql,
     // int generation + post-ALTER long generation through one widened schema
-    "q185_type_widening" -> q185Sql)
+    "q185_type_widening" -> q185Sql,
+    // two of three status partitions survive the IN; dirs pruned by name
+    "q186_partitioned_table" -> q186Sql)
 }

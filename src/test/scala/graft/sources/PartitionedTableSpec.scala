@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Identity-partitioned catalog tables (r13): Hive-style `col=value`
+  * directory layout, partition pruning at plan time before the stats
+  * sidecar, the full DDL/DML surface on top. */
+class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    (s"$root/t", s"graftcat.`$root/t`")
+  }
+
+  private def seed(tbl: String): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING, n BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+      .toDF("k", "lang", "n").coalesce(1).writeTo(tbl).append()
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("writes route to col=value directories; reads see every partition") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("lang=de", "lang=en", "lang=fr"))
+    // data files live ONLY inside partition dirs; rows are self-contained
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    assert(spark.sql(s"SELECT k, lang, n FROM $tbl ORDER BY k").collect().map(_.toSeq).toSeq
+      === Seq(Seq(1L, "en", 10L), Seq(2L, "de", 20L), Seq(3L, "en", 30L), Seq(4L, "fr", 40L)))
+    // `_file` reports the RELATIVE path — partition dir included
+    val files = spark.sql(s"SELECT DISTINCT _file FROM $tbl WHERE lang = 'en'")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.startsWith("lang=en/")), files.toSeq)
+  }
+
+  test("a partition filter prunes directories at plan time, before stats") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    // the physical proof: the planned partitions' file paths all live in
+    // the matching directory (partition pruning is a plan-time listing
+    // skip, not a row filter)
+    val df = spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en'")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val planned = scans.head.inputPartitions.map(
+      _.asInstanceOf[JsonDocPartition].file)
+    assert(planned.nonEmpty && planned.forall(_.contains("/lang=en/")),
+      s"partition pruning must keep only lang=en files, planned: ${planned.toSeq}")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // range + In shapes prune through the same compiled pruner
+    val dfIn = spark.sql(s"SELECT k FROM $tbl WHERE lang IN ('de', 'fr')")
+    val plannedIn = dfIn.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.map(_.asInstanceOf[JsonDocPartition].file)
+    assert(plannedIn.forall(f => f.contains("/lang=de/") || f.contains("/lang=fr/")))
+    assert(dfIn.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+  }
+
+  test("row-level DML rewrites only the touched partition's files") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    def fileSnapshot(): Map[String, Long] =
+      JsonDocSource.listDataFiles(dir)
+        .map(f => JsonDocSource.relName(dir, f) -> f.lastModified()).toMap
+    val before = fileSnapshot()
+    spark.sql(s"DELETE FROM $tbl WHERE lang = 'en' AND k = 1")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(2L, 3L, 4L))
+    val after = fileSnapshot()
+    // de/fr files physically untouched (file-granular copy-on-write)
+    before.filter(e => !e._1.startsWith("lang=en/")).foreach { case (n, m) =>
+      assert(after.get(n).contains(m), s"untouched partition file rewritten: $n")
+    }
+    // the rewritten en file still lives under lang=en/
+    assert(after.keys.filterNot(before.keySet).forall(_.startsWith("lang=en/")),
+      s"rewrite must stay in its partition: ${after.keys.toSeq}")
+  }
+
+  test("OPTIMIZE bins never straddle a partition directory") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING, n BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    // several small appends per partition -> many compactable files
+    (0 until 3).foreach { r =>
+      Seq((r * 2L, "en", 1L), (r * 2 + 1L, "de", 2L))
+        .toDF("k", "lang", "n").coalesce(1).writeTo(tbl).append()
+    }
+    val v = GraftCatalog.optimize(dir, targetBytes = 1L << 20)
+    assert(v.isDefined)
+    val live = JsonDocSource.listDataFiles(dir)
+      .map(f => JsonDocSource.relName(dir, f)).toSeq
+    // each partition compacted into its own file, in its own directory
+    assert(live.count(_.startsWith("lang=en/compact-")) == 1, live)
+    assert(live.count(_.startsWith("lang=de/compact-")) == 1, live)
+    assert(live.size == 2, live)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 6L)
+    // #files reports relative paths with exact merged counts
+    val inv = spark.sql(s"SELECT file, n_rows FROM graftcat.`$dir#files` ORDER BY file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inv.map(_._1).forall(n => n.startsWith("lang=")), inv)
+    assert(inv.map(_._2).sum == 6L, inv)
+  }
+
+  test("refusals: transform shapes, double columns, nulls, partition-column ALTER, streaming write") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    val eB = intercept[Exception](spark.sql(
+      s"CREATE TABLE $tbl (k BIGINT, lang STRING) USING `graft-jsondoc` " +
+        "PARTITIONED BY (bucket(4, k))"))
+    assert(msgs(eB).exists(_.contains("identity partition transforms")), s"wrong: $eB")
+    val (dir2, tbl2) = freshTable()
+    val eD = intercept[Exception](spark.sql(
+      s"CREATE TABLE $tbl2 (k BIGINT, x DOUBLE) USING `graft-jsondoc` PARTITIONED BY (x)"))
+    assert(msgs(eD).exists(_.contains("floating-point")), s"wrong: $eD")
+    val (dir3, tbl3) = freshTable()
+    seed(tbl3)
+    // NULL partition value is refused at write time
+    val eN = intercept[Exception](
+      Seq((9L, null.asInstanceOf[String], 1L)).toDF("k", "lang", "n")
+        .coalesce(1).writeTo(tbl3).append())
+    assert(msgs(eN).exists(_.contains("partition column lang")), s"wrong: $eN")
+    // ALTER cannot drop or retype the partition column
+    val eA = intercept[Exception](spark.sql(s"ALTER TABLE $tbl3 DROP COLUMN lang"))
+    assert(msgs(eA).exists(_.contains("partition column")), s"wrong: $eA")
+    // streaming write into a partitioned table is refused loudly
+    val src = java.nio.file.Files.createTempDirectory("graft_part_src").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src, "b0.json"),
+      """{"k": 1, "lang": "en", "n": 5}""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", src).load()
+      .writeStream.format("graft-jsondoc").option("path", dir3)
+      .option("checkpointLocation", ckpt)
+    val eS = intercept[Exception] {
+      val qq = q.start()
+      try { qq.processAllAvailable() } finally qq.stop()
+    }
+    assert(msgs(eS).exists(_.contains("PARTITIONED table is not supported")), s"wrong: $eS")
+  }
+
+  test("partition values with special characters round-trip via URL encoding") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (tag)")
+    Seq((1L, "a/b=c d"), (2L, "plain")).toDF("k", "tag")
+      .coalesce(1).writeTo(tbl).append()
+    // the layout never leaks a raw '/' or '=' from the value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(d => d.count(_ == '=') == 1 && !d.contains('/')), dirs.toSeq)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE tag = 'a/b=c d'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.sql(s"SELECT k, tag FROM $tbl ORDER BY k").collect().map(_.toSeq).toSeq
+      === Seq(Seq(1L, "a/b=c d"), Seq(2L, "plain")))
+  }
+
+  test("time travel and history work across partitioned commits") {
+    val (dir, tbl) = freshTable()
+    seed(tbl) // v1
+    spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'") // v2
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1").head().getLong(0) == 4L)
+    val hist = spark.sql(s"SELECT version, n_rows FROM graftcat.`$dir#history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist === Seq((1L, 4L), (2L, 3L)), hist)
+  }
+}
