@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Probe: incremental-MV copy-on-write amplification, clustered vs
+  * uniform (r12 verdict item 2 — the q183 scaladoc's named hazard,
+  * measured). Builds the same view twice — once key-clustered via
+  * `GraftCatalog.cluster` (range files), once uniform (hash-sliced
+  * appends) — then MERGEs identical localized deltas into both and
+  * reports rewritten-files/epoch and wall time per epoch. The folded
+  * states are asserted identical: clustering changes the WRITE SET,
+  * never the answer.
+  *
+  * Usage: runMain graft.MvClusterProbe [nUsers] [nFiles] [deltaKeys] [epochs] */
+object MvClusterProbe {
+  def main(args: Array[String]): Unit = {
+    val nUsers = args.headOption.map(_.toInt).getOrElse(400000)
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(16)
+    val deltaKeys = args.lift(2).map(_.toInt).getOrElse(25000)
+    val epochs = args.lift(3).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.catalog.graftcat", classOf[sources.GraftCatalog].getName)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def liveSet(path: String): Set[String] =
+      sources.JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
+    val all = spark.range(nUsers).select($"id".as("user_id"), lit(10L).as("n_events"))
+
+    def mergeEpoch(tbl: String, e: Int): Double = {
+      // each epoch's delta is a CONTIGUOUS key window — the localized
+      // shape clustering exists for (a uniform delta defeats any layout)
+      spark.range(e.toLong * deltaKeys, (e + 1).toLong * deltaKeys)
+        .select($"id".as("user_id"), lit(1L).as("n_events"))
+        .createOrReplaceTempView("probe_delta")
+      val t0 = System.nanoTime()
+      spark.sql(s"MERGE INTO $tbl t USING probe_delta d ON t.user_id = d.user_id " +
+        "WHEN MATCHED THEN UPDATE SET n_events = t.n_events + d.n_events " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def run(tag: String, seed: String => Unit): Seq[(Int, Int, Double)] = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_mvprobe_$tag").toString
+      val tbl = s"graftcat.`$root/mv`"
+      spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT) USING `graft-jsondoc`")
+      seed(tbl)
+      (0 until epochs).map { e =>
+        val before = liveSet(s"$root/mv")
+        val sec = mergeEpoch(tbl, e)
+        // rewritten/total: a full rewrite that also COALESCES the table
+        // (epoch 0 on the uniform layout) must still read as 100%
+        ((before -- liveSet(s"$root/mv")).size, before.size, sec)
+      }
+    }
+
+    var tblC: String = null; var tblU: String = null
+    val clustered = run("clu", { tbl =>
+      tblC = tbl
+      all.coalesce(1).writeTo(tbl).append()
+      sources.GraftCatalog.cluster(spark, tbl, "user_id", nFiles)
+    })
+    val uniform = run("uni", { tbl =>
+      tblU = tbl
+      (0 until nFiles).foreach(r =>
+        all.filter($"user_id" % nFiles === r).coalesce(1).writeTo(tbl).append())
+    })
+    // layout changes the WRITE SET, never the answer
+    assert(spark.table(tblC).exceptAll(spark.table(tblU)).isEmpty &&
+      spark.table(tblU).exceptAll(spark.table(tblC)).isEmpty,
+      "clustered and uniform folds diverged")
+
+    def fmt(rs: Seq[(Int, Int, Double)]) = rs.map { case (n, tot, s) =>
+      s"""{"rewritten":$n,"of":$tot,"sec":${math.round(s * 100) / 100.0}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"probe":"mv_cluster","users":$nUsers,"files":$nFiles,""" +
+      s""""delta_keys":$deltaKeys,"clustered":${fmt(clustered)},"uniform":${fmt(uniform)}}""")
+    spark.stop()
+  }
+}

@@ -498,6 +498,41 @@ object GraftCatalog {
     Some(v)
   }
 
+  /** KEY-CLUSTER a table (r13 — Iceberg `rewrite_data_files` with a sort
+    * spec, the maintenance op that makes incremental-MV copy-on-write
+    * amplification BOUNDED instead of prose): rewrite the live rows into
+    * `buckets` files holding contiguous ranges of `column`, committed as
+    * one atomic snapshot. After clustering, a MERGE whose delta touches
+    * a narrow key range rewrites only the files whose ranges intersect
+    * it — the row-level runtime group filter finds matches in exactly
+    * those files, and the per-file stats sidecar (min/max of `column`
+    * recorded by the clustered write itself) prunes the group-filter
+    * pre-scan too. An unclustered view has every key in every file, so
+    * the same delta rewrites the whole table — the q183 scaladoc's
+    * named hazard, measured in MvClusterProbe/PERF.md.
+    *
+    * Execution is fully distributed: the scan reads the current
+    * snapshot, `repartitionByRange` range-splits on executors (one
+    * clustered output file per range task via the normal two-phase V2
+    * writer), and the driver's single truncate-commit retires the old
+    * files and publishes the new layout — readers mid-query keep their
+    * snapshot, the prior version stays time-travelable, vacuum reclaims
+    * the originals. O(view) by nature, like every recluster; run it
+    * periodically, not per epoch. */
+  def cluster(spark: org.apache.spark.sql.SparkSession, table: String,
+      column: String, buckets: Int): Unit = {
+    require(buckets >= 1, "cluster needs at least one bucket")
+    val df = spark.table(table)
+    require(df.schema.fieldNames.contains(column),
+      s"cluster: no such column $column in $table")
+    // overwrite(true) = SupportsTruncate in ONE commit: tasks write the
+    // clustered temps while the scan still reads the old files; the
+    // truncate happens at driver commit, after every temp is ready
+    df.repartitionByRange(buckets, org.apache.spark.sql.functions.col(column))
+      .sortWithinPartitions(column)
+      .writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
+  }
+
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
 

@@ -899,11 +899,16 @@ object StreamingBoard {
     * 100 TB: each epoch shuffles only the micro-batch (partial agg to
     * |keys-in-batch| rows) and the MERGE rewrites only files holding
     * matched keys. With a uniform key mix every file matches —
-    * copy-on-write amplification — so at scale the view is laid out
-    * key-clustered ([[graft.ops.Layout]]) to bound the rewrite set, or
-    * maintained merge-on-read. The fold itself never re-reads the feed:
-    * maintenance cost is O(delta), not O(view), which is the entire
-    * point of an incremental MV. */
+    * copy-on-write amplification — so at scale the view is kept
+    * KEY-CLUSTERED with [[graft.sources.GraftCatalog.cluster]] (r13:
+    * the distributed range-rewrite maintenance op; run periodically,
+    * like Iceberg rewrite_data_files with a sort spec). Measured in
+    * MvClusterProbe/PERF.md: a localized delta rewrites ~2 of 16
+    * clustered files per epoch vs 100% of a uniform layout every
+    * epoch, identical folded state — and RowLevelOpsSpec pins the
+    * 1-of-8 vs 8-of-8 contrast. The fold itself never re-reads the
+    * feed: maintenance cost is O(delta), not O(view), which is the
+    * entire point of an incremental MV. */
   def q183IncrementalMv(spark: SparkSession, dir: String): DataFrame =
     q183Impl(spark, dir, graft.RunTag.scratchFresh("q183"))
 

@@ -432,6 +432,66 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wrong error: $e3")
   }
 
+  test("a key-clustered view bounds MERGE rewrite amplification; a uniform layout rewrites everything") {
+    // the q183 scaladoc's named hazard made measurable: with file-granular
+    // copy-on-write, the rewrite set is the files CONTAINING matched keys —
+    // clustering the view by key turns a narrow delta into a narrow rewrite,
+    // while a uniform key mix forces every file to rewrite
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, JsonDocVersions}
+
+    def liveSet(path: String): Set[String] =
+      JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
+    def mergeDelta(tbl: String): Unit = {
+      // delta touches ONLY users 0..99 — one key range of eight
+      (0L until 100L).map(u => (u, 1L)).toDF("user_id", "n_events")
+        .createOrReplaceTempView("mv_delta")
+      spark.sql(s"MERGE INTO $tbl t USING mv_delta d ON t.user_id = d.user_id " +
+        "WHEN MATCHED THEN UPDATE SET n_events = t.n_events + d.n_events " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    val all = (0L until 800L).map(u => (u, 10L)).toDF("user_id", "n_events")
+
+    // CLUSTERED view: one seed append, then the cluster() maintenance op
+    // range-splits it into 8 contiguous-user files (one atomic snapshot)
+    val rootC = java.nio.file.Files.createTempDirectory("graft_mvclu").toString
+    val tblC = s"graftcat.`$rootC/mv`"
+    spark.sql(s"CREATE TABLE $tblC (user_id BIGINT, n_events BIGINT) USING `graft-jsondoc`")
+    all.coalesce(1).writeTo(tblC).append()
+    GraftCatalog.cluster(spark, tblC, "user_id", 8)
+    val liveC0 = liveSet(s"$rootC/mv")
+    assert(liveC0.size == 8, s"cluster() must produce 8 range files, got $liveC0")
+    mergeDelta(tblC)
+    val rewrittenC = liveC0 -- liveSet(s"$rootC/mv")
+    assert(rewrittenC.size == 1,
+      s"clustered view: a one-range delta must rewrite exactly 1 of 8 files, rewrote $rewrittenC")
+
+    // UNIFORM view: 8 hash-sliced appends — every file spans the whole
+    // key range, so the same delta matches rows in every file
+    val rootU = java.nio.file.Files.createTempDirectory("graft_mvuni").toString
+    val tblU = s"graftcat.`$rootU/mv`"
+    spark.sql(s"CREATE TABLE $tblU (user_id BIGINT, n_events BIGINT) USING `graft-jsondoc`")
+    (0 until 8).foreach(r =>
+      all.filter($"user_id" % 8 === r).coalesce(1).writeTo(tblU).append())
+    val liveU0 = liveSet(s"$rootU/mv")
+    assert(liveU0.size == 8)
+    mergeDelta(tblU)
+    val rewrittenU = liveU0 -- liveSet(s"$rootU/mv")
+    assert(rewrittenU.size == 8,
+      s"uniform view: the same delta must rewrite all 8 files, rewrote $rewrittenU")
+
+    // amplification differs; the ANSWER does not — both views fold to the
+    // same state (users 0..99 at 11, the rest at 10)
+    def state(tbl: String): Seq[(Long, Long)] =
+      spark.sql(s"SELECT user_id, n_events FROM $tbl ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L until 800L).map(u => (u, if (u < 100) 11L else 10L))
+    assert(state(tblC) === expected)
+    assert(state(tblU) === expected)
+  }
+
   test("ALTER COLUMN TYPE: int->bigint widens in place; narrowing and cross-family are refused") {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
