@@ -239,7 +239,13 @@ object Bench {
           // previous-round BENCH file also re-time, so the board carries
           // its own adjudication for EVERY regression, not just the five
           // hottest rows
-          val drift = drifted(board, previousBench(), hot.toSet)
+          // UNCAPPED (r12 verdict item 5): the default cap=8 lost q65/q66
+          // on a loaded machine where >8 rows spiked — worst-ratio-first
+          // meant the 3.5x rows missed the cut and shipped un-adjudicated.
+          // Every >1.5x ∧ +0.8s row now carries its sentinel; the worst
+          // case (a fully hosed environment) repeats slow rows once,
+          // which is exactly the evidence that run needs.
+          val drift = drifted(board, previousBench(), hot.toSet, cap = board.size)
           val byName = sorted.toMap
           board ++ (hot ++ drift).map { name =>
             val label = name.takeWhile(_ != '_') + "#2" + name.dropWhile(_ != '_')
