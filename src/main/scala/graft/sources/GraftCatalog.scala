@@ -48,14 +48,15 @@ class GraftCatalog extends TableCatalog
       case "vacuum" => GraftProcedures.VacuumProcedure
       case "optimize" => GraftProcedures.OptimizeProcedure
       case "expire_snapshots" => GraftProcedures.ExpireSnapshotsProcedure
+      case "cluster" => new GraftProcedures.ClusterProcedure(catalogName)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog has no procedure '$other' (available: vacuum, optimize, expire_snapshots)")
+        s"graft catalog has no procedure '$other' (available: vacuum, optimize, expire_snapshots, cluster)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"),
-      Identifier.of(Array.empty, "expire_snapshots"))
+      Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,

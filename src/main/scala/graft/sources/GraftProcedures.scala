@@ -71,6 +71,33 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** Parameterized on the catalog's registered name so the rewrite
+    * resolves the table through the SAME catalog the CALL came in on
+    * (nothing hard-codes "graftcat"). */
+  final class ClusterProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "cluster"
+    override def description(): String =
+      "rewrite live rows into `buckets` contiguous-range files of `column` (one atomic snapshot)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "cluster"
+      override def description(): String = ClusterProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("buckets", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        GraftCatalog.cluster(spark, s"$catalogName.`$path`",
+          input.getUTF8String(1).toString, input.getLong(2).toInt)
+        val v = JsonDocVersions.latest(path).map(_._1.toLong).getOrElse(-1L)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v)))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

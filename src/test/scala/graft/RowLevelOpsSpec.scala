@@ -338,6 +338,14 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception](spark.sql(s"CALL graftcat.nonsense('x')"))
     assert(e.getMessage.contains("Failed to load routine") ||
       e.getMessage.contains("no procedure"), s"wrong error: $e")
+    // CALL cluster: the SQL face of GraftCatalog.cluster — range files,
+    // one new snapshot, contents unchanged
+    val clu = spark.sql(s"CALL graftcat.cluster('$root/t', 'k', 2)").collect()
+    assert(clu.length == 1 && clu.head.getLong(0) > 5L,
+      s"cluster must commit a new snapshot, got ${clu.toSeq}")
+    assert(spark.sql(s"SELECT DISTINCT _file FROM $tbl").count() == 2,
+      "cluster('k', 2) must produce two range files")
+    assert(spark.sql(s"SELECT * FROM $tbl").collect().map(_.toSeq).toSet === before)
   }
 
   test("expire_snapshots: time-based retention expires old versions, keeps the current and newer-than-cutoff") {
