@@ -88,6 +88,9 @@ class GraftCatalog extends TableCatalog
     // and the exact-numRows statistic run on
     metaDirOf(ident, "#history").foreach(d => return new JsonDocHistoryTable(d.getPath))
     metaDirOf(ident, "#files").foreach(d => return new JsonDocFilesTable(d.getPath))
+    // `path#partitions` (t.partitions): the live partition inventory
+    metaDirOf(ident, "#partitions").foreach(d =>
+      return new JsonDocPartitionsTable(d.getPath))
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)

@@ -165,3 +165,81 @@ private[sources] class JsonDocFilesScan(path: String,
 
   override def description(): String = s"graft-jsondoc files path=$path"
 }
+
+/** The `path#partitions` metadata table ([[GraftCatalog.loadTable]]) —
+  * Iceberg's `t.partitions` idiom: one row per live PARTITION DIRECTORY
+  * of the current snapshot —
+  *
+  *   `(partition STRING, n_files BIGINT, n_bytes BIGINT,
+  *     n_rows BIGINT NULLABLE)`
+  *
+  * `partition` is the relative directory prefix (`"lang=en"`,
+  * `"a=1/b=x"`; `""` for an unpartitioned table's root — the whole
+  * table is then one row, which is the honest degenerate case rather
+  * than an error). `n_rows` sums the stats sidecar and is NULL if any
+  * file of the partition lacks an entry — `#history`'s conservatism at
+  * partition grain. Driver-side at plan time: a partition inventory is
+  * directory-count-sized, never data-sized. SHOW PARTITIONS, the
+  * skew census (which partition ate the table), and retention
+  * decisions all read from this one surface. */
+private[sources] class JsonDocPartitionsTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsondoc($path#partitions)"
+  override def schema(): StructType = JsonDocPartitionsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new JsonDocPartitionsScan(path)
+}
+
+private[sources] object JsonDocPartitionsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+}
+
+private[sources] case class JsonDocPartitionsPartition(
+  rows: Seq[(String, Long, Long, Option[Long])]) extends InputPartition
+
+private[sources] class JsonDocPartitionsScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = JsonDocPartitionsTable.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = JsonDocStats.load(path)
+    val rows = JsonDocSource.listDataFiles(path).toSeq
+      .map(f => (f, JsonDocSource.relName(path, f)))
+      .groupBy { case (_, rel) =>
+        val cut = rel.lastIndexOf('/')
+        if (cut < 0) "" else rel.substring(0, cut)
+      }
+      .toSeq.sortBy(_._1)
+      .map { case (part, files) =>
+        val per = files.map { case (_, rel) =>
+          stats.get(rel).map(_.rows).filter(_ >= 0) }
+        val nRows = if (per.forall(_.isDefined)) Some(per.flatten.map(identity).sum)
+          else None
+        (part, files.size.toLong, files.map(_._1.length()).sum, nRows)
+      }
+    Array(JsonDocPartitionsPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[JsonDocPartitionsPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (p, nf, nb, nr) = it.next()
+        cur = InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          nf, nb, nr.map(Long.box).orNull)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+
+  override def description(): String = s"graft-jsondoc partitions path=$path"
+}

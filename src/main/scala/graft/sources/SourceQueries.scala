@@ -312,6 +312,33 @@ object SourceQueries {
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
       "WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey"
 
+  /** q187: the `#partitions` METADATA table (Iceberg's `t.partitions`
+    * idiom, r13) over the q186-style identity-partitioned layout: one
+    * row per live `col=value` directory with its file count and EXACT
+    * row count from the stats sidecar. The oracle recomputes each
+    * partition's row count from the base table (`'o_orderstatus=' ||
+    * o_orderstatus` is precisely the directory name — status values
+    * need no URL encoding), so hash-green pins the routing, the
+    * per-directory sidecar bookkeeping, and the inventory plumbing in
+    * one pass. `n_files` is layout-dependent (task count) and omitted
+    * from the oracle-checked projection, `#history`'s n_files rule. */
+  def q187PartitionsInventory(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q187")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (o_orderstatus)")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .writeTo(tbl).append()
+    spark.sql(s"SELECT partition, n_rows FROM graftcat.`$root/t#partitions` " +
+      "ORDER BY partition")
+  }
+
+  val q187Sql: String =
+    "SELECT 'o_orderstatus=' || o_orderstatus AS partition, count(*) AS n_rows " +
+      "FROM orders GROUP BY 1 ORDER BY partition"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -353,7 +380,8 @@ object SourceQueries {
     "q180_history" -> q180History _,
     "q181_schema_evolution" -> q181SchemaEvolution _,
     "q185_type_widening" -> q185TypeWidening _,
-    "q186_partitioned_table" -> q186PartitionedTable _)
+    "q186_partitioned_table" -> q186PartitionedTable _,
+    "q187_partitions_inventory" -> q187PartitionsInventory _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -373,5 +401,7 @@ object SourceQueries {
     // int generation + post-ALTER long generation through one widened schema
     "q185_type_widening" -> q185Sql,
     // two of three status partitions survive the IN; dirs pruned by name
-    "q186_partitioned_table" -> q186Sql)
+    "q186_partitioned_table" -> q186Sql,
+    // per-partition exact rows recomputed from the base table
+    "q187_partitions_inventory" -> q187Sql)
 }

@@ -179,6 +179,29 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Seq(Seq(1L, "a/b=c d"), Seq(2L, "plain")))
   }
 
+  test("#partitions inventories live directories; unpartitioned tables degenerate to one root row") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    val inv = spark.sql(s"SELECT partition, n_files, n_rows FROM graftcat.`$dir#partitions` " +
+      "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inv === Seq(("lang=de", 1L, 1L), ("lang=en", 1L, 2L), ("lang=fr", 1L, 1L)), inv)
+    // a DELETE shrinks only its partition's count
+    spark.sql(s"DELETE FROM $tbl WHERE lang = 'en' AND k = 1")
+    val inv2 = spark.sql(s"SELECT partition, n_rows FROM graftcat.`$dir#partitions` " +
+      "ORDER BY partition").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inv2 === Seq(("lang=de", 1L), ("lang=en", 1L), ("lang=fr", 1L)), inv2)
+    // unpartitioned: one "" row covering the whole table
+    val root2 = java.nio.file.Files.createTempDirectory("graft_part_flat").toString
+    val tbl2 = s"graftcat.`$root2/t`"
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl2 (k BIGINT) USING `graft-jsondoc`")
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1).writeTo(tbl2).append()
+    val flat = spark.sql(s"SELECT partition, n_rows FROM graftcat.`$root2/t#partitions`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(flat === Seq(("", 3L)), flat)
+  }
+
   test("time travel and history work across partitioned commits") {
     val (dir, tbl) = freshTable()
     seed(tbl) // v1
