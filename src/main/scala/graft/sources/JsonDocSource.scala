@@ -1360,6 +1360,21 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   private var seenVersion: Option[Int] = None
   private var seenLive: Option[Set[String]] = None
 
+  /** A recovered checkpoint whose offsets are plain names (pre-r13, or a
+    * manifest that appeared under an old stream) pins the instance to
+    * NAME mode for its whole lifetime — mixing modes inside one
+    * checkpoint lineage would turn a version-less start offset into
+    * "re-deliver everything". */
+  private var legacyNameMode = false
+
+  /** VERSION mode (r13, manifest-backed directories): a micro-batch is
+    * the LIVE-SET DIFF between snapshot versions — immune to name
+    * ordering, which batch appends (UUID-named files) and partition
+    * directories both break. Name mode remains for manifest-less
+    * response directories, where names are the only order there is. */
+  private def versionMode: Boolean =
+    !legacyNameMode && JsonDocVersions.latest(path).isDefined
+
   /** A streaming-consumed directory must stay APPEND-ONLY in live-set
     * terms (r12 verdict item 4): OPTIMIZE, copy-on-write MERGE/UPDATE/
     * DELETE, and truncate all REPLACE live names, and a name-watermark
@@ -1391,7 +1406,12 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
                 "Keep snapshots at least as long as checkpointed consumers, " +
                 "or re-ingest from a fresh checkpoint."))
           val removed = base -- live
-          val addedBelow = (live -- base).filter(n => hwm.nonEmpty && n <= hwm)
+          // below-watermark additions are a hazard only for NAME offsets
+          // (they would be silently skipped); version offsets deliver by
+          // live-set diff, where any new name is an ordinary append
+          val addedBelow =
+            if (versionMode) Set.empty[String]
+            else (live -- base).filter(n => hwm.nonEmpty && n <= hwm)
           if (removed.nonEmpty || addedBelow.nonEmpty)
             throw new IllegalStateException(
               s"graft-jsondoc streaming source on $path: OPTIMIZE ran under a checkpointed consumer, " +
@@ -1414,7 +1434,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     validateAppendOnly()
     val fs = files()
     val names = fs.map(f => JsonDocSource.relName(path, f))
-    if (known != null) {
+    if (known != null && !versionMode) {
       val late = names.filter(n => !known.contains(n) && !planned.contains(n) && n <= hwm)
       if (late.nonEmpty)
         org.slf4j.LoggerFactory.getLogger(classOf[JsonDocMicroBatchStream]).warn(
@@ -1433,7 +1453,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
       .intersect(nameSet)
     planned = planned.intersect(nameSet)
     if (names.nonEmpty && names.last > hwm) hwm = names.last
-    FileNameOffset(hwm, seenVersion)
+    FileNameOffset(hwm, if (versionMode) seenVersion else None)
   }
   /** Recovery seeds the in-instance watermark: a fresh instance whose
     * greatest-named consumed file was deleted would otherwise report a
@@ -1443,6 +1463,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * seeding the append-only validation basis across restarts. */
   override def deserializeOffset(json: String): Offset = {
     val off = FileNameOffset.parse(json)
+    if (off.version.isEmpty && off.name.nonEmpty) legacyNameMode = true
     if (off.name > hwm) hwm = off.name
     off.version.foreach { v =>
       // the CHECKPOINTED basis wins even when older: on restart Spark
@@ -1462,10 +1483,26 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     // replay would re-read a rewritten directory as if it were the one
     // the offsets were committed against
     validateAppendOnly()
-    val s = start.asInstanceOf[FileNameOffset].name
-    val e = end.asInstanceOf[FileNameOffset].name
-    val chosen = files().map(f => (f, JsonDocSource.relName(path, f)))
-      .filter { case (_, rel) => rel > s && rel <= e }
+    val sOff = start.asInstanceOf[FileNameOffset]
+    val eOff = end.asInstanceOf[FileNameOffset]
+    val listed = files().map(f => (f, JsonDocSource.relName(path, f)))
+    val chosen =
+      if (versionMode && eOff.version.isDefined &&
+        (sOff.version.isDefined || sOff.name.isEmpty)) {
+        // the batch is live(v_end) -- live(v_start): append order comes
+        // from the manifest chain, not the names, so UUID-named batch
+        // appends and partition directories deliver correctly
+        val startLive = sOff.version
+          .flatMap(v => JsonDocVersions.read(path, v)).getOrElse(Set.empty[String])
+        val endLive = JsonDocVersions.read(path, eOff.version.get).getOrElse(
+          throw new IllegalStateException(
+            s"graft-jsondoc streaming source on $path: snapshot v${eOff.version.get} " +
+              "of a checkpointed batch has been expired/vacuumed — keep snapshots " +
+              "at least as long as checkpointed consumers"))
+        val range = endLive -- startLive
+        listed.filter { case (_, rel) => range.contains(rel) }
+      } else
+        listed.filter { case (_, rel) => rel > sOff.name && rel <= eOff.name }
     // every name in the range counts as PLANNED (offsets are name-range
     // based, so a stats-skipped file is still consumed by its batch) —
     // skipping only removes the read, exactly like the batch scan, and

@@ -202,6 +202,65 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flat === Seq(("", 3L)), flat)
   }
 
+  test("streaming READ from a partitioned table: appends arrive incrementally, partition filters prune per batch") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING, n BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("k", "lang", "n")
+      .coalesce(1).writeTo(tbl).append()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_sread").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", s"$dir").load()
+      .filter(org.apache.spark.sql.functions.col("lang") === "en") // pushed per micro-batch
+      .writeStream.format("memory").queryName("part_stream_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("part_stream_sink").collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // a second partitioned APPEND is new input; only the en rows pass
+      Seq((3L, "en", 30L), (4L, "fr", 40L)).toDF("k", "lang", "n")
+        .coalesce(1).writeTo(tbl).append()
+      q.processAllAvailable()
+      assert(spark.table("part_stream_sink").collect().map(_.getLong(0)).sorted.toSeq
+        === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming a batch-appended catalog table delivers every append (version offsets beat name order)") {
+    // batch appends embed a random queryId UUID in the file name, so a
+    // second append can sort BELOW the name watermark — under pre-r13
+    // name offsets those rows were silently never delivered. Manifest
+    // tables now stream by live-set diff between snapshot versions, so
+    // delivery follows commit order regardless of name order. Loop a few
+    // appends to make a below-watermark UUID draw overwhelmingly likely.
+    val root = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+    val tbl = s"graftcat.`$root/t`"
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    Seq(0L).toDF("k").coalesce(1).writeTo(tbl).append()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vstream_ck").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", s"$root/t").load()
+      .writeStream.format("memory").queryName("vmode_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      (1L to 6L).foreach { i =>
+        Seq(i).toDF("k").coalesce(1).writeTo(tbl).append()
+        q.processAllAvailable()
+      }
+      assert(spark.table("vmode_sink").collect().map(_.getLong(0)).sorted.toSeq
+        === (0L to 6L), "every append must arrive exactly once, whatever its name sorts as")
+    } finally q.stop()
+  }
+
   test("time travel and history work across partitioned commits") {
     val (dir, tbl) = freshTable()
     seed(tbl) // v1
