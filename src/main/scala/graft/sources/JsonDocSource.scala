@@ -344,12 +344,8 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     override def toStreaming: StreamingWrite = {
       require(!truncateFirst,
         "graft-jsondoc streaming write supports append output mode only")
-      require(GraftCatalog.partitionColsOf(path).isEmpty,
-        "graft-jsondoc streaming write into a PARTITIONED table is not supported " +
-          "(epoch-replay idempotency is keyed per final file; partition routing " +
-          "would fan one epoch across directories) — stream into an unpartitioned " +
-          "table, or batch-append")
-      new JsonDocStreamingWrite(path, info.schema(), info.queryId())
+      new JsonDocStreamingWrite(path, info.schema(), info.queryId(),
+        GraftCatalog.partitionColsOf(path).map(_.name))
     }
   }
 }
@@ -674,7 +670,8 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
   * Commit reports one message per touched partition directory. */
 private[sources] class JsonDocPartitionedDataWriter(path: String,
     schema: StructType, partCols: Seq[String], queryId: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    epochId: Option[Long] = None) extends DataWriter[InternalRow] {
 
   private val partIdx: Seq[(String, Int)] = partCols.map { c =>
     val i = schema.fieldNames.indexOf(c)
@@ -699,9 +696,17 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
 
   override def write(row: InternalRow): Unit = {
     val prefix = dirPrefix(row)
-    children.getOrElseUpdate(prefix, new JsonDocDataWriter(path, schema,
-      s"$prefix/.part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-      f"$prefix/part-$queryId-p$partitionId%05d.jsonl")).write(row)
+    children.getOrElseUpdate(prefix, epochId match {
+      // streaming epoch: run-independent (epoch, partition) final name
+      // per directory — the replay key — vs the batch write's
+      // queryId-unique name
+      case Some(e) => new JsonDocDataWriter(path, schema,
+        s"$prefix/.part-$queryId-e$e-p$partitionId-t$taskId.jsonl.tmp",
+        f"$prefix/part-e$e%05d-p$partitionId%05d.jsonl")
+      case None => new JsonDocDataWriter(path, schema,
+        s"$prefix/.part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
+        f"$prefix/part-$queryId-p$partitionId%05d.jsonl")
+    }).write(row)
   }
 
   override def commit(): WriterCommitMessage =
@@ -723,10 +728,10 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
   * only (streaming truncate-per-epoch = complete mode is refused in
   * `toStreaming`). */
 private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, partCols: Seq[String] = Seq.empty) extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new JsonDocStreamingWriterFactory(path, schema, queryId)
+    new JsonDocStreamingWriterFactory(path, schema, queryId, partCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -740,10 +745,11 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
     // builder) in a marker; a commit from a different query id is
     // refused loudly instead of replacing data.
     JsonDocStreamingWrite.ensureSoleWriter(dir, queryId)
-    val msgs = messages.filter(_ != null).map(_.asInstanceOf[JsonDocCommitMessage])
+    val msgs = messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf)
     msgs.foreach { m =>
       val src = new java.io.File(dir, m.tmpName)
       val dst = new java.io.File(dir, m.finalName)
+      Option(dst.getParentFile).foreach(_.mkdirs())
       if (src.exists()) {
         // replace-on-rename: a replayed epoch overwrites its own file
         if (dst.exists() && !dst.delete())
@@ -765,9 +771,8 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
         val newLive = live0 ++ msgs.map(_.finalName)
         if (newLive != live0) JsonDocVersions.commit(path, newLive)
       case None =>
-        val visible = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-          .map(_.getName).toSet
+        val visible = JsonDocSource.listDataFiles(path)
+          .map(f => JsonDocSource.relName(path, f)).toSet
         JsonDocVersions.commit(path, visible)
     }
     // entries are keyed by final name, so a replayed epoch overwrites its
@@ -777,7 +782,7 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.filter(_ != null).foreach { case m: JsonDocCommitMessage =>
+    messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf).foreach { m =>
       val f = new java.io.File(new java.io.File(path), m.tmpName)
       if (f.exists()) f.delete()
     }
@@ -817,7 +822,8 @@ private[sources] object JsonDocStreamingWrite {
 }
 
 private[sources] class JsonDocStreamingWriterFactory(path: String, schema: StructType,
-    queryId: String) extends StreamingDataWriterFactory {
+    queryId: String, partCols: Seq[String] = Seq.empty)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     // (epochId, partitionId) is the exactly-once key, so the FINAL name
@@ -826,10 +832,20 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
     // epoch must land on the SAME final name to replace rather than
     // duplicate. (One streaming query per directory, the same
     // single-writer contract as Spark's own file sink.) The temp keeps
-    // queryId+taskId so attempts never collide.
-    new JsonDocDataWriter(path, schema,
-      s".part-$queryId-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
-      f"part-e$epochId%05d-p$partitionId%05d.jsonl")
+    // queryId+taskId so attempts never collide. On a PARTITIONED table
+    // (r13) the same key lives inside each col=value directory: replay
+    // routing is deterministic (Spark's replayed epoch re-delivers the
+    // same rows), so a replay lands on the same per-directory names and
+    // replaces them — and the version-mode streaming SOURCE delivers
+    // commit order, so names below other directories' watermarks are
+    // fine downstream.
+    if (partCols.isEmpty)
+      new JsonDocDataWriter(path, schema,
+        s".part-$queryId-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
+        f"part-e$epochId%05d-p$partitionId%05d.jsonl")
+    else
+      new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
+        partitionId, taskId, epochId = Some(epochId))
 }
 
 private[sources] class JsonDocDataWriter(path: String, schema: StructType,

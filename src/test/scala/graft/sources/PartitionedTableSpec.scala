@@ -122,7 +122,7 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inv.map(_._2).sum == 6L, inv)
   }
 
-  test("refusals: transform shapes, double columns, nulls, partition-column ALTER, streaming write") {
+  test("refusals: transform shapes, double columns, nulls, partition-column ALTER") {
     val (dir, tbl) = freshTable()
     import spark.implicits._
     val eB = intercept[Exception](spark.sql(
@@ -143,24 +143,46 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ALTER cannot drop or retype the partition column
     val eA = intercept[Exception](spark.sql(s"ALTER TABLE $tbl3 DROP COLUMN lang"))
     assert(msgs(eA).exists(_.contains("partition column")), s"wrong: $eA")
-    // streaming write into a partitioned table is refused loudly
-    val src = java.nio.file.Files.createTempDirectory("graft_part_src").toString
+  }
+
+  test("streaming WRITE into a partitioned table: epoch files route per directory, exactly-once across restart") {
+    val (dir, tbl) = freshTable()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING, n BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    val src = java.nio.file.Files.createTempDirectory("graft_pswrite_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pswrite_ck").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(src, "b0.json"),
-      """{"k": 1, "lang": "en", "n": 5}""")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ckpt").toString
+      """{"k": 1, "lang": "en", "n": 10}
+{"k": 2, "lang": "de", "n": 20}""")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
-    val q = spark.readStream.format("graft-jsondoc").schema(schema)
+    def start() = spark.readStream.format("graft-jsondoc").schema(schema)
       .option("path", src).load()
-      .writeStream.format("graft-jsondoc").option("path", dir3)
-      .option("checkpointLocation", ckpt)
-    val eS = intercept[Exception] {
-      val qq = q.start()
-      try { qq.processAllAvailable() } finally qq.stop()
-    }
-    assert(msgs(eS).exists(_.contains("PARTITIONED table is not supported")), s"wrong: $eS")
+      .writeStream.format("graft-jsondoc").option("path", dir)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // epoch files landed inside their partition directories
+    val live = JsonDocSource.listDataFiles(dir).map(f => JsonDocSource.relName(dir, f)).toSeq
+    assert(live.exists(n => n.startsWith("lang=en/part-e")), live)
+    assert(live.exists(n => n.startsWith("lang=de/part-e")), live)
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    // restart with a new input file: no duplicates, new rows route too
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src, "b1.json"),
+      """{"k": 3, "lang": "en", "n": 30}""")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L), "restart duplicated or lost a partitioned epoch")
+    // partition pruning and the inventory see streaming-written dirs
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val inv = spark.sql(s"SELECT partition, n_rows FROM graftcat.`$dir#partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inv === Seq(("lang=de", 1L), ("lang=en", 2L)), inv)
   }
 
   test("partition values with special characters round-trip via URL encoding") {
