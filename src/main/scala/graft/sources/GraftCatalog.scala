@@ -497,9 +497,17 @@ object GraftCatalog {
         else if (f.isDirectory && f.getName.contains('=')) sweep(f)
       }
     sweep(dir)
-    JsonDocVersions.commit(path, newLive)
+    // delta commit: retire exactly the multi-file bins' inputs, add the
+    // compacted outputs — a concurrent append's files survive, and a
+    // concurrent rewrite of an input aborts loudly (r13)
+    val removedIn = bins.filter(_.length > 1).flatMap(_.map(_._1)).toSet
+    val addedOut = newLive -- live.toSet
+    // the committed version can exceed the name-embedded v when a
+    // concurrent append rebased this commit upward — names are just
+    // names; report what actually committed
+    val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut)
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
-    Some(v)
+    Some(committed)
   }
 
   /** KEY-CLUSTER a table (r13 — Iceberg `rewrite_data_files` with a sort

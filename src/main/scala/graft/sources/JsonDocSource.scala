@@ -622,14 +622,17 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
       if (!src.renameTo(dst))
         throw new java.io.IOException(s"commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
-    val newLive = (live0 -- retired) ++ msgs.map(_.finalName)
     // consume any pending transaction id (GraftTxn) INTO the manifest:
-    // the rename below is then simultaneously the data commit and the
+    // the claim below is then simultaneously the data commit and the
     // applied-epoch ledger entry — an idempotent applier that crashes
     // anywhere re-checks lastTxn and either sees nothing (MERGE never
     // committed → re-apply) or sees the epoch (committed → skip); there
-    // is no state in which the fold landed but the ledger didn't
-    JsonDocVersions.commit(path, newLive, GraftTxn.take(path))
+    // is no state in which the fold landed but the ledger didn't.
+    // DELTA commit (r13): rebases over a concurrent append instead of
+    // dropping its files, and refuses (loudly) to retire a file a
+    // concurrent rewrite already retired — the copy-on-write conflict
+    JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet,
+      GraftTxn.take(path))
     // sidecar AFTER the manifest: entries accumulate across versions
     // (retired files keep theirs so time-travel reads still prune); a
     // crash in between leaves valid data files with missing stats
@@ -767,9 +770,11 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
     // minting empty versions — the manifest history stays one version
     // per real epoch
     JsonDocVersions.latest(path) match {
-      case Some((_, live0)) =>
-        val newLive = live0 ++ msgs.map(_.finalName)
-        if (newLive != live0) JsonDocVersions.commit(path, newLive)
+      case Some(_) =>
+        // delta commit: a pure append, rebased over any concurrent
+        // committer; the no-op guard inside keeps replays from minting
+        // empty versions
+        JsonDocVersions.commitDelta(path, Set.empty, msgs.map(_.finalName).toSet)
       case None =>
         val visible = JsonDocSource.listDataFiles(path)
           .map(f => JsonDocSource.relName(path, f)).toSet

@@ -79,35 +79,97 @@ private[graft] object JsonDocVersions {
   def resolveAt(path: String, tsMillis: Long): Option[Int] =
     manifests(path).filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
 
-  /** Write version latest+1 naming `newLive`; atomic tmp+rename.
-    * Returns the committed version. Callers skip the call when the live
-    * set is unchanged (idempotent streaming replays) — EXCEPT when a
-    * transaction must be recorded, which is why the batch commit never
-    * skips. `txn` (appId -> applied version) is folded into the
-    * carried-forward txn map INSIDE the same atomic rename. */
-  def commit(path: String, newLive: Set[String],
-      txn: Option[(String, Long)] = None): Int = {
-    val prev = manifests(path).lastOption
-    val v = prev.map(_._1).getOrElse(0) + 1
+  /** ATOMICALLY claim a manifest version: hard-link the temp into place.
+    * Link creation FAILS when the destination exists (r13 — unlike
+    * rename(2), which silently REPLACES it, the lost-update shape: two
+    * racing committers both computing latest+1 would have the second
+    * erase the first's manifest, dropping its files from the live set
+    * with the data already on disk). Compare-and-swap on the version
+    * number, local-FS edition; a cloud deployment swaps in its store's
+    * put-if-absent. */
+  private def claim(tmp: java.io.File, dst: java.io.File): Boolean =
+    try { java.nio.file.Files.createLink(dst.toPath, tmp.toPath); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  private def writeManifest(path: String, v: Int, newLive: Set[String],
+      txns: Map[String, Long]): java.io.File = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
     val arr = root.putArray("files")
     newLive.toSeq.sorted.foreach(arr.add)
-    val txns = prev.map { case (pv, _) => readTxns(path, pv) }.getOrElse(Map.empty) ++ txn
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
     }
-    val tmp = new java.io.File(path, s".${manifestName(v)}.tmp")
+    // process-unique temp: two PROCESSES retrying the same version must
+    // not collide on the temp either
+    val tmp = new java.io.File(path,
+      s".${manifestName(v)}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     // explicit UTF-8: FileWriter would use the platform charset while
     // every reader parses UTF-8 — a non-UTF-8 locale would mangle
     // non-ASCII names/bounds into '?' (advice r12)
     java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
-    val dst = new java.io.File(path, manifestName(v))
-    if (!tmp.renameTo(dst))
-      throw new java.io.IOException(s"manifest commit rename failed in $path")
+    tmp
+  }
+
+  /** Write version latest+1 naming `newLive` ABSOLUTELY; atomic claim.
+    * Returns the committed version. A concurrent commit between the
+    * latest-read and the claim throws ConcurrentModificationException —
+    * an absolute set computed against a stale base cannot be rebased
+    * here (the caller does not say what it added or removed); retryable
+    * callers use [[commitDelta]], which rebases and retries itself. */
+  def commit(path: String, newLive: Set[String],
+      txn: Option[(String, Long)] = None): Int = {
+    val prev = manifests(path).lastOption
+    val v = prev.map(_._1).getOrElse(0) + 1
+    val txns = prev.map { case (pv, _) => readTxns(path, pv) }.getOrElse(Map.empty) ++ txn
+    val tmp = writeManifest(path, v, newLive, txns)
+    val ok = claim(tmp, new java.io.File(path, manifestName(v)))
+    tmp.delete()
+    if (!ok)
+      throw new java.util.ConcurrentModificationException(
+        s"graft-jsondoc: manifest v$v of $path was committed concurrently — " +
+          "this absolute commit cannot rebase; re-read the table and retry")
     v
+  }
+
+  /** DELTA commit with optimistic-concurrency RETRY (r13): the new live
+    * set is `(latest -- removed) ++ added`, recomputed from the CURRENT
+    * latest on every attempt, so a racing append never loses its files
+    * to this commit and vice versa. Every `removed` name must still be
+    * live — a concurrent rewrite that already retired one means the two
+    * commits derived from the same file contents and merging them would
+    * duplicate rows (the copy-on-write conflict Delta/Iceberg also
+    * refuse): ConcurrentModificationException, caller re-plans. When
+    * the delta is a no-op and no transaction needs recording, no
+    * version is minted (idempotent streaming replays). */
+  def commitDelta(path: String, removed: Set[String], added: Set[String],
+      txn: Option[(String, Long)] = None): Int = {
+    var attempt = 0
+    while (true) {
+      val prev = manifests(path).lastOption
+      val v = prev.map(_._1).getOrElse(0) + 1
+      val base = prev.flatMap(p => read(path, p._1)).getOrElse(Set.empty)
+      val missing = removed -- base
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-jsondoc: commit to $path retires files no longer live " +
+            s"(${missing.take(3).mkString(", ")}) — a concurrent rewrite won; re-plan")
+      val newLive = (base -- removed) ++ added
+      val txns = prev.map { case (pv, _) => readTxns(path, pv) }.getOrElse(Map.empty)
+      if (newLive == base && txn.forall { case (a, e) => txns.get(a).contains(e) })
+        return prev.map(_._1).getOrElse(0)
+      val tmp = writeManifest(path, v, newLive, txns ++ txn)
+      val ok = claim(tmp, new java.io.File(path, manifestName(v)))
+      tmp.delete()
+      if (ok) return v
+      attempt += 1
+      if (attempt > 100)
+        throw new java.io.IOException(
+          s"graft-jsondoc: gave up committing to $path after $attempt collisions")
+    }
+    -1 // unreachable
   }
 
   /** The live-file set to read: pinned version (STRICT — a vacuumed or
