@@ -152,9 +152,19 @@ private[sources] object JsonDocSource {
   }
 
   /** Hive-style partition-value encoding for directory names: URL-encode
-    * so '/', '=', '%' and friends can never corrupt the layout. */
-  def encPartValue(v: Any): String =
-    java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+    * so '/', '=', '%' and friends can never corrupt the layout. A
+    * LEADING '.' or '_' (which URL encoding leaves bare) is additionally
+    * percent-escaped — every listing skips dot/underscore names as
+    * hidden/meta, so a value like ".hidden" would otherwise produce an
+    * invisible partition directory: silent row loss, caught by the
+    * PartitionedTableSpec round-trip property. URLDecoder reverses both
+    * escapes natively. */
+  def encPartValue(v: Any): String = {
+    val e = java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+    if (e.startsWith(".")) "%2E" + e.substring(1)
+    else if (e.startsWith("_")) "%5F" + e.substring(1)
+    else e
+  }
 
   /** Decode one `col=value` path component's value by the column's
     * declared type; None when the text doesn't parse as that type
@@ -466,7 +476,23 @@ private[sources] object JsonDocStats {
   /** Merge new per-file entries into the sidecar and replace it
     * atomically. Driver-side only, under the commit's single-writer
     * contract. `keepExisting=false` drops prior entries (truncate). */
+  /** Same-JVM writers serialize per table path (r13): the sidecar is a
+    * read-modify-write, so two concurrent driver-side commits could drop
+    * each other's fresh entries (never wrong answers — a missing entry
+    * only disables pruning/exact counts — but needless conservatism).
+    * Cross-PROCESS races keep that benign degradation; the manifest,
+    * where loss would be real, has the hard-link claim instead. */
+  private val sidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def mergeAndWrite(path: String, entries: Seq[(String, String)],
+      keepExisting: Boolean, dropNames: Set[String] = Set.empty): Unit =
+    sidecarLocks.computeIfAbsent(
+      new java.io.File(path).getAbsolutePath, _ => new Object).synchronized {
+      mergeAndWrite0(path, entries, keepExisting, dropNames)
+    }
+
+  private def mergeAndWrite0(path: String, entries: Seq[(String, String)],
       keepExisting: Boolean, dropNames: Set[String] = Set.empty): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()

@@ -283,6 +283,45 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("partition-value encoding round-trips any string, and directory names stay layout-safe") {
+    // generated strings (unicode, separators, dots, empties are refused
+    // upstream — non-null contract) must survive encode -> decode
+    // exactly, and the encoded form must never contain the characters
+    // that would corrupt a col=value path component
+    val gen = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.asciiPrintableStr,
+      org.scalacheck.Gen.listOfN(8, org.scalacheck.Gen.oneOf(Seq(
+        "/", "=", "%", ".", " ", "\t", "a", "ß", "中", "\ud83d\ude42"))).map(_.mkString),
+      org.scalacheck.Gen.alphaNumStr)
+    val samples = org.scalacheck.Gen.listOfN(500, gen)
+      .apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(1337L)).get
+    // the leading-dot case the property caught for real: a ".hidden"
+    // value must produce a VISIBLE directory (listings skip dot names)
+    (samples.filter(_.nonEmpty) ++ Seq(".hidden", "_meta", "..", "_")).foreach { s =>
+      val enc = JsonDocSource.encPartValue(s)
+      assert(!enc.contains('/') && !enc.contains('=') && !enc.startsWith(".") &&
+        !enc.startsWith("_"), s"unsafe directory component for '$s': '$enc'")
+      assert(JsonDocSource.decPartValue(enc,
+        org.apache.spark.sql.types.StringType).contains(s),
+        s"string round-trip broke for '$s' (enc '$enc')")
+    }
+    // typed round-trips: long/int/boolean decode back to the typed value
+    // the stats pruner compares with (ints widen to Long by design)
+    Seq(Long.MinValue, -1L, 0L, 42L, Long.MaxValue).foreach { v =>
+      assert(JsonDocSource.decPartValue(JsonDocSource.encPartValue(v),
+        org.apache.spark.sql.types.LongType).contains(v))
+    }
+    Seq(true, false).foreach { v =>
+      assert(JsonDocSource.decPartValue(JsonDocSource.encPartValue(v),
+        org.apache.spark.sql.types.BooleanType).contains(v))
+    }
+    // a token that does not parse as the declared type is None — the
+    // pruner then keeps the file (conservative), never miscompares
+    assert(JsonDocSource.decPartValue("not_a_number",
+      org.apache.spark.sql.types.LongType).isEmpty)
+  }
+
   test("time travel and history work across partitioned commits") {
     val (dir, tbl) = freshTable()
     seed(tbl) // v1
