@@ -569,8 +569,19 @@ object GraftCatalog {
       val parr = root.putArray("partitions")
       partitions.foreach(parr.add) // declaration order = directory depth order
     }
-    java.nio.file.Files.writeString(schemaFile(dir).toPath,
-      mapper.writeValueAsString(root))
+    // tmp+rename (r13): a straight write to the final path could expose
+    // a TRUNCATED schema to a concurrent reader mid-ALTER
+    val tmp = new java.io.File(dir,
+      s"._table_schema.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    val dst = schemaFile(dir)
+    // POSIX rename replaces atomically — no delete-first window where a
+    // reader would see NO sidecar and silently fall back to inference
+    if (!tmp.renameTo(dst)) {
+      dst.delete() // non-POSIX fallback
+      if (!tmp.renameTo(dst))
+        throw new java.io.IOException(s"schema sidecar rename failed in $dir")
+    }
   }
 
   /** The table's identity-partition columns in layout order (empty for

@@ -347,15 +347,33 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
   }
   override def truncate(): WriteBuilder =
     new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope)
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-        replaceScope)
-    override def toStreaming: StreamingWrite = {
-      require(!truncateFirst,
-        "graft-jsondoc streaming write supports append output mode only")
-      new JsonDocStreamingWrite(path, info.schema(), info.queryId(),
-        GraftCatalog.partitionColsOf(path).map(_.name))
+  override def build(): Write = {
+    val partCols = GraftCatalog.partitionColsOf(path).map(_.name)
+    // A PARTITIONED write asks Spark for a CLUSTERED distribution on the
+    // partition columns (r13 — Iceberg's hash distribution mode): rows
+    // of one partition value co-locate in one task, so the routing
+    // writer keeps O(values/tasks) open files instead of every task
+    // potentially touching every partition — the open-file/small-file
+    // fan-out that kills partitioned writes at scale. Unpartitioned
+    // writes request nothing and plan exactly as before.
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+        if (partCols.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        else
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            partCols.map(c => Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def toBatch: BatchWrite =
+        new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
+          replaceScope)
+      override def toStreaming: StreamingWrite = {
+        require(!truncateFirst,
+          "graft-jsondoc streaming write supports append output mode only")
+        new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partCols)
+      }
     }
   }
 }
@@ -1085,6 +1103,11 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
 
+  // the table's partition columns, read from the schema sidecar once
+  // per scan (planInputPartitions can run several times — runtime
+  // filters re-plan — and each read is driver-side file I/O)
+  private lazy val partCols0: Seq[StructField] = GraftCatalog.partitionColsOf(path)
+
   /** Runtime (DPP-style) filtering — the LAST pushdown negotiation Spark
     * offers a batch DSv2 scan, and the one that only resolves at
     * EXECUTION time: when this scan is the probe side of a join whose
@@ -1143,7 +1166,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     // non-matching directories are dropped on the NAME alone, before
     // the stats sidecar is even consulted. Undecodable components keep
     // the file (conservative, the sidecar's standing rule).
-    val partCols = GraftCatalog.partitionColsOf(path)
+    val partCols = partCols0
     def partPruned(rel: String): Boolean = {
       if (partCols.isEmpty) return false
       val comps = rel.split('/').dropRight(1)

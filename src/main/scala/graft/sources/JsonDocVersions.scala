@@ -150,7 +150,15 @@ private[graft] object JsonDocVersions {
     while (true) {
       val prev = manifests(path).lastOption
       val v = prev.map(_._1).getOrElse(0) + 1
-      val base = prev.flatMap(p => read(path, p._1)).getOrElse(Set.empty)
+      // an unreadable LATEST manifest must abort, not silently rebase
+      // onto an empty set — that would commit a live set holding only
+      // this delta's additions and drop the whole table
+      val base = prev match {
+        case Some((pv, _)) => read(path, pv).getOrElse(
+          throw new java.io.IOException(
+            s"graft-jsondoc: latest manifest v$pv of $path is unreadable — refusing to commit over it"))
+        case None => Set.empty[String]
+      }
       val missing = removed -- base
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(

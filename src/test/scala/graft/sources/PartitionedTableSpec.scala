@@ -185,6 +185,26 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inv === Seq(("lang=de", 1L), ("lang=en", 2L)), inv)
   }
 
+  test("a partitioned write clusters rows by partition value (one file per value, not per task)") {
+    // the Write declares RequiresDistributionAndOrdering clustered on
+    // the partition columns, so rows of one value co-locate in one task:
+    // an input spread over 4 partitions still lands ONE file per lang —
+    // without the requested shuffle it would be up to 4 per lang (the
+    // open-file/small-file fan-out that kills partitioned writes at
+    // scale)
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    (1L to 40L).map(k => (k, if (k % 2 == 0) "en" else "de")).toDF("k", "lang")
+      .repartition(4) // both langs present in every input partition
+      .writeTo(tbl).append()
+    val live = JsonDocSource.listDataFiles(dir).map(f => JsonDocSource.relName(dir, f))
+    assert(live.count(_.startsWith("lang=en/")) == 1, live.toSeq)
+    assert(live.count(_.startsWith("lang=de/")) == 1, live.toSeq)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 40L)
+  }
+
   test("partition values with special characters round-trip via URL encoding") {
     val (dir, tbl) = freshTable()
     import spark.implicits._
