@@ -537,6 +537,16 @@ object GraftCatalog {
     val df = spark.table(table)
     require(df.schema.fieldNames.contains(column),
       s"cluster: no such column $column in $table")
+    // a PARTITIONED table's write re-shuffles clustered on the partition
+    // columns (RequiresDistributionAndOrdering), which would silently
+    // destroy the range clustering requested here — and the partition
+    // layout already IS that table's pruning structure; refuse loudly
+    // rather than produce a layout the caller didn't ask for
+    val tablePath = table.split('.').last.stripPrefix("`").stripSuffix("`")
+    require(partitionColsOf(tablePath).isEmpty,
+      s"cluster: $table is identity-partitioned — the partition layout already " +
+        "clusters it, and the partitioned write's required distribution would " +
+        "override the requested range split; OPTIMIZE compacts within partitions instead")
     // overwrite(true) = SupportsTruncate in ONE commit: tasks write the
     // clustered temps while the scan still reads the old files; the
     // truncate happens at driver commit, after every temp is ready

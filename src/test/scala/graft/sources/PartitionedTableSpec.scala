@@ -143,6 +143,11 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ALTER cannot drop or retype the partition column
     val eA = intercept[Exception](spark.sql(s"ALTER TABLE $tbl3 DROP COLUMN lang"))
     assert(msgs(eA).exists(_.contains("partition column")), s"wrong: $eA")
+    // cluster() refuses a partitioned table (the partitioned write's
+    // required distribution would override the requested range split)
+    val eC = intercept[Exception](
+      GraftCatalog.cluster(spark, tbl3, "k", 4))
+    assert(msgs(eC).exists(_.contains("identity-partitioned")), s"wrong: $eC")
   }
 
   test("streaming WRITE into a partitioned table: epoch files route per directory, exactly-once across restart") {
