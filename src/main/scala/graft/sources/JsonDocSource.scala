@@ -743,6 +743,12 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
 
   override def write(row: InternalRow): Unit = {
     val prefix = dirPrefix(row)
+    if (!children.contains(prefix) && children.size == 200)
+      org.slf4j.LoggerFactory.getLogger(classOf[JsonDocPartitionedDataWriter]).warn(
+        s"graft-jsondoc: task $partitionId is writing its 200th partition " +
+          s"directory under $path — the clustered write distribution should " +
+          "bound this to ~values/tasks; extreme partition cardinality on this " +
+          "column suggests partitioning on something coarser")
     children.getOrElseUpdate(prefix, epochId match {
       // streaming epoch: run-independent (epoch, partition) final name
       // per directory — the replay key — vs the batch write's
