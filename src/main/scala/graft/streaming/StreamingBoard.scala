@@ -1011,6 +1011,32 @@ object StreamingBoard {
       s"FROM $tbl ORDER BY user_id")
   }
 
+  /** q188: the q183 incremental MV with a KEY-CLUSTERING maintenance
+    * pass in the MIDDLE of its life (r13 — the MvClusterProbe claim as
+    * an oracle row): fold epoch 0, `GraftCatalog.cluster` the view into
+    * user_id range files (one atomic truncate-commit; the manifest
+    * carries the applied-epoch txn map forward, so the replay guard
+    * survives the rewrite), then resume the SAME checkpointed stream
+    * for epochs 1–2, whose MERGEs now rewrite only range-intersecting
+    * files. The oracle is q183's one-shot batch GROUP BY verbatim —
+    * hash-green proves the clustering maintenance op is answer-
+    * preserving through a live maintained view, not just in a probe. */
+  def q188ClusteredMv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q188")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+    val schema = q183Stage(spark, dir, root, upTo = 1)
+    q183Drain(spark, root, tbl, schema) // epoch 0 folds
+    graft.sources.GraftCatalog.cluster(spark, tbl, "user_id", 4)
+    q183Stage(spark, dir, root, upTo = 3) // epochs 1-2 appear
+    q183Drain(spark, root, tbl, schema) // resume the same checkpoint
+    spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
+      s"FROM $tbl ORDER BY user_id")
+  }
+
   val q183Sql: String =
     "SELECT user_id, count(*) AS n_events, min(epoch_us(ts)) AS first_us, " +
       "max(epoch_us(ts)) AS last_us, max(value) AS max_value " +
@@ -1030,7 +1056,8 @@ object StreamingBoard {
     "q175_stream_stream_semi" -> q175StreamStreamSemi _,
     "q178_session_histogram" -> q178SessionHistogram _,
     "q179_pattern_stream" -> q179PatternStream _,
-    "q183_incremental_mv" -> q183IncrementalMv _)
+    "q183_incremental_mv" -> q183IncrementalMv _,
+    "q188_clustered_mv" -> q188ClusteredMv _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -1049,5 +1076,7 @@ object StreamingBoard {
     "q178_session_histogram" -> q178Sql,
     "q179_pattern_stream" -> q179Sql,
     // the MV invariant: maintained view == one-shot recomputation
-    "q183_incremental_mv" -> q183Sql)
+    "q183_incremental_mv" -> q183Sql,
+    // mid-life clustering is answer-preserving: q183's oracle verbatim
+    "q188_clustered_mv" -> q183Sql)
 }
