@@ -180,6 +180,38 @@ private[sources] object JsonDocSource {
     } catch { case _: IllegalArgumentException => None }
   }
 
+  /** Compile a PARTITION-DIRECTORY pruner for this table against a
+    * stats pruner already compiled from the effective filters: a
+    * `col=value` path component is a point range for that column, so
+    * the same pruner decides it — before any sidecar I/O, and for
+    * stats-less files too. Returns a rel-name predicate that is true
+    * when the file is PROVABLY excluded; undecodable components keep
+    * the file (conservative). Shared by the row scan, the aggregate
+    * scan, and the micro-batch stream so partition pruning cannot
+    * drift between plan shapes (r13). */
+  private[sources] def partitionPruned(path: String,
+      keep: JsonDocStats.FileStats => Boolean): String => Boolean =
+    partitionPruned(GraftCatalog.partitionColsOf(path), keep)
+
+  private[sources] def partitionPruned(partCols: Seq[StructField],
+      keep: JsonDocStats.FileStats => Boolean): String => Boolean = {
+    if (partCols.isEmpty) (_: String) => false
+    else (rel: String) => {
+      val comps = rel.split('/').dropRight(1)
+      val cols = comps.flatMap { c =>
+        val eq = c.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val name = c.substring(0, eq)
+          partCols.find(_.name == name).flatMap(f =>
+            decPartValue(c.substring(eq + 1), f.dataType)
+              .map(v => name -> JsonDocStats.ColRange(v, v)))
+        }
+      }.toMap
+      cols.nonEmpty && !keep(JsonDocStats.FileStats(-1L, cols))
+    }
+  }
+
   /** Infer a flat schema from the first response file's first lines
     * (up to 100). Field order = first-seen order. */
   def infer(path: String): StructType = {
@@ -1172,22 +1204,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     // non-matching directories are dropped on the NAME alone, before
     // the stats sidecar is even consulted. Undecodable components keep
     // the file (conservative, the sidecar's standing rule).
-    val partCols = partCols0
-    def partPruned(rel: String): Boolean = {
-      if (partCols.isEmpty) return false
-      val comps = rel.split('/').dropRight(1)
-      val cols = comps.flatMap { c =>
-        val eq = c.indexOf('=')
-        if (eq <= 0) None
-        else {
-          val name = c.substring(0, eq)
-          partCols.find(_.name == name).flatMap(f =>
-            JsonDocSource.decPartValue(c.substring(eq + 1), f.dataType)
-              .map(v => name -> JsonDocStats.ColRange(v, v)))
-        }
-      }.toMap
-      cols.nonEmpty && !keep(JsonDocStats.FileStats(-1L, cols))
-    }
+    val partPruned = JsonDocSource.partitionPruned(partCols0, keep)
     val stats = JsonDocStats.load(path)
     // `_file` constraints (runtime GROUP filters, or a user filter on
     // the metadata column) skip by NAME — no stats entry needed
@@ -1273,7 +1290,9 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
     // excludes the filters contributes nothing to any partial
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
+    val partPruned = JsonDocSource.partitionPruned(path, keep)
     files.map(f => (f, JsonDocSource.relName(path, f)))
+      .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
       .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
   }
@@ -1587,7 +1606,12 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     planned ++= chosen.map(_._2)
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    chosen.filter { case (_, rel) => stats.get(rel).forall(keep) }
+    // directory-level pruning too (r13): deterministic on replay for the
+    // same reason stats skipping is — only STATIC pushed filters reach a
+    // micro-batch, and a pruned file's rows can never contribute
+    val partPruned = JsonDocSource.partitionPruned(path, keep)
+    chosen.filter { case (_, rel) => !partPruned(rel) }
+      .filter { case (_, rel) => stats.get(rel).forall(keep) }
       .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
   }
 

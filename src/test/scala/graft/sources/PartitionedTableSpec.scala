@@ -210,6 +210,34 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 40L)
   }
 
+  test("aggregate-pushdown and micro-batch scans partition-prune by directory name too") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    // delete the stats sidecar: stats-based skipping is now impossible,
+    // so any file skipped below is skipped by the DIRECTORY NAME alone —
+    // isolating the shared partition pruner on the two non-row-scan paths
+    assert(new java.io.File(dir, "_stats.json").delete())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    // aggregate pushdown: COUNT(*) WHERE lang='en' plans only lang=en files
+    val b = new JsonDocScanBuilder(schema, dir)
+    assert(b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("lang", "en"))).isEmpty)
+    assert(b.pushAggregation(new org.apache.spark.sql.connector.expressions.aggregate.Aggregation(
+      Array(new org.apache.spark.sql.connector.expressions.aggregate.CountStar), Array.empty)))
+    val aggParts = b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[JsonDocPartition].rel)
+    assert(aggParts.nonEmpty && aggParts.forall(_.startsWith("lang=en/")), aggParts.toSeq)
+    // micro-batch: the same static filter prunes per batch
+    val stream = new JsonDocMicroBatchStream(schema, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("lang", "en")))
+    val end = stream.latestOffset()
+    val mbParts = stream.planInputPartitions(stream.initialOffset(), end)
+      .map(_.asInstanceOf[JsonDocPartition].rel)
+    assert(mbParts.nonEmpty && mbParts.forall(_.startsWith("lang=en/")), mbParts.toSeq)
+  }
+
   test("partition values with special characters round-trip via URL encoding") {
     val (dir, tbl) = freshTable()
     import spark.implicits._
