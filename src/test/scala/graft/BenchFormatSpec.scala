@@ -90,6 +90,17 @@ class BenchFormatSpec extends AnyFunSuite {
     val worst = JsonMethods.parse(
       Bench.compactLine(fakeTimes(names ++ repeats), "/root/testdata/sf0.1"))
     assert((worst \ "total") != JNothing && (worst \ "n_queries") == JInt(names.size + 13))
+    // r13: the drift cap is gone — the pathological board where EVERY
+    // query drifts doubles the row count. The line must stay inside the
+    // tail window and keep its total (per-query visibility MAY shed at
+    // this extreme; the gears' documented last resort)
+    val allDrift = names ++ names.map(n =>
+      n.takeWhile(_ != '_') + "#2" + n.dropWhile(_ != '_'))
+    val extreme = Bench.compactLine(allDrift.map(_ -> 45.678), "/root/testdata/sf0.1")
+    assert(extreme.length < TailBudget,
+      s"all-drifted compact line is ${extreme.length} chars — exceeds $TailBudget")
+    val je = JsonMethods.parse(extreme)
+    assert((je \ "total") != JNothing && (je \ "n_queries") == JInt(allDrift.size))
   }
 
   test("previousBench takes the per-query minimum over the last K rounds; drift rule fires correctly") {
