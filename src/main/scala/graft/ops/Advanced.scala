@@ -504,14 +504,24 @@ object Advanced {
     val n = nodes.count()
     val outDeg = graft.Caches.register(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache())
+    // LOOP-INVARIANT hoists (r13): the out-degree join onto edges and
+    // the dangling-node set are both static, so pre-join/pre-compute
+    // them ONCE instead of once per round — two fewer joins per
+    // iteration, and the dangling aggregate becomes a BROADCAST
+    // semi-join (no |nodes| shuffle: suppliers are the sinks and the
+    // dangling set is dimension-sized). The arithmetic is untouched
+    // (still sum(r/deg), not r * (1/deg) — reciprocal multiplication
+    // diverges from division in binary and would break the oracle hash)
+    val edgesW = graft.Caches.register(
+      edges.join(outDeg, Seq("src")).select(col("src"), col("dst"), col("deg")).cache())
+    val danglingNodes = graft.Caches.register(
+      nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti").cache())
     var rank = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
-      val dangling = rank.join(outDeg, rank("node") === outDeg("src"), "left")
-        .where(col("deg").isNull)
+      val dangling = rank.join(broadcast(danglingNodes), Seq("node"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      val contrib = edges
-        .join(rank, edges("src") === rank("node"))
-        .join(outDeg, Seq("src"))
+      val contrib = edgesW
+        .join(rank, edgesW("src") === rank("node"))
         .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
       val next = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
