@@ -375,6 +375,40 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType).isEmpty)
   }
 
+  test("expiring a streaming checkpoint's basis snapshot fails the restart loudly") {
+    // version-mode offsets carry the snapshot the consumer validated up
+    // to; expire_snapshots deleting that manifest makes the downtime
+    // window unprovable — the source must refuse, not guess
+    val root = java.nio.file.Files.createTempDirectory("graft_vexp").toString
+    val tbl = s"graftcat.`$root/t`"
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    Seq(1L).toDF("k").coalesce(1).writeTo(tbl).append() // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vexp_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_vexp_out").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    def start() = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", s"$root/t").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // consumed at basis v1
+    // while down: two appends, then expire everything below current
+    Seq(2L).toDF("k").coalesce(1).writeTo(tbl).append() // v2
+    Seq(3L).toDF("k").coalesce(1).writeTo(tbl).append() // v3
+    val now = System.currentTimeMillis()
+    Seq(1, 2).foreach(v => assert(new java.io.File(s"$root/t",
+      f"_manifest_v$v%06d.json").setLastModified(now - 8L * 24 * 3600 * 1000)))
+    GraftCatalog.expireSnapshots(s"$root/t", now - 7L * 24 * 3600 * 1000)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(msgs(e).exists(m => m.contains("expired/vacuumed")), s"wrong error: $e")
+  }
+
   test("time travel and history work across partitioned commits") {
     val (dir, tbl) = freshTable()
     seed(tbl) // v1
