@@ -294,11 +294,18 @@ class GraftCatalog extends TableCatalog
         entries.filter(_.isDirectory).foreach(check)
       }
       check(dir)
+      // propagate deletion failures (advice r13): a partially-deleted
+      // table (permission-denied file, still-open handle) must not
+      // report a successful drop — the catalog would claim the table is
+      // gone while its files remain readable
       def purge(d: java.io.File): Unit = {
         Option(d.listFiles()).getOrElse(Array.empty).foreach { e =>
-          if (e.isDirectory) purge(e) else e.delete()
+          if (e.isDirectory) purge(e)
+          else if (!e.delete())
+            throw new java.io.IOException(s"graft catalog: DROP TABLE failed to delete $e")
         }
-        d.delete()
+        if (!d.delete())
+          throw new java.io.IOException(s"graft catalog: DROP TABLE failed to delete directory $d")
       }
       purge(dir)
       true
@@ -532,7 +539,7 @@ object GraftCatalog {
     * the originals. O(view) by nature, like every recluster; run it
     * periodically, not per epoch. */
   def cluster(spark: org.apache.spark.sql.SparkSession, table: String,
-      column: String, buckets: Int): Unit = {
+      column: String, buckets: Int, path: String = null): Unit = {
     require(buckets >= 1, "cluster needs at least one bucket")
     val df = spark.table(table)
     require(df.schema.fieldNames.contains(column),
@@ -541,8 +548,19 @@ object GraftCatalog {
     // columns (RequiresDistributionAndOrdering), which would silently
     // destroy the range clustering requested here — and the partition
     // layout already IS that table's pruning structure; refuse loudly
-    // rather than produce a layout the caller didn't ask for
-    val tablePath = table.split('.').last.stripPrefix("`").stripSuffix("`")
+    // rather than produce a layout the caller didn't ask for.
+    // The raw path comes from the caller when available (ClusterProcedure
+    // has it as its first argument); re-parsing the qualified name splits
+    // on BACKTICKS, not dots — a dotted table path like /data/events.v2/t
+    // split on '.' would yield a wrong path, silently bypass this guard,
+    // and let the partitioned write discard the range clustering (advice r13)
+    val tablePath =
+      if (path != null) path
+      else {
+        val i = table.indexOf('`'); val j = table.lastIndexOf('`')
+        if (i >= 0 && j > i) table.substring(i + 1, j)
+        else table.substring(table.indexOf('.') + 1)
+      }
     require(partitionColsOf(tablePath).isEmpty,
       s"cluster: $table is identity-partitioned — the partition layout already " +
         "clusters it, and the partitioned write's required distribution would " +

@@ -90,7 +90,7 @@ private[sources] object GraftProcedures {
         val path = input.getUTF8String(0).toString
         val spark = org.apache.spark.sql.SparkSession.active
         GraftCatalog.cluster(spark, s"$catalogName.`$path`",
-          input.getUTF8String(1).toString, input.getLong(2).toInt)
+          input.getUTF8String(1).toString, input.getLong(2).toInt, path = path)
         val v = JsonDocVersions.latest(path).map(_._1.toLong).getOrElse(-1L)
         val schema = new StructType().add("version", LongType, nullable = false)
         Iterator(scanOf(schema, Seq(InternalRow(v)))).asJava

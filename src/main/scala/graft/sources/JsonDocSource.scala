@@ -704,11 +704,23 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // anywhere re-checks lastTxn and either sees nothing (MERGE never
     // committed → re-apply) or sees the epoch (committed → skip); there
     // is no state in which the fold landed but the ledger didn't.
-    // DELTA commit (r13): rebases over a concurrent append instead of
-    // dropping its files, and refuses (loudly) to retire a file a
-    // concurrent rewrite already retired — the copy-on-write conflict
-    JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet,
-      GraftTxn.take(path))
+    val txn = GraftTxn.take(path)
+    JsonDocVersions.latest(path) match {
+      case Some(_) =>
+        // DELTA commit (r13): rebases over a concurrent append instead
+        // of dropping its files, and refuses (loudly) to retire a file a
+        // concurrent rewrite already retired — the copy-on-write conflict
+        JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn)
+      case None =>
+        // FIRST manifest of a legacy directory (advice r13): commitDelta
+        // would start from an EMPTY base and mint a manifest excluding
+        // the pre-existing visible files — rows silently vanish and
+        // vacuum then deletes them. Bootstrap ABSOLUTELY from the
+        // visible listing (live0), mirroring the streaming commit's
+        // None branch; the absolute commit's collision throw is the
+        // right behavior for a racing first-manifest writer.
+        JsonDocVersions.commit(path, (live0 -- retired) ++ msgs.map(_.finalName).toSet, txn)
+    }
     // sidecar AFTER the manifest: entries accumulate across versions
     // (retired files keep theirs so time-travel reads still prune); a
     // crash in between leaves valid data files with missing stats
@@ -1587,8 +1599,18 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
         // the batch is live(v_end) -- live(v_start): append order comes
         // from the manifest chain, not the names, so UUID-named batch
         // appends and partition directories deliver correctly
-        val startLive = sOff.version
-          .flatMap(v => JsonDocVersions.read(path, v)).getOrElse(Set.empty[String])
+        // an expired START basis must throw like the end-version path
+        // below does (advice r13): getOrElse(Set.empty) would silently
+        // re-deliver the entire endLive — every already-consumed file
+        // duplicated, in exactly the scenario the loud guards exist for
+        val startLive = sOff.version match {
+          case Some(v) => JsonDocVersions.read(path, v).getOrElse(
+            throw new IllegalStateException(
+              s"graft-jsondoc streaming source on $path: snapshot v$v — the " +
+                "basis of a checkpointed batch — has been expired/vacuumed; " +
+                "keep snapshots at least as long as checkpointed consumers"))
+          case None => Set.empty[String] // initial offset: nothing consumed yet
+        }
         val endLive = JsonDocVersions.read(path, eOff.version.get).getOrElse(
           throw new IllegalStateException(
             s"graft-jsondoc streaming source on $path: snapshot v${eOff.version.get} " +

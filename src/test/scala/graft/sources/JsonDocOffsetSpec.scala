@@ -273,6 +273,66 @@ class JsonDocOffsetSpec extends AnyFunSuite {
       (3L, 3L, None)))
   }
 
+  test("first V2 batch commit into a manifest-less directory keeps pre-existing visible files live") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = Files.createTempDirectory("graft_bootstrap").toFile.getAbsolutePath
+    // a legacy directory: visible data, NO manifest (hand-staged fixture
+    // or foreign writer)
+    Files.write(Paths.get(dir, "legacy.jsonl"),
+      """{"doc_id":1}""".getBytes(StandardCharsets.UTF_8))
+    val bw = new JsonDocBatchWrite(dir, schema, "boot", truncateFirst = false)
+    val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+    w.write(new GenericInternalRow(Array[Any](2L)))
+    bw.commit(Array(w.commit()))
+    // the minted first manifest must BOOTSTRAP from the visible listing:
+    // the advice-r13 bug committed a delta against an empty base, so the
+    // legacy file silently vanished from reads and vacuum then deleted it
+    val (v, live) = JsonDocVersions.latest(dir).get
+    assert(v == 1 && live.contains("legacy.jsonl"),
+      s"first manifest must include pre-existing visible files, got $live")
+    val scan = new JsonDocScan(schema, dir, Array.empty)
+    val names = scan.planInputPartitions()
+      .map(_.asInstanceOf[JsonDocPartition].relOrName).toSet
+    assert(names.contains("legacy.jsonl") && names.size == 2)
+    assert(GraftCatalog.vacuum(dir, keepLast = 1).isEmpty,
+      "nothing is retired, so vacuum must reclaim nothing")
+
+    // and TRUNCATE of a manifest-less directory must not throw a spurious
+    // conflict (the delta path would refuse to retire names not in its
+    // empty base): old generation retired, new rows the only live set
+    val dir2 = Files.createTempDirectory("graft_bootstrap2").toFile.getAbsolutePath
+    Files.write(Paths.get(dir2, "legacy.jsonl"),
+      """{"doc_id":1}""".getBytes(StandardCharsets.UTF_8))
+    val bw2 = new JsonDocBatchWrite(dir2, schema, "boot2", truncateFirst = true)
+    val w2 = bw2.createBatchWriterFactory(null).createWriter(0, 0L)
+    w2.write(new GenericInternalRow(Array[Any](9L)))
+    bw2.commit(Array(w2.commit()))
+    val live2 = JsonDocVersions.latest(dir2).get._2
+    assert(live2.size == 1 && !live2.contains("legacy.jsonl"),
+      s"truncate must retire the legacy generation, got $live2")
+  }
+
+  test("version-mode replay with an expired START basis aborts loudly instead of re-delivering everything") {
+    val dir = Files.createTempDirectory("graft_expired_start").toFile.getAbsolutePath
+    Files.write(Paths.get(dir, "a.jsonl"),
+      """{"doc_id":1}""".getBytes(StandardCharsets.UTF_8))
+    JsonDocVersions.commit(dir, Set("a.jsonl")) // v1 — consumed basis
+    Files.write(Paths.get(dir, "b.jsonl"),
+      """{"doc_id":2}""".getBytes(StandardCharsets.UTF_8))
+    JsonDocVersions.commit(dir, Set("a.jsonl", "b.jsonl")) // v2
+    // the checkpointed start snapshot is expired while the stream is down
+    assert(Paths.get(dir, JsonDocVersions.manifestName(1)).toFile.delete())
+    val stream = new JsonDocMicroBatchStream(schema, dir, Array.empty)
+    // silent getOrElse(Set.empty) would deliver BOTH files — a.jsonl
+    // (already consumed under v1) duplicated; the guard must throw the
+    // same way the end-version path already does (advice r13)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        FileNameOffset("a.jsonl", Some(1)), FileNameOffset("b.jsonl", Some(2)))
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("vacuumed"))
+  }
+
   test("concurrent manifest commits: racing appends all land; conflicting rewrites are refused") {
     val dir = Files.createTempDirectory("graft_occ").toFile.getAbsolutePath
     JsonDocVersions.commit(dir, Set("base.jsonl"))
