@@ -328,7 +328,7 @@ object GraftCatalog {
     val all = JsonDocVersions.manifests(path)
     if (all.isEmpty) return Seq.empty
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepLast))
-    reclaim(path, drop, keep)
+    reclaim(path, drop.toSeq, keep.toSeq)
   }
 
   /** TIME-BASED retention (r13, the real-world form of [[vacuum]]):
@@ -345,26 +345,27 @@ object GraftCatalog {
     if (all.isEmpty) return Seq.empty
     // the latest manifest is never expirable, whatever its age
     val (history, current) = all.splitAt(all.length - 1)
-    val (drop, keepOld) = history.partition(_._2.lastModified() < olderThanMillis)
-    reclaim(path, drop, keepOld ++ current)
+    val (drop, keepOld) = history.partition(v =>
+      JsonDocVersions.mtime(path, v).exists(_ < olderThanMillis))
+    reclaim(path, drop.toSeq, (keepOld ++ current).toSeq)
   }
 
   /** Shared reclaim: delete every data file no kept manifest references,
     * then the dropped manifests, then prune the reclaimed files' stats
     * entries. Returns the deleted data-file names. */
   private def reclaim(path: String,
-      drop: Array[(Int, java.io.File)],
-      keep: Array[(Int, java.io.File)]): Seq[String] = {
+      drop: Seq[Int], keep: Seq[Int]): Seq[String] = {
     val referenced: Set[String] =
-      keep.flatMap { case (v, _) => JsonDocVersions.read(path, v).getOrElse(Set.empty) }.toSet
+      keep.flatMap(v => JsonDocVersions.read(path, v).getOrElse(Set.empty)).toSet
     val deletable = JsonDocSource.walkDataFiles(path)
       .map(f => (f, JsonDocSource.relName(path, f)))
       .filterNot { case (_, rel) => referenced.contains(rel) }
     deletable.foreach { case (f, _) =>
       if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
     }
-    drop.foreach { case (_, mf) =>
-      if (!mf.delete()) throw new java.io.IOException(s"vacuum failed to delete $mf")
+    drop.foreach { v =>
+      if (!JsonDocVersions.deleteManifest(path, v))
+        throw new java.io.IOException(s"vacuum failed to delete manifest v$v of $path")
     }
     // prune the reclaimed files' stats entries: the files are unreadable
     // at EVERY remaining version, so their entries are dead weight the
@@ -432,7 +433,7 @@ object GraftCatalog {
         if (cur.nonEmpty) bins += cur
       }
     if (!bins.exists(_.length > 1)) return None
-    val v = JsonDocVersions.manifests(path).lastOption.map(_._1).getOrElse(0) + 1
+    val v = JsonDocVersions.manifests(path).lastOption.getOrElse(0) + 1
     val stats = JsonDocStats.load(path)
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):

@@ -47,7 +47,7 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stats = JsonDocStats.load(path)
-    val rows = JsonDocVersions.manifests(path).toSeq.map { case (v, _) =>
+    val rows = JsonDocVersions.manifests(path).toSeq.map { v =>
       val files = JsonDocVersions.read(path, v).getOrElse(Set.empty)
       // rows = -1 is parseFile's missing-field sentinel — same NULL
       // conservatism as a missing entry (estimateStatistics' guard)

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
   * model re-expressed at file granularity):
   *
   *  - every V2 commit writes `_manifest_v<N>.json` naming the LIVE data
-  *    files of version N; the manifest rename is the atomic commit
+  *    files of version N; the manifest creation is the atomic commit
   *    point (data-file renames happen first, so a manifest only ever
   *    references files that exist);
   *  - data files are IMMUTABLE once committed — truncate and
@@ -21,6 +21,10 @@ import scala.jdk.CollectionConverters._
   *    drops manifests older than the kept window and deletes data files
   *    no kept manifest references.
   *
+  * All storage I/O goes through the [[CommitStore]] seam (r14): local FS
+  * by default, a conditional-put object store in a cloud deployment, an
+  * in-memory race-injecting fake in CommitStoreSpec.
+  *
   * Directories never written by the V2 writer have no manifests and
   * keep the legacy rule (every visible file is live) — hand-staged
   * fixture dirs and foreign writers are unaffected. */
@@ -28,71 +32,62 @@ private[graft] object JsonDocVersions {
   private val Prefix = "_manifest_v"
   private val Suffix = ".json"
 
+  /** The storage seam; tests swap in the in-memory racing fake (always
+    * restored in a finally — the default is the local filesystem). */
+  @volatile private[graft] var store: CommitStore = LocalFsCommitStore
+
   def manifestName(v: Int): String = f"$Prefix$v%06d$Suffix"
 
-  /** All manifests in the directory, version-ascending. */
-  def manifests(path: String): Array[(Int, java.io.File)] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (f.isFile && n.startsWith(Prefix) && n.endsWith(Suffix))
-          n.stripPrefix(Prefix).stripSuffix(Suffix).toIntOption.map(_ -> f)
-        else None
-      }
-      .sortBy(_._1)
+  /** All committed manifest versions in the directory, ascending. */
+  def manifests(path: String): Array[Int] =
+    store.list(path).flatMap { n =>
+      if (n.startsWith(Prefix) && n.endsWith(Suffix))
+        n.stripPrefix(Prefix).stripSuffix(Suffix).toIntOption
+      else None
+    }.toArray.sorted
 
-  def read(path: String, v: Int): Option[Set[String]] = {
-    val f = new java.io.File(path, manifestName(v))
-    if (!f.isFile) None
-    else {
-      val node = new ObjectMapper().readTree(f)
-      Option(node.get("files")).map(_.elements().asScala.map(_.asText()).toSet)
-    }
-  }
+  /** Commit time of version v (epoch millis). */
+  def mtime(path: String, v: Int): Option[Long] =
+    store.mtime(path, manifestName(v))
+
+  /** Drop version v's manifest (vacuum/expire only). */
+  def deleteManifest(path: String, v: Int): Boolean =
+    store.delete(path, manifestName(v))
+
+  private def readNode(path: String, v: Int): Option[com.fasterxml.jackson.databind.JsonNode] =
+    store.read(path, manifestName(v)).map(new ObjectMapper().readTree(_))
+
+  def read(path: String, v: Int): Option[Set[String]] =
+    readNode(path, v).flatMap(node =>
+      Option(node.get("files")).map(_.elements().asScala.map(_.asText()).toSet))
 
   /** The APPLIED-TRANSACTION map of version v: `appId -> last applied
     * version` (the Delta `txnAppId`/`txnVersion` idiom). Carried
     * FORWARD by every commit and updated atomically WITH the live-set
-    * rename, so "was epoch e of app a already folded into this table?"
+    * claim, so "was epoch e of app a already folded into this table?"
     * is answered by the same artifact that made the fold visible — no
     * external ledger, no crash window between data commit and ledger
     * write (r12 verdict item 1). */
-  def readTxns(path: String, v: Int): Map[String, Long] = {
-    val f = new java.io.File(path, manifestName(v))
-    if (!f.isFile) return Map.empty
-    val node = new ObjectMapper().readTree(f)
-    Option(node.get("txns")).map { t =>
+  def readTxns(path: String, v: Int): Map[String, Long] =
+    readNode(path, v).flatMap(node => Option(node.get("txns")).map { t =>
       t.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    }.getOrElse(Map.empty)
-  }
+    }).getOrElse(Map.empty)
 
   /** Latest applied version for `appId`, from the latest manifest
     * (None: no manifest, or the app never committed a transaction). */
   def lastTxn(path: String, appId: String): Option[Long] =
-    manifests(path).lastOption.flatMap { case (v, _) => readTxns(path, v).get(appId) }
+    manifests(path).lastOption.flatMap(v => readTxns(path, v).get(appId))
 
   def latest(path: String): Option[(Int, Set[String])] =
-    manifests(path).lastOption.flatMap { case (v, _) => read(path, v).map(v -> _) }
+    manifests(path).lastOption.flatMap(v => read(path, v).map(v -> _))
 
   /** Greatest version whose manifest was committed at or before
-    * `tsMillis` (TIMESTAMP AS OF resolution via manifest mtimes). */
+    * `tsMillis` (TIMESTAMP AS OF resolution via manifest commit times). */
   def resolveAt(path: String, tsMillis: Long): Option[Int] =
-    manifests(path).filter(_._2.lastModified() <= tsMillis).lastOption.map(_._1)
+    manifests(path).filter(v => mtime(path, v).exists(_ <= tsMillis)).lastOption
 
-  /** ATOMICALLY claim a manifest version: hard-link the temp into place.
-    * Link creation FAILS when the destination exists (r13 — unlike
-    * rename(2), which silently REPLACES it, the lost-update shape: two
-    * racing committers both computing latest+1 would have the second
-    * erase the first's manifest, dropping its files from the live set
-    * with the data already on disk). Compare-and-swap on the version
-    * number, local-FS edition; a cloud deployment swaps in its store's
-    * put-if-absent. */
-  private def claim(tmp: java.io.File, dst: java.io.File): Boolean =
-    try { java.nio.file.Files.createLink(dst.toPath, tmp.toPath); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-
-  private def writeManifest(path: String, v: Int, newLive: Set[String],
-      txns: Map[String, Long]): java.io.File = {
+  private def manifestJson(v: Int, newLive: Set[String],
+      txns: Map[String, Long]): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
@@ -102,32 +97,22 @@ private[graft] object JsonDocVersions {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
     }
-    // process-unique temp: two PROCESSES retrying the same version must
-    // not collide on the temp either
-    val tmp = new java.io.File(path,
-      s".${manifestName(v)}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    // explicit UTF-8: FileWriter would use the platform charset while
-    // every reader parses UTF-8 — a non-UTF-8 locale would mangle
-    // non-ASCII names/bounds into '?' (advice r12)
-    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
-    tmp
+    mapper.writeValueAsString(root)
   }
 
-  /** Write version latest+1 naming `newLive` ABSOLUTELY; atomic claim.
-    * Returns the committed version. A concurrent commit between the
-    * latest-read and the claim throws ConcurrentModificationException —
-    * an absolute set computed against a stale base cannot be rebased
-    * here (the caller does not say what it added or removed); retryable
-    * callers use [[commitDelta]], which rebases and retries itself. */
+  /** Write version latest+1 naming `newLive` ABSOLUTELY; atomic CAS
+    * claim through the store. Returns the committed version. A
+    * concurrent commit between the latest-read and the claim throws
+    * ConcurrentModificationException — an absolute set computed against
+    * a stale base cannot be rebased here (the caller does not say what
+    * it added or removed); retryable callers use [[commitDelta]], which
+    * rebases and retries itself. */
   def commit(path: String, newLive: Set[String],
       txn: Option[(String, Long)] = None): Int = {
     val prev = manifests(path).lastOption
-    val v = prev.map(_._1).getOrElse(0) + 1
-    val txns = prev.map { case (pv, _) => readTxns(path, pv) }.getOrElse(Map.empty) ++ txn
-    val tmp = writeManifest(path, v, newLive, txns)
-    val ok = claim(tmp, new java.io.File(path, manifestName(v)))
-    tmp.delete()
-    if (!ok)
+    val v = prev.getOrElse(0) + 1
+    val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty) ++ txn
+    if (!store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns)))
       throw new java.util.ConcurrentModificationException(
         s"graft-jsondoc: manifest v$v of $path was committed concurrently — " +
           "this absolute commit cannot rebase; re-read the table and retry")
@@ -149,12 +134,12 @@ private[graft] object JsonDocVersions {
     var attempt = 0
     while (true) {
       val prev = manifests(path).lastOption
-      val v = prev.map(_._1).getOrElse(0) + 1
+      val v = prev.getOrElse(0) + 1
       // an unreadable LATEST manifest must abort, not silently rebase
       // onto an empty set — that would commit a live set holding only
       // this delta's additions and drop the whole table
       val base = prev match {
-        case Some((pv, _)) => read(path, pv).getOrElse(
+        case Some(pv) => read(path, pv).getOrElse(
           throw new java.io.IOException(
             s"graft-jsondoc: latest manifest v$pv of $path is unreadable — refusing to commit over it"))
         case None => Set.empty[String]
@@ -165,13 +150,11 @@ private[graft] object JsonDocVersions {
           s"graft-jsondoc: commit to $path retires files no longer live " +
             s"(${missing.take(3).mkString(", ")}) — a concurrent rewrite won; re-plan")
       val newLive = (base -- removed) ++ added
-      val txns = prev.map { case (pv, _) => readTxns(path, pv) }.getOrElse(Map.empty)
+      val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty)
       if (newLive == base && txn.forall { case (a, e) => txns.get(a).contains(e) })
-        return prev.map(_._1).getOrElse(0)
-      val tmp = writeManifest(path, v, newLive, txns ++ txn)
-      val ok = claim(tmp, new java.io.File(path, manifestName(v)))
-      tmp.delete()
-      if (ok) return v
+        return prev.getOrElse(0)
+      if (store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns ++ txn)))
+        return v
       attempt += 1
       if (attempt > 100)
         throw new java.io.IOException(
@@ -201,7 +184,7 @@ private[graft] object JsonDocVersions {
   * SQL commands (`MERGE INTO t ...`) have no writer-options channel, so
   * an idempotent applier declares "the write I am about to run IS epoch
   * e of app a" here, and [[JsonDocBatchWrite]]'s commit folds it into
-  * the manifest rename — the ONE atomic point. Begin before the
+  * the manifest claim — the ONE atomic point. Begin before the
   * command, clear in a finally (the commit itself consumes the entry on
   * success, so the finally only matters on failure). Keys are
   * canonical paths; one pending transaction per table at a time —

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OCC retry/conflict contract re-certified against an OBJECT-STORE
+  * shaped [[CommitStore]] (r14): an in-memory fake whose `putIfAbsent`
+  * can be made to LOSE a race deterministically — a hook runs just
+  * before each CAS attempt and can insert a competing manifest for the
+  * exact version the committer is about to claim. This pins that the
+  * commit logic above the seam (rebase-and-retry for deltas, loud abort
+  * for absolute commits, concurrent-rewrite refusal) does not secretly
+  * depend on local-filesystem behavior; a cloud deployment only has to
+  * implement the five primitives. */
+class CommitStoreSpec extends AnyFunSuite {
+
+  /** In-memory store: a (dir, name) -> (content, mtime) map with a
+    * race-injection hook invoked before every CAS attempt. */
+  final class InMemoryCommitStore extends CommitStore {
+    private val files =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long)]()
+    private var tick = 0L
+    /** Runs before each putIfAbsent; may itself insert entries. */
+    @volatile var beforePut: (String, String) => Unit = (_, _) => ()
+
+    /** Direct insert (the "other writer" in injected races). */
+    def forcePut(dir: String, name: String, content: String): Unit =
+      files.synchronized { tick += 1; files.put((dir, name), (content, tick)) }
+
+    override def putIfAbsent(dir: String, name: String, content: String): Boolean = {
+      beforePut(dir, name)
+      files.synchronized {
+        tick += 1
+        files.putIfAbsent((dir, name), (content, tick)) == null
+      }
+    }
+    override def list(dir: String): Seq[String] =
+      files.keySet().toArray(Array.empty[(String, String)])
+        .collect { case (d, n) if d == dir => n }.toSeq
+    override def read(dir: String, name: String): Option[String] =
+      Option(files.get((dir, name))).map(_._1)
+    override def mtime(dir: String, name: String): Option[Long] =
+      Option(files.get((dir, name))).map(_._2)
+    override def delete(dir: String, name: String): Boolean =
+      files.remove((dir, name)) != null
+  }
+
+  private def withFake[A](body: InMemoryCommitStore => A): A = {
+    val fake = new InMemoryCommitStore
+    val prev = JsonDocVersions.store
+    JsonDocVersions.store = fake
+    try body(fake) finally JsonDocVersions.store = prev
+  }
+
+  /** A competing committer's manifest for version v of `dir`. */
+  private def competingManifest(fake: InMemoryCommitStore, dir: String,
+      v: Int, live: Set[String]): Unit =
+    fake.forcePut(dir, JsonDocVersions.manifestName(v),
+      s"""{"version":$v,"files":[${live.toSeq.sorted.map(n => "\"" + n + "\"").mkString(",")}]}""")
+
+  test("delta commit rebases and retries when the CAS loses: both writers' files land") {
+    withFake { fake =>
+      val dir = "/mem/t1"
+      JsonDocVersions.commit(dir, Set("base.jsonl")) // v1
+      // the first CAS attempt (v2) loses to a concurrent append; the
+      // retry must rebase onto v2's live set and claim v3 — keeping BOTH
+      // writers' files (the lost-update shape the seam exists to prevent)
+      var injected = false
+      fake.beforePut = (d, name) =>
+        if (!injected && name == JsonDocVersions.manifestName(2)) {
+          injected = true
+          competingManifest(fake, d, 2, Set("base.jsonl", "other.jsonl"))
+        }
+      val v = JsonDocVersions.commitDelta(dir, Set.empty, Set("mine.jsonl"))
+      assert(v == 3, s"losing the v2 race must land as v3, got v$v")
+      assert(JsonDocVersions.latest(dir).get._2 ===
+        Set("base.jsonl", "other.jsonl", "mine.jsonl"))
+    }
+  }
+
+  test("delta commit survives a STORM of lost races (one injection per attempt, 5 rounds)") {
+    withFake { fake =>
+      val dir = "/mem/t2"
+      JsonDocVersions.commit(dir, Set("base.jsonl")) // v1
+      var races = 0
+      fake.beforePut = (d, name) =>
+        if (races < 5) {
+          races += 1
+          val v = name.stripPrefix("_manifest_v").stripSuffix(".json").toInt
+          val prevLive = JsonDocVersions.latest(d).get._2
+          competingManifest(fake, d, v, prevLive + s"racer$races.jsonl")
+        }
+      val v = JsonDocVersions.commitDelta(dir, Set.empty, Set("mine.jsonl"))
+      assert(v == 7, s"five lost races then a win must land as v7, got v$v")
+      val live = JsonDocVersions.latest(dir).get._2
+      assert(live.contains("mine.jsonl") && (1 to 5).forall(i => live.contains(s"racer$i.jsonl")))
+    }
+  }
+
+  test("absolute commit aborts loudly on a lost CAS (no rebase, no silent replace)") {
+    withFake { fake =>
+      val dir = "/mem/t3"
+      JsonDocVersions.commit(dir, Set("base.jsonl")) // v1
+      fake.beforePut = (d, name) =>
+        if (name == JsonDocVersions.manifestName(2))
+          competingManifest(fake, d, 2, Set("base.jsonl", "other.jsonl"))
+      intercept[java.util.ConcurrentModificationException] {
+        JsonDocVersions.commit(dir, Set("base.jsonl", "mine.jsonl"))
+      }
+      // the competing committer's manifest is untouched
+      assert(JsonDocVersions.latest(dir).get._2 === Set("base.jsonl", "other.jsonl"))
+    }
+  }
+
+  test("conflicting rewrite is refused across the fake: a raced-away retired file aborts") {
+    withFake { fake =>
+      val dir = "/mem/t4"
+      JsonDocVersions.commit(dir, Set("a.jsonl", "b.jsonl")) // v1
+      // while this committer retires a.jsonl, a concurrent OPTIMIZE wins
+      // v2 having ALREADY retired it — merging both would duplicate rows
+      fake.beforePut = (d, name) =>
+        if (name == JsonDocVersions.manifestName(2))
+          competingManifest(fake, d, 2, Set("compact.jsonl", "b.jsonl"))
+      val e = intercept[java.util.ConcurrentModificationException] {
+        JsonDocVersions.commitDelta(dir, Set("a.jsonl"), Set("rewritten-a.jsonl"))
+      }
+      assert(e.getMessage.contains("concurrent rewrite won"))
+    }
+  }
+
+  test("txn map carries forward across raced commits") {
+    withFake { fake =>
+      val dir = "/mem/t5"
+      JsonDocVersions.commit(dir, Set("base.jsonl"), txn = Some(("app", 7L))) // v1
+      var injected = false
+      fake.beforePut = (d, name) =>
+        if (!injected && name == JsonDocVersions.manifestName(2)) {
+          injected = true
+          competingManifest(fake, d, 2, Set("base.jsonl", "other.jsonl"))
+        }
+      // NOTE the injected competitor carries no txns (a foreign append
+      // built from the same v1 would have copied them; this is the
+      // worst case) — the retry re-reads v2's txn map, so the app's
+      // ledger entry is refreshed by this commit's own txn
+      JsonDocVersions.commitDelta(dir, Set.empty, Set("mine.jsonl"), txn = Some(("app", 8L)))
+      assert(JsonDocVersions.lastTxn(dir, "app").contains(8L))
+    }
+  }
+
+  test("mtime ordering drives TIMESTAMP AS OF resolution on the fake store") {
+    withFake { _ =>
+      val dir = "/mem/t6"
+      JsonDocVersions.commit(dir, Set("a.jsonl"))
+      JsonDocVersions.commit(dir, Set("a.jsonl", "b.jsonl"))
+      val t1 = JsonDocVersions.mtime(dir, 1).get
+      val t2 = JsonDocVersions.mtime(dir, 2).get
+      assert(t1 < t2)
+      assert(JsonDocVersions.resolveAt(dir, t1).contains(1))
+      assert(JsonDocVersions.resolveAt(dir, t2).contains(2))
+      assert(JsonDocVersions.resolveAt(dir, t1 - 1).isEmpty)
+    }
+  }
+}

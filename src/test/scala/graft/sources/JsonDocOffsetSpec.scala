@@ -368,7 +368,7 @@ class JsonDocOffsetSpec extends AnyFunSuite {
     // the ABSOLUTE commit cannot rebase: a version claimed between its
     // latest-read and its claim must throw, never silently replace
     // (simulated by pre-claiming the version it will compute)
-    val vNext = JsonDocVersions.manifests(dir).last._1 + 1
+    val vNext = JsonDocVersions.manifests(dir).last + 1
     Files.writeString(Paths.get(dir, f"_manifest_v$vNext%06d.json"),
       """{"version": 0, "files": []}""")
     // absolute commit re-reads latest (now vNext) and claims vNext+1 — fine;
