@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -183,7 +184,11 @@ class GraftCatalog extends TableCatalog
     if (GraftCatalog.schemaFile(dir).exists()) throw new TableAlreadyExistsException(ident)
     if (!dir.isDirectory && !dir.mkdirs())
       throw new java.io.IOException(s"cannot create table directory $dir")
-    GraftCatalog.writeSchema(dir, schema, partitions = partCols)
+    // TBLPROPERTIES persist in the schema sidecar (r14) minus the
+    // engine-reserved keys Spark injects on every CREATE; the binding
+    // consumer today is `write.rowlevel.mode = merge-on-read`
+    val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    GraftCatalog.writeSchema(dir, schema, partitions = partCols, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -205,6 +210,7 @@ class GraftCatalog extends TableCatalog
           s"(no schema sidecar in $dir — bare-writer directories resolve " +
           "for reads but cannot be altered)")
     var (schema, dropped) = GraftCatalog.readSchemaAndDropped(dir).get
+    var props = GraftCatalog.tablePropsOf(dir.getPath)
     val partCols = GraftCatalog.partitionColsOf(dir.getPath).map(_.name)
     def requireNotPartition(name: String, what: String): Unit =
       require(!partCols.contains(name),
@@ -268,10 +274,16 @@ class GraftCatalog extends TableCatalog
             s"refusing $name: ${from.simpleString} -> ${to.simpleString}")
         schema = StructType(schema.fields.updated(idx,
           schema.fields(idx).copy(dataType = to)))
+      case set: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProps.contains(set.property()),
+          s"graft catalog: ${set.property()} is engine-reserved")
+        props += (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props -= rm.property()
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
-    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partCols)
+    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partCols, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -363,6 +375,18 @@ object GraftCatalog {
     deletable.foreach { case (f, _) =>
       if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
     }
+    // delete vectors referenced by NO kept manifest are orphans too
+    // (r14) — superseded unions, crash leftovers, expired versions'
+    // vectors; they are underscore-named so the data walk never sees
+    // them, and a kept version's DVs must survive for time travel
+    val referencedDvs: Set[String] =
+      keep.flatMap(v => JsonDocVersions.readDvs(path, v).values).toSet
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(JsonDocDeleteVectors.Prefix)
+        && !referencedDvs.contains(f.getName))
+      .foreach { f =>
+        if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
+      }
     drop.foreach { v =>
       if (!JsonDocVersions.deleteManifest(path, v))
         throw new java.io.IOException(s"vacuum failed to delete manifest v$v of $path")
@@ -435,6 +459,16 @@ object GraftCatalog {
     if (!bins.exists(_.length > 1)) return None
     val v = JsonDocVersions.manifests(path).lastOption.getOrElse(0) + 1
     val stats = JsonDocStats.load(path)
+    // merge-on-read PURGE (r14): an input with a delete vector is
+    // copied line-filtered — its dead positions dropped — so the
+    // compacted output is clean and carries no DV (compaction is where
+    // MOR's read-side debt is repaid). Positions are loaded once here;
+    // the commit passes this map as its dv conflict basis, so a DV
+    // repointed mid-compaction aborts rather than resurrecting deletes.
+    val dvs = JsonDocVersions.dvsFor(path, None)
+    val dvPos: Map[String, Array[Long]] = dvs.map { case (rel, dv) =>
+      rel -> JsonDocDeleteVectors.read(path, dv).toArray.sorted
+    }
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):
     // the bins are independent byte concatenations, and compaction of a
@@ -450,17 +484,11 @@ object GraftCatalog {
     val multi: Seq[(Int, Vector[String])] = bins.zipWithIndex.collect {
       case (bin, i) if bin.length > 1 => (i, bin.map(_._1))
     }.toSeq
-    def concatInto(tmp: java.io.File, names: Seq[String]): Unit = {
-      val out = new java.io.FileOutputStream(tmp)
-      try names.foreach { n =>
-        java.nio.file.Files.copy(new java.io.File(dir, n).toPath, out)
-        out.write('\n') // files end without one; keep lines separate
-      } finally out.close()
-    }
     val tmpOf: Map[Int, String] =
       org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(spark) =>
           val pathStr = path
+          val dvPosB = dvPos // avoid capturing the whole enclosing scope
           spark.sparkContext.parallelize(multi, multi.size).map { case (i, names) =>
             val d = new java.io.File(pathStr)
             val attempt = Option(org.apache.spark.TaskContext.get())
@@ -469,17 +497,19 @@ object GraftCatalog {
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t$attempt.jsonl.tmp"
             val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
-            try names.foreach { n =>
-              java.nio.file.Files.copy(new java.io.File(d, n).toPath, out)
-              out.write('\n')
-            } finally out.close()
+            try names.foreach(n =>
+              GraftCatalog.copyCompactInput(d, n, out, dvPosB.get(n)))
+            finally out.close()
             (i, tmpName)
           }.collect().toMap
         case None =>
           multi.map { case (i, names) =>
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t0.jsonl.tmp"
-            concatInto(new java.io.File(dir, tmpName), names)
+            val out = new java.io.FileOutputStream(new java.io.File(dir, tmpName))
+            try names.foreach(n =>
+              GraftCatalog.copyCompactInput(dir, n, out, dvPos.get(n)))
+            finally out.close()
             (i, tmpName)
           }.toMap
       }
@@ -493,7 +523,15 @@ object GraftCatalog {
         if (!tmp.renameTo(new java.io.File(dir, name)))
           throw new java.io.IOException(s"optimize rename failed for $name")
         JsonDocStats.union(bin.map { case (n, _) => stats.get(n) })
-          .foreach(merged => newEntries += (name -> JsonDocStats.toJson(merged)))
+          .foreach { merged =>
+            // rows subtract the purged positions EXACTLY; ranges stay
+            // (a deleted row can only make them wider than true — the
+            // sidecar's standing widen-only conservatism)
+            val purged = bin.map { case (n, _) =>
+              dvPos.get(n).map(_.length.toLong).getOrElse(0L) }.sum
+            newEntries += (name -> JsonDocStats.toJson(
+              merged.copy(rows = merged.rows - purged)))
+          }
         Seq(name)
     }.toSet
     // losing speculative attempts leave dot-temps invisible to readers;
@@ -513,9 +551,43 @@ object GraftCatalog {
     // the committed version can exceed the name-embedded v when a
     // concurrent append rebased this commit upward — names are just
     // names; report what actually committed
-    val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut)
+    val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut,
+      dvBasis = Some(dvs))
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(committed)
+  }
+
+  /** One compaction input appended to `out`: a straight byte copy when
+    * it carries no delete vector, a line-filtered copy (dead positions
+    * dropped) when it does. Position = 0-based index among non-empty
+    * lines, the reader's coordinate system. Runs in executor tasks. */
+  private[sources] def copyCompactInput(dir: java.io.File, name: String,
+      out: java.io.OutputStream, drop: Option[Array[Long]]): Unit = {
+    drop match {
+      case None =>
+        java.nio.file.Files.copy(new java.io.File(dir, name).toPath, out)
+        out.write('\n') // files end without one; keep lines separate
+      case Some(positions) =>
+        val dead = new java.util.HashSet[java.lang.Long]()
+        positions.foreach(p => dead.add(p))
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.io.FileInputStream(new java.io.File(dir, name)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var pos = -1L
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              pos += 1
+              if (!dead.contains(pos)) {
+                out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                out.write('\n')
+              }
+            }
+            line = reader.readLine()
+          }
+        } finally reader.close()
+    }
   }
 
   /** KEY-CLUSTER a table (r13 — Iceberg `rewrite_data_files` with a sort
@@ -574,8 +646,25 @@ object GraftCatalog {
       .writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
   }
 
+  /** Keys Spark itself injects into CREATE TABLE properties — never
+    * user intent, never persisted. */
+  private[sources] val ReservedProps: Set[String] =
+    Set("provider", "location", "owner", "external", "comment")
+
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
+
+  /** The table's persisted TBLPROPERTIES (empty for bare-writer
+    * directories and legacy sidecars). */
+  private[sources] def tablePropsOf(path: String): Map[String, String] = {
+    val f = schemaFile(new java.io.File(path))
+    if (!f.isFile) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f.toPath))
+    Option(root.get("properties")).map { p =>
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+  }
 
   /** Sidecar format: `{"schema": <StructType.json>, "dropped": [names]}`.
     * `dropped` is the column TOMBSTONE list — names ever removed by
@@ -587,7 +676,8 @@ object GraftCatalog {
     * (dropped = none). */
   private[sources] def writeSchema(dir: java.io.File, schema: StructType,
       dropped: Set[String] = Set.empty,
-      partitions: Seq[String] = Seq.empty): Unit = {
+      partitions: Seq[String] = Seq.empty,
+      props: Map[String, String] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.set[com.fasterxml.jackson.databind.JsonNode](
@@ -597,6 +687,10 @@ object GraftCatalog {
     if (partitions.nonEmpty) {
       val parr = root.putArray("partitions")
       partitions.foreach(parr.add) // declaration order = directory depth order
+    }
+    if (props.nonEmpty) {
+      val pobj = root.putObject("properties")
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => pobj.put(k, v) }
     }
     // tmp+rename (r13): a straight write to the final path could expose
     // a TRUNCATED schema to a concurrent reader mid-ALTER

@@ -1,0 +1,239 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** DELETE-VECTOR files (r14, merge-on-read): `_dv-<uuid>.json` in the
+  * table root, each naming the deleted row POSITIONS of one data file —
+  *
+  *   `{"file": <rel>, "positions": [p0, p1, ...]}`
+  *
+  * A position is the row's 0-based index among the file's non-empty
+  * lines (the reader's iteration order — stable because data files are
+  * immutable once committed). DV files are immutable too: a further
+  * MOR delete writes a NEW DV holding the union of positions and the
+  * manifest repoints `dvs[rel]` — so every snapshot version reads its
+  * own deletion state (time travel), and a reader planned against
+  * version N folds N's DVs while a writer commits N+1. Underscore
+  * prefix = invisible to every data listing; vacuum reclaims DVs no
+  * kept manifest references. */
+private[sources] object JsonDocDeleteVectors {
+  val Prefix = "_dv-"
+
+  /** Write a DV (dot-temp + rename: readers never see a partial file);
+    * returns its name for the manifest's dvs map. */
+  def write(path: String, rel: String, positions: Set[Long]): String = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("file", rel)
+    val arr = root.putArray("positions")
+    positions.toSeq.sorted.foreach(arr.add)
+    val name = s"$Prefix${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s".$name.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    val dst = new java.io.File(dir, name)
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"delete-vector rename failed: $name in $path")
+    name
+  }
+
+  /** A manifest-referenced DV must exist — a missing one means the
+    * directory was corrupted/hand-vacuumed; silently reading "no
+    * deletes" would resurrect deleted rows. */
+  def read(path: String, name: String): Set[Long] = {
+    val f = new java.io.File(path, name)
+    if (!f.isFile)
+      throw new IllegalStateException(
+        s"graft-jsondoc: delete vector $name of $path is missing — the directory " +
+          "was corrupted or manually cleaned; restore it or re-write the table")
+    val node = new ObjectMapper().readTree(f)
+    Option(node.get("positions"))
+      .map(_.elements().asScala.map(_.asLong()).toSet).getOrElse(Set.empty)
+  }
+
+  /** Per-file DELETED-ROW counts of a snapshot (rel -> count), for
+    * exact-row accounting in numRows/#files/#history/#partitions. */
+  def countsFor(path: String, pinned: Option[Int]): Map[String, Long] =
+    JsonDocVersions.dvsFor(path, pinned).map { case (rel, dv) =>
+      rel -> read(path, dv).size.toLong
+    }
+}
+
+/** DELTA-BASED (merge-on-read) row-level operation — the other half of
+  * the design space beside [[JsonDocRowLevelOperation]]'s copy-on-write
+  * (r14, the r13 verdict's top item): `SupportsDelta` makes Spark plan
+  * `WriteDelta` instead of `ReplaceData`, so MERGE/UPDATE/DELETE emit a
+  * stream of per-row OPERATIONS — delete(_file, _pos), insert(row) —
+  * instead of rewriting every matched file's contents. The commit
+  * writes per-file delete vectors plus ordinary data files for inserts;
+  * no existing data file is touched. Copy-on-write's worst case — a
+  * UNIFORM delta (every file holds a matched key) rewrites the whole
+  * table, and clustering cannot bound it — becomes O(changed rows).
+  * The read side pays the fold: every subsequent scan filters each
+  * file's DV positions until OPTIMIZE purges them (compaction applies
+  * DVs and emits clean files).
+  *
+  * Mode selection is DECLARED, not guessed: the table property
+  * `write.rowlevel.mode = merge-on-read` (Iceberg's
+  * `write.merge.mode` idiom; default copy-on-write). A matched-file-
+  * fraction heuristic cannot exist at this layer — the operation shape
+  * is fixed at ANALYSIS time, before the matched set is known; engines
+  * that "choose" do it exactly like this, per table, by workload.
+  *
+  * The scan accepts full pushdown (unlike the COW rewrite scan): a
+  * delta write only affects rows it explicitly identifies, so a row the
+  * scan never returns is simply left untouched on disk — there is no
+  * read-then-replace coupling to corrupt. rowId = (_file, _pos), the
+  * Iceberg position-delta shape; updates are represented as
+  * delete+insert (the only honest encoding when the row may move
+  * between partition directories). */
+private[sources] class JsonDocDeltaOperation(schema: StructType, path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    new JsonDocScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new JsonDocDeltaWriteBuilder(path, info)
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array(
+    Expressions.column(JsonDocSource.FileMetaCol),
+    Expressions.column(JsonDocSource.PosMetaCol))
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(JsonDocSource.FileMetaCol),
+    Expressions.column(JsonDocSource.PosMetaCol))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+}
+
+private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends DeltaWriteBuilder {
+  {
+    val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
+    require(bad.isEmpty,
+      "graft-jsondoc writes long/int/double/boolean/string fields only; unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+  }
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def toBatch: DeltaBatchWrite =
+      new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId())
+  }
+}
+
+/** One task's delta: deleted positions per file, plus any insert files
+  * written through the ordinary two-phase writers. */
+private[sources] case class JsonDocDeltaCommitMessage(
+    deletes: Map[String, Seq[Long]],
+    inserts: Seq[JsonDocCommitMessage]) extends WriterCommitMessage
+
+/** Commit = write the unioned delete vectors, rename the insert temps,
+  * then ONE manifest claim carrying both (`added` = insert files,
+  * `dvs` repointed) — the same single atomic point as every other
+  * commit, so a crash anywhere leaves the prior version fully intact
+  * (new DVs/temps are unreferenced orphans vacuum sweeps). Existing
+  * data files are never renamed, rewritten, or retired — the spec pins
+  * that their bytes and mtimes are untouched.
+  *
+  * Concurrency: inserts rebase like any append; a DV on a file a
+  * concurrent rewrite retired aborts loudly (commitDelta's dv-conflict
+  * check). Two MOR writers deleting from the SAME file concurrently
+  * are outside the source's single-writer SQL contract (the union is
+  * read-modify-write) — the GraftTxn scaladoc's standing note. */
+private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
+    queryId: String) extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new JsonDocDeltaWriterFactory(path, schema, queryId,
+      GraftCatalog.partitionColsOf(path).map(_.name))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    val ms = messages.filter(_ != null).map(_.asInstanceOf[JsonDocDeltaCommitMessage])
+    val merged: Map[String, Set[Long]] = ms.flatMap(_.deletes.toSeq)
+      .groupBy(_._1).map { case (rel, xs) => rel -> xs.flatMap(_._2).toSet }
+    val prevDvs = JsonDocVersions.dvsFor(path, None)
+    val dvUpdates = merged.map { case (rel, pos) =>
+      val existing = prevDvs.get(rel)
+        .map(JsonDocDeleteVectors.read(path, _)).getOrElse(Set.empty[Long])
+      rel -> JsonDocDeleteVectors.write(path, rel, existing ++ pos)
+    }
+    val ins = ms.flatMap(_.inserts)
+    ins.foreach { m =>
+      val src = new java.io.File(dir, m.tmpName)
+      val dst = new java.io.File(dir, m.finalName)
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      if (!src.renameTo(dst))
+        throw new java.io.IOException(
+          s"delta commit rename failed: ${m.tmpName} -> ${m.finalName}")
+    }
+    JsonDocVersions.commitDelta(path, Set.empty, ins.map(_.finalName).toSet,
+      GraftTxn.take(path), dvUpdates)
+    JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
+      keepExisting = true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.filter(_ != null).foreach {
+      case m: JsonDocDeltaCommitMessage => m.inserts.foreach { e =>
+        val f = new java.io.File(new java.io.File(path), e.tmpName)
+        if (f.exists()) f.delete()
+      }
+      case _ => ()
+    }
+}
+
+private[sources] class JsonDocDeltaWriterFactory(path: String, schema: StructType,
+    queryId: String, partCols: Seq[String]) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new JsonDocDeltaWriter(path, schema, queryId, partCols, partitionId, taskId)
+}
+
+/** Accumulates (file -> deleted positions) in memory — bounded by this
+  * task's share of MATCHED rows, the quantity a delta op exists to keep
+  * small — and routes inserts through the ordinary two-phase batch
+  * writers (partition-directory routing included), so insert files are
+  * indistinguishable from appended ones. */
+private[sources] class JsonDocDeltaWriter(path: String, schema: StructType,
+    queryId: String, partCols: Seq[String], partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val deletes =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var insertWriter: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
+
+  private def inserts(): org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    if (insertWriter == null)
+      insertWriter = new JsonDocWriterFactory(path, schema, queryId, partCols)
+        .createWriter(partitionId, taskId)
+    insertWriter
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    // rowId order as declared: (_file, _pos)
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    deletes.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty) += pos
+  }
+
+  // representUpdateAsDeleteAndInsert = true, so Spark splits updates
+  // itself; implement anyway so the contract holds either way
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts().write(row)
+
+  override def commit(): WriterCommitMessage =
+    JsonDocDeltaCommitMessage(
+      deletes.map { case (f, ps) => f -> ps.toSeq }.toMap,
+      if (insertWriter == null) Seq.empty
+      else JsonDocCommitMessage.entriesOf(insertWriter.commit()))
+
+  override def abort(): Unit = if (insertWriter != null) insertWriter.abort()
+  override def close(): Unit = ()
+}

@@ -52,7 +52,12 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
       // rows = -1 is parseFile's missing-field sentinel — same NULL
       // conservatism as a missing entry (estimateStatistics' guard)
       val per = files.toSeq.map(n => stats.get(n).map(_.rows).filter(_ >= 0))
-      val nRows = if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+      // this VERSION's delete vectors subtract exactly (r14): history
+      // reports live rows as of each snapshot, not raw file contents
+      lazy val dvDeleted = JsonDocVersions.readDvs(path, v).values
+        .map(dv => JsonDocDeleteVectors.read(path, dv).size.toLong).sum
+      val nRows = if (per.nonEmpty && per.forall(_.isDefined))
+        Some(per.flatten.sum - dvDeleted)
         else if (files.isEmpty) Some(0L)
         else None
       (v.toLong, files.size.toLong, nRows)
@@ -128,6 +133,9 @@ private[sources] class JsonDocFilesScan(path: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stats = JsonDocStats.load(path)
+    // live rows per file under THIS snapshot = sidecar rows minus its
+    // delete-vector positions (exact; r14)
+    val dvCounts = JsonDocDeleteVectors.countsFor(path, pinned)
     val rows = JsonDocSource.listDataFiles(path, pinned).toSeq.map { f =>
       val rel = JsonDocSource.relName(path, f)
       val entry = stats.get(rel)
@@ -136,7 +144,8 @@ private[sources] class JsonDocFilesScan(path: String,
       })
       // rows = -1 (parseFile's missing-field sentinel) reads NULL, the
       // documented conservatism — never a negative "exact" count
-      (rel, f.length(), entry.map(_.rows).filter(_ >= 0), bounds)
+      (rel, f.length(),
+        entry.map(_.rows).filter(_ >= 0).map(_ - dvCounts.getOrElse(rel, 0L)), bounds)
     }
     Array(JsonDocFilesPartition(rows))
   }
@@ -209,6 +218,7 @@ private[sources] class JsonDocPartitionsScan(path: String) extends Scan with Bat
 
   override def planInputPartitions(): Array[InputPartition] = {
     val stats = JsonDocStats.load(path)
+    val dvCounts = JsonDocDeleteVectors.countsFor(path, None)
     val rows = JsonDocSource.listDataFiles(path).toSeq
       .map(f => (f, JsonDocSource.relName(path, f)))
       .groupBy { case (_, rel) =>
@@ -218,7 +228,8 @@ private[sources] class JsonDocPartitionsScan(path: String) extends Scan with Bat
       .toSeq.sortBy(_._1)
       .map { case (part, files) =>
         val per = files.map { case (_, rel) =>
-          stats.get(rel).map(_.rows).filter(_ >= 0) }
+          stats.get(rel).map(_.rows).filter(_ >= 0)
+            .map(_ - dvCounts.getOrElse(rel, 0L)) } // live rows (r14)
         val nRows = if (per.forall(_.isDefined)) Some(per.flatten.map(identity).sum)
           else None
         (part, files.size.toLong, files.map(_._1.length()).sum, nRows)

@@ -106,6 +106,14 @@ private[sources] object JsonDocSource {
     * passes raw MergeRows output straight through). */
   val FileMetaCol = "_file"
 
+  /** Name of the `_pos` METADATA column (r14): a row's 0-based position
+    * among its file's non-empty lines — stable because data files are
+    * immutable once committed, and ABSOLUTE (pushed filters and folded
+    * delete vectors skip rows without shifting later positions). With
+    * `_file` it forms the row id of the merge-on-read delta path
+    * (Iceberg's position-delete shape). */
+  val PosMetaCol = "_pos"
+
   def supportedType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     case _ => false
@@ -289,14 +297,31 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       "graft-jsondoc: row-level operations on a pinned version are not allowed")
-    () => new JsonDocRowLevelOperation(schema0, path, info.command())
+    // DECLARED mode (r14): `write.rowlevel.mode = merge-on-read` plans
+    // WriteDelta (per-file delete vectors + insert files, no data file
+    // rewritten); the default plans copy-on-write ReplaceData. See
+    // [[JsonDocDeltaOperation]] for why the choice is per-table, not a
+    // plan-time matched-fraction guess.
+    val mor = GraftCatalog.tablePropsOf(path)
+      .get("write.rowlevel.mode").contains("merge-on-read")
+    () =>
+      if (mor) new JsonDocDeltaOperation(schema0, path, info.command())
+      else new JsonDocRowLevelOperation(schema0, path, info.command())
   }
+  override def properties(): util.Map[String, String] =
+    GraftCatalog.tablePropsOf(path).asJava
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = JsonDocSource.FileMetaCol
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "response file this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = JsonDocSource.PosMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "0-based row position within its file"
     })
 }
 
@@ -335,14 +360,21 @@ private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String
     * ever narrow it) and read by the commit to scope the replace. */
   private val planned =
     new java.util.concurrent.atomic.AtomicReference[Array[String]](null)
+  /** The delete-vector map the rewrite scan FOLDED (r14): the commit
+    * hands it to commitDelta as the dv conflict basis — retiring a file
+    * whose DV was repointed since the scan would resurrect the
+    * concurrent deletes in the rewritten output. */
+  private val dvBasis =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, String]](null)
 
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema, path, acceptPushdown = false,
-      plannedSink = Some(planned.set))
+      plannedSink = Some(planned.set), dvSink = Some(dvBasis.set))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new JsonDocWriteBuilder(path, info, truncateFirst = false,
-      replaceScope = Some(() => Option(planned.get).map(_.toSet)))
+      replaceScope = Some(() => Option(planned.get).map(_.toSet)),
+      dvBasisScope = Some(() => Option(dvBasis.get)))
   /** `_file` is required for a correctness reason beyond provenance: a
     * row-level write WITHOUT a metadata projection takes the plain
     * writing task, which hands the writer MergeRows' raw output — the
@@ -369,7 +401,8 @@ private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String
   * the protocol shape is unchanged. */
 private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     truncateFirst: Boolean,
-    replaceScope: Option[() => Option[Set[String]]] = None)
+    replaceScope: Option[() => Option[Set[String]]] = None,
+    dvBasisScope: Option[() => Option[Map[String, String]]] = None)
     extends WriteBuilder with SupportsTruncate {
   {
     val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
@@ -378,7 +411,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
   }
   override def truncate(): WriteBuilder =
-    new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope)
+    new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope, dvBasisScope)
   override def build(): Write = {
     val partCols = GraftCatalog.partitionColsOf(path).map(_.name)
     // A PARTITIONED write asks Spark for a CLUSTERED distribution on the
@@ -400,7 +433,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
         Array.empty
       override def toBatch: BatchWrite =
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-          replaceScope)
+          replaceScope, dvBasisScope)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-jsondoc streaming write supports append output mode only")
@@ -672,7 +705,8 @@ private[sources] object JsonDocStats {
   * successful commit simply doesn't reference (vacuum sweeps them). */
 private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     queryId: String, truncateFirst: Boolean,
-    replaceScope: Option[() => Option[Set[String]]] = None) extends BatchWrite {
+    replaceScope: Option[() => Option[Set[String]]] = None,
+    dvBasisScope: Option[() => Option[Map[String, String]]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
@@ -709,8 +743,11 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
       case Some(_) =>
         // DELTA commit (r13): rebases over a concurrent append instead
         // of dropping its files, and refuses (loudly) to retire a file a
-        // concurrent rewrite already retired — the copy-on-write conflict
-        JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn)
+        // concurrent rewrite already retired — the copy-on-write
+        // conflict. The dv basis (r14) extends the same refusal to
+        // delete vectors repointed since the rewrite scan folded them.
+        JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn,
+          dvBasis = dvBasisScope.flatMap(_()))
       case None =>
         // FIRST manifest of a legacy directory (advice r13): commitDelta
         // would start from an EMPTY base and mint a manifest excluding
@@ -1044,6 +1081,7 @@ private[sources] final case class JsonMaxCol(col: String, dt: DataType) extends 
 private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     acceptPushdown: Boolean = true,
     plannedSink: Option[Array[String] => Unit] = None,
+    dvSink: Option[Map[String, String] => Unit] = None,
     pinned: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -1140,13 +1178,14 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs, pinned)
     else new JsonDocScan(required, path, pushed, limit,
       runtimeFilterable = acceptPushdown, plannedSink = plannedSink,
-      pinned = pinned)
+      dvSink = dvSink, pinned = pinned)
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     filters: Array[Filter], limit: Option[Int] = None,
     runtimeFilterable: Boolean = true,
     plannedSink: Option[Array[String] => Unit] = None,
+    dvSink: Option[Map[String, String] => Unit] = None,
     pinned: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -1236,7 +1275,15 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     // runtime filter lands re-report; the filter state is set-once, so
     // the last report is always the narrowest.
     plannedSink.foreach(_(kept.map(_._2)))
-    kept.map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
+    // delete vectors of the scanned snapshot (r14): resolved here, once,
+    // so a concurrent MOR commit can't change what a running scan reads;
+    // reported to the row-level operation as its commit's conflict basis
+    val dvs = JsonDocVersions.dvsFor(path, pinned)
+    dvSink.foreach(_(dvs))
+    kept.map { case (f, rel) =>
+      JsonDocPartition(f.getAbsolutePath, rel,
+        dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1259,9 +1306,12 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       val stats = JsonDocStats.load(path)
       val per = files.map(f =>
         stats.get(JsonDocSource.relName(path, f)).map(_.rows).filter(_ >= 0))
-      if (files.nonEmpty && per.forall(_.isDefined))
-        java.util.OptionalLong.of(per.flatten.sum)
-      else java.util.OptionalLong.empty()
+      if (files.nonEmpty && per.forall(_.isDefined)) {
+        // delete vectors subtract EXACTLY (positions are enumerated), so
+        // the count stays exact under merge-on-read deletes (r14)
+        val dvDeleted = JsonDocDeleteVectors.countsFor(path, pinned).values.sum
+        java.util.OptionalLong.of(per.flatten.sum - dvDeleted)
+      } else java.util.OptionalLong.empty()
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
@@ -1303,10 +1353,16 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
     val partPruned = JsonDocSource.partitionPruned(path, keep)
+    val dvs = JsonDocVersions.dvsFor(path, pinned)
     files.map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
-      .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
+      .map { case (f, rel) =>
+        // DVs fold inside the row reader the partial aggregation runs
+        // on, so pushed COUNT/MIN/MAX stay exact under MOR deletes (r14)
+        JsonDocPartition(f.getAbsolutePath, rel,
+          dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1324,9 +1380,10 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
 
 private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
     filters: Array[Filter], specs: Seq[JsonAggSpec]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonDocAggReader(partition.asInstanceOf[JsonDocPartition].file,
-      aggSchema, filters, specs)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonDocPartition]
+    new JsonDocAggReader(p.file, aggSchema, filters, specs, p.dvPath)
+  }
 }
 
 /** Folds one response file into a single partial-aggregate row. Min/max
@@ -1336,7 +1393,7 @@ private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
   * an empty (or fully filtered) file contributes count 0 and null
   * min/max, which the final aggregate ignores. */
 private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
-    filters: Array[Filter], specs: Seq[JsonAggSpec])
+    filters: Array[Filter], specs: Seq[JsonAggSpec], dvPath: String = "")
     extends PartitionReader[InternalRow] {
 
   // every column any spec touches, once, with its declared type
@@ -1347,7 +1404,7 @@ private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
       case JsonMaxCol(c, dt) => (c, dt)
     }.distinctBy(_._1).map { case (c, dt) => StructField(c, dt) })
 
-  private val rowReader = new JsonDocReader(file, readSchema, filters)
+  private val rowReader = new JsonDocReader(file, readSchema, filters, dvPath = dvPath)
 
   private var done = false
   private var result: InternalRow = _
@@ -1466,6 +1523,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * legacy plain-name checkpoint. */
   private var seenVersion: Option[Int] = None
   private var seenLive: Option[Set[String]] = None
+  private var seenDvs: Option[Map[String, String]] = None
 
   /** A recovered checkpoint whose offsets are plain names (pre-r13, or a
     * manifest that appeared under an old stream) pins the instance to
@@ -1530,9 +1588,34 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
                 "would be duplicated or lost. Only append to streaming-consumed " +
                 "directories; compact/rewrite them when no checkpointed stream is " +
                 "reading, then re-ingest from a fresh checkpoint.")
-          seenVersion = Some(v); seenLive = Some(live)
+          // merge-on-read deletes are the same hazard at row grain (r14):
+          // a DV appearing on a file means rows this consumer may already
+          // have delivered are now dead — and a replayed batch would fold
+          // the NEW vector and deliver different rows than the original
+          // run did. Any dv-map drift under a checkpointed consumer
+          // aborts loudly (conservative: this includes DVs on files the
+          // consumer never delivered — determinism of future replays is
+          // the property being protected).
+          val dv0 = seenDvs.getOrElse(JsonDocVersions.readDvs(path, v0))
+          val dvNow = JsonDocVersions.readDvs(path, v)
+          if (dv0 != dvNow) {
+            val changed = (dv0.keySet ++ dvNow.keySet)
+              .filter(k => dv0.get(k) != dvNow.get(k))
+            throw new IllegalStateException(
+              s"graft-jsondoc streaming source on $path: a merge-on-read " +
+                s"DELETE/UPDATE ran under a checkpointed consumer (v$v0 -> v$v " +
+                s"changed delete vectors on ${changed.size} file(s) " +
+                s"[${changed.take(3).mkString(", ")}]). Delivered rows cannot be " +
+                "un-delivered and replays must be deterministic. Only append to " +
+                "streaming-consumed directories; run row-level deletes when no " +
+                "checkpointed stream is reading, then re-ingest from a fresh " +
+                "checkpoint.")
+          }
+          seenVersion = Some(v); seenLive = Some(live); seenDvs = Some(dvNow)
         case Some(_) => () // unchanged version: nothing to validate
-        case None => seenVersion = Some(v); seenLive = Some(live)
+        case None =>
+          seenVersion = Some(v); seenLive = Some(live)
+          seenDvs = Some(JsonDocVersions.readDvs(path, v))
       }
     }
 
@@ -1579,7 +1662,9 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
       // nothing. Resetting to the older checkpointed version re-opens
       // the downtime window, and the next validateAppendOnly() (plan or
       // trigger) proves it append-only or aborts.
-      if (seenVersion.forall(_ != v)) { seenVersion = Some(v); seenLive = None }
+      if (seenVersion.forall(_ != v)) {
+        seenVersion = Some(v); seenLive = None; seenDvs = None
+      }
     }
     off
   }
@@ -1632,9 +1717,17 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     // same reason stats skipping is — only STATIC pushed filters reach a
     // micro-batch, and a pruned file's rows can never contribute
     val partPruned = JsonDocSource.partitionPruned(path, keep)
+    // current DVs fold into delivery (a fresh stream over a table that
+    // already carries deletes must not deliver dead rows); any dv drift
+    // UNDER a checkpointed consumer aborted in validateAppendOnly above,
+    // so replayed batches always fold the same vectors (r14)
+    val dvs = JsonDocVersions.dvsFor(path, None)
     chosen.filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
-      .map { case (f, rel) => JsonDocPartition(f.getAbsolutePath, rel): InputPartition }
+      .map { case (f, rel) =>
+        JsonDocPartition(f.getAbsolutePath, rel,
+          dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1647,9 +1740,13 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
 /** `rel` is the table-root-relative listing key (equal to the bare file
   * name on flat layouts); it is what `_file` reports and what planned
   * sets/manifests/stats use, so group filtering round-trips on
-  * partitioned layouts too. Empty only for hand-built legacy values. */
-private[sources] case class JsonDocPartition(file: String, rel: String = "")
-    extends InputPartition {
+  * partitioned layouts too. Empty only for hand-built legacy values.
+  * `dvPath` is the absolute path of the file's delete vector under the
+  * scanned snapshot ("" = no deletes) — resolved at PLANNING time from
+  * the snapshot's manifest, so concurrent MOR commits can't change what
+  * a running scan reads (r14). */
+private[sources] case class JsonDocPartition(file: String, rel: String = "",
+    dvPath: String = "") extends InputPartition {
   def relOrName: String =
     if (rel.nonEmpty) rel else new java.io.File(file).getName
 }
@@ -1658,7 +1755,7 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
-    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName)
+    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath)
   }
 }
 
@@ -1667,7 +1764,8 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
   * A pushed partial limit stops the scan after that many rows SURVIVE
   * the filters — later lines are never parsed. */
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
-    filters: Array[Filter], limit: Option[Int] = None, rel: String = "")
+    filters: Array[Filter], limit: Option[Int] = None, rel: String = "",
+    dvPath: String = "")
     extends PartitionReader[InternalRow] {
 
   // the `_file` value: the table-relative listing key (bare name on
@@ -1680,6 +1778,25 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   private val it = lines.getLines().filter(_.nonEmpty)
   private var current: InternalRow = _
   private var emitted = 0
+
+  // merge-on-read fold (r14): positions deleted from this file under
+  // the scanned snapshot; rows at these positions never reach Spark.
+  // Loaded executor-side once per partition — a DV is deleted-row-count
+  // sized, the quantity MOR exists to keep small between compactions.
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    if (dvPath.isEmpty) new java.util.HashSet()
+    else {
+      val dvFile = new java.io.File(dvPath)
+      val set = new java.util.HashSet[java.lang.Long]()
+      JsonDocDeleteVectors.read(dvFile.getParent, dvFile.getName)
+        .foreach(p => set.add(p))
+      set
+    }
+
+  // the row's absolute position among non-empty lines (the `_pos`
+  // metadata value and the DV coordinate): counts every parsed line,
+  // so pushed filters and DV skips never shift later positions
+  private var pos = -1L
 
   /** Runtime `In` filters carry the build side's distinct join keys —
     * thousands of values — so membership must be O(1) per line, not a
@@ -1703,10 +1820,12 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     }.toMap
 
   private def fieldValue(node: JsonNode, name: String): Any = {
-    // the `_file` metadata column never lives in the JSON — it is the
-    // reader's own provenance
+    // the `_file`/`_pos` metadata columns never live in the JSON — they
+    // are the reader's own provenance
     if (name == JsonDocSource.FileMetaCol)
       return fileKey
+    if (name == JsonDocSource.PosMetaCol)
+      return pos
     val v = node.get(name)
     if (v == null || v.isNull) null
     else readSchema.find(_.name == name).map(_.dataType) match {
@@ -1723,9 +1842,11 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   private def rawValue(node: JsonNode, name: String): Any = {
     // keep row-level evaluation of `_file` consistent with the
     // name-based planning skip (a group filter that passed planning
-    // must pass per-row too)
+    // must pass per-row too); `_pos` evaluates to the current position
     if (name == JsonDocSource.FileMetaCol)
       return fileKey
+    if (name == JsonDocSource.PosMetaCol)
+      return pos
     val v = node.get(name)
     if (v == null || v.isNull) null
     else if (v.isIntegralNumber) v.asLong()
@@ -1774,16 +1895,22 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     current = null
     if (limit.exists(emitted >= _)) return false
     while (current == null && it.hasNext) {
-      val node = mapper.readTree(it.next())
-      if (passes(node)) {
-        val values = readSchema.fields.map { f =>
-          fieldValue(node, f.name) match {
-            case s: String => UTF8String.fromString(s)
-            case other => other
+      val line = it.next()
+      pos += 1
+      // a DV'd row is dead under this snapshot: skipped before parsing
+      // (its position is still consumed — positions are absolute)
+      if (!deleted.contains(pos)) {
+        val node = mapper.readTree(line)
+        if (passes(node)) {
+          val values = readSchema.fields.map { f =>
+            fieldValue(node, f.name) match {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }
           }
+          current = InternalRow.fromSeq(values.toSeq)
+          emitted += 1
         }
-        current = InternalRow.fromSeq(values.toSeq)
-        emitted += 1
       }
     }
     current != null

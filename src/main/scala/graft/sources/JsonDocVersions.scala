@@ -61,6 +61,25 @@ private[graft] object JsonDocVersions {
     readNode(path, v).flatMap(node =>
       Option(node.get("files")).map(_.elements().asScala.map(_.asText()).toSet))
 
+  /** The DELETE-VECTOR map of version v: `live data file -> DV file
+    * name` (r14, merge-on-read). A DV names the row POSITIONS of its
+    * data file that are deleted as of this version; readers fold it at
+    * scan. DV files are immutable like data files — a further MOR
+    * delete writes a NEW DV holding the union and repoints the map — so
+    * time travel reads each version's own deletion state. Files without
+    * an entry have no deletes. */
+  def readDvs(path: String, v: Int): Map[String, String] =
+    readNode(path, v).flatMap(node => Option(node.get("dvs")).map { t =>
+      t.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }).getOrElse(Map.empty)
+
+  /** DV map to read under: pinned version's, else the latest's. */
+  def dvsFor(path: String, pinned: Option[Int]): Map[String, String] =
+    pinned.orElse(manifests(path).lastOption) match {
+      case Some(v) => readDvs(path, v)
+      case None => Map.empty
+    }
+
   /** The APPLIED-TRANSACTION map of version v: `appId -> last applied
     * version` (the Delta `txnAppId`/`txnVersion` idiom). Carried
     * FORWARD by every commit and updated atomically WITH the live-set
@@ -87,7 +106,7 @@ private[graft] object JsonDocVersions {
     manifests(path).filter(v => mtime(path, v).exists(_ <= tsMillis)).lastOption
 
   private def manifestJson(v: Int, newLive: Set[String],
-      txns: Map[String, Long]): String = {
+      txns: Map[String, Long], dvs: Map[String, String]): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
@@ -97,8 +116,21 @@ private[graft] object JsonDocVersions {
       val t = root.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
     }
+    if (dvs.nonEmpty) {
+      val d = root.putObject("dvs")
+      dvs.toSeq.sortBy(_._1).foreach { case (f, dv) => d.put(f, dv) }
+    }
     mapper.writeValueAsString(root)
   }
+
+  /** DV carry-forward rule, shared by both commit paths: prior entries
+    * survive only while their data file stays live (a retired/truncated
+    * file's deletions died with it), then this commit's updates apply —
+    * also live-filtered, so an update raced away by a rewrite can never
+    * resurrect a dropped file's entry. */
+  private def carryDvs(prevDvs: Map[String, String],
+      updates: Map[String, String], newLive: Set[String]): Map[String, String] =
+    (prevDvs ++ updates).filter { case (f, _) => newLive.contains(f) }
 
   /** Write version latest+1 naming `newLive` ABSOLUTELY; atomic CAS
     * claim through the store. Returns the committed version. A
@@ -112,7 +144,9 @@ private[graft] object JsonDocVersions {
     val prev = manifests(path).lastOption
     val v = prev.getOrElse(0) + 1
     val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty) ++ txn
-    if (!store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns)))
+    val dvs = carryDvs(prev.map(readDvs(path, _)).getOrElse(Map.empty),
+      Map.empty, newLive)
+    if (!store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns, dvs)))
       throw new java.util.ConcurrentModificationException(
         s"graft-jsondoc: manifest v$v of $path was committed concurrently — " +
           "this absolute commit cannot rebase; re-read the table and retry")
@@ -129,8 +163,17 @@ private[graft] object JsonDocVersions {
     * refuse): ConcurrentModificationException, caller re-plans. When
     * the delta is a no-op and no transaction needs recording, no
     * version is minted (idempotent streaming replays). */
+  /** `dvBasis`: the delete-vector map a REWRITE read its inputs under
+    * (r14). A rewrite's outputs bake in the deletions it folded at scan;
+    * if a concurrent MOR delete repointed an input's DV since, retiring
+    * that input would silently RESURRECT the newly-deleted rows in the
+    * rewritten output — so any drift between basis and current on a
+    * `removed` file is a conflict, same family as the retired-file
+    * check. None (non-rewrite callers) skips the check. */
   def commitDelta(path: String, removed: Set[String], added: Set[String],
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      dvUpdates: Map[String, String] = Map.empty,
+      dvBasis: Option[Map[String, String]] = None): Int = {
     var attempt = 0
     while (true) {
       val prev = manifests(path).lastOption
@@ -149,11 +192,30 @@ private[graft] object JsonDocVersions {
         throw new java.util.ConcurrentModificationException(
           s"graft-jsondoc: commit to $path retires files no longer live " +
             s"(${missing.take(3).mkString(", ")}) — a concurrent rewrite won; re-plan")
+      // a DV targeting a no-longer-live file is the same conflict: the
+      // positions were derived from contents a concurrent rewrite has
+      // since replaced — applying them to nothing silently un-deletes
+      val dvMissing = dvUpdates.keySet -- base
+      if (dvMissing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"graft-jsondoc: commit to $path carries delete vectors for files no longer " +
+            s"live (${dvMissing.take(3).mkString(", ")}) — a concurrent rewrite won; re-plan")
       val newLive = (base -- removed) ++ added
       val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty)
-      if (newLive == base && txn.forall { case (a, e) => txns.get(a).contains(e) })
+      val prevDvs = prev.map(readDvs(path, _)).getOrElse(Map.empty)
+      dvBasis.foreach { basis =>
+        val drifted = removed.filter(f => prevDvs.get(f) != basis.get(f))
+        if (drifted.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"graft-jsondoc: commit to $path retires files whose delete vectors " +
+              s"changed since the rewrite read them (${drifted.take(3).mkString(", ")}) " +
+              "— retiring them would resurrect the concurrent deletes; re-plan")
+      }
+      val dvs = carryDvs(prevDvs, dvUpdates, newLive)
+      if (newLive == base && dvs == prevDvs &&
+        txn.forall { case (a, e) => txns.get(a).contains(e) })
         return prev.getOrElse(0)
-      if (store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns ++ txn)))
+      if (store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns ++ txn, dvs)))
         return v
       attempt += 1
       if (attempt > 100)

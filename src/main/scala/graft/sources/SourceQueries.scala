@@ -113,6 +113,48 @@ object SourceQueries {
     spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
   }
 
+  /** q189: the q174 MERGE through the MERGE-ON-READ path (r14) —
+    * `TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')` makes
+    * Spark plan WriteDelta over [[JsonDocDeltaOperation]] instead of
+    * copy-on-write ReplaceData: the deletes and the update's old images
+    * land as per-file DELETE VECTORS folded at scan, the update's new
+    * images and the inserts as ordinary appended files, and no seeded
+    * data file is rewritten (MergeOnReadSpec pins the bytes untouched).
+    * The oracle is q85's SQL VERBATIM — the third member of the
+    * q85 == q174 == q189 equality: the CDC dataflow, the COW MERGE, and
+    * the MOR MERGE are provably the same operation, so hash-green here
+    * means the DV fold reproduces the rewrite's answer bit for bit. */
+  def q189MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q189")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append()
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2.0).as("price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
+        col("o_custkey"), col("o_totalprice").as("price"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q189_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING q189_changes c ON t.o_orderkey = c.o_orderkey
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
+         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin)
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
   /** q176: TIME TRAVEL through the snapshot layer — the read half of
     * the r12 versioning model ([[JsonDocVersions]]). The flow DELETEs a
     * tenth of the table (a group-based copy-on-write commit that
@@ -375,6 +417,7 @@ object SourceQueries {
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
+    "q189_mor_merge" -> q189MorMerge _,
     "q176_time_travel" -> q176TimeTravel _,
     "q177_snapshot_diff" -> q177SnapshotDiff _,
     "q180_history" -> q180History _,
@@ -388,6 +431,8 @@ object SourceQueries {
     "q168_dsv2_agg_pushdown" -> q168Sql,
     // the claim: SQL MERGE == the q85 CDC dataflow, bit for bit
     "q174_sql_merge" -> graft.ops.DataPrep.q85Sql,
+    // the same claim through the merge-on-read (delete-vector) path
+    "q189_mor_merge" -> graft.ops.DataPrep.q85Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates
