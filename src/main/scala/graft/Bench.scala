@@ -6,9 +6,22 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** The compact-map key of a board name: the "qNN"/"qNNx" prefix before
+    * the first underscore, minus the uniform "q" AND any leading zeros
+    * (r14 budget: "1" maps to q01 as unambiguously as "01" did, and the
+    * byte buys map survival on the 190+-row board). previousBench
+    * normalizes older rounds' zero-padded keys through the same rule. */
+  private[graft] def shortKey(n: String): String = {
+    val s = n.takeWhile(_ != '_').stripPrefix("q")
+    if (s.length > 1 && s.head == '0') {
+      val t = s.dropWhile(_ == '0')
+      if (t.isEmpty) "0" else t
+    } else s
+  }
+
   private def jsonLine(results: Seq[(String, Double)], sfDir: String,
       key: String => String, decimals: Int, includeQueries: Boolean = true,
-      lean: Boolean = false): String = {
+      lean: Boolean = false, minimal: Boolean = false): String = {
     // lean (the last map-bearing gear): shed every redundant byte before
     // shedding the map itself — "unit" (derivable), the sf PATH
     // (basename identifies the SF), and the "#2" sentinel entries
@@ -28,8 +41,14 @@ object Bench {
     val sf = if (lean) sfDir.split('/').last else sfDir
     val mid = if (lean) "" else "\"unit\":\"sec\","
     // "total" appears both in contract position ("value") and LAST, so a
-    // tail-truncated line still ends with the headline number.
-    s"""{"metric":"total","value":${fmt(total, decimals)},$mid"sf":"$sf","queries":$qs,"n_queries":${results.size},"total":${fmt(total, decimals)}}"""
+    // tail-truncated line still ends with the headline number. The
+    // MINIMAL gear (r14 — map survival on the 190+-row board) sheds the
+    // duplicate and "n_queries" too: on the shortest map-bearing line,
+    // truncation risk is lowest and per-query visibility is what the
+    // driver's drift baselining actually needs.
+    val suffix =
+      if (minimal) "" else s""","n_queries":${results.size},"total":${fmt(total, decimals)}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},$mid"sf":"$sf","queries":$qs$suffix}"""
   }
 
   /** Full-name line — for humans reading per-query timings. */
@@ -58,15 +77,18 @@ object Bench {
     // worst-case 3-digit seconds crossed the budget by 17 chars —
     // caught by BenchFormatSpec — and the prefix is 1 byte x |board|
     // of pure redundancy; "129" maps to q129 trivially).
-    val short = (n: String) => n.takeWhile(_ != '_').stripPrefix("q")
     val gears = Seq(2, 1, 0).iterator
-      .map(d => jsonLine(results, sfDir, short, decimals = d)) ++
+      .map(d => jsonLine(results, sfDir, shortKey, decimals = d)) ++
       // r12 gear (the 169-query board at worst-case 3-digit seconds
       // overran by 14 chars): strip redundant fields and sentinel
       // entries before surrendering the map
-      Iterator(jsonLine(results, sfDir, short, decimals = 0, lean = true))
+      Iterator(jsonLine(results, sfDir, shortKey, decimals = 0, lean = true),
+        // r14 gear (the 192-query board at 2-digit seconds overran by
+        // ~20 chars, ~140 with the drift repeats): shed n_queries and
+        // the trailing total duplicate before surrendering the map
+        jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, minimal = true))
     gears.find(_.length <= 1700).getOrElse(
-      jsonLine(results, sfDir, short, decimals = 1, includeQueries = false))
+      jsonLine(results, sfDir, shortKey, decimals = 1, includeQueries = false))
   }
 
   /** Per-query seconds from ONE committed `BENCH_r*.json`. Best-effort:
@@ -83,11 +105,14 @@ object Bench {
       // (the full-name line precedes it and may be head-truncated)
       val i = tail.lastIndexOf("{\"metric\":")
       if (i < 0) return Map.empty
+      // keys normalize through shortKey (prefixing "q" first so the
+      // zero-strip applies): rounds before r14 wrote zero-padded "01",
+      // r14+ writes "1" — baselines must join across the change
       JsonMethods.parse(tail.substring(i).takeWhile(_ != '\n').trim) \ "queries" match {
         case JObject(kv) => kv.collect {
-          case (k, JDouble(v)) if !k.contains("#") => k -> v
-          case (k, JInt(v)) if !k.contains("#") => k -> v.toDouble
-          case (k, JDecimal(v)) if !k.contains("#") => k -> v.toDouble
+          case (k, JDouble(v)) if !k.contains("#") => shortKey("q" + k) -> v
+          case (k, JInt(v)) if !k.contains("#") => shortKey("q" + k) -> v.toDouble
+          case (k, JDecimal(v)) if !k.contains("#") => shortKey("q" + k) -> v.toDouble
         }.toMap
         case _ => Map.empty
       }
@@ -127,7 +152,7 @@ object Bench {
     * back at band (the r10 q119 sentinel, generalized). */
   private[graft] def drifted(board: Seq[(String, Double)],
       prev: Map[String, Double], exclude: Set[String], cap: Int = 8): Seq[String] = {
-    val shortOf = (n: String) => n.takeWhile(_ != '_').stripPrefix("q")
+    val shortOf = shortKey _
     if (prev.isEmpty) Seq.empty
     else board.filter { case (n, t) =>
       !exclude.contains(n) &&

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A PATH-ADDRESSED `TableCatalog` over jsondoc directories — the piece
@@ -32,12 +32,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * back to sampling-based inference for directories created by the bare
   * writer path, so both flavors of table resolve. */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  /** FunctionCatalog (r14): Spark resolves a transform-partitioned
+    * table's clustered-write distribution (`days(col)`, `bucket(n,
+    * col)`) by looking the transform up as a function in the table's
+    * catalog — [[GraftTransforms]] provides bound functions computing
+    * exactly the writer's directory values. */
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    require(ident.namespace().isEmpty,
+      s"graft catalog functions take no namespace: ${ident.toString}")
+    try GraftTransforms.loadFunction(ident.name())
+    catch { case _: NoSuchElementException =>
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+        catalogName, ident.name())
+    }
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "days"), Identifier.of(Array.empty, "bucket"))
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && Set("days", "bucket").contains(ident.name())
 
   /** SQL maintenance: `CALL graftcat.vacuum(path, keep_last)` and
     * `CALL graftcat.optimize(path, target_bytes)` — see
@@ -152,29 +175,59 @@ class GraftCatalog extends TableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col, ...) — IDENTITY transforms only (r13):
-    // Hive-style `col=value` directory layout, pruned at plan time
-    // before any stats I/O. Bucket/temporal transforms stay refused
+    // PARTITIONED BY (col | days(col) | bucket(n, col), ...) — identity,
+    // time, and hash transforms (r14; identity-only in r13): Hive-style
+    // `<dir>=<value>` layout where the directory name encodes the
+    // transform (`col=v`, `col_day=2024-01-15`, `col_bucket=3`), pruned
+    // at plan time before any stats I/O. Other transforms stay refused
     // loudly rather than silently identity-ized.
-    val partCols: Seq[String] = partitions.toSeq.map { t =>
-      // identity transforms arrive as name "identity" over one
-      // single-part column reference (the private IdentityTransform
-      // class is not part of the public API surface)
+    def colOf(t: Transform): String = {
       val refs = t.references()
-      if (t.name() == "identity" && t.arguments().length == 1 &&
-        refs.length == 1 && refs.head.fieldNames().length == 1)
-        refs.head.fieldNames().head
-      else throw new UnsupportedOperationException(
-        s"graft catalog: only identity partition transforms are supported, got $t")
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"graft catalog: partition transform needs one top-level column, got $t")
+      refs.head.fieldNames().head
     }
-    partCols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(s"graft catalog: partition column $c is not in the schema"))
-      require(f.dataType != org.apache.spark.sql.types.DoubleType,
-        s"graft catalog: partitioning on a floating-point column is refused ($c: double) — " +
-          "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
+    def fieldOf(c: String): StructField =
+      schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: partition column $c is not in the schema"))
+    val partSpecs: Seq[GraftCatalog.PartField] = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" =>
+          val f = fieldOf(colOf(t))
+          require(f.dataType != org.apache.spark.sql.types.DoubleType,
+            s"graft catalog: partitioning on a floating-point column is refused (${f.name}: double) — " +
+              "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
+          GraftCatalog.PartField(f)
+        case "days" =>
+          val f = fieldOf(colOf(t))
+          require(f.dataType == StringType || f.dataType == LongType,
+            s"graft catalog: days() partitions an ISO-8601 STRING or epoch-millis BIGINT " +
+              s"column, got ${f.name}: ${f.dataType.simpleString}")
+          GraftCatalog.PartField(f, "days")
+        case "bucket" =>
+          // BucketTransform: arguments = [Literal(n), column]
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case i: java.lang.Integer => i.intValue()
+                case l2: java.lang.Long => l2.intValue()
+              }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: bucket() needs a literal bucket count: $t"))
+          require(n >= 1, s"graft catalog: bucket() needs at least one bucket, got $n")
+          val f = fieldOf(colOf(t))
+          require(f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType,
+            s"graft catalog: bucket() partitions a bigint/int/string column, " +
+              s"got ${f.name}: ${f.dataType.simpleString}")
+          GraftCatalog.PartField(f, "bucket", n)
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported partition transform '$other' " +
+            "(supported: identity, days, bucket)")
+      }
     }
-    require(partCols.distinct.length == partCols.length,
+    val partCols = partSpecs.map(_.field.name)
+    require(partSpecs.map(_.dirName).distinct.length == partSpecs.length,
       s"graft catalog: duplicate partition columns: ${partCols.mkString(", ")}")
     val bad = schema.fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
     require(bad.isEmpty,
@@ -188,7 +241,7 @@ class GraftCatalog extends TableCatalog
     // engine-reserved keys Spark injects on every CREATE; the binding
     // consumer today is `write.rowlevel.mode = merge-on-read`
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
-    GraftCatalog.writeSchema(dir, schema, partitions = partCols, props = props)
+    GraftCatalog.writeSchema(dir, schema, partitions = partSpecs, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -211,7 +264,8 @@ class GraftCatalog extends TableCatalog
           "for reads but cannot be altered)")
     var (schema, dropped) = GraftCatalog.readSchemaAndDropped(dir).get
     var props = GraftCatalog.tablePropsOf(dir.getPath)
-    val partCols = GraftCatalog.partitionColsOf(dir.getPath).map(_.name)
+    val partSpec = GraftCatalog.partitionSpecOf(dir.getPath)
+    val partCols = partSpec.map(_.field.name)
     def requireNotPartition(name: String, what: String): Unit =
       require(!partCols.contains(name),
         s"graft catalog: cannot $what partition column $name — the value is " +
@@ -283,7 +337,7 @@ class GraftCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
-    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partCols, props = props)
+    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partSpec, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -329,6 +383,25 @@ class GraftCatalog extends TableCatalog
 }
 
 object GraftCatalog {
+  /** One partition-spec entry: the SOURCE column, the transform, and
+    * (bucket only) the bucket count. `dirName` is the Hive-style
+    * directory key — transform-qualified so `days(ts)` can never
+    * collide with an identity layout on `ts`. */
+  final case class PartField(field: StructField,
+      transform: String = "identity", buckets: Int = 0) {
+    def dirName: String = transform match {
+      case "identity" => field.name
+      case "days" => s"${field.name}_day"
+      case "bucket" => s"${field.name}_bucket"
+    }
+    /** The directory-component's VALUE type (what `decPartValue` parses
+      * `dirName=<v>` with): day strings and bucket ints, else source. */
+    def dirType: DataType = transform match {
+      case "identity" => field.dataType
+      case "days" => StringType
+      case "bucket" => IntegerType
+    }
+  }
   /** Reclaim disk from retired snapshots: keep the last `keepLast`
     * manifests, delete every older manifest and every data file no kept
     * manifest references. Returns the deleted data-file names. Reading
@@ -676,7 +749,7 @@ object GraftCatalog {
     * (dropped = none). */
   private[sources] def writeSchema(dir: java.io.File, schema: StructType,
       dropped: Set[String] = Set.empty,
-      partitions: Seq[String] = Seq.empty,
+      partitions: Seq[PartField] = Seq.empty,
       props: Map[String, String] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -686,7 +759,19 @@ object GraftCatalog {
     dropped.toSeq.sorted.foreach(arr.add)
     if (partitions.nonEmpty) {
       val parr = root.putArray("partitions")
-      partitions.foreach(parr.add) // declaration order = directory depth order
+      // declaration order = directory depth order. Identity entries stay
+      // bare strings (the r13 shape, so r13 sidecars and readers agree);
+      // transforms are objects {col, transform[, n]}.
+      partitions.foreach { p =>
+        if (p.transform == "identity") { parr.add(p.field.name); () }
+        else {
+          val o = parr.addObject()
+          o.put("col", p.field.name)
+          o.put("transform", p.transform)
+          if (p.transform == "bucket") o.put("n", p.buckets)
+          ()
+        }
+      }
     }
     if (props.nonEmpty) {
       val pobj = root.putObject("properties")
@@ -707,11 +792,11 @@ object GraftCatalog {
     }
   }
 
-  /** The table's identity-partition columns in layout order (empty for
+  /** The table's partition SPEC in layout order (empty for
     * unpartitioned tables, bare-writer directories, and legacy
-    * sidecars). Resolved to their declared fields so callers decode
-    * `col=value` components by type. */
-  private[sources] def partitionColsOf(path: String): Seq[StructField] = {
+    * sidecars). Bare-string entries are identity (the r13 shape);
+    * object entries carry their transform. */
+  private[sources] def partitionSpecOf(path: String): Seq[PartField] = {
     val dir = new java.io.File(path)
     readSchemaAndDropped(dir) match {
       case Some((schema, _)) =>
@@ -719,12 +804,25 @@ object GraftCatalog {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(f.toPath))
         Option(root.get("partitions")).toSeq.flatMap { arr =>
-          (0 until arr.size()).flatMap(i =>
-            schema.fields.find(_.name == arr.get(i).asText()))
+          (0 until arr.size()).flatMap { i =>
+            val e = arr.get(i)
+            if (e.isTextual)
+              schema.fields.find(_.name == e.asText()).map(PartField(_))
+            else {
+              val col = e.get("col").asText()
+              schema.fields.find(_.name == col).map(PartField(_,
+                e.get("transform").asText(),
+                Option(e.get("n")).map(_.asInt()).getOrElse(0)))
+            }
+          }
         }
       case None => Seq.empty
     }
   }
+
+  /** The partition SOURCE columns (the spec's fields). */
+  private[sources] def partitionColsOf(path: String): Seq[StructField] =
+    partitionSpecOf(path).map(_.field)
 
   private[sources] def readSchemaAndDropped(
       dir: java.io.File): Option[(StructType, Set[String])] = {

@@ -148,7 +148,7 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new JsonDocDeltaWriterFactory(path, schema, queryId,
-      GraftCatalog.partitionColsOf(path).map(_.name))
+      GraftCatalog.partitionSpecOf(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -187,7 +187,7 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class JsonDocDeltaWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String]) extends DeltaWriterFactory {
+    queryId: String, partCols: Seq[GraftCatalog.PartField]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new JsonDocDeltaWriter(path, schema, queryId, partCols, partitionId, taskId)
 }
@@ -198,7 +198,8 @@ private[sources] class JsonDocDeltaWriterFactory(path: String, schema: StructTyp
   * writers (partition-directory routing included), so insert files are
   * indistinguishable from appended ones. */
 private[sources] class JsonDocDeltaWriter(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String], partitionId: Int, taskId: Long)
+    queryId: String, partCols: Seq[GraftCatalog.PartField],
+    partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
   private val deletes =

@@ -188,35 +188,105 @@ private[sources] object JsonDocSource {
     } catch { case _: IllegalArgumentException => None }
   }
 
-  /** Compile a PARTITION-DIRECTORY pruner for this table against a
-    * stats pruner already compiled from the effective filters: a
-    * `col=value` path component is a point range for that column, so
-    * the same pruner decides it — before any sidecar I/O, and for
-    * stats-less files too. Returns a rel-name predicate that is true
-    * when the file is PROVABLY excluded; undecodable components keep
-    * the file (conservative). Shared by the row scan, the aggregate
-    * scan, and the micro-batch stream so partition pruning cannot
-    * drift between plan shapes (r13). */
-  private[sources] def partitionPruned(path: String,
+  /** Compile a PARTITION-DIRECTORY pruner for this table: IDENTITY
+    * components are point ranges for their column, decided by the SAME
+    * stats pruner compiled from the effective filters (so In
+    * point-upgrade, hoisted runtime-key bounds etc. all apply);
+    * TRANSFORM components (r14 — `col_day=…`, `col_bucket=…`) are
+    * decided directly against the raw filters through the transform's
+    * own monotonicity/point semantics. Runs before any sidecar I/O and
+    * for stats-less files too. Returns a rel-name predicate that is
+    * true when the file is PROVABLY excluded; undecodable components
+    * keep the file (conservative). Shared by the row scan, the
+    * aggregate scan, and the micro-batch stream so partition pruning
+    * cannot drift between plan shapes (r13). */
+  private[sources] def partitionPruned(path: String, filters: Seq[Filter],
       keep: JsonDocStats.FileStats => Boolean): String => Boolean =
-    partitionPruned(GraftCatalog.partitionColsOf(path), keep)
+    partitionPruned(GraftCatalog.partitionSpecOf(path), filters, keep)
 
-  private[sources] def partitionPruned(partCols: Seq[StructField],
+  /** The day of a filter constant (None = not day-comparable → keep).
+    * String constants shorter than a full ISO date cannot be truncated
+    * meaningfully; integral numbers are epoch millis. */
+  private def dayOfConst(v: Any): Option[String] = v match {
+    case s: String if s.length >= 10 => Some(s.substring(0, 10))
+    case l: java.lang.Long => Some(GraftTransforms.dayOfMillis(l))
+    case i: java.lang.Integer => Some(GraftTransforms.dayOfMillis(i.longValue()))
+    case _ => None
+  }
+
+  /** The bucket of a filter constant under `spec` (None → keep). */
+  private def bucketOfConst(v: Any, spec: GraftCatalog.PartField): Option[Int] = v match {
+    case l: java.lang.Long => Some(GraftTransforms.bucketOf(l.longValue(), spec.buckets))
+    case i: java.lang.Integer => Some(GraftTransforms.bucketOf(i.intValue(), spec.buckets))
+    case s: String => Some(GraftTransforms.bucketOf(s, spec.buckets))
+    case _ => None
+  }
+
+  /** Is directory day `d` of column `col` provably excluded? `days` is
+    * monotone in its source, so ranges prune by DAY comparison (ISO
+    * date strings compare lexicographically); equality/In prune on the
+    * mapped day. Any un-mappable constant keeps. */
+  private def dayPruned(col: String, d: String, filters: Seq[Filter]): Boolean =
+    filters.exists {
+      case EqualTo(a, v) if a == col => dayOfConst(v).exists(_ != d)
+      case In(a, vs) if a == col =>
+        val days = vs.filter(_ != null).map(dayOfConst)
+        days.nonEmpty && days.forall(_.isDefined) && !days.flatten.contains(d)
+      case GreaterThan(a, v) if a == col => dayOfConst(v).exists(d < _)
+      case GreaterThanOrEqual(a, v) if a == col => dayOfConst(v).exists(d < _)
+      case LessThan(a, v) if a == col => dayOfConst(v).exists(d > _)
+      case LessThanOrEqual(a, v) if a == col => dayOfConst(v).exists(d > _)
+      case _ => false
+    }
+
+  /** Is bucket `b` of `spec` provably excluded? Only point shapes
+    * prune (a hash destroys order); an equality whose key maps to a
+    * different bucket, or an In none of whose keys map here. */
+  private def bucketPruned(spec: GraftCatalog.PartField, b: Int,
+      filters: Seq[Filter]): Boolean = {
+    val col = spec.field.name
+    filters.exists {
+      case EqualTo(a, v) if a == col => bucketOfConst(v, spec).exists(_ != b)
+      case In(a, vs) if a == col =>
+        val ks = vs.filter(_ != null).map(bucketOfConst(_, spec))
+        ks.nonEmpty && ks.forall(_.isDefined) && !ks.flatten.contains(b)
+      case _ => false
+    }
+  }
+
+  private[sources] def partitionPruned(specs: Seq[GraftCatalog.PartField],
+      filters: Seq[Filter],
       keep: JsonDocStats.FileStats => Boolean): String => Boolean = {
-    if (partCols.isEmpty) (_: String) => false
-    else (rel: String) => {
+    if (specs.isEmpty) return (_: String) => false
+    val byDir: Map[String, GraftCatalog.PartField] =
+      specs.map(s => s.dirName -> s).toMap
+    (rel: String) => {
       val comps = rel.split('/').dropRight(1)
-      val cols = comps.flatMap { c =>
+      var identCols = Map.empty[String, JsonDocStats.ColRange]
+      var pruned = false
+      comps.foreach { c =>
         val eq = c.indexOf('=')
-        if (eq <= 0) None
-        else {
-          val name = c.substring(0, eq)
-          partCols.find(_.name == name).flatMap(f =>
-            decPartValue(c.substring(eq + 1), f.dataType)
-              .map(v => name -> JsonDocStats.ColRange(v, v)))
+        if (eq > 0) byDir.get(c.substring(0, eq)).foreach { spec =>
+          val rawTxt = c.substring(eq + 1)
+          spec.transform match {
+            case "identity" =>
+              decPartValue(rawTxt, spec.field.dataType).foreach(v =>
+                identCols += spec.field.name -> JsonDocStats.ColRange(v, v))
+            case "days" =>
+              val d = java.net.URLDecoder.decode(rawTxt, "UTF-8")
+              if (dayPruned(spec.field.name, d, filters)) pruned = true
+            case "bucket" =>
+              // decPartValue(IntegerType) yields a Long (stats-range
+              // convention); the bucket id itself is a small int
+              decPartValue(rawTxt, IntegerType).foreach { bAny =>
+                val b = bAny.asInstanceOf[Long].toInt
+                if (bucketPruned(spec, b, filters)) pruned = true
+              }
+            case _ => () // unknown transform: never prune
+          }
         }
-      }.toMap
-      cols.nonEmpty && !keep(JsonDocStats.FileStats(-1L, cols))
+      }
+      pruned || (identCols.nonEmpty && !keep(JsonDocStats.FileStats(-1L, identCols)))
     }
   }
 
@@ -281,11 +351,17 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
       TableCapability.TRUNCATE)
     (if (schema0.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
-  // identity-partitioned layout (r13): declared so SHOW CREATE/catalog
-  // surfaces report it, and so EXPLAIN shows the table as partitioned
-  private lazy val partCols0: Seq[StructField] = GraftCatalog.partitionColsOf(path)
+  // partitioned layout (r13 identity; r14 days/bucket): declared so
+  // SHOW CREATE/catalog surfaces report it, and so EXPLAIN shows the
+  // table as partitioned
+  private lazy val partSpec0: Seq[GraftCatalog.PartField] =
+    GraftCatalog.partitionSpecOf(path)
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCols0.map(f => Expressions.identity(f.name)).toArray
+    partSpec0.map {
+      case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
+      case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
+      case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
+    }.toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path, pinned = pinnedVersion)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -413,22 +489,30 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
   override def truncate(): WriteBuilder =
     new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope, dvBasisScope)
   override def build(): Write = {
-    val partCols = GraftCatalog.partitionColsOf(path).map(_.name)
+    val partSpec = GraftCatalog.partitionSpecOf(path)
     // A PARTITIONED write asks Spark for a CLUSTERED distribution on the
-    // partition columns (r13 — Iceberg's hash distribution mode): rows
-    // of one partition value co-locate in one task, so the routing
-    // writer keeps O(values/tasks) open files instead of every task
-    // potentially touching every partition — the open-file/small-file
-    // fan-out that kills partitioned writes at scale. Unpartitioned
-    // writes request nothing and plan exactly as before.
+    // partition TRANSFORMS (r13 identity; r14 days/bucket — Iceberg's
+    // hash distribution mode): rows of one partition DIRECTORY co-locate
+    // in one task, so the routing writer keeps O(dirs/tasks) open files
+    // instead of every task potentially touching every partition — the
+    // open-file/small-file fan-out that kills partitioned writes at
+    // scale. Transform expressions resolve through the catalog's
+    // FunctionCatalog ([[GraftTransforms]]), whose bound functions
+    // compute exactly the writer's directory values; a transform-
+    // partitioned table must therefore be written THROUGH the catalog
+    // (a bare path write fails loudly at analysis, never mis-routes).
+    // Unpartitioned writes request nothing and plan exactly as before.
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-        if (partCols.isEmpty)
+        if (partSpec.isEmpty)
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         else
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partCols.map(c => Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression).toArray)
+            partSpec.map {
+              case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
+              case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
+              case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
+            }.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray)
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite =
@@ -437,7 +521,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-jsondoc streaming write supports append output mode only")
-        new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partCols)
+        new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partSpec)
       }
     }
   }
@@ -710,7 +794,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
-      GraftCatalog.partitionColsOf(path).map(_.name))
+      GraftCatalog.partitionSpecOf(path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -774,7 +858,8 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId in the TEMP name keeps speculative attempts from colliding;
     // the FINAL name is per-partition, so whichever attempt the commit
@@ -797,29 +882,33 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
   * loudly (a `col=null` directory cannot round-trip typed equality).
   * Commit reports one message per touched partition directory. */
 private[sources] class JsonDocPartitionedDataWriter(path: String,
-    schema: StructType, partCols: Seq[String], queryId: String,
+    schema: StructType, partCols: Seq[GraftCatalog.PartField], queryId: String,
     partitionId: Int, taskId: Long,
     epochId: Option[Long] = None) extends DataWriter[InternalRow] {
 
-  private val partIdx: Seq[(String, Int)] = partCols.map { c =>
-    val i = schema.fieldNames.indexOf(c)
-    require(i >= 0, s"graft-jsondoc: partition column $c missing from write schema " +
-      s"[${schema.fieldNames.mkString(", ")}]")
-    (c, i)
+  private val partIdx: Seq[(GraftCatalog.PartField, Int)] = partCols.map { p =>
+    val i = schema.fieldNames.indexOf(p.field.name)
+    require(i >= 0, s"graft-jsondoc: partition column ${p.field.name} missing from " +
+      s"write schema [${schema.fieldNames.mkString(", ")}]")
+    (p, i)
   }
   private val children = scala.collection.mutable.LinkedHashMap.empty[String, JsonDocDataWriter]
 
   private def dirPrefix(row: InternalRow): String =
-    partIdx.map { case (c, i) =>
+    partIdx.map { case (p, i) =>
       require(!row.isNullAt(i),
-        s"graft-jsondoc: NULL value for partition column $c — partition values must be non-null")
-      val v: Any = schema.fields(i).dataType match {
+        s"graft-jsondoc: NULL value for partition column ${p.field.name} — " +
+          "partition values must be non-null")
+      val raw: Any = schema.fields(i).dataType match {
         case LongType => row.getLong(i)
         case IntegerType => row.getInt(i)
         case BooleanType => row.getBoolean(i)
         case _ => row.getUTF8String(i).toString
       }
-      s"$c=${JsonDocSource.encPartValue(v)}"
+      // the transform maps the source value to the directory value
+      // (identity passes through) — shared with the pruner and the
+      // FunctionCatalog so the three can never disagree (r14)
+      s"${p.dirName}=${JsonDocSource.encPartValue(GraftTransforms.dirValue(p, raw))}"
     }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
@@ -862,7 +951,8 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
   * only (streaming truncate-per-epoch = complete mode is refused in
   * `toStreaming`). */
 private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String] = Seq.empty) extends StreamingWrite {
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new JsonDocStreamingWriterFactory(path, schema, queryId, partCols)
@@ -958,7 +1048,7 @@ private[sources] object JsonDocStreamingWrite {
 }
 
 private[sources] class JsonDocStreamingWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String] = Seq.empty)
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -1192,10 +1282,11 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
 
-  // the table's partition columns, read from the schema sidecar once
+  // the table's partition spec, read from the schema sidecar once
   // per scan (planInputPartitions can run several times — runtime
   // filters re-plan — and each read is driver-side file I/O)
-  private lazy val partCols0: Seq[StructField] = GraftCatalog.partitionColsOf(path)
+  private lazy val partSpec0: Seq[GraftCatalog.PartField] =
+    GraftCatalog.partitionSpecOf(path)
 
   /** Runtime (DPP-style) filtering — the LAST pushdown negotiation Spark
     * offers a batch DSv2 scan, and the one that only resolves at
@@ -1249,13 +1340,15 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val effective = (filters ++ runtimeFilters).toSeq
     val keep = JsonDocStats.pruner(effective) // compiled once
-    // PARTITION PRUNING first (r13) — a Hive-style `col=value` path
-    // component is a point range for that column, so the SAME compiled
-    // pruner evaluates it (EqualTo/range/In all work); files in
-    // non-matching directories are dropped on the NAME alone, before
-    // the stats sidecar is even consulted. Undecodable components keep
-    // the file (conservative, the sidecar's standing rule).
-    val partPruned = JsonDocSource.partitionPruned(partCols0, keep)
+    // PARTITION PRUNING first (r13; transform-aware r14) — a Hive-style
+    // `col=value` path component is a point range for that column, so
+    // the SAME compiled pruner evaluates it (EqualTo/range/In all
+    // work), while `col_day=`/`col_bucket=` components are decided by
+    // their transform semantics; files in non-matching directories are
+    // dropped on the NAME alone, before the stats sidecar is even
+    // consulted. Undecodable components keep the file (conservative,
+    // the sidecar's standing rule).
+    val partPruned = JsonDocSource.partitionPruned(partSpec0, effective, keep)
     val stats = JsonDocStats.load(path)
     // `_file` constraints (runtime GROUP filters, or a user filter on
     // the metadata column) skip by NAME — no stats entry needed
@@ -1352,7 +1445,7 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
     // excludes the filters contributes nothing to any partial
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    val partPruned = JsonDocSource.partitionPruned(path, keep)
+    val partPruned = JsonDocSource.partitionPruned(path, filters.toSeq, keep)
     val dvs = JsonDocVersions.dvsFor(path, pinned)
     files.map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
@@ -1716,7 +1809,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     // directory-level pruning too (r13): deterministic on replay for the
     // same reason stats skipping is — only STATIC pushed filters reach a
     // micro-batch, and a pruned file's rows can never contribute
-    val partPruned = JsonDocSource.partitionPruned(path, keep)
+    val partPruned = JsonDocSource.partitionPruned(path, filters.toSeq, keep)
     // current DVs fold into delivery (a fresh stream over a table that
     // already carries deletes must not deliver dead rows); any dv drift
     // UNDER a checkpointed consumer aborted in validateAppendOnly above,

@@ -381,6 +381,66 @@ object SourceQueries {
     "SELECT 'o_orderstatus=' || o_orderstatus AS partition, count(*) AS n_rows " +
       "FROM orders GROUP BY 1 ORDER BY partition"
 
+  /** q190: DAYS-partitioned catalog table (r14) — `PARTITIONED BY
+    * (days(o_odate))` over the ISO-rendered order timestamp lays rows
+    * out one directory PER DAY (identity would mint one per distinct
+    * timestamp — thousands of directories, the r13 verdict's named
+    * gap), and a RANGE filter on the source column prunes day
+    * directories at plan time through the transform's monotonicity
+    * (PartitionedTableSpec pins the planned file set; here the hash
+    * proves the surviving rows are exactly the range). The clustered
+    * write distribution resolves days() through the catalog's
+    * FunctionCatalog, so each day lands as one task's file. */
+  def q190DaysPartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q190")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_odate STRING, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (days(o_odate))")
+    orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("o_odate"),
+        col("o_totalprice"))
+      .writeTo(tbl).append()
+    spark.sql(s"SELECT o_orderkey, o_odate, o_totalprice FROM $tbl " +
+      "WHERE o_odate >= '1994-01-01' AND o_odate < '1994-07-01' ORDER BY o_orderkey")
+  }
+
+  val q190Sql: String =
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS o_odate, " +
+      "o_totalprice FROM orders " +
+      "WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') >= '1994-01-01' " +
+      "AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') < '1994-07-01' ORDER BY o_orderkey"
+
+  /** q191: BUCKET-partitioned catalog table (r14) — `PARTITIONED BY
+    * (bucket(8, o_orderkey))` hashes each key into one of 8 stable
+    * directories (JLS Long.hashCode mod n — deterministic across JVMs,
+    * shared verbatim by the writer's routing, the planner's pruning,
+    * and the FunctionCatalog's distribution), so a point lookup or IN
+    * reads exactly its keys' buckets and a 1000-way join's DPP In
+    * filter prunes the same way. The hash never appears in the output —
+    * rows carry their source columns — so the oracle is the plain
+    * filter; hash-green proves routing scattered and reassembled the
+    * table losslessly. */
+  def q191BucketPartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q191")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (bucket(8, o_orderkey))")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .writeTo(tbl).append()
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $tbl " +
+      "WHERE o_orderkey IN (1, 7, 32, 4000, 29987) OR o_orderkey % 1000 = 0 " +
+      "ORDER BY o_orderkey")
+  }
+
+  val q191Sql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+      "WHERE o_orderkey IN (1, 7, 32, 4000, 29987) OR o_orderkey % 1000 = 0 " +
+      "ORDER BY o_orderkey"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -424,7 +484,9 @@ object SourceQueries {
     "q181_schema_evolution" -> q181SchemaEvolution _,
     "q185_type_widening" -> q185TypeWidening _,
     "q186_partitioned_table" -> q186PartitionedTable _,
-    "q187_partitions_inventory" -> q187PartitionsInventory _)
+    "q187_partitions_inventory" -> q187PartitionsInventory _,
+    "q190_days_partition" -> q190DaysPartition _,
+    "q191_bucket_partition" -> q191BucketPartition _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -448,5 +510,9 @@ object SourceQueries {
     // two of three status partitions survive the IN; dirs pruned by name
     "q186_partitioned_table" -> q186Sql,
     // per-partition exact rows recomputed from the base table
-    "q187_partitions_inventory" -> q187Sql)
+    "q187_partitions_inventory" -> q187Sql,
+    // a time-range scan over the day-transformed layout
+    "q190_days_partition" -> q190Sql,
+    // point/IN lookups + a modulus sweep over the hash-bucketed layout
+    "q191_bucket_partition" -> q191Sql)
 }

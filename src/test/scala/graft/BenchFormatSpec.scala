@@ -100,7 +100,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(extreme.length < TailBudget,
       s"all-drifted compact line is ${extreme.length} chars — exceeds $TailBudget")
     val je = JsonMethods.parse(extreme)
-    assert((je \ "total") != JNothing && (je \ "n_queries") == JInt(allDrift.size))
+    // the headline ("value") always lands; r14's minimal gear may keep
+    // the map at this extreme (strictly better than the old map-drop
+    // fallback, which carried n_queries instead)
+    assert((je \ "value") != JNothing)
+    assert((je \ "queries") != JObject(Nil) || (je \ "n_queries") == JInt(allDrift.size))
   }
 
   test("previousBench takes the per-query minimum over the last K rounds; drift rule fires correctly") {
@@ -118,13 +122,14 @@ class BenchFormatSpec extends AnyFunSuite {
     write(7, "noise head {\"metric\":\"total\",\"value\":1,\"queries\":" +
       "{\"01\":2.0,\"41\":1.9,\"119#2\":6.2,\"10b\":1},\"total\":1}\n[success]")
     val prev = Bench.previousBench(dir.getAbsolutePath)
-    assert(prev == Map("01" -> 1.5, "41" -> 1.9, "10b" -> 1.0),
+    // r14: keys normalize zero-stripped ("01" from older rounds -> "1")
+    assert(prev == Map("1" -> 1.5, "41" -> 1.9, "10b" -> 1.0),
       s"per-query min over rounds 4-7, sentinel keys excluded, r3 outside the window: $prev")
     // the anti-creep property this exists for (r11 verdict item 5): a
     // ~1.3x/round creep never trips against the immediately previous
     // round but compounds past the band against the rolling minimum
     val creep = Seq("q01_pricing_creep" -> 2.4) // 1.2x vs r7's 2.0 — but 1.6x and +0.9 vs the min 1.5
-    assert(Bench.drifted(creep, Map("01" -> 2.0), Set.empty).isEmpty,
+    assert(Bench.drifted(creep, Map("1" -> 2.0), Set.empty).isEmpty,
       "vs the last round alone the creep is invisible (the old rule)")
     assert(Bench.drifted(creep, prev, Set.empty) == Seq("q01_pricing_creep"),
       "vs the rolling minimum the compounded creep must trip a repeat")
@@ -145,16 +150,16 @@ class BenchFormatSpec extends AnyFunSuite {
     // query must NOT drift-trip against it (pre-fix: t > 1.5*0 &&
     // t > 0.8 flagged it every round at ratio Infinity)
     assert(Bench.drifted(Seq("q07_rank_windows" -> 1.0),
-      Map("07" -> 0.0), Set.empty).isEmpty,
+      Map("7" -> 0.0), Set.empty).isEmpty,
       "a zero (rounded-away) baseline must never trip the drift rule")
     // ... but a rounded-away baseline must not blind the guard either
     // (r12 advice): a sub-quantum query regressing past the absolute
     // 5 s wire still trips, ranked by raw time
     assert(Bench.drifted(Seq("q07_rank_windows" -> 30.0),
-      Map("07" -> 0.0), Set.empty) == Seq("q07_rank_windows"),
+      Map("7" -> 0.0), Set.empty) == Seq("q07_rank_windows"),
       "a 0.4s -> 30s regression must trip the absolute fallback wire")
     assert(Bench.drifted(Seq("q07_rank_windows" -> 4.9),
-      Map("07" -> 0.0), Set.empty).isEmpty,
+      Map("7" -> 0.0), Set.empty).isEmpty,
       "below the absolute wire a sub-quantum row stays quiet")
     // absent history -> no repeats, never an abort
     assert(Bench.drifted(board, Map.empty, Set.empty).isEmpty)
@@ -163,7 +168,7 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("short keys remain unique across the real query surface") {
     val names = SparkEntry.queries.keys.toSeq
-    val short = names.map(_.takeWhile(_ != '_'))
+    val short = names.map(Bench.shortKey)
     val dups = short.groupBy(identity).filter(_._2.size > 1).keys
     assert(short.distinct.size == names.size,
       s"short-key collision(s): ${dups.mkString(", ")} — rename the colliding queries")
@@ -182,8 +187,8 @@ class BenchFormatSpec extends AnyFunSuite {
     val JObject(cq) = (compact \ "queries"): @unchecked
     assert(fq.map(_._1) == List("q01_alpha", "q02_beta", "q10b_gamma"))
     // compact keys are the board numbers without the redundant "q"
-    // prefix (r9 budget fix) — "02" still maps to q02 unambiguously
-    assert(cq.map(_._1) == List("01", "02", "10b"))
-    assert(d(compact \ "queries", "02") == 2.5)
+    // prefix (r9) or leading zeros (r14) — "2" maps to q02 unambiguously
+    assert(cq.map(_._1) == List("1", "2", "10b"))
+    assert(d(compact \ "queries", "2") == 2.5)
   }
 }

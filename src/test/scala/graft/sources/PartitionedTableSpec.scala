@@ -123,12 +123,9 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("refusals: transform shapes, double columns, nulls, partition-column ALTER") {
-    val (dir, tbl) = freshTable()
     import spark.implicits._
-    val eB = intercept[Exception](spark.sql(
-      s"CREATE TABLE $tbl (k BIGINT, lang STRING) USING `graft-jsondoc` " +
-        "PARTITIONED BY (bucket(4, k))"))
-    assert(msgs(eB).exists(_.contains("identity partition transforms")), s"wrong: $eB")
+    // bucket()/days() are SUPPORTED since r14 (their own tests below);
+    // the refusals here are the shapes that stay refused
     val (dir2, tbl2) = freshTable()
     val eD = intercept[Exception](spark.sql(
       s"CREATE TABLE $tbl2 (k BIGINT, x DOUBLE) USING `graft-jsondoc` PARTITIONED BY (x)"))
@@ -418,5 +415,125 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hist = spark.sql(s"SELECT version, n_rows FROM graftcat.`$dir#history` ORDER BY version")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(hist === Seq((1L, 4L), (2L, 3L)), hist)
+  }
+
+  // ---- transform partitioning (r14): days() and bucket() ----
+
+  private def plannedFiles(sql: String): Seq[String] =
+    spark.sql(sql).queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.map(_.asInstanceOf[JsonDocPartition].file).toSeq
+
+  test("days(string) layout: day directories, equality and range pruning at plan time") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, ts STRING, n BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (days(ts))")
+    Seq((1L, "2024-01-15T08:00:00", 10L), (2L, "2024-01-15T23:59:59", 20L),
+      (3L, "2024-01-16T00:00:00", 30L), (4L, "2024-02-01T12:00:00", 40L))
+      .toDF("k", "ts", "n").coalesce(1).writeTo(tbl).append()
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq === Seq("ts_day=2024-01-15", "ts_day=2024-01-16", "ts_day=2024-02-01"))
+    // equality on the SOURCE column prunes to its day directory
+    val eq = plannedFiles(s"SELECT k FROM $tbl WHERE ts = '2024-01-15T08:00:00'")
+    assert(eq.nonEmpty && eq.forall(_.contains("/ts_day=2024-01-15/")), eq)
+    // a RANGE filter prunes day directories (days is monotone) — the
+    // layout identity partitioning cannot express (thousands of distinct
+    // timestamps would each be a directory; here they share their day)
+    val range = plannedFiles(s"SELECT k FROM $tbl WHERE ts >= '2024-01-16'")
+    assert(range.nonEmpty && range.forall(f =>
+      f.contains("/ts_day=2024-01-16/") || f.contains("/ts_day=2024-02-01/")), range)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE ts >= '2024-01-16' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 4L))
+    // the boundary day is KEPT for ts < '2024-01-16' (its rows might
+    // qualify; the row filter decides) and the later day pruned
+    val lt = plannedFiles(s"SELECT k FROM $tbl WHERE ts < '2024-01-16'")
+    assert(lt.forall(!_.contains("/ts_day=2024-02-01/")), lt)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE ts < '2024-01-16' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("days(bigint) treats the column as epoch millis (UTC, floorDiv-safe)") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, ms BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (days(ms))")
+    val day0 = 1705276800000L // 2024-01-15T00:00:00Z
+    Seq((1L, day0 + 3600000L), (2L, day0 + 86400000L + 1L), (3L, -1L))
+      .toDF("k", "ms").coalesce(1).writeTo(tbl).append()
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // -1 ms is 1969-12-31 (floorDiv, not truncation-toward-zero)
+    assert(subdirs.toSeq === Seq("ms_day=1969-12-31", "ms_day=2024-01-15", "ms_day=2024-01-16"))
+    val planned = plannedFiles(s"SELECT k FROM $tbl WHERE ms > ${day0 + 86400000L}")
+    assert(planned.nonEmpty && planned.forall(_.contains("/ms_day=2024-01-16/")), planned)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE ms > ${day0 + 86400000L}")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("bucket(n) layout: stable hash routing, point and In pruning") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (bucket(4, k))")
+    (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).writeTo(tbl).append()
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.forall(_.startsWith("k_bucket=")), subdirs)
+    // a point filter prunes to exactly ONE bucket directory — the
+    // pruner's hash is the writer's hash by construction
+    val b5 = GraftTransforms.bucketOf(5L, 4)
+    val planned = plannedFiles(s"SELECT v FROM $tbl WHERE k = 5")
+    assert(planned.nonEmpty && planned.forall(_.contains(s"/k_bucket=$b5/")), planned)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 5").collect().map(_.getString(0)).toSeq
+      === Seq("v5"))
+    // In prunes to the union of its keys' buckets
+    val inBuckets = Set(2L, 3L).map(GraftTransforms.bucketOf(_, 4))
+    val plannedIn = plannedFiles(s"SELECT v FROM $tbl WHERE k IN (2, 3)")
+    assert(plannedIn.forall(f => inBuckets.exists(b => f.contains(s"/k_bucket=$b/"))), plannedIn)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k IN (2, 3) ORDER BY k")
+      .collect().map(_.getString(0)).toSeq === Seq("v2", "v3"))
+    // a range filter cannot prune a hash layout — but answers correctly
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE k >= 7").head().getLong(0) === 2L)
+  }
+
+  test("clustered write distribution resolves the transforms: one file per day directory") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, ts STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (days(ts))")
+    // 40 rows over 4 days, deliberately scattered across 8 input tasks:
+    // the required clustered distribution (days(ts), resolved through
+    // the catalog's FunctionCatalog to the writer's own day function)
+    // must co-locate each day into one task → exactly one data file per
+    // day directory, the open-file bound the distribution exists for
+    val rows = (0 until 40).map(i => (i.toLong, f"2024-03-${(i % 4) + 1}%02dT12:00:$i%02d"))
+    rows.toDF("k", "ts").repartition(8).writeTo(tbl).append()
+    val perDir = new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().count(f => f.isFile && !f.getName.startsWith("."))
+    }.toMap
+    assert(perDir.keySet === Set("ts_day=2024-03-01", "ts_day=2024-03-02",
+      "ts_day=2024-03-03", "ts_day=2024-03-04"))
+    assert(perDir.values.forall(_ == 1),
+      s"clustered-by-transform write must land one file per day dir, got $perDir")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 40L)
+  }
+
+  test("transform tables refuse unsupported shapes loudly") {
+    val (_, tbl) = freshTable()
+    // days over a double — not a time type this source can day-map
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $tbl (k BIGINT, x DOUBLE) USING `graft-jsondoc` PARTITIONED BY (days(x))"))
+    assert(msgs(e1).exists(_.contains("days()")), e1.getMessage)
+    // an unknown transform family
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $tbl (k BIGINT, ts STRING) USING `graft-jsondoc` PARTITIONED BY (hours(ts))"))
+    assert(msgs(e2).exists(_.contains("unsupported partition transform")), e2.getMessage)
+    // a days() write with a non-ISO value fails loudly, not into garbage dirs
+    val (_, tbl3) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl3 (k BIGINT, ts STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (days(ts))")
+    val e3 = intercept[Exception](
+      Seq((1L, "junk")).toDF("k", "ts").writeTo(tbl3).append())
+    assert(msgs(e3).exists(_.contains("ISO-8601")), e3.getMessage)
   }
 }
