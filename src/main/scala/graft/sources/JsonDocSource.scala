@@ -94,6 +94,18 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Test seam (r14): records each directory a [[JsonDocSource.walkDataFiles]]
+  * walk LISTS, so PartitionedTableSpec can assert a pruned scan never
+  * calls listFiles on an excluded partition directory. Off (and
+  * zero-cost beyond one volatile read) outside tests. */
+private[sources] object ListingProbe {
+  @volatile private[sources] var enabled = false
+  private[sources] val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def record(root: String, rel: String): Unit =
+    if (enabled) { listed.add(rel); () }
+  def reset(): Unit = listed.clear()
+}
+
 private[sources] object JsonDocSource {
   /** Name of the `_file` METADATA column (SupportsMetadataColumns): the
     * response-file name a row came from. Doubly load-bearing: (a) the
@@ -129,8 +141,9 @@ private[sources] object JsonDocSource {
     * sidecar, offsets, `_file` — are the RELATIVE path ('/'-separated),
     * which for an unpartitioned table is just the file name, so nothing
     * legacy changes shape. */
-  def listDataFiles(path: String, pinned: Option[Int] = None): Array[java.io.File] = {
-    val all = walkDataFiles(path)
+  def listDataFiles(path: String, pinned: Option[Int] = None,
+      dirPruned: String => Boolean = _ => false): Array[java.io.File] = {
+    val all = walkDataFiles(path, dirPruned)
     JsonDocVersions.liveSet(path, pinned) match {
       case Some(live) => all.filter(f => live.contains(relName(path, f)))
         .sortBy(f => relName(path, f))
@@ -140,15 +153,26 @@ private[sources] object JsonDocSource {
 
   /** RAW recursive walk — every on-disk data file, live or retired
     * (vacuum's view; readers use [[listDataFiles]], which applies the
-    * manifest live set). */
-  def walkDataFiles(path: String): Array[java.io.File] = {
-    def walk(dir: java.io.File): Array[java.io.File] = {
+    * manifest live set). `dirPruned` (r14, verdict item 3) is evaluated
+    * against each partition directory's RELATIVE prefix BEFORE listing
+    * its contents: at 10^5 partition directories the walk itself is the
+    * planning cost, so a provably-excluded subtree is never even
+    * listed — the same pruner the per-file check compiles, applied one
+    * level earlier. The per-file filter stays as the correctness
+    * backstop; skipping here only removes listing I/O. */
+  def walkDataFiles(path: String,
+      dirPruned: String => Boolean = _ => false): Array[java.io.File] = {
+    def walk(dir: java.io.File, rel: String): Array[java.io.File] = {
+      ListingProbe.record(path, if (rel.isEmpty) "." else rel)
       val entries = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       entries.filter(_.isFile) ++
-        entries.filter(f => f.isDirectory && f.getName.contains('=')).flatMap(walk)
+        entries.filter(f => f.isDirectory && f.getName.contains('='))
+          .map(f => (f, if (rel.isEmpty) f.getName else s"$rel/${f.getName}"))
+          .filterNot { case (_, r) => dirPruned(r) }
+          .flatMap { case (f, r) => walk(f, r) }
     }
-    walk(new java.io.File(path))
+    walk(new java.io.File(path), "")
   }
 
   /** The listing/manifest/stats key of a data file: its path relative to
@@ -257,11 +281,30 @@ private[sources] object JsonDocSource {
   private[sources] def partitionPruned(specs: Seq[GraftCatalog.PartField],
       filters: Seq[Filter],
       keep: JsonDocStats.FileStats => Boolean): String => Boolean = {
-    if (specs.isEmpty) return (_: String) => false
+    val comps = componentsPruned(specs, filters, keep)
+    (rel: String) => comps(rel.split('/').dropRight(1))
+  }
+
+  /** Directory-prefix variant (r14): the predicate [[walkDataFiles]]
+    * evaluates BEFORE descending into a partition subtree. Same
+    * component evaluation as the per-file form — a partial prefix
+    * (outer directory of a nested layout) simply has fewer components,
+    * each decided independently, so pruning an outer level is sound
+    * whenever its own component already excludes every file below. */
+  private[sources] def partitionDirPruned(specs: Seq[GraftCatalog.PartField],
+      filters: Seq[Filter],
+      keep: JsonDocStats.FileStats => Boolean): String => Boolean = {
+    val comps = componentsPruned(specs, filters, keep)
+    (relDir: String) => comps(relDir.split('/'))
+  }
+
+  private def componentsPruned(specs: Seq[GraftCatalog.PartField],
+      filters: Seq[Filter],
+      keep: JsonDocStats.FileStats => Boolean): Array[String] => Boolean = {
+    if (specs.isEmpty) return (_: Array[String]) => false
     val byDir: Map[String, GraftCatalog.PartField] =
       specs.map(s => s.dirName -> s).toMap
-    (rel: String) => {
-      val comps = rel.split('/').dropRight(1)
+    (comps: Array[String]) => {
       var identCols = Map.empty[String, JsonDocStats.ColRange]
       var pruned = false
       comps.foreach { c =>
@@ -1358,7 +1401,11 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
         Set(String.valueOf(v))
     }
-    val kept = listFiles()
+    // excluded partition SUBTREES are skipped during the walk itself
+    // (r14 — at 10^5 directories the listing is the planning cost); the
+    // per-file partPruned below stays as the correctness backstop
+    val kept = JsonDocSource.listDataFiles(path, pinned,
+        JsonDocSource.partitionDirPruned(partSpec0, effective, keep))
       .map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
@@ -1439,13 +1486,16 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = JsonDocSource.listDataFiles(path, pinned)
     // the same stats-based file skipping as the row scan: Spark only
     // pushes aggregates when EVERY filter pushed, so a file whose range
     // excludes the filters contributes nothing to any partial
     val stats = JsonDocStats.load(path)
     val keep = JsonDocStats.pruner(filters.toSeq)
-    val partPruned = JsonDocSource.partitionPruned(path, filters.toSeq, keep)
+    val specs = GraftCatalog.partitionSpecOf(path)
+    val partPruned = JsonDocSource.partitionPruned(specs, filters.toSeq, keep)
+    // excluded subtrees skipped during the walk (r14), as in the row scan
+    val files = JsonDocSource.listDataFiles(path, pinned,
+      JsonDocSource.partitionDirPruned(specs, filters.toSeq, keep))
     val dvs = JsonDocVersions.dvsFor(path, pinned)
     files.map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
