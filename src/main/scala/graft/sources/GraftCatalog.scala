@@ -621,11 +621,23 @@ object GraftCatalog {
     // concurrent rewrite of an input aborts loudly (r13)
     val removedIn = bins.filter(_.length > 1).flatMap(_.map(_._1)).toSet
     val addedOut = newLive -- live.toSet
+    // REWRITE provenance (r14, verdict item 5): each output's exact
+    // input set + whether DVs were applied — what lets a checkpointed
+    // streaming consumer rebase across this compaction instead of
+    // aborting (fully-consumed pure-concat outputs are skippable)
+    val rewriteRecords: Map[String, JsonDocVersions.Rewrite] =
+      bins.zipWithIndex.collect {
+        case (bin, i) if bin.length > 1 =>
+          val prefix = bin.head._1.substring(0, bin.head._1.lastIndexOf('/') + 1)
+          val name = f"${prefix}compact-v$v%06d-$i%04d.jsonl"
+          name -> JsonDocVersions.Rewrite(bin.map(_._1).toSet,
+            purged = bin.exists { case (n, _) => dvPos.contains(n) })
+      }.toMap
     // the committed version can exceed the name-embedded v when a
     // concurrent append rebased this commit upward — names are just
     // names; report what actually committed
     val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut,
-      dvBasis = Some(dvs))
+      dvBasis = Some(dvs), rewrites = rewriteRecords)
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(committed)
   }

@@ -80,6 +80,29 @@ private[graft] object JsonDocVersions {
       case None => Map.empty
     }
 
+  /** One compaction's provenance record (r14, verdict item 5): the
+    * output file's exact input set, and whether delete vectors were
+    * APPLIED while concatenating (`purged`) — the bit that decides
+    * whether a checkpointed consumer may treat the output as the sum of
+    * its inputs. */
+  final case class Rewrite(from: Set[String], purged: Boolean)
+
+  /** The REWRITE records of version v: `output -> Rewrite` — present
+    * only in versions minted by OPTIMIZE (a per-version event record,
+    * never carried forward). Lets a checkpointed streaming consumer
+    * REBASE across compaction: an output all of whose inputs were
+    * already consumed is itself fully consumed and skippable, instead
+    * of today's abort-and-reingest. */
+  def readRewrites(path: String, v: Int): Map[String, Rewrite] =
+    readNode(path, v).flatMap(node => Option(node.get("rewrites")).map { r =>
+      r.fields().asScala.map { e =>
+        val from = Option(e.getValue.get("from"))
+          .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+        val purged = Option(e.getValue.get("purged")).exists(_.asBoolean())
+        e.getKey -> Rewrite(from, purged)
+      }.toMap
+    }).getOrElse(Map.empty)
+
   /** The APPLIED-TRANSACTION map of version v: `appId -> last applied
     * version` (the Delta `txnAppId`/`txnVersion` idiom). Carried
     * FORWARD by every commit and updated atomically WITH the live-set
@@ -106,7 +129,8 @@ private[graft] object JsonDocVersions {
     manifests(path).filter(v => mtime(path, v).exists(_ <= tsMillis)).lastOption
 
   private def manifestJson(v: Int, newLive: Set[String],
-      txns: Map[String, Long], dvs: Map[String, String]): String = {
+      txns: Map[String, Long], dvs: Map[String, String],
+      rewrites: Map[String, Rewrite] = Map.empty): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
@@ -119,6 +143,15 @@ private[graft] object JsonDocVersions {
     if (dvs.nonEmpty) {
       val d = root.putObject("dvs")
       dvs.toSeq.sortBy(_._1).foreach { case (f, dv) => d.put(f, dv) }
+    }
+    if (rewrites.nonEmpty) {
+      val r = root.putObject("rewrites")
+      rewrites.toSeq.sortBy(_._1).foreach { case (out, rw) =>
+        val o = r.putObject(out)
+        val fr = o.putArray("from")
+        rw.from.toSeq.sorted.foreach(fr.add)
+        o.put("purged", rw.purged)
+      }
     }
     mapper.writeValueAsString(root)
   }
@@ -173,7 +206,8 @@ private[graft] object JsonDocVersions {
   def commitDelta(path: String, removed: Set[String], added: Set[String],
       txn: Option[(String, Long)] = None,
       dvUpdates: Map[String, String] = Map.empty,
-      dvBasis: Option[Map[String, String]] = None): Int = {
+      dvBasis: Option[Map[String, String]] = None,
+      rewrites: Map[String, Rewrite] = Map.empty): Int = {
     var attempt = 0
     while (true) {
       val prev = manifests(path).lastOption
@@ -215,7 +249,8 @@ private[graft] object JsonDocVersions {
       if (newLive == base && dvs == prevDvs &&
         txn.forall { case (a, e) => txns.get(a).contains(e) })
         return prev.getOrElse(0)
-      if (store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns ++ txn, dvs)))
+      if (store.putIfAbsent(path, manifestName(v),
+        manifestJson(v, newLive, txns ++ txn, dvs, rewrites)))
         return v
       attempt += 1
       if (attempt > 100)

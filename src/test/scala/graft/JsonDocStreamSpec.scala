@@ -265,7 +265,12 @@ class JsonDocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("OPTIMIZE ran under a checkpointed consumer")),
+    // r14: the rewrite record explains the removal, so the refusal is
+    // now the PLANNER's sharper diagnosis — this compaction merged a
+    // consumed file with an unconsumed one, the unsplittable shape
+    // (fully-consumed compactions rebase and RESUME instead, pinned in
+    // PartitionedTableSpec)
+    assert(msgs(e).exists(_.contains("consumed and unconsumed")),
       s"wrong error: $e")
 
     // a stream STARTED FRESH on an already-compacted directory is fine:

@@ -517,6 +517,79 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 40L)
   }
 
+  test("OPTIMIZE between runs: a restarted checkpointed stream rebases across the compaction (zero dup, zero loss)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rebase").toString
+    val tbl = s"graftcat.`$root/t`"
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    (0L to 2L).foreach(i => Seq(i).toDF("k").coalesce(1).writeTo(tbl).append())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rebase_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rebase_out").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    // parquet file sink: exactly-once across restarts via its metadata
+    // log (a memory sink resets on restart and would hide duplicates)
+    def start() = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", s"$root/t").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def sunk(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sunk() === (0L to 2L))
+    // while the stream is DOWN: compact the three fully-consumed files,
+    // then append a fourth — pre-r14 the restart aborted ("re-ingest
+    // from a fresh checkpoint"); with rewrite records it RESUMES: the
+    // compacted output is provably fully-consumed and skipped, the new
+    // append delivers
+    assert(GraftCatalog.optimize(s"$root/t").isDefined, "three small files must compact")
+    Seq(3L).toDF("k").coalesce(1).writeTo(tbl).append()
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(sunk() === (0L to 3L),
+      "restart must deliver exactly the new append — no duplicates from the compacted output, no loss")
+  }
+
+  test("rebase refusals: mixed consumed/unconsumed inputs, and purged (DV-applied) consumed inputs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    import spark.implicits._
+    // MIXED: consume 2 of 3 files, compact all 3 -> the output straddles
+    // the consumption boundary; the batch planner must abort loudly
+    val root1 = java.nio.file.Files.createTempDirectory("graft_rebase_mix").toString
+    val tbl1 = s"graftcat.`$root1/t`"
+    spark.sql(s"CREATE TABLE $tbl1 (k BIGINT) USING `graft-jsondoc`")
+    (0L to 2L).foreach(i => Seq(i).toDF("k").coalesce(1).writeTo(tbl1).append())
+    val stream1 = new JsonDocMicroBatchStream(schema, s"$root1/t", Array.empty)
+    // consumed basis: version 2 (the first two appends)
+    val startOff = FileNameOffset("", Some(2))
+    assert(GraftCatalog.optimize(s"$root1/t").isDefined)
+    val end1 = stream1.latestOffset().asInstanceOf[FileNameOffset]
+    val e1 = intercept[IllegalStateException] {
+      stream1.planInputPartitions(startOff, end1)
+    }
+    assert(e1.getMessage.contains("consumed and unconsumed"), e1.getMessage)
+
+    // PURGED: delete rows (MOR) from fully-consumed files, compact (DVs
+    // applied) -> consumed rows are now dead; the rebase must refuse
+    val root2 = java.nio.file.Files.createTempDirectory("graft_rebase_purge").toString
+    val tbl2 = s"graftcat.`$root2/t`"
+    spark.sql(s"CREATE TABLE $tbl2 (k BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    (0L to 2L).foreach(i => Seq(i).toDF("k").coalesce(1).writeTo(tbl2).append())
+    val consumedV = JsonDocVersions.manifests(s"$root2/t").last
+    spark.sql(s"DELETE FROM $tbl2 WHERE k = 1") // MOR: a DV, no rewrite
+    assert(GraftCatalog.optimize(s"$root2/t").isDefined)
+    val stream2 = new JsonDocMicroBatchStream(schema, s"$root2/t", Array.empty)
+    val end2 = stream2.latestOffset().asInstanceOf[FileNameOffset]
+    val e2 = intercept[IllegalStateException] {
+      stream2.planInputPartitions(FileNameOffset("", Some(consumedV)), end2)
+    }
+    assert(e2.getMessage.contains("delete vectors") ||
+      e2.getMessage.contains("merge-on-read"), e2.getMessage)
+  }
+
   test("a pruned scan never LISTS an excluded partition directory (walk-time pruning)") {
     val (dir, tbl) = freshTable()
     seed(tbl)
