@@ -702,16 +702,11 @@ object GraftCatalog {
     val df = spark.table(table)
     require(df.schema.fieldNames.contains(column),
       s"cluster: no such column $column in $table")
-    // a PARTITIONED table's write re-shuffles clustered on the partition
-    // columns (RequiresDistributionAndOrdering), which would silently
-    // destroy the range clustering requested here — and the partition
-    // layout already IS that table's pruning structure; refuse loudly
-    // rather than produce a layout the caller didn't ask for.
     // The raw path comes from the caller when available (ClusterProcedure
     // has it as its first argument); re-parsing the qualified name splits
     // on BACKTICKS, not dots — a dotted table path like /data/events.v2/t
-    // split on '.' would yield a wrong path, silently bypass this guard,
-    // and let the partitioned write discard the range clustering (advice r13)
+    // split on '.' would yield a wrong path and silently change behavior
+    // (advice r13)
     val tablePath =
       if (path != null) path
       else {
@@ -719,16 +714,25 @@ object GraftCatalog {
         if (i >= 0 && j > i) table.substring(i + 1, j)
         else table.substring(table.indexOf('.') + 1)
       }
-    require(partitionColsOf(tablePath).isEmpty,
-      s"cluster: $table is identity-partitioned — the partition layout already " +
-        "clusters it, and the partitioned write's required distribution would " +
-        "override the requested range split; OPTIMIZE compacts within partitions instead")
     // overwrite(true) = SupportsTruncate in ONE commit: tasks write the
     // clustered temps while the scan still reads the old files; the
     // truncate happens at driver commit, after every temp is ready
-    df.repartitionByRange(buckets, org.apache.spark.sql.functions.col(column))
-      .sortWithinPartitions(column)
-      .writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
+    if (partitionColsOf(tablePath).nonEmpty) {
+      // PARTITION-LOCAL clustering (r14; refused outright in r13): the
+      // `cluster-by` option makes the write request an ORDERED
+      // distribution on (partition transforms, column) — each partition
+      // directory's files then hold contiguous ranges of `column`, so
+      // partitioned MVs get the q188 copy-on-write write-set bound too.
+      // `buckets` caps the TOTAL task/file count across directories.
+      df.writeTo(table)
+        .option("cluster-by", column)
+        .option("cluster-buckets", buckets.toString)
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+    } else {
+      df.repartitionByRange(buckets, org.apache.spark.sql.functions.col(column))
+        .sortWithinPartitions(column)
+        .writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
+    }
   }
 
   /** Keys Spark itself injects into CREATE TABLE properties — never

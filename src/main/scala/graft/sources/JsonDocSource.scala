@@ -545,19 +545,49 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     // partitioned table must therefore be written THROUGH the catalog
     // (a bare path write fails loudly at analysis, never mis-routes).
     // Unpartitioned writes request nothing and plan exactly as before.
+    // HOT-PARTITION escape hatch (r14, verdict item 6): the clustered
+    // distribution routes each partition VALUE through one task — the
+    // small-file optimum, but a skewed hot partition then serializes
+    // through that task and AQE cannot split it (one partition value,
+    // not one shuffle partition). `write.distribution = none` (Iceberg's
+    // fanout mode) skips the clustering: every input task writes the
+    // partitions it sees, so a hot partition's rows keep their upstream
+    // parallelism and land as k files in ONE directory (the layout
+    // allows it; OPTIMIZE compacts them later). Default stays hash.
+    val fanout =
+      GraftCatalog.tablePropsOf(path).get("write.distribution").contains("none")
+    def transformExprs = partSpec.map {
+      case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
+      case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
+      case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
+    }
+    // PARTITION-LOCAL range clustering (r14, verdict item 7): a
+    // `cluster-by` write option asks for an ORDERED distribution on
+    // (partition transforms, cluster column) — Spark range-partitions
+    // and sorts, so within each partition DIRECTORY the files hold
+    // contiguous ranges of the cluster column (the q188 write-set bound,
+    // now available to partitioned MVs). `cluster-buckets` caps the
+    // total task count. Used by [[GraftCatalog.cluster]]'s partitioned
+    // path; plain writes never set it.
+    val clusterBy = Option(info.options.get("cluster-by"))
+    val clusterBuckets = Option(info.options.get("cluster-buckets")).map(_.toInt)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      private def orderedSorts: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        (transformExprs ++ clusterBy.map(c => Expressions.identity(c)))
+          .map(e => Expressions.sort(e,
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-        if (partSpec.isEmpty)
+        if (clusterBy.isDefined && partSpec.nonEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.ordered(orderedSorts)
+        else if (partSpec.isEmpty || fanout)
           org.apache.spark.sql.connector.distributions.Distributions.unspecified()
         else
           org.apache.spark.sql.connector.distributions.Distributions.clustered(
-            partSpec.map {
-              case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
-              case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
-              case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
-            }.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray)
+            transformExprs.map(t => t: org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredNumPartitions(): Int =
+        if (clusterBy.isDefined && partSpec.nonEmpty) clusterBuckets.getOrElse(0) else 0
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        if (clusterBy.isDefined && partSpec.nonEmpty) orderedSorts else Array.empty
       override def toBatch: BatchWrite =
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
           replaceScope, dvBasisScope)

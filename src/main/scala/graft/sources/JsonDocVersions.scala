@@ -284,9 +284,24 @@ private[graft] object JsonDocVersions {
   * the manifest claim — the ONE atomic point. Begin before the
   * command, clear in a finally (the commit itself consumes the entry on
   * success, so the finally only matters on failure). Keys are
-  * canonical paths; one pending transaction per table at a time —
-  * concurrent SQL writers to one local-FS table are already outside
-  * this source's single-writer contract. */
+  * canonical paths; one pending transaction per table at a time
+  * (`begin` refuses a second, spec-pinned).
+  *
+  * MULTI-WRITER CONTRACT (r14, stated precisely): this registry is
+  * PER-JVM. Across processes, the manifest CAS still fully protects the
+  * LIVE SET (racing commits rebase or abort; no file is ever lost), and
+  * a crash-and-retry of ONE applier is exactly-once (check `lastTxn`,
+  * apply, commit folds the epoch atomically — replay sees the epoch and
+  * skips). What per-JVM state canNOT protect is TWO CONCURRENT appliers
+  * of the same (table, appId): both read `lastTxn` before either
+  * commits, both apply, and the fold lands twice — the check-then-apply
+  * window. Closing it needs the claim to happen at CHECK time, i.e. a
+  * begin-token CAS in the store (`putIfAbsent` of a lock entry naming
+  * (appId, epoch), swept on commit) — mechanical to add on the
+  * [[CommitStore]] seam, not built because the engine's own appliers
+  * (the q183/q188 MV folds) are checkpointed streams, which Spark
+  * already constrains to one active run per checkpoint. Run ONE applier
+  * process per (table, appId); anything else is outside the contract. */
 private[graft] object GraftTxn {
   private val pending = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 

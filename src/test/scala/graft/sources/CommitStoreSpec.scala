@@ -146,6 +146,35 @@ class CommitStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftTxn contract: one pending txn per table; crash-retry of one applier is exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString
+    GraftTxn.begin(dir, "app", 1L)
+    // a second pending declaration on the same table is refused loudly
+    val e = intercept[IllegalArgumentException] { GraftTxn.begin(dir, "app", 2L) }
+    assert(e.getMessage.contains("already pending"))
+    assert(GraftTxn.take(dir).contains(("app", 1L)) && GraftTxn.take(dir).isEmpty)
+
+    // the crash-retry loop of ONE applier (the in-contract shape):
+    // check lastTxn -> apply -> the commit folds the epoch atomically
+    // with the live set; a replay sees the epoch and skips. A crash
+    // BETWEEN apply and commit re-applies — and commits the same state.
+    def applyEpochOnce(epoch: Long, file: String): Boolean =
+      if (JsonDocVersions.lastTxn(dir, "app").exists(_ >= epoch)) false
+      else {
+        JsonDocVersions.commitDelta(dir, Set.empty, Set(file), txn = Some(("app", epoch)))
+        true
+      }
+    assert(applyEpochOnce(1L, "e1.jsonl"))
+    assert(!applyEpochOnce(1L, "e1-replay.jsonl"), "a replayed epoch must skip")
+    assert(applyEpochOnce(2L, "e2.jsonl"))
+    assert(JsonDocVersions.latest(dir).get._2 === Set("e1.jsonl", "e2.jsonl"))
+    assert(JsonDocVersions.lastTxn(dir, "app").contains(2L))
+    // what per-JVM state cannot give: two CONCURRENT appliers of one
+    // (table, appId) both pass the lastTxn check before either commits —
+    // the documented out-of-contract window (GraftTxn scaladoc names the
+    // begin-token CAS that would close it on the CommitStore seam)
+  }
+
   test("mtime ordering drives TIMESTAMP AS OF resolution on the fake store") {
     withFake { _ =>
       val dir = "/mem/t6"

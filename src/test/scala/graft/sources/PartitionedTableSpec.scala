@@ -140,11 +140,70 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ALTER cannot drop or retype the partition column
     val eA = intercept[Exception](spark.sql(s"ALTER TABLE $tbl3 DROP COLUMN lang"))
     assert(msgs(eA).exists(_.contains("partition column")), s"wrong: $eA")
-    // cluster() refuses a partitioned table (the partitioned write's
-    // required distribution would override the requested range split)
-    val eC = intercept[Exception](
-      GraftCatalog.cluster(spark, tbl3, "k", 4))
-    assert(msgs(eC).exists(_.contains("identity-partitioned")), s"wrong: $eC")
+  }
+
+  test("cluster() on a partitioned table range-clusters WITHIN each partition directory") {
+    // refused outright in r13; r14 gives partitioned MVs the q188
+    // write-set bound: an ordered (partition, k) distribution lands each
+    // directory's files as contiguous non-overlapping k ranges
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang)")
+    // 300 rows, 3 languages interleaved over the whole key range
+    (0L until 300L).map(k => (k, Seq("de", "en", "fr")((k % 3).toInt)))
+      .toDF("k", "lang").repartition(6).writeTo(tbl).append()
+    GraftCatalog.cluster(spark, tbl, "k", 6, path = s"$dir")
+    // per-directory: >= 1 file, and the files' [min,max] k ranges from
+    // the stats sidecar are pairwise non-overlapping (range clustering)
+    val stats = JsonDocStats.load(dir)
+    val live = JsonDocVersions.latest(dir).get._2
+    val byDir = live.groupBy(n => n.substring(0, n.lastIndexOf('/') + 1))
+    assert(byDir.keySet.map(_.stripSuffix("/")) === Set("lang=de", "lang=en", "lang=fr"))
+    byDir.foreach { case (d, files) =>
+      val ranges = files.toSeq.flatMap(n => stats.get(n).flatMap(_.cols.get("k")))
+        .map(r => (r.min.asInstanceOf[Long], r.max.asInstanceOf[Long])).sorted
+      assert(ranges.nonEmpty, s"$d has no stats")
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi < lo, s"$d files overlap on k: $ranges")
+        case _ => ()
+      }
+    }
+    // the answer is unchanged and a (partition, range) filter prunes to
+    // few files through the existing stats machinery
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 300L)
+    val planned = plannedFiles(s"SELECT k FROM $tbl WHERE lang = 'en' AND k < 30")
+    assert(planned.forall(_.contains("/lang=en/")), planned)
+    assert(planned.size < byDir("lang=en/").size || byDir("lang=en/").size == 1,
+      s"range filter should prune within the clustered directory: $planned")
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en' AND k < 30 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === (0L until 30L).filter(_ % 3 == 1))
+  }
+
+  test("write.distribution=none (fanout) keeps a hot partition's upstream parallelism") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('write.distribution' = 'none')")
+    // 90%-one-value skew across 4 input tasks: the default clustered
+    // distribution would serialize lang=en through ONE task (AQE cannot
+    // split one partition VALUE); fanout mode writes it from every task
+    // that holds its rows — k files in one directory, compacted later
+    val rows = (0L until 200L).map(k => (k, if (k % 10 == 0) "de" else "en"))
+    rows.toDF("k", "lang").repartition(4).writeTo(tbl).append()
+    val hot = new java.io.File(dir, "lang=en")
+    val hotFiles = hot.listFiles().count(f => f.isFile && !f.getName.startsWith("."))
+    assert(hotFiles > 1,
+      s"fanout write must split the hot partition across tasks, got $hotFiles file(s)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE lang = 'en'").head().getLong(0) === 180L)
+    // and OPTIMIZE compacts the fanout back to one LIVE file per
+    // directory (retired originals stay on disk for time travel)
+    assert(GraftCatalog.optimize(dir).isDefined)
+    val liveHot = JsonDocVersions.latest(dir).get._2.filter(_.startsWith("lang=en/"))
+    assert(liveHot.size === 1, s"expected one live compacted file, got $liveHot")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) === 200L)
   }
 
   test("streaming WRITE into a partitioned table: epoch files route per directory, exactly-once across restart") {
