@@ -152,6 +152,15 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
+    // a LEGACY (manifest-less) directory gets its first manifest minted
+    // from the visible listing before the delta applies — the DV update
+    // below must name currently-live files, and "no manifest" means the
+    // live set is the listing (the batch path's bootstrap rule, r14)
+    if (JsonDocVersions.latest(path).isEmpty) {
+      val live0 = JsonDocSource.listDataFiles(path)
+        .map(f => JsonDocSource.relName(path, f)).toSet
+      if (live0.nonEmpty) JsonDocVersions.commit(path, live0)
+    }
     val ms = messages.filter(_ != null).map(_.asInstanceOf[JsonDocDeltaCommitMessage])
     val merged: Map[String, Set[Long]] = ms.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (rel, xs) => rel -> xs.flatMap(_._2).toSet }

@@ -170,6 +170,25 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(2L -> 1L, 3L -> 2L, 5L -> 1L))
   }
 
+  test("MOR DML on a legacy manifest-less directory bootstraps the first manifest from the listing") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_legacy").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // hand-staged data, NO manifest (a foreign writer's directory)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/t", "legacy.jsonl"),
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+        .map { case (k, v) => s"""{"k":$k,"v":$v,"src":"base"}""" }.mkString("\n"))
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2")
+    assert(rowsOf(tbl) === Seq((1L, 10.0, "base"), (3L, 30.0, "base")))
+    val (v, live) = JsonDocVersions.latest(s"$root/t").get
+    assert(live === Set("legacy.jsonl"),
+      s"the bootstrap manifest must name the legacy file, got v$v = $live")
+    assert(JsonDocVersions.dvsFor(s"$root/t", None).keySet === Set("legacy.jsonl"))
+  }
+
   test("a MOR DELETE under a checkpointed streaming consumer aborts loudly") {
     import org.apache.spark.sql.types._
     val (tbl, path) = freshMorTable()
