@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * states are asserted identical: clustering changes the WRITE SET,
   * never the answer.
   *
+  * r14 adds a PARTITIONED leg: the view identity-partitioned on a
+  * 4-value shard column, then `cluster()`'s partition-local path (the
+  * ordered-distribution rewrite) range-clusters user_id WITHIN each
+  * directory — a localized delta then rewrites at most one range file
+  * per partition (≈4 of nFiles) instead of every file, extending the
+  * q188 write-set bound to partitioned MVs.
+  *
   * Usage: runMain graft.MvClusterProbe [nUsers] [nFiles] [deltaKeys] [epochs] */
 object MvClusterProbe {
   def main(args: Array[String]): Unit = {
@@ -76,11 +83,41 @@ object MvClusterProbe {
       spark.table(tblU).exceptAll(spark.table(tblC)).isEmpty,
       "clustered and uniform folds diverged")
 
+    // PARTITIONED leg (r14): 4 identity shards, partition-local range
+    // clustering on user_id; the same localized delta spans all shards
+    // (shard = user_id % 4 interleaves) but hits ≤ one range file each
+    val nShards = 4
+    val rootP = java.nio.file.Files.createTempDirectory("graft_mvprobe_part").toString
+    val tblP = s"graftcat.`$rootP/mv`"
+    spark.sql(s"CREATE TABLE $tblP (user_id BIGINT, shard BIGINT, n_events BIGINT) " +
+      s"USING `graft-jsondoc` PARTITIONED BY (shard)")
+    all.select($"user_id", ($"user_id" % nShards).as("shard"), $"n_events")
+      .writeTo(tblP).append()
+    sources.GraftCatalog.cluster(spark, tblP, "user_id", nFiles, path = s"$rootP/mv")
+    val partitioned = (0 until epochs).map { e =>
+      spark.range(e.toLong * deltaKeys, (e + 1).toLong * deltaKeys)
+        .select($"id".as("user_id"), ($"id" % nShards).as("shard"), lit(1L).as("n_events"))
+        .createOrReplaceTempView("probe_delta_p")
+      val before = liveSet(s"$rootP/mv")
+      val t0 = System.nanoTime()
+      spark.sql(s"MERGE INTO $tblP t USING probe_delta_p d ON t.user_id = d.user_id " +
+        "WHEN MATCHED THEN UPDATE SET n_events = t.n_events + d.n_events " +
+        "WHEN NOT MATCHED THEN INSERT (user_id, shard, n_events) " +
+        "VALUES (d.user_id, d.shard, d.n_events)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((before -- liveSet(s"$rootP/mv")).size, before.size, sec)
+    }
+    // the partitioned fold matches the flat ones on the shared columns
+    assert(spark.table(tblP).select($"user_id", $"n_events")
+      .exceptAll(spark.table(tblC)).isEmpty,
+      "partitioned fold diverged from the clustered one")
+
     def fmt(rs: Seq[(Int, Int, Double)]) = rs.map { case (n, tot, s) =>
       s"""{"rewritten":$n,"of":$tot,"sec":${math.round(s * 100) / 100.0}}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"mv_cluster","users":$nUsers,"files":$nFiles,""" +
-      s""""delta_keys":$deltaKeys,"clustered":${fmt(clustered)},"uniform":${fmt(uniform)}}""")
+      s""""delta_keys":$deltaKeys,"clustered":${fmt(clustered)},"uniform":${fmt(uniform)},""" +
+      s""""partitioned":${fmt(partitioned)}}""")
     spark.stop()
   }
 }

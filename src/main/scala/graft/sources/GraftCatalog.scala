@@ -251,10 +251,10 @@ class GraftCatalog extends TableCatalog
     * sidecar update (old files read NULL for the new column, exactly
     * parquet-mergeSchema's contract) and DROP COLUMN likewise (the
     * column simply stops being projected; bytes in old files are inert,
-    * the same lazy deletion every lakehouse format uses). Only
-    * top-level adds/drops of supported types are accepted; anything
-    * else — renames, type changes, nested paths — is refused loudly
-    * rather than half-done. */
+    * the same lazy deletion every lakehouse format uses). r13 added
+    * safe type widening (int → bigint), r14 RENAME via name mapping;
+    * nested paths, narrowing, and partition-column changes stay refused
+    * loudly rather than half-done. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!GraftCatalog.schemaFile(dir).isFile)
@@ -264,6 +264,7 @@ class GraftCatalog extends TableCatalog
           "for reads but cannot be altered)")
     var (schema, dropped) = GraftCatalog.readSchemaAndDropped(dir).get
     var props = GraftCatalog.tablePropsOf(dir.getPath)
+    var renames = GraftCatalog.renamesOf(dir.getPath)
     val partSpec = GraftCatalog.partitionSpecOf(dir.getPath)
     val partCols = partSpec.map(_.field.name)
     def requireNotPartition(name: String, what: String): Unit =
@@ -334,10 +335,37 @@ class GraftCatalog extends TableCatalog
         props += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         props -= rm.property()
+      case ren: TableChange.RenameColumn =>
+        // RENAME via NAME MAPPING (r14 — the r13 "refused loudly" gap,
+        // Iceberg's name-mapping model: a JSON line carries NAMES, not
+        // field ids, so the sidecar records each column's former names
+        // and the reader falls back through them, newest first). Old
+        // files are never rewritten; the OLD name joins the tombstones
+        // so re-ADDing it can't resurface pre-rename values under a new
+        // meaning; stats entries keyed by the old name simply stop
+        // pruning (conservative, never wrong).
+        require(ren.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames().head
+        val to = ren.newName()
+        requireNotPartition(from, "rename")
+        val idx = schema.fieldNames.indexOf(from)
+        require(idx >= 0, s"graft catalog: no such column to rename: $from")
+        require(!schema.fieldNames.contains(to),
+          s"graft catalog: column $to already exists")
+        require(!dropped.contains(to),
+          s"graft catalog: column $to was previously dropped; its bytes are " +
+            "inert in old files and renaming onto the name would silently " +
+            "resurface pre-drop values — use a new name")
+        schema = StructType(schema.fields.updated(idx, schema.fields(idx).copy(name = to)))
+        renames += (to -> (from +: renames.getOrElse(from, Seq.empty)))
+        renames -= from
+        dropped += from
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
-    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partSpec, props = props)
+    GraftCatalog.writeSchema(dir, schema, dropped, partitions = partSpec,
+      props = props, renames = renames)
     new JsonDocTable(schema, dir.getPath)
   }
 
@@ -743,6 +771,21 @@ object GraftCatalog {
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
 
+  /** The table's RENAME name-mapping: current column name -> former
+    * names, newest first (empty for tables never renamed). Readers fall
+    * back through these when a JSON line lacks the current name, so old
+    * files read correctly with zero rewrite. */
+  private[sources] def renamesOf(path: String): Map[String, Seq[String]] = {
+    val f = schemaFile(new java.io.File(path))
+    if (!f.isFile) return Map.empty
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f.toPath))
+    Option(root.get("renames")).map { r =>
+      r.fields().asScala.map(e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq).toMap
+    }.getOrElse(Map.empty)
+  }
+
   /** The table's persisted TBLPROPERTIES (empty for bare-writer
     * directories and legacy sidecars). */
   private[sources] def tablePropsOf(path: String): Map[String, String] = {
@@ -766,7 +809,8 @@ object GraftCatalog {
   private[sources] def writeSchema(dir: java.io.File, schema: StructType,
       dropped: Set[String] = Set.empty,
       partitions: Seq[PartField] = Seq.empty,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      renames: Map[String, Seq[String]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.set[com.fasterxml.jackson.databind.JsonNode](
@@ -792,6 +836,14 @@ object GraftCatalog {
     if (props.nonEmpty) {
       val pobj = root.putObject("properties")
       props.toSeq.sortBy(_._1).foreach { case (k, v) => pobj.put(k, v) }
+    }
+    if (renames.nonEmpty) {
+      // current name -> its FORMER names, newest first (name mapping)
+      val robj = root.putObject("renames")
+      renames.toSeq.sortBy(_._1).foreach { case (k, olds) =>
+        val arr = robj.putArray(k)
+        olds.foreach(arr.add)
+      }
     }
     // tmp+rename (r13): a straight write to the final path could expose
     // a TRUNCATED schema to a concurrent reader mid-ALTER

@@ -1457,7 +1457,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocReaderFactory(readSchema0, filters ++ runtimeFilters, limit)
+    new JsonDocReaderFactory(readSchema0, filters ++ runtimeFilters, limit,
+      GraftCatalog.renamesOf(path))
 
   /** Source-reported size (`SupportsReportStatistics`): the bytes on
     * disk. Without this a DSv2 scan defaults to "unknown = huge" and a
@@ -1539,7 +1540,8 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocAggReaderFactory(aggSchema, filters, specs)
+    new JsonDocAggReaderFactory(aggSchema, filters, specs,
+      GraftCatalog.renamesOf(path))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     throw new IllegalStateException(
@@ -1552,10 +1554,11 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
 }
 
 private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
-    filters: Array[Filter], specs: Seq[JsonAggSpec]) extends PartitionReaderFactory {
+    filters: Array[Filter], specs: Seq[JsonAggSpec],
+    aliases: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
-    new JsonDocAggReader(p.file, aggSchema, filters, specs, p.dvPath)
+    new JsonDocAggReader(p.file, aggSchema, filters, specs, p.dvPath, aliases)
   }
 }
 
@@ -1566,7 +1569,8 @@ private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
   * an empty (or fully filtered) file contributes count 0 and null
   * min/max, which the final aggregate ignores. */
 private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
-    filters: Array[Filter], specs: Seq[JsonAggSpec], dvPath: String = "")
+    filters: Array[Filter], specs: Seq[JsonAggSpec], dvPath: String = "",
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // every column any spec touches, once, with its declared type
@@ -1577,7 +1581,8 @@ private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
       case JsonMaxCol(c, dt) => (c, dt)
     }.distinctBy(_._1).map { case (c, dt) => StructField(c, dt) })
 
-  private val rowReader = new JsonDocReader(file, readSchema, filters, dvPath = dvPath)
+  private val rowReader =
+    new JsonDocReader(file, readSchema, filters, dvPath = dvPath, aliases = aliases)
 
   private var done = false
   private var result: InternalRow = _
@@ -1952,7 +1957,8 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocReaderFactory(readSchema, filters)
+    new JsonDocReaderFactory(readSchema, filters,
+      aliases = GraftCatalog.renamesOf(path))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1973,10 +1979,11 @@ private[sources] case class JsonDocPartition(file: String, rel: String = "",
 }
 
 private[sources] class JsonDocReaderFactory(readSchema: StructType,
-    filters: Array[Filter], limit: Option[Int] = None) extends PartitionReaderFactory {
+    filters: Array[Filter], limit: Option[Int] = None,
+    aliases: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
-    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath)
+    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath, aliases)
   }
 }
 
@@ -1986,7 +1993,7 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
   * the filters — later lines are never parsed. */
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None, rel: String = "",
-    dvPath: String = "")
+    dvPath: String = "", aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // the `_file` value: the table-relative listing key (bare name on
@@ -2040,6 +2047,21 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
       a -> set
     }.toMap
 
+  /** Field lookup with RENAME name-mapping (r14): a line lacking the
+    * current name falls back through the column's former names, newest
+    * first — an explicit JSON null is a VALUE (no fallback), only a
+    * truly absent key maps. */
+  private def fieldNode(node: JsonNode, name: String): JsonNode = {
+    val v = node.get(name)
+    if (v != null) v
+    else aliases.get(name) match {
+      case Some(olds) => olds.iterator.map(node.get).collectFirst {
+        case n if n != null => n
+      }.orNull
+      case None => null
+    }
+  }
+
   private def fieldValue(node: JsonNode, name: String): Any = {
     // the `_file`/`_pos` metadata columns never live in the JSON — they
     // are the reader's own provenance
@@ -2047,7 +2069,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
       return fileKey
     if (name == JsonDocSource.PosMetaCol)
       return pos
-    val v = node.get(name)
+    val v = fieldNode(node, name)
     if (v == null || v.isNull) null
     else readSchema.find(_.name == name).map(_.dataType) match {
       case Some(LongType) => v.asLong()
@@ -2063,12 +2085,15 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   private def rawValue(node: JsonNode, name: String): Any = {
     // keep row-level evaluation of `_file` consistent with the
     // name-based planning skip (a group filter that passed planning
-    // must pass per-row too); `_pos` evaluates to the current position
+    // must pass per-row too); `_pos` evaluates to the current position.
+    // Rename-aware (r14): a pushed filter on a renamed column must
+    // evaluate against old files' old name, or it would silently drop
+    // every pre-rename row.
     if (name == JsonDocSource.FileMetaCol)
       return fileKey
     if (name == JsonDocSource.PosMetaCol)
       return pos
-    val v = node.get(name)
+    val v = fieldNode(node, name)
     if (v == null || v.isNull) null
     else if (v.isIntegralNumber) v.asLong()
     else if (v.isNumber) v.asDouble()

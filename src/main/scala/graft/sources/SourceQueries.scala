@@ -441,6 +441,39 @@ object SourceQueries {
       "WHERE o_orderkey IN (1, 7, 32, 4000, 29987) OR o_orderkey % 1000 = 0 " +
       "ORDER BY o_orderkey"
 
+  /** q192: COLUMN RENAME via name mapping (r14 — ALTER refused renames
+    * through r13): `ALTER TABLE ... RENAME COLUMN qty TO quantity`
+    * updates the schema sidecar's rename map and rewrites zero data —
+    * JSON lines carry NAMES, so the reader falls back through each
+    * column's former names (Iceberg's name-mapping model for files
+    * without field ids). Generation 1 is written under the old name,
+    * generation 2 under the new one; the filter on the renamed column
+    * must evaluate against BOTH (a mapping miss would silently drop
+    * every pre-rename row — RowLevelOpsSpec pins that shape and the
+    * old-name tombstone). */
+  def q192RenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q192")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, qty BIGINT) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("qty"))
+      .writeTo(tbl).append() // generation 1: old name
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN qty TO quantity")
+    orders(spark, dir).filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+        (col("o_custkey") + 7L).as("quantity"))
+      .writeTo(tbl).append() // generation 2: new name
+    spark.sql(s"SELECT o_orderkey, quantity FROM $tbl WHERE quantity > 100 " +
+      "ORDER BY o_orderkey")
+  }
+
+  val q192Sql: String =
+    "SELECT o_orderkey, o_custkey AS quantity FROM orders WHERE o_custkey > 100 " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 40000000, o_custkey + 7 FROM orders " +
+      "WHERE o_orderkey % 10 = 5 AND o_custkey + 7 > 100 ORDER BY o_orderkey"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -486,7 +519,8 @@ object SourceQueries {
     "q186_partitioned_table" -> q186PartitionedTable _,
     "q187_partitions_inventory" -> q187PartitionsInventory _,
     "q190_days_partition" -> q190DaysPartition _,
-    "q191_bucket_partition" -> q191BucketPartition _)
+    "q191_bucket_partition" -> q191BucketPartition _,
+    "q192_rename_column" -> q192RenameColumn _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -514,5 +548,7 @@ object SourceQueries {
     // a time-range scan over the day-transformed layout
     "q190_days_partition" -> q190Sql,
     // point/IN lookups + a modulus sweep over the hash-bucketed layout
-    "q191_bucket_partition" -> q191Sql)
+    "q191_bucket_partition" -> q191Sql,
+    // both generations through one renamed schema, filter mapping incl.
+    "q192_rename_column" -> q192Sql)
 }

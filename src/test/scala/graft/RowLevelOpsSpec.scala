@@ -434,10 +434,48 @@ class RowLevelOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (k BIGINT)"))
     assert(msgs(e2).exists(m => m.contains("already exists") || m.contains("ALREADY_EXISTS")),
       s"wrong error: $e2")
-    val e3 = intercept[Exception](
-      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO kk"))
-    assert(msgs(e3).exists(m => m.contains("unsupported ALTER") || m.contains("RenameColumn")),
-      s"wrong error: $e3")
+    // RENAME is supported since r14 (name mapping) — its own test below
+  }
+
+  test("ALTER TABLE RENAME COLUMN: name mapping reads old files in place; filters map too") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_rlrename").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, qty BIGINT) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "qty").coalesce(1).writeTo(tbl).append()
+    def dataFilesNow(): Map[String, Long] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFilesNow()
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN qty TO quantity")
+    assert(dataFilesNow() === before, "RENAME must not rewrite data files")
+    // post-rename appends write the NEW name; both generations read
+    Seq((3L, 30L)).toDF("k", "quantity").coalesce(1).writeTo(tbl).append()
+    assert(spark.sql(s"SELECT k, quantity FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a pushed filter on the renamed column evaluates against old
+    // files' old name (the silent-row-drop shape the mapping closes)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE quantity >= 20 ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // chained rename keeps the whole alias trail
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN quantity TO qty2")
+    assert(spark.sql(s"SELECT sum(qty2) FROM $tbl").head().getLong(0) === 60L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the OLD name is tombstoned: re-adding it would resurface every
+    // pre-rename value under a new meaning
+    val eRe = intercept[Exception](spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (qty BIGINT)"))
+    assert(msgs(eRe).exists(_.contains("previously dropped")), s"wrong error: $eRe")
+    // renaming ONTO a dropped name is refused for the same reason
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (extra BIGINT)")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN extra")
+    val eOnto = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN qty2 TO extra"))
+    assert(msgs(eOnto).exists(_.contains("previously dropped")), s"wrong error: $eOnto")
   }
 
   test("a key-clustered view bounds MERGE rewrite amplification; a uniform layout rewrites everything") {
