@@ -73,14 +73,17 @@ class GraftCatalog extends TableCatalog
       case "optimize" => GraftProcedures.OptimizeProcedure
       case "expire_snapshots" => GraftProcedures.ExpireSnapshotsProcedure
       case "cluster" => new GraftProcedures.ClusterProcedure(catalogName)
+      case "set_partition_spec" => GraftProcedures.SetPartitionSpecProcedure
       case other => throw new UnsupportedOperationException(
-        s"graft catalog has no procedure '$other' (available: vacuum, optimize, expire_snapshots, cluster)")
+        s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
+          "expire_snapshots, cluster, set_partition_spec)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"),
-      Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"))
+      Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"),
+      Identifier.of(Array.empty, "set_partition_spec"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -187,23 +190,10 @@ class GraftCatalog extends TableCatalog
         s"graft catalog: partition transform needs one top-level column, got $t")
       refs.head.fieldNames().head
     }
-    def fieldOf(c: String): StructField =
-      schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"graft catalog: partition column $c is not in the schema"))
     val partSpecs: Seq[GraftCatalog.PartField] = partitions.toSeq.map { t =>
       t.name() match {
-        case "identity" =>
-          val f = fieldOf(colOf(t))
-          require(f.dataType != org.apache.spark.sql.types.DoubleType,
-            s"graft catalog: partitioning on a floating-point column is refused (${f.name}: double) — " +
-              "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
-          GraftCatalog.PartField(f)
-        case "days" =>
-          val f = fieldOf(colOf(t))
-          require(f.dataType == StringType || f.dataType == LongType,
-            s"graft catalog: days() partitions an ISO-8601 STRING or epoch-millis BIGINT " +
-              s"column, got ${f.name}: ${f.dataType.simpleString}")
-          GraftCatalog.PartField(f, "days")
+        case "identity" => GraftCatalog.validatedPartField(schema, colOf(t), "identity", 0)
+        case "days" => GraftCatalog.validatedPartField(schema, colOf(t), "days", 0)
         case "bucket" =>
           // BucketTransform: arguments = [Literal(n), column]
           val n = t.arguments().collectFirst {
@@ -214,13 +204,7 @@ class GraftCatalog extends TableCatalog
               }
           }.getOrElse(throw new IllegalArgumentException(
             s"graft catalog: bucket() needs a literal bucket count: $t"))
-          require(n >= 1, s"graft catalog: bucket() needs at least one bucket, got $n")
-          val f = fieldOf(colOf(t))
-          require(f.dataType == LongType || f.dataType == IntegerType ||
-            f.dataType == StringType,
-            s"graft catalog: bucket() partitions a bigint/int/string column, " +
-              s"got ${f.name}: ${f.dataType.simpleString}")
-          GraftCatalog.PartField(f, "bucket", n)
+          GraftCatalog.validatedPartField(schema, colOf(t), "bucket", n)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform '$other' " +
             "(supported: identity, days, bucket)")
@@ -770,6 +754,70 @@ object GraftCatalog {
 
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")
+
+  /** Validate one partition-spec entry against the schema (shared by
+    * CREATE TABLE's Transform parsing and `CALL set_partition_spec`'s
+    * string parsing, so the rules can never drift). */
+  private[sources] def validatedPartField(schema: StructType, col: String,
+      transform: String, n: Int): PartField = {
+    val f = schema.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: partition column $col is not in the schema"))
+    transform match {
+      case "identity" =>
+        require(f.dataType != org.apache.spark.sql.types.DoubleType,
+          s"graft catalog: partitioning on a floating-point column is refused ($col: double) — " +
+            "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
+        PartField(f)
+      case "days" =>
+        require(f.dataType == StringType || f.dataType == LongType,
+          s"graft catalog: days() partitions an ISO-8601 STRING or epoch-millis BIGINT " +
+            s"column, got $col: ${f.dataType.simpleString}")
+        PartField(f, "days")
+      case "bucket" =>
+        require(n >= 1, s"graft catalog: bucket() needs at least one bucket, got $n")
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType,
+          s"graft catalog: bucket() partitions a bigint/int/string column, " +
+            s"got $col: ${f.dataType.simpleString}")
+        PartField(f, "bucket", n)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform '$other' " +
+          "(supported: identity, days, bucket)")
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION (r14 — "frozen at CREATE" through r13):
+    * replace the table's partition spec for FUTURE writes. Iceberg's
+    * evolution model at file grain: existing files keep their layout
+    * untouched (directory components are evaluated per file against
+    * whatever spec entries match by name, so mixed-layout reads are
+    * already correct — an old flat or differently-partitioned file
+    * simply isn't directory-pruned), new writes route and cluster by
+    * the new spec, and row-level rewrites migrate whatever they touch.
+    * `specString` is comma-separated `col` | `days(col)` |
+    * `bucket(n, col)`; empty = unpartition future writes. */
+  def setPartitionSpec(path: String, specString: String): Unit = {
+    val dir = new java.io.File(path)
+    val (schema, dropped) = readSchemaAndDropped(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: set_partition_spec needs a catalog-created table (no schema sidecar in $path)"))
+    val entry = raw"\s*(?:(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)|(\w+))\s*".r
+    val specs: Seq[PartField] = specString.split(',').toSeq
+      .filter(_.trim.nonEmpty).map {
+        case entry(fn, n, col, bare) =>
+          if (bare != null) validatedPartField(schema, bare, "identity", 0)
+          else validatedPartField(schema, col, fn,
+            Option(n).map(_.toInt).getOrElse(0))
+        case other => throw new IllegalArgumentException(
+          s"graft catalog: cannot parse partition-spec entry '$other' " +
+            "(expected col, days(col), or bucket(n, col))")
+      }
+    require(specs.map(_.dirName).distinct.length == specs.length,
+      s"graft catalog: duplicate partition columns in '$specString'")
+    writeSchema(dir, schema, dropped, partitions = specs,
+      props = tablePropsOf(path), renames = renamesOf(path))
+  }
 
   /** The table's RENAME name-mapping: current column name -> former
     * names, newest first (empty for tables never renamed). Readers fall

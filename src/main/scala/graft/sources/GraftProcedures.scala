@@ -98,6 +98,32 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object SetPartitionSpecProcedure extends UnboundProcedure {
+    override def name(): String = "set_partition_spec"
+    override def description(): String =
+      "evolve the partition spec for FUTURE writes ('col, days(ts), bucket(8, k)'; '' unpartitions); existing files keep their layout"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "set_partition_spec"
+      override def description(): String = SetPartitionSpecProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("spec", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        GraftCatalog.setPartitionSpec(path, input.getUTF8String(1).toString)
+        val schema = new StructType().add("partition", StringType, nullable = false)
+        val rows = GraftCatalog.partitionSpecOf(path).map(p =>
+          InternalRow(UTF8String.fromString(p.transform match {
+            case "identity" => p.field.name
+            case "days" => s"days(${p.field.name})"
+            case "bucket" => s"bucket(${p.buckets}, ${p.field.name})"
+          })))
+        Iterator(scanOf(schema, rows)).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

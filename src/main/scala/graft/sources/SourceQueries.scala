@@ -474,6 +474,39 @@ object SourceQueries {
       "SELECT o_orderkey + 40000000, o_custkey + 7 FROM orders " +
       "WHERE o_orderkey % 10 = 5 AND o_custkey + 7 > 100 ORDER BY o_orderkey"
 
+  /** q193: PARTITION-SPEC EVOLUTION (r14 — specs were frozen at CREATE
+    * through r13): the table starts UNPARTITIONED (generation 1 lands
+    * flat), `CALL set_partition_spec` switches future writes to
+    * `days(o_odate)` (generation 2 lands in day directories), and one
+    * time-range query reads BOTH layouts — gen-2 day directories prune
+    * by name, the gen-1 flat file is conservatively kept and
+    * row-filtered (Iceberg's evolution semantics at file grain: old
+    * files keep their layout, rewrites migrate what they touch). The
+    * oracle is layout-blind, so hash-green proves the mixed-layout read
+    * is lossless and duplicate-free. */
+  def q193SpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q193")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_odate STRING, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc`")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("o_odate"),
+        col("o_totalprice"))
+    base.filter(pmod(col("o_orderkey"), lit(2)) === 0).writeTo(tbl).append() // flat
+    spark.sql(s"CALL graftcat.set_partition_spec('$root/t', 'days(o_odate)')")
+    base.filter(pmod(col("o_orderkey"), lit(2)) === 1).writeTo(tbl).append() // day dirs
+    spark.sql(s"SELECT o_orderkey, o_odate, o_totalprice FROM $tbl " +
+      "WHERE o_odate >= '1995-01-01' AND o_odate < '1995-04-01' ORDER BY o_orderkey")
+  }
+
+  val q193Sql: String =
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS o_odate, " +
+      "o_totalprice FROM orders " +
+      "WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') >= '1995-01-01' " +
+      "AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') < '1995-04-01' ORDER BY o_orderkey"
+
   /** q184: the `#files` LIVE-FILE INVENTORY metadata table (Iceberg's
     * `t.files` idiom) queried through plain SQL. Three single-file
     * appends split by `o_orderkey % 3` give three live files with
@@ -520,7 +553,8 @@ object SourceQueries {
     "q187_partitions_inventory" -> q187PartitionsInventory _,
     "q190_days_partition" -> q190DaysPartition _,
     "q191_bucket_partition" -> q191BucketPartition _,
-    "q192_rename_column" -> q192RenameColumn _)
+    "q192_rename_column" -> q192RenameColumn _,
+    "q193_spec_evolution" -> q193SpecEvolution _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -550,5 +584,7 @@ object SourceQueries {
     // point/IN lookups + a modulus sweep over the hash-bucketed layout
     "q191_bucket_partition" -> q191Sql,
     // both generations through one renamed schema, filter mapping incl.
-    "q192_rename_column" -> q192Sql)
+    "q192_rename_column" -> q192Sql,
+    // a flat generation + a days-partitioned one through one range scan
+    "q193_spec_evolution" -> q193Sql)
 }

@@ -676,6 +676,38 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CALL set_partition_spec evolves future writes; mixed layouts read and prune correctly") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING) USING `graft-jsondoc`")
+    Seq((1L, "en"), (2L, "de")).toDF("k", "lang").coalesce(1).writeTo(tbl).append() // flat
+    val spec = spark.sql(s"CALL graftcat.set_partition_spec('$dir', 'lang')")
+      .collect().map(_.getString(0)).toSeq
+    assert(spec === Seq("lang"))
+    Seq((3L, "en"), (4L, "fr")).toDF("k", "lang").coalesce(1).writeTo(tbl).append() // lang=...
+    // both generations read through one schema
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // pruning: the new layout's non-matching dirs drop; the old flat
+    // file has no components and is conservatively kept (Iceberg's
+    // evolution semantics at file grain)
+    val planned = plannedFiles(s"SELECT k FROM $tbl WHERE lang = 'en'")
+    assert(planned.exists(_.contains("/lang=en/")) && !planned.exists(_.contains("/lang=fr/")),
+      planned)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // evolve AGAIN — to days() on a fresh column? not in schema: refused
+    val eBad = intercept[Exception](
+      spark.sql(s"CALL graftcat.set_partition_spec('$dir', 'days(nope)')"))
+    assert(msgs(eBad).exists(_.contains("not in the schema")), eBad.getMessage)
+    // ... and to EMPTY (unpartition future writes)
+    spark.sql(s"CALL graftcat.set_partition_spec('$dir', '')")
+    Seq((5L, "en")).toDF("k", "lang").coalesce(1).writeTo(tbl).append() // flat again
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE lang = 'en'").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === (1L to 5L))
+  }
+
   test("transform tables refuse unsupported shapes loudly") {
     val (_, tbl) = freshTable()
     // days over a double — not a time type this source can day-map
