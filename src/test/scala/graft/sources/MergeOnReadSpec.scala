@@ -189,6 +189,49 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JsonDocVersions.dvsFor(s"$root/t", None).keySet === Set("legacy.jsonl"))
   }
 
+  test("MOR on a PARTITIONED table: inserts route per directory; an update moves its row across partitions") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_part").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, lang STRING, v DOUBLE) " +
+      "USING `graft-jsondoc` PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    import spark.implicits._
+    Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "de", 30.0))
+      .toDF("k", "lang", "v").coalesce(1).writeTo(tbl).append()
+    val before = dataFileState(root + "/t")
+    // UPDATE that changes the PARTITION VALUE: as delete+insert, the row
+    // must physically MOVE directories (a DV in lang=en, a new file in
+    // lang=fr) — the case representUpdateAsDeleteAndInsert exists for
+    Seq((2L, "upd-move"), (9L, "ins")).toDF("k", "op").createOrReplaceTempView("morp_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING morp_changes c ON t.k = c.k
+         |WHEN MATCHED AND c.op = 'upd-move' THEN UPDATE SET lang = 'fr', v = t.v + 1.0
+         |WHEN NOT MATCHED THEN INSERT (k, lang, v) VALUES (c.k, 'de', 99.0)""".stripMargin)
+    assert(spark.sql(s"SELECT k, lang, v FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1L, "en", 10.0), (2L, "fr", 21.0), (3L, "de", 30.0), (9L, "de", 99.0)))
+    // pre-merge data files bitwise untouched; the moved/inserted rows
+    // landed as NEW files in their target directories + a DV on lang=en
+    val after = dataFileState(root + "/t")
+    before.foreach { case (n, st) =>
+      assert(after.get(n).contains(st), s"data file $n was modified by a partitioned MOR merge")
+    }
+    val dvs = JsonDocVersions.dvsFor(root + "/t", None)
+    assert(dvs.keySet.forall(_.startsWith("lang=en/")), s"the delete vector targets lang=en, got $dvs")
+    val live = JsonDocVersions.latest(root + "/t").get._2
+    assert(live.exists(_.startsWith("lang=fr/")), s"the moved row needs a lang=fr file, got $live")
+    // partition pruning still agrees with the fold: lang=en has ONE
+    // surviving row, read without touching fr/de directories
+    val planned = spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en'")
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.map(_.asInstanceOf[JsonDocPartition].file)
+    assert(planned.forall(_.contains("/lang=en/")), planned.toSeq)
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE lang = 'en'").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("a MOR DELETE under a checkpointed streaming consumer aborts loudly") {
     import org.apache.spark.sql.types._
     val (tbl, path) = freshMorTable()
