@@ -38,7 +38,10 @@ object Bench {
           .mkString("{", ",", "}")
       else "{}"
     val total = results.map(_._2).sum
-    val sf = if (lean) sfDir.split('/').last else sfDir
+    // the minimal gear sheds sf entirely (the full-name line above
+    // carries it, and the driver knows which SF it launched)
+    val sf = if (minimal) "" else if (lean) sfDir.split('/').last else sfDir
+    val sfField = if (minimal) "" else s""""sf":"$sf","""
     val mid = if (lean) "" else "\"unit\":\"sec\","
     // "total" appears both in contract position ("value") and LAST, so a
     // tail-truncated line still ends with the headline number. The
@@ -48,7 +51,7 @@ object Bench {
     // driver's drift baselining actually needs.
     val suffix =
       if (minimal) "" else s""","n_queries":${results.size},"total":${fmt(total, decimals)}"""
-    s"""{"metric":"total","value":${fmt(total, decimals)},$mid"sf":"$sf","queries":$qs$suffix}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},$mid$sfField"queries":$qs$suffix}"""
   }
 
   /** Full-name line — for humans reading per-query timings. */
@@ -87,7 +90,10 @@ object Bench {
         // ~20 chars, ~140 with the drift repeats): shed n_queries and
         // the trailing total duplicate before surrendering the map
         jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, minimal = true))
-    gears.find(_.length <= 1700).getOrElse(
+    // 1740: the driver tail is ~2000 chars and sbt's trailing
+    // "[success] Total time: ..." line is ~90 — 170 chars of margin
+    // remain (was 300; the 195-row board needed the slack back)
+    gears.find(_.length <= 1740).getOrElse(
       jsonLine(results, sfDir, shortKey, decimals = 1, includeQueries = false))
   }
 

@@ -999,17 +999,37 @@ object StreamingBoard {
     q.awaitTermination()
   }
 
-  private[graft] def q183Impl(spark: SparkSession, dir: String, root: String): DataFrame = {
+  private[graft] def q183Impl(spark: SparkSession, dir: String, root: String,
+      tblProps: String = ""): DataFrame = {
     spark.conf.set("spark.sql.catalog.graftcat",
       classOf[graft.sources.GraftCatalog].getName)
     val tbl = s"graftcat.`$root/mv`"
     spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
-      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`")
+      s"first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc`$tblProps")
     val schema = q183Stage(spark, dir, root)
     q183Drain(spark, root, tbl, schema)
     spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
       s"FROM $tbl ORDER BY user_id")
   }
+
+  /** q194: the q183 incremental MV maintained MERGE-ON-READ (r14) — the
+    * view declares `write.rowlevel.mode = merge-on-read`, so each
+    * epoch's MERGE plans WriteDelta: matched keys land as delete
+    * vectors + fresh rows, unmatched as inserts, and NO existing view
+    * file is ever rewritten. This removes copy-on-write amplification
+    * from the per-epoch cost entirely (q188's clustering bounds it;
+    * MOR eliminates it — the read-side fold is repaid by periodic
+    * OPTIMIZE, whose purge-on-compact the q189/rebase machinery
+    * covers). Exactly-once is unchanged: the (appId, epoch) transaction
+    * rides the SAME manifest claim the delta commit makes, so the
+    * q183 replay/crash guarantees carry over verbatim — and the oracle
+    * is q183's one-shot batch GROUP BY, so hash-green means the
+    * DV-folded maintained view equals the recomputation bit for bit.
+    * StreamingBoardSpec pins the zero-rewrite claim (seed files bitwise
+    * untouched across epochs 1–2). */
+  def q194MorMv(spark: SparkSession, dir: String): DataFrame =
+    q183Impl(spark, dir, graft.RunTag.scratchFresh("q194"),
+      " TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
 
   /** q188: the q183 incremental MV with a KEY-CLUSTERING maintenance
     * pass in the MIDDLE of its life (r13 — the MvClusterProbe claim as
@@ -1057,7 +1077,8 @@ object StreamingBoard {
     "q178_session_histogram" -> q178SessionHistogram _,
     "q179_pattern_stream" -> q179PatternStream _,
     "q183_incremental_mv" -> q183IncrementalMv _,
-    "q188_clustered_mv" -> q188ClusteredMv _)
+    "q188_clustered_mv" -> q188ClusteredMv _,
+    "q194_mor_mv" -> q194MorMv _)
 
   val oracle: Map[String, String] = Map(
     "q146_quota_cap_stream" -> q146Sql,
@@ -1077,6 +1098,8 @@ object StreamingBoard {
     "q179_pattern_stream" -> q179Sql,
     // the MV invariant: maintained view == one-shot recomputation
     "q183_incremental_mv" -> q183Sql,
+    // the MOR-maintained view equals the same one-shot recomputation
+    "q194_mor_mv" -> q183Sql,
     // mid-life clustering is answer-preserving: q183's oracle verbatim
     "q188_clustered_mv" -> q183Sql)
 }

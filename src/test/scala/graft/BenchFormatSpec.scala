@@ -12,10 +12,11 @@ import org.json4s.jackson.JsonMethods
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  /** Tail budget: 2000-char driver capture minus generous headroom for
-    * whatever sbt prints after our line ("[success] Total time: ..." is
-    * ~85 chars; allow 300 for safety). */
-  private val TailBudget = 1700
+  /** Tail budget: 2000-char driver capture minus headroom for whatever
+    * sbt prints after our line ("[success] Total time: ..." is ~85
+    * chars; allow 260 — the r14 195-row board needed some of the
+    * original 300-char slack back). */
+  private val TailBudget = 1740
 
   private def fakeTimes(names: Iterable[String]): Seq[(String, Double)] =
     names.toSeq.map(n => n -> 123.456) // worst-ish per-entry width

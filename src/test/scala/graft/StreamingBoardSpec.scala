@@ -711,6 +711,58 @@ class StreamingBoardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("q194 MOR-maintained MV: epochs never rewrite existing view files; fold equals recomputation") {
+    val root = java.nio.file.Files.createTempDirectory("graft_q194spec").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT, " +
+      "first_us BIGINT, last_us BIGINT, max_value DOUBLE) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // epoch 0 seeds the view
+    val schema = StreamingBoard.q183Stage(spark, sf, root, upTo = 1)
+    StreamingBoard.q183Drain(spark, root, tbl, schema)
+    def fileStates(): Map[String, (Long, Long)] =
+      new java.io.File(s"$root/mv").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    val seed = fileStates()
+    assert(seed.nonEmpty)
+    // epochs 1-2: every MERGE matches most keys — under copy-on-write
+    // this rewrites the matched files (q188's measured shape); under
+    // merge-on-read NO pre-existing view file may change
+    StreamingBoard.q183Stage(spark, sf, root, upTo = 3)
+    StreamingBoard.q183Drain(spark, root, tbl, schema)
+    val after = fileStates()
+    seed.foreach { case (n, st) =>
+      assert(after.get(n).contains(st),
+        s"MOR maintenance rewrote existing view file $n")
+    }
+    assert(graft.sources.JsonDocVersions.dvsFor(s"$root/mv", None).nonEmpty,
+      "the matched keys' old images must be delete-vectored")
+    // the folded state equals the one-shot recomputation (the board row
+    // proves this against DuckDB; here against Spark's own batch agg)
+    val got = spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
+      s"FROM $tbl ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val want = Tables.events(spark, sf).groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), min(unix_micros(col("ts").cast("timestamp"))).as("f"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("l"), max(col("value")).as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got === want, "MOR-maintained MV diverges from recomputation")
+    // exactly-once bookkeeping rode the delta commits
+    assert(graft.sources.JsonDocVersions.lastTxn(s"$root/mv", StreamingBoard.q183AppId)
+      .exists(_ >= 2L))
+    // OPTIMIZE repays the read-side debt: DVs purge, answer unchanged
+    assert(graft.sources.GraftCatalog.optimize(s"$root/mv").isDefined)
+    assert(graft.sources.JsonDocVersions.dvsFor(s"$root/mv", None).isEmpty)
+    val got2 = spark.sql(s"SELECT user_id, n_events, first_us, last_us, max_value " +
+      s"FROM $tbl ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got2 === want, "purge-on-compact changed the MV answer")
+  }
+
   test("q183 replayed epoch is skipped: double-applying a batch id leaves the MV unchanged") {
     val root = java.nio.file.Files.createTempDirectory("graft_q183replay").toString
     spark.conf.set("spark.sql.catalog.graftcat",
