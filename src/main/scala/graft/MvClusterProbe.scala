@@ -112,12 +112,32 @@ object MvClusterProbe {
       .exceptAll(spark.table(tblC)).isEmpty,
       "partitioned fold diverged from the clustered one")
 
+    // MERGE-ON-READ leg (r14): the uniform worst-case layout that
+    // rewrites 100% under copy-on-write rewrites NOTHING under MOR —
+    // matched keys land as delete vectors, the per-epoch write cost is
+    // O(delta) regardless of layout
+    val rootM = java.nio.file.Files.createTempDirectory("graft_mvprobe_mor").toString
+    val tblM = s"graftcat.`$rootM/mv`"
+    spark.sql(s"CREATE TABLE $tblM (user_id BIGINT, n_events BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    (0 until nFiles).foreach(r =>
+      all.filter($"user_id" % nFiles === r).coalesce(1).writeTo(tblM).append())
+    val mor = (0 until epochs).map { e =>
+      val before = liveSet(s"$rootM/mv")
+      val sec = mergeEpoch(tblM, e)
+      ((before -- liveSet(s"$rootM/mv")).size, before.size, sec)
+    }
+    assert(mor.forall(_._1 == 0), s"MOR epochs must rewrite zero files, got $mor")
+    assert(spark.table(tblM).exceptAll(spark.table(tblC)).isEmpty &&
+      spark.table(tblC).exceptAll(spark.table(tblM)).isEmpty,
+      "MOR fold diverged from the clustered one")
+
     def fmt(rs: Seq[(Int, Int, Double)]) = rs.map { case (n, tot, s) =>
       s"""{"rewritten":$n,"of":$tot,"sec":${math.round(s * 100) / 100.0}}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"mv_cluster","users":$nUsers,"files":$nFiles,""" +
       s""""delta_keys":$deltaKeys,"clustered":${fmt(clustered)},"uniform":${fmt(uniform)},""" +
-      s""""partitioned":${fmt(partitioned)}}""")
+      s""""partitioned":${fmt(partitioned)},"mor":${fmt(mor)}}""")
     spark.stop()
   }
 }
