@@ -117,13 +117,17 @@ private[sources] object JsonDocFilesTable {
     StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true),
+    // merge-on-read observability (r14): positions delete-vectored out
+    // of this file under the scanned snapshot — Σ(n_deleted)/Σ(n_rows)
+    // is the "time to OPTIMIZE" signal a MOR table is steered by
+    StructField("n_deleted", LongType, nullable = false),
     StructField("bounds", org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType,
       org.apache.spark.sql.types.StringType), nullable = true)))
 }
 
 private[sources] case class JsonDocFilesPartition(
-  rows: Seq[(String, Long, Option[Long], Option[Map[String, String]])])
+  rows: Seq[(String, Long, Option[Long], Long, Option[Map[String, String]])])
   extends InputPartition
 
 private[sources] class JsonDocFilesScan(path: String,
@@ -145,7 +149,8 @@ private[sources] class JsonDocFilesScan(path: String,
       // rows = -1 (parseFile's missing-field sentinel) reads NULL, the
       // documented conservatism — never a negative "exact" count
       (rel, f.length(),
-        entry.map(_.rows).filter(_ >= 0).map(_ - dvCounts.getOrElse(rel, 0L)), bounds)
+        entry.map(_.rows).filter(_ >= 0).map(_ - dvCounts.getOrElse(rel, 0L)),
+        dvCounts.getOrElse(rel, 0L), bounds)
     }
     Array(JsonDocFilesPartition(rows))
   }
@@ -156,7 +161,7 @@ private[sources] class JsonDocFilesScan(path: String,
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (name, bytes, nr, bounds) = it.next()
+        val (name, bytes, nr, nDel, bounds) = it.next()
         val mapData = bounds.map { m =>
           val ks = m.keys.toArray.sorted
           org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -165,7 +170,7 @@ private[sources] class JsonDocFilesScan(path: String,
         }.orNull
         cur = InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(name),
-          bytes, nr.map(Long.box).orNull, mapData)
+          bytes, nr.map(Long.box).orNull, nDel, mapData)
         true
       }
       override def get(): InternalRow = cur

@@ -115,6 +115,10 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist === Seq(3L, 5L, 3L), s"history must be per-version DV-exact, got $hist")
     val parts = spark.sql(s"SELECT sum(n_rows) FROM graftcat.`$path#partitions`").collect()(0).getLong(0)
     assert(parts === 3L)
+    // #files exposes per-file deleted counts — the compact-me signal
+    val del = spark.sql(s"SELECT sum(n_deleted) FROM graftcat.`$path#files`")
+      .collect()(0).getLong(0)
+    assert(del === 2L, s"two rows were MOR-deleted, #files reports $del")
   }
 
   test("time travel reads each version's own deletion state; vacuum reclaims superseded DVs") {
