@@ -74,16 +74,19 @@ class GraftCatalog extends TableCatalog
       case "expire_snapshots" => GraftProcedures.ExpireSnapshotsProcedure
       case "cluster" => new GraftProcedures.ClusterProcedure(catalogName)
       case "set_partition_spec" => GraftProcedures.SetPartitionSpecProcedure
+      case "create_tag" => GraftProcedures.CreateTagProcedure
+      case "drop_tag" => GraftProcedures.DropTagProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
-          "expire_snapshots, cluster, set_partition_spec)")
+          "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"),
       Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"),
-      Identifier.of(Array.empty, "set_partition_spec"))
+      Identifier.of(Array.empty, "set_partition_spec"),
+      Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -118,6 +121,8 @@ class GraftCatalog extends TableCatalog
     // `path#partitions` (t.partitions): the live partition inventory
     metaDirOf(ident, "#partitions").foreach(d =>
       return new JsonDocPartitionsTable(d.getPath))
+    // `path#refs` (t.refs): the named-ref (tag) listing (r14)
+    metaDirOf(ident, "#refs").foreach(d => return new JsonDocRefsTable(d.getPath))
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)
@@ -127,13 +132,15 @@ class GraftCatalog extends TableCatalog
 
   /** `VERSION AS OF n` — a READ-ONLY table pinned to manifest n
     * (snapshot versioning, [[JsonDocVersions]]); a vacuumed or unknown
-    * version fails loudly at scan planning, never silently partial. */
+    * version fails loudly at scan planning, never silently partial.
+    * A NON-integer version is a TAG name (r14, [[JsonDocRefs]]):
+    * resolved to its version here, then read through the identical
+    * pinned path — tags inherit every pinned-read guarantee. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v0 = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"graft catalog: VERSION AS OF takes an integer snapshot version, got '$version'"))
     // `path#files VERSION AS OF v` — the inventory of snapshot v
     // (retired files keep their sidecar entries so this stays exact)
     metaDirOf(ident, "#files").foreach { d =>
+      val v0 = JsonDocRefs.resolve(d.getPath, version)
       if (JsonDocVersions.read(d.getPath, v0).isEmpty)
         throw new IllegalArgumentException(
           s"graft catalog: snapshot v$v0 of ${d.getPath} does not exist (vacuumed?)")
@@ -141,7 +148,7 @@ class GraftCatalog extends TableCatalog
     }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
-    val v = v0
+    val v = JsonDocRefs.resolve(dir.getPath, version)
     val schema = GraftCatalog.readSchema(dir)
       .getOrElse(JsonDocSource.infer(dir.getPath))
     new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))
@@ -449,9 +456,16 @@ object GraftCatalog {
 
   /** Shared reclaim: delete every data file no kept manifest references,
     * then the dropped manifests, then prune the reclaimed files' stats
-    * entries. Returns the deleted data-file names. */
+    * entries. Returns the deleted data-file names. TAGGED versions are
+    * never reclaimed (r14, [[JsonDocRefs]]): a tag is a retention
+    * statement, so it moves its version from `drop` to `keep` here — in
+    * the ONE shared path, so count-based vacuum and time-based expiry
+    * cannot drift on it. Dropping the tag releases the snapshot. */
   private def reclaim(path: String,
-      drop: Seq[Int], keep: Seq[Int]): Seq[String] = {
+      drop0: Seq[Int], keep0: Seq[Int]): Seq[String] = {
+    val tagged = JsonDocRefs.tags(path).values.toSet
+    val drop = drop0.filterNot(tagged)
+    val keep = keep0 ++ drop0.filter(tagged)
     val referenced: Set[String] =
       keep.flatMap(v => JsonDocVersions.read(path, v).getOrElse(Set.empty)).toSet
     val deletable = JsonDocSource.walkDataFiles(path)
@@ -493,7 +507,11 @@ object GraftCatalog {
     * straight stream copy — no parse, no Spark job, no row ever
     * re-encoded (the rewrite cannot corrupt what it cannot interpret).
     * Files already at or above half the target, and singleton bins,
-    * keep their original file untouched. The commit is the usual
+    * keep their original file untouched — UNLESS they carry a delete
+    * vector: a DV'd file is rewritten whatever its size (Delta's
+    * `REORG ... APPLY (PURGE)` / Iceberg's delete-file-threshold), or
+    * merge-on-read's read-side debt would never be repaid on tables
+    * whose files are already well-sized. The commit is the usual
     * manifest rename: readers mid-query keep their snapshot, the prior
     * version stays time-travelable, vacuum reclaims the small originals.
     * Stats entries for a merged output are the field-wise union of the
@@ -541,19 +559,24 @@ object GraftCatalog {
         }
         if (cur.nonEmpty) bins += cur
       }
-    if (!bins.exists(_.length > 1)) return None
-    val v = JsonDocVersions.manifests(path).lastOption.getOrElse(0) + 1
-    val stats = JsonDocStats.load(path)
     // merge-on-read PURGE (r14): an input with a delete vector is
     // copied line-filtered — its dead positions dropped — so the
     // compacted output is clean and carries no DV (compaction is where
-    // MOR's read-side debt is repaid). Positions are loaded once here;
-    // the commit passes this map as its dv conflict basis, so a DV
-    // repointed mid-compaction aborts rather than resurrecting deletes.
+    // MOR's read-side debt is repaid). A DV'd file needs the rewrite
+    // even as a singleton bin (well-sized files are otherwise left
+    // untouched, and their DVs would persist forever). Positions are
+    // loaded once here; the commit passes this map as its dv conflict
+    // basis, so a DV repointed mid-compaction aborts rather than
+    // resurrecting deletes.
     val dvs = JsonDocVersions.dvsFor(path, None)
     val dvPos: Map[String, Array[Long]] = dvs.map { case (rel, dv) =>
       rel -> JsonDocDeleteVectors.read(path, dv).toArray.sorted
     }
+    def needsRewrite(bin: Vector[(String, java.io.File)]): Boolean =
+      bin.length > 1 || bin.exists { case (n, _) => dvPos.contains(n) }
+    if (!bins.exists(needsRewrite)) return None
+    val v = JsonDocVersions.manifests(path).lastOption.getOrElse(0) + 1
+    val stats = JsonDocStats.load(path)
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):
     // the bins are independent byte concatenations, and compaction of a
@@ -567,7 +590,7 @@ object GraftCatalog {
     // in-bin name order, same separator. Serial fallback when no
     // SparkSession is active (bare library use).
     val multi: Seq[(Int, Vector[String])] = bins.zipWithIndex.collect {
-      case (bin, i) if bin.length > 1 => (i, bin.map(_._1))
+      case (bin, i) if needsRewrite(bin) => (i, bin.map(_._1))
     }.toSeq
     val tmpOf: Map[Int, String] =
       org.apache.spark.sql.SparkSession.getActiveSession match {
@@ -600,7 +623,7 @@ object GraftCatalog {
       }
     val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val newLive = bins.zipWithIndex.flatMap {
-      case (bin, _) if bin.length == 1 => bin.map(_._1)
+      case (bin, _) if !needsRewrite(bin) => bin.map(_._1)
       case (bin, i) =>
         val prefix = bin.head._1.substring(0, bin.head._1.lastIndexOf('/') + 1)
         val name = f"${prefix}compact-v$v%06d-$i%04d.jsonl"
@@ -631,7 +654,7 @@ object GraftCatalog {
     // delta commit: retire exactly the multi-file bins' inputs, add the
     // compacted outputs — a concurrent append's files survive, and a
     // concurrent rewrite of an input aborts loudly (r13)
-    val removedIn = bins.filter(_.length > 1).flatMap(_.map(_._1)).toSet
+    val removedIn = bins.filter(needsRewrite).flatMap(_.map(_._1)).toSet
     val addedOut = newLive -- live.toSet
     // REWRITE provenance (r14, verdict item 5): each output's exact
     // input set + whether DVs were applied — what lets a checkpointed
@@ -639,7 +662,7 @@ object GraftCatalog {
     // aborting (fully-consumed pure-concat outputs are skippable)
     val rewriteRecords: Map[String, JsonDocVersions.Rewrite] =
       bins.zipWithIndex.collect {
-        case (bin, i) if bin.length > 1 =>
+        case (bin, i) if needsRewrite(bin) =>
           val prefix = bin.head._1.substring(0, bin.head._1.lastIndexOf('/') + 1)
           val name = f"${prefix}compact-v$v%06d-$i%04d.jsonl"
           name -> JsonDocVersions.Rewrite(bin.map(_._1).toSet,

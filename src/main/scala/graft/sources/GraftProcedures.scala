@@ -124,6 +124,55 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object CreateTagProcedure extends UnboundProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "name snapshot `version` as tag `name` (VERSION AS OF 'name'); tagged snapshots never expire/vacuum; -1 = current version"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_tag"
+      override def description(): String = CreateTagProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val tag = input.getUTF8String(1).toString
+        val v = input.getLong(2) match {
+          case -1L => JsonDocVersions.manifests(path).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-jsondoc: cannot tag $path — no committed snapshot yet"))
+          case n => n.toInt
+        }
+        JsonDocRefs.createTag(path, tag, v)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
+  object DropTagProcedure extends UnboundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "drop tag `name`, releasing its snapshot to normal retention policy"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_tag"
+      override def description(): String = DropTagProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val tag = input.getUTF8String(1).toString
+        JsonDocRefs.dropTag(path, tag)
+        val schema = new StructType().add("dropped", StringType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(UTF8String.fromString(tag))))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

@@ -259,3 +259,58 @@ private[sources] class JsonDocPartitionsScan(path: String) extends Scan with Bat
 
   override def description(): String = s"graft-jsondoc partitions path=$path"
 }
+
+/** The `path#refs` metadata table (r14) — Iceberg's `t.refs` idiom:
+  * one row per named ref —
+  *
+  *   `(name STRING, type STRING, version BIGINT)`
+  *
+  * `type` is always `'tag'` today (branches — writable refs — are not
+  * implemented); the column exists so the schema is already right when
+  * they are. Driver-computed at planning like the other metadata
+  * tables: a ref listing is tag-count-sized. */
+private[sources] class JsonDocRefsTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsondoc($path#refs)"
+  override def schema(): StructType = JsonDocRefsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new JsonDocRefsScan(path)
+}
+
+private[sources] object JsonDocRefsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("type", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+}
+
+private[sources] case class JsonDocRefsPartition(
+  rows: Seq[(String, Long)]) extends InputPartition
+
+private[sources] class JsonDocRefsScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = JsonDocRefsTable.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonDocRefsPartition(
+      JsonDocRefs.tags(path).toSeq.sortBy(_._1).map { case (n, v) => (n, v.toLong) }))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it = partition.asInstanceOf[JsonDocRefsPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (n, v) = it.next()
+        cur = InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString("tag"), v)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+
+  override def description(): String = s"graft-jsondoc refs path=$path"
+}

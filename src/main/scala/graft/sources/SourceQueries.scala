@@ -538,6 +538,44 @@ object SourceQueries {
     "SELECT count(*) AS n_rows, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k " +
       "FROM orders GROUP BY o_orderkey % 3 ORDER BY min_k"
 
+  /** q195: NAMED TAGS over snapshots (r14, [[JsonDocRefs]]) — the flow
+    * tags the pre-delete snapshot (`CALL create_tag(.., 'audit', 1)`),
+    * lets the table move on (DELETE v2, UPDATE v3), then EXPIRES all
+    * untagged history and reads `VERSION AS OF 'audit'`. Hash-green
+    * means three things at once: the tag resolved through the same
+    * pinned path as a numeric version (q176's guarantee, by name), the
+    * retention pin held (expire_snapshots dropped v2 but NOT the tagged
+    * v1 — without the pin this read would throw), and the audit surface
+    * (`#refs`) agrees with what was read. The oracle is the plain base
+    * projection — the q176 precedent, now reached through a name that
+    * survives retention policy. */
+  def q195Tags(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q195")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"CALL graftcat.create_tag('$root/t', 'audit', 1)")
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // v2
+    spark.sql(s"UPDATE $tbl SET src = 'upd' WHERE o_orderkey % 10 = 3") // v3
+    // expire ALL history: v2 (untagged) goes; v1 survives on the tag
+    spark.sql(s"CALL graftcat.expire_snapshots('$root/t', " +
+      s"${System.currentTimeMillis() + 600000L})")
+    val refs = spark.sql(s"SELECT version FROM graftcat.`$root/t#refs` " +
+      "WHERE name = 'audit'").collect()
+    require(refs.length == 1 && refs(0).getLong(0) == 1L,
+      "q195: the #refs inventory must report the audit tag at v1")
+    spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'audit' ORDER BY o_orderkey")
+  }
+
+  val q195Sql: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
+      "FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q184_files_inventory" -> q184FilesInventory _,
@@ -554,7 +592,8 @@ object SourceQueries {
     "q190_days_partition" -> q190DaysPartition _,
     "q191_bucket_partition" -> q191BucketPartition _,
     "q192_rename_column" -> q192RenameColumn _,
-    "q193_spec_evolution" -> q193SpecEvolution _)
+    "q193_spec_evolution" -> q193SpecEvolution _,
+    "q195_tags" -> q195Tags _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -586,5 +625,8 @@ object SourceQueries {
     // both generations through one renamed schema, filter mapping incl.
     "q192_rename_column" -> q192Sql,
     // a flat generation + a days-partitioned one through one range scan
-    "q193_spec_evolution" -> q193Sql)
+    "q193_spec_evolution" -> q193Sql,
+    // the tagged pre-delete snapshot, read BY NAME after untagged
+    // history expired — the retention pin is what makes this readable
+    "q195_tags" -> q195Sql)
 }

@@ -166,6 +166,30 @@ class MergeOnReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files === 3L)
   }
 
+  test("OPTIMIZE rewrites a WELL-SIZED file to purge its DV; clean files stay untouched") {
+    val (tbl, path) = freshMorTable()
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1") // DV on file 1 only
+    val cleanBefore = JsonDocVersions.latest(path).get._2
+      .filter(n => JsonDocVersions.dvsFor(path, None).get(n).isEmpty)
+    // targetBytes=1: every file is a singleton "big enough already" bin,
+    // so without the DV-purge rule nothing would compact at all
+    val v = GraftCatalog.optimize(path, targetBytes = 1L)
+    assert(v.isDefined, "a singleton bin carrying a delete vector must be rewritten")
+    assert(JsonDocVersions.dvsFor(path, None).isEmpty,
+      "the purge-rewrite must drop the delete vector")
+    val liveAfter = JsonDocVersions.latest(path).get._2
+    assert(cleanBefore.subsetOf(liveAfter), "clean well-sized files must stay untouched")
+    // provenance: the purge is recorded as a single-input purged rewrite,
+    // so a checkpointed consumer's rebase sees exactly what happened
+    val rw = JsonDocVersions.readRewrites(path, v.get)
+    assert(rw.size === 1 && rw.values.head.purged && rw.values.head.from.size === 1)
+    assert(rowsOf(tbl) === Seq((2L, 20.0, "base"), (3L, 30.0, "base"),
+      (4L, 40.0, "base"), (5L, 50.0, "base")))
+    // exact-row accounting survived the purge
+    val files = spark.sql(s"SELECT sum(n_rows) FROM graftcat.`$path#files`").collect()(0).getLong(0)
+    assert(files === 4L)
+  }
+
   test("the _pos metadata column is absolute and stable under filters") {
     val (tbl, _) = freshMorTable()
     val got = spark.sql(s"SELECT k, _pos FROM $tbl WHERE k IN (2, 3, 5)").collect()
