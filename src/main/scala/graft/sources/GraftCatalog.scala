@@ -76,9 +76,10 @@ class GraftCatalog extends TableCatalog
       case "set_partition_spec" => GraftProcedures.SetPartitionSpecProcedure
       case "create_tag" => GraftProcedures.CreateTagProcedure
       case "drop_tag" => GraftProcedures.DropTagProcedure
+      case "rollback" => GraftProcedures.RollbackProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
-          "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag)")
+          "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, rollback)")
     }
   }
 
@@ -86,7 +87,8 @@ class GraftCatalog extends TableCatalog
     Array(Identifier.of(Array.empty, "vacuum"), Identifier.of(Array.empty, "optimize"),
       Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"),
       Identifier.of(Array.empty, "set_partition_spec"),
-      Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"))
+      Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"),
+      Identifier.of(Array.empty, "rollback"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -452,6 +454,34 @@ object GraftCatalog {
     val (drop, keepOld) = history.partition(v =>
       JsonDocVersions.mtime(path, v).exists(_ < olderThanMillis))
     reclaim(path, drop.toSeq, (keepOld ++ current).toSeq)
+  }
+
+  /** ROLLBACK to snapshot `v` (r14 — Iceberg's
+    * `rollback_to_snapshot` / Delta RESTORE idiom): commits a NEW
+    * manifest whose live set and delete-vector map equal v's, verbatim.
+    * Metadata-only — no data file is copied, moved, or rewritten; the
+    * rolled-back-over versions stay in history (time-travelable,
+    * auditable) until retention reclaims them, and the rollback itself
+    * is one more auditable commit, not an erasure. Requires v's
+    * manifest to still exist (a vacuumed basis fails loudly — rollback
+    * restores state that is still provably on disk, it cannot resurrect
+    * reclaimed bytes); every restored file is double-checked present.
+    * A checkpointed streaming consumer over the table sees the live-set
+    * shrink and aborts loudly (validateAppendOnly), never silently
+    * re-delivers. Returns the new version. */
+  def rollback(path: String, v: Int): Int = {
+    val live = JsonDocVersions.read(path, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-jsondoc: cannot roll back $path to v$v — no such committed " +
+          "version (expired, vacuumed, or never existed)"))
+    val missing = live.filterNot(n => new java.io.File(path, n).isFile)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-jsondoc: rollback of $path to v$v would reference missing data " +
+          s"files (${missing.take(3).mkString(", ")}) — the directory was " +
+          "corrupted or manually cleaned")
+    JsonDocVersions.commit(path, live,
+      dvsOverride = Some(JsonDocVersions.readDvs(path, v)))
   }
 
   /** Shared reclaim: delete every data file no kept manifest references,

@@ -124,6 +124,26 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object RollbackProcedure extends UnboundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "restore the live table to snapshot `version` as a NEW commit (metadata-only; history preserved)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String = RollbackProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.rollback(
+          input.getUTF8String(0).toString, input.getLong(1).toInt)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
   object CreateTagProcedure extends UnboundProcedure {
     override def name(): String = "create_tag"
     override def description(): String =

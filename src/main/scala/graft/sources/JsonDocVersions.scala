@@ -172,13 +172,21 @@ private[graft] object JsonDocVersions {
     * a stale base cannot be rebased here (the caller does not say what
     * it added or removed); retryable callers use [[commitDelta]], which
     * rebases and retries itself. */
+  /** `dvsOverride` (r14, rollback): the delete-vector map to commit
+    * VERBATIM (live-filtered) instead of carrying the latest version's
+    * forward — a rollback must restore the target version's deletion
+    * state exactly, not the current one filtered to old files. */
   def commit(path: String, newLive: Set[String],
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      dvsOverride: Option[Map[String, String]] = None): Int = {
     val prev = manifests(path).lastOption
     val v = prev.getOrElse(0) + 1
     val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty) ++ txn
-    val dvs = carryDvs(prev.map(readDvs(path, _)).getOrElse(Map.empty),
-      Map.empty, newLive)
+    val dvs = dvsOverride match {
+      case Some(o) => o.filter { case (f, _) => newLive.contains(f) }
+      case None => carryDvs(prev.map(readDvs(path, _)).getOrElse(Map.empty),
+        Map.empty, newLive)
+    }
     if (!store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns, dvs)))
       throw new java.util.ConcurrentModificationException(
         s"graft-jsondoc: manifest v$v of $path was committed concurrently — " +

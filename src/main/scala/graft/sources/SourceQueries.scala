@@ -576,6 +576,38 @@ object SourceQueries {
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
       "FROM orders ORDER BY o_orderkey"
 
+  /** q196: ROLLBACK — the recovery half of the versioning story
+    * ([[GraftCatalog.rollback]], Iceberg's rollback_to_snapshot / Delta
+    * RESTORE): after a bad DELETE (v2) and a bad UPDATE (v3), `CALL
+    * rollback(.., 1)` mints v4 whose live set and DV map equal v1's —
+    * metadata-only, history preserved — and the LIVE table (not a
+    * pinned read) answers the base projection again. q176 proves old
+    * versions stay readable; this proves the live table can be MADE one
+    * of them, which is what "undo the bad job" actually requires. The
+    * flow double-checks the botched state really differed first, so a
+    * no-op rollback cannot silently pass. */
+  def q196Rollback(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q196")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc`")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // v2: the bad job
+    spark.sql(s"UPDATE $tbl SET src = 'oops' WHERE o_orderkey % 10 = 3") // v3
+    val broken = spark.table(tbl).count()
+    require(broken < base.count(), "q196: the bad delete must have taken effect")
+    spark.sql(s"CALL graftcat.rollback('$root/t', 1)") // v4 = v1's state
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q196Sql: String =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
+      "FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q184_files_inventory" -> q184FilesInventory _,
@@ -593,7 +625,8 @@ object SourceQueries {
     "q191_bucket_partition" -> q191BucketPartition _,
     "q192_rename_column" -> q192RenameColumn _,
     "q193_spec_evolution" -> q193SpecEvolution _,
-    "q195_tags" -> q195Tags _)
+    "q195_tags" -> q195Tags _,
+    "q196_rollback" -> q196Rollback _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -628,5 +661,8 @@ object SourceQueries {
     "q193_spec_evolution" -> q193Sql,
     // the tagged pre-delete snapshot, read BY NAME after untagged
     // history expired — the retention pin is what makes this readable
-    "q195_tags" -> q195Sql)
+    "q195_tags" -> q195Sql,
+    // the LIVE table after rolling back over a delete+update — restore,
+    // not time travel (the read is unpinned)
+    "q196_rollback" -> q196Sql)
 }
