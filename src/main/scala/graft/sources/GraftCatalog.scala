@@ -468,7 +468,15 @@ object GraftCatalog {
     * reclaimed bytes); every restored file is double-checked present.
     * A checkpointed streaming consumer over the table sees the live-set
     * shrink and aborts loudly (validateAppendOnly), never silently
-    * re-delivers. Returns the new version. */
+    * re-delivers. The applied-transaction map carries FORWARD from the
+    * latest version (not v's): a crashed MV epoch replayed after a
+    * rollback must still SKIP (its ledger entry survives), because
+    * re-applying into the restored state could double-fold work the
+    * restored live set already contains. The operator's contract is
+    * therefore: rolling back an incrementally-maintained view undoes
+    * the folds since v and they STAY undone — rebuild from a fresh
+    * checkpoint to re-ingest, don't replay into a rollback. Returns
+    * the new version. */
   def rollback(path: String, v: Int): Int = {
     val live = JsonDocVersions.read(path, v).getOrElse(
       throw new IllegalArgumentException(
@@ -481,7 +489,7 @@ object GraftCatalog {
           s"files (${missing.take(3).mkString(", ")}) — the directory was " +
           "corrupted or manually cleaned")
     JsonDocVersions.commit(path, live,
-      dvsOverride = Some(JsonDocVersions.readDvs(path, v)))
+      dvsOverride = Some(JsonDocVersions.readDvs(path, v)), op = "rollback")
   }
 
   /** Shared reclaim: delete every data file no kept manifest references,
@@ -702,7 +710,7 @@ object GraftCatalog {
     // concurrent append rebased this commit upward — names are just
     // names; report what actually committed
     val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut,
-      dvBasis = Some(dvs), rewrites = rewriteRecords)
+      dvBasis = Some(dvs), rewrites = rewriteRecords, op = "optimize")
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(committed)
   }

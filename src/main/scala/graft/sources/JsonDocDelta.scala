@@ -100,7 +100,7 @@ private[sources] class JsonDocDeltaOperation(schema: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     new JsonDocScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new JsonDocDeltaWriteBuilder(path, info)
+    new JsonDocDeltaWriteBuilder(path, info, cmd)
   override def requiredMetadataAttributes(): Array[NamedReference] = Array(
     Expressions.column(JsonDocSource.FileMetaCol),
     Expressions.column(JsonDocSource.PosMetaCol))
@@ -110,8 +110,8 @@ private[sources] class JsonDocDeltaOperation(schema: StructType, path: String,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 }
 
-private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends DeltaWriteBuilder {
+private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWriteInfo,
+    cmd: RowLevelOperation.Command) extends DeltaWriteBuilder {
   {
     val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
     require(bad.isEmpty,
@@ -120,7 +120,7 @@ private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWrite
   }
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId())
+      new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId(), cmd)
   }
 }
 
@@ -144,7 +144,7 @@ private[sources] case class JsonDocDeltaCommitMessage(
   * are outside the source's single-writer SQL contract (the union is
   * read-modify-write) — the GraftTxn scaladoc's standing note. */
 private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
-    queryId: String) extends DeltaBatchWrite {
+    queryId: String, cmd: RowLevelOperation.Command) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new JsonDocDeltaWriterFactory(path, schema, queryId,
@@ -159,7 +159,7 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     if (JsonDocVersions.latest(path).isEmpty) {
       val live0 = JsonDocSource.listDataFiles(path)
         .map(f => JsonDocSource.relName(path, f)).toSet
-      if (live0.nonEmpty) JsonDocVersions.commit(path, live0)
+      if (live0.nonEmpty) JsonDocVersions.commit(path, live0, op = "bootstrap")
     }
     val ms = messages.filter(_ != null).map(_.asInstanceOf[JsonDocDeltaCommitMessage])
     val merged: Map[String, Set[Long]] = ms.flatMap(_.deletes.toSeq)
@@ -180,7 +180,8 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
           s"delta commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
     JsonDocVersions.commitDelta(path, Set.empty, ins.map(_.finalName).toSet,
-      GraftTxn.take(path), dvUpdates)
+      GraftTxn.take(path), dvUpdates,
+      op = s"merge-on-read ${cmd.toString.toLowerCase(java.util.Locale.ROOT)}")
     JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
   }

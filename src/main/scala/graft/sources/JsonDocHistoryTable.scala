@@ -34,12 +34,16 @@ private[sources] class JsonDocHistoryTable(path: String)
 private[sources] object JsonDocHistoryTable {
   val Schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
+    // the OPERATION that minted the snapshot (r14 — append / overwrite /
+    // rewrite / merge-on-read <cmd> / optimize / rollback /
+    // stream-append / bootstrap); NULL for pre-r14 manifests
+    StructField("op", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("n_files", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))
 }
 
 private[sources] case class JsonDocHistoryPartition(
-  rows: Seq[(Long, Long, Option[Long])]) extends InputPartition
+  rows: Seq[(Long, Option[String], Long, Option[Long])]) extends InputPartition
 
 private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch {
   override def readSchema(): StructType = JsonDocHistoryTable.Schema
@@ -60,7 +64,7 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
         Some(per.flatten.sum - dvDeleted)
         else if (files.isEmpty) Some(0L)
         else None
-      (v.toLong, files.size.toLong, nRows)
+      (v.toLong, JsonDocVersions.readOp(path, v), files.size.toLong, nRows)
     }
     Array(JsonDocHistoryPartition(rows))
   }
@@ -71,8 +75,10 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (v, nf, nr) = it.next()
-        cur = InternalRow(v, nf, nr.map(Long.box).orNull)
+        val (v, op, nf, nr) = it.next()
+        cur = InternalRow(v,
+          op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          nf, nr.map(Long.box).orNull)
         true
       }
       override def get(): InternalRow = cur

@@ -896,6 +896,11 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // committed → re-apply) or sees the epoch (committed → skip); there
     // is no state in which the fold landed but the ledger didn't.
     val txn = GraftTxn.take(path)
+    // operation provenance for #history (r14): overwrite (truncate),
+    // rewrite (a COW row-level op retires files), else plain append
+    val op = if (truncateFirst) "overwrite"
+      else if (replaceScope.isDefined) "rewrite"
+      else "append"
     JsonDocVersions.latest(path) match {
       case Some(_) =>
         // DELTA commit (r13): rebases over a concurrent append instead
@@ -904,7 +909,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         // conflict. The dv basis (r14) extends the same refusal to
         // delete vectors repointed since the rewrite scan folded them.
         JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn,
-          dvBasis = dvBasisScope.flatMap(_()))
+          dvBasis = dvBasisScope.flatMap(_()), op = op)
       case None =>
         // FIRST manifest of a legacy directory (advice r13): commitDelta
         // would start from an EMPTY base and mint a manifest excluding
@@ -913,7 +918,8 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         // visible listing (live0), mirroring the streaming commit's
         // None branch; the absolute commit's collision throw is the
         // right behavior for a racing first-manifest writer.
-        JsonDocVersions.commit(path, (live0 -- retired) ++ msgs.map(_.finalName).toSet, txn)
+        JsonDocVersions.commit(path, (live0 -- retired) ++ msgs.map(_.finalName).toSet,
+          txn, op = op)
     }
     // sidecar AFTER the manifest: entries accumulate across versions
     // (retired files keep theirs so time-travel reads still prune); a
@@ -1068,11 +1074,12 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
         // delta commit: a pure append, rebased over any concurrent
         // committer; the no-op guard inside keeps replays from minting
         // empty versions
-        JsonDocVersions.commitDelta(path, Set.empty, msgs.map(_.finalName).toSet)
+        JsonDocVersions.commitDelta(path, Set.empty, msgs.map(_.finalName).toSet,
+          op = "stream-append")
       case None =>
         val visible = JsonDocSource.listDataFiles(path)
           .map(f => JsonDocSource.relName(path, f)).toSet
-        JsonDocVersions.commit(path, visible)
+        JsonDocVersions.commit(path, visible, op = "bootstrap")
     }
     // entries are keyed by final name, so a replayed epoch overwrites its
     // own stats — the sidecar stays idempotent alongside the data

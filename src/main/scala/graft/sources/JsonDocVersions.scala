@@ -128,12 +128,20 @@ private[graft] object JsonDocVersions {
   def resolveAt(path: String, tsMillis: Long): Option[Int] =
     manifests(path).filter(v => mtime(path, v).exists(_ <= tsMillis)).lastOption
 
+  /** The OPERATION that minted version v (r14 — Delta's commitInfo
+    * idiom at one-word grain): "append", "overwrite", "rewrite" (COW
+    * DML), "merge-on-read <cmd>", "optimize", "rollback",
+    * "stream-append", "bootstrap". None for pre-r14 manifests. */
+  def readOp(path: String, v: Int): Option[String] =
+    readNode(path, v).flatMap(node => Option(node.get("op")).map(_.asText()))
+
   private def manifestJson(v: Int, newLive: Set[String],
       txns: Map[String, Long], dvs: Map[String, String],
-      rewrites: Map[String, Rewrite] = Map.empty): String = {
+      rewrites: Map[String, Rewrite] = Map.empty, op: String = ""): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
+    if (op.nonEmpty) root.put("op", op)
     val arr = root.putArray("files")
     newLive.toSeq.sorted.foreach(arr.add)
     if (txns.nonEmpty) {
@@ -178,7 +186,8 @@ private[graft] object JsonDocVersions {
     * state exactly, not the current one filtered to old files. */
   def commit(path: String, newLive: Set[String],
       txn: Option[(String, Long)] = None,
-      dvsOverride: Option[Map[String, String]] = None): Int = {
+      dvsOverride: Option[Map[String, String]] = None,
+      op: String = ""): Int = {
     val prev = manifests(path).lastOption
     val v = prev.getOrElse(0) + 1
     val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty) ++ txn
@@ -187,7 +196,8 @@ private[graft] object JsonDocVersions {
       case None => carryDvs(prev.map(readDvs(path, _)).getOrElse(Map.empty),
         Map.empty, newLive)
     }
-    if (!store.putIfAbsent(path, manifestName(v), manifestJson(v, newLive, txns, dvs)))
+    if (!store.putIfAbsent(path, manifestName(v),
+      manifestJson(v, newLive, txns, dvs, op = op)))
       throw new java.util.ConcurrentModificationException(
         s"graft-jsondoc: manifest v$v of $path was committed concurrently — " +
           "this absolute commit cannot rebase; re-read the table and retry")
@@ -215,7 +225,8 @@ private[graft] object JsonDocVersions {
       txn: Option[(String, Long)] = None,
       dvUpdates: Map[String, String] = Map.empty,
       dvBasis: Option[Map[String, String]] = None,
-      rewrites: Map[String, Rewrite] = Map.empty): Int = {
+      rewrites: Map[String, Rewrite] = Map.empty,
+      op: String = ""): Int = {
     var attempt = 0
     while (true) {
       val prev = manifests(path).lastOption
@@ -258,7 +269,7 @@ private[graft] object JsonDocVersions {
         txn.forall { case (a, e) => txns.get(a).contains(e) })
         return prev.getOrElse(0)
       if (store.putIfAbsent(path, manifestName(v),
-        manifestJson(v, newLive, txns ++ txn, dvs, rewrites)))
+        manifestJson(v, newLive, txns ++ txn, dvs, rewrites, op)))
         return v
       attempt += 1
       if (attempt > 100)

@@ -257,8 +257,9 @@ class JsonDocOffsetSpec extends AnyFunSuite {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
       while (reader.next()) {
         val r = reader.get()
-        out += ((r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        // ordinals follow the r14 schema: (version, op, n_files, n_rows)
+        out += ((r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
       }
       out.toSeq
     }

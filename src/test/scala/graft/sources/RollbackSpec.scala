@@ -68,6 +68,17 @@ class RollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(tbl) === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("#history records the operation that minted each snapshot") {
+    val (tbl, path) = freshTable(
+      " TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1") // v2
+    GraftCatalog.optimize(path) // v3 (DV purge-rewrite)
+    spark.sql(s"CALL graftcat.rollback('$path', 2)") // v4
+    val ops = spark.sql(s"SELECT op FROM graftcat.`$path#history` ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("append", "merge-on-read delete", "optimize", "rollback"))
+  }
+
   test("rollback to a missing/expired version refuses loudly") {
     val (_, path) = freshTable()
     val e = intercept[IllegalArgumentException] { GraftCatalog.rollback(path, 99) }
