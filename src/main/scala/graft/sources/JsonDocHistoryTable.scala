@@ -39,11 +39,15 @@ private[sources] object JsonDocHistoryTable {
     // stream-append / bootstrap); NULL for pre-r14 manifests
     StructField("op", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("n_files", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = true)))
+    StructField("n_rows", LongType, nullable = true),
+    // commit time, epoch millis (the TIMESTAMP AS OF resolution basis —
+    // surfacing it makes "read as of last Monday" auditable before the
+    // fact); NULL only for a manifest missing mid-scan
+    StructField("committed_ms", LongType, nullable = true)))
 }
 
 private[sources] case class JsonDocHistoryPartition(
-  rows: Seq[(Long, Option[String], Long, Option[Long])]) extends InputPartition
+  rows: Seq[(Long, Option[String], Long, Option[Long], Option[Long])]) extends InputPartition
 
 private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch {
   override def readSchema(): StructType = JsonDocHistoryTable.Schema
@@ -64,7 +68,8 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
         Some(per.flatten.sum - dvDeleted)
         else if (files.isEmpty) Some(0L)
         else None
-      (v.toLong, JsonDocVersions.readOp(path, v), files.size.toLong, nRows)
+      (v.toLong, JsonDocVersions.readOp(path, v), files.size.toLong, nRows,
+        JsonDocVersions.mtime(path, v))
     }
     Array(JsonDocHistoryPartition(rows))
   }
@@ -75,10 +80,10 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (v, op, nf, nr) = it.next()
+        val (v, op, nf, nr, ms) = it.next()
         cur = InternalRow(v,
           op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
-          nf, nr.map(Long.box).orNull)
+          nf, nr.map(Long.box).orNull, ms.map(Long.box).orNull)
         true
       }
       override def get(): InternalRow = cur

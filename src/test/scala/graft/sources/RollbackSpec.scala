@@ -77,6 +77,12 @@ class RollbackSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ops = spark.sql(s"SELECT op FROM graftcat.`$path#history` ORDER BY version")
       .collect().map(_.getString(0)).toSeq
     assert(ops === Seq("append", "merge-on-read delete", "optimize", "rollback"))
+    // commit times are present, sane, and non-decreasing along the chain
+    val times = spark.sql(
+      s"SELECT committed_ms FROM graftcat.`$path#history` ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(times.length === 4 && times === times.sorted)
+    assert(times.forall(t => t > 0L && t <= System.currentTimeMillis() + 1000L))
   }
 
   test("rollback to a missing/expired version refuses loudly") {
