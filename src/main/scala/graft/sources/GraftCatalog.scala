@@ -57,10 +57,12 @@ class GraftCatalog extends TableCatalog
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "days"), Identifier.of(Array.empty, "bucket"))
+    Array("years", "months", "days", "hours", "bucket")
+      .map(Identifier.of(Array.empty, _))
 
   override def functionExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && Set("days", "bucket").contains(ident.name())
+    ident.namespace().isEmpty &&
+      Set("years", "months", "days", "hours", "bucket").contains(ident.name())
 
   /** SQL maintenance: `CALL graftcat.vacuum(path, keep_last)` and
     * `CALL graftcat.optimize(path, target_bytes)` — see
@@ -202,7 +204,8 @@ class GraftCatalog extends TableCatalog
     val partSpecs: Seq[GraftCatalog.PartField] = partitions.toSeq.map { t =>
       t.name() match {
         case "identity" => GraftCatalog.validatedPartField(schema, colOf(t), "identity", 0)
-        case "days" => GraftCatalog.validatedPartField(schema, colOf(t), "days", 0)
+        case tn if GraftTransforms.TimePrefixLen.contains(tn) =>
+          GraftCatalog.validatedPartField(schema, colOf(t), tn, 0)
         case "bucket" =>
           // BucketTransform: arguments = [Literal(n), column]
           val n = t.arguments().collectFirst {
@@ -412,15 +415,19 @@ object GraftCatalog {
       transform: String = "identity", buckets: Int = 0) {
     def dirName: String = transform match {
       case "identity" => field.name
+      case "years" => s"${field.name}_year"
+      case "months" => s"${field.name}_month"
       case "days" => s"${field.name}_day"
+      case "hours" => s"${field.name}_hour"
       case "bucket" => s"${field.name}_bucket"
     }
     /** The directory-component's VALUE type (what `decPartValue` parses
-      * `dirName=<v>` with): day strings and bucket ints, else source. */
+      * `dirName=<v>` with): time-grain strings and bucket ints, else
+      * source. */
     def dirType: DataType = transform match {
       case "identity" => field.dataType
-      case "days" => StringType
       case "bucket" => IntegerType
+      case _ => StringType
     }
   }
   /** Reclaim disk from retired snapshots: keep the last `keepLast`
@@ -830,11 +837,11 @@ object GraftCatalog {
           s"graft catalog: partitioning on a floating-point column is refused ($col: double) — " +
             "directory equality on floats is a correctness trap; partition on long/int/string/boolean")
         PartField(f)
-      case "days" =>
+      case t if GraftTransforms.TimePrefixLen.contains(t) =>
         require(f.dataType == StringType || f.dataType == LongType,
-          s"graft catalog: days() partitions an ISO-8601 STRING or epoch-millis BIGINT " +
+          s"graft catalog: $t() partitions an ISO-8601 STRING or epoch-millis BIGINT " +
             s"column, got $col: ${f.dataType.simpleString}")
-        PartField(f, "days")
+        PartField(f, t)
       case "bucket" =>
         require(n >= 1, s"graft catalog: bucket() needs at least one bucket, got $n")
         require(f.dataType == LongType || f.dataType == IntegerType ||

@@ -116,8 +116,8 @@ private[sources] object GraftProcedures {
         val rows = GraftCatalog.partitionSpecOf(path).map(p =>
           InternalRow(UTF8String.fromString(p.transform match {
             case "identity" => p.field.name
-            case "days" => s"days(${p.field.name})"
             case "bucket" => s"bucket(${p.buckets}, ${p.field.name})"
+            case t => s"$t(${p.field.name})" // the time-grain family
           })))
         Iterator(scanOf(schema, rows)).asJava
       }

@@ -39,6 +39,34 @@ private[sources] object GraftTransforms {
     s.substring(0, 10)
   }
 
+  /** The ISO prefix length of each time grain — hours/months/years
+    * (r14) share days()'s machinery end to end because every grain is a
+    * PREFIX of the ISO-8601 rendering, and ISO prefixes preserve order
+    * (the monotonicity the range pruning rests on). "2024-01-15T07" /
+    * "2024-01" / "2024". */
+  private[sources] val TimePrefixLen: Map[String, Int] =
+    Map("years" -> 4, "months" -> 7, "days" -> 10, "hours" -> 13)
+
+  /** Epoch millis → the UTC ISO prefix of `transform`'s grain. */
+  def timeOfMillis(transform: String, ms: Long): String = transform match {
+    case "days" => dayOfMillis(ms)
+    case "hours" =>
+      val h = java.lang.Math.floorMod(java.lang.Math.floorDiv(ms, 3600000L), 24L)
+      f"${dayOfMillis(ms)}T$h%02d"
+    case "months" => dayOfMillis(ms).substring(0, 7)
+    case "years" => dayOfMillis(ms).substring(0, 4)
+  }
+
+  /** ISO-8601 string → the prefix of `transform`'s grain; too short to
+    * name the grain is refused loudly. */
+  def timeOfString(transform: String, s: String): String = {
+    val n = TimePrefixLen(transform)
+    require(s.length >= n,
+      s"graft-jsondoc: $transform() partition value '$s' is not an ISO-8601 " +
+        "date/timestamp of that grain")
+    s.substring(0, n)
+  }
+
   def bucketOf(v: Any, n: Int): Int = v match {
     case l: Long => java.lang.Math.floorMod(java.lang.Long.hashCode(l), n)
     case i: Int => java.lang.Math.floorMod(java.lang.Long.hashCode(i.toLong), n)
@@ -51,11 +79,11 @@ private[sources] object GraftTransforms {
     * spec (identity passes through; the encoder escapes it). */
   def dirValue(spec: GraftCatalog.PartField, raw: Any): Any = spec.transform match {
     case "identity" => raw
-    case "days" => raw match {
-      case l: Long => dayOfMillis(l)
-      case s: String => dayOfString(s)
+    case t if TimePrefixLen.contains(t) => raw match {
+      case l: Long => timeOfMillis(t, l)
+      case s: String => timeOfString(t, s)
       case other => throw new IllegalArgumentException(
-        s"graft-jsondoc: days() over ${other.getClass.getSimpleName} is not supported")
+        s"graft-jsondoc: $t() over ${other.getClass.getSimpleName} is not supported")
     }
     case "bucket" => bucketOf(raw, spec.buckets)
   }
@@ -66,47 +94,48 @@ private[sources] object GraftTransforms {
     * the writer's directory value — so the required distribution
     * co-locates precisely one output directory per task. */
   def loadFunction(name: String): UnboundFunction = name match {
-    case "days" => DaysUnbound
+    case t if TimePrefixLen.contains(t) => new TimeUnbound(t)
     case "bucket" => BucketUnbound
     case other => throw new NoSuchElementException(
-      s"graft catalog has no function '$other' (available: days, bucket)")
+      s"graft catalog has no function '$other' (available: years, months, days, hours, bucket)")
   }
 
-  private object DaysUnbound extends UnboundFunction {
-    override def name(): String = "days"
-    override def description(): String = "UTC day of an ISO-8601 string or epoch-millis long"
+  private class TimeUnbound(transform: String) extends UnboundFunction {
+    override def name(): String = transform
+    override def description(): String =
+      s"UTC $transform grain of an ISO-8601 string or epoch-millis long"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1,
-        s"days() takes one argument, got ${inputType.fields.length}")
+        s"$transform() takes one argument, got ${inputType.fields.length}")
       inputType.fields(0).dataType match {
-        case StringType => DaysOfStringFn
-        case LongType => DaysOfLongFn
+        case StringType => new TimeOfStringFn(transform)
+        case LongType => new TimeOfLongFn(transform)
         case other => throw new UnsupportedOperationException(
-          s"days() over ${other.simpleString} is not supported (string or bigint)")
+          s"$transform() over ${other.simpleString} is not supported (string or bigint)")
       }
     }
   }
 
-  private object DaysOfStringFn extends ScalarFunction[UTF8String] {
+  private class TimeOfStringFn(transform: String) extends ScalarFunction[UTF8String] {
     override def inputTypes(): Array[DataType] = Array(StringType)
     override def resultType(): DataType = StringType
-    override def name(): String = "days"
-    override def canonicalName(): String = "graft.days.string"
+    override def name(): String = transform
+    override def canonicalName(): String = s"graft.$transform.string"
     override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): UTF8String =
       if (input.isNullAt(0)) null
-      else UTF8String.fromString(dayOfString(input.getUTF8String(0).toString))
+      else UTF8String.fromString(timeOfString(transform, input.getUTF8String(0).toString))
   }
 
-  private object DaysOfLongFn extends ScalarFunction[UTF8String] {
+  private class TimeOfLongFn(transform: String) extends ScalarFunction[UTF8String] {
     override def inputTypes(): Array[DataType] = Array(LongType)
     override def resultType(): DataType = StringType
-    override def name(): String = "days"
-    override def canonicalName(): String = "graft.days.long"
+    override def name(): String = transform
+    override def canonicalName(): String = s"graft.$transform.long"
     override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): UTF8String =
       if (input.isNullAt(0)) null
-      else UTF8String.fromString(dayOfMillis(input.getLong(0)))
+      else UTF8String.fromString(timeOfMillis(transform, input.getLong(0)))
   }
 
   private object BucketUnbound extends UnboundFunction {

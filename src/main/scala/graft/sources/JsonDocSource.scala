@@ -131,6 +131,19 @@ private[sources] object JsonDocSource {
     case _ => false
   }
 
+  /** The DSv2 Transform a PartField declares/distributes as — ONE
+    * mapping shared by the table's partitioning() report and the write
+    * distribution so they cannot disagree (r14: full time-grain family). */
+  private[sources] def transformExprOf(p: GraftCatalog.PartField)
+      : org.apache.spark.sql.connector.expressions.Transform = p match {
+    case GraftCatalog.PartField(f, "years", _) => Expressions.years(f.name)
+    case GraftCatalog.PartField(f, "months", _) => Expressions.months(f.name)
+    case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
+    case GraftCatalog.PartField(f, "hours", _) => Expressions.hours(f.name)
+    case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
+    case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
+  }
+
   /** The ONE data-file listing every read path goes through: visible
     * files filtered by manifest liveness ([[JsonDocVersions.liveSet]]) —
     * retired generations stay on disk for time travel but never plan;
@@ -228,13 +241,16 @@ private[sources] object JsonDocSource {
       keep: JsonDocStats.FileStats => Boolean): String => Boolean =
     partitionPruned(GraftCatalog.partitionSpecOf(path), filters, keep)
 
-  /** The day of a filter constant (None = not day-comparable → keep).
-    * String constants shorter than a full ISO date cannot be truncated
-    * meaningfully; integral numbers are epoch millis. */
-  private def dayOfConst(v: Any): Option[String] = v match {
-    case s: String if s.length >= 10 => Some(s.substring(0, 10))
-    case l: java.lang.Long => Some(GraftTransforms.dayOfMillis(l))
-    case i: java.lang.Integer => Some(GraftTransforms.dayOfMillis(i.longValue()))
+  /** The time-grain prefix of a filter constant under `transform`
+    * (years/months/days/hours — r14; None = not grain-comparable →
+    * keep). String constants shorter than the grain's ISO prefix cannot
+    * be truncated meaningfully; integral numbers are epoch millis. */
+  private def timeOfConst(transform: String, v: Any): Option[String] = v match {
+    case s: String if s.length >= GraftTransforms.TimePrefixLen(transform) =>
+      Some(s.substring(0, GraftTransforms.TimePrefixLen(transform)))
+    case l: java.lang.Long => Some(GraftTransforms.timeOfMillis(transform, l))
+    case i: java.lang.Integer =>
+      Some(GraftTransforms.timeOfMillis(transform, i.longValue()))
     case _ => None
   }
 
@@ -246,20 +262,22 @@ private[sources] object JsonDocSource {
     case _ => None
   }
 
-  /** Is directory day `d` of column `col` provably excluded? `days` is
-    * monotone in its source, so ranges prune by DAY comparison (ISO
-    * date strings compare lexicographically); equality/In prune on the
-    * mapped day. Any un-mappable constant keeps. */
-  private def dayPruned(col: String, d: String, filters: Seq[Filter]): Boolean =
+  /** Is directory grain-value `d` of column `col` provably excluded
+    * under `transform`? Every time grain is monotone in its source, so
+    * ranges prune by PREFIX comparison (ISO prefixes compare
+    * lexicographically at every grain); equality/In prune on the mapped
+    * prefix. Any un-mappable constant keeps. */
+  private def timePruned(transform: String, col: String, d: String,
+      filters: Seq[Filter]): Boolean =
     filters.exists {
-      case EqualTo(a, v) if a == col => dayOfConst(v).exists(_ != d)
+      case EqualTo(a, v) if a == col => timeOfConst(transform, v).exists(_ != d)
       case In(a, vs) if a == col =>
-        val days = vs.filter(_ != null).map(dayOfConst)
-        days.nonEmpty && days.forall(_.isDefined) && !days.flatten.contains(d)
-      case GreaterThan(a, v) if a == col => dayOfConst(v).exists(d < _)
-      case GreaterThanOrEqual(a, v) if a == col => dayOfConst(v).exists(d < _)
-      case LessThan(a, v) if a == col => dayOfConst(v).exists(d > _)
-      case LessThanOrEqual(a, v) if a == col => dayOfConst(v).exists(d > _)
+        val ks = vs.filter(_ != null).map(timeOfConst(transform, _))
+        ks.nonEmpty && ks.forall(_.isDefined) && !ks.flatten.contains(d)
+      case GreaterThan(a, v) if a == col => timeOfConst(transform, v).exists(d < _)
+      case GreaterThanOrEqual(a, v) if a == col => timeOfConst(transform, v).exists(d < _)
+      case LessThan(a, v) if a == col => timeOfConst(transform, v).exists(d > _)
+      case LessThanOrEqual(a, v) if a == col => timeOfConst(transform, v).exists(d > _)
       case _ => false
     }
 
@@ -315,9 +333,9 @@ private[sources] object JsonDocSource {
             case "identity" =>
               decPartValue(rawTxt, spec.field.dataType).foreach(v =>
                 identCols += spec.field.name -> JsonDocStats.ColRange(v, v))
-            case "days" =>
+            case t if GraftTransforms.TimePrefixLen.contains(t) =>
               val d = java.net.URLDecoder.decode(rawTxt, "UTF-8")
-              if (dayPruned(spec.field.name, d, filters)) pruned = true
+              if (timePruned(t, spec.field.name, d, filters)) pruned = true
             case "bucket" =>
               // decPartValue(IntegerType) yields a Long (stats-range
               // convention); the bucket id itself is a small int
@@ -400,11 +418,7 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
   private lazy val partSpec0: Seq[GraftCatalog.PartField] =
     GraftCatalog.partitionSpecOf(path)
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partSpec0.map {
-      case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
-      case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
-      case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
-    }.toArray
+    partSpec0.map(JsonDocSource.transformExprOf).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(schema0, path, pinned = pinnedVersion)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -556,11 +570,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     // allows it; OPTIMIZE compacts them later). Default stays hash.
     val fanout =
       GraftCatalog.tablePropsOf(path).get("write.distribution").contains("none")
-    def transformExprs = partSpec.map {
-      case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
-      case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
-      case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
-    }
+    def transformExprs = partSpec.map(JsonDocSource.transformExprOf)
     // PARTITION-LOCAL range clustering (r14, verdict item 7): a
     // `cluster-by` write option asks for an ORDERED distribution on
     // (partition transforms, cluster column) — Spark range-partitions

@@ -529,6 +529,49 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("hours/months/years grains: directory naming, monotone range pruning, millis mapping") {
+    // hours(string): one directory per UTC hour, range filters prune
+    val (dirH, tblH) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tblH (k BIGINT, ts STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (hours(ts))")
+    Seq((1L, "2024-01-15T08:10:00"), (2L, "2024-01-15T08:59:59"),
+      (3L, "2024-01-15T09:00:00"), (4L, "2024-01-16T00:30:00"))
+      .toDF("k", "ts").coalesce(1).writeTo(tblH).append()
+    assert(new java.io.File(dirH).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("ts_hour=2024-01-15T08", "ts_hour=2024-01-15T09", "ts_hour=2024-01-16T00"))
+    val hr = plannedFiles(s"SELECT k FROM $tblH WHERE ts >= '2024-01-15T09'")
+    assert(hr.nonEmpty && hr.forall(f =>
+      f.contains("=2024-01-15T09/") || f.contains("=2024-01-16T00/")), hr)
+    assert(spark.sql(s"SELECT k FROM $tblH WHERE ts >= '2024-01-15T09' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 4L))
+
+    // months(bigint): epoch millis map to their UTC month; equality prunes
+    val (dirM, tblM) = freshTable()
+    spark.sql(s"CREATE TABLE $tblM (k BIGINT, ms BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (months(ms))")
+    val jan15 = 1705276800000L // 2024-01-15T00:00:00Z
+    Seq((1L, jan15), (2L, jan15 + 31L * 86400000L), (3L, -1L))
+      .toDF("k", "ms").coalesce(1).writeTo(tblM).append()
+    assert(new java.io.File(dirM).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("ms_month=1969-12", "ms_month=2024-01", "ms_month=2024-02"))
+    val meq = plannedFiles(s"SELECT k FROM $tblM WHERE ms = $jan15")
+    assert(meq.nonEmpty && meq.forall(_.contains("/ms_month=2024-01/")), meq)
+
+    // years(string): coarse grain, range keeps the boundary year only
+    val (dirY, tblY) = freshTable()
+    spark.sql(s"CREATE TABLE $tblY (k BIGINT, d STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (years(d))")
+    Seq((1L, "2023-06-01"), (2L, "2024-01-01"), (3L, "2025-12-31"))
+      .toDF("k", "d").coalesce(1).writeTo(tblY).append()
+    assert(new java.io.File(dirY).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("d_year=2023", "d_year=2024", "d_year=2025"))
+    val yr = plannedFiles(s"SELECT k FROM $tblY WHERE d < '2024-06'")
+    assert(yr.nonEmpty && yr.forall(!_.contains("/d_year=2025/")), yr)
+    assert(spark.sql(s"SELECT k FROM $tblY WHERE d < '2024-06' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("bucket(n) layout: stable hash routing, point and In pruning") {
     val (dir, tbl) = freshTable()
     import spark.implicits._
@@ -714,9 +757,10 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e1 = intercept[Exception](spark.sql(
       s"CREATE TABLE $tbl (k BIGINT, x DOUBLE) USING `graft-jsondoc` PARTITIONED BY (days(x))"))
     assert(msgs(e1).exists(_.contains("days()")), e1.getMessage)
-    // an unknown transform family
+    // an unknown transform family (hours/months/years joined days in r14,
+    // so the refused example is truncate — genuinely unimplemented)
     val e2 = intercept[Exception](spark.sql(
-      s"CREATE TABLE $tbl (k BIGINT, ts STRING) USING `graft-jsondoc` PARTITIONED BY (hours(ts))"))
+      s"CREATE TABLE $tbl (k BIGINT, ts STRING) USING `graft-jsondoc` PARTITIONED BY (truncate(4, ts))"))
     assert(msgs(e2).exists(_.contains("unsupported partition transform")), e2.getMessage)
     // a days() write with a non-ISO value fails loudly, not into garbage dirs
     val (_, tbl3) = freshTable()
