@@ -57,12 +57,12 @@ class GraftCatalog extends TableCatalog
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array("years", "months", "days", "hours", "bucket")
+    Array("years", "months", "days", "hours", "bucket", "truncate")
       .map(Identifier.of(Array.empty, _))
 
   override def functionExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty &&
-      Set("years", "months", "days", "hours", "bucket").contains(ident.name())
+      Set("years", "months", "days", "hours", "bucket", "truncate").contains(ident.name())
 
   /** SQL maintenance: `CALL graftcat.vacuum(path, keep_last)` and
     * `CALL graftcat.optimize(path, target_bytes)` — see
@@ -79,9 +79,11 @@ class GraftCatalog extends TableCatalog
       case "create_tag" => GraftProcedures.CreateTagProcedure
       case "drop_tag" => GraftProcedures.DropTagProcedure
       case "rollback" => GraftProcedures.RollbackProcedure
+      case "publish" => GraftProcedures.PublishProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
-          "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, rollback)")
+          "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
+          "rollback, publish)")
     }
   }
 
@@ -90,7 +92,7 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"),
       Identifier.of(Array.empty, "set_partition_spec"),
       Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"),
-      Identifier.of(Array.empty, "rollback"))
+      Identifier.of(Array.empty, "rollback"), Identifier.of(Array.empty, "publish"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -206,8 +208,8 @@ class GraftCatalog extends TableCatalog
         case "identity" => GraftCatalog.validatedPartField(schema, colOf(t), "identity", 0)
         case tn if GraftTransforms.TimePrefixLen.contains(tn) =>
           GraftCatalog.validatedPartField(schema, colOf(t), tn, 0)
-        case "bucket" =>
-          // BucketTransform: arguments = [Literal(n), column]
+        case tn @ ("bucket" | "truncate") =>
+          // BucketTransform/ApplyTransform: arguments = [Literal(n), column]
           val n = t.arguments().collectFirst {
             case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
               l.value() match {
@@ -215,11 +217,11 @@ class GraftCatalog extends TableCatalog
                 case l2: java.lang.Long => l2.intValue()
               }
           }.getOrElse(throw new IllegalArgumentException(
-            s"graft catalog: bucket() needs a literal bucket count: $t"))
-          GraftCatalog.validatedPartField(schema, colOf(t), "bucket", n)
+            s"graft catalog: $tn() needs a literal count/width: $t"))
+          GraftCatalog.validatedPartField(schema, colOf(t), tn, n)
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported partition transform '$other' " +
-            "(supported: identity, days, bucket)")
+            "(supported: identity, years, months, days, hours, bucket, truncate)")
       }
     }
     val partCols = partSpecs.map(_.field.name)
@@ -420,6 +422,7 @@ object GraftCatalog {
       case "days" => s"${field.name}_day"
       case "hours" => s"${field.name}_hour"
       case "bucket" => s"${field.name}_bucket"
+      case "truncate" => s"${field.name}_trunc"
     }
     /** The directory-component's VALUE type (what `decPartValue` parses
       * `dirName=<v>` with): time-grain strings and bucket ints, else
@@ -427,6 +430,7 @@ object GraftCatalog {
     def dirType: DataType = transform match {
       case "identity" => field.dataType
       case "bucket" => IntegerType
+      case "truncate" => field.dataType // order-preserving within the source type
       case _ => StringType
     }
   }
@@ -499,6 +503,39 @@ object GraftCatalog {
       dvsOverride = Some(JsonDocVersions.readDvs(path, v)), op = "rollback")
   }
 
+  /** PUBLISH a staged (write-audit-publish) snapshot (r14): re-apply
+    * staged version v's delta — live-set and delete-vector changes
+    * against its recorded parent — as a PUBLISHED commit on the current
+    * table. The WAP flow this completes: write with the `staged` write
+    * option (or `write.wap.staged = true` table property) → the commit
+    * lands invisible to every current read → audit it via
+    * `VERSION AS OF v` (or tag it) → `CALL publish(path, v)` makes it
+    * current, or simply never publish and let retention reclaim it.
+    * Publishing is delta re-application, not a pointer flip, so work
+    * committed AFTER the stage (appends, compactions) survives; the
+    * usual OCC refusals fire when the staged delta genuinely conflicts
+    * (it retires a file a published rewrite already retired, or a
+    * retired file's DV moved since the stage). Metadata-only. */
+  def publish(path: String, v: Int): Int = {
+    require(JsonDocVersions.read(path, v).isDefined,
+      s"graft-jsondoc: cannot publish v$v of $path — no such committed version")
+    require(JsonDocVersions.readStaged(path, v),
+      s"graft-jsondoc: v$v of $path is not a staged snapshot — nothing to publish")
+    val parent = JsonDocVersions.readParent(path, v).getOrElse(0)
+    val parentLive: Set[String] =
+      if (parent == 0) Set.empty
+      else JsonDocVersions.read(path, parent).getOrElse(throw new IllegalStateException(
+        s"graft-jsondoc: staged v$v's parent v$parent of $path has been " +
+          "expired/vacuumed — its delta basis is gone; re-stage the write"))
+    val sLive = JsonDocVersions.read(path, v).get
+    val pDvs = JsonDocVersions.readDvs(path, parent)
+    val sDvs = JsonDocVersions.readDvs(path, v)
+    val dvUpdates = sDvs.filter { case (f, dv) => !pDvs.get(f).contains(dv) }
+    JsonDocVersions.commitDelta(path, removed = parentLive -- sLive,
+      added = sLive -- parentLive, dvUpdates = dvUpdates,
+      dvBasis = Some(pDvs), op = "publish")
+  }
+
   /** Shared reclaim: delete every data file no kept manifest references,
     * then the dropped manifests, then prune the reclaimed files' stats
     * entries. Returns the deleted data-file names. TAGGED versions are
@@ -508,9 +545,14 @@ object GraftCatalog {
     * cannot drift on it. Dropping the tag releases the snapshot. */
   private def reclaim(path: String,
       drop0: Seq[Int], keep0: Seq[Int]): Seq[String] = {
-    val tagged = JsonDocRefs.tags(path).values.toSet
-    val drop = drop0.filterNot(tagged)
-    val keep = keep0 ++ drop0.filter(tagged)
+    // the latest PUBLISHED version must always survive (a staged WAP
+    // head can be the newest manifest, but it is not the current table
+    // — reclaiming the published head under it would break every
+    // current read), and tagged versions are retention-pinned
+    val protected0 = JsonDocRefs.tags(path).values.toSet ++
+      JsonDocVersions.latestVersion(path)
+    val drop = drop0.filterNot(protected0)
+    val keep = keep0 ++ drop0.filter(protected0)
     val referenced: Set[String] =
       keep.flatMap(v => JsonDocVersions.read(path, v).getOrElse(Set.empty)).toSet
     val deletable = JsonDocSource.walkDataFiles(path)
@@ -849,6 +891,13 @@ object GraftCatalog {
           s"graft catalog: bucket() partitions a bigint/int/string column, " +
             s"got $col: ${f.dataType.simpleString}")
         PartField(f, "bucket", n)
+      case "truncate" =>
+        require(n >= 1, s"graft catalog: truncate() needs width >= 1, got $n")
+        require(f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType,
+          s"graft catalog: truncate() partitions a bigint/int/string column, " +
+            s"got $col: ${f.dataType.simpleString}")
+        PartField(f, "truncate", n)
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported partition transform '$other' " +
           "(supported: identity, days, bucket)")
@@ -944,7 +993,8 @@ object GraftCatalog {
           val o = parr.addObject()
           o.put("col", p.field.name)
           o.put("transform", p.transform)
-          if (p.transform == "bucket") o.put("n", p.buckets)
+          // bucket count / truncate width — any parameterized transform
+          if (p.buckets != 0) o.put("n", p.buckets)
           ()
         }
       }

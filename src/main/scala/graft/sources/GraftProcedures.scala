@@ -117,9 +117,30 @@ private[sources] object GraftProcedures {
           InternalRow(UTF8String.fromString(p.transform match {
             case "identity" => p.field.name
             case "bucket" => s"bucket(${p.buckets}, ${p.field.name})"
+            case "truncate" => s"truncate(${p.buckets}, ${p.field.name})"
             case t => s"$t(${p.field.name})" // the time-grain family
           })))
         Iterator(scanOf(schema, rows)).asJava
+      }
+    }
+  }
+
+  object PublishProcedure extends UnboundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "publish a staged (write-audit-publish) snapshot: re-apply its delta as the current version"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "publish"
+      override def description(): String = PublishProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.publish(
+          input.getUTF8String(0).toString, input.getLong(1).toInt)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
       }
     }
   }

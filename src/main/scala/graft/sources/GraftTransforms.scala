@@ -67,6 +67,20 @@ private[sources] object GraftTransforms {
     s.substring(0, n)
   }
 
+  /** `truncate(w)` (r14, the last of Iceberg's transform family):
+    * strings keep their first `w` chars (shorter strings stay whole),
+    * integral values floor to the nearest multiple of `w`
+    * (`v - floorMod(v, w)`, correct for negatives). Monotone in its
+    * source — ranges prune — and order-preserving WITHIN the source
+    * type, so numeric directories compare numerically, never as text. */
+  def truncOf(v: Any, w: Int): Any = v match {
+    case s: String => if (s.length <= w) s else s.substring(0, w)
+    case l: Long => l - java.lang.Math.floorMod(l, w.toLong)
+    case i: Int => (i.toLong - java.lang.Math.floorMod(i.toLong, w.toLong)).toInt
+    case other => throw new IllegalArgumentException(
+      s"graft-jsondoc: truncate() over ${other.getClass.getSimpleName} is not supported")
+  }
+
   def bucketOf(v: Any, n: Int): Int = v match {
     case l: Long => java.lang.Math.floorMod(java.lang.Long.hashCode(l), n)
     case i: Int => java.lang.Math.floorMod(java.lang.Long.hashCode(i.toLong), n)
@@ -86,6 +100,7 @@ private[sources] object GraftTransforms {
         s"graft-jsondoc: $t() over ${other.getClass.getSimpleName} is not supported")
     }
     case "bucket" => bucketOf(raw, spec.buckets)
+    case "truncate" => truncOf(raw, spec.buckets) // `buckets` doubles as width
   }
 
   /** FunctionCatalog surface: Spark resolves the clustered-write
@@ -96,8 +111,10 @@ private[sources] object GraftTransforms {
   def loadFunction(name: String): UnboundFunction = name match {
     case t if TimePrefixLen.contains(t) => new TimeUnbound(t)
     case "bucket" => BucketUnbound
+    case "truncate" => TruncateUnbound
     case other => throw new NoSuchElementException(
-      s"graft catalog has no function '$other' (available: years, months, days, hours, bucket)")
+      s"graft catalog has no function '$other' (available: years, months, days, " +
+        "hours, bucket, truncate)")
   }
 
   private class TimeUnbound(transform: String) extends UnboundFunction {
@@ -186,5 +203,56 @@ private[sources] object GraftTransforms {
     override def produceResult(input: InternalRow): Integer =
       if (input.isNullAt(1)) null
       else Int.box(bucketOf(input.getUTF8String(1).toString, input.getInt(0)))
+  }
+
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "string prefix / integral floor-to-multiple of width w (order-preserving)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate() takes (w, col), got ${inputType.fields.length} arguments")
+      inputType.fields(1).dataType match {
+        case StringType => TruncStringFn
+        case LongType => TruncLongFn
+        case IntegerType => TruncIntFn
+        case other => throw new UnsupportedOperationException(
+          s"truncate() over ${other.simpleString} is not supported (string/bigint/int)")
+      }
+    }
+  }
+
+  private object TruncStringFn extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate.string"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): UTF8String =
+      if (input.isNullAt(1)) null
+      else UTF8String.fromString(
+        truncOf(input.getUTF8String(1).toString, input.getInt(0)).asInstanceOf[String])
+  }
+
+  private object TruncLongFn extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate.long"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(1)) null
+      else Long.box(truncOf(input.getLong(1), input.getInt(0)).asInstanceOf[Long])
+  }
+
+  private object TruncIntFn extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate.int"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else Int.box(truncOf(input.getInt(1), input.getInt(0)).asInstanceOf[Int])
   }
 }

@@ -120,7 +120,11 @@ private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWrite
   }
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId(), cmd)
+      new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId(), cmd,
+        // WAP staging (r14): SQL DML has no writer-option channel, so
+        // the table property is the only trigger here
+        staged = GraftCatalog.tablePropsOf(path)
+          .get("write.wap.staged").contains("true"))
   }
 }
 
@@ -144,7 +148,8 @@ private[sources] case class JsonDocDeltaCommitMessage(
   * are outside the source's single-writer SQL contract (the union is
   * read-modify-write) — the GraftTxn scaladoc's standing note. */
 private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
-    queryId: String, cmd: RowLevelOperation.Command) extends DeltaBatchWrite {
+    queryId: String, cmd: RowLevelOperation.Command,
+    staged: Boolean = false) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new JsonDocDeltaWriterFactory(path, schema, queryId,
@@ -159,7 +164,11 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     if (JsonDocVersions.latest(path).isEmpty) {
       val live0 = JsonDocSource.listDataFiles(path)
         .map(f => JsonDocSource.relName(path, f)).toSet
-      if (live0.nonEmpty) JsonDocVersions.commit(path, live0, op = "bootstrap")
+      // a STAGED delta additionally needs the bootstrap even when the
+      // listing is empty: without any published manifest the legacy
+      // every-visible-file rule would expose the staged insert files
+      if (live0.nonEmpty || staged)
+        JsonDocVersions.commit(path, live0, op = "bootstrap")
     }
     val ms = messages.filter(_ != null).map(_.asInstanceOf[JsonDocDeltaCommitMessage])
     val merged: Map[String, Set[Long]] = ms.flatMap(_.deletes.toSeq)
@@ -181,7 +190,8 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     }
     JsonDocVersions.commitDelta(path, Set.empty, ins.map(_.finalName).toSet,
       GraftTxn.take(path), dvUpdates,
-      op = s"merge-on-read ${cmd.toString.toLowerCase(java.util.Locale.ROOT)}")
+      op = s"merge-on-read ${cmd.toString.toLowerCase(java.util.Locale.ROOT)}",
+      staged = staged)
     JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
   }

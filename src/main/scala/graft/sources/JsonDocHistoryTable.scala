@@ -43,11 +43,14 @@ private[sources] object JsonDocHistoryTable {
     // commit time, epoch millis (the TIMESTAMP AS OF resolution basis —
     // surfacing it makes "read as of last Monday" auditable before the
     // fact); NULL only for a manifest missing mid-scan
-    StructField("committed_ms", LongType, nullable = true)))
+    StructField("committed_ms", LongType, nullable = true),
+    // write-audit-publish (r14): true = a staged snapshot, invisible to
+    // current reads until `CALL publish`
+    StructField("staged", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 private[sources] case class JsonDocHistoryPartition(
-  rows: Seq[(Long, Option[String], Long, Option[Long], Option[Long])]) extends InputPartition
+  rows: Seq[(Long, Option[String], Long, Option[Long], Option[Long], Boolean)]) extends InputPartition
 
 private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch {
   override def readSchema(): StructType = JsonDocHistoryTable.Schema
@@ -69,7 +72,7 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
         else if (files.isEmpty) Some(0L)
         else None
       (v.toLong, JsonDocVersions.readOp(path, v), files.size.toLong, nRows,
-        JsonDocVersions.mtime(path, v))
+        JsonDocVersions.mtime(path, v), JsonDocVersions.readStaged(path, v))
     }
     Array(JsonDocHistoryPartition(rows))
   }
@@ -80,10 +83,10 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (v, op, nf, nr, ms) = it.next()
+        val (v, op, nf, nr, ms, st) = it.next()
         cur = InternalRow(v,
           op.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
-          nf, nr.map(Long.box).orNull, ms.map(Long.box).orNull)
+          nf, nr.map(Long.box).orNull, ms.map(Long.box).orNull, st)
         true
       }
       override def get(): InternalRow = cur

@@ -141,6 +141,8 @@ private[sources] object JsonDocSource {
     case GraftCatalog.PartField(f, "days", _) => Expressions.days(f.name)
     case GraftCatalog.PartField(f, "hours", _) => Expressions.hours(f.name)
     case GraftCatalog.PartField(f, "bucket", n) => Expressions.bucket(n, f.name)
+    case GraftCatalog.PartField(f, "truncate", w) => Expressions.apply("truncate",
+      Expressions.literal(w), Expressions.column(f.name))
     case GraftCatalog.PartField(f, _, _) => Expressions.identity(f.name)
   }
 
@@ -281,6 +283,52 @@ private[sources] object JsonDocSource {
       case _ => false
     }
 
+  /** The truncate(w) image of a filter constant for `spec`'s column
+    * (None = wrong type → keep). */
+  private def truncOfConst(v: Any, spec: GraftCatalog.PartField): Option[Any] = v match {
+    case s: String => Some(GraftTransforms.truncOf(s, spec.buckets))
+    case l: java.lang.Long => Some(GraftTransforms.truncOf(l.longValue(), spec.buckets))
+    case i: java.lang.Integer => Some(GraftTransforms.truncOf(i.intValue(), spec.buckets))
+    case _ => None
+  }
+
+  /** Is truncate-directory `d` of `spec` provably excluded? truncate is
+    * monotone AND order-preserving within its source type, so ranges
+    * prune by comparing truncated images — numerically for integral
+    * columns (lexicographic would order "9" after "10"), lexically for
+    * strings. Equality/In prune on the image. */
+  private def truncPruned(spec: GraftCatalog.PartField, d: Any,
+      filters: Seq[Filter]): Boolean = {
+    val col = spec.field.name
+    // d and the truncated const share the source domain; compare there
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: String, y: String) => x < y
+      case _ => false // mixed shapes: never prune
+    }
+    def norm(x: Any): Any = x match {
+      case i: Int => i.toLong
+      case other => other
+    }
+    val dn = norm(d)
+    filters.exists {
+      case EqualTo(a, v) if a == col =>
+        truncOfConst(v, spec).exists(t => norm(t) != dn)
+      case In(a, vs) if a == col =>
+        val ks = vs.filter(_ != null).map(truncOfConst(_, spec))
+        ks.nonEmpty && ks.forall(_.isDefined) && !ks.flatten.map(norm).contains(dn)
+      case GreaterThan(a, v) if a == col =>
+        truncOfConst(v, spec).exists(t => lt(dn, norm(t)))
+      case GreaterThanOrEqual(a, v) if a == col =>
+        truncOfConst(v, spec).exists(t => lt(dn, norm(t)))
+      case LessThan(a, v) if a == col =>
+        truncOfConst(v, spec).exists(t => lt(norm(t), dn))
+      case LessThanOrEqual(a, v) if a == col =>
+        truncOfConst(v, spec).exists(t => lt(norm(t), dn))
+      case _ => false
+    }
+  }
+
   /** Is bucket `b` of `spec` provably excluded? Only point shapes
     * prune (a hash destroys order); an equality whose key maps to a
     * different bucket, or an In none of whose keys map here. */
@@ -342,6 +390,10 @@ private[sources] object JsonDocSource {
               decPartValue(rawTxt, IntegerType).foreach { bAny =>
                 val b = bAny.asInstanceOf[Long].toInt
                 if (bucketPruned(spec, b, filters)) pruned = true
+              }
+            case "truncate" =>
+              decPartValue(rawTxt, spec.dirType).foreach { d =>
+                if (truncPruned(spec, d, filters)) pruned = true
               }
             case _ => () // unknown transform: never prune
           }
@@ -598,12 +650,23 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
         if (clusterBy.isDefined && partSpec.nonEmpty) clusterBuckets.getOrElse(0) else 0
       override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         if (clusterBy.isDefined && partSpec.nonEmpty) orderedSorts else Array.empty
+      // WAP staging (r14): the `staged` write option (or the
+      // `write.wap.staged` table property, for SQL DML with no option
+      // channel) lands this commit as a STAGED snapshot — invisible to
+      // every current read until `CALL publish`
+      private def staged: Boolean =
+        Option(info.options.get("staged")).contains("true") ||
+          GraftCatalog.tablePropsOf(path).get("write.wap.staged").contains("true")
       override def toBatch: BatchWrite =
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-          replaceScope, dvBasisScope)
+          replaceScope, dvBasisScope, staged = staged)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-jsondoc streaming write supports append output mode only")
+        require(!staged,
+          "graft-jsondoc: staged (write-audit-publish) writes are a batch " +
+            "pattern — a streaming sink's epochs are their own checkpointed " +
+            "protocol and publish exactly-once already")
         new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partSpec)
       }
     }
@@ -873,7 +936,8 @@ private[sources] object JsonDocStats {
 private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     queryId: String, truncateFirst: Boolean,
     replaceScope: Option[() => Option[Set[String]]] = None,
-    dvBasisScope: Option[() => Option[Map[String, String]]] = None) extends BatchWrite {
+    dvBasisScope: Option[() => Option[Map[String, String]]] = None,
+    staged: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
@@ -911,6 +975,13 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     val op = if (truncateFirst) "overwrite"
       else if (replaceScope.isDefined) "rewrite"
       else "append"
+    // a STAGED commit needs a PUBLISHED basis to be invisible against
+    // (r14, WAP): with no manifest at all the legacy every-visible-file
+    // rule would expose the staged files immediately — mint the
+    // pre-existing listing (possibly empty) as published v1 first
+    if (staged && JsonDocVersions.latest(path).isEmpty)
+      JsonDocVersions.commit(path, live0 -- msgs.map(_.finalName).toSet,
+        op = "bootstrap")
     JsonDocVersions.latest(path) match {
       case Some(_) =>
         // DELTA commit (r13): rebases over a concurrent append instead
@@ -919,7 +990,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         // conflict. The dv basis (r14) extends the same refusal to
         // delete vectors repointed since the rewrite scan folded them.
         JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn,
-          dvBasis = dvBasisScope.flatMap(_()), op = op)
+          dvBasis = dvBasisScope.flatMap(_()), op = op, staged = staged)
       case None =>
         // FIRST manifest of a legacy directory (advice r13): commitDelta
         // would start from an EMPTY base and mint a manifest excluding

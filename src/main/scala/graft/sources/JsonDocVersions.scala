@@ -61,6 +61,28 @@ private[graft] object JsonDocVersions {
     readNode(path, v).flatMap(node =>
       Option(node.get("files")).map(_.elements().asScala.map(_.asText()).toSet))
 
+  /** Is version v a STAGED (write-audit-publish) snapshot? Staged
+    * snapshots live in the same numbered chain but are INVISIBLE to
+    * every current-read surface ([[latestVersion]] skips them) until
+    * `CALL publish` re-applies their delta as a published commit. */
+  def readStaged(path: String, v: Int): Boolean =
+    readNode(path, v).flatMap(node =>
+      Option(node.get("staged")).map(_.asBoolean())).getOrElse(false)
+
+  /** The PUBLISHED version a staged snapshot was written against — the
+    * base `publish` computes its delta from. 0 = staged onto an empty
+    * table. None for non-staged manifests. */
+  def readParent(path: String, v: Int): Option[Int] =
+    readNode(path, v).flatMap(node =>
+      Option(node.get("parent")).map(_.asInt()))
+
+  /** Greatest PUBLISHED (non-staged) version — the basis of every
+    * current read, current-write rebase, and ledger lookup. The common
+    * case (last manifest unstaged) costs the same single read as
+    * before; a staged head walks back until a published one. */
+  def latestVersion(path: String): Option[Int] =
+    manifests(path).reverse.find(v => !readStaged(path, v))
+
   /** The DELETE-VECTOR map of version v: `live data file -> DV file
     * name` (r14, merge-on-read). A DV names the row POSITIONS of its
     * data file that are deleted as of this version; readers fold it at
@@ -73,9 +95,11 @@ private[graft] object JsonDocVersions {
       t.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }).getOrElse(Map.empty)
 
-  /** DV map to read under: pinned version's, else the latest's. */
+  /** DV map to read under: pinned version's, else the latest
+    * PUBLISHED version's (a staged head's DVs are invisible until
+    * publish, like its files). */
   def dvsFor(path: String, pinned: Option[Int]): Map[String, String] =
-    pinned.orElse(manifests(path).lastOption) match {
+    pinned.orElse(latestVersion(path)) match {
       case Some(v) => readDvs(path, v)
       case None => Map.empty
     }
@@ -115,18 +139,23 @@ private[graft] object JsonDocVersions {
       t.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }).getOrElse(Map.empty)
 
-  /** Latest applied version for `appId`, from the latest manifest
-    * (None: no manifest, or the app never committed a transaction). */
+  /** Latest applied version for `appId`, from the latest PUBLISHED
+    * manifest — the ledger answers against published state (None: no
+    * manifest, or the app never committed a transaction). */
   def lastTxn(path: String, appId: String): Option[Long] =
-    manifests(path).lastOption.flatMap(v => readTxns(path, v).get(appId))
+    latestVersion(path).flatMap(v => readTxns(path, v).get(appId))
 
+  /** Latest PUBLISHED snapshot (staged WAP heads are invisible). */
   def latest(path: String): Option[(Int, Set[String])] =
-    manifests(path).lastOption.flatMap(v => read(path, v).map(v -> _))
+    latestVersion(path).flatMap(v => read(path, v).map(v -> _))
 
-  /** Greatest version whose manifest was committed at or before
-    * `tsMillis` (TIMESTAMP AS OF resolution via manifest commit times). */
+  /** Greatest PUBLISHED version whose manifest was committed at or
+    * before `tsMillis` (TIMESTAMP AS OF resolution via manifest commit
+    * times). Staged snapshots are not on the table's timeline; explicit
+    * VERSION AS OF by number or tag still reads them (the audit read). */
   def resolveAt(path: String, tsMillis: Long): Option[Int] =
-    manifests(path).filter(v => mtime(path, v).exists(_ <= tsMillis)).lastOption
+    manifests(path).filter(v => !readStaged(path, v) &&
+      mtime(path, v).exists(_ <= tsMillis)).lastOption
 
   /** The OPERATION that minted version v (r14 — Delta's commitInfo
     * idiom at one-word grain): "append", "overwrite", "rewrite" (COW
@@ -137,11 +166,16 @@ private[graft] object JsonDocVersions {
 
   private def manifestJson(v: Int, newLive: Set[String],
       txns: Map[String, Long], dvs: Map[String, String],
-      rewrites: Map[String, Rewrite] = Map.empty, op: String = ""): String = {
+      rewrites: Map[String, Rewrite] = Map.empty, op: String = "",
+      stagedParent: Option[Int] = None): String = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", v)
     if (op.nonEmpty) root.put("op", op)
+    stagedParent.foreach { p =>
+      root.put("staged", true)
+      root.put("parent", p)
+    }
     val arr = root.putArray("files")
     newLive.toSeq.sorted.foreach(arr.add)
     if (txns.nonEmpty) {
@@ -188,8 +222,11 @@ private[graft] object JsonDocVersions {
       txn: Option[(String, Long)] = None,
       dvsOverride: Option[Map[String, String]] = None,
       op: String = ""): Int = {
-    val prev = manifests(path).lastOption
-    val v = prev.getOrElse(0) + 1
+    // version numbering covers the WHOLE chain (CAS on names); txn/DV
+    // carry-forward reads the latest PUBLISHED basis (staged WAP heads
+    // contribute nothing to published state)
+    val v = manifests(path).lastOption.getOrElse(0) + 1
+    val prev = latestVersion(path)
     val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty) ++ txn
     val dvs = dvsOverride match {
       case Some(o) => o.filter { case (f, _) => newLive.contains(f) }
@@ -226,11 +263,17 @@ private[graft] object JsonDocVersions {
       dvUpdates: Map[String, String] = Map.empty,
       dvBasis: Option[Map[String, String]] = None,
       rewrites: Map[String, Rewrite] = Map.empty,
-      op: String = ""): Int = {
+      op: String = "",
+      staged: Boolean = false): Int = {
     var attempt = 0
     while (true) {
-      val prev = manifests(path).lastOption
-      val v = prev.getOrElse(0) + 1
+      // numbering over the whole chain; the REBASE BASE is the latest
+      // PUBLISHED version — a current write must never absorb a staged
+      // head's files into the visible live set (WAP invisibility), and
+      // a STAGED write bases on published state too (each staged
+      // snapshot is an independent candidate off the current table)
+      val v = manifests(path).lastOption.getOrElse(0) + 1
+      val prev = latestVersion(path)
       // an unreadable LATEST manifest must abort, not silently rebase
       // onto an empty set — that would commit a live set holding only
       // this delta's additions and drop the whole table
@@ -257,19 +300,26 @@ private[graft] object JsonDocVersions {
       val txns = prev.map(readTxns(path, _)).getOrElse(Map.empty)
       val prevDvs = prev.map(readDvs(path, _)).getOrElse(Map.empty)
       dvBasis.foreach { basis =>
-        val drifted = removed.filter(f => prevDvs.get(f) != basis.get(f))
+        // retired files AND files whose DV this commit repoints: either
+        // way the commit's content was derived under `basis`, so a DV
+        // that moved since means concurrent deletes this commit would
+        // silently resurrect (r14; dvUpdates leg added for publish —
+        // a staged MOR delete's union was computed against its parent)
+        val drifted = (removed ++ dvUpdates.keySet)
+          .filter(f => prevDvs.get(f) != basis.get(f))
         if (drifted.nonEmpty)
           throw new java.util.ConcurrentModificationException(
-            s"graft-jsondoc: commit to $path retires files whose delete vectors " +
-              s"changed since the rewrite read them (${drifted.take(3).mkString(", ")}) " +
-              "— retiring them would resurrect the concurrent deletes; re-plan")
+            s"graft-jsondoc: commit to $path touches files whose delete vectors " +
+              s"changed since it read them (${drifted.take(3).mkString(", ")}) " +
+              "— committing would resurrect the concurrent deletes; re-plan")
       }
       val dvs = carryDvs(prevDvs, dvUpdates, newLive)
-      if (newLive == base && dvs == prevDvs &&
+      if (!staged && newLive == base && dvs == prevDvs &&
         txn.forall { case (a, e) => txns.get(a).contains(e) })
         return prev.getOrElse(0)
       if (store.putIfAbsent(path, manifestName(v),
-        manifestJson(v, newLive, txns ++ txn, dvs, rewrites, op)))
+        manifestJson(v, newLive, txns ++ txn, dvs, rewrites, op,
+          stagedParent = if (staged) Some(prev.getOrElse(0)) else None)))
         return v
       attempt += 1
       if (attempt > 100)

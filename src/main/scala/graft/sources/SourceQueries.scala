@@ -608,6 +608,41 @@ object SourceQueries {
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'base' AS src " +
       "FROM orders ORDER BY o_orderkey"
 
+  /** q197: WRITE-AUDIT-PUBLISH — the lakehouse CI pattern
+    * ([[GraftCatalog.publish]]): a `staged` write lands as an invisible
+    * snapshot, the flow REQUIRES current reads still answer the old
+    * state (the audit window), a second published append lands
+    * meanwhile, then `CALL publish` re-applies the staged delta over
+    * it. The oracle is base ∪ concurrent ∪ staged — hash-green means
+    * the staged rows were (a) absent during the window, (b) intact on
+    * publish, and (c) merged with, not clobbered by, the work that
+    * landed in between. */
+  def q197Wap(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q197")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+      "src STRING) USING `graft-jsondoc`")
+    val base = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    base.filter(pmod(col("o_orderkey"), lit(10)) < 7)
+      .withColumn("src", lit("base")).writeTo(tbl).append() // published v1
+    base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .withColumn("src", lit("wap"))
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    val duringAudit = spark.table(tbl)
+      .filter(col("src") === "wap").count()
+    require(duringAudit == 0L, "q197: staged rows leaked into the audit window")
+    base.filter(pmod(col("o_orderkey"), lit(10)) > 7)
+      .withColumn("src", lit("late")).writeTo(tbl).append() // published v3
+    spark.sql(s"CALL graftcat.publish('$root/t', 2)") // v4
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q197Sql: String =
+    "SELECT o_orderkey, o_totalprice, CASE WHEN o_orderkey % 10 < 7 THEN 'base' " +
+      "WHEN o_orderkey % 10 = 7 THEN 'wap' ELSE 'late' END AS src " +
+      "FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q184_files_inventory" -> q184FilesInventory _,
@@ -626,7 +661,8 @@ object SourceQueries {
     "q192_rename_column" -> q192RenameColumn _,
     "q193_spec_evolution" -> q193SpecEvolution _,
     "q195_tags" -> q195Tags _,
-    "q196_rollback" -> q196Rollback _)
+    "q196_rollback" -> q196Rollback _,
+    "q197_wap" -> q197Wap _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -664,5 +700,8 @@ object SourceQueries {
     "q195_tags" -> q195Sql,
     // the LIVE table after rolling back over a delete+update — restore,
     // not time travel (the read is unpinned)
-    "q196_rollback" -> q196Sql)
+    "q196_rollback" -> q196Sql,
+    // base ∪ concurrent ∪ staged after publish; the flow itself requires
+    // the staged rows were invisible during the audit window
+    "q197_wap" -> q197Sql)
 }

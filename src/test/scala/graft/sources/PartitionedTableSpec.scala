@@ -572,6 +572,44 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("truncate(w) layout: string prefixes and integral floors, ranges prune in the source domain") {
+    // truncate(3, string): prefix directories; equality and range prune
+    val (dirS, tblS) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tblS (k BIGINT, code STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (truncate(3, code))")
+    Seq((1L, "AAA-17"), (2L, "AAB-02"), (3L, "ZK"), (4L, "AAA-99"))
+      .toDF("k", "code").coalesce(1).writeTo(tblS).append()
+    assert(new java.io.File(dirS).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("code_trunc=AAA", "code_trunc=AAB", "code_trunc=ZK"))
+    val eq = plannedFiles(s"SELECT k FROM $tblS WHERE code = 'AAA-99'")
+    assert(eq.nonEmpty && eq.forall(_.contains("/code_trunc=AAA/")), eq)
+    val ge = plannedFiles(s"SELECT k FROM $tblS WHERE code >= 'AAB'")
+    assert(ge.nonEmpty && ge.forall(!_.contains("/code_trunc=AAA/")), ge)
+    assert(spark.sql(s"SELECT k FROM $tblS WHERE code >= 'AAB' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+
+    // truncate(100, bigint): floor-to-multiple directories; NUMERIC
+    // range pruning (lexicographic would order 900 after 1000)
+    val (dirL, tblL) = freshTable()
+    spark.sql(s"CREATE TABLE $tblL (k BIGINT, v BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (truncate(100, v))")
+    Seq((1L, 17L), (2L, 950L), (3L, 1049L), (4L, -1L))
+      .toDF("k", "v").coalesce(1).writeTo(tblL).append()
+    assert(new java.io.File(dirL).listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      === Seq("v_trunc=-100", "v_trunc=0", "v_trunc=1000", "v_trunc=900"))
+    // v >= 900 must keep 900 and 1000 — and prune 0 even though "0" > ""
+    // and "1000" < "900" lexicographically
+    val nr = plannedFiles(s"SELECT k FROM $tblL WHERE v >= 900")
+    assert(nr.nonEmpty && nr.forall(f =>
+      f.contains("/v_trunc=900/") || f.contains("/v_trunc=1000/")), nr)
+    assert(spark.sql(s"SELECT k FROM $tblL WHERE v >= 900 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // floorMod keeps negatives in their floor directory, readable back
+    assert(spark.sql(s"SELECT k FROM $tblL WHERE v < 0").collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("bucket(n) layout: stable hash routing, point and In pruning") {
     val (dir, tbl) = freshTable()
     import spark.implicits._
@@ -757,11 +795,12 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e1 = intercept[Exception](spark.sql(
       s"CREATE TABLE $tbl (k BIGINT, x DOUBLE) USING `graft-jsondoc` PARTITIONED BY (days(x))"))
     assert(msgs(e1).exists(_.contains("days()")), e1.getMessage)
-    // an unknown transform family (hours/months/years joined days in r14,
-    // so the refused example is truncate — genuinely unimplemented)
+    // an unknown transform family (the full Iceberg set is implemented
+    // as of r14, so the refused example is a made-up name)
     val e2 = intercept[Exception](spark.sql(
-      s"CREATE TABLE $tbl (k BIGINT, ts STRING) USING `graft-jsondoc` PARTITIONED BY (truncate(4, ts))"))
-    assert(msgs(e2).exists(_.contains("unsupported partition transform")), e2.getMessage)
+      s"CREATE TABLE $tbl (k BIGINT, ts STRING) USING `graft-jsondoc` PARTITIONED BY (foo(ts))"))
+    assert(msgs(e2).exists(m => m.contains("unsupported partition transform") ||
+      m.contains("foo")), e2.getMessage)
     // a days() write with a non-ISO value fails loudly, not into garbage dirs
     val (_, tbl3) = freshTable()
     import spark.implicits._

