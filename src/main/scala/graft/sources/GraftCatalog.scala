@@ -80,10 +80,11 @@ class GraftCatalog extends TableCatalog
       case "drop_tag" => GraftProcedures.DropTagProcedure
       case "rollback" => GraftProcedures.RollbackProcedure
       case "publish" => GraftProcedures.PublishProcedure
+      case "discard_staged" => GraftProcedures.DiscardStagedProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
-          "rollback, publish)")
+          "rollback, publish, discard_staged)")
     }
   }
 
@@ -92,7 +93,8 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "expire_snapshots"), Identifier.of(Array.empty, "cluster"),
       Identifier.of(Array.empty, "set_partition_spec"),
       Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"),
-      Identifier.of(Array.empty, "rollback"), Identifier.of(Array.empty, "publish"))
+      Identifier.of(Array.empty, "rollback"), Identifier.of(Array.empty, "publish"),
+      Identifier.of(Array.empty, "discard_staged"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -534,6 +536,22 @@ object GraftCatalog {
     JsonDocVersions.commitDelta(path, removed = parentLive -- sLive,
       added = sLive -- parentLive, dvUpdates = dvUpdates,
       dvBasis = Some(pDvs), op = "publish")
+  }
+
+  /** DISCARD a staged snapshot (r14): the explicit "audit failed" exit
+    * of the WAP flow — drops the staged manifest so the staged files
+    * become unreferenced orphans the next vacuum sweeps. Refuses
+    * non-staged versions loudly (published history is dropped by
+    * retention policy, never one-off). */
+  def discardStaged(path: String, v: Int): Unit = {
+    require(JsonDocVersions.read(path, v).isDefined,
+      s"graft-jsondoc: cannot discard v$v of $path — no such committed version")
+    require(JsonDocVersions.readStaged(path, v),
+      s"graft-jsondoc: v$v of $path is not a staged snapshot — published " +
+        "history is expired by retention policy, not discarded")
+    if (!JsonDocVersions.deleteManifest(path, v))
+      throw new java.io.IOException(
+        s"graft-jsondoc: failed to delete staged manifest v$v of $path")
   }
 
   /** Shared reclaim: delete every data file no kept manifest references,

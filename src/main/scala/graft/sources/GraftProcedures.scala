@@ -145,6 +145,26 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object DiscardStagedProcedure extends UnboundProcedure {
+    override def name(): String = "discard_staged"
+    override def description(): String =
+      "drop a staged (unpublished) snapshot; its files become orphans the next vacuum sweeps"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "discard_staged"
+      override def description(): String = DiscardStagedProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = input.getLong(1)
+        GraftCatalog.discardStaged(input.getUTF8String(0).toString, v.toInt)
+        val schema = new StructType().add("discarded", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v)))).asJava
+      }
+    }
+  }
+
   object RollbackProcedure extends UnboundProcedure {
     override def name(): String = "rollback"
     override def description(): String =

@@ -96,6 +96,27 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(tbl) === Seq(1L, 3L), "a refused publish must change nothing")
   }
 
+  test("discard_staged drops an unpublished stage; vacuum then sweeps its files") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    val stagedFiles = JsonDocVersions.read(path, 2).get --
+      JsonDocVersions.read(path, 1).get
+    assert(stagedFiles.nonEmpty)
+    spark.sql(s"CALL graftcat.discard_staged('$path', 2)")
+    val e = intercept[Exception] { keys(tbl, "VERSION AS OF 2") }
+    assert(e.getMessage.contains("does not exist") || e.getMessage.contains("vacuumed"))
+    GraftCatalog.vacuum(path, keepLast = 1)
+    stagedFiles.foreach { f =>
+      assert(!new java.io.File(path, f).isFile, s"discarded staged file $f must be swept")
+    }
+    assert(keys(tbl) === Seq(1L, 2L, 3L))
+    // published history is never discardable through this door
+    val pub = intercept[Exception] { GraftCatalog.discardStaged(path, 1) }
+    assert(pub.getMessage.contains("not a staged snapshot"))
+  }
+
   test("retention never reclaims the published head under a staged head; streaming refuses staged") {
     val (tbl, path) = freshTable()
     import spark.implicits._
