@@ -495,6 +495,12 @@ object GraftCatalog {
       throw new IllegalArgumentException(
         s"graft-jsondoc: cannot roll back $path to v$v — no such committed " +
           "version (expired, vacuumed, or never existed)"))
+    // a STAGED snapshot was never the current table; "rolling back" to
+    // it would pointer-flip its whole live set over later published
+    // work — the thing publish's delta re-application exists to avoid
+    require(!JsonDocVersions.readStaged(path, v),
+      s"graft-jsondoc: v$v of $path is a staged snapshot, not table history — " +
+        "use CALL publish to apply it")
     val missing = live.filterNot(n => new java.io.File(path, n).isFile)
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -634,13 +640,25 @@ object GraftCatalog {
     * this file is consumed". Batch-read tables (the catalog's domain)
     * and the SINK side of streaming (epochs append, OPTIMIZE between
     * runs) are the supported shapes. */
-  def optimize(path: String, targetBytes: Long = 8L * 1024 * 1024): Option[Int] = {
+  /** `scope` (r14): restrict compaction to one partition subtree — a
+    * relative directory prefix like `ts_day=2024-01-15` or
+    * `status=O/region=1`. At 10^5 partition directories, table
+    * maintenance is incremental by nature ("compact yesterday's
+    * ingest"); a whole-table pass would re-plan every directory to
+    * rewrite one. Empty = the whole table (the r13 behavior). A scope
+    * matching nothing is a no-op (None), not an error — maintenance
+    * jobs probe partitions that may be empty. */
+  def optimize(path: String, targetBytes: Long = 8L * 1024 * 1024,
+      scope: String = ""): Option[Int] = {
     require(targetBytes > 0)
     val dir = new java.io.File(path)
     val live: Seq[String] = JsonDocVersions.latest(path).map(_._2.toSeq.sorted).getOrElse(
       JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSeq)
+    val inScope: Seq[String] =
+      if (scope.isEmpty) live
+      else live.filter(_.startsWith(scope.stripSuffix("/") + "/"))
     val files: Seq[(String, java.io.File)] =
-      live.map(n => (n, new java.io.File(dir, n))).filter(_._2.isFile)
+      inScope.map(n => (n, new java.io.File(dir, n))).filter(_._2.isFile)
     // greedy consecutive bin-packing over the name order (the read
     // order) — PER PARTITION DIRECTORY (r13): a merged file must live in
     // exactly one `col=value` directory or it would change the rows'

@@ -237,17 +237,28 @@ private[sources] object GraftProcedures {
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =
-      "bin-pack small live files into ~target_bytes outputs as a new snapshot"
+      "bin-pack small live files into ~target_bytes outputs as a new snapshot; " +
+        "optional 3rd arg scopes to one partition subtree ('ts_day=2024-01-15')"
+    // arity-dispatched bind (r14): the 2-arg whole-table form and the
+    // 3-arg partition-scoped form share one procedure name, like
+    // Iceberg's rewrite_data_files(..., where)
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      private val scoped = inputType.fields.length >= 3
       override def name(): String = "optimize"
       override def description(): String = OptimizeProcedure.description()
-      override def parameters(): Array[ProcedureParameter] = Array(
-        ProcedureParameter.in("path", StringType).build(),
-        ProcedureParameter.in("target_bytes", LongType).build())
+      override def parameters(): Array[ProcedureParameter] =
+        if (scoped) Array(
+          ProcedureParameter.in("path", StringType).build(),
+          ProcedureParameter.in("target_bytes", LongType).build(),
+          ProcedureParameter.in("scope", StringType).build())
+        else Array(
+          ProcedureParameter.in("path", StringType).build(),
+          ProcedureParameter.in("target_bytes", LongType).build())
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val v = GraftCatalog.optimize(
-          input.getUTF8String(0).toString, input.getLong(1))
+          input.getUTF8String(0).toString, input.getLong(1),
+          scope = if (scoped) input.getUTF8String(2).toString else "")
         val schema = new StructType().add("version", LongType, nullable = false)
         Iterator(scanOf(schema,
           Seq(InternalRow(v.map(_.toLong).getOrElse(-1L))))).asJava

@@ -730,6 +730,37 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       e2.getMessage.contains("merge-on-read"), e2.getMessage)
   }
 
+  test("partition-scoped OPTIMIZE compacts only its subtree; other directories stay untouched") {
+    val (dir, tbl) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, c STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (c)")
+    // 3 small files per partition value (separate appends)
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, "x"), (i + 10L, "y")).toDF("k", "c")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    def filesIn(sub: String): Set[String] =
+      Option(new java.io.File(dir, sub).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(_.getName).toSet
+    def liveIn(sub: String): Set[String] =
+      JsonDocVersions.latest(dir).get._2.filter(_.startsWith(sub + "/"))
+    val yBefore = filesIn("c=y")
+    assert(liveIn("c=x").size === 3 && yBefore.size === 3)
+    val v = spark.sql(
+      s"CALL graftcat.optimize('$dir', ${8L * 1024 * 1024}, 'c=x')")
+      .collect()(0).getLong(0)
+    assert(v > 0, "the scoped subtree has 3 small files to compact")
+    assert(liveIn("c=x").size === 1, "the scoped subtree must compact to one live file")
+    assert(liveIn("c=y").size === 3 && filesIn("c=y") === yBefore,
+      "out-of-scope directories must be untouched, live and physical")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 11L, 12L, 13L))
+    // a scope matching nothing is a no-op, not an error
+    assert(GraftCatalog.optimize(dir, scope = "c=zzz").isEmpty)
+  }
+
   test("a pruned scan never LISTS an excluded partition directory (walk-time pruning)") {
     val (dir, tbl) = freshTable()
     seed(tbl)

@@ -117,6 +117,17 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pub.getMessage.contains("not a staged snapshot"))
   }
 
+  test("rollback to a staged snapshot is refused — publish is the only door in") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    Seq((5L, 50.0)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // published v3
+    val e = intercept[Exception] { GraftCatalog.rollback(path, 2) }
+    assert(e.getMessage.contains("staged snapshot"), e.getMessage)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 5L), "a refused rollback must change nothing")
+  }
+
   test("retention never reclaims the published head under a staged head; streaming refuses staged") {
     val (tbl, path) = freshTable()
     import spark.implicits._
