@@ -241,6 +241,10 @@ class GraftCatalog extends TableCatalog
     // engine-reserved keys Spark injects on every CREATE; the binding
     // consumer today is `write.rowlevel.mode = merge-on-read`
     val props = properties.asScala.toMap -- GraftCatalog.ReservedProps
+    // CHECK constraints declared at CREATE validate like ALTER's (r14)
+    if (props.keys.exists(_.startsWith(GraftConstraints.Prefix)))
+      GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
+        schema, props)
     GraftCatalog.writeSchema(dir, schema, partitions = partSpecs, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
@@ -332,6 +336,11 @@ class GraftCatalog extends TableCatalog
       case set: TableChange.SetProperty =>
         require(!GraftCatalog.ReservedProps.contains(set.property()),
           s"graft catalog: ${set.property()} is engine-reserved")
+        // a CHECK constraint is validated at DECLARATION (r14): a typo'd
+        // column or non-boolean expression refuses here, not first write
+        if (set.property().startsWith(GraftConstraints.Prefix))
+          GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
+            schema, Map(set.property() -> set.value()))
         props += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         props -= rm.property()

@@ -153,7 +153,11 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new JsonDocDeltaWriterFactory(path, schema, queryId,
-      GraftCatalog.partitionSpecOf(path))
+      GraftCatalog.partitionSpecOf(path),
+      // CHECK constraints apply to MOR-INSERTED rows (driver-compiled
+      // here — executors have no SparkSession); deletes identify
+      // existing rows and carry nothing to check
+      GraftConstraints.forWrite(path, schema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -207,9 +211,10 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class JsonDocDeltaWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[GraftCatalog.PartField]) extends DeltaWriterFactory {
+    queryId: String, partCols: Seq[GraftCatalog.PartField],
+    checks: Seq[GraftConstraints.Check] = Seq.empty) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new JsonDocDeltaWriter(path, schema, queryId, partCols, partitionId, taskId)
+    new JsonDocDeltaWriter(path, schema, queryId, partCols, partitionId, taskId, checks)
 }
 
 /** Accumulates (file -> deleted positions) in memory — bounded by this
@@ -219,7 +224,8 @@ private[sources] class JsonDocDeltaWriterFactory(path: String, schema: StructTyp
   * indistinguishable from appended ones. */
 private[sources] class JsonDocDeltaWriter(path: String, schema: StructType,
     queryId: String, partCols: Seq[GraftCatalog.PartField],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends DeltaWriter[InternalRow] {
 
   private val deletes =
@@ -228,7 +234,7 @@ private[sources] class JsonDocDeltaWriter(path: String, schema: StructType,
 
   private def inserts(): org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
     if (insertWriter == null)
-      insertWriter = new JsonDocWriterFactory(path, schema, queryId, partCols)
+      insertWriter = new JsonDocWriterFactory(path, schema, queryId, partCols, checks)
         .createWriter(partitionId, taskId)
     insertWriter
   }

@@ -657,9 +657,14 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
       private def staged: Boolean =
         Option(info.options.get("staged")).contains("true") ||
           GraftCatalog.tablePropsOf(path).get("write.wap.staged").contains("true")
+      // CHECK constraints compiled at PLANNING (driver), shipped bound
+      // (r14): a constraint the write schema cannot resolve fails here,
+      // loudly, before any task runs
+      private def checks: Seq[GraftConstraints.Check] =
+        GraftConstraints.forWrite(path, info.schema())
       override def toBatch: BatchWrite =
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-          replaceScope, dvBasisScope, staged = staged)
+          replaceScope, dvBasisScope, staged = staged, checks = checks)
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-jsondoc streaming write supports append output mode only")
@@ -667,7 +672,8 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
           "graft-jsondoc: staged (write-audit-publish) writes are a batch " +
             "pattern — a streaming sink's epochs are their own checkpointed " +
             "protocol and publish exactly-once already")
-        new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partSpec)
+        new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partSpec,
+          checks = checks)
       }
     }
   }
@@ -937,11 +943,12 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     queryId: String, truncateFirst: Boolean,
     replaceScope: Option[() => Option[Set[String]]] = None,
     dvBasisScope: Option[() => Option[Map[String, String]]] = None,
-    staged: Boolean = false) extends BatchWrite {
+    staged: Boolean = false,
+    checks: Seq[GraftConstraints.Check] = Seq.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
-      GraftCatalog.partitionSpecOf(path))
+      GraftCatalog.partitionSpecOf(path), checks)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -1018,19 +1025,22 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
+    checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId in the TEMP name keeps speculative attempts from colliding;
     // the FINAL name is per-partition, so whichever attempt the commit
     // coordinator lets commit owns it
-    if (partCols.isEmpty)
-      new JsonDocDataWriter(path, schema,
-        s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-        f"part-$queryId-p$partitionId%05d.jsonl")
-    else
-      new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-        partitionId, taskId)
+    GraftConstraints.wrap(
+      if (partCols.isEmpty)
+        new JsonDocDataWriter(path, schema,
+          s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
+          f"part-$queryId-p$partitionId%05d.jsonl")
+      else
+        new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
+          partitionId, taskId),
+      checks)
 }
 
 /** Routes each row to its Hive-style `col=value/` directory (r13),
@@ -1111,11 +1121,12 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
   * only (streaming truncate-per-epoch = complete mode is refused in
   * `toStreaming`). */
 private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
-    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
+    checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new JsonDocStreamingWriterFactory(path, schema, queryId, partCols)
+    new JsonDocStreamingWriterFactory(path, schema, queryId, partCols, checks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -1209,10 +1220,11 @@ private[sources] object JsonDocStreamingWrite {
 }
 
 private[sources] class JsonDocStreamingWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty)
+    queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
+    checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
+      epochId: Long): DataWriter[InternalRow] = GraftConstraints.wrap(
     // (epochId, partitionId) is the exactly-once key, so the FINAL name
     // deliberately omits queryId: the streaming queryId is the RUN id,
     // which changes when a checkpointed query restarts — a replayed
@@ -1232,7 +1244,8 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
         f"part-e$epochId%05d-p$partitionId%05d.jsonl")
     else
       new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-        partitionId, taskId, epochId = Some(epochId))
+        partitionId, taskId, epochId = Some(epochId)),
+    checks)
 }
 
 private[sources] class JsonDocDataWriter(path: String, schema: StructType,

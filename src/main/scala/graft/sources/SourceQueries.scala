@@ -643,6 +643,48 @@ object SourceQueries {
       "WHEN o_orderkey % 10 = 7 THEN 'wap' ELSE 'late' END AS src " +
       "FROM orders ORDER BY o_orderkey"
 
+  /** q198: WRITE-TIME CHECK CONSTRAINTS ([[GraftConstraints]], r14) —
+    * the table declares `constraint.price_positive = 'o_totalprice >
+    * 0'`; the corpus (all positive) writes through the per-row check,
+    * the flow REQUIRES that a violating batch aborts with the
+    * constraint's name AND that the abort landed nothing, then reads
+    * the table back. The oracle is the plain projection — hash-green
+    * means enforcement is exact: every conforming row passed, no
+    * violating row leaked, no conforming row was dropped with it. */
+  def q198Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q198")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "USING `graft-jsondoc` TBLPROPERTIES " +
+      "('constraint.price_positive' = 'o_totalprice > 0')")
+    orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .writeTo(tbl).append()
+    val bad = intercept_(spark, tbl)
+    require(bad.contains("price_positive"),
+      s"q198: a violating write must abort with the constraint name, got: $bad")
+    require(spark.table(tbl).filter(col("o_totalprice") <= 0).count() == 0L,
+      "q198: the aborted write must land nothing")
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  /** The violating write of q198, returning the failure message chain. */
+  private def intercept_(spark: SparkSession, tbl: String): String = {
+    import spark.implicits._
+    try {
+      Seq((-1L, -5.0)).toDF("o_orderkey", "o_totalprice")
+        .coalesce(1).writeTo(tbl).append()
+      ""
+    } catch {
+      case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    }
+  }
+
+  val q198Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q184_files_inventory" -> q184FilesInventory _,
@@ -662,7 +704,8 @@ object SourceQueries {
     "q193_spec_evolution" -> q193SpecEvolution _,
     "q195_tags" -> q195Tags _,
     "q196_rollback" -> q196Rollback _,
-    "q197_wap" -> q197Wap _)
+    "q197_wap" -> q197Wap _,
+    "q198_constraints" -> q198Constraints _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -703,5 +746,8 @@ object SourceQueries {
     "q196_rollback" -> q196Sql,
     // base ∪ concurrent ∪ staged after publish; the flow itself requires
     // the staged rows were invisible during the audit window
-    "q197_wap" -> q197Sql)
+    "q197_wap" -> q197Sql,
+    // the corpus through the per-row CHECK; the flow requires a
+    // violating batch aborted by name and landed nothing
+    "q198_constraints" -> q198Sql)
 }
