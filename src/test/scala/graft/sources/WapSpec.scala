@@ -117,6 +117,32 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pub.getMessage.contains("not a staged snapshot"))
   }
 
+  test("a checkpointed streaming consumer delivers a published stage exactly once, never sees it staged") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    val ck = java.nio.file.Files.createTempDirectory("wap_src_ck").toString
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-jsondoc").option("path", path).load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          outRows.synchronized { outRows ++= df.select("k").collect().map(_.getLong(0)) }
+          ()
+        }.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // consumes the published base (v1)
+    assert(outRows.sorted === Seq(1L, 2L, 3L))
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    drain() // staged head: NOTHING new delivered, no abort
+    assert(outRows.sorted === Seq(1L, 2L, 3L), "a staged snapshot must be invisible to the source")
+    spark.sql(s"CALL graftcat.publish('$path', 2)") // v3
+    drain() // the published delta is an ordinary append: once, exactly
+    assert(outRows.sorted === Seq(1L, 2L, 3L, 4L),
+      "a published stage must deliver its rows exactly once")
+  }
+
   test("rollback to a staged snapshot is refused — publish is the only door in") {
     val (tbl, path) = freshTable()
     import spark.implicits._
