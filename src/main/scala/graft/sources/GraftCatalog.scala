@@ -81,10 +81,12 @@ class GraftCatalog extends TableCatalog
       case "rollback" => GraftProcedures.RollbackProcedure
       case "publish" => GraftProcedures.PublishProcedure
       case "discard_staged" => GraftProcedures.DiscardStagedProcedure
+      case "create_branch" => GraftProcedures.CreateBranchProcedure
+      case "drop_branch" => GraftProcedures.DropBranchProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
-          "rollback, publish, discard_staged)")
+          "rollback, publish, discard_staged, create_branch, drop_branch)")
     }
   }
 
@@ -94,7 +96,8 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "set_partition_spec"),
       Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"),
       Identifier.of(Array.empty, "rollback"), Identifier.of(Array.empty, "publish"),
-      Identifier.of(Array.empty, "discard_staged"))
+      Identifier.of(Array.empty, "discard_staged"),
+      Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -538,11 +541,17 @@ object GraftCatalog {
       s"graft-jsondoc: cannot publish v$v of $path — no such committed version")
     require(JsonDocVersions.readStaged(path, v),
       s"graft-jsondoc: v$v of $path is not a staged snapshot — nothing to publish")
-    val parent = JsonDocVersions.readParent(path, v).getOrElse(0)
+    // walk the parent CHAIN to the published fork point (r14 branches:
+    // a branch head's parents are earlier stages of the same chain, so
+    // the delta below is the branch's CUMULATIVE change; a single stage
+    // walks one hop, exactly the old behavior)
+    var parent = JsonDocVersions.readParent(path, v).getOrElse(0)
+    while (parent != 0 && JsonDocVersions.readStaged(path, parent))
+      parent = JsonDocVersions.readParent(path, parent).getOrElse(0)
     val parentLive: Set[String] =
       if (parent == 0) Set.empty
       else JsonDocVersions.read(path, parent).getOrElse(throw new IllegalStateException(
-        s"graft-jsondoc: staged v$v's parent v$parent of $path has been " +
+        s"graft-jsondoc: staged v$v's fork point v$parent of $path has been " +
           "expired/vacuumed — its delta basis is gone; re-stage the write"))
     val sLive = JsonDocVersions.read(path, v).get
     val pDvs = JsonDocVersions.readDvs(path, parent)
@@ -564,6 +573,17 @@ object GraftCatalog {
     require(JsonDocVersions.readStaged(path, v),
       s"graft-jsondoc: v$v of $path is not a staged snapshot — published " +
         "history is expired by retention policy, not discarded")
+    // a live branch's chain member cannot be discarded from under it —
+    // the head pointer (or a later stage's parent walk) would dangle
+    JsonDocRefs.branches(path).foreach { case (n, head) =>
+      var cur = head
+      while (cur != 0) {
+        require(cur != v,
+          s"graft-jsondoc: v$v is part of branch '$n' — CALL drop_branch('$n') first")
+        cur = if (JsonDocVersions.readStaged(path, cur))
+          JsonDocVersions.readParent(path, cur).getOrElse(0) else 0
+      }
+    }
     if (!JsonDocVersions.deleteManifest(path, v))
       throw new java.io.IOException(
         s"graft-jsondoc: failed to delete staged manifest v$v of $path")
@@ -581,9 +601,23 @@ object GraftCatalog {
     // the latest PUBLISHED version must always survive (a staged WAP
     // head can be the newest manifest, but it is not the current table
     // — reclaiming the published head under it would break every
-    // current read), and tagged versions are retention-pinned
+    // current read); tagged versions are retention-pinned; and a
+    // BRANCH pins its whole chain — every stage down to the published
+    // fork point, which publish needs as its delta basis (r14)
+    def chainOf(head: Int): Seq[Int] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = head
+      while (cur != 0) {
+        buf += cur
+        cur = if (JsonDocVersions.readStaged(path, cur))
+          JsonDocVersions.readParent(path, cur).getOrElse(0)
+        else 0
+      }
+      buf.toSeq
+    }
     val protected0 = JsonDocRefs.tags(path).values.toSet ++
-      JsonDocVersions.latestVersion(path)
+      JsonDocVersions.latestVersion(path) ++
+      JsonDocRefs.branches(path).values.flatMap(chainOf)
     val drop = drop0.filterNot(protected0)
     val keep = keep0 ++ drop0.filter(protected0)
     val referenced: Set[String] =

@@ -128,19 +128,79 @@ private[sources] object GraftProcedures {
   object PublishProcedure extends UnboundProcedure {
     override def name(): String = "publish"
     override def description(): String =
-      "publish a staged (write-audit-publish) snapshot: re-apply its delta as the current version"
+      "publish a staged snapshot by version, or a BRANCH by name (its head's cumulative delta)"
+    // type-dispatched bind (r14): publish(path, 7) takes a version,
+    // publish(path, 'audit') resolves the branch's head first
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      private val byName = inputType.fields.length > 1 &&
+        inputType.fields(1).dataType == StringType
       override def name(): String = "publish"
       override def description(): String = PublishProcedure.description()
-      override def parameters(): Array[ProcedureParameter] = Array(
-        ProcedureParameter.in("path", StringType).build(),
-        ProcedureParameter.in("version", LongType).build())
+      override def parameters(): Array[ProcedureParameter] =
+        if (byName) Array(
+          ProcedureParameter.in("path", StringType).build(),
+          ProcedureParameter.in("branch", StringType).build())
+        else Array(
+          ProcedureParameter.in("path", StringType).build(),
+          ProcedureParameter.in("version", LongType).build())
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val v = GraftCatalog.publish(
-          input.getUTF8String(0).toString, input.getLong(1).toInt)
+        val path = input.getUTF8String(0).toString
+        val v =
+          if (byName) {
+            val n = input.getUTF8String(1).toString
+            val head = JsonDocRefs.branches(path).getOrElse(n,
+              throw new IllegalArgumentException(
+                s"graft-jsondoc: no branch '$n' on $path"))
+            require(head > 0, s"graft-jsondoc: branch '$n' of $path has no commits to publish")
+            val pub = GraftCatalog.publish(path, head)
+            // a published branch is SPENT: drop the pointer so stale
+            // re-use fails loudly instead of re-publishing the chain
+            JsonDocRefs.dropBranch(path, n)
+            pub
+          } else GraftCatalog.publish(path, input.getLong(1).toInt)
         val schema = new StructType().add("version", LongType, nullable = false)
         Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
+  object CreateBranchProcedure extends UnboundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "create a named branch: subsequent writes with the `branch` option stage a CHAIN off the published table"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_branch"
+      override def description(): String = CreateBranchProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val n = input.getUTF8String(1).toString
+        JsonDocRefs.createBranch(input.getUTF8String(0).toString, n)
+        val schema = new StructType().add("branch", StringType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(UTF8String.fromString(n))))).asJava
+      }
+    }
+  }
+
+  object DropBranchProcedure extends UnboundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "drop a branch pointer; its staged chain becomes orphan stages retention reclaims"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String = DropBranchProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val n = input.getUTF8String(1).toString
+        JsonDocRefs.dropBranch(input.getUTF8String(0).toString, n)
+        val schema = new StructType().add("dropped", StringType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(UTF8String.fromString(n))))).asJava
       }
     }
   }

@@ -119,12 +119,19 @@ private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWrite
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
   }
   override def build(): DeltaWrite = new DeltaWrite {
-    override def toBatch: DeltaBatchWrite =
+    override def toBatch: DeltaBatchWrite = {
+      // branch chains are append-only (the batch builder's rule): a MOR
+      // delta's positions come from the PUBLISHED scan, incoherent
+      // against a moving branch head
+      require(!GraftCatalog.tablePropsOf(path).contains("write.wap.branch"),
+        "graft-jsondoc: branch writes are append-only — merge-on-read DML " +
+          "cannot target a branch; publish first")
       new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId(), cmd,
         // WAP staging (r14): SQL DML has no writer-option channel, so
         // the table property is the only trigger here
         staged = GraftCatalog.tablePropsOf(path)
           .get("write.wap.staged").contains("true"))
+    }
   }
 }
 

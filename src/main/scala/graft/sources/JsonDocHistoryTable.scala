@@ -301,7 +301,7 @@ private[sources] object JsonDocRefsTable {
 }
 
 private[sources] case class JsonDocRefsPartition(
-  rows: Seq[(String, Long)]) extends InputPartition
+  rows: Seq[(String, String, Long)]) extends InputPartition
 
 private[sources] class JsonDocRefsScan(path: String) extends Scan with Batch {
   override def readSchema(): StructType = JsonDocRefsTable.Schema
@@ -309,7 +309,10 @@ private[sources] class JsonDocRefsScan(path: String) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(JsonDocRefsPartition(
-      JsonDocRefs.tags(path).toSeq.sortBy(_._1).map { case (n, v) => (n, v.toLong) }))
+      (JsonDocRefs.tags(path).toSeq.map { case (n, v) => (n, "tag", v.toLong) } ++
+        // branch version = the chain's HEAD (0 = created, no commits yet)
+        JsonDocRefs.branches(path).toSeq.map { case (n, v) => (n, "branch", v.toLong) })
+        .sortBy(r => (r._1, r._2))))
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => new PartitionReader[InternalRow] {
@@ -317,9 +320,9 @@ private[sources] class JsonDocRefsScan(path: String) extends Scan with Batch {
       private var cur: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        val (n, v) = it.next()
+        val (n, tpe, v) = it.next()
         cur = InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n),
-          org.apache.spark.unsafe.types.UTF8String.fromString("tag"), v)
+          org.apache.spark.unsafe.types.UTF8String.fromString(tpe), v)
         true
       }
       override def get(): InternalRow = cur

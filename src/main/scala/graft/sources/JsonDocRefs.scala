@@ -37,20 +37,67 @@ private[sources] object JsonDocRefs {
     * shadowed by — a version number, silently). */
   private val NamePattern = "[A-Za-z][A-Za-z0-9._-]*".r
 
-  def tags(path: String): Map[String, Int] = {
+  private def section(path: String, key: String): Map[String, Int] = {
     val f = new java.io.File(path, FileName)
     if (!f.isFile) return Map.empty
     val root = new ObjectMapper().readTree(f)
-    Option(root.get("tags")).map { t =>
+    Option(root.get(key)).map { t =>
       t.fields().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
     }.getOrElse(Map.empty)
   }
 
-  private def write(path: String, all: Map[String, Int]): Unit = {
+  def tags(path: String): Map[String, Int] = section(path, "tags")
+
+  /** BRANCHES (r14): name -> HEAD version of a chain of STAGED
+    * snapshots — multi-commit write-audit-publish. A write carrying the
+    * `branch` option stages onto the branch's head (parent = head), so
+    * successive writes build on each other while staying invisible to
+    * every current read; `CALL publish` walks the head's parent chain
+    * to its published fork point and re-applies the CUMULATIVE delta.
+    * The head pointer moves (unlike tags) — it is updated by the commit
+    * that extends the chain. */
+  def branches(path: String): Map[String, Int] = section(path, "branches")
+
+  def createBranch(path: String, name: String): Unit = lock.synchronized {
+    require(NamePattern.matches(name),
+      s"graft-jsondoc: branch name '$name' must start with a letter and use only " +
+        "letters, digits, '.', '_', '-'")
+    val (t, b) = (tags(path), branches(path))
+    require(!t.contains(name) && !b.contains(name),
+      s"graft-jsondoc: ref '$name' already exists on $path")
+    // head 0 = "no staged commits yet": the first branch write stages
+    // off the then-current published version and becomes the head
+    write(path, t, b + (name -> 0))
+  }
+
+  /** Repoint a branch head after a chain-extending commit (caller =
+    * the commit path, under the source's single-writer contract). */
+  private[sources] def setBranchHead(path: String, name: String, v: Int): Unit =
+    lock.synchronized {
+      val b = branches(path)
+      require(b.contains(name), s"graft-jsondoc: no branch '$name' on $path")
+      write(path, tags(path), b + (name -> v))
+    }
+
+  /** Drop the branch POINTER; its staged manifests become orphan stages
+    * (discard them, or let retention reclaim them). */
+  def dropBranch(path: String, name: String): Unit = lock.synchronized {
+    val b = branches(path)
+    require(b.contains(name), s"graft-jsondoc: no branch '$name' on $path" +
+      (if (b.isEmpty) "" else s" (branches: ${b.keys.toSeq.sorted.mkString(", ")})"))
+    write(path, tags(path), b - name)
+  }
+
+  private def write(path: String, allTags: Map[String, Int],
+      allBranches: Map[String, Int]): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val t = root.putObject("tags")
-    all.toSeq.sortBy(_._1).foreach { case (n, v) => t.put(n, v) }
+    allTags.toSeq.sortBy(_._1).foreach { case (n, v) => t.put(n, v) }
+    if (allBranches.nonEmpty) {
+      val b = root.putObject("branches")
+      allBranches.toSeq.sortBy(_._1).foreach { case (n, v) => b.put(n, v) }
+    }
     val dir = new java.io.File(path)
     val tmp = new java.io.File(dir,
       s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -78,11 +125,11 @@ private[sources] object JsonDocRefs {
         s"graft-jsondoc: cannot tag snapshot v$v of $path — no such committed " +
           "version (expired, vacuumed, or never existed)")
     val all = tags(path)
-    if (all.contains(name))
+    if (all.contains(name) || branches(path).contains(name))
       throw new IllegalArgumentException(
-        s"graft-jsondoc: tag '$name' already exists (-> v${all(name)}); tags are " +
+        s"graft-jsondoc: ref '$name' already exists; tags are " +
           "immutable — DROP it first to re-point")
-    write(path, all + (name -> v))
+    write(path, all + (name -> v), branches(path))
   }
 
   /** Remove `name`, releasing its snapshot to normal retention policy.
@@ -94,17 +141,29 @@ private[sources] object JsonDocRefs {
       throw new IllegalArgumentException(
         s"graft-jsondoc: no tag '$name' on $path" +
           (if (all.isEmpty) "" else s" (tags: ${all.keys.toSeq.sorted.mkString(", ")})"))
-    write(path, all - name)
+    write(path, all - name, branches(path))
   }
 
   /** Resolve a `VERSION AS OF` string: an integer is a version, else a
     * tag name; unknown tags fail loudly with the available names. */
+  /** Resolve a `VERSION AS OF` string: an integer is a version, a tag
+    * name its pinned version, a BRANCH name its current head (the audit
+    * read of the staged chain; a head of 0 = empty branch is refused —
+    * there is nothing to read). Unknown names fail with the inventory. */
   def resolve(path: String, version: String): Int =
     version.toIntOption.getOrElse {
-      val all = tags(path)
-      all.getOrElse(version, throw new IllegalArgumentException(
+      val t = tags(path)
+      t.get(version).orElse {
+        branches(path).get(version).map { h =>
+          if (h == 0) throw new IllegalArgumentException(
+            s"graft catalog: branch '$version' of $path has no commits yet")
+          h
+        }
+      }.getOrElse(throw new IllegalArgumentException(
         s"graft catalog: VERSION AS OF '$version' names neither an integer " +
-          s"snapshot version nor a tag of $path" +
-          (if (all.isEmpty) "" else s" (tags: ${all.keys.toSeq.sorted.mkString(", ")})")))
+          s"snapshot version nor a ref of $path" +
+          (if (t.isEmpty && branches(path).isEmpty) ""
+           else s" (tags: ${t.keys.toSeq.sorted.mkString(", ")}; " +
+             s"branches: ${branches(path).keys.toSeq.sorted.mkString(", ")})")))
     }
 }

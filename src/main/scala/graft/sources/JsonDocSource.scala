@@ -654,17 +654,32 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
       // `write.wap.staged` table property, for SQL DML with no option
       // channel) lands this commit as a STAGED snapshot — invisible to
       // every current read until `CALL publish`
-      private def staged: Boolean =
+      private def staged: Boolean = branch.isDefined ||
         Option(info.options.get("staged")).contains("true") ||
           GraftCatalog.tablePropsOf(path).get("write.wap.staged").contains("true")
+      // BRANCH writes (r14): `branch` write option / `write.wap.branch`
+      // property — a staged commit CHAINED on the named branch's head,
+      // so multi-commit audit flows build on each other while invisible
+      private def branch: Option[String] =
+        Option(info.options.get("branch"))
+          .orElse(GraftCatalog.tablePropsOf(path).get("write.wap.branch"))
       // CHECK constraints compiled at PLANNING (driver), shipped bound
       // (r14): a constraint the write schema cannot resolve fails here,
       // loudly, before any task runs
       private def checks: Seq[GraftConstraints.Check] =
         GraftConstraints.forWrite(path, info.schema())
-      override def toBatch: BatchWrite =
+      override def toBatch: BatchWrite = {
+        // branch chains are APPEND-ONLY (r14): a truncate or row-level
+        // rewrite SCANS the published table, so retiring those files
+        // against a branch head whose live set has moved on is
+        // incoherent — refused loudly rather than silently misapplied
+        require(branch.isEmpty || (!truncateFirst && replaceScope.isEmpty),
+          "graft-jsondoc: branch writes are append-only — publish the branch " +
+            "first, then run the overwrite/row-level op on the published table")
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
-          replaceScope, dvBasisScope, staged = staged, checks = checks)
+          replaceScope, dvBasisScope, staged = staged, checks = checks,
+          branch = branch)
+      }
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
           "graft-jsondoc streaming write supports append output mode only")
@@ -944,7 +959,8 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     replaceScope: Option[() => Option[Set[String]]] = None,
     dvBasisScope: Option[() => Option[Map[String, String]]] = None,
     staged: Boolean = false,
-    checks: Seq[GraftConstraints.Check] = Seq.empty) extends BatchWrite {
+    checks: Seq[GraftConstraints.Check] = Seq.empty,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
@@ -989,6 +1005,13 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     if (staged && JsonDocVersions.latest(path).isEmpty)
       JsonDocVersions.commit(path, live0 -- msgs.map(_.finalName).toSet,
         op = "bootstrap")
+    // a BRANCH write chains on the branch's staged head (r14): must
+    // exist (create_branch first — a typo'd name must not silently
+    // stage off published state); head 0 = first commit of the chain
+    val branchHead: Option[Int] = branch.map { n =>
+      JsonDocRefs.branches(path).getOrElse(n, throw new IllegalArgumentException(
+        s"graft-jsondoc: no branch '$n' on $path — CALL create_branch first"))
+    }
     JsonDocVersions.latest(path) match {
       case Some(_) =>
         // DELTA commit (r13): rebases over a concurrent append instead
@@ -996,8 +1019,14 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         // concurrent rewrite already retired — the copy-on-write
         // conflict. The dv basis (r14) extends the same refusal to
         // delete vectors repointed since the rewrite scan folded them.
-        JsonDocVersions.commitDelta(path, retired, msgs.map(_.finalName).toSet, txn,
-          dvBasis = dvBasisScope.flatMap(_()), op = op, staged = staged)
+        val committed = JsonDocVersions.commitDelta(path, retired,
+          msgs.map(_.finalName).toSet, txn,
+          dvBasis = dvBasisScope.flatMap(_()), op = op, staged = staged,
+          stagedBase = branchHead)
+        // repoint the branch head AFTER the chain-extending commit; a
+        // crash in between leaves an orphan stage (vacuum sweeps it)
+        // and the write simply appears failed — never a wrong head
+        branch.foreach(n => JsonDocRefs.setBranchHead(path, n, committed))
       case None =>
         // FIRST manifest of a legacy directory (advice r13): commitDelta
         // would start from an EMPTY base and mint a manifest excluding

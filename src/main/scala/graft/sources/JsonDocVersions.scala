@@ -264,16 +264,19 @@ private[graft] object JsonDocVersions {
       dvBasis: Option[Map[String, String]] = None,
       rewrites: Map[String, Rewrite] = Map.empty,
       op: String = "",
-      staged: Boolean = false): Int = {
+      staged: Boolean = false,
+      stagedBase: Option[Int] = None): Int = {
     var attempt = 0
     while (true) {
       // numbering over the whole chain; the REBASE BASE is the latest
       // PUBLISHED version — a current write must never absorb a staged
       // head's files into the visible live set (WAP invisibility), and
       // a STAGED write bases on published state too (each staged
-      // snapshot is an independent candidate off the current table)
+      // snapshot is an independent candidate off the current table) —
+      // UNLESS it extends a BRANCH (r14): `stagedBase` = the branch's
+      // staged head, so successive branch writes build on each other
       val v = manifests(path).lastOption.getOrElse(0) + 1
-      val prev = latestVersion(path)
+      val prev = stagedBase.filter(_ > 0).orElse(latestVersion(path))
       // an unreadable LATEST manifest must abort, not silently rebase
       // onto an empty set — that would commit a live set holding only
       // this delta's additions and drop the whole table
