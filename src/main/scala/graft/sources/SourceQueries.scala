@@ -685,6 +685,44 @@ object SourceQueries {
   val q198Sql: String =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
 
+  /** q199: NAMED BRANCHES ([[JsonDocRefs.branches]], r14) — the
+    * multi-commit WAP flow end to end: a branch takes TWO staged
+    * appends (the second chained on the first's head), the flow
+    * REQUIRES both stayed invisible while a published append landed in
+    * between, then `CALL publish(path, 'ingest')` applies the chain's
+    * CUMULATIVE delta. The oracle is base ∪ concurrent ∪ both staged
+    * slices — hash-green means the chain accumulated (not just the
+    * last stage), survived the interleaved published work, and leaked
+    * nothing early. */
+  def q199Branch(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q199")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+      "src STRING) USING `graft-jsondoc`")
+    val base = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    base.filter(pmod(col("o_orderkey"), lit(10)) < 6)
+      .withColumn("src", lit("base")).writeTo(tbl).append() // published v1
+    spark.sql(s"CALL graftcat.create_branch('$root/t', 'ingest')")
+    base.filter(pmod(col("o_orderkey"), lit(10)) === 6)
+      .withColumn("src", lit("b1"))
+      .writeTo(tbl).option("branch", "ingest").append() // staged v2
+    base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .withColumn("src", lit("b2"))
+      .writeTo(tbl).option("branch", "ingest").append() // staged v3, chained
+    require(spark.table(tbl).filter(col("src").isin("b1", "b2")).count() == 0L,
+      "q199: branch rows leaked into the audit window")
+    base.filter(pmod(col("o_orderkey"), lit(10)) > 7)
+      .withColumn("src", lit("late")).writeTo(tbl).append() // published v4
+    spark.sql(s"CALL graftcat.publish('$root/t', 'ingest')") // v5
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q199Sql: String =
+    "SELECT o_orderkey, o_totalprice, CASE WHEN o_orderkey % 10 < 6 THEN 'base' " +
+      "WHEN o_orderkey % 10 = 6 THEN 'b1' WHEN o_orderkey % 10 = 7 THEN 'b2' " +
+      "ELSE 'late' END AS src FROM orders ORDER BY o_orderkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q184_files_inventory" -> q184FilesInventory _,
@@ -705,7 +743,8 @@ object SourceQueries {
     "q195_tags" -> q195Tags _,
     "q196_rollback" -> q196Rollback _,
     "q197_wap" -> q197Wap _,
-    "q198_constraints" -> q198Constraints _)
+    "q198_constraints" -> q198Constraints _,
+    "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
     "q48_dsv2_source" -> q48Sql,
@@ -749,5 +788,8 @@ object SourceQueries {
     "q197_wap" -> q197Sql,
     // the corpus through the per-row CHECK; the flow requires a
     // violating batch aborted by name and landed nothing
-    "q198_constraints" -> q198Sql)
+    "q198_constraints" -> q198Sql,
+    // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
+    // the cumulative branch delta, with in-flow invisibility requires
+    "q199_branch" -> q199Sql)
 }
