@@ -21,16 +21,25 @@ object Bench {
 
   private def jsonLine(results: Seq[(String, Double)], sfDir: String,
       key: String => String, decimals: Int, includeQueries: Boolean = true,
-      lean: Boolean = false, minimal: Boolean = false): String = {
-    // lean (the last map-bearing gear): shed every redundant byte before
+      lean: Boolean = false, minimal: Boolean = false,
+      dropZeros: Boolean = false): String = {
+    // lean (a late map-bearing gear): shed every redundant byte before
     // shedding the map itself — "unit" (derivable), the sf PATH
     // (basename identifies the SF), and the "#2" sentinel entries
     // (derivative repeats of rows already present; their adjudication
     // stays visible in the full-name line above). "n_queries" stays —
     // it still counts ALL results incl. shed sentinels, the one signal
     // that the map is the lean subset.
-    val rows =
+    // dropZeros (r15, the 203-row board): at decimals=0 a sub-0.5 s row
+    // renders as "0" — zero information per ~8 bytes. Shedding exactly
+    // those rows keeps every row the driver can actually baseline;
+    // drifted() treats a missing-from-baseline key as the sub-quantum
+    // case (absolute 5 s trip wire), so the guard survives the shed.
+    val rows0 =
       if (lean) results.filterNot(_._1.contains("#")) else results
+    val rows =
+      if (dropZeros) rows0.filter { case (_, v) => fmt(v, decimals) != "0" }
+      else rows0
     val qs =
       if (includeQueries)
         rows.sortBy(_._1)
@@ -89,7 +98,13 @@ object Bench {
         // r14 gear (the 192-query board at 2-digit seconds overran by
         // ~20 chars, ~140 with the drift repeats): shed n_queries and
         // the trailing total duplicate before surrendering the map
-        jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, minimal = true))
+        jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, minimal = true),
+        // r15 gears (the 203-row board): shed the zero-valued rows —
+        // the integer-precision map carries no signal for them — before
+        // surrendering per-query visibility for the rows that matter
+        jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, dropZeros = true),
+        jsonLine(results, sfDir, shortKey, decimals = 0, lean = true, minimal = true,
+          dropZeros = true))
     // 1740: the driver tail is ~2000 chars and sbt's trailing
     // "[success] Total time: ..." line is ~90 — 170 chars of margin
     // remain (was 300; the 195-row board needed the slack back)
@@ -172,10 +187,14 @@ object Bench {
         // a lean-gear line becomes the baseline — so sub-quantum
         // baselines fall back to an absolute 5 s trip wire instead of
         // being exempt.
-        prev.get(shortOf(n)).exists(p =>
+        // a key ABSENT from a non-empty baseline means the row rendered
+        // "0" in every baseline round (the r15 dropZeros gear) — the
+        // sub-quantum case by construction, so it inherits the same
+        // absolute trip wire instead of escaping the guard entirely
+        prev.get(shortOf(n)).orElse(Some(0.0)).exists(p =>
           if (p >= 0.5) t > 1.5 * p && t > p + 0.8 else t > 5.0)
     }.sortBy { case (n, t) =>
-      val p = prev(shortOf(n))
+      val p = prev.getOrElse(shortOf(n), 0.0)
       -(if (p >= 0.5) t / p else t) // sub-quantum rows rank by raw time
     }.take(cap).map(_._1)
   }
@@ -278,10 +297,29 @@ object Bench {
           // which is exactly the evidence that run needs.
           val drift = drifted(board, previousBench(), hot.toSet, cap = board.size)
           val byName = sorted.toMap
-          board ++ (hot ++ drift).map { name =>
+          val repeats = (hot ++ drift).map { name =>
             val label = name.takeWhile(_ != '_') + "#2" + name.dropWhile(_ != '_')
-            label -> timeOne(name, byName(name))
+            (name, label, timeOne(name, byName(name)))
           }
+          // MEDIAN-OF-3 escalation (r15, verdict item 7): when a row's
+          // sentinel diverges >1.5x from its primary IN EITHER DIRECTION,
+          // two samples cannot say which one was the noise — a third
+          // repeat makes the adjudication a median instead of a coin
+          // flip (the r14 board's `182#2` read 18 s on a 9 s primary;
+          // min-of-two kept the rule honest, but the variance itself was
+          // the largest noise source left). Bounded: only divergent rows
+          // pay the third run.
+          val primaryOf = board.toMap
+          val third = repeats.collect {
+            case (name, _, t2) if {
+              val t1 = primaryOf(name)
+              val hi = math.max(t1, t2); val lo = math.min(t1, t2)
+              lo > 0 && hi / lo > 1.5 && hi - lo > 0.8
+            } =>
+              val label = name.takeWhile(_ != '_') + "#3" + name.dropWhile(_ != '_')
+              label -> timeOne(name, byName(name))
+          }
+          board ++ repeats.map { case (_, l, t) => l -> t } ++ third
         }
     }
     println(fullLine(results, sfDir))

@@ -34,6 +34,18 @@ private[graft] trait CommitStore {
   def mtime(dir: String, name: String): Option[Long]
 
   def delete(dir: String, name: String): Boolean
+
+  /** Overwrite-put for ADVISORY metadata only (the `_head.json`
+    * resolution pointer — r15): last-writer-wins is acceptable because
+    * readers treat the content as a hint and fall back to the listing.
+    * NEVER use for a commit artifact; those go through the CAS. The
+    * default delete+create is non-atomic — a reader racing the gap sees
+    * "missing" and takes the fallback, which is correct by contract. */
+  def put(dir: String, name: String, content: String): Unit = {
+    delete(dir, name)
+    putIfAbsent(dir, name, content)
+    ()
+  }
 }
 
 private[graft] object LocalFsCommitStore extends CommitStore {
@@ -71,4 +83,22 @@ private[graft] object LocalFsCommitStore extends CommitStore {
 
   override def delete(dir: String, name: String): Boolean =
     new java.io.File(dir, name).delete()
+
+  /** Atomic overwrite via tmp + rename (rename(2) replaces): a reader
+    * never sees a partial head file, only old-or-new. */
+  override def put(dir: String, name: String, content: String): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val tmp = new java.io.File(d,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, content)
+    val dst = new java.io.File(d, name)
+    if (!tmp.renameTo(dst)) {
+      dst.delete() // non-POSIX fallback
+      if (!tmp.renameTo(dst)) {
+        tmp.delete()
+        throw new java.io.IOException(s"head-pointer rename failed: $name in $dir")
+      }
+    }
+  }
 }

@@ -83,10 +83,14 @@ class GraftCatalog extends TableCatalog
       case "discard_staged" => GraftProcedures.DiscardStagedProcedure
       case "create_branch" => GraftProcedures.CreateBranchProcedure
       case "drop_branch" => GraftProcedures.DropBranchProcedure
+      case "fast_forward" => GraftProcedures.FastForwardProcedure
+      case "cherry_pick" => GraftProcedures.CherryPickProcedure
+      case "recover_txn2" => GraftProcedures.RecoverTxn2Procedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
-          "rollback, publish, discard_staged, create_branch, drop_branch)")
+          "rollback, publish, discard_staged, create_branch, drop_branch, " +
+          "fast_forward, cherry_pick)")
     }
   }
 
@@ -97,7 +101,9 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "create_tag"), Identifier.of(Array.empty, "drop_tag"),
       Identifier.of(Array.empty, "rollback"), Identifier.of(Array.empty, "publish"),
       Identifier.of(Array.empty, "discard_staged"),
-      Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"))
+      Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"),
+      Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
+      Identifier.of(Array.empty, "recover_txn2"))
 
   private def dirOf(ident: Identifier): java.io.File = {
     require(ident.namespace().isEmpty,
@@ -519,8 +525,15 @@ object GraftCatalog {
         s"graft-jsondoc: rollback of $path to v$v would reference missing data " +
           s"files (${missing.take(3).mkString(", ")}) — the directory was " +
           "corrupted or manually cleaned")
+    // restore the target's FULL sequencing state: DV map, per-file
+    // added-at versions (equality-delete applicability), and the eq
+    // list itself — rollback is "that snapshot, verbatim", not "those
+    // files under today's delete state"
+    val target = JsonDocVersions.state(path, v).get
     JsonDocVersions.commit(path, live,
-      dvsOverride = Some(JsonDocVersions.readDvs(path, v)), op = "rollback")
+      dvsOverride = Some(target.dvs),
+      addedAtOverride = Some(target.addedAt),
+      eqsOverride = Some(target.eqs), op = "rollback")
   }
 
   /** PUBLISH a staged (write-audit-publish) snapshot (r14): re-apply
@@ -541,13 +554,49 @@ object GraftCatalog {
       s"graft-jsondoc: cannot publish v$v of $path — no such committed version")
     require(JsonDocVersions.readStaged(path, v),
       s"graft-jsondoc: v$v of $path is not a staged snapshot — nothing to publish")
+    // a stage publishes AT MOST ONCE (advice r14 — Iceberg's wap.id
+    // dedup on cherrypick): immediately after a publish the re-apply is
+    // a harmless no-op, but once OPTIMIZE has retired the published
+    // copies of the staged files, a second publish would re-add the
+    // compacted-away inputs — silent row duplication. The marker CAS is
+    // claimed BEFORE the commit (at-most-once is the safe direction); a
+    // refused commit releases it, so only a crash inside this window
+    // leaves the stage locked, and the loud exit is discard + re-stage.
+    if (!JsonDocVersions.claimPublished(path, v))
+      throw new IllegalStateException(
+        s"graft-jsondoc: staged v$v of $path was already published (or a publish " +
+          "of it crashed mid-flight) — re-applying would duplicate rows; " +
+          "discard_staged + re-stage to redo the write")
+    try publishUnmarked(path, v)
+    catch { case e: Throwable => JsonDocVersions.releasePublished(path, v); throw e }
+  }
+
+  private def publishUnmarked(path: String, v: Int): Int = {
     // walk the parent CHAIN to the published fork point (r14 branches:
     // a branch head's parents are earlier stages of the same chain, so
     // the delta below is the branch's CUMULATIVE change; a single stage
-    // walks one hop, exactly the old behavior)
+    // walks one hop, exactly the old behavior). A chain member that was
+    // already published INDIVIDUALLY (cherry-pick, r15) poisons the
+    // cumulative delta — re-applying it would duplicate its rows — so
+    // the walk refuses on any published marker below the head.
     var parent = JsonDocVersions.readParent(path, v).getOrElse(0)
-    while (parent != 0 && JsonDocVersions.readStaged(path, parent))
+    while (parent != 0 && JsonDocVersions.readStaged(path, parent)) {
+      if (JsonDocVersions.isPublished(path, parent))
+        throw new IllegalStateException(
+          s"graft-jsondoc: stage v$parent of this chain was already published " +
+            "(cherry-picked) — the cumulative delta would re-apply it; " +
+            "cherry-pick the remaining stages individually")
       parent = JsonDocVersions.readParent(path, parent).getOrElse(0)
+    }
+    applyStageDelta(path, v, parent)
+  }
+
+  /** Re-apply stage `v`'s delta AGAINST BASIS `parent` as a published
+    * commit — shared by publish (parent = the chain's published fork:
+    * the CUMULATIVE delta) and cherry_pick (parent = the stage's direct
+    * parent: ONE stage's own delta). */
+  private def applyStageDelta(path: String, v: Int, parent: Int,
+      op: String = "publish"): Int = {
     val parentLive: Set[String] =
       if (parent == 0) Set.empty
       else JsonDocVersions.read(path, parent).getOrElse(throw new IllegalStateException(
@@ -557,9 +606,85 @@ object GraftCatalog {
     val pDvs = JsonDocVersions.readDvs(path, parent)
     val sDvs = JsonDocVersions.readDvs(path, v)
     val dvUpdates = sDvs.filter { case (f, dv) => !pDvs.get(f).contains(dv) }
+    // the staged chain's APPLIED-TRANSACTION entries ride the publish
+    // (advice r14): a GraftTxn epoch recorded by a staged batch write
+    // must reach published state, or a replayed epoch would re-apply
+    // after publish instead of skipping. The delta is the chain's own
+    // entries (those differing from the fork point's map), merged
+    // max-wins so a later published epoch is never regressed.
+    val pTxns = JsonDocVersions.readTxns(path, parent)
+    val sTxns = JsonDocVersions.readTxns(path, v)
+    val txnDelta = sTxns.filter { case (a, e) => !pTxns.get(a).contains(e) }
     JsonDocVersions.commitDelta(path, removed = parentLive -- sLive,
       added = sLive -- parentLive, dvUpdates = dvUpdates,
-      dvBasis = Some(pDvs), op = "publish")
+      dvBasis = Some(pDvs), extraTxns = txnDelta, op = op)
+  }
+
+  /** FAST-FORWARD a branch (r15, verdict item 3 — Iceberg's
+    * `fast_forward` procedure): when the published head has NOT moved
+    * since the branch forked, publishing needs no delta re-application
+    * at all — one O(1) adoption commit makes the branch head's state
+    * the current table (every stage's files, DVs, and ledger entries,
+    * wholesale). Refuses loudly when the head moved (that is publish's
+    * job — delta re-application with OCC), when any chain member was
+    * already cherry-picked, or when a commit races the adoption (the
+    * CAS failure voids the precondition). Claims every chain member's
+    * published marker so no stage can be re-applied later, and spends
+    * the branch pointer like publish-by-name does. */
+  def fastForward(path: String, branch: String): Int = {
+    val head = JsonDocRefs.branches(path).getOrElse(branch,
+      throw new IllegalArgumentException(s"graft-jsondoc: no branch '$branch' on $path"))
+    require(head > 0, s"graft-jsondoc: branch '$branch' of $path has no commits to fast-forward")
+    // collect the chain and its fork point
+    val members = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cur = head
+    while (cur != 0 && JsonDocVersions.readStaged(path, cur)) {
+      members += cur
+      cur = JsonDocVersions.readParent(path, cur).getOrElse(0)
+    }
+    val fork = cur
+    require(JsonDocVersions.latestVersion(path).getOrElse(0) == fork,
+      s"graft-jsondoc: cannot fast-forward '$branch' — published work landed since " +
+        s"the branch forked at v$fork; CALL publish (delta re-application) instead")
+    val claimed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def releaseAll(): Unit = claimed.foreach(JsonDocVersions.releasePublished(path, _))
+    members.foreach { m =>
+      if (!JsonDocVersions.claimPublished(path, m)) {
+        releaseAll()
+        throw new IllegalStateException(
+          s"graft-jsondoc: stage v$m of branch '$branch' was already published " +
+            "(or a publish of it crashed mid-flight) — fast-forward would " +
+            "duplicate its rows; discard and re-stage")
+      }
+      claimed += m
+    }
+    val v =
+      try JsonDocVersions.commitAdopt(path, head, op = "fast-forward")
+      catch { case e: Throwable => releaseAll(); throw e }
+    JsonDocRefs.dropBranch(path, branch)
+    v
+  }
+
+  /** CHERRY-PICK one staged snapshot's OWN delta (r15, verdict item 3 —
+    * Iceberg's `cherrypick_snapshot`): re-apply stage `v`'s changes
+    * against ITS DIRECT PARENT onto the current table — one mid-chain
+    * commit published without the rest of its branch. The usual OCC
+    * refusals fire on genuine conflicts; the published marker makes the
+    * pick at-most-once, and a later publish/fast-forward of the chain
+    * refuses rather than re-applying the picked stage. */
+  def cherryPick(path: String, v: Int): Int = {
+    require(JsonDocVersions.read(path, v).isDefined,
+      s"graft-jsondoc: cannot cherry-pick v$v of $path — no such committed version")
+    require(JsonDocVersions.readStaged(path, v),
+      s"graft-jsondoc: v$v of $path is not a staged snapshot — published history " +
+        "cannot be cherry-picked")
+    if (!JsonDocVersions.claimPublished(path, v))
+      throw new IllegalStateException(
+        s"graft-jsondoc: staged v$v of $path was already published (or a publish " +
+          "of it crashed mid-flight) — re-applying would duplicate rows")
+    try applyStageDelta(path, v,
+      JsonDocVersions.readParent(path, v).getOrElse(0), op = "cherry-pick")
+    catch { case e: Throwable => JsonDocVersions.releasePublished(path, v); throw e }
   }
 
   /** DISCARD a staged snapshot (r14): the explicit "audit failed" exit
@@ -573,6 +698,14 @@ object GraftCatalog {
     require(JsonDocVersions.readStaged(path, v),
       s"graft-jsondoc: v$v of $path is not a staged snapshot — published " +
         "history is expired by retention policy, not discarded")
+    // a TAGGED stage is retention-pinned like any tagged snapshot
+    // (advice r14: the WAP flow suggests tagging a staged snapshot for
+    // audit; discarding under the tag would leave a dangling ref whose
+    // VERSION AS OF read throws)
+    JsonDocRefs.tags(path).foreach { case (n, tv) =>
+      require(tv != v,
+        s"graft-jsondoc: v$v is pinned by tag '$n' — CALL drop_tag('$n') first")
+    }
     // a live branch's chain member cannot be discarded from under it —
     // the head pointer (or a later stage's parent walk) would dangle
     JsonDocRefs.branches(path).foreach { case (n, head) =>
@@ -587,6 +720,9 @@ object GraftCatalog {
     if (!JsonDocVersions.deleteManifest(path, v))
       throw new java.io.IOException(
         s"graft-jsondoc: failed to delete staged manifest v$v of $path")
+    // the discarded stage may have been the newest manifest — move the
+    // resolution pointer back so reads don't fall to the listing forever
+    JsonDocVersions.refreshHeadAfterDelete(path)
   }
 
   /** Shared reclaim: delete every data file no kept manifest references,
@@ -620,6 +756,12 @@ object GraftCatalog {
       JsonDocRefs.branches(path).values.flatMap(chainOf)
     val drop = drop0.filterNot(protected0)
     val keep = keep0 ++ drop0.filter(protected0)
+    // with INCREMENTAL manifests (r15) a kept version can be a delta
+    // whose reconstruction chain passes through manifests about to be
+    // dropped — checkpoint every kept version FIRST so each becomes
+    // self-contained, then dropping ancestors is safe
+    if (drop.nonEmpty)
+      keep.distinct.foreach(v => JsonDocVersions.ensureCheckpoint(path, v))
     val referenced: Set[String] =
       keep.flatMap(v => JsonDocVersions.read(path, v).getOrElse(Set.empty)).toSet
     val deletable = JsonDocSource.walkDataFiles(path)
@@ -634,9 +776,16 @@ object GraftCatalog {
     // them, and a kept version's DVs must survive for time travel
     val referencedDvs: Set[String] =
       keep.flatMap(v => JsonDocVersions.readDvs(path, v).values).toSet
+    // equality-delete files follow the same rule (r15)
+    val referencedEqs: Set[String] =
+      keep.flatMap(v => JsonDocVersions.state(path, v)
+        .map(_.eqs.map(_._2)).getOrElse(Seq.empty)).toSet
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith(JsonDocDeleteVectors.Prefix)
-        && !referencedDvs.contains(f.getName))
+      .filter(f => f.isFile &&
+        ((f.getName.startsWith(JsonDocDeleteVectors.Prefix)
+          && !referencedDvs.contains(f.getName)) ||
+         (f.getName.startsWith(JsonDocEqDeletes.Prefix)
+          && !referencedEqs.contains(f.getName))))
       .foreach { f =>
         if (!f.delete()) throw new java.io.IOException(s"vacuum failed to delete $f")
       }
@@ -644,6 +793,9 @@ object GraftCatalog {
       if (!JsonDocVersions.deleteManifest(path, v))
         throw new java.io.IOException(s"vacuum failed to delete manifest v$v of $path")
     }
+    // published-stage markers whose manifest is gone are stale claims
+    JsonDocVersions.sweepPublishedMarkers(path)
+    if (drop.nonEmpty) JsonDocVersions.refreshHeadAfterDelete(path)
     // prune the reclaimed files' stats entries: the files are unreadable
     // at EVERY remaining version, so their entries are dead weight the
     // sidecar would otherwise carry (and reparse at each scan) forever
@@ -738,10 +890,29 @@ object GraftCatalog {
     val dvPos: Map[String, Array[Long]] = dvs.map { case (rel, dv) =>
       rel -> JsonDocDeleteVectors.read(path, dv).toArray.sorted
     }
+    // EQUALITY-DELETE purge (r15): a file with applicable eq sets is
+    // rewritten line-filtered like a DV'd one; the outputs sequence at
+    // the NEW version, above every existing eq, so the state's eq GC
+    // retires the entries once no pre-eq file remains — compaction is
+    // where streaming upsert's read-side debt is repaid too. The eq
+    // list captured here is the commit's conflict basis: an upsert
+    // epoch landing mid-compaction would have its deletions silently
+    // resurrected in the rewritten outputs, so commitDelta refuses on
+    // drift and the compaction re-plans.
+    val (eqList, addedAtMap) = JsonDocVersions.eqsFor(path, None)
+    val eqAliases = renamesOf(path)
+    def eqPathsOf(rel: String): Seq[String] =
+      if (eqList.isEmpty) Seq.empty
+      else {
+        val added = addedAtMap.getOrElse(rel, Int.MaxValue)
+        eqList.collect { case (ev, n) if ev > added =>
+          new java.io.File(dir, n).getAbsolutePath }
+      }
     def needsRewrite(bin: Vector[(String, java.io.File)]): Boolean =
-      bin.length > 1 || bin.exists { case (n, _) => dvPos.contains(n) }
+      bin.length > 1 || bin.exists { case (n, _) =>
+        dvPos.contains(n) || eqPathsOf(n).nonEmpty }
     if (!bins.exists(needsRewrite)) return None
-    val v = JsonDocVersions.manifests(path).lastOption.getOrElse(0) + 1
+    val v = JsonDocVersions.latestManifestVersion(path) + 1
     val stats = JsonDocStats.load(path)
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):
@@ -758,11 +929,15 @@ object GraftCatalog {
     val multi: Seq[(Int, Vector[String])] = bins.zipWithIndex.collect {
       case (bin, i) if needsRewrite(bin) => (i, bin.map(_._1))
     }.toSeq
-    val tmpOf: Map[Int, String] =
+    val eqPathsB: Map[String, Seq[String]] =
+      multi.flatMap(_._2).map(n => n -> eqPathsOf(n)).toMap
+    val results: Map[Int, (String, Long)] =
       org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(spark) =>
           val pathStr = path
           val dvPosB = dvPos // avoid capturing the whole enclosing scope
+          val eqPB = eqPathsB
+          val aliasesB = eqAliases
           spark.sparkContext.parallelize(multi, multi.size).map { case (i, names) =>
             val d = new java.io.File(pathStr)
             val attempt = Option(org.apache.spark.TaskContext.get())
@@ -771,22 +946,26 @@ object GraftCatalog {
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t$attempt.jsonl.tmp"
             val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
-            try names.foreach(n =>
-              GraftCatalog.copyCompactInput(d, n, out, dvPosB.get(n)))
+            val dropped = try names.map(n =>
+              GraftCatalog.copyCompactInput(d, n, out, dvPosB.get(n),
+                eqPB.getOrElse(n, Seq.empty), aliasesB)).sum
             finally out.close()
-            (i, tmpName)
+            (i, (tmpName, dropped))
           }.collect().toMap
         case None =>
           multi.map { case (i, names) =>
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t0.jsonl.tmp"
             val out = new java.io.FileOutputStream(new java.io.File(dir, tmpName))
-            try names.foreach(n =>
-              GraftCatalog.copyCompactInput(dir, n, out, dvPos.get(n)))
+            val dropped = try names.map(n =>
+              GraftCatalog.copyCompactInput(dir, n, out, dvPos.get(n),
+                eqPathsB.getOrElse(n, Seq.empty), eqAliases)).sum
             finally out.close()
-            (i, tmpName)
+            (i, (tmpName, dropped))
           }.toMap
       }
+    val tmpOf: Map[Int, String] = results.map { case (i, (t, _)) => i -> t }
+    val eqDroppedOf: Map[Int, Long] = results.map { case (i, (_, d)) => i -> d }
     val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val newLive = bins.zipWithIndex.flatMap {
       case (bin, _) if !needsRewrite(bin) => bin.map(_._1)
@@ -800,9 +979,12 @@ object GraftCatalog {
           .foreach { merged =>
             // rows subtract the purged positions EXACTLY; ranges stay
             // (a deleted row can only make them wider than true — the
-            // sidecar's standing widen-only conservatism)
+            // sidecar's standing widen-only conservatism). Eq-dropped
+            // rows were COUNTED during the rewrite, so they subtract
+            // exactly too (r15).
             val purged = bin.map { case (n, _) =>
-              dvPos.get(n).map(_.length.toLong).getOrElse(0L) }.sum
+              dvPos.get(n).map(_.length.toLong).getOrElse(0L) }.sum +
+              eqDroppedOf.getOrElse(i, 0L)
             newEntries += (name -> JsonDocStats.toJson(
               merged.copy(rows = merged.rows - purged)))
           }
@@ -832,30 +1014,41 @@ object GraftCatalog {
           val prefix = bin.head._1.substring(0, bin.head._1.lastIndexOf('/') + 1)
           val name = f"${prefix}compact-v$v%06d-$i%04d.jsonl"
           name -> JsonDocVersions.Rewrite(bin.map(_._1).toSet,
-            purged = bin.exists { case (n, _) => dvPos.contains(n) })
+            purged = bin.exists { case (n, _) =>
+              dvPos.contains(n) || eqPathsOf(n).nonEmpty })
       }.toMap
     // the committed version can exceed the name-embedded v when a
     // concurrent append rebased this commit upward — names are just
     // names; report what actually committed
     val committed = JsonDocVersions.commitDelta(path, removedIn, addedOut,
-      dvBasis = Some(dvs), rewrites = rewriteRecords, op = "optimize")
+      dvBasis = Some(dvs), eqBasis = Some(eqList),
+      rewrites = rewriteRecords, op = "optimize")
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
     Some(committed)
   }
 
   /** One compaction input appended to `out`: a straight byte copy when
-    * it carries no delete vector, a line-filtered copy (dead positions
-    * dropped) when it does. Position = 0-based index among non-empty
-    * lines, the reader's coordinate system. Runs in executor tasks. */
+    * it carries no delete vector and no applicable equality deletes, a
+    * line-filtered copy (dead positions and eq-matched rows dropped)
+    * when it does. Position = 0-based index among non-empty lines, the
+    * reader's coordinate system. Returns the count of EQ-dropped lines
+    * (position drops are known from the DV itself). Runs in executor
+    * tasks. */
   private[sources] def copyCompactInput(dir: java.io.File, name: String,
-      out: java.io.OutputStream, drop: Option[Array[Long]]): Unit = {
-    drop match {
-      case None =>
+      out: java.io.OutputStream, drop: Option[Array[Long]],
+      eqPaths: Seq[String] = Seq.empty,
+      aliases: Map[String, Seq[String]] = Map.empty): Long = {
+    val eqSets = eqPaths.map(JsonDocEqDeletes.read)
+    (drop, eqSets) match {
+      case (None, Seq()) =>
         java.nio.file.Files.copy(new java.io.File(dir, name).toPath, out)
         out.write('\n') // files end without one; keep lines separate
-      case Some(positions) =>
+        0L
+      case (positions, eqs) =>
         val dead = new java.util.HashSet[java.lang.Long]()
-        positions.foreach(p => dead.add(p))
+        positions.foreach(_.foreach(p => dead.add(p)))
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        var eqDropped = 0L
         val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           new java.io.FileInputStream(new java.io.File(dir, name)),
           java.nio.charset.StandardCharsets.UTF_8))
@@ -866,13 +1059,19 @@ object GraftCatalog {
             if (line.nonEmpty) {
               pos += 1
               if (!dead.contains(pos)) {
-                out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                out.write('\n')
+                if (eqs.nonEmpty &&
+                  JsonDocEqDeletes.rowDeleted(mapper.readTree(line), eqs, aliases))
+                  eqDropped += 1
+                else {
+                  out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  out.write('\n')
+                }
               }
             }
             line = reader.readLine()
           }
         } finally reader.close()
+        eqDropped
     }
   }
 

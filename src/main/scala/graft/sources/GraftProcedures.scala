@@ -205,6 +205,64 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object FastForwardProcedure extends UnboundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch WITHOUT re-application when the table head has not moved since it forked (O(1) adoption commit)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String = FastForwardProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.fastForward(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
+  object CherryPickProcedure extends UnboundProcedure {
+    override def name(): String = "cherry_pick"
+    override def description(): String =
+      "publish ONE staged snapshot's own delta (vs its direct parent) onto the current table"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "cherry_pick"
+      override def description(): String = CherryPickProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.cherryPick(
+          input.getUTF8String(0).toString, input.getLong(1).toInt)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
+  object RecoverTxn2Procedure extends UnboundProcedure {
+    override def name(): String = "recover_txn2"
+    override def description(): String =
+      "roll a crashed two-table transaction forward (decider committed) or back (it didn't), then unlock"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "recover_txn2"
+      override def description(): String = RecoverTxn2Procedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val r = GraftTxn2.recover(input.getUTF8String(0).toString)
+        val schema = new StructType().add("rolled", StringType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(UTF8String.fromString(r))))).asJava
+      }
+    }
+  }
+
   object DiscardStagedProcedure extends UnboundProcedure {
     override def name(): String = "discard_staged"
     override def description(): String =
@@ -261,9 +319,14 @@ private[sources] object GraftProcedures {
         val path = input.getUTF8String(0).toString
         val tag = input.getUTF8String(1).toString
         val v = input.getLong(2) match {
-          case -1L => JsonDocVersions.manifests(path).lastOption.getOrElse(
+          // -1 = "current version" = latest PUBLISHED (advice r14: the
+          // last manifest can be a STAGED WAP/branch head, and tagging
+          // it would pin a snapshot invisible to the current reads the
+          // operator just saw — every other 'current table' surface
+          // resolves through latestVersion, so this one does too)
+          case -1L => JsonDocVersions.latestVersion(path).getOrElse(
             throw new IllegalArgumentException(
-              s"graft-jsondoc: cannot tag $path — no committed snapshot yet"))
+              s"graft-jsondoc: cannot tag $path — no published snapshot yet"))
           case n => n.toInt
         }
         JsonDocRefs.createTag(path, tag, v)

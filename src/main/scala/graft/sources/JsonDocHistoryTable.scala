@@ -67,7 +67,11 @@ private[sources] class JsonDocHistoryScan(path: String) extends Scan with Batch 
       // reports live rows as of each snapshot, not raw file contents
       lazy val dvDeleted = JsonDocVersions.readDvs(path, v).values
         .map(dv => JsonDocDeleteVectors.read(path, dv).size.toLong).sum
-      val nRows = if (per.nonEmpty && per.forall(_.isDefined))
+      // equality deletes (r15) cannot subtract without reading — a
+      // version carrying any withdraws its count (NULL), the sidecar's
+      // standing conservatism (estimateStatistics applies the same rule)
+      lazy val hasEqs = JsonDocVersions.state(path, v).exists(_.eqs.nonEmpty)
+      val nRows = if (per.nonEmpty && per.forall(_.isDefined) && !hasEqs)
         Some(per.flatten.sum - dvDeleted)
         else if (files.isEmpty) Some(0L)
         else None
@@ -154,6 +158,12 @@ private[sources] class JsonDocFilesScan(path: String,
     // live rows per file under THIS snapshot = sidecar rows minus its
     // delete-vector positions (exact; r14)
     val dvCounts = JsonDocDeleteVectors.countsFor(path, pinned)
+    // a file with APPLICABLE equality deletes (r15) has an unknowable
+    // live count without reading — its n_rows reads NULL (the standing
+    // conservatism); files the eqs don't reach stay exact
+    val (eqs, addedAt) = JsonDocVersions.eqsFor(path, pinned)
+    def eqTouched(rel: String): Boolean =
+      eqs.nonEmpty && eqs.exists(_._1 > addedAt.getOrElse(rel, Int.MaxValue))
     val rows = JsonDocSource.listDataFiles(path, pinned).toSeq.map { f =>
       val rel = JsonDocSource.relName(path, f)
       val entry = stats.get(rel)
@@ -163,7 +173,8 @@ private[sources] class JsonDocFilesScan(path: String,
       // rows = -1 (parseFile's missing-field sentinel) reads NULL, the
       // documented conservatism — never a negative "exact" count
       (rel, f.length(),
-        entry.map(_.rows).filter(_ >= 0).map(_ - dvCounts.getOrElse(rel, 0L)),
+        entry.map(_.rows).filter(_ >= 0).map(_ - dvCounts.getOrElse(rel, 0L))
+          .filterNot(_ => eqTouched(rel)),
         dvCounts.getOrElse(rel, 0L), bounds)
     }
     Array(JsonDocFilesPartition(rows))

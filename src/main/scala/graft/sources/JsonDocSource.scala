@@ -687,8 +687,34 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
           "graft-jsondoc: staged (write-audit-publish) writes are a batch " +
             "pattern — a streaming sink's epochs are their own checkpointed " +
             "protocol and publish exactly-once already")
+        // STREAMING UPSERT (r15, equality deletes): `upsert-keys` names
+        // the identifier columns — each epoch then lands its rows PLUS
+        // one equality-delete of their keys, so the table reads as the
+        // per-key last image with zero base-table scans per epoch (the
+        // CDC shape position deletes cannot express). The optional
+        // `upsert-cdc-col` marks a STRING column whose 'D' rows are
+        // delete-only: their key folds, no row lands, and the column
+        // itself is stripped before storage.
+        val upsertKeys = Option(info.options.get("upsert-keys"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        val cdcCol = Option(info.options.get("upsert-cdc-col")).map(_.trim).filter(_.nonEmpty)
+        if (upsertKeys.nonEmpty) {
+          val names = info.schema().fieldNames.toSet
+          val missing = upsertKeys.filterNot(names.contains)
+          require(missing.isEmpty,
+            s"graft-jsondoc: upsert-keys name columns the stream does not carry: " +
+              missing.mkString(", "))
+          cdcCol.foreach { c =>
+            require(names.contains(c), s"graft-jsondoc: upsert-cdc-col '$c' is not in the stream schema")
+            require(info.schema()(c).dataType == org.apache.spark.sql.types.StringType,
+              s"graft-jsondoc: upsert-cdc-col '$c' must be STRING ('D' = delete)")
+            require(!upsertKeys.contains(c),
+              "graft-jsondoc: the CDC op column cannot be an upsert key")
+          }
+        } else require(cdcCol.isEmpty,
+          "graft-jsondoc: upsert-cdc-col requires upsert-keys")
         new JsonDocStreamingWrite(path, info.schema(), info.queryId(), partSpec,
-          checks = checks)
+          checks = checks, upsertKeys = upsertKeys, cdcCol = cdcCol)
       }
     }
   }
@@ -707,8 +733,18 @@ private[sources] object JsonDocCommitMessage {
   def entriesOf(m: WriterCommitMessage): Seq[JsonDocCommitMessage] = m match {
     case s: JsonDocCommitMessage => Seq(s)
     case mm: JsonDocMultiCommitMessage => mm.parts
+    case u: JsonDocUpsertCommitMessage => u.inner.toList.flatMap(entriesOf)
   }
 }
+
+/** One upsert task's contribution (r15): the key tuples it saw (both
+  * upserted and CDC-deleted rows; canonical boxes — Long/Double/
+  * Boolean/String) plus the inner data-file message for the inserted
+  * rows (None when the task saw deletes only). Key volume is the
+  * epoch's row count — the quantity a CDC batch keeps small. */
+private[sources] case class JsonDocUpsertCommitMessage(
+    keys: Seq[Seq[Any]],
+    inner: Option[WriterCommitMessage]) extends WriterCommitMessage
 
 /** Per-file statistics sidecar (`_stats.json` — underscore-prefixed, so
   * every reader listing already skips it as data). Written by the
@@ -1151,13 +1187,86 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
   * `toStreaming`). */
 private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
     queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
-    checks: Seq[GraftConstraints.Check] = Seq.empty)
+    checks: Seq[GraftConstraints.Check] = Seq.empty,
+    upsertKeys: Seq[String] = Seq.empty, cdcCol: Option[String] = None)
     extends StreamingWrite {
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new JsonDocStreamingWriterFactory(path, schema, queryId, partCols, checks)
+  /** The schema actually STORED: the CDC op column is protocol, not data. */
+  private val storedSchema: StructType =
+    cdcCol.map(c => StructType(schema.fields.filterNot(_.name == c))).getOrElse(schema)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    if (upsertKeys.isEmpty)
+      new JsonDocStreamingWriterFactory(path, schema, queryId, partCols, checks)
+    else
+      new JsonDocUpsertWriterFactory(path, schema, storedSchema, queryId, partCols,
+        checks, upsertKeys, cdcCol)
+
+  /** Applied-transaction app id of the upsert ledger: constant per
+    * table — sound because the sole-writer marker already enforces ONE
+    * streaming query per directory. */
+  private val UpsertApp = "stream-upsert"
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    if (upsertKeys.isEmpty) commitAppend(epochId, messages)
+    else commitUpsert(epochId, messages)
+
+  /** UPSERT epoch commit (r15): rename the epoch's data files (replay-
+    * idempotent, same as append), then ONE manifest delta carrying the
+    * files, the epoch's equality-delete, and the epoch ledger entry —
+    * one atomic point. A replayed epoch whose ledger entry is already
+    * published redoes only the byte-identical renames and skips the eq
+    * write entirely (writing a second eq file at a LATER version would
+    * delete the epoch's own rows — the sequencing hazard the ledger
+    * check exists for). Within one epoch, rows sequence TOGETHER: the
+    * epoch's eq applies only to files added at earlier versions, so the
+    * producer delivers at most one image per key per epoch (standard
+    * CDC per-batch compaction; duplicates within an epoch all land). */
+  private def commitUpsert(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    JsonDocStreamingWrite.ensureSoleWriter(dir, queryId)
+    val ups = messages.filter(_ != null).map(_.asInstanceOf[JsonDocUpsertCommitMessage])
+    val msgs = ups.flatMap(m => m.inner.toList.flatMap(JsonDocCommitMessage.entriesOf))
+    msgs.foreach { m =>
+      val src = new java.io.File(dir, m.tmpName)
+      val dst = new java.io.File(dir, m.finalName)
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      if (src.exists()) {
+        if (dst.exists() && !dst.delete())
+          throw new java.io.IOException(s"epoch $epochId replay: cannot replace ${m.finalName}")
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(
+            s"epoch $epochId commit rename failed: ${m.tmpName} -> ${m.finalName}")
+      } else if (!dst.exists())
+        throw new java.io.IOException(
+          s"epoch $epochId commit: neither temp ${m.tmpName} nor final ${m.finalName} exists")
+    }
+    if (JsonDocVersions.lastTxn(path, UpsertApp).exists(_ >= epochId)) return
+    val keys = ups.iterator.flatMap(_.keys).toVector.distinct
+    if (msgs.isEmpty && keys.isEmpty) return // empty epoch: no version noise
+    // a manifest-less directory with PRE-EXISTING files bootstraps them
+    // first: addedAt sequencing needs this epoch's files (and eq) to
+    // carry a LATER version than anything already visible. An empty
+    // directory skips straight to v1 — the epoch's own eq can never
+    // touch its own files either way (addedAt < eqV is strict).
+    if (JsonDocVersions.latest(path).isEmpty) {
+      val finals = msgs.map(_.finalName).toSet
+      val visible = JsonDocSource.listDataFiles(path)
+        .map(f => JsonDocSource.relName(path, f)).toSet -- finals
+      if (visible.nonEmpty)
+        JsonDocVersions.commit(path, visible, op = "bootstrap")
+    }
+    val keyTypes = upsertKeys.map(k => JsonDocEqDeletes.typeTag(schema(k).dataType))
+    val eqName =
+      if (keys.isEmpty) Seq.empty
+      else Seq(JsonDocEqDeletes.write(path, upsertKeys, keyTypes, keys))
+    JsonDocVersions.commitDelta(path, Set.empty, msgs.map(_.finalName).toSet,
+      txn = Some((UpsertApp, epochId)), eqAdd = eqName, op = "stream-upsert")
+    JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
+      keepExisting = true)
+  }
+
+  private def commitAppend(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     // Single-streaming-query-per-directory, ENFORCED (r12 advice): final
     // names are keyed (epochId, partitionId) — run-independent so a
@@ -1275,6 +1384,91 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
       new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
         partitionId, taskId, epochId = Some(epochId)),
     checks)
+}
+
+/** STREAMING-UPSERT writer factory (r15): wraps the ordinary epoch
+  * writers with key capture, CDC-delete routing, and the op-column
+  * strip. The inner writer sees only `storedSchema` rows, so data files
+  * are byte-indistinguishable from plain appends. */
+private[sources] class JsonDocUpsertWriterFactory(path: String, fullSchema: StructType,
+    storedSchema: StructType, queryId: String, partCols: Seq[GraftCatalog.PartField],
+    checks: Seq[GraftConstraints.Check], upsertKeys: Seq[String],
+    cdcCol: Option[String]) extends StreamingDataWriterFactory {
+  private val innerFactory =
+    new JsonDocStreamingWriterFactory(path, storedSchema, queryId, partCols, Seq.empty)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new JsonDocUpsertDataWriter(
+      innerFactory.createWriter(partitionId, taskId, epochId),
+      fullSchema,
+      upsertKeys.map(k => fullSchema.fieldIndex(k)),
+      upsertKeys.map(k => fullSchema(k).dataType),
+      cdcCol.map(fullSchema.fieldIndex),
+      storedSchema.fieldNames.map(fullSchema.fieldIndex).toSeq,
+      storedSchema, checks)
+}
+
+private[sources] class JsonDocUpsertDataWriter(
+    inner: DataWriter[InternalRow], fullSchema: StructType,
+    keyOrdinals: Seq[Int], keyTypes: Seq[DataType], cdcOrdinal: Option[Int],
+    keepOrdinals: Seq[Int], storedSchema: StructType,
+    checks: Seq[GraftConstraints.Check]) extends DataWriter[InternalRow] {
+
+  private val keys = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+  private var wroteAny = false
+
+  /** Canonical key box — must match [[JsonDocEqDeletes]]'s read side
+    * exactly (Long/Double/Boolean/String). Null keys are refused: an
+    * upsert without an identity is a producer bug, and a silent null
+    * tuple could never match at read time. */
+  private def keyOf(row: InternalRow): Seq[Any] =
+    keyOrdinals.zip(keyTypes).map { case (i, dt) =>
+      require(!row.isNullAt(i),
+        s"graft-jsondoc: upsert key '${fullSchema(i).name}' is NULL — keyed " +
+          "upserts require non-null identifier columns")
+      (dt match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i).toLong
+        case DoubleType => row.getDouble(i)
+        case BooleanType => row.getBoolean(i)
+        case _ => row.getUTF8String(i).toString
+      }): Any
+    }
+
+  override def write(row: InternalRow): Unit = {
+    keys += keyOf(row)
+    val isDelete = cdcOrdinal.exists(i =>
+      !row.isNullAt(i) && row.getUTF8String(i).toString == "D")
+    if (!isDelete) {
+      // constraints check the FULL incoming row (ordinals were bound
+      // against the stream schema); deletes carry nothing to check
+      GraftConstraints.enforce(checks, row)
+      val values = keepOrdinals.map { i =>
+        if (row.isNullAt(i)) null
+        else fullSchema(i).dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case BooleanType => row.getBoolean(i)
+          case _ => row.getUTF8String(i).copy()
+        }
+      }
+      inner.write(InternalRow.fromSeq(values))
+      wroteAny = true
+    }
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (wroteAny) JsonDocUpsertCommitMessage(keys.toSeq, Some(inner.commit()))
+    else {
+      // delete-only task: no data file — abort the inner writer so its
+      // (empty) temp never lands, and carry the keys alone
+      inner.abort()
+      JsonDocUpsertCommitMessage(keys.toSeq, None)
+    }
+
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 private[sources] class JsonDocDataWriter(path: String, schema: StructType,
@@ -1580,9 +1774,22 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     // reported to the row-level operation as its commit's conflict basis
     val dvs = JsonDocVersions.dvsFor(path, pinned)
     dvSink.foreach(_(dvs))
+    // equality deletes of the scanned snapshot (r15): an eq set written
+    // at version E applies to files ADDED before E (addedAt sequencing),
+    // so each partition carries exactly its applicable subset — an
+    // epoch's own inserts never fold their own epoch's delete
+    val (eqs, addedAt) = JsonDocVersions.eqsFor(path, pinned)
+    def eqPathsFor(rel: String): Seq[String] =
+      if (eqs.isEmpty) Seq.empty
+      else {
+        val added = addedAt.getOrElse(rel, Int.MaxValue)
+        eqs.collect { case (ev, n) if ev > added =>
+          new java.io.File(path, n).getAbsolutePath }
+      }
     kept.map { case (f, rel) =>
       JsonDocPartition(f.getAbsolutePath, rel,
-        dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
+        dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse(""),
+        eqPathsFor(rel)): InputPartition
     }
   }
 
@@ -1607,7 +1814,11 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       val stats = JsonDocStats.load(path)
       val per = files.map(f =>
         stats.get(JsonDocSource.relName(path, f)).map(_.rows).filter(_ >= 0))
-      if (files.nonEmpty && per.forall(_.isDefined)) {
+      // equality deletes (r15) CANNOT subtract without reading (a key
+      // may or may not match rows) — withdraw the estimate rather than
+      // report a count the scan will contradict
+      if (files.nonEmpty && per.forall(_.isDefined) &&
+        JsonDocVersions.eqsFor(path, pinned)._1.isEmpty) {
         // delete vectors subtract EXACTLY (positions are enumerated), so
         // the count stays exact under merge-on-read deletes (r14)
         val dvDeleted = JsonDocDeleteVectors.countsFor(path, pinned).values.sum
@@ -1658,14 +1869,24 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
     val files = JsonDocSource.listDataFiles(path, pinned,
       JsonDocSource.partitionDirPruned(specs, filters.toSeq, keep))
     val dvs = JsonDocVersions.dvsFor(path, pinned)
+    val (eqs, addedAt) = JsonDocVersions.eqsFor(path, pinned)
     files.map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
       .map { case (f, rel) =>
-        // DVs fold inside the row reader the partial aggregation runs
-        // on, so pushed COUNT/MIN/MAX stay exact under MOR deletes (r14)
+        // DVs and equality deletes fold inside the row reader the
+        // partial aggregation runs on, so pushed COUNT/MIN/MAX stay
+        // exact under MOR (r14) and streaming-upsert (r15) deletes
+        val eqPaths =
+          if (eqs.isEmpty) Seq.empty[String]
+          else {
+            val added = addedAt.getOrElse(rel, Int.MaxValue)
+            eqs.collect { case (ev, n) if ev > added =>
+              new java.io.File(path, n).getAbsolutePath }
+          }
         JsonDocPartition(f.getAbsolutePath, rel,
-          dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
+          dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse(""),
+          eqPaths): InputPartition
       }
   }
 
@@ -1688,7 +1909,7 @@ private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
     aliases: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
-    new JsonDocAggReader(p.file, aggSchema, filters, specs, p.dvPath, aliases)
+    new JsonDocAggReader(p.file, aggSchema, filters, specs, p.dvPath, aliases, p.eqPaths)
   }
 }
 
@@ -1700,7 +1921,8 @@ private[sources] class JsonDocAggReaderFactory(aggSchema: StructType,
   * min/max, which the final aggregate ignores. */
 private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
     filters: Array[Filter], specs: Seq[JsonAggSpec], dvPath: String = "",
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    eqPaths: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   // every column any spec touches, once, with its declared type
@@ -1712,7 +1934,8 @@ private[sources] class JsonDocAggReader(file: String, aggSchema: StructType,
     }.distinctBy(_._1).map { case (c, dt) => StructField(c, dt) })
 
   private val rowReader =
-    new JsonDocReader(file, readSchema, filters, dvPath = dvPath, aliases = aliases)
+    new JsonDocReader(file, readSchema, filters, dvPath = dvPath, aliases = aliases,
+      eqPaths = eqPaths)
 
   private var done = false
   private var result: InternalRow = _
@@ -1861,7 +2084,23 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     * the watermark. Pure appends (new names above the watermark)
     * advance the basis silently. Manifest-less directories keep the
     * name-order contract alone (nothing can compact or rewrite them). */
-  private def validateAppendOnly(): Unit =
+  private def validateAppendOnly(): Unit = {
+    // a table carrying EQUALITY DELETES (r15, streaming upsert) is not
+    // append-only at file grain: an eq commit changes row visibility
+    // without touching any file name, which no file-granular offset can
+    // represent — refuse loudly instead of silently re-delivering or
+    // skipping upserted rows (the same contract as retired files).
+    // OPTIMIZE purges eqs; a compacted upsert table streams again.
+    if (JsonDocVersions.eqsFor(path, None)._1.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-jsondoc streaming source on $path: the table carries equality " +
+          "deletes (streaming-upsert DML) — row visibility changes without " +
+          "file-level appends, which a file-granular stream cannot deliver. " +
+          "Run OPTIMIZE to fold the deletes, or consume the table in batch.")
+    validateAppendOnly0()
+  }
+
+  private def validateAppendOnly0(): Unit =
     JsonDocVersions.latest(path).foreach { case (v, live) =>
       seenVersion match {
         case Some(v0) if v != v0 =>
@@ -2103,7 +2342,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   * the snapshot's manifest, so concurrent MOR commits can't change what
   * a running scan reads (r14). */
 private[sources] case class JsonDocPartition(file: String, rel: String = "",
-    dvPath: String = "") extends InputPartition {
+    dvPath: String = "", eqPaths: Seq[String] = Seq.empty) extends InputPartition {
   def relOrName: String =
     if (rel.nonEmpty) rel else new java.io.File(file).getName
 }
@@ -2113,7 +2352,8 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
     aliases: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
-    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath, aliases)
+    new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath,
+      aliases, p.eqPaths)
   }
 }
 
@@ -2123,7 +2363,8 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
   * the filters — later lines are never parsed. */
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None, rel: String = "",
-    dvPath: String = "", aliases: Map[String, Seq[String]] = Map.empty)
+    dvPath: String = "", aliases: Map[String, Seq[String]] = Map.empty,
+    eqPaths: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   // the `_file` value: the table-relative listing key (bare name on
@@ -2155,6 +2396,16 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   // metadata value and the DV coordinate): counts every parsed line,
   // so pushed filters and DV skips never shift later positions
   private var pos = -1L
+
+  // EQUALITY-DELETE fold (r15): eq sets whose commit version exceeds
+  // this file's addedAt — resolved at PLANNING time like the DV, loaded
+  // through the executor memo (eq files are shared across a scan's
+  // partitions). A row whose key tuple is in any applicable set is
+  // dead under this snapshot. Key extraction is rename-aware via
+  // fieldNode; a null/missing key can never match (writers refuse null
+  // keys at write time).
+  private val eqSets: Seq[JsonDocEqDeletes.EqSet] =
+    eqPaths.map(JsonDocEqDeletes.read)
 
   /** Runtime `In` filters carry the build side's distinct join keys —
     * thousands of values — so membership must be O(1) per line, not a
@@ -2277,7 +2528,8 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
       // (its position is still consumed — positions are absolute)
       if (!deleted.contains(pos)) {
         val node = mapper.readTree(line)
-        if (passes(node)) {
+        if (passes(node) &&
+          !(eqSets.nonEmpty && JsonDocEqDeletes.rowDeleted(node, eqSets, aliases))) {
           val values = readSchema.fields.map { f =>
             fieldValue(node, f.name) match {
               case s: String => UTF8String.fromString(s)

@@ -106,4 +106,65 @@ class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gone.getMessage.contains("does not exist") ||
       gone.getMessage.contains("vacuumed"))
   }
+
+  test("fast_forward: O(1) adoption when the head hasn't moved; OCC refusal when it has") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CALL graftcat.create_branch('$path', 'ff')")
+    Seq((3L, 30.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "ff").append() // staged v2
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "ff").append() // staged v3
+    val v = spark.sql(s"CALL graftcat.fast_forward('$path', 'ff')")
+      .collect()(0).getLong(0)
+    assert(v === 4L)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L))
+    // the pointer is spent, the stages are marker-claimed: no re-apply door
+    val dup = intercept[Exception] { GraftCatalog.publish(path, 3) }
+    assert(dup.getMessage.contains("already published"), dup.getMessage)
+    // OCC refusal: a second branch forks, then published work lands
+    spark.sql(s"CALL graftcat.create_branch('$path', 'ff2')")
+    Seq((5L, 50.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "ff2").append()
+    Seq((9L, 90.0)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // head moves
+    val moved = intercept[Exception] {
+      spark.sql(s"CALL graftcat.fast_forward('$path', 'ff2')")
+    }
+    assert(moved.getMessage.contains("publish"), moved.getMessage)
+    // ...and publish (re-application) still works on that branch
+    spark.sql(s"CALL graftcat.publish('$path', 'ff2')")
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 9L))
+  }
+
+  test("cherry_pick publishes ONE mid-chain stage; the chain then refuses cumulative publish") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    spark.sql(s"CALL graftcat.create_branch('$path', 'cp')")
+    Seq((3L, 30.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "cp").append() // staged v2: the pick
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "cp").append() // staged v3
+    // published work lands; the pick re-applies over it
+    Seq((9L, 90.0)).toDF("k", "v").coalesce(1).writeTo(tbl).append() // v4
+    val v = spark.sql(s"CALL graftcat.cherry_pick('$path', 2)")
+      .collect()(0).getLong(0)
+    assert(v === 5L)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 9L),
+      "cherry-pick must apply ONE stage's delta, not the cumulative chain")
+    // picking the same stage twice is refused (wap.id dedup)
+    val dup = intercept[Exception] { GraftCatalog.cherryPick(path, 2) }
+    assert(dup.getMessage.contains("already published"), dup.getMessage)
+    // the chain's cumulative publish would re-apply the picked stage:
+    // refused loudly, with the remaining stage still cherry-pickable
+    val poisoned = intercept[Exception] {
+      spark.sql(s"CALL graftcat.publish('$path', 'cp')")
+    }
+    assert(poisoned.getMessage.contains("cherry-pick"), poisoned.getMessage)
+    spark.sql(s"CALL graftcat.cherry_pick('$path', 3)")
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 9L))
+    spark.sql(s"CALL graftcat.drop_branch('$path', 'cp')")
+    // published history is not cherry-pickable
+    val pub = intercept[Exception] { GraftCatalog.cherryPick(path, 4) }
+    assert(pub.getMessage.contains("not a staged snapshot"), pub.getMessage)
+  }
 }

@@ -109,4 +109,31 @@ class ConstraintsSpec extends AnyFunSuite with BeforeAndAfterAll {
          |WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (c.k, c.nv, 'ins')""".stripMargin)
     assert(rowsOf(tbl) === Seq(1L, 9L))
   }
+
+  test("a delete-only MOR write on a constrained table plans and runs (advice r15)") {
+    // a delete carries NO insert rows — its row projection is empty, so
+    // there is nothing to check and constraint compilation must be
+    // skipped entirely (compiling 'v > 0' against schema [] broke
+    // DELETE FROM at planning)
+    val (tbl, path) = freshTable(
+      " TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
+        "'constraint.v_positive' = 'v > 0')")
+    import spark.implicits._
+    Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "s")
+      .coalesce(1).writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1")
+    assert(rowsOf(tbl) === Seq(2L))
+    // delete-only MERGE (no insert branch) is the same empty projection
+    Seq(2L).toDF("k").createOrReplaceTempView("check_del_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING check_del_changes c ON t.k = c.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(rowsOf(tbl) === Seq.empty)
+    // and the constraint still guards writes that DO carry rows
+    val e = intercept[Exception] {
+      Seq((3L, -3.0, "c")).toDF("k", "v", "s").coalesce(1).writeTo(tbl).append()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("v_positive"))))
+  }
 }

@@ -100,4 +100,33 @@ class TagsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(unresolved.getMessage.contains("neither an integer"))
   }
+
+  test("create_tag(-1) under a staged head tags the PUBLISHED version (advice r15)") {
+    val (tbl, path) = threeVersionTable()
+    import spark.implicits._
+    Seq((9L, 90.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v4 = max manifest
+    val v = spark.sql(s"CALL graftcat.create_tag('$path', 'head', -1)")
+      .collect()(0).getLong(0)
+    assert(v === 3L,
+      "-1 = 'current version' must resolve to the latest PUBLISHED snapshot, " +
+        "not an invisible staged head")
+    assert(keysAt(tbl, "'head'") ===
+      spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("discarding a TAGGED stage is refused; dropping the tag releases it (advice r15)") {
+    val (tbl, path) = threeVersionTable()
+    import spark.implicits._
+    Seq((9L, 90.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v4
+    spark.sql(s"CALL graftcat.create_tag('$path', 'wap-audit', 4)") // the WAP audit-tag idiom
+    val e = intercept[Exception] { GraftCatalog.discardStaged(path, 4) }
+    assert(e.getMessage.contains("drop_tag"), e.getMessage)
+    assert(keysAt(tbl, "'wap-audit'") === Seq(2L, 3L, 4L, 9L),
+      "the refused discard must leave the tagged stage readable")
+    spark.sql(s"CALL graftcat.drop_tag('$path', 'wap-audit')")
+    GraftCatalog.discardStaged(path, 4)
+    assert(JsonDocVersions.read(path, 4).isEmpty)
+  }
 }

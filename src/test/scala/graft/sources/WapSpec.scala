@@ -61,12 +61,56 @@ class WapSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pub = spark.sql(s"CALL graftcat.publish('$path', 2)").collect()(0).getLong(0)
     assert(pub === 4L)
     assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L))
-    // publishing twice is refused (the snapshot did not become unstaged
-    // — its delta is simply already in the published line; re-applying
-    // would duplicate). The files are already live -> OCC no-op guard
-    // collapses it, so assert the published line is unchanged instead.
-    spark.sql(s"CALL graftcat.publish('$path', 2)")
+    // publishing twice is REFUSED outright (advice r14): immediately it
+    // would be a no-op, but after an OPTIMIZE retired the published
+    // copies it would silently re-add the compacted-away inputs — so
+    // the published marker makes any second publish loud.
+    val dup = intercept[Exception] { spark.sql(s"CALL graftcat.publish('$path', 2)") }
+    assert(dup.getMessage.contains("already published"), dup.getMessage)
     assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("re-publish after OPTIMIZE is refused — the duplication scenario the marker exists for") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    spark.sql(s"CALL graftcat.publish('$path', 2)") // published v3
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L))
+    // OPTIMIZE retires the published copies of the staged files
+    GraftCatalog.optimize(path, targetBytes = 1L << 20)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L))
+    val e = intercept[Exception] { GraftCatalog.publish(path, 2) }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L),
+      "a refused re-publish must not duplicate the compacted-away rows")
+  }
+
+  test("a refused (conflicting) publish releases its claim — retry after re-staging works") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    assert(!JsonDocVersions.isPublished(path, 2))
+    spark.sql(s"CALL graftcat.publish('$path', 2)")
+    assert(JsonDocVersions.isPublished(path, 2))
+  }
+
+  test("publish carries the staged chain's transaction ledger into published state") {
+    val (tbl, path) = freshTable()
+    import spark.implicits._
+    // a staged batch write carrying an idempotence epoch (the GraftTxn
+    // channel a checkpointed applier uses)
+    GraftTxn.begin(path, "mv_app", 7L)
+    try Seq((4L, 40.0)).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    finally GraftTxn.clear(path)
+    assert(JsonDocVersions.lastTxn(path, "mv_app").isEmpty,
+      "a staged epoch must be invisible to the published ledger until publish")
+    spark.sql(s"CALL graftcat.publish('$path', 2)")
+    assert(JsonDocVersions.lastTxn(path, "mv_app") === Some(7L),
+      "publish must fold the staged chain's txn entries into published state " +
+        "(advice r14) — else a replayed epoch re-applies instead of skipping")
   }
 
   test("a staged SQL DML via the table property: MOR delete invisible, then published") {
