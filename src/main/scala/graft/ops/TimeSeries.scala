@@ -438,6 +438,114 @@ object TimeSeries {
       "FROM a JOIN b ON axmin <= bxmax AND bxmin <= axmax AND aymin <= bymax AND bymin <= aymax " +
       "ORDER BY area_id, zone_id"
 
+  /** q203: the q202 grid join over the REFERENCE'S OWN geometry (r15 —
+    * §2A-15 closed end-to-end): CAIC forecast-area GeoJSON (ragged
+    * Polygon/MultiPolygon, kept as a raw string for fidelity) runs
+    * through the native `geo_envelope` expression map-side, and a fixed
+    * observation-point set joins "which forecast area covers this
+    * observation" — the first spatial question a CloudTAK consumer of
+    * the reference's output would ask. Point-in-envelope via the 2-D
+    * grid: each point owns ONE cell, each envelope explodes over the
+    * O(1) cells it covers, the join is an equi hash join on the cell
+    * key and needs NO dedup (a point's cell is unique). ENVELOPE
+    * containment by design (o3 sits between NC-02's two parts and still
+    * matches — the bbox prefilter semantic; exact polygon containment
+    * is the refine step a geometry library would add on top). Oracle: a
+    * VALUES literal over the same fixed inputs, independently
+    * hand-derived like q37's. */
+  def q203CaicSpatial(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val cell = 0.5
+    val areas = graft.caic.CaicPipeline
+      .areaFeatures(spark, Seq(graft.caic.CaicFixtures.areasJson).toDF("value"))
+      .select(col("id").cast("string").as("area_id"),
+        graft.functions.GeoFunctions.envelope(col("geometry")).as("env"))
+      .select(col("area_id"), col("env.xmin").as("xmin"), col("env.ymin").as("ymin"),
+        col("env.xmax").as("xmax"), col("env.ymax").as("ymax"))
+    val obs = Seq(
+      ("o1", -105.4, 40.2), ("o2", -106.3, 39.7), ("o3", -106.55, 39.55),
+      ("o4", -105.3, 37.9), ("o5", -104.0, 39.0), ("o6", -105.6, 40.4),
+      ("o7", -106.2, 39.9)).toDF("obs_id", "x", "y")
+    val aG = areas
+      .withColumn("gx", explode(sequence(floor(col("xmin") / cell).cast("long"),
+        floor(col("xmax") / cell).cast("long"))))
+      .withColumn("gy", explode(sequence(floor(col("ymin") / cell).cast("long"),
+        floor(col("ymax") / cell).cast("long"))))
+    val pG = obs
+      .withColumn("gx", floor(col("x") / cell).cast("long"))
+      .withColumn("gy", floor(col("y") / cell).cast("long"))
+    aG.join(pG, Seq("gx", "gy"))
+      .where(col("x") >= col("xmin") && col("x") <= col("xmax") &&
+        col("y") >= col("ymin") && col("y") <= col("ymax"))
+      .select(col("area_id"), col("obs_id"), col("x"), col("y"))
+      .orderBy(col("area_id"), col("obs_id"))
+  }
+
+  /** Hand-derived expected pairs: NC-01 env(-105.6,40.0,-105.2,40.4)
+    * covers o1 and (boundary-inclusive) o6; NC-02 env(-106.9,39.2,
+    * -106.1,39.9) covers o2, o3 (between its two parts — envelope
+    * semantics), and o7 (y boundary); area 3 env(-105.6,37.6,-105.2,
+    * 38.0) covers o4; o5 is outside every envelope. */
+  val q203Sql: String =
+    "SELECT area_id, obs_id, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM (VALUES " +
+      "('3', 'o4', -105.3, 37.9), " +
+      "('NC-01', 'o1', -105.4, 40.2), ('NC-01', 'o6', -105.6, 40.4), " +
+      "('NC-02', 'o2', -106.3, 39.7), ('NC-02', 'o3', -106.55, 39.55), " +
+      "('NC-02', 'o7', -106.2, 39.9)" +
+      ") AS t(area_id, obs_id, x, y) ORDER BY area_id, obs_id"
+
+  /** q204: the FULL two-phase spatial join over the reference's own
+    * geometry (r15): grid-binned ENVELOPE candidates (q203's plan) +
+    * the exact `geo_contains` ray-cast REFINE — the filter-and-refine
+    * shape every planar spatial engine uses, so the cheap equi join
+    * bounds the candidate set and the exact predicate runs only on
+    * survivors. The fixture points include two envelope-only decoys
+    * (p2 above NC-01's hypotenuse, p4 between NC-02's MultiPolygon
+    * parts) that q203's envelope semantics would keep and the refine
+    * must drop — hash-green against the hand-derived VALUES oracle
+    * proves the refine actually refines. */
+  def q204CaicContains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val cell = 0.5
+    val areas = graft.caic.CaicPipeline
+      .areaFeatures(spark, Seq(graft.caic.CaicFixtures.areasJson).toDF("value"))
+      .select(col("id").cast("string").as("area_id"), col("geometry"),
+        graft.functions.GeoFunctions.envelope(col("geometry")).as("env"))
+      .select(col("area_id"), col("geometry"),
+        col("env.xmin").as("xmin"), col("env.ymin").as("ymin"),
+        col("env.xmax").as("xmax"), col("env.ymax").as("ymax"))
+    val obs = Seq(
+      ("p1", -105.3, 40.1), ("p2", -105.5, 40.3), ("p3", -106.2, 39.6),
+      ("p4", -106.55, 39.55), ("p5", -106.7, 39.3), ("p6", -105.25, 37.7),
+      ("p7", -104.0, 39.0)).toDF("obs_id", "x", "y")
+    val aG = areas
+      .withColumn("gx", explode(sequence(floor(col("xmin") / cell).cast("long"),
+        floor(col("xmax") / cell).cast("long"))))
+      .withColumn("gy", explode(sequence(floor(col("ymin") / cell).cast("long"),
+        floor(col("ymax") / cell).cast("long"))))
+    val pG = obs
+      .withColumn("gx", floor(col("x") / cell).cast("long"))
+      .withColumn("gy", floor(col("y") / cell).cast("long"))
+    aG.join(pG, Seq("gx", "gy"))
+      // envelope prefilter (cheap comparisons on the candidates)...
+      .where(col("x") >= col("xmin") && col("x") <= col("xmax") &&
+        col("y") >= col("ymin") && col("y") <= col("ymax"))
+      // ...then the exact ray cast on the survivors only
+      .where(graft.functions.GeoFunctions.contains(col("geometry"), col("x"), col("y")))
+      .select(col("area_id"), col("obs_id"))
+      .orderBy(col("area_id"), col("obs_id"))
+  }
+
+  /** Hand-derived: p1 inside NC-01's triangle (p2 is inside the
+    * envelope but above the hypotenuse); p3 in NC-02 part 1, p5 in
+    * part 2 (p4 sits between the parts — envelope-only); p6 inside
+    * area 3; p7 nowhere. */
+  val q204Sql: String =
+    "SELECT * FROM (VALUES ('3', 'p6'), ('NC-01', 'p1'), ('NC-02', 'p3'), " +
+      "('NC-02', 'p5')) AS t(area_id, obs_id) ORDER BY area_id, obs_id"
+
   /** q201: q24 on VARIANT (r15, verdict item 5 — Spark 4's native
     * open-schema type, SURVEY §1.2's named target for the reference's
     * `Type.Any`/additionalProperties fields, task.ts:13-14,50): the
@@ -1235,6 +1343,8 @@ object TimeSeries {
     "q24_json_extract" -> q24JsonExtract _,
     "q201_variant_extract" -> q201VariantExtract _,
     "q202_bbox_join" -> q202BboxJoin _,
+    "q203_caic_spatial" -> q203CaicSpatial _,
+    "q204_caic_contains" -> q204CaicContains _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
     "q90_retention" -> q90Retention _,
@@ -1271,6 +1381,10 @@ object TimeSeries {
     // the naive theta join over the same derived rectangles: hash-green
     // means grid binning + min-corner dedup == brute force
     "q202_bbox_join" -> q202Sql,
+    // fixed fixtures -> constant expected rows, independently
+    // hand-derived (the q37 golden-VALUES idiom)
+    "q203_caic_spatial" -> q203Sql,
+    "q204_caic_contains" -> q204Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
     "q90_retention" -> q90Sql,

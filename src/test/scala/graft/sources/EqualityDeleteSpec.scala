@@ -15,10 +15,13 @@ import org.scalatest.BeforeAndAfterAll
   * coexistence, OPTIMIZE purge + re-streamability, vacuum sweep, time
   * travel reading each version's own eq state, and the loud refusals
   * (streaming a live-upsert table; null keys). */
-class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+// top-level: Spark's encoder derivation cannot instantiate inner
+// classes of a test suite (no outer-scope access executor-side)
+case class EqCdc(k: Long, v: Double, op: String)
+case class EqNullableKey(k: Option[Long], v: Double)
+case class EqPCdc(k: Long, cat: String, v: Double, op: String)
 
-  case class Cdc(k: Long, v: Double, op: String)
-  case class NullableKey(k: Option[Long], v: Double)
+class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -43,10 +46,10 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Run a sequence of CDC batches through the upsert sink, one epoch
     * each (MemoryStream + processAllAvailable per batch). */
-  private def runEpochs(path: String, ckpt: String, batches: Seq[Seq[Cdc]]): Unit = {
+  private def runEpochs(path: String, ckpt: String, batches: Seq[Seq[EqCdc]]): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Cdc]
+    val mem = MemoryStream[EqCdc]
     val q = mem.toDF().writeStream.format("graft-jsondoc")
       .option("path", path)
       .option("checkpointLocation", ckpt)
@@ -61,9 +64,9 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = freshDir()
     val ckpt = freshDir()
     runEpochs(path, ckpt, Seq(
-      Seq(Cdc(1, 10.0, "I"), Cdc(2, 20.0, "I"), Cdc(3, 30.0, "I")), // epoch 0
-      Seq(Cdc(2, 22.0, "U"), Cdc(4, 40.0, "I")),                    // epoch 1
-      Seq(Cdc(1, 0.0, "D"), Cdc(3, 33.0, "U"))))                    // epoch 2
+      Seq(EqCdc(1, 10.0, "I"), EqCdc(2, 20.0, "I"), EqCdc(3, 30.0, "I")), // epoch 0
+      Seq(EqCdc(2, 22.0, "U"), EqCdc(4, 40.0, "I")),                    // epoch 1
+      Seq(EqCdc(1, 0.0, "D"), EqCdc(3, 33.0, "U"))))                    // epoch 2
     assert(readBack(path) === Map(2L -> 22.0, 3L -> 33.0, 4L -> 40.0))
     // the op column is protocol, never stored
     val raw = JsonDocSource.listDataFiles(path)
@@ -127,8 +130,8 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("time travel reads each version's own eq state; rollback restores it") {
     val path = freshDir()
     runEpochs(path, freshDir(), Seq(
-      Seq(Cdc(1, 10.0, "I"), Cdc(2, 20.0, "I")), // v1
-      Seq(Cdc(1, 99.0, "U"))))                   // v2: eq(1) + new image
+      Seq(EqCdc(1, 10.0, "I"), EqCdc(2, 20.0, "I")), // v1
+      Seq(EqCdc(1, 99.0, "U"))))                   // v2: eq(1) + new image
     val v1 = 1
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
@@ -147,8 +150,8 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("OPTIMIZE purges equality deletes; the compacted table streams again; vacuum sweeps eq files") {
     val path = freshDir()
     runEpochs(path, freshDir(), Seq(
-      Seq(Cdc(1, 10.0, "I"), Cdc(2, 20.0, "I"), Cdc(3, 30.0, "I")),
-      Seq(Cdc(2, 22.0, "U"), Cdc(3, 0.0, "D"))))
+      Seq(EqCdc(1, 10.0, "I"), EqCdc(2, 20.0, "I"), EqCdc(3, 30.0, "I")),
+      Seq(EqCdc(2, 22.0, "U"), EqCdc(3, 0.0, "D"))))
     assert(readBack(path) === Map(1L -> 10.0, 2L -> 22.0))
     // a live-upsert table refuses file-granular streaming, loudly
     val refuse = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -189,15 +192,58 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftoverEq.isEmpty, s"vacuum left orphan eq files: ${leftoverEq.mkString(", ")}")
   }
 
+  test("partitioned upsert: a key MOVES across partition directories; eq deletes follow it") {
+    // the case position deletes cannot express without a read-before-
+    // write: the upserted image lands in a DIFFERENT directory than the
+    // old image, and the key-level delete still erases the old one
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = freshDir()
+    val path = s"$root/t"
+    spark.sql(s"CREATE TABLE graftcat.`$path` (k BIGINT, cat STRING, v DOUBLE) " +
+      "USING `graft-jsondoc` PARTITIONED BY (cat)")
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "cat", "v")
+      .coalesce(1).writeTo(s"graftcat.`$path`").append()
+    val mem = MemoryStream[EqPCdc]
+    val q = mem.toDF().writeStream.format("graft-jsondoc")
+      .option("path", path).option("checkpointLocation", freshDir())
+      .option("upsert-keys", "k").option("upsert-cdc-col", "op")
+      .start()
+    try {
+      mem.addData(EqPCdc(2, "b", 22.0, "U"), EqPCdc(3, "c", 33.0, "U")) // both MOVE
+      q.processAllAvailable()
+      mem.addData(EqPCdc(1, "a", 0.0, "D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql(s"SELECT k, cat, v FROM graftcat.`$path` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((2L, "b", 22.0), (3L, "c", 33.0)),
+      "moved keys must read at their new partition only; deleted keys vanish")
+    // the new images routed into their partition directories on disk
+    assert(new java.io.File(path, "cat=b").isDirectory &&
+      new java.io.File(path, "cat=c").isDirectory)
+    // partition pruning on the NEW location finds the moved row
+    val pruned = spark.sql(s"SELECT k FROM graftcat.`$path` WHERE cat = 'c'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pruned === Seq(3L))
+    // compaction purges per-partition; the answer is unchanged
+    GraftCatalog.optimize(path, targetBytes = 1L << 20)
+    assert(JsonDocVersions.eqsFor(path, None)._1.isEmpty)
+    val after = spark.sql(s"SELECT k, cat, v FROM graftcat.`$path` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(after === rows)
+  }
+
   test("null upsert keys are refused loudly; keys must exist in the stream schema") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = freshDir()
-    val mem = MemoryStream[NullableKey]
+    val mem = MemoryStream[EqNullableKey]
     val q = mem.toDF().writeStream.format("graft-jsondoc")
       .option("path", path).option("checkpointLocation", freshDir())
       .option("upsert-keys", "k").start()
-    mem.addData(NullableKey(None, 1.0))
+    mem.addData(EqNullableKey(None, 1.0))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q.processAllAvailable() finally q.stop()
     }
@@ -206,11 +252,11 @@ class EqualityDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an unknown key column refuses at the first epoch's planning (the
     // write builder runs on the stream thread, so the error surfaces
     // through the query, not at start())
-    val mem2 = MemoryStream[NullableKey]
+    val mem2 = MemoryStream[EqNullableKey]
     val q2 = mem2.toDF().writeStream.format("graft-jsondoc")
       .option("path", freshDir()).option("checkpointLocation", freshDir())
       .option("upsert-keys", "nope").start()
-    mem2.addData(NullableKey(Some(1L), 1.0))
+    mem2.addData(EqNullableKey(Some(1L), 1.0))
     val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try q2.processAllAvailable() finally q2.stop()
     }
