@@ -828,21 +828,26 @@ private[graft] object JsonDocVersions {
   * canonical paths; one pending transaction per table at a time
   * (`begin` refuses a second, spec-pinned).
   *
-  * MULTI-WRITER CONTRACT (r14, stated precisely): this registry is
+  * MULTI-WRITER CONTRACT (r14, tightened r15): this registry is
   * PER-JVM. Across processes, the manifest CAS still fully protects the
   * LIVE SET (racing commits rebase or abort; no file is ever lost), and
   * a crash-and-retry of ONE applier is exactly-once (check `lastTxn`,
   * apply, commit folds the epoch atomically — replay sees the epoch and
-  * skips). What per-JVM state canNOT protect is TWO CONCURRENT appliers
-  * of the same (table, appId): both read `lastTxn` before either
-  * commits, both apply, and the fold lands twice — the check-then-apply
-  * window. Closing it needs the claim to happen at CHECK time, i.e. a
-  * begin-token CAS in the store (`putIfAbsent` of a lock entry naming
-  * (appId, epoch), swept on commit) — mechanical to add on the
-  * [[CommitStore]] seam, not built because the engine's own appliers
-  * (the q183/q188 MV folds) are checkpointed streams, which Spark
-  * already constrains to one active run per checkpoint. Run ONE applier
-  * process per (table, appId); anything else is outside the contract. */
+  * skips). What the plain check canNOT protect is TWO CONCURRENT
+  * appliers of the same (table, appId): both read `lastTxn` before
+  * either commits, both apply, and the fold lands twice — the
+  * check-then-apply window. [[claimEpoch]] (r15) closes it with a
+  * begin-token CAS on the [[CommitStore]] seam: the claim happens AT
+  * check time, so the second applier refuses before applying. Opt-in —
+  * the engine's own appliers (the q183/q188 MV folds) are checkpointed
+  * streams, which Spark already constrains to one active run per
+  * checkpoint, and a claim is one extra store round-trip per epoch.
+  * Liveness trade, stated plainly: a claimer that DIES mid-apply leaves
+  * its token, and the next applier of that epoch refuses LOUDLY (naming
+  * [[clearEpochClaim]]) instead of silently double-applying — without
+  * leases, loud-block is the safe side of that coin. A claim for an
+  * OLDER epoch is provably dead (the lineage moved past it) and is
+  * swept automatically. */
 private[graft] object GraftTxn {
   private val pending = new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
@@ -865,4 +870,59 @@ private[graft] object GraftTxn {
 
   /** Test hook: is a transaction pending for this path? */
   private[graft] def isPending(path: String): Boolean = pending.containsKey(key(path))
+
+  private def claimName(appId: String): String =
+    // appIds are caller-chosen: sanitize into the store's flat namespace
+    "_txnclaim_" + appId.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+
+  /** CLAIM epoch `e` of `appId` on `path` (r15 — the begin-token CAS):
+    * true = this caller owns the apply; false = the epoch is already
+    * folded into published state. Throws when another applier holds a
+    * live claim for this same epoch — concurrent appliers of one
+    * (table, appId) are a deployment error, and loud-block beats the
+    * silent double-fold the bare `lastTxn` check allows. The claim is
+    * consumed by [[JsonDocVersions.commitDelta]]'s caller via
+    * [[releaseEpochClaim]] after the commit (a same-epoch replay is
+    * already screened by the ledger before the claim is ever read). */
+  def claimEpoch(path: String, appId: String, epoch: Long): Boolean = {
+    if (JsonDocVersions.lastTxn(path, appId).exists(_ >= epoch)) return false
+    val name = claimName(appId)
+    val content = s"""{"epoch":$epoch}"""
+    var attempts = 0
+    while (!JsonDocVersions.store.putIfAbsent(path, name, content)) {
+      val held = JsonDocVersions.store.read(path, name)
+        .flatMap(t => "\\d+".r.findFirstIn(t)).map(_.toLong)
+      held match {
+        case Some(h) if h < epoch =>
+          // a claim for an OLDER epoch is provably dead: either its
+          // commit landed (the ledger screened us past it) or its
+          // applier died and the lineage has moved on — sweep and retry
+          JsonDocVersions.store.delete(path, name)
+        case Some(h) if h > epoch =>
+          return false // we are the stale lineage member
+        case _ =>
+          // same epoch: re-screen the ledger once (the holder may have
+          // just committed), else refuse loudly
+          if (JsonDocVersions.lastTxn(path, appId).exists(_ >= epoch)) return false
+          throw new IllegalStateException(
+            s"graft-jsondoc: epoch $epoch of '$appId' on $path is claimed by a " +
+              "concurrent applier (or one that died mid-apply) — one applier per " +
+              "(table, appId); if the holder is dead, GraftTxn.clearEpochClaim " +
+              "releases the token")
+      }
+      attempts += 1
+      if (attempts > 10)
+        throw new java.io.IOException(
+          s"graft-jsondoc: gave up claiming epoch $epoch of '$appId' on $path")
+    }
+    true
+  }
+
+  /** Release after the epoch's commit (or to recover a dead claimer). */
+  def releaseEpochClaim(path: String, appId: String): Unit =
+    JsonDocVersions.store.delete(path, claimName(appId))
+
+  /** Operator-facing recovery alias. */
+  def clearEpochClaim(path: String, appId: String): Unit =
+    releaseEpochClaim(path, appId)
 }

@@ -171,8 +171,46 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(JsonDocVersions.lastTxn(dir, "app").contains(2L))
     // what per-JVM state cannot give: two CONCURRENT appliers of one
     // (table, appId) both pass the lastTxn check before either commits —
-    // the documented out-of-contract window (GraftTxn scaladoc names the
-    // begin-token CAS that would close it on the CommitStore seam)
+    // closed (r15) by the opt-in begin-token CAS, pinned below
+  }
+
+  test("claimEpoch closes the two-concurrent-appliers window: loud refusal, never a double fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim").toString
+    // applier A claims epoch 1 and applies
+    assert(GraftTxn.claimEpoch(dir, "mv", 1L))
+    // applier B arrives MID-APPLY: the bare lastTxn check would admit it
+    // (nothing committed yet) — the claim refuses it loudly instead
+    val e = intercept[IllegalStateException] { GraftTxn.claimEpoch(dir, "mv", 1L) }
+    assert(e.getMessage.contains("one applier per"), e.getMessage)
+    // A commits (ledger entry rides the manifest CAS) and releases
+    JsonDocVersions.commitDelta(dir, Set.empty, Set("e1.jsonl"), txn = Some(("mv", 1L)))
+    GraftTxn.releaseEpochClaim(dir, "mv")
+    // a replay of epoch 1 now screens out at the ledger, claim-free
+    assert(!GraftTxn.claimEpoch(dir, "mv", 1L), "an applied epoch must not re-claim")
+    // epoch 2 proceeds normally
+    assert(GraftTxn.claimEpoch(dir, "mv", 2L))
+    JsonDocVersions.commitDelta(dir, Set.empty, Set("e2.jsonl"), txn = Some(("mv", 2L)))
+    GraftTxn.releaseEpochClaim(dir, "mv")
+    assert(JsonDocVersions.latest(dir).get._2 === Set("e1.jsonl", "e2.jsonl"))
+  }
+
+  test("claimEpoch liveness: a DEAD claimer blocks its own epoch loudly; an older-epoch claim sweeps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_claim2").toString
+    // a claimer of epoch 5 dies mid-apply (claim left, no commit)
+    assert(GraftTxn.claimEpoch(dir, "mv", 5L))
+    val blocked = intercept[IllegalStateException] { GraftTxn.claimEpoch(dir, "mv", 5L) }
+    assert(blocked.getMessage.contains("clearEpochClaim"), blocked.getMessage)
+    // the documented recovery releases it; the retry then applies once
+    GraftTxn.clearEpochClaim(dir, "mv")
+    assert(GraftTxn.claimEpoch(dir, "mv", 5L))
+    JsonDocVersions.commitDelta(dir, Set.empty, Set("e5.jsonl"), txn = Some(("mv", 5L)))
+    // NOTE: release deliberately skipped — the next epoch's claim must
+    // sweep the stale OLDER token automatically (the lineage moved on)
+    assert(GraftTxn.claimEpoch(dir, "mv", 6L),
+      "an older epoch's leftover claim is provably dead and must sweep")
+    // and a STALE lineage member asking for an older epoch backs off
+    assert(!GraftTxn.claimEpoch(dir, "mv", 5L))
+    GraftTxn.releaseEpochClaim(dir, "mv")
   }
 
   test("mtime ordering drives TIMESTAMP AS OF resolution on the fake store") {
