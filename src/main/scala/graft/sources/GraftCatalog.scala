@@ -140,6 +140,14 @@ class GraftCatalog extends TableCatalog
       return new JsonDocPartitionsTable(d.getPath))
     // `path#refs` (t.refs): the named-ref (tag) listing (r14)
     metaDirOf(ident, "#refs").foreach(d => return new JsonDocRefsTable(d.getPath))
+    // `path#changes` (r15): the row-level change data feed over the full
+    // published lineage; bounded ranges go through the reader options
+    // (`readChanges` + `startingVersion`/`endingVersion`)
+    metaDirOf(ident, "#changes").foreach { d =>
+      val schema = GraftCatalog.readSchema(d)
+        .getOrElse(JsonDocSource.infer(d.getPath))
+      return new JsonDocChangesTable(d.getPath, schema)
+    }
     val dir = dirOf(ident)
     if (!dir.isDirectory) throw new NoSuchTableException(ident)
     val schema = GraftCatalog.readSchema(dir)
@@ -154,6 +162,15 @@ class GraftCatalog extends TableCatalog
     * resolved to its version here, then read through the identical
     * pinned path — tags inherit every pinned-read guarantee. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // `path#changes VERSION AS OF v` — the feed bounded to commits ≤ v
+    // (startingVersion stays the first published commit; SQL's single
+    // version slot maps naturally to the end bound)
+    metaDirOf(ident, "#changes").foreach { d =>
+      val v0 = JsonDocRefs.resolve(d.getPath, version)
+      val schema = GraftCatalog.readSchema(d)
+        .getOrElse(JsonDocSource.infer(d.getPath))
+      return new JsonDocChangesTable(d.getPath, schema, endV = Some(v0))
+    }
     // `path#files VERSION AS OF v` — the inventory of snapshot v
     // (retired files keep their sidecar entries so this stays exact)
     metaDirOf(ident, "#files").foreach { d =>

@@ -77,11 +77,33 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     * ACCEPT_ANY_SCHEMA capability lets the append carry the query's own
     * schema. Reads of real data may still pass an explicit schema (the
     * recommended, self-documenting form the whole test surface uses). */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JsonDocSource.infer(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val data = JsonDocSource.infer(options.get("path"))
+    // the change-data-feed read (r15): same data columns plus the three
+    // feed metadata columns — inferred here so the option-driven read
+    // (`option("readChanges","true")`) needs no user schema
+    if (options.getBoolean("readChanges", false)) JsonDocChanges.feedSchema(data)
+    else data
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // change-data-feed table (r15): `readChanges` + optional
+    // `startingVersion`/`endingVersion` (both inclusive; a version's
+    // entry is the diff against its published predecessor — Delta CDF's
+    // option shape). The schema handed in is the feed schema from
+    // inferSchema (or a user-declared one) — strip the feed columns to
+    // recover the data schema the wrapped snapshot readers need.
+    if (java.lang.Boolean.parseBoolean(
+        Option(properties.get("readChanges")).getOrElse("false"))) {
+      val meta = Set(JsonDocChanges.ChangeTypeCol, JsonDocChanges.CommitVersionCol,
+        JsonDocChanges.CommitMsCol)
+      val data = StructType(schema.fields.filterNot(f => meta.contains(f.name)))
+      def bound(key: String): Option[Int] =
+        Option(properties.get(key)).map(_.trim.toInt)
+      return new JsonDocChangesTable(properties.get("path"), data,
+        bound("startingVersion"), bound("endingVersion"))
+    }
     // The reader parses only these primitive types and the pushdown
     // comparator only evaluates them; any other declared type would
     // silently corrupt rows (UTF8String in a non-string column) or drop

@@ -742,6 +742,15 @@ object SourceQueries {
     * fold debt. That is Iceberg v2's streaming-upsert design point. */
   def q200UpsertStream(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q200")
+    val tbl = stageUpsertStream(spark, dir, root)
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
+  /** Stages the q200 table: base append + the q85 change set streamed
+    * through the equality-delete upsert sink. Shared by q200 (reads the
+    * final state) and q206 (replays the CHANGE FEED back to it). */
+  private def stageUpsertStream(spark: SparkSession, dir: String,
+      root: String): String = {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     val tbl = s"graftcat.`$root/t`"
     spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
@@ -786,12 +795,109 @@ object SourceQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+    tbl
+  }
+
+  /** q205: the ROW-LEVEL CHANGE DATA FEED (r15, [[JsonDocChangesTable]])
+    * — `path#changes` computed ON DEMAND from the snapshot lineage, no
+    * stored change files (Iceberg's changelog-scan model in Delta CDF's
+    * schema shape). The flow stages a merge-on-read table (append v1,
+    * the q189 MERGE v2, OPTIMIZE v3) and reads the feed: v1 surfaces the
+    * base as `insert`, v2 surfaces the MERGE's delete-vector growth as
+    * exact `delete` old images plus its appended new images/inserts as
+    * `insert`, and the OPTIMIZE commit — a logical identity — emits
+    * NOTHING. Hash-green against a pure-SQL reconstruction means the
+    * feed is exact per commit, not merely fold-consistent.
+    *
+    * Scale shape: planning is manifest arithmetic on the driver;
+    * executors read only the files each commit touched (one task per
+    * file × commit × change kind) — the compacted table never re-emits
+    * what OPTIMIZE rewrote. */
+  def q205ChangesFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q205")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append() // v1
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2.0).as("price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
+        col("o_custkey"), col("o_totalprice").as("price"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q205_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING q205_changes c ON t.o_orderkey = c.o_orderkey
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
+         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    spark.sql(s"CALL graftcat.optimize('$root/t', ${32 * 1024 * 1024})") // v3: identity
+    spark.sql(s"SELECT _change_type AS change_type, _commit_version AS commit_version, " +
+      s"o_orderkey, o_custkey, o_orderstatus, o_totalprice, src " +
+      s"FROM graftcat.`$root/t#changes` " +
+      s"ORDER BY commit_version, change_type, o_orderkey")
+  }
+
+  val q205Sql: String =
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "'base' AS src FROM orders) " +
+      "SELECT * FROM (" +
+      "SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version, " +
+      "o_orderkey, o_custkey, o_orderstatus, o_totalprice, src FROM base " +
+      "UNION ALL " +
+      "SELECT 'delete', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, src FROM base WHERE o_orderkey % 10 IN (3, 7) " +
+      "UNION ALL " +
+      "SELECT 'insert', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice * CAST(2.0 AS DOUBLE), 'upd' FROM base WHERE o_orderkey % 10 = 3 " +
+      "UNION ALL " +
+      "SELECT 'insert', CAST(2 AS BIGINT), o_orderkey + 20000000, o_custkey, 'N', " +
+      "o_totalprice, 'ins' FROM base WHERE o_orderkey % 10 = 5" +
+      ") ORDER BY commit_version, change_type, o_orderkey"
+
+  /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
+    * folded back into table state with one window: per key, the latest
+    * commit's action wins (insert ranks above delete within a commit —
+    * a delete applies to OLDER images, never to its own commit's
+    * insert), and a key whose last action is a delete is gone. The
+    * oracle is q85's SQL VERBATIM — the FIFTH member of the
+    * q85 == q174 == q189 == q200 == q206 equality: the CDC dataflow,
+    * both MERGE paths, the streaming upsert, and now the change feed
+    * REPLAYED from the table's own lineage all land the same rows. This
+    * is the downstream-materialization contract CDC exists for: a
+    * consumer holding only the feed can reconstruct the table. The same
+    * window is also exact over copy-on-write rewrites (an untouched
+    * row's delete+insert pair shares a commit, and insert outranks the
+    * delete). */
+  def q206ChangesReplay(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q206")
+    stageUpsertStream(spark, dir, root)
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, src FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY o_orderkey
+         |    ORDER BY _commit_version DESC,
+         |             CASE WHEN _change_type = 'insert' THEN 0 ELSE 1 END) AS rn
+         |  FROM graftcat.`$root/t#changes`)
+         |WHERE rn = 1 AND _change_type = 'insert'
+         |ORDER BY o_orderkey""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_dsv2_source" -> q48Dsv2Source _,
     "q200_upsert_stream" -> q200UpsertStream _,
+    "q205_changes_feed" -> q205ChangesFeed _,
+    "q206_changes_replay" -> q206ChangesReplay _,
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
@@ -822,6 +928,8 @@ object SourceQueries {
     "q189_mor_merge" -> graft.ops.DataPrep.q85Sql,
     // ... and through the streaming keyed-upsert (equality-delete) path
     "q200_upsert_stream" -> graft.ops.DataPrep.q85Sql,
+    "q205_changes_feed" -> q205Sql,
+    "q206_changes_replay" -> graft.ops.DataPrep.q85Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates

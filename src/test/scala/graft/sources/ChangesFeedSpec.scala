@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ROW-LEVEL CHANGE DATA FEED (r15, [[JsonDocChangesTable]]): `#changes`
+  * computed on demand from the snapshot lineage — no stored change
+  * files. Pins the per-commit row semantics for every mutation path
+  * (append, MOR delete/update via DV growth, COW rewrite, equality-
+  * delete upsert epochs, rollback resurrection), the identity-op skip
+  * (OPTIMIZE emits nothing), staged-snapshot invisibility, bounded
+  * ranges, and the master invariant: bag-folding the feed (+1 insert /
+  * −1 delete on row content) reproduces the live table exactly. */
+class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("changes-feed-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val MetaCols = Set("_change_type", "_commit_version", "_commit_ms")
+
+  private def fresh(mor: Boolean): (String, String) = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val tbl = s"graftcat.`$root/t`"
+    val props = if (mor)
+      " TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')" else ""
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, src STRING) " +
+      s"USING `graft-jsondoc`$props")
+    (tbl, s"$root/t")
+  }
+
+  private def feed(path: String, start: Option[Int] = None,
+      end: Option[Int] = None): DataFrame = {
+    var r = spark.read.format("graft-jsondoc").option("readChanges", "true")
+    start.foreach(s => r = r.option("startingVersion", s.toString))
+    end.foreach(e => r = r.option("endingVersion", e.toString))
+    r.option("path", path).load()
+  }
+
+  /** The changelog contract: folding the full feed as a bag (+1 per
+    * insert, −1 per delete on row CONTENT) must reproduce the live
+    * table's bag of rows exactly. */
+  private def assertFoldsToTable(path: String, tbl: String): Unit = {
+    val f = feed(path)
+    val dataCols = f.columns.filterNot(MetaCols).toSeq
+    val folded = f.groupBy(dataCols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("n"))
+      .filter(col("n") =!= 0L)
+    val table = spark.sql(s"SELECT * FROM $tbl")
+      .groupBy(dataCols.map(col): _*).agg(count(lit(1)).as("n"))
+    assert(folded.exceptAll(table).isEmpty && table.exceptAll(folded).isEmpty,
+      s"feed fold does not reproduce the table for $path")
+  }
+
+  private def rowsAt(path: String, v: Long,
+      changeType: String): Seq[(Long, Double, String)] =
+    feed(path).filter(col("_commit_version") === v &&
+        col("_change_type") === changeType)
+      .select("k", "v", "src").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq.sorted
+
+  test("append + MOR delete/update emit exact row-level changes; OPTIMIZE emits none") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"))
+      .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((4L, 40.0, "base"), (5L, 50.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // v3: DV growth
+    spark.sql(s"UPDATE $tbl SET v = 300.0, src = 'upd' WHERE k = 3") // v4
+    spark.sql(s"CALL graftcat.optimize('$path', ${32 * 1024 * 1024})") // v5: identity
+
+    assert(rowsAt(path, 1L, "insert") ===
+      Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base")))
+    assert(rowsAt(path, 2L, "insert") === Seq((4L, 40.0, "base"), (5L, 50.0, "base")))
+    assert(rowsAt(path, 3L, "delete") === Seq((2L, 20.0, "base")))
+    // MOR update = delete(old image) + insert(new image), same commit
+    assert(rowsAt(path, 4L, "delete") === Seq((3L, 30.0, "base")))
+    assert(rowsAt(path, 4L, "insert") === Seq((3L, 300.0, "upd")))
+    assert(feed(path).filter(col("_commit_version") === 5L).isEmpty,
+      "OPTIMIZE is a logical identity and must emit no feed rows")
+    assertFoldsToTable(path, tbl)
+  }
+
+  test("copy-on-write commits fold correctly; unchanged rows cancel as delete+insert pairs") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"))
+      .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // v2: COW rewrite of the file
+    // raw feed at v2: the whole rewritten file both ways
+    assert(rowsAt(path, 2L, "delete") ===
+      Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base")))
+    assert(rowsAt(path, 2L, "insert") === Seq((1L, 10.0, "base"), (3L, 30.0, "base")))
+    // the net of the commit is exactly the deleted row
+    val net = feed(path).filter(col("_commit_version") === 2L)
+      .groupBy("k", "v", "src")
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("n"))
+      .filter(col("n") =!= 0L).select("k").as[Long].collect().toSeq
+    assert(net === Seq(2L))
+    assertFoldsToTable(path, tbl)
+  }
+
+  test("equality-delete upsert epoch: old images delete, the epoch's own inserts survive its set") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base"), (3L, 30.0, "base"))
+      .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    // one CDC epoch through the streaming upsert sink: update k=1,
+    // delete k=2, insert k=9
+    val staging = path + "_staging"
+    Seq((1L, 100.0, "upd", "U"), (2L, 20.0, "base", "D"), (9L, 90.0, "ins", "I"))
+      .toDF("k", "v", "src", "_op").coalesce(1)
+      .write.format("graft-jsondoc").option("path", staging).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_op", org.apache.spark.sql.types.StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ck").toString
+    val q = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", staging).load()
+      .writeStream.format("graft-jsondoc")
+      .option("path", path).option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k").option("upsert-cdc-col", "_op")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vE = JsonDocVersions.latestVersion(path).get.toLong
+
+    // the epoch's eq set hits the OLD images of k=1 and k=2 only — the
+    // epoch's own inserts are newer than the set and must not fold
+    assert(rowsAt(path, vE, "delete") === Seq((1L, 10.0, "base"), (2L, 20.0, "base")))
+    assert(rowsAt(path, vE, "insert") === Seq((1L, 100.0, "upd"), (9L, 90.0, "ins")))
+    assertFoldsToTable(path, tbl)
+  }
+
+  test("bounded ranges, the catalog #changes table, and VERSION AS OF end bound") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1") // v3
+
+    assert(feed(path).count() === 3)
+    assert(feed(path, start = Some(2)).select("_commit_version")
+      .as[Long].collect().toSet === Set(2L, 3L))
+    assert(feed(path, start = Some(2), end = Some(2))
+      .select("k").as[Long].collect().toSeq === Seq(2L))
+    // endingVersion beyond the published head fails loudly
+    val e = intercept[Exception] { feed(path, end = Some(99)).collect() }
+    assert(e.getMessage.contains("beyond the latest published"))
+    // catalog surface: full feed, and SQL's version slot as the end bound
+    assert(spark.sql(s"SELECT * FROM graftcat.`$path#changes`").count() === 3)
+    assert(spark.sql(s"SELECT * FROM graftcat.`$path#changes` VERSION AS OF 2")
+      .count() === 2)
+  }
+
+  test("staged snapshots are invisible until publish; the publish commit carries their delta") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "wap")).toDF("k", "v", "src").coalesce(1)
+      .writeTo(tbl).option("staged", "true").append() // staged v2
+    assert(feed(path).select("k").as[Long].collect().toSeq === Seq(1L),
+      "a staged snapshot must not reach the change feed")
+    val vPub = spark.sql(s"CALL graftcat.publish('$path', 2)").collect()(0).getLong(0)
+    val pubRows = rowsAt(path, vPub, "insert")
+    assert(pubRows === Seq((2L, 20.0, "wap")))
+    assertFoldsToTable(path, tbl)
+  }
+
+  test("rollback emits the restoring changes: resurrected positions surface as inserts") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"))
+      .toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE k IN (1, 2)") // v2: DV growth
+    spark.sql(s"CALL graftcat.rollback('$path', 1)") // v3: DV shrink back
+    assert(rowsAt(path, 3L, "insert") === Seq((1L, 10.0, "a"), (2L, 20.0, "a")))
+    assert(feed(path).filter(col("_commit_version") === 3L &&
+      col("_change_type") === "delete").isEmpty)
+    assertFoldsToTable(path, tbl)
+  }
+}
