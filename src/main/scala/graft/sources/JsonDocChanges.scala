@@ -64,7 +64,7 @@ private[sources] class JsonDocChangesTable(path: String, dataSchema: StructType,
   override def name(): String = s"graft-jsondoc($path#changes)"
   override def schema(): StructType = JsonDocChanges.feedSchema(dataSchema)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new JsonDocChangesScan(path, dataSchema, startV, endV)
 }
@@ -84,47 +84,28 @@ private[sources] object JsonDocChanges {
       StructField(ChangeTypeCol, StringType, nullable = false),
       StructField(CommitVersionCol, LongType, nullable = false),
       StructField(CommitMsCol, LongType, nullable = true)))
-}
 
-/** One (file, commit, kind) unit of change-feed work. `innerDvPath` /
-  * `innerEqPaths` configure the wrapped snapshot reader's standard dead-
-  * row folding (rows skipped before they can be emitted); `keepPos` /
-  * `skipPos` constrain emission to exact positions; `keepEqPaths`
-  * constrains emission to rows matching ANY of the named eq-delete sets
-  * (match-any, so a row hit by several sets emits once). */
-private[sources] case class JsonDocChangesPartition(
-    file: String, rel: String, changeType: String,
-    commitVersion: Long, commitMs: Option[Long],
-    innerDvPath: String = "", innerEqPaths: Seq[String] = Seq.empty,
-    keepPos: Option[Seq[Long]] = None, skipPos: Seq[Long] = Seq.empty,
-    keepEqPaths: Seq[String] = Seq.empty) extends InputPartition
-
-private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
-    startV: Option[Int], endV: Option[Int]) extends Scan with Batch {
-  override def readSchema(): StructType = JsonDocChanges.feedSchema(dataSchema)
-  override def toBatch: Batch = this
-
-  private def abs(rel: String): String = new java.io.File(path, rel).getAbsolutePath
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val published = JsonDocVersions.manifests(path).sorted.toSeq
+  /** The published lineage, ascending — the commits the feed can emit.
+    * Staged (WAP/branch) snapshots are invisible until published, same
+    * as to normal reads. */
+  def publishedVersions(path: String): Seq[Int] =
+    JsonDocVersions.manifests(path).sorted.toSeq
       .filterNot(v => JsonDocVersions.readStaged(path, v))
-    if (published.isEmpty) return Array.empty
-    val lo = startV.getOrElse(published.head)
-    val hi = endV.getOrElse(published.last)
-    require(lo <= hi,
-      s"graft-jsondoc changes: startingVersion $lo exceeds endingVersion $hi")
-    require(hi <= published.last,
-      s"graft-jsondoc changes: endingVersion $hi is beyond the latest published " +
-        s"snapshot v${published.last} of $path")
 
+  /** Feed partitions for every published commit in `[lo, hi]`, each
+    * diffed against its published predecessor (which may precede `lo` —
+    * a commit's changes are defined by its own diff regardless of the
+    * requested window). Shared by the batch scan and the streaming
+    * source so both deliver identical rows for a commit. */
+  def partsBetween(path: String, published: Seq[Int], lo: Int,
+      hi: Int): Array[InputPartition] = {
     val parts = Seq.newBuilder[InputPartition]
     var prev: Option[Int] = None
     for (v <- published) {
       if (v >= lo && v <= hi) {
         val op = JsonDocVersions.readOp(path, v).getOrElse("")
-        if (!JsonDocChanges.IdentityOps.contains(op))
-          parts ++= commitParts(v, prev)
+        if (!IdentityOps.contains(op))
+          parts ++= commitParts(path, v, prev)
       }
       prev = Some(v)
     }
@@ -133,10 +114,13 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
 
   /** The feed partitions of one commit `v` against its published
     * predecessor `p` — pure manifest/DV arithmetic on the driver. */
-  private def commitParts(v: Int, p: Option[Int]): Seq[InputPartition] = {
+  private def commitParts(path: String, v: Int,
+      p: Option[Int]): Seq[InputPartition] = {
+    def abs(rel: String): String = new java.io.File(path, rel).getAbsolutePath
     def stateOf(x: Int) = JsonDocVersions.state(path, x).getOrElse(
       throw new IllegalStateException(
-        s"graft-jsondoc changes: manifest v$x of $path is unreadable"))
+        s"graft-jsondoc changes: manifest v$x of $path is unreadable (expired/" +
+          "vacuumed?) — keep snapshots at least as long as feed consumers"))
     val stP = p.map(stateOf).getOrElse(JsonDocVersions.EmptyState)
     val stV = stateOf(v)
     val ms = JsonDocVersions.mtime(path, v)
@@ -203,13 +187,104 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     }
     out.result()
   }
+}
+
+/** One (file, commit, kind) unit of change-feed work. `innerDvPath` /
+  * `innerEqPaths` configure the wrapped snapshot reader's standard dead-
+  * row folding (rows skipped before they can be emitted); `keepPos` /
+  * `skipPos` constrain emission to exact positions; `keepEqPaths`
+  * constrains emission to rows matching ANY of the named eq-delete sets
+  * (match-any, so a row hit by several sets emits once). */
+private[sources] case class JsonDocChangesPartition(
+    file: String, rel: String, changeType: String,
+    commitVersion: Long, commitMs: Option[Long],
+    innerDvPath: String = "", innerEqPaths: Seq[String] = Seq.empty,
+    keepPos: Option[Seq[Long]] = None, skipPos: Seq[Long] = Seq.empty,
+    keepEqPaths: Seq[String] = Seq.empty) extends InputPartition
+
+private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
+    startV: Option[Int], endV: Option[Int]) extends Scan with Batch {
+  override def readSchema(): StructType = JsonDocChanges.feedSchema(dataSchema)
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val published = JsonDocChanges.publishedVersions(path)
+    if (published.isEmpty) return Array.empty
+    val lo = startV.getOrElse(published.head)
+    val hi = endV.getOrElse(published.last)
+    require(lo <= hi,
+      s"graft-jsondoc changes: startingVersion $lo exceeds endingVersion $hi")
+    require(hi <= published.last,
+      s"graft-jsondoc changes: endingVersion $hi is beyond the latest published " +
+        s"snapshot v${published.last} of $path")
+    JsonDocChanges.partsBetween(path, published, lo, hi)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path))
 
+  /** STREAMING change feed (r15): the feed as a micro-batch source —
+    * offsets are PUBLISHED SNAPSHOT VERSIONS, each batch the feed rows
+    * of the commits in `(start, end]`. This is the CDC escape hatch
+    * from the append-only streaming contract: the plain streaming
+    * source must ABORT under rewrites and equality deletes (a
+    * file-granular offset cannot represent them — see
+    * [[JsonDocMicroBatchStream.validateAppendOnly]]), while this source
+    * delivers them as explicit delete/insert rows. Replays are exact:
+    * manifests and their files are immutable, so re-planning a
+    * checkpointed version window yields byte-identical batches; an
+    * expired (vacuumed) window aborts loudly instead of delivering a
+    * partial diff. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonDocChangesMicroBatchStream(path, dataSchema, startV)
+
   override def description(): String =
     s"graft-jsondoc changes path=$path range=[${startV.getOrElse("first")}, " +
       s"${endV.getOrElse("latest")}]"
+}
+
+/** Version-window offset of the streaming change feed: `v` = the last
+  * published snapshot whose changes have been delivered. */
+private[sources] case class ChangesOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"changesVersion":$v}"""
+}
+
+private[sources] class JsonDocChangesMicroBatchStream(path: String,
+    dataSchema: StructType, startV: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Before the first delivered commit: `startingVersion - 1` when
+    * given (that version's changes are the first batch — the inclusive
+    * bound the batch read uses), else before the whole lineage. */
+  override def initialOffset(): Offset =
+    ChangesOffset(startV.map(_ - 1).getOrElse(0))
+
+  override def latestOffset(): Offset = {
+    val published = JsonDocChanges.publishedVersions(path)
+    ChangesOffset(published.lastOption.getOrElse(
+      startV.map(_ - 1).getOrElse(0)))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    ChangesOffset(node.get("changesVersion").asInt())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ChangesOffset].v + 1
+    val hi = end.asInstanceOf[ChangesOffset].v
+    if (lo > hi) return Array.empty
+    JsonDocChanges.partsBetween(path, JsonDocChanges.publishedVersions(path), lo, hi)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class JsonDocChangesReaderFactory(dataSchema: StructType,

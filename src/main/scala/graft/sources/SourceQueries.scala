@@ -865,6 +865,61 @@ object SourceQueries {
       "o_totalprice, 'ins' FROM base WHERE o_orderkey % 10 = 5" +
       ") ORDER BY commit_version, change_type, o_orderkey"
 
+  /** q207: the STREAMING change feed ([[JsonDocChangesMicroBatchStream]])
+    * — the q205 table's lineage consumed through `readStream` with
+    * published snapshot VERSIONS as offsets, landed in a parquet sink,
+    * and checked against q205's SQL oracle VERBATIM: the streamed feed
+    * and the batch feed are provably the same rows. This is the CDC
+    * escape hatch from the append-only streaming contract — the plain
+    * source must abort under row-level DML (rewrites and equality
+    * deletes break file-granular offsets), while this source delivers
+    * them as explicit delete/insert rows; replays are exact because
+    * manifests are immutable (ChangesFeedSpec pins restart
+    * exactly-once). */
+  def q207ChangesStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q207")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append() // v1
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2.0).as("price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
+        col("o_custkey"), col("o_totalprice").as("price"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q207_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING q207_changes c ON t.o_orderkey = c.o_orderkey
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
+         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    val sink = s"$root/feed"
+    val q = spark.readStream.format("graft-jsondoc")
+      .option("readChanges", "true").option("path", s"$root/t").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("src"))
+      .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
+  }
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -898,6 +953,7 @@ object SourceQueries {
     "q200_upsert_stream" -> q200UpsertStream _,
     "q205_changes_feed" -> q205ChangesFeed _,
     "q206_changes_replay" -> q206ChangesReplay _,
+    "q207_changes_stream" -> q207ChangesStream _,
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
@@ -930,6 +986,9 @@ object SourceQueries {
     "q200_upsert_stream" -> graft.ops.DataPrep.q85Sql,
     "q205_changes_feed" -> q205Sql,
     "q206_changes_replay" -> graft.ops.DataPrep.q85Sql,
+    // the streamed feed equals the batch feed: q205's oracle verbatim
+    // (the staged flow omits q205's trailing no-op OPTIMIZE)
+    "q207_changes_stream" -> q205Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates

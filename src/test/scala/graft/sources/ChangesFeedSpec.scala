@@ -179,6 +179,96 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertFoldsToTable(path, tbl)
   }
 
+  private def runCdfStream(path: String, ckpt: String, outDir: String): Unit = {
+    val q = spark.readStream.format("graft-jsondoc")
+      .option("readChanges", "true").option("path", path).load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming change feed: versions as offsets, exactly-once across restart, DML allowed") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE k = 1") // v2 — aborts the plain stream,
+                                               // delivered here as a delete row
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdf_out").toString
+    runCdfStream(path, ckpt, outDir)
+    val got1 = spark.read.parquet(outDir)
+      .select("_change_type", "_commit_version", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got1 === Seq(("delete", 2L, 1L), ("insert", 1L, 1L), ("insert", 1L, 2L)))
+
+    // new commits land; the restarted consumer delivers ONLY them
+    // (the sink accumulates — the delta is the restarted run's delivery)
+    Seq((3L, 30.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v3
+    spark.sql(s"UPDATE $tbl SET v = 200.0, src = 'upd' WHERE k = 2") // v4
+    runCdfStream(path, ckpt, outDir)
+    val got2 = spark.read.parquet(outDir)
+      .select("_change_type", "_commit_version", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got2 === Seq(("delete", 2L, 1L, 10.0), ("delete", 4L, 2L, 20.0),
+      ("insert", 1L, 1L, 10.0), ("insert", 1L, 2L, 20.0),
+      ("insert", 3L, 3L, 30.0), ("insert", 4L, 2L, 200.0)),
+      "the restarted consumer must deliver exactly the new commits, once")
+  }
+
+  test("streaming change feed delivers equality-delete epochs the append-only stream must refuse") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append() // v1
+    // one upsert epoch (update k=1) — leaves a live equality delete
+    val staging = path + "_staging"
+    Seq((1L, 100.0, "upd", "U")).toDF("k", "v", "src", "_op").coalesce(1)
+      .write.format("graft-jsondoc").option("path", staging).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_op", org.apache.spark.sql.types.StringType)))
+    val upCkpt = java.nio.file.Files.createTempDirectory("graft_cdf_up").toString
+    val up = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", staging).load()
+      .writeStream.format("graft-jsondoc")
+      .option("path", path).option("checkpointLocation", upCkpt)
+      .option("upsert-keys", "k").option("upsert-cdc-col", "_op")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    up.awaitTermination()
+
+    // the append-only consumer refuses the table (eq deletes break
+    // file-granular offsets) ...
+    val plainCkpt = java.nio.file.Files.createTempDirectory("graft_cdf_plain").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-jsondoc")
+        .schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+        .option("path", path).load()
+        .writeStream.format("memory").queryName("cdf_plain_sink")
+        .option("checkpointLocation", plainCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("equality") ||
+      Option(e.getCause).exists(_.getMessage.contains("equality")))
+
+    // ... while the CDC stream delivers the epoch as explicit rows
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_eqs").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdf_eqout").toString
+    runCdfStream(path, ckpt, outDir)
+    val got = spark.read.parquet(outDir).select("_change_type", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got === Seq(("delete", 1L, 10.0), ("insert", 1L, 10.0),
+      ("insert", 1L, 100.0), ("insert", 2L, 20.0)))
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._
