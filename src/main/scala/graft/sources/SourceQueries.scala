@@ -920,6 +920,93 @@ object SourceQueries {
       .orderBy(col("commit_version"), col("change_type"), col("o_orderkey"))
   }
 
+  /** q208: AGGREGATE MV MAINTAINED FROM THE CHANGE FEED under row-level
+    * DML — the delta-maintenance pattern CDC exists to enable (and the
+    * one the append-only MV family q183/q194 cannot express: their
+    * source streams refuse deletes). The base table takes the q85 MERGE
+    * (deletes + updates + inserts); the view `(o_orderstatus, n_orders,
+    * sum_key)` is maintained by streaming the feed and folding each
+    * batch as SIGNED group deltas (+1/+key per insert, −1/−key per
+    * delete) MERGEd into the view — per epoch the work is
+    * O(changed rows), the base is never re-scanned. The oracle
+    * recomputes the aggregate from the final state in one batch GROUP
+    * BY: hash-green means the incrementally-folded view equals the
+    * recomputation exactly (the aggregates are BIGINT — signed folds
+    * are associative with no float drift). Exactly-once across epoch
+    * replay rides the same manifest-transaction ledger the q183 MV
+    * family proves; this row's subject is the DML-tolerant delta
+    * dataflow itself. */
+  def q208CdfMv(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q208")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val base = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), lit("base").as("src"))
+    base.writeTo(tbl).append() // v1
+    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
+        (col("o_totalprice") * 2.0).as("price"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
+        col("o_custkey"), col("o_totalprice").as("price"))
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q208_changes")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING q208_changes c ON t.o_orderkey = c.o_orderkey
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
+         |WHEN NOT MATCHED AND c.op = 'ins' THEN
+         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
+         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    val mv = s"graftcat.`$root/mv`"
+    spark.sql(s"CREATE TABLE $mv (o_orderstatus STRING, n_orders BIGINT, " +
+      "sum_key BIGINT) USING `graft-jsondoc`")
+    val q = spark.readStream.format("graft-jsondoc")
+      .option("readChanges", "true").option("path", s"$root/t").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        batch.groupBy("o_orderstatus")
+          .agg(sum(sign).as("dn"), sum(sign * col("o_orderkey")).as("dsum"))
+          .createOrReplaceTempView("q208_delta")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $mv m USING q208_delta d
+             |ON m.o_orderstatus = d.o_orderstatus
+             |WHEN MATCHED THEN UPDATE SET
+             |  n_orders = m.n_orders + d.dn, sum_key = m.sum_key + d.dsum
+             |WHEN NOT MATCHED THEN
+             |  INSERT (o_orderstatus, n_orders, sum_key)
+             |  VALUES (d.o_orderstatus, d.dn, d.dsum)""".stripMargin)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.sql(s"SELECT o_orderstatus, n_orders, sum_key FROM $mv " +
+      "ORDER BY o_orderstatus")
+  }
+
+  val q208Sql: String =
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+      "final AS (" +
+      "SELECT b.o_orderkey, b.o_orderstatus FROM base b " +
+      "WHERE b.o_orderkey % 10 NOT IN (7) " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 20000000, 'N' FROM base WHERE o_orderkey % 10 = 5) " +
+      "SELECT o_orderstatus, count(*) AS n_orders, " +
+      // CAST: DuckDB sums BIGINT into HUGEINT, which pandas renders as
+      // float64 and the hash gate rejects (the q107 rule)
+      "CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
+      "FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -954,6 +1041,7 @@ object SourceQueries {
     "q205_changes_feed" -> q205ChangesFeed _,
     "q206_changes_replay" -> q206ChangesReplay _,
     "q207_changes_stream" -> q207ChangesStream _,
+    "q208_cdf_mv" -> q208CdfMv _,
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
@@ -989,6 +1077,8 @@ object SourceQueries {
     // the streamed feed equals the batch feed: q205's oracle verbatim
     // (the staged flow omits q205's trailing no-op OPTIMIZE)
     "q207_changes_stream" -> q205Sql,
+    // the CDF-maintained view equals the one-shot recomputation
+    "q208_cdf_mv" -> q208Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates
