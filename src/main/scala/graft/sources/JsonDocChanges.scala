@@ -66,7 +66,44 @@ private[sources] class JsonDocChangesTable(path: String, dataSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new JsonDocChangesScan(path, dataSchema, startV, endV)
+    new JsonDocChangesScanBuilder(path, dataSchema, startV, endV)
+}
+
+/** Pushdown on the feed's METADATA columns: comparisons against
+  * `_commit_version` / `_commit_ms` prune whole commits at PLANNING
+  * ("changes since version n / since last Monday" never plans the old
+  * lineage). Pruning is conservative — every filter stays residual, so
+  * Spark re-applies them row-level; a commit with no recorded mtime is
+  * never ms-pruned. */
+private[sources] class JsonDocChangesScanBuilder(path: String,
+    dataSchema: StructType, startV: Option[Int], endV: Option[Int])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var pushed: Array[Filter] = Array.empty
+
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(c, _: Number) => c == JsonDocChanges.CommitVersionCol ||
+      c == JsonDocChanges.CommitMsCol
+    case GreaterThan(c, _: Number) => c == JsonDocChanges.CommitVersionCol ||
+      c == JsonDocChanges.CommitMsCol
+    case GreaterThanOrEqual(c, _: Number) => c == JsonDocChanges.CommitVersionCol ||
+      c == JsonDocChanges.CommitMsCol
+    case LessThan(c, _: Number) => c == JsonDocChanges.CommitVersionCol ||
+      c == JsonDocChanges.CommitMsCol
+    case LessThanOrEqual(c, _: Number) => c == JsonDocChanges.CommitVersionCol ||
+      c == JsonDocChanges.CommitMsCol
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(prunable)
+    filters // all residual: the prune is planning-level, rows re-check
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new JsonDocChangesScan(path, dataSchema, startV, endV, pushed)
 }
 
 private[sources] object JsonDocChanges {
@@ -98,11 +135,34 @@ private[sources] object JsonDocChanges {
     * requested window). Shared by the batch scan and the streaming
     * source so both deliver identical rows for a commit. */
   def partsBetween(path: String, published: Seq[Int], lo: Int,
-      hi: Int): Array[InputPartition] = {
+      hi: Int): Array[InputPartition] =
+    partsWhere(path, published, v => v >= lo && v <= hi)
+
+  /** Range generalized to a COMMIT PREDICATE (pushed-filter pruning): a
+    * commit failing `keep` plans nothing, but still participates as the
+    * diff basis of its successor. */
+  def partsWhere(path: String, published: Seq[Int],
+      keep: Int => Boolean): Array[InputPartition] = {
+    // Retention guard: vacuum/expiry drops the OLDEST manifests, so a
+    // surviving earliest commit whose version is > 1 has lost its diff
+    // basis — emitting it would silently claim the whole live set as
+    // that commit's inserts (fold-consistent but a per-commit lie).
+    // Refuse loudly, like reading a vacuumed snapshot does. (An
+    // earliest PUBLISHED commit above staged-only predecessors is fine:
+    // staged snapshots are invisible, EmptyState IS its basis.)
+    val all = JsonDocVersions.manifests(path)
+    published.headOption.foreach { first =>
+      if (keep(first) && all.nonEmpty && all.min > 1 && first == all.min)
+        throw new IllegalStateException(
+          s"graft-jsondoc changes: the predecessor of v$first of $path has been " +
+            "expired/vacuumed, so that commit's changes cannot be computed — " +
+            s"request startingVersion > $first, or keep snapshots at least as " +
+            "long as feed consumers")
+    }
     val parts = Seq.newBuilder[InputPartition]
     var prev: Option[Int] = None
     for (v <- published) {
-      if (v >= lo && v <= hi) {
+      if (keep(v)) {
         val op = JsonDocVersions.readOp(path, v).getOrElse("")
         if (!IdentityOps.contains(op))
           parts ++= commitParts(path, v, prev)
@@ -203,9 +263,32 @@ private[sources] case class JsonDocChangesPartition(
     keepEqPaths: Seq[String] = Seq.empty) extends InputPartition
 
 private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
-    startV: Option[Int], endV: Option[Int]) extends Scan with Batch {
+    startV: Option[Int], endV: Option[Int],
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = JsonDocChanges.feedSchema(dataSchema)
   override def toBatch: Batch = this
+
+  /** Does commit `v` survive the pushed metadata filters? Conservative:
+    * unknown shapes keep, a missing mtime keeps (the residual filter
+    * settles it row-level). */
+  private def keepCommit(v: Int): Boolean = {
+    import org.apache.spark.sql.sources._
+    val vl = v.toLong
+    lazy val ms = JsonDocVersions.mtime(path, v)
+    def cmp(c: String)(ok: Long => Boolean): Boolean =
+      if (c == JsonDocChanges.CommitVersionCol) ok(vl)
+      else if (c == JsonDocChanges.CommitMsCol) ms.forall(ok)
+      else true
+    pushed.forall {
+      case EqualTo(c, x: Number) => cmp(c)(_ == x.longValue)
+      case GreaterThan(c, x: Number) => cmp(c)(_ > x.longValue)
+      case GreaterThanOrEqual(c, x: Number) => cmp(c)(_ >= x.longValue)
+      case LessThan(c, x: Number) => cmp(c)(_ < x.longValue)
+      case LessThanOrEqual(c, x: Number) => cmp(c)(_ <= x.longValue)
+      case _ => true
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val published = JsonDocChanges.publishedVersions(path)
@@ -217,7 +300,8 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     require(hi <= published.last,
       s"graft-jsondoc changes: endingVersion $hi is beyond the latest published " +
         s"snapshot v${published.last} of $path")
-    JsonDocChanges.partsBetween(path, published, lo, hi)
+    JsonDocChanges.partsWhere(path, published,
+      v => v >= lo && v <= hi && keepCommit(v))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -78,12 +78,16 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     * schema. Reads of real data may still pass an explicit schema (the
     * recommended, self-documenting form the whole test surface uses). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val data = JsonDocSource.infer(options.get("path"))
-    // the change-data-feed read (r15): same data columns plus the three
-    // feed metadata columns — inferred here so the option-driven read
+    // the change-data-feed read (r15): the table's CURRENT data columns
+    // plus the three feed metadata columns — the catalog sidecar wins
+    // over file sampling (a sampled pre-rename file would resurrect the
+    // old column name), inferred here so the option-driven read
     // (`option("readChanges","true")`) needs no user schema
-    if (options.getBoolean("readChanges", false)) JsonDocChanges.feedSchema(data)
-    else data
+    if (options.getBoolean("readChanges", false)) {
+      val data = GraftCatalog.readSchema(new java.io.File(options.get("path")))
+        .getOrElse(JsonDocSource.infer(options.get("path")))
+      JsonDocChanges.feedSchema(data)
+    } else JsonDocSource.infer(options.get("path"))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -269,6 +269,73 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("insert", 1L, 100.0), ("insert", 2L, 20.0)))
   }
 
+  test("feed work is proportional to CHANGED files: one touched file = one task, untouched files unplanned") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    // ten single-row appends -> ten data files (v1..v10)
+    for (i <- 1 to 10)
+      Seq((i.toLong, i * 10.0, "base")).toDF("k", "v", "src")
+        .coalesce(1).writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE k = 4") // v11: DV on ONE file
+    val schema = GraftCatalog.readSchema(new java.io.File(path)).get
+    val scan = new JsonDocChangesScan(path, schema, Some(11), Some(11))
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 1,
+      s"a one-file commit must plan exactly one feed task, got ${parts.length}")
+    val p = parts(0).asInstanceOf[JsonDocChangesPartition]
+    assert(p.changeType === "delete" && p.keepPos === Some(Seq(0L)))
+  }
+
+  test("pushed _commit_version filters prune whole commits at planning; rows stay exact") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    Seq((3L, 30.0, "c")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v3
+
+    val schema = GraftCatalog.readSchema(new java.io.File(path)).get
+    val b = new JsonDocChangesScanBuilder(path, schema, None, None)
+    val residual = b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("_commit_version", 3L)))
+    assert(residual.length === 1, "pruning filters stay residual (conservative)")
+    val parts = b.build().asInstanceOf[JsonDocChangesScan].planInputPartitions()
+    assert(parts.length === 1 &&
+      parts(0).asInstanceOf[JsonDocChangesPartition].commitVersion === 3L,
+      "commits below the pushed bound must not be planned")
+
+    // end-to-end through SQL: same answer with the prune in effect
+    val got = spark.sql(s"SELECT k FROM graftcat.`$path#changes` " +
+      "WHERE _commit_version >= 3").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(3L))
+  }
+
+  test("a vacuumed diff basis refuses loudly; a range above it still serves") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    Seq((3L, 30.0, "c")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v3
+    GraftCatalog.vacuum(path, keepLast = 2) // v1's manifest drops
+    val e = intercept[Exception] { feed(path).collect() }
+    assert(e.getMessage.contains("expired/vacuumed"),
+      "the earliest surviving commit lost its diff basis and must refuse")
+    // bounded above the lost basis: exact as ever
+    assert(feed(path, start = Some(3)).select("k")
+      .as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("the feed reads pre-rename files under the current column names") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN src TO origin")
+    Seq((2L, 20.0, "b")).toDF("k", "v", "origin").coalesce(1).writeTo(tbl).append() // v2
+    val got = feed(path).select("_commit_version", "k", "origin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(got === Seq((1L, 1L, "a"), (2L, 2L, "b")),
+      "the v1 file predates the rename and must still surface its value under the new name")
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._
