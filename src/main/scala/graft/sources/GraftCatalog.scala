@@ -211,10 +211,34 @@ class GraftCatalog extends TableCatalog
     new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))
   }
 
+  /** COLUMN DEFAULTS capability (r15, Delta's model): `DEFAULT <lit>`
+    * in CREATE TABLE / `ALTER COLUMN ... SET DEFAULT` is recorded in
+    * the schema sidecar's field metadata, and Spark's analyzer fills it
+    * into INSERTs that omit the column (or say `DEFAULT`). Reads never
+    * apply it: rows written before a default existed read NULL — which
+    * is why ADD COLUMN refuses an inline DEFAULT (it would promise
+    * historical values the reader does not serve). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createTable(ident,
-      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable))),
+      // keep DEFAULT metadata (the CURRENT_DEFAULT / EXISTS_DEFAULT
+      // keys Spark's analyzer reads) — a table born with defaults has
+      // no pre-default rows, so both semantics coincide here
+      StructType(columns.map { c =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        Option(c.metadataInJSON()).foreach(j =>
+          mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+        Option(c.defaultValue()).foreach { d =>
+          mb.putString("CURRENT_DEFAULT", d.getSql)
+          mb.putString("EXISTS_DEFAULT", d.getSql)
+        }
+        StructField(c.name, c.dataType, c.nullable, mb.build())
+      }),
       partitions, properties)
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -317,6 +341,15 @@ class GraftCatalog extends TableCatalog
             "resurface pre-drop values — use a new name")
         require(add.isNullable,
           s"graft catalog: a column added to existing data must be nullable: $name")
+        // Delta's rule: no inline DEFAULT on ADD COLUMN — Spark records
+        // it as an EXISTENCE default ("old rows read this value"), but
+        // this reader serves NULL for pre-add rows; promising otherwise
+        // would be silently wrong history. SET DEFAULT afterwards
+        // governs future inserts honestly.
+        require(add.defaultValue() == null,
+          s"graft catalog: ADD COLUMN with DEFAULT is not supported — rows " +
+            s"written before the column exists read NULL; add $name first, " +
+            s"then ALTER COLUMN $name SET DEFAULT for future inserts")
         schema = schema.add(StructField(name, add.dataType(), nullable = true))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
@@ -396,6 +429,37 @@ class GraftCatalog extends TableCatalog
         renames += (to -> (from +: renames.getOrElse(from, Seq.empty)))
         renames -= from
         dropped += from
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // SET / DROP DEFAULT (r15, Delta's model): the default is a
+        // WRITE-side fill Spark's analyzer applies to INSERTs that omit
+        // the column — recorded as CURRENT_DEFAULT field metadata in
+        // the sidecar (DataType.fromJson round-trips metadata), never
+        // applied at read (pre-default rows stay NULL). Literals only:
+        // a non-foldable default (e.g. CURRENT_TIMESTAMP) would make
+        // INSERT semantics depend on analysis time in ways this
+        // engine's replay/exactly-once machinery cannot pin down.
+        require(upd.fieldNames().length == 1,
+          s"graft catalog: nested columns are not supported: ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames().head
+        val idx = schema.fieldNames.indexOf(name)
+        require(idx >= 0, s"graft catalog: no such column to alter: $name")
+        val sql = Option(upd.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(upd.newDefaultValue())).map(_.trim).filter(_.nonEmpty)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(schema.fields(idx).metadata)
+        sql match {
+          case None => // DROP DEFAULT
+            mb.remove("CURRENT_DEFAULT")
+            mb.remove("EXISTS_DEFAULT")
+          case Some(s) =>
+            val lit = Option(upd.newCurrentDefault()).map(_.getExpression).orNull
+            require(lit == null ||
+              lit.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]],
+              s"graft catalog: only literal defaults are supported for $name, got: $s")
+            mb.putString("CURRENT_DEFAULT", s)
+        }
+        schema = StructType(schema.fields.updated(idx,
+          schema.fields(idx).copy(metadata = mb.build())))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }

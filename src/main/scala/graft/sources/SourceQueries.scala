@@ -1007,6 +1007,44 @@ object SourceQueries {
       "CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
       "FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
+  /** q209: COLUMN DEFAULT VALUES (r15, Delta's model —
+    * [[GraftCatalog.capabilities]]): `DEFAULT <literal>` recorded as
+    * CURRENT_DEFAULT sidecar metadata; Spark's analyzer fills it into
+    * INSERTs that omit the column or write the DEFAULT keyword, and a
+    * mid-life SET DEFAULT governs future inserts only — rows written
+    * before it stay NULL (reads never rewrite history, which is why
+    * ADD COLUMN refuses an inline DEFAULT). The flow exercises all
+    * three phases: inserts under a birth default, omitted inserts
+    * before any default exists on an added column (NULL), and inserts
+    * after SET DEFAULT. */
+  def q209ColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q209")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, " +
+      "src STRING DEFAULT 'birth') USING `graft-jsondoc`")
+    orders(spark, dir).select(col("o_orderkey"))
+      .filter(pmod(col("o_orderkey"), lit(10)) === 1)
+      .createOrReplaceTempView("q209_in")
+    spark.sql(s"INSERT INTO $tbl (o_orderkey) SELECT o_orderkey FROM q209_in")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (region STRING)")
+    orders(spark, dir).select(col("o_orderkey"))
+      .filter(pmod(col("o_orderkey"), lit(10)) === 2)
+      .createOrReplaceTempView("q209_mid")
+    spark.sql(s"INSERT INTO $tbl (o_orderkey) SELECT o_orderkey FROM q209_mid")
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN region SET DEFAULT 'emea'")
+    orders(spark, dir).select(col("o_orderkey"))
+      .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .createOrReplaceTempView("q209_late")
+    spark.sql(s"INSERT INTO $tbl (o_orderkey) SELECT o_orderkey FROM q209_late")
+    spark.sql(s"SELECT o_orderkey, src, region FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q209Sql: String =
+    "SELECT o_orderkey, 'birth' AS src, " +
+      "CASE WHEN o_orderkey % 10 = 3 THEN 'emea' ELSE NULL END AS region " +
+      "FROM orders WHERE o_orderkey % 10 IN (1, 2, 3) ORDER BY o_orderkey"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1042,6 +1080,7 @@ object SourceQueries {
     "q206_changes_replay" -> q206ChangesReplay _,
     "q207_changes_stream" -> q207ChangesStream _,
     "q208_cdf_mv" -> q208CdfMv _,
+    "q209_column_defaults" -> q209ColumnDefaults _,
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
@@ -1079,6 +1118,7 @@ object SourceQueries {
     "q207_changes_stream" -> q205Sql,
     // the CDF-maintained view equals the one-shot recomputation
     "q208_cdf_mv" -> q208Sql,
+    "q209_column_defaults" -> q209Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates
