@@ -224,6 +224,43 @@ private[sources] object JsonDocSource {
     r.relativize(f.toPath.toAbsolutePath.normalize).toString.replace('\\', '/')
   }
 
+  /** The STORAGE-PARTITIONED-JOIN key of one file (r15): decode each
+    * partition spec's `dir=value` component from the rel path, in spec
+    * order, to the INTERNAL representation of the transform's output —
+    * identity → the column value (UTF8String for strings), bucket → the
+    * bucket ordinal. None when the table partitions on a transform
+    * outside {identity, bucket} (time grains would need date
+    * re-encoding into Catalyst's day ordinals — not reported yet), or
+    * when any component is missing/undecodable (legacy root files):
+    * one unkeyable file withdraws the whole scan's report, never a
+    * wrong key. */
+  private[sources] def partKeyOf(specs: Seq[GraftCatalog.PartField],
+      rel: String): Option[Array[Any]] = {
+    if (specs.isEmpty ||
+        !specs.forall(s => s.transform == "identity" || s.transform == "bucket"))
+      return None
+    val m = scala.collection.mutable.HashMap.empty[String, String]
+    rel.split('/').dropRight(1).foreach { c =>
+      val eq = c.indexOf('=')
+      if (eq > 0) m.update(c.substring(0, eq), c.substring(eq + 1))
+    }
+    val out = new Array[Any](specs.size)
+    var i = 0
+    while (i < specs.size) {
+      val s = specs(i)
+      val raw = m.getOrElse(s.dirName, return None)
+      if (s.transform == "bucket")
+        out(i) = raw.toIntOption.getOrElse(return None)
+      else decPartValue(raw, s.field.dataType) match {
+        case Some(str: String) => out(i) = UTF8String.fromString(str)
+        case Some(v) => out(i) = v
+        case None => return None
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Hive-style partition-value encoding for directory names: URL-encode
     * so '/', '=', '%' and friends can never corrupt the layout. A
     * LEADING '.' or '_' (which URL encoding leaves bare) is additionally
@@ -1701,9 +1738,45 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     dvSink: Option[Map[String, String] => Unit] = None,
     pinned: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED JOINS (r15): report the identity/bucket layout
+    * as `KeyGroupedPartitioning` so two tables partitioned the same way
+    * join WITHOUT A SHUFFLE — at 100 TB the exchange either side of a
+    * fact-fact join is usually the whole query cost, and co-located
+    * layouts (Iceberg/Hive bucketing) exist to delete it. Spark groups
+    * the per-file partitions by their `partitionKey()` (one task per
+    * key, `spark.sql.sources.v2.bucketing.enabled`), and the
+    * `FunctionCatalog`-resolved bucket transform makes both sides'
+    * clusterings provably compatible. The report withdraws to Unknown —
+    * never a wrong key — when any planned file lies outside a decodable
+    * identity/bucket directory (legacy root files, time-grain
+    * transforms). Runtime-filter re-planning keeps the keys: a filtered
+    * subset of a key-grouped scan is still key-grouped. */
+  private lazy val spjKeys: Option[Map[String, Array[Any]]] = {
+    if (partSpec0.isEmpty) None
+    else {
+      val kept = JsonDocSource.listDataFiles(path, pinned)
+        .map(f => JsonDocSource.relName(path, f))
+      val keyed = kept.flatMap(rel =>
+        JsonDocSource.partKeyOf(partSpec0, rel).map(rel -> _))
+      if (keyed.length == kept.length && kept.nonEmpty) Some(keyed.toMap) else None
+    }
+  }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some(keys) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partSpec0.map(JsonDocSource.transformExprOf)
+            .toArray[org.apache.spark.sql.connector.expressions.Expression],
+          keys.values.map(_.toSeq).toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   // the table's partition spec, read from the schema sidecar once
   // per scan (planInputPartitions can run several times — runtime
@@ -1815,7 +1888,13 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     kept.map { case (f, rel) =>
       JsonDocPartition(f.getAbsolutePath, rel,
         dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse(""),
-        eqPathsFor(rel)): InputPartition
+        eqPathsFor(rel),
+        // SPJ key (r15): attached iff the scan reported KeyGrouped —
+        // a filtered re-plan keeps its subset of the original keys.
+        // Decoded fresh (not via the memo) so a file that landed
+        // between the report's listing and this one still keys.
+        (if (spjKeys.isDefined)
+          JsonDocSource.partKeyOf(partSpec0, rel).orNull else null)): InputPartition
     }
   }
 
@@ -2368,9 +2447,16 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   * the snapshot's manifest, so concurrent MOR commits can't change what
   * a running scan reads (r14). */
 private[sources] case class JsonDocPartition(file: String, rel: String = "",
-    dvPath: String = "", eqPaths: Seq[String] = Seq.empty) extends InputPartition {
+    dvPath: String = "", eqPaths: Seq[String] = Seq.empty,
+    partKeyVals: Array[Any] = null) extends InputPartition with HasPartitionKey {
   def relOrName: String =
     if (rel.nonEmpty) rel else new java.io.File(file).getName
+  /** Non-null exactly when the scan reported KeyGroupedPartitioning —
+    * Spark only consults it then (storage-partitioned joins, r15). */
+  override def partitionKey(): InternalRow =
+    if (partKeyVals == null) null
+    else InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(partKeyVals))
 }
 
 private[sources] class JsonDocReaderFactory(readSchema: StructType,

@@ -1045,6 +1045,51 @@ object SourceQueries {
       "CASE WHEN o_orderkey % 10 = 3 THEN 'emea' ELSE NULL END AS region " +
       "FROM orders WHERE o_orderkey % 10 IN (1, 2, 3) ORDER BY o_orderkey"
 
+  /** q210: STORAGE-PARTITIONED JOIN (r15 — [[JsonDocScan.outputPartitioning]]):
+    * orders and customer both land PARTITIONED BY `bucket(8, custkey)`,
+    * and the join on custkey runs WITHOUT A SHUFFLE ON EITHER SIDE —
+    * the scan reports its bucket layout as `KeyGroupedPartitioning`,
+    * Spark groups the per-file tasks by bucket ordinal, and the
+    * `FunctionCatalog`-resolved bucket transform proves both sides'
+    * clusterings compatible. At 100 TB the exchange either side of a
+    * fact-fact join IS the query cost; co-located bucketing exists to
+    * delete it, and this row proves the deleted-exchange plan still
+    * produces the exact join answer (broadcast disabled so the plan
+    * question is real). SpjSpec pins the zero-hash-exchange plan shape
+    * and the control (bucketing conf off → both sides shuffle). */
+  def q210SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q210")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val o = s"graftcat.`$root/orders`"
+    val c = s"graftcat.`$root/customer`"
+    spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (bucket(8, o_custkey))")
+    spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_mktsegment STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (bucket(8, c_custkey))")
+    orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .writeTo(o).append()
+    customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .writeTo(c).append()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql(
+        s"""SELECT c.c_mktsegment, count(*) AS n_orders,
+           |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
+           |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+        .localCheckpoint() // materialize under the conf before restoring it
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val q210Sql: String =
+    "SELECT c.c_mktsegment, count(*) AS n_orders, " +
+      "CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust " +
+      "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1081,6 +1126,7 @@ object SourceQueries {
     "q207_changes_stream" -> q207ChangesStream _,
     "q208_cdf_mv" -> q208CdfMv _,
     "q209_column_defaults" -> q209ColumnDefaults _,
+    "q210_spj_join" -> q210SpjJoin _,
     "q184_files_inventory" -> q184FilesInventory _,
     "q168_dsv2_agg_pushdown" -> q168Dsv2AggPushdown _,
     "q174_sql_merge" -> q174SqlMerge _,
@@ -1119,6 +1165,7 @@ object SourceQueries {
     // the CDF-maintained view equals the one-shot recomputation
     "q208_cdf_mv" -> q208Sql,
     "q209_column_defaults" -> q209Sql,
+    "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed
     "q176_time_travel" -> q176Sql,
     // both change images reconstructed from the change predicates
