@@ -226,19 +226,17 @@ private[sources] object JsonDocSource {
 
   /** The STORAGE-PARTITIONED-JOIN key of one file (r15): decode each
     * partition spec's `dir=value` component from the rel path, in spec
-    * order, to the INTERNAL representation of the transform's output —
-    * identity → the column value (UTF8String for strings), bucket → the
-    * bucket ordinal. None when the table partitions on a transform
-    * outside {identity, bucket} (time grains would need date
-    * re-encoding into Catalyst's day ordinals — not reported yet), or
-    * when any component is missing/undecodable (legacy root files):
-    * one unkeyable file withdraws the whole scan's report, never a
-    * wrong key. */
+    * order, to the INTERNAL representation of the transform's OUTPUT —
+    * which is `dirType` by construction: identity/truncate keep the
+    * source type, bucket is the Int ordinal, and the time grains are
+    * their ISO-prefix strings (exactly what the FunctionCatalog-bound
+    * transform computes, so both join sides key identically). None when
+    * any component is missing/undecodable (legacy root files, double
+    * identity columns): one unkeyable file withdraws the whole scan's
+    * report, never a wrong key. */
   private[sources] def partKeyOf(specs: Seq[GraftCatalog.PartField],
       rel: String): Option[Array[Any]] = {
-    if (specs.isEmpty ||
-        !specs.forall(s => s.transform == "identity" || s.transform == "bucket"))
-      return None
+    if (specs.isEmpty) return None
     val m = scala.collection.mutable.HashMap.empty[String, String]
     rel.split('/').dropRight(1).foreach { c =>
       val eq = c.indexOf('=')
@@ -249,9 +247,10 @@ private[sources] object JsonDocSource {
     while (i < specs.size) {
       val s = specs(i)
       val raw = m.getOrElse(s.dirName, return None)
-      if (s.transform == "bucket")
-        out(i) = raw.toIntOption.getOrElse(return None)
-      else decPartValue(raw, s.field.dataType) match {
+      decPartValue(raw, s.dirType) match {
+        // decPartValue widens ints to Long for stats ranges; the key
+        // must carry the declared Int
+        case Some(l: Long) if s.dirType == IntegerType => out(i) = l.toInt
         case Some(str: String) => out(i) = UTF8String.fromString(str)
         case Some(v) => out(i) = v
         case None => return None
@@ -1742,19 +1741,21 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def readSchema(): StructType = readSchema0
   override def toBatch: Batch = this
 
-  /** STORAGE-PARTITIONED JOINS (r15): report the identity/bucket layout
-    * as `KeyGroupedPartitioning` so two tables partitioned the same way
-    * join WITHOUT A SHUFFLE — at 100 TB the exchange either side of a
-    * fact-fact join is usually the whole query cost, and co-located
-    * layouts (Iceberg/Hive bucketing) exist to delete it. Spark groups
-    * the per-file partitions by their `partitionKey()` (one task per
-    * key, `spark.sql.sources.v2.bucketing.enabled`), and the
-    * `FunctionCatalog`-resolved bucket transform makes both sides'
+  /** STORAGE-PARTITIONED JOINS (r15): report the partition layout —
+    * the WHOLE transform family: identity, bucket, the time grains,
+    * truncate — as `KeyGroupedPartitioning` so two tables partitioned
+    * the same way join WITHOUT A SHUFFLE — at 100 TB the exchange
+    * either side of a fact-fact join is usually the whole query cost,
+    * and co-located layouts (Iceberg/Hive bucketing) exist to delete
+    * it. Spark groups the per-file partitions by their
+    * `partitionKey()` (one task per key,
+    * `spark.sql.sources.v2.bucketing.enabled`), and the
+    * `FunctionCatalog`-resolved transforms make both sides'
     * clusterings provably compatible. The report withdraws to Unknown —
     * never a wrong key — when any planned file lies outside a decodable
-    * identity/bucket directory (legacy root files, time-grain
-    * transforms). Runtime-filter re-planning keeps the keys: a filtered
-    * subset of a key-grouped scan is still key-grouped. */
+    * partition directory (legacy root files, double identity columns).
+    * Runtime-filter re-planning keeps the keys: a filtered subset of a
+    * key-grouped scan is still key-grouped. */
   private lazy val spjKeys: Option[Map[String, Array[Any]]] = {
     if (partSpec0.isEmpty) None
     else {

@@ -101,6 +101,30 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map("emea" -> 3L, "apac" -> 3L, "amer" -> 4L))
   }
 
+  test("days()-partitioned tables storage-join on the timestamp key") {
+    val root = fresh()
+    val a = s"graftcat.`$root/a`"
+    val b = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $a (ts STRING, v BIGINT) USING `graft-jsondoc` " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"CREATE TABLE $b (ts STRING, w BIGINT) USING `graft-jsondoc` " +
+      "PARTITIONED BY (days(ts))")
+    import spark.implicits._
+    val ts = for (d <- 1 to 3; h <- Seq("03", "14")) yield f"2024-02-0$d%dT$h:00:00"
+    ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("ts", "v").writeTo(a).append()
+    ts.zipWithIndex.map { case (t, i) => (t, i * 10L) }.toDF("ts", "w").writeTo(b).append()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = s"SELECT a.ts, a.v, b.w FROM $a a JOIN $b b ON a.ts = b.ts"
+      val plan = executedPlan(q)
+      assert(shuffles(plan) === 0,
+        s"a days()-co-partitioned join must not hash-exchange:\n$plan")
+      val got = spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got === ts.zipWithIndex.map { case (t, i) => (t, i.toLong, i * 10L) }.sorted)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("a file outside a decodable partition directory withdraws the report, never mis-keys") {
     val root = fresh()
     val a = s"graftcat.`$root/a`"
