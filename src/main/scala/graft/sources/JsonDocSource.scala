@@ -103,10 +103,37 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       val meta = Set(JsonDocChanges.ChangeTypeCol, JsonDocChanges.CommitVersionCol,
         JsonDocChanges.CommitMsCol)
       val data = StructType(schema.fields.filterNot(f => meta.contains(f.name)))
+      val path = properties.get("path")
       def bound(key: String): Option[Int] =
         Option(properties.get(key)).map(_.trim.toInt)
-      return new JsonDocChangesTable(properties.get("path"), data,
-        bound("startingVersion"), bound("endingVersion"))
+      def tsBound(key: String): Option[Long] =
+        Option(properties.get(key)).map(_.trim.toLong)
+      // timestamp bounds (Delta CDF's option pair): resolved here to
+      // version bounds through the commit times — startingTimestamp =
+      // first published commit at or after ts, endingTimestamp = last
+      // at or before; mixing a version and a timestamp bound on the
+      // same side is ambiguous and refused
+      def resolveTs(key: String, start: Boolean): Option[Int] =
+        tsBound(key).map { ts =>
+          val pub = JsonDocChanges.publishedVersions(path)
+          def ms(v: Int) = JsonDocVersions.mtime(path, v).getOrElse(Long.MaxValue)
+          if (start)
+            pub.find(ms(_) >= ts).getOrElse(
+              pub.lastOption.map(_ + 1).getOrElse(1)) // beyond head: empty feed
+          else pub.reverse.find(ms(_) <= ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-jsondoc changes: no published commit of $path at or " +
+                s"before endingTimestamp $ts"))
+        }
+      require(!(bound("startingVersion").isDefined &&
+          tsBound("startingTimestamp").isDefined),
+        "graft-jsondoc changes: give startingVersion OR startingTimestamp, not both")
+      require(!(bound("endingVersion").isDefined &&
+          tsBound("endingTimestamp").isDefined),
+        "graft-jsondoc changes: give endingVersion OR endingTimestamp, not both")
+      return new JsonDocChangesTable(path, data,
+        bound("startingVersion").orElse(resolveTs("startingTimestamp", start = true)),
+        bound("endingVersion").orElse(resolveTs("endingTimestamp", start = false)))
     }
     // The reader parses only these primitive types and the pushdown
     // comparator only evaluates them; any other declared type would

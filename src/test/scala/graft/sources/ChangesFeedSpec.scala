@@ -336,6 +336,48 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the v1 file predates the rename and must still surface its value under the new name")
   }
 
+  test("timestamp bounds resolve through commit times; mixing bound kinds refuses") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    val cut = JsonDocVersions.mtime(path, 2).get // v2's commit time
+    val got = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("startingTimestamp", cut.toString).option("path", path).load()
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L), "startingTimestamp must include the commit at the cut")
+    val upTo = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("endingTimestamp", (cut - 1).toString).option("path", path).load()
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(upTo === Seq(1L), "endingTimestamp keeps only commits at or before it")
+    val e = intercept[Exception] {
+      spark.read.format("graft-jsondoc").option("readChanges", "true")
+        .option("startingVersion", "1").option("startingTimestamp", cut.toString)
+        .option("path", path).load().collect()
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+
+  test("the feed over a PARTITIONED table: directory-resident rows change exactly") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_part").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (region STRING, k BIGINT, v DOUBLE) " +
+      "USING `graft-jsondoc` PARTITIONED BY (region) " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    import spark.implicits._
+    Seq(("emea", 1L, 10.0), ("emea", 2L, 20.0), ("apac", 3L, 30.0))
+      .toDF("region", "k", "v").coalesce(1).writeTo(tbl).append() // v1
+    spark.sql(s"DELETE FROM $tbl WHERE k = 2") // v2: DV inside region=emea
+    val got = feed(s"$root/t")
+      .select("_change_type", "_commit_version", "region", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got === Seq(("delete", 2L, "emea", 2L), ("insert", 1L, "apac", 3L),
+      ("insert", 1L, "emea", 1L), ("insert", 1L, "emea", 2L)))
+    assertFoldsToTable(s"$root/t", tbl)
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._

@@ -125,6 +125,30 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("SPJ composes with merge-on-read DML: the shuffle-free join folds delete vectors") {
+    val root = fresh()
+    val a = s"graftcat.`$root/a`"
+    val b = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $a (k BIGINT, v DOUBLE) USING `graft-jsondoc` " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $b (k BIGINT, w DOUBLE) USING `graft-jsondoc` " +
+      "PARTITIONED BY (bucket(4, k))")
+    import spark.implicits._
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v").writeTo(a).append()
+    (1L to 20L).map(i => (i, i * 2.0)).toDF("k", "w").writeTo(b).append()
+    spark.sql(s"DELETE FROM $a WHERE k % 5 = 0") // DVs inside bucket dirs
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = s"SELECT a.k FROM $a a JOIN $b b ON a.k = b.k"
+      val plan = executedPlan(q)
+      assert(shuffles(plan) === 0, s"MOR DVs must not cost the SPJ plan:\n$plan")
+      val got = spark.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+      assert(got === (1L to 20L).filterNot(_ % 5 == 0).sorted,
+        "delete-vectored rows must not join")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("a file outside a decodable partition directory withdraws the report, never mis-keys") {
     val root = fresh()
     val a = s"graftcat.`$root/a`"
