@@ -295,6 +295,7 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     if (published.isEmpty) return Array.empty
     val lo = startV.getOrElse(published.head)
     val hi = endV.getOrElse(published.last)
+    if (lo == hi + 1) return Array.empty // 'latest': no new commits yet
     require(lo <= hi,
       s"graft-jsondoc changes: startingVersion $lo exceeds endingVersion $hi")
     require(hi <= published.last,

@@ -104,8 +104,15 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
         JsonDocChanges.CommitMsCol)
       val data = StructType(schema.fields.filterNot(f => meta.contains(f.name)))
       val path = properties.get("path")
+      // `startingVersion = latest`: only commits AFTER the current head
+      // (the batch feed reads empty until one lands; a stream's first
+      // offset is the head, so it delivers exactly the future)
       def bound(key: String): Option[Int] =
-        Option(properties.get(key)).map(_.trim.toInt)
+        Option(properties.get(key)).map(_.trim).map {
+          case s if s.equalsIgnoreCase("latest") && key == "startingVersion" =>
+            JsonDocChanges.publishedVersions(path).lastOption.map(_ + 1).getOrElse(1)
+          case s => s.toInt
+        }
       def tsBound(key: String): Option[Long] =
         Option(properties.get(key)).map(_.trim.toLong)
       // timestamp bounds (Delta CDF's option pair): resolved here to

@@ -403,14 +403,14 @@ object SourceQueries {
         col("o_totalprice"))
       .writeTo(tbl).append()
     spark.sql(s"SELECT o_orderkey, o_odate, o_totalprice FROM $tbl " +
-      "WHERE o_odate >= '1994-01-01' AND o_odate < '1994-07-01' ORDER BY o_orderkey")
+      "WHERE o_odate >= '1996-01-01' AND o_odate < '1996-07-01' ORDER BY o_orderkey")
   }
 
   val q190Sql: String =
     "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS o_odate, " +
       "o_totalprice FROM orders " +
-      "WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') >= '1994-01-01' " +
-      "AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') < '1994-07-01' ORDER BY o_orderkey"
+      "WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') >= '1996-01-01' " +
+      "AND strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') < '1996-07-01' ORDER BY o_orderkey"
 
   /** q191: BUCKET-partitioned catalog table (r14) — `PARTITIONED BY
     * (bucket(8, o_orderkey))` hashes each key into one of 8 stable

@@ -358,6 +358,34 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not both"))
   }
 
+  test("startingVersion=latest delivers only future commits (empty batch, stream from head)") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "old")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    def latestFeed = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("startingVersion", "latest").option("path", path).load()
+    assert(latestFeed.isEmpty, "no commit landed after 'latest' was resolved")
+    // the STREAM skips history and delivers exactly the future commits
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_latest").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdf_latest_out").toString
+    def runLatest(): Unit = {
+      val q = spark.readStream.format("graft-jsondoc")
+        .option("readChanges", "true").option("startingVersion", "latest")
+        .option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runLatest() // resolves 'latest' = v1; nothing to deliver
+    Seq((2L, 20.0, "new")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    runLatest() // same checkpoint: delivers v2 only
+    val got = spark.read.parquet(outDir).select("_commit_version", "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 2L)), "history before 'latest' must never deliver")
+  }
+
   test("the feed over a PARTITIONED table: directory-resident rows change exactly") {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     val root = java.nio.file.Files.createTempDirectory("graft_cdf_part").toString
