@@ -1212,7 +1212,13 @@ object GraftCatalog {
     } else {
       df.repartitionByRange(buckets, org.apache.spark.sql.functions.col(column))
         .sortWithinPartitions(column)
-        .writeTo(table).overwrite(org.apache.spark.sql.functions.lit(true))
+        .writeTo(table)
+        // declares the overwrite CONTENT-IDENTICAL (op = `cluster`), so
+        // the change feed skips it like OPTIMIZE instead of re-emitting
+        // the whole table; the partitioned branch's `cluster-by` option
+        // carries the same declaration
+        .option("maintenance-rewrite", "true")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
     }
   }
 

@@ -112,9 +112,12 @@ private[sources] object JsonDocChanges {
   val CommitMsCol = "_commit_ms"
 
   /** Ops that rewrite bytes without changing table CONTENT — their
-    * commits emit no feed rows. (`rewrite` is NOT here: that is the
-    * copy-on-write row-level command, a logical change.) */
-  private[sources] val IdentityOps = Set("optimize")
+    * commits emit no feed rows: `optimize` (compaction, DV/eq purge)
+    * and `cluster` (the declared layout rewrite a `cluster-by`
+    * overwrite records). (`rewrite` is NOT here: that is the
+    * copy-on-write row-level command, a logical change; nor plain
+    * `overwrite` — a truncate-replace changes content.) */
+  private[sources] val IdentityOps = Set("optimize", "cluster")
 
   def feedSchema(dataSchema: StructType): StructType =
     StructType(dataSchema.fields.toSeq ++ Seq(

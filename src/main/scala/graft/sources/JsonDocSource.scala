@@ -774,7 +774,8 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
             "first, then run the overwrite/row-level op on the published table")
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
           replaceScope, dvBasisScope, staged = staged, checks = checks,
-          branch = branch)
+          branch = branch, clusterRewrite = clusterBy.isDefined ||
+            Option(info.options.get("maintenance-rewrite")).exists(_.toBoolean))
       }
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
@@ -1092,7 +1093,8 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     dvBasisScope: Option[() => Option[Map[String, String]]] = None,
     staged: Boolean = false,
     checks: Seq[GraftConstraints.Check] = Seq.empty,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    clusterRewrite: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
@@ -1126,8 +1128,13 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // is no state in which the fold landed but the ledger didn't.
     val txn = GraftTxn.take(path)
     // operation provenance for #history (r14): overwrite (truncate),
-    // rewrite (a COW row-level op retires files), else plain append
-    val op = if (truncateFirst) "overwrite"
+    // rewrite (a COW row-level op retires files), else plain append.
+    // A `cluster-by` overwrite records `cluster` (r15): the caller
+    // DECLARES a content-identical layout rewrite — GraftCatalog's
+    // clustering maintenance — which the change feed then skips like
+    // OPTIMIZE instead of re-emitting the whole table to consumers.
+    val op = if (truncateFirst && clusterRewrite) "cluster"
+      else if (truncateFirst) "overwrite"
       else if (replaceScope.isDefined) "rewrite"
       else "append"
     // a STAGED commit needs a PUBLISHED basis to be invisible against

@@ -406,6 +406,20 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertFoldsToTable(s"$root/t", tbl)
   }
 
+  test("cluster() is a declared layout identity and emits nothing; a real overwrite emits") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"))
+      .toDF("k", "v", "src").repartition(3).writeTo(tbl).append() // v1, 3 files
+    GraftCatalog.cluster(spark, tbl, "k", 2) // v2: content-identical rewrite
+    assert(feed(path).filter(col("_commit_version") === 2L).isEmpty,
+      "a clustering maintenance rewrite must not flood the feed")
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (9, 90.0, 'new')") // v3: real change
+    assert(feed(path).filter(col("_commit_version") === 3L).count() === 4L,
+      "a truncate-replace is a content change: 3 deletes + 1 insert")
+    assertFoldsToTable(path, tbl)
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._
