@@ -220,8 +220,33 @@ class GraftCatalog extends TableCatalog
     * historical values the reader does not serve). */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // standard SQL constraint DDL (r15): ADD/DROP CONSTRAINT and
+      // CREATE TABLE constraint clauses route to the same enforcement
+      // the `constraint.*` property surface has carried since r14
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with constraint clauses (r15): CHECKs persist under
+    * the enforced `constraint.*` property surface; PRIMARY KEY / UNIQUE
+    * / FOREIGN KEY are INFORMATIONAL (stored, surfaced, never enforced
+    * — exactly their ANSI NOT ENFORCED reading, Delta's treatment). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val props = new java.util.HashMap[String, String](info.properties())
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        props.put(GraftConstraints.Prefix + c.name(), c.predicateSql())
+      case other =>
+        require(!other.enforced(),
+          s"graft catalog: ${other.name()} — only CHECK constraints are " +
+            "enforced; declare PRIMARY KEY/UNIQUE/FOREIGN KEY as NOT ENFORCED")
+        props.put(GraftCatalog.InfoConstraintPrefix + other.name(), other.toDDL())
+    }
+    createTable(ident, info.columns(), info.partitions(), props)
+  }
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -460,6 +485,37 @@ class GraftCatalog extends TableCatalog
         }
         schema = StructType(schema.fields.updated(idx,
           schema.fields(idx).copy(metadata = mb.build())))
+      case add: TableChange.AddConstraint =>
+        // standard SQL `ALTER TABLE ADD CONSTRAINT` (r15): a CHECK joins
+        // the enforced `constraint.*` surface (validated by the real
+        // analyzer here, enforced per row by every writer); the key
+        // constraints are informational-only, their ANSI NOT ENFORCED
+        // reading. Spark validates existing rows before this call and
+        // reports the version via validatedTableVersion — the sidecar
+        // just persists.
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val key = GraftConstraints.Prefix + c.name()
+            require(!props.contains(key),
+              s"graft catalog: constraint ${c.name()} already exists")
+            GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
+              schema, Map(key -> c.predicateSql()))
+            props += (key -> c.predicateSql())
+          case other0 =>
+            require(!other0.enforced(),
+              s"graft catalog: ${other0.name()} — only CHECK constraints are " +
+                "enforced; declare PRIMARY KEY/UNIQUE/FOREIGN KEY as NOT ENFORCED")
+            props += (GraftCatalog.InfoConstraintPrefix + other0.name() ->
+              other0.toDDL())
+        }
+      case drop: TableChange.DropConstraint =>
+        val key = GraftConstraints.Prefix + drop.name()
+        val ikey = GraftCatalog.InfoConstraintPrefix + drop.name()
+        if (props.contains(key)) props -= key
+        else if (props.contains(ikey)) props -= ikey
+        else if (!drop.ifExists())
+          throw new IllegalArgumentException(
+            s"graft catalog: no such constraint to drop: ${drop.name()}")
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
@@ -1226,6 +1282,11 @@ object GraftCatalog {
     * user intent, never persisted. */
   private[sources] val ReservedProps: Set[String] =
     Set("provider", "location", "owner", "external", "comment")
+
+  /** Property prefix for INFORMATIONAL (NOT ENFORCED) key constraints —
+    * distinct from [[GraftConstraints.Prefix]] so the write-time CHECK
+    * compiler never tries to enforce a PRIMARY KEY DDL string. */
+  private[sources] val InfoConstraintPrefix = "table_constraint."
 
   private[sources] def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_table_schema.json")

@@ -565,6 +565,21 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
   // table as partitioned
   private lazy val partSpec0: Seq[GraftCatalog.PartField] =
     GraftCatalog.partitionSpecOf(path)
+
+  /** Standard constraint surface (r15): the enforced CHECKs, rebuilt
+    * from the `constraint.*` sidecar properties — one source of truth
+    * with the writers' per-row enforcement. Informational key
+    * constraints stay property-visible (`table_constraint.*`); their
+    * DDL strings are not reconstructed into typed objects. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftCatalog.tablePropsOf(path).toSeq.sortBy(_._1).collect {
+      case (k, sql) if k.startsWith(GraftConstraints.Prefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(GraftConstraints.Prefix))
+          .predicateSql(sql).enforced(true).build():
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     partSpec0.map(JsonDocSource.transformExprOf).toArray
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1800,8 +1815,13 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   private lazy val spjKeys: Option[Map[String, Array[Any]]] = {
     if (partSpec0.isEmpty) None
     else {
-      val kept = JsonDocSource.listDataFiles(path, pinned)
-        .map(f => JsonDocSource.relName(path, f))
+      // the STATIC-filter pruned listing — the same walk-time-pruned
+      // view planInputPartitions starts from, so the partitioning
+      // report never lists an excluded partition subtree (the r14
+      // walk-pruning contract, probe-pinned); runtime filters only ever
+      // SHRINK this set, and a subset of a key-grouped plan is still
+      // key-grouped
+      val kept = keptDataFiles(filters.toSeq).map(_._2)
       val keyed = kept.flatMap(rel =>
         JsonDocSource.partKeyOf(partSpec0, rel).map(rel -> _))
       if (keyed.length == kept.length && kept.nonEmpty) Some(keyed.toMap) else None
@@ -1875,17 +1895,22 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * runtime In filters (BatchScanExec re-plans partitions after
     * delivering runtime filters) — never become partitions, so their
     * bytes are never read. Files without stats entries always scan. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val effective = (filters ++ runtimeFilters).toSeq
+  /** The filter-pruned file listing — PARTITION PRUNING first (r13;
+    * transform-aware r14): a Hive-style `col=value` path component is a
+    * point range for that column, so the SAME compiled pruner evaluates
+    * it (EqualTo/range/In all work), while `col_day=`/`col_bucket=`
+    * components are decided by their transform semantics; files in
+    * non-matching directories are dropped on the NAME alone, before the
+    * stats sidecar is even consulted. Undecodable components keep the
+    * file (conservative, the sidecar's standing rule). Excluded
+    * partition SUBTREES are skipped during the walk itself (r14 — at
+    * 10^5 directories the listing is the planning cost); the per-file
+    * partPruned stays as the correctness backstop. Shared by partition
+    * planning (static + runtime filters) and the SPJ partitioning
+    * report (static filters only). */
+  private def keptDataFiles(
+      effective: Seq[Filter]): Array[(java.io.File, String)] = {
     val keep = JsonDocStats.pruner(effective) // compiled once
-    // PARTITION PRUNING first (r13; transform-aware r14) — a Hive-style
-    // `col=value` path component is a point range for that column, so
-    // the SAME compiled pruner evaluates it (EqualTo/range/In all
-    // work), while `col_day=`/`col_bucket=` components are decided by
-    // their transform semantics; files in non-matching directories are
-    // dropped on the NAME alone, before the stats sidecar is even
-    // consulted. Undecodable components keep the file (conservative,
-    // the sidecar's standing rule).
     val partPruned = JsonDocSource.partitionPruned(partSpec0, effective, keep)
     val stats = JsonDocStats.load(path)
     // `_file` constraints (runtime GROUP filters, or a user filter on
@@ -1896,15 +1921,16 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
         Set(String.valueOf(v))
     }
-    // excluded partition SUBTREES are skipped during the walk itself
-    // (r14 — at 10^5 directories the listing is the planning cost); the
-    // per-file partPruned below stays as the correctness backstop
-    val kept = JsonDocSource.listDataFiles(path, pinned,
+    JsonDocSource.listDataFiles(path, pinned,
         JsonDocSource.partitionDirPruned(partSpec0, effective, keep))
       .map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = keptDataFiles((filters ++ runtimeFilters).toSeq)
     // report the FINAL planned group set to the row-level operation (the
     // copy-on-write commit replaces exactly these files). Calls after a
     // runtime filter lands re-report; the filter state is set-once, so

@@ -685,6 +685,34 @@ object SourceQueries {
   val q198Sql: String =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
 
+  /** q211: STANDARD SQL CONSTRAINT DDL (r15 —
+    * `TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT`): q198's flow
+    * through the ANSI surface instead of the property idiom — the table
+    * is BORN with an inline `CONSTRAINT ... CHECK` clause, gains a
+    * second via `ALTER TABLE ADD CONSTRAINT`, and an informational
+    * PRIMARY KEY rides along unenforced; both CHECKs land on the same
+    * `constraint.*` enforcement surface every writer already honors
+    * (one source of truth — SqlConstraintDdlSpec pins add/drop/surface
+    * round-trips). The in-flow require proves a violating write aborts
+    * by name and lands nothing; the oracle is the conforming corpus. */
+  def q211SqlConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q211")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+      "CONSTRAINT price_positive CHECK (o_totalprice > 0)) USING `graft-jsondoc`")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT key_nonneg CHECK (o_orderkey >= 0)")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pk PRIMARY KEY (o_orderkey)")
+    orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .writeTo(tbl).append()
+    val bad = intercept_(spark, tbl)
+    require(bad.contains("price_positive") || bad.contains("key_nonneg"),
+      s"q211: a violating write must abort with a constraint name, got: $bad")
+    require(spark.table(tbl).filter(col("o_totalprice") <= 0).count() == 0L,
+      "q211: the aborted write must land nothing")
+    spark.sql(s"SELECT * FROM $tbl ORDER BY o_orderkey")
+  }
+
   /** q199: NAMED BRANCHES ([[JsonDocRefs.branches]], r14) — the
     * multi-commit WAP flow end to end: a branch takes TWO staged
     * appends (the second chained on the first's head), the flow
@@ -1146,6 +1174,7 @@ object SourceQueries {
     "q196_rollback" -> q196Rollback _,
     "q197_wap" -> q197Wap _,
     "q198_constraints" -> q198Constraints _,
+    "q211_sql_constraints" -> q211SqlConstraints _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1202,6 +1231,8 @@ object SourceQueries {
     // the corpus through the per-row CHECK; the flow requires a
     // violating batch aborted by name and landed nothing
     "q198_constraints" -> q198Sql,
+    // the same conforming corpus through the ANSI constraint surface
+    "q211_sql_constraints" -> q198Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)

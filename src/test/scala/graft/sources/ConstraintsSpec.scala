@@ -137,3 +137,75 @@ class ConstraintsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(t => Option(t.getMessage).exists(_.contains("v_positive"))))
   }
 }
+
+/** STANDARD SQL constraint DDL (r15): `ALTER TABLE ... ADD/DROP
+  * CONSTRAINT` and CREATE TABLE constraint clauses
+  * (`TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT`) route to the
+  * same `constraint.*` enforcement surface the property idiom uses —
+  * one source of truth; key constraints are informational (ANSI NOT
+  * ENFORCED), and the table surfaces its enforced CHECKs through
+  * `Table.constraints()`. */
+class SqlConstraintDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("sql-constraint-ddl-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fresh(): (String, String) = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlddl").toString
+    (s"graftcat.`$root/t`", s"$root/t")
+  }
+
+  test("ADD CONSTRAINT CHECK enforces; DROP CONSTRAINT lifts it") {
+    val (tbl, path) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE) USING `graft-jsondoc`")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT v_positive CHECK (v > 0)")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.5)")
+    val e = intercept[Exception] { spark.sql(s"INSERT INTO $tbl VALUES (2, -1.0)") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("v_positive")),
+      s"violation must abort by constraint name, got: ${msgs(e)}")
+    // surfaced through the standard Table.constraints() API
+    val surfaced = new GraftCatalog().loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, path))
+      .constraints()
+    assert(surfaced.map(_.name()).toSeq === Seq("v_positive"))
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT v_positive")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, -2.0)") // now legal
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("CREATE TABLE with an inline CHECK clause enforces from birth") {
+    val (tbl, _) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE, " +
+      "CONSTRAINT v_pos CHECK (v > 0)) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 2.0)")
+    val e = intercept[Exception] { spark.sql(s"INSERT INTO $tbl VALUES (2, 0.0)") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("v_pos")))
+  }
+
+  test("key constraints are informational: stored, surfaced as properties, never enforced") {
+    val (tbl, path) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE) USING `graft-jsondoc`")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pk PRIMARY KEY (k)")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 2.0)") // duplicate key: allowed
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) === 2L)
+    assert(GraftCatalog.tablePropsOf(path).keys
+      .exists(_ == GraftCatalog.InfoConstraintPrefix + "pk"))
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT pk")
+    assert(!GraftCatalog.tablePropsOf(path).keys
+      .exists(_.startsWith(GraftCatalog.InfoConstraintPrefix)))
+  }
+}
