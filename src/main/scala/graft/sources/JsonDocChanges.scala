@@ -146,21 +146,24 @@ private[sources] object JsonDocChanges {
     * diff basis of its successor. */
   def partsWhere(path: String, published: Seq[Int],
       keep: Int => Boolean): Array[InputPartition] = {
-    // Retention guard: vacuum/expiry drops the OLDEST manifests, so a
-    // surviving earliest commit whose version is > 1 has lost its diff
-    // basis — emitting it would silently claim the whole live set as
-    // that commit's inserts (fold-consistent but a per-commit lie).
-    // Refuse loudly, like reading a vacuumed snapshot does. (An
-    // earliest PUBLISHED commit above staged-only predecessors is fine:
-    // staged snapshots are invisible, EmptyState IS its basis.)
+    // Retention guard: vacuum/expiry drops the OLDEST manifests, so
+    // when the lineage no longer starts at v1 the earliest surviving
+    // PUBLISHED commit may have lost its diff basis — emitting it would
+    // silently claim the whole live set as that commit's inserts
+    // (fold-consistent but a per-commit lie). Refuse loudly, like
+    // reading a vacuumed snapshot does. Conservative on purpose: with a
+    // truncated prefix there is no way to tell a vacuumed published
+    // basis from staged-only predecessors (which WOULD make EmptyState
+    // the true basis), so any truncated lineage refuses its earliest
+    // published commit.
     val all = JsonDocVersions.manifests(path)
     published.headOption.foreach { first =>
-      if (keep(first) && all.nonEmpty && all.min > 1 && first == all.min)
+      if (keep(first) && all.nonEmpty && all.min > 1)
         throw new IllegalStateException(
-          s"graft-jsondoc changes: the predecessor of v$first of $path has been " +
-            "expired/vacuumed, so that commit's changes cannot be computed — " +
-            s"request startingVersion > $first, or keep snapshots at least as " +
-            "long as feed consumers")
+          s"graft-jsondoc changes: the lineage of $path starts at v${all.min} " +
+            s"(older snapshots expired/vacuumed), so v$first's changes cannot " +
+            s"be computed — request startingVersion > $first, or keep snapshots " +
+            "at least as long as feed consumers")
     }
     val parts = Seq.newBuilder[InputPartition]
     var prev: Option[Int] = None
