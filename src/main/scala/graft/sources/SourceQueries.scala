@@ -1118,6 +1118,56 @@ object SourceQueries {
       "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
       "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
 
+  /** q212: SCD2 HISTORY BUILT FROM THE CHANGE FEED — the second classic
+    * CDC consumer after the MV (q208): every insert image becomes a
+    * validity interval `[its commit, the key's next change)`, open-ended
+    * for current rows — so "what did this row look like last Tuesday"
+    * is one interval lookup, with NO bespoke history table maintained
+    * by the writers (the q89 SCD2 build needs the full event stream;
+    * this one needs only the table's own lineage). The dataflow is a
+    * feed scan + one join-aggregate (min later change version per key)
+    * — all distributed, versions from `_commit_version`. Hash-green
+    * against the hand-derived interval set proves the feed's per-commit
+    * images compose into exact history. */
+  def q212CdfScd2(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q212")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+      "src STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("base").as("src"))
+      .writeTo(tbl).append() // v1
+    spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice * 2.0, src = 'upd' " +
+      "WHERE o_orderkey % 10 = 3") // v2: delete old image + insert new
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7") // v3: closes intervals
+    spark.sql(
+      s"""WITH feed AS (SELECT * FROM graftcat.`$root/t#changes`),
+         |ins AS (SELECT o_orderkey, o_totalprice, src,
+         |               _commit_version AS valid_from
+         |        FROM feed WHERE _change_type = 'insert'),
+         |ev AS (SELECT DISTINCT o_orderkey, _commit_version AS v FROM feed)
+         |SELECT i.o_orderkey, i.o_totalprice, i.src, i.valid_from,
+         |       min(e.v) AS valid_to
+         |FROM ins i LEFT JOIN ev e
+         |  ON e.o_orderkey = i.o_orderkey AND e.v > i.valid_from
+         |GROUP BY i.o_orderkey, i.o_totalprice, i.src, i.valid_from
+         |ORDER BY i.o_orderkey, i.valid_from""".stripMargin)
+  }
+
+  val q212Sql: String =
+    "WITH base AS (SELECT o_orderkey, o_totalprice FROM orders) " +
+      "SELECT * FROM (" +
+      "SELECT o_orderkey, o_totalprice, 'base' AS src, CAST(1 AS BIGINT) AS valid_from, " +
+      "CASE WHEN o_orderkey % 10 = 3 THEN CAST(2 AS BIGINT) " +
+      "WHEN o_orderkey % 10 = 7 THEN CAST(3 AS BIGINT) " +
+      "ELSE CAST(NULL AS BIGINT) END AS valid_to FROM base " +
+      "UNION ALL " +
+      "SELECT o_orderkey, o_totalprice * CAST(2.0 AS DOUBLE), 'upd', " +
+      "CAST(2 AS BIGINT), CAST(NULL AS BIGINT) FROM base WHERE o_orderkey % 10 = 3" +
+      ") ORDER BY o_orderkey, valid_from"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1175,6 +1225,7 @@ object SourceQueries {
     "q197_wap" -> q197Wap _,
     "q198_constraints" -> q198Constraints _,
     "q211_sql_constraints" -> q211SqlConstraints _,
+    "q212_cdf_scd2" -> q212CdfScd2 _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1233,6 +1284,8 @@ object SourceQueries {
     "q198_constraints" -> q198Sql,
     // the same conforming corpus through the ANSI constraint surface
     "q211_sql_constraints" -> q198Sql,
+    // the feed's images composed into exact validity intervals
+    "q212_cdf_scd2" -> q212Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)

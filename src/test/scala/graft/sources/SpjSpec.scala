@@ -149,6 +149,40 @@ class SpjSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("SPJ under partially-clustered distribution: a skewed side splits without losing the co-partition") {
+    val root = fresh()
+    val a = s"graftcat.`$root/a`"
+    val b = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $a (k BIGINT, v BIGINT) USING `graft-jsondoc` " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $b (k BIGINT, w BIGINT) USING `graft-jsondoc` " +
+      "PARTITIONED BY (bucket(4, k))")
+    import spark.implicits._
+    // a: heavily skewed onto one key (many files in one bucket);
+    // b: small per-key dimension side
+    val skewed = (1L to 2000L).map(i => (7L, i)) ++ (1L to 40L).map(i => (i, i))
+    skewed.toDF("k", "v").repartition(8).writeTo(a).append()
+    (1L to 40L).map(i => (i, i * 10L)).toDF("k", "w").writeTo(b).append()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+    try {
+      val q = s"SELECT count(*) AS n, CAST(sum(a.v) AS BIGINT) AS s " +
+        s"FROM $a a JOIN $b b ON a.k = b.k"
+      val plan = executedPlan(q)
+      assert(shuffles(plan) === 0,
+        s"partially-clustered SPJ must still avoid the hash exchange:\n$plan")
+      val row = spark.sql(q).collect()(0)
+      val expN = 2000L + 40L // k=7 duplicates join b's k=7 once each; 1..40 once
+      val expS = (1L to 2000L).sum + (1L to 40L).sum
+      assert(row.getLong(0) === expN && row.getLong(1) === expS)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    }
+  }
+
   test("a file outside a decodable partition directory withdraws the report, never mis-keys") {
     val root = fresh()
     val a = s"graftcat.`$root/a`"
