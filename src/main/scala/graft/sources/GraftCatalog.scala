@@ -477,8 +477,12 @@ class GraftCatalog extends TableCatalog
             mb.remove("CURRENT_DEFAULT")
             mb.remove("EXISTS_DEFAULT")
           case Some(s) =>
+            // a null expression means the default has NO V2-literal
+            // conversion (CURRENT_TIMESTAMP and friends) — exactly the
+            // analysis-time-dependent shape this engine refuses, so
+            // null must REJECT, not slide through
             val lit = Option(upd.newCurrentDefault()).map(_.getExpression).orNull
-            require(lit == null ||
+            require(lit != null &&
               lit.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]],
               s"graft catalog: only literal defaults are supported for $name, got: $s")
             mb.putString("CURRENT_DEFAULT", s)
@@ -1264,6 +1268,12 @@ object GraftCatalog {
       df.writeTo(table)
         .option("cluster-by", column)
         .option("cluster-buckets", buckets.toString)
+        // the IDENTITY declaration is this separate marker, not
+        // cluster-by itself: cluster-by is a public distribution
+        // request any content-changing overwrite may legitimately
+        // carry, and conflating the two would make the change feed
+        // silently skip a real replace
+        .option("maintenance-rewrite", "true")
         .overwrite(org.apache.spark.sql.functions.lit(true))
     } else {
       df.repartitionByRange(buckets, org.apache.spark.sql.functions.col(column))

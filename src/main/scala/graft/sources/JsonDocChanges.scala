@@ -328,7 +328,7 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     * partial diff. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonDocChangesMicroBatchStream(path, dataSchema, startV)
+    new JsonDocChangesMicroBatchStream(path, dataSchema, startV, endV)
 
   override def description(): String =
     s"graft-jsondoc changes path=$path range=[${startV.getOrElse("first")}, " +
@@ -343,7 +343,7 @@ private[sources] case class ChangesOffset(v: Int)
 }
 
 private[sources] class JsonDocChangesMicroBatchStream(path: String,
-    dataSchema: StructType, startV: Option[Int])
+    dataSchema: StructType, startV: Option[Int], endV: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -353,10 +353,13 @@ private[sources] class JsonDocChangesMicroBatchStream(path: String,
   override def initialOffset(): Offset =
     ChangesOffset(startV.map(_ - 1).getOrElse(0))
 
+  /** The newest published commit, CAPPED at `endingVersion` when given
+    * — a bounded backfill stream stops delivering at its end bound
+    * instead of silently over-applying the future. */
   override def latestOffset(): Offset = {
     val published = JsonDocChanges.publishedVersions(path)
-    ChangesOffset(published.lastOption.getOrElse(
-      startV.map(_ - 1).getOrElse(0)))
+    val head = published.lastOption.getOrElse(startV.map(_ - 1).getOrElse(0))
+    ChangesOffset(endV.fold(head)(math.min(head, _)))
   }
 
   override def deserializeOffset(json: String): Offset = {

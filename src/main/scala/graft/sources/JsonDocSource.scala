@@ -109,8 +109,16 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       // offset is the head, so it delivers exactly the future)
       def bound(key: String): Option[Int] =
         Option(properties.get(key)).map(_.trim).map {
-          case s if s.equalsIgnoreCase("latest") && key == "startingVersion" =>
-            JsonDocChanges.publishedVersions(path).lastOption.map(_ + 1).getOrElse(1)
+          case s if s.equalsIgnoreCase("latest") =>
+            // startingVersion=latest: only commits AFTER the head;
+            // endingVersion=latest: up to the head as of resolution
+            // (pins a stream's bounded backfill to a known end)
+            val head = JsonDocChanges.publishedVersions(path).lastOption
+            if (key == "startingVersion") head.map(_ + 1).getOrElse(1)
+            else head.getOrElse(
+              throw new IllegalArgumentException(
+                s"graft-jsondoc changes: endingVersion=latest on $path, but no " +
+                  "published commit exists yet"))
           case s => s.toInt
         }
       def tsBound(key: String): Option[Long] =
@@ -789,7 +797,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
             "first, then run the overwrite/row-level op on the published table")
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
           replaceScope, dvBasisScope, staged = staged, checks = checks,
-          branch = branch, clusterRewrite = clusterBy.isDefined ||
+          branch = branch, clusterRewrite =
             Option(info.options.get("maintenance-rewrite")).exists(_.toBoolean))
       }
       override def toStreaming: StreamingWrite = {
@@ -1812,19 +1820,27 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     * partition directory (legacy root files, double identity columns).
     * Runtime-filter re-planning keeps the keys: a filtered subset of a
     * key-grouped scan is still key-grouped. */
+  /** ONE static-filter pruned listing SNAPSHOT, shared by the SPJ
+    * partitioning report and partition planning: the walk (and the
+    * stats-sidecar load inside keptDataFiles) runs once per scan, the
+    * walk-time pruning contract holds for both consumers, and —
+    * because planning keys partitions from exactly this snapshot — the
+    * report and the planned keys can never diverge under a concurrent
+    * writer (a file landing between two listings could otherwise reach
+    * planning unkeyed while KeyGrouped stood reported). Runtime filters
+    * only ever SHRINK this set per file, never re-walk. */
+  private lazy val staticKept: Array[(java.io.File, String)] =
+    keptDataFiles(filters.toSeq)
+
   private lazy val spjKeys: Option[Map[String, Array[Any]]] = {
     if (partSpec0.isEmpty) None
     else {
-      // the STATIC-filter pruned listing — the same walk-time-pruned
-      // view planInputPartitions starts from, so the partitioning
-      // report never lists an excluded partition subtree (the r14
-      // walk-pruning contract, probe-pinned); runtime filters only ever
-      // SHRINK this set, and a subset of a key-grouped plan is still
-      // key-grouped
-      val kept = keptDataFiles(filters.toSeq).map(_._2)
-      val keyed = kept.flatMap(rel =>
-        JsonDocSource.partKeyOf(partSpec0, rel).map(rel -> _))
-      if (keyed.length == kept.length && kept.nonEmpty) Some(keyed.toMap) else None
+      val keyed = staticKept.flatMap { case (_, rel) =>
+        JsonDocSource.partKeyOf(partSpec0, rel).map(rel -> _)
+      }
+      if (keyed.length == staticKept.length && staticKept.nonEmpty)
+        Some(keyed.toMap)
+      else None
     }
   }
 
@@ -1930,7 +1946,26 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val kept = keptDataFiles((filters ++ runtimeFilters).toSeq)
+    // the static snapshot, narrowed per file by any runtime filters —
+    // an in-memory pass, never a second directory walk (see staticKept)
+    val kept =
+      if (runtimeFilters.isEmpty) staticKept
+      else {
+        val effective = (filters ++ runtimeFilters).toSeq
+        val keep = JsonDocStats.pruner(effective)
+        val partPruned = JsonDocSource.partitionPruned(partSpec0, effective, keep)
+        val stats = JsonDocStats.load(path)
+        val nameSets = effective.collect {
+          case In(a, vs) if a == JsonDocSource.FileMetaCol =>
+            vs.filter(_ != null).map(String.valueOf(_)).toSet
+          case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
+            Set(String.valueOf(v))
+        }
+        staticKept
+          .filter { case (_, rel) => !partPruned(rel) }
+          .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
+          .filter { case (_, rel) => stats.get(rel).forall(keep) }
+      }
     // report the FINAL planned group set to the row-level operation (the
     // copy-on-write commit replaces exactly these files). Calls after a
     // runtime filter lands re-report; the filter state is set-once, so
@@ -1958,11 +1993,10 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
         dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse(""),
         eqPathsFor(rel),
         // SPJ key (r15): attached iff the scan reported KeyGrouped —
-        // a filtered re-plan keeps its subset of the original keys.
-        // Decoded fresh (not via the memo) so a file that landed
-        // between the report's listing and this one still keys.
-        (if (spjKeys.isDefined)
-          JsonDocSource.partKeyOf(partSpec0, rel).orNull else null)): InputPartition
+        // from the SAME snapshot the report was computed on (kept ⊆
+        // staticKept by construction), so no partition can reach Spark
+        // unkeyed while KeyGrouped stands
+        spjKeys.map(_(rel)).orNull): InputPartition
     }
   }
 

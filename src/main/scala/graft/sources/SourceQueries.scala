@@ -841,8 +841,13 @@ object SourceQueries {
     * executors read only the files each commit touched (one task per
     * file × commit × change kind) — the compacted table never re-emits
     * what OPTIMIZE rewrote. */
-  def q205ChangesFeed(spark: SparkSession, dir: String): DataFrame = {
-    val root = graft.RunTag.scratchFresh("q205")
+  /** Stages the q205/q207/q208 base table: a merge-on-read table taking
+    * the q85 change set through ONE MERGE — v1 = base append, v2 = the
+    * MERGE (DV growth for deletes/update old-images, appended files for
+    * new images/inserts). Shared so the three change-feed rows and the
+    * q205Sql oracle can never drift apart. Returns the table name. */
+  private def stageMorMergeTable(spark: SparkSession, dir: String,
+      root: String, view: String): String = {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     val tbl = s"graftcat.`$root/t`"
     spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
@@ -861,14 +866,20 @@ object SourceQueries {
     val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
       .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
         col("o_custkey"), col("o_totalprice").as("price"))
-    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q205_changes")
+    upd.unionByName(del).unionByName(ins).createOrReplaceTempView(view)
     spark.sql(
-      s"""MERGE INTO $tbl t USING q205_changes c ON t.o_orderkey = c.o_orderkey
+      s"""MERGE INTO $tbl t USING $view c ON t.o_orderkey = c.o_orderkey
          |WHEN MATCHED AND c.op = 'del' THEN DELETE
          |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
          |WHEN NOT MATCHED AND c.op = 'ins' THEN
          |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
          |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    tbl
+  }
+
+  def q205ChangesFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q205")
+    stageMorMergeTable(spark, dir, root, "q205_changes")
     spark.sql(s"CALL graftcat.optimize('$root/t', ${32 * 1024 * 1024})") // v3: identity
     spark.sql(s"SELECT _change_type AS change_type, _commit_version AS commit_version, " +
       s"o_orderkey, o_custkey, o_orderstatus, o_totalprice, src " +
@@ -906,32 +917,7 @@ object SourceQueries {
     * exactly-once). */
   def q207ChangesStream(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q207")
-    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
-    val tbl = s"graftcat.`$root/t`"
-    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
-      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
-      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
-    val base = orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), lit("base").as("src"))
-    base.writeTo(tbl).append() // v1
-    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
-      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
-        (col("o_totalprice") * 2.0).as("price"))
-    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
-      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
-        col("o_totalprice").as("price"))
-    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
-      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
-        col("o_custkey"), col("o_totalprice").as("price"))
-    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q207_changes")
-    spark.sql(
-      s"""MERGE INTO $tbl t USING q207_changes c ON t.o_orderkey = c.o_orderkey
-         |WHEN MATCHED AND c.op = 'del' THEN DELETE
-         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
-         |WHEN NOT MATCHED AND c.op = 'ins' THEN
-         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
-         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    stageMorMergeTable(spark, dir, root, "q207_changes")
     val sink = s"$root/feed"
     val q = spark.readStream.format("graft-jsondoc")
       .option("readChanges", "true").option("path", s"$root/t").load()
@@ -966,32 +952,7 @@ object SourceQueries {
     * dataflow itself. */
   def q208CdfMv(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q208")
-    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
-    val tbl = s"graftcat.`$root/t`"
-    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
-      "o_orderstatus STRING, o_totalprice DOUBLE, src STRING) USING `graft-jsondoc` " +
-      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
-    val base = orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice"), lit("base").as("src"))
-    base.writeTo(tbl).append() // v1
-    val upd = base.filter(pmod(col("o_orderkey"), lit(10)) === 3)
-      .select(col("o_orderkey"), lit("upd").as("op"), col("o_custkey"),
-        (col("o_totalprice") * 2.0).as("price"))
-    val del = base.filter(pmod(col("o_orderkey"), lit(10)) === 7)
-      .select(col("o_orderkey"), lit("del").as("op"), col("o_custkey"),
-        col("o_totalprice").as("price"))
-    val ins = base.filter(pmod(col("o_orderkey"), lit(10)) === 5)
-      .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
-        col("o_custkey"), col("o_totalprice").as("price"))
-    upd.unionByName(del).unionByName(ins).createOrReplaceTempView("q208_changes")
-    spark.sql(
-      s"""MERGE INTO $tbl t USING q208_changes c ON t.o_orderkey = c.o_orderkey
-         |WHEN MATCHED AND c.op = 'del' THEN DELETE
-         |WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET o_totalprice = c.price, src = 'upd'
-         |WHEN NOT MATCHED AND c.op = 'ins' THEN
-         |  INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, src)
-         |  VALUES (c.o_orderkey, c.o_custkey, 'N', c.price, 'ins')""".stripMargin) // v2
+    stageMorMergeTable(spark, dir, root, "q208_changes")
     val mv = s"graftcat.`$root/mv`"
     spark.sql(s"CREATE TABLE $mv (o_orderstatus STRING, n_orders BIGINT, " +
       "sum_key BIGINT) USING `graft-jsondoc`")

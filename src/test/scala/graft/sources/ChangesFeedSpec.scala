@@ -420,6 +420,44 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertFoldsToTable(path, tbl)
   }
 
+  test("a cluster-by overwrite with CHANGED content is not an identity — only the maintenance marker skips") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append() // v1
+    // a RAW cluster-by overwrite replacing the content: cluster-by is a
+    // distribution request, not an identity claim — the feed must emit
+    Seq((9L, 90.0, "new")).toDF("k", "v", "src")
+      .writeTo(tbl).option("cluster-by", "k").option("cluster-buckets", "1")
+      .overwrite(lit(true)) // v2
+    val v2 = feed(path).filter(col("_commit_version") === 2L)
+    assert(v2.filter(col("_change_type") === "delete").count() === 2L &&
+      v2.filter(col("_change_type") === "insert").count() === 1L,
+      "a content-changing cluster-by overwrite must reach the feed")
+    assertFoldsToTable(path, tbl)
+  }
+
+  test("a bounded change stream stops delivering at endingVersion") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    Seq((3L, 30.0, "c")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_bound").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdf_bound_out").toString
+    val q = spark.readStream.format("graft-jsondoc")
+      .option("readChanges", "true").option("endingVersion", "2")
+      .option("path", path).load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir).select("k")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 2L), "commits past the end bound must never deliver")
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._

@@ -71,6 +71,14 @@ class DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"refusal must point at the honest two-step path, got: ${e.getMessage}")
   }
 
+  test("a non-literal default is refused — insert values must not depend on analysis time") {
+    val (tbl, _) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING) USING `graft-jsondoc`")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN tag SET DEFAULT CAST(rand() AS STRING)")
+    }
+  }
+
   test("defaults survive into merge-on-read DML inserts") {
     val (tbl, _) = fresh()
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING DEFAULT 'mor') " +
