@@ -164,7 +164,14 @@ class JsonDocOffsetSpec extends AnyFunSuite {
       "an uncommitted foreign file must stay invisible")
     val live0 = JsonDocVersions.latest(dir).get._2
     JsonDocVersions.commit(dir, live0 + "zz_manual.jsonl")
-    assert(s1.planInputPartitions().length == 2)
+    // a SCAN is pinned to the listing snapshot of its first planning
+    // (r15 — one snapshot shared by the SPJ report and every re-plan,
+    // so a commit mid-query can never skew them apart); the new commit
+    // is visible to the NEXT scan, not to s1
+    assert(s1.planInputPartitions().length == 1,
+      "a running scan must keep its planning snapshot")
+    assert(new JsonDocScan(schema, dir,
+      Array[Filter](GreaterThan("doc_id", 205L))).planInputPartitions().length == 2)
     assert(!s0.estimateStatistics().numRows().isPresent)
 
     // an In no stats range can satisfy leaves only the stats-less file
