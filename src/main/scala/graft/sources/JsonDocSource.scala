@@ -1206,7 +1206,41 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // entries — readers just don't prune them
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
+    if (op == "append" && !staged && branch.isEmpty) maybeAutocompact()
   }
+
+  /** AUTO-COMPACTION (r15, opt-in — Delta's autoCompact idiom): after a
+    * plain append commits, any partition directory whose LIVE file
+    * count reaches `write.autocompact.files` is compacted inline with
+    * the existing (partition-scoped) OPTIMIZE toward
+    * `write.autocompact.target-bytes` (default 32 MiB) — small-files
+    * growth is bounded at the source instead of by a scheduled job, and
+    * the compaction commit is the usual op=optimize logical identity
+    * (feed skips it, rebase machinery already covers it, purge rules
+    * apply). Only appends trigger: staged/branch commits are invisible,
+    * and maintenance never piggybacks row-level or overwrite commands.
+    * A failure here must NOT fail the job — the append already
+    * committed, and surfacing an error now would read as a failed write
+    * and invite a duplicating retry — so it warns and moves on (the
+    * next append retries the compaction). */
+  private def maybeAutocompact(): Unit =
+    try {
+      val props = GraftCatalog.tablePropsOf(path)
+      props.get("write.autocompact.files").map(_.trim.toInt).filter(_ > 1).foreach { n =>
+        val target = props.get("write.autocompact.target-bytes").map(_.trim.toLong)
+          .getOrElse(32L * 1024 * 1024)
+        val live = JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
+        live.groupBy(rel => rel.substring(0, rel.lastIndexOf('/') + 1))
+          .toSeq.sortBy(_._1).foreach { case (dirPrefix, files) =>
+            if (files.size >= n) GraftCatalog.optimize(path, target, dirPrefix)
+          }
+      }
+    } catch {
+      case e: Exception =>
+        Console.err.println(
+          s"graft-jsondoc: auto-compaction of $path failed (the append itself " +
+            s"committed; the next append will retry): ${e.getMessage}")
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf).foreach { m =>

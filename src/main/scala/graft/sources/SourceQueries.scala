@@ -1129,6 +1129,35 @@ object SourceQueries {
       "CAST(2 AS BIGINT), CAST(NULL AS BIGINT) FROM base WHERE o_orderkey % 10 = 3" +
       ") ORDER BY o_orderkey, valid_from"
 
+  /** q213: AUTO-COMPACTION (r15, opt-in — Delta's autoCompact idiom):
+    * twenty small appends land under `write.autocompact.files = 8`, and
+    * each append that tips a directory over the threshold compacts it
+    * inline through the existing OPTIMIZE — the small-files growth that
+    * kills listing/planning at 10^6-commit scale is bounded AT THE
+    * SOURCE, no scheduled job. The in-flow require pins the bound; the
+    * oracle proves twenty commits + the interleaved compactions
+    * reassemble the corpus losslessly (compaction commits are
+    * op=optimize logical identities — AutocompactSpec pins the feed
+    * never sees them and cold partitions keep their exact files). */
+  def q213Autocompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q213")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.autocompact.files' = '8')")
+    val base = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    for (i <- 0 until 20)
+      base.filter(pmod(col("o_orderkey"), lit(20)) === i)
+        .coalesce(1).writeTo(tbl).append()
+    val live = JsonDocVersions.latest(s"$root/t").map(_._2).getOrElse(Set.empty)
+    require(live.size < 8,
+      s"q213: twenty appends must stay under the compaction threshold, got ${live.size}")
+    spark.sql(s"SELECT o_orderkey, o_totalprice FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q213Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1187,6 +1216,7 @@ object SourceQueries {
     "q198_constraints" -> q198Constraints _,
     "q211_sql_constraints" -> q211SqlConstraints _,
     "q212_cdf_scd2" -> q212CdfScd2 _,
+    "q213_autocompact" -> q213Autocompact _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1247,6 +1277,8 @@ object SourceQueries {
     "q211_sql_constraints" -> q198Sql,
     // the feed's images composed into exact validity intervals
     "q212_cdf_scd2" -> q212Sql,
+    // twenty appends + interleaved compactions reassemble losslessly
+    "q213_autocompact" -> q213Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)
