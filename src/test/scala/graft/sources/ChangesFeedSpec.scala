@@ -458,6 +458,42 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq(1L, 2L), "commits past the end bound must never deliver")
   }
 
+  test("rollback over an equality-delete epoch: dropped sets resurrect their matches as inserts") {
+    val (tbl, path) = fresh(mor = false)
+    import spark.implicits._
+    Seq((1L, 10.0, "base"), (2L, 20.0, "base")).toDF("k", "v", "src")
+      .coalesce(1).writeTo(tbl).append() // v1
+    // upsert epoch: update k=1 (its eq set kills the old image)
+    val staging = path + "_staging"
+    Seq((1L, 100.0, "upd", "U")).toDF("k", "v", "src", "_op").coalesce(1)
+      .write.format("graft-jsondoc").option("path", staging).mode("append").save()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_op", org.apache.spark.sql.types.StringType)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_rbeq").toString
+    val up = spark.readStream.format("graft-jsondoc").schema(schema)
+      .option("path", staging).load()
+      .writeStream.format("graft-jsondoc")
+      .option("path", path).option("checkpointLocation", ckpt)
+      .option("upsert-keys", "k").option("upsert-cdc-col", "_op")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    up.awaitTermination()
+    val vE = JsonDocVersions.latestVersion(path).get
+    spark.sql(s"CALL graftcat.rollback('$path', 1)") // drops the epoch file AND its eq set
+    val vR = JsonDocVersions.latestVersion(path).get.toLong
+    val atR = feed(path).filter(col("_commit_version") === vR)
+      .select("_change_type", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // the epoch's file dies (delete of the new image) and the dropped eq
+    // set resurrects the OLD image — the insert-eq partition kind
+    assert(atR === Seq(("delete", 1L, 100.0), ("insert", 1L, 10.0)),
+      s"rollback over an eq epoch (epoch v$vE) must resurrect exactly the old image")
+    assertFoldsToTable(path, tbl)
+  }
+
   test("rollback emits the restoring changes: resurrected positions surface as inserts") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._
