@@ -324,6 +324,25 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("pushed _commit_ms bounds prune commits through their recorded times") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    val cut = JsonDocVersions.mtime(path, 2).get
+    val schema = GraftCatalog.readSchema(new java.io.File(path)).get
+    val b = new JsonDocChangesScanBuilder(path, schema, None, None)
+    b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("_commit_ms", cut)))
+    val parts = b.build().asInstanceOf[JsonDocChangesScan].planInputPartitions()
+    assert(parts.map(_.asInstanceOf[JsonDocChangesPartition].commitVersion)
+      .forall(_ >= 2L), "commits older than the ms bound must not be planned")
+    // end-to-end: SQL over the catalog table with the same bound
+    val got = spark.sql(s"SELECT k FROM graftcat.`$path#changes` " +
+      s"WHERE _commit_ms >= $cut").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+  }
+
   test("the feed reads pre-rename files under the current column names") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._

@@ -195,6 +195,17 @@ class SqlConstraintDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("v_pos")))
   }
 
+  test("DROP CONSTRAINT on an unknown name refuses; IF EXISTS is silent") {
+    val (tbl, _) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT no_such")
+    }
+    assert(e.getMessage.contains("no_such") ||
+      Option(e.getCause).exists(_.getMessage.contains("no_such")))
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT IF EXISTS no_such") // silent
+  }
+
   test("key constraints are informational: stored, surfaced as properties, never enforced") {
     val (tbl, path) = fresh()
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, v DOUBLE) USING `graft-jsondoc`")
