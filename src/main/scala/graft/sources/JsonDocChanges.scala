@@ -59,14 +59,15 @@ import scala.jdk.CollectionConverters._
   * OPTIMIZE which garbage-collects the sets (and, being a rewrite,
   * never re-emits the rows it rewrites). */
 private[sources] class JsonDocChangesTable(path: String, dataSchema: StructType,
-    startV: Option[Int] = None, endV: Option[Int] = None)
+    startV: Option[Int] = None, endV: Option[Int] = None,
+    lenientStart: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-jsondoc($path#changes)"
   override def schema(): StructType = JsonDocChanges.feedSchema(dataSchema)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonDocChangesScanBuilder(path, dataSchema, startV, endV)
+    new JsonDocChangesScanBuilder(path, dataSchema, startV, endV, lenientStart)
 }
 
 /** Pushdown on the feed's METADATA columns: comparisons against
@@ -76,7 +77,8 @@ private[sources] class JsonDocChangesTable(path: String, dataSchema: StructType,
   * Spark re-applies them row-level; a commit with no recorded mtime is
   * never ms-pruned. */
 private[sources] class JsonDocChangesScanBuilder(path: String,
-    dataSchema: StructType, startV: Option[Int], endV: Option[Int])
+    dataSchema: StructType, startV: Option[Int], endV: Option[Int],
+    lenientStart: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -103,7 +105,7 @@ private[sources] class JsonDocChangesScanBuilder(path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new JsonDocChangesScan(path, dataSchema, startV, endV, pushed)
+    new JsonDocChangesScan(path, dataSchema, startV, endV, pushed, lenientStart)
 }
 
 private[sources] object JsonDocChanges {
@@ -270,7 +272,8 @@ private[sources] case class JsonDocChangesPartition(
 
 private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     startV: Option[Int], endV: Option[Int],
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    lenientStart: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = JsonDocChanges.feedSchema(dataSchema)
   override def toBatch: Batch = this
@@ -301,7 +304,12 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
     if (published.isEmpty) return Array.empty
     val lo = startV.getOrElse(published.head)
     val hi = endV.getOrElse(published.last)
-    if (lo == hi + 1) return Array.empty // 'latest': no new commits yet
+    // The empty-result escape is ONLY for bounds the engine resolved past
+    // the head ('latest', a start timestamp beyond the newest commit, or an
+    // unset start) — an EXPLICITLY inverted range (startingVersion =
+    // endingVersion + 1) is a user error and must fail the require below
+    // like every other inverted range.
+    if (lenientStart && lo == hi + 1) return Array.empty // no new commits yet
     require(lo <= hi,
       s"graft-jsondoc changes: startingVersion $lo exceeds endingVersion $hi")
     require(hi <= published.last,

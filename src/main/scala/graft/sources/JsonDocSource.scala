@@ -98,17 +98,22 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     // option shape). The schema handed in is the feed schema from
     // inferSchema (or a user-declared one) — strip the feed columns to
     // recover the data schema the wrapped snapshot readers need.
-    if (java.lang.Boolean.parseBoolean(
-        Option(properties.get("readChanges")).getOrElse("false"))) {
+    // Spark options are conventionally case-insensitive (inferSchema saw
+    // them through a CaseInsensitiveStringMap) — resolve them the same way
+    // here, so `.option("readchanges","true")` can't get the feed schema
+    // from inferSchema yet a plain snapshot table from getTable (and a
+    // mis-cased version bound can't be silently ignored, widening the range).
+    val ciProps = new CaseInsensitiveStringMap(properties)
+    if (ciProps.getBoolean("readChanges", false)) {
       val meta = Set(JsonDocChanges.ChangeTypeCol, JsonDocChanges.CommitVersionCol,
         JsonDocChanges.CommitMsCol)
       val data = StructType(schema.fields.filterNot(f => meta.contains(f.name)))
-      val path = properties.get("path")
+      val path = ciProps.get("path")
       // `startingVersion = latest`: only commits AFTER the current head
       // (the batch feed reads empty until one lands; a stream's first
       // offset is the head, so it delivers exactly the future)
       def bound(key: String): Option[Int] =
-        Option(properties.get(key)).map(_.trim).map {
+        Option(ciProps.get(key)).map(_.trim).map {
           case s if s.equalsIgnoreCase("latest") =>
             // startingVersion=latest: only commits AFTER the head;
             // endingVersion=latest: up to the head as of resolution
@@ -122,7 +127,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
           case s => s.toInt
         }
       def tsBound(key: String): Option[Long] =
-        Option(properties.get(key)).map(_.trim.toLong)
+        Option(ciProps.get(key)).map(_.trim.toLong)
       // timestamp bounds (Delta CDF's option pair): resolved here to
       // version bounds through the commit times — startingTimestamp =
       // first published commit at or after ts, endingTimestamp = last
@@ -146,9 +151,17 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       require(!(bound("endingVersion").isDefined &&
           tsBound("endingTimestamp").isDefined),
         "graft-jsondoc changes: give endingVersion OR endingTimestamp, not both")
+      // A start the ENGINE resolved past the head ('latest', a timestamp
+      // beyond the newest commit, or no start at all) may legitimately land
+      // one past an explicit end — the feed is just empty until a commit
+      // arrives. An explicit NUMERIC start that inverts the range is a user
+      // error and must keep failing (JsonDocChangesScan's require).
+      val startRaw = Option(ciProps.get("startingVersion")).map(_.trim)
+      val lenientStart = startRaw.forall(_.equalsIgnoreCase("latest"))
       return new JsonDocChangesTable(path, data,
         bound("startingVersion").orElse(resolveTs("startingTimestamp", start = true)),
-        bound("endingVersion").orElse(resolveTs("endingTimestamp", start = false)))
+        bound("endingVersion").orElse(resolveTs("endingTimestamp", start = false)),
+        lenientStart = lenientStart)
     }
     // The reader parses only these primitive types and the pushdown
     // comparator only evaluates them; any other declared type would
@@ -159,6 +172,25 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       "graft-jsondoc supports long/int/double/boolean/string fields only; unsupported: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     new JsonDocTable(schema, properties.get("path"))
+  }
+}
+
+/** JVM-wide memo of (table, dir, live-set signature) triples where an
+  * auto-compaction attempt ran a full OPTIMIZE planning pass and declined
+  * (returned None) — consulted by [[JsonDocBatchWrite.maybeAutocompact]]
+  * so steady-state appends to an already-compacted directory don't re-pay
+  * the planning I/O forever. Bounded: cleared wholesale when it grows past
+  * 4096 entries (the memo is a pure optimization — losing it only costs
+  * one redundant planning pass per directory). */
+private[sources] object JsonDocAutocompact {
+  val declined = new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Unit]()
+  /** Test seam: planning attempts per (table, directory) — AutocompactSpec
+    * asserts an unchanged at-threshold directory is attempted exactly once,
+    * not once per append elsewhere in the table. */
+  val attempts = new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+  def remember(sig: (String, String, Int)): Unit = {
+    if (declined.size > 4096) declined.clear()
+    declined.put(sig, ())
   }
 }
 
@@ -1232,7 +1264,20 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
         val live = JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
         live.groupBy(rel => rel.substring(0, rel.lastIndexOf('/') + 1))
           .toSeq.sortBy(_._1).foreach { case (dirPrefix, files) =>
-            if (files.size >= n) GraftCatalog.optimize(path, target, dirPrefix)
+            if (files.size >= n) {
+              // Back off when this exact live set was already attempted and
+              // OPTIMIZE declined (all files >= target/2: singleton bins, no
+              // DVs/eq) — otherwise every later append re-runs the full
+              // planning pass (listing + stats/DV/eq sidecar loads) as a
+              // permanent no-op. Any change to the live set (new file,
+              // rewrite) clears the memo by changing the signature.
+              val sig = (path, dirPrefix, files.toSeq.sorted.hashCode)
+              if (!JsonDocAutocompact.declined.containsKey(sig)) {
+                JsonDocAutocompact.attempts.merge((path, dirPrefix), 1, _ + _)
+                if (GraftCatalog.optimize(path, target, dirPrefix).isEmpty)
+                  JsonDocAutocompact.remember(sig)
+              }
+            }
           }
       }
     } catch {

@@ -1049,8 +1049,6 @@ object SourceQueries {
   def q210SpjJoin(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q210")
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     val o = s"graftcat.`$root/orders`"
     val c = s"graftcat.`$root/customer`"
     spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
@@ -1061,16 +1059,26 @@ object SourceQueries {
       .writeTo(o).append()
     customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
       .writeTo(c).append()
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Save/restore ALL plan-affecting confs this row flips — leaking the
+    // bucketing confs would silently change every later query's plans in
+    // the same session (bench/verify ordering sensitivity).
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     try {
       spark.sql(
         s"""SELECT c.c_mktsegment, count(*) AS n_orders,
            |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
            |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
-        .localCheckpoint() // materialize under the conf before restoring it
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        .localCheckpoint() // materialize under the confs before restoring them
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   val q210Sql: String =

@@ -69,6 +69,37 @@ class AutocompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) === 7L)
   }
 
+  test("a declined compaction (singleton bins) backs off instead of re-planning forever") {
+    val (tbl, path) = fresh()
+    // target-bytes = 1: every file is >= target/2, so OPTIMIZE always packs
+    // singleton bins and declines (returns None) — the permanent-no-op shape.
+    // The waste case is CROSS-DIRECTORY: every append to a hot partition
+    // re-walks all at-threshold directories, so an unchanged cold directory
+    // would re-pay the full planning pass (listing + sidecar loads) forever.
+    spark.sql(s"CREATE TABLE $tbl (region STRING, k BIGINT) USING `graft-jsondoc` " +
+      "PARTITIONED BY (region) TBLPROPERTIES ('write.autocompact.files' = '3', " +
+      "'write.autocompact.target-bytes' = '1')")
+    import spark.implicits._
+    for (i <- 1 to 3)
+      Seq(("cold", i.toLong)).toDF("region", "k").coalesce(1).writeTo(tbl).append()
+    assert(liveFiles(path).count(_.startsWith("region=cold/")) === 3,
+      "nothing compacts under singleton bins")
+    def attemptsOn(d: String): Int =
+      Option(JsonDocAutocompact.attempts.get((path, s"region=$d/"))).fold(0)(_.toInt)
+    val coldAfterFill = attemptsOn("cold")
+    assert(coldAfterFill >= 1, "the at-threshold directory was attempted")
+    // appends elsewhere must NOT re-plan the unchanged cold directory
+    for (i <- 1 to 5)
+      Seq(("hot", i.toLong)).toDF("region", "k").coalesce(1).writeTo(tbl).append()
+    assert(attemptsOn("cold") === coldAfterFill,
+      "an unchanged declined directory must not be re-planned on every append")
+    // a change to the cold directory's live set clears the backoff
+    Seq(("cold", 99L)).toDF("region", "k").coalesce(1).writeTo(tbl).append()
+    assert(attemptsOn("cold") === coldAfterFill + 1,
+      "a changed live set must be re-attempted")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) === 9L)
+  }
+
   test("without the property nothing compacts") {
     val (tbl, path) = fresh()
     spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")

@@ -405,6 +405,40 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((2L, 2L)), "history before 'latest' must never deliver")
   }
 
+  test("mis-cased reader options resolve like Spark options: case-insensitively") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    Seq((2L, 20.0, "b")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v2
+    // readchanges (lowercase) must yield the FEED, not a silent snapshot
+    // read with null metadata columns
+    val lower = spark.read.format("graft-jsondoc").option("readchanges", "true")
+      .option("STARTINGVERSION", "2").option("path", path).load()
+    assert(lower.columns.contains("_change_type"))
+    val got = lower.select("_change_type", "_commit_version", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("insert", 2L, 2L)),
+      "a mis-cased startingVersion must bound the range, not be silently ignored")
+  }
+
+  test("explicitly inverted version ranges fail; engine-resolved 'latest' past an end is empty") {
+    val (tbl, path) = fresh(mor = true)
+    import spark.implicits._
+    Seq((1L, 10.0, "a")).toDF("k", "v", "src").coalesce(1).writeTo(tbl).append() // v1
+    // start = end + 1 EXPLICITLY is a user error, same as any inverted range
+    val e = intercept[Exception] {
+      feed(path, start = Some(2), end = Some(1)).collect()
+    }
+    assert(e.getMessage.contains("exceeds"),
+      s"explicit start=end+1 must fail the range check, got: ${e.getMessage}")
+    // but 'latest' resolving to head+1 against an explicit end = head reads
+    // empty — the engine chose that bound, not the user
+    val empty = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("startingVersion", "latest").option("endingVersion", "1")
+      .option("path", path).load()
+    assert(empty.isEmpty)
+  }
+
   test("the feed over a PARTITIONED table: directory-resident rows change exactly") {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     val root = java.nio.file.Files.createTempDirectory("graft_cdf_part").toString
