@@ -211,13 +211,17 @@ class GraftCatalog extends TableCatalog
     new JsonDocTable(schema, dir.getPath, pinnedVersion = Some(v))
   }
 
-  /** COLUMN DEFAULTS capability (r15, Delta's model): `DEFAULT <lit>`
-    * in CREATE TABLE / `ALTER COLUMN ... SET DEFAULT` is recorded in
-    * the schema sidecar's field metadata, and Spark's analyzer fills it
-    * into INSERTs that omit the column (or say `DEFAULT`). Reads never
-    * apply it: rows written before a default existed read NULL — which
-    * is why ADD COLUMN refuses an inline DEFAULT (it would promise
-    * historical values the reader does not serve). */
+  /** COLUMN DEFAULTS capability (r15; completed r16 — Delta's model):
+    * `DEFAULT <expr>` in CREATE TABLE / ADD COLUMN / `ALTER COLUMN ...
+    * SET DEFAULT` is recorded in the schema sidecar's field metadata.
+    * CURRENT_DEFAULT (the live expression — any constant expression,
+    * CURRENT_TIMESTAMP included) is filled by Spark's analyzer into
+    * INSERTs that omit the column; EXISTS_DEFAULT (frozen to a literal
+    * at DDL time) is served by the READER for rows whose lines predate
+    * the column — ADD COLUMN DEFAULT therefore works end-to-end: old
+    * rows read the frozen value, new rows the insert-time fill, and the
+    * change feed emits the filled values consistently (it wraps the
+    * same readers). */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
@@ -252,15 +256,20 @@ class GraftCatalog extends TableCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     createTable(ident,
       // keep DEFAULT metadata (the CURRENT_DEFAULT / EXISTS_DEFAULT
-      // keys Spark's analyzer reads) — a table born with defaults has
-      // no pre-default rows, so both semantics coincide here
+      // keys Spark's analyzer reads). EXISTS_DEFAULT freezes the
+      // DDL-time VALUE (r16): a table born with defaults has no
+      // pre-default rows from its own writers, but freezing validates
+      // the expression and keeps the key literal-only everywhere the
+      // reader consults it
       StructType(columns.map { c =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
         Option(c.metadataInJSON()).foreach(j =>
           mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
         Option(c.defaultValue()).foreach { d =>
-          mb.putString("CURRENT_DEFAULT", d.getSql)
-          mb.putString("EXISTS_DEFAULT", d.getSql)
+          val (frozen, orig) =
+            GraftCatalog.freezeDefault(d.getSql, c.dataType, c.name)
+          mb.putString("CURRENT_DEFAULT", orig)
+          mb.putString("EXISTS_DEFAULT", frozen)
         }
         StructField(c.name, c.dataType, c.nullable, mb.build())
       }),
@@ -320,6 +329,8 @@ class GraftCatalog extends TableCatalog
     if (props.keys.exists(_.startsWith(GraftConstraints.Prefix)))
       GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
         schema, props)
+    // bloom-column declarations validate at CREATE too (r16)
+    props.get(JsonDocBlooms.PropCols).foreach(JsonDocBlooms.validateDecl(_, schema))
     GraftCatalog.writeSchema(dir, schema, partitions = partSpecs, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
@@ -366,16 +377,23 @@ class GraftCatalog extends TableCatalog
             "resurface pre-drop values — use a new name")
         require(add.isNullable,
           s"graft catalog: a column added to existing data must be nullable: $name")
-        // Delta's rule: no inline DEFAULT on ADD COLUMN — Spark records
-        // it as an EXISTENCE default ("old rows read this value"), but
-        // this reader serves NULL for pre-add rows; promising otherwise
-        // would be silently wrong history. SET DEFAULT afterwards
-        // governs future inserts honestly.
-        require(add.defaultValue() == null,
-          s"graft catalog: ADD COLUMN with DEFAULT is not supported — rows " +
-            s"written before the column exists read NULL; add $name first, " +
-            s"then ALTER COLUMN $name SET DEFAULT for future inserts")
-        schema = schema.add(StructField(name, add.dataType(), nullable = true))
+        // ADD COLUMN ... DEFAULT (r16 — closes the r15 refusal with
+        // Delta's actual model): the default is FROZEN here into a
+        // literal EXISTS_DEFAULT, which the reader serves for rows whose
+        // lines predate the column (a truly absent JSON key; post-add
+        // writers always materialize the field, explicit null included,
+        // so absence is unambiguous provenance). CURRENT_DEFAULT keeps
+        // the original expression for future INSERT fills.
+        val meta = Option(add.defaultValue()).map { d =>
+          val (frozen, orig) =
+            GraftCatalog.freezeDefault(d.getSql, add.dataType(), name)
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", orig)
+            .putString("EXISTS_DEFAULT", frozen)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        schema = schema.add(
+          StructField(name, add.dataType(), nullable = true, meta))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported: ${del.fieldNames().mkString(".")}")
@@ -425,6 +443,8 @@ class GraftCatalog extends TableCatalog
         if (set.property().startsWith(GraftConstraints.Prefix))
           GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
             schema, Map(set.property() -> set.value()))
+        if (set.property() == JsonDocBlooms.PropCols)
+          JsonDocBlooms.validateDecl(set.value(), schema)
         props += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         props -= rm.property()
@@ -455,14 +475,20 @@ class GraftCatalog extends TableCatalog
         renames -= from
         dropped += from
       case upd: TableChange.UpdateColumnDefaultValue =>
-        // SET / DROP DEFAULT (r15, Delta's model): the default is a
+        // SET / DROP DEFAULT (r15; widened r16): the default is a
         // WRITE-side fill Spark's analyzer applies to INSERTs that omit
         // the column — recorded as CURRENT_DEFAULT field metadata in
-        // the sidecar (DataType.fromJson round-trips metadata), never
-        // applied at read (pre-default rows stay NULL). Literals only:
-        // a non-foldable default (e.g. CURRENT_TIMESTAMP) would make
-        // INSERT semantics depend on analysis time in ways this
-        // engine's replay/exactly-once machinery cannot pin down.
+        // the sidecar (DataType.fromJson round-trips metadata). Beyond
+        // literals, any CONSTANT expression (no column references) that
+        // casts to the column type is accepted (r16) — including
+        // CURRENT_TIMESTAMP shapes, which Spark evaluates ONCE PER
+        // INSERT STATEMENT (ComputeCurrentTime), the ANSI reading; a
+        // streaming replay re-evaluates them exactly as it would a
+        // current_timestamp() in the query itself. Validation runs the
+        // expression here, so a misteypd or uncastable default refuses
+        // at DDL. EXISTS_DEFAULT is untouched: SET DEFAULT after birth
+        // never rewrites history (pre-default rows keep reading NULL —
+        // or their frozen ADD COLUMN default).
         require(upd.fieldNames().length == 1,
           s"graft catalog: nested columns are not supported: ${upd.fieldNames().mkString(".")}")
         val name = upd.fieldNames().head
@@ -477,14 +503,7 @@ class GraftCatalog extends TableCatalog
             mb.remove("CURRENT_DEFAULT")
             mb.remove("EXISTS_DEFAULT")
           case Some(s) =>
-            // a null expression means the default has NO V2-literal
-            // conversion (CURRENT_TIMESTAMP and friends) — exactly the
-            // analysis-time-dependent shape this engine refuses, so
-            // null must REJECT, not slide through
-            val lit = Option(upd.newCurrentDefault()).map(_.getExpression).orNull
-            require(lit != null &&
-              lit.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]],
-              s"graft catalog: only literal defaults are supported for $name, got: $s")
+            GraftCatalog.freezeDefault(s, schema.fields(idx).dataType, name)
             mb.putString("CURRENT_DEFAULT", s)
         }
         schema = StructType(schema.fields.updated(idx,
@@ -570,6 +589,72 @@ class GraftCatalog extends TableCatalog
 }
 
 object GraftCatalog {
+  /** DEFAULT validation + DDL-time freezing (r16): a DEFAULT must be a
+    * CONSTANT expression (no column references; the ANSI niladic
+    * CURRENT_TIMESTAMP/CURRENT_DATE/CURRENT_USER names pass — the
+    * analyzer resolves them specially) that analyzes, evaluates, and
+    * casts to the column type. Returns (frozen literal SQL of the value
+    * as evaluated NOW, original SQL): EXISTS_DEFAULT stores the frozen
+    * form — the value history promises pre-existing rows, pinned at DDL
+    * time exactly like Delta — while CURRENT_DEFAULT keeps the live
+    * expression for Spark's per-INSERT fill. */
+  private[sources] def freezeDefault(sql0: String,
+      dt: DataType, col: String): (String, String) = {
+    val sql = sql0.trim
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"graft catalog: cannot parse DEFAULT for $col: $sql (${e.getMessage})") }
+    val niladic = Set("current_timestamp", "current_date", "current_user")
+    val colRefs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if !niladic(a.name.toLowerCase(java.util.Locale.ROOT)) => a.name
+    }
+    require(colRefs.isEmpty,
+      s"graft catalog: DEFAULT for $col must be a constant expression; " +
+        s"it references: ${colRefs.mkString(", ")}")
+    val v =
+      try {
+        val df = spark.range(1)
+          .select(org.apache.spark.sql.functions.expr(s"CAST(($sql) AS ${dt.sql})"))
+        // DETERMINISTIC expressions only: CURRENT_TIMESTAMP passes (it
+        // is statement-deterministic — ComputeCurrentTime pins it once
+        // per execution, the ANSI reading); rand() and friends refuse —
+        // a default whose value differs row-to-row is not a default
+        val analyzed = df.queryExecution.analyzed.expressions.head
+        require(analyzed.deterministic,
+          s"graft catalog: DEFAULT for $col must be deterministic, got: $sql")
+        df.collect()(0).get(0)
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception => throw new IllegalArgumentException(
+          s"graft catalog: DEFAULT for $col does not evaluate and cast to " +
+            s"${dt.simpleString}: $sql (${e.getMessage})")
+      }
+    (org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt).sql, sql)
+  }
+
+  /** The frozen EXISTS_DEFAULT of each field, decoded to the reader's
+    * runtime shape (Long/Int/Double/Boolean/String). Driver-side, once
+    * per scan; an unevaluable frozen literal throws loudly — serving
+    * NULL where history promised a value would be silently wrong. */
+  private[sources] def existsDefaultsOf(schema: StructType): Map[String, Any] =
+    schema.fields.flatMap { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) None
+      else {
+        val sql = f.metadata.getString("EXISTS_DEFAULT")
+        val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql)
+        val v = org.apache.spark.sql.catalyst.expressions.Cast(
+          parsed, f.dataType, Some("UTC")).eval(null)
+        Option[Any](v).map {
+          case u: org.apache.spark.unsafe.types.UTF8String => f.name -> u.toString
+          case other => f.name -> other
+        }
+      }
+    }.toMap
+
   /** One partition-spec entry: the SOURCE column, the transform, and
     * (bucket only) the bucket count. `dirName` is the Hive-style
     * directory key — transform-qualified so `days(ts)` can never
@@ -940,9 +1025,12 @@ object GraftCatalog {
     // prune the reclaimed files' stats entries: the files are unreadable
     // at EVERY remaining version, so their entries are dead weight the
     // sidecar would otherwise carry (and reparse at each scan) forever
-    if (deletable.nonEmpty)
+    if (deletable.nonEmpty) {
       JsonDocStats.mergeAndWrite(path, Seq.empty, keepExisting = true,
         dropNames = deletable.map(_._2).toSet)
+      JsonDocBlooms.mergeAndWrite(path, Seq.empty,
+        dropNames = deletable.map(_._2).toSet)
+    }
     deletable.map(_._2).toSeq.sorted
   }
 
@@ -1055,6 +1143,17 @@ object GraftCatalog {
     if (!bins.exists(needsRewrite)) return None
     val v = JsonDocVersions.latestManifestVersion(path) + 1
     val stats = JsonDocStats.load(path)
+    // declared bloom columns (r16): rebuilt EXACTLY inside the rewrite
+    // tasks (each surviving line is hashed as it streams past), so a
+    // table with filters keeps point-lookup skipping across compaction.
+    // The cost is honest: a bloom-declared bin parses lines instead of
+    // byte-copying — the same trade every columnar format's compaction
+    // already makes, and only paid when the property is set.
+    val bloomColSpec: Seq[(String, Boolean)] =
+      GraftCatalog.readSchema(dir).toSeq.flatMap { sch =>
+        JsonDocBlooms.declaredCols(path, sch).map(c =>
+          c -> (sch(c).dataType == org.apache.spark.sql.types.StringType))
+      }
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):
     // the bins are independent byte concatenations, and compaction of a
@@ -1072,13 +1171,14 @@ object GraftCatalog {
     }.toSeq
     val eqPathsB: Map[String, Seq[String]] =
       multi.flatMap(_._2).map(n => n -> eqPathsOf(n)).toMap
-    val results: Map[Int, (String, Long)] =
+    val results: Map[Int, (String, Long, String)] =
       org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(spark) =>
           val pathStr = path
           val dvPosB = dvPos // avoid capturing the whole enclosing scope
           val eqPB = eqPathsB
           val aliasesB = eqAliases
+          val bloomSpecB = bloomColSpec
           spark.sparkContext.parallelize(multi, multi.size).map { case (i, names) =>
             val d = new java.io.File(pathStr)
             val attempt = Option(org.apache.spark.TaskContext.get())
@@ -1086,28 +1186,34 @@ object GraftCatalog {
             // the temp lives IN the bin's directory (same-dir rename)
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t$attempt.jsonl.tmp"
+            val rebuild = if (bloomSpecB.isEmpty) null
+              else new JsonDocBlooms.Rebuild(bloomSpecB, aliasesB)
             val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
             val dropped = try names.map(n =>
               GraftCatalog.copyCompactInput(d, n, out, dvPosB.get(n),
-                eqPB.getOrElse(n, Seq.empty), aliasesB)).sum
+                eqPB.getOrElse(n, Seq.empty), aliasesB, rebuild)).sum
             finally out.close()
-            (i, (tmpName, dropped))
+            (i, (tmpName, dropped, if (rebuild == null) "" else rebuild.toJson))
           }.collect().toMap
         case None =>
           multi.map { case (i, names) =>
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t0.jsonl.tmp"
+            val rebuild = if (bloomColSpec.isEmpty) null
+              else new JsonDocBlooms.Rebuild(bloomColSpec, eqAliases)
             val out = new java.io.FileOutputStream(new java.io.File(dir, tmpName))
             val dropped = try names.map(n =>
               GraftCatalog.copyCompactInput(dir, n, out, dvPos.get(n),
-                eqPathsB.getOrElse(n, Seq.empty), eqAliases)).sum
+                eqPathsB.getOrElse(n, Seq.empty), eqAliases, rebuild)).sum
             finally out.close()
-            (i, (tmpName, dropped))
+            (i, (tmpName, dropped, if (rebuild == null) "" else rebuild.toJson))
           }.toMap
       }
-    val tmpOf: Map[Int, String] = results.map { case (i, (t, _)) => i -> t }
-    val eqDroppedOf: Map[Int, Long] = results.map { case (i, (_, d)) => i -> d }
+    val tmpOf: Map[Int, String] = results.map { case (i, (t, _, _)) => i -> t }
+    val eqDroppedOf: Map[Int, Long] = results.map { case (i, (_, d, _)) => i -> d }
+    val bloomOf: Map[Int, String] = results.map { case (i, (_, _, b)) => i -> b }
     val newEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val newBloomEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val newLive = bins.zipWithIndex.flatMap {
       case (bin, _) if !needsRewrite(bin) => bin.map(_._1)
       case (bin, i) =>
@@ -1129,6 +1235,8 @@ object GraftCatalog {
             newEntries += (name -> JsonDocStats.toJson(
               merged.copy(rows = merged.rows - purged)))
           }
+        // rebuilt blooms from the rewrite task (exact over surviving rows)
+        bloomOf.get(i).filter(_.nonEmpty).foreach(j => newBloomEntries += (name -> j))
         Seq(name)
     }.toSet
     // losing speculative attempts leave dot-temps invisible to readers;
@@ -1165,6 +1273,7 @@ object GraftCatalog {
       dvBasis = Some(dvs), eqBasis = Some(eqList),
       rewrites = rewriteRecords, op = "optimize")
     JsonDocStats.mergeAndWrite(path, newEntries.toSeq, keepExisting = true)
+    JsonDocBlooms.mergeAndWrite(path, newBloomEntries.toSeq)
     Some(committed)
   }
 
@@ -1178,10 +1287,13 @@ object GraftCatalog {
   private[sources] def copyCompactInput(dir: java.io.File, name: String,
       out: java.io.OutputStream, drop: Option[Array[Long]],
       eqPaths: Seq[String] = Seq.empty,
-      aliases: Map[String, Seq[String]] = Map.empty): Long = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      bloom: JsonDocBlooms.Rebuild = null): Long = {
     val eqSets = eqPaths.map(JsonDocEqDeletes.read)
     (drop, eqSets) match {
-      case (None, Seq()) =>
+      // pure byte copy — only when no row is dropped AND no bloom needs
+      // the lines parsed (a bloom-declared table pays the parse pass)
+      case (None, Seq()) if bloom == null =>
         java.nio.file.Files.copy(new java.io.File(dir, name).toPath, out)
         out.write('\n') // files end without one; keep lines separate
         0L
@@ -1200,10 +1312,11 @@ object GraftCatalog {
             if (line.nonEmpty) {
               pos += 1
               if (!dead.contains(pos)) {
-                if (eqs.nonEmpty &&
-                  JsonDocEqDeletes.rowDeleted(mapper.readTree(line), eqs, aliases))
+                val node = if (eqs.nonEmpty || bloom != null) mapper.readTree(line) else null
+                if (eqs.nonEmpty && JsonDocEqDeletes.rowDeleted(node, eqs, aliases))
                   eqDropped += 1
                 else {
+                  if (bloom != null) bloom.add(node)
                   out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
                   out.write('\n')
                 }

@@ -391,6 +391,12 @@ private[sources] class JsonDocChangesMicroBatchStream(path: String,
 
 private[sources] class JsonDocChangesReaderFactory(dataSchema: StructType,
     aliases: Map[String, Seq[String]]) extends PartitionReaderFactory {
+  // existence defaults (r16): resolved once, driver-side — the feed
+  // emits pre-add rows with their frozen ADD COLUMN DEFAULT exactly as
+  // the snapshot read serves them (consumers replaying the feed land
+  // the same values a direct read would)
+  private val existsDefaults: Map[String, Any] =
+    GraftCatalog.existsDefaultsOf(dataSchema)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocChangesPartition]
     // the wrapped snapshot reader does the parsing, rename mapping, DV
@@ -399,7 +405,7 @@ private[sources] class JsonDocChangesReaderFactory(dataSchema: StructType,
     val innerSchema = StructType(dataSchema.fields.toSeq :+
       StructField(JsonDocSource.PosMetaCol, LongType, nullable = false))
     val inner = new JsonDocReader(p.file, innerSchema, Array.empty, None, p.rel,
-      p.innerDvPath, aliases, p.innerEqPaths)
+      p.innerDvPath, aliases, p.innerEqPaths, existsDefaults)
     new JsonDocChangesReader(inner, dataSchema, aliases, p)
   }
 }

@@ -349,6 +349,7 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
       staged = staged)
     JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
+    JsonDocBlooms.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.bloomJson))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -873,7 +873,7 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
 }
 
 private[sources] case class JsonDocCommitMessage(tmpName: String, finalName: String,
-    statsJson: String = "") extends WriterCommitMessage
+    statsJson: String = "", bloomJson: String = "") extends WriterCommitMessage
 
 /** A partition-routing task touches several directories in one task —
   * one commit message carrying each directory's file (r13). */
@@ -1238,6 +1238,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // entries — readers just don't prune them
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
+    JsonDocBlooms.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.bloomJson))
     if (op == "append" && !staged && branch.isEmpty) maybeAutocompact()
   }
 
@@ -1298,6 +1299,11 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
     queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
     checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends DataWriterFactory {
+  // resolved at factory construction (driver-side for V2 writes; a MOR
+  // delta task constructs its insert factory executor-side, where the
+  // table-props sidecar is still one shared-storage read)
+  private val bloomCols: Seq[String] = JsonDocBlooms.declaredCols(path, schema)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId in the TEMP name keeps speculative attempts from colliding;
     // the FINAL name is per-partition, so whichever attempt the commit
@@ -1306,10 +1312,10 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
       if (partCols.isEmpty)
         new JsonDocDataWriter(path, schema,
           s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-          f"part-$queryId-p$partitionId%05d.jsonl")
+          f"part-$queryId-p$partitionId%05d.jsonl", bloomCols)
       else
         new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-          partitionId, taskId),
+          partitionId, taskId, bloomCols = bloomCols),
       checks)
 }
 
@@ -1324,7 +1330,8 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
 private[sources] class JsonDocPartitionedDataWriter(path: String,
     schema: StructType, partCols: Seq[GraftCatalog.PartField], queryId: String,
     partitionId: Int, taskId: Long,
-    epochId: Option[Long] = None) extends DataWriter[InternalRow] {
+    epochId: Option[Long] = None,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val partIdx: Seq[(GraftCatalog.PartField, Int)] = partCols.map { p =>
     val i = schema.fieldNames.indexOf(p.field.name)
@@ -1365,10 +1372,10 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
       // queryId-unique name
       case Some(e) => new JsonDocDataWriter(path, schema,
         s"$prefix/.part-$queryId-e$e-p$partitionId-t$taskId.jsonl.tmp",
-        f"$prefix/part-e$e%05d-p$partitionId%05d.jsonl")
+        f"$prefix/part-e$e%05d-p$partitionId%05d.jsonl", bloomCols)
       case None => new JsonDocDataWriter(path, schema,
         s"$prefix/.part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-        f"$prefix/part-$queryId-p$partitionId%05d.jsonl")
+        f"$prefix/part-$queryId-p$partitionId%05d.jsonl", bloomCols)
     }).write(row)
   }
 
@@ -1469,6 +1476,7 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
       txn = Some((UpsertApp, epochId)), eqAdd = eqName, op = "stream-upsert")
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
+    JsonDocBlooms.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.bloomJson))
   }
 
   private def commitAppend(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1520,6 +1528,7 @@ private[sources] class JsonDocStreamingWrite(path: String, schema: StructType,
     // own stats — the sidecar stays idempotent alongside the data
     JsonDocStats.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
+    JsonDocBlooms.mergeAndWrite(path, msgs.toSeq.map(m => m.finalName -> m.bloomJson))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -1566,6 +1575,7 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
     queryId: String, partCols: Seq[GraftCatalog.PartField] = Seq.empty,
     checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends StreamingDataWriterFactory {
+  private val bloomCols: Seq[String] = JsonDocBlooms.declaredCols(path, schema)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = GraftConstraints.wrap(
     // (epochId, partitionId) is the exactly-once key, so the FINAL name
@@ -1584,10 +1594,10 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
     if (partCols.isEmpty)
       new JsonDocDataWriter(path, schema,
         s".part-$queryId-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
-        f"part-e$epochId%05d-p$partitionId%05d.jsonl")
+        f"part-e$epochId%05d-p$partitionId%05d.jsonl", bloomCols)
     else
       new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-        partitionId, taskId, epochId = Some(epochId)),
+        partitionId, taskId, epochId = Some(epochId), bloomCols = bloomCols),
     checks)
 }
 
@@ -1677,7 +1687,7 @@ private[sources] class JsonDocUpsertDataWriter(
 }
 
 private[sources] class JsonDocDataWriter(path: String, schema: StructType,
-    tmpName: String, finalName: String)
+    tmpName: String, finalName: String, bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val dir = new java.io.File(path)
@@ -1696,6 +1706,19 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
   private val maxs = new Array[Any](schema.length)
   private var rows = 0L
 
+  // per-column value-hash accumulators for the declared bloom columns
+  // (r16): 8 bytes/value while the task runs, built into a Bloom at
+  // commit; null = column not indexed (the hot-path check is one load)
+  private val bloomAcc: Array[scala.collection.mutable.ArrayBuilder.ofLong] = {
+    val a = new Array[scala.collection.mutable.ArrayBuilder.ofLong](schema.length)
+    bloomCols.foreach { c =>
+      val i = schema.fieldNames.indexOf(c)
+      if (i >= 0 && JsonDocBlooms.indexable(schema.fields(i).dataType))
+        a(i) = new scala.collection.mutable.ArrayBuilder.ofLong
+    }
+    a
+  }
+
   private def acc(i: Int, v: Any): Unit = {
     if (mins(i) == null) { mins(i) = v; maxs(i) = v }
     else {
@@ -1711,13 +1734,17 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
       else f.dataType match {
         case LongType =>
           val v = row.getLong(i); node.put(f.name, v); acc(i, v)
+          if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v)
         case IntegerType =>
           val v = row.getInt(i); node.put(f.name, v); acc(i, v.toLong)
+          if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v.toLong)
         case DoubleType =>
           val v = row.getDouble(i); node.put(f.name, v); acc(i, v)
         case BooleanType => node.put(f.name, row.getBoolean(i))
         case _ =>
           val v = row.getUTF8String(i).toString; node.put(f.name, v); acc(i, v)
+          if (bloomAcc(i) != null)
+            bloomAcc(i) += JsonDocBlooms.hashConst(v).get
       }
     }
     out.write(mapper.writeValueAsString(node))
@@ -1731,8 +1758,13 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
       case (f, i) if mins(i) != null =>
         f.name -> JsonDocStats.ColRange(mins(i), maxs(i))
     }.toMap
+    val blooms = schema.fields.zipWithIndex.collect {
+      case (f, i) if bloomAcc(i) != null =>
+        f.name -> JsonDocBlooms.build(bloomAcc(i).result())
+    }
     JsonDocCommitMessage(tmpName, finalName,
-      JsonDocStats.toJson(JsonDocStats.FileStats(rows, cols)))
+      JsonDocStats.toJson(JsonDocStats.FileStats(rows, cols)),
+      if (blooms.isEmpty) "" else JsonDocBlooms.colsToJson(blooms.toSeq))
   }
 
   override def abort(): Unit = {
@@ -1840,6 +1872,10 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (!acceptPushdown) return false
     if (aggregation.groupByExpressions.nonEmpty) return false
+    // an existence default (r16) makes absent tokens VALUES the partial
+    // aggregator doesn't model — keep the aggregate in Spark, where the
+    // row reader serves the filled column (conservative, never wrong)
+    if (GraftCatalog.existsDefaultsOf(fullSchema).nonEmpty) return false
     def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1870,7 +1906,10 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     if (aggSpecs.nonEmpty) new JsonDocAggScan(aggSchema, path, pushed, aggSpecs, pinned)
     else new JsonDocScan(required, path, pushed, limit,
       runtimeFilterable = acceptPushdown, plannedSink = plannedSink,
-      dvSink = dvSink, pinned = pinned)
+      dvSink = dvSink, pinned = pinned,
+      // from the FULL schema: a filter may touch a defaulted column the
+      // projection pruned away
+      existsDefaults = GraftCatalog.existsDefaultsOf(fullSchema))
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
@@ -1878,7 +1917,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
     runtimeFilterable: Boolean = true,
     plannedSink: Option[Array[String] => Unit] = None,
     dvSink: Option[Map[String, String] => Unit] = None,
-    pinned: Option[Int] = None)
+    pinned: Option[Int] = None,
+    existsDefaults: Map[String, Any] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = readSchema0
@@ -2016,12 +2056,17 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
       case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
         Set(String.valueOf(v))
     }
+    // per-file Bloom membership (r16): equality/In keys absent from a
+    // file's filter exclude it — the point-lookup prune min/max cannot
+    // make. Compiled lazily: no point constraint = no sidecar load.
+    val bloomKeep = JsonDocBlooms.pruner(path, effective)
     JsonDocSource.listDataFiles(path, pinned,
         JsonDocSource.partitionDirPruned(partSpec0, effective, keep))
       .map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
+      .filter { case (_, rel) => bloomKeep(rel) }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -2040,10 +2085,15 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
           case EqualTo(a, v) if a == JsonDocSource.FileMetaCol && v != null =>
             Set(String.valueOf(v))
         }
+        // runtime In keys (DPP, MERGE/DELETE group filtering) probe the
+        // per-file Blooms too — this is where a point DELETE's key set
+        // narrows the rewrite to the files that can actually match
+        val bloomKeep = JsonDocBlooms.pruner(path, effective)
         staticKept
           .filter { case (_, rel) => !partPruned(rel) }
           .filter { case (_, rel) => nameSets.forall(_.contains(rel)) }
           .filter { case (_, rel) => stats.get(rel).forall(keep) }
+          .filter { case (_, rel) => bloomKeep(rel) }
       }
     // report the FINAL planned group set to the row-level operation (the
     // copy-on-write commit replaces exactly these files). Calls after a
@@ -2081,7 +2131,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocReaderFactory(readSchema0, filters ++ runtimeFilters, limit,
-      GraftCatalog.renamesOf(path))
+      GraftCatalog.renamesOf(path), existsDefaults)
 
   /** Source-reported size (`SupportsReportStatistics`): the bytes on
     * disk. Without this a DSv2 scan defaults to "unknown = huge" and a
@@ -2156,9 +2206,11 @@ private[sources] class JsonDocAggScan(aggSchema: StructType, path: String,
       JsonDocSource.partitionDirPruned(specs, filters.toSeq, keep))
     val dvs = JsonDocVersions.dvsFor(path, pinned)
     val (eqs, addedAt) = JsonDocVersions.eqsFor(path, pinned)
+    val bloomKeep = JsonDocBlooms.pruner(path, filters.toSeq)
     files.map(f => (f, JsonDocSource.relName(path, f)))
       .filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
+      .filter { case (_, rel) => bloomKeep(rel) }
       .map { case (f, rel) =>
         // DVs and equality deletes fold inside the row reader the
         // partial aggregation runs on, so pushed COUNT/MIN/MAX stay
@@ -2613,7 +2665,8 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocReaderFactory(readSchema, filters,
-      aliases = GraftCatalog.renamesOf(path))
+      aliases = GraftCatalog.renamesOf(path),
+      existsDefaults = GraftCatalog.existsDefaultsOf(readSchema))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2642,11 +2695,12 @@ private[sources] case class JsonDocPartition(file: String, rel: String = "",
 
 private[sources] class JsonDocReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None,
-    aliases: Map[String, Seq[String]] = Map.empty) extends PartitionReaderFactory {
+    aliases: Map[String, Seq[String]] = Map.empty,
+    existsDefaults: Map[String, Any] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocPartition]
     new JsonDocReader(p.file, readSchema, filters, limit, p.relOrName, p.dvPath,
-      aliases, p.eqPaths)
+      aliases, p.eqPaths, existsDefaults)
   }
 }
 
@@ -2657,7 +2711,8 @@ private[sources] class JsonDocReaderFactory(readSchema: StructType,
 private[sources] class JsonDocReader(file: String, readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None, rel: String = "",
     dvPath: String = "", aliases: Map[String, Seq[String]] = Map.empty,
-    eqPaths: Seq[String] = Seq.empty)
+    eqPaths: Seq[String] = Seq.empty,
+    existsDefaults: Map[String, Any] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   // the `_file` value: the table-relative listing key (bare name on
@@ -2744,7 +2799,12 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     if (name == JsonDocSource.PosMetaCol)
       return pos
     val v = fieldNode(node, name)
-    if (v == null || v.isNull) null
+    // EXISTENCE DEFAULT (r16): a TRULY ABSENT key (no current name, no
+    // alias) means the line predates the column — serve the frozen ADD
+    // COLUMN default. An explicit JSON null is a VALUE a post-add
+    // writer materialized and stays NULL.
+    if (v == null) existsDefaults.get(name).orNull
+    else if (v.isNull) null
     else readSchema.find(_.name == name).map(_.dataType) match {
       case Some(LongType) => v.asLong()
       case Some(IntegerType) => v.asInt()
@@ -2768,7 +2828,15 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     if (name == JsonDocSource.PosMetaCol)
       return pos
     val v = fieldNode(node, name)
-    if (v == null || v.isNull) null
+    // filters see the SAME existence-default fill as projection (r16):
+    // `WHERE region = '<default>'` must match pre-add rows. Normalized
+    // to the comparator's raw shapes (integral -> Long).
+    if (v == null) existsDefaults.get(name) match {
+      case Some(i: java.lang.Integer) => i.longValue()
+      case Some(other) => other
+      case None => null
+    }
+    else if (v.isNull) null
     else if (v.isIntegralNumber) v.asLong()
     else if (v.isNumber) v.asDouble()
     else if (v.isBoolean) v.asBoolean()

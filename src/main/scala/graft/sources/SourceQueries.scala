@@ -996,16 +996,18 @@ object SourceQueries {
       "CAST(sum(o_orderkey) AS BIGINT) AS sum_key " +
       "FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
-  /** q209: COLUMN DEFAULT VALUES (r15, Delta's model —
-    * [[GraftCatalog.capabilities]]): `DEFAULT <literal>` recorded as
-    * CURRENT_DEFAULT sidecar metadata; Spark's analyzer fills it into
-    * INSERTs that omit the column or write the DEFAULT keyword, and a
-    * mid-life SET DEFAULT governs future inserts only — rows written
-    * before it stay NULL (reads never rewrite history, which is why
-    * ADD COLUMN refuses an inline DEFAULT). The flow exercises all
-    * three phases: inserts under a birth default, omitted inserts
-    * before any default exists on an added column (NULL), and inserts
-    * after SET DEFAULT. */
+  /** q209: COLUMN DEFAULT VALUES (r15; completed r16 — Delta's model,
+    * [[GraftCatalog.capabilities]]): CURRENT_DEFAULT sidecar metadata
+    * is filled by Spark's analyzer into INSERTs that omit the column; a
+    * mid-life SET DEFAULT governs future inserts only (rows written
+    * before it stay NULL — reads never rewrite history); and the r16
+    * leg: `ADD COLUMN ... DEFAULT` freezes an EXISTS_DEFAULT the READER
+    * serves for rows whose lines predate the column — old rows read the
+    * frozen value with zero rewrite, exactly Delta's existence-default
+    * contract. The flow exercises all four phases: inserts under a
+    * birth default, omitted inserts on an added default-less column
+    * (NULL), inserts after SET DEFAULT, and pre-existing rows under an
+    * ADD COLUMN DEFAULT (read-time fill, oracle-checked). */
   def q209ColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q209")
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
@@ -1026,13 +1028,22 @@ object SourceQueries {
       .filter(pmod(col("o_orderkey"), lit(10)) === 3)
       .createOrReplaceTempView("q209_late")
     spark.sql(s"INSERT INTO $tbl (o_orderkey) SELECT o_orderkey FROM q209_late")
-    spark.sql(s"SELECT o_orderkey, src, region FROM $tbl ORDER BY o_orderkey")
+    // r16: existence default — every row so far was written WITHOUT
+    // `tier`, so all of them read the frozen 'std'; the next insert
+    // fills it at insert time through CURRENT_DEFAULT
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tier STRING DEFAULT 'std')")
+    orders(spark, dir).select(col("o_orderkey"))
+      .filter(pmod(col("o_orderkey"), lit(10)) === 4)
+      .createOrReplaceTempView("q209_tiered")
+    spark.sql(s"INSERT INTO $tbl (o_orderkey) SELECT o_orderkey FROM q209_tiered")
+    spark.sql(s"SELECT o_orderkey, src, region, tier FROM $tbl ORDER BY o_orderkey")
   }
 
   val q209Sql: String =
     "SELECT o_orderkey, 'birth' AS src, " +
-      "CASE WHEN o_orderkey % 10 = 3 THEN 'emea' ELSE NULL END AS region " +
-      "FROM orders WHERE o_orderkey % 10 IN (1, 2, 3) ORDER BY o_orderkey"
+      "CASE WHEN o_orderkey % 10 IN (3, 4) THEN 'emea' ELSE NULL END AS region, " +
+      "'std' AS tier " +
+      "FROM orders WHERE o_orderkey % 10 IN (1, 2, 3, 4) ORDER BY o_orderkey"
 
   /** q210: STORAGE-PARTITIONED JOIN (r15 — [[JsonDocScan.outputPartitioning]]):
     * orders and customer both land PARTITIONED BY `bucket(8, custkey)`,
@@ -1166,6 +1177,55 @@ object SourceQueries {
   val q213Sql: String =
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
 
+  /** q214: PER-FILE BLOOM SKIPPING on a point DELETE (r16 — the r15
+    * verdict's top item, [[JsonDocBlooms]]): orders lands as 16 files
+    * keyed by `o_orderkey % 16`, so every file's [min,max] spans the
+    * whole key range and the stats sidecar can prune NOTHING — the
+    * DELETE-by-id / GDPR-erasure shape. With
+    * `write.bloom.columns = 'o_orderkey'`, the point DELETE's group
+    * filter probes the per-file filters and rewrites ~1 of 16 files
+    * (in-flow require pins files-read << live-files on the survivor
+    * set AND on a planned point-SELECT), then the full read-back
+    * hash-checks against the oracle. At 100 TB this is the difference
+    * between a key probe scanning every live file and scanning the
+    * handful whose filters admit the key. */
+  def q214BloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q214")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.bloom.columns' = 'o_orderkey')")
+    val base = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    for (i <- 0 until 16)
+      base.filter(pmod(col("o_orderkey"), lit(16)) === i)
+        .coalesce(1).writeTo(tbl).append()
+    val path = s"$root/t"
+    val before = JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
+    require(before.size == 16, s"q214: expected 16 live files, got ${before.size}")
+    val minKey = base.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    // planned point-SELECT: the bloom admits the key in ~1 of 16 files
+    val probe = spark.read.format("graft-jsondoc")
+      .schema("o_orderkey BIGINT, o_totalprice DOUBLE")
+      .option("path", path).load().filter(col("o_orderkey") === minKey)
+    probe.collect()
+    val planned = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.size
+    require(planned <= 2,
+      s"q214: bloom must plan files-read << live-files (16), planned $planned")
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey = $minKey")
+    val after = JsonDocVersions.latest(path).map(_._2).getOrElse(Set.empty)
+    val untouched = before.intersect(after)
+    require(untouched.size >= 14,
+      s"q214: a point DELETE must rewrite ~1 of 16 files, kept ${untouched.size}")
+    spark.sql(s"SELECT o_orderkey, o_totalprice FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q214Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders) " +
+      "ORDER BY o_orderkey"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1225,6 +1285,7 @@ object SourceQueries {
     "q211_sql_constraints" -> q211SqlConstraints _,
     "q212_cdf_scd2" -> q212CdfScd2 _,
     "q213_autocompact" -> q213Autocompact _,
+    "q214_bloom_skip" -> q214BloomSkip _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1287,6 +1348,7 @@ object SourceQueries {
     "q212_cdf_scd2" -> q212Sql,
     // twenty appends + interleaved compactions reassemble losslessly
     "q213_autocompact" -> q213Sql,
+    "q214_bloom_skip" -> q214Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)

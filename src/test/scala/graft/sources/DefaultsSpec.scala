@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** COLUMN DEFAULT VALUES (r15, Delta's model): `DEFAULT <literal>` in
-  * CREATE TABLE and `ALTER COLUMN ... SET/DROP DEFAULT` — recorded as
-  * CURRENT_DEFAULT field metadata in the schema sidecar and filled by
-  * Spark's analyzer into INSERTs that omit the column (or write the
-  * DEFAULT keyword). Reads never apply defaults: rows written before a
-  * default existed read NULL, which is exactly why ADD COLUMN refuses
-  * an inline DEFAULT (it would promise history the reader does not
-  * serve). */
+/** COLUMN DEFAULT VALUES (r15; completed r16 — Delta's model):
+  * `DEFAULT <expr>` in CREATE TABLE / ADD COLUMN / `ALTER COLUMN ...
+  * SET/DROP DEFAULT`. CURRENT_DEFAULT (any constant deterministic
+  * expression, CURRENT_TIMESTAMP included) is filled by Spark's
+  * analyzer into INSERTs that omit the column; EXISTS_DEFAULT — frozen
+  * to a literal at DDL time — is served by the READER for rows whose
+  * lines predate an ADD COLUMN (a truly absent JSON key; explicit
+  * nulls stay null), so ADD COLUMN DEFAULT works end-to-end and the
+  * change feed emits the filled values consistently. */
 class DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -61,22 +62,64 @@ class DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!meta.contains("CURRENT_DEFAULT"), "DROP DEFAULT must clear the sidecar")
   }
 
-  test("ADD COLUMN with an inline DEFAULT refuses with guidance") {
-    val (tbl, _) = fresh()
+  test("ADD COLUMN DEFAULT: old rows read the frozen value, new inserts fill; nulls stay null") {
+    val (tbl, path) = fresh()
     spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING DEFAULT 'x')")
-    }
-    assert(e.getMessage.contains("SET DEFAULT"),
-      s"refusal must point at the honest two-step path, got: ${e.getMessage}")
+    spark.sql(s"INSERT INTO $tbl VALUES (1), (2)") // pre-add lines lack `tag`
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING DEFAULT 'legacy')")
+    spark.sql(s"INSERT INTO $tbl (k) VALUES (3)") // insert-time fill
+    spark.sql(s"INSERT INTO $tbl VALUES (4, NULL)") // explicit null is a VALUE
+    spark.sql(s"INSERT INTO $tbl VALUES (5, 'real')")
+    assert(rows(tbl) === Seq((1L, "legacy"), (2L, "legacy"), (3L, "legacy"),
+      (4L, null), (5L, "real")),
+      "pre-add rows read the frozen EXISTS_DEFAULT; explicit nulls stay null")
+    // filters see the same fill: the defaulted value matches pre-add rows
+    assert(spark.sql(s"SELECT k FROM $tbl WHERE tag = 'legacy' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl WHERE tag IS NOT NULL")
+      .collect()(0).getLong(0) === 4L)
+    // the change feed emits the filled values consistently
+    val feed = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("path", path).load()
+    val feedTags = feed.filter(org.apache.spark.sql.functions.col("k") <= 2)
+      .select("tag").collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(feedTags.toSeq === Seq("legacy", "legacy"),
+      "the feed serves pre-add rows with the frozen default, like any read")
+    // a LATER SET DEFAULT never rewrites history: the frozen exists-
+    // default stays what the ADD COLUMN promised
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN tag SET DEFAULT 'newer'")
+    spark.sql(s"INSERT INTO $tbl (k) VALUES (6)")
+    assert(rows(tbl).take(3).map(_._2) === Seq("legacy", "legacy", "legacy"))
+    assert(rows(tbl).last === (6L, "newer"))
   }
 
-  test("a non-literal default is refused — insert values must not depend on analysis time") {
+  test("expression defaults: CURRENT_TIMESTAMP shapes evaluate at insert; rand() refuses") {
     val (tbl, _) = fresh()
-    spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING) USING `graft-jsondoc`")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, ts_ms BIGINT, tag STRING) " +
+      "USING `graft-jsondoc`")
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $tbl ALTER COLUMN tag SET DEFAULT CAST(rand() AS STRING)")
     }
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ts_ms " +
+      "SET DEFAULT unix_millis(CURRENT_TIMESTAMP())")
+    val before = System.currentTimeMillis() - 60000
+    spark.sql(s"INSERT INTO $tbl (k) VALUES (1)")
+    val got = spark.sql(s"SELECT ts_ms FROM $tbl").collect()(0).getLong(0)
+    assert(got >= before && got <= System.currentTimeMillis() + 60000,
+      s"CURRENT_TIMESTAMP default must evaluate at insert time, got $got")
+    // a constant arithmetic expression works too
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN ts_ms SET DEFAULT 40 + 2")
+    spark.sql(s"INSERT INTO $tbl (k) VALUES (2)")
+    assert(spark.sql(s"SELECT ts_ms FROM $tbl WHERE k = 2")
+      .collect()(0).getLong(0) === 42L)
+    // a column reference can never be a default — Spark's analyzer
+    // refuses it before the catalog; the catalog's own constant check
+    // backstops non-SQL callers
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN tag SET DEFAULT concat(tag, 'x')")
+    }
+    assert(e.getMessage.contains("INVALID_DEFAULT_VALUE") ||
+      e.getMessage.contains("constant"))
   }
 
   test("defaults survive into merge-on-read DML inserts") {
