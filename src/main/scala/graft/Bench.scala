@@ -205,6 +205,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the session extension surface (optimizer rule, SQL functions,
+      // r16 view DDL) is part of the product — bench what users run
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // dev loop: SPARK_GRAFT_REPLAYABLE=false times the xxhash64

@@ -16,6 +16,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the extension surface (optimizer rule, SQL functions, r16 view
+      // DDL) is part of the product — verify what users run
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // INT64 micros so DuckDB reads back the exact instants we computed

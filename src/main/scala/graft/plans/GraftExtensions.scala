@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    // SQL views over graft catalogs (r16, [[GraftViews]]): DDL rewrites
+    // at the parser (stock Spark hard-refuses V2 view DDL before any
+    // injected rule could run — the Iceberg approach), reads expand
+    // through a resolution rule
+    ext.injectParser((session, delegate) => new GraftViewSqlParser(session, delegate))
+    ext.injectResolutionRule(session => new ResolveGraftViews(session))
     ext.injectFunction(graft.functions.VectorFunctions.dotInfo)
     ext.injectFunction(graft.functions.HilbertFunctions.info)
     ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)

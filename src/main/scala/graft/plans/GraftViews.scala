@@ -1,0 +1,217 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.sources.GraftCatalog
+
+/** SQL VIEWS over the graft catalog (r16 — the named-identifier layer's
+  * second half). Spark 4.1 ships the [[org.apache.spark.sql.connector
+  * .catalog.ViewCatalog]] SPI but its analyzer implements NO V2 view
+  * DDL: `ResolveSessionCatalog` hard-refuses CREATE/DROP/SHOW VIEW on
+  * any non-session catalog (`missingCatalogViewsAbilityError`), and it
+  * runs BEFORE injected resolution rules inside the same fixed-point
+  * iteration — so, exactly like Iceberg's view support, the DDL is
+  * intercepted at the PARSER (`injectParser`: delegate-parse, then
+  * rewrite view commands addressed at a graft catalog into the runnable
+  * commands below), while view READS expand through an injected
+  * RESOLUTION rule (`ResolveRelations` leaves an unresolvable relation
+  * untouched rather than failing the iteration, so a later rule in the
+  * batch may substitute it).
+  *
+  * Semantics: standard non-materialized SQL views. The stored query
+  * text re-analyzes at every reference; unqualified table names inside
+  * the view body resolve under the catalog/namespace that was CURRENT
+  * at creation (persisted in the view file — the SQL-standard context
+  * pin); nested views expand recursively through the same fixed-point
+  * rule; a cyclic chain fails the analyzer's max-iterations guard
+  * loudly rather than looping. */
+object GraftViews {
+
+  /** Is `parts` a fully-qualified (catalog.ns....name) identifier whose
+    * head names a registered [[GraftCatalog]]? Bare and 2-part names
+    * are left to the session catalog / temp-view machinery — rewriting
+    * them on "current catalog is graft" would shadow temp views. */
+  def graftCatalogOf(session: SparkSession, parts: Seq[String]): Option[GraftCatalog] =
+    if (parts.length < 3) None
+    else try session.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  def identOf(parts: Seq[String]): Identifier =
+    Identifier.of(parts.slice(1, parts.length - 1).toArray, parts.last)
+
+  /** The parser-time rewrite: view DDL addressed at a graft catalog
+    * becomes our runnable commands; everything else passes through
+    * untouched (byte-identical plans — the rewrite only ever fires on
+    * identifiers that would otherwise be hard errors). */
+  def rewriteViewCommands(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case c: CreateView => c.child match {
+        case UnresolvedIdentifier(parts, _) =>
+          graftCatalogOf(session, parts).map { cat =>
+            CreateGraftViewCommand(cat, parts, c.userSpecifiedColumns.map(_._1),
+              c.originalText, c.query, c.allowExisting, c.replace,
+              c.properties): LogicalPlan
+          }.getOrElse(plan)
+        case _ => plan
+      }
+      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+        graftCatalogOf(session, parts).map(cat =>
+          DropGraftViewCommand(cat, parts, ifExists): LogicalPlan).getOrElse(d)
+      case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+          if parts.length >= 2 =>
+        (try session.sessionState.catalogManager.catalog(parts.head) match {
+          case g: GraftCatalog => Some(g)
+          case _ => None
+        } catch { case _: Exception => None }).map(cat =>
+          ShowGraftViewsCommand(cat, parts.tail, pattern, output): LogicalPlan)
+          .getOrElse(s)
+      case other => other
+    }
+}
+
+/** Delegating parser that applies [[GraftViews.rewriteViewCommands]] to
+  * every parsed statement — the ONLY statements it changes are view DDL
+  * on graft catalogs, which stock Spark cannot execute at all. */
+class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftViews.rewriteViewCommands(session, delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** CREATE [OR REPLACE] VIEW <graftcat>.<ns...>.<name> [(cols)] AS sql.
+  * Analyzes the query NOW (a broken view body refuses at CREATE, the
+  * standard contract), persists the ORIGINAL text plus the creation
+  * session's current catalog/namespace for name resolution, the
+  * analyzed schema, and any user column aliases. */
+case class CreateGraftViewCommand(catalog: GraftCatalog, parts: Seq[String],
+    userColumns: Seq[String], originalText: Option[String], query: LogicalPlan,
+    allowExisting: Boolean, replace: Boolean, properties: Map[String, String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val ident = GraftViews.identOf(parts)
+    val sql = originalText.getOrElse(throw new IllegalArgumentException(
+      "graft catalog: CREATE VIEW needs the original query text"))
+    val analyzed = session.sessionState.executePlan(query).analyzed
+    val names = analyzed.schema.fieldNames
+    require(userColumns.isEmpty || userColumns.length == names.length,
+      s"graft catalog: the view column list has ${userColumns.length} names " +
+        s"but the query produces ${names.length} columns")
+    val schema =
+      if (userColumns.isEmpty) analyzed.schema
+      else StructType(analyzed.schema.fields.zip(userColumns).map {
+        case (f, n) => StructField(n, f.dataType, f.nullable, f.metadata)
+      })
+    if (catalog.viewExists(ident)) {
+      if (replace) catalog.dropView(ident)
+      else if (allowExisting) return Seq.empty
+      else throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    }
+    val cm = session.sessionState.catalogManager
+    catalog.createView(new ViewInfo(ident, sql,
+      cm.currentCatalog.name(), cm.currentNamespace,
+      schema, names, userColumns.toArray, Array.empty, {
+        val m = new java.util.HashMap[String, String]()
+        properties.foreach { case (k, v) => m.put(k, v) }
+        m
+      }))
+    Seq.empty
+  }
+}
+
+case class DropGraftViewCommand(catalog: GraftCatalog, parts: Seq[String],
+    ifExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val ident = GraftViews.identOf(parts)
+    if (!catalog.dropView(ident) && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+/** SHOW VIEWS IN <graftcat>.<ns> [LIKE pattern] — output shape matches
+  * the built-in command (namespace, viewName, isTemporary). */
+case class ShowGraftViewsCommand(catalog: GraftCatalog, namespace: Seq[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val names = catalog.listViews(namespace: _*).map(_.name()).toSeq
+    val kept = pattern.map(p =>
+      org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(names, p))
+      .getOrElse(names)
+    kept.map(n => org.apache.spark.sql.Row(namespace.mkString("."), n, false))
+  }
+}
+
+/** The READ side: an [[UnresolvedRelation]] whose identifier names a
+  * stored graft view expands into its parsed query — CTE-substituted
+  * (the analyzer's own Substitution batch already ran for the OUTER
+  * plan), with unqualified inner names pinned to the view's creation
+  * context, user column aliases applied, and the whole body wrapped in
+  * a [[SubqueryAlias]] carrying the view's identifier. Runs in the
+  * fixed-point Resolution batch, so views over views expand one layer
+  * per iteration. */
+class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
+  // resolveOperatorsUp skips already-analyzed subtrees; subquery
+  // expressions re-enter through the analyzer's own ResolveSubquery,
+  // which runs the full rule set (this rule included) on the sub-plan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier
+        GraftViews.graftCatalogOf(session, parts) match {
+          case Some(cat) if cat.viewExists(GraftViews.identOf(parts)) =>
+            expand(cat, parts)
+          case _ => u
+        }
+    }
+
+  private def expand(cat: GraftCatalog, parts: Seq[String]): LogicalPlan = {
+    val view = cat.loadView(GraftViews.identOf(parts))
+    var body = session.sessionState.sqlParser.parsePlan(view.query)
+    // the outer plan's Substitution batch already ran — WITH clauses
+    // inside the view body must be substituted here
+    body = org.apache.spark.sql.catalyst.analysis.CTESubstitution.apply(body)
+    val defCat = view.currentCatalog
+    val defNs = view.currentNamespace.toSeq
+    body = body.transformUpWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier = (defCat +: defNs) :+ r.multipartIdentifier.head)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
+        r.copy(multipartIdentifier = defCat +: r.multipartIdentifier)
+    }
+    val aliased =
+      if (view.columnAliases == null || view.columnAliases.isEmpty) body
+      else UnresolvedSubqueryColumnAliases(view.columnAliases.toSeq, body)
+    SubqueryAlias(parts, aliased)
+  }
+}

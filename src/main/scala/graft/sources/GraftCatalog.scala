@@ -26,6 +26,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * first root ever used — path-as-identifier keeps the catalog
   * stateless and every table addressable without reconfiguration.
   *
+  * NAMED IDENTIFIERS (r16): alongside the path form, the catalog is a
+  * full [[SupportsNamespaces]] + [[ViewCatalog]] over a WAREHOUSE root —
+  * `graftcat.db.t` resolves to `<warehouse>/db/t`, namespaces are
+  * directories, views are analyzer-expanded SQL persisted in
+  * `<name>.view.json` files. The warehouse is read from the session
+  * conf `spark.sql.catalog.<name>.warehouse` AT EACH RESOLUTION (not
+  * frozen at initialize — the same statelessness rationale as
+  * path-addressing: Spark caches catalog instances per session, so an
+  * initialize-time root could never be re-pointed). Path identifiers
+  * keep working unchanged; the two forms address the same engine.
+  *
   * Schema durability: `CREATE TABLE` writes the declared schema to a
   * `_table_schema.json` sidecar (underscore-prefixed — every data
   * listing already skips it); `loadTable` prefers the sidecar and falls
@@ -33,12 +44,49 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writer path, so both flavors of table resolve. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
+  private var initWarehouse: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    initWarehouse = Option(options.get("warehouse")).map(_.trim).filter(_.nonEmpty)
+  }
   override def name(): String = catalogName
+
+  /** The live warehouse root: the session conf, re-read per resolution
+    * so one cached catalog instance can serve re-pointed (or unset)
+    * roots — tests and multi-root sessions. The initialize-time option
+    * only serves SESSIONLESS (bare library) use; with a live session
+    * the conf is authoritative, including its absence. */
+  private def warehouse: Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => s.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+        .map(_.trim).filter(_.nonEmpty)
+      case None => initWarehouse
+    }
+
+  private def warehouseOrFail: java.io.File = new java.io.File(
+    warehouse.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: named identifiers need a warehouse root — SET " +
+        s"spark.sql.catalog.$catalogName.warehouse = '/path'; " +
+        "path-addressed identifiers (graftcat.`/dir`) need none")))
+
+  /** One path segment of a namespace/table/view name: no separators, no
+    * traversal, no collision with the engine's underscore sidecars. */
+  private def validSegment(s: String, what: String): String = {
+    require(s.nonEmpty && !s.contains('/') && !s.contains('\\') &&
+      s != "." && s != ".." && !s.startsWith("_") && !s.startsWith("."),
+      s"graft catalog: invalid $what segment '$s' (no path separators, " +
+        "no traversal, must not start with '_' or '.')")
+    s
+  }
+
+  private def namespaceDir(namespace: Array[String]): java.io.File =
+    namespace.foldLeft(warehouseOrFail)((d, part) =>
+      new java.io.File(d, validSegment(part, "namespace")))
 
   /** FunctionCatalog (r14): Spark resolves a transform-partitioned
     * table's clustered-write distribution (`days(col)`, `bucket(n,
@@ -105,25 +153,43 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
       Identifier.of(Array.empty, "recover_txn2"))
 
-  private def dirOf(ident: Identifier): java.io.File = {
-    require(ident.namespace().isEmpty,
-      s"graft catalog is path-addressed (no namespaces): ${ident.toString}")
-    new java.io.File(ident.name())
-  }
+  /** Identifier -> directory. Empty namespace = the original
+    * path-addressed form (the name IS the directory path, unchanged
+    * since r12); a non-empty namespace resolves through the warehouse
+    * root (r16) — `graftcat.db.t` is `<warehouse>/db/t`. */
+  private def dirOf(ident: Identifier): java.io.File =
+    if (ident.namespace().isEmpty) new java.io.File(ident.name())
+    else new java.io.File(namespaceDir(ident.namespace()),
+      validSegment(ident.name(), "table"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // path-addressed: there is no enumerable namespace
+    if (namespace.isEmpty) Array.empty // path-addressed: not enumerable
+    else {
+      val d = namespaceDir(namespace)
+      if (!d.isDirectory)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          namespace)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && GraftCatalog.schemaFile(f).isFile)
+        .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
+    }
 
-  override def tableExists(ident: Identifier): Boolean = dirOf(ident).isDirectory
+  override def tableExists(ident: Identifier): Boolean = {
+    // named idents without a warehouse resolve to "no such table", not
+    // an error — Spark probes tableExists while resolving views too
+    if (ident.namespace().nonEmpty && warehouse.isEmpty) return false
+    dirOf(ident).isDirectory
+  }
 
-  /** Resolve `path#<suffix>` metadata-table identifiers: returns the
-    * table directory when `ident` names a metadata view, None when it
-    * is a plain data-table identifier. One resolution for every
-    * metadata table and every loadTable overload — keep the
-    * suffix/namespace/existence rules in exactly one place. */
+  /** Resolve `path#<suffix>` / `ns.`t#<suffix>`` metadata-table
+    * identifiers: returns the table directory when `ident` names a
+    * metadata view, None when it is a plain data-table identifier. One
+    * resolution for every metadata table and every loadTable overload —
+    * keep the suffix/existence rules in exactly one place. */
   private def metaDirOf(ident: Identifier, suffix: String): Option[java.io.File] =
-    if (ident.namespace().isEmpty && ident.name().endsWith(suffix)) {
-      val dir = new java.io.File(ident.name().stripSuffix(suffix))
+    if (ident.name().endsWith(suffix)) {
+      val dir = dirOf(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(suffix)))
       if (!dir.isDirectory) throw new NoSuchTableException(ident)
       Some(dir)
     } else None
@@ -317,6 +383,15 @@ class GraftCatalog extends TableCatalog
     require(bad.isEmpty,
       "graft-jsondoc supports long/int/double/boolean/string fields only; unsupported: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    // a NAMED create (r16) needs its namespace created first (standard
+    // catalog contract) and must not shadow a view of the same name
+    if (ident.namespace().nonEmpty) {
+      if (!namespaceDir(ident.namespace()).isDirectory)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          ident.namespace())
+      require(!viewFileOf(ident).isFile,
+        s"graft catalog: a view named ${ident.name()} already exists")
+    }
     val dir = dirOf(ident)
     if (GraftCatalog.schemaFile(dir).exists()) throw new TableAlreadyExistsException(ident)
     if (!dir.isDirectory && !dir.mkdirs())
@@ -586,9 +661,231 @@ class GraftCatalog extends TableCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: RENAME TABLE is not supported")
+
+  // ------------------------------------------------------------------
+  // NAMESPACES (r16): directories under the warehouse root. A namespace
+  // is just a directory — CREATE mkdirs it, DROP requires it empty of
+  // tables/views unless CASCADE, and nesting works by path composition.
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val wh = warehouseOrFail
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => Array(f.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = namespaceDir(namespace)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      // a TABLE directory is not a namespace — don't enumerate it as one
+      .filter(f => f.isDirectory && !GraftCatalog.schemaFile(f).isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        !f.getName.contains('='))
+      .map(f => namespace :+ f.getName).sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && warehouse.isDefined && namespaceDir(namespace).isDirectory
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val d = namespaceDir(namespace)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      d.getAbsolutePath)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val d = namespaceDir(namespace)
+    if (d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        namespace)
+    if (!d.mkdirs())
+      throw new java.io.IOException(s"graft catalog: cannot create namespace directory $d")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported (namespaces are plain directories)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = namespaceDir(namespace)
+    if (!d.isDirectory) return false
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    if (!cascade && entries.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace, "the namespace is not empty", None)
+    // CASCADE: drop tables/views through their own (fail-loud) paths
+    entries.foreach { e =>
+      if (e.isDirectory && GraftCatalog.schemaFile(e).isFile)
+        dropTable(Identifier.of(namespace, e.getName))
+      else if (e.isFile && e.getName.endsWith(GraftCatalog.ViewFileSuffix)) {
+        if (!e.delete()) throw new java.io.IOException(
+          s"graft catalog: DROP NAMESPACE failed to delete view $e")
+      } else if (e.isDirectory)
+        dropNamespace(namespace :+ e.getName, cascade = true)
+      else if (!e.delete()) throw new java.io.IOException(
+        s"graft catalog: DROP NAMESPACE failed to delete $e")
+    }
+    if (!d.delete())
+      throw new java.io.IOException(s"graft catalog: DROP NAMESPACE failed to delete $d")
+    true
+  }
+
+  // ------------------------------------------------------------------
+  // VIEWS (r16, [[ViewCatalog]]): analyzer-expanded SQL persisted as a
+  // `<name>.view.json` FILE in the namespace directory — a file, not a
+  // directory, so a view can never be mistaken for a table by
+  // tableExists/loadTable, and the two creation paths cross-refuse.
+  // Spark re-analyzes `query()` under the stored catalog/namespace
+  // context at every reference, so a view sees the LIVE table — the
+  // standard (non-materialized) SQL view contract.
+
+  private def viewFileOf(ident: Identifier): java.io.File =
+    new java.io.File(namespaceDir(ident.namespace()),
+      validSegment(ident.name(), "view") + GraftCatalog.ViewFileSuffix)
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().nonEmpty && warehouse.isDefined && viewFileOf(ident).isFile
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val d = namespaceDir(ns)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(GraftCatalog.ViewFileSuffix))
+      .map(f => Identifier.of(ns,
+        f.getName.stripSuffix(GraftCatalog.ViewFileSuffix))).sortBy(_.name())
+  }
+
+  override def loadView(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.View = {
+    if (ident.namespace().isEmpty || warehouse.isEmpty || !viewFileOf(ident).isFile)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftCatalog.readView(viewFileOf(ident), ident)
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(ident.namespace().nonEmpty,
+      s"graft catalog: views need a namespace (got ${ident.toString}) — " +
+        "CREATE NAMESPACE first, then CREATE VIEW <catalog>.<ns>.<name>")
+    if (!namespaceDir(ident.namespace()).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        ident.namespace())
+    require(!dirOf(ident).isDirectory,
+      s"graft catalog: a table named ${ident.name()} already exists")
+    val f = viewFileOf(ident)
+    if (f.isFile)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    GraftCatalog.writeView(f, info)
+    GraftCatalog.readView(f, ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*):
+      org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER VIEW is not supported — DROP and re-CREATE")
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (ident.namespace().isEmpty || warehouse.isEmpty) return false
+    val f = viewFileOf(ident)
+    f.isFile && {
+      if (!f.delete())
+        throw new java.io.IOException(s"graft catalog: DROP VIEW failed to delete $f")
+      true
+    }
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = viewFileOf(oldIdent)
+    if (!src.isFile)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    val dst = viewFileOf(newIdent)
+    if (dst.isFile)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    if (!namespaceDir(newIdent.namespace()).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        newIdent.namespace())
+    if (!src.renameTo(dst))
+      throw new java.io.IOException(
+        s"graft catalog: RENAME VIEW failed: $src -> $dst")
+  }
 }
 
 object GraftCatalog {
+  val ViewFileSuffix = ".view.json"
+
+  /** Persist a view definition (r16): everything [[ViewCatalog]] needs
+    * to re-analyze the stored SQL under its original resolution context
+    * — the query text, the catalog/namespace it was created under
+    * (unqualified names in the SQL re-resolve there, the standard view
+    * contract), the analyzed schema, and the column metadata. Atomic
+    * tmp+rename like every sidecar. */
+  private[sources] def writeView(f: java.io.File,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("sql", info.sql())
+    root.put("currentCatalog", info.currentCatalog())
+    val ns = root.putArray("currentNamespace")
+    info.currentNamespace().foreach(ns.add)
+    root.put("schema", info.schema().json)
+    val qc = root.putArray("queryColumnNames")
+    Option(info.queryColumnNames()).getOrElse(Array.empty).foreach(qc.add)
+    val ca = root.putArray("columnAliases")
+    Option(info.columnAliases()).getOrElse(Array.empty).foreach(ca.add)
+    val cc = root.putArray("columnComments")
+    Option(info.columnComments()).getOrElse(Array.empty).foreach(c =>
+      cc.add(Option(c).getOrElse("")))
+    val props = root.putObject("properties")
+    Option(info.properties()).foreach(_.asScala.foreach { case (k, v) =>
+      props.put(k, v); () })
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (f.exists()) f.delete()
+    if (!tmp.renameTo(f))
+      throw new java.io.IOException(s"graft catalog: view write failed for $f")
+  }
+
+  private[sources] def readView(f: java.io.File, ident: Identifier):
+      org.apache.spark.sql.connector.catalog.View = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(f.toPath,
+        java.nio.charset.StandardCharsets.UTF_8))
+    def arr(key: String): Array[String] =
+      Option(root.get(key)).map(_.elements().asScala.map(_.asText()).toArray)
+        .getOrElse(Array.empty)
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = ident.toString
+      override def query(): String = root.get("sql").asText()
+      override def currentCatalog(): String = root.get("currentCatalog").asText()
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType =
+        DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): util.Map[String, String] =
+        Option(root.get("properties")).map { p =>
+          val m = new java.util.HashMap[String, String]()
+          p.fields().asScala.foreach(e => m.put(e.getKey, e.getValue.asText()))
+          m
+        }.getOrElse(new java.util.HashMap[String, String]())
+    }
+  }
+
   /** DEFAULT validation + DDL-time freezing (r16): a DEFAULT must be a
     * CONSTANT expression (no column references; the ANSI niladic
     * CURRENT_TIMESTAMP/CURRENT_DATE/CURRENT_USER names pass — the

@@ -1226,6 +1226,55 @@ object SourceQueries {
       "WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders) " +
       "ORDER BY o_orderkey"
 
+  /** q215: NAMED-IDENTIFIER CATALOG + SQL VIEWS (r16 — the addressing
+    * layer every SQL user expects, [[GraftCatalog]] as
+    * SupportsNamespaces/ViewCatalog + [[graft.plans.GraftViews]]):
+    * CREATE NAMESPACE, a NAMED table `graftcat.db.orders_t` carrying
+    * the same DDL/DML the path rows run (insert, MOR DELETE + UPDATE),
+    * then a VIEW over it — analyzer-expanded SQL persisted in the
+    * warehouse, re-analyzed per reference so the post-DML base shows
+    * through. The oracle recomputes the whole flow relationally:
+    * hash-green proves named addressing and view expansion change
+    * nothing about the engine's answers. Requires the GraftExtensions
+    * session (stock Spark refuses V2 view DDL; the parser rewrite +
+    * resolution rule are the product's installation story:
+    * spark.sql.extensions=graft.plans.GraftExtensions). */
+  def q215NamedCatalogView(spark: SparkSession, dir: String): DataFrame = {
+    val wh = graft.RunTag.scratchFresh("q215")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val tbl = "graftcat.db.orders_t"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q215_src")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM q215_src")
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 7")
+      spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice * 2.0 " +
+        "WHERE o_orderkey % 10 = 3")
+      // revenue in integer cents: exact and fold-order-independent (the
+      // oracle sums in a different order; double addition would drift ulps)
+      spark.sql("CREATE OR REPLACE VIEW graftcat.db.cust_rev (o_custkey, n_orders, revenue) " +
+        s"AS SELECT o_custkey, count(*), " +
+        s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM $tbl " +
+        "GROUP BY o_custkey")
+      spark.sql(
+        """SELECT o_custkey, n_orders, revenue FROM graftcat.db.cust_rev
+          |WHERE n_orders >= 2 ORDER BY o_custkey""".stripMargin)
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q215Sql: String =
+    "WITH t AS (SELECT o_custkey, " +
+      "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2.0 ELSE o_totalprice END " +
+      "AS o_totalprice FROM orders WHERE o_orderkey % 10 <> 7) " +
+      "SELECT o_custkey, count(*) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue " +
+      "FROM t GROUP BY o_custkey HAVING count(*) >= 2 ORDER BY o_custkey"
+
   /** q206: CHANGE-FEED REPLAY — the feed of the q200 upsert-stream table
     * folded back into table state with one window: per key, the latest
     * commit's action wins (insert ranks above delete within a commit —
@@ -1286,6 +1335,7 @@ object SourceQueries {
     "q212_cdf_scd2" -> q212CdfScd2 _,
     "q213_autocompact" -> q213Autocompact _,
     "q214_bloom_skip" -> q214BloomSkip _,
+    "q215_named_catalog_view" -> q215NamedCatalogView _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1349,6 +1399,7 @@ object SourceQueries {
     // twenty appends + interleaved compactions reassemble losslessly
     "q213_autocompact" -> q213Sql,
     "q214_bloom_skip" -> q214Sql,
+    "q215_named_catalog_view" -> q215Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)
