@@ -93,8 +93,10 @@ object GeoContainsHelper {
     inside
   }
 
-  private def polygonContains(rings: JsonNode, x: Double, y: Double): Boolean = {
-    // even-odd across all rings: outer ring in, holes flip back out
+  /** Even-odd across all rings: outer ring in, holes flip back out.
+    * Package-visible — [[GeoIntersectsHelper]] reuses it for its
+    * containment legs. */
+  private[functions] def polygonContains(rings: JsonNode, x: Double, y: Double): Boolean = {
     var inside = false
     var i = 0
     while (i < rings.size()) {
@@ -129,6 +131,185 @@ object GeoContainsHelper {
       geometryContains(mapper.readTree(json.toString), x, y))
     catch { case _: Exception => null }
   }
+}
+
+/** Shared evaluator for [[GeoIntersects]]: exact planar intersection
+  * test between two GeoJSON geometries (r16 — the polygon-polygon
+  * refine the r15 verdict asked for on top of the q202 grid join). OGC
+  * `ST_Intersects` semantics: true when the geometries share ANY point,
+  * boundaries included. Decomposition: two geometries intersect iff
+  *   (a) some boundary segment of one crosses/touches a segment of the
+  *       other (orientation test + collinear on-segment handling), or
+  *   (b) with no edge contact, one lies fully inside the other — tested
+  *       by one REPRESENTATIVE VERTEX per ring/line (if no edges cross,
+  *       every vertex of a component is on the same side), or
+  *   (c) a Point member sits in/on the other geometry.
+  * Cost is O(|segs(a)| x |segs(b)|) per pair — the refine step on grid
+  * candidates, never the join itself. Note the boundary convention is
+  * INCLUSIVE here (standard ST_Intersects), while `geo_contains` keeps
+  * PNPOLY's half-open edges — intersects(A, point B) can be true where
+  * contains(A, B) is false on an exact boundary, matching the
+  * OGC contains/intersects asymmetry. */
+object GeoIntersectsHelper {
+  private val mapper = new ObjectMapper()
+
+  /** One geometry flattened: polygon ring-sets (for containment), all
+    * boundary segments (rings + linestrings), and bare points. */
+  private final class Geom {
+    val polys = scala.collection.mutable.ArrayBuffer.empty[JsonNode] // rings arrays
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // one representative vertex per ring/line component (containment probe)
+    val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+  }
+
+  private def xy(n: JsonNode): Option[(Double, Double)] =
+    if (n != null && n.isArray && n.size() >= 2 &&
+      n.get(0).isNumber && n.get(1).isNumber)
+      Some((n.get(0).asDouble(), n.get(1).asDouble()))
+    else None
+
+  private def addPath(g: Geom, path: JsonNode, closed: Boolean): Unit = {
+    if (path == null || !path.isArray) return
+    var first = true
+    var i = 0
+    while (i < path.size() - 1) {
+      (xy(path.get(i)), xy(path.get(i + 1))) match {
+        case (Some((ax, ay)), Some((bx, by))) =>
+          g.segs += ((ax, ay, bx, by))
+          if (first) { g.reps += ((ax, ay)); first = false }
+        case _ => ()
+      }
+      i += 1
+    }
+    if (first) xy(path.get(0)).foreach(g.reps += _) // degenerate 1-point path
+  }
+
+  private def collect(g: Geom, node: JsonNode): Unit = {
+    if (node == null || !node.isObject) return
+    val t = Option(node.get("type")).map(_.asText()).getOrElse("")
+    val c = node.get("coordinates")
+    t match {
+      case "Point" => xy(c).foreach(g.pts += _)
+      case "MultiPoint" if c != null && c.isArray =>
+        (0 until c.size()).foreach(i => xy(c.get(i)).foreach(g.pts += _))
+      case "LineString" => addPath(g, c, closed = false)
+      case "MultiLineString" if c != null && c.isArray =>
+        (0 until c.size()).foreach(i => addPath(g, c.get(i), closed = false))
+      case "Polygon" if c != null && c.isArray =>
+        g.polys += c
+        (0 until c.size()).foreach(i => addPath(g, c.get(i), closed = true))
+      case "MultiPolygon" if c != null && c.isArray =>
+        (0 until c.size()).foreach { i =>
+          val rings = c.get(i)
+          if (rings != null && rings.isArray) {
+            g.polys += rings
+            (0 until rings.size()).foreach(j => addPath(g, rings.get(j), closed = true))
+          }
+        }
+      case "GeometryCollection" =>
+        val gs = node.get("geometries")
+        if (gs != null && gs.isArray)
+          (0 until gs.size()).foreach(i => collect(g, gs.get(i)))
+      case _ => ()
+    }
+  }
+
+  private def sgn(px: Double, py: Double, qx: Double, qy: Double,
+      rx: Double, ry: Double): Int =
+    math.signum((qx - px) * (ry - py) - (qy - py) * (rx - px)).toInt
+
+  private def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Boolean =
+    px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+
+  /** Closed-segment intersection (touching counts). */
+  private def segInt(a: (Double, Double, Double, Double),
+      b: (Double, Double, Double, Double)): Boolean = {
+    val (ax, ay, bx, by) = a
+    val (cx, cy, dx, dy) = b
+    val o1 = sgn(ax, ay, bx, by, cx, cy)
+    val o2 = sgn(ax, ay, bx, by, dx, dy)
+    val o3 = sgn(cx, cy, dx, dy, ax, ay)
+    val o4 = sgn(cx, cy, dx, dy, bx, by)
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+      (o2 == 0 && onSeg(ax, ay, bx, by, dx, dy)) ||
+      (o3 == 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+      (o4 == 0 && onSeg(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Is point p in/on geometry g (polygons even-odd, points equal,
+    * on-segment for lines)? Boundary-INCLUSIVE: an exact-boundary point
+    * also shows up through the segment tests of the caller, so the
+    * half-open PNPOLY convention can't lose a touching pair. */
+  private def pointTouches(p: (Double, Double), g: Geom): Boolean = {
+    val (x, y) = p
+    g.polys.exists(GeoContainsHelper.polygonContains(_, x, y)) ||
+      g.pts.exists { case (px, py) => px == x && py == y } ||
+      g.segs.exists { case (ax, ay, bx, by) =>
+        sgn(ax, ay, bx, by, x, y) == 0 && onSeg(ax, ay, bx, by, x, y) }
+  }
+
+  def eval(a: UTF8String, b: UTF8String): java.lang.Boolean = {
+    if (a == null || b == null) return null
+    try {
+      val ga = new Geom; collect(ga, mapper.readTree(a.toString))
+      val gb = new Geom; collect(gb, mapper.readTree(b.toString))
+      if (ga.segs.isEmpty && ga.pts.isEmpty) return java.lang.Boolean.FALSE
+      if (gb.segs.isEmpty && gb.pts.isEmpty) return java.lang.Boolean.FALSE
+      val hit =
+        ga.pts.exists(pointTouches(_, gb)) ||
+        gb.pts.exists(pointTouches(_, ga)) ||
+        ga.segs.exists(s1 => gb.segs.exists(segInt(s1, _))) ||
+        // no edge contact: full containment probes, one vertex per component
+        ga.reps.exists { case (x, y) =>
+          gb.polys.exists(GeoContainsHelper.polygonContains(_, x, y)) } ||
+        gb.reps.exists { case (x, y) =>
+          ga.polys.exists(GeoContainsHelper.polygonContains(_, x, y)) }
+      java.lang.Boolean.valueOf(hit)
+    } catch { case _: Exception => null }
+  }
+}
+
+/** `geo_intersects(geojson_a, geojson_b)` → BOOLEAN — exact planar
+  * intersection test (OGC ST_Intersects: shares any point, boundary
+  * inclusive) over two opaque GeoJSON strings; the polygon-polygon /
+  * line / point REFINE on top of the q202 envelope grid join. Native
+  * expression; the test runs in a static helper the generated code
+  * calls directly. */
+case class GeoIntersects(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "geo_intersects requires (STRING geojson, STRING geojson), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geo_intersects"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = GeoIntersectsHelper.eval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    if (r == null) null else r.booleanValue()
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Boolean $boxed = graft.functions.GeoIntersectsHelper.eval($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.booleanValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): GeoIntersects = copy(left = l, right = r)
 }
 
 /** `geo_contains(geometry_json, x, y)` → BOOLEAN — exact planar
@@ -228,15 +409,24 @@ object GeoFunctions {
     new ExpressionInfo(classOf[GeoContains].getName, "geo_contains"),
     (args: Seq[Expression]) => GeoContains(args(0), args(1), args(2)))
 
+  val intersectsInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("geo_intersects"),
+    new ExpressionInfo(classOf[GeoIntersects].getName, "geo_intersects"),
+    (args: Seq[Expression]) => GeoIntersects(args(0), args(1)))
+
   /** Idempotently register the geo functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("geo_envelope", envelopeInfo._3, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("geo_contains", containsInfo._3, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("geo_intersects", intersectsInfo._3, "scala_udf")
   }
 
   def envelope(g: Column): Column = call_function("geo_envelope", g)
   def contains(g: Column, x: Column, y: Column): Column =
     call_function("geo_contains", g, x, y)
+  def intersects(a: Column, b: Column): Column =
+    call_function("geo_intersects", a, b)
 }

@@ -546,6 +546,118 @@ object TimeSeries {
     "SELECT * FROM (VALUES ('3', 'p6'), ('NC-01', 'p1'), ('NC-02', 'p3'), " +
       "('NC-02', 'p5')) AS t(area_id, obs_id) ORDER BY area_id, obs_id"
 
+  /** q216: POLYGON-POLYGON SPATIAL JOIN (r16, verdict item 4 — the
+    * refine beyond point-in-polygon): CAIC forecast areas against a
+    * zone set of GeoJSON polygons, grid-binned envelope candidates
+    * (q202's exactly-once min-corner dedup, envelopes from the native
+    * `geo_envelope`) refined by the exact `geo_intersects` segment/
+    * containment test. The zones are built to hit every decision path:
+    * z1 crosses NC-01's hypotenuse with NO vertex inside either shape
+    * (edge-crossing leg), z2 sits fully inside NC-01 (containment
+    * without edge contact), z3 fully CONTAINS area 3 (the reverse
+    * probe), z6 touches area 3 only along a shared boundary segment
+    * (collinear-touch leg, boundary-inclusive ST_Intersects), z8
+    * crosses NC-02's second MultiPolygon part — while z4 (inside
+    * NC-01's envelope but above the hypotenuse) and z5 (between
+    * NC-02's parts) survive the ENVELOPE join and must be dropped by
+    * the refine, and z7 is nowhere. Hash-green against the
+    * hand-derived VALUES oracle proves the exact test, not the bbox,
+    * decides. Plan shape: equi hash join on the cell key — cartesian-
+    * free at any scale, the q202 contract. */
+  def q216CaicIntersects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val cell = 0.5
+    def rect(x1: Double, y1: Double, x2: Double, y2: Double): String =
+      s"""{"type":"Polygon","coordinates":[[[$x1,$y1],[$x2,$y1],[$x2,$y2],[$x1,$y2],[$x1,$y1]]]}"""
+    val zones = Seq(
+      ("z1", rect(-105.55, 39.9, -105.45, 40.3)), // crosses NC-01's hypotenuse
+      ("z2", rect(-105.35, 40.05, -105.3, 40.1)), // fully inside NC-01
+      ("z3", rect(-105.7, 37.5, -105.1, 38.1)), // fully contains area 3
+      ("z4", rect(-105.55, 40.25, -105.5, 40.35)), // NC-01 envelope decoy
+      ("z5", rect(-106.58, 39.65, -106.52, 39.75)), // between NC-02's parts
+      ("z6", rect(-105.2, 37.7, -105.1, 37.8)), // touches area 3's edge only
+      ("z7", rect(-104.5, 39.0, -104.4, 39.1)), // nowhere
+      ("z8", rect(-106.75, 39.1, -106.65, 39.5)) // crosses NC-02 part 2
+    ).toDF("zone_id", "zgeom")
+    def withEnv(df: DataFrame, geom: String): DataFrame =
+      df.withColumn("env", graft.functions.GeoFunctions.envelope(col(geom)))
+        .select(df.columns.map(col) :+ col("env.xmin") :+ col("env.ymin") :+
+          col("env.xmax") :+ col("env.ymax"): _*)
+    val areas = withEnv(graft.caic.CaicPipeline
+      .areaFeatures(spark, Seq(graft.caic.CaicFixtures.areasJson).toDF("value"))
+      .select(col("id").cast("string").as("area_id"), col("geometry")), "geometry")
+      .withColumnRenamed("xmin", "axmin").withColumnRenamed("ymin", "aymin")
+      .withColumnRenamed("xmax", "axmax").withColumnRenamed("ymax", "aymax")
+    val zonesE = withEnv(zones, "zgeom")
+      .withColumnRenamed("xmin", "bxmin").withColumnRenamed("ymin", "bymin")
+      .withColumnRenamed("xmax", "bxmax").withColumnRenamed("ymax", "bymax")
+    def gridded(df: DataFrame, xmin: String, xmax: String,
+        ymin: String, ymax: String): DataFrame =
+      df.withColumn("gx", explode(sequence(floor(col(xmin) / cell).cast("long"),
+          floor(col(xmax) / cell).cast("long"))))
+        .withColumn("gy", explode(sequence(floor(col(ymin) / cell).cast("long"),
+          floor(col(ymax) / cell).cast("long"))))
+    gridded(areas, "axmin", "axmax", "aymin", "aymax")
+      .join(gridded(zonesE, "bxmin", "bxmax", "bymin", "bymax"), Seq("gx", "gy"))
+      // envelope prefilter + exactly-once min-corner cell (q202)
+      .where(col("axmin") <= col("bxmax") && col("bxmin") <= col("axmax") &&
+        col("aymin") <= col("bymax") && col("bymin") <= col("aymax"))
+      .where(col("gx") === floor(greatest(col("axmin"), col("bxmin")) / cell).cast("long") &&
+        col("gy") === floor(greatest(col("aymin"), col("bymin")) / cell).cast("long"))
+      // the exact refine on candidates only
+      .where(graft.functions.GeoFunctions.intersects(col("geometry"), col("zgeom")))
+      .select(col("area_id"), col("zone_id"))
+      .orderBy(col("area_id"), col("zone_id"))
+  }
+
+  /** Hand-derived (see q216's scaladoc for the per-zone geometry
+    * argument). */
+  val q216Sql: String =
+    "SELECT * FROM (VALUES ('3', 'z3'), ('3', 'z6'), ('NC-01', 'z1'), " +
+      "('NC-01', 'z2'), ('NC-02', 'z8')) AS t(area_id, zone_id) " +
+      "ORDER BY area_id, zone_id"
+
+  /** q217: BOUNDED DISTANCE (RADIUS) JOIN on the q202 grid (r16,
+    * verdict item 4's second half): two derived integer point sets —
+    * all pairs within Euclidean distance r — via cells of width r: the
+    * probe side binds to its ONE cell, the build side explodes to its
+    * 3x3 neighborhood (any pair within r is in adjacent cells by the
+    * triangle inequality), the join is an equi hash join on the cell
+    * key (each pair meets exactly once — the probe's cell is unique),
+    * and the exact squared-distance predicate refines in INTEGER math
+    * (bit-exact vs the oracle's theta join). Scale shape: shuffle on
+    * the cell key, cost O(points x 9 + true pairs), never |P| x |Q|;
+    * skew dilutes by shrinking the cell (the q202 rule). */
+  def q217RadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = 8L
+    val p = customer(spark, dir).select(col("c_custkey").as("p_id"),
+      pmod(col("c_custkey") * 13L, lit(1000L)).as("px"),
+      pmod(col("c_custkey") * 41L, lit(1000L)).as("py"))
+    val q = supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+      pmod(col("s_suppkey") * 23L, lit(1000L)).as("qx"),
+      pmod(col("s_suppkey") * 53L, lit(1000L)).as("qy"))
+    val pG = p.withColumn("gx", expr(s"px div $r")).withColumn("gy", expr(s"py div $r"))
+    val qG = q
+      .withColumn("gx", explode(sequence(expr(s"qx div $r - 1"), expr(s"qx div $r + 1"))))
+      .withColumn("gy", explode(sequence(expr(s"qy div $r - 1"), expr(s"qy div $r + 1"))))
+    pG.join(qG, Seq("gx", "gy"))
+      .withColumn("dist2", (col("px") - col("qx")) * (col("px") - col("qx")) +
+        (col("py") - col("qy")) * (col("py") - col("qy")))
+      .where(col("dist2") <= lit(r * r))
+      .select(col("p_id"), col("q_id"), col("dist2"))
+      .orderBy(col("p_id"), col("q_id"))
+  }
+
+  val q217Sql: String =
+    "SELECT c_custkey AS p_id, s_suppkey AS q_id, " +
+      "CAST(((c_custkey*13)%1000 - (s_suppkey*23)%1000) * ((c_custkey*13)%1000 - (s_suppkey*23)%1000) + " +
+      "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) AS BIGINT) AS dist2 " +
+      "FROM customer, supplier " +
+      "WHERE ((c_custkey*13)%1000 - (s_suppkey*23)%1000) * ((c_custkey*13)%1000 - (s_suppkey*23)%1000) + " +
+      "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) <= 64 " +
+      "ORDER BY p_id, q_id"
+
   /** q201: q24 on VARIANT (r15, verdict item 5 — Spark 4's native
     * open-schema type, SURVEY §1.2's named target for the reference's
     * `Type.Any`/additionalProperties fields, task.ts:13-14,50): the
@@ -1345,6 +1457,8 @@ object TimeSeries {
     "q202_bbox_join" -> q202BboxJoin _,
     "q203_caic_spatial" -> q203CaicSpatial _,
     "q204_caic_contains" -> q204CaicContains _,
+    "q216_caic_intersects" -> q216CaicIntersects _,
+    "q217_radius_join" -> q217RadiusJoin _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
     "q90_retention" -> q90Retention _,
@@ -1385,6 +1499,8 @@ object TimeSeries {
     // hand-derived (the q37 golden-VALUES idiom)
     "q203_caic_spatial" -> q203Sql,
     "q204_caic_contains" -> q204Sql,
+    "q216_caic_intersects" -> q216Sql,
+    "q217_radius_join" -> q217Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
     "q90_retention" -> q90Sql,

@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)
     ext.injectFunction(graft.functions.ShingleFunctions.info)
     ext.injectFunction(graft.functions.IntersectFunctions.info)
+    ext.injectFunction(graft.functions.GeoFunctions.envelopeInfo)
+    ext.injectFunction(graft.functions.GeoFunctions.containsInfo)
+    ext.injectFunction(graft.functions.GeoFunctions.intersectsInfo)
     val (a, b, c, mod) = graft.dedup.Dedup.minhashFamily
     ext.injectFunction(graft.functions.MinhashFunctions.info(a, b, c, mod))
     ext.injectFunction(graft.functions.MinhashFunctions.textInfo(

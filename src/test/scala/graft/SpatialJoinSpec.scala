@@ -61,4 +61,39 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bbox join degenerated to a nested-loop join")
     assert(plan.contains("HashJoin"), s"expected a hash join on (gx, gy):\n$plan")
   }
+
+  test("r16: polygon-polygon (q216) and radius (q217) joins stay cartesian-free") {
+    for (df <- Seq(ops.TimeSeries.q216CaicIntersects(spark, "/root/testdata/sf0.001"),
+      ops.TimeSeries.q217RadiusJoin(spark, "/root/testdata/sf0.001"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"spatial join degenerated:\n$plan")
+      assert(plan.contains("HashJoin"), s"expected a hash join on the cell key:\n$plan")
+    }
+  }
+
+  test("r16: radius grid join equals the brute-force theta join at two SFs") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val grid = ops.TimeSeries.q217RadiusJoin(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val p = graft.Tables.customer(spark, dir).select(col("c_custkey").as("p_id"),
+        pmod(col("c_custkey") * 13L, lit(1000L)).as("px"),
+        pmod(col("c_custkey") * 41L, lit(1000L)).as("py"))
+      val q = graft.Tables.supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+        pmod(col("s_suppkey") * 23L, lit(1000L)).as("qx"),
+        pmod(col("s_suppkey") * 53L, lit(1000L)).as("qy"))
+      val ref = p.crossJoin(q)
+        .withColumn("dist2", (col("px") - col("qx")) * (col("px") - col("qx")) +
+          (col("py") - col("qy")) * (col("py") - col("qy")))
+        .where(col("dist2") <= 64L)
+        .select("p_id", "q_id", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(grid === ref,
+        s"$sf: missing=${(ref -- grid).take(3)} extra=${(grid -- ref).take(3)}")
+      assert(grid.nonEmpty, s"degenerate fixture at $sf: no pairs within the radius")
+    }
+  }
 }
