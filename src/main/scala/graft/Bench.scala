@@ -107,9 +107,35 @@ object Bench {
           dropZeros = true))
     // 1740: the driver tail is ~2000 chars and sbt's trailing
     // "[success] Total time: ..." line is ~90 — 170 chars of margin
-    // remain (was 300; the 195-row board needed the slack back)
-    gears.find(_.length <= 1740).getOrElse(
+    // remain (was 300; the 195-row board needed the slack back).
+    // STRICTLY below: the r16 218-row board landed a gear at exactly
+    // 1740, the boundary BenchFormatSpec rejects
+    gears.find(_.length < 1740).getOrElse(
       jsonLine(results, sfDir, shortKey, decimals = 1, includeQueries = false))
+  }
+
+  /** The ADJUDICATED board (r16, verdict item 5): one row per BASE query
+    * name, its value the adjudication of every sample the run took —
+    * the primary plus any `#2`/`#3` sentinel repeats. Rule (the r14/r15
+    * protocol the per-round PERF.md analyses applied by hand): one
+    * sample stands as-is; two samples take the MIN (a repeat landing
+    * back at band proves the outlier was machine noise — the min is the
+    * steady-state estimate); three or more take the MEDIAN (the r15
+    * escalation for divergent pairs, where min-of-two would be a coin
+    * flip). This is what the committed artifact's FINAL line carries,
+    * so a loaded-machine raw run can no longer ship phantom movers as
+    * the round's board (the r15 verdict's process flag). */
+  private[graft] def adjudicated(results: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    results.foreach { case (label, t) =>
+      val base = label.replaceFirst("#\\d+", "")
+      samples.updateWith(base)(v => Some(v.getOrElse(Vector.empty) :+ t))
+    }
+    samples.toSeq.map {
+      case (n, Vector(one)) => n -> one
+      case (n, Vector(a, b)) => n -> math.min(a, b)
+      case (n, many) => n -> many.sorted.apply(many.size / 2)
+    }
   }
 
   /** Per-query seconds from ONE committed `BENCH_r*.json`. Best-effort:
@@ -326,13 +352,21 @@ object Bench {
         }
     }
     println(fullLine(results, sfDir))
-    // the machine-parsed compact line is the FINAL stdout write of the
+    // machine-parsed compact lines are the FINAL stdout writes of the
     // process: printed AFTER spark.stop() so no executor-shutdown logging
-    // can land between it and EOF, via System.out directly (Console.out
+    // can land between them and EOF, via System.out directly (Console.out
     // could be remapped by a test harness; the driver captures the real
     // process stdout). Only sbt's own "[success]" epilogue follows.
+    // ORDER (r16, verdict item 5): the RAW board (with its #2/#3
+    // sentinel samples — the adjudication evidence) first, then the
+    // ADJUDICATED board LAST, so the driver's tail-captured artifact and
+    // the next rounds' rolling baselines both read the adjudicated
+    // numbers — a loaded-machine spike can no longer ship as the round's
+    // board. The raw line may lose its head to the tail window; the
+    // adjudicated line always lands whole (same gear budget).
     spark.stop()
     System.out.println(compactLine(results, sfDir))
+    System.out.println(compactLine(adjudicated(results), sfDir))
     System.out.flush()
   }
 }

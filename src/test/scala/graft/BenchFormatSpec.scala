@@ -209,6 +209,40 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.previousBench(java.nio.file.Files.createTempDirectory("graft_nope").toString).isEmpty)
   }
 
+  test("the final line is the ADJUDICATED board: sentinels fold, phantom movers die (r16)") {
+    // primary + one repeat: MIN (a repeat back at band = the primary was
+    // machine noise); primary + #2 + #3: MEDIAN (the divergent-pair
+    // escalation); untouched rows pass through; base-name order kept
+    val raw = Seq(
+      "q01_fast" -> 0.5,
+      "q182_kcore" -> 25.0, // loaded-machine spike...
+      "q31_lsh" -> 2.0,
+      "q182#2_kcore" -> 3.9, // ...its repeat lands at band
+      "q119_pagerank" -> 8.0,
+      "q119#2_pagerank" -> 20.0, // divergent pair...
+      "q119#3_pagerank" -> 9.0) // ...median of 3 decides
+    val adj = Bench.adjudicated(raw)
+    assert(adj === Seq("q01_fast" -> 0.5, "q182_kcore" -> 3.9,
+      "q31_lsh" -> 2.0, "q119_pagerank" -> 9.0))
+    // the adjudicated line parses, carries NO sentinel keys, and its
+    // total is the adjudicated sum — the artifact the driver captures
+    val line = Bench.compactLine(adj, "/root/testdata/sf0.1")
+    assert(line.length < TailBudget)
+    val j = JsonMethods.parse(line)
+    val keys = (j \ "queries") match {
+      case JObject(kv) => kv.map(_._1)
+      case _ => Nil
+    }
+    assert(keys.nonEmpty && keys.forall(!_.contains("#")))
+    val total = (j \ "value") match {
+      case JDouble(v) => v
+      case JDecimal(v) => v.toDouble
+      case JInt(v) => v.toDouble
+      case _ => -1.0
+    }
+    assert(math.abs(total - 15.4) < 0.01)
+  }
+
   test("short keys remain unique across the real query surface") {
     val names = SparkEntry.queries.keys.toSeq
     val short = names.map(Bench.shortKey)
