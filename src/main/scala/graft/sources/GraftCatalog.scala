@@ -404,8 +404,9 @@ class GraftCatalog extends TableCatalog
     if (props.keys.exists(_.startsWith(GraftConstraints.Prefix)))
       GraftConstraints.compile(org.apache.spark.sql.SparkSession.active,
         schema, props)
-    // bloom-column declarations validate at CREATE too (r16)
+    // bloom-column and shred declarations validate at CREATE too (r16)
     props.get(JsonDocBlooms.PropCols).foreach(JsonDocBlooms.validateDecl(_, schema))
+    props.get(JsonDocShred.PropKey).foreach(JsonDocShred.validateDecl(_, schema))
     GraftCatalog.writeSchema(dir, schema, partitions = partSpecs, props = props)
     new JsonDocTable(schema, dir.getPath)
   }
@@ -520,6 +521,8 @@ class GraftCatalog extends TableCatalog
             schema, Map(set.property() -> set.value()))
         if (set.property() == JsonDocBlooms.PropCols)
           JsonDocBlooms.validateDecl(set.value(), schema)
+        if (set.property() == JsonDocShred.PropKey)
+          JsonDocShred.validateDecl(set.value(), schema)
         props += (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
         props -= rm.property()

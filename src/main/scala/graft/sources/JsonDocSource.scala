@@ -1303,6 +1303,7 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
   // delta task constructs its insert factory executor-side, where the
   // table-props sidecar is still one shared-storage read)
   private val bloomCols: Seq[String] = JsonDocBlooms.declaredCols(path, schema)
+  private val shredSpecs: Seq[JsonDocShred.Spec] = JsonDocShred.declared(path)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId in the TEMP name keeps speculative attempts from colliding;
@@ -1312,10 +1313,10 @@ private[sources] class JsonDocWriterFactory(path: String, schema: StructType,
       if (partCols.isEmpty)
         new JsonDocDataWriter(path, schema,
           s".part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-          f"part-$queryId-p$partitionId%05d.jsonl", bloomCols)
+          f"part-$queryId-p$partitionId%05d.jsonl", bloomCols, shredSpecs)
       else
         new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-          partitionId, taskId, bloomCols = bloomCols),
+          partitionId, taskId, bloomCols = bloomCols, shredSpecs = shredSpecs),
       checks)
 }
 
@@ -1331,7 +1332,8 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
     schema: StructType, partCols: Seq[GraftCatalog.PartField], queryId: String,
     partitionId: Int, taskId: Long,
     epochId: Option[Long] = None,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    bloomCols: Seq[String] = Seq.empty,
+    shredSpecs: Seq[JsonDocShred.Spec] = Seq.empty) extends DataWriter[InternalRow] {
 
   private val partIdx: Seq[(GraftCatalog.PartField, Int)] = partCols.map { p =>
     val i = schema.fieldNames.indexOf(p.field.name)
@@ -1372,10 +1374,10 @@ private[sources] class JsonDocPartitionedDataWriter(path: String,
       // queryId-unique name
       case Some(e) => new JsonDocDataWriter(path, schema,
         s"$prefix/.part-$queryId-e$e-p$partitionId-t$taskId.jsonl.tmp",
-        f"$prefix/part-e$e%05d-p$partitionId%05d.jsonl", bloomCols)
+        f"$prefix/part-e$e%05d-p$partitionId%05d.jsonl", bloomCols, shredSpecs)
       case None => new JsonDocDataWriter(path, schema,
         s"$prefix/.part-$queryId-p$partitionId-t$taskId.jsonl.tmp",
-        f"$prefix/part-$queryId-p$partitionId%05d.jsonl", bloomCols)
+        f"$prefix/part-$queryId-p$partitionId%05d.jsonl", bloomCols, shredSpecs)
     }).write(row)
   }
 
@@ -1576,6 +1578,7 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
     checks: Seq[GraftConstraints.Check] = Seq.empty)
     extends StreamingDataWriterFactory {
   private val bloomCols: Seq[String] = JsonDocBlooms.declaredCols(path, schema)
+  private val shredSpecs: Seq[JsonDocShred.Spec] = JsonDocShred.declared(path)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = GraftConstraints.wrap(
     // (epochId, partitionId) is the exactly-once key, so the FINAL name
@@ -1594,10 +1597,11 @@ private[sources] class JsonDocStreamingWriterFactory(path: String, schema: Struc
     if (partCols.isEmpty)
       new JsonDocDataWriter(path, schema,
         s".part-$queryId-e$epochId-p$partitionId-t$taskId.jsonl.tmp",
-        f"part-e$epochId%05d-p$partitionId%05d.jsonl", bloomCols)
+        f"part-e$epochId%05d-p$partitionId%05d.jsonl", bloomCols, shredSpecs)
     else
       new JsonDocPartitionedDataWriter(path, schema, partCols, queryId,
-        partitionId, taskId, epochId = Some(epochId), bloomCols = bloomCols),
+        partitionId, taskId, epochId = Some(epochId), bloomCols = bloomCols,
+        shredSpecs = shredSpecs),
     checks)
 }
 
@@ -1687,7 +1691,8 @@ private[sources] class JsonDocUpsertDataWriter(
 }
 
 private[sources] class JsonDocDataWriter(path: String, schema: StructType,
-    tmpName: String, finalName: String, bloomCols: Seq[String] = Seq.empty)
+    tmpName: String, finalName: String, bloomCols: Seq[String] = Seq.empty,
+    shredSpecs: Seq[JsonDocShred.Spec] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val dir = new java.io.File(path)
@@ -1727,10 +1732,65 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
     }
   }
 
+  // SHREDDING (r16, [[JsonDocShred]]): (target ordinal, source ordinal,
+  // field) triples bound against THIS write schema — a spec whose
+  // target or source this write doesn't carry is skipped (catalog
+  // inserts always carry the full schema)
+  private val shredIdx: Array[(Int, Int, String)] = shredSpecs.flatMap { s =>
+    val ti = schema.fieldNames.indexOf(s.target)
+    val si = schema.fieldNames.indexOf(s.src)
+    if (ti >= 0 && si >= 0 && schema.fields(si).dataType == StringType &&
+      JsonDocShred.supportedTarget(schema.fields(ti).dataType))
+      Some((ti, si, s.field))
+    else None
+  }.toArray
+
+  /** The materialized (generated-always) values of this row's shred
+    * targets — replaces whatever the incoming row carried. One parse
+    * per distinct source column per row. */
+  private def shredValues(row: InternalRow): java.util.HashMap[Integer, Any] =
+    if (shredIdx.isEmpty) null
+    else {
+      val parsed = new java.util.HashMap[Integer, JsonNode]()
+      val out = new java.util.HashMap[Integer, Any]()
+      shredIdx.foreach { case (ti, si, field) =>
+        val node =
+          if (row.isNullAt(si)) null
+          else {
+            var n = parsed.get(Integer.valueOf(si))
+            if (n == null && !parsed.containsKey(Integer.valueOf(si))) {
+              n = try mapper.readTree(row.getUTF8String(si).toString)
+                catch { case _: Exception => null }
+              parsed.put(Integer.valueOf(si), n)
+            }
+            n
+          }
+        out.put(ti, JsonDocShred.extract(node, field, schema.fields(ti).dataType))
+      }
+      out
+    }
+
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
+    val shredded = shredValues(row)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (row.isNullAt(i)) node.putNull(f.name)
+      if (shredded != null && shredded.containsKey(Integer.valueOf(i))) {
+        // generated-always: the extraction replaces the incoming value,
+        // feeding the same stats/bloom accumulators a real value would
+        shredded.get(Integer.valueOf(i)) match {
+          case null => node.putNull(f.name)
+          case l: java.lang.Long =>
+            node.put(f.name, l.longValue()); acc(i, l.longValue())
+            if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(l.longValue())
+          case d: java.lang.Double =>
+            node.put(f.name, d.doubleValue()); acc(i, d.doubleValue())
+          case s: String =>
+            node.put(f.name, s); acc(i, s)
+            if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashConst(s).get
+          case _ => node.putNull(f.name)
+        }
+      }
+      else if (row.isNullAt(i)) node.putNull(f.name)
       else f.dataType match {
         case LongType =>
           val v = row.getLong(i); node.put(f.name, v); acc(i, v)

@@ -1226,6 +1226,39 @@ object SourceQueries {
       "WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders) " +
       "ORDER BY o_orderkey"
 
+  /** q218: SHREDDED VARIANT ACCESS (r16, verdict item 7 —
+    * [[JsonDocShred]], the Spark 4 / Parquet variant-shredding
+    * direction): events' raw `props` JSON lands in a table declaring
+    * `write.shred.columns = 'k_shred=props:$.k'`, so every writer
+    * MATERIALIZES the typed subcolumn as the row lands — and q24/q201's
+    * aggregate then reads a PLAIN COLUMN: zero `parse_json` /
+    * `variant_get` / `get_json_object` anywhere in the read plan
+    * (pinned by the in-flow require), while the raw string stays beside
+    * it for fidelity. Same oracle as q24/q201 — shredding is an
+    * encoding change, never a semantics change; the parse cost moved
+    * from every read to the single write. */
+  def q218ShreddedVariant(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q218")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (event_type STRING, props STRING, " +
+      "k_shred BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.shred.columns' = 'k_shred=props:$.k')")
+    events(spark, dir).select(col("event_type"), col("props"))
+      .createOrReplaceTempView("q218_src")
+    spark.sql(s"INSERT INTO $tbl (event_type, props) SELECT * FROM q218_src")
+    val out = spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |       sum(k_shred) / count(k_shred) AS avg_k,
+         |       sum(CASE WHEN k_shred > 50 THEN 1 ELSE 0 END) AS n_high
+         |FROM $tbl GROUP BY event_type ORDER BY event_type""".stripMargin)
+    val plan = out.queryExecution.optimizedPlan.toString
+    require(!plan.contains("parse_json") && !plan.contains("variant_get") &&
+      !plan.contains("get_json_object"),
+      s"q218: the typed-access path must not parse per row:\n$plan")
+    out
+  }
+
   /** q215: NAMED-IDENTIFIER CATALOG + SQL VIEWS (r16 — the addressing
     * layer every SQL user expects, [[GraftCatalog]] as
     * SupportsNamespaces/ViewCatalog + [[graft.plans.GraftViews]]):
@@ -1336,6 +1369,7 @@ object SourceQueries {
     "q213_autocompact" -> q213Autocompact _,
     "q214_bloom_skip" -> q214BloomSkip _,
     "q215_named_catalog_view" -> q215NamedCatalogView _,
+    "q218_shredded_variant" -> q218ShreddedVariant _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1400,6 +1434,7 @@ object SourceQueries {
     "q213_autocompact" -> q213Sql,
     "q214_bloom_skip" -> q214Sql,
     "q215_named_catalog_view" -> q215Sql,
+    "q218_shredded_variant" -> graft.ops.TimeSeries.q24Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)

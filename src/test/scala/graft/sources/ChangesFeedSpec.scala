@@ -405,6 +405,54 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Seq((2L, 2L)), "history before 'latest' must never deliver")
   }
 
+  test("the feed across SCHEMA EVOLUTION: rename + widen + add + drop, replay == final state") {
+    // the r16 contract: the feed always emits the CURRENT data schema —
+    // pre-rename rows surface under the new name (name mapping),
+    // pre-widening int tokens read as the widened type, pre-add rows
+    // carry NULL (or their frozen ADD COLUMN DEFAULT), and dropped
+    // columns simply stop being emitted (bytes inert) — so a consumer
+    // replaying the whole lineage lands exactly the final table.
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_evo").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cnt INT, junk STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 10, 'a'), (2, 20, 'b')") // v1
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO id")
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN cnt TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING DEFAULT 'old')")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN junk")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 30, 'new')") // v2, new shape
+    spark.sql(s"DELETE FROM $tbl WHERE id = 2") // v3: pre-rename row by NEW name
+    val feed = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .option("path", s"$root/t").load()
+    assert(feed.columns.toSeq ===
+      Seq("id", "cnt", "tag", "_change_type", "_commit_version", "_commit_ms"),
+      "the feed emits the CURRENT data schema — renamed/added, dropped gone")
+    assert(feed.schema("cnt").dataType === org.apache.spark.sql.types.LongType)
+    val got = feed.select("_change_type", "_commit_version", "id", "cnt", "tag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got === Set(
+      ("insert", 1L, 1L, 10L, "old"), ("insert", 1L, 2L, 20L, "old"),
+      ("insert", 2L, 3L, 30L, "new"),
+      ("delete", 3L, 2L, 20L, "old")),
+      s"evolution-spanning feed rows drifted: $got")
+    // replay (q206 idiom): latest image per key, deletes drop the key
+    val replayed = spark.sql(
+      s"""SELECT id, cnt, tag FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY
+         |    _commit_version DESC,
+         |    CASE WHEN _change_type = 'insert' THEN 0 ELSE 1 END) AS rn
+         |  FROM graftcat.`$root/t#changes`)
+         |WHERE rn = 1 AND _change_type = 'insert' ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val table = spark.sql(s"SELECT id, cnt, tag FROM $tbl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(replayed === table, "feed replay must reconstruct the final table")
+    assert(table === Seq((1L, 10L, "old"), (3L, 30L, "new")))
+  }
+
   test("mis-cased reader options resolve like Spark options: case-insensitively") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._
