@@ -53,83 +53,133 @@ private[graft] object GraftTxn2 {
 
   private def token(): String = java.util.UUID.randomUUID().toString.take(16)
 
-  private def lockJson(tok: String, decider: String, staged: Int): String = {
+  private def lockJson(tok: String, decider: String, staged: Int,
+      app: String): String = {
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.put("token", tok)
     root.put("decider", decider)
+    root.put("app", app)
     if (staged > 0) root.put("staged", staged)
     m.writeValueAsString(root)
   }
 
-  private def parseLock(txt: String): (String, String, Int) = {
+  private def parseLock(txt: String): (String, String, Int, String) = {
     val n = new ObjectMapper().readTree(txt)
-    (n.get("token").asText(), n.get("decider").asText(),
-      Option(n.get("staged")).map(_.asInt()).getOrElse(0))
+    val tok = n.get("token").asText()
+    (tok, n.get("decider").asText(),
+      Option(n.get("staged")).map(_.asInt()).getOrElse(0),
+      Option(n.get("app")).map(_.asText()).getOrElse(s"txn2:$tok"))
   }
 
-  private def appOf(tok: String): String = s"txn2:$tok"
+  /** Per-participant ledger key: one decider commit carries every
+    * participant's entry, so each needs its own app id. */
+  private def appOf(tok: String, i: Int): String = s"txn2:$tok:$i"
 
-  /** Commit `a` and `b` atomically. `failpoint` is a TEST seam: called
-    * with the step number just completed (1 lock, 2 stage, 3 decide,
-    * 4 finalize); a throw simulates a coordinator crash at that point.
-    * Returns (A's published version, B's published version). */
+  /** Commit `a` and `b` atomically — the N = 2 special case. Returns
+    * (A's published version, B's published version). */
   def commitTwo(a: Delta, b: Delta,
       failpoint: Int => Unit = _ => ()): (Int, Int) = {
-    require(a.path != b.path, "graft-txn2: the two tables must differ " +
-      "(a single table's commit is already atomic)")
+    val (pubs, vd) = commitN(Seq(a), b, failpoint)
+    (pubs.head, vd)
+  }
+
+  /** N-TABLE ATOMIC COMMIT (r16, the r15 verdict's item 8 — an MV graph
+    * fanning one base into several views): ONE decider table, N−1
+    * staged participants. The protocol is commitTwo's with the stage
+    * leg fanned out:
+    *
+    *  1. lock EVERY participant (CAS; a failed claim releases the locks
+    *     already taken and aborts loudly — non-blocking, so no deadlock
+    *     ordering is needed);
+    *  2. stage each participant's delta, its visibility delegated to
+    *     the decider's ledger under its OWN app id `txn2:<tok>:<i>`;
+    *  3. THE COMMIT POINT: the decider's ordinary CAS carries ALL N−1
+    *     ledger entries in one manifest (`extraTxns`) — every
+    *     participant's resolution rule flips in the same linearization
+    *     step, before it none is visible;
+    *  4. finalize each participant (O(1) adopt); 5. unlock each.
+    *
+    * Crash anywhere: "all or nothing" — before step 3 nothing is
+    * visible and [[recover]] (per participant, idempotent) rolls back;
+    * from step 3 on, everything is visible and recover rolls forward.
+    * `failpoint` is the TEST seam: called with the step number just
+    * completed (1 lock, 2 stage, 3 decide, 4 finalize). */
+  def commitN(staged: Seq[Delta], decider: Delta,
+      failpoint: Int => Unit = _ => ()): (Seq[Int], Int) = {
+    require(staged.nonEmpty, "graft-txn2: need at least one staged participant")
+    require((staged.map(_.path) :+ decider.path).distinct.size == staged.size + 1,
+      "graft-txn2: all participant tables must differ " +
+        "(a single table's commit is already atomic)")
     val tok = token()
-    // 1. lock A
-    if (!JsonDocVersions.claimTxnLock(a.path, lockJson(tok, b.path, 0)))
-      throw new IllegalStateException(
-        s"graft-txn2: a transaction is already in flight on ${a.path} — " +
-          "CALL recover_txn2 if its coordinator crashed")
+    // 1. lock every participant; back out the locks taken on a refusal
+    var locked = List.empty[String]
+    staged.zipWithIndex.foreach { case (d, i) =>
+      if (!JsonDocVersions.claimTxnLock(d.path,
+        lockJson(tok, decider.path, 0, appOf(tok, i)))) {
+        locked.foreach(JsonDocVersions.releaseTxnLock)
+        throw new IllegalStateException(
+          s"graft-txn2: a transaction is already in flight on ${d.path} — " +
+            "CALL recover_txn2 if its coordinator crashed")
+      }
+      locked ::= d.path
+    }
     failpoint(1)
-    val (va, vb) =
+    val (vas, vd) =
       try {
-        // 2. stage A's delta, visibility delegated to B's ledger
-        val va = JsonDocVersions.commitDelta(a.path, a.removed, a.added,
-          staged = true, op = "txn2-stage",
-          pendingTxn = Some((appOf(tok), b.path)), ignoreTxnLock = true)
-        // re-write the lock with the staged version so recovery after a
-        // crash knows which stage this txn owns (CAS-free overwrite is
-        // fine: the lock holder is the only writer of its content)
-        JsonDocVersions.store.put(a.path, JsonDocVersions.TxnLockName,
-          lockJson(tok, b.path, va))
+        // 2. stage each participant, visibility delegated to the decider
+        val vas = staged.zipWithIndex.map { case (d, i) =>
+          val va = JsonDocVersions.commitDelta(d.path, d.removed, d.added,
+            staged = true, op = "txn2-stage",
+            pendingTxn = Some((appOf(tok, i), decider.path)), ignoreTxnLock = true)
+          // re-write the lock with the staged version so recovery after
+          // a crash knows which stage this txn owns (CAS-free overwrite
+          // is fine: the lock holder is the only writer of its content)
+          JsonDocVersions.store.put(d.path, JsonDocVersions.TxnLockName,
+            lockJson(tok, decider.path, va, appOf(tok, i)))
+          va
+        }
         failpoint(2)
-        // 3. THE COMMIT POINT: B's ordinary CAS carries (token -> va).
-        // B must be unlocked (its own lock refusal breaks A<->B cycles).
-        val vb = JsonDocVersions.commitDelta(b.path, b.removed, b.added,
-          txn = Some((appOf(tok), va.toLong)), op = "txn2-commit")
+        // 3. THE COMMIT POINT: the decider's ordinary CAS carries every
+        // (app -> va). The decider must be unlocked (its own lock
+        // refusal breaks participant<->decider cycles).
+        val vd = JsonDocVersions.commitDelta(decider.path, decider.removed,
+          decider.added,
+          extraTxns = vas.zipWithIndex.map { case (va, i) =>
+            appOf(tok, i) -> va.toLong }.toMap,
+          op = "txn2-commit")
         failpoint(3)
-        (va, vb)
+        (vas, vd)
       } catch {
         case e: HardCrash => throw e // simulated process death: no cleanup runs
         case e: Throwable =>
           // roll BACK only while the decider has not committed; after
           // step 3 the transaction is durable and must roll FORWARD —
-          // leave the lock for recover() rather than half-undoing
-          val committed = JsonDocVersions.lastTxn(b.path, appOf(tok)).isDefined
+          // leave the locks for recover() rather than half-undoing
+          val committed =
+            JsonDocVersions.lastTxn(decider.path, appOf(tok, 0)).isDefined
           if (!committed) {
-            // discard the stage (if any) and unlock: clean abort
-            JsonDocVersions.manifests(a.path)
-              .filter(v => JsonDocVersions.readStaged(a.path, v))
-              .foreach { v =>
-                if (pendingTokenOf(a.path, v).contains(appOf(tok))) {
-                  JsonDocVersions.deleteManifest(a.path, v)
-                  JsonDocVersions.refreshHeadAfterDelete(a.path)
+            staged.zipWithIndex.foreach { case (d, i) =>
+              JsonDocVersions.manifests(d.path)
+                .filter(v => JsonDocVersions.readStaged(d.path, v))
+                .foreach { v =>
+                  if (pendingTokenOf(d.path, v).contains(appOf(tok, i))) {
+                    JsonDocVersions.deleteManifest(d.path, v)
+                    JsonDocVersions.refreshHeadAfterDelete(d.path)
+                  }
                 }
-              }
-            JsonDocVersions.releaseTxnLock(a.path)
+              JsonDocVersions.releaseTxnLock(d.path)
+            }
           }
           throw e
       }
-    // 4. finalize: adopt va as plain published state (O(1))
-    val vaPub = JsonDocVersions.commitAdopt(a.path, va, op = "txn2-finalize")
+    // 4. finalize: adopt each stage as plain published state (O(1))
+    val pubs = staged.zip(vas).map { case (d, va) =>
+      JsonDocVersions.commitAdopt(d.path, va, op = "txn2-finalize") }
     failpoint(4)
     // 5. unlock
-    JsonDocVersions.releaseTxnLock(a.path)
-    (vaPub, vb)
+    staged.foreach(d => JsonDocVersions.releaseTxnLock(d.path))
+    (pubs, vd)
   }
 
   private def pendingTokenOf(path: String, v: Int): Option[String] = {
@@ -149,8 +199,7 @@ private[graft] object GraftTxn2 {
     JsonDocVersions.readTxnLock(pathA) match {
       case None => "clean"
       case Some(txt) =>
-        val (tok, decider, staged) = parseLock(txt)
-        val app = appOf(tok)
+        val (_, decider, staged, app) = parseLock(txt)
         val decided = JsonDocVersions.lastTxn(decider, app)
         decided match {
           case Some(va) =>
