@@ -46,6 +46,26 @@ object GraftViews {
       case _ => None
     } catch { case _: Exception => None }
 
+  /** Qualify an under-specified DDL identifier against the session's
+    * CURRENT graft catalog/namespace (`USE graftcat.db; CREATE VIEW v
+    * ...`) — only when the current catalog IS a GraftCatalog, and only
+    * where a temp view cannot be shadowed (the caller decides which
+    * arities to offer: CREATE VIEW may qualify 1- and 2-part names —
+    * CREATE TEMP VIEW is a different plan node — while DROP VIEW must
+    * leave 1-part names to the temp-view machinery). */
+  def qualify(session: SparkSession, parts: Seq[String],
+      minParts: Int): Seq[String] =
+    if (parts.length >= 3 || parts.length < minParts) parts
+    else {
+      val cm = session.sessionState.catalogManager
+      cm.currentCatalog match {
+        case _: GraftCatalog =>
+          if (parts.length == 2) cm.currentCatalog.name() +: parts
+          else (cm.currentCatalog.name() +: cm.currentNamespace.toSeq) ++ parts
+        case _ => parts
+      }
+    }
+
   def identOf(parts: Seq[String]): Identifier =
     Identifier.of(parts.slice(1, parts.length - 1).toArray, parts.last)
 
@@ -56,7 +76,10 @@ object GraftViews {
   def rewriteViewCommands(session: SparkSession, plan: LogicalPlan): LogicalPlan =
     plan match {
       case c: CreateView => c.child match {
-        case UnresolvedIdentifier(parts, _) =>
+        case UnresolvedIdentifier(parts0, _) =>
+          // CREATE [OR REPLACE] VIEW v under USE graftcat.db qualifies
+          // (CREATE TEMP VIEW is a different plan node, no shadowing)
+          val parts = qualify(session, parts0, minParts = 1)
           graftCatalogOf(session, parts).map { cat =>
             CreateGraftViewCommand(cat, parts, c.userSpecifiedColumns.map(_._1),
               c.originalText, c.query, c.allowExisting, c.replace,
@@ -64,15 +87,44 @@ object GraftViews {
           }.getOrElse(plan)
         case _ => plan
       }
-      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+      case d @ DropView(UnresolvedIdentifier(parts0, _), ifExists) =>
+        // temp views keep owning their names: a bare DROP VIEW v whose
+        // name IS a live temp view stays with the built-in machinery
+        // (likewise global_temp.*); otherwise an under-specified name
+        // qualifies against a current graft catalog
+        val isTemp = (parts0.length == 1 &&
+          session.sessionState.catalog.getTempView(parts0.head).isDefined) ||
+          (parts0.length == 2 && parts0.head.equalsIgnoreCase(
+            session.conf.get("spark.sql.globalTempDatabase", "global_temp")))
+        val parts = if (isTemp) parts0 else qualify(session, parts0, minParts = 1)
         graftCatalogOf(session, parts).map(cat =>
           DropGraftViewCommand(cat, parts, ifExists): LogicalPlan).getOrElse(d)
-      case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
-          if parts.length >= 2 =>
-        (try session.sessionState.catalogManager.catalog(parts.head) match {
-          case g: GraftCatalog => Some(g)
-          case _ => None
-        } catch { case _: Exception => None }).map(cat =>
+      case s @ ShowViews(ns, pattern, output)
+          if ns.isInstanceOf[UnresolvedNamespace] ||
+            ns == org.apache.spark.sql.catalyst.analysis.CurrentNamespace =>
+        // SHOW VIEWS [IN db] under a current graft catalog qualifies
+        // (bare SHOW VIEWS parses to CurrentNamespace, not an empty
+        // UnresolvedNamespace); fully-qualified IN graftcat.db works
+        // from any catalog
+        val parts0 = ns match {
+          case UnresolvedNamespace(p, _) => p
+          case _ => Seq.empty
+        }
+        val parts =
+          if (parts0.nonEmpty) qualify(session, parts0, minParts = 1)
+          else {
+            val cm = session.sessionState.catalogManager
+            cm.currentCatalog match {
+              case _: GraftCatalog => cm.currentCatalog.name() +: cm.currentNamespace.toSeq
+              case _ => parts0
+            }
+          }
+        (if (parts.length >= 2)
+          try session.sessionState.catalogManager.catalog(parts.head) match {
+            case g: GraftCatalog => Some(g)
+            case _ => None
+          } catch { case _: Exception => None }
+        else None).map(cat =>
           ShowGraftViewsCommand(cat, parts.tail, pattern, output): LogicalPlan)
           .getOrElse(s)
       case other => other
@@ -187,7 +239,11 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation =>
-        val parts = u.multipartIdentifier
+        // under-specified names qualify against a CURRENT graft catalog
+        // (`USE graftcat.db; SELECT * FROM v`) — safe because the
+        // analyzer's own temp-view resolution ran earlier in this
+        // iteration, so only non-temp survivors reach this rule
+        val parts = GraftViews.qualify(session, u.multipartIdentifier, minParts = 1)
         GraftViews.graftCatalogOf(session, parts) match {
           case Some(cat) if cat.viewExists(GraftViews.identOf(parts)) =>
             expand(cat, parts)

@@ -620,6 +620,13 @@ class GraftCatalog extends TableCatalog
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change: $other")
     }
+    // bloom/shred declarations must survive the FINAL schema (r16
+    // self-review): a RENAME or DROP of a referenced column would
+    // otherwise silently stop building filters — and a shred whose
+    // SOURCE vanished would start writing NULL subcolumns. Refuse
+    // loudly; update the property in the same statement set first.
+    props.get(JsonDocBlooms.PropCols).foreach(JsonDocBlooms.validateDecl(_, schema))
+    props.get(JsonDocShred.PropKey).foreach(JsonDocShred.validateDecl(_, schema))
     GraftCatalog.writeSchema(dir, schema, dropped, partitions = partSpec,
       props = props, renames = renames)
     new JsonDocTable(schema, dir.getPath)
@@ -934,6 +941,18 @@ object GraftCatalog {
       }
     (org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt).sql, sql)
   }
+
+  /** Existence defaults for a TABLE PATH: the catalog sidecar's schema
+    * is authoritative when present, so a bare
+    * `spark.read.format(...).schema(...)` read (whose user-declared
+    * schema carries no metadata) serves the SAME frozen defaults a
+    * catalog read does — two read APIs must never disagree on a row's
+    * values. Falls back to the handed-in schema's metadata for
+    * sidecar-less directories. */
+  private[sources] def existsDefaultsForTable(path: String,
+      handed: StructType): Map[String, Any] =
+    readSchema(new java.io.File(path)).map(existsDefaultsOf)
+      .getOrElse(existsDefaultsOf(handed))
 
   /** The frozen EXISTS_DEFAULT of each field, decoded to the reader's
     * runtime shape (Long/Int/Double/Boolean/String). Driver-side, once

@@ -396,7 +396,8 @@ private[sources] class JsonDocChangesReaderFactory(dataSchema: StructType,
   // the snapshot read serves them (consumers replaying the feed land
   // the same values a direct read would)
   private val existsDefaults: Map[String, Any] =
-    GraftCatalog.existsDefaultsOf(dataSchema)
+    GraftCatalog.existsDefaultsOf(dataSchema) // dataSchema already
+    // prefers the catalog sidecar (getTable/metaDirOf resolution)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocChangesPartition]
     // the wrapped snapshot reader does the parsing, rename mapping, DV

@@ -23,7 +23,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * one): LONG/INT targets take integral tokens only, DOUBLE any numeric
   * token, STRING textual tokens only; a missing field, JSON null, or
   * shape mismatch lands SQL NULL. Paths are top-level `$.field` — the
-  * flat-JSON contract of the source itself. */
+  * flat-JSON contract of the source itself.
+  *
+  * Known seam: CHECK constraints evaluate against the INCOMING row
+  * (they wrap the writer), so a constraint on a shred TARGET sees the
+  * pre-replacement value (usually NULL, which CHECK passes per SQL),
+  * not the materialized extraction — declare the constraint on the
+  * SOURCE column's content instead. */
 private[sources] object JsonDocShred {
   val PropKey = "write.shred.columns"
 

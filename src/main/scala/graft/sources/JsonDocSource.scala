@@ -190,6 +190,7 @@ private[sources] object JsonDocAutocompact {
   val attempts = new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
   def remember(sig: (String, String, Int)): Unit = {
     if (declined.size > 4096) declined.clear()
+    if (attempts.size > 8192) attempts.clear() // seam, same pure-memo rule
     declined.put(sig, ())
   }
 }
@@ -1935,7 +1936,7 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     // an existence default (r16) makes absent tokens VALUES the partial
     // aggregator doesn't model — keep the aggregate in Spark, where the
     // row reader serves the filled column (conservative, never wrong)
-    if (GraftCatalog.existsDefaultsOf(fullSchema).nonEmpty) return false
+    if (GraftCatalog.existsDefaultsForTable(path, fullSchema).nonEmpty) return false
     def topField(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1967,9 +1968,12 @@ private[sources] class JsonDocScanBuilder(fullSchema: StructType, path: String,
     else new JsonDocScan(required, path, pushed, limit,
       runtimeFilterable = acceptPushdown, plannedSink = plannedSink,
       dvSink = dvSink, pinned = pinned,
-      // from the FULL schema: a filter may touch a defaulted column the
-      // projection pruned away
-      existsDefaults = GraftCatalog.existsDefaultsOf(fullSchema))
+      // from the SIDECAR schema (catalog-authoritative — a bare read's
+      // user-declared schema carries no metadata, and the two read APIs
+      // must serve identical rows), falling back to the handed-in FULL
+      // schema: a filter may touch a defaulted column the projection
+      // pruned away
+      existsDefaults = GraftCatalog.existsDefaultsForTable(path, fullSchema))
 }
 
 private[sources] class JsonDocScan(readSchema0: StructType, path: String,
@@ -2726,7 +2730,7 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonDocReaderFactory(readSchema, filters,
       aliases = GraftCatalog.renamesOf(path),
-      existsDefaults = GraftCatalog.existsDefaultsOf(readSchema))
+      existsDefaults = GraftCatalog.existsDefaultsForTable(path, readSchema))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -215,7 +215,7 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('write.bloom.columns' = 'k')")
   }
 
-  test("gaps keep: pre-declaration files never prune; renamed columns stop pruning") {
+  test("gaps keep: pre-declaration files never prune; renaming a declared column refuses") {
     val (tbl, path) = fresh()
     fill(tbl, 3) // no blooms yet
     spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('write.bloom.columns' = 'k')")
@@ -225,8 +225,15 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planned = plannedFiles(read(path).filter(col("k") === 103L))
     assert(planned.size === 3, s"stats-less-bloom files must all stay planned: $planned")
     assert(read(path).filter(col("k") === 103L).count() === 1L)
-    // rename: old files' blooms are keyed by the old name -> no prune,
-    // but reads stay exact
+    // renaming (or dropping) a DECLARED column refuses loudly — silently
+    // ceasing to build filters would be a quiet performance cliff
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO id")
+    }
+    assert(e.getMessage.contains("write.bloom.columns"), e.getMessage)
+    // retargeting the property first unblocks the rename; old files'
+    // old-name bloom entries simply stop being consulted, reads exact
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('write.bloom.columns' = 'tag')")
     spark.sql(s"ALTER TABLE $tbl RENAME COLUMN k TO id")
     val renamed = spark.sql(s"SELECT id FROM $tbl WHERE id = 5000")
     assert(renamed.collect().map(_.getLong(0)).toSeq === Seq(5000L))

@@ -122,6 +122,22 @@ class DefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("constant"))
   }
 
+  test("bare reads serve the same existence defaults as catalog reads (sidecar-authoritative)") {
+    val (tbl, path) = fresh()
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $tbl VALUES (1)")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING DEFAULT 'legacy')")
+    // the bare reader's user-declared schema carries no metadata — the
+    // sidecar must still win, or the two read APIs would serve
+    // different rows from the same table
+    val bare = spark.read.format("graft-jsondoc").schema("k BIGINT, tag STRING")
+      .option("path", path).load()
+    assert(bare.select("tag").collect()(0).getString(0) === "legacy")
+    // filters through the bare path see the fill too
+    assert(bare.filter(org.apache.spark.sql.functions.col("tag") === "legacy")
+      .count() === 1L)
+  }
+
   test("defaults survive into merge-on-read DML inserts") {
     val (tbl, _) = fresh()
     spark.sql(s"CREATE TABLE $tbl (k BIGINT, tag STRING DEFAULT 'mor') " +

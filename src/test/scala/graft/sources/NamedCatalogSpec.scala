@@ -127,6 +127,28 @@ class NamedCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP VIEW IF EXISTS graftcat.db.big") // no-op, no error
   }
 
+  test("view DDL and reads work unqualified under USE graftcat.db; temp views still win") {
+    freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.use_db")
+    spark.sql("CREATE TABLE graftcat.use_db.t (k BIGINT) USING `graft-jsondoc`")
+    spark.sql("INSERT INTO graftcat.use_db.t VALUES (1), (2), (3)")
+    spark.sql("USE graftcat.use_db")
+    try {
+      spark.sql("CREATE VIEW v AS SELECT k FROM t WHERE k > 1")
+      assert(spark.sql("SELECT * FROM v ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L, 3L))
+      assert(spark.sql("SHOW VIEWS").collect().map(_.getString(1)).toSeq === Seq("v"))
+      // a TEMP view of the same name shadows for reads and owns bare DROP
+      spark.sql("CREATE TEMP VIEW v AS SELECT 99 AS k")
+      assert(spark.sql("SELECT k FROM v").collect()(0).getInt(0) === 99)
+      spark.sql("DROP VIEW v") // drops the TEMP view
+      assert(spark.sql("SELECT * FROM v ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq === Seq(2L, 3L), "the stored view survives")
+      spark.sql("DROP VIEW use_db.v") // 2-part names the stored view
+      assert(spark.sql("SHOW VIEWS").isEmpty)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("loud refusals: no warehouse, missing namespace, bad segments; paths unaffected") {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
