@@ -658,6 +658,54 @@ object TimeSeries {
       "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) <= 64 " +
       "ORDER BY p_id, q_id"
 
+  /** q219: BOUNDED KNN SPATIAL JOIN (r16 — the k-nearest-neighbors
+    * shape beside q217's radius join): for each probe point, its k
+    * nearest build points WITHIN radius r — the formulation that stays
+    * EXACT on a grid (any neighbor within r lives in the 3x3 cell
+    * neighborhood by the triangle inequality, so the candidate set
+    * provably contains the true bounded-KNN; unbounded KNN would need
+    * expanding-ring search with data-dependent termination). Plan:
+    * q217's grid candidates, then one window per probe point
+    * (row_number over dist2 with the id as the deterministic
+    * tie-break) — shuffle on the cell key then on p_id, cost
+    * O(points x 9 + candidates log k), never |P| x |Q|. Integer math
+    * end to end; oracle = the naive theta join + the same window. */
+  def q219KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = 32L
+    val k = 3
+    val p = customer(spark, dir).select(col("c_custkey").as("p_id"),
+      pmod(col("c_custkey") * 13L, lit(1000L)).as("px"),
+      pmod(col("c_custkey") * 41L, lit(1000L)).as("py"))
+    val q = supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+      pmod(col("s_suppkey") * 23L, lit(1000L)).as("qx"),
+      pmod(col("s_suppkey") * 53L, lit(1000L)).as("qy"))
+    val pG = p.withColumn("gx", expr(s"px div $r")).withColumn("gy", expr(s"py div $r"))
+    val qG = q
+      .withColumn("gx", explode(sequence(expr(s"qx div $r - 1"), expr(s"qx div $r + 1"))))
+      .withColumn("gy", explode(sequence(expr(s"qy div $r - 1"), expr(s"qy div $r + 1"))))
+    val cand = pG.join(qG, Seq("gx", "gy"))
+      .withColumn("dist2", (col("px") - col("qx")) * (col("px") - col("qx")) +
+        (col("py") - col("qy")) * (col("py") - col("qy")))
+      .where(col("dist2") <= lit(r * r))
+    cand.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+          .orderBy(col("dist2"), col("q_id"))))
+      .where(col("rn") <= k)
+      .select(col("p_id"), col("q_id"), col("dist2"), col("rn").cast("long").as("rn"))
+      .orderBy(col("p_id"), col("rn"))
+  }
+
+  val q219Sql: String =
+    "WITH cand AS (SELECT c_custkey AS p_id, s_suppkey AS q_id, " +
+      "CAST(((c_custkey*13)%1000 - (s_suppkey*23)%1000) * ((c_custkey*13)%1000 - (s_suppkey*23)%1000) + " +
+      "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) AS BIGINT) AS dist2 " +
+      "FROM customer, supplier " +
+      "WHERE ((c_custkey*13)%1000 - (s_suppkey*23)%1000) * ((c_custkey*13)%1000 - (s_suppkey*23)%1000) + " +
+      "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) <= 1024), " +
+      "ranked AS (SELECT p_id, q_id, dist2, " +
+      "CAST(row_number() OVER (PARTITION BY p_id ORDER BY dist2, q_id) AS BIGINT) AS rn FROM cand) " +
+      "SELECT p_id, q_id, dist2, rn FROM ranked WHERE rn <= 3 ORDER BY p_id, rn"
+
   /** q201: q24 on VARIANT (r15, verdict item 5 — Spark 4's native
     * open-schema type, SURVEY §1.2's named target for the reference's
     * `Type.Any`/additionalProperties fields, task.ts:13-14,50): the
@@ -1459,6 +1507,7 @@ object TimeSeries {
     "q204_caic_contains" -> q204CaicContains _,
     "q216_caic_intersects" -> q216CaicIntersects _,
     "q217_radius_join" -> q217RadiusJoin _,
+    "q219_knn_join" -> q219KnnJoin _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
     "q90_retention" -> q90Retention _,
@@ -1501,6 +1550,7 @@ object TimeSeries {
     "q204_caic_contains" -> q204Sql,
     "q216_caic_intersects" -> q216Sql,
     "q217_radius_join" -> q217Sql,
+    "q219_knn_join" -> q219Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
     "q90_retention" -> q90Sql,

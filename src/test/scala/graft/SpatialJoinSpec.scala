@@ -62,9 +62,10 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashJoin"), s"expected a hash join on (gx, gy):\n$plan")
   }
 
-  test("r16: polygon-polygon (q216) and radius (q217) joins stay cartesian-free") {
+  test("r16: polygon-polygon (q216), radius (q217), and KNN (q219) joins stay cartesian-free") {
     for (df <- Seq(ops.TimeSeries.q216CaicIntersects(spark, "/root/testdata/sf0.001"),
-      ops.TimeSeries.q217RadiusJoin(spark, "/root/testdata/sf0.001"))) {
+      ops.TimeSeries.q217RadiusJoin(spark, "/root/testdata/sf0.001"),
+      ops.TimeSeries.q219KnnJoin(spark, "/root/testdata/sf0.001"))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
