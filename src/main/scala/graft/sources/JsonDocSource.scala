@@ -2719,8 +2719,13 @@ private[sources] class JsonDocMicroBatchStream(readSchema: StructType,
     // UNDER a checkpointed consumer aborted in validateAppendOnly above,
     // so replayed batches always fold the same vectors (r14)
     val dvs = JsonDocVersions.dvsFor(path, None)
+    // per-file Blooms (r16) prune here too — deterministic on replay by
+    // the same argument as stats: only STATIC pushed filters reach a
+    // micro-batch, and a bloom-excluded file can never contribute rows
+    val bloomKeep = JsonDocBlooms.pruner(path, filters.toSeq)
     chosen.filter { case (_, rel) => !partPruned(rel) }
       .filter { case (_, rel) => stats.get(rel).forall(keep) }
+      .filter { case (_, rel) => bloomKeep(rel) }
       .map { case (f, rel) =>
         JsonDocPartition(f.getAbsolutePath, rel,
           dvs.get(rel).map(new java.io.File(path, _).getAbsolutePath).getOrElse("")): InputPartition
