@@ -580,8 +580,52 @@ private[sources] object JsonDocSource {
 private[sources] class JsonDocTable(schema: StructType, path: String,
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
+
+  /** METADATA-ONLY DELETE (r16 self-review — closes a REAL silent
+    * no-op): `DELETE FROM t` with a statically-true condition used to
+    * produce an EMPTY rewrite side (the optimizer collapses the
+    * remaining-rows scan to an empty relation), so the replace scope
+    * never reported and the copy-on-write commit retired NOTHING —
+    * three rows in, DELETE, three rows still there. With
+    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]], Spark's
+    * OptimizeMetadataOnlyDeleteFromTable swaps the rewrite for
+    * `deleteWhere` whenever `canDeleteWhere` holds — which is also the
+    * Iceberg/Delta fast path: whole-table truncation and
+    * identity-partition point deletes retire files in ONE manifest
+    * commit, no data read or written.
+    *
+    * `canDeleteWhere` accepts exactly what `deleteWhere` can prove
+    * FILE-GRANULAR: AlwaysTrue (retire the whole live set), or
+    * EqualTo/In over IDENTITY partition columns when every live file
+    * sits under a decodable directory for every referenced column (a
+    * file's identity component decides ALL its rows at once). Anything
+    * else — data-column predicates, transform components, undecodable
+    * legacy files — returns false and the ordinary rewrite runs.
+    * Retired files keep their stats/bloom/DV sidecars (time travel);
+    * the change feed emits their delete images through its generic
+    * removed-files path. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && JsonDocTable.metadataDeleteSet(path, filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val removed = JsonDocTable.metadataDeleteSet(path, filters).getOrElse(
+      throw new IllegalStateException(
+        s"graft-jsondoc: deleteWhere called for filters canDeleteWhere rejected: " +
+          filters.mkString(", ")))
+    if (removed.nonEmpty)
+      JsonDocVersions.commitDelta(path, removed, Set.empty, op = "delete")
+  }
+
+  override def truncateTable(): Boolean = {
+    val live = JsonDocVersions.latest(path).map(_._2).getOrElse(
+      JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSet)
+    if (live.nonEmpty)
+      JsonDocVersions.commitDelta(path, live, Set.empty, op = "truncate")
+    true
+  }
   override def name(): String =
     s"graft-jsondoc($path${pinnedVersion.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = schema0
@@ -1126,6 +1170,58 @@ private[sources] object JsonDocStats {
   /** Can any row of a file with these stats satisfy every filter? */
   def canMatch(stats: FileStats, filters: Seq[Filter]): Boolean =
     pruner(filters)(stats)
+}
+
+private[sources] object JsonDocTable {
+  /** The files a metadata-only DELETE may retire for `filters`, or None
+    * when the decision is not provable file-granular (see
+    * [[JsonDocTable.canDeleteWhere]]). Shared by canDeleteWhere and
+    * deleteWhere so the two can never disagree; each call re-reads the
+    * live set, and the commit's own removed-⊆-live check plus CAS
+    * rebase handle anything that moved in between (standard OCC). */
+  def metadataDeleteSet(path: String,
+      filters: Array[Filter]): Option[Set[String]] = {
+    val live: Set[String] = JsonDocVersions.latest(path).map(_._2).getOrElse(
+      JsonDocSource.listDataFiles(path)
+        .map(f => JsonDocSource.relName(path, f)).toSet)
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) return Some(live) // DELETE FROM t / WHERE true
+    val identByName: Map[String, GraftCatalog.PartField] =
+      GraftCatalog.partitionSpecOf(path)
+        .filter(_.transform == "identity").map(s => s.field.name -> s).toMap
+    val shapesOk = real.forall {
+      case EqualTo(a, v) => identByName.contains(a) && v != null
+      case In(a, vs) => identByName.contains(a) && vs.nonEmpty && vs.forall(_ != null)
+      // Spark's filter translation adds IsNotNull beside the point
+      // predicate; identity partition values are non-null by writer
+      // contract, so it holds for every decodable file
+      case IsNotNull(a) => identByName.contains(a)
+      case _ => false
+    }
+    if (!shapesOk) return None
+    val decided = live.toSeq.map { rel =>
+      // the file's identity partition values, decoded from its directory
+      val values: Map[String, Any] = rel.split('/').dropRight(1).flatMap { c =>
+        val eq = c.indexOf('=')
+        if (eq <= 0) None
+        else identByName.values.find(_.dirName == c.substring(0, eq)).flatMap { spec =>
+          JsonDocSource.decPartValue(c.substring(eq + 1), spec.field.dataType)
+            .map(spec.field.name -> _)
+        }
+      }.toMap
+      val verdicts: Seq[Option[Boolean]] = real.toSeq.map {
+        case EqualTo(a, v) =>
+          values.get(a).map(x => JsonDocStats.cmp(x, v).contains(0))
+        case In(a, vs) => values.get(a).map(x =>
+          vs.exists(v => v != null && JsonDocStats.cmp(x, v).contains(0)))
+        case IsNotNull(a) => values.get(a).map(_ => true)
+        case _ => None
+      }
+      if (verdicts.exists(_.isEmpty)) return None // undecidable file: refuse all
+      rel -> verdicts.forall(_.contains(true))
+    }
+    Some(decided.collect { case (rel, true) => rel }.toSet)
+  }
 }
 
 /** `replaceScope` is the FILE-GRANULAR copy-on-write contract: when

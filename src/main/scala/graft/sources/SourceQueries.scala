@@ -1259,6 +1259,50 @@ object SourceQueries {
     out
   }
 
+  /** q220: METADATA-ONLY DELETE (r16 self-review —
+    * [[JsonDocTable.canDeleteWhere]], the Iceberg/Delta fast path AND
+    * the fix for a real silent no-op: `DELETE FROM t` with a
+    * statically-true condition used to collapse to an empty rewrite
+    * that retired nothing): orders lands partitioned by
+    * `o_orderstatus`, and `DELETE WHERE o_orderstatus = 'F'` retires
+    * the F-partition's files in ONE manifest commit — no data read or
+    * written, cold partitions byte-untouched (both pinned by in-flow
+    * requires: op = delete, survivor mtimes unchanged). At 100 TB this
+    * is the difference between dropping a partition in O(metadata) and
+    * rewriting everything that survives. Oracle: the relational
+    * complement. */
+  def q220MetadataDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q220")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderstatus STRING, o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (o_orderstatus)")
+    orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q220_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM q220_src")
+    val path = s"$root/t"
+    val dirF = new java.io.File(path)
+    val before = JsonDocVersions.latest(path).get._2.map { rel =>
+      rel -> java.nio.file.Files.getLastModifiedTime(
+        new java.io.File(dirF, rel).toPath).toMillis
+    }.toMap
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
+    val v = JsonDocVersions.latestVersion(path).get
+    require(JsonDocVersions.readOp(path, v).contains("delete"),
+      s"q220: expected the metadata-delete path, got ${JsonDocVersions.readOp(path, v)}")
+    val after = JsonDocVersions.latest(path).get._2
+    require(after.forall(rel => java.nio.file.Files.getLastModifiedTime(
+      new java.io.File(dirF, rel).toPath).toMillis == before(rel)),
+      "q220: surviving partitions must be byte-untouched (no rewrite ran)")
+    spark.sql(s"SELECT o_orderstatus, o_orderkey, o_totalprice FROM $tbl " +
+      "ORDER BY o_orderkey")
+  }
+
+  val q220Sql: String =
+    "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"
+
   /** q215: NAMED-IDENTIFIER CATALOG + SQL VIEWS (r16 — the addressing
     * layer every SQL user expects, [[GraftCatalog]] as
     * SupportsNamespaces/ViewCatalog + [[graft.plans.GraftViews]]):
@@ -1370,6 +1414,7 @@ object SourceQueries {
     "q214_bloom_skip" -> q214BloomSkip _,
     "q215_named_catalog_view" -> q215NamedCatalogView _,
     "q218_shredded_variant" -> q218ShreddedVariant _,
+    "q220_metadata_delete" -> q220MetadataDelete _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1435,6 +1480,7 @@ object SourceQueries {
     "q214_bloom_skip" -> q214Sql,
     "q215_named_catalog_view" -> q215Sql,
     "q218_shredded_variant" -> graft.ops.TimeSeries.q24Sql,
+    "q220_metadata_delete" -> q220Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)
