@@ -642,7 +642,10 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
   override def capabilities(): util.Set[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // r16: INSERT OVERWRITE ... PARTITION (static filters) and
+      // partitionOverwriteMode=dynamic — see JsonDocWriteBuilder
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
     (if (schema0.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
   }
   // partitioned layout (r13 identity; r14 days/bucket): declared so
@@ -783,8 +786,12 @@ private[sources] class JsonDocRowLevelOperation(schema: StructType, path: String
 private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
     truncateFirst: Boolean,
     replaceScope: Option[() => Option[Set[String]]] = None,
-    dvBasisScope: Option[() => Option[Map[String, String]]] = None)
-    extends WriteBuilder with SupportsTruncate {
+    dvBasisScope: Option[() => Option[Map[String, String]]] = None,
+    overwriteFilters: Option[Array[Filter]] = None,
+    dynamicOverwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   {
     val bad = info.schema().fields.filterNot(f => JsonDocSource.supportedType(f.dataType))
     require(bad.isEmpty,
@@ -793,6 +800,36 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
   }
   override def truncate(): WriteBuilder =
     new JsonDocWriteBuilder(path, info, truncateFirst = true, replaceScope, dvBasisScope)
+
+  /** OVERWRITE BY FILTER (r16 — `INSERT OVERWRITE t PARTITION (p = v)`):
+    * retire exactly the files the filters prove file-granular (the
+    * [[JsonDocTable.metadataDeleteSet]] rule: AlwaysTrue, or
+    * EqualTo/In/IsNotNull over identity partition columns with every
+    * live file decodable) and land the new files in the SAME commit —
+    * one atomic snapshot, cold partitions untouched. Unprovable filters
+    * refuse HERE, at planning, loudly. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) return truncate()
+    require(JsonDocTable.metadataDeleteSet(path, filters).isDefined,
+      "graft-jsondoc: INSERT OVERWRITE by filter needs predicates provable " +
+        "file-granular — equality/IN over IDENTITY partition columns with every " +
+        s"live file under a decodable directory; got: ${filters.mkString(", ")}")
+    new JsonDocWriteBuilder(path, info, truncateFirst = false, replaceScope,
+      dvBasisScope, overwriteFilters = Some(filters))
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (r16 — Iceberg/Delta's
+    * `partitionOverwriteMode = dynamic`): replace exactly the partition
+    * DIRECTORIES the write touches, atomically with the new files; an
+    * empty write replaces nothing (the standard dynamic contract). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(GraftCatalog.partitionSpecOf(path).nonEmpty,
+      "graft-jsondoc: dynamic partition overwrite needs a partitioned table — " +
+        "use plain INSERT OVERWRITE (truncate) on an unpartitioned one")
+    new JsonDocWriteBuilder(path, info, truncateFirst = false, replaceScope,
+      dvBasisScope, dynamicOverwrite = true)
+  }
   override def build(): Write = {
     val partSpec = GraftCatalog.partitionSpecOf(path)
     // A PARTITIONED write asks Spark for a CLUSTERED distribution on the
@@ -869,13 +906,15 @@ private[sources] class JsonDocWriteBuilder(path: String, info: LogicalWriteInfo,
         // rewrite SCANS the published table, so retiring those files
         // against a branch head whose live set has moved on is
         // incoherent — refused loudly rather than silently misapplied
-        require(branch.isEmpty || (!truncateFirst && replaceScope.isEmpty),
+        require(branch.isEmpty || (!truncateFirst && replaceScope.isEmpty &&
+          overwriteFilters.isEmpty && !dynamicOverwrite),
           "graft-jsondoc: branch writes are append-only — publish the branch " +
             "first, then run the overwrite/row-level op on the published table")
         new JsonDocBatchWrite(path, info.schema(), info.queryId(), truncateFirst,
           replaceScope, dvBasisScope, staged = staged, checks = checks,
           branch = branch, clusterRewrite =
-            Option(info.options.get("maintenance-rewrite")).exists(_.toBoolean))
+            Option(info.options.get("maintenance-rewrite")).exists(_.toBoolean),
+          overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite)
       }
       override def toStreaming: StreamingWrite = {
         require(!truncateFirst,
@@ -1191,6 +1230,11 @@ private[sources] object JsonDocTable {
         .filter(_.transform == "identity").map(s => s.field.name -> s).toMap
     val shapesOk = real.forall {
       case EqualTo(a, v) => identByName.contains(a) && v != null
+      // PARTITION (p = v) clauses arrive as null-safe equality; a
+      // non-null constant over never-null partition values is plain
+      // equality (a NULL constant can match no file — handled below)
+      case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+        identByName.contains(a)
       case In(a, vs) => identByName.contains(a) && vs.nonEmpty && vs.forall(_ != null)
       // Spark's filter translation adds IsNotNull beside the point
       // predicate; identity partition values are non-null by writer
@@ -1212,6 +1256,9 @@ private[sources] object JsonDocTable {
       val verdicts: Seq[Option[Boolean]] = real.toSeq.map {
         case EqualTo(a, v) =>
           values.get(a).map(x => JsonDocStats.cmp(x, v).contains(0))
+        case org.apache.spark.sql.sources.EqualNullSafe(a, v) =>
+          // partition values are never null, so <=> NULL matches nothing
+          values.get(a).map(x => v != null && JsonDocStats.cmp(x, v).contains(0))
         case In(a, vs) => values.get(a).map(x =>
           vs.exists(v => v != null && JsonDocStats.cmp(x, v).contains(0)))
         case IsNotNull(a) => values.get(a).map(_ => true)
@@ -1246,7 +1293,9 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     staged: Boolean = false,
     checks: Seq[GraftConstraints.Check] = Seq.empty,
     branch: Option[String] = None,
-    clusterRewrite: Boolean = false) extends BatchWrite {
+    clusterRewrite: Boolean = false,
+    overwriteFilters: Option[Array[Filter]] = None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonDocWriterFactory(path, schema, queryId,
@@ -1258,13 +1307,30 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // the visible files for a legacy manifest-less directory)
     val live0: Set[String] = JsonDocVersions.latest(path).map(_._2).getOrElse(
       JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSet)
+    val msgs = messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf)
+    def dirPrefixOf(rel: String): String = rel.substring(0, rel.lastIndexOf('/') + 1)
     val retired: Set[String] =
       if (truncateFirst) live0
+      // overwrite BY FILTER (r16): retire what the filters prove
+      // file-granular, from the live set as of THIS commit (the
+      // planning-time check validated the shapes; an undecidable file
+      // appearing since means a concurrent layout change — abort)
+      else if (overwriteFilters.isDefined)
+        JsonDocTable.metadataDeleteSet(path, overwriteFilters.get).getOrElse(
+          throw new java.util.ConcurrentModificationException(
+            s"graft-jsondoc: INSERT OVERWRITE by filter on $path became " +
+              "unprovable between planning and commit (concurrent layout " +
+              "change?) — re-run"))
+      // DYNAMIC overwrite (r16): retire every live file in a partition
+      // directory this write touched; an empty write touches nothing
+      else if (dynamicOverwrite) {
+        val touched = msgs.map(m => dirPrefixOf(m.finalName)).toSet
+        live0.filter(rel => touched.contains(dirPrefixOf(rel)))
+      }
       else replaceScope match {
         case Some(get) => get().map(_.intersect(live0)).getOrElse(Set.empty)
         case None => Set.empty
       }
-    val msgs = messages.filter(_ != null).flatMap(JsonDocCommitMessage.entriesOf)
     msgs.foreach { m =>
       val src = new java.io.File(dir, m.tmpName)
       val dst = new java.io.File(dir, m.finalName)
@@ -1287,6 +1353,7 @@ private[sources] class JsonDocBatchWrite(path: String, schema: StructType,
     // OPTIMIZE instead of re-emitting the whole table to consumers.
     val op = if (truncateFirst && clusterRewrite) "cluster"
       else if (truncateFirst) "overwrite"
+      else if (overwriteFilters.isDefined || dynamicOverwrite) "overwrite"
       else if (replaceScope.isDefined) "rewrite"
       else "append"
     // a STAGED commit needs a PUBLISHED basis to be invisible against

@@ -1303,6 +1303,58 @@ object SourceQueries {
     "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders " +
       "WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"
 
+  /** q221: PARTITION OVERWRITE (r16 — SupportsOverwrite +
+    * SupportsDynamicOverwrite): the daily-reprocess shape every
+    * partitioned warehouse runs — `INSERT OVERWRITE t PARTITION
+    * (status = 'F') SELECT <recomputed>` retires exactly the F
+    * partition's files and lands the recomputation in ONE atomic
+    * commit (cold partitions byte-untouched, pinned by the in-flow
+    * require), then a DYNAMIC overwrite replaces exactly the
+    * partitions a second recomputation touches. Oracle: the relational
+    * composition of both replacements. */
+  def q221PartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q221")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderstatus STRING, o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (o_orderstatus)")
+    orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q221_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM q221_src")
+    val path = s"$root/t"
+    val before = JsonDocVersions.latest(path).get._2.map { rel =>
+      rel -> new java.io.File(new java.io.File(path), rel).lastModified()
+    }.toMap
+    // STATIC: recompute the F partition (price doubled)
+    spark.sql(s"INSERT OVERWRITE $tbl PARTITION (o_orderstatus = 'F') " +
+      "SELECT o_orderkey, o_totalprice * 2.0 FROM q221_src WHERE o_orderstatus = 'F'")
+    require(JsonDocVersions.readOp(path,
+      JsonDocVersions.latestVersion(path).get).contains("overwrite"),
+      "q221: the static partition overwrite must be one overwrite commit")
+    require(JsonDocVersions.latest(path).get._2
+      .filterNot(_.startsWith("o_orderstatus=F/"))
+      .forall(rel => new java.io.File(new java.io.File(path), rel)
+        .lastModified() == before(rel)),
+      "q221: cold partitions must be byte-untouched")
+    // DYNAMIC: a second recompute replaces exactly the O partition
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $tbl " +
+      "SELECT 'O', o_orderkey, o_totalprice + 1.0 FROM q221_src " +
+      "WHERE o_orderstatus = 'O'")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.sql(s"SELECT o_orderstatus, o_orderkey, o_totalprice FROM $tbl " +
+      "ORDER BY o_orderkey")
+  }
+
+  val q221Sql: String =
+    "SELECT o_orderstatus, o_orderkey, " +
+      "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0 " +
+      "WHEN o_orderstatus = 'O' THEN o_totalprice + 1.0 " +
+      "ELSE o_totalprice END AS o_totalprice " +
+      "FROM orders ORDER BY o_orderkey"
+
   /** q215: NAMED-IDENTIFIER CATALOG + SQL VIEWS (r16 — the addressing
     * layer every SQL user expects, [[GraftCatalog]] as
     * SupportsNamespaces/ViewCatalog + [[graft.plans.GraftViews]]):
@@ -1415,6 +1467,7 @@ object SourceQueries {
     "q215_named_catalog_view" -> q215NamedCatalogView _,
     "q218_shredded_variant" -> q218ShreddedVariant _,
     "q220_metadata_delete" -> q220MetadataDelete _,
+    "q221_partition_overwrite" -> q221PartitionOverwrite _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1481,6 +1534,7 @@ object SourceQueries {
     "q215_named_catalog_view" -> q215Sql,
     "q218_shredded_variant" -> graft.ops.TimeSeries.q24Sql,
     "q220_metadata_delete" -> q220Sql,
+    "q221_partition_overwrite" -> q221Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
     "q199_branch" -> q199Sql)
