@@ -116,6 +116,32 @@ class GeoIntersectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0), "SQL null in, SQL null out")
   }
 
+  test("property: 300 random integer rectangle pairs match exact interval-overlap math") {
+    // axis-aligned rectangles have a closed-form intersects answer
+    // (closed intervals overlap on BOTH axes) that matches the
+    // boundary-inclusive ST_Intersects contract exactly; integer
+    // coordinates keep the oracle ulp-free. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260816L)
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    val cases = (0 until 300).map { _ =>
+      def r() = { // small domain so touching/overlap/disjoint all occur
+        val x1 = rnd.nextInt(12); val y1 = rnd.nextInt(12)
+        (x1, y1, x1 + 1 + rnd.nextInt(5), y1 + 1 + rnd.nextInt(5))
+      }
+      val (ax1, ay1, ax2, ay2) = r(); val (bx1, by1, bx2, by2) = r()
+      val want = ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+      (rect(ax1, ay1, ax2, ay2), rect(bx1, by1, bx2, by2), want)
+    }
+    val got = cases.toDF("a", "b", "want")
+      .selectExpr("geo_intersects(a, b) AS got", "want").collect()
+    got.zip(cases).foreach { case (row, (a, b, want)) =>
+      assert(row.getBoolean(0) === want, s"\nA=$a\nB=$b expected $want")
+    }
+    assert(cases.count(_._3) > 30 && cases.count(!_._3) > 30,
+      "the domain must generate both outcomes in bulk")
+  }
+
   test("whole-stage codegen path agrees with interpreted eval") {
     import spark.implicits._
     graft.functions.GeoFunctions.register(spark)
