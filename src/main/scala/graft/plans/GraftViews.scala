@@ -236,7 +236,25 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
   // resolveOperatorsUp skips already-analyzed subtrees; subquery
   // expressions re-enter through the analyzer's own ResolveSubquery,
   // which runs the full rule set (this rule included) on the sub-plan
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a DML TARGET must NEVER expand (r16 self-review — a REAL bug:
+    // `DELETE FROM v` expanded the view body and the delete then ran
+    // against the UNDERLYING TABLE). Collect target relations by
+    // IDENTITY; a graft view in target position refuses loudly, the
+    // SQL-standard non-updatable-view answer.
+    val targets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        targets.add(d.table); ()
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        targets.add(u.table); ()
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        targets.add(m.targetTable); ()
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        targets.add(i.table); ()
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation =>
         // under-specified names qualify against a CURRENT graft catalog
@@ -246,10 +264,18 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
         val parts = GraftViews.qualify(session, u.multipartIdentifier, minParts = 1)
         GraftViews.graftCatalogOf(session, parts) match {
           case Some(cat) if cat.viewExists(GraftViews.identOf(parts)) =>
+            if (targets.contains(u))
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+                messageParameters = Map(
+                  "tableName" -> parts.mkString("."),
+                  "operation" -> ("writes — " + parts.mkString(".") +
+                    " is a VIEW; INSERT/UPDATE/DELETE/MERGE need a table")))
             expand(cat, parts)
           case _ => u
         }
     }
+  }
 
   private def expand(cat: GraftCatalog, parts: Seq[String]): LogicalPlan = {
     val view = cat.loadView(GraftViews.identOf(parts))

@@ -149,6 +149,32 @@ class NamedCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("USE spark_catalog.default")
   }
 
+  test("views are read-only: DML through a view refuses loudly, the base stays intact") {
+    freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.ro")
+    spark.sql("CREATE TABLE graftcat.ro.t (k BIGINT) USING `graft-jsondoc`")
+    spark.sql("INSERT INTO graftcat.ro.t VALUES (1), (2)")
+    spark.sql("CREATE VIEW graftcat.ro.v AS SELECT k FROM graftcat.ro.t")
+    // the r16 self-review bug: DELETE FROM v used to expand the view and
+    // delete the UNDERLYING TABLE's rows
+    for (dml <- Seq(
+      "DELETE FROM graftcat.ro.v",
+      "UPDATE graftcat.ro.v SET k = 9",
+      "INSERT INTO graftcat.ro.v VALUES (9)",
+      "MERGE INTO graftcat.ro.v t USING graftcat.ro.t s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")) {
+      val e = intercept[Exception] { spark.sql(dml).collect() }
+      assert(e.getMessage.contains("VIEW") || e.getMessage.contains("not found") ||
+        e.getMessage.contains("does not support"),
+        s"$dml must refuse: ${e.getMessage.take(150)}")
+      assert(spark.sql("SELECT count(*) FROM graftcat.ro.t")
+        .collect()(0).getLong(0) === 2L,
+        s"$dml must leave the base table intact")
+    }
+    // reads through the view still fine after all the refusals
+    assert(spark.sql("SELECT count(*) FROM graftcat.ro.v").collect()(0).getLong(0) === 2L)
+  }
+
   test("loud refusals: no warehouse, missing namespace, bad segments; paths unaffected") {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
