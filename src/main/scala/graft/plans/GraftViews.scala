@@ -181,20 +181,22 @@ case class CreateGraftViewCommand(catalog: GraftCatalog, parts: Seq[String],
       else StructType(analyzed.schema.fields.zip(userColumns).map {
         case (f, n) => StructField(n, f.dataType, f.nullable, f.metadata)
       })
-    if (catalog.viewExists(ident)) {
-      if (replace) catalog.dropView(ident)
-      else if (allowExisting) return Seq.empty
+    if (catalog.viewExists(ident) && !replace) {
+      if (allowExisting) return Seq.empty
       else throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
     }
     val cm = session.sessionState.catalogManager
-    catalog.createView(new ViewInfo(ident, sql,
+    val info = new ViewInfo(ident, sql,
       cm.currentCatalog.name(), cm.currentNamespace,
       schema, names, userColumns.toArray, Array.empty, {
         val m = new java.util.HashMap[String, String]()
         properties.foreach { case (k, v) => m.put(k, v) }
         m
-      }))
+      })
+    // REPLACE is an atomic swap, never drop-then-create (r17, advice 3):
+    // a crash mid-replace must leave the old definition, not no view
+    if (replace) catalog.replaceView(info) else catalog.createView(info)
     Seq.empty
   }
 }

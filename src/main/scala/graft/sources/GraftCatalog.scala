@@ -801,6 +801,25 @@ class GraftCatalog extends TableCatalog
     GraftCatalog.readView(f, ident)
   }
 
+  /** CREATE OR REPLACE's swap (r17, advice item 3): same validation as
+    * [[createView]] but an existing definition is overwritten by
+    * [[GraftCatalog.writeView]]'s tmp+atomic-rename — never a pre-drop,
+    * so a crash mid-replace leaves the OLD view intact instead of none. */
+  private[graft] def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    require(ident.namespace().nonEmpty,
+      s"graft catalog: views need a namespace (got ${ident.toString})")
+    if (!namespaceDir(ident.namespace()).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        ident.namespace())
+    require(!dirOf(ident).isDirectory,
+      s"graft catalog: a table named ${ident.name()} already exists")
+    val f = viewFileOf(ident)
+    GraftCatalog.writeView(f, info)
+    GraftCatalog.readView(f, ident)
+  }
+
   override def alterView(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.ViewChange*):
       org.apache.spark.sql.connector.catalog.View =
@@ -864,9 +883,19 @@ object GraftCatalog {
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
     java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root),
       java.nio.charset.StandardCharsets.UTF_8)
-    if (f.exists()) f.delete()
-    if (!tmp.renameTo(f))
-      throw new java.io.IOException(s"graft catalog: view write failed for $f")
+    // ATOMIC swap (r17, advice item 3): a delete-then-rename pair leaves
+    // NO view at all if the process dies between the two — REPLACE must
+    // expose exactly the old definition or exactly the new one
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // non-POSIX fallback: best effort, same end state
+        if (f.exists()) f.delete()
+        if (!tmp.renameTo(f))
+          throw new java.io.IOException(s"graft catalog: view write failed for $f")
+    }
   }
 
   private[sources] def readView(f: java.io.File, ident: Identifier):
@@ -1473,6 +1502,26 @@ object GraftCatalog {
         JsonDocBlooms.declaredCols(path, sch).map(c =>
           c -> (sch(c).dataType == org.apache.spark.sql.types.StringType))
       }
+    // frozen EXISTS_DEFAULT hashes (r17, advice-high): lines predating an
+    // `ADD COLUMN ... DEFAULT` lack the key but READ as the frozen value,
+    // so the rebuilt filter must contain that value or `WHERE c = default`
+    // would prune the compacted file and its pre-add rows would silently
+    // vanish. Sidecar-authoritative resolution (same source as the
+    // reader); an unhashable default value (cannot happen for indexable
+    // types, kept as a guard) drops the column — no filter beats a lying
+    // one.
+    val existsDefs: Map[String, Any] = GraftCatalog.existsDefaultsForTable(
+      path, new org.apache.spark.sql.types.StructType())
+    val bloomDefaultHashes: Map[String, Option[Long]] =
+      bloomColSpec.flatMap { case (n, _) =>
+        existsDefs.get(n).map(v => n -> JsonDocBlooms.hashConst(v)) }.toMap
+    val bloomCols: Seq[(String, Boolean)] =
+      bloomColSpec.filter { case (n, _) => bloomDefaultHashes.get(n) match {
+        case Some(None) => false // unhashable default: build no filter
+        case _ => true
+      } }
+    val bloomDefaults: Map[String, Long] =
+      bloomDefaultHashes.collect { case (n, Some(h)) => n -> h }
 
     // Build each merged file in an EXECUTOR task (r12 verdict item 3):
     // the bins are independent byte concatenations, and compaction of a
@@ -1497,7 +1546,8 @@ object GraftCatalog {
           val dvPosB = dvPos // avoid capturing the whole enclosing scope
           val eqPB = eqPathsB
           val aliasesB = eqAliases
-          val bloomSpecB = bloomColSpec
+          val bloomSpecB = bloomCols
+          val bloomDefsB = bloomDefaults
           spark.sparkContext.parallelize(multi, multi.size).map { case (i, names) =>
             val d = new java.io.File(pathStr)
             val attempt = Option(org.apache.spark.TaskContext.get())
@@ -1506,7 +1556,7 @@ object GraftCatalog {
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t$attempt.jsonl.tmp"
             val rebuild = if (bloomSpecB.isEmpty) null
-              else new JsonDocBlooms.Rebuild(bloomSpecB, aliasesB)
+              else new JsonDocBlooms.Rebuild(bloomSpecB, aliasesB, bloomDefsB)
             val out = new java.io.FileOutputStream(new java.io.File(d, tmpName))
             val dropped = try names.map(n =>
               GraftCatalog.copyCompactInput(d, n, out, dvPosB.get(n),
@@ -1518,8 +1568,8 @@ object GraftCatalog {
           multi.map { case (i, names) =>
             val prefix = names.head.substring(0, names.head.lastIndexOf('/') + 1)
             val tmpName = s"$prefix.compact-bin$i-t0.jsonl.tmp"
-            val rebuild = if (bloomColSpec.isEmpty) null
-              else new JsonDocBlooms.Rebuild(bloomColSpec, eqAliases)
+            val rebuild = if (bloomCols.isEmpty) null
+              else new JsonDocBlooms.Rebuild(bloomCols, eqAliases, bloomDefaults)
             val out = new java.io.FileOutputStream(new java.io.File(dir, tmpName))
             val dropped = try names.map(n =>
               GraftCatalog.copyCompactInput(dir, n, out, dvPos.get(n),
@@ -1551,8 +1601,19 @@ object GraftCatalog {
             val purged = bin.map { case (n, _) =>
               dvPos.get(n).map(_.length.toLong).getOrElse(0L) }.sum +
               eqDroppedOf.getOrElse(i, 0L)
-            newEntries += (name -> JsonDocStats.toJson(
-              merged.copy(rows = merged.rows - purged)))
+            // defaulted columns (r17, advice-high sibling): an input
+            // whose stats LACK column c holds pre-`ADD COLUMN` lines
+            // that READ as c's frozen EXISTS_DEFAULT, so the union's
+            // keep-the-present-range result would exclude a value the
+            // merged file serves and `WHERE c = <default>` would
+            // stats-prune it. Drop such columns from the merged entry —
+            // absence never prunes; the rebuilt bloom (which hashes the
+            // default on absent tokens) keeps point-lookup skipping.
+            val lying = existsDefs.keySet.filter(c =>
+              merged.cols.contains(c) && bin.exists { case (n, _) =>
+                stats.get(n).exists(s => !s.cols.contains(c)) })
+            newEntries += (name -> JsonDocStats.toJson(merged.copy(
+              rows = merged.rows - purged, cols = merged.cols -- lying)))
           }
         // rebuilt blooms from the rewrite task (exact over surviving rows)
         bloomOf.get(i).filter(_.nonEmpty).foreach(j => newBloomEntries += (name -> j))

@@ -195,9 +195,21 @@ private[sources] object JsonDocBlooms {
     * A token whose shape contradicts the declared type poisons that
     * column (no filter beats a lying one); renamed columns resolve
     * through the reader's own alias fallback so pre-rename lines hash
-    * under the current name. */
+    * under the current name.
+    *
+    * `defaults` carries the hash of each column's frozen EXISTS_DEFAULT
+    * (r17, the r16 advice's high item): the reader SERVES that value
+    * for lines that lack the key entirely (rows predating an
+    * `ADD COLUMN ... DEFAULT`), so a rebuilt filter that skipped absent
+    * tokens would exclude the default — `WHERE col = <frozen default>`
+    * would bloom-prune the compacted file and its pre-add rows would
+    * silently vanish. Hashing the default on absence keeps the filter a
+    * superset of SERVED values, which is the only soundness contract
+    * that matters. Columns with no default stay skip-on-absent: the
+    * reader serves NULL there, and NULL never matches an equality. */
   final class Rebuild(cols: Seq[(String, Boolean)],
-      aliases: Map[String, Seq[String]]) extends Serializable {
+      aliases: Map[String, Seq[String]],
+      defaults: Map[String, Long] = Map.empty) extends Serializable {
     private val acc = cols.map { case (n, _) =>
       n -> new scala.collection.mutable.ArrayBuilder.ofLong }.toMap
     private val poisoned = scala.collection.mutable.Set.empty[String]
@@ -209,10 +221,15 @@ private[sources] object JsonDocBlooms {
             aliases.getOrElse(name, Seq.empty).iterator
               .map(a => Option(node.get(a)).filterNot(_.isNull))
               .collectFirst { case Some(t) => t })
-          tok.foreach { t =>
-            if (isString && t.isTextual) acc(name) += hashConst(t.asText()).get
-            else if (!isString && t.isIntegralNumber) acc(name) += hashLong(t.asLong())
-            else poisoned += name
+          tok match {
+            case Some(t) =>
+              if (isString && t.isTextual) acc(name) += hashConst(t.asText()).get
+              else if (!isString && t.isIntegralNumber) acc(name) += hashLong(t.asLong())
+              else poisoned += name
+            case None =>
+              // absent key: the reader serves the frozen existence
+              // default (if any) — the filter must contain it
+              defaults.get(name).foreach(acc(name) += _)
           }
         }
       }

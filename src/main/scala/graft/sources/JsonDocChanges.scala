@@ -320,7 +320,7 @@ private[sources] class JsonDocChangesScan(path: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path))
+    new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path), path)
 
   /** STREAMING change feed (r15): the feed as a micro-batch source —
     * offsets are PUBLISHED SNAPSHOT VERSIONS, each batch the feed rows
@@ -383,21 +383,25 @@ private[sources] class JsonDocChangesMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path))
+    new JsonDocChangesReaderFactory(dataSchema, GraftCatalog.renamesOf(path), path)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 private[sources] class JsonDocChangesReaderFactory(dataSchema: StructType,
-    aliases: Map[String, Seq[String]]) extends PartitionReaderFactory {
-  // existence defaults (r16): resolved once, driver-side — the feed
-  // emits pre-add rows with their frozen ADD COLUMN DEFAULT exactly as
-  // the snapshot read serves them (consumers replaying the feed land
-  // the same values a direct read would)
+    aliases: Map[String, Seq[String]], path: String)
+    extends PartitionReaderFactory {
+  // existence defaults (r16; sidecar-authoritative r17, advice item 2):
+  // resolved once, driver-side, from the TABLE PATH — a bare
+  // readChanges with a user-declared schema carries no field metadata,
+  // and the feed must emit pre-add rows with the same frozen
+  // ADD COLUMN DEFAULT the direct read serves (consumers replaying the
+  // feed land the same values a direct read would), so the resolution
+  // goes through GraftCatalog.existsDefaultsForTable exactly like
+  // JsonDocScanBuilder's
   private val existsDefaults: Map[String, Any] =
-    GraftCatalog.existsDefaultsOf(dataSchema) // dataSchema already
-    // prefers the catalog sidecar (getTable/metaDirOf resolution)
+    GraftCatalog.existsDefaultsForTable(path, dataSchema)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonDocChangesPartition]
     // the wrapped snapshot reader does the parsing, rename mapping, DV

@@ -100,6 +100,18 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = new JsonDocBlooms.Rebuild(Seq("k" -> false), Map.empty)
     p.add(mapper.readTree("""{"k": "not-a-number"}"""))
     assert(p.toJson === "", "a lying filter is worse than none")
+    // absent token + EXISTS_DEFAULT: the served value must be in the filter
+    val dh = JsonDocBlooms.hashConst("legacy").get
+    val d = new JsonDocBlooms.Rebuild(Seq("tag" -> true), Map.empty,
+      defaults = Map("tag" -> dh))
+    d.add(mapper.readTree("""{"k": 1}"""))
+    val dNode = mapper.readTree(d.toJson).get("cols").get("tag")
+    val dBytes = java.util.Base64.getDecoder.decode(dNode.get("bits").asText())
+    val dbb = java.nio.ByteBuffer.wrap(dBytes)
+    val dBloom = JsonDocBlooms.Bloom(dNode.get("k").asInt(),
+      Array.fill(dBytes.length / 8)(dbb.getLong()))
+    assert(JsonDocBlooms.mightContain(dBloom, dh),
+      "a line lacking the key reads as the frozen default; the filter must contain it")
   }
 
   test("point SELECT plans files-read << live-files; an undeclared table scans all") {
@@ -159,6 +171,40 @@ class BloomSkipSpec extends AnyFunSuite with BeforeAndAfterAll {
     // absent key: the merged file's rebuilt filter still excludes it
     assert(plannedFiles(read(path).filter(col("k") === 55L)).isEmpty,
       "the rebuilt (fold-unioned) filter must keep excluding absent keys")
+  }
+
+  test("OPTIMIZE keeps frozen ADD COLUMN defaults findable (r17 advice-high regression)") {
+    // lines predating `ADD COLUMN ... DEFAULT` lack the key but READ as
+    // the frozen value; a rebuilt bloom that skipped absent tokens would
+    // exclude it, so `WHERE col = <default>` would prune the compacted
+    // file and the pre-add rows would silently vanish from results
+    val (tbl, path) = fresh(BloomProps)
+    import spark.implicits._
+    for (i <- 0 until 4) { // 4 pre-add single-file commits
+      Seq((i * 10L, s"tag-$i", i * 1.0)).toDF("k", "tag", "v")
+        .coalesce(1).writeTo(tbl).append()
+    }
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (src STRING DEFAULT 'legacy')")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('write.bloom.columns' = 'k,tag,src')")
+    Seq((100L, "tag-x", 9.0, "fresh"), (101L, "tag-y", 9.0, "fresh"))
+      .toDF("k", "tag", "v", "src").coalesce(1).writeTo(tbl).append()
+    assert(GraftCatalog.optimize(path, targetBytes = 1024 * 1024).isDefined)
+    assert(JsonDocVersions.latest(path).get._2.size === 1, "all files merged")
+    def readAll: DataFrame = spark.read.format("graft-jsondoc")
+      .schema("k BIGINT, tag STRING, v DOUBLE, src STRING")
+      .option("path", path).load()
+    // the pre-add rows still answer an equality probe on the frozen value
+    assert(readAll.filter(col("src") === "legacy").count() === 4L,
+      "pre-add rows must keep reading (and bloom-matching) the frozen default")
+    assert(plannedFiles(readAll.filter(col("src") === "legacy")).nonEmpty)
+    assert(readAll.filter(col("src") === "fresh").count() === 2L)
+    // absent keys on the same column still prune to zero files
+    assert(plannedFiles(readAll.filter(col("src") === "nope")).isEmpty,
+      "the defaulted column's rebuilt filter still excludes absent keys")
+    // SQL path through the catalog agrees
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl WHERE src = 'legacy'")
+      .collect()(0).getLong(0) === 4L)
   }
 
   test("streaming appends carry blooms; aggregate pushdown path prunes too") {

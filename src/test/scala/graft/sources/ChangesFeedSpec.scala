@@ -453,6 +453,26 @@ class ChangesFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table === Seq((1L, 10L, "old"), (3L, 30L, "new")))
   }
 
+  test("a user-declared feed schema (no metadata) still serves frozen defaults (r17 advice)") {
+    // existence defaults resolve from the TABLE PATH's sidecar, not from
+    // the handed-in schema's field metadata — a bare readChanges with
+    // .schema(...) must emit the same pre-add values a direct read does
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_bare").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $tbl VALUES (1), (2)") // v1, pre-add
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (tag STRING DEFAULT 'old')")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 'new')") // v2
+    val feed = spark.read.format("graft-jsondoc").option("readChanges", "true")
+      .schema("k BIGINT, tag STRING") // METADATA-FREE user schema
+      .option("path", s"$root/t").load()
+    val got = feed.select("_commit_version", "k", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 1L, "old"), (1L, 2L, "old"), (2L, 3L, "new")),
+      s"the bare-schema feed must serve the frozen default for pre-add rows: $got")
+  }
+
   test("mis-cased reader options resolve like Spark options: case-insensitively") {
     val (tbl, path) = fresh(mor = true)
     import spark.implicits._

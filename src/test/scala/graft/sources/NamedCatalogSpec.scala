@@ -110,9 +110,15 @@ class NamedCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("CREATE TABLE graftcat.db.big (x BIGINT) USING `graft-jsondoc`")
     }
     assert(e2.getMessage.contains("view"))
-    // OR REPLACE / IF NOT EXISTS / DROP semantics
+    // OR REPLACE / IF NOT EXISTS / DROP semantics. REPLACE is an atomic
+    // swap (r17): writeView overwrites in place, never drop-then-create
     spark.sql("CREATE OR REPLACE VIEW graftcat.db.big AS SELECT k FROM graftcat.db.t")
     assert(spark.sql("SELECT * FROM graftcat.db.big").columns.toSeq === Seq("k"))
+    // the replace path refuses a TABLE collision exactly like create
+    val eRep = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE VIEW graftcat.db.t AS SELECT 1 AS one")
+    }
+    assert(eRep.getMessage.contains("table"))
     spark.sql("CREATE VIEW IF NOT EXISTS graftcat.db.big AS SELECT v FROM graftcat.db.t")
     assert(spark.sql("SELECT * FROM graftcat.db.big").columns.toSeq === Seq("k"))
     intercept[Exception] {
