@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.sources.{GraftCatalog, GraftMv}
+
+/** `CREATE/DROP MATERIALIZED VIEW` DDL (r17, [[graft.sources.GraftMv]]).
+  * Spark's grammar has NO materialized-view statements at all — the
+  * delegate parser throws before any plan exists to rewrite — so these
+  * two statements are recognized at the TEXT level by
+  * [[GraftViewSqlParser]] before delegation (the same pre-parse hook
+  * every engine retro-fitting MV DDL onto Spark uses). The recognizer
+  * is deliberately narrow: the statement must start with the exact
+  * keyword sequence; identifiers parse through the DELEGATE's
+  * `parseMultipartIdentifier` (backticks and all); everything after
+  * ` AS ` is the body, handed to the normal parser. Anything that
+  * doesn't match falls through to stock Spark untouched. */
+object GraftMvDdl {
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
+
+  /** Recognize an MV statement; None = not one (delegate normally). */
+  def parse(session: SparkSession, sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
+    case CreateRe(ifNotExists, identText, body) =>
+      val parts = GraftViews.qualify(session,
+        delegate.parseMultipartIdentifier(identText), minParts = 1)
+      val cat = GraftViews.graftCatalogOf(session, parts).getOrElse(
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+          messageParameters = Map("tableName" -> parts.mkString("."),
+            "operation" -> ("CREATE MATERIALIZED VIEW — only graft catalogs " +
+              "support materialized views; qualify the name as " +
+              "<graft-catalog>.<namespace>.<name>"))))
+      Some(CreateGraftMvCommand(cat, parts, body.trim, ifNotExists != null))
+    case DropRe(ifExists, identText) =>
+      val parts = GraftViews.qualify(session,
+        delegate.parseMultipartIdentifier(identText), minParts = 1)
+      val cat = GraftViews.graftCatalogOf(session, parts).getOrElse(
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+          messageParameters = Map("tableName" -> parts.mkString("."),
+            "operation" -> ("DROP MATERIALIZED VIEW — only graft catalogs " +
+              "support materialized views"))))
+      Some(DropGraftMvCommand(cat, parts, ifExists != null))
+    case _ => None
+  }
+}
+
+/** CREATE MATERIALIZED VIEW: validate + extract the fold plan, build
+  * the backing table, materialize the current base snapshot, publish
+  * the definition last ([[GraftMv.create]]). */
+case class CreateGraftMvCommand(catalog: GraftCatalog, parts: Seq[String],
+    bodySql: String, ifNotExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val ident = GraftViews.identOf(parts)
+    require(ident.namespace().nonEmpty,
+      "graft catalog: materialized views need a namespace — " +
+        "CREATE MATERIALIZED VIEW <catalog>.<ns>.<name> AS ...")
+    if (catalog.mvExists(ident)) {
+      if (ifNotExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(parts.tail)
+    }
+    require(!catalog.tableExists(ident),
+      s"graft catalog: a table named ${ident.name()} already exists")
+    require(!catalog.viewExists(ident),
+      s"graft catalog: a view named ${ident.name()} already exists")
+    GraftMv.create(session, parts.head, catalog.mvDefFileOf(ident),
+      catalog.mvDataDirOf(ident), bodySql)
+    Seq.empty
+  }
+}
+
+case class DropGraftMvCommand(catalog: GraftCatalog, parts: Seq[String],
+    ifExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val ident = GraftViews.identOf(parts)
+    if (!catalog.mvExists(ident)) {
+      if (ifExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    }
+    GraftMv.drop(catalog.mvDefFileOf(ident), catalog.mvDataDirOf(ident))
+    Seq.empty
+  }
+}

@@ -138,7 +138,11 @@ class GraftViewSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftViews.rewriteViewCommands(session, delegate.parsePlan(sqlText))
+    // MATERIALIZED VIEW statements (r17) are recognized BEFORE
+    // delegation — stock Spark's grammar has no such statements and
+    // would throw; everything else delegates byte-identically
+    GraftMvDdl.parse(session, sqlText, delegate).getOrElse(
+      GraftViews.rewriteViewCommands(session, delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -274,9 +278,31 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
                   "operation" -> ("writes — " + parts.mkString(".") +
                     " is a VIEW; INSERT/UPDATE/DELETE/MERGE need a table")))
             expand(cat, parts)
+          case Some(cat) if cat.mvExists(GraftViews.identOf(parts)) =>
+            // a MATERIALIZED view (r17) reads as its rendering
+            // projection over the backing table — hidden fold counters
+            // never escape; DML through it refuses exactly like a view
+            // (refresh_mv is the only writer)
+            if (targets.contains(u))
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+                messageParameters = Map(
+                  "tableName" -> parts.mkString("."),
+                  "operation" -> ("writes — " + parts.mkString(".") +
+                    " is a MATERIALIZED VIEW; it is maintained only by " +
+                    "CALL refresh_mv")))
+            expandMv(cat, parts)
           case _ => u
         }
     }
+  }
+
+  private def expandMv(cat: GraftCatalog, parts: Seq[String]): LogicalPlan = {
+    val ident = GraftViews.identOf(parts)
+    val d = graft.sources.GraftMv.read(cat.mvDefFileOf(ident))
+    val sql = graft.sources.GraftMv.renderSql(parts.head,
+      cat.mvDataDirOf(ident).getAbsolutePath, d)
+    SubqueryAlias(parts, session.sessionState.sqlParser.parsePlan(sql))
   }
 
   private def expand(cat: GraftCatalog, parts: Seq[String]): LogicalPlan = {
@@ -287,10 +313,17 @@ class ResolveGraftViews(session: SparkSession) extends Rule[LogicalPlan] {
     body = org.apache.spark.sql.catalyst.analysis.CTESubstitution.apply(body)
     val defCat = view.currentCatalog
     val defNs = view.currentNamespace.toSeq
+    val cm = session.sessionState.catalogManager
+    def isCatalog(n: String): Boolean =
+      try { cm.catalog(n); true } catch { case _: Exception => false }
     body = body.transformUpWithSubqueries {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
         r.copy(multipartIdentifier = (defCat +: defNs) :+ r.multipartIdentifier.head)
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          // a 2-part name whose head IS a catalog (graftcat.`/path`,
+          // r17) is already fully qualified — prefixing the creation
+          // catalog would mis-resolve it
+          !isCatalog(r.multipartIdentifier.head) =>
         r.copy(multipartIdentifier = defCat +: r.multipartIdentifier)
     }
     val aliased =

@@ -134,11 +134,12 @@ class GraftCatalog extends TableCatalog
       case "fast_forward" => GraftProcedures.FastForwardProcedure
       case "cherry_pick" => GraftProcedures.CherryPickProcedure
       case "recover_txn2" => GraftProcedures.RecoverTxn2Procedure
+      case "refresh_mv" => new GraftProcedures.RefreshMvProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
           "rollback, publish, discard_staged, create_branch, drop_branch, " +
-          "fast_forward, cherry_pick)")
+          "fast_forward, cherry_pick, refresh_mv)")
     }
   }
 
@@ -151,7 +152,7 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "discard_staged"),
       Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"),
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
-      Identifier.of(Array.empty, "recover_txn2"))
+      Identifier.of(Array.empty, "recover_txn2"), Identifier.of(Array.empty, "refresh_mv"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged
@@ -170,7 +171,9 @@ class GraftCatalog extends TableCatalog
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
           namespace)
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && GraftCatalog.schemaFile(f).isFile)
+        .filter(f => f.isDirectory && GraftCatalog.schemaFile(f).isFile &&
+          // MV backing tables are internal storage, not user tables
+          !f.getName.endsWith(GraftMv.DataSuffix))
         .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
     }
 
@@ -195,6 +198,15 @@ class GraftCatalog extends TableCatalog
     } else None
 
   override def loadTable(ident: Identifier): Table = {
+    // `mv#mvstate` (r17): the materialized view's one-row staleness
+    // table (last folded version vs the base's published head)
+    if (ident.name().endsWith("#mvstate") && ident.namespace().nonEmpty) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("#mvstate"))
+      if (!mvExists(base)) throw new NoSuchTableException(ident)
+      return new GraftMvStateTable(mvDefFileOf(base), mvDataDirOf(base),
+        base.name())
+    }
     // `path#history` (Iceberg's t.history idiom): one row per committed
     // version; `path#files` (t.files): the live-file inventory — the
     // user-visible window onto the per-file stats that file skipping
@@ -391,6 +403,8 @@ class GraftCatalog extends TableCatalog
           ident.namespace())
       require(!viewFileOf(ident).isFile,
         s"graft catalog: a view named ${ident.name()} already exists")
+      require(!mvDefFileOf(ident).isFile,
+        s"graft catalog: a materialized view named ${ident.name()} already exists")
     }
     val dir = dirOf(ident)
     if (GraftCatalog.schemaFile(dir).exists()) throw new TableAlreadyExistsException(ident)
@@ -758,6 +772,19 @@ class GraftCatalog extends TableCatalog
   // context at every reference, so a view sees the LIVE table — the
   // standard (non-materialized) SQL view contract.
 
+  // ---- materialized views (r17, [[GraftMv]]) --------------------------
+
+  private[graft] def mvDefFileOf(ident: Identifier): java.io.File =
+    new java.io.File(namespaceDir(ident.namespace()),
+      validSegment(ident.name(), "materialized view") + GraftMv.DefSuffix)
+
+  private[graft] def mvDataDirOf(ident: Identifier): java.io.File =
+    new java.io.File(namespaceDir(ident.namespace()),
+      validSegment(ident.name(), "materialized view") + GraftMv.DataSuffix)
+
+  def mvExists(ident: Identifier): Boolean =
+    ident.namespace().nonEmpty && warehouse.isDefined && mvDefFileOf(ident).isFile
+
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),
       validSegment(ident.name(), "view") + GraftCatalog.ViewFileSuffix)
@@ -794,6 +821,8 @@ class GraftCatalog extends TableCatalog
         ident.namespace())
     require(!dirOf(ident).isDirectory,
       s"graft catalog: a table named ${ident.name()} already exists")
+    require(!mvDefFileOf(ident).isFile,
+      s"graft catalog: a materialized view named ${ident.name()} already exists")
     val f = viewFileOf(ident)
     if (f.isFile)
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
@@ -815,6 +844,8 @@ class GraftCatalog extends TableCatalog
         ident.namespace())
     require(!dirOf(ident).isDirectory,
       s"graft catalog: a table named ${ident.name()} already exists")
+    require(!mvDefFileOf(ident).isFile,
+      s"graft catalog: a materialized view named ${ident.name()} already exists")
     val f = viewFileOf(ident)
     GraftCatalog.writeView(f, info)
     GraftCatalog.readView(f, ident)

@@ -1,0 +1,591 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast,
+  Expression, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan,
+  SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType,
+  LongType, StringType}
+
+import scala.jdk.CollectionConverters._
+
+/** MATERIALIZED VIEWS as catalog DDL (r17 — the r16 verdict's top item):
+  * the q208 change-feed delta fold and the q183 append-only MERGE fold,
+  * hand-wired pipelines until now, become a DECLARED object —
+  *
+  * {{{
+  *   CREATE MATERIALIZED VIEW graftcat.db.mv AS
+  *     SELECT status, count(*) AS n, sum(key) AS s
+  *     FROM graftcat.`/data/orders` WHERE key > 0 GROUP BY status
+  *   CALL graftcat.refresh_mv('db.mv')       -- fold (last, head]
+  *   SELECT * FROM graftcat.db.mv            -- reads the materialization
+  *   SELECT * FROM graftcat.db.`mv#mvstate`  -- staleness row
+  * }}}
+  *
+  * SHAPE: one definition file `<ns>/<name>.mv.json` (the body text, the
+  * extracted fold plan, the last-folded base version) plus one BACKING
+  * graft-jsondoc table `<ns>/<name>.mvdata/` holding the group keys,
+  * the RAW additive aggregate state, and hidden counters (`__mv_rows` =
+  * group multiplicity; `__mv_nn_<agg>` = non-null argument count per
+  * SUM/AVG — the standard incremental-view-maintenance bookkeeping that
+  * makes vanished groups and all-NULL sums render EXACTLY like a
+  * recomputation). Reads of the MV name expand (in the same resolution
+  * rule as plain views) into a rendering projection over the backing
+  * table; the hidden columns never escape.
+  *
+  * INCREMENTALIZABLE bodies only, refused loudly otherwise: a single
+  * `SELECT <group cols and aggregates> FROM <one graft table>
+  * [WHERE <deterministic row predicate>] [GROUP BY <plain columns>]`
+  * with SUM / COUNT(*) / COUNT(col) / AVG / MIN / MAX aggregates — no
+  * joins, subqueries, DISTINCT aggregates, FILTER clauses, HAVING,
+  * windows, or computed group keys. SUM/COUNT/AVG fold signed deltas
+  * (+1 per feed insert, -1 per delete) and therefore tolerate ANY DML
+  * on the base; MIN/MAX fold least/greatest and are APPEND-ONLY — a
+  * refresh range containing deletes refuses with the reason (a deleted
+  * minimum cannot be un-folded without re-scanning the group; that is
+  * a recompute, not a refresh).
+  *
+  * EXACTLY-ONCE refresh with no crash window: the fold MERGE commits
+  * with the q183 manifest-transaction ledger ([[GraftTxn]]) — the
+  * applier declares `(appId = graft-mv-ddl:<name>, version = head)`
+  * before the MERGE and the backing table's OWN commit records it
+  * atomically, so the authoritative last-folded version is
+  * `max(definition file, ledger)` and a crash between the MERGE commit
+  * and the definition-file update can never double-fold. The
+  * definition file is a display cache, updated after.
+  *
+  * 100 TB: a refresh reads the feed of `(last, head]` only — commits'
+  * changed files, never the base — and MERGEs |changed groups| rows;
+  * the backing table is an ordinary graft table, so clustering
+  * (`CALL cluster`) bounds MERGE amplification exactly as q183's
+  * MvClusterProbe measures. Reference: the whole job of
+  * /root/reference/task.ts (lines 85-190) is maintaining a derived
+  * output from a source feed — this is that contract as DDL. */
+private[graft] object GraftMv {
+  val DefSuffix = ".mv.json"
+  val DataSuffix = ".mvdata"
+  val RowsCol = "__mv_rows"
+  def nnCol(alias: String): String = s"__mv_nn_$alias"
+  def appIdOf(name: String): String = s"graft-mv-ddl:$name"
+
+  /** One stored group key: `src` = the base column grouped on, `stored`
+    * = its column name in the backing table (the first visible alias,
+    * or a hidden name when the body groups on a column it never
+    * selects). */
+  final case class GroupSpec(src: String, stored: String, ddl: String)
+
+  /** One aggregate: `func` in count_star|count|sum|avg|min|max. `raw`
+    * is the backing column holding the additive state under the
+    * OUTPUT alias. */
+  final case class AggSpec(alias: String, func: String, arg: Option[String],
+      rawDdl: String)
+
+  /** Output order of the body's SELECT: ("g", group index, alias) or
+    * ("a", agg index, alias). */
+  final case class OutCol(kind: String, idx: Int, alias: String)
+
+  final case class MvDef(sql: String, basePath: String,
+      whereSql: Option[String], groups: Seq[GroupSpec], aggs: Seq[AggSpec],
+      output: Seq[OutCol], lastVersion: Int)
+
+  private def q(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  private def refuse(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+      messageParameters = Map("tableName" -> "materialized view",
+        "operation" -> msg))
+
+  // ---- body validation + fold-plan extraction --------------------------
+
+  /** Analyze `bodySql` (unqualified names pinned to the CURRENT
+    * catalog/namespace, the view-creation contract) and extract the
+    * fold plan, refusing every non-incrementalizable shape with the
+    * reason. */
+  def extract(session: SparkSession, bodySql: String): MvDef = {
+    val cm = session.sessionState.catalogManager
+    val defCat = cm.currentCatalog.name()
+    val defNs = cm.currentNamespace.toSeq
+    def isCatalog(n: String): Boolean =
+      try { cm.catalog(n); true } catch { case _: Exception => false }
+    var parsed = session.sessionState.sqlParser.parsePlan(bodySql)
+    parsed = parsed.transformUpWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          // temp views keep owning bare names — they then refuse below
+          // as non-graft bases, with the real reason instead of a
+          // wrong-namespace not-found
+          session.sessionState.catalog
+            .getTempView(r.multipartIdentifier.head).isEmpty =>
+        r.copy(multipartIdentifier = (defCat +: defNs) :+ r.multipartIdentifier.head)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          // a 2-part name whose head IS a catalog (graftcat.`/path`)
+          // is already fully qualified
+          !isCatalog(r.multipartIdentifier.head) =>
+        r.copy(multipartIdentifier = defCat +: r.multipartIdentifier)
+    }
+    val analyzed = session.sessionState.executePlan(parsed).analyzed
+    val (groupExprs, aggExprs, child) = analyzed match {
+      case Aggregate(g, a, c, _) => (g, a, c)
+      case _ => refuse("the body must be a single aggregate " +
+        "(SELECT <groups and aggregates> FROM <one graft table> [WHERE ...] " +
+        "[GROUP BY ...]) — got a " + analyzed.nodeName + " plan; ORDER BY, " +
+        "LIMIT, HAVING, set operations and joins are not incrementally foldable")
+    }
+
+    def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => stripAlias(c)
+      case other => other
+    }
+    val (whereCond, rel) = stripAlias(child) match {
+      case Filter(cond, c) => (Some(cond), stripAlias(c))
+      case other => (None, other)
+    }
+    val basePath = rel match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: JsonDocTable if t.pinned.isEmpty => t.tablePath
+        case _: JsonDocTable => refuse("the base may not be a time-travel " +
+          "read — a pinned snapshot has no future to fold")
+        case other => refuse(s"the base must be a graft-jsondoc table " +
+          s"(its change feed drives the refresh); got ${other.getClass.getSimpleName}")
+      }
+      case other => refuse("the FROM clause must be exactly one graft-jsondoc " +
+        s"table — joins, subqueries and CTE bodies are not incrementally " +
+        s"foldable (got ${other.nodeName})")
+    }
+
+    val whereSql = whereCond.map { c =>
+      require(c.deterministic,
+        "graft materialized view: the WHERE predicate must be deterministic " +
+          s"(a nondeterministic filter folds differently every refresh): ${c.sql}")
+      if (c.exists(_.isInstanceOf[PlanExpression[_]]))
+        refuse("the WHERE predicate may not contain a subquery")
+      if (c.exists(_.isInstanceOf[AggregateExpression]))
+        refuse("the WHERE predicate may not aggregate")
+      // strip qualifiers: the stored predicate re-binds against the
+      // change-feed relation at refresh, where the base's name means
+      // nothing
+      c.transform {
+        case a: AttributeReference => a.withQualifier(Seq.empty)
+      }.sql
+    }
+
+    if (groupExprs.isEmpty)
+      refuse("materialized views need at least one GROUP BY column — a " +
+        "GLOBAL aggregate's empty-input row (COUNT(*) = 0) cannot be " +
+        "represented by the group-delta fold")
+    val groupAttrs = groupExprs.map {
+      case a: AttributeReference => a
+      case other => refuse("GROUP BY keys must be plain base columns " +
+        s"(computed keys are not yet foldable): ${other.sql}")
+    }
+    val groupIds = groupAttrs.map(_.exprId).toSet
+
+    def argAttr(e: Expression, fn: String): AttributeReference = e match {
+      case a: AttributeReference => a
+      case Cast(a: AttributeReference, _, _, _) => a
+      case other => refuse(s"$fn arguments must be plain base columns " +
+        s"(fold state is per-column): ${other.sql}")
+    }
+    def numeric(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType => true
+      case _ => false
+    }
+
+    val aggsB = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
+    val outB = scala.collection.mutable.ArrayBuffer.empty[OutCol]
+    // group index by exprId, in groupExprs order; visible alias filled
+    // from the first SELECT item that exposes the key
+    val visibleAlias = scala.collection.mutable.Map.empty[Int, String]
+    def groupIdx(a: AttributeReference): Int =
+      groupAttrs.indexWhere(_.exprId == a.exprId)
+
+    aggExprs.foreach {
+      case a: AttributeReference if groupIds(a.exprId) =>
+        val i = groupIdx(a)
+        visibleAlias.getOrElseUpdate(i, a.name)
+        outB += OutCol("g", i, a.name)
+      case al @ Alias(a: AttributeReference, _) if groupIds(a.exprId) =>
+        val i = groupIdx(a)
+        visibleAlias.getOrElseUpdate(i, al.name)
+        outB += OutCol("g", i, al.name)
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct) refuse("DISTINCT aggregates are not " +
+          "incrementalizable (distinctness is global state, not a fold) — " +
+          s"got ${al.child.sql}")
+        if (ae.filter.nonEmpty) refuse("FILTER clauses on aggregates are " +
+          s"not yet foldable: ${al.child.sql}")
+        val spec = ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) =>
+            AggSpec(al.name, "count_star", None, "BIGINT")
+          case Count(Seq(e)) =>
+            AggSpec(al.name, "count", Some(argAttr(e, "COUNT").name), "BIGINT")
+          case Count(_) => refuse("multi-argument COUNT is not foldable")
+          case s: Sum =>
+            val a = argAttr(s.child, "SUM")
+            if (!numeric(a.dataType)) refuse(s"SUM over ${a.dataType.simpleString} " +
+              "is not foldable (numeric columns only)")
+            AggSpec(al.name, "sum", Some(a.name),
+              if (a.dataType == DoubleType) "DOUBLE" else "BIGINT")
+          case av: Average =>
+            val a = argAttr(av.child, "AVG")
+            if (!numeric(a.dataType)) refuse(s"AVG over ${a.dataType.simpleString} " +
+              "is not foldable (numeric columns only)")
+            // integral raw sums stay BIGINT so the incremental fold is
+            // exact; the render divides as DOUBLE
+            AggSpec(al.name, "avg", Some(a.name),
+              if (a.dataType == DoubleType) "DOUBLE" else "BIGINT")
+          case m: Min =>
+            val a = argAttr(m.child, "MIN")
+            AggSpec(al.name, "min", Some(a.name), a.dataType.sql)
+          case m: Max =>
+            val a = argAttr(m.child, "MAX")
+            AggSpec(al.name, "max", Some(a.name), a.dataType.sql)
+          case other => refuse(s"aggregate ${other.prettyName} is not " +
+            "incrementalizable — foldable aggregates: COUNT(*), COUNT(col), " +
+            "SUM, AVG, MIN, MAX")
+        }
+        outB += OutCol("a", aggsB.length, al.name)
+        aggsB += spec
+      case other => refuse("every SELECT item must be a grouping column or " +
+        s"an aggregate: ${other.sql}")
+    }
+
+    val groups = groupAttrs.zipWithIndex.map { case (a, i) =>
+      GroupSpec(a.name, visibleAlias.getOrElse(i, s"__mv_g_${a.name}"),
+        a.dataType.sql)
+    }
+    val names = groups.map(_.stored) ++ aggsB.map(_.alias)
+    require(names.distinct.length == names.length,
+      "graft materialized view: output column names must be unique " +
+        s"(they name the backing columns): ${names.mkString(", ")}")
+    require(names.forall(n => !n.startsWith("__mv_") || n.startsWith("__mv_g_")),
+      "graft materialized view: '__mv_' column names are reserved")
+    MvDef(bodySql, new java.io.File(basePath).getAbsolutePath, whereSql,
+      groups.toSeq, aggsB.toSeq, outB.toSeq, lastVersion = 0)
+  }
+
+  // ---- SQL generation ---------------------------------------------------
+
+  private def hiddenDdl(d: MvDef): Seq[String] =
+    Seq(s"${q(RowsCol)} BIGINT") ++
+      d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+        s"${q(nnCol(a.alias))} BIGINT" }
+
+  def backingDdl(d: MvDef): String =
+    (d.groups.map(g => s"${q(g.stored)} ${g.ddl}") ++
+      d.aggs.map(a => s"${q(a.alias)} ${a.rawDdl}") ++ hiddenDdl(d)).mkString(", ")
+
+  /** Raw-state SELECT items over an INSERT-ONLY batch relation (the
+    * initial materialization). */
+  private def fillItems(d: MvDef): Seq[String] =
+    d.groups.map(g => s"${q(g.src)} AS ${q(g.stored)}") ++
+      d.aggs.map { a =>
+        val arg = a.arg.map(q)
+        a.func match {
+          case "count_star" => s"COUNT(*) AS ${q(a.alias)}"
+          case "count" => s"COUNT(${arg.get}) AS ${q(a.alias)}"
+          case "sum" | "avg" =>
+            s"CAST(COALESCE(SUM(${arg.get}), 0) AS ${a.rawDdl}) AS ${q(a.alias)}"
+          case "min" => s"MIN(${arg.get}) AS ${q(a.alias)}"
+          case "max" => s"MAX(${arg.get}) AS ${q(a.alias)}"
+        }
+      } ++
+      Seq(s"COUNT(*) AS ${q(RowsCol)}") ++
+      d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+        s"COUNT(${q(a.arg.get)}) AS ${q(nnCol(a.alias))}" }
+
+  def initialFillSql(cat: String, d: MvDef, backing: String, head: Int): String = {
+    val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val grp = if (d.groups.isEmpty) ""
+      else " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
+    s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
+      s"FROM $cat.`${d.basePath}` VERSION AS OF $head$where$grp"
+  }
+
+  /** SIGNED-delta SELECT over a change-feed relation (temp view
+    * `feedView` carrying the data columns plus `_change_type`). */
+  def deltaSql(d: MvDef, feedView: String): String = {
+    val sign = "(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)"
+    val items =
+      d.groups.map(g => s"${q(g.src)} AS ${q(g.stored)}") ++
+        d.aggs.map { a =>
+          val arg = a.arg.map(q)
+          a.func match {
+            case "count_star" => s"SUM($sign) AS ${q(a.alias)}"
+            case "count" =>
+              s"SUM(CASE WHEN ${arg.get} IS NULL THEN 0 ELSE $sign END) AS ${q(a.alias)}"
+            case "sum" | "avg" =>
+              s"CAST(COALESCE(SUM(CASE WHEN ${arg.get} IS NULL THEN 0 " +
+                s"ELSE $sign * ${arg.get} END), 0) AS ${a.rawDdl}) AS ${q(a.alias)}"
+            case "min" => s"MIN(${arg.get}) AS ${q(a.alias)}"
+            case "max" => s"MAX(${arg.get}) AS ${q(a.alias)}"
+          }
+        } ++
+        Seq(s"SUM($sign) AS ${q(RowsCol)}") ++
+        d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+          s"SUM(CASE WHEN ${q(a.arg.get)} IS NULL THEN 0 ELSE $sign END) " +
+            s"AS ${q(nnCol(a.alias))}" }
+    val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val grp = if (d.groups.isEmpty) ""
+      else " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
+    s"SELECT ${items.mkString(", ")} FROM $feedView$where$grp"
+  }
+
+  def mergeSql(cat: String, backing: String, d: MvDef, deltaView: String): String = {
+    // null-safe key equality: NULL group keys are real groups
+    val on = if (d.groups.isEmpty) "true"
+      else d.groups.map(g => s"t.${q(g.stored)} <=> d.${q(g.stored)}").mkString(" AND ")
+    val adds = d.aggs.map { a =>
+      a.func match {
+        case "min" => s"${q(a.alias)} = least(t.${q(a.alias)}, d.${q(a.alias)})"
+        case "max" => s"${q(a.alias)} = greatest(t.${q(a.alias)}, d.${q(a.alias)})"
+        case _ => s"${q(a.alias)} = t.${q(a.alias)} + d.${q(a.alias)}"
+      }
+    } ++ Seq(s"${q(RowsCol)} = t.${q(RowsCol)} + d.${q(RowsCol)}") ++
+      d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+        s"${q(nnCol(a.alias))} = t.${q(nnCol(a.alias))} + d.${q(nnCol(a.alias))}" }
+    val cols = d.groups.map(g => q(g.stored)) ++ d.aggs.map(a => q(a.alias)) ++
+      Seq(q(RowsCol)) ++ d.aggs.collect {
+        case a if a.func == "sum" || a.func == "avg" => q(nnCol(a.alias)) }
+    s"""MERGE INTO $cat.`$backing` t USING $deltaView d ON $on
+       |WHEN MATCHED AND t.${q(RowsCol)} + d.${q(RowsCol)} = 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET ${adds.mkString(", ")}
+       |WHEN NOT MATCHED AND d.${q(RowsCol)} <> 0 THEN
+       |  INSERT (${cols.mkString(", ")})
+       |  VALUES (${cols.map(c => s"d.$c").mkString(", ")})""".stripMargin
+  }
+
+  /** The rendering projection a read of the MV name expands into: the
+    * body's output columns in order, hidden counters folded into the
+    * NULL semantics a recomputation would produce. */
+  def renderSql(cat: String, backing: String, d: MvDef): String = {
+    val items = d.output.map { o =>
+      if (o.kind == "g") s"${q(d.groups(o.idx).stored)} AS ${q(o.alias)}"
+      else {
+        val a = d.aggs(o.idx)
+        a.func match {
+          case "sum" =>
+            s"CASE WHEN ${q(nnCol(a.alias))} = 0 THEN CAST(NULL AS ${a.rawDdl}) " +
+              s"ELSE ${q(a.alias)} END AS ${q(o.alias)}"
+          case "avg" =>
+            s"CASE WHEN ${q(nnCol(a.alias))} = 0 THEN CAST(NULL AS DOUBLE) " +
+              s"ELSE CAST(${q(a.alias)} AS DOUBLE) / ${q(nnCol(a.alias))} END " +
+              s"AS ${q(o.alias)}"
+          case _ => s"${q(a.alias)} AS ${q(o.alias)}"
+        }
+      }
+    }
+    s"SELECT ${items.mkString(", ")} FROM $cat.`$backing`"
+  }
+
+  // ---- definition file --------------------------------------------------
+
+  def write(f: java.io.File, d: MvDef): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("sql", d.sql)
+    root.put("basePath", d.basePath)
+    d.whereSql.foreach(root.put("where", _))
+    val gs = root.putArray("groups")
+    d.groups.foreach { g =>
+      val n = gs.addObject(); n.put("src", g.src); n.put("stored", g.stored)
+      n.put("ddl", g.ddl); ()
+    }
+    val as = root.putArray("aggs")
+    d.aggs.foreach { a =>
+      val n = as.addObject(); n.put("alias", a.alias); n.put("func", a.func)
+      a.arg.foreach(n.put("arg", _)); n.put("rawDdl", a.rawDdl); ()
+    }
+    val os = root.putArray("output")
+    d.output.foreach { o =>
+      val n = os.addObject(); n.put("kind", o.kind); n.put("idx", o.idx)
+      n.put("alias", o.alias); ()
+    }
+    root.put("lastVersion", d.lastVersion)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        if (f.exists()) f.delete()
+        if (!tmp.renameTo(f))
+          throw new java.io.IOException(s"materialized-view write failed for $f")
+    }
+  }
+
+  def read(f: java.io.File): MvDef = {
+    val root = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(f.toPath))
+    MvDef(
+      sql = root.get("sql").asText(),
+      basePath = root.get("basePath").asText(),
+      whereSql = Option(root.get("where")).map(_.asText()),
+      groups = Option(root.get("groups")).toSeq.flatMap(_.elements().asScala.map(n =>
+        GroupSpec(n.get("src").asText(), n.get("stored").asText(),
+          n.get("ddl").asText()))),
+      aggs = Option(root.get("aggs")).toSeq.flatMap(_.elements().asScala.map(n =>
+        AggSpec(n.get("alias").asText(), n.get("func").asText(),
+          Option(n.get("arg")).map(_.asText()), n.get("rawDdl").asText()))),
+      output = Option(root.get("output")).toSeq.flatMap(_.elements().asScala.map(n =>
+        OutCol(n.get("kind").asText(), n.get("idx").asInt(),
+          n.get("alias").asText()))),
+      lastVersion = root.get("lastVersion").asInt())
+  }
+
+  // ---- lifecycle ----------------------------------------------------------
+
+  // same-JVM refresh serialization per definition file (the q183
+  // one-logical-applier contract; cross-process double-refresh is
+  // additionally guarded by the manifest ledger skip below)
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(f: java.io.File): Object =
+    locks.computeIfAbsent(f.getAbsolutePath, _ => new Object)
+
+  /** CREATE: validate + extract, create the backing table, materialize
+    * the CURRENT base snapshot (pinned — commits racing the fill are
+    * folded by the next refresh, never half-seen), then publish the
+    * definition file LAST so a crash mid-create leaves garbage a
+    * re-CREATE sweeps, never a half-visible MV. */
+  def create(session: SparkSession, cat: String, defFile: java.io.File,
+      dataDir: java.io.File, bodySql: String): Unit = {
+    val d = extract(session, bodySql)
+    require(d.basePath != dataDir.getAbsolutePath,
+      "graft materialized view: the body may not read the MV's own backing table")
+    // a failed earlier CREATE leaves an orphan backing dir (no def file
+    // => invisible); sweep it so re-CREATE starts clean
+    if (dataDir.isDirectory) deleteRecursively(dataDir)
+    val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+    session.sql(s"CREATE TABLE $cat.`${dataDir.getAbsolutePath}` " +
+      s"(${backingDdl(d)}) USING `graft-jsondoc`")
+    if (head > 0)
+      session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
+    write(defFile, d.copy(lastVersion = head))
+  }
+
+  def drop(defFile: java.io.File, dataDir: java.io.File): Unit = {
+    // definition first: the MV disappears atomically, the data dir is
+    // then unreachable garbage even if its removal is interrupted
+    if (defFile.isFile && !defFile.delete())
+      throw new java.io.IOException(s"cannot delete $defFile")
+    if (dataDir.isDirectory) deleteRecursively(dataDir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"cannot delete $f")
+  }
+
+  /** The authoritative last-folded version: the backing manifest's
+    * transaction ledger wins over the definition file (the file is a
+    * cache that may lag one crash behind). */
+  def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int =
+    math.max(d.lastVersion,
+      JsonDocVersions.lastTxn(dataDir.getAbsolutePath, appIdOf(name))
+        .map(_.toInt).getOrElse(-1))
+
+  /** Fold `(last, head]` from the base's change feed. Returns
+    * (from, to) of the folded range; from > to means the view was
+    * already current. */
+  def refresh(session: SparkSession, cat: String, defFile: java.io.File,
+      dataDir: java.io.File, name: String): (Int, Int) = lockFor(defFile).synchronized {
+    val d = read(defFile)
+    val backing = dataDir.getAbsolutePath
+    val last = lastFolded(d, dataDir, name)
+    val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+    // already current: an EMPTY range (from > to), never mistakable for
+    // a one-commit fold
+    if (head <= last) return (last + 1, last)
+    val feed = session.read.format("graft-jsondoc")
+      .option("readChanges", "true")
+      .option("startingVersion", (last + 1).toString)
+      .option("endingVersion", head.toString)
+      .option("path", d.basePath).load()
+    if (d.aggs.exists(a => a.func == "min" || a.func == "max") &&
+        !feed.filter(org.apache.spark.sql.functions
+          .col("_change_type") === "delete").isEmpty)
+      throw new IllegalStateException(
+        s"graft materialized view $name: the refresh range (v${last + 1}, v$head] " +
+          "contains deletes, and MIN/MAX aggregates cannot un-fold a deleted " +
+          "extremum — that is a recompute, not a refresh. DROP and re-CREATE " +
+          "the view, or define it with SUM/COUNT/AVG aggregates only")
+    val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$head"
+    val feedView = s"${tag}_feed"
+    val deltaView = s"${tag}_delta"
+    feed.createOrReplaceTempView(feedView)
+    try {
+      session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
+        deltaSql(d, feedView))
+      // the (appId, head) pair rides the MERGE's own manifest commit —
+      // the q183 exactly-once recipe: a replay after a crash between
+      // the MERGE and the definition-file update sees lastTxn = head
+      // and skips
+      GraftTxn.begin(backing, appIdOf(name), head.toLong)
+      try session.sql(mergeSql(cat, backing, d, deltaView))
+      finally GraftTxn.clear(backing)
+    } finally {
+      session.catalog.dropTempView(deltaView)
+      session.catalog.dropTempView(feedView)
+      ()
+    }
+    write(defFile, d.copy(lastVersion = head))
+    (last + 1, head)
+  }
+}
+
+/** The `<mv>#mvstate` metadata table: ONE staleness row —
+  * `(mv STRING, base_path STRING, last_folded_version BIGINT,
+  *   base_head BIGINT, stale_commits BIGINT)` — computed driver-side at
+  * scan planning from the definition file, the backing ledger (the
+  * authoritative fold watermark) and the base's published head. A
+  * monitoring query `SELECT stale_commits FROM db.\`mv#mvstate\`` is
+  * the refresh trigger a scheduler polls. */
+private[sources] class GraftMvStateTable(defFile: java.io.File,
+    dataDir: java.io.File, mvName: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def name(): String = s"graft-mv($mvName#mvstate)"
+  override def schema(): StructType = GraftMvStateTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap):
+      org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = GraftMvStateTable.Schema
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+        val d = GraftMv.read(defFile)
+        val last = GraftMv.lastFolded(d, dataDir, mvName).toLong
+        val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0).toLong
+        Array(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(mvName),
+          org.apache.spark.unsafe.types.UTF8String.fromString(d.basePath),
+          last, head, math.max(0L, head - last)))
+      }
+      override def description(): String = name()
+    }
+}
+
+private[sources] object GraftMvStateTable {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  val Schema: StructType = StructType(Seq(
+    StructField("mv", StringType, nullable = false),
+    StructField("base_path", StringType, nullable = false),
+    StructField("last_folded_version", LongType, nullable = false),
+    StructField("base_head", LongType, nullable = false),
+    StructField("stale_commits", LongType, nullable = false)))
+}

@@ -357,6 +357,42 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.refresh_mv('db.mv')` — fold the base's change feed
+    * `(last_folded, head]` into the materialized view ([[GraftMv]]).
+    * Returns the folded range and the new watermark; `(from > to)`
+    * means the view was already current. Holds the catalog INSTANCE so
+    * the namespace resolves against the same warehouse the CALL's
+    * catalog points at. */
+  final class RefreshMvProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "refresh_mv"
+    override def description(): String =
+      "fold the base table's change feed since the last refresh into the materialized view"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "refresh_mv"
+      override def description(): String = RefreshMvProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("view", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val parts = input.getUTF8String(0).toString.split('.').toSeq
+        require(parts.length >= 2,
+          "graft catalog: refresh_mv takes 'namespace.view_name'")
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.init.toArray, parts.last)
+        require(catalog.mvExists(ident),
+          s"graft catalog: no materialized view '${parts.mkString(".")}'")
+        val (from, to) = GraftMv.refresh(
+          org.apache.spark.sql.SparkSession.active, catalog.name(),
+          catalog.mvDefFileOf(ident), catalog.mvDataDirOf(ident), ident.name())
+        val schema = new StructType()
+          .add("folded_from", LongType, nullable = false)
+          .add("folded_to", LongType, nullable = false)
+        Iterator(scanOf(schema,
+          Seq(InternalRow(from.toLong, to.toLong)))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

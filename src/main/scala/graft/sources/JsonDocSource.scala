@@ -584,6 +584,11 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
 
+  /** The table directory — what MV validation needs to pin the base of
+    * a `CREATE MATERIALIZED VIEW` body to a concrete lineage (r17). */
+  private[sources] def tablePath: String = path
+  private[sources] def pinned: Option[Int] = pinnedVersion
+
   /** METADATA-ONLY DELETE (r16 self-review — closes a REAL silent
     * no-op): `DELETE FROM t` with a statically-true condition used to
     * produce an EMPTY rewrite side (the optimizer collapses the

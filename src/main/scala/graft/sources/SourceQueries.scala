@@ -847,7 +847,8 @@ object SourceQueries {
     * new images/inserts). Shared so the three change-feed rows and the
     * q205Sql oracle can never drift apart. Returns the table name. */
   private def stageMorMergeTable(spark: SparkSession, dir: String,
-      root: String, view: String): String = {
+      root: String, view: String,
+      beforeMerge: String => Unit = _ => ()): String = {
     spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
     val tbl = s"graftcat.`$root/t`"
     spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
@@ -867,6 +868,7 @@ object SourceQueries {
       .select((col("o_orderkey") + 20000000L).as("o_orderkey"), lit("ins").as("op"),
         col("o_custkey"), col("o_totalprice").as("price"))
     upd.unionByName(del).unionByName(ins).createOrReplaceTempView(view)
+    beforeMerge(tbl) // e.g. CREATE MATERIALIZED VIEW at v1 (q222)
     spark.sql(
       s"""MERGE INTO $tbl t USING $view c ON t.o_orderkey = c.o_orderkey
          |WHEN MATCHED AND c.op = 'del' THEN DELETE
@@ -1396,6 +1398,90 @@ object SourceQueries {
     } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
   }
 
+  /** q222: the q208 CDF-delta fold AS DECLARED DDL (r17 — the r16
+    * verdict's top item, [[GraftMv]]): same staged base, same MERGE
+    * change set, but the maintenance is `CREATE MATERIALIZED VIEW` at
+    * v1 + `CALL refresh_mv` after the DML — the fold plan, the signed
+    * group deltas, the MERGE and the exactly-once ledger all live in
+    * the engine now, not in user code. The oracle is q208's VERBATIM:
+    * hash-green means the declarative surface produces byte-identical
+    * results to the hand-wired foreachBatch pipeline AND to a full
+    * recomputation. */
+  def q222MvDdl(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q222")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      stageMorMergeTable(spark, dir, root, "q222_changes", beforeMerge = tbl =>
+        // declared at v1: the initial materialization is the pre-MERGE
+        // state, so the MERGE's deletes/updates/inserts MUST fold
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db.m AS " +
+          s"SELECT o_orderstatus, count(*) AS n_orders, sum(o_orderkey) AS sum_key " +
+          s"FROM $tbl GROUP BY o_orderstatus"): Unit)
+      spark.sql("CALL graftcat.refresh_mv('db.m')").collect()
+      spark.sql("SELECT o_orderstatus, n_orders, sum_key FROM graftcat.db.m " +
+        "ORDER BY o_orderstatus")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  /** q223: the q183 APPEND-ONLY MV family through the same DDL —
+    * count/min/max statistics folded per refresh with least/greatest
+    * (min/max refuse delete ranges loudly; this lineage has none).
+    * Oracle: q183's one-shot GROUP BY over the whole feed, verbatim. */
+  def q223MvMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q223")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val tbl = s"graftcat.`$root/ev`"
+      spark.sql(s"CREATE TABLE $tbl (user_id BIGINT, us BIGINT, value DOUBLE) " +
+        "USING `graft-jsondoc`")
+      val ev = graft.Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"))
+      def slice(r: Int): DataFrame =
+        ev.filter(pmod(col("event_id"), lit(3)) === r).drop("event_id")
+      slice(0).writeTo(tbl).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.ev_stats AS " +
+        s"SELECT user_id, count(*) AS n_events, min(us) AS first_us, " +
+        s"max(us) AS last_us, max(value) AS max_value FROM $tbl GROUP BY user_id")
+      slice(1).writeTo(tbl).append() // v2
+      spark.sql("CALL graftcat.refresh_mv('db.ev_stats')").collect()
+      slice(2).writeTo(tbl).append() // v3
+      spark.sql("CALL graftcat.refresh_mv('db.ev_stats')").collect()
+      spark.sql("SELECT user_id, n_events, first_us, last_us, max_value " +
+        "FROM graftcat.db.ev_stats ORDER BY user_id")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  /** q224: the `#mvstate` STALENESS row — the refresh trigger a
+    * scheduler polls. Deterministic lineage: fold through v2, append
+    * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
+  def q224MvState(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q224")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val tbl = s"graftcat.`$root/t`"
+      spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING) USING `graft-jsondoc`")
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'a'), (2, 'b')") // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.s AS " +
+        s"SELECT g, count(*) AS n FROM $tbl GROUP BY g")
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 'a')") // v2
+      spark.sql("CALL graftcat.refresh_mv('db.s')").collect()
+      spark.sql(s"INSERT INTO $tbl VALUES (4, 'c')") // v3, unfolded
+      spark.sql("SELECT last_folded_version, base_head, stale_commits " +
+        "FROM graftcat.db.`s#mvstate`")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q224Sql: String =
+    "SELECT CAST(2 AS BIGINT) AS last_folded_version, " +
+      "CAST(3 AS BIGINT) AS base_head, CAST(1 AS BIGINT) AS stale_commits"
+
   val q215Sql: String =
     "WITH t AS (SELECT o_custkey, " +
       "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2.0 ELSE o_totalprice END " +
@@ -1468,6 +1554,9 @@ object SourceQueries {
     "q218_shredded_variant" -> q218ShreddedVariant _,
     "q220_metadata_delete" -> q220MetadataDelete _,
     "q221_partition_overwrite" -> q221PartitionOverwrite _,
+    "q222_mv_ddl" -> q222MvDdl _,
+    "q223_mv_minmax" -> q223MvMinmax _,
+    "q224_mv_state" -> q224MvState _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1486,6 +1575,10 @@ object SourceQueries {
     "q207_changes_stream" -> q205Sql,
     // the CDF-maintained view equals the one-shot recomputation
     "q208_cdf_mv" -> q208Sql,
+    // the DDL surface reproduces the hand-wired folds byte-identically
+    "q222_mv_ddl" -> q208Sql,
+    "q223_mv_minmax" -> graft.streaming.StreamingBoard.q183Sql,
+    "q224_mv_state" -> q224Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

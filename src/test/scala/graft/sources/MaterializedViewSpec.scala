@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MATERIALIZED VIEWS as catalog DDL (r17, [[GraftMv]]): CREATE/DROP
+  * MATERIALIZED VIEW + `CALL refresh_mv` + the `#mvstate` staleness
+  * table. Pins: the folded view equals a full recomputation under
+  * row-level DML (deletes, updates, inserts; vanished groups, NULL
+  * group keys, all-NULL sums, the WHERE predicate), MIN/MAX folds are
+  * append-only and refuse delete ranges loudly, refresh is
+  * exactly-once (re-CALL is a no-op; the ledger, not the definition
+  * file, is the watermark), every non-incrementalizable body refuses
+  * at CREATE with the reason, DML through the MV refuses, name
+  * collisions refuse in all directions, and the backing table never
+  * leaks (hidden columns, SHOW TABLES). */
+class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .appName("materialized-view-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshWarehouse(): String = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft_mv_wh").toString
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    wh
+  }
+
+  private def sortedRows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq
+      .map(r => (0 until r.length).map(i => r.get(i)))
+      .sortBy(_.mkString("|"))
+
+  test("fold under DML == recompute: deletes, updates, vanish, NULL keys, NULL sums, WHERE") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.db")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_base").toString
+    val base = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $base (k BIGINT, grp STRING, x BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // v1: groups a, b, gone, z (x all NULL), one NULL group key, and a
+    // WHERE-excluded row (k <= 0)
+    spark.sql(s"INSERT INTO $base VALUES " +
+      "(1, 'a', 10), (2, 'a', 20), (3, 'a', NULL), " +
+      "(4, 'b', 7), (5, 'gone', 100), (6, 'gone', 200), " +
+      "(7, 'z', NULL), (8, 'z', NULL), (9, NULL, 42), (-1, 'a', 999)")
+    val body = s"SELECT grp, count(*) AS n, count(x) AS nx, sum(x) AS sx, " +
+      s"avg(x) AS ax FROM $base WHERE k > 0 GROUP BY grp"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db.m AS $body")
+    assert(sortedRows("SELECT * FROM graftcat.db.m") === sortedRows(body),
+      "the initial materialization must equal a recompute")
+    // staleness: current right after create
+    val st0 = spark.sql("SELECT last_folded_version, base_head, stale_commits " +
+      "FROM graftcat.db.`m#mvstate`").collect()(0)
+    assert(st0.getLong(2) === 0L, s"fresh MV must report zero stale commits: $st0")
+
+    // v2: inserts (new group + existing), v3: vanish 'gone', v4: update
+    spark.sql(s"INSERT INTO $base VALUES (10, 'c', 5), (11, 'a', 1), (12, NULL, 8)")
+    spark.sql(s"DELETE FROM $base WHERE grp = 'gone'")
+    spark.sql(s"UPDATE $base SET x = x + 1000 WHERE k = 4")
+    val stale = spark.sql("SELECT stale_commits FROM graftcat.db.`m#mvstate`")
+      .collect()(0).getLong(0)
+    assert(stale === 3L, s"three unfolded commits expected, got $stale")
+
+    val ref = spark.sql("CALL graftcat.refresh_mv('db.m')").collect()(0)
+    assert(ref.getLong(0) === 2L && ref.getLong(1) === 4L,
+      s"refresh must fold (v2, v4]: $ref")
+    assert(sortedRows("SELECT * FROM graftcat.db.m") === sortedRows(body),
+      "the folded view must equal a recompute after deletes/updates/inserts")
+    // the vanished group is GONE, not a zero row
+    assert(spark.sql("SELECT * FROM graftcat.db.m WHERE grp = 'gone'").isEmpty)
+    // all-NULL sum renders NULL exactly like the recompute
+    val z = spark.sql("SELECT n, nx, sx, ax FROM graftcat.db.m WHERE grp = 'z'")
+      .collect()(0)
+    assert(z.getLong(0) === 2L && z.getLong(1) === 0L && z.isNullAt(2) && z.isNullAt(3))
+    // NULL group key is a real group
+    assert(spark.sql("SELECT n FROM graftcat.db.m WHERE grp IS NULL")
+      .collect()(0).getLong(0) === 2L)
+    // second refresh: nothing to fold, and the state is current
+    val ref2 = spark.sql("CALL graftcat.refresh_mv('db.m')").collect()(0)
+    assert(ref2.getLong(0) > ref2.getLong(1), s"no-op refresh expected: $ref2")
+    assert(spark.sql("SELECT stale_commits FROM graftcat.db.`m#mvstate`")
+      .collect()(0).getLong(0) === 0L)
+    // hidden fold counters never escape the read surface
+    assert(spark.sql("SELECT * FROM graftcat.db.m").columns.toSeq ===
+      Seq("grp", "n", "nx", "sx", "ax"))
+  }
+
+  test("MIN/MAX folds are append-only: appends fold, a delete range refuses loudly") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.db2")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_mm").toString
+    val base = s"graftcat.`$root/ev`"
+    spark.sql(s"CREATE TABLE $base (user_id BIGINT, v BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $base VALUES (1, 10), (2, 20), (1, 5)")
+    val body = s"SELECT user_id, count(*) AS n, min(v) AS lo, max(v) AS hi " +
+      s"FROM $base GROUP BY user_id"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db2.mm AS $body")
+    spark.sql(s"INSERT INTO $base VALUES (1, 1), (3, 30)")
+    spark.sql(s"INSERT INTO $base VALUES (2, 200), (3, 3)")
+    spark.sql("CALL graftcat.refresh_mv('db2.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2.mm") === sortedRows(body),
+      "append-only min/max folds must equal recompute")
+    spark.sql(s"DELETE FROM $base WHERE v = 200")
+    val e = intercept[Exception] { spark.sql("CALL graftcat.refresh_mv('db2.mm')") }
+    assert(e.getMessage.contains("recompute, not a refresh"), e.getMessage)
+    // the refusal left the view intact and still readable
+    assert(spark.sql("SELECT hi FROM graftcat.db2.mm WHERE user_id = 2")
+      .collect()(0).getLong(0) === 200L)
+  }
+
+  test("non-incrementalizable bodies refuse at CREATE with the reason") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.db3")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_ref").toString
+    val t = s"graftcat.`$root/t`"
+    val u = s"graftcat.`$root/u`"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, g STRING, x BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"CREATE TABLE $u (k BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 1)")
+    def refuse(body: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db3.bad AS $body")
+      }
+      assert(e.getMessage.contains(needle), s"body [$body]: ${e.getMessage}")
+      assert(!new java.io.File(s"$wh/db3/bad.mv.json").exists(),
+        "a refused CREATE must leave nothing behind")
+    }
+    refuse(s"SELECT t.g, count(*) AS n FROM $t t JOIN $u u ON t.k = u.k GROUP BY t.g",
+      "exactly one graft-jsondoc table")
+    refuse(s"SELECT g, count(DISTINCT x) AS n FROM $t GROUP BY g",
+      "DISTINCT aggregates")
+    refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g HAVING count(*) > 1",
+      "single aggregate")
+    refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g ORDER BY g",
+      "single aggregate")
+    refuse(s"SELECT substr(g, 1, 1) AS g1, count(*) AS n FROM $t GROUP BY substr(g, 1, 1)",
+      "plain base columns")
+    refuse(s"SELECT g, sum(g) AS sg FROM $t GROUP BY g", "numeric")
+    refuse(s"SELECT g, count(*) AS n FROM $t WHERE rand() < 0.5 GROUP BY g",
+      "deterministic")
+    refuse(s"SELECT g, count(*) AS n FROM $t WHERE k IN (SELECT k FROM $u) GROUP BY g",
+      "subquery")
+    refuse(s"SELECT g, count(*) AS n FROM $t VERSION AS OF 1 GROUP BY g",
+      "time-travel")
+    refuse(s"SELECT count(*) AS n FROM $t", "GROUP BY")
+    refuse(s"SELECT g, first(x) AS f FROM $t GROUP BY g", "not incrementalizable")
+    // a non-graft base (temp view over an in-memory plan)
+    spark.range(5).createOrReplaceTempView("mem")
+    refuse("SELECT id, count(*) AS n FROM mem GROUP BY id", "graft-jsondoc table")
+    // a non-graft catalog target refuses at the DDL site
+    val e = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW spark_catalog.default.x AS " +
+        s"SELECT g, count(*) AS n FROM $t GROUP BY g")
+    }
+    assert(e.getMessage.contains("only graft catalogs"), e.getMessage)
+  }
+
+  test("DDL semantics: IF NOT EXISTS, DROP, collisions, DML refusal, no backing leak") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.db4")
+    spark.sql("CREATE TABLE graftcat.db4.t (k BIGINT, g STRING) USING `graft-jsondoc`")
+    spark.sql("INSERT INTO graftcat.db4.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.db4.m AS " +
+      "SELECT g, count(*) AS n FROM graftcat.db4.t GROUP BY g")
+    assert(sortedRows("SELECT * FROM graftcat.db4.m") ===
+      Seq(Seq("a", 1L), Seq("b", 1L)))
+    // duplicate refuses; IF NOT EXISTS is silent
+    intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db4.m AS " +
+        "SELECT g, count(*) AS n FROM graftcat.db4.t GROUP BY g")
+    }
+    spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS graftcat.db4.m AS " +
+      "SELECT g, count(*) AS n FROM graftcat.db4.t GROUP BY g")
+    // collisions refuse in every direction
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.db4.m (x BIGINT) USING `graft-jsondoc`")
+    }
+    assert(e1.getMessage.contains("materialized view"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE VIEW graftcat.db4.m AS SELECT 1 AS one")
+    }
+    assert(e2.getMessage.contains("materialized view"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db4.t AS " +
+        "SELECT g, count(*) AS n FROM graftcat.db4.t GROUP BY g")
+    }
+    assert(e3.getMessage.contains("table"), e3.getMessage)
+    // DML through the MV refuses; the base AND the materialization stay
+    // intact (INSERT's write resolution may raise not-found before the
+    // injected rule runs — either way nothing lands, same as views)
+    val e4 = intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.db4.m VALUES ('x', 9)")
+    }
+    assert(e4.getMessage.contains("MATERIALIZED VIEW") ||
+      e4.getMessage.contains("cannot be found"), e4.getMessage)
+    val e5 = intercept[Exception] { spark.sql("DELETE FROM graftcat.db4.m") }
+    assert(e5.getMessage.contains("MATERIALIZED VIEW"), e5.getMessage)
+    assert(spark.sql("SELECT count(*) AS c FROM graftcat.db4.t")
+      .collect()(0).getLong(0) === 2L)
+    assert(sortedRows("SELECT * FROM graftcat.db4.m") ===
+      Seq(Seq("a", 1L), Seq("b", 1L)), "DML attempts must not dent the MV")
+    // the backing table is internal: SHOW TABLES lists only the base
+    assert(spark.sql("SHOW TABLES IN graftcat.db4").collect()
+      .map(_.getString(1)).toSeq === Seq("t"))
+    // unqualified reads resolve under USE
+    spark.sql("USE graftcat.db4")
+    try
+      assert(spark.sql("SELECT count(*) AS c FROM m").collect()(0).getLong(0) === 2L)
+    finally spark.sql("USE spark_catalog.default")
+    // DROP removes the definition AND the backing storage
+    spark.sql("DROP MATERIALIZED VIEW graftcat.db4.m")
+    intercept[Exception] { spark.sql("SELECT * FROM graftcat.db4.m") }
+    assert(!new java.io.File(s"$wh/db4/m.mv.json").exists())
+    assert(!new java.io.File(s"$wh/db4/m.mvdata").exists())
+    intercept[Exception] { spark.sql("DROP MATERIALIZED VIEW graftcat.db4.m") }
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS graftcat.db4.m") // silent
+    // refresh of an unknown view refuses with the name
+    val e6 = intercept[Exception] { spark.sql("CALL graftcat.refresh_mv('db4.m')") }
+    assert(e6.getMessage.contains("no materialized view"), e6.getMessage)
+  }
+}
