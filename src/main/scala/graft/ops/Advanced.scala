@@ -308,6 +308,9 @@ object Advanced {
     // the graft-jsondoc DSv2 writer: task-temp + driver-commit rename
     n.write.mode("overwrite").format("graft-jsondoc")
       .option("path", s"$base/nation_v2").save()
+    // Avro leg (r17): container files over avro-core — the runtime has
+    // no spark-avro DataSource, see [[graft.sources.AvroRoundtrip]]
+    graft.sources.AvroRoundtrip.write(n, s"$base/nation_avro")
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -328,10 +331,14 @@ object Advanced {
     val fromV2 = spark.read.format("graft-jsondoc")
       .option("path", s"$base/nation_v2").load()
       .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"))
+    val fromAvro = graft.sources.AvroRoundtrip
+      .read(spark, s"$base/nation_avro", schema)
+      .select(col("n_nationkey"))
     fromJson.join(fromCsv, Seq("n_nationkey"))
       .join(fromOrc, Seq("n_nationkey"))
       .join(fromXml, Seq("n_nationkey"))
       .join(fromV2, Seq("n_nationkey"))
+      .join(fromAvro, Seq("n_nationkey"))
       .orderBy(col("n_nationkey"))
   }
 

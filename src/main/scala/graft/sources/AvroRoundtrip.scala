@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter,
+  GenericRecord}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** AVRO ROUNDTRIP over avro-core (r17, verdict item 5): the runtime
+  * ships `avro-1.12` but NOT the `spark-avro` DataSource, so the wire
+  * format most pipelines feed from gets a direct container-file path —
+  * the same layering Spark's own external modules use, minus the
+  * DataSource plumbing the q44 row doesn't need:
+  *
+  *  - WRITE: one Avro object-container file per partition, written by
+  *    the executor that holds the partition (`part-<pid>-<attempt>
+  *    .avro` — speculative attempts cannot collide; distinct names are
+  *    the whole commit protocol a fresh output directory needs). The
+  *    writer schema derives from the DataFrame schema: the five
+  *    jsondoc-supported primitive types, nullable as `union(null, T)`.
+  *  - READ: `binaryFiles` hands each container to one task;
+  *    [[DataFileStream]] decodes records lazily (block-buffered, never
+  *    whole-file materialization beyond what binaryFiles itself
+  *    holds), fields resolve BY NAME against the requested schema so
+  *    column order in the container is irrelevant.
+  *
+  * At 100 TB this shape is one task per container file both ways —
+  * embarrassingly parallel, no driver data path. */
+object AvroRoundtrip {
+
+  private def avroSchema(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case other => throw new IllegalArgumentException(
+          s"graft avro roundtrip supports int/long/double/boolean/string; " +
+            s"got ${f.name}: ${other.simpleString}")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      else base
+      new Schema.Field(f.name, s, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE
+        else null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
+  }
+
+  /** Write `df` as Avro container files under `dir` (created fresh). */
+  def write(df: DataFrame, dir: String): Unit = {
+    val st = df.schema
+    val json = avroSchema(st, "row").toString // Schema is not serializable
+    new java.io.File(dir).mkdirs()
+    df.rdd.foreachPartition { it =>
+      val schema = new Schema.Parser().parse(json)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val f = new java.io.File(dir, f"part-$pid%05d-a$attempt.avro")
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, f)
+      try it.foreach { row =>
+        val rec = new GenericData.Record(schema)
+        st.fields.zipWithIndex.foreach { case (fld, i) =>
+          rec.put(fld.name, if (row.isNullAt(i)) null else row.get(i))
+        }
+        w.append(rec)
+      } finally w.close()
+    }
+  }
+
+  /** Read the container files under `dir` into rows of `schema`
+    * (by-name field resolution; Utf8 decoded to String). */
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val names = schema.fields.map(_.name)
+    val types: Array[DataType] = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext.binaryFiles(s"$dir/*.avro").flatMap {
+      case (_, pds) =>
+        val in = new DataFileStream[GenericRecord](pds.open(),
+          new GenericDatumReader[GenericRecord]())
+        val it = new Iterator[Row] {
+          override def hasNext: Boolean = { val h = in.hasNext; if (!h) in.close(); h }
+          override def next(): Row = {
+            val rec = in.next()
+            Row.fromSeq(names.indices.map { i =>
+              (rec.get(names(i)), types(i)) match {
+                case (null, _) => null
+                case (v: org.apache.avro.util.Utf8, StringType) => v.toString
+                case (v: java.lang.CharSequence, StringType) => v.toString
+                case (v: java.lang.Number, IntegerType) => v.intValue()
+                case (v: java.lang.Number, LongType) => v.longValue()
+                case (v: java.lang.Number, DoubleType) => v.doubleValue()
+                case (v, _) => v
+              }
+            })
+          }
+        }
+        it
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}
