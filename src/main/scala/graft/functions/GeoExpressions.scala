@@ -354,6 +354,59 @@ case class GeoContains(first: Expression, second: Expression, third: Expression)
       t: Expression): GeoContains = copy(first = f, second = s, third = t)
 }
 
+/** Static haversine evaluator for [[GeoDistance]] — great-circle
+  * distance in METERS on the IUGG mean-earth sphere (R = 6371008.8 m),
+  * the same model PostGIS' `ST_DistanceSphere` and H3 use. Spherical,
+  * not ellipsoidal, documented: sub-0.5% error everywhere, monotone in
+  * true distance — exactly what radius filters and KNN ordering need;
+  * geodesic (Vincenty/Karney) precision is a projection concern this
+  * engine's opaque-GeoJSON model deliberately leaves to the caller. */
+object GeoDistanceHelper {
+  val EarthRadiusM: Double = 6371008.8
+
+  def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = math.toRadians(lat1)
+    val p2 = math.toRadians(lat2)
+    val dp = math.toRadians(lat2 - lat1)
+    val dl = math.toRadians(lon2 - lon1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2.0 * EarthRadiusM * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+}
+
+/** `geo_distance(lon1, lat1, lon2, lat2)` → DOUBLE meters — the
+  * haversine great-circle distance ([[GeoDistanceHelper]]), codegen'd:
+  * one static call per row inside whole-stage codegen, the refine step
+  * of geographic radius joins and the ordering key of KNN (q225/q226).
+  */
+case class GeoDistance(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // ImplicitCastInputTypes semantics: numeric literals (SQL decimals,
+  // ints) coerce to DOUBLE like every built-in math function
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "geo_distance"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoDistanceHelper.haversine(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.GeoDistanceHelper.haversine($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): GeoDistance =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** `geo_envelope(geometry_json)` → `struct<xmin, ymin, xmax, ymax>` —
   * the map-side envelope extraction that turns the reference's opaque
   * GeoJSON column (task.ts:14 `Type.Any`, kept as a raw string for
@@ -414,6 +467,11 @@ object GeoFunctions {
     new ExpressionInfo(classOf[GeoIntersects].getName, "geo_intersects"),
     (args: Seq[Expression]) => GeoIntersects(args(0), args(1)))
 
+  val distanceInfo: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("geo_distance"),
+    new ExpressionInfo(classOf[GeoDistance].getName, "geo_distance"),
+    (args: Seq[Expression]) => GeoDistance(args(0), args(1), args(2), args(3)))
+
   /** Idempotently register the geo functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -422,9 +480,13 @@ object GeoFunctions {
       .createOrReplaceTempFunction("geo_contains", containsInfo._3, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("geo_intersects", intersectsInfo._3, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("geo_distance", distanceInfo._3, "scala_udf")
   }
 
   def envelope(g: Column): Column = call_function("geo_envelope", g)
+  def distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    call_function("geo_distance", lon1, lat1, lon2, lat2)
   def contains(g: Column, x: Column, y: Column): Column =
     call_function("geo_contains", g, x, y)
   def intersects(a: Column, b: Column): Column =

@@ -706,6 +706,142 @@ object TimeSeries {
       "CAST(row_number() OVER (PARTITION BY p_id ORDER BY dist2, q_id) AS BIGINT) AS rn FROM cand) " +
       "SELECT p_id, q_id, dist2, rn FROM ranked WHERE rn <= 3 ORDER BY p_id, rn"
 
+  /** UNBOUNDED KNN JOIN by EXPANDING-RING grid search (r17, verdict
+    * item 3 — the shape q219's radius-bounded form explicitly deferred):
+    * for each probe point its k nearest build points with NO radius
+    * bound. Build points bucket once into cells of width `w`; round
+    * `ring` joins the still-unresolved probes against the cells at
+    * L∞ offset EXACTLY `ring` from the probe's cell (8·ring cells — the
+    * rings partition the plane, so no candidate is ever seen twice),
+    * folds them into the carried top-k, and RESOLVES a probe by the
+    * termination rule: a point in any unexplored cell (L∞ offset
+    * ≥ ring+1) is at distance > ring·w from the probe (the probe lies
+    * inside its own cell, so the coordinate gap alone exceeds ring·w);
+    * hence once a probe holds k candidates with kth-distance² ≤
+    * (ring·w)², no unseen point can displace any of them and its top-k
+    * is FINAL. Probes still pending at `maxRing` (domain exhausted —
+    * happens only when the build side has fewer than k points in
+    * range of nothing) emit whatever they hold: every cell has been
+    * explored, so that IS the global top-k.
+    *
+    * Scale shape: each round is an equi hash join on the cell key —
+    * cartesian-free, cost O(|pending| · 8·ring + candidates); pending
+    * shrinks geometrically (uniform data resolves ~90% of probes by
+    * ring ⌈kth-NN-distance/w⌉), and the driver holds only the
+    * round-count fixpoint test, never data — the q182/q119 iterative
+    * contract. Carried state is at most k rows per pending probe. */
+  private[graft] def knnUnbounded(probes: DataFrame, builds: DataFrame,
+      k: Int, w: Long, maxRing: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("p_id")).orderBy(col("dist2"), col("q_id"))
+    val q = builds
+      .withColumn("gx", expr(s"qx div $w")).withColumn("gy", expr(s"qy div $w"))
+      .cache()
+    // localCheckpoint (NOT cache) per round: carried feeds topk feeds
+    // carried, so un-truncated lineage grows multiplicatively with the
+    // ring count and the per-action explainString alone OOMs the
+    // driver — the standard iterative-algorithm footgun (same reason
+    // GraphX checkpoints Pregel state)
+    var pending = probes
+      .withColumn("cx", expr(s"px div $w")).withColumn("cy", expr(s"py div $w"))
+      .localCheckpoint()
+    var carried: DataFrame = null // (p_id, q_id, dist2) top-k so far, pending only
+    var out: DataFrame = null
+    var ring = 0
+    while (ring <= maxRing && !pending.isEmpty) {
+      val ringCand = pending
+        .withColumn("dx", explode(sequence(lit(-ring), lit(ring))))
+        .withColumn("dy", explode(sequence(lit(-ring), lit(ring))))
+        .where(greatest(abs(col("dx")), abs(col("dy"))) === ring)
+        .withColumn("gx", col("cx") + col("dx"))
+        .withColumn("gy", col("cy") + col("dy"))
+        .join(q, Seq("gx", "gy"))
+        .select(col("p_id"), col("q_id"),
+          ((col("px") - col("qx")) * (col("px") - col("qx")) +
+            (col("py") - col("qy")) * (col("py") - col("qy"))).as("dist2"))
+      val cand = if (carried == null) ringCand else carried.unionByName(ringCand)
+      val topk = cand.withColumn("rn", row_number().over(win))
+        .where(col("rn") <= k).localCheckpoint()
+      val bound = ring.toLong * w
+      val done = topk.groupBy("p_id")
+        .agg(count(lit(1)).as("nc"), max(col("dist2")).as("md"))
+        .where(col("nc") === k && col("md") <= lit(bound * bound))
+        .select("p_id")
+      val newOut = topk.join(done, Seq("p_id"), "left_semi")
+      out = if (out == null) newOut else out.unionByName(newOut)
+      pending = pending.join(done, Seq("p_id"), "left_anti").localCheckpoint()
+      carried = topk.join(done, Seq("p_id"), "left_anti")
+        .select(col("p_id"), col("q_id"), col("dist2"))
+      ring += 1
+    }
+    val tail = if (carried == null) null
+      else carried.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
+    val all = (out, tail) match {
+      case (null, t) => t
+      case (o, null) => o
+      case (o, t) => o.unionByName(t)
+    }
+    all.select(col("p_id"), col("q_id"), col("dist2"),
+      col("rn").cast("long").as("rn"))
+  }
+
+  /** q225: the q219 point sets through [[knnUnbounded]] — no radius
+    * bound; the oracle is the naive theta join + window with no WHERE.
+    * SpatialJoinSpec additionally pins the plan cartesian-free, the
+    * ring-termination proof against brute force at another SF, and the
+    * fewer-than-k build side. */
+  def q225KnnUnbounded(spark: SparkSession, dir: String): DataFrame = {
+    val p = customer(spark, dir).select(col("c_custkey").as("p_id"),
+      pmod(col("c_custkey") * 13L, lit(1000L)).as("px"),
+      pmod(col("c_custkey") * 41L, lit(1000L)).as("py"))
+    val q = supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+      pmod(col("s_suppkey") * 23L, lit(1000L)).as("qx"),
+      pmod(col("s_suppkey") * 53L, lit(1000L)).as("qy"))
+    knnUnbounded(p, q, k = 3, w = 64L, maxRing = 1000 / 64 + 2)
+      .orderBy(col("p_id"), col("rn"))
+  }
+
+  val q225Sql: String =
+    "WITH cand AS (SELECT c_custkey AS p_id, s_suppkey AS q_id, " +
+      "CAST(((c_custkey*13)%1000 - (s_suppkey*23)%1000) * ((c_custkey*13)%1000 - (s_suppkey*23)%1000) + " +
+      "((c_custkey*41)%1000 - (s_suppkey*53)%1000) * ((c_custkey*41)%1000 - (s_suppkey*53)%1000) AS BIGINT) AS dist2 " +
+      "FROM customer, supplier), " +
+      "ranked AS (SELECT p_id, q_id, dist2, " +
+      "CAST(row_number() OVER (PARTITION BY p_id ORDER BY dist2, q_id) AS BIGINT) AS rn FROM cand) " +
+      "SELECT p_id, q_id, dist2, rn FROM ranked WHERE rn <= 3 ORDER BY p_id, rn"
+
+  /** q226: `geo_distance` — the codegen'd haversine Expression
+    * ([[graft.functions.GeoDistance]], meters on the IUGG sphere) as a
+    * geographic radius query: customers at derived lon/lat, all within
+    * 2000 km of Boulder. The oracle recomputes the same formula in
+    * DuckDB; results compare in WHOLE METERS (CAST(round(..))) so the
+    * two engines' trig ulps (~1e-9 m at this magnitude) can never
+    * flip a hash. */
+  def q226GeoDistance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    val pts = customer(spark, dir).select(col("c_custkey"),
+      (pmod(col("c_custkey") * 13L, lit(3600L)).cast("double") / 10.0 - 180.0).as("lon"),
+      (pmod(col("c_custkey") * 41L, lit(1600L)).cast("double") / 10.0 - 80.0).as("lat"))
+    pts.withColumn("dist_m",
+        round(graft.functions.GeoFunctions.distance(
+          col("lon"), col("lat"), lit(-105.27), lit(40.01))).cast("long"))
+      .where(col("dist_m") <= 2000000L)
+      .select(col("c_custkey"), col("dist_m"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q226Sql: String = {
+    val lon = "((c_custkey*13)%3600)/10.0 - 180.0"
+    val lat = "((c_custkey*41)%1600)/10.0 - 80.0"
+    val hav = s"2 * 6371008.8 * asin(sqrt(" +
+      s"pow(sin(radians(40.01 - ($lat)) / 2), 2) + " +
+      s"cos(radians(($lat))) * cos(radians(40.01)) * " +
+      s"pow(sin(radians(-105.27 - ($lon)) / 2), 2)))"
+    s"SELECT c_custkey, dist_m FROM (SELECT c_custkey, " +
+      s"CAST(round($hav) AS BIGINT) AS dist_m FROM customer) " +
+      "WHERE dist_m <= 2000000 ORDER BY c_custkey"
+  }
+
   /** q201: q24 on VARIANT (r15, verdict item 5 — Spark 4's native
     * open-schema type, SURVEY §1.2's named target for the reference's
     * `Type.Any`/additionalProperties fields, task.ts:13-14,50): the
@@ -1508,6 +1644,8 @@ object TimeSeries {
     "q216_caic_intersects" -> q216CaicIntersects _,
     "q217_radius_join" -> q217RadiusJoin _,
     "q219_knn_join" -> q219KnnJoin _,
+    "q225_knn_unbounded" -> q225KnnUnbounded _,
+    "q226_geo_distance" -> q226GeoDistance _,
     "q73_sliding_window" -> q73SlidingWindow _,
     "q89_scd2" -> q89Scd2 _,
     "q90_retention" -> q90Retention _,
@@ -1551,6 +1689,8 @@ object TimeSeries {
     "q216_caic_intersects" -> q216Sql,
     "q217_radius_join" -> q217Sql,
     "q219_knn_join" -> q219Sql,
+    "q225_knn_unbounded" -> q225Sql,
+    "q226_geo_distance" -> q226Sql,
     "q73_sliding_window" -> q73Sql,
     "q89_scd2" -> q89Sql,
     "q90_retention" -> q90Sql,

@@ -97,4 +97,75 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(grid.nonEmpty, s"degenerate fixture at $sf: no pairs within the radius")
     }
   }
+
+  test("r17: unbounded KNN (expanding rings) equals brute force at two SFs; cartesian-free") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val rings = ops.TimeSeries.q225KnnUnbounded(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val p = graft.Tables.customer(spark, dir).select(col("c_custkey").as("p_id"),
+        pmod(col("c_custkey") * 13L, lit(1000L)).as("px"),
+        pmod(col("c_custkey") * 41L, lit(1000L)).as("py"))
+      val q = graft.Tables.supplier(spark, dir).select(col("s_suppkey").as("q_id"),
+        pmod(col("s_suppkey") * 23L, lit(1000L)).as("qx"),
+        pmod(col("s_suppkey") * 53L, lit(1000L)).as("qy"))
+      val ref = p.crossJoin(q)
+        .withColumn("dist2", (col("px") - col("qx")) * (col("px") - col("qx")) +
+          (col("py") - col("qy")) * (col("py") - col("qy")))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy(col("p_id")).orderBy(col("dist2"), col("q_id"))))
+        .where(col("rn") <= 3)
+        .select(col("p_id"), col("q_id"), col("dist2"), col("rn").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rings === ref,
+        s"$sf: missing=${(ref -- rings).take(3)} extra=${(rings -- ref).take(3)}")
+      // every probe resolved with exactly k rows (the build side has >= k points)
+      assert(rings.size === p.count() * 3, s"$sf: a probe is missing neighbors")
+    }
+    // cartesian-free: each round is an equi hash join on the cell key
+    val plan = ops.TimeSeries.q225KnnUnbounded(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
+  }
+
+  test("r17: unbounded KNN with FEWER than k build points emits the global set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2 build points, k = 3: the ring loop must exhaust the domain and
+    // emit both, never spin or drop the probe
+    val p = Seq((1L, 10L, 10L), (2L, 900L, 900L)).toDF("p_id", "px", "py")
+    val q = Seq((7L, 500L, 500L), (8L, 20L, 20L)).toDF("q_id", "qx", "qy")
+    val got = ops.TimeSeries.knnUnbounded(p, q, k = 3, w = 64L, maxRing = 1000 / 64 + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set((1L, 8L, 1L), (1L, 7L, 2L), (2L, 7L, 1L), (2L, 8L, 2L)),
+      s"got $got")
+  }
+
+  test("r17: geo_distance — known values, symmetry, zero, and SQL registration") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GeoFunctions.register(spark)
+    // Boulder -> Denver is ~38.6 km (public geodesic calculators;
+    // spherical model lands within 0.5%)
+    val d = spark.sql(
+      "SELECT geo_distance(-105.2705, 40.0150, -104.9903, 39.7392) AS d")
+      .collect()(0).getDouble(0)
+    assert(d > 38000 && d < 39500, s"Boulder->Denver ~38.6 km, got $d m")
+    // equator degree: ~111.19 km on the mean sphere
+    val eq = spark.sql("SELECT geo_distance(0.0, 0.0, 1.0, 0.0) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(eq - 111195.0) < 100, s"one equator degree, got $eq")
+    // symmetry + identity + null propagation
+    val r = spark.sql("SELECT geo_distance(-105.27, 40.01, -104.99, 39.74) = " +
+      "geo_distance(-104.99, 39.74, -105.27, 40.01) AS sym, " +
+      "geo_distance(7.0, 7.0, 7.0, 7.0) AS zero, " +
+      "geo_distance(CAST(NULL AS DOUBLE), 1.0, 2.0, 3.0) AS n").collect()(0)
+    assert(r.getBoolean(0) && r.getDouble(1) === 0.0 && r.isNullAt(2))
+    // antipodal cap: asin clamps, never NaN
+    val anti = spark.sql("SELECT geo_distance(0.0, 0.0, 180.0, 0.0) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(anti - math.Pi * 6371008.8) < 1.0)
+  }
 }
