@@ -1,0 +1,297 @@
+package graft.sim
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTxn, JsonDocVersions}
+
+import scala.jdk.CollectionConverters._
+
+/** PERSISTED ANN INDEX maintained from the change feed (r17, verdict
+  * item 2): q55's IVF postings as a TABLE instead of a per-query fit —
+  * the Faiss/Milvus deployment shape, where the index outlives any one
+  * query and a repeated probe never re-pays assignment of the corpus.
+  *
+  * Layout under one index root:
+  *   - `_ann_index.json` — the pinned coarse-quantizer centroids
+  *     (literal doubles, the q55 oracle-interpolation contract), the
+  *     base table path, and the last-folded base version (display
+  *     cache; the authoritative watermark is the postings table's own
+  *     transaction ledger, the q183/MV recipe).
+  *   - `postings/` — a graft-jsondoc table `(cell BIGINT, vec_id
+  *     BIGINT, vec STRING)` PARTITIONED BY cell: probing nProbe of K
+  *     cells plans only those partitions' files, which is the entire
+  *     point of IVF at 100 TB. Vectors ride as comma-joined doubles —
+  *     `Double.toString` is shortest-roundtrip and string→double casts
+  *     are correctly rounded on both engines, so the round trip is
+  *     BIT-EXACT and the q55 oracle replays against the indexed corpus
+  *     unchanged.
+  *
+  * `refresh` folds the base's feed `(last, head]`: per vec_id the
+  * LATEST action wins (insert outranks delete within one commit — a
+  * MERGE's DV-delete + re-insert is a net upsert, the q206 replay
+  * rule), cells re-assign with the FROZEN centroids, and one MERGE
+  * applies deletes/upserts — cost O(|delta|), never O(index). The
+  * centroids deliberately never refit on refresh: Faiss' contract too
+  * (a drifted corpus wants a rebuilt index, not a silently morphing
+  * one; staleness is observable as base_head vs last in the def file).
+  * A merge-on-read base keeps the delta row-level; a copy-on-write
+  * base's rewrites surface untouched rows as delete+insert pairs that
+  * fold as no-op upserts (correct, just more rows — the same trade the
+  * MV layer documents). */
+object AnnIndex {
+  val DefName = "_ann_index.json"
+  def postingsPath(indexRoot: String): String =
+    new java.io.File(indexRoot, "postings").getAbsolutePath
+  private def appId(indexRoot: String): String =
+    "graft-ann:" + new java.io.File(indexRoot).getAbsolutePath
+
+  /** `pq`: optional product-quantization codebooks (M subspaces × K
+    * centroids × subDim doubles, the q137 fit) — when present, every
+    * posting also carries its M comma-joined byte codes, encoded with
+    * these FROZEN codebooks at create and at every refresh, and
+    * [[searchPq]] runs the ADC + shortlist + exact-refine chain over
+    * the persisted codes. */
+  final case class IndexDef(basePath: String, centroids: Seq[Seq[Double]],
+      lastVersion: Int, pq: Option[Seq[Seq[Seq[Double]]]] = None)
+
+  private def defFile(indexRoot: String) = new java.io.File(indexRoot, DefName)
+
+  def writeDef(indexRoot: String, d: IndexDef): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("basePath", d.basePath)
+    val cs = root.putArray("centroids")
+    d.centroids.foreach { c =>
+      val a = cs.addArray(); c.foreach(a.add); ()
+    }
+    d.pq.foreach { books =>
+      val ps = root.putArray("pq")
+      books.foreach { book =>
+        val b = ps.addArray()
+        book.foreach { c => val a = b.addArray(); c.foreach(a.add); () }
+      }
+    }
+    root.put("lastVersion", d.lastVersion)
+    val f = defFile(indexRoot)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        if (f.exists()) f.delete()
+        if (!tmp.renameTo(f))
+          throw new java.io.IOException(s"ann index def write failed for $f")
+    }
+  }
+
+  def readDef(indexRoot: String): IndexDef = {
+    val root = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(defFile(indexRoot).toPath))
+    IndexDef(
+      basePath = root.get("basePath").asText(),
+      centroids = root.get("centroids").elements().asScala.map(a =>
+        a.elements().asScala.map(_.asDouble()).toIndexedSeq).toIndexedSeq,
+      lastVersion = root.get("lastVersion").asInt(),
+      pq = Option(root.get("pq")).map(_.elements().asScala.map(b =>
+        b.elements().asScala.map(c =>
+          c.elements().asScala.map(_.asDouble()).toIndexedSeq)
+          .toIndexedSeq).toIndexedSeq))
+  }
+
+  /** The cell of each row's `vec` string under `cents` — the same
+    * c²−2·v·c ranking as the in-memory q55 path (|v|² is row-constant),
+    * ties toward the smaller index. */
+  private def cellCol(cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val v = transform(split(col("vec"), ","), x => x.cast("double"))
+    array_sort(array(cents.zipWithIndex.map { case (ca, i) =>
+      val c2 = ca.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * graft.functions.VectorFunctions
+        .vecDot(v, typedLit(ca))).as("d"), lit(i).as("c"))
+    }: _*)).getItem(0).getField("c").cast("long")
+  }
+
+  /** Unit-vector column parsed from `vec` — bit-identical to the q137
+    * path (norm = left-to-right vec_dot, elementwise divide). */
+  private def unitCol: org.apache.spark.sql.Column = {
+    val v = transform(split(col("vec"), ","), x => x.cast("double"))
+    transform(v, x => x / sqrt(graft.functions.VectorFunctions.vecDot(v, v)))
+  }
+
+  /** Comma-joined PQ codes of `vec` under frozen `books` — the q137
+    * encode (per-subspace argmin via struct-min ranking, ties toward
+    * the smaller code). */
+  private def codeCol(books: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val u = unitCol
+    val subDim = books.head.head.length
+    val codes = books.zipWithIndex.map { case (book, s) =>
+      val us = slice(u, s * subDim + 1, subDim)
+      array_min(array(book.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * graft.functions.VectorFunctions
+          .vecDot(us, typedLit(c))).as("d"), lit(j).as("c"))
+      }: _*)).getField("c").cast("string")
+    }
+    concat_ws(",", codes: _*)
+  }
+
+  private def codeOrEmpty(d: IndexDef): org.apache.spark.sql.Column =
+    d.pq.map(codeCol).getOrElse(lit(""))
+
+  /** Build the index: create the cell-partitioned postings table and
+    * materialize the base snapshot AT ITS CURRENT HEAD (pinned read —
+    * racing commits fold on the next refresh). `base` must be a
+    * graft-jsondoc table `(vec_id BIGINT, vec STRING)`. */
+  def create(spark: SparkSession, cat: String, indexRoot: String,
+      basePath: String, centroids: Seq[Seq[Double]],
+      pq: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    new java.io.File(indexRoot).mkdirs()
+    val postings = postingsPath(indexRoot)
+    val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
+    val d0 = IndexDef(new java.io.File(basePath).getAbsolutePath,
+      centroids, head, pq)
+    spark.sql(s"CREATE TABLE $cat.`$postings` " +
+      "(cell BIGINT, vec_id BIGINT, vec STRING, code STRING) USING `graft-jsondoc` " +
+      "PARTITIONED BY (cell)")
+    if (head > 0) {
+      spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath` VERSION AS OF $head")
+        .withColumn("cell", cellCol(centroids))
+        .withColumn("code", codeOrEmpty(d0))
+        .select(col("cell"), col("vec_id"), col("vec"), col("code"))
+        .writeTo(s"$cat.`$postings`").append()
+    }
+    writeDef(indexRoot, d0)
+  }
+
+  /** Fold base changes `(last, head]` into the postings. Returns the
+    * folded (from, to); from > to = already current. Exactly-once via
+    * the postings manifest's transaction ledger ([[GraftTxn]]). */
+  def refresh(spark: SparkSession, cat: String, indexRoot: String): (Int, Int) =
+    synchronized {
+      graft.functions.VectorFunctions.register(spark)
+      val d = readDef(indexRoot)
+      val postings = postingsPath(indexRoot)
+      val last = math.max(d.lastVersion,
+        JsonDocVersions.lastTxn(postings, appId(indexRoot)).map(_.toInt).getOrElse(-1))
+      val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+      if (head <= last) return (last + 1, last)
+      val feed = spark.read.format("graft-jsondoc")
+        .option("readChanges", "true")
+        .option("startingVersion", (last + 1).toString)
+        .option("endingVersion", head.toString)
+        .option("path", d.basePath).load()
+      // net action per key: latest commit wins; insert outranks delete
+      // within a commit (a DV-delete + re-insert is an upsert)
+      val net = feed.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("_commit_version").desc,
+              when(col("_change_type") === "insert", 0).otherwise(1))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("vec"), col("_change_type").as("act"))
+        .withColumn("cell", when(col("act") === "insert", cellCol(d.centroids)))
+        .withColumn("code", when(col("act") === "insert", codeOrEmpty(d)))
+      val view = s"graft_ann_delta_$head"
+      net.createOrReplaceTempView(view)
+      GraftTxn.begin(postings, appId(indexRoot), head.toLong)
+      try spark.sql(
+        s"""MERGE INTO $cat.`$postings` t USING $view d ON t.vec_id = d.vec_id
+           |WHEN MATCHED AND d.act = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cell = d.cell, vec = d.vec, code = d.code
+           |WHEN NOT MATCHED AND d.act = 'insert' THEN
+           |  INSERT (cell, vec_id, vec, code) VALUES (d.cell, d.vec_id, d.vec, d.code)""".stripMargin)
+      finally {
+        GraftTxn.clear(postings)
+        spark.catalog.dropTempView(view)
+        ()
+      }
+      writeDef(indexRoot, d.copy(lastVersion = head))
+      (last + 1, head)
+    }
+
+  /** PQ search over the PERSISTED codes (the q137 ADC chain with the
+    * encode already paid at write time — the whole point of storing
+    * codes): driver-side LUTs from the query's unit vector against the
+    * frozen codebooks (M×K dot products), ADC = M lookups per posting
+    * (the full vectors stay untouched), shortlist top-`shortlist` by
+    * (rounded ADC, vec_id), exact-cosine refine on the shortlist rows
+    * only, top-`k`. */
+  def searchPq(spark: SparkSession, cat: String, indexRoot: String,
+      queryVecId: Long, shortlist: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = readDef(indexRoot)
+    val books = d.pq.getOrElse(throw new IllegalStateException(
+      s"ann index $indexRoot carries no PQ codebooks — create(pq = Some(...))"))
+    val subDim = books.head.head.length
+    val postings = postingsPath(indexRoot)
+    val qRow = spark.sql(
+      s"SELECT vec FROM $cat.`$postings` WHERE vec_id = $queryVecId").collect()
+    require(qRow.nonEmpty, s"ann index: no vector with vec_id = $queryVecId")
+    val qv = qRow(0).getString(0).split(',').map(_.toDouble)
+    // left-to-right accumulation everywhere: bit-identical to vec_dot
+    var qn2 = 0.0
+    qv.foreach(x => qn2 += x * x)
+    val qn = math.sqrt(qn2)
+    val qu = qv.map(_ / qn)
+    val luts: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+      book.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) { acc += qu(s * subDim + i) * c(i); i += 1 }
+        acc
+      }
+    }
+    val rows = spark.sql(s"SELECT vec_id, vec, code FROM $cat.`$postings`")
+      .where(col("vec_id") =!= queryVecId)
+      .withColumn("codes", transform(split(col("code"), ","), x => x.cast("int")))
+    val adc = luts.zipWithIndex.map { case (lut, s) =>
+      element_at(typedLit(lut), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val short = rows.select(col("vec_id"), round(adc, 6).as("sim_adc"))
+      .orderBy(col("sim_adc").desc, col("vec_id"))
+      .limit(shortlist)
+    rows.join(broadcast(short), "vec_id")
+      .withColumn("u", unitCol)
+      .select(col("vec_id"), col("sim_adc"),
+        round(graft.functions.VectorFunctions.vecDot(col("u"), typedLit(qu.toSeq)), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Top-k cosine search over the PERSISTED index: the query vector's
+    * nProbe nearest cells are computed driver-side (K×dim arithmetic on
+    * one row), then the postings scan filters `cell IN (...)` — a
+    * STATIC partition prune, reading nProbe/K of the index. */
+  def search(spark: SparkSession, cat: String, indexRoot: String,
+      queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = readDef(indexRoot)
+    val postings = postingsPath(indexRoot)
+    val parse = (c: org.apache.spark.sql.Column) =>
+      transform(split(c, ","), x => x.cast("double"))
+    val qRow = spark.sql(s"SELECT vec FROM $cat.`$postings` WHERE vec_id = $queryVecId")
+      .collect()
+    require(qRow.nonEmpty, s"ann index: no vector with vec_id = $queryVecId")
+    val qv = qRow(0).getString(0).split(',').map(_.toDouble)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    // the same c²−2·v·c ranking, driver-side on the single query row
+    val qcells = d.centroids.zipWithIndex.map { case (ca, i) =>
+      val c2 = ca.map(x => x * x).sum
+      val dd = c2 - 2.0 * ca.zip(qv).map { case (a, b) => a * b }.sum
+      (dd, i)
+    }.sorted.take(nProbe).map(_._2.toLong)
+    spark.sql(s"SELECT cell, vec_id, vec FROM $cat.`$postings`")
+      .where(col("cell").isin(qcells: _*) && col("vec_id") =!= queryVecId)
+      .withColumn("v", parse(col("vec")))
+      .withColumn("norm", sqrt(graft.functions.VectorFunctions.vecDot(col("v"), col("v"))))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.vecDot(col("v"), typedLit(qv.toSeq)) /
+          (col("norm") * lit(qn)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

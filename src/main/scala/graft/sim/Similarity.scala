@@ -313,6 +313,80 @@ object Similarity {
 
   def q55Sql: String = fitOracle("q55_ann_ivf")
 
+  /** q227: q55's IVF search over a PERSISTED, change-feed-maintained
+    * index ([[AnnIndex]] — r17 verdict item 2). The corpus stages as a
+    * merge-on-read graft table whose v1 is missing one slice and
+    * carries decoys; the index builds at v1, then a DELETE (decoys)
+    * and an append (the missing slice) fold through `refresh` — so the
+    * final postings equal the full embeddings corpus and the SAME
+    * pinned-fit oracle as q55 replays against the persisted index,
+    * byte-identically. Probing reads only the query's nProbe cells'
+    * PARTITIONS (the postings table is partitioned by cell);
+    * AnnIndexSpec pins delta-proportional refresh and search-equals-
+    * q55; recall vs exact is q55's own DedupSimSpec bound, inherited
+    * because the two results hash to the same oracle. */
+  def q227AnnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q227")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val cat = "graftcat"
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE $cat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val full = vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+    full.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      .unionByName(full.filter(pmod(col("vec_id"), lit(11)) === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("vec")))
+      .writeTo(s"$cat.`$base`").append() // v1: slice missing, decoys present
+    val cents = ivfCentroids(spark, dir)
+    AnnIndex.create(spark, cat, s"$root/idx", base, cents)
+    spark.sql(s"DELETE FROM $cat.`$base` WHERE vec_id >= 1000000") // v2
+    full.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .writeTo(s"$cat.`$base`").append() // v3
+    AnnIndex.refresh(spark, cat, s"$root/idx")
+    fitOracles.put("q227_ann_persisted", q55SqlOf(cents))
+    AnnIndex.search(spark, cat, s"$root/idx", queryVecId = 0L,
+      nProbe = IvfProbe, k = 10)
+  }
+
+  def q227Sql: String = fitOracle("q227_ann_persisted")
+
+  /** q228: q137's PQ chain over PERSISTED codes (r17, [[AnnIndex]] with
+    * `pq` codebooks): same staged delete+insert lineage as q227, codes
+    * encoded at create/refresh with the FROZEN q137 codebook fit, ADC +
+    * shortlist + exact refine over the stored codes — the encode cost
+    * is paid at write, never per query. Oracle: q137's, verbatim
+    * (the final corpus equals the embeddings table and every fold
+    * order matches bit-for-bit through the string roundtrip). */
+  def q228AnnPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q228")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val cat = "graftcat"
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE $cat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val full = vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+    full.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      .unionByName(full.filter(pmod(col("vec_id"), lit(11)) === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("vec")))
+      .writeTo(s"$cat.`$base`").append() // v1
+    val books = pqCodebooks(spark, dir)
+    AnnIndex.create(spark, cat, s"$root/idx", base,
+      ivfCentroids(spark, dir), pq = Some(books))
+    spark.sql(s"DELETE FROM $cat.`$base` WHERE vec_id >= 1000000") // v2
+    full.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .writeTo(s"$cat.`$base`").append() // v3
+    AnnIndex.refresh(spark, cat, s"$root/idx")
+    fitOracles.put("q228_ann_pq_persisted", q137SqlOf(books))
+    AnnIndex.searchPq(spark, cat, s"$root/idx", queryVecId = 0L,
+      shortlist = PqShortlist, k = 10)
+  }
+
+  def q228Sql: String = fitOracle("q228_ann_pq_persisted")
+
   private def q55SqlOf(cents: Seq[Seq[Double]]): String =
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
@@ -550,51 +624,65 @@ object Similarity {
     * re-rank, so the row is hash-checked; DedupSimSpec additionally
     * bounds top-k overlap vs exact q33, pins that re-ranked scores
     * equal the exact cosine, and pins rerun determinism. */
+  private val pqFits =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** The q137 PQ codebook fit, memoized per dir (r17: the persisted
+    * index q228 shares one fit with q137, like one index serving many
+    * queries — the ivfFits recipe). Deterministic: content-hash-priority
+    * sample, seeded shuffled init, 20 fixed Lloyd's rounds. */
+  private[sim] def pqCodebooks(spark: SparkSession,
+      dir: String): Seq[Seq[Seq[Double]]] =
+    pqFits.computeIfAbsent(dir, _ => {
+      // training sample: first 2048 unit vectors in content-hash order
+      // (the q57/q100 priority idiom) — deterministic on any cluster,
+      // any partitioning, any rerun; ~1 MB on the driver
+      val sample: Array[Array[Double]] = vectors(spark, dir)
+        .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("|graft-pq-1"))).asc,
+          col("vec_id").asc)
+        .limit(2048).collect().map(_.getSeq[Double](1).toArray)
+      def fitCodebook(s: Int): Seq[Seq[Double]] = {
+        val pts = sample.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim))
+        val rnd = new scala.util.Random(42L + s)
+        val init = rnd.shuffle(pts.indices.toList).take(PqK)
+        val C = init.map(i => pts(i).clone).toArray
+        for (_ <- 1 to 20) {
+          val sums = Array.fill(PqK)(new Array[Double](PqSubDim))
+          val cnt = new Array[Long](PqK)
+          pts.foreach { p =>
+            var best = 0; var bd = Double.MaxValue
+            var j = 0
+            while (j < PqK) {
+              var d = 0.0; var i = 0
+              while (i < PqSubDim) { val t = p(i) - C(j)(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; best = j }
+              j += 1
+            }
+            cnt(best) += 1
+            val acc = sums(best); var i = 0
+            while (i < PqSubDim) { acc(i) += p(i); i += 1 }
+          }
+          var j = 0
+          while (j < PqK) {
+            if (cnt(j) > 0) {
+              var i = 0
+              while (i < PqSubDim) { C(j)(i) = sums(j)(i) / cnt(j); i += 1 }
+            }
+            j += 1
+          }
+        }
+        C.map(_.toIndexedSeq).toIndexedSeq
+      }
+      (0 until PqM).map(fitCodebook)
+    })
+
   def q137AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val vs = graft.Caches.register(vectors(spark, dir)
       .select(col("vec_id"), transform(col("v"), x => x / col("norm")).as("u"))
       .cache())
     def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
-    // training sample: first 2048 unit vectors in content-hash order
-    // (the q57/q100 priority idiom) — deterministic on any cluster,
-    // any partitioning, any rerun; ~1 MB on the driver
-    val sample: Array[Array[Double]] = vs
-      .orderBy(md5(concat(col("vec_id").cast("string"), lit("|graft-pq-1"))).asc,
-        col("vec_id").asc)
-      .limit(2048).collect().map(_.getSeq[Double](1).toArray)
-    def fitCodebook(s: Int): Seq[Seq[Double]] = {
-      val pts = sample.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim))
-      val rnd = new scala.util.Random(42L + s)
-      val init = rnd.shuffle(pts.indices.toList).take(PqK)
-      val C = init.map(i => pts(i).clone).toArray
-      for (_ <- 1 to 20) {
-        val sums = Array.fill(PqK)(new Array[Double](PqSubDim))
-        val cnt = new Array[Long](PqK)
-        pts.foreach { p =>
-          var best = 0; var bd = Double.MaxValue
-          var j = 0
-          while (j < PqK) {
-            var d = 0.0; var i = 0
-            while (i < PqSubDim) { val t = p(i) - C(j)(i); d += t * t; i += 1 }
-            if (d < bd) { bd = d; best = j }
-            j += 1
-          }
-          cnt(best) += 1
-          val acc = sums(best); var i = 0
-          while (i < PqSubDim) { acc(i) += p(i); i += 1 }
-        }
-        var j = 0
-        while (j < PqK) {
-          if (cnt(j) > 0) {
-            var i = 0
-            while (i < PqSubDim) { C(j)(i) = sums(j)(i) / cnt(j); i += 1 }
-          }
-          j += 1
-        }
-      }
-      C.map(_.toIndexedSeq).toIndexedSeq
-    }
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map(fitCodebook)
+    val codebooks: Seq[Seq[Seq[Double]]] = pqCodebooks(spark, dir)
     fitOracles.put("q137_ann_pq", q137SqlOf(codebooks))
     // encode: argmin_c |u_s - c|² ranks by (|c|² - 2·u_s·c) since |u_s|²
     // is row-constant (the q79 cellRank trick)
@@ -1003,6 +1091,8 @@ object Similarity {
     "q34_embedding_neardup" -> q34EmbeddingNeardup _,
     "q35_ann_lsh" -> q35AnnLsh _,
     "q55_ann_ivf" -> q55AnnIvf _,
+    "q227_ann_persisted" -> q227AnnPersisted _,
+    "q228_ann_pq_persisted" -> q228AnnPqPersisted _,
     "q71_fuzzy_match" -> q71FuzzyMatch _,
     "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _,
     "q86_quantized_ann" -> q86QuantizedAnn _,
@@ -1019,6 +1109,8 @@ object Similarity {
     * 0-row query. */
   def oracle: Map[String, String] = Map(
     "q55_ann_ivf" -> q55Sql,
+    "q227_ann_persisted" -> q227Sql,
+    "q228_ann_pq_persisted" -> q228Sql,
     "q137_ann_pq" -> q137Sql,
     "q79_embed_neardup_blocked" -> q79Sql,
     "q98_semantic_prune" -> q98Sql,

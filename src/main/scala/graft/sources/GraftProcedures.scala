@@ -393,6 +393,30 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.refresh_ann('<index root>')` — fold the base's
+    * change feed into a persisted ANN index ([[graft.sim.AnnIndex]]). */
+  final class RefreshAnnProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "refresh_ann"
+    override def description(): String =
+      "fold the base table's change feed since the last refresh into the persisted ANN index"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "refresh_ann"
+      override def description(): String = RefreshAnnProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (from, to) = graft.sim.AnnIndex.refresh(
+          org.apache.spark.sql.SparkSession.active, catalogName,
+          input.getUTF8String(0).toString)
+        val schema = new StructType()
+          .add("folded_from", LongType, nullable = false)
+          .add("folded_to", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(from.toLong, to.toLong)))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =
