@@ -581,13 +581,118 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft-jsondoc requires option(\"path\", ...)")
 
   /** The table directory — what MV validation needs to pin the base of
     * a `CREATE MATERIALIZED VIEW` body to a concrete lineage (r17). */
   private[sources] def tablePath: String = path
   private[sources] def pinned: Option[Int] = pinnedVersion
+
+  // ---- SupportsPartitionManagement (r17, verdict item 6) -------------
+  //
+  // `SHOW PARTITIONS t` and `ALTER TABLE t DROP PARTITION (...)` become
+  // native — the r13 `t#partitions` detour stays for the stats columns,
+  // but the standard SQL surface now works. Partition identifiers use
+  // the DIRECTORY schema (`dirName`/`dirType` — `ts_day='2024-01-15'`,
+  // `k_bucket=3`), the same coordinates the layout itself uses, so a
+  // transform partition addresses exactly one directory. DROP PARTITION
+  // is the q220 metadata delete scoped to one directory prefix: retire
+  // the partition's live files in one manifest commit, O(matching
+  // files) driver arithmetic, no data I/O. ADD/rename make no sense in
+  // a lakehouse layout (partitions are derived from data) and refuse
+  // loudly.
+
+  override def partitionSchema(): StructType =
+    StructType(GraftCatalog.partitionSpecOf(path).map(p =>
+      StructField(p.dirName, p.dirType, nullable = false)))
+
+  /** The `dirName=<enc>` relative prefix of one partition identifier. */
+  private def partPrefix(ident: org.apache.spark.sql.catalyst.InternalRow): String = {
+    val spec = GraftCatalog.partitionSpecOf(path)
+    require(spec.nonEmpty, s"graft-jsondoc: $path is not partitioned")
+    spec.zipWithIndex.map { case (p, i) =>
+      val v = ident.get(i, p.dirType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      }
+      s"${p.dirName}=${JsonDocSource.encPartValue(v)}"
+    }.mkString("/")
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-jsondoc: partitions are derived from data — INSERT rows with " +
+        "the partition values instead of ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-jsondoc: partition metadata is not writable")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow):
+      java.util.Map[String, String] = new java.util.HashMap[String, String]()
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val prefix = partPrefix(ident) + "/"
+    val removed = JsonDocSource.listDataFiles(path, pinnedVersion)
+      .map(f => JsonDocSource.relName(path, f))
+      .filter(_.startsWith(prefix)).toSet
+    if (removed.isEmpty) return false
+    JsonDocVersions.commitDelta(path, removed, Set.empty, op = "drop-partition")
+    true
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow):
+      Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val spec = GraftCatalog.partitionSpecOf(path)
+    require(spec.nonEmpty, s"graft-jsondoc: $path is not partitioned")
+    val idx = names.map(n => spec.indexWhere(_.dirName == n))
+    require(idx.forall(_ >= 0),
+      s"graft-jsondoc: unknown partition column(s) ${names.mkString(", ")} — " +
+        s"partition schema is ${spec.map(_.dirName).mkString(", ")}")
+    def decode(raw: String, dt: DataType): Option[Any] = {
+      val s = java.net.URLDecoder.decode(raw, "UTF-8")
+      try dt match {
+        case LongType => Some(s.toLong)
+        case IntegerType => Some(s.toInt)
+        case BooleanType => Some(s.toBoolean)
+        case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      } catch { case _: IllegalArgumentException => None }
+    }
+    val parts = JsonDocSource.listDataFiles(path, pinnedVersion)
+      .map(f => JsonDocSource.relName(path, f))
+      .flatMap { rel =>
+        val cut = rel.lastIndexOf('/')
+        if (cut < 0) None else Some(rel.substring(0, cut))
+      }.distinct.sorted
+    parts.flatMap { part =>
+      val comps = part.split('/')
+      if (comps.length != spec.length) None
+      else {
+        val vals = spec.zip(comps.toSeq).map { case (p, c) =>
+          val eq = c.indexOf('=')
+          if (eq < 0 || c.substring(0, eq) != p.dirName) None
+          else decode(c.substring(eq + 1), p.dirType)
+        }
+        if (vals.exists(_.isEmpty)) None
+        else {
+          val row = org.apache.spark.sql.catalyst.InternalRow(vals.map(_.get): _*)
+          val keep = idx.zipWithIndex.forall { case (pi, ni) =>
+            row.get(pi, spec(pi).dirType) == ident.get(ni, spec(pi).dirType)
+          }
+          if (keep) Some(row) else None
+        }
+      }
+    }
+  }
 
   /** METADATA-ONLY DELETE (r16 self-review — closes a REAL silent
     * no-op): `DELETE FROM t` with a statically-true condition used to

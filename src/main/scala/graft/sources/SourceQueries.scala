@@ -1305,6 +1305,44 @@ object SourceQueries {
     "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders " +
       "WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"
 
+  /** q229: `ALTER TABLE ... DROP PARTITION` (r17 —
+    * SupportsPartitionManagement, verdict item 6): the q220 flow with
+    * the standard DDL surface instead of a WHERE-form DELETE — `SHOW
+    * PARTITIONS` lists the directory coordinates, the DROP retires
+    * exactly the F partition's files in one metadata commit (surviving
+    * partitions byte-untouched, pinned in-flow), q220's oracle reused
+    * verbatim. */
+  def q229DropPartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q229")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (o_orderstatus STRING, o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) USING `graft-jsondoc` PARTITIONED BY (o_orderstatus)")
+    orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("q229_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM q229_src")
+    val path = s"$root/t"
+    val dirF = new java.io.File(path)
+    require(spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+      .sameElements(Array("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P")),
+      "q229: SHOW PARTITIONS must list the three status directories")
+    val before = JsonDocVersions.latest(path).get._2.map { rel =>
+      rel -> java.nio.file.Files.getLastModifiedTime(
+        new java.io.File(dirF, rel).toPath).toMillis
+    }.toMap
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (o_orderstatus = 'F')")
+    val v = JsonDocVersions.latestVersion(path).get
+    require(JsonDocVersions.readOp(path, v).contains("drop-partition"),
+      s"q229: expected the drop-partition path, got ${JsonDocVersions.readOp(path, v)}")
+    val after = JsonDocVersions.latest(path).get._2
+    require(after.forall(rel => java.nio.file.Files.getLastModifiedTime(
+      new java.io.File(dirF, rel).toPath).toMillis == before(rel)),
+      "q229: surviving partitions must be byte-untouched (no rewrite ran)")
+    spark.sql(s"SELECT o_orderstatus, o_orderkey, o_totalprice FROM $tbl " +
+      "ORDER BY o_orderkey")
+  }
+
   /** q221: PARTITION OVERWRITE (r16 — SupportsOverwrite +
     * SupportsDynamicOverwrite): the daily-reprocess shape every
     * partitioned warehouse runs — `INSERT OVERWRITE t PARTITION
@@ -1555,6 +1593,7 @@ object SourceQueries {
     "q220_metadata_delete" -> q220MetadataDelete _,
     "q221_partition_overwrite" -> q221PartitionOverwrite _,
     "q222_mv_ddl" -> q222MvDdl _,
+    "q229_drop_partition" -> q229DropPartition _,
     "q223_mv_minmax" -> q223MvMinmax _,
     "q224_mv_state" -> q224MvState _,
     "q199_branch" -> q199Branch _)
@@ -1627,6 +1666,7 @@ object SourceQueries {
     "q215_named_catalog_view" -> q215Sql,
     "q218_shredded_variant" -> graft.ops.TimeSeries.q24Sql,
     "q220_metadata_delete" -> q220Sql,
+    "q229_drop_partition" -> q220Sql,
     "q221_partition_overwrite" -> q221Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires

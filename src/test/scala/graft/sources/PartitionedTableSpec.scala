@@ -51,6 +51,63 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.nonEmpty && files.forall(_.startsWith("lang=en/")), files.toSeq)
   }
 
+  test("r17: native SHOW PARTITIONS and ALTER TABLE DROP PARTITION") {
+    val (dir, tbl) = freshTable()
+    seed(tbl)
+    // SHOW PARTITIONS lists the live layout in directory coordinates
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+      === Array("lang=de", "lang=en", "lang=fr"))
+    // partial spec narrows
+    assert(spark.sql(s"SHOW PARTITIONS $tbl PARTITION (lang='en')").collect()
+      .map(_.getString(0)).toSeq === Seq("lang=en"))
+    // DROP PARTITION = the q220 metadata delete scoped to one directory:
+    // one commit, zero data I/O, untouched files keep their bytes
+    val before = JsonDocVersions.latest(s"$dir").get._2
+      .filterNot(_.startsWith("lang=en/"))
+      .map(rel => rel -> java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, rel).toPath).toSeq).toMap
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='en')")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(2L, 4L), "en rows gone, others intact")
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+      === Array("lang=de", "lang=fr"))
+    before.foreach { case (rel, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, rel).toPath).toSeq === bytes,
+        s"untouched $rel must keep exact bytes")
+    }
+    assert(JsonDocVersions.readOp(dir, JsonDocVersions.latestManifestVersion(dir))
+      .contains("drop-partition"))
+    // dropping a missing partition refuses (standard IF EXISTS contract)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='xx')")
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS PARTITION (lang='xx')") // silent
+    // ADD PARTITION refuses loudly: partitions derive from data
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl ADD PARTITION (lang='it')")
+    }
+    assert(e2.getMessage.contains("derived from data"), e2.getMessage)
+  }
+
+  test("r17: SHOW/DROP PARTITION on a days()-transformed layout uses dir coordinates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_part_days").toString
+    val tbl = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, d STRING) " +
+      "USING `graft-jsondoc` PARTITIONED BY (days(d))")
+    Seq((1L, "2024-01-15T10:00:00"), (2L, "2024-01-15T22:00:00"),
+      (3L, "2024-01-16T01:00:00"))
+      .toDF("k", "d").coalesce(1).writeTo(tbl).append()
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).sorted
+      === Array("d_day=2024-01-15", "d_day=2024-01-16"))
+    spark.sql(s"ALTER TABLE $tbl DROP PARTITION (d_day='2024-01-15')")
+    assert(spark.sql(s"SELECT k FROM $tbl").collect().map(_.getLong(0)).toSeq
+      === Seq(3L))
+  }
+
   test("a partition filter prunes directories at plan time, before stats") {
     val (dir, tbl) = freshTable()
     seed(tbl)
