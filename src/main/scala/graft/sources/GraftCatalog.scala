@@ -133,6 +133,7 @@ class GraftCatalog extends TableCatalog
       case "drop_branch" => GraftProcedures.DropBranchProcedure
       case "fast_forward" => GraftProcedures.FastForwardProcedure
       case "cherry_pick" => GraftProcedures.CherryPickProcedure
+      case "merge_branch" => GraftProcedures.MergeBranchProcedure
       case "recover_txn2" => GraftProcedures.RecoverTxn2Procedure
       case "refresh_mv" => new GraftProcedures.RefreshMvProcedure(this)
       case "refresh_ann" => new GraftProcedures.RefreshAnnProcedure(catalogName)
@@ -140,7 +141,7 @@ class GraftCatalog extends TableCatalog
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
           "rollback, publish, discard_staged, create_branch, drop_branch, " +
-          "fast_forward, cherry_pick, refresh_mv, refresh_ann)")
+          "fast_forward, cherry_pick, merge_branch, refresh_mv, refresh_ann)")
     }
   }
 
@@ -154,7 +155,7 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"),
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
       Identifier.of(Array.empty, "recover_txn2"), Identifier.of(Array.empty, "refresh_mv"),
-      Identifier.of(Array.empty, "refresh_ann"))
+      Identifier.of(Array.empty, "refresh_ann"), Identifier.of(Array.empty, "merge_branch"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged
@@ -1267,6 +1268,103 @@ object GraftCatalog {
     }
     val v =
       try JsonDocVersions.commitAdopt(path, head, op = "fast-forward")
+      catch { case e: Throwable => releaseAll(); throw e }
+    JsonDocRefs.dropBranch(path, branch)
+    v
+  }
+
+  /** THREE-WAY BRANCH MERGE (r17, verdict item 8 — completes the
+    * branch-integration ladder): `fast_forward` is the O(1) adoption
+    * when the head NEVER moved; `publish` re-applies the cumulative
+    * delta trusting commitDelta's OCC to catch collisions mid-commit;
+    * `merge_branch` DIAGNOSES first — an explicit 3-way diff against
+    * the fork point with FILE-GRANULAR conflict detection:
+    *
+    *   touched(branch)   = files the chain retired or re-DV'd
+    *   touched(published) = files the published lineage retired,
+    *                        added-then-retired, or re-DV'd since fork
+    *
+    * Disjoint sets COMMUTE (a file nobody both touched reads the same
+    * under either order), so the branch's delta applies onto the
+    * current head in one commit; an overlap refuses loudly LISTING THE
+    * FILES — the operator sees what collided instead of a generic
+    * concurrent-modification error, and the branch survives untouched
+    * for rebase-or-discard. Pure additions never conflict (names are
+    * globally unique). Equality-delete drift on either side refuses
+    * conservatively: an eq set's scope is version-relative and does
+    * not commute with re-application. The commit itself still passes
+    * commitDelta's OCC basis checks (racing writers lose there), every
+    * chain member's published marker is claimed (re-publication of a
+    * merged chain refuses), and the branch pointer is spent. */
+  def mergeBranch(path: String, branch: String): Int = {
+    val head = JsonDocRefs.branches(path).getOrElse(branch,
+      throw new IllegalArgumentException(s"graft-jsondoc: no branch '$branch' on $path"))
+    require(head > 0,
+      s"graft-jsondoc: branch '$branch' of $path has no commits to merge")
+    val members = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cur = head
+    while (cur != 0 && JsonDocVersions.readStaged(path, cur)) {
+      if (JsonDocVersions.isPublished(path, cur))
+        throw new IllegalStateException(
+          s"graft-jsondoc: stage v$cur of branch '$branch' was already published " +
+            "(cherry-picked) — merging the chain would re-apply it")
+      members += cur
+      cur = JsonDocVersions.readParent(path, cur).getOrElse(0)
+    }
+    val fork = cur
+    val forkState = if (fork == 0) JsonDocVersions.EmptyState
+      else JsonDocVersions.state(path, fork).getOrElse(throw new IllegalStateException(
+        s"graft-jsondoc: branch '$branch' forked at v$fork of $path, which has " +
+          "been expired/vacuumed — the merge basis is gone; re-stage the work"))
+    val headState = JsonDocVersions.state(path, head).get
+    val curV = JsonDocVersions.latestVersion(path).getOrElse(0)
+    val curState = if (curV == 0) JsonDocVersions.EmptyState
+      else JsonDocVersions.state(path, curV).get
+
+    val removedB = forkState.live -- headState.live
+    val addedB = headState.live -- forkState.live
+    val dvB = headState.dvs.filter { case (f, dv) =>
+      !forkState.dvs.get(f).contains(dv) }
+    // a DV on a branch-ADDED file rides along but can never conflict
+    // (nobody else can see the file); only fork-era touches collide
+    val touchedB = removedB ++ (dvB.keySet -- addedB)
+    val touchedP = (forkState.live -- curState.live) ++
+      (curState.live -- forkState.live) ++
+      forkState.live.filter(f => curState.dvs.get(f) != forkState.dvs.get(f))
+    val conflicts = touchedB & touchedP
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-jsondoc: cannot merge branch '$branch' of $path — both sides " +
+          s"touched ${conflicts.size} file(s) since the fork at v$fork: " +
+          conflicts.toSeq.sorted.take(5).mkString(", ") +
+          (if (conflicts.size > 5) ", …" else "") +
+          " — the changes do not commute; rebase (discard + re-stage) or " +
+          "resolve by re-running the branch's DML on the current table")
+    require(headState.eqs == forkState.eqs,
+      s"graft-jsondoc: branch '$branch' added equality-delete sets — their scope " +
+        "is version-relative and does not commute with a merge; publish instead")
+    require(curState.eqs == forkState.eqs,
+      s"graft-jsondoc: equality-delete sets landed on $path since the fork — " +
+        "they do not commute with re-applied branch files; rebase the branch")
+
+    // ledger delta (the publish recipe): the chain's own entries
+    val txnDelta = headState.txns.filter { case (a, e) =>
+      !forkState.txns.get(a).contains(e) }
+    val claimed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def releaseAll(): Unit = claimed.foreach(JsonDocVersions.releasePublished(path, _))
+    members.foreach { m =>
+      if (!JsonDocVersions.claimPublished(path, m)) {
+        releaseAll()
+        throw new IllegalStateException(
+          s"graft-jsondoc: stage v$m of branch '$branch' was already published " +
+            "(or a publish of it crashed mid-flight) — merging would duplicate rows")
+      }
+      claimed += m
+    }
+    val v =
+      try JsonDocVersions.commitDelta(path, removed = removedB, added = addedB,
+        dvUpdates = dvB, dvBasis = Some(forkState.dvs), extraTxns = txnDelta,
+        op = "merge-branch")
       catch { case e: Throwable => releaseAll(); throw e }
     JsonDocRefs.dropBranch(path, branch)
     v

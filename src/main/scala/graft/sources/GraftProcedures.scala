@@ -225,6 +225,26 @@ private[sources] object GraftProcedures {
     }
   }
 
+  object MergeBranchProcedure extends UnboundProcedure {
+    override def name(): String = "merge_branch"
+    override def description(): String =
+      "3-way merge a branch onto the moved head: disjoint touched-file sets commute, overlaps refuse listing the files"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "merge_branch"
+      override def description(): String = MergeBranchProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("path", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = GraftCatalog.mergeBranch(
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+        val schema = new StructType().add("version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v.toLong)))).asJava
+      }
+    }
+  }
+
   object CherryPickProcedure extends UnboundProcedure {
     override def name(): String = "cherry_pick"
     override def description(): String =

@@ -238,7 +238,14 @@ private[sources] class JsonDocDeltaOperation(schema: StructType, path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
-    new JsonDocScanBuilder(schema, path)
+    // BRANCH DML (r17 — lifts the r14 append-only rule the coherent
+    // way): with `write.wap.branch` set, the row-level scan reads the
+    // BRANCH HEAD's state (its chain's files and delete vectors), so
+    // the delta's positions, matched rows and inserted images are all
+    // relative to the chain being extended — exactly the semantics a
+    // mergeable branch needs (q230/MergeBranchSpec)
+    new JsonDocScanBuilder(schema, path,
+      pinned = JsonDocDelta.branchHeadOf(path).filter(_ > 0))
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new JsonDocDeltaWriteBuilder(path, info, cmd)
   override def requiredMetadataAttributes(): Array[NamedReference] = Array(
@@ -260,19 +267,28 @@ private[sources] class JsonDocDeltaWriteBuilder(path: String, info: LogicalWrite
   }
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite = {
-      // branch chains are append-only (the batch builder's rule): a MOR
-      // delta's positions come from the PUBLISHED scan, incoherent
-      // against a moving branch head
-      require(!GraftCatalog.tablePropsOf(path).contains("write.wap.branch"),
-        "graft-jsondoc: branch writes are append-only — merge-on-read DML " +
-          "cannot target a branch; publish first")
+      // branch MOR DML (r17): the scan above pinned to the branch head,
+      // so the delta commits STAGED, chained on that head
+      val branch = GraftCatalog.tablePropsOf(path).get("write.wap.branch")
       new JsonDocDeltaBatchWrite(path, info.schema(), info.queryId(), cmd,
         // WAP staging (r14): SQL DML has no writer-option channel, so
         // the table property is the only trigger here
-        staged = GraftCatalog.tablePropsOf(path)
-          .get("write.wap.staged").contains("true"))
+        staged = branch.isDefined || GraftCatalog.tablePropsOf(path)
+          .get("write.wap.staged").contains("true"),
+        branch = branch)
     }
   }
+}
+
+private[sources] object JsonDocDelta {
+  /** The branch head a `write.wap.branch` table property names — the
+    * branch must exist (create_branch first); 0 = created, no commits
+    * yet (the chain starts off published state). */
+  def branchHeadOf(path: String): Option[Int] =
+    GraftCatalog.tablePropsOf(path).get("write.wap.branch").map { n =>
+      JsonDocRefs.branches(path).getOrElse(n, throw new IllegalArgumentException(
+        s"graft-jsondoc: no branch '$n' on $path — CALL create_branch first"))
+    }
 }
 
 /** One task's delta: deleted positions per file, plus any insert files
@@ -296,7 +312,7 @@ private[sources] case class JsonDocDeltaCommitMessage(
   * read-modify-write) — the GraftTxn scaladoc's standing note. */
 private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     queryId: String, cmd: RowLevelOperation.Command,
-    staged: Boolean = false) extends DeltaBatchWrite {
+    staged: Boolean = false, branch: Option[String] = None) extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new JsonDocDeltaWriterFactory(path, schema, queryId,
@@ -328,7 +344,13 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     val ms = messages.filter(_ != null).map(_.asInstanceOf[JsonDocDeltaCommitMessage])
     val merged: Map[String, Set[Long]] = ms.flatMap(_.deletes.toSeq)
       .groupBy(_._1).map { case (rel, xs) => rel -> xs.flatMap(_._2).toSet }
-    val prevDvs = JsonDocVersions.dvsFor(path, None)
+    // branch DML (r17): DVs union against the BRANCH HEAD's vectors —
+    // the state the pinned scan read — and the commit chains on it
+    val branchHead: Option[Int] = branch.map { n =>
+      JsonDocRefs.branches(path).getOrElse(n, throw new IllegalArgumentException(
+        s"graft-jsondoc: no branch '$n' on $path — CALL create_branch first"))
+    }
+    val prevDvs = JsonDocVersions.dvsFor(path, branchHead.filter(_ > 0))
     val dvUpdates = merged.map { case (rel, pos) =>
       val existing = prevDvs.get(rel)
         .map(JsonDocDeleteVectors.read(path, _)).getOrElse(Set.empty[Long])
@@ -343,10 +365,14 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
         throw new java.io.IOException(
           s"delta commit rename failed: ${m.tmpName} -> ${m.finalName}")
     }
-    JsonDocVersions.commitDelta(path, Set.empty, ins.map(_.finalName).toSet,
+    val committed = JsonDocVersions.commitDelta(path, Set.empty,
+      ins.map(_.finalName).toSet,
       GraftTxn.take(path), dvUpdates,
       op = s"merge-on-read ${cmd.toString.toLowerCase(java.util.Locale.ROOT)}",
-      staged = staged)
+      staged = staged, stagedBase = branchHead.filter(_ > 0))
+    // repoint the branch head AFTER the chain-extending commit (the
+    // batch append's crash rule: an orphan stage, never a wrong head)
+    branch.foreach(n => JsonDocRefs.setBranchHead(path, n, committed))
     JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
     JsonDocBlooms.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.bloomJson))

@@ -1343,6 +1343,47 @@ object SourceQueries {
       "ORDER BY o_orderkey")
   }
 
+  /** q230: THREE-WAY BRANCH MERGE (r17, [[GraftCatalog.mergeBranch]] —
+    * verdict item 8): a branch carrying an append AND a merge-on-read
+    * DELETE (branch DML reads the branch head, r17's lift of the
+    * append-only rule) merges onto a published head that moved with its
+    * own DELETE — the two sides' delete vectors land on DISJOINT files
+    * (even keys file A, odd keys file B), so the changes commute and
+    * `CALL merge_branch` lands both in one commit. Oracle: the
+    * relational composition of both sides' DML. MergeBranchSpec pins
+    * the conflict half of the matrix (overlaps refuse, listing files).
+    */
+  def q230MergeBranch(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q230")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/t`"
+    val path = s"$root/t"
+    spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val src = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    src.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .coalesce(1).writeTo(tbl).append() // v1 = file A (even keys)
+    src.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .coalesce(1).writeTo(tbl).append() // v2 = file B (odd keys)
+    spark.sql(s"CALL graftcat.create_branch('$path', 'dev')")
+    src.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .select((col("o_orderkey") + 30000000L).as("o_orderkey"), col("o_totalprice"))
+      .coalesce(1).writeTo(tbl).option("branch", "dev").append()
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('write.wap.branch' = 'dev')")
+    try spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 0") // DV on file A
+    finally spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('write.wap.branch')")
+    spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 10 = 1") // published, file B
+    spark.sql(s"CALL graftcat.merge_branch('$path', 'dev')").collect()
+    spark.sql(s"SELECT o_orderkey, o_totalprice FROM $tbl ORDER BY o_orderkey")
+  }
+
+  val q230Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM (" +
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 NOT IN (0, 1) " +
+      "UNION ALL " +
+      "SELECT o_orderkey + 30000000, o_totalprice FROM orders WHERE o_orderkey % 10 = 5" +
+      ") ORDER BY o_orderkey"
+
   /** q221: PARTITION OVERWRITE (r16 — SupportsOverwrite +
     * SupportsDynamicOverwrite): the daily-reprocess shape every
     * partitioned warehouse runs — `INSERT OVERWRITE t PARTITION
@@ -1594,6 +1635,7 @@ object SourceQueries {
     "q221_partition_overwrite" -> q221PartitionOverwrite _,
     "q222_mv_ddl" -> q222MvDdl _,
     "q229_drop_partition" -> q229DropPartition _,
+    "q230_merge_branch" -> q230MergeBranch _,
     "q223_mv_minmax" -> q223MvMinmax _,
     "q224_mv_state" -> q224MvState _,
     "q199_branch" -> q199Branch _)
@@ -1667,6 +1709,7 @@ object SourceQueries {
     "q218_shredded_variant" -> graft.ops.TimeSeries.q24Sql,
     "q220_metadata_delete" -> q220Sql,
     "q229_drop_partition" -> q220Sql,
+    "q230_merge_branch" -> q230Sql,
     "q221_partition_overwrite" -> q221Sql,
     // base ∪ concurrent ∪ BOTH staged slices after a chain publish —
     // the cumulative branch delta, with in-flow invisibility requires
