@@ -1107,6 +1107,76 @@ private[sources] case class JsonDocUpsertCommitMessage(
   * file; only a range that provably excludes every filter value skips
   * it. Rows where the filtered column is null are safe to skip on
   * because EqualTo/</>/In never match null (IsNotNull never prunes). */
+/** Per-file, per-column NDV sketch (r17, verdict item 4): a 256-register
+  * HyperLogLog (Flajolet et al. 2007; p = 8, ~6.5% relative error) over
+  * the writer's value hashes — small enough to ride in the stats
+  * sidecar (344 base64 chars per column per file), MERGEABLE by
+  * register max so the table-level distinct count assembles from file
+  * sketches with no re-scan. The consumer is the PLANNER
+  * ([[JsonDocScan.estimateStatistics]]'s columnStats): with CBO on, a
+  * selective equality filter's output estimate shrinks by 1/ndv, which
+  * is what lets a filtered BIG table win the broadcast side of a join
+  * — the wrong-side broadcast at 100× is a real failure mode the
+  * size-only estimate cannot avoid. Planning-only: an NDV is never a
+  * correctness input. */
+private[sources] object JsonDocNdv {
+  val P = 8
+  val M: Int = 1 << P // 256 registers
+
+  def empty: Array[Byte] = new Array[Byte](M)
+
+  /** Fold one 64-bit value hash: register index = top P bits, rank =
+    * leading zeros of the rest + 1 (capped by the shifted-in guard). */
+  def add(reg: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> (64 - P)).toInt
+    val rank = (java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1)
+    if (rank > reg(idx)) reg(idx) = rank.toByte
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](M)
+    var i = 0
+    while (i < M) { out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    out
+  }
+
+  /** The standard estimator with the small-range (linear counting)
+    * correction — the regime file-level sketches mostly live in. */
+  def estimate(reg: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += java.lang.Math.pow(2.0, -reg(i).toDouble)
+      if (reg(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * M * M / sum
+    val corrected =
+      if (e <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else e
+    math.round(corrected)
+  }
+
+  def toB64(reg: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(reg)
+  def fromB64(s: String): Option[Array[Byte]] =
+    try Some(java.util.Base64.getDecoder.decode(s)).filter(_.length == M)
+    catch { case _: IllegalArgumentException => None }
+
+  /** The writer-side value hash per supported type — the same hash
+    * family the bloom accumulators use, so one pass feeds both. */
+  def hashValue(v: Any): Long = v match {
+    case l: Long => JsonDocBlooms.hashLong(l)
+    case i: Int => JsonDocBlooms.hashLong(i.toLong)
+    case d: Double => JsonDocBlooms.hashLong(java.lang.Double.doubleToLongBits(d))
+    case b: Boolean => JsonDocBlooms.hashLong(if (b) 1L else 0L)
+    case s: String => JsonDocBlooms.hashConst(s).get
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      JsonDocBlooms.hashConst(u.toString).get
+    case other => JsonDocBlooms.hashConst(String.valueOf(other)).getOrElse(0L)
+  }
+}
+
 private[sources] object JsonDocStats {
   val SidecarName = "_stats.json"
 
@@ -1114,7 +1184,14 @@ private[sources] object JsonDocStats {
     * min/max are Long, Double, or String (the three shapes the writer
     * accumulates; booleans aren't worth pruning on). */
   final case class ColRange(min: Any, max: Any)
-  final case class FileStats(rows: Long, cols: Map[String, ColRange])
+
+  /** `ndv` = per-column HLL registers ([[JsonDocNdv]]); `nulls` =
+    * per-column null counts. Both PLANNING inputs only (column
+    * statistics for CBO), both optional — absent in legacy entries and
+    * dropped conservatively by [[union]] when any input lacks them. */
+  final case class FileStats(rows: Long, cols: Map[String, ColRange],
+      ndv: Map[String, Array[Byte]] = Map.empty,
+      nulls: Map[String, Long] = Map.empty)
 
   private def writeVal(node: com.fasterxml.jackson.databind.node.ObjectNode,
       key: String, v: Any): Unit = v match {
@@ -1152,7 +1229,15 @@ private[sources] object JsonDocStats {
         }
       }
     })
-    Some(FileStats(ss.map(_.rows).sum, cols.toMap))
+    // NDV registers merge by max, null counts sum — but only for
+    // columns EVERY input carries (a legacy entry without a sketch
+    // makes the merged figure a lie; absent = unknown, conservative)
+    val ndvKeys = ss.map(_.ndv.keySet).reduce(_ & _)
+    val ndv = ndvKeys.map(c =>
+      c -> ss.map(_.ndv(c)).reduce(JsonDocNdv.merge)).toMap
+    val nullKeys = ss.map(_.nulls.keySet).reduce(_ & _)
+    val nulls = nullKeys.map(c => c -> ss.map(_.nulls(c)).sum).toMap
+    Some(FileStats(ss.map(_.rows).sum, cols.toMap, ndv, nulls))
   }
 
   def toJson(s: FileStats): String = {
@@ -1165,6 +1250,14 @@ private[sources] object JsonDocStats {
       writeVal(c, "min", r.min)
       writeVal(c, "max", r.max)
     }
+    if (s.ndv.nonEmpty) {
+      val nd = root.putObject("ndv")
+      s.ndv.foreach { case (name, reg) => nd.put(name, JsonDocNdv.toB64(reg)); () }
+    }
+    if (s.nulls.nonEmpty) {
+      val nl = root.putObject("nulls")
+      s.nulls.foreach { case (name, n) => nl.put(name, n); () }
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -1174,7 +1267,14 @@ private[sources] object JsonDocStats {
         e.getKey -> ColRange(readVal(e.getValue.get("min")), readVal(e.getValue.get("max")))
       }.toMap
     }.getOrElse(Map.empty)
-    FileStats(Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), cols)
+    val ndv = Option(n.get("ndv")).map { c =>
+      c.fields().asScala.flatMap(e =>
+        JsonDocNdv.fromB64(e.getValue.asText()).map(e.getKey -> _)).toMap
+    }.getOrElse(Map.empty[String, Array[Byte]])
+    val nulls = Option(n.get("nulls")).map { c =>
+      c.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    FileStats(Option(n.get("rows")).map(_.asLong()).getOrElse(-1L), cols, ndv, nulls)
   }
 
   /** Load the sidecar; any parse problem degrades to "no stats". */
@@ -2006,6 +2106,14 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
     }
   }
 
+  // per-column NDV registers + null counts (r17): one hash per non-null
+  // value into a 256-byte HLL; planning-only column statistics
+  private val ndvReg: Array[Array[Byte]] =
+    Array.fill(schema.length)(JsonDocNdv.empty)
+  private val nullCnt = new Array[Long](schema.length)
+  private def ndvAdd(i: Int, v: Any): Unit =
+    JsonDocNdv.add(ndvReg(i), JsonDocNdv.hashValue(v))
+
   // SHREDDING (r16, [[JsonDocShred]]): (target ordinal, source ordinal,
   // field) triples bound against THIS write schema — a spec whose
   // target or source this write doesn't carry is skipped (catalog
@@ -2052,31 +2160,36 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
         // generated-always: the extraction replaces the incoming value,
         // feeding the same stats/bloom accumulators a real value would
         shredded.get(Integer.valueOf(i)) match {
-          case null => node.putNull(f.name)
+          case null => node.putNull(f.name); nullCnt(i) += 1
           case l: java.lang.Long =>
             node.put(f.name, l.longValue()); acc(i, l.longValue())
+            ndvAdd(i, l.longValue())
             if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(l.longValue())
           case d: java.lang.Double =>
             node.put(f.name, d.doubleValue()); acc(i, d.doubleValue())
+            ndvAdd(i, d.doubleValue())
           case s: String =>
-            node.put(f.name, s); acc(i, s)
+            node.put(f.name, s); acc(i, s); ndvAdd(i, s)
             if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashConst(s).get
-          case _ => node.putNull(f.name)
+          case _ => node.putNull(f.name); nullCnt(i) += 1
         }
       }
-      else if (row.isNullAt(i)) node.putNull(f.name)
+      else if (row.isNullAt(i)) { node.putNull(f.name); nullCnt(i) += 1 }
       else f.dataType match {
         case LongType =>
-          val v = row.getLong(i); node.put(f.name, v); acc(i, v)
+          val v = row.getLong(i); node.put(f.name, v); acc(i, v); ndvAdd(i, v)
           if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v)
         case IntegerType =>
           val v = row.getInt(i); node.put(f.name, v); acc(i, v.toLong)
+          ndvAdd(i, v.toLong)
           if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v.toLong)
         case DoubleType =>
-          val v = row.getDouble(i); node.put(f.name, v); acc(i, v)
-        case BooleanType => node.put(f.name, row.getBoolean(i))
+          val v = row.getDouble(i); node.put(f.name, v); acc(i, v); ndvAdd(i, v)
+        case BooleanType =>
+          val v = row.getBoolean(i); node.put(f.name, v); ndvAdd(i, v)
         case _ =>
           val v = row.getUTF8String(i).toString; node.put(f.name, v); acc(i, v)
+          ndvAdd(i, v)
           if (bloomAcc(i) != null)
             bloomAcc(i) += JsonDocBlooms.hashConst(v).get
       }
@@ -2092,12 +2205,17 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
       case (f, i) if mins(i) != null =>
         f.name -> JsonDocStats.ColRange(mins(i), maxs(i))
     }.toMap
+    // NDV/null stats for EVERY schema column (an all-null column's
+    // empty registers estimate 0) so file entries stay key-uniform and
+    // union never drops a sketch over a same-schema file set
+    val ndv = schema.fields.zipWithIndex.map { case (f, i) => f.name -> ndvReg(i) }.toMap
+    val nulls = schema.fields.zipWithIndex.map { case (f, i) => f.name -> nullCnt(i) }.toMap
     val blooms = schema.fields.zipWithIndex.collect {
       case (f, i) if bloomAcc(i) != null =>
         f.name -> JsonDocBlooms.build(bloomAcc(i).result())
     }
     JsonDocCommitMessage(tmpName, finalName,
-      JsonDocStats.toJson(JsonDocStats.FileStats(rows, cols)),
+      JsonDocStats.toJson(JsonDocStats.FileStats(rows, cols, ndv, nulls)),
       if (blooms.isEmpty) "" else JsonDocBlooms.colsToJson(blooms.toSeq))
   }
 
@@ -2480,13 +2598,13 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
   override def estimateStatistics(): Statistics = new Statistics {
     private val files = listFiles()
     private val bytes = files.map(_.length()).sum
+    private val sidecar = JsonDocStats.load(path)
     // exact row count when the stats sidecar covers EVERY file (i.e.
     // the dir was written by the V2 writer); empty otherwise — a wrong
     // row estimate is worse than none
     private val rows: java.util.OptionalLong = {
-      val stats = JsonDocStats.load(path)
       val per = files.map(f =>
-        stats.get(JsonDocSource.relName(path, f)).map(_.rows).filter(_ >= 0))
+        sidecar.get(JsonDocSource.relName(path, f)).map(_.rows).filter(_ >= 0))
       // equality deletes (r15) CANNOT subtract without reading (a key
       // may or may not match rows) — withdraw the estimate rather than
       // report a count the scan will contradict
@@ -2498,8 +2616,148 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
         java.util.OptionalLong.of(per.flatten.sum - dvDeleted)
       } else java.util.OptionalLong.empty()
     }
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = rows
+    // PUSHED-FILTER selectivity (r17, verdict item 4): this source
+    // claims eligible filters COMPLETELY (rows re-check inside the
+    // reader), so no Filter node survives for catalyst's own
+    // estimation to shrink — the scan itself must report post-filter
+    // statistics or a selectively-filtered big table can never win
+    // the broadcast side of a join. Equality/In shrink by the
+    // sidecar's merged NDV, null tests by the null counts, numeric
+    // ranges by linear interpolation over [min,max]; anything the
+    // stats can't price keeps factor 1.0 (conservative — an
+    // OVERestimate only costs a shuffle; an underestimate from a
+    // missing sketch could broadcast a monster). The floor is one row.
+    private lazy val selectivity: Double = {
+      val dataFilters = filters.filterNot(f =>
+        f.references.contains(JsonDocSource.FileMetaCol))
+      if (dataFilters.isEmpty) 1.0
+      else {
+        val entries = files.flatMap(f => sidecar.get(JsonDocSource.relName(path, f)))
+        if (entries.length != files.length || entries.isEmpty ||
+          entries.exists(_.rows < 0)) 1.0
+        else {
+          val totalRows = math.max(1L, entries.map(_.rows).sum)
+          def ndvOf(c: String): Option[Long] =
+            if (entries.forall(_.ndv.contains(c)))
+              Some(math.max(1L, JsonDocNdv.estimate(
+                entries.map(_.ndv(c)).reduce(JsonDocNdv.merge))))
+            else None
+          def nullsOf(c: String): Option[Long] =
+            if (entries.forall(_.nulls.contains(c)))
+              Some(entries.map(_.nulls(c)).sum)
+            else None
+          def rangeOf(c: String): Option[(Double, Double)] =
+            JsonDocStats.union(entries.map(Some(_))).flatMap(_.cols.get(c)).flatMap {
+              case JsonDocStats.ColRange(mn: Long, mx: Long) =>
+                Some((mn.toDouble, mx.toDouble))
+              case JsonDocStats.ColRange(mn: Double, mx: Double) => Some((mn, mx))
+              case _ => None
+            }
+          def num(v: Any): Option[Double] = v match {
+            case n: java.lang.Number => Some(n.doubleValue())
+            case _ => None
+          }
+          def frac(c: String, v: Any, above: Boolean): Double =
+            (rangeOf(c), num(v)) match {
+              case (Some((mn, mx)), Some(x)) if mx > mn =>
+                val f = if (above) (mx - x) / (mx - mn) else (x - mn) / (mx - mn)
+                math.min(1.0, math.max(0.0, f))
+              case _ => 1.0
+            }
+          def sel(f: Filter): Double = f match {
+            case EqualTo(c, _) => ndvOf(c).map(1.0 / _).getOrElse(1.0)
+            case org.apache.spark.sql.sources.EqualNullSafe(c, v) if v != null =>
+              ndvOf(c).map(1.0 / _).getOrElse(1.0)
+            case In(c, vs) => ndvOf(c)
+              .map(n => math.min(1.0, vs.distinct.length.toDouble / n)).getOrElse(1.0)
+            case org.apache.spark.sql.sources.IsNull(c) =>
+              nullsOf(c).map(_.toDouble / totalRows).getOrElse(1.0)
+            case org.apache.spark.sql.sources.IsNotNull(c) =>
+              nullsOf(c).map(n => 1.0 - n.toDouble / totalRows).getOrElse(1.0)
+            case org.apache.spark.sql.sources.GreaterThan(c, v) => frac(c, v, above = true)
+            case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) => frac(c, v, above = true)
+            case org.apache.spark.sql.sources.LessThan(c, v) => frac(c, v, above = false)
+            case org.apache.spark.sql.sources.LessThanOrEqual(c, v) => frac(c, v, above = false)
+            case org.apache.spark.sql.sources.And(a, b) => sel(a) * sel(b)
+            case org.apache.spark.sql.sources.Or(a, b) => math.min(1.0, sel(a) + sel(b))
+            case _ => 1.0
+          }
+          val s = dataFilters.map(sel).product
+          math.min(1.0, math.max(1.0 / totalRows, s))
+        }
+      }
+    }
+
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, math.ceil(bytes * selectivity).toLong))
+    override def numRows(): java.util.OptionalLong =
+      if (!rows.isPresent || selectivity >= 1.0) rows
+      else java.util.OptionalLong.of(
+        math.max(1L, math.round(rows.getAsLong * selectivity)))
+
+    // COLUMN statistics (r17, verdict item 4): per-column distinct
+    // counts merged from the sidecar's HLL registers, null counts, and
+    // (for cleanly-typed numerics) the min/max bounds — the inputs
+    // CBO's FilterEstimation needs to shrink a selective predicate's
+    // output estimate by 1/ndv, which is what lets a filtered BIG
+    // table win the broadcast side of a join (StatsFlipSpec pins the
+    // flip). Computed over the PLANNED (already pruned) files only,
+    // and only when EVERY planned file carries a sketch for the
+    // column — a partial merge would understate ndv and overstate
+    // selectivity, the dangerous direction. Planning-only: estimates
+    // never gate correctness.
+    private lazy val colStats:
+        java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val entries = files.flatMap(f => sidecar.get(JsonDocSource.relName(path, f)))
+      if (entries.length == files.length && entries.nonEmpty) {
+        readSchema0.fields.foreach { fld =>
+          val name = fld.name
+          if (entries.forall(_.ndv.contains(name))) {
+            val reg = entries.map(_.ndv(name)).reduce(JsonDocNdv.merge)
+            val ndvEst = JsonDocNdv.estimate(reg)
+            val nullSum: Option[Long] =
+              if (entries.forall(_.nulls.contains(name)))
+                Some(entries.map(_.nulls(name)).sum)
+              else None
+            // bounds only when the stat value's runtime shape matches
+            // the column type exactly (writer widens ints to Long, so
+            // IntegerType columns report no bounds rather than lie)
+            val ranges = entries.flatMap(_.cols.get(name))
+            val bounds: Option[(Any, Any)] =
+              if (ranges.isEmpty) None
+              else (fld.dataType, ranges.head.min) match {
+                case (LongType, _: Long) | (DoubleType, _: Double) =>
+                  JsonDocStats.union(entries.map(Some(_)))
+                    .flatMap(_.cols.get(name)).map(r => (r.min, r.max))
+                case _ => None
+              }
+            out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(math.max(1L, ndvEst))
+                override def nullCount(): java.util.OptionalLong =
+                  nullSum.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  bounds.map(b => java.util.Optional.of(b._1.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  bounds.map(b => java.util.Optional.of(b._2.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
+            ()
+          }
+        }
+      }
+      out
+    }
+    override def columnStats():
+        java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
