@@ -777,6 +777,10 @@ object TimeSeries {
     val tail = if (carried == null) null
       else carried.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
     val all = (out, tail) match {
+      case (null, null) => // empty probe side: zero rounds ran
+        probes.sparkSession.emptyDataFrame
+          .select(lit(0L).as("p_id"), lit(0L).as("q_id"),
+            lit(0L).as("dist2"), lit(0).as("rn")).limit(0)
       case (null, t) => t
       case (o, null) => o
       case (o, t) => o.unionByName(t)

@@ -697,8 +697,11 @@ private[graft] object JsonDocVersions {
             s"(${missing.take(3).mkString(", ")}) — a concurrent rewrite won; re-plan")
       // a DV targeting a no-longer-live file is the same conflict: the
       // positions were derived from contents a concurrent rewrite has
-      // since replaced — applying them to nothing silently un-deletes
-      val dvMissing = dvUpdates.keySet -- base
+      // since replaced — applying them to nothing silently un-deletes.
+      // A file THIS commit adds is exempt (r17): a merged/published
+      // branch chain legitimately lands a file and its own delete
+      // vector in one atomic step (branch DML on a branch-added file)
+      val dvMissing = dvUpdates.keySet -- base -- added
       if (dvMissing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"graft-jsondoc: commit to $path carries delete vectors for files no longer " +

@@ -118,6 +118,41 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 200L)
   }
 
+  test("base lineage edges: OPTIMIZE folds nothing; rollback folds the diff; rename fails loudly") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.edges")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_edge").toString
+    val base = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $base (k BIGINT, g STRING) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $base VALUES (1, 'a'), (2, 'b')") // v1
+    val body = s"SELECT g, count(*) AS n, sum(k) AS sk FROM $base GROUP BY g"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.edges.m AS $body")
+    // OPTIMIZE is a logical identity: the feed emits nothing, the
+    // refresh advances the watermark without touching the view
+    spark.sql(s"INSERT INTO $base VALUES (3, 'a')") // v2
+    spark.sql(s"CALL graftcat.optimize('$root/b', ${32 * 1024 * 1024})") // v3
+    spark.sql("CALL graftcat.refresh_mv('edges.m')")
+    assert(sortedRows("SELECT * FROM graftcat.edges.m") === sortedRows(body))
+    assert(spark.sql("SELECT stale_commits FROM graftcat.edges.`m#mvstate`")
+      .collect()(0).getLong(0) === 0L)
+    // ROLLBACK is a content commit: the feed emits the restore diff and
+    // the fold lands back at the restored state
+    spark.sql(s"CALL graftcat.rollback('$root/b', 1)") // v4 = v1's content
+    spark.sql("CALL graftcat.refresh_mv('edges.m')")
+    assert(sortedRows("SELECT * FROM graftcat.edges.m") === sortedRows(body),
+      "after a base rollback the folded view must equal the recompute again")
+    // renaming a column the fold plan references fails the NEXT refresh
+    // loudly (the stored plan names the creation-time column) — never a
+    // silent mis-bind
+    spark.sql(s"ALTER TABLE $base RENAME COLUMN g TO grp")
+    spark.sql(s"INSERT INTO $base VALUES (9, 'z')") // v5, new shape
+    val e = intercept[Exception] { spark.sql("CALL graftcat.refresh_mv('edges.m')") }
+    assert(e.getMessage.contains("g") || e.getMessage.toLowerCase.contains("resolve"),
+      s"a renamed fold column must fail loudly: ${e.getMessage.take(200)}")
+    // the view itself still reads (stale, at its last folded state)
+    assert(spark.sql("SELECT * FROM graftcat.edges.m").count() === 2L)
+  }
+
   test("non-incrementalizable bodies refuse at CREATE with the reason") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.db3")

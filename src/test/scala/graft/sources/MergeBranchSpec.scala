@@ -133,6 +133,25 @@ class MergeBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
   }
 
+  test("branch DML sees the branch's OWN work: delete a branch-added row, then merge") {
+    import spark.implicits._
+    val (path, tbl) = fresh()
+    spark.sql(s"CALL graftcat.create_branch('$path', 'dev')")
+    Seq((10L, "x"), (11L, "y")).toDF("k", "v").coalesce(1)
+      .writeTo(tbl).option("branch", "dev").append()
+    // the DELETE's scan is pinned to the branch head, so k=10 (which
+    // published state has never seen) matches — the r14 append-only
+    // rule's "incoherent scan" objection, resolved
+    branchDml(tbl, path, "dev")(s"DELETE FROM $tbl WHERE k = 10")
+    // audit: the branch head reads its own append minus its own delete
+    val head = JsonDocRefs.branches(path)("dev")
+    assert(spark.sql(s"SELECT k FROM $tbl VERSION AS OF $head ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L, 11L))
+    spark.sql(s"CALL graftcat.merge_branch('$path', 'dev')")
+    assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 6L, 11L),
+      "the merged state must carry the branch-added file WITH its DV")
+  }
+
   test("a cherry-picked member poisons the merge (no double application)") {
     import spark.implicits._
     val (path, tbl) = fresh()
