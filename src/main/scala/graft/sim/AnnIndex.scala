@@ -103,33 +103,38 @@ object AnnIndex {
           .toIndexedSeq).toIndexedSeq))
   }
 
-  /** The cell of each row's `vec` string under `cents` — the same
-    * c²−2·v·c ranking as the in-memory q55 path (|v|² is row-constant),
-    * ties toward the smaller index. */
-  private def cellCol(cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
-    val v = transform(split(col("vec"), ","), x => x.cast("double"))
+  /** Stage the parsed (and, with PQ, unit-normalized) vector as REAL
+    * columns before the cell/code expressions reference them: the
+    * ranking arrays reference the vector 100+ times, and CollapseProject
+    * would otherwise inline the 64-element parse (and a per-element
+    * norm recompute) into every use — measured as the difference
+    * between a 2 s and a 50 s index build at sf0.1. Materialization
+    * preserves bit-identity: same expressions, evaluated once. */
+  private def withParsed(df: DataFrame, needUnit: Boolean): DataFrame = {
+    val parsed = df.withColumn("__v",
+      transform(split(col("vec"), ","), x => x.cast("double")))
+    if (!needUnit) parsed
+    else parsed
+      .withColumn("__n",
+        sqrt(graft.functions.VectorFunctions.vecDot(col("__v"), col("__v"))))
+      .withColumn("__u", transform(col("__v"), x => x / col("__n")))
+  }
+
+  /** The q55 cell ranking over the staged `__v` column. */
+  private def cellOf(cents: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     array_sort(array(cents.zipWithIndex.map { case (ca, i) =>
       val c2 = ca.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * graft.functions.VectorFunctions
-        .vecDot(v, typedLit(ca))).as("d"), lit(i).as("c"))
+        .vecDot(col("__v"), typedLit(ca))).as("d"), lit(i).as("c"))
     }: _*)).getItem(0).getField("c").cast("long")
-  }
 
-  /** Unit-vector column parsed from `vec` — bit-identical to the q137
-    * path (norm = left-to-right vec_dot, elementwise divide). */
-  private def unitCol: org.apache.spark.sql.Column = {
-    val v = transform(split(col("vec"), ","), x => x.cast("double"))
-    transform(v, x => x / sqrt(graft.functions.VectorFunctions.vecDot(v, v)))
-  }
-
-  /** Comma-joined PQ codes of `vec` under frozen `books` — the q137
+  /** Comma-joined PQ codes over the staged `__u` column — the q137
     * encode (per-subspace argmin via struct-min ranking, ties toward
     * the smaller code). */
-  private def codeCol(books: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
-    val u = unitCol
+  private def codeOf(books: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
     val subDim = books.head.head.length
     val codes = books.zipWithIndex.map { case (book, s) =>
-      val us = slice(u, s * subDim + 1, subDim)
+      val us = slice(col("__u"), s * subDim + 1, subDim)
       array_min(array(book.zipWithIndex.map { case (c, j) =>
         val c2 = c.map(x => x * x).sum
         struct((lit(c2) - lit(2.0) * graft.functions.VectorFunctions
@@ -138,9 +143,6 @@ object AnnIndex {
     }
     concat_ws(",", codes: _*)
   }
-
-  private def codeOrEmpty(d: IndexDef): org.apache.spark.sql.Column =
-    d.pq.map(codeCol).getOrElse(lit(""))
 
   /** Build the index: create the cell-partitioned postings table and
     * materialize the base snapshot AT ITS CURRENT HEAD (pinned read —
@@ -159,9 +161,11 @@ object AnnIndex {
       "(cell BIGINT, vec_id BIGINT, vec STRING, code STRING) USING `graft-jsondoc` " +
       "PARTITIONED BY (cell)")
     if (head > 0) {
-      spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath` VERSION AS OF $head")
-        .withColumn("cell", cellCol(centroids))
-        .withColumn("code", codeOrEmpty(d0))
+      withParsed(
+        spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath` VERSION AS OF $head"),
+        needUnit = pq.isDefined)
+        .withColumn("cell", cellOf(centroids))
+        .withColumn("code", pq.map(codeOf).getOrElse(lit("")))
         .select(col("cell"), col("vec_id"), col("vec"), col("code"))
         .writeTo(s"$cat.`$postings`").append()
     }
@@ -193,8 +197,11 @@ object AnnIndex {
               when(col("_change_type") === "insert", 0).otherwise(1))))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("vec"), col("_change_type").as("act"))
-        .withColumn("cell", when(col("act") === "insert", cellCol(d.centroids)))
-        .withColumn("code", when(col("act") === "insert", codeOrEmpty(d)))
+        .transform(withParsed(_, needUnit = d.pq.isDefined))
+        .withColumn("cell", when(col("act") === "insert", cellOf(d.centroids)))
+        .withColumn("code", when(col("act") === "insert",
+          d.pq.map(codeOf).getOrElse(lit(""))))
+        .select(col("vec_id"), col("vec"), col("act"), col("cell"), col("code"))
       val view = s"graft_ann_delta_$head"
       net.createOrReplaceTempView(view)
       GraftTxn.begin(postings, appId(indexRoot), head.toLong)
@@ -253,10 +260,9 @@ object AnnIndex {
     val short = rows.select(col("vec_id"), round(adc, 6).as("sim_adc"))
       .orderBy(col("sim_adc").desc, col("vec_id"))
       .limit(shortlist)
-    rows.join(broadcast(short), "vec_id")
-      .withColumn("u", unitCol)
+    withParsed(rows.join(broadcast(short), "vec_id"), needUnit = true)
       .select(col("vec_id"), col("sim_adc"),
-        round(graft.functions.VectorFunctions.vecDot(col("u"), typedLit(qu.toSeq)), 6)
+        round(graft.functions.VectorFunctions.vecDot(col("__u"), typedLit(qu.toSeq)), 6)
           .as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
