@@ -141,6 +141,23 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL graftcat.refresh_mv('edges.m')")
     assert(sortedRows("SELECT * FROM graftcat.edges.m") === sortedRows(body),
       "after a base rollback the folded view must equal the recompute again")
+    // INSERT OVERWRITE (truncate-replace) is a content commit: the feed
+    // emits the full delete+insert diff and the fold lands the
+    // replacement exactly
+    spark.sql(s"INSERT OVERWRITE $base VALUES (10, 'a'), (20, 'c')")
+    spark.sql("CALL graftcat.refresh_mv('edges.m')")
+    assert(sortedRows("SELECT * FROM graftcat.edges.m") === sortedRows(body),
+      "a base overwrite must fold to the replaced state")
+    // a SECOND MV on the same base keeps its own watermark
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.edges.m2 AS " +
+      s"SELECT g, count(*) AS n FROM $base GROUP BY g")
+    spark.sql(s"INSERT INTO $base VALUES (7, 'z')")
+    spark.sql("CALL graftcat.refresh_mv('edges.m2')")
+    assert(spark.sql("SELECT stale_commits FROM graftcat.edges.`m#mvstate`")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql("SELECT stale_commits FROM graftcat.edges.`m2#mvstate`")
+      .collect()(0).getLong(0) === 0L)
+    spark.sql("CALL graftcat.refresh_mv('edges.m')") // catch m up for the rename leg
     // renaming a column the fold plan references fails the NEXT refresh
     // loudly (the stored plan names the creation-time column) — never a
     // silent mis-bind
@@ -149,8 +166,9 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception] { spark.sql("CALL graftcat.refresh_mv('edges.m')") }
     assert(e.getMessage.contains("g") || e.getMessage.toLowerCase.contains("resolve"),
       s"a renamed fold column must fail loudly: ${e.getMessage.take(200)}")
-    // the view itself still reads (stale, at its last folded state)
-    assert(spark.sql("SELECT * FROM graftcat.edges.m").count() === 2L)
+    // the view itself still reads (stale, at its last folded state:
+    // groups a, c, z from the overwrite + the z insert)
+    assert(spark.sql("SELECT * FROM graftcat.edges.m").count() === 3L)
   }
 
   test("non-incrementalizable bodies refuse at CREATE with the reason") {
