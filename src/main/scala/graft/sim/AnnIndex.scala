@@ -144,6 +144,73 @@ object AnnIndex {
     concat_ws(",", codes: _*)
   }
 
+  /** Fit a coarse quantizer from the BASE TABLE itself (r17 — the SQL
+    * surface's entry: `CALL create_ann(root, base, k)` has no Scala
+    * centroids to hand in): the q55 recipe verbatim — a
+    * content-hash-priority sample of 2048 vectors (deterministic on any
+    * cluster/partitioning/rerun), Gonzalez farthest-point seeding, 20
+    * fixed Lloyd's rounds on the driver. Corpus-size-independent, like
+    * every production IVF train step. */
+  def fit(spark: SparkSession, cat: String, basePath: String,
+      k: Int): Seq[Seq[Double]] = {
+    graft.functions.VectorFunctions.register(spark)
+    val sample: Array[Array[Double]] = withParsed(
+      spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath`"), needUnit = false)
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("|graft-ann-fit-1"))).asc,
+        col("vec_id").asc)
+      .limit(2048)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"ann index: the base holds ${sample.length} vectors — fewer than k = $k cells")
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val C = new Array[Array[Double]](k)
+    C(0) = sample(0).clone
+    val minD = sample.map(p => d2(p, C(0)))
+    for (j <- 1 until k) {
+      var best = 0; var bd = -1.0; var i = 0
+      while (i < sample.length) {
+        if (minD(i) > bd) { bd = minD(i); best = i }
+        i += 1
+      }
+      C(j) = sample(best).clone
+      i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), C(j))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    for (_ <- 1 to 20) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          val d = d2(p, C(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        cnt(best) += 1
+        val acc = sums(best); var i = 0
+        while (i < dim) { acc(i) += p(i); i += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (cnt(j) > 0) {
+          var i = 0
+          while (i < dim) { C(j)(i) = sums(j)(i) / cnt(j); i += 1 }
+        }
+        j += 1
+      }
+    }
+    C.map(_.toIndexedSeq).toIndexedSeq
+  }
+
   /** Build the index: create the cell-partitioned postings table and
     * materialize the base snapshot AT ITS CURRENT HEAD (pinned read —
     * racing commits fold on the next refresh). `base` must be a
@@ -157,9 +224,15 @@ object AnnIndex {
     val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
     val d0 = IndexDef(new java.io.File(basePath).getAbsolutePath,
       centroids, head, pq)
+    // MERGE-ON-READ postings (r17, AnnScaleProbe's finding): an upsert
+    // delta's keys spread across cells, so a copy-on-write MERGE would
+    // rewrite ~every cell's files even for a tiny delta — the q183 MV
+    // amplification problem. MOR lands delete vectors + insert files in
+    // O(changed rows); searches pay the DV fold until OPTIMIZE compacts.
     spark.sql(s"CREATE TABLE $cat.`$postings` " +
       "(cell BIGINT, vec_id BIGINT, vec STRING, code STRING) USING `graft-jsondoc` " +
-      "PARTITIONED BY (cell)")
+      "PARTITIONED BY (cell) " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
     if (head > 0) {
       withParsed(
         spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath` VERSION AS OF $head"),

@@ -137,11 +137,12 @@ class GraftCatalog extends TableCatalog
       case "recover_txn2" => GraftProcedures.RecoverTxn2Procedure
       case "refresh_mv" => new GraftProcedures.RefreshMvProcedure(this)
       case "refresh_ann" => new GraftProcedures.RefreshAnnProcedure(catalogName)
+      case "create_ann" => new GraftProcedures.CreateAnnProcedure(catalogName)
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
           "rollback, publish, discard_staged, create_branch, drop_branch, " +
-          "fast_forward, cherry_pick, merge_branch, refresh_mv, refresh_ann)")
+          "fast_forward, cherry_pick, merge_branch, refresh_mv, create_ann, refresh_ann)")
     }
   }
 
@@ -155,7 +156,8 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "create_branch"), Identifier.of(Array.empty, "drop_branch"),
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
       Identifier.of(Array.empty, "recover_txn2"), Identifier.of(Array.empty, "refresh_mv"),
-      Identifier.of(Array.empty, "refresh_ann"), Identifier.of(Array.empty, "merge_branch"))
+      Identifier.of(Array.empty, "refresh_ann"), Identifier.of(Array.empty, "merge_branch"),
+      Identifier.of(Array.empty, "create_ann"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged

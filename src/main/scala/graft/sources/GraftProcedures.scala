@@ -413,6 +413,36 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.create_ann('<index root>', '<base path>', k)` —
+    * fit a k-cell coarse quantizer from the base (deterministic
+    * sample) and build the persisted IVF index at the base's head
+    * ([[graft.sim.AnnIndex]]). Returns the indexed head version. */
+  final class CreateAnnProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "create_ann"
+    override def description(): String =
+      "fit a k-cell coarse quantizer from the base table and build the persisted ANN index at its head"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_ann"
+      override def description(): String = CreateAnnProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build(),
+        ProcedureParameter.in("base_path", StringType).build(),
+        ProcedureParameter.in("k", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = input.getUTF8String(0).toString
+        val base = input.getUTF8String(1).toString
+        val cents = graft.sim.AnnIndex.fit(spark, catalogName, base,
+          input.getLong(2).toInt)
+        graft.sim.AnnIndex.create(spark, catalogName, root, base, cents)
+        val v = graft.sim.AnnIndex.readDef(root).lastVersion.toLong
+        val schema = new StructType().add("indexed_version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v)))).asJava
+      }
+    }
+  }
+
   /** `CALL graftcat.refresh_ann('<index root>')` — fold the base's
     * change feed into a persisted ANN index ([[graft.sim.AnnIndex]]). */
   final class RefreshAnnProcedure(catalogName: String) extends UnboundProcedure {

@@ -85,12 +85,14 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cnt = spark.sql(s"SELECT count(*) AS c FROM $cat.`$postings`")
       .collect()(0).getLong(0)
     assert(cnt === n, s"upsert fold must keep the corpus complete: $cnt vs $n")
-    // DELTA-proportionality: the untouched postings files keep their
-    // exact bytes — the MERGE rewrote only files holding matched keys
+    // DELTA-proportionality: merge-on-read postings rewrite NOTHING —
+    // the fold lands delete vectors + insert files only (r17,
+    // AnnScaleProbe's finding: COW would rewrite ~every cell because
+    // upsert keys spread across cells)
     val filesAfter = graft.sources.JsonDocVersions.latest(postings).get._2
     val kept = filesAfter.intersect(filesBefore)
-    assert(kept.nonEmpty,
-      "a 10-row delta must not rewrite every postings file " +
+    assert(kept === filesBefore,
+      "a MOR fold must keep every prior postings file " +
         s"(before=${filesBefore.size}, after=${filesAfter.size}, kept=${kept.size})")
 
     // partition pruning: a probe over 2 of 8 cells plans only those
@@ -108,6 +110,37 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.head.inputPartitions.length
     assert(planned < allPlanned,
       s"cell probe must prune partitions: $planned vs $allPlanned")
+  }
+
+  test("the pure-SQL surface: CALL create_ann fits + builds; refresh_ann folds appends") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_sql").toString
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE graftcat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc`")
+    val full = sim.Similarity.vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+    full.filter(col("vec_id") < 3000).writeTo(s"graftcat.`$base`").append() // v1
+    val created = spark.sql(
+      s"CALL graftcat.create_ann('$root/idx', '$base', 8)").collect()(0).getLong(0)
+    assert(created === 1L, "the index must record the base head it built at")
+    full.filter(col("vec_id") >= 3000).writeTo(s"graftcat.`$base`").append() // v2
+    val r = spark.sql(s"CALL graftcat.refresh_ann('$root/idx')").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L, s"fold (v2, v2]: $r")
+    // the searched top-10 is a plausible ANN answer: every hit's cosine
+    // matches the exact cosine for that id (probing only prunes)
+    val got = sim.AnnIndex.search(spark, "graftcat", s"$root/idx",
+      queryVecId = 0L, nProbe = 3, k = 10).collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1))).toMap
+    assert(got.size === 10)
+    val exact = sim.Similarity.q33CosineTopk(spark, dir).collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1))).toMap
+    val overlap = got.keySet.intersect(exact.keySet)
+    assert(overlap.size >= 5, s"fitted-from-base IVF should keep most of the " +
+      s"exact top-10 at nProbe=3/8: ${overlap.size}")
+    overlap.foreach(id => assert(got(id) === exact(id),
+      s"cosine for $id must be exact, never approximated"))
   }
 
   test("vector string roundtrip is bit-exact for awkward doubles") {
