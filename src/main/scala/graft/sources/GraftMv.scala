@@ -464,8 +464,14 @@ private[graft] object GraftMv {
     // => invisible); sweep it so re-CREATE starts clean
     if (dataDir.isDirectory) deleteRecursively(dataDir)
     val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+    // MERGE-ON-READ backing (r17, the AnnScaleProbe lesson applied
+    // here too): a refresh's changed groups spread across files, so a
+    // copy-on-write MERGE would rewrite ~the whole view for any
+    // non-local delta; MOR folds land as delete vectors + inserts in
+    // O(changed groups), with OPTIMIZE as the periodic repayment
     session.sql(s"CREATE TABLE $cat.`${dataDir.getAbsolutePath}` " +
-      s"(${backingDdl(d)}) USING `graft-jsondoc`")
+      s"(${backingDdl(d)}) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
     if (head > 0)
       session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
     write(defFile, d.copy(lastVersion = head))

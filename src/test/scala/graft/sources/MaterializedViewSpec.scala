@@ -71,9 +71,16 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(stale === 3L, s"three unfolded commits expected, got $stale")
 
+    // merge-on-read backing: the fold lands DVs + inserts, rewriting
+    // no prior backing file (the AnnScaleProbe amplification lesson)
+    val backing = s"$wh/db/m.mvdata"
+    val beforeFold = JsonDocVersions.latest(backing).get._2
     val ref = spark.sql("CALL graftcat.refresh_mv('db.m')").collect()(0)
     assert(ref.getLong(0) === 2L && ref.getLong(1) === 4L,
       s"refresh must fold (v2, v4]: $ref")
+    val afterFold = JsonDocVersions.latest(backing).get._2
+    assert(afterFold.intersect(beforeFold) === beforeFold,
+      "a MOR fold must keep every prior backing file")
     assert(sortedRows("SELECT * FROM graftcat.db.m") === sortedRows(body),
       "the folded view must equal a recompute after deletes/updates/inserts")
     // the vanished group is GONE, not a zero row
