@@ -23,6 +23,8 @@ object GraftMvDdl {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(.+?)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
+  private val ShowRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s+(?:IN|FROM)\s+(.+?)\s*;?\s*$""".r
 
   /** Recognize an MV statement; None = not one (delegate normally). */
   def parse(session: SparkSession, sqlText: String,
@@ -48,8 +50,59 @@ object GraftMvDdl {
             "operation" -> ("DROP MATERIALIZED VIEW — only graft catalogs " +
               "support materialized views"))))
       Some(DropGraftMvCommand(cat, parts, ifExists != null))
+    case ShowRe(nsText) =>
+      val parts0 = delegate.parseMultipartIdentifier(nsText)
+      // qualify a bare namespace against the current graft catalog
+      val parts =
+        if (parts0.length >= 2) parts0
+        else {
+          val cm = session.sessionState.catalogManager
+          cm.currentCatalog match {
+            case _: GraftCatalog => cm.currentCatalog.name() +: parts0
+            case _ => parts0
+          }
+        }
+      val cat = (if (parts.length >= 2)
+        try session.sessionState.catalogManager.catalog(parts.head) match {
+          case g: GraftCatalog => Some(g)
+          case _ => None
+        } catch { case _: Exception => None }
+      else None).getOrElse(
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+          messageParameters = Map("tableName" -> parts.mkString("."),
+            "operation" -> ("SHOW MATERIALIZED VIEWS — only graft catalogs " +
+              "support materialized views"))))
+      Some(ShowGraftMvsCommand(cat, parts.tail))
     case _ => None
   }
+}
+
+/** `SHOW MATERIALIZED VIEWS IN <graftcat>.<ns>` — one STALENESS row
+  * per stored MV: `(namespace, name, base_path, last_folded_version,
+  * base_head, stale_commits)` — the listing a refresh scheduler polls
+  * (the per-view `mv#mvstate` table is the single-view form). */
+case class ShowGraftMvsCommand(catalog: GraftCatalog, namespace: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Seq(AttributeReference("namespace", StringType, nullable = false)(),
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("base_path", StringType, nullable = false)(),
+      AttributeReference("last_folded_version", LongType, nullable = false)(),
+      AttributeReference("base_head", LongType, nullable = false)(),
+      AttributeReference("stale_commits", LongType, nullable = false)())
+  }
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] =
+    catalog.listMvs(namespace.toArray).map { ident =>
+      val d = GraftMv.read(catalog.mvDefFileOf(ident))
+      val last = GraftMv.lastFolded(d, catalog.mvDataDirOf(ident), ident.name()).toLong
+      val head = graft.sources.JsonDocVersions
+        .latestVersion(d.basePath).getOrElse(0).toLong
+      org.apache.spark.sql.Row(namespace.mkString("."), ident.name(),
+        d.basePath, last, head, math.max(0L, head - last))
+    }.toSeq
 }
 
 /** CREATE MATERIALIZED VIEW: validate + extract the fold plan, build

@@ -245,6 +245,16 @@ object AnnIndex {
     writeDef(indexRoot, d0)
   }
 
+  /** The index's staleness triple: (base path, last folded version —
+    * ledger-authoritative, base head). */
+  def stateOf(indexRoot: String): (String, Int, Int) = {
+    val d = readDef(indexRoot)
+    val last = math.max(d.lastVersion,
+      JsonDocVersions.lastTxn(postingsPath(indexRoot), appId(indexRoot))
+        .map(_.toInt).getOrElse(-1))
+    (d.basePath, last, JsonDocVersions.latestVersion(d.basePath).getOrElse(0))
+  }
+
   /** Fold base changes `(last, head]` into the postings. Returns the
     * folded (from, to); from > to = already current. Exactly-once via
     * the postings manifest's transaction ledger ([[GraftTxn]]). */

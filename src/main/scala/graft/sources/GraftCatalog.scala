@@ -138,11 +138,12 @@ class GraftCatalog extends TableCatalog
       case "refresh_mv" => new GraftProcedures.RefreshMvProcedure(this)
       case "refresh_ann" => new GraftProcedures.RefreshAnnProcedure(catalogName)
       case "create_ann" => new GraftProcedures.CreateAnnProcedure(catalogName)
+      case "ann_state" => GraftProcedures.AnnStateProcedure
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
           "rollback, publish, discard_staged, create_branch, drop_branch, " +
-          "fast_forward, cherry_pick, merge_branch, refresh_mv, create_ann, refresh_ann)")
+          "fast_forward, cherry_pick, merge_branch, refresh_mv, create_ann, refresh_ann, ann_state)")
     }
   }
 
@@ -157,7 +158,7 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
       Identifier.of(Array.empty, "recover_txn2"), Identifier.of(Array.empty, "refresh_mv"),
       Identifier.of(Array.empty, "refresh_ann"), Identifier.of(Array.empty, "merge_branch"),
-      Identifier.of(Array.empty, "create_ann"))
+      Identifier.of(Array.empty, "create_ann"), Identifier.of(Array.empty, "ann_state"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged
@@ -789,6 +790,16 @@ class GraftCatalog extends TableCatalog
 
   def mvExists(ident: Identifier): Boolean =
     ident.namespace().nonEmpty && warehouse.isDefined && mvDefFileOf(ident).isFile
+
+  private[graft] def listMvs(namespace: Array[String]): Array[Identifier] = {
+    val d = namespaceDir(namespace)
+    if (!d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(GraftMv.DefSuffix))
+      .map(f => Identifier.of(namespace,
+        f.getName.stripSuffix(GraftMv.DefSuffix))).sortBy(_.name())
+  }
 
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),

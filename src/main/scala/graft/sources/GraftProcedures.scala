@@ -443,6 +443,35 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.ann_state('<index root>')` — the persisted ANN
+    * index's staleness row (the `mv#mvstate` analog): base path, last
+    * folded base version (ledger-authoritative), base head, stale
+    * commit count. */
+  object AnnStateProcedure extends UnboundProcedure {
+    override def name(): String = "ann_state"
+    override def description(): String =
+      "report the persisted ANN index's base, fold watermark, base head and staleness"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "ann_state"
+      override def description(): String = AnnStateProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (base, last, head) =
+          graft.sim.AnnIndex.stateOf(input.getUTF8String(0).toString)
+        val schema = new StructType()
+          .add("base_path", StringType, nullable = false)
+          .add("last_folded_version", LongType, nullable = false)
+          .add("base_head", LongType, nullable = false)
+          .add("stale_commits", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(
+          UTF8String.fromString(base), last.toLong, head.toLong,
+          math.max(0L, (head - last).toLong))))).asJava
+      }
+    }
+  }
+
   /** `CALL graftcat.refresh_ann('<index root>')` — fold the base's
     * change feed into a persisted ANN index ([[graft.sim.AnnIndex]]). */
   final class RefreshAnnProcedure(catalogName: String) extends UnboundProcedure {

@@ -141,6 +141,17 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact top-10 at nProbe=3/8: ${overlap.size}")
     overlap.foreach(id => assert(got(id) === exact(id),
       s"cosine for $id must be exact, never approximated"))
+    // ann_state reports the watermark; current after the fold
+    val st = spark.sql(s"CALL graftcat.ann_state('$root/idx')").collect()(0)
+    assert(st.getLong(1) === 2L && st.getLong(2) === 2L && st.getLong(3) === 0L,
+      s"state drifted: $st")
+    // OPTIMIZE on the postings (the MOR repayment) keeps search exact
+    spark.sql(s"CALL graftcat.optimize(" +
+      s"'${sim.AnnIndex.postingsPath(s"$root/idx")}', ${32 * 1024 * 1024})")
+    val got2 = sim.AnnIndex.search(spark, "graftcat", s"$root/idx",
+      queryVecId = 0L, nProbe = 3, k = 10).collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1))).toMap
+    assert(got2 === got, "compacting the postings must not move one result")
   }
 
   test("vector string roundtrip is bit-exact for awkward doubles") {

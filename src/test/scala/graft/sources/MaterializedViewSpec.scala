@@ -164,6 +164,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) === 1L)
     assert(spark.sql("SELECT stale_commits FROM graftcat.edges.`m2#mvstate`")
       .collect()(0).getLong(0) === 0L)
+    // SHOW MATERIALIZED VIEWS: the namespace's staleness listing
+    val listed = spark.sql("SHOW MATERIALIZED VIEWS IN graftcat.edges").collect()
+      .map(r => (r.getString(1), r.getLong(5))).toMap
+    assert(listed === Map("m" -> 1L, "m2" -> 0L), s"listing drifted: $listed")
     spark.sql("CALL graftcat.refresh_mv('edges.m')") // catch m up for the rename leg
     // renaming a column the fold plan references fails the NEXT refresh
     // loudly (the stored plan names the creation-time column) — never a
