@@ -126,6 +126,20 @@ class StatsFlipSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
       val stats = spark.table(big).queryExecution.optimizedPlan.stats
       assert(stats.rowCount.contains(BigInt(40000)), stats.toString)
+      // the other priced shapes land sane estimates on the pushed scan
+      def est(where: String): Long =
+        spark.table(big).where(where).queryExecution.optimizedPlan.stats
+          .rowCount.map(_.toLong).getOrElse(-1L)
+      val eq = est("g = 7") // 1/ndv: ~200 of 40000 (HLL ±10%)
+      assert(eq >= 150 && eq <= 260, s"equality estimate drifted: $eq")
+      val in3 = est("g IN (3, 5, 9)") // 3/ndv: ~600
+      assert(in3 >= 450 && in3 <= 780, s"In estimate drifted: $in3")
+      val range = est("g >= 150") // (199-150)/199 of 40000 ≈ 9850
+      assert(range >= 8000 && range <= 12000, s"range estimate drifted: $range")
+      val nn = est("pad IS NOT NULL") // no nulls: stays ~exact
+      assert(nn === 40000, s"IS NOT NULL over a null-free column: $nn")
+      val conj = est("g = 7 AND k >= 20000") // product: ~100
+      assert(conj >= 60 && conj <= 160, s"conjunction estimate drifted: $conj")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
