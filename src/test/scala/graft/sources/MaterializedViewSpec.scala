@@ -182,6 +182,36 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT * FROM graftcat.edges.m").count() === 3L)
   }
 
+  test("folds over EXISTS_DEFAULT columns: the feed serves frozen defaults, fold == recompute") {
+    // the r17 advice fix composed with the MV: pre-add rows READ the
+    // frozen ADD COLUMN default, the change feed emits the same values
+    // (sidecar-authoritative), so grouping or filtering on a defaulted
+    // column folds exactly
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.dflt")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_dflt").toString
+    val base = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $base (k BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $base VALUES (1), (2), (3)") // pre-add
+    spark.sql(s"ALTER TABLE $base ADD COLUMNS (src STRING DEFAULT 'legacy')")
+    spark.sql(s"INSERT INTO $base VALUES (4, 'new')")
+    val body = s"SELECT src, count(*) AS n, sum(k) AS sk FROM $base GROUP BY src"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dflt.md AS $body")
+    spark.sql(s"DELETE FROM $base WHERE k = 2") // a pre-add row leaves its group
+    spark.sql(s"INSERT INTO $base VALUES (5, 'new')")
+    spark.sql("CALL graftcat.refresh_mv('dflt.md')")
+    assert(sortedRows("SELECT * FROM graftcat.dflt.md") === sortedRows(body),
+      "grouping on a defaulted column must fold exactly")
+    // WHERE on the defaulted column prices the same values
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.dflt.mw AS " +
+      s"SELECT k, count(*) AS n FROM $base WHERE src = 'legacy' GROUP BY k")
+    spark.sql(s"DELETE FROM $base WHERE k = 1")
+    spark.sql("CALL graftcat.refresh_mv('dflt.mw')")
+    assert(spark.sql("SELECT k FROM graftcat.dflt.mw ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("non-incrementalizable bodies refuse at CREATE with the reason") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.db3")
