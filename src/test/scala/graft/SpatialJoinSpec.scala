@@ -130,6 +130,19 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$plan")
   }
 
+  test("r17: unbounded KNN crosses a LONG void (many rings) and stays exact") {
+    import spark.implicits._
+    // probe at the origin, every build point far across the domain: the
+    // ring search must walk ~14 empty rings (w = 64) before the first
+    // candidate, then keep expanding until the termination bound clears
+    val p = Seq((1L, 0L, 0L)).toDF("p_id", "px", "py")
+    val q = Seq((7L, 900L, 900L), (8L, 901L, 900L), (9L, 999L, 999L))
+      .toDF("q_id", "qx", "qy")
+    val got = ops.TimeSeries.knnUnbounded(p, q, k = 2, w = 64L, maxRing = 1000 / 64 + 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq((7L, 1L), (8L, 2L)), s"got $got")
+  }
+
   test("r17: unbounded KNN with FEWER than k build points emits the global set") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -167,5 +180,14 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val anti = spark.sql("SELECT geo_distance(0.0, 0.0, 180.0, 0.0) AS d")
       .collect()(0).getDouble(0)
     assert(math.abs(anti - math.Pi * 6371008.8) < 1.0)
+    // antimeridian: ±179.9° at the equator are ~22.2 km apart, not half
+    // the planet (the sin² periodicity handles the wrap natively)
+    val wrap = spark.sql("SELECT geo_distance(179.9, 0.0, -179.9, 0.0) AS d")
+      .collect()(0).getDouble(0)
+    assert(wrap > 21000 && wrap < 23500, s"antimeridian wrap: $wrap")
+    // poles: every longitude is the same point at lat 90
+    val pole = spark.sql("SELECT geo_distance(0.0, 90.0, 137.0, 90.0) AS d")
+      .collect()(0).getDouble(0)
+    assert(pole < 1.0, s"pole degeneracy: $pole")
   }
 }
