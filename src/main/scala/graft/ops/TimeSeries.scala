@@ -734,9 +734,9 @@ object TimeSeries {
       k: Int, w: Long, maxRing: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("p_id")).orderBy(col("dist2"), col("q_id"))
-    val q = builds
+    val q = graft.Caches.register(builds
       .withColumn("gx", expr(s"qx div $w")).withColumn("gy", expr(s"qy div $w"))
-      .cache()
+      .cache())
     // localCheckpoint (NOT cache) per round: carried feeds topk feeds
     // carried, so un-truncated lineage grows multiplicatively with the
     // ring count and the per-action explainString alone OOMs the

@@ -53,11 +53,17 @@ object AvroRoundtrip {
     Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
   }
 
-  /** Write `df` as Avro container files under `dir` (created fresh). */
+  /** Write `df` as Avro container files under `dir` (created fresh —
+    * any prior run's containers are removed first; attempt-suffixed
+    * names otherwise accumulate across same-JVM reruns and a re-read
+    * would double every row). */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val json = avroSchema(st, "row").toString // Schema is not serializable
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
     df.rdd.foreachPartition { it =>
       val schema = new Schema.Parser().parse(json)
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -86,6 +92,11 @@ object AvroRoundtrip {
       case (_, pds) =>
         val in = new DataFileStream[GenericRecord](pds.open(),
           new GenericDatumReader[GenericRecord]())
+        // an abandoned iterator (limit/take/short-circuited join) would
+        // leak the handle — close at task completion regardless
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Exception => () }))
         val it = new Iterator[Row] {
           override def hasNext: Boolean = { val h = in.hasNext; if (!h) in.close(); h }
           override def next(): Row = {

@@ -189,9 +189,12 @@ private[graft] object GraftMv {
 
     def argAttr(e: Expression, fn: String): AttributeReference = e match {
       case a: AttributeReference => a
-      case Cast(a: AttributeReference, _, _, _) => a
+      // an EXPLICIT cast must refuse, not silently strip (r17
+      // self-review): folding SUM(CAST(x AS BIGINT)) as SUM(x) changes
+      // both values and result type
       case other => refuse(s"$fn arguments must be plain base columns " +
-        s"(fold state is per-column): ${other.sql}")
+        s"(fold state is per-column; casts and expressions are not yet " +
+        s"foldable): ${other.sql}")
     }
     def numeric(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | DoubleType => true
@@ -222,7 +225,9 @@ private[graft] object GraftMv {
         if (ae.filter.nonEmpty) refuse("FILTER clauses on aggregates are " +
           s"not yet foldable: ${al.child.sql}")
         val spec = ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) =>
+          // only a NON-NULL literal is COUNT(*); COUNT(NULL) is the
+          // constant 0 and must refuse rather than misfold (r17)
+          case Count(Seq(Literal(v, _))) if v != null =>
             AggSpec(al.name, "count_star", None, "BIGINT")
           case Count(Seq(e)) =>
             AggSpec(al.name, "count", Some(argAttr(e, "COUNT").name), "BIGINT")

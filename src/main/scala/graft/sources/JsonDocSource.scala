@@ -639,6 +639,9 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
 
   override def dropPartition(
       ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(!branchSession,
+      "graft-jsondoc: DROP PARTITION commits to the PUBLISHED table and cannot " +
+        "be staged on a branch — unset write.wap.branch (publish first)")
     val prefix = partPrefix(ident) + "/"
     val removed = JsonDocSource.listDataFiles(path, pinnedVersion)
       .map(f => JsonDocSource.relName(path, f))
@@ -717,8 +720,25 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
     * Retired files keep their stats/bloom/DV sidecars (time travel);
     * the change feed emits their delete images through its generic
     * removed-files path. */
+  /** A `write.wap.branch` session must never take a PUBLISHED-state
+    * shortcut (r17 self-review — a REAL leak): the metadata DELETE,
+    * TRUNCATE and DROP PARTITION paths commit straight to the
+    * published table, so under a branch property a no-WHERE or
+    * partition-predicate DELETE would land VISIBLY while the user
+    * believes it is staged on the branch. canDeleteWhere withdraws —
+    * the optimizer has already swapped the row-level plan for the
+    * metadata shortcut by the time it asks, so a metadata-shaped
+    * condition REFUSES LOUDLY at planning ("Cannot delete from
+    * table...") rather than leaking; data-predicate deletes never
+    * enter the shortcut and stage on the branch correctly.
+    * truncate/drop-partition refuse with an explicit message, matching
+    * the overwrite rule. */
+  private def branchSession: Boolean =
+    GraftCatalog.tablePropsOf(path).contains("write.wap.branch")
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinnedVersion.isEmpty && JsonDocTable.metadataDeleteSet(path, filters).isDefined
+    pinnedVersion.isEmpty && !branchSession &&
+      JsonDocTable.metadataDeleteSet(path, filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val removed = JsonDocTable.metadataDeleteSet(path, filters).getOrElse(
@@ -730,6 +750,9 @@ private[sources] class JsonDocTable(schema: StructType, path: String,
   }
 
   override def truncateTable(): Boolean = {
+    require(!branchSession,
+      "graft-jsondoc: TRUNCATE commits to the PUBLISHED table and cannot be " +
+        "staged on a branch — unset write.wap.branch (publish first) to truncate")
     val live = JsonDocVersions.latest(path).map(_._2).getOrElse(
       JsonDocSource.listDataFiles(path).map(f => JsonDocSource.relName(path, f)).toSet)
     if (live.nonEmpty)
@@ -2637,6 +2660,10 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
           entries.exists(_.rows < 0)) 1.0
         else {
           val totalRows = math.max(1L, entries.map(_.rows).sum)
+          // ONE merge shared by every range conjunct (the union walks
+          // all entries × all columns — per-filter recomputation was
+          // O(filters × files × cols) driver work at planning)
+          lazy val merged = JsonDocStats.union(entries.map(Some(_)))
           def ndvOf(c: String): Option[Long] =
             if (entries.forall(_.ndv.contains(c)))
               Some(math.max(1L, JsonDocNdv.estimate(
@@ -2647,7 +2674,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
               Some(entries.map(_.nulls(c)).sum)
             else None
           def rangeOf(c: String): Option[(Double, Double)] =
-            JsonDocStats.union(entries.map(Some(_))).flatMap(_.cols.get(c)).flatMap {
+            merged.flatMap(_.cols.get(c)).flatMap {
               case JsonDocStats.ColRange(mn: Long, mx: Long) =>
                 Some((mn.toDouble, mx.toDouble))
               case JsonDocStats.ColRange(mn: Double, mx: Double) => Some((mn, mx))
@@ -2714,6 +2741,8 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       val entries = files.flatMap(f => sidecar.get(JsonDocSource.relName(path, f)))
       if (entries.length == files.length && entries.nonEmpty) {
+        // one merge for every column's bounds (same hoist as selectivity)
+        lazy val mergedAll = JsonDocStats.union(entries.map(Some(_)))
         readSchema0.fields.foreach { fld =>
           val name = fld.name
           if (entries.forall(_.ndv.contains(name))) {
@@ -2731,8 +2760,7 @@ private[sources] class JsonDocScan(readSchema0: StructType, path: String,
               if (ranges.isEmpty) None
               else (fld.dataType, ranges.head.min) match {
                 case (LongType, _: Long) | (DoubleType, _: Double) =>
-                  JsonDocStats.union(entries.map(Some(_)))
-                    .flatMap(_.cols.get(name)).map(r => (r.min, r.max))
+                  mergedAll.flatMap(_.cols.get(name)).map(r => (r.min, r.max))
                 case _ => None
               }
             out.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),

@@ -239,7 +239,14 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "single aggregate")
     refuse(s"SELECT substr(g, 1, 1) AS g1, count(*) AS n FROM $t GROUP BY substr(g, 1, 1)",
       "plain base columns")
-    refuse(s"SELECT g, sum(g) AS sg FROM $t GROUP BY g", "numeric")
+    // sum over a STRING column: the analyzer's implicit string→double
+    // cast hits the cast refusal (r17 — casts never silently strip)
+    refuse(s"SELECT g, sum(g) AS sg FROM $t GROUP BY g", "casts")
+    // r17 self-review: an explicit cast must refuse, not silently strip
+    // (folding SUM(CAST(x AS BIGINT)) as SUM(x) changes the values);
+    // COUNT(NULL) is the constant 0, not COUNT(*)
+    refuse(s"SELECT g, sum(CAST(x AS DOUBLE)) AS sx FROM $t GROUP BY g", "casts")
+    refuse(s"SELECT g, count(NULL) AS n FROM $t GROUP BY g", "plain base columns")
     refuse(s"SELECT g, count(*) AS n FROM $t WHERE rand() < 0.5 GROUP BY g",
       "deterministic")
     refuse(s"SELECT g, count(*) AS n FROM $t WHERE k IN (SELECT k FROM $u) GROUP BY g",

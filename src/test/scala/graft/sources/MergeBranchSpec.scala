@@ -152,6 +152,50 @@ class MergeBranchSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the merged state must carry the branch-added file WITH its DV")
   }
 
+  test("branch sessions never leak through the metadata shortcuts (r17 self-review)") {
+    val (path, tbl) = fresh()
+    spark.sql(s"CALL graftcat.create_branch('$path', 'dev')")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('write.wap.branch' = 'dev')")
+    try {
+      // a no-WHERE DELETE would have taken the metadata path and
+      // emptied the PUBLISHED table; under a branch the shortcut is
+      // withdrawn and the statement refuses LOUDLY at planning (the
+      // optimizer already discarded the row-level plan) — never a
+      // visible publish
+      val e0 = intercept[Exception] { spark.sql(s"DELETE FROM $tbl") }
+      assert(e0.getMessage.contains("Cannot delete"), e0.getMessage)
+      assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 6L),
+        "the refused DELETE must not dent the published table")
+      // a DATA-predicate delete never enters the shortcut: stages fine
+      spark.sql(s"DELETE FROM $tbl WHERE k >= 1 AND v IS NOT NULL AND k % 1 = 0")
+      assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 6L),
+        "the staged delete must stay invisible to published reads")
+      val head = JsonDocRefs.branches(path)("dev")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $head")
+        .collect()(0).getLong(0) === 0L, "the branch head must read empty")
+      // TRUNCATE cannot stage: refuse loudly, published table intact
+      val e = intercept[Exception] { spark.sql(s"TRUNCATE TABLE $tbl") }
+      assert(e.getMessage.contains("cannot be staged on a branch"), e.getMessage)
+      assert(keys(tbl) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    } finally spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('write.wap.branch')")
+    // DROP PARTITION under a branch refuses the same way
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mb_dp").toString
+    val t2 = s"graftcat.`$root2/t`"
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, g STRING) USING `graft-jsondoc` " +
+      "PARTITIONED BY (g)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g").coalesce(1).writeTo(t2).append()
+    spark.sql(s"CALL graftcat.create_branch('$root2/t', 'dev')")
+    spark.sql(s"ALTER TABLE $t2 SET TBLPROPERTIES ('write.wap.branch' = 'dev')")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $t2 DROP PARTITION (g = 'a')")
+      }
+      assert(e2.getMessage.contains("cannot be staged on a branch"), e2.getMessage)
+      assert(spark.sql(s"SELECT count(*) FROM $t2").collect()(0).getLong(0) === 2L)
+    } finally spark.sql(s"ALTER TABLE $t2 UNSET TBLPROPERTIES ('write.wap.branch')")
+  }
+
   test("a cherry-picked member poisons the merge (no double application)") {
     import spark.implicits._
     val (path, tbl) = fresh()
