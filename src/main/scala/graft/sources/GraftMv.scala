@@ -47,10 +47,12 @@ import scala.jdk.CollectionConverters._
   * joins, subqueries, DISTINCT aggregates, FILTER clauses, HAVING,
   * windows, or computed group keys. SUM/COUNT/AVG fold signed deltas
   * (+1 per feed insert, -1 per delete) and therefore tolerate ANY DML
-  * on the base; MIN/MAX fold least/greatest and are APPEND-ONLY — a
-  * refresh range containing deletes refuses with the reason (a deleted
-  * minimum cannot be un-folded without re-scanning the group; that is
-  * a recompute, not a refresh).
+  * on the base; MIN/MAX fold least/greatest over appends, and a
+  * refresh range containing deletes recomputes ONLY the affected
+  * groups from the base at head (semi-join-pruned — the classic IVM
+  * rescan for non-distributive aggregates, per group instead of per
+  * view) while every untouched group still folds incrementally; both
+  * land in the same single MERGE commit ([[mixedDeltaSql]]).
   *
   * EXACTLY-ONCE refresh with no crash window: the fold MERGE commits
   * with the q183 manifest-transaction ledger ([[GraftTxn]]) — the
@@ -343,6 +345,98 @@ private[graft] object GraftMv {
     s"SELECT ${items.mkString(", ")} FROM $feedView$where$grp"
   }
 
+  // ---- delete ranges under MIN/MAX: affected-group recompute -----------
+  //
+  // SUM/COUNT/AVG fold signed deltas and tolerate any DML, but a deleted
+  // extremum cannot be un-folded from MIN/MAX state. The classic IVM
+  // answer (rescan for non-distributive aggregates) applies PER GROUP:
+  // only the groups a delete touched need recomputing; every other
+  // group's feed rows are inserts and fold exactly as in the
+  // append-only path. The refresh therefore splits the range into
+  //   affected  = distinct group keys among WHERE-passing delete rows
+  //   fold      = the signed delta over feed rows of UNtouched groups
+  //   replace   = a full re-aggregation of the affected groups from the
+  //               base AT head, semi-join-pruned to those keys (with
+  //               key clustering this is file-skipping-tight: cost is
+  //               O(affected groups' data), never the table)
+  // and lands BOTH in ONE MERGE (one commit — the exactly-once ledger
+  // is unchanged) whose actions dispatch on a `__mv_mode` column:
+  // 'replace' overwrites the group's state, 'absent' deletes a group
+  // whose last row vanished, 'fold' adds as before.
+
+  val ModeCol = "__mv_mode"
+
+  /** The mixed fold/recompute delta over a feed range containing
+    * deletes: fold rows for untouched groups plus replace/absent rows
+    * for every affected key, aligned on the backing schema + `ModeCol`. */
+  def mixedDeltaSql(cat: String, d: MvDef, feedView: String, head: Int): String = {
+    val keyCols = d.groups.map(g => q(g.stored))
+    val aggCols = d.aggs.map(a => q(a.alias)) ++ Seq(q(RowsCol)) ++
+      d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+        q(nnCol(a.alias)) }
+    val whereAnd = d.whereSql.map(w => s" AND ($w)").getOrElse("")
+    val affected = s"SELECT DISTINCT ${d.groups.map(g =>
+      s"${q(g.src)} AS ${q(g.stored)}").mkString(", ")} FROM $feedView " +
+      s"WHERE _change_type = 'delete'$whereAnd"
+    // null-safe anti join: NULL group keys are real groups and must
+    // route to the recompute side like any other affected key
+    val antiOn = d.groups.map(g =>
+      s"f.${q(g.src)} <=> a.${q(g.stored)}").mkString(" AND ")
+    val untouched = s"SELECT f.* FROM $feedView f LEFT ANTI JOIN __mv_affected a ON $antiOn"
+    val semiOn = d.groups.map(g =>
+      s"b.${q(g.src)} <=> a.${q(g.stored)}").mkString(" AND ")
+    val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val recomputed =
+      s"SELECT ${fillItems(d).mkString(", ")} FROM (SELECT b.* FROM " +
+        s"$cat.`${d.basePath}` VERSION AS OF $head b " +
+        s"LEFT SEMI JOIN __mv_affected a ON $semiOn)$where " +
+        s"GROUP BY ${d.groups.map(g => q(g.src)).mkString(", ")}"
+    val repOn = d.groups.map(g =>
+      s"a.${q(g.stored)} <=> r.${q(g.stored)}").mkString(" AND ")
+    val replaceRows =
+      s"SELECT ${keyCols.map(c => s"a.$c").mkString(", ")}, " +
+        s"${aggCols.map(c => s"r.$c").mkString(", ")}, " +
+        s"CASE WHEN r.${q(RowsCol)} IS NULL THEN 'absent' ELSE 'replace' END " +
+        s"AS ${q(ModeCol)} FROM __mv_affected a LEFT JOIN __mv_recomputed r ON $repOn"
+    val allCols = (keyCols ++ aggCols).mkString(", ")
+    s"""WITH __mv_affected AS ($affected),
+       |__mv_untouched AS ($untouched),
+       |__mv_recomputed AS ($recomputed)
+       |SELECT $allCols, 'fold' AS ${q(ModeCol)} FROM (${deltaSql(d, "__mv_untouched")})
+       |UNION ALL
+       |SELECT $allCols, ${q(ModeCol)} FROM ($replaceRows)""".stripMargin
+  }
+
+  /** The mixed MERGE: one statement, one commit. Replace rows overwrite
+    * the group's state wholesale; absent rows delete it; fold rows add
+    * exactly like [[mergeSql]]. */
+  def mixedMergeSql(cat: String, backing: String, d: MvDef, deltaView: String): String = {
+    val on = d.groups.map(g => s"t.${q(g.stored)} <=> d.${q(g.stored)}").mkString(" AND ")
+    val folds = d.aggs.map { a =>
+      a.func match {
+        case "min" => s"${q(a.alias)} = least(t.${q(a.alias)}, d.${q(a.alias)})"
+        case "max" => s"${q(a.alias)} = greatest(t.${q(a.alias)}, d.${q(a.alias)})"
+        case _ => s"${q(a.alias)} = t.${q(a.alias)} + d.${q(a.alias)}"
+      }
+    } ++ Seq(s"${q(RowsCol)} = t.${q(RowsCol)} + d.${q(RowsCol)}") ++
+      d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+        s"${q(nnCol(a.alias))} = t.${q(nnCol(a.alias))} + d.${q(nnCol(a.alias))}" }
+    val cols = d.groups.map(g => q(g.stored)) ++ d.aggs.map(a => q(a.alias)) ++
+      Seq(q(RowsCol)) ++ d.aggs.collect {
+        case a if a.func == "sum" || a.func == "avg" => q(nnCol(a.alias)) }
+    val sets = cols.drop(d.groups.length).map(c => s"$c = d.$c")
+    s"""MERGE INTO $cat.`$backing` t USING $deltaView d ON $on
+       |WHEN MATCHED AND d.${q(ModeCol)} = 'absent' THEN DELETE
+       |WHEN MATCHED AND d.${q(ModeCol)} = 'replace' THEN
+       |  UPDATE SET ${sets.mkString(", ")}
+       |WHEN MATCHED AND d.${q(ModeCol)} = 'fold' AND t.${q(RowsCol)} + d.${q(RowsCol)} = 0 THEN DELETE
+       |WHEN MATCHED AND d.${q(ModeCol)} = 'fold' THEN UPDATE SET ${folds.mkString(", ")}
+       |WHEN NOT MATCHED AND (d.${q(ModeCol)} = 'replace' OR
+       |    (d.${q(ModeCol)} = 'fold' AND d.${q(RowsCol)} <> 0)) THEN
+       |  INSERT (${cols.mkString(", ")})
+       |  VALUES (${cols.map(c => s"d.$c").mkString(", ")})""".stripMargin
+  }
+
   def mergeSql(cat: String, backing: String, d: MvDef, deltaView: String): String = {
     // null-safe key equality: NULL group keys are real groups
     val on = if (d.groups.isEmpty) "true"
@@ -522,27 +616,30 @@ private[graft] object GraftMv {
       .option("startingVersion", (last + 1).toString)
       .option("endingVersion", head.toString)
       .option("path", d.basePath).load()
-    if (d.aggs.exists(a => a.func == "min" || a.func == "max") &&
-        !feed.filter(org.apache.spark.sql.functions
-          .col("_change_type") === "delete").isEmpty)
-      throw new IllegalStateException(
-        s"graft materialized view $name: the refresh range (v${last + 1}, v$head] " +
-          "contains deletes, and MIN/MAX aggregates cannot un-fold a deleted " +
-          "extremum — that is a recompute, not a refresh. DROP and re-CREATE " +
-          "the view, or define it with SUM/COUNT/AVG aggregates only")
+    // a range containing deletes under MIN/MAX cannot fold those
+    // groups' extrema back out of the state — recompute ONLY the
+    // affected groups from the base at head (mixedDeltaSql) and fold
+    // everything else as usual; SUM/COUNT/AVG-only views keep the pure
+    // signed fold, which tolerates any DML without touching the base
+    val mixed = d.aggs.exists(a => a.func == "min" || a.func == "max") &&
+      !feed.filter(org.apache.spark.sql.functions
+        .col("_change_type") === "delete").isEmpty
     val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$head"
     val feedView = s"${tag}_feed"
     val deltaView = s"${tag}_delta"
     feed.createOrReplaceTempView(feedView)
     try {
       session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
-        deltaSql(d, feedView))
+        (if (mixed) mixedDeltaSql(cat, d, feedView, head)
+         else deltaSql(d, feedView)))
       // the (appId, head) pair rides the MERGE's own manifest commit —
       // the q183 exactly-once recipe: a replay after a crash between
       // the MERGE and the definition-file update sees lastTxn = head
       // and skips
       GraftTxn.begin(backing, appIdOf(name), head.toLong)
-      try session.sql(mergeSql(cat, backing, d, deltaView))
+      try session.sql(
+        if (mixed) mixedMergeSql(cat, backing, d, deltaView)
+        else mergeSql(cat, backing, d, deltaView))
       finally GraftTxn.clear(backing)
     } finally {
       session.catalog.dropTempView(deltaView)

@@ -1506,7 +1506,8 @@ object SourceQueries {
 
   /** q223: the q183 APPEND-ONLY MV family through the same DDL —
     * count/min/max statistics folded per refresh with least/greatest
-    * (min/max refuse delete ranges loudly; this lineage has none).
+    * (this lineage has no deletes, so the pure fold path runs; q231
+    * covers delete ranges via affected-group recompute).
     * Oracle: q183's one-shot GROUP BY over the whole feed, verbatim. */
   def q223MvMinmax(spark: SparkSession, dir: String): DataFrame = {
     val root = graft.RunTag.scratchFresh("q223")
@@ -1534,6 +1535,55 @@ object SourceQueries {
         "FROM graftcat.db.ev_stats ORDER BY user_id")
     } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
   }
+
+  /** q231: MIN/MAX MATERIALIZED VIEW UNDER DELETES (r17 —
+    * [[GraftMv.mixedDeltaSql]]): the refresh range carries a DELETE
+    * that removes group extrema (and can vanish whole groups) PLUS
+    * ordinary inserts. MIN/MAX cannot un-fold a deleted extremum, so
+    * the refresh recomputes ONLY the delete-affected groups from the
+    * base at head (semi-join-pruned — per-group IVM rescan) while
+    * every untouched group folds incrementally, all in one MERGE
+    * commit. Oracle: the one-shot recompute over the final state —
+    * hash-green proves the split fold/recompute lands byte-identical
+    * to never having maintained state at all. Integer cents keep the
+    * SUM exact against DuckDB's HUGEINT fold order. */
+  def q231MvMinmaxDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q231")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val tbl = s"graftcat.`$root/t`"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      def slice(r: Int): DataFrame =
+        src.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      slice(0).writeTo(tbl).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.price_stats AS " +
+        s"SELECT o_custkey, count(*) AS n, min(cents) AS lo, max(cents) AS hi, " +
+        s"sum(cents) AS s FROM $tbl GROUP BY o_custkey")
+      slice(1).writeTo(tbl).append() // v2: append-only fold
+      spark.sql("CALL graftcat.refresh_mv('db.price_stats')").collect()
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 3") // v3: extrema vanish
+      slice(2).writeTo(tbl).append() // v4: inserts in the SAME refresh range
+      spark.sql("CALL graftcat.refresh_mv('db.price_stats')").collect()
+      spark.sql("SELECT o_custkey, n, lo, hi, s FROM graftcat.db.price_stats " +
+        "ORDER BY o_custkey")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q231Sql: String =
+    "WITH t AS (" +
+      "SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+      "FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 3 " +
+      "UNION ALL " +
+      "SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+      "FROM orders WHERE o_orderkey % 3 = 2) " +
+      "SELECT o_custkey, count(*) AS n, min(cents) AS lo, max(cents) AS hi, " +
+      "CAST(sum(cents) AS BIGINT) AS s FROM t GROUP BY o_custkey ORDER BY o_custkey"
 
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
@@ -1638,6 +1688,7 @@ object SourceQueries {
     "q230_merge_branch" -> q230MergeBranch _,
     "q223_mv_minmax" -> q223MvMinmax _,
     "q224_mv_state" -> q224MvState _,
+    "q231_mv_minmax_deletes" -> q231MvMinmaxDeletes _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1660,6 +1711,7 @@ object SourceQueries {
     "q222_mv_ddl" -> q208Sql,
     "q223_mv_minmax" -> graft.streaming.StreamingBoard.q183Sql,
     "q224_mv_state" -> q224Sql,
+    "q231_mv_minmax_deletes" -> q231Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

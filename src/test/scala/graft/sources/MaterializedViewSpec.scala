@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * MATERIALIZED VIEW + `CALL refresh_mv` + the `#mvstate` staleness
   * table. Pins: the folded view equals a full recomputation under
   * row-level DML (deletes, updates, inserts; vanished groups, NULL
-  * group keys, all-NULL sums, the WHERE predicate), MIN/MAX folds are
-  * append-only and refuse delete ranges loudly, refresh is
+  * group keys, all-NULL sums, the WHERE predicate), MIN/MAX folds
+  * recompute ONLY delete-affected groups (untouched groups fold, and
+  * their backing rows are never rewritten), refresh is
   * exactly-once (re-CALL is a no-op; the ledger, not the definition
   * file, is the watermark), every non-incrementalizable body refuses
   * at CREATE with the reason, DML through the MV refuses, name
@@ -102,12 +103,13 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("grp", "n", "nx", "sx", "ax"))
   }
 
-  test("MIN/MAX folds are append-only: appends fold, a delete range refuses loudly") {
+  test("MIN/MAX under deletes: affected groups recompute, untouched groups fold") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.db2")
     val root = java.nio.file.Files.createTempDirectory("graft_mv_mm").toString
     val base = s"graftcat.`$root/ev`"
-    spark.sql(s"CREATE TABLE $base (user_id BIGINT, v BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"CREATE TABLE $base (user_id BIGINT, v BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
     spark.sql(s"INSERT INTO $base VALUES (1, 10), (2, 20), (1, 5)")
     val body = s"SELECT user_id, count(*) AS n, min(v) AS lo, max(v) AS hi " +
       s"FROM $base GROUP BY user_id"
@@ -117,12 +119,77 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL graftcat.refresh_mv('db2.mm')")
     assert(sortedRows("SELECT * FROM graftcat.db2.mm") === sortedRows(body),
       "append-only min/max folds must equal recompute")
+
+    // a range with a deleted MAXIMUM (user 2), a vanished group
+    // (user 3), a group created and partially deleted WITHIN the range
+    // (user 4), and a pure-insert group that must keep folding (user 1)
+    val backing = s"$wh/db2/mm.mvdata"
     spark.sql(s"DELETE FROM $base WHERE v = 200")
-    val e = intercept[Exception] { spark.sql("CALL graftcat.refresh_mv('db2.mm')") }
-    assert(e.getMessage.contains("recompute, not a refresh"), e.getMessage)
-    // the refusal left the view intact and still readable
+    spark.sql(s"INSERT INTO $base VALUES (4, 40), (4, 44), (1, 0)")
+    spark.sql(s"DELETE FROM $base WHERE user_id = 3 OR v = 44")
+    spark.sql("CALL graftcat.refresh_mv('db2.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2.mm") === sortedRows(body),
+      "a delete-range refresh must equal the recompute")
+    // the deleted maximum is un-folded, the vanished group is gone,
+    // the within-range group keeps its surviving row
     assert(spark.sql("SELECT hi FROM graftcat.db2.mm WHERE user_id = 2")
-      .collect()(0).getLong(0) === 200L)
+      .collect()(0).getLong(0) === 20L)
+    assert(spark.sql("SELECT * FROM graftcat.db2.mm WHERE user_id = 3").isEmpty)
+    assert(spark.sql("SELECT n, lo, hi FROM graftcat.db2.mm WHERE user_id = 4")
+      .collect()(0).toSeq === Seq(1L, 40L, 40L))
+
+    // and a later append-only range folds again without recompute
+    spark.sql(s"INSERT INTO $base VALUES (2, 7), (5, 50)")
+    spark.sql("CALL graftcat.refresh_mv('db2.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2.mm") === sortedRows(body),
+      "append-only folding must still work after a recompute range")
+
+    // affected-ONLY: a range whose single delete touches user 2 must
+    // rewrite user 2's backing row and nothing else — the backing
+    // table's own change feed for the fold commit carries a
+    // before-image delete for user 2 alone (every MERGE update on the
+    // MOR backing shows as delete+insert, so an untouched group
+    // appearing here would mean its state was rewritten)
+    val onlyFrom = JsonDocVersions.latestVersion(backing).getOrElse(0) + 1
+    spark.sql(s"DELETE FROM $base WHERE v = 7")
+    spark.sql("CALL graftcat.refresh_mv('db2.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2.mm") === sortedRows(body))
+    val foldChanges = spark.read.format("graft-jsondoc")
+      .option("readChanges", "true")
+      .option("startingVersion", onlyFrom.toString)
+      .option("path", backing).load()
+    val replacedKeys = foldChanges
+      .filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(replacedKeys === Set(2L),
+      s"only the delete-affected group may be rewritten, got $replacedKeys")
+  }
+
+  test("MIN/MAX recompute honors the WHERE predicate on both sides of the split") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.db2w")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_mmw").toString
+    val base = s"graftcat.`$root/ev`"
+    spark.sql(s"CREATE TABLE $base (user_id BIGINT, v BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $base VALUES (1, 10), (1, -5), (2, 20), (2, NULL)")
+    val body = s"SELECT user_id, count(*) AS n, min(v) AS lo, max(v) AS hi " +
+      s"FROM $base WHERE v >= 0 GROUP BY user_id"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db2w.mm AS $body")
+    // the deleted row FAILS the WHERE: its group never contributed it,
+    // so the range may fold without recomputing (and must stay exact)
+    spark.sql(s"DELETE FROM $base WHERE v = -5")
+    spark.sql(s"INSERT INTO $base VALUES (1, 3)")
+    spark.sql("CALL graftcat.refresh_mv('db2w.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2w.mm") === sortedRows(body))
+    // a WHERE-passing delete recomputes its group against the SAME
+    // predicate (group 2 keeps only its NULL row -> vanishes: count
+    // over v>=0 is zero)
+    spark.sql(s"DELETE FROM $base WHERE v = 20")
+    spark.sql("CALL graftcat.refresh_mv('db2w.mm')")
+    assert(sortedRows("SELECT * FROM graftcat.db2w.mm") === sortedRows(body))
+    assert(spark.sql("SELECT * FROM graftcat.db2w.mm WHERE user_id = 2").isEmpty,
+      "a group whose WHERE-passing rows all vanished must leave the view")
   }
 
   test("base lineage edges: OPTIMIZE folds nothing; rollback folds the diff; rename fails loudly") {
