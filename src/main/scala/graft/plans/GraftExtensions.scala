@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through a resolution rule
     ext.injectParser((session, delegate) => new GraftViewSqlParser(session, delegate))
     ext.injectResolutionRule(session => new ResolveGraftViews(session))
+    // transparent MV rewrite (r17, [[RewriteOntoMv]]): post-hoc, so
+    // HAVING/ORDER BY have already folded into the Aggregate and the
+    // substitution sees the final resolved shape
+    ext.injectPostHocResolutionRule(session => new RewriteOntoMv(session))
     ext.injectFunction(graft.functions.VectorFunctions.dotInfo)
     ext.injectFunction(graft.functions.HilbertFunctions.info)
     ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)

@@ -1,0 +1,263 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, If,
+  Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.sources.{GraftCatalog, GraftMv, JsonDocVersions}
+
+/** AUTOMATIC QUERY REWRITE onto a materialized view (r17 — the second
+  * half of the MV contract: q222-q224/q231 made derived aggregates a
+  * DECLARED object; this makes them TRANSPARENT, the Goldstein/Larson
+  * "answering queries using views" move). A user aggregate over a
+  * graft base table
+  *
+  * {{{ SELECT status, avg(price) FROM graftcat.`/t`
+  *     WHERE price > 0 GROUP BY status }}}
+  *
+  * is answered from a matching CURRENT materialized view's backing
+  * table instead of the base scan — at 100 TB that is the difference
+  * between re-scanning the fact table and re-aggregating a few
+  * thousand maintained group rows.
+  *
+  * The rewrite targets the backing table's RAW ADDITIVE STATE, not the
+  * rendered view, so it covers strictly more than body-identical
+  * queries:
+  *   - GROUP BY any SUBSET of the view's keys (rollup): the stored
+  *     per-group states re-aggregate exactly — SUM/COUNT add, MIN/MAX
+  *     fold least/greatest, AVG recomputes as SUM(raw)/SUM(nonnull)
+  *     from the hidden counters (never an average of averages).
+  *   - COUNT(*) from the `__mv_rows` multiplicity, COUNT(col) from the
+  *     count state OR any SUM/AVG's non-null counter over that column.
+  *   - residual WHERE conjuncts beyond the view's predicate, when they
+  *     reference only grouped columns (constant per group, so filtering
+  *     whole backing rows is exact).
+  * All-NULL groups render exactly like the base plan (a SUM whose
+  * non-null counter rolls up to 0 is NULL, never 0).
+  *
+  * EXACTNESS GATE: the rewrite fires only when the view is CURRENT
+  * (fold watermark == the base's published head at planning time — the
+  * result is then the same snapshot a direct scan planned at the same
+  * instant would read), only when every user conjunct is either
+  * semantically one of the view's conjuncts or a group-column residual,
+  * and only when every output's type matches the original plan's
+  * byte-for-byte; any mismatch leaves the plan untouched. Stale views
+  * never serve. `SET spark.graft.mv.rewrite.enabled=false` disables
+  * the rule; float SUM/AVG rollups re-add partial sums in a different
+  * order than a base scan (the usual distributed-sum caveat — Spark
+  * itself does not fix float fold order across plans).
+  *
+  * Runs post-hoc (the plan is fully resolved); the substituted subtree
+  * keeps the original output exprIds via a projection of aliases, so
+  * parents never notice. MV-maintenance's own scans are immune: the
+  * initial fill and the affected-group recompute read `VERSION AS OF`
+  * (pinned snapshots never rewrite), and the fold reads the change
+  * feed, not the table. */
+class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.mv.rewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUpWithSubqueries {
+      case agg: Aggregate if agg.resolved => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripAlias(c)
+    case other => other
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (userCond, rel) = stripAlias(agg.child) match {
+      case Filter(cond, c) => stripAlias(c) match {
+        case r: DataSourceV2Relation => (Some(cond), r)
+        case _ => return None
+      }
+      case r: DataSourceV2Relation => (None, r)
+      case _ => return None
+    }
+    val basePath = GraftMv.unpinnedTablePath(rel.table) match {
+      case Some(p) => p
+      case None => return None
+    }
+    val cat = rel.catalog match {
+      case Some(g: GraftCatalog) => g
+      case _ => return None
+    }
+    val cands = try cat.mvsOnBase(basePath) catch { case _: Exception => return None }
+    if (cands.isEmpty) return None
+    val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
+    cands.iterator.flatMap { case (ident, d) =>
+      // CURRENT views only: the fold watermark must be the published
+      // head, so the backing state IS the head snapshot's aggregate
+      if (GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()) != head) None
+      else matchAndBuild(agg, userCond, rel, cat, ident, d)
+    }.nextOption()
+  }
+
+  private def resolver = session.sessionState.conf.resolver
+
+  /** The base attribute a stored column name refers to, if it still
+    * exists (schema evolution since CREATE makes the match impossible
+    * — then the rewrite simply never fires). */
+  private def baseAttr(rel: DataSourceV2Relation, name: String): Option[Attribute] =
+    rel.output.find(a => resolver(a.name, name))
+
+  /** Abandon the current candidate without unwinding the query: any
+    * non-match anywhere in the build leaves the plan untouched. */
+  private object NoMatch extends scala.util.control.ControlThrowable
+  private def bail(): Nothing = throw NoMatch
+
+  private def matchAndBuild(agg: Aggregate, userCond: Option[Expression],
+      rel: DataSourceV2Relation, cat: GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      d: GraftMv.MvDef): Option[LogicalPlan] =
+    try Some(build(agg, userCond, rel, cat, ident, d))
+    catch { case NoMatch => None }
+
+  private def build(agg: Aggregate, userCond: Option[Expression],
+      rel: DataSourceV2Relation, cat: GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      d: GraftMv.MvDef): LogicalPlan = {
+    // ---- predicate match: every MV conjunct must appear semantically
+    // among the user's; leftovers must reference grouped columns only
+    val mvConjs: Seq[Expression] = d.whereSql match {
+      case None => Seq.empty
+      case Some(w) =>
+        val parsed = try session.sessionState.sqlParser.parseExpression(w)
+          catch { case _: Exception => bail() }
+        val bound = parsed.transformUp {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            baseAttr(rel, u.nameParts.head).getOrElse(bail())
+        }
+        if (!bound.resolved) bail()
+        splitConjunctivePredicates(bound)
+    }
+    val userConjs = userCond.map(splitConjunctivePredicates).getOrElse(Seq.empty)
+    val remaining = scala.collection.mutable.ArrayBuffer(userConjs: _*)
+    mvConjs.foreach { mc =>
+      val i = remaining.indexWhere(_.semanticEquals(mc))
+      if (i < 0) bail()
+      remaining.remove(i)
+    }
+
+    // ---- group match: every user key is a base column the MV groups
+    // on (a SUBSET of the MV's keys re-aggregates the stored states)
+    val storedOf = scala.collection.mutable.Map.empty[ExprId, String]
+    agg.groupingExpressions.foreach {
+      case a: AttributeReference =>
+        storedOf(a.exprId) =
+          d.groups.find(g => resolver(g.src, a.name)).getOrElse(bail()).stored
+      case _ => bail()
+    }
+    // residual conjuncts may reference grouped columns only: constant
+    // per backing row, so filtering whole rows is exact
+    if (!remaining.forall(_.references.forall(r => storedOf.contains(r.exprId))))
+      bail()
+
+    // ---- load the backing relation and map names to its attributes
+    val backingPath = cat.mvDataDirOf(ident).getAbsolutePath
+    val backing = session.read.format("graft-jsondoc").option("path", backingPath)
+      .load().queryExecution.analyzed match {
+      case SubqueryAlias(_, c) => c
+      case other => other
+    }
+    def bAttr(name: String): Attribute =
+      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+    def nnSum(spec: GraftMv.AggSpec): Expression =
+      Coalesce(Seq(sumOf(bAttr(GraftMv.nnCol(spec.alias))), Literal(0L)))
+
+    // state lookup: SUM needs a sum/avg state over the same column
+    // (an AVG's raw state IS the sum); COUNT(col) additionally accepts
+    // any non-null counter over that column
+    def sumState(col: String): Option[GraftMv.AggSpec] =
+      d.aggs.find(a => (a.func == "sum" || a.func == "avg") &&
+        a.arg.exists(resolver(_, col)))
+    def extremum(func: String, col: String): Option[GraftMv.AggSpec] =
+      d.aggs.find(a => a.func == func && a.arg.exists(resolver(_, col)))
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null =>
+          Some(Coalesce(Seq(sumOf(bAttr(GraftMv.RowsCol)), Literal(0L))))
+        case Count(Seq(a: AttributeReference)) =>
+          d.aggs.find(s => s.func == "count" && s.arg.exists(resolver(_, a.name)))
+            .map(s => Coalesce(Seq(sumOf(bAttr(s.alias)), Literal(0L))))
+            .orElse(sumState(a.name).map(nnSum))
+        case s: Sum => s.child match {
+          case a: AttributeReference => sumState(a.name).map { spec =>
+            val state = bAttr(spec.alias)
+            If(EqualTo(nnSum(spec), Literal(0L)),
+              Literal(null, state.dataType), sumOf(state))
+          }
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference => sumState(a.name).map { spec =>
+            If(EqualTo(nnSum(spec), Literal(0L)), Literal(null, DoubleType),
+              Divide(Cast(sumOf(bAttr(spec.alias)), DoubleType),
+                Cast(nnSum(spec), DoubleType)))
+          }
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference => extremum("min", a.name)
+            .map(spec => Min(bAttr(spec.alias)).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference => extremum("max", a.name)
+            .map(spec => Max(bAttr(spec.alias)).toAggregateExpression())
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    // ---- outputs: rebuild every SELECT item over the backing state,
+    // aliased back to the ORIGINAL name and exprId so parents never
+    // notice the substitution
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if storedOf.contains(a.exprId) =>
+        Alias(bAttr(storedOf(a.exprId)), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if storedOf.contains(a.exprId) =>
+        Alias(bAttr(storedOf(a.exprId)), al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _) =>
+        Alias(rewriteAgg(ae).getOrElse(bail()), al.name)(exprId = al.exprId)
+      case _ => bail()
+    }
+
+    val residual = remaining.toSeq.map(_.transform {
+      case a: AttributeReference if storedOf.contains(a.exprId) =>
+        bAttr(storedOf(a.exprId))
+    })
+    val filtered =
+      if (residual.isEmpty) backing
+      else Filter(residual.reduce(And), backing)
+    val groups2: Seq[Expression] = agg.groupingExpressions.map {
+      case a: AttributeReference => bAttr(storedOf(a.exprId))
+      case _ => bail()
+    }
+    val rewritten = Aggregate(groups2, outputs, filtered)
+    // the exactness gate of last resort: the substituted plan must
+    // produce the original schema byte-for-byte
+    if (rewritten.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        agg.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
+    rewritten
+  }
+}

@@ -801,6 +801,22 @@ class GraftCatalog extends TableCatalog
         f.getName.stripSuffix(GraftMv.DefSuffix))).sortBy(_.name())
   }
 
+  /** Every materialized view in this warehouse whose base is
+    * `basePath`, with its parsed definition — the candidate set for
+    * the MV query rewrite ([[graft.plans.RewriteOntoMv]]). Driver-side
+    * walk of the namespace tree; a catalog without a warehouse has no
+    * MVs and answers instantly (the common non-DDL session). */
+  private[graft] def mvsOnBase(basePath: String): Seq[(Identifier, GraftMv.MvDef)] = {
+    if (warehouse.isEmpty) return Seq.empty
+    def walk(ns: Array[String]): Seq[Identifier] =
+      listMvs(ns).toSeq ++ listNamespaces(ns).flatMap(walk)
+    val canonical = new java.io.File(basePath).getAbsolutePath
+    listNamespaces().flatMap(walk).toSeq.flatMap { ident =>
+      val d = GraftMv.read(mvDefFileOf(ident))
+      if (d.basePath == canonical) Some(ident -> d) else None
+    }
+  }
+
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),
       validSegment(ident.name(), "view") + GraftCatalog.ViewFileSuffix)

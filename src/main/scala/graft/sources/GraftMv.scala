@@ -99,6 +99,17 @@ private[graft] object GraftMv {
 
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
+  /** The table path of an UNPINNED graft-jsondoc table, if `t` is one —
+    * the only rewrite-eligible scan shape ([[graft.plans.RewriteOntoMv]]
+    * lives outside this package; JsonDocTable itself is
+    * package-private). Pinned (time-travel) reads never rewrite: the
+    * MV state tracks the head, not an arbitrary snapshot. */
+  private[graft] def unpinnedTablePath(
+      t: org.apache.spark.sql.connector.catalog.Table): Option[String] = t match {
+    case j: JsonDocTable if j.pinned.isEmpty => Some(j.tablePath)
+    case _ => None
+  }
+
   private def refuse(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",

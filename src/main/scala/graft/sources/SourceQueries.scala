@@ -1585,6 +1585,57 @@ object SourceQueries {
       "SELECT o_custkey, count(*) AS n, min(cents) AS lo, max(cents) AS hi, " +
       "CAST(sum(cents) AS BIGINT) AS s FROM t GROUP BY o_custkey ORDER BY o_custkey"
 
+  /** q232: TRANSPARENT MV REWRITE (r17, [[graft.plans.RewriteOntoMv]]):
+    * the user aggregates the BASE table — coarser keys than the view,
+    * an extra residual conjunct on a grouped column, COUNT(*) /
+    * COUNT(col) / SUM / AVG / MIN / MAX — and the post-hoc rule
+    * answers it from the CURRENT view's raw backing state instead of
+    * the base scan (in-flow require: the analyzed plan reads the
+    * `.mvdata` backing and never the base). At 100 TB this is the MV
+    * payoff: a dashboard query re-aggregates maintained group rows,
+    * not the fact table. The oracle recomputes from scratch —
+    * hash-green proves the rewrite is invisible in the answers. */
+  def q232MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q232")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val path = new java.io.File(s"$root/t").getAbsolutePath
+      val tbl = s"graftcat.`$path`"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) USING `graft-jsondoc`")
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .writeTo(tbl).append() // v1; CREATE below materializes = fresh
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.rev AS " +
+        s"SELECT o_orderstatus, o_custkey, count(*) AS n, sum(cents) AS s, " +
+        s"min(cents) AS lo FROM $tbl WHERE o_orderkey % 10 <> 7 " +
+        "GROUP BY o_orderstatus, o_custkey")
+      val out = spark.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        s"count(cents) AS nc, sum(cents) AS s, avg(cents) AS a, " +
+        s"min(cents) AS lo FROM $tbl " +
+        "WHERE o_orderkey % 10 <> 7 AND o_orderstatus <> 'P' " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      val scanned = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          GraftMv.unpinnedTablePath(r.table)
+      }.flatten
+      require(scanned.exists(_.endsWith(".mvdata")) && !scanned.contains(path),
+        s"q232: the aggregate must be answered from the MV backing, got $scanned")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q232Sql: String =
+    "WITH t AS (SELECT o_orderstatus, o_custkey, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+      "FROM orders WHERE o_orderkey % 10 <> 7 AND o_orderstatus <> 'P') " +
+      "SELECT o_orderstatus, count(*) AS n, count(cents) AS nc, " +
+      "CAST(sum(cents) AS BIGINT) AS s, avg(cents) AS a, min(cents) AS lo " +
+      "FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -1689,6 +1740,7 @@ object SourceQueries {
     "q223_mv_minmax" -> q223MvMinmax _,
     "q224_mv_state" -> q224MvState _,
     "q231_mv_minmax_deletes" -> q231MvMinmaxDeletes _,
+    "q232_mv_rewrite" -> q232MvRewrite _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1712,6 +1764,7 @@ object SourceQueries {
     "q223_mv_minmax" -> graft.streaming.StreamingBoard.q183Sql,
     "q224_mv_state" -> q224Sql,
     "q231_mv_minmax_deletes" -> q231Sql,
+    "q232_mv_rewrite" -> q232Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

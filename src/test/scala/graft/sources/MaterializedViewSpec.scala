@@ -23,6 +23,10 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // every `sortedRows(body)` here is a RECOMPUTE baseline — the MV
+    // rewrite (MvRewriteSpec's subject) would answer a fresh view's
+    // body from the view itself and make the comparisons vacuous
+    .config("spark.graft.mv.rewrite.enabled", "false")
     .withExtensions(new graft.plans.GraftExtensions)
     .appName("materialized-view-spec")
     .getOrCreate()

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transparent MV rewrite ([[graft.plans.RewriteOntoMv]]): a user
+  * aggregate over the base table is answered from a CURRENT
+  * materialized view's backing state. Pins, in both directions:
+  *
+  * REWRITES (plan reads the backing table, never the base; results
+  * byte-equal to the rule disabled): the exact body; rollup to a key
+  * subset with COUNT(*) / COUNT(col) / SUM / AVG / MIN / MAX all
+  * derived from raw state (AVG from sum/nonnull, never avg-of-avg);
+  * residual conjuncts over grouped columns; HAVING (post-hoc sees the
+  * folded aggregate); NULL group keys and all-NULL sums render NULL
+  * through the rollup.
+  *
+  * REFUSES (plan still reads the base): a STALE view (and serves again
+  * once refreshed); a WHERE the view doesn't imply; an aggregate the
+  * state can't derive; grouping by a non-view key; a time-travel read;
+  * the kill switch conf. */
+class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .appName("mv-rewrite-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private var base: String = _
+  private var basePath: String = _
+
+  private def readsOnly(df: DataFrame, wantBase: Boolean): Unit = {
+    val tables = df.queryExecution.analyzed.collect {
+      case r: DataSourceV2Relation => r.table match {
+        case j: JsonDocTable => Some(j.tablePath) // pinned reads included
+        case _ => None
+      }
+    }.flatten
+    val hitsBase = tables.contains(basePath)
+    val hitsBacking = tables.exists(_.endsWith(".mvdata"))
+    if (wantBase)
+      assert(hitsBase && !hitsBacking, s"expected a base scan, got $tables")
+    else
+      assert(hitsBacking && !hitsBase, s"expected the MV rewrite, got $tables")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i => r.get(i)))
+      .sortBy(_.mkString("|"))
+
+  /** The rewrite must change the PLAN and nothing else: run once with
+    * the rule on (expecting a backing read) and once off (the base
+    * recompute), and compare. */
+  private def pinRewritten(sql: String): Unit = {
+    val on = spark.sql(sql)
+    readsOnly(on, wantBase = false)
+    val got = sortedRows(on)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try {
+      val off = spark.sql(sql)
+      readsOnly(off, wantBase = true)
+      assert(got === sortedRows(off), s"rewrite changed the answer for: $sql")
+    } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvr_wh").toString
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcat.db")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_base").toString
+    basePath = new java.io.File(s"$root/b").getAbsolutePath
+    base = s"graftcat.`$basePath`"
+    spark.sql(s"CREATE TABLE $base (g STRING, h STRING, x BIGINT, y BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // NULL group key, an all-NULL-x group ('z'), and y<0 rows the
+    // view's WHERE excludes
+    spark.sql(s"INSERT INTO $base VALUES " +
+      "('a', 'p', 10, 1), ('a', 'p', 20, 2), ('a', 'q', NULL, 3), " +
+      "('b', 'p', 7, 4), ('b', 'q', 9, -1), " +
+      "('z', 'p', NULL, 5), ('z', 'q', NULL, 6), " +
+      "(NULL, 'p', 42, 7), (NULL, 'q', 8, 8)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.db.m AS " +
+      s"SELECT g, h, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax, min(x) AS mn, max(x) AS mx " +
+      s"FROM $base WHERE y >= 0 GROUP BY g, h")
+  }
+
+  test("exact body match rewrites and answers identically") {
+    pinRewritten(s"SELECT g, h, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax, min(x) AS mn, max(x) AS mx " +
+      s"FROM $base WHERE y >= 0 GROUP BY g, h")
+  }
+
+  test("rollup to a key subset derives every aggregate from raw state") {
+    // NULL g stays a group; 'z' rolls up to an all-NULL sum/avg (the
+    // nonnull counter is 0 -> NULL, never 0); avg is sum/count, not
+    // an average of per-(g,h) averages
+    pinRewritten(s"SELECT g, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax, min(x) AS mn, max(x) AS mx " +
+      s"FROM $base WHERE y >= 0 GROUP BY g")
+  }
+
+  test("residual conjuncts over grouped columns filter backing rows") {
+    pinRewritten(s"SELECT g, h, sum(x) AS sx FROM $base " +
+      s"WHERE y >= 0 AND g = 'a' GROUP BY g, h")
+    pinRewritten(s"SELECT h, count(*) AS n FROM $base " +
+      s"WHERE h = 'p' AND y >= 0 GROUP BY h")
+  }
+
+  test("HAVING folds into the aggregate before the rewrite sees it") {
+    pinRewritten(s"SELECT g, sum(x) AS sx FROM $base WHERE y >= 0 " +
+      s"GROUP BY g HAVING count(*) > 1")
+  }
+
+  test("a stale view never serves; a refreshed one serves again") {
+    spark.sql(s"INSERT INTO $base VALUES ('a', 'p', 1000, 9)")
+    val sql = s"SELECT g, sum(x) AS sx FROM $base WHERE y >= 0 GROUP BY g"
+    readsOnly(spark.sql(sql), wantBase = true)
+    spark.sql("CALL graftcat.refresh_mv('db.m')")
+    pinRewritten(sql)
+  }
+
+  test("shapes the state cannot derive read the base") {
+    // a WHERE the view does not imply
+    readsOnly(spark.sql(s"SELECT g, count(*) AS n FROM $base WHERE y > 0 GROUP BY g"),
+      wantBase = true)
+    // no WHERE at all (the view's predicate would drop rows)
+    readsOnly(spark.sql(s"SELECT g, count(*) AS n FROM $base GROUP BY g"),
+      wantBase = true)
+    // an aggregate over a column the view never tracked
+    readsOnly(spark.sql(s"SELECT g, sum(y) AS sy FROM $base WHERE y >= 0 GROUP BY g"),
+      wantBase = true)
+    // DISTINCT is global state, not a fold
+    readsOnly(spark.sql(s"SELECT g, count(DISTINCT x) AS d FROM $base " +
+      s"WHERE y >= 0 GROUP BY g"), wantBase = true)
+    // grouping by a non-view key
+    readsOnly(spark.sql(s"SELECT x, count(*) AS n FROM $base WHERE y >= 0 GROUP BY x"),
+      wantBase = true)
+    // a residual over a NON-grouped column is not constant per group
+    readsOnly(spark.sql(s"SELECT g, count(*) AS n FROM $base " +
+      s"WHERE y >= 0 AND x > 5 GROUP BY g"), wantBase = true)
+    // time travel pins a snapshot the view does not represent
+    readsOnly(spark.sql(s"SELECT g, count(*) AS n FROM $base VERSION AS OF 1 " +
+      s"WHERE y >= 0 GROUP BY g"), wantBase = true)
+  }
+
+  test("the kill switch disables the rule entirely") {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try readsOnly(spark.sql(s"SELECT g, h, count(*) AS n FROM $base " +
+      s"WHERE y >= 0 GROUP BY g, h"), wantBase = true)
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+}
