@@ -139,11 +139,16 @@ class GraftCatalog extends TableCatalog
       case "refresh_ann" => new GraftProcedures.RefreshAnnProcedure(catalogName)
       case "create_ann" => new GraftProcedures.CreateAnnProcedure(catalogName)
       case "ann_state" => GraftProcedures.AnnStateProcedure
+      case "create_text_index" => new GraftProcedures.CreateTextIndexProcedure(catalogName)
+      case "refresh_text_index" => new GraftProcedures.RefreshTextIndexProcedure(catalogName)
+      case "text_index_state" => GraftProcedures.TextIndexStateProcedure
+      case "text_search" => new GraftProcedures.TextSearchProcedure(catalogName)
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +
           "rollback, publish, discard_staged, create_branch, drop_branch, " +
-          "fast_forward, cherry_pick, merge_branch, refresh_mv, create_ann, refresh_ann, ann_state)")
+          "fast_forward, cherry_pick, merge_branch, refresh_mv, create_ann, refresh_ann, " +
+          "ann_state, create_text_index, refresh_text_index, text_index_state, text_search)")
     }
   }
 
@@ -158,7 +163,11 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "fast_forward"), Identifier.of(Array.empty, "cherry_pick"),
       Identifier.of(Array.empty, "recover_txn2"), Identifier.of(Array.empty, "refresh_mv"),
       Identifier.of(Array.empty, "refresh_ann"), Identifier.of(Array.empty, "merge_branch"),
-      Identifier.of(Array.empty, "create_ann"), Identifier.of(Array.empty, "ann_state"))
+      Identifier.of(Array.empty, "create_ann"), Identifier.of(Array.empty, "ann_state"),
+      Identifier.of(Array.empty, "create_text_index"),
+      Identifier.of(Array.empty, "refresh_text_index"),
+      Identifier.of(Array.empty, "text_index_state"),
+      Identifier.of(Array.empty, "text_search"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged

@@ -496,6 +496,115 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.create_text_index('<index root>', '<base path>',
+    * buckets)` — build the persisted inverted text index at the base's
+    * head ([[graft.text.TextIndex]]). Returns the indexed version. */
+  final class CreateTextIndexProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "create_text_index"
+    override def description(): String =
+      "build the persisted inverted text index (bucketed BM25 postings) at the base table's head"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_text_index"
+      override def description(): String = CreateTextIndexProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build(),
+        ProcedureParameter.in("base_path", StringType).build(),
+        ProcedureParameter.in("buckets", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        graft.text.TextIndex.create(org.apache.spark.sql.SparkSession.active,
+          catalogName, input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString, input.getLong(2).toInt)
+        val v = graft.text.TextIndex.readDef(
+          input.getUTF8String(0).toString).lastVersion.toLong
+        val schema = new StructType().add("indexed_version", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(v)))).asJava
+      }
+    }
+  }
+
+  /** `CALL graftcat.refresh_text_index('<index root>')` — fold the
+    * base's change feed into the persisted text index. */
+  final class RefreshTextIndexProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "refresh_text_index"
+    override def description(): String =
+      "fold the base table's change feed since the last refresh into the persisted text index"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "refresh_text_index"
+      override def description(): String = RefreshTextIndexProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (from, to) = graft.text.TextIndex.refresh(
+          org.apache.spark.sql.SparkSession.active, catalogName,
+          input.getUTF8String(0).toString)
+        val schema = new StructType()
+          .add("folded_from", LongType, nullable = false)
+          .add("folded_to", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(from.toLong, to.toLong)))).asJava
+      }
+    }
+  }
+
+  /** `CALL graftcat.text_index_state('<index root>')` — the text
+    * index's staleness row (the ann_state analog). */
+  object TextIndexStateProcedure extends UnboundProcedure {
+    override def name(): String = "text_index_state"
+    override def description(): String =
+      "report the persisted text index's base, fold watermark, base head and staleness"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "text_index_state"
+      override def description(): String = TextIndexStateProcedure.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (base, last, head) =
+          graft.text.TextIndex.stateOf(input.getUTF8String(0).toString)
+        val schema = new StructType()
+          .add("base_path", StringType, nullable = false)
+          .add("last_folded_version", LongType, nullable = false)
+          .add("base_head", LongType, nullable = false)
+          .add("stale_commits", LongType, nullable = false)
+        Iterator(scanOf(schema, Seq(InternalRow(
+          UTF8String.fromString(base), last.toLong, head.toLong,
+          math.max(0L, (head - last).toLong))))).asJava
+      }
+    }
+  }
+
+  /** `CALL graftcat.text_search('<index root>', 'term1,term2', k)` —
+    * BM25 top-k over the persisted postings, the pure-SQL query
+    * surface (bounded: k result rows come back through the procedure
+    * scan). */
+  final class TextSearchProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "text_search"
+    override def description(): String =
+      "BM25 top-k lexical search over the persisted text index (comma-separated query terms)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "text_search"
+      override def description(): String = TextSearchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build(),
+        ProcedureParameter.in("terms", StringType).build(),
+        ProcedureParameter.in("k", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val rows = graft.text.TextIndex.search(
+          org.apache.spark.sql.SparkSession.active, catalogName,
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
+          input.getLong(2).toInt).collect()
+        val schema = new StructType()
+          .add("doc_id", LongType, nullable = false)
+          .add("bm25", org.apache.spark.sql.types.DoubleType, nullable = false)
+        Iterator(scanOf(schema, rows.toSeq.map(r =>
+          InternalRow(r.getLong(0), r.getDouble(1))))).asJava
+      }
+    }
+  }
+
   object OptimizeProcedure extends UnboundProcedure {
     override def name(): String = "optimize"
     override def description(): String =

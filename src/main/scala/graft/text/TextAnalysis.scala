@@ -1148,7 +1148,73 @@ object TextAnalysis {
       "round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS zipf_r2 " +
       "FROM top CROSS JOIN tot GROUP BY n_tokens, n_vocab"
 
+  /** q233: PERSISTED INVERTED TEXT INDEX (r17, [[TextIndex]] — the
+    * lexical twin of the q227/q228 ANN index): the corpus is indexed
+    * ONCE into bucket-partitioned BM25 postings
+    * (`CALL create_text_index`), then `CALL text_search` answers q101's
+    * exact query from the postings alone — tokenization paid at write
+    * time, the scan pruned to the query terms' hash buckets. The
+    * oracle is q101's VERBATIM: hash-green means the persisted index
+    * and the from-scratch corpus pass are byte-identical. */
+  def q233TextIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q233")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/docs`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    documents(spark, dir).select(col("doc_id"), col("text")).writeTo(tbl).append()
+    spark.sql(s"CALL graftcat.create_text_index('$root/idx', '$root/docs', 64)")
+      .collect()
+    spark.sql(s"CALL graftcat.text_search('$root/idx', 'hash,join,vector', 10)")
+  }
+
+  /** q234: TEXT INDEX MAINTENANCE FROM THE CHANGE FEED (r17,
+    * [[TextIndex.refresh]]): the index is created over a PARTIAL
+    * corpus, then the base takes an append, a text-mutating UPDATE
+    * (tf and doc length change), and a DELETE — and one
+    * `CALL refresh_text_index` folds all three commits from the feed
+    * (tombstones re-tokenized from the feed's before-images; the index
+    * itself is never diff-scanned). The oracle recomputes BM25 over
+    * the final corpus from scratch — hash-green proves the folded
+    * postings equal a full rebuild. */
+  def q234TextIndexDml(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q234")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/docs`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(4)) =!= 3).writeTo(tbl).append() // v1
+    spark.sql(s"CALL graftcat.create_text_index('$root/idx', '$root/docs', 64)")
+      .collect()
+    docs.filter(pmod(col("doc_id"), lit(4)) === 3).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET text = concat(text, ' vector vector') " +
+      "WHERE doc_id % 10 = 4") // v3
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id % 10 = 6") // v4
+    spark.sql(s"CALL graftcat.refresh_text_index('$root/idx')").collect()
+    spark.sql(s"CALL graftcat.text_search('$root/idx', 'hash,join,vector', 10)")
+  }
+
+  val q234Sql: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 10 = 4 " +
+      "THEN text || ' vector vector' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 10 <> 6), " +
+      "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs), " +
+      "lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('hash','join','vector') GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens) " +
+      "SELECT doc_id, round(sum(" +
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))" +
+      "), 6) AS bm25 " +
+      "FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_text_index" -> q233TextIndex _,
+    "q234_text_index_dml" -> q234TextIndexDml _,
     "q153_zipf_profile" -> q153ZipfProfile _,
     "q140_grouped_topk" -> q140GroupedTopk _,
     "q136_bigram_lm" -> q136BigramLm _,
@@ -1173,6 +1239,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "q233_text_index" -> q101Sql,
+    "q234_text_index_dml" -> q234Sql,
     "q140_grouped_topk" -> q140Sql,
     "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,

@@ -1,0 +1,242 @@
+package graft.text
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTxn, JsonDocVersions}
+
+/** PERSISTED INVERTED TEXT INDEX maintained from the change feed (r17
+  * — the lexical twin of [[graft.sim.AnnIndex]]): q101's BM25 retrieval
+  * re-pays corpus tokenization on every query; at 100 TB the postings
+  * must live as a TABLE (the Lucene/Elasticsearch deployment shape)
+  * and fold per commit.
+  *
+  * Layout under one index root:
+  *   - `_text_index.json` — base table path, bucket count, last-folded
+  *     base version (display cache; the authoritative watermark is the
+  *     postings table's own transaction ledger, the q183/MV recipe).
+  *   - `postings/` — a graft-jsondoc table `(bucket BIGINT, term
+  *     STRING, doc_id BIGINT, tf BIGINT, dl BIGINT)` PARTITIONED BY
+  *     bucket, where `bucket = pmod(xxhash64(term), B)`: a query for
+  *     |q| terms statically prunes to at most |q| of B partitions —
+  *     the whole point of a posting layout at scale. Doc length rides
+  *     DENORMALIZED on every posting (classic BM25 postings), and one
+  *     SENTINEL row per document (`term = '__doc__'`, tf = dl) makes
+  *     the corpus statistics (N, Σdl) a one-partition aggregate —
+  *     `__doc__` can never collide with a real token of the `[a-z0-9]+`
+  *     tokenizer.
+  *
+  * REFRESH needs no index diff scan: the change feed's DELETE rows
+  * carry before-images, so the OLD term multiset of every changed
+  * document re-tokenizes from the feed itself — per doc, the EARLIEST
+  * delete in the range is the pre-range text (what the index currently
+  * holds) and the q206 replay rule (latest commit wins, insert
+  * outranks delete within a commit) yields the final text. Tombstones
+  * = old terms minus new terms; puts = the new postings; one MERGE
+  * keyed `(doc_id, term)` lands both — exactly-once via the ledger,
+  * merge-on-read so the fold writes delete vectors + inserts in
+  * O(changed docs' tokens) and rewrites nothing (the AnnScaleProbe
+  * lesson). Intermediate states a doc passed through WITHIN the range
+  * never existed in the index and never produce postings.
+  *
+  * SEARCH replays q101's exact BM25 (k1 = 1.2, b = 0.75, the 6-decimal
+  * rounded ranking): tf/dl come straight off the pruned postings scan
+  * (no corpus pass, no lens join), df and the corpus stats are
+  * broadcast-sized aggregates. Byte-identical to the from-scratch
+  * computation over the same corpus — q233 pins that against q101's
+  * own oracle. */
+object TextIndex {
+  val DefName = "_text_index.json"
+  val DocSentinel = "__doc__"
+  def postingsPath(indexRoot: String): String =
+    new java.io.File(indexRoot, "postings").getAbsolutePath
+  private def appId(indexRoot: String): String =
+    "graft-text:" + new java.io.File(indexRoot).getAbsolutePath
+
+  final case class IndexDef(basePath: String, buckets: Int, lastVersion: Int)
+
+  private def defFile(indexRoot: String) = new java.io.File(indexRoot, DefName)
+
+  def writeDef(indexRoot: String, d: IndexDef): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("basePath", d.basePath)
+    root.put("buckets", d.buckets)
+    root.put("lastVersion", d.lastVersion)
+    val f = defFile(indexRoot)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        if (f.exists()) f.delete()
+        if (!tmp.renameTo(f))
+          throw new java.io.IOException(s"text index def write failed for $f")
+    }
+  }
+
+  def readDef(indexRoot: String): IndexDef = {
+    val root = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(defFile(indexRoot).toPath))
+    IndexDef(root.get("basePath").asText(), root.get("buckets").asInt(),
+      root.get("lastVersion").asInt())
+  }
+
+  /** The write-side bucket of a term, evaluated driver-side for the
+    * read-side static partition prune — the SAME xxhash64(seed 42) the
+    * stored `bucket` column used, so prune and data can never drift. */
+  def bucketOf(term: String, buckets: Int): Long = {
+    // seed 42 = the SQL xxhash64 builtin's fixed seed
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, buckets.toLong)
+  }
+
+  /** The q101 tokenizer, verbatim: lowercased `[a-z0-9]+` runs. */
+  private def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Postings (term, doc_id, tf, dl) + the per-doc sentinel row, from
+    * any `(doc_id, text)` frame. A zero-token document has no rows and
+    * no sentinel — exactly q101's lens-from-tokens behavior. */
+  private def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(dl.select(lit(DocSentinel).as("term"), col("doc_id"),
+        col("dl").as("tf"), col("dl")))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Build the index at the base's current head. `base` must be a
+    * graft-jsondoc table carrying `(doc_id BIGINT, text STRING)`. */
+  def create(spark: SparkSession, cat: String, indexRoot: String,
+      basePath: String, buckets: Int = 64): Unit = {
+    new java.io.File(indexRoot).mkdirs()
+    val postings = postingsPath(indexRoot)
+    val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
+    spark.sql(s"CREATE TABLE $cat.`$postings` " +
+      "(bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) " +
+      "USING `graft-jsondoc` PARTITIONED BY (bucket) " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    if (head > 0)
+      postingsOf(spark.sql(
+        s"SELECT doc_id, text FROM $cat.`$basePath` VERSION AS OF $head"), buckets)
+        .writeTo(s"$cat.`$postings`").append()
+    writeDef(indexRoot,
+      IndexDef(new java.io.File(basePath).getAbsolutePath, buckets, head))
+  }
+
+  /** The index's staleness triple: (base path, last folded version —
+    * ledger-authoritative, base head). */
+  def stateOf(indexRoot: String): (String, Int, Int) = {
+    val d = readDef(indexRoot)
+    val last = math.max(d.lastVersion,
+      JsonDocVersions.lastTxn(postingsPath(indexRoot), appId(indexRoot))
+        .map(_.toInt).getOrElse(-1))
+    (d.basePath, last, JsonDocVersions.latestVersion(d.basePath).getOrElse(0))
+  }
+
+  /** Fold base changes `(last, head]` into the postings. Returns the
+    * folded (from, to); from > to = already current. */
+  def refresh(spark: SparkSession, cat: String, indexRoot: String): (Int, Int) =
+    synchronized {
+      val d = readDef(indexRoot)
+      val postings = postingsPath(indexRoot)
+      val last = math.max(d.lastVersion,
+        JsonDocVersions.lastTxn(postings, appId(indexRoot)).map(_.toInt).getOrElse(-1))
+      val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+      if (head <= last) return (last + 1, last)
+      val feed = spark.read.format("graft-jsondoc")
+        .option("readChanges", "true")
+        .option("startingVersion", (last + 1).toString)
+        .option("endingVersion", head.toString)
+        .option("path", d.basePath).load()
+        .select(col("doc_id"), col("text"),
+          col("_change_type").as("act"), col("_commit_version").as("v"))
+      import org.apache.spark.sql.expressions.Window
+      // final text per doc: latest commit wins, insert outranks delete
+      // within one commit (the q206 replay rule)
+      val newDocs = feed.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("v").desc,
+            when(col("act") === "insert", 0).otherwise(1))))
+        .where(col("rn") === 1 && col("act") === "insert")
+        .select(col("doc_id"), col("text"))
+      // pre-range text per doc: the EARLIEST delete image (delete
+      // outranks insert within its commit — it is the before-image);
+      // a doc first seen as an insert was born inside the range and
+      // has no postings to tombstone
+      val oldDocs = feed.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("v").asc,
+            when(col("act") === "delete", 0).otherwise(1))))
+        .where(col("rn") === 1 && col("act") === "delete")
+        .select(col("doc_id"), col("text"))
+      val puts = postingsOf(newDocs, d.buckets).withColumn("act", lit("put"))
+      val tombstones = postingsOf(oldDocs, d.buckets)
+        .join(puts.select(col("doc_id"), col("term")), Seq("doc_id", "term"),
+          "left_anti")
+        .select(col("bucket"), col("term"), col("doc_id"),
+          lit(null).cast("bigint").as("tf"), lit(null).cast("bigint").as("dl"),
+          lit("del").as("act"))
+      val view = s"graft_text_delta_$head"
+      puts.unionByName(tombstones).createOrReplaceTempView(view)
+      GraftTxn.begin(postings, appId(indexRoot), head.toLong)
+      try spark.sql(
+        s"""MERGE INTO $cat.`$postings` t USING $view d
+           |ON t.doc_id = d.doc_id AND t.term = d.term
+           |WHEN MATCHED AND d.act = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET tf = d.tf, dl = d.dl
+           |WHEN NOT MATCHED AND d.act = 'put' THEN
+           |  INSERT (bucket, term, doc_id, tf, dl)
+           |  VALUES (d.bucket, d.term, d.doc_id, d.tf, d.dl)""".stripMargin)
+      finally {
+        GraftTxn.clear(postings)
+        spark.catalog.dropTempView(view)
+        ()
+      }
+      writeDef(indexRoot, d.copy(lastVersion = head))
+      (last + 1, head)
+    }
+
+  /** BM25 top-k over the PERSISTED postings — q101's formula verbatim
+    * (k1 = 1.2, b = 0.75, 6-decimal rounded ranking, ties by doc_id),
+    * with tokenization already paid at write time. The scan prunes to
+    * the query terms' buckets plus the sentinel bucket. */
+  def search(spark: SparkSession, cat: String, indexRoot: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val d = readDef(indexRoot)
+    require(terms.nonEmpty && !terms.contains(DocSentinel),
+      s"text index: query terms must be non-empty real tokens, got $terms")
+    val (k1, b) = (1.2, 0.75)
+    val postings = postingsPath(indexRoot)
+    val termBuckets = terms.map(bucketOf(_, d.buckets)).distinct
+    val stats = spark.sql(s"SELECT tf FROM $cat.`$postings` " +
+        s"WHERE bucket = ${bucketOf(DocSentinel, d.buckets)} AND term = '$DocSentinel'")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    val tf = spark.sql(s"SELECT term, doc_id, tf, dl FROM $cat.`$postings` " +
+        s"WHERE bucket IN (${termBuckets.mkString(", ")})")
+      .where(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val w = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.JsonDocVersions
+
+/** The persisted inverted text index ([[TextIndex]]): create / search /
+  * refresh-from-the-change-feed. Pins: search over the postings equals
+  * the from-scratch BM25 at every lineage step; an UPDATE that drops
+  * terms tombstones exactly those postings (re-tokenized from the
+  * feed's before-image — the index is never diff-scanned); a DELETE
+  * removes the doc's postings AND its sentinel (corpus stats shrink);
+  * a doc updated twice within one range indexes only its final text;
+  * refresh is exactly-once (re-CALL is an empty range) and
+  * merge-on-read (prior postings files are never rewritten); the
+  * stored bucket column always agrees with the driver-side prune
+  * hash. */
+class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("text-index-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val cat = "graftcat"
+  private var root: String = _
+  private var tbl: String = _
+  private var idx: String = _
+
+  override def beforeAll(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    root = java.nio.file.Files.createTempDirectory("graft_ti").toString
+    tbl = s"$cat.`$root/docs`"
+    idx = s"$root/idx"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      "(1, 'alpha beta beta gamma'), " +
+      "(2, 'beta gamma gamma delta'), " +
+      "(3, 'alpha alpha delta'), " +
+      "(4, 'epsilon zeta')")
+  }
+
+  /** q101's BM25 from scratch over the live base — the ground truth
+    * the index must reproduce at every step. */
+  private def inline(terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val toks = spark.sql(s"SELECT doc_id, text FROM $tbl")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val w = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df), "term").join(lens, "doc_id").crossJoin(broadcast(stats))
+      .groupBy(col("doc_id")).agg(round(sum(idf * w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
+  private def searched(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+    spark.sql(s"CALL $cat.text_search('$idx', '${terms.mkString(",")}', $k)")
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+
+  private def postings(where: String = "true"): Seq[(String, Long, Long, Long)] =
+    spark.sql(s"SELECT term, doc_id, tf, dl FROM $cat.`$idx/postings` WHERE $where")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+  test("create indexes the head; search equals the from-scratch BM25") {
+    spark.sql(s"CALL $cat.create_text_index('$idx', '$root/docs', 8)").collect()
+    assert(searched(Seq("beta", "gamma"), 10) === inline(Seq("beta", "gamma"), 10))
+    assert(searched(Seq("alpha"), 10) === inline(Seq("alpha"), 10))
+    // tf/dl stored exactly; the sentinel carries dl as tf
+    assert(postings("term = 'beta'") === Seq(("beta", 1L, 2L, 4L), ("beta", 2L, 1L, 4L)))
+    assert(postings(s"term = '${TextIndex.DocSentinel}'").map(p => (p._2, p._3)) ===
+      Seq((1L, 4L), (2L, 4L), (3L, 3L), (4L, 2L)))
+    // the stored bucket always agrees with the driver-side prune hash
+    val bucketRows = spark.sql(s"SELECT DISTINCT term, bucket FROM $cat.`$idx/postings`")
+      .collect()
+    bucketRows.foreach { r =>
+      assert(r.getLong(1) === TextIndex.bucketOf(r.getString(0), 8),
+        s"bucket drift for term ${r.getString(0)}")
+    }
+  }
+
+  test("append folds; an update tombstones vanished terms from the before-image") {
+    spark.sql(s"INSERT INTO $tbl VALUES (5, 'beta beta beta eta')")
+    // doc 1 loses 'beta' and 'gamma', gains 'theta'; dl shrinks 4 -> 3
+    spark.sql(s"UPDATE $tbl SET text = 'alpha alpha theta' WHERE doc_id = 1")
+    val keep = JsonDocVersions.latest(s"$idx/postings").get._2
+    spark.sql(s"CALL $cat.refresh_text_index('$idx')").collect()
+    // merge-on-read: the fold never rewrites a prior postings file
+    val after = JsonDocVersions.latest(s"$idx/postings").get._2
+    assert(after.intersect(keep) === keep,
+      "a MOR fold must keep every prior postings file")
+    assert(searched(Seq("beta", "gamma"), 10) === inline(Seq("beta", "gamma"), 10))
+    assert(searched(Seq("theta", "eta"), 10) === inline(Seq("theta", "eta"), 10))
+    // doc 1's beta posting is GONE (tombstoned), not zeroed
+    assert(postings("term = 'beta'").map(_._2) === Seq(2L, 5L))
+    assert(postings("term = 'beta' AND doc_id = 1") === Seq.empty)
+    // and its sentinel carries the new length
+    assert(postings(s"term = '${TextIndex.DocSentinel}' AND doc_id = 1")
+      .map(_._3) === Seq(3L))
+  }
+
+  test("a delete removes the doc's postings and shrinks the corpus stats") {
+    val (_, _, headBefore) = TextIndex.stateOf(idx)
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id = 2")
+    val (_, last, head) = TextIndex.stateOf(idx)
+    assert(head === headBefore + 1 && last === headBefore,
+      s"one stale commit expected, got last=$last head=$head")
+    spark.sql(s"CALL $cat.refresh_text_index('$idx')").collect()
+    assert(postings("doc_id = 2") === Seq.empty,
+      "a deleted doc must leave no postings, sentinel included")
+    assert(searched(Seq("beta", "gamma", "delta"), 10) ===
+      inline(Seq("beta", "gamma", "delta"), 10))
+    // re-CALL: empty range, nothing double-folds
+    val again = spark.sql(s"CALL $cat.refresh_text_index('$idx')").collect()(0)
+    assert(again.getLong(0) > again.getLong(1), s"no-op refresh expected: $again")
+    assert(searched(Seq("beta", "gamma", "delta"), 10) ===
+      inline(Seq("beta", "gamma", "delta"), 10))
+  }
+
+  test("a doc updated twice in one range indexes only its final text") {
+    spark.sql(s"UPDATE $tbl SET text = 'iota iota kappa' WHERE doc_id = 3")
+    spark.sql(s"UPDATE $tbl SET text = 'kappa lambda' WHERE doc_id = 3")
+    spark.sql(s"CALL $cat.refresh_text_index('$idx')").collect()
+    // the intermediate 'iota' state never existed in the index
+    assert(postings("doc_id = 3").map(_._1).filterNot(_ == TextIndex.DocSentinel)
+      .sorted === Seq("kappa", "lambda"))
+    assert(searched(Seq("kappa", "lambda", "alpha"), 10) ===
+      inline(Seq("kappa", "lambda", "alpha"), 10))
+  }
+
+  test("state reports the fold watermark against the base head") {
+    val (base, last, head) = TextIndex.stateOf(idx)
+    assert(base === new java.io.File(s"$root/docs").getAbsolutePath)
+    assert(last === head, s"the index should be current, got last=$last head=$head")
+    val row = spark.sql(s"CALL $cat.text_index_state('$idx')").collect()(0)
+    assert(row.getLong(3) === 0L, s"stale_commits must be 0: $row")
+  }
+}
