@@ -101,9 +101,11 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     if (cands.isEmpty) return None
     val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
     cands.iterator.flatMap { case (ident, d) =>
-      // CURRENT views only: the fold watermark must be the published
-      // head, so the backing state IS the head snapshot's aggregate
-      if (GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()) != head) None
+      // join MVs never serve single-table scans; CURRENT views only:
+      // the fold watermark must be the published head, so the backing
+      // state IS the head snapshot's aggregate
+      if (d.join.isDefined ||
+          GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()) != head) None
       else matchAndBuild(agg, userCond, rel, cat, ident, d)
     }.nextOption()
   }

@@ -41,11 +41,14 @@ import scala.jdk.CollectionConverters._
   * table; the hidden columns never escape.
   *
   * INCREMENTALIZABLE bodies only, refused loudly otherwise: a single
-  * `SELECT <group cols and aggregates> FROM <one graft table>
-  * [WHERE <deterministic row predicate>] [GROUP BY <plain columns>]`
+  * `SELECT <group cols and aggregates> FROM <one graft table, or TWO
+  * graft tables under an INNER equi join (r17 — the signed-delta
+  * identity ΔV = ΔA ⋈ B@old + A@new ⋈ ΔB folds both feeds; SUM/COUNT/
+  * AVG only there)> [WHERE <deterministic row predicate>]
+  * [GROUP BY <plain columns>]`
   * with SUM / COUNT(*) / COUNT(col) / AVG / MIN / MAX aggregates — no
-  * joins, subqueries, DISTINCT aggregates, FILTER clauses, HAVING,
-  * windows, or computed group keys. SUM/COUNT/AVG fold signed deltas
+  * outer joins, subqueries, DISTINCT aggregates, FILTER clauses,
+  * HAVING, windows, or computed group keys. SUM/COUNT/AVG fold signed deltas
   * (+1 per feed insert, -1 per delete) and therefore tolerate ANY DML
   * on the base; MIN/MAX fold least/greatest over appends, and a
   * refresh range containing deletes recomputes ONLY the affected
@@ -93,9 +96,19 @@ private[graft] object GraftMv {
     * ("a", agg index, alias). */
   final case class OutCol(kind: String, idx: Int, alias: String)
 
+  /** A two-table INNER equi-join body (r17): `basePath2` is the
+    * b-side table, `on` the (aCol, bCol) key pairs, `sides` maps every
+    * OTHER referenced bare column name (groups, aggregate arguments,
+    * WHERE references) to its side — those names are required unique
+    * across the two schemas so the stored qualifier-stripped SQL
+    * re-binds unambiguously. */
+  final case class JoinSpec(basePath2: String, on: Seq[(String, String)],
+      sides: Map[String, String])
+
   final case class MvDef(sql: String, basePath: String,
       whereSql: Option[String], groups: Seq[GroupSpec], aggs: Seq[AggSpec],
-      output: Seq[OutCol], lastVersion: Int)
+      output: Seq[OutCol], lastVersion: Int,
+      join: Option[JoinSpec] = None, lastVersion2: Int = 0)
 
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
@@ -160,17 +173,55 @@ private[graft] object GraftMv {
       case Filter(cond, c) => (Some(cond), stripAlias(c))
       case other => (None, other)
     }
-    val basePath = rel match {
+    def graftPath(p: LogicalPlan, what: String): String = stripAlias(p) match {
       case r: DataSourceV2Relation => r.table match {
         case t: JsonDocTable if t.pinned.isEmpty => t.tablePath
-        case _: JsonDocTable => refuse("the base may not be a time-travel " +
+        case _: JsonDocTable => refuse(s"$what may not be a time-travel " +
           "read — a pinned snapshot has no future to fold")
-        case other => refuse(s"the base must be a graft-jsondoc table " +
+        case other => refuse(s"$what must be a graft-jsondoc table " +
           s"(its change feed drives the refresh); got ${other.getClass.getSimpleName}")
       }
-      case other => refuse("the FROM clause must be exactly one graft-jsondoc " +
-        s"table — joins, subqueries and CTE bodies are not incrementally " +
-        s"foldable (got ${other.nodeName})")
+      case other => refuse(s"$what must be exactly one graft-jsondoc table " +
+        s"(got ${other.nodeName})")
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // (basePath, join-side info): a single table, or a 2-table INNER
+    // equi join — the signed-delta identity
+    //   ΔV = ΔA ⋈ B@old  +  A@new ⋈ ΔB
+    // makes SUM/COUNT/AVG over a join foldable from the two change
+    // feeds plus time-travel snapshots; MIN/MAX refuse below (a
+    // one-sided delete would need a join recompute to un-fold)
+    val (basePath, joinInfo) = rel match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          refuse(s"only INNER joins are incrementally foldable — got " +
+            s"${j.joinType.sql} (outer sides resurrect NULL-padded rows " +
+            "when a match appears, which is not a signed fold)")
+        val cond = j.condition.getOrElse(
+          refuse("the join needs an ON condition of column equalities"))
+        val pA = graftPath(j.left, "the join's left side")
+        val pB = graftPath(j.right, "the join's right side")
+        if (pA == pB) refuse("self-joins are not incrementally foldable " +
+          "(one commit changes both sides at once)")
+        val leftIds = j.left.outputSet
+        val rightIds = j.right.outputSet
+        val on = conjuncts(cond).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              x: AttributeReference, y: AttributeReference) =>
+            if (leftIds.contains(x) && rightIds.contains(y)) (x.name, y.name)
+            else if (leftIds.contains(y) && rightIds.contains(x)) (y.name, x.name)
+            else refuse(s"each join conjunct must equate one column per side: " +
+              (x.name + " = " + y.name))
+          case other => refuse("join conditions must be plain column " +
+            s"equalities (non-equi predicates are not foldable): ${other.sql}")
+        }
+        (pA, Some((JoinSpec(new java.io.File(pB).getAbsolutePath, on, Map.empty),
+          leftIds, j.left.output ++ j.right.output)))
+      case single => (graftPath(single, "the FROM clause"), None)
     }
 
     val whereSql = whereCond.map { c =>
@@ -285,8 +336,26 @@ private[graft] object GraftMv {
         s"(they name the backing columns): ${names.mkString(", ")}")
     require(names.forall(n => !n.startsWith("__mv_") || n.startsWith("__mv_g_")),
       "graft materialized view: '__mv_' column names are reserved")
+    val join = joinInfo.map { case (js0, leftIds, allOut) =>
+      if (aggsB.exists(a => a.func == "min" || a.func == "max"))
+        refuse("MIN/MAX over a join body is not foldable (a one-sided " +
+          "delete would need a join recompute) — use SUM/COUNT/AVG, or a " +
+          "single-table view")
+      val whereNames = whereCond.toSeq.flatMap(_.references.map(_.name)).distinct
+      val refNames = (groupAttrs.map(_.name) ++ aggsB.flatMap(_.arg) ++
+        whereNames).distinct
+      val sides = refNames.map { n =>
+        val hits = allOut.filter(_.name == n)
+        if (hits.length != 1)
+          refuse(s"column '$n' is ambiguous across the join's two tables — " +
+            "every selected, aggregated or filtered column must have a " +
+            "side-unique name")
+        n -> (if (leftIds.contains(hits.head)) "a" else "b")
+      }.toMap
+      js0.copy(sides = sides)
+    }
     MvDef(bodySql, new java.io.File(basePath).getAbsolutePath, whereSql,
-      groups.toSeq, aggsB.toSeq, outB.toSeq, lastVersion = 0)
+      groups.toSeq, aggsB.toSeq, outB.toSeq, lastVersion = 0, join = join)
   }
 
   // ---- SQL generation ---------------------------------------------------
@@ -325,6 +394,53 @@ private[graft] object GraftMv {
       else " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
     s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
       s"FROM $cat.`${d.basePath}` VERSION AS OF $head$where$grp"
+  }
+
+  // ---- join bodies (r17): ΔV = ΔA ⋈ B@old + A@new ⋈ ΔB ------------------
+
+  /** The joined source relation `(SELECT <refs> FROM <a> a JOIN <b> b
+    * ON ...)` — every referenced column projected ONCE under its bare
+    * name, so [[fillItems]], [[deltaSql]] and the stored WHERE run over
+    * it completely unchanged; `extraProj` threads `_change_type`
+    * through from whichever side is the delta. */
+  def joinedSrcSql(d: MvDef, aRel: String, bRel: String,
+      extraProj: Seq[String] = Nil): String = {
+    val js = d.join.get
+    val proj = js.sides.toSeq.sortBy(_._1).map { case (n, s) =>
+      s"$s.${q(n)} AS ${q(n)}" } ++ extraProj
+    val on = js.on.map { case (x, y) => s"a.${q(x)} = b.${q(y)}" }.mkString(" AND ")
+    s"(SELECT ${proj.mkString(", ")} FROM $aRel a JOIN $bRel b ON $on)"
+  }
+
+  def initialFillJoinSql(cat: String, d: MvDef, backing: String,
+      headA: Int, headB: Int): String = {
+    val src = joinedSrcSql(d,
+      s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $headA)",
+      s"(SELECT * FROM $cat.`${d.join.get.basePath2}` VERSION AS OF $headB)")
+    val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val grp = " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
+    s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
+      s"FROM $src __j$where$grp"
+  }
+
+  /** Both watermarks of a join MV ride ONE ledger value —
+    * lexicographic in (a, b), so max() stays meaningful. 30 bits per
+    * side bounds each base at ~10^9 commits. */
+  private[graft] def encodeVersions(a: Int, b: Int): Long = {
+    require(a >= 0 && b >= 0 && a < (1 << 30) && b < (1 << 30),
+      s"graft materialized view: version out of ledger range: ($a, $b)")
+    (a.toLong << 31) | b.toLong
+  }
+
+  /** The authoritative (lastA, lastB) of a join MV: ledger beats the
+    * definition file when it is lexicographically ahead. */
+  def lastFoldedPair(d: MvDef, dataDir: java.io.File, name: String): (Int, Int) = {
+    val defPair = (d.lastVersion, d.lastVersion2)
+    JsonDocVersions.lastTxn(dataDir.getAbsolutePath, appIdOf(name)).map { v =>
+      val p = (((v >> 31) & 0x3fffffffL).toInt, (v & 0x7fffffffL).toInt)
+      if (p._1 > defPair._1 || (p._1 == defPair._1 && p._2 > defPair._2)) p
+      else defPair
+    }.getOrElse(defPair)
   }
 
   /** SIGNED-delta SELECT over a change-feed relation (temp view
@@ -519,6 +635,16 @@ private[graft] object GraftMv {
       n.put("alias", o.alias); ()
     }
     root.put("lastVersion", d.lastVersion)
+    d.join.foreach { js =>
+      val j = root.putObject("join")
+      j.put("basePath2", js.basePath2)
+      val ons = j.putArray("on")
+      js.on.foreach { case (x, y) => val n = ons.addArray(); n.add(x); n.add(y); () }
+      val ss = j.putObject("sides")
+      js.sides.toSeq.sortBy(_._1).foreach { case (k, v) => ss.put(k, v); () }
+      root.put("lastVersion2", d.lastVersion2)
+      ()
+    }
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
     java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     try java.nio.file.Files.move(tmp.toPath, f.toPath,
@@ -548,7 +674,15 @@ private[graft] object GraftMv {
       output = Option(root.get("output")).toSeq.flatMap(_.elements().asScala.map(n =>
         OutCol(n.get("kind").asText(), n.get("idx").asInt(),
           n.get("alias").asText()))),
-      lastVersion = root.get("lastVersion").asInt())
+      lastVersion = root.get("lastVersion").asInt(),
+      join = Option(root.get("join")).map { j =>
+        JoinSpec(j.get("basePath2").asText(),
+          j.get("on").elements().asScala.map(n =>
+            (n.get(0).asText(), n.get(1).asText())).toSeq,
+          Option(j.get("sides")).map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+      },
+      lastVersion2 = Option(root.get("lastVersion2")).map(_.asInt()).getOrElse(0))
   }
 
   // ---- lifecycle ----------------------------------------------------------
@@ -568,7 +702,8 @@ private[graft] object GraftMv {
   def create(session: SparkSession, cat: String, defFile: java.io.File,
       dataDir: java.io.File, bodySql: String): Unit = {
     val d = extract(session, bodySql)
-    require(d.basePath != dataDir.getAbsolutePath,
+    require(d.basePath != dataDir.getAbsolutePath &&
+        !d.join.exists(_.basePath2 == dataDir.getAbsolutePath),
       "graft materialized view: the body may not read the MV's own backing table")
     // a failed earlier CREATE leaves an orphan backing dir (no def file
     // => invisible); sweep it so re-CREATE starts clean
@@ -582,9 +717,18 @@ private[graft] object GraftMv {
     session.sql(s"CREATE TABLE $cat.`${dataDir.getAbsolutePath}` " +
       s"(${backingDdl(d)}) USING `graft-jsondoc` " +
       "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
-    if (head > 0)
-      session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
-    write(defFile, d.copy(lastVersion = head))
+    d.join match {
+      case Some(js) =>
+        val head2 = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
+        if (head > 0 && head2 > 0)
+          session.sql(initialFillJoinSql(cat, d, dataDir.getAbsolutePath,
+            head, head2))
+        write(defFile, d.copy(lastVersion = head, lastVersion2 = head2))
+      case None =>
+        if (head > 0)
+          session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
+        write(defFile, d.copy(lastVersion = head))
+    }
   }
 
   def drop(defFile: java.io.File, dataDir: java.io.File): Unit = {
@@ -616,6 +760,8 @@ private[graft] object GraftMv {
   def refresh(session: SparkSession, cat: String, defFile: java.io.File,
       dataDir: java.io.File, name: String): (Int, Int) = lockFor(defFile).synchronized {
     val d = read(defFile)
+    if (d.join.isDefined)
+      return refreshJoin(session, cat, defFile, dataDir, name, d)
     val backing = dataDir.getAbsolutePath
     val last = lastFolded(d, dataDir, name)
     val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
@@ -660,6 +806,74 @@ private[graft] object GraftMv {
     write(defFile, d.copy(lastVersion = head))
     (last + 1, head)
   }
+
+  /** Fold a JOIN body's two feeds:
+    *   ΔV = ΔA ⋈ B@lastB  +  A@headA ⋈ ΔB
+    * — the standard signed-delta identity (each side's delta joins the
+    * OTHER side at a pinned snapshot: B before its own changes, A after
+    * ΔA is accounted). Both terms project the referenced columns plus
+    * `_change_type` under bare names, so the single-table [[deltaSql]]
+    * computes the signed group deltas over their UNION verbatim, and
+    * the MERGE and ledger are the single-table path's. At 100 TB each
+    * term joins a commit-sized delta against a snapshot — with join-key
+    * clustering the snapshot side is file-pruned to matching keys,
+    * never re-scanned whole. Returns (lastA + 1, headA); the b-side
+    * range rides the same fold. */
+  private def refreshJoin(session: SparkSession, cat: String,
+      defFile: java.io.File, dataDir: java.io.File, name: String,
+      d: MvDef): (Int, Int) = {
+    val js = d.join.get
+    val backing = dataDir.getAbsolutePath
+    val (lastA, lastB) = lastFoldedPair(d, dataDir, name)
+    val headA = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+    val headB = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
+    if (headA <= lastA && headB <= lastB) return (lastA + 1, lastA)
+    val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_${headA}_$headB"
+    def feedView(path: String, from: Int, to: Int, v: String): String = {
+      session.read.format("graft-jsondoc").option("readChanges", "true")
+        .option("startingVersion", from.toString)
+        .option("endingVersion", to.toString)
+        .option("path", path).load().createOrReplaceTempView(v)
+      v
+    }
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (headA > lastA && lastB > 0) {
+        val fa = feedView(d.basePath, lastA + 1, headA, s"${tag}_fa")
+        views += fa
+        terms += joinedSrcSql(d, fa,
+          s"(SELECT * FROM $cat.`${js.basePath2}` VERSION AS OF $lastB)",
+          Seq("a.`_change_type` AS `_change_type`"))
+      }
+      if (headB > lastB && headA > 0) {
+        val fb = feedView(js.basePath2, lastB + 1, headB, s"${tag}_fb")
+        views += fb
+        terms += joinedSrcSql(d,
+          s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $headA)", fb,
+          Seq("b.`_change_type` AS `_change_type`"))
+      }
+      if (terms.isEmpty) {
+        // one side moved while the other is still empty: the join is
+        // empty either way — advance the watermark, fold nothing
+        write(defFile, d.copy(lastVersion = headA, lastVersion2 = headB))
+        return (lastA + 1, headA)
+      }
+      val u = s"${tag}_joined"
+      session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $u AS " +
+        terms.map(t => s"SELECT * FROM $t __t").mkString(" UNION ALL "))
+      views += u
+      val deltaView = s"${tag}_delta"
+      session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
+        deltaSql(d, u))
+      views += deltaView
+      GraftTxn.begin(backing, appIdOf(name), encodeVersions(headA, headB))
+      try session.sql(mergeSql(cat, backing, d, deltaView))
+      finally GraftTxn.clear(backing)
+    } finally views.foreach { v => session.catalog.dropTempView(v); () }
+    write(defFile, d.copy(lastVersion = headA, lastVersion2 = headB))
+    (lastA + 1, headA)
+  }
 }
 
 /** The `<mv>#mvstate` metadata table: ONE staleness row —
@@ -688,12 +902,21 @@ private[sources] class GraftMvStateTable(defFile: java.io.File,
       override def readSchema(): StructType = GraftMvStateTable.Schema
       override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
         val d = GraftMv.read(defFile)
-        val last = GraftMv.lastFolded(d, dataDir, mvName).toLong
-        val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0).toLong
-        Array(org.apache.spark.sql.catalyst.InternalRow(
-          org.apache.spark.unsafe.types.UTF8String.fromString(mvName),
-          org.apache.spark.unsafe.types.UTF8String.fromString(d.basePath),
-          last, head, math.max(0L, head - last)))
+        def row(base: String, last: Long): org.apache.spark.sql.catalyst.InternalRow = {
+          val head = JsonDocVersions.latestVersion(base).getOrElse(0).toLong
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(mvName),
+            org.apache.spark.unsafe.types.UTF8String.fromString(base),
+            last, head, math.max(0L, head - last))
+        }
+        d.join match {
+          // a join MV reports one staleness row PER BASE
+          case Some(js) =>
+            val (lastA, lastB) = GraftMv.lastFoldedPair(d, dataDir, mvName)
+            Array(row(d.basePath, lastA.toLong), row(js.basePath2, lastB.toLong))
+          case None =>
+            Array(row(d.basePath, GraftMv.lastFolded(d, dataDir, mvName).toLong))
+        }
       }
       override def description(): String = name()
     }

@@ -1636,6 +1636,56 @@ object SourceQueries {
       "CAST(sum(cents) AS BIGINT) AS s, avg(cents) AS a, min(cents) AS lo " +
       "FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
+  /** q235: JOIN-BODY MATERIALIZED VIEW (r17, [[GraftMv.refreshJoin]]):
+    * the TPC-H revenue-by-segment rollup as a DECLARED incremental
+    * object — `CREATE MATERIALIZED VIEW ... FROM orders JOIN customer
+    * ON ... GROUP BY segment`, then DML on BOTH bases (an orders
+    * append, an orders delete, a customer segment UPDATE that migrates
+    * groups) folds through one `CALL refresh_mv` via the signed-delta
+    * identity ΔV = ΔA ⋈ B@old + A@new ⋈ ΔB — commit-sized deltas
+    * joined against pinned snapshots, never a fact-table re-scan.
+    * Oracle: the from-scratch join aggregate over the final state. */
+  def q235MvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q235")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val o = s"graftcat.`$root/o`"
+      val c = s"graftcat.`$root/c`"
+      spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_mktsegment STRING) " +
+        "USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(o).append() // v1
+      customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo(c).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.seg_rev AS " +
+        s"SELECT c_mktsegment, count(*) AS n, sum(cents) AS s, avg(cents) AS a " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey WHERE cents > 0 " +
+        "GROUP BY c_mktsegment")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(o).append() // o v2
+      spark.sql(s"DELETE FROM $o WHERE o_orderkey % 7 = 3") // o v3
+      spark.sql(s"UPDATE $c SET c_mktsegment = 'GRAFT' WHERE c_custkey % 5 = 0") // c v2
+      spark.sql("CALL graftcat.refresh_mv('db.seg_rev')").collect()
+      spark.sql("SELECT c_mktsegment, n, s, a FROM graftcat.db.seg_rev " +
+        "ORDER BY c_mktsegment")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q235Sql: String =
+    "WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+      "FROM orders WHERE o_orderkey % 7 <> 3), " +
+      "c AS (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN 'GRAFT' " +
+      "ELSE c_mktsegment END AS c_mktsegment FROM customer) " +
+      "SELECT c_mktsegment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
+      "avg(cents) AS a FROM o JOIN c ON o_custkey = c_custkey WHERE cents > 0 " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -1741,6 +1791,7 @@ object SourceQueries {
     "q224_mv_state" -> q224MvState _,
     "q231_mv_minmax_deletes" -> q231MvMinmaxDeletes _,
     "q232_mv_rewrite" -> q232MvRewrite _,
+    "q235_mv_join" -> q235MvJoin _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1765,6 +1816,7 @@ object SourceQueries {
     "q224_mv_state" -> q224Sql,
     "q231_mv_minmax_deletes" -> q231Sql,
     "q232_mv_rewrite" -> q232Sql,
+    "q235_mv_join" -> q235Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

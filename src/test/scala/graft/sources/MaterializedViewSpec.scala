@@ -300,8 +300,11 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!new java.io.File(s"$wh/db3/bad.mv.json").exists(),
         "a refused CREATE must leave nothing behind")
     }
-    refuse(s"SELECT t.g, count(*) AS n FROM $t t JOIN $u u ON t.k = u.k GROUP BY t.g",
-      "exactly one graft-jsondoc table")
+    // INNER equi joins fold since r17 (MvJoinSpec); outer joins still refuse
+    refuse(s"SELECT t.g, count(*) AS n FROM $t t LEFT JOIN $u u ON t.k = u.k GROUP BY t.g",
+      "INNER")
+    refuse(s"SELECT g, count(*) AS n FROM (SELECT g FROM $t UNION ALL SELECT g FROM $t) GROUP BY g",
+      "graft-jsondoc table")
     refuse(s"SELECT g, count(DISTINCT x) AS n FROM $t GROUP BY g",
       "DISTINCT aggregates")
     refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g HAVING count(*) > 1",

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JOIN-BODY materialized views ([[GraftMv.refreshJoin]] — the signed-
+  * delta identity ΔV = ΔA ⋈ B@old + A@new ⋈ ΔB). Pins: the initial
+  * fill and every fold equal a from-scratch recompute under inserts,
+  * deletes and updates on EITHER side (and BOTH sides in one range,
+  * including a key pair born across the two deltas, which exactly one
+  * term may count); group migration when the b-side's group column
+  * changes; vanished groups; NULL join keys never match; refresh is
+  * exactly-once; `#mvstate` reports one staleness row per base; and
+  * every non-foldable join shape refuses at CREATE with the reason. */
+class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .appName("mv-join-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private var a: String = _
+  private var b: String = _
+  private var body: String = _
+
+  private def sortedRows(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq
+      .map(r => (0 until r.length).map(i => r.get(i)))
+      .sortBy(_.mkString("|"))
+
+  private def assertCurrent(clue: String): Unit =
+    assert(sortedRows("SELECT * FROM graftcat.dbj.m") === sortedRows(body), clue)
+
+  override def beforeAll(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val wh = java.nio.file.Files.createTempDirectory("graft_mvj_wh").toString
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcat.dbj")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvj").toString
+    a = s"graftcat.`$root/a`"
+    b = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $a (k BIGINT, x BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $b (k2 BIGINT, seg STRING, w BIGINT) " +
+      "USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // fan-out (two a-rows on k=1), an all-NULL-x group ('q' via k=4),
+    // a WHERE-excluded b row (w < 0), and an unmatched key each side
+    spark.sql(s"INSERT INTO $a VALUES (1, 10), (1, 20), (2, NULL), (3, 7), " +
+      "(4, NULL), (9, 99)")
+    spark.sql(s"INSERT INTO $b VALUES (1, 'p', 1), (2, 'p', 2), (3, 'r', -5), " +
+      "(4, 'q', 4), (8, 'z', 8)")
+    body = s"SELECT seg, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax FROM $a JOIN $b ON k = k2 WHERE w >= 0 GROUP BY seg"
+  }
+
+  test("the initial fill equals a recompute (fan-out, NULL sums, WHERE)") {
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbj.m AS $body")
+    assertCurrent("initial join materialization must equal a recompute")
+    // 'r' is WHERE-excluded, 'z' unmatched: neither is a group
+    assert(sortedRows("SELECT seg FROM graftcat.dbj.m").flatten === Seq("p", "q"))
+    // the all-NULL sum renders NULL
+    val q = spark.sql("SELECT cx, sx, ax FROM graftcat.dbj.m WHERE seg = 'q'")
+      .collect()(0)
+    assert(q.getLong(0) === 0L && q.isNullAt(1) && q.isNullAt(2))
+  }
+
+  test("an a-side-only range folds against B at its old snapshot") {
+    spark.sql(s"INSERT INTO $a VALUES (1, 5), (8, 80), (7, 70)") // 7 unmatched
+    spark.sql(s"DELETE FROM $a WHERE x = 20") // shrink the fan-out
+    val r = spark.sql("CALL graftcat.refresh_mv('dbj.m')").collect()(0)
+    assert(r.getLong(0) <= r.getLong(1), s"a real fold expected: $r")
+    assertCurrent("ΔA ⋈ B@old must land the recompute")
+    assert(sortedRows("SELECT seg FROM graftcat.dbj.m").flatten ===
+      Seq("p", "q", "z"), "the now-matched key 8 must create group z")
+  }
+
+  test("a b-side-only range folds against A at its new head (group migration)") {
+    spark.sql(s"UPDATE $b SET seg = 'p2' WHERE k2 = 1") // migrate the fan-out
+    spark.sql(s"DELETE FROM $b WHERE k2 = 4") // vanish group q
+    spark.sql("CALL graftcat.refresh_mv('dbj.m')")
+    assertCurrent("A@new ⋈ ΔB must land the recompute")
+    assert(sortedRows("SELECT seg FROM graftcat.dbj.m").flatten ===
+      Seq("p", "p2", "z"))
+  }
+
+  test("both sides in one range; a key pair born across the two deltas counts once") {
+    spark.sql(s"INSERT INTO $a VALUES (50, 500)") // joins only via ΔB's new row
+    spark.sql(s"INSERT INTO $b VALUES (50, 'w', 50), (9, 'p', 9)")
+    spark.sql(s"UPDATE $a SET x = x + 1 WHERE k = 3")
+    spark.sql(s"DELETE FROM $b WHERE k2 = 2")
+    spark.sql("CALL graftcat.refresh_mv('dbj.m')")
+    assertCurrent("a mixed two-sided range must land the recompute")
+    assert(spark.sql("SELECT n FROM graftcat.dbj.m WHERE seg = 'w'")
+      .collect()(0).getLong(0) === 1L,
+      "the cross-delta key pair must count exactly once")
+    // re-CALL: empty range
+    val again = spark.sql("CALL graftcat.refresh_mv('dbj.m')").collect()(0)
+    assert(again.getLong(0) > again.getLong(1), s"no-op refresh expected: $again")
+    assertCurrent("a no-op refresh must change nothing")
+  }
+
+  test("NULL join keys never match on either side") {
+    spark.sql(s"INSERT INTO $a VALUES (NULL, 1000)")
+    spark.sql(s"INSERT INTO $b VALUES (NULL, 'nil', 0)")
+    spark.sql("CALL graftcat.refresh_mv('dbj.m')")
+    assertCurrent("NULL keys must fold exactly like the recompute (no match)")
+    assert(spark.sql("SELECT * FROM graftcat.dbj.m WHERE seg = 'nil'").isEmpty)
+  }
+
+  test("#mvstate reports one staleness row per base") {
+    spark.sql(s"INSERT INTO $a VALUES (9, 1)")
+    spark.sql(s"INSERT INTO $b VALUES (60, 'v', 6)")
+    spark.sql(s"INSERT INTO $b VALUES (61, 'v', 6)")
+    val rows = spark.sql("SELECT base_path, stale_commits FROM " +
+      "graftcat.dbj.`m#mvstate` ORDER BY base_path").collect()
+    assert(rows.length === 2, s"a join MV has two bases: ${rows.toSeq}")
+    assert(rows.map(_.getLong(1)).toSeq.sorted === Seq(1L, 2L),
+      s"per-base staleness expected: ${rows.toSeq}")
+    spark.sql("CALL graftcat.refresh_mv('dbj.m')")
+    assertCurrent("folding both stale feeds must land the recompute")
+    assert(spark.sql("SELECT sum(stale_commits) FROM graftcat.dbj.`m#mvstate`")
+      .collect()(0).getLong(0) === 0L)
+  }
+
+  test("non-foldable join shapes refuse at CREATE with the reason") {
+    def refuse(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbj.bad AS $sql")
+      }
+      assert(e.getMessage.contains(needle), s"$sql -> ${e.getMessage}")
+    }
+    refuse(s"SELECT seg, count(*) AS n FROM $a LEFT JOIN $b ON k = k2 GROUP BY seg",
+      "INNER")
+    refuse(s"SELECT t.x AS x, count(*) AS n FROM $a t JOIN $a u ON t.k = u.k GROUP BY t.x",
+      "self-join")
+    refuse(s"SELECT seg, max(x) AS mx FROM $a JOIN $b ON k = k2 GROUP BY seg",
+      "MIN/MAX over a join")
+    refuse(s"SELECT seg, count(*) AS n FROM $a JOIN $b ON k < k2 GROUP BY seg",
+      "column equalities")
+    refuse(s"SELECT seg, count(*) AS n FROM $a JOIN $b ON k + 1 = k2 GROUP BY seg",
+      "column equalities")
+    // ambiguity: both sides carry a column named `dup`
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mvj_amb").toString
+    spark.sql(s"CREATE TABLE graftcat.`$root2/c` (k3 BIGINT, dup BIGINT) " +
+      "USING `graft-jsondoc`")
+    spark.sql(s"CREATE TABLE graftcat.`$root2/d` (k4 BIGINT, dup BIGINT) " +
+      "USING `graft-jsondoc`")
+    refuse(s"SELECT c.dup AS g, count(*) AS n FROM graftcat.`$root2/c` c " +
+      s"JOIN graftcat.`$root2/d` d ON c.k3 = d.k4 GROUP BY c.dup",
+      "ambiguous")
+  }
+}
