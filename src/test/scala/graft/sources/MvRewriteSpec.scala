@@ -153,6 +153,36 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"WHERE y >= 0 GROUP BY g"), wantBase = true)
   }
 
+  test("parents above the aggregate survive the substitution") {
+    // ORDER BY / a projection reference the aggregate's output attr ids,
+    // which the rewrite preserves via aliases
+    pinRewritten(s"SELECT g, sum(x) AS sx FROM $base WHERE y >= 0 " +
+      s"GROUP BY g ORDER BY sx DESC, g")
+    // the same group column selected twice
+    pinRewritten(s"SELECT g, g AS g2, count(*) AS n FROM $base WHERE y >= 0 " +
+      s"GROUP BY g")
+  }
+
+  test("a named catalog table rewrites like a path-addressed one") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.named")
+    spark.sql("CREATE TABLE graftcat.named.t (g STRING, x BIGINT) " +
+      "USING `graft-jsondoc`")
+    spark.sql("INSERT INTO graftcat.named.t VALUES ('a', 1), ('a', 2), ('b', 3)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.named.mv AS " +
+      "SELECT g, sum(x) AS sx FROM graftcat.named.t GROUP BY g")
+    val df = spark.sql("SELECT g, sum(x) AS sx FROM graftcat.named.t GROUP BY g")
+    val tables = df.queryExecution.analyzed.collect {
+      case r: DataSourceV2Relation => r.table match {
+        case j: JsonDocTable => Some(j.tablePath)
+        case _ => None
+      }
+    }.flatten
+    assert(tables.exists(_.endsWith(".mvdata")) && tables.length === 1,
+      s"named-table aggregate must rewrite onto the backing, got $tables")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 3L), ("b", 3L)))
+  }
+
   test("the kill switch disables the rule entirely") {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
     try readsOnly(spark.sql(s"SELECT g, h, count(*) AS n FROM $base " +
