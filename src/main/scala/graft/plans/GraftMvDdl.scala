@@ -95,14 +95,26 @@ case class ShowGraftMvsCommand(catalog: GraftCatalog, namespace: Seq[String])
       AttributeReference("stale_commits", LongType, nullable = false)())
   }
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] =
-    catalog.listMvs(namespace.toArray).map { ident =>
+    catalog.listMvs(namespace.toArray).toSeq.flatMap { ident =>
       val d = GraftMv.read(catalog.mvDefFileOf(ident))
-      val last = GraftMv.lastFolded(d, catalog.mvDataDirOf(ident), ident.name()).toLong
-      val head = graft.sources.JsonDocVersions
-        .latestVersion(d.basePath).getOrElse(0).toLong
-      org.apache.spark.sql.Row(namespace.mkString("."), ident.name(),
-        d.basePath, last, head, math.max(0L, head - last))
-    }.toSeq
+      def row(base: String, last: Long): org.apache.spark.sql.Row = {
+        val head = graft.sources.JsonDocVersions
+          .latestVersion(base).getOrElse(0).toLong
+        org.apache.spark.sql.Row(namespace.mkString("."), ident.name(),
+          base, last, head, math.max(0L, head - last))
+      }
+      d.join match {
+        // a join MV lists one staleness row PER BASE (its ledger value
+        // encodes both watermarks — lastFolded would misread it)
+        case Some(js) =>
+          val (lastA, lastB) =
+            GraftMv.lastFoldedPair(d, catalog.mvDataDirOf(ident), ident.name())
+          Seq(row(d.basePath, lastA.toLong), row(js.basePath2, lastB.toLong))
+        case None =>
+          Seq(row(d.basePath,
+            GraftMv.lastFolded(d, catalog.mvDataDirOf(ident), ident.name()).toLong))
+      }
+    }
 }
 
 /** CREATE MATERIALIZED VIEW: validate + extract the fold plan, build

@@ -41,6 +41,11 @@ import graft.sources.{GraftCatalog, GraftMv, JsonDocVersions}
   *   - residual WHERE conjuncts beyond the view's predicate, when they
   *     reference only grouped columns (constant per group, so filtering
   *     whole backing rows is exact).
+  *   - JOIN queries (r17): an INNER equi join whose ON pairs equal a
+  *     join MV's key pairs (in either table order) serves from that
+  *     view when BOTH fold watermarks sit at their bases' heads —
+  *     non-pair ON conjuncts fold into the predicate match, since
+  *     inner-join ON and WHERE are interchangeable.
   * All-NULL groups render exactly like the base plan (a SUM whose
   * non-null counter rolls up to 0 is NULL, never 0).
   *
@@ -81,14 +86,21 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (userCond, rel) = stripAlias(agg.child) match {
-      case Filter(cond, c) => stripAlias(c) match {
-        case r: DataSourceV2Relation => (Some(cond), r)
-        case _ => return None
-      }
-      case r: DataSourceV2Relation => (None, r)
-      case _ => return None
+    val (userCond, relPlan) = stripAlias(agg.child) match {
+      case Filter(cond, c) => (Some(cond), stripAlias(c))
+      case other => (None, other)
     }
+    relPlan match {
+      case r: DataSourceV2Relation => trySingle(agg, userCond, r)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        tryJoin(agg, userCond, j)
+      case _ => None
+    }
+  }
+
+  private def trySingle(agg: Aggregate, userCond: Option[Expression],
+      rel: DataSourceV2Relation): Option[LogicalPlan] = {
     val basePath = GraftMv.unpinnedTablePath(rel.table) match {
       case Some(p) => p
       case None => return None
@@ -106,17 +118,83 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       // state IS the head snapshot's aggregate
       if (d.join.isDefined ||
           GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()) != head) None
-      else matchAndBuild(agg, userCond, rel, cat, ident, d)
+      else matchAndBuild(agg, userCond, rel.output, cat, ident, d)
+    }.nextOption()
+  }
+
+  /** A user INNER equi join matched against join MVs: the ON's column
+    * pairs must equal the view's key pairs (in either table order);
+    * non-pair ON conjuncts are WHERE conjuncts under inner-join
+    * semantics and fold into the predicate match. */
+  private def tryJoin(agg: Aggregate, userCond: Option[Expression],
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[LogicalPlan] = {
+    def relOf(p: LogicalPlan): Option[(String, GraftCatalog)] = stripAlias(p) match {
+      case r: DataSourceV2Relation =>
+        GraftMv.unpinnedTablePath(r.table).flatMap(path => r.catalog match {
+          case Some(g: GraftCatalog) => Some((path, g))
+          case _ => None
+        })
+      case _ => None
+    }
+    val cond = j.condition.getOrElse(return None)
+    val (pathL, cat) = relOf(j.left).getOrElse(return None)
+    val (pathR, _) = relOf(j.right).getOrElse(return None)
+    if (pathL == pathR) return None
+    val leftIds = j.left.outputSet
+    val rightIds = j.right.outputSet
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val extras = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    splitConjunctivePredicates(cond).foreach {
+      case EqualTo(x: AttributeReference, y: AttributeReference)
+          if leftIds.contains(x) && rightIds.contains(y) =>
+        pairs += ((x.name, y.name))
+      case EqualTo(x: AttributeReference, y: AttributeReference)
+          if leftIds.contains(y) && rightIds.contains(x) =>
+        pairs += ((y.name, x.name))
+      case other => extras += other
+    }
+    if (pairs.isEmpty) return None
+    val fullCond = (userCond.toSeq ++ extras.toSeq).reduceOption(And)
+    val outputs = j.left.output ++ j.right.output
+    // every MV pair consumes one user pair (and nothing is left over)
+    def pairsMatch(mv: Seq[(String, String)], user: Seq[(String, String)]): Boolean = {
+      val rest = scala.collection.mutable.ArrayBuffer(user: _*)
+      mv.forall { case (a, b) =>
+        val i = rest.indexWhere(p => resolver(p._1, a) && resolver(p._2, b))
+        if (i < 0) false else { rest.remove(i); true }
+      } && rest.isEmpty
+    }
+    val cands = try {
+      // orientation 1: user left = MV's A; orientation 2: user left = MV's B
+      cat.mvsOnBase(pathL).filter { case (_, d) =>
+        d.join.exists(js => js.basePath2 == pathR &&
+          pairsMatch(js.on, pairs.toSeq))
+      } ++ cat.mvsOnBase(pathR).filter { case (_, d) =>
+        d.join.exists(js => js.basePath2 == pathL &&
+          pairsMatch(js.on, pairs.toSeq.map(_.swap)))
+      }
+    } catch { case _: Exception => return None }
+    cands.iterator.flatMap { case (ident, d) =>
+      val js = d.join.get
+      val heads = (JsonDocVersions.latestVersion(d.basePath).getOrElse(0),
+        JsonDocVersions.latestVersion(js.basePath2).getOrElse(0))
+      if (GraftMv.lastFoldedPair(d, cat.mvDataDirOf(ident), ident.name()) != heads)
+        None
+      else matchAndBuild(agg, fullCond, outputs, cat, ident, d)
     }.nextOption()
   }
 
   private def resolver = session.sessionState.conf.resolver
 
-  /** The base attribute a stored column name refers to, if it still
-    * exists (schema evolution since CREATE makes the match impossible
-    * — then the rewrite simply never fires). */
-  private def baseAttr(rel: DataSourceV2Relation, name: String): Option[Attribute] =
-    rel.output.find(a => resolver(a.name, name))
+  /** The scan attribute a stored column name refers to, when it names
+    * exactly one (schema evolution since CREATE, or a name duplicated
+    * across a join's two sides, makes the match impossible — then the
+    * rewrite simply never fires). */
+  private def baseAttr(outputs: Seq[Attribute], name: String): Option[Attribute] =
+    outputs.filter(a => resolver(a.name, name)) match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
 
   /** Abandon the current candidate without unwinding the query: any
     * non-match anywhere in the build leaves the plan untouched. */
@@ -124,14 +202,14 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
   private def bail(): Nothing = throw NoMatch
 
   private def matchAndBuild(agg: Aggregate, userCond: Option[Expression],
-      rel: DataSourceV2Relation, cat: GraftCatalog,
+      outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
       d: GraftMv.MvDef): Option[LogicalPlan] =
-    try Some(build(agg, userCond, rel, cat, ident, d))
+    try Some(build(agg, userCond, outputs, cat, ident, d))
     catch { case NoMatch => None }
 
   private def build(agg: Aggregate, userCond: Option[Expression],
-      rel: DataSourceV2Relation, cat: GraftCatalog,
+      outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
       d: GraftMv.MvDef): LogicalPlan = {
     // ---- predicate match: every MV conjunct must appear semantically
@@ -143,7 +221,7 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           catch { case _: Exception => bail() }
         val bound = parsed.transformUp {
           case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-            baseAttr(rel, u.nameParts.head).getOrElse(bail())
+            baseAttr(outputs, u.nameParts.head).getOrElse(bail())
         }
         if (!bound.resolved) bail()
         splitConjunctivePredicates(bound)
@@ -234,7 +312,7 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     // ---- outputs: rebuild every SELECT item over the backing state,
     // aliased back to the ORIGINAL name and exprId so parents never
     // notice the substitution
-    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+    val outItems: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if storedOf.contains(a.exprId) =>
         Alias(bAttr(storedOf(a.exprId)), a.name)(exprId = a.exprId)
       case al @ Alias(a: AttributeReference, _) if storedOf.contains(a.exprId) =>
@@ -255,7 +333,7 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       case a: AttributeReference => bAttr(storedOf(a.exprId))
       case _ => bail()
     }
-    val rewritten = Aggregate(groups2, outputs, filtered)
+    val rewritten = Aggregate(groups2, outItems, filtered)
     // the exactness gate of last resort: the substituted plan must
     // produce the original schema byte-for-byte
     if (rewritten.schema.fields.map(f => (f.name, f.dataType)).toSeq !=

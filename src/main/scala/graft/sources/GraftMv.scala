@@ -749,10 +749,15 @@ private[graft] object GraftMv {
   /** The authoritative last-folded version: the backing manifest's
     * transaction ledger wins over the definition file (the file is a
     * cache that may lag one crash behind). */
-  def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int =
+  def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int = {
+    // a join MV's ledger value encodes BOTH watermarks — reading it as
+    // one version would be garbage; callers must use lastFoldedPair
+    require(d.join.isEmpty,
+      s"graft materialized view $name: lastFolded is single-table only")
     math.max(d.lastVersion,
       JsonDocVersions.lastTxn(dataDir.getAbsolutePath, appIdOf(name))
         .map(_.toInt).getOrElse(-1))
+  }
 
   /** Fold `(last, head]` from the base's change feed. Returns
     * (from, to) of the folded range; from > to means the view was

@@ -1677,6 +1677,59 @@ object SourceQueries {
     } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
   }
 
+  /** q236: JOIN QUERY REWRITE onto the q235 join MV (r17,
+    * [[graft.plans.RewriteOntoMv]]'s join arm): the user writes the
+    * join aggregate against the BASES — swapped table order, the
+    * view's predicate living in the ON clause, plus a residual on the
+    * group column — and the post-hoc rule serves it from the CURRENT
+    * join view's backing state (in-flow require: the analyzed plan
+    * reads `.mvdata`, never orders or customer). Oracle: the
+    * from-scratch join aggregate. */
+  def q236MvJoinRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q236")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val o = s"graftcat.`$root/o`"
+      val c = s"graftcat.`$root/c`"
+      spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc`")
+      spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_mktsegment STRING) " +
+        "USING `graft-jsondoc`")
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .writeTo(o).append()
+      customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo(c).append()
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.seg_rev2 AS " +
+        s"SELECT c_mktsegment, count(*) AS n, sum(cents) AS s, avg(cents) AS a " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey WHERE o_orderkey % 10 <> 7 " +
+        "GROUP BY c_mktsegment")
+      val out = spark.sql(s"SELECT c_mktsegment, count(*) AS n, " +
+        s"sum(cents) AS s, avg(cents) AS a " +
+        s"FROM $c JOIN $o ON c_custkey = o_custkey AND o_orderkey % 10 <> 7 " +
+        "WHERE c_mktsegment <> 'GRAFT' " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      val scanned = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          GraftMv.unpinnedTablePath(r.table)
+      }.flatten
+      require(scanned.exists(_.endsWith(".mvdata")) &&
+        !scanned.exists(p => p.endsWith("/o") || p.endsWith("/c")),
+        s"q236: the join aggregate must be answered from the MV backing, got $scanned")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q236Sql: String =
+    "SELECT c_mktsegment, count(*) AS n, " +
+      "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s, " +
+      "avg(CAST(round(o_totalprice * 100) AS BIGINT)) AS a " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "WHERE o_orderkey % 10 <> 7 AND c_mktsegment <> 'GRAFT' " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   val q235Sql: String =
     "WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
       "FROM orders WHERE o_orderkey % 7 <> 3), " +
@@ -1792,6 +1845,7 @@ object SourceQueries {
     "q231_mv_minmax_deletes" -> q231MvMinmaxDeletes _,
     "q232_mv_rewrite" -> q232MvRewrite _,
     "q235_mv_join" -> q235MvJoin _,
+    "q236_mv_join_rewrite" -> q236MvJoinRewrite _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1817,6 +1871,7 @@ object SourceQueries {
     "q231_mv_minmax_deletes" -> q231Sql,
     "q232_mv_rewrite" -> q232Sql,
     "q235_mv_join" -> q235Sql,
+    "q236_mv_join_rewrite" -> q236Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

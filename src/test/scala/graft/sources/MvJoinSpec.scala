@@ -20,6 +20,10 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // every assertCurrent recompute baseline must read the bases — the
+    // join rewrite (MvRewriteSpec's subject) would serve a fresh view's
+    // own body from the view and make the comparisons vacuous
+    .config("spark.graft.mv.rewrite.enabled", "false")
     .withExtensions(new graft.plans.GraftExtensions)
     .appName("mv-join-spec")
     .getOrCreate()
@@ -128,6 +132,16 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertCurrent("folding both stale feeds must land the recompute")
     assert(spark.sql("SELECT sum(stale_commits) FROM graftcat.dbj.`m#mvstate`")
       .collect()(0).getLong(0) === 0L)
+    // SHOW MATERIALIZED VIEWS lists the same two per-base rows with
+    // PLAIN versions (the ledger value encodes both watermarks — a
+    // naive decode would print garbage)
+    val shown = spark.sql("SHOW MATERIALIZED VIEWS IN graftcat.dbj").collect()
+      .filter(_.getString(1) == "m")
+    assert(shown.length === 2, s"two per-base rows expected: ${shown.toSeq}")
+    shown.foreach { r =>
+      assert(r.getLong(3) === r.getLong(4) && r.getLong(5) === 0L &&
+        r.getLong(4) < 100L, s"sane per-base watermarks expected: $r")
+    }
   }
 
   test("non-foldable join shapes refuse at CREATE with the reason") {

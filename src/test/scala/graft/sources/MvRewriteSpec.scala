@@ -183,6 +183,67 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("a", 3L), ("b", 3L)))
   }
 
+  test("a join query serves from a current join MV, in either table order") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.jr")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_join").toString
+    val ta = s"graftcat.`$root/a`"
+    val tb = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $ta (k BIGINT, x BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $tb (k2 BIGINT, seg STRING, w BIGINT) " +
+      "USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $ta VALUES (1, 10), (1, 20), (2, 5), (3, NULL)")
+    spark.sql(s"INSERT INTO $tb VALUES (1, 'p', 1), (2, 'q', 2), (3, 'p', -1)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.jr.jm AS " +
+      s"SELECT seg, count(*) AS n, sum(x) AS sx, avg(x) AS ax " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg")
+
+    def scans(sql: String): (Boolean, Boolean, Seq[Seq[Any]]) = {
+      val df = spark.sql(sql)
+      val paths = df.queryExecution.analyzed.collect {
+        case r: DataSourceV2Relation => r.table match {
+          case j: JsonDocTable => Some(j.tablePath)
+          case _ => None
+        }
+      }.flatten
+      (paths.exists(_.endsWith(".mvdata")),
+        paths.exists(p => p.endsWith("/a") || p.endsWith("/b")),
+        sortedRows(df))
+    }
+    def pinJoin(sql: String): Unit = {
+      val (mv, base, got) = scans(sql)
+      assert(mv && !base, s"expected the join rewrite for: $sql")
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try {
+        val (mv2, base2, want) = scans(sql)
+        assert(!mv2 && base2)
+        assert(got === want, s"join rewrite changed the answer for: $sql")
+      } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+
+    pinJoin(s"SELECT seg, count(*) AS n, sum(x) AS sx, avg(x) AS ax " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg")
+    // swapped table order, mirrored ON, residual on the group column,
+    // and the WHERE living in the ON clause (inner-join equivalence)
+    pinJoin(s"SELECT seg, sum(x) AS sx FROM $tb JOIN $ta ON k2 = k " +
+      s"WHERE w >= 0 AND seg = 'p' GROUP BY seg")
+    pinJoin(s"SELECT seg, count(*) AS n FROM $ta JOIN $tb " +
+      s"ON k = k2 AND w >= 0 GROUP BY seg")
+
+    // a different ON pair set never serves
+    val (mvHit, baseHit, _) = scans(s"SELECT seg, count(*) AS n FROM $ta " +
+      s"JOIN $tb ON k = w WHERE w >= 0 GROUP BY seg")
+    assert(!mvHit && baseHit, "a different join key must not serve from the MV")
+    // staleness on EITHER base blocks the rewrite until refresh
+    spark.sql(s"INSERT INTO $ta VALUES (2, 100)")
+    val (mvStale, baseStale, _) = scans(s"SELECT seg, count(*) AS n " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg")
+    assert(!mvStale && baseStale, "a stale join MV must never serve")
+    spark.sql("CALL graftcat.refresh_mv('jr.jm')")
+    pinJoin(s"SELECT seg, count(*) AS n FROM $ta JOIN $tb ON k = k2 " +
+      s"WHERE w >= 0 GROUP BY seg")
+  }
+
   test("the kill switch disables the rule entirely") {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
     try readsOnly(spark.sql(s"SELECT g, h, count(*) AS n FROM $base " +
