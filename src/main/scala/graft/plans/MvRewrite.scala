@@ -74,9 +74,19 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     session.conf.get("spark.graft.mv.rewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    // never fire while GraftMv.extract analyzes a CREATE MATERIALIZED
+    // VIEW body: a body matching an existing CURRENT view would be
+    // silently retargeted onto that view's backing table, and the new
+    // definition would record .mvdata as its base
+    if (!enabled || GraftMv.extracting.value) return plan
     plan.transformUpWithSubqueries {
-      case agg: Aggregate if agg.resolved => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate if agg.resolved =>
+        // opportunistic by contract: ANY failure while probing a
+        // candidate (a concurrent DROP deleting the backing mid-read,
+        // a torn def file) degrades to the base scan, never fails the
+        // user's query
+        try tryRewrite(agg).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
     }
   }
 
@@ -243,9 +253,12 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           d.groups.find(g => resolver(g.src, a.name)).getOrElse(bail()).stored
       case _ => bail()
     }
-    // residual conjuncts may reference grouped columns only: constant
-    // per backing row, so filtering whole rows is exact
-    if (!remaining.forall(_.references.forall(r => storedOf.contains(r.exprId))))
+    // residual conjuncts may reference grouped columns only (constant
+    // per backing row, so filtering whole rows is exact) and must be
+    // DETERMINISTIC — a rand() filter over backing rows would sample
+    // whole groups where the base plan samples individual rows
+    if (!remaining.forall(e => e.deterministic &&
+        e.references.forall(r => storedOf.contains(r.exprId))))
       bail()
 
     // ---- load the backing relation and map names to its attributes

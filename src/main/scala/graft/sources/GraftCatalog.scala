@@ -812,19 +812,31 @@ class GraftCatalog extends TableCatalog
 
   /** Every materialized view in this warehouse whose base is
     * `basePath`, with its parsed definition — the candidate set for
-    * the MV query rewrite ([[graft.plans.RewriteOntoMv]]). Driver-side
-    * walk of the namespace tree; a catalog without a warehouse has no
-    * MVs and answers instantly (the common non-DDL session). */
+    * the MV query rewrite ([[graft.plans.RewriteOntoMv]]). A catalog
+    * without a warehouse has no MVs and answers instantly (the common
+    * non-DDL session). The namespace-tree walk + JSON parses are
+    * cached per [[GraftMv.ddlEpoch]] — aggregates that match no MV pay
+    * ZERO filesystem I/O in steady state, instead of a warehouse walk
+    * per analyzed query. */
   private[graft] def mvsOnBase(basePath: String): Seq[(Identifier, GraftMv.MvDef)] = {
     if (warehouse.isEmpty) return Seq.empty
-    def walk(ns: Array[String]): Seq[Identifier] =
-      listMvs(ns).toSeq ++ listNamespaces(ns).flatMap(walk)
+    val epoch = GraftMv.ddlEpoch.get()
+    val cached = mvDefCache
+    val all =
+      if (cached != null && cached._1 == epoch) cached._2
+      else {
+        def walk(ns: Array[String]): Seq[Identifier] =
+          listMvs(ns).toSeq ++ listNamespaces(ns).flatMap(walk)
+        val fresh = listNamespaces().flatMap(walk).toSeq
+          .map(ident => ident -> GraftMv.read(mvDefFileOf(ident)))
+        mvDefCache = (epoch, fresh)
+        fresh
+      }
     val canonical = new java.io.File(basePath).getAbsolutePath
-    listNamespaces().flatMap(walk).toSeq.flatMap { ident =>
-      val d = GraftMv.read(mvDefFileOf(ident))
-      if (d.basePath == canonical) Some(ident -> d) else None
-    }
+    all.filter(_._2.basePath == canonical)
   }
+
+  @volatile private var mvDefCache: (Long, Seq[(Identifier, GraftMv.MvDef)]) = _
 
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),

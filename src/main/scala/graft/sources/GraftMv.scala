@@ -131,11 +131,20 @@ private[graft] object GraftMv {
 
   // ---- body validation + fold-plan extraction --------------------------
 
+  /** True while [[extract]] analyzes a CREATE MATERIALIZED VIEW body on
+    * this thread — [[graft.plans.RewriteOntoMv]] must not fire there
+    * (it would retarget a body matching an existing CURRENT view onto
+    * that view's backing table and poison the new definition). */
+  private[graft] val extracting = new scala.util.DynamicVariable(false)
+
   /** Analyze `bodySql` (unqualified names pinned to the CURRENT
     * catalog/namespace, the view-creation contract) and extract the
     * fold plan, refusing every non-incrementalizable shape with the
     * reason. */
-  def extract(session: SparkSession, bodySql: String): MvDef = {
+  def extract(session: SparkSession, bodySql: String): MvDef =
+    extracting.withValue(true) { extract0(session, bodySql) }
+
+  private def extract0(session: SparkSession, bodySql: String): MvDef = {
     val cm = session.sessionState.catalogManager
     val defCat = cm.currentCatalog.name()
     val defNs = cm.currentNamespace.toSeq
@@ -613,7 +622,15 @@ private[graft] object GraftMv {
 
   // ---- definition file --------------------------------------------------
 
+  /** Bumped on every definition write/drop in this JVM — the
+    * invalidation signal for the catalog's rewrite-candidate cache
+    * ([[GraftCatalog.mvsOnBase]]). A driver-side cache, like Spark's
+    * own catalog caches: DDL from ANOTHER process is picked up on this
+    * process's next DDL, not instantly. */
+  private[graft] val ddlEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def write(f: java.io.File, d: MvDef): Unit = {
+    ddlEpoch.incrementAndGet()
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("sql", d.sql)
@@ -732,6 +749,7 @@ private[graft] object GraftMv {
   }
 
   def drop(defFile: java.io.File, dataDir: java.io.File): Unit = {
+    ddlEpoch.incrementAndGet()
     // definition first: the MV disappears atomically, the data dir is
     // then unreachable garbage even if its removal is interrupted
     if (defFile.isFile && !defFile.delete())
@@ -877,7 +895,10 @@ private[graft] object GraftMv {
       finally GraftTxn.clear(backing)
     } finally views.foreach { v => session.catalog.dropTempView(v); () }
     write(defFile, d.copy(lastVersion = headA, lastVersion2 = headB))
-    (lastA + 1, headA)
+    // report a REAL range even for a b-side-only fold — from > to is
+    // reserved for "already current" and must never describe a refresh
+    // that MERGEd rows
+    if (headA > lastA) (lastA + 1, headA) else (lastB + 1, headB)
   }
 }
 

@@ -117,13 +117,34 @@ object TextIndex {
       .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      throw new java.io.IOException(s"cannot delete $f")
+  }
+
   /** Build the index at the base's current head. `base` must be a
-    * graft-jsondoc table carrying `(doc_id BIGINT, text STRING)`. */
+    * graft-jsondoc table carrying `(doc_id BIGINT, text STRING)` with
+    * doc_id UNIQUE — the index is keyed by it (the vec_id contract of
+    * the ANN index); duplicates refuse loudly here and at refresh. */
   def create(spark: SparkSession, cat: String, indexRoot: String,
       basePath: String, buckets: Int = 64): Unit = {
+    require(!defFile(indexRoot).isFile,
+      s"text index $indexRoot already exists — delete the index root to rebuild")
     new java.io.File(indexRoot).mkdirs()
     val postings = postingsPath(indexRoot)
+    // a crash between CREATE TABLE and the definition write leaves an
+    // orphan postings dir (no def => invisible); sweep it so re-CREATE
+    // starts clean (the GraftMv.create recipe)
+    if (new java.io.File(postings).isDirectory)
+      deleteRecursively(new java.io.File(postings))
     val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
+    val dup = spark.sql(s"SELECT doc_id FROM $cat.`$basePath` " +
+      "GROUP BY doc_id HAVING count(*) > 1 LIMIT 1").collect()
+    require(dup.isEmpty, s"text index: the base carries duplicate doc_id " +
+      s"${dup.headOption.map(_.get(0)).getOrElse("")} — the index is keyed " +
+      "by doc_id and requires it unique")
     spark.sql(s"CREATE TABLE $cat.`$postings` " +
       "(bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) " +
       "USING `graft-jsondoc` PARTITIONED BY (bucket) " +
@@ -164,6 +185,25 @@ object TextIndex {
         .select(col("doc_id"), col("text"),
           col("_change_type").as("act"), col("_commit_version").as("v"))
       import org.apache.spark.sql.expressions.Window
+      // the keyed contract holds per commit too: two surviving inserts
+      // of one doc_id in one commit would make "the final text" a
+      // coin flip — refuse loudly instead of indexing either
+      val dup = feed.where(col("act") === "insert")
+        .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty, s"text index: the refresh range inserts doc_id " +
+        s"${dup.headOption.map(_.get(0)).getOrElse("")} more than once in one " +
+        "commit — the index is keyed by doc_id and requires it unique")
+      // and across commits: a net of 2+ surviving rows for one doc_id
+      // means the base now duplicates the key (an append-to-existing
+      // without a delete is invisible to the feed and stays the
+      // caller's contract to keep)
+      val dup2 = feed.groupBy(col("doc_id"))
+        .agg(sum(when(col("act") === "insert", 1L).otherwise(-1L)).as("net"))
+        .where(col("net") > 1).limit(1).collect()
+      require(dup2.isEmpty, s"text index: the refresh range leaves doc_id " +
+        s"${dup2.headOption.map(_.get(0)).getOrElse("")} with multiple live " +
+        "rows — the index is keyed by doc_id and requires it unique")
       // final text per doc: latest commit wins, insert outranks delete
       // within one commit (the q206 replay rule)
       val newDocs = feed.withColumn("rn", row_number().over(

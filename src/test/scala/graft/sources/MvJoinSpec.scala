@@ -89,7 +89,10 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("a b-side-only range folds against A at its new head (group migration)") {
     spark.sql(s"UPDATE $b SET seg = 'p2' WHERE k2 = 1") // migrate the fan-out
     spark.sql(s"DELETE FROM $b WHERE k2 = 4") // vanish group q
-    spark.sql("CALL graftcat.refresh_mv('dbj.m')")
+    // a b-side-only fold must report a REAL range (from <= to) — the
+    // from > to sentinel is reserved for "already current" (r17 review)
+    val r = spark.sql("CALL graftcat.refresh_mv('dbj.m')").collect()(0)
+    assert(r.getLong(0) <= r.getLong(1), s"a b-side fold is not a no-op: $r")
     assertCurrent("A@new ⋈ ΔB must land the recompute")
     assert(sortedRows("SELECT seg FROM graftcat.dbj.m").flatten ===
       Seq("p", "p2", "z"))

@@ -244,6 +244,60 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"WHERE w >= 0 GROUP BY seg")
   }
 
+  test("a non-deterministic residual never rewrites (r17 review)") {
+    // rand() < 2 is always true, but over backing rows it would sample
+    // whole GROUPS where the base plan samples individual rows — the
+    // rule must not consider determinism-free residuals foldable
+    readsOnly(spark.sql(s"SELECT g, count(*) AS n FROM $base " +
+      s"WHERE y >= 0 AND rand() < 2 GROUP BY g"), wantBase = true)
+  }
+
+  test("CREATE MATERIALIZED VIEW is immune to its own rewrite (r17 review)") {
+    // graftcat.db.m is CURRENT here; an identical body must extract
+    // against the BASE, not get silently retargeted onto m's backing
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.db.m_twin AS " +
+      s"SELECT g, h, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax, min(x) AS mn, max(x) AS mx " +
+      s"FROM $base WHERE y >= 0 GROUP BY g, h")
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("db"), "m_twin")
+    val d = GraftMv.read(cat.mvDefFileOf(ident))
+    assert(d.basePath === basePath,
+      s"the twin's base must be the table, not a backing dir: ${d.basePath}")
+    // and it folds from the base like any view
+    spark.sql(s"INSERT INTO $base VALUES ('a', 'p', 7, 10)")
+    spark.sql("CALL graftcat.refresh_mv('db.m_twin')")
+    spark.sql("CALL graftcat.refresh_mv('db.m')")
+    assert(sortedRows(spark.sql("SELECT * FROM graftcat.db.m_twin")) ===
+      sortedRows(spark.sql("SELECT * FROM graftcat.db.m")))
+  }
+
+  test("a vanished backing table degrades to the base scan (r17 review)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.gone")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_gone").toString
+    val t = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $t (g STRING, x BIGINT) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t VALUES ('a', 1), ('b', 2)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.gone.mv AS " +
+      s"SELECT g, sum(x) AS sx FROM $t GROUP BY g")
+    // rip the backing out from under the def (a racing DROP's window)
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val dataDir = cat.mvDataDirOf(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("gone"), "mv"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(dataDir)
+    // the query must fall back to the base, not fail analysis
+    val df = spark.sql(s"SELECT g, sum(x) AS sx FROM $t GROUP BY g")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 1L), ("b", 2L)))
+  }
+
   test("the kill switch disables the rule entirely") {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
     try readsOnly(spark.sql(s"SELECT g, h, count(*) AS n FROM $base " +

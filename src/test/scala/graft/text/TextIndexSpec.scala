@@ -149,6 +149,58 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       inline(Seq("kappa", "lambda", "alpha"), 10))
   }
 
+  test("duplicate doc_ids refuse at create and at refresh (r17 review)") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft_ti_dup").toString
+    val t2 = s"$cat.`$r2/docs`"
+    spark.sql(s"CREATE TABLE $t2 (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'alpha'), (1, 'beta')")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.create_text_index('$r2/idx', '$r2/docs', 8)").collect()
+    }
+    assert(e1.getMessage.contains("duplicate doc_id"), e1.getMessage)
+    // a clean base indexes; a dup-introducing range then refuses
+    val r3 = java.nio.file.Files.createTempDirectory("graft_ti_dup2").toString
+    val t3 = s"$cat.`$r3/docs`"
+    spark.sql(s"CREATE TABLE $t3 (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, 'alpha')")
+    spark.sql(s"CALL $cat.create_text_index('$r3/idx', '$r3/docs', 8)").collect()
+    spark.sql(s"INSERT INTO $t3 VALUES (2, 'beta'), (2, 'gamma')")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.refresh_text_index('$r3/idx')").collect()
+    }
+    assert(e2.getMessage.contains("more than once in one commit"), e2.getMessage)
+    // cross-commit append-append of one key refuses too
+    val r4 = java.nio.file.Files.createTempDirectory("graft_ti_dup3").toString
+    val t4 = s"$cat.`$r4/docs`"
+    spark.sql(s"CREATE TABLE $t4 (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t4 VALUES (1, 'alpha')")
+    spark.sql(s"CALL $cat.create_text_index('$r4/idx', '$r4/docs', 8)").collect()
+    spark.sql(s"INSERT INTO $t4 VALUES (3, 'beta')")
+    spark.sql(s"INSERT INTO $t4 VALUES (3, 'gamma')")
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.refresh_text_index('$r4/idx')").collect()
+    }
+    assert(e3.getMessage.contains("multiple live rows"), e3.getMessage)
+  }
+
+  test("create sweeps a crash orphan and refuses an existing index (r17 review)") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft_ti_orphan").toString
+    val t2 = s"$cat.`$r2/docs`"
+    spark.sql(s"CREATE TABLE $t2 (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    spark.sql(s"INSERT INTO $t2 VALUES (1, 'alpha beta')")
+    spark.sql(s"CALL $cat.create_text_index('$r2/idx', '$r2/docs', 8)").collect()
+    // re-CALL on a live index refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.create_text_index('$r2/idx', '$r2/docs', 8)").collect()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // a crash orphan (postings dir, no def file) is swept by re-CREATE
+    assert(new java.io.File(s"$r2/idx/${TextIndex.DefName}").delete())
+    spark.sql(s"CALL $cat.create_text_index('$r2/idx', '$r2/docs', 8)").collect()
+    assert(spark.sql(s"CALL $cat.text_search('$r2/idx', 'alpha', 5)")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("state reports the fold watermark against the base head") {
     val (base, last, head) = TextIndex.stateOf(idx)
     assert(base === new java.io.File(s"$root/docs").getAbsolutePath)
