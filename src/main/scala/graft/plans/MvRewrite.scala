@@ -46,6 +46,17 @@ import graft.sources.{GraftCatalog, GraftMv, JsonDocVersions}
   *     view when BOTH fold watermarks sit at their bases' heads —
   *     non-pair ON conjuncts fold into the predicate match, since
   *     inner-join ON and WHERE are interchangeable.
+  *   - STALE views still serve EXACTLY (r17): when the watermark lags
+  *     the head by at most `spark.graft.mv.rewrite.maxStaleCommits`
+  *     (default 64), the plan unions the backing PINNED at its current
+  *     version with per-row signed contributions from the base's
+  *     change feed over (watermark@pinned, head] — precisely the
+  *     refresh fold, computed at query time in O(delta) with no base
+  *     re-scan; groups whose multiplicity nets to zero are filtered
+  *     out. The pin plus the ledger-at-that-version watermark (or the
+  *     immutable create-time watermark) make the pair race-free
+  *     against a refresh landing mid-planning. SUM/COUNT/AVG
+  *     derivations only — extrema cannot ride a delta with deletes.
   * All-NULL groups render exactly like the base plan (a SUM whose
   * non-null counter rolls up to 0 is NULL, never 0).
   *
@@ -122,13 +133,33 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     val cands = try cat.mvsOnBase(basePath) catch { case _: Exception => return None }
     if (cands.isEmpty) return None
     val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
+    val maxStale =
+      session.conf.get("spark.graft.mv.rewrite.maxStaleCommits", "64").toInt
     cands.iterator.flatMap { case (ident, d) =>
-      // join MVs never serve single-table scans; CURRENT views only:
-      // the fold watermark must be the published head, so the backing
-      // state IS the head snapshot's aggregate
-      if (d.join.isDefined ||
-          GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()) != head) None
-      else matchAndBuild(agg, userCond, rel.output, cat, ident, d)
+      // join MVs never serve single-table scans
+      if (d.join.isDefined) None
+      else {
+        val dataDir = cat.mvDataDirOf(ident)
+        val last = GraftMv.lastFolded(d, dataDir, ident.name())
+        if (last == head)
+          // CURRENT: the backing state IS the head snapshot's aggregate
+          matchAndBuild(agg, userCond, rel.output, cat, ident, d, stale = None)
+        else if (last < head && head - last <= maxStale) {
+          // STALE: serve backing@pinned ⊕ the signed feed of
+          // (watermark@pinned, head] — exactly the refresh fold,
+          // computed at query time without persisting it. The backing
+          // PIN plus the ledger-at-that-version watermark make the
+          // pair race-free against a refresh landing mid-query.
+          val bver = JsonDocVersions.latestVersion(dataDir.getAbsolutePath)
+            .getOrElse(0)
+          GraftMv.lastFoldedAt(d, dataDir, ident.name(), bver) match {
+            case Some(wm) if wm <= head =>
+              matchAndBuild(agg, userCond, rel.output, cat, ident, d,
+                stale = Some((wm, head, bver)))
+            case _ => None
+          }
+        } else None
+      }
     }.nextOption()
   }
 
@@ -214,14 +245,17 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
   private def matchAndBuild(agg: Aggregate, userCond: Option[Expression],
       outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      d: GraftMv.MvDef): Option[LogicalPlan] =
-    try Some(build(agg, userCond, outputs, cat, ident, d))
+      d: GraftMv.MvDef, stale: Option[(Int, Int, Int)] = None): Option[LogicalPlan] =
+    try Some(build(agg, userCond, outputs, cat, ident, d, stale))
     catch { case NoMatch => None }
 
+  /** `stale = Some((watermark, baseHead, backingVersion))` serves
+    * backing@backingVersion ⊕ the signed feed of (watermark, baseHead]
+    * — the refresh fold computed at query time. */
   private def build(agg: Aggregate, userCond: Option[Expression],
       outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      d: GraftMv.MvDef): LogicalPlan = {
+      d: GraftMv.MvDef, stale: Option[(Int, Int, Int)]): LogicalPlan = {
     // ---- predicate match: every MV conjunct must appear semantically
     // among the user's; leftovers must reference grouped columns only
     val mvConjs: Seq[Expression] = d.whereSql match {
@@ -261,15 +295,26 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
         e.references.forall(r => storedOf.contains(r.exprId))))
       bail()
 
-    // ---- load the backing relation and map names to its attributes
+    // ---- load the backing relation (pinned under stale serving) and
+    // map names to its attributes
     val backingPath = cat.mvDataDirOf(ident).getAbsolutePath
-    val backing = session.read.format("graft-jsondoc").option("path", backingPath)
-      .load().queryExecution.analyzed match {
-      case SubqueryAlias(_, c) => c
-      case other => other
+    val backing0: LogicalPlan = stale match {
+      case Some((_, _, bver)) => session.sql(
+        s"SELECT * FROM ${cat.name()}.`$backingPath` VERSION AS OF $bver")
+        .queryExecution.analyzed
+      case None => session.read.format("graft-jsondoc")
+        .option("path", backingPath).load().queryExecution.analyzed match {
+        case SubqueryAlias(_, c) => c
+        case other => other
+      }
+    }
+    val (srcPlan, unioned) = stale match {
+      case Some((wm, head, _)) if wm < head =>
+        (staleUnion(backing0, d, wm, head), true)
+      case _ => (backing0, false)
     }
     def bAttr(name: String): Attribute =
-      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+      srcPlan.output.find(a => resolver(a.name, name)).getOrElse(bail())
     def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
     def nnSum(spec: GraftMv.AggSpec): Expression =
       Coalesce(Seq(sumOf(bAttr(GraftMv.nnCol(spec.alias))), Literal(0L)))
@@ -308,12 +353,14 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           }
           case _ => None
         }
-        case m: Min => m.child match {
+        // extrema cannot ride the stale union (a deleted extremum needs
+        // a recompute, and the feed side carries no min/max state)
+        case m: Min if !unioned => m.child match {
           case a: AttributeReference => extremum("min", a.name)
             .map(spec => Min(bAttr(spec.alias)).toAggregateExpression())
           case _ => None
         }
-        case m: Max => m.child match {
+        case m: Max if !unioned => m.child match {
           case a: AttributeReference => extremum("max", a.name)
             .map(spec => Max(bAttr(spec.alias)).toAggregateExpression())
           case _ => None
@@ -340,17 +387,104 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
         bAttr(storedOf(a.exprId))
     })
     val filtered =
-      if (residual.isEmpty) backing
-      else Filter(residual.reduce(And), backing)
+      if (residual.isEmpty) srcPlan
+      else Filter(residual.reduce(And), srcPlan)
     val groups2: Seq[Expression] = agg.groupingExpressions.map {
       case a: AttributeReference => bAttr(storedOf(a.exprId))
       case _ => bail()
     }
-    val rewritten = Aggregate(groups2, outItems, filtered)
+    val rewritten: LogicalPlan =
+      if (!unioned) Aggregate(groups2, outItems, filtered)
+      else {
+        // group liveness: a group whose multiplicity nets to zero
+        // across backing ⊕ feed no longer exists and must not emit a
+        // row (a fresh backing encodes this by the row's absence)
+        val live = Alias(Coalesce(Seq(
+          Sum(bAttr(GraftMv.RowsCol)).toAggregateExpression(), Literal(0L))),
+          "__mv_live")()
+        val agg2 = Aggregate(groups2, outItems :+ live, filtered)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          outItems.map(_.toAttribute),
+          Filter(org.apache.spark.sql.catalyst.expressions.GreaterThan(
+            live.toAttribute, Literal(0L)), agg2))
+      }
     // the exactness gate of last resort: the substituted plan must
     // produce the original schema byte-for-byte
     if (rewritten.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
         agg.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
     rewritten
+  }
+
+  /** backing@pinned ⊕ signed per-row feed contributions of
+    * (watermark, head] — both sides projected onto the backing's
+    * column layout so every downstream state aggregation is a plain
+    * SUM over the union. Reads the feed's changed files only: serving
+    * a stale view costs O(delta), never a base re-scan. */
+  private def staleUnion(backing: LogicalPlan, d: GraftMv.MvDef,
+      wm: Int, head: Int): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNull, Multiply}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
+    val feed = session.read.format("graft-jsondoc")
+      .option("readChanges", "true")
+      .option("startingVersion", (wm + 1).toString)
+      .option("endingVersion", head.toString)
+      .option("path", d.basePath).load().queryExecution.analyzed
+    def fAttr(name: String): Attribute =
+      feed.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    // the view's WHERE gates feed rows exactly as it gated the fold
+    val filteredFeed = d.whereSql match {
+      case None => feed
+      case Some(w) =>
+        val parsed = try session.sessionState.sqlParser.parseExpression(w)
+          catch { case _: Exception => bail() }
+        val bound = parsed.transformUp {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            fAttr(u.nameParts.head)
+        }
+        if (!bound.resolved) bail()
+        Filter(bound, feed)
+    }
+    def battr(name: String): Attribute =
+      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    val sign: Expression = If(EqualTo(fAttr("_change_type"), Literal("insert")),
+      Literal(1L), Literal(-1L))
+    def feedCol(name: String): NamedExpression = {
+      val target = battr(name).dataType
+      val e: Expression =
+        d.groups.find(_.stored == name).map { g =>
+          val a = fAttr(g.src)
+          if (a.dataType == target) a else bail()
+        }.getOrElse {
+          if (name == GraftMv.RowsCol) sign
+          else d.aggs.find(a => a.alias == name) match {
+            case Some(spec) => spec.func match {
+              case "count_star" => sign
+              case "count" =>
+                If(IsNull(fAttr(spec.arg.get)), Literal(0L), sign)
+              case "sum" | "avg" =>
+                Multiply(Cast(sign, target),
+                  Coalesce(Seq(Cast(fAttr(spec.arg.get), target),
+                    Literal.default(target))))
+              case _ => Literal(null, target) // min/max state: never read
+            }
+            case None => // a non-null counter column
+              d.aggs.find(a => GraftMv.nnCol(a.alias) == name) match {
+                case Some(spec) =>
+                  If(IsNull(fAttr(spec.arg.get)), Literal(0L), sign)
+                case None => bail()
+              }
+          }
+        }
+      if (e.dataType != target) bail()
+      Alias(e, name)()
+    }
+    val order: Seq[String] = d.groups.map(_.stored) ++ d.aggs.map(_.alias) ++
+      Seq(GraftMv.RowsCol) ++ d.aggs.collect {
+        case a if a.func == "sum" || a.func == "avg" => GraftMv.nnCol(a.alias) }
+    val bProj = Project(order.map(battr), backing)
+    val fProj = Project(order.map(feedCol), filteredFeed)
+    if (bProj.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        fProj.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
+    Union(Seq(bProj, fProj))
   }
 }

@@ -105,10 +105,17 @@ private[graft] object GraftMv {
   final case class JoinSpec(basePath2: String, on: Seq[(String, String)],
       sides: Map[String, String])
 
+  /** `createdVersion` is the base version the initial fill
+    * materialized — IMMUTABLE after create, so a reader that pins the
+    * backing table at a version predating any ledger entry still knows
+    * the exact fold watermark of that snapshot (the stale-serving
+    * rewrite's race-free anchor). -1 on definitions written before the
+    * field existed. */
   final case class MvDef(sql: String, basePath: String,
       whereSql: Option[String], groups: Seq[GroupSpec], aggs: Seq[AggSpec],
       output: Seq[OutCol], lastVersion: Int,
-      join: Option[JoinSpec] = None, lastVersion2: Int = 0)
+      join: Option[JoinSpec] = None, lastVersion2: Int = 0,
+      createdVersion: Int = -1)
 
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
@@ -652,6 +659,7 @@ private[graft] object GraftMv {
       n.put("alias", o.alias); ()
     }
     root.put("lastVersion", d.lastVersion)
+    root.put("createdVersion", d.createdVersion)
     d.join.foreach { js =>
       val j = root.putObject("join")
       j.put("basePath2", js.basePath2)
@@ -699,7 +707,8 @@ private[graft] object GraftMv {
           Option(j.get("sides")).map(_.fields().asScala.map(e =>
             e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
       },
-      lastVersion2 = Option(root.get("lastVersion2")).map(_.asInt()).getOrElse(0))
+      lastVersion2 = Option(root.get("lastVersion2")).map(_.asInt()).getOrElse(0),
+      createdVersion = Option(root.get("createdVersion")).map(_.asInt()).getOrElse(-1))
   }
 
   // ---- lifecycle ----------------------------------------------------------
@@ -740,11 +749,12 @@ private[graft] object GraftMv {
         if (head > 0 && head2 > 0)
           session.sql(initialFillJoinSql(cat, d, dataDir.getAbsolutePath,
             head, head2))
-        write(defFile, d.copy(lastVersion = head, lastVersion2 = head2))
+        write(defFile, d.copy(lastVersion = head, lastVersion2 = head2,
+          createdVersion = head))
       case None =>
         if (head > 0)
           session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
-        write(defFile, d.copy(lastVersion = head))
+        write(defFile, d.copy(lastVersion = head, createdVersion = head))
     }
   }
 
@@ -767,6 +777,18 @@ private[graft] object GraftMv {
   /** The authoritative last-folded version: the backing manifest's
     * transaction ledger wins over the definition file (the file is a
     * cache that may lag one crash behind). */
+  /** The fold watermark AS OF backing-manifest `version` — what the
+    * pinned snapshot `backing VERSION AS OF version` holds: the
+    * ledger's entry at that version, or (when no refresh had committed
+    * by then) the create-time watermark. None for pre-createdVersion
+    * definitions, where the pinned watermark is unknowable — the
+    * stale-serving rewrite then simply never fires. */
+  def lastFoldedAt(d: MvDef, dataDir: java.io.File, name: String,
+      version: Int): Option[Int] =
+    JsonDocVersions.readTxns(dataDir.getAbsolutePath, version)
+      .get(appIdOf(name)).map(_.toInt)
+      .orElse(if (d.createdVersion >= 0) Some(d.createdVersion) else None)
+
   def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int = {
     // a join MV's ledger value encodes BOTH watermarks — reading it as
     // one version would be garbage; callers must use lastFoldedPair

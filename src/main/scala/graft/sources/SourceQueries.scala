@@ -1739,6 +1739,63 @@ object SourceQueries {
       "avg(cents) AS a FROM o JOIN c ON o_custkey = c_custkey WHERE cents > 0 " +
       "GROUP BY c_mktsegment ORDER BY c_mktsegment"
 
+  /** q237: STALE-VIEW SERVING (r17, [[graft.plans.RewriteOntoMv]]'s
+    * lambda fold): the base takes an append AND a MOR delete AFTER the
+    * view's last fold, nobody calls refresh — and the user's rollup is
+    * still answered EXACTLY as backing@pinned ⊕ the signed change feed
+    * of (watermark, head], the refresh fold computed at query time in
+    * O(delta) (in-flow require: the plan reads the `.mvdata` backing
+    * plus a changes relation and never the base itself). At 100 TB
+    * this removes the refresh scheduler from the freshness contract:
+    * a dashboard reads exact numbers at any staleness for the cost of
+    * the unfolded commits. Oracle: the from-scratch aggregate over the
+    * final state. */
+  def q237MvStaleServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q237")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val path = new java.io.File(s"$root/t").getAbsolutePath
+      val tbl = s"graftcat.`$path`"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(tbl).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.stale_rev AS " +
+        s"SELECT o_orderstatus, o_custkey, count(*) AS n, sum(cents) AS s " +
+        s"FROM $tbl WHERE o_orderkey % 10 <> 7 GROUP BY o_orderstatus, o_custkey")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(tbl).append() // v2
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 5 = 2") // v3 — NO refresh
+      val out = spark.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS s, avg(cents) AS a FROM $tbl " +
+        "WHERE o_orderkey % 10 <> 7 GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      val rels = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table match {
+            case j: JsonDocTable =>
+              if (j.tablePath.endsWith(".mvdata")) "backing"
+              else if (j.tablePath == path) "base" else "other"
+            case t if t.getClass.getSimpleName.contains("Changes") => "feed"
+            case _ => "other"
+          }
+      }
+      require(rels.contains("backing") && rels.contains("feed") &&
+        !rels.contains("base"),
+        s"q237: stale serving must read backing + feed, never the base: $rels")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q237Sql: String =
+    "WITH t AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS cents FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey % 10 <> 7) " +
+      "SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
+      "avg(cents) AS a FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -1846,6 +1903,7 @@ object SourceQueries {
     "q232_mv_rewrite" -> q232MvRewrite _,
     "q235_mv_join" -> q235MvJoin _,
     "q236_mv_join_rewrite" -> q236MvJoinRewrite _,
+    "q237_mv_stale_serve" -> q237MvStaleServe _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1872,6 +1930,7 @@ object SourceQueries {
     "q232_mv_rewrite" -> q232Sql,
     "q235_mv_join" -> q235Sql,
     "q236_mv_join_rewrite" -> q236Sql,
+    "q237_mv_stale_serve" -> q237Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

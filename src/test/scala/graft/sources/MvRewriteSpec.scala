@@ -121,12 +121,57 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"GROUP BY g HAVING count(*) > 1")
   }
 
-  test("a stale view never serves; a refreshed one serves again") {
-    spark.sql(s"INSERT INTO $base VALUES ('a', 'p', 1000, 9)")
-    val sql = s"SELECT g, sum(x) AS sx FROM $base WHERE y >= 0 GROUP BY g"
-    readsOnly(spark.sql(sql), wantBase = true)
+  private def relKinds(df: DataFrame): (Boolean, Boolean, Boolean) = {
+    var backing = false; var baseScan = false; var feed = false
+    df.queryExecution.analyzed.foreach {
+      case r: DataSourceV2Relation => r.table match {
+        case j: JsonDocTable =>
+          if (j.tablePath.endsWith(".mvdata")) backing = true
+          else if (j.tablePath == basePath) baseScan = true
+        case t if t.getClass.getSimpleName.contains("Changes") => feed = true
+        case _ =>
+      }
+      case _ =>
+    }
+    (backing, baseScan, feed)
+  }
+
+  test("a STALE view serves exactly: backing ⊕ feed, O(delta), no base scan") {
+    // a delta with inserts, a DELETE (signed fold), a vanished group
+    // ('z' loses both rows) and a NEW group born while stale
+    spark.sql(s"INSERT INTO $base VALUES ('a', 'p', 1000, 9), ('new', 'p', 5, 1)")
+    spark.sql(s"DELETE FROM $base WHERE g = 'z'")
+    val sql = s"SELECT g, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax FROM $base WHERE y >= 0 GROUP BY g"
+    val on = spark.sql(sql)
+    val (bk, bs, fd) = relKinds(on)
+    assert(bk && fd && !bs,
+      s"stale serving must read backing + feed, never the base (bk=$bk bs=$bs fd=$fd)")
+    val got = sortedRows(on)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(got === sortedRows(spark.sql(sql)),
+      "stale serving changed the answer")
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    // the vanished group nets to zero multiplicity and emits no row
+    assert(!got.exists(_.head == "z"), s"vanished group leaked: $got")
+    assert(got.exists(_.head == "new"), s"the stale-born group is missing: $got")
+
+    // extrema cannot ride the delta: a min/max ASK falls back to the base
+    readsOnly(spark.sql(s"SELECT g, min(x) AS mn FROM $base WHERE y >= 0 " +
+      s"GROUP BY g"), wantBase = true)
+    // the staleness budget is a hard gate
+    spark.conf.set("spark.graft.mv.rewrite.maxStaleCommits", "0")
+    try readsOnly(spark.sql(sql), wantBase = true)
+    finally spark.conf.unset("spark.graft.mv.rewrite.maxStaleCommits")
+
+    // refreshed: back to the backing alone (no feed relation)
     spark.sql("CALL graftcat.refresh_mv('db.m')")
-    pinRewritten(sql)
+    val after = spark.sql(sql)
+    val (bk2, bs2, fd2) = relKinds(after)
+    assert(bk2 && !bs2 && !fd2, s"a current view serves from backing only " +
+      s"(bk=$bk2 bs=$bs2 fd=$fd2)")
+    assert(sortedRows(after) === got,
+      "refresh must not change what stale serving already answered")
   }
 
   test("shapes the state cannot derive read the base") {
