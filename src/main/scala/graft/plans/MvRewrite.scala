@@ -101,6 +101,14 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** How to source the backing state: current (unpinned backing) or
+    * stale (pinned backing + query-time feed fold). */
+  private sealed trait StaleSpec { def backingVer: Int }
+  private case class StaleSingle(wm: Int, head: Int, backingVer: Int)
+    extends StaleSpec
+  private case class StaleJoin(wmA: Int, wmB: Int, headA: Int, headB: Int,
+      backingVer: Int) extends StaleSpec
+
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => stripAlias(c)
     case other => other
@@ -155,7 +163,7 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           GraftMv.lastFoldedAt(d, dataDir, ident.name(), bver) match {
             case Some(wm) if wm <= head =>
               matchAndBuild(agg, userCond, rel.output, cat, ident, d,
-                stale = Some((wm, head, bver)))
+                stale = Some(StaleSingle(wm, head, bver)))
             case _ => None
           }
         } else None
@@ -215,13 +223,29 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           pairsMatch(js.on, pairs.toSeq.map(_.swap)))
       }
     } catch { case _: Exception => return None }
+    val maxStale =
+      session.conf.get("spark.graft.mv.rewrite.maxStaleCommits", "64").toInt
     cands.iterator.flatMap { case (ident, d) =>
       val js = d.join.get
-      val heads = (JsonDocVersions.latestVersion(d.basePath).getOrElse(0),
-        JsonDocVersions.latestVersion(js.basePath2).getOrElse(0))
-      if (GraftMv.lastFoldedPair(d, cat.mvDataDirOf(ident), ident.name()) != heads)
-        None
-      else matchAndBuild(agg, fullCond, outputs, cat, ident, d)
+      val dataDir = cat.mvDataDirOf(ident)
+      val headA = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
+      val headB = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
+      val (lastA, lastB) = GraftMv.lastFoldedPair(d, dataDir, ident.name())
+      if ((lastA, lastB) == (headA, headB))
+        matchAndBuild(agg, fullCond, outputs, cat, ident, d, stale = None)
+      else if (lastA <= headA && lastB <= headB &&
+          (headA - lastA) + (headB - lastB) <= maxStale) {
+        // STALE join view: backing@pinned plus the two-term query-time
+        // fold, watermark pair read from the ledger AT the pin
+        val bver = JsonDocVersions.latestVersion(dataDir.getAbsolutePath)
+          .getOrElse(0)
+        GraftMv.lastFoldedPairAt(d, dataDir, ident.name(), bver) match {
+          case Some((wmA, wmB)) if wmA <= headA && wmB <= headB =>
+            matchAndBuild(agg, fullCond, outputs, cat, ident, d,
+              stale = Some(StaleJoin(wmA, wmB, headA, headB, bver)))
+          case _ => None
+        }
+      } else None
     }.nextOption()
   }
 
@@ -245,17 +269,17 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
   private def matchAndBuild(agg: Aggregate, userCond: Option[Expression],
       outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      d: GraftMv.MvDef, stale: Option[(Int, Int, Int)] = None): Option[LogicalPlan] =
+      d: GraftMv.MvDef, stale: Option[StaleSpec] = None): Option[LogicalPlan] =
     try Some(build(agg, userCond, outputs, cat, ident, d, stale))
     catch { case NoMatch => None }
 
-  /** `stale = Some((watermark, baseHead, backingVersion))` serves
-    * backing@backingVersion ⊕ the signed feed of (watermark, baseHead]
-    * — the refresh fold computed at query time. */
+  /** A `stale` spec serves backing@backingVer plus the signed feed
+    * fold(s) of (watermark, head] — the refresh computed at query
+    * time. */
   private def build(agg: Aggregate, userCond: Option[Expression],
       outputs: Seq[Attribute], cat: GraftCatalog,
       ident: org.apache.spark.sql.connector.catalog.Identifier,
-      d: GraftMv.MvDef, stale: Option[(Int, Int, Int)]): LogicalPlan = {
+      d: GraftMv.MvDef, stale: Option[StaleSpec]): LogicalPlan = {
     // ---- predicate match: every MV conjunct must appear semantically
     // among the user's; leftovers must reference grouped columns only
     val mvConjs: Seq[Expression] = d.whereSql match {
@@ -299,8 +323,8 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     // map names to its attributes
     val backingPath = cat.mvDataDirOf(ident).getAbsolutePath
     val backing0: LogicalPlan = stale match {
-      case Some((_, _, bver)) => session.sql(
-        s"SELECT * FROM ${cat.name()}.`$backingPath` VERSION AS OF $bver")
+      case Some(sp) => session.sql(
+        s"SELECT * FROM ${cat.name()}.`$backingPath` VERSION AS OF ${sp.backingVer}")
         .queryExecution.analyzed
       case None => session.read.format("graft-jsondoc")
         .option("path", backingPath).load().queryExecution.analyzed match {
@@ -309,8 +333,11 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       }
     }
     val (srcPlan, unioned) = stale match {
-      case Some((wm, head, _)) if wm < head =>
+      case Some(StaleSingle(wm, head, _)) if wm < head =>
         (staleUnion(backing0, d, wm, head), true)
+      case Some(StaleJoin(wmA, wmB, headA, headB, _))
+          if wmA < headA || wmB < headB =>
+        (staleJoinUnion(backing0, d, cat.name(), wmA, wmB, headA, headB), true)
       case _ => (backing0, false)
     }
     def bAttr(name: String): Attribute =
@@ -420,39 +447,19 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     * column layout so every downstream state aggregation is a plain
     * SUM over the union. Reads the feed's changed files only: serving
     * a stale view costs O(delta), never a base re-scan. */
-  private def staleUnion(backing: LogicalPlan, d: GraftMv.MvDef,
-      wm: Int, head: Int): LogicalPlan = {
+  /** One delta term's per-row signed contributions, projected onto the
+    * backing's column layout (`order`). `dataAttr` resolves a base data
+    * column within the term (side-aware for join terms); `sign` is ±1
+    * from the term's feed side. */
+  private def contribProject(d: GraftMv.MvDef, order: Seq[String],
+      battr: String => Attribute, dataAttr: String => Attribute,
+      sign: Expression, child: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{IsNull, Multiply}
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
-    val feed = session.read.format("graft-jsondoc")
-      .option("readChanges", "true")
-      .option("startingVersion", (wm + 1).toString)
-      .option("endingVersion", head.toString)
-      .option("path", d.basePath).load().queryExecution.analyzed
-    def fAttr(name: String): Attribute =
-      feed.output.find(a => resolver(a.name, name)).getOrElse(bail())
-    // the view's WHERE gates feed rows exactly as it gated the fold
-    val filteredFeed = d.whereSql match {
-      case None => feed
-      case Some(w) =>
-        val parsed = try session.sessionState.sqlParser.parseExpression(w)
-          catch { case _: Exception => bail() }
-        val bound = parsed.transformUp {
-          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-            fAttr(u.nameParts.head)
-        }
-        if (!bound.resolved) bail()
-        Filter(bound, feed)
-    }
-    def battr(name: String): Attribute =
-      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
-    val sign: Expression = If(EqualTo(fAttr("_change_type"), Literal("insert")),
-      Literal(1L), Literal(-1L))
-    def feedCol(name: String): NamedExpression = {
+    def colOf(name: String): NamedExpression = {
       val target = battr(name).dataType
       val e: Expression =
         d.groups.find(_.stored == name).map { g =>
-          val a = fAttr(g.src)
+          val a = dataAttr(g.src)
           if (a.dataType == target) a else bail()
         }.getOrElse {
           if (name == GraftMv.RowsCol) sign
@@ -460,17 +467,17 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
             case Some(spec) => spec.func match {
               case "count_star" => sign
               case "count" =>
-                If(IsNull(fAttr(spec.arg.get)), Literal(0L), sign)
+                If(IsNull(dataAttr(spec.arg.get)), Literal(0L), sign)
               case "sum" | "avg" =>
                 Multiply(Cast(sign, target),
-                  Coalesce(Seq(Cast(fAttr(spec.arg.get), target),
+                  Coalesce(Seq(Cast(dataAttr(spec.arg.get), target),
                     Literal.default(target))))
               case _ => Literal(null, target) // min/max state: never read
             }
             case None => // a non-null counter column
               d.aggs.find(a => GraftMv.nnCol(a.alias) == name) match {
                 case Some(spec) =>
-                  If(IsNull(fAttr(spec.arg.get)), Literal(0L), sign)
+                  If(IsNull(dataAttr(spec.arg.get)), Literal(0L), sign)
                 case None => bail()
               }
           }
@@ -478,13 +485,110 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       if (e.dataType != target) bail()
       Alias(e, name)()
     }
-    val order: Seq[String] = d.groups.map(_.stored) ++ d.aggs.map(_.alias) ++
+    org.apache.spark.sql.catalyst.plans.logical.Project(order.map(colOf), child)
+  }
+
+  /** The view's WHERE bound over a term's attributes (it gates delta
+    * rows exactly as it gated the fold). */
+  private def boundWhere(d: GraftMv.MvDef,
+      attrOf: String => Attribute): Option[Expression] =
+    d.whereSql.map { w =>
+      val parsed = try session.sessionState.sqlParser.parseExpression(w)
+        catch { case _: Exception => bail() }
+      val bound = parsed.transformUp {
+        case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+          attrOf(u.nameParts.head)
+      }
+      if (!bound.resolved) bail()
+      bound
+    }
+
+  private def feedOf(path: String, from: Int, to: Int): LogicalPlan =
+    session.read.format("graft-jsondoc")
+      .option("readChanges", "true")
+      .option("startingVersion", from.toString)
+      .option("endingVersion", to.toString)
+      .option("path", path).load().queryExecution.analyzed
+
+  private def signOf(changeType: Attribute): Expression =
+    If(EqualTo(changeType, Literal("insert")), Literal(1L), Literal(-1L))
+
+  private def stateOrder(d: GraftMv.MvDef): Seq[String] =
+    d.groups.map(_.stored) ++ d.aggs.map(_.alias) ++
       Seq(GraftMv.RowsCol) ++ d.aggs.collect {
         case a if a.func == "sum" || a.func == "avg" => GraftMv.nnCol(a.alias) }
-    val bProj = Project(order.map(battr), backing)
-    val fProj = Project(order.map(feedCol), filteredFeed)
-    if (bProj.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
-        fProj.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
-    Union(Seq(bProj, fProj))
+
+  private def unionChecked(parts: Seq[LogicalPlan]): LogicalPlan = {
+    val shape = parts.head.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (!parts.forall(_.schema.fields.map(f => (f.name, f.dataType)).toSeq == shape))
+      bail()
+    if (parts.length == 1) parts.head
+    else org.apache.spark.sql.catalyst.plans.logical.Union(parts)
+  }
+
+  private def staleUnion(backing: LogicalPlan, d: GraftMv.MvDef,
+      wm: Int, head: Int): LogicalPlan = {
+    val feed = feedOf(d.basePath, wm + 1, head)
+    def fAttr(name: String): Attribute =
+      feed.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    val filteredFeed = boundWhere(d, fAttr).map(Filter(_, feed)).getOrElse(feed)
+    def battr(name: String): Attribute =
+      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    val order = stateOrder(d)
+    unionChecked(Seq(
+      org.apache.spark.sql.catalyst.plans.logical.Project(order.map(battr), backing),
+      contribProject(d, order, battr, fAttr, signOf(fAttr("_change_type")),
+        filteredFeed)))
+  }
+
+  /** The join form: backing@pinned ⊕ [ΔA ⋈ B@wmB] ⊕ [A@headA ⋈ ΔB] —
+    * the two-term refresh identity computed at query time. Each term
+    * joins a commit-sized delta against a pinned snapshot and projects
+    * per-row signed contributions; the sign comes from the term's feed
+    * side. */
+  private def staleJoinUnion(backing: LogicalPlan, d: GraftMv.MvDef,
+      catName: String, wmA: Int, wmB: Int, headA: Int, headB: Int): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val js = d.join.get
+    def battr(name: String): Attribute =
+      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    def pinned(path: String, v: Int): LogicalPlan = session.sql(
+      s"SELECT * FROM $catName.`$path` VERSION AS OF $v")
+      .queryExecution.analyzed
+    val order = stateOrder(d)
+    def term(aPlan: LogicalPlan, bPlan: LogicalPlan,
+        signSide: LogicalPlan): LogicalPlan = {
+      def one(out: Seq[Attribute], name: String): Option[Attribute] =
+        out.filter(a => resolver(a.name, name)) match {
+          case Seq(x) => Some(x); case _ => None
+        }
+      val cond = js.on.map { case (ac, bc) =>
+        EqualTo(one(aPlan.output, ac).getOrElse(bail()),
+          one(bPlan.output, bc).getOrElse(bail())): Expression
+      }.reduce(And)
+      val joined = Join(aPlan, bPlan,
+        org.apache.spark.sql.catalyst.plans.Inner, Some(cond),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      // side-aware data-column resolution via the def's sides map
+      def dataAttr(name: String): Attribute = js.sides.get(name) match {
+        case Some("a") => one(aPlan.output, name).getOrElse(bail())
+        case Some("b") => one(bPlan.output, name).getOrElse(bail())
+        case _ => bail()
+      }
+      val filtered = boundWhere(d, dataAttr).map(Filter(_, joined)).getOrElse(joined)
+      val sign = signOf(one(signSide.output, "_change_type").getOrElse(bail()))
+      contribProject(d, order, battr, dataAttr, sign, filtered)
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[LogicalPlan](
+      org.apache.spark.sql.catalyst.plans.logical.Project(order.map(battr), backing))
+    if (headA > wmA && wmB > 0) {
+      val fa = feedOf(d.basePath, wmA + 1, headA)
+      parts += term(fa, pinned(js.basePath2, wmB), fa)
+    }
+    if (headB > wmB && headA > 0) {
+      val fb = feedOf(js.basePath2, wmB + 1, headB)
+      parts += term(pinned(d.basePath, headA), fb, fb)
+    }
+    unionChecked(parts.toSeq)
   }
 }

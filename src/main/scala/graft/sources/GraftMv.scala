@@ -115,7 +115,7 @@ private[graft] object GraftMv {
       whereSql: Option[String], groups: Seq[GroupSpec], aggs: Seq[AggSpec],
       output: Seq[OutCol], lastVersion: Int,
       join: Option[JoinSpec] = None, lastVersion2: Int = 0,
-      createdVersion: Int = -1)
+      createdVersion: Int = -1, createdVersion2: Int = -1)
 
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
@@ -660,6 +660,7 @@ private[graft] object GraftMv {
     }
     root.put("lastVersion", d.lastVersion)
     root.put("createdVersion", d.createdVersion)
+    root.put("createdVersion2", d.createdVersion2)
     d.join.foreach { js =>
       val j = root.putObject("join")
       j.put("basePath2", js.basePath2)
@@ -708,7 +709,8 @@ private[graft] object GraftMv {
             e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
       },
       lastVersion2 = Option(root.get("lastVersion2")).map(_.asInt()).getOrElse(0),
-      createdVersion = Option(root.get("createdVersion")).map(_.asInt()).getOrElse(-1))
+      createdVersion = Option(root.get("createdVersion")).map(_.asInt()).getOrElse(-1),
+      createdVersion2 = Option(root.get("createdVersion2")).map(_.asInt()).getOrElse(-1))
   }
 
   // ---- lifecycle ----------------------------------------------------------
@@ -750,7 +752,7 @@ private[graft] object GraftMv {
           session.sql(initialFillJoinSql(cat, d, dataDir.getAbsolutePath,
             head, head2))
         write(defFile, d.copy(lastVersion = head, lastVersion2 = head2,
-          createdVersion = head))
+          createdVersion = head, createdVersion2 = head2))
       case None =>
         if (head > 0)
           session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
@@ -788,6 +790,17 @@ private[graft] object GraftMv {
     JsonDocVersions.readTxns(dataDir.getAbsolutePath, version)
       .get(appIdOf(name)).map(_.toInt)
       .orElse(if (d.createdVersion >= 0) Some(d.createdVersion) else None)
+
+  /** The JOIN form of [[lastFoldedAt]]: both watermarks of the pinned
+    * backing snapshot, decoding the encoded ledger value or falling
+    * back to the immutable create-time pair. */
+  def lastFoldedPairAt(d: MvDef, dataDir: java.io.File, name: String,
+      version: Int): Option[(Int, Int)] =
+    JsonDocVersions.readTxns(dataDir.getAbsolutePath, version)
+      .get(appIdOf(name))
+      .map(v => (((v >> 31) & 0x3fffffffL).toInt, (v & 0x7fffffffL).toInt))
+      .orElse(if (d.createdVersion >= 0 && d.createdVersion2 >= 0)
+        Some((d.createdVersion, d.createdVersion2)) else None)
 
   def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int = {
     // a join MV's ledger value encodes BOTH watermarks — reading it as

@@ -1790,6 +1790,74 @@ object SourceQueries {
     } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
   }
 
+  /** q238: STALE JOIN-VIEW SERVING (r17 — the two-term query-time
+    * fold): after DML on BOTH bases with no refresh, the user's join
+    * aggregate is answered as backing@pinned ⊕ [ΔA ⋈ B@wmB] ⊕
+    * [A@headA ⋈ ΔB] — the refresh identity computed per query
+    * (in-flow require: backing + TWO change feeds, no unpinned base
+    * scan). Oracle: the from-scratch join aggregate over the final
+    * state. */
+  def q238MvJoinStale(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q238")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val oPath = new java.io.File(s"$root/o").getAbsolutePath
+      val cPath = new java.io.File(s"$root/c").getAbsolutePath
+      val o = s"graftcat.`$oPath`"
+      val c = s"graftcat.`$cPath`"
+      spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_mktsegment STRING) " +
+        "USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(o).append() // v1
+      customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo(c).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.stale_seg AS " +
+        s"SELECT c_mktsegment, count(*) AS n, sum(cents) AS s " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey WHERE cents > 0 " +
+        "GROUP BY c_mktsegment")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(o).append() // o v2
+      spark.sql(s"DELETE FROM $o WHERE o_orderkey % 5 = 2") // o v3
+      spark.sql(s"UPDATE $c SET c_mktsegment = 'GRAFT' WHERE c_custkey % 4 = 1") // c v2
+      val out = spark.sql(s"SELECT c_mktsegment, count(*) AS n, " +
+        s"sum(cents) AS s, avg(cents) AS a " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey WHERE cents > 0 " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      var backing = false; var unpinnedBase = false; var feeds = 0
+      out.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table match {
+            case j: JsonDocTable =>
+              if (j.tablePath.endsWith(".mvdata")) backing = true
+              else if (j.pinned.isEmpty &&
+                  (j.tablePath == oPath || j.tablePath == cPath)) unpinnedBase = true
+            case t if t.getClass.getSimpleName.contains("Changes") => feeds += 1
+            case _ =>
+          }
+        case _ =>
+      }
+      require(backing && feeds == 2 && !unpinnedBase,
+        s"q238: stale join serving must read backing + two feeds, no unpinned " +
+          s"base (backing=$backing feeds=$feeds unpinned=$unpinnedBase)")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q238Sql: String =
+    "WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS cents FROM orders WHERE o_orderkey % 5 <> 2), " +
+      "c AS (SELECT c_custkey, CASE WHEN c_custkey % 4 = 1 THEN 'GRAFT' " +
+      "ELSE c_mktsegment END AS c_mktsegment FROM customer) " +
+      "SELECT c_mktsegment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
+      "avg(cents) AS a FROM o JOIN c ON o_custkey = c_custkey WHERE cents > 0 " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   val q237Sql: String =
     "WITH t AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
       "AS cents FROM orders WHERE o_orderkey % 5 <> 2 AND o_orderkey % 10 <> 7) " +
@@ -1904,6 +1972,7 @@ object SourceQueries {
     "q235_mv_join" -> q235MvJoin _,
     "q236_mv_join_rewrite" -> q236MvJoinRewrite _,
     "q237_mv_stale_serve" -> q237MvStaleServe _,
+    "q238_mv_join_stale" -> q238MvJoinStale _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -1931,6 +2000,7 @@ object SourceQueries {
     "q235_mv_join" -> q235Sql,
     "q236_mv_join_rewrite" -> q236Sql,
     "q237_mv_stale_serve" -> q237Sql,
+    "q238_mv_join_stale" -> q238Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

@@ -279,14 +279,84 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (mvHit, baseHit, _) = scans(s"SELECT seg, count(*) AS n FROM $ta " +
       s"JOIN $tb ON k = w WHERE w >= 0 GROUP BY seg")
     assert(!mvHit && baseHit, "a different join key must not serve from the MV")
-    // staleness on EITHER base blocks the rewrite until refresh
+    // staleness on a base switches to stale serving (backing + feed
+    // terms — the full pins live in the stale-join test), still exact
     spark.sql(s"INSERT INTO $ta VALUES (2, 100)")
-    val (mvStale, baseStale, _) = scans(s"SELECT seg, count(*) AS n " +
-      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg")
-    assert(!mvStale && baseStale, "a stale join MV must never serve")
+    val staleSql = s"SELECT seg, count(*) AS n " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg"
+    val (mvStale, _, gotStale) = scans(staleSql)
+    assert(mvStale, "a stale join MV within budget must serve")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(gotStale === scans(staleSql)._3,
+      "stale join serving changed the answer")
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
     spark.sql("CALL graftcat.refresh_mv('jr.jm')")
     pinJoin(s"SELECT seg, count(*) AS n FROM $ta JOIN $tb ON k = k2 " +
       s"WHERE w >= 0 GROUP BY seg")
+  }
+
+  test("a STALE join view serves exactly: backing ⊕ two pinned-snapshot feed terms") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.jrs")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_js").toString
+    val aPath = new java.io.File(s"$root/a").getAbsolutePath
+    val bPath = new java.io.File(s"$root/b").getAbsolutePath
+    val ta = s"graftcat.`$aPath`"
+    val tb = s"graftcat.`$bPath`"
+    spark.sql(s"CREATE TABLE $ta (k BIGINT, x BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $tb (k2 BIGINT, seg STRING, w BIGINT) " +
+      "USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $ta VALUES (1, 10), (1, 20), (2, 5), (3, 30)")
+    spark.sql(s"INSERT INTO $tb VALUES (1, 'p', 1), (2, 'q', 2), (3, 'r', -1)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.jrs.jm AS " +
+      s"SELECT seg, count(*) AS n, sum(x) AS sx, avg(x) AS ax " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg")
+    // stale on BOTH sides: ΔA has an insert + a fan-out delete, ΔB
+    // migrates a group; nobody refreshes
+    spark.sql(s"INSERT INTO $ta VALUES (2, 7), (9, 90)") // 9 unmatched yet
+    spark.sql(s"DELETE FROM $ta WHERE x = 10")
+    spark.sql(s"UPDATE $tb SET seg = 'q2' WHERE k2 = 2")
+    spark.sql(s"INSERT INTO $tb VALUES (9, 'z', 9)") // matches ΔA's new key
+    val sql = s"SELECT seg, count(*) AS n, sum(x) AS sx, avg(x) AS ax " +
+      s"FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg"
+    def kinds(df: DataFrame): (Boolean, Boolean, Int) = {
+      var backing = false; var unpinnedBase = false; var feeds = 0
+      df.queryExecution.analyzed.foreach {
+        case r: DataSourceV2Relation => r.table match {
+          case j: JsonDocTable =>
+            if (j.tablePath.endsWith(".mvdata")) backing = true
+            else if (j.pinned.isEmpty &&
+                (j.tablePath == aPath || j.tablePath == bPath)) unpinnedBase = true
+          case t if t.getClass.getSimpleName.contains("Changes") => feeds += 1
+          case _ =>
+        }
+        case _ =>
+      }
+      (backing, unpinnedBase, feeds)
+    }
+    val on = spark.sql(sql)
+    val (bk, ub, fd) = kinds(on)
+    assert(bk && fd == 2 && !ub,
+      s"stale join serving must read backing + two feeds and no unpinned " +
+        s"base (bk=$bk unpinned=$ub feeds=$fd)")
+    val got = sortedRows(on)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(got === sortedRows(spark.sql(sql)),
+      "stale join serving changed the answer")
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    // the cross-delta pair (9, 'z') must count exactly once
+    assert(got.count(_.head == "z") === 1 &&
+      got.find(_.head == "z").get(1) === 1L, s"cross-delta pair wrong: $got")
+    // and the migrated group moved
+    assert(got.exists(_.head == "q2") && !got.exists(_.head == "q"), s"$got")
+    // refresh returns it to backing-only serving with the same answer
+    spark.sql("CALL graftcat.refresh_mv('jrs.jm')")
+    val after = spark.sql(sql)
+    val (bk2, ub2, fd2) = kinds(after)
+    assert(bk2 && !ub2 && fd2 == 0, s"current join view serves from backing " +
+      s"only (bk=$bk2 unpinned=$ub2 feeds=$fd2)")
+    assert(sortedRows(after) === got)
   }
 
   test("a non-deterministic residual never rewrites (r17 review)") {
