@@ -60,14 +60,13 @@ import graft.sources.{GraftCatalog, GraftMv, JsonDocVersions}
   * All-NULL groups render exactly like the base plan (a SUM whose
   * non-null counter rolls up to 0 is NULL, never 0).
   *
-  * EXACTNESS GATE: the rewrite fires only when the view is CURRENT
-  * (fold watermark == the base's published head at planning time — the
-  * result is then the same snapshot a direct scan planned at the same
-  * instant would read), only when every user conjunct is either
-  * semantically one of the view's conjuncts or a group-column residual,
-  * and only when every output's type matches the original plan's
-  * byte-for-byte; any mismatch leaves the plan untouched. Stale views
-  * never serve. `SET spark.graft.mv.rewrite.enabled=false` disables
+  * EXACTNESS GATE: the rewrite fires only when the view is CURRENT or
+  * within the staleness budget (a CURRENT candidate always wins over a
+  * stale twin — the stale path pays a feed fold per query), only when
+  * every user conjunct is either semantically one of the view's
+  * conjuncts or a group-column residual, and only when every output's
+  * type matches the original plan's byte-for-byte; any mismatch leaves
+  * the plan untouched. `SET spark.graft.mv.rewrite.enabled=false` disables
   * the rule; float SUM/AVG rollups re-add partial sums in a different
   * order than a base scan (the usual distributed-sum caveat — Spark
   * itself does not fix float fold order across plans).
@@ -141,23 +140,27 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     val cands = try cat.mvsOnBase(basePath) catch { case _: Exception => return None }
     if (cands.isEmpty) return None
     val head = JsonDocVersions.latestVersion(basePath).getOrElse(0)
-    val maxStale =
-      session.conf.get("spark.graft.mv.rewrite.maxStaleCommits", "64").toInt
-    cands.iterator.flatMap { case (ident, d) =>
-      // join MVs never serve single-table scans
-      if (d.join.isDefined) None
-      else {
-        val dataDir = cat.mvDataDirOf(ident)
-        val last = GraftMv.lastFolded(d, dataDir, ident.name())
-        if (last == head)
-          // CURRENT: the backing state IS the head snapshot's aggregate
-          matchAndBuild(agg, userCond, rel.output, cat, ident, d, stale = None)
-        else if (last < head && head - last <= maxStale) {
+    // join MVs never serve single-table scans; probe each candidate's
+    // watermark ONCE, and prefer a CURRENT view over a stale one (a
+    // stale serve pays a feed fold per query that a current twin
+    // answers from the backing alone)
+    val probed = cands.filter(_._2.join.isEmpty).map { case (ident, d) =>
+      (ident, d, GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()))
+    }
+    probed.iterator.filter(_._3 == head).flatMap { case (ident, d, _) =>
+      // CURRENT: the backing state IS the head snapshot's aggregate
+      matchAndBuild(agg, userCond, rel.output, cat, ident, d, stale = None)
+    }.nextOption().orElse {
+      val budget = staleBudget
+      probed.iterator
+        .filter(t => t._3 < head && head - t._3 <= budget)
+        .flatMap { case (ident, d, _) =>
           // STALE: serve backing@pinned ⊕ the signed feed of
           // (watermark@pinned, head] — exactly the refresh fold,
           // computed at query time without persisting it. The backing
           // PIN plus the ledger-at-that-version watermark make the
           // pair race-free against a refresh landing mid-query.
+          val dataDir = cat.mvDataDirOf(ident)
           val bver = JsonDocVersions.latestVersion(dataDir.getAbsolutePath)
             .getOrElse(0)
           GraftMv.lastFoldedAt(d, dataDir, ident.name(), bver) match {
@@ -166,10 +169,22 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
                 stale = Some(StaleSingle(wm, head, bver)))
             case _ => None
           }
-        } else None
-      }
-    }.nextOption()
+        }.nextOption()
+    }
   }
+
+  /** The staleness budget, parsed defensively: a malformed knob must
+    * not take CURRENT-view serving down with it (the per-Aggregate
+    * NonFatal catch would otherwise silently disable the whole rule). */
+  private def staleBudget: Int =
+    try session.conf.get("spark.graft.mv.rewrite.maxStaleCommits", "64")
+      .trim.toInt
+    catch {
+      case _: NumberFormatException =>
+        logWarning("graft: spark.graft.mv.rewrite.maxStaleCommits is not an " +
+          "integer — using the default of 64")
+        64
+    }
 
   /** A user INNER equi join matched against join MVs: the ON's column
     * pairs must equal the view's key pairs (in either table order);
@@ -223,30 +238,39 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
           pairsMatch(js.on, pairs.toSeq.map(_.swap)))
       }
     } catch { case _: Exception => return None }
-    val maxStale =
-      session.conf.get("spark.graft.mv.rewrite.maxStaleCommits", "64").toInt
-    cands.iterator.flatMap { case (ident, d) =>
+    // probe once; prefer a CURRENT join view over a stale one
+    val probed = cands.map { case (ident, d) =>
       val js = d.join.get
-      val dataDir = cat.mvDataDirOf(ident)
       val headA = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
       val headB = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
-      val (lastA, lastB) = GraftMv.lastFoldedPair(d, dataDir, ident.name())
-      if ((lastA, lastB) == (headA, headB))
+      val (lastA, lastB) =
+        GraftMv.lastFoldedPair(d, cat.mvDataDirOf(ident), ident.name())
+      (ident, d, lastA, lastB, headA, headB)
+    }
+    probed.iterator
+      .filter(t => (t._3, t._4) == (t._5, t._6))
+      .flatMap { case (ident, d, _, _, _, _) =>
         matchAndBuild(agg, fullCond, outputs, cat, ident, d, stale = None)
-      else if (lastA <= headA && lastB <= headB &&
-          (headA - lastA) + (headB - lastB) <= maxStale) {
-        // STALE join view: backing@pinned plus the two-term query-time
-        // fold, watermark pair read from the ledger AT the pin
-        val bver = JsonDocVersions.latestVersion(dataDir.getAbsolutePath)
-          .getOrElse(0)
-        GraftMv.lastFoldedPairAt(d, dataDir, ident.name(), bver) match {
-          case Some((wmA, wmB)) if wmA <= headA && wmB <= headB =>
-            matchAndBuild(agg, fullCond, outputs, cat, ident, d,
-              stale = Some(StaleJoin(wmA, wmB, headA, headB, bver)))
-          case _ => None
-        }
-      } else None
-    }.nextOption()
+      }.nextOption().orElse {
+        val budget = staleBudget
+        probed.iterator
+          .filter(t => t._3 <= t._5 && t._4 <= t._6 &&
+            (t._5 - t._3) + (t._6 - t._4) <= budget &&
+            (t._3, t._4) != (t._5, t._6))
+          .flatMap { case (ident, d, _, _, headA, headB) =>
+            // STALE join view: backing@pinned plus the two-term
+            // query-time fold, watermark pair from the ledger AT the pin
+            val dataDir = cat.mvDataDirOf(ident)
+            val bver = JsonDocVersions.latestVersion(dataDir.getAbsolutePath)
+              .getOrElse(0)
+            GraftMv.lastFoldedPairAt(d, dataDir, ident.name(), bver) match {
+              case Some((wmA, wmB)) if wmA <= headA && wmB <= headB =>
+                matchAndBuild(agg, fullCond, outputs, cat, ident, d,
+                  stale = Some(StaleJoin(wmA, wmB, headA, headB, bver)))
+              case _ => None
+            }
+          }.nextOption()
+      }
   }
 
   private def resolver = session.sessionState.conf.resolver
@@ -282,18 +306,9 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       d: GraftMv.MvDef, stale: Option[StaleSpec]): LogicalPlan = {
     // ---- predicate match: every MV conjunct must appear semantically
     // among the user's; leftovers must reference grouped columns only
-    val mvConjs: Seq[Expression] = d.whereSql match {
-      case None => Seq.empty
-      case Some(w) =>
-        val parsed = try session.sessionState.sqlParser.parseExpression(w)
-          catch { case _: Exception => bail() }
-        val bound = parsed.transformUp {
-          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-            baseAttr(outputs, u.nameParts.head).getOrElse(bail())
-        }
-        if (!bound.resolved) bail()
-        splitConjunctivePredicates(bound)
-    }
+    val mvConjs: Seq[Expression] =
+      boundWhere(d, n => baseAttr(outputs, n).getOrElse(bail()))
+        .map(splitConjunctivePredicates).getOrElse(Seq.empty)
     val userConjs = userCond.map(splitConjunctivePredicates).getOrElse(Seq.empty)
     val remaining = scala.collection.mutable.ArrayBuffer(userConjs: _*)
     mvConjs.foreach { mc =>
@@ -421,11 +436,14 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       case _ => bail()
     }
     val rewritten: LogicalPlan =
-      if (!unioned) Aggregate(groups2, outItems, filtered)
+      // group liveness: under a union, a group whose multiplicity nets
+      // to zero no longer exists and must not emit a row (a fresh
+      // backing encodes this by the row's absence). A GLOBAL rollup
+      // (no grouping keys) is exempt: it must emit its single row even
+      // at zero multiplicity, exactly like the base plan over an empty
+      // input (r17 review — the filter was dropping it)
+      if (!unioned || groups2.isEmpty) Aggregate(groups2, outItems, filtered)
       else {
-        // group liveness: a group whose multiplicity nets to zero
-        // across backing ⊕ feed no longer exists and must not emit a
-        // row (a fresh backing encodes this by the row's absence)
         val live = Alias(Coalesce(Seq(
           Sum(bAttr(GraftMv.RowsCol)).toAggregateExpression(), Literal(0L))),
           "__mv_live")()
@@ -442,11 +460,6 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     rewritten
   }
 
-  /** backing@pinned ⊕ signed per-row feed contributions of
-    * (watermark, head] — both sides projected onto the backing's
-    * column layout so every downstream state aggregation is a plain
-    * SUM over the union. Reads the feed's changed files only: serving
-    * a stale view costs O(delta), never a base re-scan. */
   /** One delta term's per-row signed contributions, projected onto the
     * backing's column layout (`order`). `dataAttr` resolves a base data
     * column within the term (side-aware for join terms); `sign` is ±1
@@ -526,6 +539,11 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     else org.apache.spark.sql.catalyst.plans.logical.Union(parts)
   }
 
+  /** backing@pinned ⊕ signed per-row feed contributions of
+    * (watermark, head] — both sides projected onto the backing's
+    * column layout so every downstream state aggregation is a plain
+    * SUM over the union. Reads the feed's changed files only: serving
+    * a stale view costs O(delta), never a base re-scan. */
   private def staleUnion(backing: LogicalPlan, d: GraftMv.MvDef,
       wm: Int, head: Int): LogicalPlan = {
     val feed = feedOf(d.basePath, wm + 1, head)

@@ -776,9 +776,6 @@ private[graft] object GraftMv {
       throw new java.io.IOException(s"cannot delete $f")
   }
 
-  /** The authoritative last-folded version: the backing manifest's
-    * transaction ledger wins over the definition file (the file is a
-    * cache that may lag one crash behind). */
   /** The fold watermark AS OF backing-manifest `version` — what the
     * pinned snapshot `backing VERSION AS OF version` holds: the
     * ledger's entry at that version, or (when no refresh had committed
@@ -802,6 +799,9 @@ private[graft] object GraftMv {
       .orElse(if (d.createdVersion >= 0 && d.createdVersion2 >= 0)
         Some((d.createdVersion, d.createdVersion2)) else None)
 
+  /** The authoritative last-folded version: the backing manifest's
+    * transaction ledger wins over the definition file (the file is a
+    * cache that may lag one crash behind). */
   def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int = {
     // a join MV's ledger value encodes BOTH watermarks — reading it as
     // one version would be garbage; callers must use lastFoldedPair

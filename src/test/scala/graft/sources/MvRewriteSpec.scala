@@ -156,6 +156,19 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_.head == "z"), s"vanished group leaked: $got")
     assert(got.exists(_.head == "new"), s"the stale-born group is missing: $got")
 
+    // a GLOBAL rollup must keep its mandatory single row even while
+    // stale (the liveness filter exempts group-less aggregates —
+    // r17 review: it was dropping the row at zero net multiplicity)
+    val globalSql = s"SELECT count(*) AS n, sum(x) AS sx FROM $base WHERE y >= 0"
+    val g1 = spark.sql(globalSql)
+    val (gbk, _, gfd) = relKinds(g1)
+    assert(gbk && gfd, "the global rollup must stale-serve too")
+    val gGot = sortedRows(g1)
+    assert(gGot.length === 1, s"a global aggregate emits exactly one row: $gGot")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(gGot === sortedRows(spark.sql(globalSql)))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+
     // extrema cannot ride the delta: a min/max ASK falls back to the base
     readsOnly(spark.sql(s"SELECT g, min(x) AS mn FROM $base WHERE y >= 0 " +
       s"GROUP BY g"), wantBase = true)
