@@ -865,6 +865,34 @@ private[graft] object GraftMv {
     (last + 1, head)
   }
 
+  /** CONTINUOUS refresh (r17): one micro-batch stream per base on its
+    * change feed, each batch driving [[refresh]]. The batch CONTENT is
+    * only a commit SIGNAL — the fold still reads `(last, head]` under
+    * the manifest ledger, so a redelivered batch after a crash (or a
+    * deleted checkpoint) re-folds NOTHING: exactly-once comes from the
+    * fold, never from the stream. Join views get two signal streams,
+    * one per base; [[refresh]]'s same-JVM lock serializes concurrent
+    * signals. Returns the started queries (caller stops them). */
+  def autoRefresh(session: SparkSession, cat: String, defFile: java.io.File,
+      dataDir: java.io.File, name: String, checkpointRoot: String)
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val d = read(defFile)
+    val bases = d.basePath +: d.join.map(_.basePath2).toSeq
+    bases.zipWithIndex.map { case (base, i) =>
+      session.readStream.format("graft-jsondoc")
+        .option("readChanges", "true")
+        .option("path", base).load()
+        .writeStream
+        .queryName(s"graft-mv-autorefresh-$name-$i")
+        .option("checkpointLocation", s"$checkpointRoot/$i")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          refresh(session, cat, defFile, dataDir, name)
+          ()
+        }
+        .start()
+    }
+  }
+
   /** Fold a JOIN body's two feeds:
     *   ΔV = ΔA ⋈ B@lastB  +  A@headA ⋈ ΔB
     * — the standard signed-delta identity (each side's delta joins the

@@ -196,6 +196,51 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a group whose WHERE-passing rows all vanished must leave the view")
   }
 
+  test("continuous refresh: the feed stream drives folds; redelivery never double-folds") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.auto")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_auto").toString
+    val base = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $base (k BIGINT, g STRING) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $base VALUES (1, 'a'), (2, 'b')")
+    val body = s"SELECT g, count(*) AS n, sum(k) AS sk FROM $base GROUP BY g"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.auto.m AS $body")
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("auto"), "m")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_auto_ck").toString
+    val qs = GraftMv.autoRefresh(spark, "graftcat", cat.mvDefFileOf(ident),
+      cat.mvDataDirOf(ident), "m", ckpt)
+    try {
+      spark.sql(s"INSERT INTO $base VALUES (3, 'a'), (4, 'c')")
+      spark.sql(s"DELETE FROM $base WHERE k = 2")
+      qs.foreach(_.processAllAvailable())
+      assert(spark.sql("SELECT stale_commits FROM graftcat.auto.`m#mvstate`")
+        .collect()(0).getLong(0) === 0L, "the stream must have folded to current")
+      assert(sortedRows("SELECT * FROM graftcat.auto.m") === sortedRows(body))
+    } finally qs.foreach(_.stop())
+    // redelivery: a FRESH checkpoint replays the whole feed as signals;
+    // the ledger makes every replayed fold a no-op (exactly-once lives
+    // in the fold, not the stream)
+    val before = sortedRows("SELECT * FROM graftcat.auto.m")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_mv_auto_ck2").toString
+    val qs2 = GraftMv.autoRefresh(spark, "graftcat", cat.mvDefFileOf(ident),
+      cat.mvDataDirOf(ident), "m", ckpt2)
+    try {
+      qs2.foreach(_.processAllAvailable())
+      assert(sortedRows("SELECT * FROM graftcat.auto.m") === before,
+        "replayed signals must never double-fold")
+      // and the stream keeps following NEW commits
+      spark.sql(s"INSERT INTO $base VALUES (5, 'c')")
+      qs2.foreach(_.processAllAvailable())
+      assert(sortedRows("SELECT * FROM graftcat.auto.m") === sortedRows(body))
+      assert(spark.sql("SELECT stale_commits FROM graftcat.auto.`m#mvstate`")
+        .collect()(0).getLong(0) === 0L)
+    } finally qs2.foreach(_.stop())
+  }
+
   test("base lineage edges: OPTIMIZE folds nothing; rollback folds the diff; rename fails loudly") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.edges")
