@@ -17,9 +17,13 @@ import scala.jdk.CollectionConverters._
   * DataSource plumbing the q44 row doesn't need:
   *
   *  - WRITE: one Avro object-container file per partition, written by
-  *    the executor that holds the partition (`part-<pid>-<attempt>
-  *    .avro` — speculative attempts cannot collide; distinct names are
-  *    the whole commit protocol a fresh output directory needs). The
+  *    the executor that holds the partition under a two-phase commit:
+  *    the task streams into an attempt-suffixed `.avro.tmp` name and
+  *    only a task that reaches the end of its iterator atomically moves
+  *    it to the final `part-<pid>.avro`. A failed-then-retried or
+  *    speculative attempt either leaves a `.tmp` orphan (invisible to
+  *    the `*.avro` read glob) or replaces the same final name with
+  *    byte-equivalent content — never a double-counted duplicate. The
   *    writer schema derives from the DataFrame schema: the five
   *    jsondoc-supported primitive types, nullable as `union(null, T)`.
   *  - READ: `binaryFiles` hands each container to one task;
@@ -54,32 +58,50 @@ object AvroRoundtrip {
   }
 
   /** Write `df` as Avro container files under `dir` (created fresh —
-    * any prior run's containers are removed first; attempt-suffixed
-    * names otherwise accumulate across same-JVM reruns and a re-read
-    * would double every row). */
+    * any prior run's containers and orphaned `.tmp` attempts are
+    * removed first; names otherwise accumulate across same-JVM reruns
+    * and a re-read would double every row). */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val json = avroSchema(st, "row").toString // Schema is not serializable
     val d = new java.io.File(dir)
     d.mkdirs()
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
+      .filter(f => f.getName.endsWith(".avro") || f.getName.endsWith(".avro.tmp"))
+      .foreach(_.delete())
     df.rdd.foreachPartition { it =>
       val schema = new Schema.Parser().parse(json)
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val f = new java.io.File(dir, f"part-$pid%05d-a$attempt.avro")
+      // Task-commit protocol: stream into an attempt-private .tmp and
+      // promote to the attempt-agnostic final name only after the full
+      // iterator drained and the container closed cleanly. ATOMIC_MOVE +
+      // REPLACE_EXISTING makes a second successful attempt of the same
+      // partition an idempotent overwrite, not a duplicate.
+      val tmp = new java.io.File(dir, f"part-$pid%05d-a$attempt.avro.tmp")
+      val fin = new java.io.File(dir, f"part-$pid%05d.avro")
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, f)
-      try it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        st.fields.zipWithIndex.foreach { case (fld, i) =>
-          rec.put(fld.name, if (row.isNullAt(i)) null else row.get(i))
+      w.create(schema, tmp)
+      var ok = false
+      try {
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          st.fields.zipWithIndex.foreach { case (fld, i) =>
+            rec.put(fld.name, if (row.isNullAt(i)) null else row.get(i))
+          }
+          w.append(rec)
         }
-        w.append(rec)
-      } finally w.close()
+        ok = true
+      } finally {
+        w.close()
+        if (ok) {
+          java.nio.file.Files.move(tmp.toPath, fin.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } else tmp.delete()
+      }
     }
   }
 

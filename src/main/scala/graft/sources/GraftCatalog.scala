@@ -828,15 +828,38 @@ class GraftCatalog extends TableCatalog
         def walk(ns: Array[String]): Seq[Identifier] =
           listMvs(ns).toSeq ++ listNamespaces(ns).flatMap(walk)
         val fresh = listNamespaces().flatMap(walk).toSeq
-          .map(ident => ident -> GraftMv.read(mvDefFileOf(ident)))
+          .map { ident =>
+            val f = mvDefFileOf(ident)
+            (ident, GraftMv.read(f), defSignature(f))
+          }
         mvDefCache = (epoch, fresh)
         fresh
       }
     val canonical = new java.io.File(basePath).getAbsolutePath
-    all.filter(_._2.basePath == canonical)
+    // ddlEpoch only sees THIS JVM's DDL: another process may have
+    // DROPped and re-CREATEd an MV with a different body, and matching
+    // the stale definition against the new backing's data would serve
+    // wrong rows. Re-stat each candidate's def file (one lstat each, on
+    // the tiny basePath-matched set) and re-read any whose signature
+    // moved; a vanished or retargeted def just stops being a candidate.
+    all.filter(_._2.basePath == canonical).flatMap { case (ident, defn, sig) =>
+      val f = mvDefFileOf(ident)
+      if (defSignature(f) == sig) Some(ident -> defn)
+      else
+        try {
+          val fresh = GraftMv.read(f)
+          if (fresh.basePath == canonical) Some(ident -> fresh) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
-  @volatile private var mvDefCache: (Long, Seq[(Identifier, GraftMv.MvDef)]) = _
+  /** mtime+length fingerprint of an MV def file — cheap staleness check
+    * for [[mvsOnBase]]'s per-epoch cache against cross-process DDL. */
+  private def defSignature(f: java.io.File): (Long, Long) =
+    (f.lastModified(), f.length())
+
+  @volatile private var mvDefCache:
+      (Long, Seq[(Identifier, GraftMv.MvDef, (Long, Long))]) = _
 
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),

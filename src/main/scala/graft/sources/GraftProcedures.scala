@@ -394,7 +394,10 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("view", StringType).build())
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val parts = input.getUTF8String(0).toString.split('.').toSeq
+        // parse through the SQL parser like the CREATE/DROP DDL path —
+        // dotted or backquoted segments address the same names DDL can
+        val parts = org.apache.spark.sql.SparkSession.active.sessionState
+          .sqlParser.parseMultipartIdentifier(input.getUTF8String(0).toString)
         require(parts.length >= 2,
           "graft catalog: refresh_mv takes 'namespace.view_name'")
         val ident = org.apache.spark.sql.connector.catalog.Identifier.of(

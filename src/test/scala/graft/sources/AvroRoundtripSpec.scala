@@ -59,4 +59,26 @@ class AvroRoundtripSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("int/long/double/boolean/string"))
   }
+
+  test("task-commit: orphaned attempts are invisible; rewrite cleans them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_tc").toString + "/t"
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("i", "s").repartition(2)
+    AvroRoundtrip.write(df, dir)
+    // a failed-then-retried / speculative attempt leaves its .tmp behind;
+    // the read glob must never count it
+    val orphan = new java.io.File(dir, "part-00099-a7.avro.tmp")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType)))
+    assert(AvroRoundtrip.read(spark, dir, schema).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // a rewrite of the directory clears stale orphans AND stale finals
+    AvroRoundtrip.write(df, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".tmp")), s"stale .tmp survived: ${names.toSeq}")
+    assert(names.count(_.endsWith(".avro")) === 2, s"got ${names.toSeq}")
+    assert(AvroRoundtrip.read(spark, dir, schema).count() === 3)
+  }
 }

@@ -97,8 +97,11 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // NULL group key is a real group
     assert(spark.sql("SELECT n FROM graftcat.db.m WHERE grp IS NULL")
       .collect()(0).getLong(0) === 2L)
-    // second refresh: nothing to fold, and the state is current
-    val ref2 = spark.sql("CALL graftcat.refresh_mv('db.m')").collect()(0)
+    // second refresh: nothing to fold, and the state is current.
+    // Backquoted segments address the same view (r17 advice: the name
+    // goes through parseMultipartIdentifier like the DDL path, not a
+    // naive split on '.')
+    val ref2 = spark.sql("CALL graftcat.refresh_mv('`db`.`m`')").collect()(0)
     assert(ref2.getLong(0) > ref2.getLong(1), s"no-op refresh expected: $ref2")
     assert(spark.sql("SELECT stale_commits FROM graftcat.db.`m#mvstate`")
       .collect()(0).getLong(0) === 0L)

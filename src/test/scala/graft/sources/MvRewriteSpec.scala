@@ -432,4 +432,43 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"WHERE y >= 0 GROUP BY g, h"), wantBase = true)
     finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
   }
+
+  test("a malformed kill-switch value never throws from the analyzer") {
+    // r17 advice: a typo'd SET must not fail every subsequent query;
+    // unparseable values warn and behave as the default (enabled)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "tru")
+    try readsOnly(spark.sql(s"SELECT g, h, count(*) AS n FROM $base " +
+      s"WHERE y >= 0 GROUP BY g, h"), wantBase = false)
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  test("a def retargeted by ANOTHER process invalidates the epoch cache") {
+    // r17 advice: ddlEpoch only sees this JVM's DDL. Simulate a foreign
+    // DROP + re-CREATE by editing the def file on disk: the cached
+    // definition must not be matched against the new file's content.
+    // leave db.m as the ONLY candidate on this base, else a sibling
+    // view keeps serving after db.m's def is retargeted
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS graftcat.db.m_twin")
+    val sql = s"SELECT g, h, count(*) AS n FROM $base WHERE y >= 0 GROUP BY g, h"
+    readsOnly(spark.sql(sql), wantBase = false) // cache is warm and serving
+    val cat = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val defFile = cat.mvDefFileOf(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "m"))
+    assert(defFile.isFile, s"expected the def at $defFile")
+    val original = java.nio.file.Files.readAllBytes(defFile.toPath)
+    val other = java.nio.file.Files.createTempDirectory("graft_mvr_other")
+      .toString + "/elsewhere_entirely"
+    val retargeted = new String(original, java.nio.charset.StandardCharsets.UTF_8)
+      .replace(basePath, new java.io.File(other).getAbsolutePath)
+    assert(retargeted != new String(original, java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(defFile.toPath,
+      retargeted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      // the stale cached def no longer represents this base: base scan
+      readsOnly(spark.sql(sql), wantBase = true)
+    } finally java.nio.file.Files.write(defFile.toPath, original)
+    // restored (signature moved again): candidate re-read, serving resumes
+    readsOnly(spark.sql(sql), wantBase = false)
+  }
 }
