@@ -329,21 +329,29 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     }
 
     // ---- group match: every user key is a base column the MV groups
-    // on (a SUBSET of the MV's keys re-aggregates the stored states)
+    // on, or (r18) semantically one of its EXPRESSION keys (a SUBSET
+    // of the MV's keys re-aggregates the stored states)
+    val exprKeys: Seq[(Expression, String)] = d.groups.collect {
+      case g if g.exprSql.isDefined =>
+        val parsed = try session.sessionState.sqlParser.parseExpression(g.exprSql.get)
+          catch { case _: Exception => bail() }
+        val bound = parsed.transformUp {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            baseAttr(outputs, u.nameParts.head).getOrElse(bail())
+        }
+        if (!bound.resolved) bail()
+        (bound, g.stored)
+    }
+    def exprStored(e: Expression): Option[String] =
+      exprKeys.find(_._1.semanticEquals(e)).map(_._2)
     val storedOf = scala.collection.mutable.Map.empty[ExprId, String]
     agg.groupingExpressions.foreach {
       case a: AttributeReference =>
-        storedOf(a.exprId) =
-          d.groups.find(g => resolver(g.src, a.name)).getOrElse(bail()).stored
+        storedOf(a.exprId) = d.groups.find(g =>
+          g.exprSql.isEmpty && resolver(g.src, a.name)).getOrElse(bail()).stored
+      case e if exprStored(e).isDefined => ()
       case _ => bail()
     }
-    // residual conjuncts may reference grouped columns only (constant
-    // per backing row, so filtering whole rows is exact) and must be
-    // DETERMINISTIC — a rand() filter over backing rows would sample
-    // whole groups where the base plan samples individual rows
-    if (!remaining.forall(e => e.deterministic &&
-        e.references.forall(r => storedOf.contains(r.exprId))))
-      bail()
 
     // ---- load the backing relation (pinned under stale serving) and
     // map names to its attributes
@@ -432,19 +440,37 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
         Alias(bAttr(storedOf(a.exprId)), al.name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, _) =>
         Alias(rewriteAgg(ae).getOrElse(bail()), al.name)(exprId = al.exprId)
+      case al @ Alias(e, _) if exprStored(e).isDefined =>
+        // a SELECTed expression key reads its stored backing column
+        Alias(bAttr(exprStored(e).get), al.name)(exprId = al.exprId)
       case _ => bail()
     }
 
-    val residual = remaining.toSeq.map(_.transform {
-      case a: AttributeReference if storedOf.contains(a.exprId) =>
-        bAttr(storedOf(a.exprId))
-    })
+    // residual conjuncts may reference grouped columns (or whole
+    // occurrences of a grouped EXPRESSION key — constant per backing
+    // row either way, so filtering whole rows is exact) and must be
+    // DETERMINISTIC — a rand() filter over backing rows would sample
+    // whole groups where the base plan samples individual rows
+    val groupStoredIds: Set[ExprId] =
+      d.groups.map(g => bAttr(g.stored).exprId).toSet
+    val residual = remaining.toSeq.map { c =>
+      if (!c.deterministic) bail()
+      val mapped = c.transform {
+        case e if exprKeys.nonEmpty && exprStored(e).isDefined =>
+          bAttr(exprStored(e).get)
+        case a: AttributeReference if storedOf.contains(a.exprId) =>
+          bAttr(storedOf(a.exprId))
+      }
+      if (!mapped.references.forall(r => groupStoredIds.contains(r.exprId)))
+        bail()
+      mapped
+    }
     val filtered =
       if (residual.isEmpty) srcPlan
       else Filter(residual.reduce(And), srcPlan)
     val groups2: Seq[Expression] = agg.groupingExpressions.map {
       case a: AttributeReference => bAttr(storedOf(a.exprId))
-      case _ => bail()
+      case e => bAttr(exprStored(e).getOrElse(bail()))
     }
     val rewritten: LogicalPlan =
       // group liveness: under a union, a group whose multiplicity nets
@@ -483,8 +509,22 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       val target = battr(name).dataType
       val e: Expression =
         d.groups.find(_.stored == name).map { g =>
-          val a = dataAttr(g.src)
-          if (a.dataType == target) a else bail()
+          g.exprSql match {
+            case None =>
+              val a = dataAttr(g.src)
+              if (a.dataType == target) a else bail()
+            case Some(sql) =>
+              // an expression key is computed over the term's data
+              // columns exactly as the fold computes it
+              val parsed = try session.sessionState.sqlParser.parseExpression(sql)
+                catch { case _: Exception => bail() }
+              val bound = parsed.transformUp {
+                case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+                  dataAttr(u.nameParts.head)
+              }
+              if (!bound.resolved || bound.dataType != target) bail()
+              bound
+          }
         }.getOrElse {
           if (name == GraftMv.RowsCol) sign
           else d.aggs.find(a => a.alias == name) match {

@@ -83,8 +83,15 @@ private[graft] object GraftMv {
   /** One stored group key: `src` = the base column grouped on, `stored`
     * = its column name in the backing table (the first visible alias,
     * or a hidden name when the body groups on a column it never
-    * selects). */
-  final case class GroupSpec(src: String, stored: String, ddl: String)
+    * selects). EXPRESSION keys (r18 — `GROUP BY us DIV 86400000000`,
+    * the time-bucketed rollup shape): `exprSql` holds the
+    * qualifier-stripped deterministic scalar expression; the key is
+    * computed ONCE per source row (fill, fold, and recompute all read
+    * a source wrapped by [[keyedSrc]] that materializes it under the
+    * SELECT alias) and from there behaves exactly like a plain column,
+    * with `src == stored`. */
+  final case class GroupSpec(src: String, stored: String, ddl: String,
+      exprSql: Option[String] = None)
 
   /** One aggregate: `func` in count_star|count|sum|avg|min|max. `raw`
     * is the backing column holding the additive state under the
@@ -260,12 +267,43 @@ private[graft] object GraftMv {
       refuse("materialized views need at least one GROUP BY column — a " +
         "GLOBAL aggregate's empty-input row (COUNT(*) = 0) cannot be " +
         "represented by the group-delta fold")
-    val groupAttrs = groupExprs.map {
-      case a: AttributeReference => a
-      case other => refuse("GROUP BY keys must be plain base columns " +
-        s"(computed keys are not yet foldable): ${other.sql}")
+    // each key is a plain column, or (r18) a deterministic scalar
+    // EXPRESSION over base columns (time buckets and the like) — the
+    // expression is computed per source row at fill/fold/recompute and
+    // stored under its SELECT alias, so everything downstream folds it
+    // exactly like a plain key
+    groupExprs.foreach {
+      case _: AttributeReference => ()
+      case e =>
+        if (!e.deterministic)
+          refuse("an expression GROUP BY key must be deterministic " +
+            s"(it folds differently every refresh otherwise): ${e.sql}")
+        if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+          refuse(s"an expression GROUP BY key may not contain a subquery: ${e.sql}")
+        if (e.exists(_.isInstanceOf[AggregateExpression]))
+          refuse(s"a GROUP BY key may not aggregate: ${e.sql}")
+        if (!JsonDocSource.supportedType(e.dataType))
+          refuse(s"an expression GROUP BY key must produce a storable type " +
+            s"(long/int/double/boolean/string) — ${e.sql} is " +
+            e.dataType.simpleString + "; cast or reformulate the bucket " +
+            "(e.g. unix micros DIV 86400000000 instead of date_trunc)")
     }
+    val groupAttrs = groupExprs.collect { case a: AttributeReference => a }
     val groupIds = groupAttrs.map(_.exprId).toSet
+    // index of a SELECT item's expression among the group keys —
+    // exprId identity for plain columns, semantic equality for
+    // expression keys
+    def keyIdxOf(e: Expression): Int = e match {
+      case a: AttributeReference =>
+        groupExprs.indexWhere {
+          case g: AttributeReference => g.exprId == a.exprId
+          case _ => false
+        }
+      case other => groupExprs.indexWhere {
+        case _: AttributeReference => false
+        case g => g.semanticEquals(other)
+      }
+    }
 
     def argAttr(e: Expression, fn: String): AttributeReference = e match {
       case a: AttributeReference => a
@@ -283,19 +321,23 @@ private[graft] object GraftMv {
 
     val aggsB = scala.collection.mutable.ArrayBuffer.empty[AggSpec]
     val outB = scala.collection.mutable.ArrayBuffer.empty[OutCol]
-    // group index by exprId, in groupExprs order; visible alias filled
-    // from the first SELECT item that exposes the key
+    // group index in groupExprs order; visible alias filled from the
+    // first SELECT item that exposes the key
     val visibleAlias = scala.collection.mutable.Map.empty[Int, String]
-    def groupIdx(a: AttributeReference): Int =
-      groupAttrs.indexWhere(_.exprId == a.exprId)
 
     aggExprs.foreach {
       case a: AttributeReference if groupIds(a.exprId) =>
-        val i = groupIdx(a)
+        val i = keyIdxOf(a)
         visibleAlias.getOrElseUpdate(i, a.name)
         outB += OutCol("g", i, a.name)
       case al @ Alias(a: AttributeReference, _) if groupIds(a.exprId) =>
-        val i = groupIdx(a)
+        val i = keyIdxOf(a)
+        visibleAlias.getOrElseUpdate(i, al.name)
+        outB += OutCol("g", i, al.name)
+      case al @ Alias(e, _) if !e.isInstanceOf[AggregateExpression] &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) && keyIdxOf(e) >= 0 =>
+        // a SELECTed expression key — its alias names the stored column
+        val i = keyIdxOf(e)
         visibleAlias.getOrElseUpdate(i, al.name)
         outB += OutCol("g", i, al.name)
       case al @ Alias(ae: AggregateExpression, _) =>
@@ -342,9 +384,31 @@ private[graft] object GraftMv {
         s"an aggregate: ${other.sql}")
     }
 
-    val groups = groupAttrs.zipWithIndex.map { case (a, i) =>
-      GroupSpec(a.name, visibleAlias.getOrElse(i, s"__mv_g_${a.name}"),
-        a.dataType.sql)
+    val srcColNames = rel match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.output.map(_.name)
+      case single => single.output.map(_.name)
+    }
+    val groups = groupExprs.zipWithIndex.map {
+      case (a: AttributeReference, i) =>
+        GroupSpec(a.name, visibleAlias.getOrElse(i, s"__mv_g_${a.name}"),
+          a.dataType.sql)
+      case (e, i) =>
+        // expression keys need a SELECT alias (the stored column's name)
+        // that cannot shadow a source column — [[keyedSrc]] projects
+        // `src.*, <expr> AS <alias>` and a duplicate name would be
+        // ambiguous in every downstream reference
+        val alias = visibleAlias.getOrElse(i, refuse("an expression GROUP " +
+          s"BY key must appear in the SELECT list with an alias: ${e.sql}"))
+        if (srcColNames.exists(_.equalsIgnoreCase(alias)))
+          refuse(s"the expression key's alias '$alias' collides with a " +
+            "source column name — pick a fresh alias")
+        if (joinInfo.isDefined)
+          refuse("expression GROUP BY keys over a join body are not yet " +
+            s"foldable: ${e.sql}")
+        val stripped = e.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }.sql
+        GroupSpec(alias, alias, e.dataType.sql, Some(stripped))
     }
     val names = groups.map(_.stored) ++ aggsB.map(_.alias)
     require(names.distinct.length == names.length,
@@ -375,6 +439,18 @@ private[graft] object GraftMv {
   }
 
   // ---- SQL generation ---------------------------------------------------
+
+  private def hasExprKeys(d: MvDef): Boolean = d.groups.exists(_.exprSql.isDefined)
+
+  /** Wrap a source relation (a parenthesized subquery or a bare view
+    * name) so every expression group key materializes under its stored
+    * name — computed ONCE per row; every downstream reference then
+    * treats it as a plain column. */
+  private def keyedSrc(d: MvDef, rel: String): String = {
+    val comp = d.groups.collect { case g if g.exprSql.isDefined =>
+      s"(${g.exprSql.get}) AS ${q(g.stored)}" }
+    s"(SELECT __gk.*, ${comp.mkString(", ")} FROM $rel __gk)"
+  }
 
   private def hiddenDdl(d: MvDef): Seq[String] =
     Seq(s"${q(RowsCol)} BIGINT") ++
@@ -408,8 +484,11 @@ private[graft] object GraftMv {
     val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
     val grp = if (d.groups.isEmpty) ""
       else " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
+    val src =
+      if (!hasExprKeys(d)) s"$cat.`${d.basePath}` VERSION AS OF $head"
+      else keyedSrc(d, s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $head)")
     s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
-      s"FROM $cat.`${d.basePath}` VERSION AS OF $head$where$grp"
+      s"FROM $src$where$grp"
   }
 
   // ---- join bodies (r17): ΔV = ΔA ⋈ B@old + A@new ⋈ ΔB ------------------
@@ -460,8 +539,12 @@ private[graft] object GraftMv {
   }
 
   /** SIGNED-delta SELECT over a change-feed relation (temp view
-    * `feedView` carrying the data columns plus `_change_type`). */
-  def deltaSql(d: MvDef, feedView: String): String = {
+    * `feedView` carrying the data columns plus `_change_type`).
+    * `feedKeyed` = the view already materializes the expression keys
+    * (the mixed path pre-wraps it once for all its CTEs). */
+  def deltaSql(d: MvDef, feedView0: String, feedKeyed: Boolean = false): String = {
+    val feedView =
+      if (hasExprKeys(d) && !feedKeyed) keyedSrc(d, feedView0) else feedView0
     val sign = "(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)"
     val items =
       d.groups.map(g => s"${q(g.src)} AS ${q(g.stored)}") ++
@@ -512,7 +595,11 @@ private[graft] object GraftMv {
   /** The mixed fold/recompute delta over a feed range containing
     * deletes: fold rows for untouched groups plus replace/absent rows
     * for every affected key, aligned on the backing schema + `ModeCol`. */
-  def mixedDeltaSql(cat: String, d: MvDef, feedView: String, head: Int): String = {
+  def mixedDeltaSql(cat: String, d: MvDef, feedView0: String, head: Int): String = {
+    // with expression keys, materialize them ONCE (feed and base-at-head
+    // both) so every key reference below is a plain stored column
+    val keyed = hasExprKeys(d)
+    val feedView = if (keyed) "__mv_feed" else feedView0
     val keyCols = d.groups.map(g => q(g.stored))
     val aggCols = d.aggs.map(a => q(a.alias)) ++ Seq(q(RowsCol)) ++
       d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
@@ -529,9 +616,12 @@ private[graft] object GraftMv {
     val semiOn = d.groups.map(g =>
       s"b.${q(g.src)} <=> a.${q(g.stored)}").mkString(" AND ")
     val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val baseAtHead =
+      if (keyed) keyedSrc(d, s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $head)")
+      else s"$cat.`${d.basePath}` VERSION AS OF $head"
     val recomputed =
       s"SELECT ${fillItems(d).mkString(", ")} FROM (SELECT b.* FROM " +
-        s"$cat.`${d.basePath}` VERSION AS OF $head b " +
+        s"$baseAtHead b " +
         s"LEFT SEMI JOIN __mv_affected a ON $semiOn)$where " +
         s"GROUP BY ${d.groups.map(g => q(g.src)).mkString(", ")}"
     val repOn = d.groups.map(g =>
@@ -542,10 +632,11 @@ private[graft] object GraftMv {
         s"CASE WHEN r.${q(RowsCol)} IS NULL THEN 'absent' ELSE 'replace' END " +
         s"AS ${q(ModeCol)} FROM __mv_affected a LEFT JOIN __mv_recomputed r ON $repOn"
     val allCols = (keyCols ++ aggCols).mkString(", ")
-    s"""WITH __mv_affected AS ($affected),
+    val feedCte = if (keyed) s"__mv_feed AS (SELECT * FROM ${keyedSrc(d, feedView0)}),\n" else ""
+    s"""WITH ${feedCte}__mv_affected AS ($affected),
        |__mv_untouched AS ($untouched),
        |__mv_recomputed AS ($recomputed)
-       |SELECT $allCols, 'fold' AS ${q(ModeCol)} FROM (${deltaSql(d, "__mv_untouched")})
+       |SELECT $allCols, 'fold' AS ${q(ModeCol)} FROM (${deltaSql(d, "__mv_untouched", feedKeyed = true)})
        |UNION ALL
        |SELECT $allCols, ${q(ModeCol)} FROM ($replaceRows)""".stripMargin
   }
@@ -646,7 +737,7 @@ private[graft] object GraftMv {
     val gs = root.putArray("groups")
     d.groups.foreach { g =>
       val n = gs.addObject(); n.put("src", g.src); n.put("stored", g.stored)
-      n.put("ddl", g.ddl); ()
+      n.put("ddl", g.ddl); g.exprSql.foreach(n.put("expr", _)); ()
     }
     val as = root.putArray("aggs")
     d.aggs.foreach { a =>
@@ -693,7 +784,7 @@ private[graft] object GraftMv {
       whereSql = Option(root.get("where")).map(_.asText()),
       groups = Option(root.get("groups")).toSeq.flatMap(_.elements().asScala.map(n =>
         GroupSpec(n.get("src").asText(), n.get("stored").asText(),
-          n.get("ddl").asText()))),
+          n.get("ddl").asText(), Option(n.get("expr")).map(_.asText())))),
       aggs = Option(root.get("aggs")).toSeq.flatMap(_.elements().asScala.map(n =>
         AggSpec(n.get("alias").asText(), n.get("func").asText(),
           Option(n.get("arg")).map(_.asText()), n.get("rawDdl").asText()))),

@@ -1864,6 +1864,69 @@ object SourceQueries {
       "SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
       "avg(cents) AS a FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
+  /** q239: EXPRESSION GROUP KEYS in a materialized-view body (r18 —
+    * the #1 real MV shape: the time-bucketed rollup). The body groups
+    * events by `us DIV 86400000000` (a day of epoch micros — the
+    * storable-type formulation of `date_trunc('day', ts)`); the key is
+    * computed once per source row at fill/fold/recompute
+    * ([[GraftMv.keyedSrc]]) and folds exactly like a plain column —
+    * including the MIN-forced affected-bucket recompute when the
+    * refresh range carries deletes. The final user query repeats the
+    * expression and the transparent rewrite matches it SEMANTICALLY
+    * (in-flow require: the plan reads the backing, never the base).
+    * Oracle: the from-scratch recompute over the reconstructed final
+    * state. */
+  def q239MvExprKey(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q239")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val path = new java.io.File(s"$root/ev").getAbsolutePath
+      val tbl = s"graftcat.`$path`"
+      spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, us BIGINT, " +
+        "user_id BIGINT, cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val ev = graft.Tables.events(spark, dir).select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      def slice(r: Int): DataFrame =
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      slice(0).writeTo(tbl).append() // v1
+      val day = "us DIV 86400000000"
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.daily AS " +
+        s"SELECT $day AS day_bucket, count(*) AS n, sum(cents) AS s, " +
+        s"min(cents) AS lo FROM $tbl WHERE user_id % 5 <> 3 GROUP BY $day")
+      slice(1).writeTo(tbl).append() // v2: append fold over the computed key
+      spark.sql("CALL graftcat.refresh_mv('db.daily')").collect()
+      // v3: deletes (extrema can vanish → keyed affected-bucket
+      // recompute); v4: inserts in the SAME refresh range
+      spark.sql(s"DELETE FROM $tbl WHERE event_id % 11 = 4")
+      slice(2).writeTo(tbl).append() // v4
+      spark.sql("CALL graftcat.refresh_mv('db.daily')").collect()
+      val out = spark.sql(s"SELECT $day AS day_bucket, count(*) AS n, " +
+        s"sum(cents) AS s, min(cents) AS lo FROM $tbl " +
+        s"WHERE user_id % 5 <> 3 GROUP BY $day ORDER BY day_bucket")
+      val scanned = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          GraftMv.unpinnedTablePath(r.table)
+      }.flatten
+      require(scanned.exists(_.endsWith(".mvdata")) && !scanned.contains(path),
+        s"q239: the bucketed aggregate must be answered from the MV backing, " +
+          s"got $scanned")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q239Sql: String =
+    "WITH t AS (SELECT epoch_us(ts) AS us, user_id, " +
+      "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+      "WHERE (event_id % 3 IN (0, 1) AND event_id % 11 <> 4) " +
+      "OR event_id % 3 = 2) " +
+      "SELECT us // 86400000000 AS day_bucket, count(*) AS n, " +
+      "CAST(sum(cents) AS BIGINT) AS s, min(cents) AS lo FROM t " +
+      "WHERE user_id % 5 <> 3 GROUP BY 1 ORDER BY 1"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -1973,6 +2036,7 @@ object SourceQueries {
     "q236_mv_join_rewrite" -> q236MvJoinRewrite _,
     "q237_mv_stale_serve" -> q237MvStaleServe _,
     "q238_mv_join_stale" -> q238MvJoinStale _,
+    "q239_mv_expr_key" -> q239MvExprKey _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2001,6 +2065,7 @@ object SourceQueries {
     "q236_mv_join_rewrite" -> q236Sql,
     "q237_mv_stale_serve" -> q237Sql,
     "q238_mv_join_stale" -> q238Sql,
+    "q239_mv_expr_key" -> q239Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

@@ -331,6 +331,62 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("expression group keys: time-bucketed fold under DML == recompute") {
+    freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.dbek")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_ek").toString
+    val base = s"graftcat.`$root/ev`"
+    spark.sql(s"CREATE TABLE $base (us BIGINT, amt BIGINT, k BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val H = 3600000000L // an hour of micros
+    // v1: three buckets, a WHERE-excluded row, a NULL amt
+    spark.sql(s"INSERT INTO $base VALUES " +
+      s"(${H + 1}, 10, 1), (${H + 2}, 20, 2), (${2 * H + 1}, NULL, 3), " +
+      s"(${2 * H + 2}, 7, 4), (${3 * H + 1}, 100, 5), (${3 * H + 2}, 1, -1)")
+    // MIN in the body: deletes must route through the keyed
+    // affected-bucket recompute, not the pure fold
+    val body = s"SELECT us DIV $H AS hour_bucket, count(*) AS n, " +
+      s"sum(amt) AS s, min(amt) AS lo FROM $base WHERE k > 0 " +
+      s"GROUP BY us DIV $H"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbek.hourly AS $body")
+    assert(sortedRows("SELECT * FROM graftcat.dbek.hourly") === sortedRows(body),
+      "the initial keyed materialization must equal a recompute")
+    // v2: append-only fold (a NEW bucket + an existing one)
+    spark.sql(s"INSERT INTO $base VALUES (${4 * H + 1}, 50, 6), (${H + 3}, 5, 7)")
+    spark.sql("CALL graftcat.refresh_mv('dbek.hourly')").collect()
+    assert(sortedRows("SELECT * FROM graftcat.dbek.hourly") === sortedRows(body),
+      "the append fold over the computed key must equal a recompute")
+    // v3: delete the minimum of bucket 1 AND vanish bucket 3 entirely;
+    // v4: inserts in the same refresh range
+    spark.sql(s"DELETE FROM $base WHERE amt >= 100 OR (us DIV $H = 1 AND amt = 5)")
+    spark.sql(s"INSERT INTO $base VALUES (${2 * H + 3}, 2, 8)")
+    spark.sql("CALL graftcat.refresh_mv('dbek.hourly')").collect()
+    val got = sortedRows("SELECT hour_bucket, n, s, lo FROM graftcat.dbek.hourly")
+    assert(got === sortedRows(body),
+      "the mixed fold/recompute over the computed key must equal a recompute")
+    assert(!got.exists(_.head == 3L), s"the vanished bucket leaked: $got")
+
+    // refusals: an unSELECTed expression key, a nondeterministic key,
+    // an unstorable key type, and an alias shadowing a source column
+    def refuses(bodySql: String, msgPart: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbek.bad AS $bodySql")
+      }
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    refuses(s"SELECT count(*) AS n FROM $base GROUP BY us DIV $H",
+      "must appear in the SELECT list with an alias")
+    // a nondeterministic key: the analyzer pulls rand() into a Project
+    // below the Aggregate, so the single-relation check refuses it
+    refuses(s"SELECT CAST(rand() * 10 AS BIGINT) AS r, count(*) AS n " +
+      s"FROM $base GROUP BY CAST(rand() * 10 AS BIGINT)",
+      "graft-jsondoc table")
+    refuses(s"SELECT array(us) AS a8, count(*) AS n FROM $base GROUP BY array(us)",
+      "storable type")
+    refuses(s"SELECT us DIV $H AS amt, count(*) AS n FROM $base GROUP BY us DIV $H",
+      "collides with a source column")
+  }
+
   test("non-incrementalizable bodies refuse at CREATE with the reason") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.db3")
@@ -359,8 +415,11 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "single aggregate")
     refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g ORDER BY g",
       "single aggregate")
-    refuse(s"SELECT substr(g, 1, 1) AS g1, count(*) AS n FROM $t GROUP BY substr(g, 1, 1)",
-      "plain base columns")
+    // expression keys fold since r18 (the time-bucket shape) — this
+    // body now CREATES; covered by the expression-group-keys test
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.db3.okkey AS " +
+      s"SELECT substr(g, 1, 1) AS g1, count(*) AS n FROM $t GROUP BY substr(g, 1, 1)")
+    spark.sql("DROP MATERIALIZED VIEW graftcat.db3.okkey")
     // sum over a STRING column: the analyzer's implicit string→double
     // cast hits the cast refusal (r17 — casts never silently strip)
     refuse(s"SELECT g, sum(g) AS sg FROM $t GROUP BY g", "casts")

@@ -471,4 +471,77 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // restored (signature moved again): candidate re-read, serving resumes
     readsOnly(spark.sql(sql), wantBase = false)
   }
+
+  test("an EXPRESSION group key matches semantically, rolls up, and stale-serves") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ek")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_ek").toString
+    val ekPath = new java.io.File(s"$root/ev").getAbsolutePath
+    val t = s"graftcat.`$ekPath`"
+    spark.sql(s"CREATE TABLE $t (us BIGINT, g STRING, amt BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val H = 3600000000L
+    spark.sql(s"INSERT INTO $t VALUES (${H + 1}, 'a', 10), (${H + 2}, 'b', 20), " +
+      s"(${2 * H + 1}, 'a', NULL), (${2 * H + 5}, 'a', 7), (${3 * H + 9}, 'b', 100)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.ek.hourly AS " +
+      s"SELECT us DIV $H AS hb, g, count(*) AS n, sum(amt) AS s " +
+      s"FROM $t GROUP BY us DIV $H, g")
+
+    def scans(df: DataFrame): (Boolean, Boolean, Boolean) = {
+      var backing = false; var baseScan = false; var feed = false
+      df.queryExecution.analyzed.foreach {
+        case r: DataSourceV2Relation => r.table match {
+          case jd: JsonDocTable =>
+            if (jd.tablePath.endsWith(".mvdata")) backing = true
+            else if (jd.tablePath == ekPath) baseScan = true
+          case tb if tb.getClass.getSimpleName.contains("Changes") => feed = true
+          case _ =>
+        }
+        case _ =>
+      }
+      (backing, baseScan, feed)
+    }
+    def pinEk(sql: String): Unit = {
+      val on = spark.sql(sql)
+      val (bk, bs, _) = scans(on)
+      assert(bk && !bs, s"expected the keyed rewrite for: $sql")
+      val got = sortedRows(on)
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try {
+        val off = spark.sql(sql)
+        val (bk2, bs2, _) = scans(off)
+        assert(!bk2 && bs2)
+        assert(got === sortedRows(off), s"keyed rewrite changed the answer: $sql")
+      } finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+
+    // exact body; bucket-only rollup; residual ON the expression key
+    pinEk(s"SELECT us DIV $H AS hb, g, count(*) AS n, sum(amt) AS s " +
+      s"FROM $t GROUP BY us DIV $H, g")
+    pinEk(s"SELECT us DIV $H AS hb, count(*) AS n, sum(amt) AS s " +
+      s"FROM $t GROUP BY us DIV $H")
+    pinEk(s"SELECT g, count(*) AS n FROM $t WHERE us DIV $H = 1 GROUP BY g")
+    // a DIFFERENT bucket width must not serve
+    val (obk, obs, _) = scans(spark.sql(
+      s"SELECT us DIV ${2 * H} AS hb, count(*) AS n FROM $t GROUP BY us DIV ${2 * H}"))
+    assert(!obk && obs, "a different bucket expression must read the base")
+    // grouping by the RAW us column must not serve either
+    val (rbk, rbs, _) = scans(spark.sql(
+      s"SELECT us, count(*) AS n FROM $t GROUP BY us"))
+    assert(!rbk && rbs, "the raw column is finer than the bucket key")
+
+    // stale serving computes the expression over the feed contributions
+    spark.sql(s"INSERT INTO $t VALUES (${4 * H + 1}, 'c', 5), (${H + 7}, 'a', 2)")
+    spark.sql(s"DELETE FROM $t WHERE amt = 100")
+    val staleSql = s"SELECT us DIV $H AS hb, count(*) AS n, sum(amt) AS s " +
+      s"FROM $t GROUP BY us DIV $H"
+    val on = spark.sql(staleSql)
+    val (sbk, sbs, sfd) = scans(on)
+    assert(sbk && sfd && !sbs,
+      s"stale keyed serving must read backing + feed (bk=$sbk bs=$sbs fd=$sfd)")
+    val got = sortedRows(on)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(got === sortedRows(spark.sql(staleSql)),
+      "stale keyed serving changed the answer")
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
 }
