@@ -389,8 +389,30 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     def extremum(func: String, col: String): Option[GraftMv.AggSpec] =
       d.aggs.find(a => a.func == func && a.arg.exists(resolver(_, col)))
 
+    // does the user group on EVERY view key? Then each output group is
+    // exactly one backing row, and stored per-group values that cannot
+    // re-aggregate (a distinct count) are still directly servable
+    lazy val fullKeyGrouping: Boolean = {
+      val userStored = agg.groupingExpressions.flatMap {
+        case a: AttributeReference => storedOf.get(a.exprId)
+        case e => exprStored(e)
+      }.toSet
+      d.groups.forall(g => userStored.contains(g.stored))
+    }
+
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
+      if (ae.isDistinct) return ae.aggregateFunction match {
+        // COUNT(DISTINCT col) serves from the maintained count when the
+        // grouping is the view's FULL key set (distinct counts do not
+        // re-aggregate across groups) and the view is CURRENT (the
+        // feed union cannot carry per-row distinct contributions)
+        case Count(Seq(a: AttributeReference)) if fullKeyGrouping && !unioned =>
+          d.aggs.find(s => s.func == "count_distinct" &&
+              s.arg.exists(resolver(_, a.name)))
+            .map(s => Coalesce(Seq(sumOf(bAttr(s.alias)), Literal(0L))))
+        case _ => None
+      }
       ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null =>
           Some(Coalesce(Seq(sumOf(bAttr(GraftMv.RowsCol)), Literal(0L))))

@@ -187,8 +187,9 @@ class GraftCatalog extends TableCatalog
           namespace)
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && GraftCatalog.schemaFile(f).isFile &&
-          // MV backing tables are internal storage, not user tables
-          !f.getName.endsWith(GraftMv.DataSuffix))
+          // MV backing/dist tables are internal storage, not user tables
+          !f.getName.endsWith(GraftMv.DataSuffix) &&
+          !f.getName.contains(GraftMv.DistMarker))
         .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
     }
 

@@ -93,11 +93,19 @@ private[graft] object GraftMv {
   final case class GroupSpec(src: String, stored: String, ddl: String,
       exprSql: Option[String] = None)
 
-  /** One aggregate: `func` in count_star|count|sum|avg|min|max. `raw`
-    * is the backing column holding the additive state under the
-    * OUTPUT alias. */
+  /** One aggregate: `func` in count_star|count|sum|avg|min|max|
+    * count_distinct. `rawDdl` is the backing column holding the
+    * additive state under the OUTPUT alias. COUNT(DISTINCT col) (r18)
+    * is two-level IVM state: a hidden sibling table
+    * `<name>.mvdist_<alias>` holds (group keys, value, multiplicity)
+    * folded with the same signed deltas, and the main backing column
+    * holds the CURRENT distinct count, folded by the per-group number
+    * of 0→live minus live→0 multiplicity transitions each refresh —
+    * so reads stay single-table consistent and tolerate ANY DML.
+    * `argDdl` = the distinct column's type (the dist table's value
+    * column). */
   final case class AggSpec(alias: String, func: String, arg: Option[String],
-      rawDdl: String)
+      rawDdl: String, argDdl: Option[String] = None)
 
   /** Output order of the body's SELECT: ("g", group index, alias) or
     * ("a", agg index, alias). */
@@ -341,12 +349,21 @@ private[graft] object GraftMv {
         visibleAlias.getOrElseUpdate(i, al.name)
         outB += OutCol("g", i, al.name)
       case al @ Alias(ae: AggregateExpression, _) =>
-        if (ae.isDistinct) refuse("DISTINCT aggregates are not " +
-          "incrementalizable (distinctness is global state, not a fold) — " +
-          s"got ${al.child.sql}")
+        if (ae.isDistinct) ae.aggregateFunction match {
+          // COUNT(DISTINCT col) folds via the two-level multiplicity
+          // state (r18); every other DISTINCT aggregate still refuses
+          case Count(Seq(_)) => ()
+          case _ => refuse("DISTINCT aggregates other than " +
+            "COUNT(DISTINCT col) are not incrementalizable — got " +
+            al.child.sql)
+        }
         if (ae.filter.nonEmpty) refuse("FILTER clauses on aggregates are " +
           s"not yet foldable: ${al.child.sql}")
         val spec = ae.aggregateFunction match {
+          case Count(Seq(e)) if ae.isDistinct =>
+            val a = argAttr(e, "COUNT(DISTINCT)")
+            AggSpec(al.name, "count_distinct", Some(a.name), "BIGINT",
+              Some(a.dataType.sql))
           // only a NON-NULL literal is COUNT(*); COUNT(NULL) is the
           // constant 0 and must refuse rather than misfold (r17)
           case Count(Seq(Literal(v, _))) if v != null =>
@@ -410,6 +427,12 @@ private[graft] object GraftMv {
         }.sql
         GroupSpec(alias, alias, e.dataType.sql, Some(stripped))
     }
+    if (aggsB.exists(_.func == "count_distinct") &&
+        aggsB.exists(a => a.func == "min" || a.func == "max"))
+      refuse("COUNT(DISTINCT) and MIN/MAX in one body are not jointly " +
+        "foldable (a delete range would need both the affected-group " +
+        "recompute and the multiplicity fold in one commit) — split " +
+        "them into two views")
     val names = groups.map(_.stored) ++ aggsB.map(_.alias)
     require(names.distinct.length == names.length,
       "graft materialized view: output column names must be unique " +
@@ -421,6 +444,9 @@ private[graft] object GraftMv {
         refuse("MIN/MAX over a join body is not foldable (a one-sided " +
           "delete would need a join recompute) — use SUM/COUNT/AVG, or a " +
           "single-table view")
+      if (aggsB.exists(_.func == "count_distinct"))
+        refuse("COUNT(DISTINCT) over a join body is not yet foldable — " +
+          "use a single-table view")
       val whereNames = whereCond.toSeq.flatMap(_.references.map(_.name)).distinct
       val refNames = (groupAttrs.map(_.name) ++ aggsB.flatMap(_.arg) ++
         whereNames).distinct
@@ -470,6 +496,7 @@ private[graft] object GraftMv {
         a.func match {
           case "count_star" => s"COUNT(*) AS ${q(a.alias)}"
           case "count" => s"COUNT(${arg.get}) AS ${q(a.alias)}"
+          case "count_distinct" => s"COUNT(DISTINCT ${arg.get}) AS ${q(a.alias)}"
           case "sum" | "avg" =>
             s"CAST(COALESCE(SUM(${arg.get}), 0) AS ${a.rawDdl}) AS ${q(a.alias)}"
           case "min" => s"MIN(${arg.get}) AS ${q(a.alias)}"
@@ -554,6 +581,10 @@ private[graft] object GraftMv {
             case "count_star" => s"SUM($sign) AS ${q(a.alias)}"
             case "count" =>
               s"SUM(CASE WHEN ${arg.get} IS NULL THEN 0 ELSE $sign END) AS ${q(a.alias)}"
+            // a placeholder: the per-group distinct-count delta comes
+            // from the multiplicity transitions ([[dcntDeltaSql]]) and
+            // is joined over this by [[withDistDeltasSql]]
+            case "count_distinct" => s"CAST(0 AS BIGINT) AS ${q(a.alias)}"
             case "sum" | "avg" =>
               s"CAST(COALESCE(SUM(CASE WHEN ${arg.get} IS NULL THEN 0 " +
                 s"ELSE $sign * ${arg.get} END), 0) AS ${a.rawDdl}) AS ${q(a.alias)}"
@@ -695,6 +726,121 @@ private[graft] object GraftMv {
        |  VALUES (${cols.map(c => s"d.$c").mkString(", ")})""".stripMargin
   }
 
+  // ---- COUNT(DISTINCT) two-level state (r18) ---------------------------
+  //
+  // Per distinct aggregate, a hidden sibling table `<name>.mvdist_<alias>`
+  // holds one row per LIVE (group keys, value): `__mv_val` = the value,
+  // `__mv_mult` = how many WHERE-passing base rows carry it. The signed
+  // feed delta folds multiplicities exactly like the main fold; a value
+  // whose multiplicity nets to zero is deleted. The main backing's
+  // count column then folds by the number of TRANSITIONS —
+  //   Δcount(group) = #values(0 → live)  −  #values(live → 0)
+  // — computed by joining the delta against the dist state PINNED at a
+  // known version: pre-merge normally, or post-merge when a crash
+  // replay finds the dist fold already committed (pre-state is then
+  // reconstructed as post − delta, so both paths are byte-identical).
+  // Reads stay single-table: the rendered view never touches dist.
+
+  val DistMarker = ".mvdist_"
+  val DistValCol = "__mv_val"
+  val DistMultCol = "__mv_mult"
+
+  /** The dist table directory for `alias`, a sibling of the backing. */
+  def distDirOf(dataDir: java.io.File, alias: String): java.io.File =
+    new java.io.File(dataDir.getParentFile,
+      dataDir.getName.stripSuffix(DataSuffix) + DistMarker + alias)
+
+  def distDdl(d: MvDef, a: AggSpec): String =
+    (d.groups.map(g => s"${q(g.stored)} ${g.ddl}") ++
+      Seq(s"${q(DistValCol)} ${a.argDdl.get}", s"${q(DistMultCol)} BIGINT"))
+      .mkString(", ")
+
+  /** Initial fill of a dist table: live (group, value) multiplicities
+    * of the base at `head` (NULL values never count). */
+  def distFillSql(cat: String, d: MvDef, distPath: String, a: AggSpec,
+      head: Int): String = {
+    val src =
+      if (!hasExprKeys(d)) s"$cat.`${d.basePath}` VERSION AS OF $head"
+      else keyedSrc(d, s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $head)")
+    val conds = d.whereSql.toSeq :+ s"${q(a.arg.get)} IS NOT NULL"
+    s"INSERT INTO $cat.`$distPath` SELECT " +
+      (d.groups.map(g => s"${q(g.src)} AS ${q(g.stored)}") ++
+        Seq(s"${q(a.arg.get)} AS ${q(DistValCol)}",
+          s"COUNT(*) AS ${q(DistMultCol)}")).mkString(", ") +
+      s" FROM $src WHERE ${conds.map(c => s"($c)").mkString(" AND ")} " +
+      s"GROUP BY ${(d.groups.map(g => q(g.src)) :+ q(a.arg.get)).mkString(", ")}"
+  }
+
+  /** The signed multiplicity delta of one distinct aggregate over the
+    * feed. */
+  def distDeltaSql(d: MvDef, feedView0: String, a: AggSpec): String = {
+    val feedView =
+      if (hasExprKeys(d)) keyedSrc(d, feedView0) else feedView0
+    val sign = "(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)"
+    val conds = d.whereSql.toSeq :+ s"${q(a.arg.get)} IS NOT NULL"
+    s"SELECT ${(d.groups.map(g => s"${q(g.src)} AS ${q(g.stored)}") ++
+      Seq(s"${q(a.arg.get)} AS ${q(DistValCol)}",
+        s"SUM($sign) AS ${q(DistMultCol)}")).mkString(", ")} " +
+      s"FROM $feedView WHERE ${conds.map(c => s"($c)").mkString(" AND ")} " +
+      s"GROUP BY ${(d.groups.map(g => q(g.src)) :+ q(a.arg.get)).mkString(", ")}"
+  }
+
+  def distMergeSql(cat: String, distPath: String, d: MvDef,
+      deltaView: String): String = {
+    val on = (d.groups.map(g => s"t.${q(g.stored)} <=> d.${q(g.stored)}") :+
+      s"t.${q(DistValCol)} <=> d.${q(DistValCol)}").mkString(" AND ")
+    val cols = d.groups.map(g => q(g.stored)) ++ Seq(q(DistValCol), q(DistMultCol))
+    s"""MERGE INTO $cat.`$distPath` t USING $deltaView d ON $on
+       |WHEN MATCHED AND t.${q(DistMultCol)} + d.${q(DistMultCol)} <= 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET ${q(DistMultCol)} =
+       |  t.${q(DistMultCol)} + d.${q(DistMultCol)}
+       |WHEN NOT MATCHED AND d.${q(DistMultCol)} > 0 THEN
+       |  INSERT (${cols.mkString(", ")}) VALUES (${cols.map(c => s"d.$c").mkString(", ")})""".stripMargin
+  }
+
+  /** The per-group distinct-count delta from multiplicity transitions.
+    * `distRel` is the dist state pinned at a known version; `post` =
+    * that pin is AFTER the fold landed (crash replay), so the
+    * pre-state is reconstructed as post − delta. */
+  def dcntDeltaSql(d: MvDef, distDeltaView: String, distRel: String,
+      post: Boolean): String = {
+    val on = (d.groups.map(g => s"dd.${q(g.stored)} <=> t.${q(g.stored)}") :+
+      s"dd.${q(DistValCol)} <=> t.${q(DistValCol)}").mkString(" AND ")
+    val pre =
+      if (post) s"(COALESCE(t.${q(DistMultCol)}, 0) - dd.${q(DistMultCol)})"
+      else s"COALESCE(t.${q(DistMultCol)}, 0)"
+    val after = s"($pre + dd.${q(DistMultCol)})"
+    s"SELECT ${d.groups.map(g => s"dd.${q(g.stored)}").mkString(", ")}, " +
+      s"SUM(CASE WHEN $pre <= 0 AND $after > 0 THEN 1 " +
+      s"WHEN $pre > 0 AND $after <= 0 THEN -1 ELSE 0 END) AS __mv_dcnt " +
+      s"FROM $distDeltaView dd LEFT JOIN $distRel t ON $on " +
+      s"GROUP BY ${d.groups.map(g => s"dd.${q(g.stored)}").mkString(", ")}"
+  }
+
+  /** The main delta with every count_distinct placeholder replaced by
+    * its transition delta (groups absent from a dcnt view fold 0). */
+  def withDistDeltasSql(d: MvDef, baseDeltaView: String,
+      dcntViews: Seq[(String, String)]): String = {
+    val items =
+      d.groups.map(g => s"b.${q(g.stored)}") ++
+        d.aggs.map { a =>
+          dcntViews.find(_._1 == a.alias) match {
+            case Some((_, v)) =>
+              s"CAST(COALESCE($v.__mv_dcnt, 0) AS BIGINT) AS ${q(a.alias)}"
+            case None => s"b.${q(a.alias)}"
+          }
+        } ++
+        Seq(s"b.${q(RowsCol)}") ++
+        d.aggs.collect { case a if a.func == "sum" || a.func == "avg" =>
+          s"b.${q(nnCol(a.alias))}" }
+    val joins = dcntViews.map { case (_, v) =>
+      val on = d.groups.map(g => s"b.${q(g.stored)} <=> $v.${q(g.stored)}")
+        .mkString(" AND ")
+      s" LEFT JOIN $v ON $on"
+    }.mkString
+    s"SELECT ${items.mkString(", ")} FROM $baseDeltaView b$joins"
+  }
+
   /** The rendering projection a read of the MV name expands into: the
     * body's output columns in order, hidden counters folded into the
     * NULL semantics a recomputation would produce. */
@@ -742,7 +888,8 @@ private[graft] object GraftMv {
     val as = root.putArray("aggs")
     d.aggs.foreach { a =>
       val n = as.addObject(); n.put("alias", a.alias); n.put("func", a.func)
-      a.arg.foreach(n.put("arg", _)); n.put("rawDdl", a.rawDdl); ()
+      a.arg.foreach(n.put("arg", _)); n.put("rawDdl", a.rawDdl)
+      a.argDdl.foreach(n.put("argDdl", _)); ()
     }
     val os = root.putArray("output")
     d.output.foreach { o =>
@@ -787,7 +934,8 @@ private[graft] object GraftMv {
           n.get("ddl").asText(), Option(n.get("expr")).map(_.asText())))),
       aggs = Option(root.get("aggs")).toSeq.flatMap(_.elements().asScala.map(n =>
         AggSpec(n.get("alias").asText(), n.get("func").asText(),
-          Option(n.get("arg")).map(_.asText()), n.get("rawDdl").asText()))),
+          Option(n.get("arg")).map(_.asText()), n.get("rawDdl").asText(),
+          Option(n.get("argDdl")).map(_.asText())))),
       output = Option(root.get("output")).toSeq.flatMap(_.elements().asScala.map(n =>
         OutCol(n.get("kind").asText(), n.get("idx").asInt(),
           n.get("alias").asText()))),
@@ -824,9 +972,10 @@ private[graft] object GraftMv {
     require(d.basePath != dataDir.getAbsolutePath &&
         !d.join.exists(_.basePath2 == dataDir.getAbsolutePath),
       "graft materialized view: the body may not read the MV's own backing table")
-    // a failed earlier CREATE leaves an orphan backing dir (no def file
-    // => invisible); sweep it so re-CREATE starts clean
+    // a failed earlier CREATE leaves orphan backing/dist dirs (no def
+    // file => invisible); sweep them so re-CREATE starts clean
     if (dataDir.isDirectory) deleteRecursively(dataDir)
+    sweepDistDirs(dataDir)
     val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
     // MERGE-ON-READ backing (r17, the AnnScaleProbe lesson applied
     // here too): a refresh's changed groups spread across files, so a
@@ -845,10 +994,27 @@ private[graft] object GraftMv {
         write(defFile, d.copy(lastVersion = head, lastVersion2 = head2,
           createdVersion = head, createdVersion2 = head2))
       case None =>
+        d.aggs.filter(_.func == "count_distinct").foreach { a =>
+          val dist = distDirOf(dataDir, a.alias)
+          session.sql(s"CREATE TABLE $cat.`${dist.getAbsolutePath}` " +
+            s"(${distDdl(d, a)}) USING `graft-jsondoc` " +
+            "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+          if (head > 0)
+            session.sql(distFillSql(cat, d, dist.getAbsolutePath, a, head))
+        }
         if (head > 0)
           session.sql(initialFillSql(cat, d, dataDir.getAbsolutePath, head))
         write(defFile, d.copy(lastVersion = head, createdVersion = head))
     }
+  }
+
+  /** Every dist sibling of `dataDir` (by name prefix — the def may be
+    * gone or unreadable when sweeping). */
+  private def sweepDistDirs(dataDir: java.io.File): Unit = {
+    val prefix = dataDir.getName.stripSuffix(DataSuffix) + DistMarker
+    Option(dataDir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach(deleteRecursively)
   }
 
   def drop(defFile: java.io.File, dataDir: java.io.File): Unit = {
@@ -858,6 +1024,7 @@ private[graft] object GraftMv {
     if (defFile.isFile && !defFile.delete())
       throw new java.io.IOException(s"cannot delete $defFile")
     if (dataDir.isDirectory) deleteRecursively(dataDir)
+    sweepDistDirs(dataDir)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -933,11 +1100,42 @@ private[graft] object GraftMv {
     val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$head"
     val feedView = s"${tag}_feed"
     val deltaView = s"${tag}_delta"
+    val distAggs = d.aggs.filter(_.func == "count_distinct")
+    val tempViews = scala.collection.mutable.ArrayBuffer(feedView, deltaView)
     feed.createOrReplaceTempView(feedView)
     try {
+      // COUNT(DISTINCT) state first: fold each dist table's signed
+      // multiplicity delta (its own idempotent ledger — a crash replay
+      // skips it), and pin the TRANSITION deltas for the main fold
+      // against the dist state at a known version (pre-merge normally,
+      // post-merge on replay) so both paths compute identical counts
+      val dcnts = distAggs.zipWithIndex.map { case (a, i) =>
+        val dist = distDirOf(dataDir, a.alias).getAbsolutePath
+        val dv = s"${tag}_dd_$i"
+        session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $dv AS " +
+          distDeltaSql(d, feedView, a))
+        tempViews += dv
+        val distFolded = JsonDocVersions.lastTxn(dist, appIdOf(name))
+          .exists(_.toInt >= head)
+        val pin = JsonDocVersions.latestVersion(dist).getOrElse(0)
+        val distRel =
+          if (pin > 0) s"(SELECT * FROM $cat.`$dist` VERSION AS OF $pin)"
+          else s"$cat.`$dist`" // a fresh empty table has nothing to pin
+        val dcv = s"${tag}_dc_$i"
+        session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $dcv AS " +
+          dcntDeltaSql(d, dv, distRel, post = distFolded))
+        tempViews += dcv
+        if (!distFolded) {
+          GraftTxn.begin(dist, appIdOf(name), head.toLong)
+          try session.sql(distMergeSql(cat, dist, d, dv))
+          finally GraftTxn.clear(dist)
+        }
+        (a.alias, dcv)
+      }
       session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
         (if (mixed) mixedDeltaSql(cat, d, feedView, head)
-         else deltaSql(d, feedView)))
+         else if (dcnts.isEmpty) deltaSql(d, feedView)
+         else withDistDeltasSql(d, s"(${deltaSql(d, feedView)})", dcnts)))
       // the (appId, head) pair rides the MERGE's own manifest commit —
       // the q183 exactly-once recipe: a replay after a crash between
       // the MERGE and the definition-file update sees lastTxn = head
@@ -948,9 +1146,7 @@ private[graft] object GraftMv {
         else mergeSql(cat, backing, d, deltaView))
       finally GraftTxn.clear(backing)
     } finally {
-      session.catalog.dropTempView(deltaView)
-      session.catalog.dropTempView(feedView)
-      ()
+      tempViews.reverse.foreach { v => session.catalog.dropTempView(v); () }
     }
     write(defFile, d.copy(lastVersion = head))
     (last + 1, head)

@@ -1927,6 +1927,57 @@ object SourceQueries {
       "CAST(sum(cents) AS BIGINT) AS s, min(cents) AS lo FROM t " +
       "WHERE user_id % 5 <> 3 GROUP BY 1 ORDER BY 1"
 
+  /** q240: COUNT(DISTINCT) MATERIALIZED VIEW (r18 — two-level IVM
+    * state): a hidden (group, value, multiplicity) sibling table folds
+    * the same signed feed deltas as the main backing, and the main
+    * count column folds by the number of 0→live / live→0 multiplicity
+    * transitions per group — so deletes that remove SOME carriers of a
+    * value leave the count alone, deletes that remove the LAST carrier
+    * drop it, and updates migrate values, all without re-scanning the
+    * base. Lineage: append → refresh → delete + value-migrating update
+    * → refresh. Oracle: the from-scratch recompute over the final
+    * state. */
+  def q240MvCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q240")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val path = new java.io.File(s"$root/t").getAbsolutePath
+      val tbl = s"graftcat.`$path`"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderpriority STRING, cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(tbl).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.cd AS " +
+        s"SELECT o_custkey, count(*) AS n, " +
+        s"count(DISTINCT o_orderpriority) AS dp, sum(cents) AS s " +
+        s"FROM $tbl WHERE o_orderkey % 10 <> 7 GROUP BY o_custkey")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(tbl).append() // v2
+      spark.sql("CALL graftcat.refresh_mv('db.cd')").collect()
+      // v3: deletes remove some-but-not-all carriers AND last carriers;
+      // v4: an UPDATE migrates values (delete+insert in the feed)
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 4 = 1")
+      spark.sql(s"UPDATE $tbl SET o_orderpriority = '9-GRAFT' " +
+        "WHERE o_orderkey % 13 = 2")
+      spark.sql("CALL graftcat.refresh_mv('db.cd')").collect()
+      spark.sql("SELECT o_custkey, n, dp, s FROM graftcat.db.cd " +
+        "ORDER BY o_custkey")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q240Sql: String =
+    "WITH t AS (SELECT o_custkey, CASE WHEN o_orderkey % 13 = 2 " +
+      "THEN '9-GRAFT' ELSE o_orderpriority END AS pr, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders " +
+      "WHERE o_orderkey % 4 <> 1 AND o_orderkey % 10 <> 7) " +
+      "SELECT o_custkey, count(*) AS n, count(DISTINCT pr) AS dp, " +
+      "CAST(sum(cents) AS BIGINT) AS s FROM t GROUP BY o_custkey " +
+      "ORDER BY o_custkey"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -2037,6 +2088,7 @@ object SourceQueries {
     "q237_mv_stale_serve" -> q237MvStaleServe _,
     "q238_mv_join_stale" -> q238MvJoinStale _,
     "q239_mv_expr_key" -> q239MvExprKey _,
+    "q240_mv_count_distinct" -> q240MvCountDistinct _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2066,6 +2118,7 @@ object SourceQueries {
     "q237_mv_stale_serve" -> q237Sql,
     "q238_mv_join_stale" -> q238Sql,
     "q239_mv_expr_key" -> q239Sql,
+    "q240_mv_count_distinct" -> q240Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

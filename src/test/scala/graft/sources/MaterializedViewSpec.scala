@@ -387,6 +387,84 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "collides with a source column")
   }
 
+  test("COUNT(DISTINCT): the multiplicity state folds any DML like a recompute") {
+    freshWarehouse()
+    spark.sql("CREATE NAMESPACE graftcat.dbcd")
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_cd").toString
+    val base = s"graftcat.`$root/t`"
+    spark.sql(s"CREATE TABLE $base (k BIGINT, grp STRING, tag STRING, x BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    // v1: duplicates of a value within a group ('a' has two 'red'),
+    // a NULL tag (never counted), a NULL group key, a WHERE-excluded
+    // row, a group that will vanish
+    spark.sql(s"INSERT INTO $base VALUES " +
+      "(1, 'a', 'red', 10), (2, 'a', 'red', 20), (3, 'a', 'blue', 30), " +
+      "(4, 'b', 'red', 40), (5, 'b', NULL, 50), " +
+      "(6, 'gone', 'red', 60), (7, NULL, 'green', 70), (-1, 'a', 'violet', 80)")
+    val body = s"SELECT grp, count(*) AS n, count(DISTINCT tag) AS dt, " +
+      s"count(DISTINCT x) AS dx, sum(x) AS sx FROM $base WHERE k > 0 GROUP BY grp"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbcd.m AS $body")
+    assert(sortedRows("SELECT * FROM graftcat.dbcd.m") === sortedRows(body),
+      "the initial distinct materialization must equal a recompute")
+    // the WHERE-excluded 'violet' must not have counted
+    assert(spark.sql("SELECT dt FROM graftcat.dbcd.m WHERE grp = 'a'")
+      .collect()(0).getLong(0) === 2L)
+
+    // v2: one 'red' leaves 'a' (mult 2→1: count UNchanged), and a new
+    // value arrives in 'b'
+    spark.sql(s"DELETE FROM $base WHERE k = 1")
+    spark.sql(s"INSERT INTO $base VALUES (8, 'b', 'blue', 55)")
+    spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()
+    assert(sortedRows("SELECT * FROM graftcat.dbcd.m") === sortedRows(body),
+      "a mult-decrement fold must equal a recompute")
+    assert(spark.sql("SELECT dt FROM graftcat.dbcd.m WHERE grp = 'a'")
+      .collect()(0).getLong(0) === 2L, "2→1 multiplicity must not change the count")
+
+    // v3/v4: the LAST 'red' leaves 'a' (count drops), an UPDATE
+    // migrates a value in 'b' (delete+insert in the feed), the 'gone'
+    // group vanishes, and a same-value re-insert arrives in one range
+    spark.sql(s"DELETE FROM $base WHERE k = 2 OR grp = 'gone'")
+    spark.sql(s"UPDATE $base SET tag = 'amber' WHERE k = 4")
+    spark.sql(s"INSERT INTO $base VALUES (9, 'a', 'blue', 90), (10, 'c', 'red', 5)")
+    spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()
+    val got = sortedRows("SELECT grp, n, dt, dx, sx FROM graftcat.dbcd.m")
+    assert(got === sortedRows(body),
+      "the transition fold must equal a recompute under mixed DML")
+    assert(spark.sql("SELECT dt FROM graftcat.dbcd.m WHERE grp = 'a'")
+      .collect()(0).getLong(0) === 1L, "losing the last carrier must drop the count")
+    assert(!got.exists(_.head == "gone"), s"the vanished group leaked: $got")
+    // an all-NULL-tag group counts zero, not NULL (count semantics)
+    spark.sql(s"INSERT INTO $base VALUES (11, 'z', NULL, 1)")
+    spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()
+    assert(spark.sql("SELECT dt FROM graftcat.dbcd.m WHERE grp = 'z'")
+      .collect()(0).getLong(0) === 0L)
+    assert(sortedRows("SELECT * FROM graftcat.dbcd.m") === sortedRows(body))
+    // re-CALL: exactly-once no-op
+    val ref = spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()(0)
+    assert(ref.getLong(0) > ref.getLong(1), s"no-op refresh expected: $ref")
+    // the dist side tables are internal storage: never listed
+    assert(!spark.sql("SHOW TABLES IN graftcat.dbcd").collect()
+      .exists(_.getString(1).contains("mvdist")), "dist tables leaked")
+    // DROP removes them from disk
+    spark.sql("DROP MATERIALIZED VIEW graftcat.dbcd.m")
+    val wh2 = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+    assert(!Option(new java.io.File(s"$wh2/dbcd").listFiles())
+      .getOrElse(Array.empty).exists(_.getName.contains(".mvdist_")),
+      "DROP must sweep the dist tables")
+
+    // refusals: DISTINCT with MIN/MAX, non-count DISTINCT, join DISTINCT
+    def refuses(bodySql: String, msgPart: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbcd.bad AS $bodySql")
+      }
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    refuses(s"SELECT grp, count(DISTINCT tag) AS dt, min(x) AS lo " +
+      s"FROM $base GROUP BY grp", "split")
+    refuses(s"SELECT grp, sum(DISTINCT x) AS sd FROM $base GROUP BY grp",
+      "COUNT(DISTINCT col)")
+  }
+
   test("non-incrementalizable bodies refuse at CREATE with the reason") {
     val wh = freshWarehouse()
     spark.sql("CREATE NAMESPACE graftcat.db3")
@@ -409,8 +487,13 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       "INNER")
     refuse(s"SELECT g, count(*) AS n FROM (SELECT g FROM $t UNION ALL SELECT g FROM $t) GROUP BY g",
       "graft-jsondoc table")
-    refuse(s"SELECT g, count(DISTINCT x) AS n FROM $t GROUP BY g",
-      "DISTINCT aggregates")
+    // COUNT(DISTINCT col) folds since r18 (the multiplicity state) —
+    // this body now CREATES; other DISTINCT aggregates still refuse
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.db3.okdist AS " +
+      s"SELECT g, count(DISTINCT x) AS n FROM $t GROUP BY g")
+    spark.sql("DROP MATERIALIZED VIEW graftcat.db3.okdist")
+    refuse(s"SELECT g, avg(DISTINCT x) AS n FROM $t GROUP BY g",
+      "COUNT(DISTINCT col)")
     refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g HAVING count(*) > 1",
       "single aggregate")
     refuse(s"SELECT g, count(*) AS n FROM $t GROUP BY g ORDER BY g",

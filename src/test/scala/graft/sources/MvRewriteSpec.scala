@@ -544,4 +544,56 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stale keyed serving changed the answer")
     finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
   }
+
+  test("COUNT(DISTINCT) serves at full-key grouping, refuses rollups and staleness") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.cd")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_cd").toString
+    val cdPath = new java.io.File(s"$root/t").getAbsolutePath
+    val t = s"graftcat.`$cdPath`"
+    spark.sql(s"CREATE TABLE $t (g STRING, h STRING, tag STRING, x BIGINT) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES ('a', 'p', 'red', 1), ('a', 'p', 'red', 2), " +
+      "('a', 'q', 'blue', 3), ('b', 'p', NULL, 4), ('b', 'p', 'green', 5)")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.cd.m AS " +
+      s"SELECT g, h, count(*) AS n, count(DISTINCT tag) AS dt, sum(x) AS sx " +
+      s"FROM $t GROUP BY g, h")
+    def scans(df: DataFrame): (Boolean, Boolean) = {
+      var backing = false; var baseScan = false
+      df.queryExecution.analyzed.foreach {
+        case r: DataSourceV2Relation => r.table match {
+          case jd: JsonDocTable =>
+            if (jd.tablePath.endsWith(".mvdata")) backing = true
+            else if (jd.tablePath == cdPath) baseScan = true
+          case _ =>
+        }
+        case _ =>
+      }
+      (backing, baseScan)
+    }
+    // full-key grouping: the stored count is the answer
+    val full = s"SELECT g, h, count(DISTINCT tag) AS dt, count(*) AS n " +
+      s"FROM $t GROUP BY g, h"
+    val on = spark.sql(full)
+    assert(scans(on) === ((true, false)), "full-key distinct must serve")
+    val got = sortedRows(on)
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(got === sortedRows(spark.sql(full)))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    // a ROLLUP of a distinct count cannot re-aggregate: base scan
+    assert(scans(spark.sql(s"SELECT g, count(DISTINCT tag) AS dt FROM $t " +
+      "GROUP BY g")) === ((false, true)), "distinct rollup must read the base")
+    // staleness: the non-distinct aggs still stale-serve, the distinct
+    // ask falls back to the base
+    spark.sql(s"INSERT INTO $t VALUES ('c', 'p', 'red', 6)")
+    assert(scans(spark.sql(s"SELECT g, h, count(*) AS n FROM $t GROUP BY g, h"))
+      === ((true, false)), "non-distinct aggs must stale-serve")
+    assert(scans(spark.sql(full)) === ((false, true)),
+      "a stale distinct ask must read the base")
+    spark.sql("CALL graftcat.refresh_mv('cd.m')")
+    val after = spark.sql(full)
+    assert(scans(after) === ((true, false)), "refreshed distinct serves again")
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try assert(sortedRows(after) === sortedRows(spark.sql(full)))
+    finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
 }
