@@ -440,10 +440,6 @@ private[graft] object GraftMv {
     require(names.forall(n => !n.startsWith("__mv_") || n.startsWith("__mv_g_")),
       "graft materialized view: '__mv_' column names are reserved")
     val join = joinInfo.map { case (js0, leftIds, allOut) =>
-      if (aggsB.exists(a => a.func == "min" || a.func == "max"))
-        refuse("MIN/MAX over a join body is not foldable (a one-sided " +
-          "delete would need a join recompute) — use SUM/COUNT/AVG, or a " +
-          "single-table view")
       if (aggsB.exists(_.func == "count_distinct"))
         refuse("COUNT(DISTINCT) over a join body is not yet foldable — " +
           "use a single-table view")
@@ -626,7 +622,11 @@ private[graft] object GraftMv {
   /** The mixed fold/recompute delta over a feed range containing
     * deletes: fold rows for untouched groups plus replace/absent rows
     * for every affected key, aligned on the backing schema + `ModeCol`. */
-  def mixedDeltaSql(cat: String, d: MvDef, feedView0: String, head: Int): String = {
+  /** `recomputeSrcOverride` (r18): the affected-group recompute source
+    * for JOIN bodies — the joined pair of both bases pinned at their
+    * heads, in place of the single base at `head`. */
+  def mixedDeltaSql(cat: String, d: MvDef, feedView0: String, head: Int,
+      recomputeSrcOverride: Option[String] = None): String = {
     // with expression keys, materialize them ONCE (feed and base-at-head
     // both) so every key reference below is a plain stored column
     val keyed = hasExprKeys(d)
@@ -647,9 +647,9 @@ private[graft] object GraftMv {
     val semiOn = d.groups.map(g =>
       s"b.${q(g.src)} <=> a.${q(g.stored)}").mkString(" AND ")
     val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
-    val baseAtHead =
+    val baseAtHead = recomputeSrcOverride.getOrElse(
       if (keyed) keyedSrc(d, s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $head)")
-      else s"$cat.`${d.basePath}` VERSION AS OF $head"
+      else s"$cat.`${d.basePath}` VERSION AS OF $head")
     val recomputed =
       s"SELECT ${fillItems(d).mkString(", ")} FROM (SELECT b.* FROM " +
         s"$baseAtHead b " +
@@ -1202,11 +1202,17 @@ private[graft] object GraftMv {
     val headB = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
     if (headA <= lastA && headB <= lastB) return (lastA + 1, lastA)
     val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_${headA}_$headB"
+    val hasExtrema = d.aggs.exists(a => a.func == "min" || a.func == "max")
+    var deletesSeen = false
     def feedView(path: String, from: Int, to: Int, v: String): String = {
-      session.read.format("graft-jsondoc").option("readChanges", "true")
+      val df = session.read.format("graft-jsondoc").option("readChanges", "true")
         .option("startingVersion", from.toString)
         .option("endingVersion", to.toString)
-        .option("path", path).load().createOrReplaceTempView(v)
+        .option("path", path).load()
+      if (hasExtrema && !deletesSeen)
+        deletesSeen = !df.filter(org.apache.spark.sql.functions
+          .col("_change_type") === "delete").isEmpty
+      df.createOrReplaceTempView(v)
       v
     }
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1236,12 +1242,23 @@ private[graft] object GraftMv {
       session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $u AS " +
         terms.map(t => s"SELECT * FROM $t __t").mkString(" UNION ALL "))
       views += u
+      // extrema + deletes (r18): the q231 affected-group rescan
+      // generalized to the join — groups that lost any joined pair
+      // (a delete-marked row in EITHER term) recompute from
+      // A@headA ⋈ B@headB, semi-join-pruned to those keys; every
+      // untouched group's u rows are inserts and fold as usual
+      val mixed = hasExtrema && deletesSeen
       val deltaView = s"${tag}_delta"
       session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
-        deltaSql(d, u))
+        (if (mixed) mixedDeltaSql(cat, d, u, headA, Some(joinedSrcSql(d,
+          s"(SELECT * FROM $cat.`${d.basePath}` VERSION AS OF $headA)",
+          s"(SELECT * FROM $cat.`${js.basePath2}` VERSION AS OF $headB)")))
+         else deltaSql(d, u)))
       views += deltaView
       GraftTxn.begin(backing, appIdOf(name), encodeVersions(headA, headB))
-      try session.sql(mergeSql(cat, backing, d, deltaView))
+      try session.sql(
+        if (mixed) mixedMergeSql(cat, backing, d, deltaView)
+        else mergeSql(cat, backing, d, deltaView))
       finally GraftTxn.clear(backing)
     } finally views.foreach { v => session.catalog.dropTempView(v); () }
     write(defFile, d.copy(lastVersion = headA, lastVersion2 = headB))

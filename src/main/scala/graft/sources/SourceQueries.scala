@@ -1978,6 +1978,59 @@ object SourceQueries {
       "CAST(sum(cents) AS BIGINT) AS s FROM t GROUP BY o_custkey " +
       "ORDER BY o_custkey"
 
+  /** q241: MIN/MAX over a JOIN-BODY materialized view (r18 — the last
+    * cell of the aggregate × body matrix): extrema fold least/greatest
+    * over append ranges, and a refresh range carrying deletes on
+    * EITHER base recomputes ONLY the groups that lost a joined pair
+    * (delete-marked rows in either signed-delta term), from
+    * A@headA ⋈ B@headB semi-join-pruned to those keys — the q231
+    * per-group IVM rescan generalized to the join. Lineage: orders
+    * append → refresh → orders delete (extrema vanish) + customer
+    * segment UPDATE (group migration = b-side delete+insert) →
+    * refresh. Oracle: the from-scratch join recompute. */
+  def q241MvJoinMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q241")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val o = s"graftcat.`$root/o`"
+      val c = s"graftcat.`$root/c`"
+      spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_mktsegment STRING) " +
+        "USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(o).append() // v1
+      customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo(c).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.jx AS " +
+        s"SELECT c_mktsegment, count(*) AS n, min(cents) AS lo, " +
+        s"max(cents) AS hi, sum(cents) AS s " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey WHERE cents > 0 " +
+        "GROUP BY c_mktsegment")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(o).append() // o v2
+      spark.sql("CALL graftcat.refresh_mv('db.jx')").collect() // append fold
+      spark.sql(s"DELETE FROM $o WHERE o_orderkey % 7 = 3") // o v3: extrema vanish
+      spark.sql(s"UPDATE $c SET c_mktsegment = 'GRAFT' WHERE c_custkey % 9 = 2")
+      spark.sql("CALL graftcat.refresh_mv('db.jx')").collect() // mixed join fold
+      spark.sql("SELECT c_mktsegment, n, lo, hi, s FROM graftcat.db.jx " +
+        "ORDER BY c_mktsegment")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q241Sql: String =
+    "WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS cents FROM orders WHERE o_orderkey % 7 <> 3), " +
+      "c AS (SELECT c_custkey, CASE WHEN c_custkey % 9 = 2 THEN 'GRAFT' " +
+      "ELSE c_mktsegment END AS c_mktsegment FROM customer) " +
+      "SELECT c_mktsegment, count(*) AS n, min(cents) AS lo, max(cents) AS hi, " +
+      "CAST(sum(cents) AS BIGINT) AS s FROM o JOIN c ON o_custkey = c_custkey " +
+      "WHERE cents > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -2089,6 +2142,7 @@ object SourceQueries {
     "q238_mv_join_stale" -> q238MvJoinStale _,
     "q239_mv_expr_key" -> q239MvExprKey _,
     "q240_mv_count_distinct" -> q240MvCountDistinct _,
+    "q241_mv_join_minmax" -> q241MvJoinMinmax _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2119,6 +2173,7 @@ object SourceQueries {
     "q238_mv_join_stale" -> q238Sql,
     "q239_mv_expr_key" -> q239Sql,
     "q240_mv_count_distinct" -> q240Sql,
+    "q241_mv_join_minmax" -> q241Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

@@ -158,8 +158,8 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "INNER")
     refuse(s"SELECT t.x AS x, count(*) AS n FROM $a t JOIN $a u ON t.k = u.k GROUP BY t.x",
       "self-join")
-    refuse(s"SELECT seg, max(x) AS mx FROM $a JOIN $b ON k = k2 GROUP BY seg",
-      "MIN/MAX over a join")
+    // MIN/MAX over a join folds since r18 (delete ranges recompute the
+    // affected groups from both heads) — covered by its own test below
     refuse(s"SELECT seg, count(*) AS n FROM $a JOIN $b ON k < k2 GROUP BY seg",
       "column equalities")
     refuse(s"SELECT seg, count(*) AS n FROM $a JOIN $b ON k + 1 = k2 GROUP BY seg",
@@ -173,5 +173,53 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     refuse(s"SELECT c.dup AS g, count(*) AS n FROM graftcat.`$root2/c` c " +
       s"JOIN graftcat.`$root2/d` d ON c.k3 = d.k4 GROUP BY c.dup",
       "ambiguous")
+  }
+
+  test("MIN/MAX join body: deletes on either side recompute only affected groups") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbjx")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvjx").toString
+    val ta = s"graftcat.`$root/a`"
+    val tb = s"graftcat.`$root/b`"
+    spark.sql(s"CREATE TABLE $ta (k BIGINT, x BIGINT) USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"CREATE TABLE $tb (k2 BIGINT, seg STRING, w BIGINT) " +
+      "USING `graft-jsondoc` " +
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $ta VALUES (1, 10), (1, 200), (2, 5), (3, 70), " +
+      "(4, 40), (5, NULL)")
+    spark.sql(s"INSERT INTO $tb VALUES (1, 'p', 1), (2, 'p', 2), (3, 'q', 3), " +
+      "(4, 'q', -9), (5, 'q', 5)")
+    val jbody = s"SELECT seg, count(*) AS n, min(x) AS lo, max(x) AS hi, " +
+      s"sum(x) AS sx FROM $ta JOIN $tb ON k = k2 WHERE w >= 0 GROUP BY seg"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbjx.mm AS $jbody")
+    def current(clue: String): Unit =
+      assert(sortedRows("SELECT * FROM graftcat.dbjx.mm") === sortedRows(jbody), clue)
+    current("initial extrema fill must equal a recompute")
+    // append-only on both sides: the pure least/greatest fold
+    spark.sql(s"INSERT INTO $ta VALUES (2, 1), (3, 999)")
+    spark.sql(s"INSERT INTO $tb VALUES (6, 'r', 6)")
+    spark.sql("CALL graftcat.refresh_mv('dbjx.mm')").collect()
+    current("append-only extrema fold must equal a recompute")
+    // an A-SIDE delete removes 'p''s maximum (x=200 via k=1):
+    // p recomputes, q/r fold
+    spark.sql(s"DELETE FROM $ta WHERE x = 200")
+    spark.sql(s"INSERT INTO $ta VALUES (6, 3)") // same range: an insert too
+    spark.sql("CALL graftcat.refresh_mv('dbjx.mm')").collect()
+    current("an a-side delete must recompute the affected group exactly")
+    // a B-SIDE delete removes a whole join key (k2=3: 'q' loses rows
+    // incl. extrema) and a b-side UPDATE migrates k2=5 from 'q' to 'p'
+    // (delete+insert in the feed: BOTH groups affected)
+    spark.sql(s"DELETE FROM $tb WHERE k2 = 3")
+    spark.sql(s"UPDATE $tb SET seg = 'p' WHERE k2 = 5")
+    spark.sql("CALL graftcat.refresh_mv('dbjx.mm')").collect()
+    current("b-side deletes and group migration must recompute exactly")
+    // vanish a group entirely ('r' via its only b row)
+    spark.sql(s"DELETE FROM $tb WHERE seg = 'r'")
+    spark.sql("CALL graftcat.refresh_mv('dbjx.mm')").collect()
+    current("a vanished group must disappear, not zero out")
+    assert(!sortedRows("SELECT * FROM graftcat.dbjx.mm").exists(_.head == "r"))
+    // exactly-once: re-CALL folds nothing
+    val ref = spark.sql("CALL graftcat.refresh_mv('dbjx.mm')").collect()(0)
+    assert(ref.getLong(0) > ref.getLong(1), s"no-op refresh expected: $ref")
   }
 }
