@@ -143,6 +143,10 @@ class GraftCatalog extends TableCatalog
       case "refresh_text_index" => new GraftProcedures.RefreshTextIndexProcedure(catalogName)
       case "text_index_state" => GraftProcedures.TextIndexStateProcedure
       case "text_search" => new GraftProcedures.TextSearchProcedure(catalogName)
+      case "text_search_and" =>
+        new GraftProcedures.TextSearchProcedure(catalogName, "and")
+      case "text_search_phrase" =>
+        new GraftProcedures.TextSearchProcedure(catalogName, "phrase")
       case other => throw new UnsupportedOperationException(
         s"graft catalog has no procedure '$other' (available: vacuum, optimize, " +
           "expire_snapshots, cluster, set_partition_spec, create_tag, drop_tag, " +

@@ -580,13 +580,23 @@ private[sources] object GraftProcedures {
   /** `CALL graftcat.text_search('<index root>', 'term1,term2', k)` —
     * BM25 top-k over the persisted postings, the pure-SQL query
     * surface (bounded: k result rows come back through the procedure
-    * scan). */
-  final class TextSearchProcedure(catalogName: String) extends UnboundProcedure {
-    override def name(): String = "text_search"
+    * scan). `mode`: "or" = q101's any-term scoring; "and" (r18,
+    * `text_search_and`) = only docs containing EVERY term; "phrase"
+    * (r18, `text_search_phrase`) = only docs containing the terms
+    * adjacent and in order, via the positional postings. */
+  final class TextSearchProcedure(catalogName: String, mode: String = "or")
+      extends UnboundProcedure {
+    private val procName = mode match {
+      case "and" => "text_search_and"
+      case "phrase" => "text_search_phrase"
+      case _ => "text_search"
+    }
+    override def name(): String = procName
     override def description(): String =
-      "BM25 top-k lexical search over the persisted text index (comma-separated query terms)"
+      s"BM25 top-k $mode-mode lexical search over the persisted text index " +
+        "(comma-separated query terms)"
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
-      override def name(): String = "text_search"
+      override def name(): String = procName
       override def description(): String = TextSearchProcedure.this.description()
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("index_root", StringType).build(),
@@ -594,11 +604,17 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("k", LongType).build())
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val rows = graft.text.TextIndex.search(
-          org.apache.spark.sql.SparkSession.active, catalogName,
-          input.getUTF8String(0).toString,
-          input.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
-          input.getLong(2).toInt).collect()
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = input.getUTF8String(0).toString
+        val terms = input.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+        val k = input.getLong(2).toInt
+        val rows = (mode match {
+          case "and" => graft.text.TextIndex.searchAnd(spark, catalogName,
+            root, terms, k)
+          case "phrase" => graft.text.TextIndex.searchPhrase(spark, catalogName,
+            root, terms, k)
+          case _ => graft.text.TextIndex.search(spark, catalogName, root, terms, k)
+        }).collect()
         val schema = new StructType()
           .add("doc_id", LongType, nullable = false)
           .add("bm25", org.apache.spark.sql.types.DoubleType, nullable = false)

@@ -1212,9 +1212,98 @@ object TextAnalysis {
       "FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
       "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
 
+  /** Shared staging for q242/q243: the q234 DML lineage verbatim —
+    * partial corpus indexed, then an append, a text-mutating UPDATE
+    * and a DELETE folded through one refresh — so the searches run
+    * over postings (and positions) maintained through real DML. */
+  private def stagedDmlIndex(spark: SparkSession, dir: String,
+      root: String): String = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val tbl = s"graftcat.`$root/docs`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(4)) =!= 3).writeTo(tbl).append() // v1
+    spark.sql(s"CALL graftcat.create_text_index('$root/idx', '$root/docs', 64)")
+      .collect()
+    docs.filter(pmod(col("doc_id"), lit(4)) === 3).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET text = concat(text, ' vector vector') " +
+      "WHERE doc_id % 10 = 4") // v3
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id % 10 = 6") // v4
+    spark.sql(s"CALL graftcat.refresh_text_index('$root/idx')").collect()
+    s"$root/idx"
+  }
+
+  /** q242: CONJUNCTIVE (AND) SEARCH over the persisted text index
+    * (r18, [[TextIndex.searchAnd]]): only documents containing EVERY
+    * query term score — the doc sets intersect across the terms'
+    * bucket-pruned postings BEFORE scoring, with corpus-wide df (a
+    * restriction must not change a term's rarity). Runs over the q234
+    * DML-maintained index; the oracle recomputes from the final
+    * corpus with a HAVING-all-terms gate. */
+  def q242TextSearchAnd(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q242")
+    val idx = stagedDmlIndex(spark, dir, root)
+    spark.sql(s"CALL graftcat.text_search_and('$idx', 'hash,join,vector', 10)")
+  }
+
+  val q242Sql: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 10 = 4 " +
+      "THEN text || ' vector vector' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 10 <> 6), " +
+      "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs), " +
+      "lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('hash','join','vector') GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "conj AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 3), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens) " +
+      "SELECT doc_id, round(sum(" +
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))" +
+      "), 6) AS bm25 " +
+      "FROM tf JOIN conj USING (doc_id) JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
+
+  /** q243: PHRASE SEARCH over the positional postings (r18,
+    * [[TextIndex.searchPhrase]]): documents containing the terms
+    * ADJACENT and in order — term i's stored positions shift by −i and
+    * the phrase occurs iff the shifted sets intersect, an index-only
+    * check over bucket-pruned postings (no text re-scan). Runs over
+    * the q234 DML-maintained index, so the positions themselves
+    * survived an update/delete/append fold; the oracle gates the
+    * recompute on the token-adjacency regex (`hash` then `join`
+    * separated only by non-token characters), the exact text-side
+    * equivalent of positional adjacency. */
+  def q243TextSearchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q243")
+    val idx = stagedDmlIndex(spark, dir, root)
+    spark.sql(s"CALL graftcat.text_search_phrase('$idx', 'hash,join', 10)")
+  }
+
+  val q243Sql: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN doc_id % 10 = 4 " +
+      "THEN text || ' vector vector' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 10 <> 6), " +
+      "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM docs), " +
+      "lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('hash','join') GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "phrase AS (SELECT doc_id FROM docs WHERE " +
+      "regexp_matches(lower(text), '(^|[^a-z0-9])hash[^a-z0-9]+join([^a-z0-9]|$)')), " +
+      "stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens) " +
+      "SELECT doc_id, round(sum(" +
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * " +
+      "(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))" +
+      "), 6) AS bm25 " +
+      "FROM tf JOIN phrase USING (doc_id) JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
+      "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_text_index" -> q233TextIndex _,
     "q234_text_index_dml" -> q234TextIndexDml _,
+    "q242_text_search_and" -> q242TextSearchAnd _,
+    "q243_text_search_phrase" -> q243TextSearchPhrase _,
     "q153_zipf_profile" -> q153ZipfProfile _,
     "q140_grouped_topk" -> q140GroupedTopk _,
     "q136_bigram_lm" -> q136BigramLm _,
@@ -1241,6 +1330,8 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q233_text_index" -> q101Sql,
     "q234_text_index_dml" -> q234Sql,
+    "q242_text_search_and" -> q242Sql,
+    "q243_text_search_phrase" -> q243Sql,
     "q140_grouped_topk" -> q140Sql,
     "q136_bigram_lm" -> q136Sql,
     "q134_dsir_sample" -> q134Sql,

@@ -102,19 +102,26 @@ object TextIndex {
   private def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Postings (term, doc_id, tf, dl) + the per-doc sentinel row, from
-    * any `(doc_id, text)` frame. A zero-token document has no rows and
-    * no sentinel — exactly q101's lens-from-tokens behavior. */
+  /** Postings (term, doc_id, tf, dl, positions) + the per-doc sentinel
+    * row, from any `(doc_id, text)` frame. A zero-token document has no
+    * rows and no sentinel — exactly q101's lens-from-tokens behavior.
+    * `positions` (r18) = the term's 0-based token offsets, ascending,
+    * comma-joined into a STRING (the jsondoc storable encoding of the
+    * positional postings a phrase query needs); NULL on the sentinel. */
   private def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"),
+        concat_ws(",", transform(sort_array(collect_list(col("pos"))),
+          _.cast("string"))).as("positions"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
       .unionByName(dl.select(lit(DocSentinel).as("term"), col("doc_id"),
-        col("dl").as("tf"), col("dl")))
+        col("dl").as("tf"), col("dl"), lit(null).cast("string").as("positions")))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
-      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -146,7 +153,8 @@ object TextIndex {
       s"${dup.headOption.map(_.get(0)).getOrElse("")} — the index is keyed " +
       "by doc_id and requires it unique")
     spark.sql(s"CREATE TABLE $cat.`$postings` " +
-      "(bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) " +
+      "(bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+      "positions STRING) " +
       "USING `graft-jsondoc` PARTITIONED BY (bucket) " +
       "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
     if (head > 0)
@@ -226,7 +234,7 @@ object TextIndex {
           "left_anti")
         .select(col("bucket"), col("term"), col("doc_id"),
           lit(null).cast("bigint").as("tf"), lit(null).cast("bigint").as("dl"),
-          lit("del").as("act"))
+          lit(null).cast("string").as("positions"), lit("del").as("act"))
       val view = s"graft_text_delta_$head"
       puts.unionByName(tombstones).createOrReplaceTempView(view)
       GraftTxn.begin(postings, appId(indexRoot), head.toLong)
@@ -234,10 +242,11 @@ object TextIndex {
         s"""MERGE INTO $cat.`$postings` t USING $view d
            |ON t.doc_id = d.doc_id AND t.term = d.term
            |WHEN MATCHED AND d.act = 'del' THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET tf = d.tf, dl = d.dl
+           |WHEN MATCHED THEN UPDATE SET tf = d.tf, dl = d.dl,
+           |  positions = d.positions
            |WHEN NOT MATCHED AND d.act = 'put' THEN
-           |  INSERT (bucket, term, doc_id, tf, dl)
-           |  VALUES (d.bucket, d.term, d.doc_id, d.tf, d.dl)""".stripMargin)
+           |  INSERT (bucket, term, doc_id, tf, dl, positions)
+           |  VALUES (d.bucket, d.term, d.doc_id, d.tf, d.dl, d.positions)""".stripMargin)
       finally {
         GraftTxn.clear(postings)
         spark.catalog.dropTempView(view)
@@ -253,26 +262,85 @@ object TextIndex {
     * the query terms' buckets plus the sentinel bucket. */
   def search(spark: SparkSession, cat: String, indexRoot: String,
       terms: Seq[String], k: Int): DataFrame = {
+    val (tf, stats) = pruned(spark, cat, indexRoot, terms)
+    score(tf, tf, stats, k)
+  }
+
+  /** CONJUNCTIVE (AND) BM25 top-k (r18): only documents containing
+    * EVERY query term score — the doc sets intersect across the terms'
+    * buckets BEFORE any scoring work (the classic AND-query plan: each
+    * term's postings arrive from its own pruned partition, and the
+    * intersection is |smallest postings list|-bounded, never
+    * corpus-bounded). idf keeps the corpus-wide document frequencies —
+    * restricting a query must not change a term's rarity. */
+  def searchAnd(spark: SparkSession, cat: String, indexRoot: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val uniq = terms.distinct
+    val (tf, stats) = pruned(spark, cat, indexRoot, uniq)
+    val all = tf.groupBy(col("doc_id"))
+      .agg(count_distinct(col("term")).as("m"))
+      .where(col("m") === uniq.length).select(col("doc_id"))
+    score(tf.join(all, "doc_id"), tf, stats, k)
+  }
+
+  /** PHRASE BM25 top-k (r18): only documents containing the terms
+    * ADJACENT and in order score. The positional postings make this an
+    * index-only check: term i's positions shift by −i, and the phrase
+    * occurs iff the shifted sets intersect — an m-way doc_id join of
+    * bucket-pruned postings plus an array intersection, no text
+    * re-scan. Scoring then ranks the matching docs by the phrase
+    * terms' BM25 (corpus-wide df). */
+  def searchPhrase(spark: SparkSession, cat: String, indexRoot: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.length >= 2, "a phrase needs at least two terms")
+    val (tf, stats) = pruned(spark, cat, indexRoot, terms.distinct)
+    val withPos = tf.withColumn("parr",
+      expr("transform(split(positions, ','), x -> CAST(x AS BIGINT))"))
+    val sides = terms.zipWithIndex.map { case (t, i) =>
+      withPos.where(col("term") === t)
+        .select(col("doc_id"), expr(s"transform(parr, x -> x - $i)").as(s"p$i"))
+    }
+    val joined = sides.reduce(_.join(_, "doc_id"))
+    val inter = (0 until terms.length).map(i => s"p$i")
+      .reduce((a, b) => s"array_intersect($a, $b)")
+    val matched = joined.where(expr(s"size($inter) > 0")).select(col("doc_id"))
+    score(tf.join(matched, "doc_id"), tf, stats, k)
+  }
+
+  /** The query terms' bucket-pruned postings plus the corpus stats —
+    * the shared front of every search mode. */
+  private def pruned(spark: SparkSession, cat: String, indexRoot: String,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
     val d = readDef(indexRoot)
     require(terms.nonEmpty && !terms.contains(DocSentinel),
       s"text index: query terms must be non-empty real tokens, got $terms")
-    val (k1, b) = (1.2, 0.75)
     val postings = postingsPath(indexRoot)
     val termBuckets = terms.map(bucketOf(_, d.buckets)).distinct
     val stats = spark.sql(s"SELECT tf FROM $cat.`$postings` " +
         s"WHERE bucket = ${bucketOf(DocSentinel, d.buckets)} AND term = '$DocSentinel'")
       .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-    val tf = spark.sql(s"SELECT term, doc_id, tf, dl FROM $cat.`$postings` " +
+    val tf = spark.sql(s"SELECT term, doc_id, tf, dl, positions " +
+        s"FROM $cat.`$postings` " +
         s"WHERE bucket IN (${termBuckets.mkString(", ")})")
       .where(col("term").isin(terms: _*))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    (tf, stats)
+  }
+
+  /** q101's BM25 verbatim (k1 = 1.2, b = 0.75, 6-decimal rounded
+    * ranking, ties by doc_id) over `scoreTf` rows; `dfTf` supplies the
+    * document frequencies (the FULL term postings, so conjunctive and
+    * phrase restrictions never change idf). */
+  private def score(scoreTf: DataFrame, dfTf: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val df = dfTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)
     val w = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    tf.join(broadcast(df), "term")
+    scoreTf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(round(sum(idf * w), 6).as("bm25"))

@@ -208,4 +208,64 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = spark.sql(s"CALL $cat.text_index_state('$idx')").collect()(0)
     assert(row.getLong(3) === 0L, s"stale_commits must be 0: $row")
   }
+
+  test("conjunctive and phrase search; positions stay exact through DML") {
+    val r2 = java.nio.file.Files.createTempDirectory("graft_tip").toString
+    val t2 = s"$cat.`$r2/docs`"
+    val i2 = s"$r2/idx"
+    spark.sql(s"CREATE TABLE $t2 (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t2 VALUES " +
+      "(1, 'hash join beats nested loops'), " +      // phrase 'hash join'
+      "(2, 'join hash tables eagerly'), " +          // both terms, wrong order
+      "(3, 'hash the keys then join them'), " +      // both terms, not adjacent
+      "(4, 'a hash is not a join-free lunch hash join'), " + // phrase at tail
+      "(5, 'only hash here'), (6, 'only join here'), " +
+      "(7, 'hash hash join join')")                  // phrase via middle pair
+    spark.sql(s"CALL $cat.create_text_index('$i2', '$r2/docs', 8)").collect()
+
+    def docsOf(df: DataFrame): Seq[Long] =
+      df.collect().toSeq.map(_.getLong(0)).sorted
+    // AND: every doc containing BOTH terms, regardless of order
+    assert(docsOf(TextIndex.searchAnd(spark, cat, i2, Seq("hash", "join"), 10))
+      === Seq(1L, 2L, 3L, 4L, 7L))
+    // the OR search (unchanged) also sees 5 and 6
+    assert(docsOf(TextIndex.search(spark, cat, i2, Seq("hash", "join"), 10))
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // PHRASE: adjacency in order only
+    assert(docsOf(TextIndex.searchPhrase(spark, cat, i2, Seq("hash", "join"), 10))
+      === Seq(1L, 4L, 7L))
+    // the CALL surfaces agree with the API
+    assert(spark.sql(s"CALL $cat.text_search_and('$i2', 'hash,join', 10)")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 7L))
+    assert(spark.sql(s"CALL $cat.text_search_phrase('$i2', 'hash,join', 10)")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L, 7L))
+    // scores equal the or-mode scores for the same docs (same BM25,
+    // corpus-wide df — the restriction must not change idf)
+    val orScores = TextIndex.search(spark, cat, i2, Seq("hash", "join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    TextIndex.searchPhrase(spark, cat, i2, Seq("hash", "join"), 10)
+      .collect().foreach(r =>
+        assert(r.getDouble(1) === orScores(r.getLong(0)),
+          s"phrase scoring drifted for doc ${r.getLong(0)}"))
+
+    // DML: an UPDATE breaks doc 1's phrase and creates one in doc 3;
+    // a DELETE removes doc 4; an insert brings a new phrase doc
+    spark.sql(s"UPDATE $t2 SET text = 'hash then join beats loops' WHERE doc_id = 1")
+    spark.sql(s"UPDATE $t2 SET text = 'keys hash join them' WHERE doc_id = 3")
+    spark.sql(s"DELETE FROM $t2 WHERE doc_id = 4")
+    spark.sql(s"INSERT INTO $t2 VALUES (8, 'the hash join operator')")
+    spark.sql(s"CALL $cat.refresh_text_index('$i2')").collect()
+    assert(docsOf(TextIndex.searchPhrase(spark, cat, i2, Seq("hash", "join"), 10))
+      === Seq(3L, 7L, 8L),
+      "refresh must keep positions exact through update/delete/insert")
+    assert(docsOf(TextIndex.searchAnd(spark, cat, i2, Seq("hash", "join"), 10))
+      === Seq(1L, 2L, 3L, 7L, 8L))
+    // a three-term phrase via the m-way shifted intersection
+    assert(docsOf(TextIndex.searchPhrase(spark, cat, i2,
+      Seq("hash", "join", "operator"), 10)) === Seq(8L))
+    // a repeated-term phrase matches only true repetition
+    assert(docsOf(TextIndex.searchPhrase(spark, cat, i2, Seq("hash", "hash"), 10))
+      === Seq(7L))
+  }
 }
