@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HAVING/ORDER BY have already folded into the Aggregate and the
     // substitution sees the final resolved shape
     ext.injectPostHocResolutionRule(session => new RewriteOntoMv(session))
+    // transparent text-index rewrite (r18, [[RewriteOntoTextIndex]]):
+    // the q101 tokenization front reconstructs from CURRENT postings
+    ext.injectPostHocResolutionRule(session => new RewriteOntoTextIndex(session))
     ext.injectFunction(graft.functions.VectorFunctions.dotInfo)
     ext.injectFunction(graft.functions.HilbertFunctions.info)
     ext.injectFunction(graft.functions.HilbertFunctions.xyInfo)

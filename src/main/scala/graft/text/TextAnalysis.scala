@@ -1299,7 +1299,58 @@ object TextAnalysis {
       "FROM tf JOIN phrase USING (doc_id) JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats " +
       "GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10"
 
+  /** q244: TRANSPARENT TEXT-INDEX REWRITE (r18,
+    * [[graft.plans.RewriteOntoTextIndex]] — the MV-rewrite move applied
+    * to retrieval): the user writes q101's BM25 dataflow against the
+    * BASE table — tokenize, lens, tf, df, stats — and the rule
+    * reconstructs the (doc_id, term) occurrence rows from the CURRENT
+    * persisted postings (`explode(array_repeat(term, tf))`), so the
+    * corpus text is never scanned and tokenization is never re-paid.
+    * In-flow require: the analyzed plan reads postings and NEVER the
+    * base. Oracle: q101's from-scratch SQL — hash-green proves the
+    * substitution is invisible in the answers. */
+  def q244TextIndexRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q244")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val basePath = new java.io.File(s"$root/docs").getAbsolutePath
+    val tbl = s"graftcat.`$basePath`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) USING `graft-jsondoc`")
+    documents(spark, dir).select(col("doc_id"), col("text")).writeTo(tbl).append()
+    spark.sql(s"CALL graftcat.create_text_index('$root/idx', '$basePath', 64)")
+      .collect()
+    // the q101 dataflow VERBATIM, against the table
+    val qTerms = Seq("hash", "join", "vector")
+    val toks = spark.sql(s"SELECT doc_id, text FROM $tbl")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val w = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val out = tf.join(broadcast(dfq), "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id")).agg(round(sum(idf * w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    val scanned = out.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        graft.sources.GraftMv.unpinnedTablePath(r.table)
+    }.flatten
+    require(scanned.exists(_.endsWith("/postings")) && !scanned.contains(basePath),
+      s"q244: the BM25 dataflow must be answered from the postings, got $scanned")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_text_index_rewrite" -> q244TextIndexRewrite _,
     "q233_text_index" -> q233TextIndex _,
     "q234_text_index_dml" -> q234TextIndexDml _,
     "q242_text_search_and" -> q242TextSearchAnd _,
@@ -1330,6 +1381,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "q233_text_index" -> q101Sql,
     "q234_text_index_dml" -> q234Sql,
+    "q244_text_index_rewrite" -> q101Sql,
     "q242_text_search_and" -> q242Sql,
     "q243_text_search_phrase" -> q243Sql,
     "q140_grouped_topk" -> q140Sql,

@@ -163,7 +163,25 @@ object TextIndex {
         .writeTo(s"$cat.`$postings`").append()
     writeDef(indexRoot,
       IndexDef(new java.io.File(basePath).getAbsolutePath, buckets, head))
+    register(spark, indexRoot)
   }
+
+  /** The session's index registry for the transparent rewrite
+    * ([[graft.plans.RewriteOntoTextIndex]]): a comma-separated conf of
+    * index roots. `create` registers automatically; a fresh session
+    * re-registers existing indexes by SETting the conf. */
+  val RootsConf = "spark.graft.text.index.roots"
+
+  def register(spark: SparkSession, indexRoot: String): Unit = {
+    val abs = new java.io.File(indexRoot).getAbsolutePath
+    val cur = spark.conf.getOption(RootsConf).getOrElse("")
+    if (!cur.split(',').map(_.trim).contains(abs))
+      spark.conf.set(RootsConf, if (cur.isEmpty) abs else s"$cur,$abs")
+  }
+
+  def registeredRoots(spark: SparkSession): Seq[String] =
+    spark.conf.getOption(RootsConf).getOrElse("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** The index's staleness triple: (base path, last folded version —
     * ledger-authoritative, base head). */
