@@ -357,15 +357,34 @@ object AnnIndex {
     * STATIC partition prune, reading nProbe/K of the index. */
   def search(spark: SparkSession, cat: String, indexRoot: String,
       queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
-    graft.functions.VectorFunctions.register(spark)
-    val d = readDef(indexRoot)
     val postings = postingsPath(indexRoot)
-    val parse = (c: org.apache.spark.sql.Column) =>
-      transform(split(c, ","), x => x.cast("double"))
     val qRow = spark.sql(s"SELECT vec FROM $cat.`$postings` WHERE vec_id = $queryVecId")
       .collect()
     require(qRow.nonEmpty, s"ann index: no vector with vec_id = $queryVecId")
     val qv = qRow(0).getString(0).split(',').map(_.toDouble)
+    searchVec0(spark, cat, indexRoot, qv.toSeq, nProbe, k,
+      exclude = Some(queryVecId))
+  }
+
+  /** The EXTERNAL-vector form (r18, verdict item 6): search a fresh
+    * embedding that has no corpus vec_id — the SQL surface is
+    * `CALL ann_search('<root>', 'x1,x2,...', nProbe, k)`. Same
+    * driver-side cell ranking and static partition prune; no
+    * self-exclusion (the query is not a corpus row). */
+  def searchVec(spark: SparkSession, cat: String, indexRoot: String,
+      qv: Seq[Double], nProbe: Int, k: Int): DataFrame =
+    searchVec0(spark, cat, indexRoot, qv, nProbe, k, exclude = None)
+
+  private def searchVec0(spark: SparkSession, cat: String, indexRoot: String,
+      qv: Seq[Double], nProbe: Int, k: Int, exclude: Option[Long]): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = readDef(indexRoot)
+    require(qv.nonEmpty && d.centroids.head.length == qv.length,
+      s"ann index: the query vector has ${qv.length} dims, the index " +
+        s"${d.centroids.head.length}")
+    val postings = postingsPath(indexRoot)
+    val parse = (c: org.apache.spark.sql.Column) =>
+      transform(split(c, ","), x => x.cast("double"))
     val qn = math.sqrt(qv.map(x => x * x).sum)
     // the same c²−2·v·c ranking, driver-side on the single query row
     val qcells = d.centroids.zipWithIndex.map { case (ca, i) =>
@@ -373,12 +392,13 @@ object AnnIndex {
       val dd = c2 - 2.0 * ca.zip(qv).map { case (a, b) => a * b }.sum
       (dd, i)
     }.sorted.take(nProbe).map(_._2.toLong)
-    spark.sql(s"SELECT cell, vec_id, vec FROM $cat.`$postings`")
-      .where(col("cell").isin(qcells: _*) && col("vec_id") =!= queryVecId)
+    val scan = spark.sql(s"SELECT cell, vec_id, vec FROM $cat.`$postings`")
+      .where(col("cell").isin(qcells: _*))
+    exclude.map(id => scan.where(col("vec_id") =!= id)).getOrElse(scan)
       .withColumn("v", parse(col("vec")))
       .withColumn("norm", sqrt(graft.functions.VectorFunctions.vecDot(col("v"), col("v"))))
       .select(col("vec_id"),
-        round(graft.functions.VectorFunctions.vecDot(col("v"), typedLit(qv.toSeq)) /
+        round(graft.functions.VectorFunctions.vecDot(col("v"), typedLit(qv)) /
           (col("norm") * lit(qn)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

@@ -387,6 +387,56 @@ object Similarity {
 
   def q228Sql: String = fitOracle("q228_ann_pq_persisted")
 
+  /** q245: ANN SEARCH FOR AN EXTERNAL QUERY VECTOR (r18, verdict item
+    * 6 — [[AnnIndex.searchVec]] / `CALL ann_search`): a fresh embedding
+    * with NO corpus vec_id searches the persisted IVF index through
+    * pure SQL — the vector rides the CALL as comma-separated doubles
+    * (Double.toString round-trips exactly through the parse), its
+    * nProbe nearest cells resolve driver-side, and the postings scan
+    * prunes statically to those cells' partitions. The query vector
+    * here is the element-wise mean of corpus vectors 0 and 1 (a
+    * deterministic out-of-corpus point); the oracle re-derives the
+    * cell ranking AND the cosine top-k from the same literal vector
+    * over the raw embeddings — the pinned-fit idiom with the query
+    * literal pinned too. */
+  def q245AnnSearchVec(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q245")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val cat = "graftcat"
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE $cat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+      .writeTo(s"$cat.`$base`").append()
+    val cents = ivfCentroids(spark, dir)
+    AnnIndex.create(spark, cat, s"$root/idx", base, cents)
+    val seeds = vectors(spark, dir).filter(col("vec_id") < 2)
+      .orderBy(col("vec_id")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val qv = seeds(0).zip(seeds(1)).map { case (a, b) => (a + b) / 2.0 }
+    fitOracles.put("q245_ann_search_vec", q245SqlOf(cents, qv.toSeq))
+    spark.sql(s"CALL $cat.ann_search('$root/idx', " +
+      s"'${qv.map(_.toString).mkString(",")}', $IvfProbe, 10)")
+  }
+
+  def q245Sql: String = fitOracle("q245_ann_search_vec")
+
+  private def q245SqlOf(cents: Seq[Seq[Double]], qv: Seq[Double]): String = {
+    val qvLit = qv.map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
+      "a AS (SELECT vec_id, v, rk[1].c AS cell FROM r), " +
+      s"q AS (SELECT $qvLit AS qv), " +
+      s"qr AS (SELECT qv, list_transform(${sqlCellRank(cents, "qv")}[1:$IvfProbe], " +
+      "s -> s.c) AS qcells FROM q) " +
+      s"SELECT a.vec_id, round(${sqlDot("a.v", "qv")} / " +
+      s"(${sqlNorm("a.v")} * ${sqlNorm("qv")}), 6) AS sim " +
+      "FROM a, qr WHERE list_contains(qcells, a.cell) " +
+      "ORDER BY sim DESC, a.vec_id LIMIT 10"
+  }
+
   private def q55SqlOf(cents: Seq[Seq[Double]]): String =
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"r AS (SELECT vec_id, v, ${sqlCellRank(cents, "v")} AS rk FROM e), " +
@@ -1093,6 +1143,7 @@ object Similarity {
     "q55_ann_ivf" -> q55AnnIvf _,
     "q227_ann_persisted" -> q227AnnPersisted _,
     "q228_ann_pq_persisted" -> q228AnnPqPersisted _,
+    "q245_ann_search_vec" -> q245AnnSearchVec _,
     "q71_fuzzy_match" -> q71FuzzyMatch _,
     "q79_embed_neardup_blocked" -> q79EmbedNeardupBlocked _,
     "q86_quantized_ann" -> q86QuantizedAnn _,
@@ -1111,6 +1162,7 @@ object Similarity {
     "q55_ann_ivf" -> q55Sql,
     "q227_ann_persisted" -> q227Sql,
     "q228_ann_pq_persisted" -> q228Sql,
+    "q245_ann_search_vec" -> q245Sql,
     "q137_ann_pq" -> q137Sql,
     "q79_embed_neardup_blocked" -> q79Sql,
     "q98_semantic_prune" -> q98Sql,

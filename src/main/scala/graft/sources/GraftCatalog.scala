@@ -138,6 +138,7 @@ class GraftCatalog extends TableCatalog
       case "refresh_mv" => new GraftProcedures.RefreshMvProcedure(this)
       case "refresh_ann" => new GraftProcedures.RefreshAnnProcedure(catalogName)
       case "create_ann" => new GraftProcedures.CreateAnnProcedure(catalogName)
+      case "ann_search" => new GraftProcedures.AnnSearchProcedure(catalogName)
       case "ann_state" => GraftProcedures.AnnStateProcedure
       case "create_text_index" => new GraftProcedures.CreateTextIndexProcedure(catalogName)
       case "refresh_text_index" => new GraftProcedures.RefreshTextIndexProcedure(catalogName)
@@ -171,7 +172,10 @@ class GraftCatalog extends TableCatalog
       Identifier.of(Array.empty, "create_text_index"),
       Identifier.of(Array.empty, "refresh_text_index"),
       Identifier.of(Array.empty, "text_index_state"),
-      Identifier.of(Array.empty, "text_search"))
+      Identifier.of(Array.empty, "text_search"),
+      Identifier.of(Array.empty, "text_search_and"),
+      Identifier.of(Array.empty, "text_search_phrase"),
+      Identifier.of(Array.empty, "ann_search"))
 
   /** Identifier -> directory. Empty namespace = the original
     * path-addressed form (the name IS the directory path, unchanged

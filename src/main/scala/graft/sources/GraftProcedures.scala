@@ -475,6 +475,41 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graftcat.ann_search('<index root>', 'x1,x2,...', n_probe, k)`
+    * (r18) — cosine top-k over the persisted IVF index for an EXTERNAL
+    * query vector (comma-separated doubles; a fresh embedding needs no
+    * corpus vec_id). The query's nProbe nearest cells resolve
+    * driver-side and the postings scan prunes statically to those
+    * cells' partitions. */
+  final class AnnSearchProcedure(catalogName: String) extends UnboundProcedure {
+    override def name(): String = "ann_search"
+    override def description(): String =
+      "cosine top-k over the persisted ANN index for an external query vector " +
+        "(comma-separated doubles)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "ann_search"
+      override def description(): String = AnnSearchProcedure.this.description()
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index_root", StringType).build(),
+        ProcedureParameter.in("query_vec", StringType).build(),
+        ProcedureParameter.in("n_probe", LongType).build(),
+        ProcedureParameter.in("k", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val qv = input.getUTF8String(1).toString.split(',').map(_.trim.toDouble)
+        val rows = graft.sim.AnnIndex.searchVec(
+          org.apache.spark.sql.SparkSession.active, catalogName,
+          input.getUTF8String(0).toString, qv.toSeq,
+          input.getLong(2).toInt, input.getLong(3).toInt).collect()
+        val schema = new StructType()
+          .add("vec_id", LongType, nullable = false)
+          .add("sim", org.apache.spark.sql.types.DoubleType, nullable = false)
+        Iterator(scanOf(schema, rows.toSeq.map(r =>
+          InternalRow(r.getLong(0), r.getDouble(1))))).asJava
+      }
+    }
+  }
+
   /** `CALL graftcat.refresh_ann('<index root>')` — fold the base's
     * change feed into a persisted ANN index ([[graft.sim.AnnIndex]]). */
   final class RefreshAnnProcedure(catalogName: String) extends UnboundProcedure {

@@ -154,6 +154,54 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2 === got, "compacting the postings must not move one result")
   }
 
+  test("ann_search takes an external vector: recall vs exact, CALL == API") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_vec").toString
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE graftcat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc`")
+    val full = sim.Similarity.vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+    full.writeTo(s"graftcat.`$base`").append()
+    spark.sql(s"CALL graftcat.create_ann('$root/idx', '$base', 8)").collect()
+    // a fresh out-of-corpus embedding: the mean of vectors 5 and 6
+    val seeds = sim.Similarity.vectors(spark, dir)
+      .filter(col("vec_id").isin(5L, 6L)).orderBy(col("vec_id"))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val qv = seeds(0).zip(seeds(1)).map { case (a, b) => (a + b) / 2.0 }.toSeq
+    val got = sim.AnnIndex.searchVec(spark, "graftcat", s"$root/idx",
+      qv, nProbe = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size === 10)
+    // the CALL surface delivers the identical rows (Double.toString
+    // round-trips exactly through the comma-separated argument)
+    val viaCall = spark.sql(s"CALL graftcat.ann_search('$root/idx', " +
+      s"'${qv.map(_.toString).mkString(",")}', 3, 10)").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCall === got, "CALL ann_search must equal the API result")
+    // recall vs the EXACT brute-force cosine top-10 over the corpus
+    val exact = sim.Similarity.vectors(spark, dir)
+      .select(col("vec_id"),
+        round(sim.Similarity.dot(col("v"), typedLit(qv)) /
+          (col("norm") * lit(math.sqrt(qv.map(x => x * x).sum))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val overlap = got.map(_._1).toSet.intersect(exact.map(_._1).toSet)
+    assert(overlap.size >= 5,
+      s"external-vector IVF recall collapsed at nProbe=3/8: ${overlap.size}")
+    // and every returned cosine is exact, never approximated
+    val exactMap = exact.toMap
+    got.filter(t => exactMap.contains(t._1)).foreach { case (id, s) =>
+      assert(s === exactMap(id), s"cosine for $id drifted") }
+    // a dimension mismatch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      sim.AnnIndex.searchVec(spark, "graftcat", s"$root/idx",
+        Seq(1.0, 2.0), 3, 10)
+    }
+    assert(e.getMessage.contains("dims"))
+  }
+
   test("vector string roundtrip is bit-exact for awkward doubles") {
     import spark.implicits._
     val vals = Seq(1.0E-5, math.Pi, -0.0, 1.7976931348623157E308, 4.9E-324, 0.1)
