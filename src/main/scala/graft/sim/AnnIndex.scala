@@ -232,7 +232,8 @@ object AnnIndex {
     spark.sql(s"CREATE TABLE $cat.`$postings` " +
       "(cell BIGINT, vec_id BIGINT, vec STRING, code STRING) USING `graft-jsondoc` " +
       "PARTITIONED BY (cell) " +
-      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
+      "'write.autocompact.dvs' = '32')")
     if (head > 0) {
       withParsed(
         spark.sql(s"SELECT vec_id, vec FROM $cat.`$basePath` VERSION AS OF $head"),

@@ -984,7 +984,8 @@ private[graft] object GraftMv {
     // O(changed groups), with OPTIMIZE as the periodic repayment
     session.sql(s"CREATE TABLE $cat.`${dataDir.getAbsolutePath}` " +
       s"(${backingDdl(d)}) USING `graft-jsondoc` " +
-      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
+      "'write.autocompact.dvs' = '32')")
     d.join match {
       case Some(js) =>
         val head2 = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
@@ -998,7 +999,8 @@ private[graft] object GraftMv {
           val dist = distDirOf(dataDir, a.alias)
           session.sql(s"CREATE TABLE $cat.`${dist.getAbsolutePath}` " +
             s"(${distDdl(d, a)}) USING `graft-jsondoc` " +
-            "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+            "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
+      "'write.autocompact.dvs' = '32')")
           if (head > 0)
             session.sql(distFillSql(cat, d, dist.getAbsolutePath, a, head))
         }

@@ -376,6 +376,10 @@ private[sources] class JsonDocDeltaBatchWrite(path: String, schema: StructType,
     JsonDocStats.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.statsJson),
       keepExisting = true)
     JsonDocBlooms.mergeAndWrite(path, ins.toSeq.map(m => m.finalName -> m.bloomJson))
+    // DV-debt repayment (r18): a row-level fold on an opted-in table
+    // compacts inline once the live delete-vector count crosses the
+    // threshold — continuous MV/index refresh stays bounded-read
+    if (!staged && branch.isEmpty) JsonDocAutocompactDv.maybe(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -195,6 +195,58 @@ private[sources] object JsonDocAutocompact {
   }
 }
 
+/** DV-DEBT AUTO-COMPACTION (r18, opt-in): the row-level twin of the
+  * append-path [[JsonDocAutocompact]]. Procedure-driven MERGE folds —
+  * MV refresh, text/ANN index maintenance — land delete vectors +
+  * small insert files on a merge-on-read table; without repayment,
+  * continuous refresh accumulates an unbounded read-side fold chain.
+  * When a row-level commit leaves the live snapshot carrying at least
+  * `write.autocompact.dvs` delete vectors, every partition subtree
+  * holding a DV'd file OPTIMIZEs inline toward
+  * `write.autocompact.target-bytes` (a rewrite folds the DVs into
+  * plain data files, so the debt resets). Same contract as the append
+  * path: only plain published commits trigger, a declined exact live
+  * state is memoized, and a failure warns and moves on — the fold
+  * itself already committed. */
+private[sources] object JsonDocAutocompactDv {
+  private val declined =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Unit]()
+
+  def maybe(path: String): Unit =
+    try {
+      val props = GraftCatalog.tablePropsOf(path)
+      props.get("write.autocompact.dvs").map(_.trim.toInt).filter(_ > 0)
+        .foreach { n =>
+          val latest = JsonDocVersions.latestVersion(path).getOrElse(0)
+          if (latest > 0) {
+            val dvs = JsonDocVersions.readDvs(path, latest)
+            if (dvs.size >= n) {
+              val sig = (path, dvs.toSeq.sorted.hashCode)
+              if (!declined.containsKey(sig)) {
+                val target = props.get("write.autocompact.target-bytes")
+                  .map(_.trim.toLong).getOrElse(32L * 1024 * 1024)
+                val dirs = dvs.keySet
+                  .map(rel => rel.substring(0, rel.lastIndexOf('/') + 1))
+                var any = false
+                dirs.toSeq.sorted.foreach { d =>
+                  if (GraftCatalog.optimize(path, target, d).nonEmpty) any = true
+                }
+                if (!any) {
+                  if (declined.size > 4096) declined.clear()
+                  declined.put(sig, ())
+                }
+              }
+            }
+          }
+        }
+    } catch {
+      case e: Exception =>
+        Console.err.println(
+          s"graft-jsondoc: DV auto-compaction of $path failed (the fold itself " +
+            s"committed; the next fold will retry): ${e.getMessage}")
+    }
+}
+
 /** Test seam (r14): records each directory a [[JsonDocSource.walkDataFiles]]
   * walk LISTS, so PartitionedTableSpec can assert a pruned scan never
   * calls listFiles on an excluded partition directory. Off (and

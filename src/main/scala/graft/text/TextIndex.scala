@@ -156,7 +156,8 @@ object TextIndex {
       "(bucket BIGINT, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
       "positions STRING) " +
       "USING `graft-jsondoc` PARTITIONED BY (bucket) " +
-      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
+      "'write.autocompact.dvs' = '32')")
     if (head > 0)
       postingsOf(spark.sql(
         s"SELECT doc_id, text FROM $cat.`$basePath` VERSION AS OF $head"), buckets)
