@@ -155,7 +155,8 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     // watermark ONCE, and prefer a CURRENT view over a stale one (a
     // stale serve pays a feed fold per query that a current twin
     // answers from the backing alone)
-    val probed = cands.filter(_._2.join.isEmpty).map { case (ident, d) =>
+    val probed = cands.filter(c => c._2.join.isEmpty && c._2.joinN.isEmpty)
+      .map { case (ident, d) =>
       (ident, d, GraftMv.lastFolded(d, cat.mvDataDirOf(ident), ident.name()))
     }
     probed.iterator.filter(_._3 == head).flatMap { case (ident, d, _) =>

@@ -120,6 +120,30 @@ private[graft] object GraftMv {
   final case class JoinSpec(basePath2: String, on: Seq[(String, String)],
       sides: Map[String, String])
 
+  /** An N-table (≥3) INNER equi-join body (r18): the two-term signed-
+    * delta identity telescopes to N terms —
+    *   ΔV = Σᵢ  S₀@new ⋈ … ⋈ Sᵢ₋₁@new ⋈ ΔSᵢ ⋈ Sᵢ₊₁@old ⋈ … ⋈ Sₙ₋₁@old
+    * — each feed joined against the EARLIER sides at their new heads
+    * and the LATER sides at the old watermarks, so every vanished or
+    * born joined row is counted exactly once with its sign. `paths` =
+    * sides 1..n−1 (side 0 is `MvDef.basePath`); `on` = equi pairs as
+    * (sideA, colA, sideB, colB); `sides` maps every referenced bare
+    * data column to its side index.
+    *
+    * WATERMARKS: n versions cannot ride one encoded ledger long, so
+    * the ledger carries a refresh SEQUENCE number and the definition
+    * file carries the watermark VECTOR — staged crash-safely: the
+    * vector for seq s+1 is written as `pending` BEFORE the MERGE, and
+    * the ledger's committed seq decides on replay whether the pending
+    * vector is the folded truth (promote) or an aborted attempt
+    * (discard). SUM/COUNT/AVG only (extrema keep the 2-table mixed
+    * path; an N-sided delete recompute is future work). */
+  final case class JoinNSpec(paths: Seq[String],
+      on: Seq[(Int, String, Int, String)], sides: Map[String, Int],
+      lastSeq: Long = 0L, lastVersions: Seq[Int] = Nil,
+      createdVersions: Seq[Int] = Nil,
+      pending: Option[(Long, Seq[Int])] = None)
+
   /** `createdVersion` is the base version the initial fill
     * materialized — IMMUTABLE after create, so a reader that pins the
     * backing table at a version predating any ledger entry still knows
@@ -130,7 +154,8 @@ private[graft] object GraftMv {
       whereSql: Option[String], groups: Seq[GroupSpec], aggs: Seq[AggSpec],
       output: Seq[OutCol], lastVersion: Int,
       join: Option[JoinSpec] = None, lastVersion2: Int = 0,
-      createdVersion: Int = -1, createdVersion2: Int = -1)
+      createdVersion: Int = -1, createdVersion2: Int = -1,
+      joinN: Option[JoinNSpec] = None)
 
   private def q(n: String): String = "`" + n.replace("`", "``") + "`"
 
@@ -220,13 +245,60 @@ private[graft] object GraftMv {
         conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    // (basePath, join-side info): a single table, or a 2-table INNER
-    // equi join — the signed-delta identity
+    // (basePath, join-side info): a single table, a 2-table INNER equi
+    // join — the signed-delta identity
     //   ΔV = ΔA ⋈ B@old  +  A@new ⋈ ΔB
-    // makes SUM/COUNT/AVG over a join foldable from the two change
-    // feeds plus time-travel snapshots; MIN/MAX refuse below (a
-    // one-sided delete would need a join recompute to un-fold)
-    val (basePath, joinInfo) = rel match {
+    // — or (r18) an N-table (≥3) INNER equi join, where the identity
+    // telescopes to N terms ([[JoinNSpec]]). MIN/MAX over joins folds
+    // only on the 2-table path (the affected-group recompute).
+    def flatJoins(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+      stripAlias(p) match {
+        case jn: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          if (jn.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+            refuse(s"only INNER joins are incrementally foldable — got " +
+              s"${jn.joinType.sql} (outer sides resurrect NULL-padded rows " +
+              "when a match appears, which is not a signed fold)")
+          val c = jn.condition.getOrElse(
+            refuse("the join needs an ON condition of column equalities"))
+          val (ls, lc) = flatJoins(jn.left)
+          val (rs, rc) = flatJoins(jn.right)
+          (ls ++ rs, lc ++ rc ++ conjuncts(c))
+        case other => (Seq(other), Nil)
+      }
+    val (basePath, joinInfo, joinNInfo) = rel match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if flatJoins(j)._1.length >= 3 =>
+        val (sidePlans, allConds) = flatJoins(j)
+        val sidePaths = sidePlans.zipWithIndex.map { case (p, i) =>
+          new java.io.File(graftPath(p, s"join side $i")).getAbsolutePath }
+        if (sidePaths.distinct.length != sidePaths.length)
+          refuse("self-joins are not incrementally foldable " +
+            "(one commit changes both sides at once)")
+        val sideOutputs = sidePlans.map(_.outputSet)
+        def sideOf(a: AttributeReference): Int =
+          sideOutputs.indexWhere(_.contains(a))
+        val onN = allConds.map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              x: AttributeReference, y: AttributeReference) =>
+            val (sx, sy) = (sideOf(x), sideOf(y))
+            if (sx < 0 || sy < 0 || sx == sy)
+              refuse("each join conjunct must equate columns of two " +
+                s"different sides: ${x.name} = ${y.name}")
+            if (sx < sy) (sx, x.name, sy, y.name) else (sy, y.name, sx, x.name)
+          case other => refuse("join conditions must be plain column " +
+            s"equalities (non-equi predicates are not foldable): ${other.sql}")
+        }
+        // each side after the first must link to an EARLIER side — the
+        // stored FROM re-binds left-deep, attaching each pair at its
+        // later side
+        (1 until sidePlans.length).foreach { i =>
+          if (!onN.exists(p => p._3 == i))
+            refuse(s"join side $i is not linked to an earlier side by a " +
+              "column equality — reorder the joins left-deep")
+        }
+        (sidePaths.head, None,
+          Some((JoinNSpec(sidePaths.tail, onN, Map.empty),
+            sideOutputs, sidePlans.flatMap(_.output))))
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
           refuse(s"only INNER joins are incrementally foldable — got " +
@@ -251,8 +323,8 @@ private[graft] object GraftMv {
             s"equalities (non-equi predicates are not foldable): ${other.sql}")
         }
         (pA, Some((JoinSpec(new java.io.File(pB).getAbsolutePath, on, Map.empty),
-          leftIds, j.left.output ++ j.right.output)))
-      case single => (graftPath(single, "the FROM clause"), None)
+          leftIds, j.left.output ++ j.right.output)), None)
+      case single => (graftPath(single, "the FROM clause"), None, None)
     }
 
     val whereSql = whereCond.map { c =>
@@ -419,7 +491,7 @@ private[graft] object GraftMv {
         if (srcColNames.exists(_.equalsIgnoreCase(alias)))
           refuse(s"the expression key's alias '$alias' collides with a " +
             "source column name — pick a fresh alias")
-        if (joinInfo.isDefined)
+        if (joinInfo.isDefined || joinNInfo.isDefined)
           refuse("expression GROUP BY keys over a join body are not yet " +
             s"foldable: ${e.sql}")
         val stripped = e.transform {
@@ -456,8 +528,30 @@ private[graft] object GraftMv {
       }.toMap
       js0.copy(sides = sides)
     }
+    val joinN = joinNInfo.map { case (js0, sideOutputs, allOut) =>
+      if (aggsB.exists(a => a.func == "min" || a.func == "max"))
+        refuse("MIN/MAX over an N-table (3+) join body is not yet foldable " +
+          "— the affected-group recompute covers 2-table joins only; " +
+          "use SUM/COUNT/AVG or split the view")
+      if (aggsB.exists(_.func == "count_distinct"))
+        refuse("COUNT(DISTINCT) over a join body is not yet foldable — " +
+          "use a single-table view")
+      val whereNames = whereCond.toSeq.flatMap(_.references.map(_.name)).distinct
+      val refNames = (groupAttrs.map(_.name) ++ aggsB.flatMap(_.arg) ++
+        whereNames).distinct
+      val sides = refNames.map { n =>
+        val hits = allOut.filter(_.name == n)
+        if (hits.length != 1)
+          refuse(s"column '$n' is ambiguous across the join's tables — " +
+            "every selected, aggregated or filtered column must have a " +
+            "side-unique name")
+        n -> sideOutputs.indexWhere(_.contains(hits.head))
+      }.toMap
+      js0.copy(sides = sides)
+    }
     MvDef(bodySql, new java.io.File(basePath).getAbsolutePath, whereSql,
-      groups.toSeq, aggsB.toSeq, outB.toSeq, lastVersion = 0, join = join)
+      groups.toSeq, aggsB.toSeq, outB.toSeq, lastVersion = 0, join = join,
+      joinN = joinN)
   }
 
   // ---- SQL generation ---------------------------------------------------
@@ -539,6 +633,130 @@ private[graft] object GraftMv {
     val grp = " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
     s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
       s"FROM $src __j$where$grp"
+  }
+
+  // ---- N-table join bodies (r18): the telescoped N-term identity --------
+
+  /** The joined source over N side relations, left-deep with aliases
+    * s0..s{n−1}; every referenced data column projects ONCE under its
+    * bare name (so [[fillItems]]/[[deltaSql]]/the stored WHERE run
+    * unchanged), `extraProj` threads `_change_type` from the delta
+    * side. Each ON pair attaches at its LATER side's join step. */
+  def joinedSrcNSql(d: MvDef, rels: Seq[String],
+      extraProj: Seq[String] = Nil): String = {
+    val js = d.joinN.get
+    val proj = js.sides.toSeq.sortBy(_._1).map { case (n, s) =>
+      s"s$s.${q(n)} AS ${q(n)}" } ++ extraProj
+    val from = rels.zipWithIndex.map { case (r, i) =>
+      if (i == 0) s"$r s0"
+      else {
+        val ons = js.on.filter(p => p._3 == i).map { case (a, ca, b, cb) =>
+          s"s$a.${q(ca)} = s$b.${q(cb)}" }
+        require(ons.nonEmpty, s"join side $i has no attachable ON pair")
+        s" JOIN $r s$i ON ${ons.mkString(" AND ")}"
+      }
+    }.mkString
+    s"(SELECT ${proj.mkString(", ")} FROM $from)"
+  }
+
+  def initialFillJoinNSql(cat: String, d: MvDef, backing: String,
+      heads: Seq[Int]): String = {
+    val paths = d.basePath +: d.joinN.get.paths
+    val src = joinedSrcNSql(d, paths.zip(heads).map { case (p, h) =>
+      s"(SELECT * FROM $cat.`$p` VERSION AS OF $h)" })
+    val where = d.whereSql.map(w => s" WHERE $w").getOrElse("")
+    val grp = " GROUP BY " + d.groups.map(g => q(g.src)).mkString(", ")
+    s"INSERT INTO $cat.`$backing` SELECT ${fillItems(d).mkString(", ")} " +
+      s"FROM $src __j$where$grp"
+  }
+
+  /** The authoritative (seq, watermark vector) of an N-ary join MV:
+    * the ledger's committed SEQUENCE decides whether the def file's
+    * `pending` vector is folded truth (a crash landed the MERGE but
+    * not the def promotion) or an aborted attempt. */
+  def lastFoldedN(d: MvDef, dataDir: java.io.File,
+      name: String): (Long, Seq[Int]) = {
+    val js = d.joinN.get
+    val ledgerSeq = JsonDocVersions.lastTxn(dataDir.getAbsolutePath,
+      appIdOf(name)).getOrElse(0L)
+    js.pending match {
+      case Some((ps, pv)) if ps == ledgerSeq => (ps, pv)
+      case _ if ledgerSeq > js.lastSeq =>
+        // a committed fold whose vector was never staged — unreachable
+        // under the pending-first protocol; refuse rather than misfold
+        throw new IllegalStateException(s"graft materialized view $name: " +
+          s"ledger seq $ledgerSeq has no staged watermark vector")
+      case _ => (js.lastSeq, js.lastVersions)
+    }
+  }
+
+  /** Fold an N-ary join body: for each side i whose head moved,
+    *   term_i = S₀@h₀ ⋈ … ⋈ Sᵢ₋₁@hᵢ₋₁ ⋈ Δᵢ ⋈ Sᵢ₊₁@lᵢ₊₁ ⋈ … — the
+    * telescoped identity; the union's signed group delta MERGEs in one
+    * commit carrying seq = lastSeq + 1. */
+  private def refreshJoinN(session: SparkSession, cat: String,
+      defFile: java.io.File, dataDir: java.io.File, name: String,
+      d: MvDef): (Int, Int) = {
+    val js = d.joinN.get
+    val paths = d.basePath +: js.paths
+    val backing = dataDir.getAbsolutePath
+    val (curSeq, lasts) = lastFoldedN(d, dataDir, name)
+    val heads = paths.map(p => JsonDocVersions.latestVersion(p).getOrElse(0))
+    if (heads.zip(lasts).forall { case (h, l) => h <= l })
+      return (lasts.head + 1, lasts.head)
+    val seq = curSeq + 1
+    // stage the attempt's vector BEFORE the MERGE (crash-safe: the
+    // ledger's committed seq adjudicates it on replay)
+    write(defFile, d.copy(joinN = Some(js.copy(lastSeq = curSeq,
+      lastVersions = lasts, pending = Some((seq, heads))))))
+    val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_n$seq"
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+      paths.indices.foreach { i =>
+        // a term is non-empty only when side i moved AND every pinned
+        // side has data at its pin
+        val pins = paths.indices.map { j =>
+          if (j < i) heads(j) else lasts(j) }
+        if (heads(i) > lasts(i) &&
+            paths.indices.forall(j => j == i || pins(j) > 0)) {
+          val fv = s"${tag}_f$i"
+          session.read.format("graft-jsondoc").option("readChanges", "true")
+            .option("startingVersion", (lasts(i) + 1).toString)
+            .option("endingVersion", heads(i).toString)
+            .option("path", paths(i)).load().createOrReplaceTempView(fv)
+          views += fv
+          val rels = paths.indices.map { j =>
+            if (j == i) fv
+            else s"(SELECT * FROM $cat.`${paths(j)}` VERSION AS OF ${pins(j)})"
+          }
+          terms += joinedSrcNSql(d, rels,
+            Seq(s"s$i.`_change_type` AS `_change_type`"))
+        }
+      }
+      if (terms.isEmpty) {
+        // heads moved but every term is empty (some side still empty):
+        // advance the vector without a fold commit
+        write(defFile, d.copy(joinN = Some(js.copy(lastSeq = curSeq,
+          lastVersions = heads, pending = None))))
+        return (lasts.head + 1, heads.head)
+      }
+      val u = s"${tag}_joined"
+      session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $u AS " +
+        terms.map(t => s"SELECT * FROM $t __t").mkString(" UNION ALL "))
+      views += u
+      val deltaView = s"${tag}_delta"
+      session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
+        deltaSql(d, u))
+      views += deltaView
+      GraftTxn.begin(backing, appIdOf(name), seq)
+      try session.sql(mergeSql(cat, backing, d, deltaView))
+      finally GraftTxn.clear(backing)
+    } finally views.reverse.foreach { v => session.catalog.dropTempView(v); () }
+    write(defFile, d.copy(joinN = Some(js.copy(lastSeq = seq,
+      lastVersions = heads, pending = None))))
+    val moved = paths.indices.find(i => heads(i) > lasts(i)).getOrElse(0)
+    (lasts(moved) + 1, heads(moved))
   }
 
   /** Both watermarks of a join MV ride ONE ledger value —
@@ -909,6 +1127,24 @@ private[graft] object GraftMv {
       root.put("lastVersion2", d.lastVersion2)
       ()
     }
+    d.joinN.foreach { js =>
+      val j = root.putObject("joinN")
+      val ps = j.putArray("paths"); js.paths.foreach(ps.add)
+      val ons = j.putArray("on")
+      js.on.foreach { case (a, ca, b, cb) =>
+        val n = ons.addArray(); n.add(a); n.add(ca); n.add(b); n.add(cb); () }
+      val ss = j.putObject("sides")
+      js.sides.toSeq.sortBy(_._1).foreach { case (k, v) => ss.put(k, v); () }
+      j.put("lastSeq", js.lastSeq)
+      val lv = j.putArray("lastVersions"); js.lastVersions.foreach(lv.add)
+      val cv = j.putArray("createdVersions"); js.createdVersions.foreach(cv.add)
+      js.pending.foreach { case (seq, vec) =>
+        val p = j.putObject("pending")
+        p.put("seq", seq)
+        val pv = p.putArray("versions"); vec.foreach(pv.add); ()
+      }
+      ()
+    }
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
     java.nio.file.Files.writeString(tmp.toPath, mapper.writeValueAsString(root))
     try java.nio.file.Files.move(tmp.toPath, f.toPath,
@@ -949,7 +1185,24 @@ private[graft] object GraftMv {
       },
       lastVersion2 = Option(root.get("lastVersion2")).map(_.asInt()).getOrElse(0),
       createdVersion = Option(root.get("createdVersion")).map(_.asInt()).getOrElse(-1),
-      createdVersion2 = Option(root.get("createdVersion2")).map(_.asInt()).getOrElse(-1))
+      createdVersion2 = Option(root.get("createdVersion2")).map(_.asInt()).getOrElse(-1),
+      joinN = Option(root.get("joinN")).map { j =>
+        JoinNSpec(
+          paths = j.get("paths").elements().asScala.map(_.asText()).toSeq,
+          on = j.get("on").elements().asScala.map(n =>
+            (n.get(0).asInt(), n.get(1).asText(),
+              n.get(2).asInt(), n.get(3).asText())).toSeq,
+          sides = Option(j.get("sides")).map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asInt()).toMap).getOrElse(Map.empty),
+          lastSeq = Option(j.get("lastSeq")).map(_.asLong()).getOrElse(0L),
+          lastVersions = Option(j.get("lastVersions")).toSeq.flatMap(
+            _.elements().asScala.map(_.asInt())),
+          createdVersions = Option(j.get("createdVersions")).toSeq.flatMap(
+            _.elements().asScala.map(_.asInt())),
+          pending = Option(j.get("pending")).map(p =>
+            (p.get("seq").asLong(), p.get("versions").elements().asScala
+              .map(_.asInt()).toSeq)))
+      })
   }
 
   // ---- lifecycle ----------------------------------------------------------
@@ -970,7 +1223,8 @@ private[graft] object GraftMv {
       dataDir: java.io.File, bodySql: String): Unit = {
     val d = extract(session, bodySql)
     require(d.basePath != dataDir.getAbsolutePath &&
-        !d.join.exists(_.basePath2 == dataDir.getAbsolutePath),
+        !d.join.exists(_.basePath2 == dataDir.getAbsolutePath) &&
+        !d.joinN.exists(_.paths.contains(dataDir.getAbsolutePath)),
       "graft materialized view: the body may not read the MV's own backing table")
     // a failed earlier CREATE leaves orphan backing/dist dirs (no def
     // file => invisible); sweep them so re-CREATE starts clean
@@ -987,6 +1241,14 @@ private[graft] object GraftMv {
       "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read', " +
       "'write.autocompact.dvs' = '32')")
     d.join match {
+      case _ if d.joinN.isDefined =>
+        val js = d.joinN.get
+        val paths = d.basePath +: js.paths
+        val heads = paths.map(p => JsonDocVersions.latestVersion(p).getOrElse(0))
+        if (heads.forall(_ > 0))
+          session.sql(initialFillJoinNSql(cat, d, dataDir.getAbsolutePath, heads))
+        write(defFile, d.copy(joinN = Some(js.copy(lastSeq = 0L,
+          lastVersions = heads, createdVersions = heads))))
       case Some(js) =>
         val head2 = JsonDocVersions.latestVersion(js.basePath2).getOrElse(0)
         if (head > 0 && head2 > 0)
@@ -1065,7 +1327,7 @@ private[graft] object GraftMv {
   def lastFolded(d: MvDef, dataDir: java.io.File, name: String): Int = {
     // a join MV's ledger value encodes BOTH watermarks — reading it as
     // one version would be garbage; callers must use lastFoldedPair
-    require(d.join.isEmpty,
+    require(d.join.isEmpty && d.joinN.isEmpty,
       s"graft materialized view $name: lastFolded is single-table only")
     math.max(d.lastVersion,
       JsonDocVersions.lastTxn(dataDir.getAbsolutePath, appIdOf(name))
@@ -1078,6 +1340,8 @@ private[graft] object GraftMv {
   def refresh(session: SparkSession, cat: String, defFile: java.io.File,
       dataDir: java.io.File, name: String): (Int, Int) = lockFor(defFile).synchronized {
     val d = read(defFile)
+    if (d.joinN.isDefined)
+      return refreshJoinN(session, cat, defFile, dataDir, name, d)
     if (d.join.isDefined)
       return refreshJoin(session, cat, defFile, dataDir, name, d)
     val backing = dataDir.getAbsolutePath
@@ -1166,7 +1430,8 @@ private[graft] object GraftMv {
       dataDir: java.io.File, name: String, checkpointRoot: String)
       : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val d = read(defFile)
-    val bases = d.basePath +: d.join.map(_.basePath2).toSeq
+    val bases = d.basePath +: (d.join.map(_.basePath2).toSeq ++
+      d.joinN.toSeq.flatMap(_.paths))
     bases.zipWithIndex.map { case (base, i) =>
       session.readStream.format("graft-jsondoc")
         .option("readChanges", "true")
@@ -1306,6 +1571,10 @@ private[sources] class GraftMvStateTable(defFile: java.io.File,
         }
         d.join match {
           // a join MV reports one staleness row PER BASE
+          case _ if d.joinN.isDefined =>
+            val (_, lasts) = GraftMv.lastFoldedN(d, dataDir, mvName)
+            (d.basePath +: d.joinN.get.paths).zip(lasts).map {
+              case (p, l) => row(p, l.toLong) }.toArray
           case Some(js) =>
             val (lastA, lastB) = GraftMv.lastFoldedPair(d, dataDir, mvName)
             Array(row(d.basePath, lastA.toLong), row(js.basePath2, lastB.toLong))

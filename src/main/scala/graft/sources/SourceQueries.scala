@@ -2031,6 +2031,72 @@ object SourceQueries {
       "CAST(sum(cents) AS BIGINT) AS s FROM o JOIN c ON o_custkey = c_custkey " +
       "WHERE cents > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"
 
+  /** q246: 3-TABLE JOIN MATERIALIZED VIEW (r18 — [[GraftMv.JoinNSpec]]):
+    * the TPC-H revenue-by-nation rollup (orders ⋈ customer ⋈ nation)
+    * as one declared incremental object. The two-term signed-delta
+    * identity telescopes to N terms — each side's feed joins the
+    * EARLIER sides at their new heads and the LATER sides at the old
+    * watermarks — so DML on ANY side (an orders append+delete, a
+    * customer nation-migration, a nation rename) folds through one
+    * `CALL refresh_mv` with commit-sized deltas joined against pinned
+    * snapshots, never a fact re-scan. The n watermarks ride the def
+    * file, staged crash-safely against the ledger's refresh sequence.
+    * Oracle: the from-scratch 3-way join recompute. */
+  def q246Mv3Join(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q246")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val o = s"graftcat.`$root/o`"
+      val c = s"graftcat.`$root/c`"
+      val n = s"graftcat.`$root/n`"
+      spark.sql(s"CREATE TABLE $o (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "cents BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      spark.sql(s"CREATE TABLE $c (c_custkey BIGINT, c_nationkey BIGINT) " +
+        "USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      spark.sql(s"CREATE TABLE $n (n_nationkey BIGINT, n_name STRING) " +
+        "USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(o).append()
+      customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+        .writeTo(c).append()
+      nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+        .writeTo(n).append()
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.j3 AS " +
+        s"SELECT n_name, count(*) AS n, sum(cents) AS s, avg(cents) AS a " +
+        s"FROM $o JOIN $c ON o_custkey = c_custkey " +
+        s"JOIN $n ON c_nationkey = n_nationkey WHERE cents > 0 " +
+        "GROUP BY n_name")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(o).append()
+      spark.sql("CALL graftcat.refresh_mv('db.j3')").collect() // facts fold
+      spark.sql(s"DELETE FROM $o WHERE o_orderkey % 6 = 1")
+      spark.sql(s"UPDATE $c SET c_nationkey = (c_nationkey + 1) % 25 " +
+        "WHERE c_custkey % 8 = 2") // nation migration through the middle
+      spark.sql(s"UPDATE $n SET n_name = concat('x_', n_name) " +
+        "WHERE n_nationkey % 5 = 0") // group rename on the outer dim
+      spark.sql("CALL graftcat.refresh_mv('db.j3')").collect() // 3-side fold
+      spark.sql("SELECT n_name, n, s, a FROM graftcat.db.j3 ORDER BY n_name")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q246Sql: String =
+    "WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS cents FROM orders WHERE o_orderkey % 6 <> 1), " +
+      "c AS (SELECT c_custkey, CASE WHEN c_custkey % 8 = 2 " +
+      "THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey " +
+      "FROM customer), " +
+      "n AS (SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0 " +
+      "THEN 'x_' || n_name ELSE n_name END AS n_name FROM nation) " +
+      "SELECT n_name, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s, " +
+      "avg(cents) AS a FROM o JOIN c ON o_custkey = c_custkey " +
+      "JOIN n ON c_nationkey = n_nationkey WHERE cents > 0 " +
+      "GROUP BY n_name ORDER BY n_name"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -2143,6 +2209,7 @@ object SourceQueries {
     "q239_mv_expr_key" -> q239MvExprKey _,
     "q240_mv_count_distinct" -> q240MvCountDistinct _,
     "q241_mv_join_minmax" -> q241MvJoinMinmax _,
+    "q246_mv_3join" -> q246Mv3Join _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2174,6 +2241,7 @@ object SourceQueries {
     "q239_mv_expr_key" -> q239Sql,
     "q240_mv_count_distinct" -> q240Sql,
     "q241_mv_join_minmax" -> q241Sql,
+    "q246_mv_3join" -> q246Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

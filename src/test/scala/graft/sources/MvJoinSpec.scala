@@ -175,6 +175,74 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ambiguous")
   }
 
+  test("a 3-table join body folds DML on every side via the telescoped identity") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbj3")
+    val root = java.nio.file.Files.createTempDirectory("graft_mvj3").toString
+    val to = s"graftcat.`$root/o`"   // facts
+    val tc = s"graftcat.`$root/c`"   // dim 1
+    val tn = s"graftcat.`$root/n`"   // dim 2
+    Seq(
+      s"CREATE TABLE $to (o_ck BIGINT, x BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')",
+      s"CREATE TABLE $tc (c_ck BIGINT, c_nk BIGINT, w BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')",
+      s"CREATE TABLE $tn (n_nk BIGINT, region STRING) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')"
+    ).foreach(spark.sql(_))
+    spark.sql(s"INSERT INTO $to VALUES (1, 10), (1, 20), (2, 5), (3, NULL), (9, 99)")
+    spark.sql(s"INSERT INTO $tc VALUES (1, 100, 1), (2, 100, 2), (3, 200, -7), " +
+      "(4, 200, 4)")
+    spark.sql(s"INSERT INTO $tn VALUES (100, 'ea'), (200, 'we'), (300, 'xx')")
+    val jbody = s"SELECT region, count(*) AS n, count(x) AS cx, sum(x) AS sx, " +
+      s"avg(x) AS ax FROM $to JOIN $tc ON o_ck = c_ck " +
+      s"JOIN $tn ON c_nk = n_nk WHERE w >= 0 GROUP BY region"
+    spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbj3.m3 AS $jbody")
+    def current(clue: String): Unit =
+      assert(sortedRows("SELECT * FROM graftcat.dbj3.m3") === sortedRows(jbody), clue)
+    current("initial 3-table fill must equal a recompute")
+    // #mvstate: one staleness row per base, all current
+    val st = spark.sql("SELECT base_path, stale_commits FROM " +
+      "graftcat.dbj3.`m3#mvstate`").collect()
+    assert(st.length === 3 && st.forall(_.getLong(1) === 0L), s"state: ${st.toSeq}")
+    // side-0 (facts) DML: insert + delete in one range
+    spark.sql(s"INSERT INTO $to VALUES (2, 1000), (4, 7)")
+    spark.sql(s"DELETE FROM $to WHERE x = 20")
+    spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()
+    current("a facts-side fold must equal a recompute")
+    // side-1 (dim) group MIGRATION across the middle table: c_ck=1
+    // moves from nation 100 to 200 (rows leave 'ea', arrive in 'we')
+    spark.sql(s"UPDATE $tc SET c_nk = 200 WHERE c_ck = 1")
+    spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()
+    current("a middle-side migration must fold both groups exactly")
+    // side-2 (outer dim) DML: rename a region (update) and vanish one
+    spark.sql(s"UPDATE $tn SET region = 'eastern' WHERE n_nk = 100")
+    spark.sql(s"DELETE FROM $tn WHERE n_nk = 200")
+    spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()
+    current("outer-dim update+vanish must fold exactly")
+    assert(!sortedRows("SELECT * FROM graftcat.dbj3.m3").exists(_.head == "we"))
+    // ALL THREE sides move in ONE refresh range
+    spark.sql(s"INSERT INTO $to VALUES (4, 3)")
+    spark.sql(s"UPDATE $tc SET w = -1 WHERE c_ck = 2") // leaves the WHERE
+    spark.sql(s"INSERT INTO $tn VALUES (200, 'western')")
+    spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()
+    current("a 3-side simultaneous range must fold exactly")
+    // exactly-once
+    val ref = spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()(0)
+    assert(ref.getLong(0) > ref.getLong(1), s"no-op refresh expected: $ref")
+    // refusals: extrema and distinct over a 3-table body
+    def refuse3(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE MATERIALIZED VIEW graftcat.dbj3.bad AS $sql")
+      }
+      assert(e.getMessage.contains(needle), s"$sql -> ${e.getMessage}")
+    }
+    refuse3(s"SELECT region, max(x) AS mx FROM $to JOIN $tc ON o_ck = c_ck " +
+      s"JOIN $tn ON c_nk = n_nk GROUP BY region", "N-table")
+    refuse3(s"SELECT region, count(DISTINCT x) AS dx FROM $to JOIN $tc " +
+      s"ON o_ck = c_ck JOIN $tn ON c_nk = n_nk GROUP BY region",
+      "join body")
+  }
+
   test("MIN/MAX join body: deletes on either side recompute only affected groups") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbjx")
     val root = java.nio.file.Files.createTempDirectory("graft_mvjx").toString
