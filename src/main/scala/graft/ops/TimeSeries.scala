@@ -769,6 +769,11 @@ object TimeSeries {
         .select("p_id")
       val newOut = topk.join(done, Seq("p_id"), "left_semi")
       out = if (out == null) newOut else out.unionByName(newOut)
+      // fold the resolved-output union down every 8 rings: each term is
+      // checkpoint-shallow, but the union tree itself otherwise grows
+      // one node per ring and a long void walk hands the final action
+      // an O(rings)-wide plan
+      if (ring % 8 == 7) out = out.localCheckpoint()
       pending = pending.join(done, Seq("p_id"), "left_anti").localCheckpoint()
       carried = topk.join(done, Seq("p_id"), "left_anti")
         .select(col("p_id"), col("q_id"), col("dist2"))

@@ -138,9 +138,17 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = Seq((1L, 0L, 0L)).toDF("p_id", "px", "py")
     val q = Seq((7L, 900L, 900L), (8L, 901L, 900L), (9L, 999L, 999L))
       .toDF("q_id", "qx", "qy")
-    val got = ops.TimeSeries.knnUnbounded(p, q, k = 2, w = 64L, maxRing = 1000 / 64 + 2)
-      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val df = ops.TimeSeries.knnUnbounded(p, q, k = 2, w = 64L,
+      maxRing = 1000 / 64 + 2)
+    val got = df.collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
     assert(got === Seq((7L, 1L), (8L, 2L)), s"got $got")
+    // r18: the resolved-output union folds down every 8 rings, so a
+    // ~17-ring walk must NOT hand the final action an O(rings)-wide
+    // plan (one union node per ring); the checkpointed plan stays a
+    // small constant
+    val nodes = df.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(nodes <= 60,
+      s"the long-void final plan grew with the ring count: $nodes nodes")
   }
 
   test("r17: unbounded KNN with FEWER than k build points emits the global set") {
