@@ -58,6 +58,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+/** Defensive boolean conf parse shared by the rewrite kill switches
+  * (r18 review): a malformed SET must never throw from rule
+  * application — unparseable values warn and take the default. */
+private[plans] object LenientConf {
+  def bool(session: org.apache.spark.sql.SparkSession, key: String,
+      default: Boolean, warn: String => Unit): Boolean =
+    session.conf.get(key, default.toString).trim.toLowerCase match {
+      case "true" | "1" | "yes" | "on" => true
+      case "false" | "0" | "no" | "off" => false
+      case other =>
+        warn(s"$key='$other' is not a boolean; treating as $default")
+        default
+    }
+}
+
 /** Optimizer rule: a filter `levenshtein(a, b) <= k` gains the conjunct
   * `abs(length(a) - length(b)) <= k` AHEAD of it. Edit distance is lower-
   * bounded by the length difference, so the guard never changes results —

@@ -106,6 +106,11 @@ case class ShowGraftMvsCommand(catalog: GraftCatalog, namespace: Seq[String])
       d.join match {
         // a join MV lists one staleness row PER BASE (its ledger value
         // encodes both watermarks — lastFolded would misread it)
+        case _ if d.joinN.isDefined =>
+          val (_, lasts) = GraftMv.lastFoldedN(d,
+            catalog.mvDataDirOf(ident), ident.name())
+          (d.basePath +: d.joinN.get.paths).zip(lasts).map {
+            case (p, l) => row(p, l.toLong) }
         case Some(js) =>
           val (lastA, lastB) =
             GraftMv.lastFoldedPair(d, catalog.mvDataDirOf(ident), ident.name())

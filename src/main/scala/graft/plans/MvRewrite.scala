@@ -80,19 +80,11 @@ import graft.sources.{GraftCatalog, GraftMv, JsonDocVersions}
 class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
-  private def enabled: Boolean = {
+  private def enabled: Boolean =
     // defensive like staleBudget below: a malformed SET (e.g. "tru")
     // must not throw from rule application on every subsequent query
-    val raw = session.conf.get("spark.graft.mv.rewrite.enabled", "true")
-    raw.trim.toLowerCase match {
-      case "true" | "1" | "yes" | "on" => true
-      case "false" | "0" | "no" | "off" => false
-      case other =>
-        logWarning(s"spark.graft.mv.rewrite.enabled='$other' is not a " +
-          "boolean; treating as true")
-        true
-    }
-  }
+    LenientConf.bool(session, "spark.graft.mv.rewrite.enabled",
+      default = true, logWarning(_))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // never fire while GraftMv.extract analyzes a CREATE MATERIALIZED

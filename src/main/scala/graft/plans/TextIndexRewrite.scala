@@ -44,11 +44,8 @@ import graft.text.TextIndex
 class RewriteOntoTextIndex(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
-    session.conf.get("spark.graft.text.rewrite.enabled", "true")
-      .trim.toLowerCase match {
-      case "false" | "0" | "no" | "off" => false
-      case _ => true
-    }
+    LenientConf.bool(session, "spark.graft.text.rewrite.enabled",
+      default = true, logWarning(_))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -90,6 +87,12 @@ class RewriteOntoTextIndex(session: SparkSession) extends Rule[LogicalPlan] {
         case None => return None
       }
       if (!rel.outputSet.contains(textAttr)) return None
+      // the postings were built from the base's `text` column
+      // (TextIndex.create/refresh read `SELECT doc_id, text`) —
+      // tokenizing any OTHER string column of the same table must
+      // never serve those postings
+      if (!session.sessionState.conf.resolver(textAttr.name, "text"))
+        return None
       val docId = rel.output.filter(a =>
         session.sessionState.conf.resolver(a.name, "doc_id")) match {
         case Seq(one) => Some(one)

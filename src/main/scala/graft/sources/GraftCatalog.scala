@@ -838,8 +838,11 @@ class GraftCatalog extends TableCatalog
           listMvs(ns).toSeq ++ listNamespaces(ns).flatMap(walk)
         val fresh = listNamespaces().flatMap(walk).toSeq
           .map { ident =>
-            val f = mvDefFileOf(ident)
-            (ident, GraftMv.read(f), defSignature(f))
+            val json = java.nio.file.Files.readString(mvDefFileOf(ident).toPath)
+            // parse and fingerprint the SAME bytes: a stat-based pair
+            // could match a foreign rewrite landing between read and
+            // stat, and mtime granularity can miss a same-length swap
+            (ident, GraftMv.parse(json), defSignature(json))
           }
         mvDefCache = (epoch, fresh)
         fresh
@@ -848,27 +851,32 @@ class GraftCatalog extends TableCatalog
     // ddlEpoch only sees THIS JVM's DDL: another process may have
     // DROPped and re-CREATEd an MV with a different body, and matching
     // the stale definition against the new backing's data would serve
-    // wrong rows. Re-stat each candidate's def file (one lstat each, on
-    // the tiny basePath-matched set) and re-read any whose signature
-    // moved; a vanished or retargeted def just stops being a candidate.
+    // wrong rows. Re-read each basePath-matched candidate's def (defs
+    // are ~1 KB; the matched set is tiny) and compare content hashes;
+    // a vanished or retargeted def just stops being a candidate.
     all.filter(_._2.basePath == canonical).flatMap { case (ident, defn, sig) =>
-      val f = mvDefFileOf(ident)
-      if (defSignature(f) == sig) Some(ident -> defn)
-      else
-        try {
-          val fresh = GraftMv.read(f)
+      try {
+        val json = java.nio.file.Files.readString(mvDefFileOf(ident).toPath)
+        if (defSignature(json) == sig) Some(ident -> defn)
+        else {
+          val fresh = GraftMv.parse(json)
           if (fresh.basePath == canonical) Some(ident -> fresh) else None
-        } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
-  /** mtime+length fingerprint of an MV def file — cheap staleness check
-    * for [[mvsOnBase]]'s per-epoch cache against cross-process DDL. */
-  private def defSignature(f: java.io.File): (Long, Long) =
-    (f.lastModified(), f.length())
+  /** Content fingerprint of an MV def — the staleness check for
+    * [[mvsOnBase]]'s per-epoch cache against cross-process DDL. */
+  private def defSignature(json: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < json.length) { h = 31 * h + json.charAt(i); i += 1 }
+    h
+  }
 
   @volatile private var mvDefCache:
-      (Long, Seq[(Identifier, GraftMv.MvDef, (Long, Long))]) = _
+      (Long, Seq[(Identifier, GraftMv.MvDef, Long)]) = _
 
   private def viewFileOf(ident: Identifier): java.io.File =
     new java.io.File(namespaceDir(ident.namespace()),

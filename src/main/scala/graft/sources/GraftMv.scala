@@ -1158,9 +1158,14 @@ private[graft] object GraftMv {
     }
   }
 
-  def read(f: java.io.File): MvDef = {
-    val root = new ObjectMapper().readTree(
-      java.nio.file.Files.readString(f.toPath))
+  def read(f: java.io.File): MvDef =
+    parse(java.nio.file.Files.readString(f.toPath))
+
+  /** Parse a definition from its JSON text — callers that fingerprint
+    * the bytes (the catalog's rewrite-candidate cache) parse the SAME
+    * content they hashed, closing the read-then-stat race. */
+  def parse(json: String): MvDef = {
+    val root = new ObjectMapper().readTree(json)
     MvDef(
       sql = root.get("sql").asText(),
       basePath = root.get("basePath").asText(),
@@ -1350,10 +1355,22 @@ private[graft] object GraftMv {
     // already current: an EMPTY range (from > to), never mistakable for
     // a one-commit fold
     if (head <= last) return (last + 1, last)
+    val distAggs0 = d.aggs.filter(_.func == "count_distinct")
+    // crash adjudication (r18 review): a dist ledger AHEAD of the main
+    // watermark marks a crashed refresh's window — the dist fold
+    // committed but the main MERGE did not. Replay EXACTLY that range
+    // first (transitions reconstruct post − delta against the
+    // already-folded dist), then a second pass continues to the true
+    // head; folding (last, head] in one go would re-apply the crashed
+    // range's multiplicity deltas to dist a second time.
+    val distLasts = distAggs0.map(a => JsonDocVersions.lastTxn(
+      distDirOf(dataDir, a.alias).getAbsolutePath, appIdOf(name))
+      .map(_.toInt).getOrElse(-1))
+    val headEff = (head +: distLasts.filter(_ > last)).min
     val feed = session.read.format("graft-jsondoc")
       .option("readChanges", "true")
       .option("startingVersion", (last + 1).toString)
-      .option("endingVersion", head.toString)
+      .option("endingVersion", headEff.toString)
       .option("path", d.basePath).load()
     // a range containing deletes under MIN/MAX cannot fold those
     // groups' extrema back out of the state — recompute ONLY the
@@ -1363,50 +1380,53 @@ private[graft] object GraftMv {
     val mixed = d.aggs.exists(a => a.func == "min" || a.func == "max") &&
       !feed.filter(org.apache.spark.sql.functions
         .col("_change_type") === "delete").isEmpty
-    val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$head"
+    val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$headEff"
     val feedView = s"${tag}_feed"
     val deltaView = s"${tag}_delta"
-    val distAggs = d.aggs.filter(_.func == "count_distinct")
     val tempViews = scala.collection.mutable.ArrayBuffer(feedView, deltaView)
     feed.createOrReplaceTempView(feedView)
     try {
       // COUNT(DISTINCT) state first: fold each dist table's signed
       // multiplicity delta (its own idempotent ledger — a crash replay
       // skips it), and pin the TRANSITION deltas for the main fold
-      // against the dist state at a known version (pre-merge normally,
-      // post-merge on replay) so both paths compute identical counts
-      val dcnts = distAggs.zipWithIndex.map { case (a, i) =>
+      // against the dist state at a known version: pre-merge normally
+      // (the EMPTY relation when dist has no committed version yet —
+      // an unpinned read would be evaluated post-merge and lose every
+      // 0→live transition), post-merge on replay
+      val dcnts = distAggs0.zipWithIndex.map { case (a, i) =>
         val dist = distDirOf(dataDir, a.alias).getAbsolutePath
         val dv = s"${tag}_dd_$i"
         session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $dv AS " +
           distDeltaSql(d, feedView, a))
         tempViews += dv
-        val distFolded = JsonDocVersions.lastTxn(dist, appIdOf(name))
-          .exists(_.toInt >= head)
+        val distFolded = distLasts(i) >= headEff
         val pin = JsonDocVersions.latestVersion(dist).getOrElse(0)
         val distRel =
           if (pin > 0) s"(SELECT * FROM $cat.`$dist` VERSION AS OF $pin)"
-          else s"$cat.`$dist`" // a fresh empty table has nothing to pin
+          else s"(SELECT * FROM $cat.`$dist` WHERE 1 = 0)"
         val dcv = s"${tag}_dc_$i"
         session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $dcv AS " +
           dcntDeltaSql(d, dv, distRel, post = distFolded))
         tempViews += dcv
         if (!distFolded) {
-          GraftTxn.begin(dist, appIdOf(name), head.toLong)
+          GraftTxn.begin(dist, appIdOf(name), headEff.toLong)
           try session.sql(distMergeSql(cat, dist, d, dv))
           finally GraftTxn.clear(dist)
         }
         (a.alias, dcv)
       }
+      if (crashAfterDistMerge.value)
+        throw new IllegalStateException(
+          "graft test seam: crash between the dist and main merges")
       session.sql(s"CREATE OR REPLACE TEMPORARY VIEW $deltaView AS " +
-        (if (mixed) mixedDeltaSql(cat, d, feedView, head)
+        (if (mixed) mixedDeltaSql(cat, d, feedView, headEff)
          else if (dcnts.isEmpty) deltaSql(d, feedView)
          else withDistDeltasSql(d, s"(${deltaSql(d, feedView)})", dcnts)))
       // the (appId, head) pair rides the MERGE's own manifest commit —
       // the q183 exactly-once recipe: a replay after a crash between
       // the MERGE and the definition-file update sees lastTxn = head
       // and skips
-      GraftTxn.begin(backing, appIdOf(name), head.toLong)
+      GraftTxn.begin(backing, appIdOf(name), headEff.toLong)
       try session.sql(
         if (mixed) mixedMergeSql(cat, backing, d, deltaView)
         else mergeSql(cat, backing, d, deltaView))
@@ -1414,9 +1434,19 @@ private[graft] object GraftMv {
     } finally {
       tempViews.reverse.foreach { v => session.catalog.dropTempView(v); () }
     }
-    write(defFile, d.copy(lastVersion = head))
+    write(defFile, d.copy(lastVersion = headEff))
+    if (headEff < head) {
+      // the crashed range is re-adjudicated — continue to the true head
+      refresh(session, cat, defFile, dataDir, name)
+      ()
+    }
     (last + 1, head)
   }
+
+  /** Test seam: when set, [[refresh]] throws after the dist-table
+    * merges land but before the main MERGE — the COUNT(DISTINCT)
+    * crash window the replay adjudication exists for. */
+  private[graft] val crashAfterDistMerge = new scala.util.DynamicVariable(false)
 
   /** CONTINUOUS refresh (r17): one micro-batch stream per base on its
     * change feed, each batch driving [[refresh]]. The batch CONTENT is

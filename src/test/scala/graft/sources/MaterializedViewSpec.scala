@@ -442,14 +442,48 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-CALL: exactly-once no-op
     val ref = spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()(0)
     assert(ref.getLong(0) > ref.getLong(1), s"no-op refresh expected: $ref")
+    // r18 review: an MV created on an EMPTY base (no dist version to
+    // pin) must count the first fold's 0→live transitions against the
+    // EMPTY pre-state, not the post-merge dist
+    spark.sql(s"CREATE TABLE graftcat.`$root/e` (g STRING, t STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql("CREATE MATERIALIZED VIEW graftcat.dbcd.onempty AS " +
+      s"SELECT g, count(DISTINCT t) AS dt FROM graftcat.`$root/e` GROUP BY g")
+    spark.sql(s"INSERT INTO graftcat.`$root/e` VALUES ('a', 'red'), ('a', 'red'), " +
+      "('a', 'blue'), ('b', 'red')")
+    spark.sql("CALL graftcat.refresh_mv('dbcd.onempty')").collect()
+    assert(sortedRows("SELECT g, dt FROM graftcat.dbcd.onempty") ===
+      Seq(Seq("a", 2L), Seq("b", 1L)),
+      "the first fold on an empty-created view must count 0->live transitions")
+
+    // r18 review: CRASH between the dist merge and the main merge —
+    // the replay must adjudicate the crashed range (post - delta
+    // transitions) and then continue, never double-folding dist
+    spark.sql(s"INSERT INTO $base VALUES (20, 'a', 'teal', 7)")
+    val crash = intercept[Exception] {
+      GraftMv.crashAfterDistMerge.withValue(true) {
+        spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()
+      }
+    }
+    assert(crash.getMessage.contains("test seam"), s"got: ${crash.getMessage}")
+    // more DML lands BEFORE the replay (the worst window)
+    spark.sql(s"INSERT INTO $base VALUES (21, 'a', 'teal', 8), (22, 'c', 'lime', 9)")
+    spark.sql("CALL graftcat.refresh_mv('dbcd.m')").collect()
+    assert(sortedRows("SELECT * FROM graftcat.dbcd.m") === sortedRows(body),
+      "the crash replay must adjudicate the crashed range exactly")
+    assert(spark.sql("SELECT dt FROM graftcat.dbcd.m WHERE grp = 'a'")
+      .collect()(0).getLong(0) === 2L,
+      "teal must count once across the crashed and replayed ranges")
+
     // the dist side tables are internal storage: never listed
     assert(!spark.sql("SHOW TABLES IN graftcat.dbcd").collect()
       .exists(_.getString(1).contains("mvdist")), "dist tables leaked")
     // DROP removes them from disk
     spark.sql("DROP MATERIALIZED VIEW graftcat.dbcd.m")
     val wh2 = spark.conf.get("spark.sql.catalog.graftcat.warehouse")
+    // only m's dist tables sweep — the sibling onempty view keeps its own
     assert(!Option(new java.io.File(s"$wh2/dbcd").listFiles())
-      .getOrElse(Array.empty).exists(_.getName.contains(".mvdist_")),
+      .getOrElse(Array.empty).exists(_.getName.startsWith("m.mvdist_")),
       "DROP must sweep the dist tables")
 
     // refusals: DISTINCT with MIN/MAX, non-count DISTINCT, join DISTINCT

@@ -229,6 +229,38 @@ class MvJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exactly-once
     val ref = spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()(0)
     assert(ref.getLong(0) > ref.getLong(1), s"no-op refresh expected: $ref")
+
+    // CRASH REPLAY of the pending-vector protocol: rewind the def to
+    // its pre-refresh watermark state but leave `pending` staged with
+    // the seq the ledger COMMITTED (the crash window between the MERGE
+    // and the def promotion). The next refresh must adjudicate the
+    // pending vector as folded truth — a no-op, never a double-fold.
+    val cat3 = spark.sessionState.catalogManager.catalog("graftcat")
+      .asInstanceOf[GraftCatalog]
+    val id3 = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("dbj3"), "m3")
+    val defFile = cat3.mvDefFileOf(id3)
+    val cur = GraftMv.read(defFile)
+    val js = cur.joinN.get
+    GraftMv.write(defFile, cur.copy(joinN = Some(js.copy(
+      lastSeq = js.lastSeq - 1,
+      lastVersions = js.lastVersions.map(v => math.max(0, v - 1)),
+      pending = Some((js.lastSeq, js.lastVersions))))))
+    val ref2 = spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()(0)
+    assert(ref2.getLong(0) > ref2.getLong(1),
+      s"replay with a committed pending must fold nothing: $ref2")
+    current("the crash-replay adjudication must not change the view")
+    // and the NEXT real fold still lands exactly once
+    spark.sql(s"INSERT INTO $to VALUES (4, 11)")
+    spark.sql("CALL graftcat.refresh_mv('dbj3.m3')").collect()
+    current("the first fold after a replayed crash must be exact")
+    // r18 review: SHOW MATERIALIZED VIEWS must list an N-ary view
+    // (one staleness row per base), not throw from lastFolded
+    val shown = spark.sql("SHOW MATERIALIZED VIEWS IN graftcat.dbj3").collect()
+    assert(shown.count(_.getString(1) == "m3") === 3,
+      s"a 3-table view lists one row per base: ${shown.toSeq}")
+    assert(shown.filter(_.getString(1) == "m3").forall(_.getLong(5) === 0L),
+      s"current after refresh: ${shown.toSeq}")
     // refusals: extrema and distinct over a 3-table body
     def refuse3(sql: String, needle: String): Unit = {
       val e = intercept[Exception] {

@@ -40,11 +40,11 @@ class TextIndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     root = java.nio.file.Files.createTempDirectory("graft_tir").toString
     basePath = new java.io.File(s"$root/docs").getAbsolutePath
     tbl = s"$cat.`$basePath`"
-    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING, title STRING) " +
       "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
     spark.sql(s"INSERT INTO $tbl VALUES " +
-      "(1, 'alpha beta beta gamma'), (2, 'beta gamma gamma delta'), " +
-      "(3, 'alpha alpha delta'), (4, 'epsilon zeta')")
+      "(1, 'alpha beta beta gamma', 'one'), (2, 'beta gamma gamma delta', 'two'), " +
+      "(3, 'alpha alpha delta', 'three'), (4, 'epsilon zeta', 'four')")
     spark.sql(s"CALL $cat.create_text_index('$root/idx', '$basePath', 8)").collect()
   }
 
@@ -104,7 +104,7 @@ class TextIndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("staleness blocks serving until refresh; pinned reads never serve") {
-    spark.sql(s"INSERT INTO $tbl VALUES (5, 'beta beta beta')")
+    spark.sql(s"INSERT INTO $tbl VALUES (5, 'beta beta beta', 'five')")
     val stale = bm25(Seq("alpha", "beta"))
     val (base, postings) = scans(stale)
     assert(base && !postings, "a stale index must not serve (no feed fold " +
@@ -138,5 +138,16 @@ class TextIndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
           .as("term"))
     assert(scans(otherTok) === ((true, false)),
       "a different tokenizer must not serve from the index")
+    // r18 review: tokenizing a DIFFERENT string column of the indexed
+    // table must never serve the text column's postings
+    val otherCol = spark.sql(s"SELECT doc_id, title FROM $tbl")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("title")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+    assert(scans(otherCol) === ((true, false)),
+      "tokenizing a non-indexed column must read the base")
+    assert(otherCol.collect().map(_.getString(1)).toSet ===
+      Set("one", "two", "three", "four", "five"),
+      "the non-indexed column's tokens must come from that column")
   }
 }
