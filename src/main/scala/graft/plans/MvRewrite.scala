@@ -154,6 +154,11 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
     probed.iterator.filter(_._3 == head).flatMap { case (ident, d, _) =>
       // CURRENT: the backing state IS the head snapshot's aggregate
       matchAndBuild(agg, userCond, rel.output, cat, ident, d, stale = None)
+        .orElse(
+          // a distinct-count ROLLUP cannot re-aggregate from the
+          // backing, but the (group, value) multiplicity table CAN
+          try Some(buildDistRollup(agg, userCond, rel.output, cat, ident, d))
+          catch { case NoMatch => None })
     }.nextOption().orElse {
       val budget = staleBudget
       probed.iterator
@@ -507,6 +512,154 @@ class RewriteOntoMv(session: SparkSession) extends Rule[LogicalPlan]
       }
     // the exactness gate of last resort: the substituted plan must
     // produce the original schema byte-for-byte
+    if (rewritten.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+        agg.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
+    rewritten
+  }
+
+  /** A COUNT(DISTINCT col) ROLLUP served from the dist table (r18):
+    * the backing's maintained count cannot re-aggregate across groups,
+    * but the hidden (group keys, value, multiplicity) table can —
+    * `COUNT(DISTINCT __mv_val)` over any key subset is exact, and the
+    * dist table is |live (group, value) pairs|, far smaller than the
+    * base. Served shape: group keys plus EXACTLY ONE distinct count
+    * whose column has dist state, view CURRENT (a current main
+    * watermark implies the dist tables are current too — they fold
+    * first under the same refresh), predicates matching the view's
+    * plus residuals over grouped columns. Anything else bails to the
+    * base scan. */
+  private def buildDistRollup(agg: Aggregate, userCond: Option[Expression],
+      outputs: Seq[Attribute], cat: GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      d: GraftMv.MvDef): LogicalPlan = {
+    // ---- predicate match, exactly as the backing path
+    val mvConjs: Seq[Expression] =
+      boundWhere(d, n => baseAttr(outputs, n).getOrElse(bail()))
+        .map(splitConjunctivePredicates).getOrElse(Seq.empty)
+    val userConjs = userCond.map(splitConjunctivePredicates).getOrElse(Seq.empty)
+    val remaining = scala.collection.mutable.ArrayBuffer(userConjs: _*)
+    mvConjs.foreach { mc =>
+      val i = remaining.indexWhere(_.semanticEquals(mc))
+      if (i < 0) bail()
+      remaining.remove(i)
+    }
+    // ---- group match (plain and expression keys)
+    val exprKeys: Seq[(Expression, String)] = d.groups.collect {
+      case g if g.exprSql.isDefined =>
+        val parsed = try session.sessionState.sqlParser.parseExpression(g.exprSql.get)
+          catch { case _: Exception => bail() }
+        val bound = parsed.transformUp {
+          case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+            baseAttr(outputs, u.nameParts.head).getOrElse(bail())
+        }
+        if (!bound.resolved) bail()
+        (bound, g.stored)
+    }
+    def exprStored(e: Expression): Option[String] =
+      exprKeys.find(_._1.semanticEquals(e)).map(_._2)
+    val storedOf = scala.collection.mutable.Map.empty[ExprId, String]
+    agg.groupingExpressions.foreach {
+      case a: AttributeReference =>
+        storedOf(a.exprId) = d.groups.find(g =>
+          g.exprSql.isEmpty && resolver(g.src, a.name)).getOrElse(bail()).stored
+      case e if exprStored(e).isDefined => ()
+      case _ => bail()
+    }
+    // ---- shape: exactly one distinct count, dist-backed; keys otherwise
+    val distAsks = agg.aggregateExpressions.collect {
+      case al @ Alias(ae: AggregateExpression, _) => (al, ae)
+    }
+    if (distAsks.length != 1) bail()
+    val (distAlias, distAe) = distAsks.head
+    if (!distAe.isDistinct || distAe.filter.nonEmpty) bail()
+    val distCol = distAe.aggregateFunction match {
+      case Count(Seq(a: AttributeReference)) => a.name
+      case _ => bail()
+    }
+    val spec = d.aggs.find(s => s.func == "count_distinct" &&
+      s.arg.exists(resolver(_, distCol))).getOrElse(bail())
+    // ---- load the dist relation and map names
+    val distPath = GraftMv.distDirOf(cat.mvDataDirOf(ident), spec.alias)
+      .getAbsolutePath
+    val dist: LogicalPlan = session.read.format("graft-jsondoc")
+      .option("path", distPath).load().queryExecution.analyzed match {
+      case SubqueryAlias(_, c) => c
+      case other => other
+    }
+    def dAttr(name: String): Attribute =
+      dist.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    // a live group whose distinct column is ALL NULL has NO dist rows
+    // but must still emit a 0-count row, exactly like the base plan —
+    // so the rollup keys come from the BACKING's live groups and the
+    // per-key counts LEFT-join on from the dist aggregation
+    val backing: LogicalPlan = session.read.format("graft-jsondoc")
+      .option("path", cat.mvDataDirOf(ident).getAbsolutePath).load()
+      .queryExecution.analyzed match {
+      case SubqueryAlias(_, c) => c
+      case other => other
+    }
+    def bAttr(name: String): Attribute =
+      backing.output.find(a => resolver(a.name, name)).getOrElse(bail())
+    def residualOver(attrOf: String => Attribute,
+        plan: LogicalPlan): LogicalPlan = {
+      val ids = d.groups.map(g => attrOf(g.stored).exprId).toSet
+      val rs = remaining.toSeq.map { c =>
+        if (!c.deterministic) bail()
+        // ANY MV key column is constant per (group, value) row — not
+        // just the user-grouped subset — so residuals over them filter
+        // whole rows exactly on both the backing and the dist side
+        val mapped = c.transform {
+          case e if exprKeys.nonEmpty && exprStored(e).isDefined =>
+            attrOf(exprStored(e).get)
+          case a: AttributeReference
+              if d.groups.exists(g => g.exprSql.isEmpty &&
+                resolver(g.src, a.name)) =>
+            attrOf(d.groups.find(g => g.exprSql.isEmpty &&
+              resolver(g.src, a.name)).get.stored)
+        }
+        if (!mapped.references.forall(r => ids.contains(r.exprId))) bail()
+        mapped
+      }
+      if (rs.isEmpty) plan else Filter(rs.reduce(And), plan)
+    }
+    // the user's rollup keys, in stored-column terms
+    val userKeys: Seq[String] = agg.groupingExpressions.map {
+      case a: AttributeReference => storedOf(a.exprId)
+      case e => exprStored(e).getOrElse(bail())
+    }
+    // left: the live rollup keys from the backing
+    val leftKeys = userKeys.map(k => Alias(bAttr(k), k)())
+    val left = Aggregate(userKeys.map(bAttr), leftKeys,
+      residualOver(bAttr, backing))
+    // right: per-key distinct counts from the dist table
+    val cntAlias = Alias(Count(dAttr(GraftMv.DistValCol))
+      .toAggregateExpression(isDistinct = true), "__mv_dcnt")()
+    val right = Aggregate(userKeys.map(dAttr),
+      userKeys.map(k => dAttr(k): NamedExpression) :+ cntAlias,
+      residualOver(dAttr, dist))
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    val joinCond = leftKeys.zip(userKeys).map { case (lk, k) =>
+      EqualNullSafe(lk.toAttribute, dAttr(k)): Expression
+    }.reduceOption(And)
+    val joined = org.apache.spark.sql.catalyst.plans.logical.Join(
+      left, right, org.apache.spark.sql.catalyst.plans.LeftOuter, joinCond,
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    val keyOf: Map[String, Attribute] =
+      userKeys.zip(leftKeys.map(_.toAttribute)).toMap
+    val outItems: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if storedOf.contains(a.exprId) =>
+        Alias(keyOf(storedOf(a.exprId)), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if storedOf.contains(a.exprId) =>
+        Alias(keyOf(storedOf(a.exprId)), al.name)(exprId = al.exprId)
+      case al @ Alias(_, _) if (al eq distAlias) =>
+        Alias(Coalesce(Seq(cntAlias.toAttribute, Literal(0L))),
+          al.name)(exprId = al.exprId)
+      case al @ Alias(e, _) if exprStored(e).isDefined =>
+        Alias(keyOf(exprStored(e).get), al.name)(exprId = al.exprId)
+      case _ => bail()
+    }
+    val rewritten: LogicalPlan =
+      org.apache.spark.sql.catalyst.plans.logical.Project(outItems, joined)
     if (rewritten.schema.fields.map(f => (f.name, f.dataType)).toSeq !=
         agg.schema.fields.map(f => (f.name, f.dataType)).toSeq) bail()
     rewritten

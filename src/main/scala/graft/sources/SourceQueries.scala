@@ -2097,6 +2097,65 @@ object SourceQueries {
       "JOIN n ON c_nationkey = n_nationkey WHERE cents > 0 " +
       "GROUP BY n_name ORDER BY n_name"
 
+  /** q247: COUNT(DISTINCT) ROLLUP served from the dist table (r18b —
+    * [[graft.plans.RewriteOntoMv]] buildDistRollup): a distinct count
+    * cannot re-aggregate from the backing's maintained counts, but
+    * the hidden (group, value, multiplicity) table CAN — COUNT(
+    * DISTINCT __mv_val) over any key subset is exact, and the dist
+    * table is |live (group, value) pairs|, far smaller than the base.
+    * The user asks a COARSER key set than the view; the plan must
+    * read the .mvdist_ table (plus backing keys for all-NULL groups)
+    * and never the base. Lineage: the q240 DML (deletes removing
+    * some-but-not-all and last carriers, a value-migrating update)
+    * folds first, so the served multiplicities are maintained state,
+    * not a fresh fill. Oracle: the from-scratch rollup. */
+  def q247MvDistinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q247")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val path = new java.io.File(s"$root/t").getAbsolutePath
+      val tbl = s"graftcat.`$path`"
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val src = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      src.filter(pmod(col("o_orderkey"), lit(3)) < 2).writeTo(tbl).append() // v1
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.dr AS " +
+        s"SELECT o_orderstatus, o_custkey, " +
+        s"count(DISTINCT o_orderpriority) AS dp FROM $tbl " +
+        "WHERE o_orderkey % 10 <> 7 GROUP BY o_orderstatus, o_custkey")
+      src.filter(pmod(col("o_orderkey"), lit(3)) === 2).writeTo(tbl).append() // v2
+      spark.sql("CALL graftcat.refresh_mv('db.dr')").collect()
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 4 = 1") // v3
+      spark.sql(s"UPDATE $tbl SET o_orderpriority = '9-GRAFT' " +
+        "WHERE o_orderkey % 13 = 2") // v4
+      spark.sql("CALL graftcat.refresh_mv('db.dr')").collect()
+      // the ROLLUP: coarser keys than the view — answered from dist
+      val out = spark.sql(s"SELECT o_orderstatus, " +
+        s"count(DISTINCT o_orderpriority) AS dp FROM $tbl " +
+        "WHERE o_orderkey % 10 <> 7 GROUP BY o_orderstatus " +
+        "ORDER BY o_orderstatus")
+      val scanned = out.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          GraftMv.unpinnedTablePath(r.table)
+      }.flatten
+      require(scanned.exists(_.contains(".mvdist_")) && !scanned.contains(path),
+        s"q247: the distinct rollup must be answered from the dist table, " +
+          s"got $scanned")
+      out
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q247Sql: String =
+    "WITH t AS (SELECT o_orderstatus, CASE WHEN o_orderkey % 13 = 2 " +
+      "THEN '9-GRAFT' ELSE o_orderpriority END AS pr FROM orders " +
+      "WHERE o_orderkey % 4 <> 1 AND o_orderkey % 10 <> 7) " +
+      "SELECT o_orderstatus, count(DISTINCT pr) AS dp FROM t " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -2210,6 +2269,7 @@ object SourceQueries {
     "q240_mv_count_distinct" -> q240MvCountDistinct _,
     "q241_mv_join_minmax" -> q241MvJoinMinmax _,
     "q246_mv_3join" -> q246Mv3Join _,
+    "q247_mv_distinct_rollup" -> q247MvDistinctRollup _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2242,6 +2302,7 @@ object SourceQueries {
     "q240_mv_count_distinct" -> q240Sql,
     "q241_mv_join_minmax" -> q241Sql,
     "q246_mv_3join" -> q246Sql,
+    "q247_mv_distinct_rollup" -> q247Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed

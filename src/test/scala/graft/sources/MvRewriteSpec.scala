@@ -579,9 +579,51 @@ class MvRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
     try assert(got === sortedRows(spark.sql(full)))
     finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
-    // a ROLLUP of a distinct count cannot re-aggregate: base scan
-    assert(scans(spark.sql(s"SELECT g, count(DISTINCT tag) AS dt FROM $t " +
-      "GROUP BY g")) === ((false, true)), "distinct rollup must read the base")
+    // a ROLLUP of a distinct count cannot come from the maintained
+    // counts — but it CAN come from the (group, value) multiplicity
+    // table, exactly (r18b): the plan reads .mvdist_ + backing keys,
+    // never the base
+    def scans3(df: DataFrame): (Boolean, Boolean, Boolean) = {
+      var dist = false; var backing = false; var baseScan = false
+      df.queryExecution.analyzed.foreach {
+        case r: DataSourceV2Relation => r.table match {
+          case jd: JsonDocTable =>
+            if (jd.tablePath.contains(".mvdist_")) dist = true
+            else if (jd.tablePath.endsWith(".mvdata")) backing = true
+            else if (jd.tablePath == cdPath) baseScan = true
+          case _ =>
+        }
+        case _ =>
+      }
+      (dist, backing, baseScan)
+    }
+    def pinDistRollup(sql: String): Unit = {
+      val on2 = spark.sql(sql)
+      val (dist, _, bs) = scans3(on2)
+      assert(dist && !bs, s"expected the dist rollup for: $sql")
+      val got2 = sortedRows(on2)
+      spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+      try assert(got2 === sortedRows(spark.sql(sql)),
+        s"the dist rollup changed the answer: $sql")
+      finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+    }
+    pinDistRollup(s"SELECT g, count(DISTINCT tag) AS dt FROM $t GROUP BY g")
+    // residual on a grouped column, and the h-keyed rollup
+    pinDistRollup(s"SELECT h, count(DISTINCT tag) AS dt FROM $t " +
+      "WHERE g = 'a' GROUP BY h")
+    // an ALL-NULL-valued group must still emit its zero row: 'n' has
+    // rows but no tags
+    spark.sql(s"INSERT INTO $t VALUES ('n', 'p', NULL, 7)")
+    spark.sql("CALL graftcat.refresh_mv('cd.m')")
+    val z = spark.sql(s"SELECT g, count(DISTINCT tag) AS dt FROM $t GROUP BY g")
+    val (zd, _, zb) = scans3(z)
+    assert(zd && !zb)
+    assert(sortedRows(z).exists(r => r.head == "n" && r(1) == 0L),
+      s"the all-NULL group must emit a zero row: ${sortedRows(z)}")
+    // a distinct rollup MIXED with other aggregates still reads the base
+    assert(scans3(spark.sql(s"SELECT g, count(DISTINCT tag) AS dt, " +
+      s"sum(x) AS sx FROM $t GROUP BY g")) === ((false, false, true)),
+      "mixed distinct+sum rollups must read the base")
     // staleness: the non-distinct aggs still stale-serve, the distinct
     // ask falls back to the base
     spark.sql(s"INSERT INTO $t VALUES ('c', 'p', 'red', 6)")
