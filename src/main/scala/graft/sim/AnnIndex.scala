@@ -246,6 +246,28 @@ object AnnIndex {
     writeDef(indexRoot, d0)
   }
 
+  /** CONTINUOUS refresh (r18, the GraftMv.autoRefresh contract applied
+    * to the index): one micro-batch stream on the base's change feed
+    * drives [[refresh]] per commit. The batch content is only a
+    * SIGNAL — the fold still reads `(last, head]` under the postings
+    * ledger, so redelivery re-folds nothing. Returns the started
+    * query (caller stops it). */
+  def autoRefresh(spark: SparkSession, cat: String, indexRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val d = readDef(indexRoot)
+    spark.readStream.format("graft-jsondoc")
+      .option("readChanges", "true")
+      .option("path", d.basePath).load()
+      .writeStream
+      .queryName(s"graft-ann-autorefresh-${new java.io.File(indexRoot).getName}")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, cat, indexRoot)
+        ()
+      }
+      .start()
+  }
+
   /** The index's staleness triple: (base path, last folded version —
     * ledger-authoritative, base head). */
   def stateOf(indexRoot: String): (String, Int, Int) = {

@@ -202,6 +202,41 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("dims"))
   }
 
+  test("continuous refresh follows commits; redelivery never double-folds") {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_auto").toString
+    val base = s"$root/base"
+    spark.sql(s"CREATE TABLE graftcat.`$base` (vec_id BIGINT, vec STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val full = sim.Similarity.vectors(spark, dir).select(col("vec_id"),
+      concat_ws(",", transform(col("v"), x => x.cast("string"))).as("vec"))
+    full.filter(col("vec_id") < 3000).writeTo(s"graftcat.`$base`").append()
+    spark.sql(s"CALL graftcat.create_ann('$root/idx', '$base', 8)").collect()
+    val ck = java.nio.file.Files.createTempDirectory("graft_ann_auto_ck").toString
+    val q = sim.AnnIndex.autoRefresh(spark, "graftcat", s"$root/idx", ck)
+    try {
+      full.filter(col("vec_id") >= 3000 && col("vec_id") < 3500)
+        .writeTo(s"graftcat.`$base`").append()
+      q.processAllAvailable()
+      val (_, last, head) = sim.AnnIndex.stateOf(s"$root/idx")
+      assert(last === head, s"the stream must fold to current: $last vs $head")
+    } finally q.stop()
+    // redelivery with a fresh checkpoint: the ledger makes it a no-op
+    val probe = sim.AnnIndex.search(spark, "graftcat", s"$root/idx",
+      queryVecId = 0L, nProbe = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_ann_auto_ck2").toString
+    val q2 = sim.AnnIndex.autoRefresh(spark, "graftcat", s"$root/idx", ck2)
+    try {
+      q2.processAllAvailable()
+      assert(sim.AnnIndex.search(spark, "graftcat", s"$root/idx",
+        queryVecId = 0L, nProbe = 3, k = 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === probe,
+        "replayed signals must never double-fold")
+    } finally q2.stop()
+  }
+
   test("vector string roundtrip is bit-exact for awkward doubles") {
     import spark.implicits._
     val vals = Seq(1.0E-5, math.Pi, -0.0, 1.7976931348623157E308, 4.9E-324, 0.1)

@@ -209,6 +209,44 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(3) === 0L, s"stale_commits must be 0: $row")
   }
 
+  test("continuous refresh follows commits; redelivery never double-folds") {
+    val r3 = java.nio.file.Files.createTempDirectory("graft_tiauto").toString
+    val t3 = s"$cat.`$r3/docs`"
+    val i3 = s"$r3/idx"
+    spark.sql(s"CREATE TABLE $t3 (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, 'alpha beta'), (2, 'beta gamma')")
+    spark.sql(s"CALL $cat.create_text_index('$i3', '$r3/docs', 4)").collect()
+    val ck = java.nio.file.Files.createTempDirectory("graft_tiauto_ck").toString
+    val q = TextIndex.autoRefresh(spark, cat, i3, ck)
+    try {
+      spark.sql(s"INSERT INTO $t3 VALUES (3, 'alpha alpha delta')")
+      spark.sql(s"DELETE FROM $t3 WHERE doc_id = 2")
+      q.processAllAvailable()
+      val (_, last, head) = TextIndex.stateOf(i3)
+      assert(last === head, s"the stream must fold to current: $last vs $head")
+      val got = TextIndex.search(spark, cat, i3, Seq("alpha"), 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(1L, 3L), s"search must reflect the folded DML: $got")
+    } finally q.stop()
+    // redelivery: a FRESH checkpoint replays the whole feed as signals;
+    // the postings ledger makes every replayed fold a no-op
+    val before = TextIndex.search(spark, cat, i3, Seq("alpha", "beta"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_tiauto_ck2").toString
+    val q2 = TextIndex.autoRefresh(spark, cat, i3, ck2)
+    try {
+      q2.processAllAvailable()
+      assert(TextIndex.search(spark, cat, i3, Seq("alpha", "beta"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === before,
+        "replayed signals must never double-fold")
+      spark.sql(s"INSERT INTO $t3 VALUES (4, 'beta beta')")
+      q2.processAllAvailable()
+      val (_, last2, head2) = TextIndex.stateOf(i3)
+      assert(last2 === head2, "the stream keeps following new commits")
+    } finally q2.stop()
+  }
+
   test("conjunctive and phrase search; positions stay exact through DML") {
     val r2 = java.nio.file.Files.createTempDirectory("graft_tip").toString
     val t2 = s"$cat.`$r2/docs`"
