@@ -2156,6 +2156,54 @@ object SourceQueries {
       "SELECT o_orderstatus, count(DISTINCT pr) AS dp FROM t " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"
 
+  /** q248: DAILY ACTIVE USERS as one declared object (r18b — the
+    * expression-key and COUNT(DISTINCT) machineries COMPOSED): the
+    * single most canonical streaming-analytics rollup,
+    * `GROUP BY day(ts), count(DISTINCT user_id)`, maintained
+    * incrementally — the day bucket computes once per source row
+    * ([[GraftMv.keyedSrc]]) and keys BOTH the backing and the hidden
+    * (day, user, multiplicity) table; deletes that remove some-but-not-
+    * all of a user's events leave the day's count alone, removing the
+    * last one drops it. Oracle: the from-scratch recompute. */
+  def q248MvDau(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q248")
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", s"$root/wh")
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+      val tbl = s"graftcat.`$root/ev`"
+      spark.sql(s"CREATE TABLE $tbl (event_id BIGINT, us BIGINT, " +
+        "user_id BIGINT) USING `graft-jsondoc` " +
+        "TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+      val ev = graft.Tables.events(spark, dir).select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"))
+      def slice(r: Int): DataFrame =
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+      slice(0).writeTo(tbl).append() // v1
+      val day = "us DIV 86400000000"
+      spark.sql("CREATE MATERIALIZED VIEW graftcat.db.dau AS " +
+        s"SELECT $day AS day_bucket, count(DISTINCT user_id) AS du, " +
+        s"count(*) AS n FROM $tbl GROUP BY $day")
+      slice(1).writeTo(tbl).append() // v2
+      spark.sql("CALL graftcat.refresh_mv('db.dau')").collect()
+      // v3: deletes remove some-but-not-all of most users' events and
+      // ALL of some users' events per day; v4: more inserts
+      spark.sql(s"DELETE FROM $tbl WHERE event_id % 5 = 2")
+      slice(2).writeTo(tbl).append() // v4
+      spark.sql("CALL graftcat.refresh_mv('db.dau')").collect()
+      spark.sql("SELECT day_bucket, du, n FROM graftcat.db.dau " +
+        "ORDER BY day_bucket")
+    } finally spark.conf.unset("spark.sql.catalog.graftcat.warehouse")
+  }
+
+  val q248Sql: String =
+    "WITH t AS (SELECT epoch_us(ts) AS us, user_id FROM events " +
+      "WHERE (event_id % 3 IN (0, 1) AND event_id % 5 <> 2) " +
+      "OR event_id % 3 = 2) " +
+      "SELECT us // 86400000000 AS day_bucket, " +
+      "count(DISTINCT user_id) AS du, count(*) AS n FROM t " +
+      "GROUP BY 1 ORDER BY 1"
+
   /** q224: the `#mvstate` STALENESS row — the refresh trigger a
     * scheduler polls. Deterministic lineage: fold through v2, append
     * v3 unfolded → (last=2, head=3, stale=1); literal oracle. */
@@ -2270,6 +2318,7 @@ object SourceQueries {
     "q241_mv_join_minmax" -> q241MvJoinMinmax _,
     "q246_mv_3join" -> q246Mv3Join _,
     "q247_mv_distinct_rollup" -> q247MvDistinctRollup _,
+    "q248_mv_dau" -> q248MvDau _,
     "q199_branch" -> q199Branch _)
 
   val oracle: Map[String, String] = Map(
@@ -2303,6 +2352,7 @@ object SourceQueries {
     "q241_mv_join_minmax" -> q241Sql,
     "q246_mv_3join" -> q246Sql,
     "q247_mv_distinct_rollup" -> q247Sql,
+    "q248_mv_dau" -> q248Sql,
     "q209_column_defaults" -> q209Sql,
     "q210_spj_join" -> q210Sql,
     // the pre-delete snapshot, read after the delete committed
