@@ -106,26 +106,92 @@ class RewriteOntoTextIndex(session: SparkSession) extends Rule[LogicalPlan] {
       if (!p.projectList.forall(_.references.subsetOf(allowed)))
         return None
       // first registered index on this base that is CURRENT serves; a
-      // dead or torn root (deleted scratch dir, unreadable def) skips
-      // to the next candidate, never aborts the probe
+      // STALE one within `spark.graft.text.rewrite.maxStaleCommits`
+      // (default 64) serves EXACTLY as postings-of-untouched-docs ⊕
+      // feed-tokenized changed docs (r18b — the MV stale contract);
+      // a dead or torn root (deleted scratch dir, unreadable def)
+      // skips to the next candidate, never aborts the probe
+      val budget = staleBudget
+      val catName = rel.catalog.map(_.name())
       TextIndex.registeredRoots(session).iterator.flatMap { root =>
         try {
           val (idxBase, last, head) = TextIndex.stateOf(root)
-          if (idxBase != basePath || last < head) None
-          else Some(build(p, root, docId, termAttr))
+          if (idxBase != basePath) None
+          else if (last >= head)
+            Some(build(p, root, basePath, docId, termAttr, None, catName))
+          else if (head - last <= budget && catName.isDefined)
+            Some(build(p, root, basePath, docId, termAttr, Some(head), catName))
+          else None
         } catch { case scala.util.control.NonFatal(_) => None }
       }.nextOption()
     case _ => None
   }
 
-  private def build(p: Project, indexRoot: String, docId: Option[Attribute],
-      termAttr: Attribute): LogicalPlan = {
-    val rows = session.read.format("graft-jsondoc")
-      .option("path", TextIndex.postingsPath(indexRoot)).load()
+  private def staleBudget: Int =
+    try session.conf.get("spark.graft.text.rewrite.maxStaleCommits", "64")
+      .trim.toInt
+    catch {
+      case _: NumberFormatException =>
+        logWarning("graft: spark.graft.text.rewrite.maxStaleCommits is not " +
+          "an integer — using the default of 64")
+        64
+    }
+
+  private def build(p: Project, indexRoot: String, basePath: String,
+      docId: Option[Attribute], termAttr: Attribute, stale: Option[Int],
+      catName: Option[String]): LogicalPlan = {
+    val postingsPath = TextIndex.postingsPath(indexRoot)
+    def reconstruct(df: org.apache.spark.sql.DataFrame) = df
       .where(col("term") =!= lit(TextIndex.DocSentinel))
       .select(col("doc_id"),
         explode(array_repeat(col("term"), col("tf").cast("int"))).as("term"))
-      .queryExecution.analyzed
+    val occ = stale match {
+      case None =>
+        reconstruct(session.read.format("graft-jsondoc")
+          .option("path", postingsPath).load())
+      case Some(head) =>
+        // STALE within budget (r18b — the MV stale contract): the
+        // occurrence multiset = postings PINNED at the current version
+        // for docs UNtouched since that pin's watermark, plus the feed's
+        // final texts tokenized for every touched doc — deleted docs
+        // vanish (touched, no final insert), born docs appear, changed
+        // docs replace. The pin + ledger-at-pin watermark make the pair
+        // race-free against a refresh landing mid-planning; the query
+        // pays O(delta) tokenization, never a corpus scan.
+        val pin = graft.sources.JsonDocVersions.latestVersion(postingsPath)
+          .getOrElse(0)
+        val wm = TextIndex.lastFoldedAt(indexRoot, pin)
+        val posts = reconstruct(
+          if (pin > 0) session.sql(
+            s"SELECT * FROM ${catName.get}.`$postingsPath` VERSION AS OF $pin")
+          else session.read.format("graft-jsondoc")
+            .option("path", postingsPath).load())
+        if (wm >= head) posts
+        else {
+          val feed = session.read.format("graft-jsondoc")
+            .option("readChanges", "true")
+            .option("startingVersion", (wm + 1).toString)
+            .option("endingVersion", head.toString)
+            .option("path", basePath).load()
+          val touched = feed.select(col("doc_id")).distinct()
+          // final text per doc: latest commit wins, insert outranks
+          // delete within one commit (the q206 replay rule)
+          import org.apache.spark.sql.expressions.Window
+          val finalDocs = feed.withColumn("__rn",
+              org.apache.spark.sql.functions.row_number().over(
+                Window.partitionBy(col("doc_id"))
+                  .orderBy(col("_commit_version").desc,
+                    org.apache.spark.sql.functions
+                      .when(col("_change_type") === "insert", 0).otherwise(1))))
+            .where(col("__rn") === 1 && col("_change_type") === "insert")
+          posts.join(touched, Seq("doc_id"), "left_anti")
+            .unionByName(finalDocs.select(col("doc_id"),
+              explode(org.apache.spark.sql.functions.regexp_extract_all(
+                org.apache.spark.sql.functions.lower(col("text")),
+                lit("[a-z0-9]+"), lit(0))).as("term")))
+        }
+    }
+    val rows = occ.queryExecution.analyzed
     def newAttr(name: String): Attribute =
       rows.output.find(_.name == name).get
     // exprId-keyed: attribute equality is qualifier-sensitive and the

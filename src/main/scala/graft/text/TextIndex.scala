@@ -208,6 +208,16 @@ object TextIndex {
       .start()
   }
 
+  /** The fold watermark AS OF postings-manifest `version` — what the
+    * pinned snapshot holds: the ledger's entry at that version, or
+    * (before any refresh committed) the create-time watermark. The
+    * stale-serving rewrite's race-free anchor
+    * ([[graft.plans.RewriteOntoTextIndex]]). */
+  def lastFoldedAt(indexRoot: String, version: Int): Int =
+    JsonDocVersions.readTxns(postingsPath(indexRoot), version)
+      .get(appId(indexRoot)).map(_.toInt)
+      .getOrElse(readDef(indexRoot).lastVersion)
+
   /** The index's staleness triple: (base path, last folded version —
     * ledger-authoritative, base head). */
   def stateOf(indexRoot: String): (String, Int, Int) = {

@@ -103,15 +103,35 @@ class TextIndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.text.rewrite.enabled", "true")
   }
 
-  test("staleness blocks serving until refresh; pinned reads never serve") {
+  test("stale serving within budget is exact; the budget gate and pins hold") {
+    // an insert, a text-mutating update and a delete land UNfolded
     spark.sql(s"INSERT INTO $tbl VALUES (5, 'beta beta beta', 'five')")
+    spark.sql(s"UPDATE $tbl SET text = 'alpha only now' WHERE doc_id = 2")
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id = 4")
+    // within the default budget: serves as postings ⊕ feed-tokenized
+    // changed docs — exact, no base scan
     val stale = bm25(Seq("alpha", "beta"))
     val (base, postings) = scans(stale)
-    assert(base && !postings, "a stale index must not serve (no feed fold " +
-      "exists for reconstructed occurrences)")
+    assert(postings && !base,
+      "a stale index within budget must serve postings + feed")
+    val staleRows = rows(stale)
+    spark.conf.set("spark.graft.text.rewrite.enabled", "false")
+    try assert(staleRows === rows(bm25(Seq("alpha", "beta"))),
+      "stale serving changed the answer")
+    finally spark.conf.set("spark.graft.text.rewrite.enabled", "true")
+    // the budget is a hard gate
+    spark.conf.set("spark.graft.text.rewrite.maxStaleCommits", "0")
+    try {
+      val blocked = bm25(Seq("alpha", "beta"))
+      assert(scans(blocked) === ((true, false)),
+        "beyond the budget the base scan must serve")
+    } finally spark.conf.unset("spark.graft.text.rewrite.maxStaleCommits")
+    // refreshed: postings alone again, same answers
     spark.sql(s"CALL $cat.refresh_text_index('$root/idx')").collect()
     val fresh = bm25(Seq("alpha", "beta"))
     assert(scans(fresh) === ((false, true)), "refreshed index serves again")
+    assert(rows(fresh) === staleRows,
+      "refresh must not change what stale serving already answered")
     spark.conf.set("spark.graft.text.rewrite.enabled", "false")
     try assert(rows(fresh) === rows(bm25(Seq("alpha", "beta"))),
       "post-refresh serving changed the answer")
@@ -147,7 +167,7 @@ class TextIndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans(otherCol) === ((true, false)),
       "tokenizing a non-indexed column must read the base")
     assert(otherCol.collect().map(_.getString(1)).toSet ===
-      Set("one", "two", "three", "four", "five"),
+      Set("one", "two", "three", "five"), // doc 4 deleted upstream
       "the non-indexed column's tokens must come from that column")
   }
 }
