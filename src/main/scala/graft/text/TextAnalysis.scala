@@ -1349,8 +1349,75 @@ object TextAnalysis {
     out
   }
 
+  /** q249: STALE text-index serving (r18b,
+    * [[graft.plans.RewriteOntoTextIndex]] — the MV stale contract
+    * applied to retrieval): the q101 dataflow runs against a base that
+    * took an append, a text-mutating UPDATE and a DELETE since the
+    * index last folded — and the rewrite still serves, reconstructing
+    * occurrences as postings-pinned-at-version for untouched docs plus
+    * the feed's final texts tokenized for the touched ones, O(delta)
+    * at query time. In-flow require: the plan reads postings + the
+    * change feed, NEVER the base table. Oracle: the q234 recompute
+    * over the final corpus — hash-green proves stale serving is
+    * invisible in the answers. */
+  def q249TextStaleServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.RunTag.scratchFresh("q249")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val basePath = new java.io.File(s"$root/docs").getAbsolutePath
+    val tbl = s"graftcat.`$basePath`"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, text STRING) " +
+      "USING `graft-jsondoc` TBLPROPERTIES ('write.rowlevel.mode' = 'merge-on-read')")
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(4)) =!= 3).writeTo(tbl).append() // v1
+    spark.sql(s"CALL graftcat.create_text_index('$root/idx', '$basePath', 64)")
+      .collect()
+    // the q234 DML lineage lands UNFOLDED — the index stays at v1
+    docs.filter(pmod(col("doc_id"), lit(4)) === 3).writeTo(tbl).append() // v2
+    spark.sql(s"UPDATE $tbl SET text = concat(text, ' vector vector') " +
+      "WHERE doc_id % 10 = 4") // v3
+    spark.sql(s"DELETE FROM $tbl WHERE doc_id % 10 = 6") // v4
+    val qTerms = Seq("hash", "join", "vector")
+    val toks = spark.sql(s"SELECT doc_id, text FROM $tbl")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val w = col("tf").cast("double") * lit(2.2) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val out = tf.join(broadcast(dfq), "term").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id")).agg(round(sum(idf * w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    var postings = false; var feed = false; var base = false
+    out.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        graft.sources.GraftMv.unpinnedTablePath(r.table) match {
+          case Some(p) if p == basePath => base = true
+          case _ =>
+            if (r.table.name().contains("/postings")) postings = true
+            else if (r.table.getClass.getSimpleName.contains("Changes"))
+              feed = true
+        }
+      case _ =>
+    }
+    require(postings && feed && !base,
+      s"q249: stale serving must read postings + the change feed, never the " +
+        s"base (postings=$postings feed=$feed base=$base)")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_text_index_rewrite" -> q244TextIndexRewrite _,
+    "q249_text_stale_serve" -> q249TextStaleServe _,
     "q233_text_index" -> q233TextIndex _,
     "q234_text_index_dml" -> q234TextIndexDml _,
     "q242_text_search_and" -> q242TextSearchAnd _,
@@ -1382,6 +1449,7 @@ object TextAnalysis {
     "q233_text_index" -> q101Sql,
     "q234_text_index_dml" -> q234Sql,
     "q244_text_index_rewrite" -> q101Sql,
+    "q249_text_stale_serve" -> q234Sql,
     "q242_text_search_and" -> q242Sql,
     "q243_text_search_phrase" -> q243Sql,
     "q140_grouped_topk" -> q140Sql,
