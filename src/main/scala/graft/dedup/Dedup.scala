@@ -250,10 +250,10 @@ object Dedup {
     * reliable storage (survives executor loss); the RDD round-trip here
     * is the local, zero-infrastructure equivalent. The input MUST be
     * cached and stay cached while the view is in use. */
-  private[graft] def truncateLineage(df: DataFrame): DataFrame = {
-    // localCheckpoint (lazy) truncates the PHYSICAL lineage too: the
-    // RDD-backed wrapper alone only cuts the logical plan, and its
-    // serialized object graph still chains every prior round's RDD —
+  private[graft] def truncateLineage(df: DataFrame): DataFrame =
+    // Dataset.localCheckpoint (lazy) truncates the PHYSICAL lineage too:
+    // an RDD-backed wrapper alone would only cut the logical plan, and
+    // its serialized object graph still chains every prior round's RDD —
     // fine for shallow dup graphs, but ~18 rounds deep the task
     // closure hits 1 MB and task DESERIALIZATION StackOverflows (found
     // by ScaleSmoke's 3000-edge path, where the maxRounds insurance is
@@ -263,10 +263,14 @@ object Dedup {
     // partition data is dropped by the ContextCleaner once the round's
     // references die. On a real cluster prefer reliable `checkpoint()`
     // (survives executor loss) — same role, see the Scaladoc above.
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+    // Dataset.localCheckpoint (r18 optimization) checkpoints the INTERNAL
+    // row RDD: the previous `df.rdd` + createDataFrame round-trip paid an
+    // InternalRow→Row object conversion on write and a Row→InternalRow
+    // conversion on every downstream read (guide §1.4's df.rdd warning) —
+    // measured as the hottest stage family of the iterative rows (6.1
+    // task-s of q98's 5.2 s wall; q65/q78/q104/q119/q145/q182 all carry
+    // it). Same lazy semantics, same O(1) lineage depth, zero conversion.
+    df.localCheckpoint(eager = false)
 
   /** Connected components of an undirected pair graph by min-label
     * propagation: (vertex, component-min-vertex) rows. `maxRounds` is a
