@@ -114,8 +114,16 @@ object TextIndex {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"),
         concat_ws(",", transform(sort_array(collect_list(col("pos"))),
           _.cast("string"))).as("positions"))
+    // dl attaches via a WINDOW over the same key the sentinel aggregate
+    // groups on (guide §2.4: a window partitioned like a neighboring
+    // aggregation shares its exchange): the previous groupBy + self-join
+    // re-shuffled the full tf table a second time AND paid the join;
+    // here both branches hang off ONE doc_id exchange (ReuseExchange
+    // dedupes it across the union) and the join disappears. Values are
+    // identical — dl = Σtf per doc either way.
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id")
+    tf.withColumn("dl", sum(col("tf")).over(win))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
       .unionByName(dl.select(lit(DocSentinel).as("term"), col("doc_id"),
         col("dl").as("tf"), col("dl"), lit(null).cast("string").as("positions")))
@@ -248,23 +256,30 @@ object TextIndex {
       import org.apache.spark.sql.expressions.Window
       // the keyed contract holds per commit too: two surviving inserts
       // of one doc_id in one commit would make "the final text" a
-      // coin flip — refuse loudly instead of indexing either
-      val dup = feed.where(col("act") === "insert")
-        .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("c"))
-        .where(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty, s"text index: the refresh range inserts doc_id " +
-        s"${dup.headOption.map(_.get(0)).getOrElse("")} more than once in one " +
-        "commit — the index is keyed by doc_id and requires it unique")
-      // and across commits: a net of 2+ surviving rows for one doc_id
+      // coin flip — refuse loudly instead of indexing either. And
+      // across commits: a net of 2+ surviving rows for one doc_id
       // means the base now duplicates the key (an append-to-existing
       // without a delete is invisible to the feed and stays the
-      // caller's contract to keep)
-      val dup2 = feed.groupBy(col("doc_id"))
-        .agg(sum(when(col("act") === "insert", 1L).otherwise(-1L)).as("net"))
-        .where(col("net") > 1).limit(1).collect()
-      require(dup2.isEmpty, s"text index: the refresh range leaves doc_id " +
-        s"${dup2.headOption.map(_.get(0)).getOrElse("")} with multiple live " +
-        "rows — the index is keyed by doc_id and requires it unique")
+      // caller's contract to keep). BOTH probes fold into ONE
+      // aggregation pass/action (r18: they were two separate feed scans
+      // + collects — two fixed job costs per refresh for one answer):
+      // per (doc_id, commit) insert counts first, then per doc_id the
+      // max per-commit count and the signed net, checked together.
+      val dup = feed
+        .groupBy(col("doc_id"), col("v"))
+        .agg(sum(when(col("act") === "insert", 1L).otherwise(0L)).as("ci"),
+          sum(when(col("act") === "insert", 1L).otherwise(-1L)).as("cn"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("ci")).as("maxci"), sum(col("cn")).as("net"))
+        .where(col("maxci") > 1 || col("net") > 1).limit(1).collect()
+      dup.headOption.foreach { r =>
+        require(r.getLong(1) <= 1, s"text index: the refresh range inserts " +
+          s"doc_id ${r.get(0)} more than once in one commit — the index is " +
+          "keyed by doc_id and requires it unique")
+        require(r.getLong(2) <= 1, s"text index: the refresh range leaves " +
+          s"doc_id ${r.get(0)} with multiple live rows — the index is keyed " +
+          "by doc_id and requires it unique")
+      }
       // final text per doc: latest commit wins, insert outranks delete
       // within one commit (the q206 replay rule)
       val newDocs = feed.withColumn("rn", row_number().over(
