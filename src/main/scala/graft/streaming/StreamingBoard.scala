@@ -46,6 +46,29 @@ object StreamingBoard {
     } finally graft.RunTag.deleteNow(stage) // _SUCCESS + .crc leftovers
   }
 
+  /** Stage several input files CONCURRENTLY (guide §2.6: independent
+    * driver-sequential jobs leave the executors idle in each job's tail;
+    * a small pool lets the later files' single-task writes back-fill).
+    * Delivery order is NOT write order — it is carried entirely by the
+    * explicit mod times and lexicographic names stamped per file, and
+    * the stream only starts after every write has returned. */
+  private[graft] def addFiles(files: Seq[(DataFrame, String, Long)],
+      inDir: String): Unit =
+    if (files.sizeIs <= 1)
+      files.foreach { case (df, n, ms) => addFile(df, inDir, n, ms) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.size, 4))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(files.map { case (df, n, ms) =>
+          Future(addFile(df, inDir, n, ms))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally { pool.shutdown(); () }
+      ()
+    }
+
   /** Drain a streaming Dataset into a parquet sink with AvailableNow and
     * return the materialized result.
     *
@@ -148,7 +171,7 @@ object StreamingBoard {
     val files: Seq[(DataFrame, String, Long)] = Seq(
       (docs.filter(col("doc_id") <= cut), "00-a.parquet", base - 240000),
       (docs.filter(col("doc_id") > cut), "01-b.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     docs.schema
   }
 
@@ -243,7 +266,7 @@ object StreamingBoard {
     val files: Seq[(DataFrame, String, Long)] = Seq(
       (evs.filter(col("ts") <= mid), "00-early.parquet", base - 240000),
       (evs.filter(col("ts") > mid), "01-late.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     evs.schema
   }
 
@@ -298,7 +321,7 @@ object StreamingBoard {
       (evs.filter(col("ts") > mid), "01-late.parquet", base - 360000),
       (sentinel(9000001L, far), "02-sent1.parquet", base - 240000),
       (sentinel(9000002L, far + 1000L), "03-sent2.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     evs.schema
   }
 
@@ -429,7 +452,7 @@ object StreamingBoard {
     val files: Seq[(DataFrame, String, Long)] = Seq(
       (sess.filter(col("s_a") <= mid), "00-early.parquet", base - 240000),
       (sess.filter(col("s_a") > mid), "01-late.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     sess.schema
   }
 
@@ -500,7 +523,7 @@ object StreamingBoard {
       (docs.filter(col("doc_id") <= cut), "00-a.parquet", base - 240000),
       (docs.filter(col("doc_id") > cut).unionByName(redelivered),
         "01-b.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     docs.schema
   }
 
@@ -592,7 +615,7 @@ object StreamingBoard {
     val files: Seq[(DataFrame, String, Long)] = Seq(
       (ev.filter(col("ts") <= cut), "00-early.parquet", base - 240000),
       (ev.filter(col("ts") > cut), "01-late.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     (ev.schema, cut)
   }
 
@@ -769,7 +792,7 @@ object StreamingBoard {
     val files: Seq[(DataFrame, String, Long)] = Seq(
       (ev.filter(col("ts") <= cut), "00-early.parquet", base - 240000),
       (ev.filter(col("ts") > cut), "01-late.parquet", base - 120000))
-    files.take(upTo).foreach { case (df, name, ms) => addFile(df, in, name, ms) }
+    addFiles(files.take(upTo), in)
     ev.schema
   }
 
@@ -932,9 +955,9 @@ object StreamingBoard {
     // upTo against a live checkpoint, and rewriting a consumed file is
     // wasted work that would double-fold the MV if the source ever keyed
     // its seen-set on mtime instead of path
-    files.take(upTo).foreach { case (df, name, ms) =>
-      if (!new java.io.File(in, name).exists()) addFile(df, in, name, ms)
-    }
+    addFiles(files.take(upTo).filterNot { case (_, name, _) =>
+      new java.io.File(in, name).exists()
+    }, in)
     slice(0).schema
   }
 
