@@ -806,15 +806,11 @@ object Advanced {
     * the COUNTING strategy. */
   private def trianglesGraph(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val items = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= BasketCap).select(col("ok"))
-    val inCap = graft.Caches.register(items.join(small, "ok").cache())
+    // the r18 basket-array front (see cappedBaskets): one exchange on
+    // ok replaces distinct + count-filter + semi-join, pairs walk the
+    // arrays map-side into the distinct edge shuffle
     val edges = graft.Caches.register(
-      inCap.select(col("ok"), col("pk").as("u"))
-        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
-        .filter(col("u") < col("v"))
+      basketPairs(cappedBaskets(spark, dir))
         .select(col("u"), col("v")).distinct().cache())
     val deg = graft.Caches.register(
       edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
@@ -917,21 +913,42 @@ object Advanced {
     * plain global row_number, so the hash proves the threshold+stratum
     * decomposition equals the naive rank. Output: (node, core_deg) for
     * every surviving node, core_deg its degree INSIDE the core. */
+  /** Capped co-purchase baskets as SORTED part ARRAYS — the shared
+    * front of the basket family (q129/q151/q182), r18 optimization.
+    * One exchange on the basket key does what the previous
+    * distinct → count-filter → semi-join chain did in three (the
+    * per-basket set IS the distinct, its size IS the basket count),
+    * and pair generation becomes a map-side array walk instead of a
+    * co-partitioned self-join. The memory shape is strictly better
+    * than the adjacency arrays q129 already holds (a basket's set is
+    * LINEAR in order size and die-cast by [[BasketCap]] right after
+    * the aggregate; the old path materialized the same baskets as
+    * quadratic PAIR fan-out instead). */
+  private[graft] def cappedBaskets(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("parts"))
+      .filter(size(col("parts")) <= BasketCap.toInt)
+
+  /** Unordered in-basket pairs (u < v) from the sorted `parts` arrays —
+    * map-side, no self-join; u < v holds by the array sort. */
+  private[graft] def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.filter(size(col("parts")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(parts) - 2), i -> " +
+          "transform(slice(parts, i + 2, size(parts) - (i + 1)), x -> " +
+          "struct(parts[i] AS u, x AS v))))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+
   def q182KCore(spark: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val smallOk = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= BasketCap).select(col("ok"))
-    // cached: scanned three times (both self-join sides + the budget
-    // count) — without it each scan re-runs lineitem distinct + the
-    // basket-cap semi (measured 3× the one-pass cost at sf0.1)
-    val inCap = graft.Caches.register(items.join(smallOk, "ok").cache())
-    val ps = graft.Caches.register(
-      inCap.select(col("ok"), col("pk").as("u"))
-        .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup")).cache())
-    val budget = KCoreEdgeFactor * inCap.select(col("pk")).distinct().count()
+    // cached: scanned by the pair build and the budget count — without
+    // it each scan re-runs the lineitem basket aggregate
+    val baskets = graft.Caches.register(cappedBaskets(spark, dir).cache())
+    val ps = graft.Caches.register(basketPairs(baskets)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup")).cache())
+    val budget = KCoreEdgeFactor *
+      baskets.select(explode(col("parts")).as("pk"))
+        .agg(countDistinct(col("pk"))).head.getLong(0)
     // Support histogram, highest first — one partial-agged shuffle to
     // |distinct sup| rows (supports are small integers bounded by the
     // basket-collision count, so this is a bounded driver read).
@@ -1090,17 +1107,15 @@ object Advanced {
   private val AssocMinSup = 3L
 
   def q151AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val small = items.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= BasketCap).select(col("ok"))
-    val inCap = graft.Caches.register(items.join(small, "ok").cache())
-    val nBaskets = inCap.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val supp = inCap.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
-    val pairSup = inCap.select(col("ok"), col("pk").as("u"))
-      .join(inCap.select(col("ok"), col("pk").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
+    // the r18 basket-array front (see cappedBaskets): one exchange on
+    // ok replaces distinct + count-filter + semi-join, pairs walk the
+    // arrays map-side; cached — read by the basket total, the item
+    // supports and the pair supports
+    val baskets = graft.Caches.register(cappedBaskets(spark, dir).cache())
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val supp = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val pairSup = basketPairs(baskets)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup_uv"))
       .filter(col("sup_uv") >= AssocMinSup)
     val rules = pairSup
