@@ -2152,6 +2152,14 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmpFile), "UTF-8"))
   private val mapper = new ObjectMapper()
+  // streaming generator (r18 optimization): the previous per-row
+  // ObjectNode + writeValueAsString allocated a tree and a String per
+  // row — the hot path of every data write. The generator emits the
+  // IDENTICAL bytes (same Jackson number/string rendering, same
+  // insertion field order) straight into `out`; writeRaw('\n') keeps
+  // the newline-delimited framing.
+  private val gen = new com.fasterxml.jackson.core.JsonFactory()
+    .createGenerator(out)
 
   // per-column min/max over non-null values (Long for integral columns,
   // Double, String; booleans skipped) — streamed into the commit
@@ -2228,53 +2236,54 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
     }
 
   override def write(row: InternalRow): Unit = {
-    val node = mapper.createObjectNode()
+    gen.writeStartObject()
     val shredded = shredValues(row)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (shredded != null && shredded.containsKey(Integer.valueOf(i))) {
         // generated-always: the extraction replaces the incoming value,
         // feeding the same stats/bloom accumulators a real value would
         shredded.get(Integer.valueOf(i)) match {
-          case null => node.putNull(f.name); nullCnt(i) += 1
+          case null => gen.writeNullField(f.name); nullCnt(i) += 1
           case l: java.lang.Long =>
-            node.put(f.name, l.longValue()); acc(i, l.longValue())
+            gen.writeNumberField(f.name, l.longValue()); acc(i, l.longValue())
             ndvAdd(i, l.longValue())
             if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(l.longValue())
           case d: java.lang.Double =>
-            node.put(f.name, d.doubleValue()); acc(i, d.doubleValue())
+            gen.writeNumberField(f.name, d.doubleValue()); acc(i, d.doubleValue())
             ndvAdd(i, d.doubleValue())
           case s: String =>
-            node.put(f.name, s); acc(i, s); ndvAdd(i, s)
+            gen.writeStringField(f.name, s); acc(i, s); ndvAdd(i, s)
             if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashConst(s).get
-          case _ => node.putNull(f.name); nullCnt(i) += 1
+          case _ => gen.writeNullField(f.name); nullCnt(i) += 1
         }
       }
-      else if (row.isNullAt(i)) { node.putNull(f.name); nullCnt(i) += 1 }
+      else if (row.isNullAt(i)) { gen.writeNullField(f.name); nullCnt(i) += 1 }
       else f.dataType match {
         case LongType =>
-          val v = row.getLong(i); node.put(f.name, v); acc(i, v); ndvAdd(i, v)
+          val v = row.getLong(i); gen.writeNumberField(f.name, v); acc(i, v); ndvAdd(i, v)
           if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v)
         case IntegerType =>
-          val v = row.getInt(i); node.put(f.name, v); acc(i, v.toLong)
+          val v = row.getInt(i); gen.writeNumberField(f.name, v); acc(i, v.toLong)
           ndvAdd(i, v.toLong)
           if (bloomAcc(i) != null) bloomAcc(i) += JsonDocBlooms.hashLong(v.toLong)
         case DoubleType =>
-          val v = row.getDouble(i); node.put(f.name, v); acc(i, v); ndvAdd(i, v)
+          val v = row.getDouble(i); gen.writeNumberField(f.name, v); acc(i, v); ndvAdd(i, v)
         case BooleanType =>
-          val v = row.getBoolean(i); node.put(f.name, v); ndvAdd(i, v)
+          val v = row.getBoolean(i); gen.writeBooleanField(f.name, v); ndvAdd(i, v)
         case _ =>
-          val v = row.getUTF8String(i).toString; node.put(f.name, v); acc(i, v)
+          val v = row.getUTF8String(i).toString; gen.writeStringField(f.name, v); acc(i, v)
           ndvAdd(i, v)
           if (bloomAcc(i) != null)
             bloomAcc(i) += JsonDocBlooms.hashConst(v).get
       }
     }
-    out.write(mapper.writeValueAsString(node))
-    out.write("\n")
+    gen.writeEndObject()
+    gen.writeRaw('\n')
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
+    gen.close()
     out.close()
     val cols = schema.fields.zipWithIndex.collect {
       case (f, i) if mins(i) != null =>
@@ -2295,6 +2304,7 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
   }
 
   override def abort(): Unit = {
+    try gen.close() catch { case _: java.io.IOException => () }
     out.close()
     val f = new java.io.File(dir, tmpName)
     if (f.exists()) f.delete()
