@@ -293,9 +293,15 @@ object Dedup {
     // the edge list, same shuffle the identity-label distinct() would
     // cost, one fewer join round in the loop. (Every vertex appears as
     // src: edges are symmetrized.)
-    var labelsC = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("v"), least(col("src"), col("mn")).as("lbl")).cache()
-    var labels = truncateLineage(labelsC)
+    // per-round persistence is the CHECKPOINT alone (r18 optimization):
+    // the loop previously cached each round's frame AND checkpointed it
+    // through truncateLineage — two stores and two passes per round for
+    // one table; the lazy localCheckpoint already persists the rows it
+    // materializes, and every reader (the count, the next round, the
+    // final plan) reads that store
+    var labels = truncateLineage(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("v"), least(col("src"), col("mn")).as("lbl")))
     var changed = 1L
     var round = 0
     // failure path (job error mid-round, maxRounds trip) drops every
@@ -314,28 +320,24 @@ object Dedup {
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_min"))
         // change detection rides in the same projection — one job per round
         // (materialize next + count improvements), not a second self-join
-        val nextC = labels.join(prop, col("v") === col("src"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
-            (col("nbr_min") < col("lbl")).as("chg"))
-          .select(col("v"), col("new_lbl").as("lbl"), col("chg"))
-          .cache()
-        try changed = nextC.filter(col("chg")).count()
-        catch { case t: Throwable => nextC.unpersist(); throw t }
-        labelsC.unpersist()
-        labelsC = nextC
-        labels = truncateLineage(nextC)
+        val next = truncateLineage(
+          labels.join(prop, col("v") === col("src"), "left")
+            .select(col("v"),
+              least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"),
+              (col("nbr_min") < col("lbl")).as("chg"))
+            .select(col("v"), col("new_lbl").as("lbl"), col("chg")))
+        changed = next.filter(col("chg")).count()
+        labels = next
       }
     } catch {
       case t: Throwable =>
-        Seq(labelsC, edges, p).foreach(d =>
+        Seq(edges, p).foreach(d =>
           try d.unpersist() catch { case scala.util.control.NonFatal(_) => () })
         throw t
     }
-    // everything below the converged label cache is no longer needed
+    // everything below the converged label checkpoint is no longer needed
     edges.unpersist()
     p.unpersist()
-    graft.Caches.register(labelsC)
     labels.select(col("v"), col("lbl"))
   }
 
@@ -364,11 +366,13 @@ object Dedup {
     val verts = p.select(col("pa").as("vid")).union(p.select(col("pb").as("vid")))
       .distinct().cache()
     // canonical undirected orientation: u = larger endpoint, v = smaller
-    var edgesC = p.where(col("pa") =!= col("pb"))
+    // checkpoint-only persistence per round (r18, the minLabelClusters
+    // note): the cache + checkpoint double store collapses to the
+    // checkpoint the loop already takes
+    var edges = truncateLineage(p.where(col("pa") =!= col("pb"))
       .select(greatest(col("pa"), col("pb")).as("u"),
         least(col("pa"), col("pb")).as("v"))
-      .distinct().cache()
-    var edges = truncateLineage(edgesC)
+      .distinct())
     // (count, order-independent content hash) of a distinct edge set —
     // one aggregation job over the cached set. bit_xor (not sum): ANSI
     // mode makes summing 64-bit hashes overflow, and xor of per-row
@@ -379,7 +383,7 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var (nEdges, hEdges) = signature(edgesC)
+    var (nEdges, hEdges) = signature(edges)
     // materialize verts while p is still cached — it is only read again
     // by the final labels join, after p is gone
     verts.count()
@@ -447,38 +451,33 @@ object Dedup {
             s"starContractClusters did not converge within maxRounds=$maxRounds rounds")
         round += 1
         val tRound = System.nanoTime()
-        val lC = largeStar(edges).cache()
-        try {
-          val l = truncateLineage(lC)
-          val nextC = smallStar(l).cache()
-          try {
-            val next = truncateLineage(nextC)
-            // one job: materializes nextC (and lC en route) + signature
-            val (nNext, hNext) = signature(nextC)
-            // exact confirmation (candidate final round only), one job:
-            // |next| = |edges| is known from the signature, so one-way
-            // difference decides next = edges; l's cardinality is NOT
-            // known, so its check is the symmetric difference. All three
-            // differences union into a single isEmpty job.
-            converged = nNext == nEdges && hNext == hEdges &&
-              next.except(edges)
-                .union(l.except(edges))
-                .union(edges.except(l))
-                .isEmpty
-            edgesC.unpersist()
-            edgesC = nextC
-            edges = next
-            nEdges = nNext
-            hEdges = hNext
-            if (sys.env.contains("GRAFT_PROFILE_ROUNDS"))
-              System.err.println(f"[star] round $round n=$nNext conv=$converged ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-          } catch { case t: Throwable => nextC.unpersist(); throw t }
-        } finally lC.unpersist()
+        // checkpoint-only persistence (r18): l and next persist through
+        // their lazy checkpoints alone — the per-round cache + checkpoint
+        // pair was two stores and two passes for each of the two tables
+        val l = truncateLineage(largeStar(edges))
+        val next = truncateLineage(smallStar(l))
+        // one job: materializes next (and l en route) + signature
+        val (nNext, hNext) = signature(next)
+        // exact confirmation (candidate final round only), one job:
+        // |next| = |edges| is known from the signature, so one-way
+        // difference decides next = edges; l's cardinality is NOT
+        // known, so its check is the symmetric difference. All three
+        // differences union into a single isEmpty job.
+        converged = nNext == nEdges && hNext == hEdges &&
+          next.except(edges)
+            .union(l.except(edges))
+            .union(edges.except(l))
+            .isEmpty
+        edges = next
+        nEdges = nNext
+        hEdges = hNext
+        if (sys.env.contains("GRAFT_PROFILE_ROUNDS"))
+          System.err.println(f"[star] round $round n=$nNext conv=$converged ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
     } catch {
       case t: Throwable =>
-        Seq(edgesC, verts).foreach(d =>
-          try d.unpersist() catch { case scala.util.control.NonFatal(_) => () })
+        try { verts.unpersist(); () }
+        catch { case scala.util.control.NonFatal(_) => () }
         throw t
     }
     // star edges are (leaf, center); centers never appear on the u side
@@ -486,7 +485,6 @@ object Dedup {
       .join(edges.select(col("u").as("lv"), col("v").as("lc")),
         col("vid") === col("lv"), "left")
       .select(col("vid").as("v"), coalesce(col("lc"), col("vid")).as("lbl"))
-    graft.Caches.register(edgesC)
     graft.Caches.register(verts)
     labels
   }

@@ -536,11 +536,13 @@ object Advanced {
         .select(col("node"),
           round(lit(0.15 / n) +
             lit(0.85) * (coalesce(col("c"), lit(0.0)) + col("dm") / n), 9).as("r"))
-      // cache stops recompute; the lineage cut keeps the PLAN flat —
-      // without it each round's tree embeds the previous round twice
-      // (dangling + contributions) and the physical plan grows ~3x per
-      // round (measured: 910 exchanges in the round-5 plan string)
-      rank = graft.dedup.Dedup.truncateLineage(graft.Caches.register(next.cache()))
+      // the lazy checkpoint stops recompute (both next-round readers —
+      // dangling + contributions — read its persisted rows) AND keeps
+      // the plan flat: without the cut each round's tree embeds the
+      // previous round twice and the physical plan grows ~3x per round
+      // (measured: 910 exchanges in the round-5 plan string). The
+      // previous cache + checkpoint pair double-stored every round.
+      rank = graft.dedup.Dedup.truncateLineage(next)
     }
     rank.select(col("node"), round(col("r"), 6).as("pagerank"))
       .orderBy(col("node"))
@@ -1038,8 +1040,10 @@ object Advanced {
     var lastDeg: DataFrame = null
     while (!converged && r < maxRounds) {
       val deg = graft.Caches.register(coreDegrees(alive).cache())
-      val next = graft.Caches.register(
-        deg.filter(col("d") >= k).select(col("node")).cache())
+      // next persists through its checkpoint alone (r18) — the extra
+      // cache was a second store of the same rows
+      val next = graft.dedup.Dedup.truncateLineage(
+        deg.filter(col("d") >= k).select(col("node")))
       val m = next.count()
       converged = m == n // next ⊆ alive, so equal counts ⇒ equal sets
       alive = graft.dedup.Dedup.truncateLineage(next)

@@ -753,8 +753,10 @@ object TextAnalysis {
         (acc, x) => when(
           (acc === a || acc.endsWith(lit(BpeSep + a))) && x === lit(b),
           concat(acc, x)).otherwise(concat(acc, lit(BpeSep), x)))
-      seg = graft.dedup.Dedup.truncateLineage(graft.Caches.register(
-        seg.select(col("word"), col("c"), fold.as("seg")).cache()))
+      // checkpoint-only persistence (r18): the cache + checkpoint pair
+      // double-stored every BPE round's segment table
+      seg = graft.dedup.Dedup.truncateLineage(
+        seg.select(col("word"), col("c"), fold.as("seg")))
     }
     (rules.result(), seg)
   }
