@@ -28,7 +28,10 @@ object ProfileProbe {
     // A/B experiment seam: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (session-settable
     // confs only) — lets one probe run test a candidate conf without edits
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => () // blank/malformed token (e.g. an unset shell var)
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     case class Job(id: Int, desc: String, start: Long, var end: Long = 0L,
