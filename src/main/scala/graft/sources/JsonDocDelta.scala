@@ -186,6 +186,15 @@ private[sources] object JsonDocEqDeletes {
         case None => null
       }
     }
+    rowDeleted(fieldNode _, eqs)
+  }
+
+  /** Lookup-function variant (r19): the scan reader's token-capture
+    * path supplies its own alias-aware field lookup, so the extraction
+    * logic stays single-sourced here while the caller owns how a key
+    * name resolves to a node. */
+  def rowDeleted(fieldNode: String => com.fasterxml.jackson.databind.JsonNode,
+      eqs: Seq[EqSet]): Boolean = {
     eqs.exists { eq =>
       var i = 0
       var miss = false

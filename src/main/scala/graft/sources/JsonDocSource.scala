@@ -2160,6 +2160,12 @@ private[sources] class JsonDocDataWriter(path: String, schema: StructType,
   // the newline-delimited framing.
   private val gen = new com.fasterxml.jackson.core.JsonFactory()
     .createGenerator(out)
+  // no root-value separator (r19, advice item): the generator's default
+  // separator is a single space before every root value after the first,
+  // which made each data line after the first start with " {" — readers
+  // tolerated it, but the bytes must match the pre-generator format for
+  // strict JSONL consumers and byte-level file comparisons
+  gen.setRootValueSeparator(null)
 
   // per-column min/max over non-null values (Long for integral columns,
   // Double, String; booleans skipped) — streamed into the commit
@@ -3383,6 +3389,94 @@ private[sources] case class JsonDocPartition(file: String, rel: String = "",
       scala.collection.immutable.ArraySeq.unsafeWrapArray(partKeyVals))
 }
 
+/** Token-streaming single-line JSON field capture (r19 optimization,
+  * guide §1.2 "per-task work"): parses ONE newline-delimited JSON
+  * object with a streaming JsonParser, materializing Jackson VALUE
+  * NODES for ONLY the `needed` top-level fields — the read schema,
+  * filter and eq-delete-key columns plus their rename aliases — and
+  * token-skipping every other field's value. The previous per-row
+  * `mapper.readTree(line)` built a full ObjectNode tree (LinkedHashMap
+  * + a node per field, needed or not) through the tree deserializer on
+  * EVERY scanned line of EVERY staged/backing/postings table — the one
+  * systematic scan-side CPU tax left after r18 (the r18 verdict's
+  * headline item).
+  *
+  * FIDELITY, the reason this was deferred a round: captured scalars are
+  * the SAME Jackson node classes `readTree` would produce —
+  * Int/Long/BigIntegerNode by the token's integer size class,
+  * DoubleNode for JSON floats (the default-config tree shape),
+  * TextNode/BooleanNode/NullNode — so every downstream coercion the
+  * reader's projection and filter evaluation perform (`asLong` on a
+  * textual node, `asText` on numbers, existence-vs-explicit-null,
+  * alias fallbacks) behaves byte-identically by construction. A needed
+  * field whose value is an OBJECT/ARRAY falls back to
+  * `mapper.readTree(parser)` for exactly that subtree (containers read
+  * as full tree nodes — `asText()` = "" etc. — paid only where a
+  * container actually occurs; the jsondoc writer only emits scalars).
+  * Duplicate keys: the LAST occurrence wins, matching readTree's
+  * ObjectNode.set. A line whose root is not an object captures nothing
+  * (readTree's `node.get(name)` returned null for every name on
+  * non-object roots). Malformed JSON still throws: the token walk
+  * always consumes the full root object. JsonLineFieldsSpec pins all
+  * of this differentially against a readTree reference over the
+  * fixture corpus plus adversarial lines. */
+private[sources] final class JsonLineFields(needed: Iterable[String],
+    mapper: ObjectMapper) {
+  import com.fasterxml.jackson.core.{JsonParser => JParser, JsonToken}
+  import com.fasterxml.jackson.databind.node._
+
+  private val factory = mapper.getFactory
+  private val idx = new java.util.HashMap[String, Integer]()
+  needed.foreach { n =>
+    if (!idx.containsKey(n)) { idx.put(n, Integer.valueOf(idx.size())); () }
+  }
+  private val slots = new Array[JsonNode](idx.size())
+
+  /** The captured node of a top-level field of the LAST parsed line, or
+    * null when absent — `ObjectNode.get(name)` semantics. Names outside
+    * `needed` return null by construction (callers only ever ask for
+    * needed names: projection, filter and eq-key lookups all derive
+    * from the same sets the constructor received). */
+  def get(name: String): JsonNode = {
+    val i = idx.get(name)
+    if (i == null) null else slots(i.intValue())
+  }
+
+  def parse(line: String): Unit = {
+    java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
+    val p = factory.createParser(line)
+    try {
+      if (p.nextToken() == JsonToken.START_OBJECT) {
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val i = idx.get(p.currentName())
+          val t = p.nextToken()
+          if (i != null) slots(i.intValue()) = capture(p, t)
+          else if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY) {
+            p.skipChildren(); ()
+          }
+        }
+      }
+    } finally p.close()
+  }
+
+  private def capture(p: JParser, t: JsonToken): JsonNode = t match {
+    case JsonToken.VALUE_STRING => TextNode.valueOf(p.getText)
+    case JsonToken.VALUE_NUMBER_INT => p.getNumberType match {
+      case JParser.NumberType.INT => IntNode.valueOf(p.getIntValue)
+      case JParser.NumberType.LONG => LongNode.valueOf(p.getLongValue)
+      case _ => BigIntegerNode.valueOf(p.getBigIntegerValue)
+    }
+    // default tree config: every JSON float becomes a DoubleNode via
+    // getDoubleValue (USE_BIG_DECIMAL_FOR_FLOATS is off)
+    case JsonToken.VALUE_NUMBER_FLOAT => DoubleNode.valueOf(p.getDoubleValue)
+    case JsonToken.VALUE_TRUE => BooleanNode.TRUE
+    case JsonToken.VALUE_FALSE => BooleanNode.FALSE
+    case JsonToken.VALUE_NULL => NullNode.getInstance
+    // containers (and any exotic token): the real tree for that subtree
+    case _ => mapper.readTree[JsonNode](p)
+  }
+}
+
 private[sources] class JsonDocReaderFactory(readSchema: StructType,
     filters: Array[Filter], limit: Option[Int] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
@@ -3466,47 +3560,65 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
       a -> set
     }.toMap
 
+  /** Token-capture of exactly the fields any consumer of a line can ask
+    * for: the read schema (projection), filter references (passes),
+    * eq-delete keys (rowDeleted) — plus every rename alias of those
+    * (a line lacking a current name falls back through its old names).
+    * Everything else in the line is token-skipped unparsed (r19). */
+  private val lineFields: JsonLineFields = {
+    val base = scala.collection.mutable.LinkedHashSet.empty[String]
+    readSchema.fields.foreach(f => base += f.name)
+    filters.foreach(_.references.foreach(base += _))
+    eqSets.foreach(_.keys.foreach(base += _))
+    new JsonLineFields(
+      base.toSeq.flatMap(n => n +: aliases.getOrElse(n, Seq.empty)), mapper)
+  }
+
   /** Field lookup with RENAME name-mapping (r14): a line lacking the
     * current name falls back through the column's former names, newest
     * first — an explicit JSON null is a VALUE (no fallback), only a
     * truly absent key maps. */
-  private def fieldNode(node: JsonNode, name: String): JsonNode = {
-    val v = node.get(name)
+  private def fieldNode(name: String): JsonNode = {
+    val v = lineFields.get(name)
     if (v != null) v
     else aliases.get(name) match {
-      case Some(olds) => olds.iterator.map(node.get).collectFirst {
+      case Some(olds) => olds.iterator.map(lineFields.get).collectFirst {
         case n if n != null => n
       }.orNull
       case None => null
     }
   }
 
-  private def fieldValue(node: JsonNode, name: String): Any = {
+  // readSchema field types by ordinal, so the projection loop does not
+  // re-run a linear name search per field per row (r19)
+  private val fieldTypes: Array[DataType] = readSchema.fields.map(_.dataType)
+
+  private def fieldValue(name: String, dt: DataType): Any = {
     // the `_file`/`_pos` metadata columns never live in the JSON — they
     // are the reader's own provenance
     if (name == JsonDocSource.FileMetaCol)
       return fileKey
     if (name == JsonDocSource.PosMetaCol)
       return pos
-    val v = fieldNode(node, name)
+    val v = fieldNode(name)
     // EXISTENCE DEFAULT (r16): a TRULY ABSENT key (no current name, no
     // alias) means the line predates the column — serve the frozen ADD
     // COLUMN default. An explicit JSON null is a VALUE a post-add
     // writer materialized and stays NULL.
     if (v == null) existsDefaults.get(name).orNull
     else if (v.isNull) null
-    else readSchema.find(_.name == name).map(_.dataType) match {
-      case Some(LongType) => v.asLong()
-      case Some(IntegerType) => v.asInt()
-      case Some(DoubleType) => v.asDouble()
-      case Some(BooleanType) => v.asBoolean()
+    else dt match {
+      case LongType => v.asLong()
+      case IntegerType => v.asInt()
+      case DoubleType => v.asDouble()
+      case BooleanType => v.asBoolean()
       case _ => v.asText()
     }
   }
 
   /** Raw (schema-independent) comparable value for filter columns — may
     * not be in the pruned read schema. */
-  private def rawValue(node: JsonNode, name: String): Any = {
+  private def rawValue(name: String): Any = {
     // keep row-level evaluation of `_file` consistent with the
     // name-based planning skip (a group filter that passed planning
     // must pass per-row too); `_pos` evaluates to the current position.
@@ -3517,7 +3629,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
       return fileKey
     if (name == JsonDocSource.PosMetaCol)
       return pos
-    val v = fieldNode(node, name)
+    val v = fieldNode(name)
     // filters see the SAME existence-default fill as projection (r16):
     // `WHERE region = '<default>'` must match pre-add rows. Normalized
     // to the comparator's raw shapes (integral -> Long).
@@ -3553,18 +3665,18 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
     case _ => None
   }
 
-  private def passes(node: JsonNode): Boolean = filters.forall {
-    case EqualTo(a, v) => cmp(rawValue(node, a), v).contains(0)
-    case GreaterThan(a, v) => cmp(rawValue(node, a), v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ >= 0)
-    case LessThan(a, v) => cmp(rawValue(node, a), v).exists(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(rawValue(node, a), v).exists(_ <= 0)
-    case IsNotNull(a) => rawValue(node, a) != null
+  private def passes(): Boolean = filters.forall {
+    case EqualTo(a, v) => cmp(rawValue(a), v).contains(0)
+    case GreaterThan(a, v) => cmp(rawValue(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(rawValue(a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(rawValue(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(rawValue(a), v).exists(_ <= 0)
+    case IsNotNull(a) => rawValue(a) != null
     // runtime (join-derived) filters arrive as In over the build side's
     // distinct keys; a null/missing field can never match. O(1) hash
     // lookup against the precomputed dual-boxed set (see inSets).
     case In(a, _) =>
-      val raw = rawValue(node, a)
+      val raw = rawValue(a)
       raw != null && inSets(a).contains(raw)
     case _ => true
   }
@@ -3572,22 +3684,29 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   override def next(): Boolean = {
     current = null
     if (limit.exists(emitted >= _)) return false
+    val names = readSchema.fieldNames
     while (current == null && it.hasNext) {
       val line = it.next()
       pos += 1
       // a DV'd row is dead under this snapshot: skipped before parsing
       // (its position is still consumed — positions are absolute)
       if (!deleted.contains(pos)) {
-        val node = mapper.readTree(line)
-        if (passes(node) &&
-          !(eqSets.nonEmpty && JsonDocEqDeletes.rowDeleted(node, eqSets, aliases))) {
-          val values = readSchema.fields.map { f =>
-            fieldValue(node, f.name) match {
+        // token-walk capture of the needed fields only (r19) — replaces
+        // the per-line mapper.readTree full-tree parse
+        lineFields.parse(line)
+        if (passes() &&
+          !(eqSets.nonEmpty &&
+            JsonDocEqDeletes.rowDeleted(fieldNode _, eqSets))) {
+          val values = new Array[Any](names.length)
+          var i = 0
+          while (i < names.length) {
+            values(i) = fieldValue(names(i), fieldTypes(i)) match {
               case s: String => UTF8String.fromString(s)
               case other => other
             }
+            i += 1
           }
-          current = InternalRow.fromSeq(values.toSeq)
+          current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           emitted += 1
         }
       }
