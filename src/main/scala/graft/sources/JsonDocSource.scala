@@ -3592,6 +3592,11 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   // readSchema field types by ordinal, so the projection loop does not
   // re-run a linear name search per field per row (r19)
   private val fieldTypes: Array[DataType] = readSchema.fields.map(_.dataType)
+  // fieldNames copies the array on every call; hoisted once per reader
+  private val fieldNames: Array[String] = readSchema.fieldNames
+  // one stable closure for the eq-delete key lookup — `fieldNode _` at
+  // the call site would allocate a fresh Function1 per surviving row
+  private val fieldNodeFn: String => JsonNode = fieldNode
 
   private def fieldValue(name: String, dt: DataType): Any = {
     // the `_file`/`_pos` metadata columns never live in the JSON — they
@@ -3684,7 +3689,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
   override def next(): Boolean = {
     current = null
     if (limit.exists(emitted >= _)) return false
-    val names = readSchema.fieldNames
+    val names = fieldNames
     while (current == null && it.hasNext) {
       val line = it.next()
       pos += 1
@@ -3696,7 +3701,7 @@ private[sources] class JsonDocReader(file: String, readSchema: StructType,
         lineFields.parse(line)
         if (passes() &&
           !(eqSets.nonEmpty &&
-            JsonDocEqDeletes.rowDeleted(fieldNode _, eqSets))) {
+            JsonDocEqDeletes.rowDeleted(fieldNodeFn, eqSets))) {
           val values = new Array[Any](names.length)
           var i = 0
           while (i < names.length) {
