@@ -101,6 +101,8 @@ object HashFamilies {
   */
 object Caches {
   private val pending = scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+  private val pendingRdds =
+    scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
   private val scopeLocal =
     new ThreadLocal[scala.collection.mutable.ArrayBuffer[Dataset[_]]]()
 
@@ -112,6 +114,25 @@ object Caches {
     if (sc != null) sc.synchronized { sc += ds }
     else synchronized { pending += ds }
     ds
+  }
+
+  /** Register the RDD behind a `Dataset.localCheckpoint` result for the
+    * same deferred cleanup as cached Datasets (r19, advice item):
+    * `Dataset.unpersist` only reaches CacheManager entries, never the
+    * RDD-level persist a checkpoint takes, so without this the
+    * MEMORY_AND_DISK checkpoint blocks of the iterative queries would
+    * wait for driver GC + ContextCleaner — an accumulation across a
+    * long bench session that RunEnv promises not to have. Unpersist
+    * after the harness materializes the query is safe by the same
+    * argument as `register`: a drained checkpoint only costs recompute
+    * (or, for a checkpoint, a failed recompute) if the SAME frame were
+    * re-executed later, which the harness never does. */
+  def registerCheckpoint(df: Dataset[_]): Unit = {
+    val rdd = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+    rdd.foreach(r => synchronized { pendingRdds += r })
   }
 
   /** Run `body` with a thread-local cache scope: registrations made BY
@@ -144,8 +165,13 @@ object Caches {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     pending.clear()
+    pendingRdds.foreach { r =>
+      try { r.unpersist(blocking = false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    pendingRdds.clear()
   }
 
   /** Number of registered, not-yet-drained caches (for tests). */
-  def pendingCount: Int = synchronized(pending.size)
+  def pendingCount: Int = synchronized(pending.size + pendingRdds.size)
 }

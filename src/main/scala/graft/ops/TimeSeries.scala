@@ -745,6 +745,7 @@ object TimeSeries {
     var pending = probes
       .withColumn("cx", expr(s"px div $w")).withColumn("cy", expr(s"py div $w"))
       .localCheckpoint()
+    graft.Caches.registerCheckpoint(pending)
     var carried: DataFrame = null // (p_id, q_id, dist2) top-k so far, pending only
     var out: DataFrame = null
     var ring = 0
@@ -762,6 +763,12 @@ object TimeSeries {
       val cand = if (carried == null) ringCand else carried.unionByName(ringCand)
       val topk = cand.withColumn("rn", row_number().over(win))
         .where(col("rn") <= k).localCheckpoint()
+      // every eager checkpoint in this loop registers for the harness's
+      // per-query drain (r19): Dataset.unpersist cannot reach RDD-level
+      // checkpoint stores, and this loop's rings would otherwise pile up
+      // until driver GC. topk stores CANNOT retire per-ring — the lazy
+      // `out` union references every ring's topk until its own fold.
+      graft.Caches.registerCheckpoint(topk)
       val bound = ring.toLong * w
       val done = topk.groupBy("p_id")
         .agg(count(lit(1)).as("nc"), max(col("dist2")).as("md"))
@@ -773,8 +780,17 @@ object TimeSeries {
       // checkpoint-shallow, but the union tree itself otherwise grows
       // one node per ring and a long void walk hands the final action
       // an O(rings)-wide plan
-      if (ring % 8 == 7) out = out.localCheckpoint()
+      if (ring % 8 == 7) {
+        out = out.localCheckpoint()
+        graft.Caches.registerCheckpoint(out)
+      }
+      val prevPending = pending
       pending = pending.join(done, Seq("p_id"), "left_anti").localCheckpoint()
+      graft.Caches.registerCheckpoint(pending)
+      // the superseded pending set is fully consumed (this eager
+      // checkpoint just read it; topk, the only other reader, is
+      // checkpointed) — retire it now (r19)
+      graft.dedup.Dedup.retireCheckpoint(prevPending)
       carried = topk.join(done, Seq("p_id"), "left_anti")
         .select(col("p_id"), col("q_id"), col("dist2"))
       ring += 1

@@ -1339,6 +1339,26 @@ private[graft] object GraftMv {
         .map(_.toInt).getOrElse(-1))
   }
 
+  /** Driver-side "does this feed window contain any delete?" (r19,
+    * guide §5): the change feed's per-partition kinds are pure
+    * manifest/DV arithmetic on the driver (JsonDocChanges.commitParts),
+    * so planning the window's partitions and looking for a delete kind
+    * replaces the previous FULL EXECUTOR SCAN of the feed
+    * (`!feed.filter(_change_type === 'delete').isEmpty` — one extra job
+    * per MIN/MAX refresh, reading the whole window when no delete
+    * exists). Conservative in the safe direction only: a delete-kind
+    * partition may emit zero rows (an eq-delete set matching nothing),
+    * and with zero actual delete rows the mixed path recomputes the
+    * affected groups to exactly the pure fold's values; a feed with ANY
+    * delete row always has a delete-kind partition, so the probe can
+    * never miss one. Failure modes match the scan's: the same retention
+    * guard and unreadable-manifest errors fire from the same planning
+    * arithmetic. */
+  private def feedHasDeleteKind(path: String, from: Int, to: Int): Boolean =
+    JsonDocChanges.partsBetween(path,
+      JsonDocChanges.publishedVersions(path), from, to)
+      .exists(_.asInstanceOf[JsonDocChangesPartition].changeType == "delete")
+
   /** Fold `(last, head]` from the base's change feed. Returns
     * (from, to) of the folded range; from > to means the view was
     * already current. */
@@ -1367,6 +1387,12 @@ private[graft] object GraftMv {
       distDirOf(dataDir, a.alias).getAbsolutePath, appIdOf(name))
       .map(_.toInt).getOrElse(-1))
     val headEff = (head +: distLasts.filter(_ > last)).min
+    // NOT cached (r19: tried and reverted) — the dist and main MERGEs
+    // do re-execute this scan through their temp views, but each
+    // reference is column-pruned to the view's own columns and the
+    // commit-sized re-parse measured CHEAPER than a shared cache's
+    // materialization (+2 jobs, par task-s on q240/q247; see
+    // OPTIMIZATION_r19.md "rejected: refresh feed caches").
     val feed = session.read.format("graft-jsondoc")
       .option("readChanges", "true")
       .option("startingVersion", (last + 1).toString)
@@ -1378,8 +1404,7 @@ private[graft] object GraftMv {
     // everything else as usual; SUM/COUNT/AVG-only views keep the pure
     // signed fold, which tolerates any DML without touching the base
     val mixed = d.aggs.exists(a => a.func == "min" || a.func == "max") &&
-      !feed.filter(org.apache.spark.sql.functions
-        .col("_change_type") === "delete").isEmpty
+      feedHasDeleteKind(d.basePath, last + 1, headEff)
     val tag = s"graft_mv_${name.replaceAll("[^A-Za-z0-9_]", "_")}_$headEff"
     val feedView = s"${tag}_feed"
     val deltaView = s"${tag}_delta"
@@ -1507,8 +1532,7 @@ private[graft] object GraftMv {
         .option("endingVersion", to.toString)
         .option("path", path).load()
       if (hasExtrema && !deletesSeen)
-        deletesSeen = !df.filter(org.apache.spark.sql.functions
-          .col("_change_type") === "delete").isEmpty
+        deletesSeen = feedHasDeleteKind(path, from, to)
       df.createOrReplaceTempView(v)
       v
     }

@@ -1083,12 +1083,15 @@ object SourceQueries {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     try {
-      spark.sql(
+      val out = spark.sql(
         s"""SELECT c.c_mktsegment, count(*) AS n_orders,
            |       CAST(sum(o.o_custkey) AS BIGINT) AS sum_cust
            |FROM $o o JOIN $c c ON o.o_custkey = c.c_custkey
            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
         .localCheckpoint() // materialize under the confs before restoring them
+      // drain-registered like every checkpoint store (r19)
+      graft.Caches.registerCheckpoint(out)
+      out
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }

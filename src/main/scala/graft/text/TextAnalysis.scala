@@ -717,6 +717,10 @@ object TextAnalysis {
           prev.foreach { case (_, (_, oldSeg)) =>
             try oldSeg.unpersist()
             catch { case scala.util.control.NonFatal(_) => () }
+            // the evicted memo's segmentation is checkpoint-backed and
+            // unregistered (it had to survive harness drains) — its
+            // store frees here or never (r19)
+            graft.dedup.Dedup.retireCheckpoint(oldSeg)
           }
           val v = bpeTrainImpl(spark, dir)
           v._2.cache()
@@ -736,6 +740,10 @@ object TextAnalysis {
     var seg = words.select(col("word"), col("c"),
       concat_ws(BpeSep, concat(split(col("word"), ""), array(lit("</w>")))).as("seg"))
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    // the round before the one `best` just materialized — fully consumed
+    // (its checkpoint was read to materialize the current round) and
+    // retired per round (r19)
+    var prevSeg: DataFrame = null
     for (r <- 1 to BpeMerges) {
       val arr = split(col("seg"), BpeSep)
       val best = seg
@@ -745,6 +753,8 @@ object TextAnalysis {
           slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      if (prevSeg ne null) graft.dedup.Dedup.retireCheckpoint(prevSeg)
+      prevSeg = seg
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       rules += ((r, a, b, a + b, cnt))
       val fold = aggregate(
@@ -754,9 +764,16 @@ object TextAnalysis {
           (acc === a || acc.endsWith(lit(BpeSep + a))) && x === lit(b),
           concat(acc, x)).otherwise(concat(acc, lit(BpeSep), x)))
       // checkpoint-only persistence (r18): the cache + checkpoint pair
-      // double-stored every BPE round's segment table
+      // double-stored every BPE round's segment table. The FINAL round
+      // is the memo's cross-query segmentation and the SECOND-TO-LAST
+      // is its materialization parent (the final frame is lazy until a
+      // q133-style reader runs, possibly after a harness drain) — both
+      // stay OFF the drain registry (r19); the final frame frees on
+      // memo eviction, its parent via ContextCleaner once the final
+      // materializes and truncates away from it.
       seg = graft.dedup.Dedup.truncateLineage(
-        seg.select(col("word"), col("c"), fold.as("seg")))
+        seg.select(col("word"), col("c"), fold.as("seg")),
+        register = r < BpeMerges - 1)
     }
     (rules.result(), seg)
   }

@@ -246,6 +246,14 @@ object TextIndex {
         JsonDocVersions.lastTxn(postings, appId(indexRoot)).map(_.toInt).getOrElse(-1))
       val head = JsonDocVersions.latestVersion(d.basePath).getOrElse(0)
       if (head <= last) return (last + 1, last)
+      // NOT cached (r19: tried and reverted) — the dup probe, newDocs
+      // and oldDocs each re-execute this scan, but the re-executions
+      // are CHEAPER than one shared cache: the probe's reference is
+      // column-pruned to (doc_id, act, v) and token-skips the heavy
+      // text field entirely, while a cache must materialize text into
+      // columnar batches (q242 probe: task-s min 21→39 with the cache,
+      // jobs +2 on the MV cousins). Guide §5's caveat verbatim: cache
+      // only when recompute beats the memory/materialization cost.
       val feed = spark.read.format("graft-jsondoc")
         .option("readChanges", "true")
         .option("startingVersion", (last + 1).toString)
@@ -296,6 +304,10 @@ object TextIndex {
             when(col("act") === "delete", 0).otherwise(1))))
         .where(col("rn") === 1 && col("act") === "delete")
         .select(col("doc_id"), col("text"))
+      // NOT cached (r19: tried and reverted with the feed cache above)
+      // — the anti-join's second reference is pruned to (doc_id, term)
+      // and skips the positions/tf/dl aggregation work; a cache pays
+      // the full materialization plus columnar-store overhead
       val puts = postingsOf(newDocs, d.buckets).withColumn("act", lit("put"))
       val tombstones = postingsOf(oldDocs, d.buckets)
         .join(puts.select(col("doc_id"), col("term")), Seq("doc_id", "term"),

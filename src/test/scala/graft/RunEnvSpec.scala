@@ -45,6 +45,32 @@ class RunEnvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.storageLevel == StorageLevel.NONE)
   }
 
+  test("Caches.drain unpersists registered checkpoint stores (r19)") {
+    import spark.implicits._
+    // truncateLineage registers its localCheckpoint RDD: Dataset.unpersist
+    // cannot reach RDD-level persists, so the drain must
+    val ck = dedup.Dedup.truncateLineage((1 to 100).toDF("x"))
+    ck.count() // materialize the lazy checkpoint
+    val rdd = ck.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    Caches.drain()
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+  }
+
+  test("retireCheckpoint frees a superseded round's store immediately (r19)") {
+    import spark.implicits._
+    val ck = dedup.Dedup.truncateLineage((1 to 50).toDF("x"), register = false)
+    ck.count()
+    val rdd = ck.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    dedup.Dedup.retireCheckpoint(ck)
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+    // idempotent: the later drain / a second retire is a no-op
+    dedup.Dedup.retireCheckpoint(ck)
+  }
+
   test("minLabelClusters converges on a chain and labels by component min") {
     import spark.implicits._
     // two components: chain 1-2-3-4 (diameter 3) and pair 10-11
